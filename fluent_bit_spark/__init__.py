@@ -1,0 +1,39 @@
+"""fluent_bit_spark — a from-scratch, PySpark-native log/telemetry
+analytics engine with the query and data-processing capabilities of
+Fluent Bit (reference: tanmaya-panda1/fluent-bit, studied read-only at
+/root/reference).
+
+This is NOT a port. The reference is a single-process, event-loop,
+msgpack-record-at-a-time C agent; this package re-expresses its operator
+semantics (parse -> filter/enrich -> tag-route -> output -> SQL stream
+aggregation) as declarative Spark DataFrame plans so Catalyst/Tungsten
+pick the physical strategy and the job scales across executors.
+
+Layout
+------
+semantics   Fluent Bit comparison/truthiness/coercion semantics as Column
+            helpers (reference: src/stream_processor/flb_sp.c:790-1046).
+accessor    record-accessor path compiler ($key['sub'], $TAG[n], $0..$9)
+            (reference: src/record_accessor/ra.l, flb_record_accessor.c).
+timefmt     strptime -> Spark datetime pattern translation incl. %L
+            fractions and year-less formats (src/flb_parser.c:248-335).
+parsers     regex/json/logfmt/ltsv parsers as vectorized transforms
+            (src/flb_parser_regex.c, _json.c, _logfmt.c, _ltsv.c).
+filters     grep/modify/record_modifier/nest/type_converter/expect/
+            throttle/sampling (plugins/filter_*).
+router      tag glob compiler, conditional routes, rewrite_tag, multi-sink
+            writer with observe() counters (src/flb_router.c,
+            src/flb_conditionals.c, plugins/filter_rewrite_tag).
+sqlsp       the stream-processor SQL subset -> DataFrame plans
+            (src/stream_processor/).
+fbrecord    dynamic (schemaless) record encoding as a JVM-native tagged
+            map column.
+webgen      deterministic Common-Crawl-shape input table generator.
+pipeline    parse -> filter/enrich -> route -> aggregate orchestration with
+            lineage + metrics + checkpoint/resume.
+dataops     training-data-pipeline operations: dedup (exact/minhash/
+            simhash/ngram/embedding), similarity search, text analysis,
+            multimodal column plumbing.
+"""
+
+__version__ = "0.1.0"

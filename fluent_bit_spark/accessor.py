@@ -1,0 +1,100 @@
+"""Record-accessor path compiler.
+
+The reference addresses nested fields with a small flex/bison language
+(src/record_accessor/ra.l:43-50, ra.y): ``$key``, ``$key['sub']['sub2']``,
+``$key[N]`` (array index), ``$TAG``, ``$TAG[n]`` (tag split on '.'), and
+``$0..$9`` (regex capture refs). API surface:
+include/fluent-bit/flb_record_accessor.h:33-60.
+
+Here a path string compiles once to a Spark Column expression against
+either (a) a fixed-schema DataFrame (struct/array navigation) or (b) the
+dynamic map encoding (fbrecord.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_PATH = re.compile(
+    r"""^\$(?P<root>[A-Za-z_][A-Za-z0-9_]*|\d)
+         (?P<rest>(\[(?:'[^']*'|"[^\"]*"|\d+)\])*)$""",
+    re.X,
+)
+_SUB = re.compile(r"\[(?:'(?P<q1>[^']*)'|\"(?P<q2>[^\"]*)\"|(?P<idx>\d+))\]")
+
+
+@dataclass(frozen=True)
+class ParsedPath:
+    root: str                      # key name, 'TAG', or digit string for $0..$9
+    subs: tuple = field(default_factory=tuple)  # str = map/struct key, int = array idx
+
+    @property
+    def is_tag(self) -> bool:
+        return self.root == "TAG"
+
+    @property
+    def capture_ref(self) -> Optional[int]:
+        return int(self.root) if self.root.isdigit() else None
+
+
+def parse_path(path: str) -> ParsedPath:
+    """Parse a record-accessor string. Bare names (no '$') are accepted as
+    plain top-level keys — the reference does the same for filter options
+    that take either form (e.g. grep's field, grep.c uses flb_ra_create on
+    the raw string)."""
+    if not path.startswith("$"):
+        return ParsedPath(path)
+    m = _PATH.match(path)
+    if not m:
+        raise ValueError(f"bad record accessor path: {path!r}")
+    subs = []
+    for sm in _SUB.finditer(m.group("rest") or ""):
+        if sm.group("idx") is not None:
+            subs.append(int(sm.group("idx")))
+        else:
+            subs.append(sm.group("q1") if sm.group("q1") is not None else sm.group("q2"))
+    return ParsedPath(m.group("root"), tuple(subs))
+
+
+def compile_path(
+    path: str,
+    *,
+    tag_col: str = "tag",
+    captures: Optional[dict[int, Column]] = None,
+    body_map: Optional[str] = None,
+) -> Column:
+    """Compile to a Column.
+
+    body_map — if set, top-level keys resolve via ``element_at(map, key)``
+    (the dynamic encoding); otherwise via struct-column navigation.
+    $TAG[n] splits the tag on '.' (flb_ra_parser tag-part semantics).
+    """
+    p = parse_path(path)
+    if p.is_tag:
+        c = F.col(tag_col)
+        if p.subs:
+            if not isinstance(p.subs[0], int):
+                raise ValueError("$TAG[n] requires an integer index")
+            c = F.split(c, r"\.").getItem(p.subs[0])
+        return c
+    ref = p.capture_ref
+    if ref is not None:
+        if captures is None or ref not in captures:
+            raise ValueError(f"capture ref ${ref} with no captures in scope")
+        return captures[ref]
+
+    if body_map is not None:
+        c = F.element_at(F.col(body_map), p.root)
+    else:
+        c = F.col(p.root)
+    for s in p.subs:
+        if isinstance(s, int):
+            c = F.element_at(c, s + 1)  # RA array index is 0-based; element_at 1-based
+        else:
+            c = c.getField(s) if body_map is None else F.element_at(c, s)
+    return c

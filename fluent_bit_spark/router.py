@@ -1,0 +1,288 @@
+"""Tag-based routing: glob match compiler, conditional routes, rewrite_tag,
+and the multi-sink fan-out writer.
+
+Reference semantics:
+* tag glob match — src/flb_router.c:38-144 (``router_match``): ``*`` matches
+  any span (including empty; consecutive ``*`` collapse), every other byte
+  matches literally (newlines included — tags are raw bytes), and the whole
+  tag must be consumed. Truth vectors: tests/internal/router.c:15-26,81-95.
+* Match_Regex — src/flb_router.c:65-77 (Onigmo ``onig_match`` anchored at
+  the start of the tag, un-anchored at the end).
+* conditional routes — record-level predicates attached to a route:
+  ops eq/neq/gt/lt/gte/lte/regex/not_regex/in/not_in over body fields with
+  AND/OR combination (include/fluent-bit/flb_conditionals.h:55-64, eval
+  src/flb_conditionals.c:71-148).
+* rewrite_tag — plugins/filter_rewrite_tag/rewrite_tag.c:37-104: rules
+  (key accessor, regex, new-tag template, keep); the template may use
+  ``$TAG``, ``$TAG[n]`` and regex capture refs ``$0..$9``; matching records
+  are re-emitted under the new tag (original kept iff ``keep``).
+
+Spark-first design: each sink's Match pattern compiles ONCE to an anchored
+regex and becomes a boolean predicate Column; routing N sinks is N cheap
+predicates over one cached/persisted upstream DataFrame — the analogue of
+the reference's per-chunk routes bitmask (src/flb_routes_mask.c:49-175)
+without any per-record interpretation.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .semantics import FBVal, fb_compare, fb_and, fb_or, fb_type_of
+
+# ---------------------------------------------------------------------------
+# Tag glob
+# ---------------------------------------------------------------------------
+
+
+def glob_to_regex(pattern: str, dialect: str = "java") -> str:
+    """Compile a Fluent Bit Match glob to an anchored regex string.
+
+    ``*`` -> ``.*`` (DOTALL: tags may embed newlines — router.c test vector
+    {'s','y','s','t','e','m','\\n'} matches pattern "system\\n" but not
+    "system"); all other chars literal; full-consume anchoring mirrors
+    src/flb_router.c:132-134. The end anchor must be absolute end-of-input
+    (a bare ``$`` silently forgives a trailing newline in both Java and
+    Python): ``\\z`` in Java, ``\\Z`` in Python.
+    """
+    out = ["(?s)^"]
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            while i < len(pattern) and pattern[i] == "*":
+                i += 1  # collapse runs of '*' (src/flb_router.c:87-89)
+            out.append(".*")
+            continue
+        out.append(re.escape(ch))
+        i += 1
+    out.append("\\z" if dialect == "java" else "\\Z")
+    return "".join(out)
+
+
+def tag_matches(pattern: str) -> Callable[[str], bool]:
+    """Driver-side matcher (used by tests/oracles), same semantics."""
+    rx = re.compile(glob_to_regex(pattern, dialect="python"))
+    return lambda tag: tag is not None and rx.match(tag) is not None
+
+
+def match_col(tag_col: Column, pattern: Optional[str], regex: Optional[str] = None) -> Column:
+    """Predicate Column: does the tag match this sink?
+
+    ``regex`` mirrors Match_Regex: Onigmo ``onig_match`` anchors at the
+    start only (src/flb_router.c:70-75), hence the leading ``^`` without a
+    trailing ``$``.
+    """
+    if regex is not None:
+        r = regex if regex.startswith("^") else "^(?:" + regex + ")"
+        return F.coalesce(tag_col.rlike(r), F.lit(False))
+    if pattern is None:
+        return F.lit(False)  # NULL match never routes (router.c:83-85)
+    return F.coalesce(tag_col.rlike(glob_to_regex(pattern)), F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# Conditional routes (flb_conditionals.h ops)
+# ---------------------------------------------------------------------------
+
+_COND_OPS = {
+    "eq": "=",
+    "neq": "!=",
+    "gt": ">",
+    "lt": "<",
+    "gte": ">=",
+    "lte": "<=",
+}
+
+
+@dataclass(frozen=True)
+class RouteCondition:
+    """One rule: ``field op value`` (flb_conditionals.h:55-64)."""
+
+    field: str
+    op: str  # eq neq gt lt gte lte regex not_regex in not_in
+    value: object
+
+    def to_column(self, df: DataFrame) -> Column:
+        c = F.col(self.field)
+        ftype = fb_type_of(df.schema[self.field.split(".")[0]].dataType)
+        if self.op in _COND_OPS:
+            return fb_compare(FBVal(c, ftype), FBVal.lit(self.value), _COND_OPS[self.op])
+        if self.op == "regex":
+            return F.coalesce(c.cast("string").rlike(str(self.value)), F.lit(False))
+        if self.op == "not_regex":
+            return ~F.coalesce(c.cast("string").rlike(str(self.value)), F.lit(False))
+        if self.op == "in":
+            return F.coalesce(c.isin(list(self.value)), F.lit(False))
+        if self.op == "not_in":
+            return ~F.coalesce(c.isin(list(self.value)), F.lit(False))
+        raise ValueError(f"unknown condition op {self.op}")
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """An output route: Match glob (or Match_Regex) + optional record-level
+    conditions, combined AND/OR (src/flb_router_condition.c)."""
+
+    name: str
+    match: Optional[str] = "*"
+    match_regex: Optional[str] = None
+    conditions: Sequence[RouteCondition] = field(default_factory=tuple)
+    condition_op: str = "and"  # 'and' | 'or'
+    fmt: str = "parquet"  # out_file formats: json/csv/parquet (file.c:196-230)
+
+    def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
+        p = match_col(F.col(tag_col), self.match, self.match_regex)
+        if self.conditions:
+            conds = [c.to_column(df) for c in self.conditions]
+            acc = conds[0]
+            for c in conds[1:]:
+                acc = fb_and(acc, c) if self.condition_op == "and" else fb_or(acc, c)
+            p = fb_and(p, acc)
+        return p
+
+
+# ---------------------------------------------------------------------------
+# rewrite_tag
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RewriteTagRule:
+    """(key, regex, new_tag_template, keep) — rewrite_tag.c:37-104.
+
+    Template placeholders: ``$TAG`` (whole tag), ``$TAG[n]`` (tag split on
+    '.'), ``$0..$9`` (capture groups of ``regex`` applied to the key's
+    value), and record-accessor refs ``$key`` (plain top-level key).
+    """
+
+    key: str
+    regex: str
+    new_tag: str
+    keep: bool = False
+
+
+_TMPL_TOKEN = re.compile(r"\$TAG(?:\[(\d+)\])?|\$(\d)|\$([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _compile_template(tmpl: str, tag_col: Column, captures: dict[int, Column]) -> Column:
+    parts: list[Column] = []
+    pos = 0
+    for m in _TMPL_TOKEN.finditer(tmpl):
+        if m.start() > pos:
+            parts.append(F.lit(tmpl[pos : m.start()]))
+        if m.group(0).startswith("$TAG"):
+            if m.group(1) is not None:
+                n = int(m.group(1))
+                # $TAG[n]: tag split on '.' (ra.l:46, flb_ra_parser tag part)
+                parts.append(F.split(tag_col, r"\.").getItem(n))
+            else:
+                parts.append(tag_col)
+        elif m.group(2) is not None:
+            parts.append(captures[int(m.group(2))])
+        else:
+            parts.append(F.col(m.group(3)).cast("string"))
+        pos = m.end()
+    if pos < len(tmpl):
+        parts.append(F.lit(tmpl[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def apply_rewrite_tag(
+    df: DataFrame,
+    rules: Sequence[RewriteTagRule],
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Apply rewrite_tag rules. First matching rule wins per record
+    (rewrite_tag.c iterates rules and emits on first match). Records whose
+    rule has keep=True are duplicated: original tag + new tag (the emitter
+    re-injection, in_emitter plugin).
+    """
+    tag = F.col(tag_col)
+    new_tag = None  # Column: rewritten tag or NULL if no rule matched
+    keep_flag = F.lit(False)
+    matched_any = F.lit(False)
+    for r in rules:
+        val = F.col(r.key).cast("string")
+        hit = F.coalesce(val.rlike(r.regex), F.lit(False)) & ~matched_any
+        caps = {i: F.regexp_extract(val, r.regex, i) for i in range(10) if f"${i}" in r.new_tag}
+        tcol = _compile_template(r.new_tag, tag, caps)
+        new_tag = F.when(hit, tcol) if new_tag is None else new_tag.when(hit, tcol)
+        keep_flag = F.when(hit, F.lit(r.keep)).otherwise(keep_flag)
+        matched_any = matched_any | hit
+
+    rewritten = df.withColumn("__new_tag", new_tag).withColumn("__keep", keep_flag)
+    # records that matched -> re-tagged copy; originals survive when keep or no match
+    retagged = (
+        rewritten.filter(F.col("__new_tag").isNotNull())
+        .withColumn(tag_col, F.col("__new_tag"))
+        .drop("__new_tag", "__keep")
+    )
+    originals = (
+        rewritten.filter(F.col("__new_tag").isNull() | F.col("__keep"))
+        .drop("__new_tag", "__keep")
+    )
+    return originals.unionByName(retagged)
+
+
+# ---------------------------------------------------------------------------
+# Multi-sink fan-out writer
+# ---------------------------------------------------------------------------
+
+
+def route_flags(df: DataFrame, sinks: Sequence[SinkSpec], tag_col: str = "tag") -> DataFrame:
+    """Attach one boolean predicate column per sink (``__route_<name>``) —
+    the Spark analogue of the chunk routes bitmask. Catalyst computes all
+    predicates in one pass over the cached upstream."""
+    out = df
+    for s in sinks:
+        out = out.withColumn(f"__route_{s.name}", s.predicate(df, tag_col))
+    return out
+
+
+def write_sinks(
+    df: DataFrame,
+    sinks: Sequence[SinkSpec],
+    base_path: str,
+    tag_col: str = "tag",
+    count_mode: str = "observe",
+) -> dict[str, int]:
+    """Fan out one filtered write per sink from a single persisted upstream.
+
+    Mirrors the engine dispatch (one task per (chunk, route),
+    src/flb_engine_dispatch.c:247-354) but batch-shaped: the parsed and
+    enriched DataFrame is persisted once, then each sink runs a filtered
+    write; per-sink record counts (the out_counter sink,
+    plugins/out_counter/counter.c:57-79) come from ``observe()`` metrics on
+    the same pass — no second scan per sink.
+    """
+    flagged = route_flags(df, sinks, tag_col).persist()
+    counts: dict[str, int] = {}
+    try:
+        for s in sinks:
+            part = flagged.filter(F.col(f"__route_{s.name}")).drop(
+                *[f"__route_{x.name}" for x in sinks]
+            )
+            obs_name = f"sink_{s.name}"
+            from pyspark.sql import Observation
+
+            obs = Observation(obs_name)
+            part = part.observe(obs, F.count(F.lit(1)).alias("n"))
+            writer = part.write.mode("overwrite")
+            if s.fmt == "json":
+                writer.json(f"{base_path}/{s.name}")
+            elif s.fmt == "csv":
+                writer.option("header", True).csv(f"{base_path}/{s.name}")
+            else:
+                writer.parquet(f"{base_path}/{s.name}")
+            counts[s.name] = obs.get["n"]
+    finally:
+        flagged.unpersist()
+    return counts

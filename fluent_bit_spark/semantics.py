@@ -1,0 +1,269 @@
+"""Fluent Bit value-comparison semantics as Spark Column expressions.
+
+The reference stream processor collapses msgpack values to
+{NULL, BOOL, INT(i64), FLOAT(f64), STRING} and applies its own coercion
+rules when evaluating WHERE expressions (reference:
+src/stream_processor/flb_sp.c:790-1046):
+
+* ``numerical_comp`` (flb_sp.c:828-996):
+  - a STRING operand is parsed to a number iff the other side is a
+    non-string (``exp_string_to_number``, flb_sp.c:798-826; parse rules in
+    ``string_to_number`` flb_sp.c:298-350: >1 dot -> not a number, one dot
+    -> float, else int; strings longer than 19 chars never convert,
+    flb_sp.c:380-383);
+  - INT is promoted to FLOAT when compared against FLOAT (itof_convert);
+  - after coercion, operands of *different* types compare ``false`` (not
+    NULL — Fluent Bit has no three-valued logic);
+  - ``NULL = NULL`` is ``true``; NULL under </<=/>/>= is ``false``;
+  - BOOL supports only equality; BOOL vs anything else is ``false``.
+* a missing key reduces to C NULL and any comparison on it is ``false``
+  (reduce_expression FLB_EXP_KEY branch, flb_sp.c:1097-1110).
+* logical ops use truthiness (``value_to_bool`` flb_sp.c:1000-1019):
+  NULL/missing -> false, bool -> itself, int -> i64>0, float -> f64>0,
+  any string (including "") -> true.
+
+Spark's ANSI/3-valued NULL logic silently diverges from all of this, so
+every comparison in our engine goes through these helpers, which always
+return a *non-null* boolean Column.
+
+Static-type path: when the input DataFrame has a fixed schema, each
+operand's Fluent Bit type is known statically and the coercion decision
+is made at plan-build time (zero runtime overhead — plain Catalyst
+expressions, whole-stage codegen eligible). The dynamic path (tagged
+union values) lives in fbrecord.py and reuses the same rules per-branch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fluent Bit value types (mirrors FLB_EXP_* / FLB_SP_* constants)
+FB_NULL = "null"
+FB_BOOL = "bool"
+FB_INT = "int"
+FB_FLOAT = "float"
+FB_STRING = "string"
+
+_NUMERIC = (FB_INT, FB_FLOAT)
+
+# Comparison operators of the SP grammar (sql.y relational ops)
+OPS = ("=", "!=", "<>", "<", "<=", ">", ">=")
+
+
+def fb_type_of(dtype: T.DataType) -> str:
+    """Map a Spark column type to the Fluent Bit value model."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return FB_INT
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return FB_FLOAT
+    if isinstance(dtype, T.BooleanType):
+        return FB_BOOL
+    if isinstance(dtype, T.StringType):
+        return FB_STRING
+    if isinstance(dtype, T.NullType):
+        return FB_NULL
+    if isinstance(dtype, T.TimestampType):
+        # record times surface as float seconds (RECORD_TIME(), flb_sp_func_record.c:63-77)
+        return FB_FLOAT
+    # maps/arrays reduce to boolean "exists" (flb_sp_key.c:83-88)
+    return FB_BOOL
+
+
+@dataclass(frozen=True)
+class FBVal:
+    """A value expression with a statically-known Fluent Bit type.
+
+    ``col`` — the Spark Column; SQL NULL in it means *missing key*.
+    ``ftype`` — one of the FB_* constants. FB_NULL means a literal NULL
+    (a *present* null value, which is distinct from a missing key).
+    """
+
+    col: Column
+    ftype: str
+
+    @staticmethod
+    def lit(value) -> "FBVal":
+        if value is None:
+            # a literal NULL in the expression tree: present, type NULL.
+            return FBVal(F.lit(True), FB_NULL)  # carrier col unused
+        if isinstance(value, bool):
+            return FBVal(F.lit(value), FB_BOOL)
+        if isinstance(value, int):
+            return FBVal(F.lit(value).cast("long"), FB_INT)
+        if isinstance(value, float):
+            return FBVal(F.lit(value), FB_FLOAT)
+        if isinstance(value, str):
+            return FBVal(F.lit(value), FB_STRING)
+        raise TypeError(f"unsupported literal: {value!r}")
+
+
+def _is_intlike_string(c: Column) -> Column:
+    # string_to_number (flb_sp.c:298-350): one '.' -> float path, 0 -> int,
+    # >1 dots -> unconvertible; strtoll/strtold accept leading sign/space.
+    # Strings longer than 19 chars never convert (flb_sp.c:380-383).
+    return c.rlike(r"^\s*[+-]?[0-9]+\s*$") & (F.length(c) <= 19)
+
+
+def _is_floatlike_string(c: Column) -> Column:
+    return (
+        c.rlike(r"^\s*[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?\s*$")
+        & (F.length(c) <= 19)
+    )
+
+
+def str_to_num(c: Column) -> Column:
+    """String -> double following string_to_number; NULL when unconvertible."""
+    return F.when(_is_intlike_string(c) | _is_floatlike_string(c), c.cast("double"))
+
+
+def _coerced(left: FBVal, right: FBVal) -> tuple[Column, Column, str]:
+    """Apply FB's string->number and int->float coercions.
+
+    Returns (lcol, rcol, kind) where kind describes the comparison domain:
+    'int', 'float', 'string', 'bool', 'null', or 'mismatch'.
+    A NULL in the returned columns means "comparison is false" (either a
+    missing key or a failed string->number conversion).
+    """
+    lt, rt = left.ftype, right.ftype
+    lc, rc = left.col, right.col
+
+    # exp_string_to_number fires only when the *other* side is a non-string
+    # (flb_sp.c:839-842). NULL-typed "other side" does not trigger it either
+    # (NULL is not a number) — then types differ -> mismatch.
+    if lt == FB_STRING and rt in _NUMERIC:
+        lc, lt = str_to_num(lc), FB_FLOAT
+        rc = rc.cast("double")
+        return lc, rc, FB_FLOAT
+    if rt == FB_STRING and lt in _NUMERIC:
+        rc, rt = str_to_num(rc), FB_FLOAT
+        lc = lc.cast("double")
+        return lc, rc, FB_FLOAT
+
+    if lt in _NUMERIC and rt in _NUMERIC:
+        if lt == rt == FB_INT:
+            return lc.cast("long"), rc.cast("long"), FB_INT
+        return lc.cast("double"), rc.cast("double"), FB_FLOAT
+
+    if lt != rt:
+        return lc, rc, "mismatch"
+    return lc, rc, lt
+
+
+def fb_compare(left: FBVal, right: FBVal, op: str) -> Column:
+    """FB comparison; always returns a non-null boolean Column.
+
+    Mirrors numerical_comp (flb_sp.c:828-996) plus the missing-key rule
+    (a NULL operand column -> false, except NULL=NULL on *literal* nulls).
+    """
+    if op not in OPS:
+        raise ValueError(f"bad op {op}")
+    if op in ("!=", "<>"):
+        inner = fb_compare(left, right, "=")
+        return ~inner
+
+    lt, rt = left.ftype, right.ftype
+
+    # NULL literal handling: EQ(NULL, NULL) -> true; everything else false.
+    if lt == FB_NULL or rt == FB_NULL:
+        if op == "=" and lt == FB_NULL and rt == FB_NULL:
+            return F.lit(True)
+        if op == "=" and lt == FB_NULL:
+            # right side must be a *present* null... but a present null in a
+            # typed column is indistinguishable from missing; callers that
+            # need the distinction use the dynamic encoding. Static rule:
+            # typed-column value IS NULL -> false (types differ: NULL vs T).
+            return F.lit(False)
+        if op == "=" and rt == FB_NULL:
+            return F.lit(False)
+        return F.lit(False)
+
+    lc, rc, kind = _coerced(left, right)
+
+    if kind == "mismatch":
+        return F.lit(False)
+    if kind == FB_BOOL:
+        if op == "=":
+            return (lc == rc) & lc.isNotNull() & rc.isNotNull()
+        return F.lit(False)  # bool supports equality only (flb_sp.c:889-986)
+
+    if op == "=":
+        raw = lc == rc
+    elif op == "<":
+        raw = lc < rc
+    elif op == "<=":
+        raw = lc <= rc
+    elif op == ">":
+        raw = lc > rc
+    else:
+        raw = lc >= rc
+    # missing key / failed conversion -> false, never NULL
+    return F.coalesce(raw, F.lit(False))
+
+
+def fb_truthy(v: FBVal) -> Column:
+    """value_to_bool (flb_sp.c:1000-1019); missing -> false."""
+    if v.ftype == FB_NULL:
+        return F.lit(False)
+    if v.ftype == FB_BOOL:
+        return F.coalesce(v.col, F.lit(False))
+    if v.ftype == FB_INT:
+        return F.coalesce(v.col > 0, F.lit(False))
+    if v.ftype == FB_FLOAT:
+        return F.coalesce(v.col.cast("double") > 0.0, F.lit(False))
+    if v.ftype == FB_STRING:
+        # any string, including "", is true; missing is false
+        return v.col.isNotNull()
+    return F.lit(False)
+
+
+def fb_and(a: Column, b: Column) -> Column:
+    return F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False))
+
+
+def fb_or(a: Column, b: Column) -> Column:
+    return F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False))
+
+
+def fb_not(a: Column) -> Column:
+    return ~F.coalesce(a, F.lit(False))
+
+
+def fb_is_null(v: FBVal, *, present_null: Union[Column, None] = None) -> Column:
+    """``key IS NULL`` == ``key = NULL``: true iff the key is *present with
+    a nil value*.
+
+    Reference semantics (verified against sp_select_keys.h check #5 over
+    the 11-row samples fixture, expecting exactly 1 match — id=10 whose
+    word3 is an explicit JSON null):
+      - missing key -> reduce_expression returns C NULL -> numerical_comp
+        yields false (flb_sp.c:833-836);
+      - present nil -> FLB_EXP_NULL = FLB_EXP_NULL -> true (flb_sp.c:853-855);
+      - present "" (empty string) -> STRING vs NULL type mismatch -> false.
+
+    ``present_null`` — for the dynamic record encoding: a predicate that is
+    true iff the key is present with a nil value. On typed static columns
+    the two null flavors conflate; we adopt SQL NULL == present-nil (this
+    also matches the DuckDB oracle's ANSI reading).
+    """
+    if present_null is not None:
+        return F.coalesce(present_null, F.lit(False))
+    if v.ftype == FB_NULL:
+        return F.lit(True)
+    return v.col.isNull()
+
+
+def fb_is_not_null(v: FBVal, *, present_null: Union[Column, None] = None) -> Column:
+    """``key IS NOT NULL`` == ``NOT (key = NULL)``.
+
+    NOTE the surprising reference behavior (sp_select_keys.h check #4:
+    ``word2 = 'rlz' AND word3 IS NOT NULL`` matches id=1 which has NO
+    word3): a *missing* key compares false under ``= NULL`` and the NOT
+    flips it to **true**. So IS NOT NULL is true for missing keys and for
+    any non-nil value; false only for a present nil.
+    """
+    return fb_not(fb_is_null(v, present_null=present_null))

@@ -1,0 +1,156 @@
+"""strptime -> Spark datetime pattern translation.
+
+The reference parses record times with strptime plus extensions
+(src/flb_parser.c:248-335, lookup at :1159 ``flb_parser_time_lookup``):
+
+* ``%L`` — fractional seconds (a Fluent Bit extension; the format string is
+  split at ``%L`` and the fraction parsed manually, flb_parser.c:1159+).
+* ``%s`` — epoch seconds.
+* year-less formats (e.g. syslog ``%b %d %H:%M:%S``) get ``%Y `` prepended
+  and the *current* year assumed (flb_parser.c:248-275). For determinism we
+  take the assumed year as a parameter (default 2024) and document the
+  divergence from wall-clock behavior.
+* ``%z``/``%Z`` — UTC offset;
+* fixed ``time_offset`` (e.g. "+0200") applied when the string carries no
+  zone (flb_parser.c:320-335).
+
+Spark (Java DateTimeFormatter) equivalents are built here; parsing happens
+JVM-side via ``to_timestamp`` — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# strptime -> Java DateTimeFormatter fragments
+_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    # 'd' (min-width) rather than 'dd': glibc strptime skips leading
+    # whitespace on numeric fields, so syslog's "Feb  3" parses; Java needs
+    # the flexible-width pattern plus the space-collapse in parse_time.
+    "%d": "d",
+    "%e": "d",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%p": "a",
+    "%j": "DDD",
+    "%z": "xx",    # +0000 style; use %:z for +00:00
+    "%:z": "xxx",
+    "%Z": "zz",
+    "%%": "%",
+}
+
+
+@dataclass(frozen=True)
+class TimeFormat:
+    spark_fmt: str
+    has_year: bool
+    has_zone: bool
+    frac_digits: int  # 0 when no %L
+    epoch: bool       # %s
+
+
+def translate_strptime(fmt: str, frac_digits: int = 3) -> TimeFormat:
+    """Translate a strptime format to a Spark pattern.
+
+    ``%L`` becomes a fixed-width fraction ``S * frac_digits`` — callers
+    normalize the input string to that width (see ``parse_time``).
+    """
+    if fmt.strip() == "%s":
+        return TimeFormat("", False, False, 0, True)
+    out = []
+    has_year = has_zone = False
+    frac = 0
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            tok = fmt[i : i + 2]
+            if fmt[i : i + 3] == "%:z":
+                tok = "%:z"
+            if tok == "%L":
+                frac = frac_digits
+                out.append("S" * frac_digits)
+                i += 2
+                continue
+            if tok in ("%Y", "%y"):
+                has_year = True
+            if tok in ("%z", "%:z", "%Z"):
+                has_zone = True
+            if tok not in _MAP:
+                raise ValueError(f"unsupported strptime token {tok!r} in {fmt!r}")
+            out.append(_MAP[tok])
+            i += len(tok)
+        elif ch in "'":
+            out.append("''")
+            i += 1
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return TimeFormat("".join(out), has_year, has_zone, frac, False)
+
+
+def parse_time(
+    col: Column,
+    strptime_fmt: str,
+    *,
+    assume_year: int = 2024,
+    time_offset: Optional[str] = None,
+    frac_digits: int = 3,
+) -> Column:
+    """Parse a string column to TimestampType following the reference's
+    time-lookup semantics. Pure JVM expressions (whole-stage codegen).
+
+    %L handling: Fluent Bit splits the format at %L and reads however many
+    fraction digits the string carries; Java patterns need a fixed width.
+    We normalize the in-string fraction to exactly ``frac_digits`` digits
+    (right-pad or truncate) before ``to_timestamp``. Strings with no
+    fraction parse against the format with the fraction token dropped.
+    """
+    tf = translate_strptime(strptime_fmt, frac_digits)
+    if tf.epoch:
+        return F.to_timestamp(F.from_unixtime(col.cast("long")))
+
+    # strptime skips redundant whitespace between fields; Java does not.
+    col = F.regexp_replace(col, " +", " ")
+
+    def finish(s: Column, fmt: str) -> Column:
+        if not tf.has_year:
+            s = F.concat(F.lit(f"{assume_year} "), s)
+            fmt = "yyyy " + fmt
+        if time_offset and not tf.has_zone:
+            s = F.concat(s, F.lit(" " + time_offset))
+            fmt = fmt + " xx"
+        return F.to_timestamp(s, fmt)
+
+    if not tf.frac_digits:
+        return finish(col, tf.spark_fmt)
+
+    frac_tok = "S" * tf.frac_digits
+    has_frac = col.rlike(r"\.\d")
+    # rebuild "<before>.<frac padded to N><after>" so %z-after-%L survives
+    before = F.regexp_extract(col, r"^(.*?)\.\d+", 1)
+    after = F.regexp_extract(col, r"^.*?\.\d+(.*)$", 1)
+    frac = F.regexp_extract(col, r"\.(\d+)", 1)
+    frac = F.rpad(F.substring(frac, 1, tf.frac_digits), tf.frac_digits, "0")
+    normalized = F.concat(before, F.lit("."), frac, after)
+    no_frac_fmt = tf.spark_fmt.replace("." + frac_tok, "").replace(frac_tok, "")
+    return F.when(has_frac, finish(normalized, tf.spark_fmt)).otherwise(
+        finish(col, no_frac_fmt)
+    )

@@ -1,0 +1,95 @@
+"""Router glob semantics — truth vectors from
+/root/reference/tests/internal/router.c:15-26 (wildcard_checks) and
+:81-95 (route_checks edge vectors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.router import (
+    RouteCondition,
+    SinkSpec,
+    glob_to_regex,
+    match_col,
+    tag_matches,
+)
+
+WILDCARD_CHECKS = [
+    ("file.apache.log", "file.*.log", True),
+    ("cpu.rpi", "cpu.rpi", True),
+    ("cpu.rpi", "cpu.*", True),
+    ("cpu.rpi", "*", True),
+    ("cpu.rpi", "*.*", True),
+    ("cpu.rpi", "*.rpi", True),
+    ("cpu.rpi", "mem.*", False),
+    ("cpu.rpi", "*u.r*", True),
+    ("hoge", "hogeeeeeee", False),
+    ("test", "test", True),
+    # route_checks (router.c:81-95)
+    ("metrics", "metrics", True),
+    ("metrics", "metrics.*", False),
+    ("system\n", "system\n", True),
+    ("system\n", "system", False),
+    ("abcd", "**d", True),
+    ("abcd", "*c*", True),
+    ("abcd", "*e*", False),
+    ("", "", True),
+    ("", "*", True),
+    ("ab", "ab", True),   # truncated tag, len 2
+    ("ab", "abc", False),
+]
+
+
+@pytest.mark.parametrize("tag,pattern,expect", WILDCARD_CHECKS)
+def test_glob_python(tag, pattern, expect):
+    assert tag_matches(pattern)(tag) is expect
+
+
+def test_glob_spark(spark):
+    df = spark.createDataFrame([(t,) for t, _, _ in WILDCARD_CHECKS], ["tag"])
+    for tag, pattern, expect in WILDCARD_CHECKS:
+        got = (
+            spark.createDataFrame([(tag,)], ["tag"])
+            .select(match_col(F.col("tag"), pattern).alias("m"))
+            .first()["m"]
+        )
+        assert got is expect, (tag, pattern)
+
+
+def test_match_regex_anchored_start_only(spark):
+    # onig_match anchors at start, not end (src/flb_router.c:70-75)
+    df = spark.createDataFrame([("web.en.x",), ("xweb.en",)], ["tag"])
+    got = df.select(match_col(F.col("tag"), None, regex=r"web\.").alias("m")).collect()
+    assert [r["m"] for r in got] == [True, False]
+
+
+def test_sink_conditions(spark):
+    df = spark.createDataFrame(
+        [("web.a", 5, "err"), ("web.b", 50, "ok"), ("app.c", 50, "err")],
+        ["tag", "size", "status"],
+    )
+    sink = SinkSpec(
+        "errors",
+        match="web.*",
+        conditions=[
+            RouteCondition("size", "gte", 10),
+            RouteCondition("status", "eq", "err"),
+        ],
+        condition_op="and",
+    )
+    got = df.select("tag", sink.predicate(df).alias("p")).collect()
+    assert {r["tag"]: r["p"] for r in got} == {
+        "web.a": False,  # size < 10
+        "web.b": False,  # status != err
+        "app.c": False,  # tag no match
+    }
+    sink_or = SinkSpec(
+        "any",
+        match="*",
+        conditions=[
+            RouteCondition("size", "gte", 10),
+            RouteCondition("status", "eq", "err"),
+        ],
+        condition_op="or",
+    )
+    got = df.select("tag", sink_or.predicate(df).alias("p")).collect()
+    assert all(r["p"] for r in got)

@@ -1,0 +1,140 @@
+"""Fluent Bit coercion semantics — derived from
+src/stream_processor/flb_sp.c:790-1046 and validated against the
+sp_select_keys.h golden expectations over the 11-row samples fixture
+(tests/internal/data/stream_processor/samples.json)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluent_bit_spark.semantics import (
+    FBVal,
+    FB_STRING,
+    FB_INT,
+    FB_FLOAT,
+    FB_BOOL,
+    fb_compare,
+    fb_is_null,
+    fb_is_not_null,
+    fb_truthy,
+)
+
+# the samples fixture: bytes arrives with mixed types -> stored as string
+SAMPLES = [
+    (0, "fluent", "logging", None, None, "10", True, 10),
+    (1, "fluentd", "rlz", None, None, "10.0", True, 20),
+    (2, "fluent-bit", None, "rlz", None, "10", True, 30),
+    (3, "fluent-logger", None, "", None, "10", True, 40),
+    (4, "forward", None, "plain", None, "10", True, 50),
+    (5, None, None, None, "forward-protocol", "10", True, 60),
+    (6, "stream", None, "processing", None, "10.20", False, 70),
+    (7, "edge-rocks", None, None, None, "10", True, 80),
+    (8, "treasure-data", None, "cncf", None, "10", True, 90),
+    (9, "arm", None, "linux foundation", None, "10.30", False, 100),
+    (10, "fluent-bit", None, None, None, "10", True, 110),
+]
+# row 10's word3 is an explicit JSON null; rows 5,7 carry word6; we track
+# presence for the dynamic-null tests separately.
+SCHEMA = "id long, word1 string, word2 string, word3 string, word5 string, bytes string, bool boolean, usage long"
+
+
+def _samples(spark):
+    return spark.createDataFrame(SAMPLES, SCHEMA)
+
+
+def _col(df, name, ftype):
+    return FBVal(F.col(name), ftype)
+
+
+def test_string_gt_float(spark):
+    # "SELECT * WHERE bytes > 10.290" -> 1 row (id=9, "10.30")
+    df = _samples(spark)
+    pred = fb_compare(_col(df, "bytes", FB_STRING), FBVal.lit(10.290), ">")
+    assert df.filter(pred).count() == 1
+
+
+def test_string_neq_int(spark):
+    # "bytes <> 10" -> 2 rows ("10.20", "10.30"); "10.0" == 10 after promote
+    df = _samples(spark)
+    pred = fb_compare(_col(df, "bytes", FB_STRING), FBVal.lit(10), "!=")
+    assert df.filter(pred).count() == 2
+
+
+def test_bool_neq(spark):
+    # "bool != true" -> 2 rows
+    df = _samples(spark)
+    pred = fb_compare(_col(df, "bool", FB_BOOL), FBVal.lit(True), "!=")
+    assert df.filter(pred).count() == 2
+
+
+def test_bool_vs_number_is_false(spark):
+    df = _samples(spark)
+    pred = fb_compare(_col(df, "bool", FB_BOOL), FBVal.lit(1), "=")
+    assert df.filter(pred).count() == 0
+
+
+def test_string_not_numeric_vs_number(spark):
+    # word1 vs number: conversion fails -> false, and != -> true
+    df = _samples(spark)
+    eq = fb_compare(_col(df, "word1", FB_STRING), FBVal.lit(5), "=")
+    assert df.filter(eq).count() == 0
+    lt = fb_compare(_col(df, "word1", FB_STRING), FBVal.lit(5), "<")
+    assert df.filter(lt).count() == 0
+
+
+def test_missing_key_comparisons_false(spark):
+    # word2 missing on most rows: any comparison -> false, never NULL
+    df = _samples(spark)
+    eq = fb_compare(_col(df, "word2", FB_STRING), FBVal.lit("rlz"), "=")
+    rows = df.select(eq.alias("p")).collect()
+    assert all(r["p"] is not None for r in rows)
+    assert sum(r["p"] for r in rows) == 1
+
+
+def test_string_vs_string_compare(spark):
+    df = _samples(spark)
+    gt = fb_compare(_col(df, "word1", FB_STRING), FBVal.lit("fluent"), ">")
+    # strcmp semantics: strictly greater strings
+    expect = sum(1 for r in SAMPLES if r[1] is not None and r[1] > "fluent")
+    assert df.filter(gt).count() == expect
+
+
+def test_long_numeric_string_does_not_convert(spark):
+    df = spark.createDataFrame([("12345678901234567890123",)], "s string")
+    eq = fb_compare(FBVal(F.col("s"), FB_STRING), FBVal.lit(1.0), ">")
+    assert df.filter(eq).count() == 0  # >19 chars never converts (flb_sp.c:380-383)
+
+
+def test_truthiness(spark):
+    df = spark.createDataFrame(
+        [(1, 0, -1.5, "", None, True)],
+        "i long, z long, f double, s string, n string, b boolean",
+    )
+    row = df.select(
+        fb_truthy(FBVal(F.col("i"), FB_INT)).alias("i"),
+        fb_truthy(FBVal(F.col("z"), FB_INT)).alias("z"),
+        fb_truthy(FBVal(F.col("f"), FB_FLOAT)).alias("f"),
+        fb_truthy(FBVal(F.col("s"), FB_STRING)).alias("s"),
+        fb_truthy(FBVal(F.col("n"), FB_STRING)).alias("n"),
+        fb_truthy(FBVal(F.col("b"), FB_BOOL)).alias("b"),
+    ).first()
+    assert (row["i"], row["z"], row["f"], row["s"], row["n"], row["b"]) == (
+        True, False, False, True, False, True,
+    )
+
+
+def test_is_null_dynamic_distinction(spark):
+    # word3: id=10 present-null, id=2.. present strings, others missing.
+    # IS NULL must match only the present-null row; IS NOT NULL everything else
+    # (including missing! sp_select_keys.h checks #4/#5).
+    df = spark.createDataFrame(
+        [(0, False), (2, False), (3, False), (10, True)],
+        "id long, word3_is_nil boolean",
+    )
+    v = FBVal(F.lit("x"), FB_STRING)
+    isnull = fb_is_null(v, present_null=F.col("word3_is_nil"))
+    notnull = fb_is_not_null(v, present_null=F.col("word3_is_nil"))
+    rows = df.select("id", isnull.alias("a"), notnull.alias("b")).collect()
+    m = {r["id"]: (r["a"], r["b"]) for r in rows}
+    assert m[10] == (True, False)
+    assert m[0] == (False, True)
+    assert m[3] == (False, True)
