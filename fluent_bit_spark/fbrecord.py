@@ -1,0 +1,247 @@
+"""Dynamic (schemaless) record encoding.
+
+Fluent Bit bodies are msgpack maps with per-record key sets and mixed
+value types (include/fluent-bit/flb_log_event.h:52-61; the SP value model
+collapses them to NULL/BOOL/INT/FLOAT/STRING, flb_sp_key.c:60-95). Spark
+DataFrames are fixed-schema, so dynamic bodies are encoded as a JVM-native
+tagged-union map column:
+
+    body: map<string, struct<t:string, i:long, f:double, s:string, b:boolean>>
+
+* key absent from the map      -> key missing from the record
+* entry with t='null'          -> key present with msgpack-nil value
+* t in {'int','float','string','bool'} -> the matching field carries it
+* a nested map/array value collapses to t='bool', b=true ("exists",
+  flb_sp_key.c:83-88); its JSON text is kept in ``s`` for projection.
+
+All accesses stay inside Catalyst (element_at / getField / when) — no
+Python in the hot path. This is the Spark analogue of the reference's
+in-place msgpack interpretation, columnarized.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .semantics import (
+    FB_BOOL,
+    FB_FLOAT,
+    FB_INT,
+    FB_NULL,
+    FB_STRING,
+    str_to_num,
+)
+
+VALUE_SCHEMA = "struct<t:string, i:long, f:double, s:string, b:boolean>"
+BODY_SCHEMA = f"map<string, {VALUE_SCHEMA}>"
+
+
+def encode_value(v) -> Optional[dict]:
+    """Python value -> tagged dict (used by fixture builders / oracles)."""
+    if v is None:
+        return {"t": "null", "i": None, "f": None, "s": None, "b": None}
+    if isinstance(v, bool):
+        return {"t": "bool", "i": None, "f": None, "s": None, "b": v}
+    if isinstance(v, int):
+        return {"t": "int", "i": v, "f": None, "s": None, "b": None}
+    if isinstance(v, float):
+        return {"t": "float", "i": None, "f": v, "s": None, "b": None}
+    if isinstance(v, str):
+        return {"t": "string", "i": None, "f": None, "s": v, "b": None}
+    if isinstance(v, (dict, list)):
+        # maps/arrays reduce to boolean "exists" (flb_sp_key.c:83-88);
+        # JSON text preserved for '*' projection fidelity.
+        return {"t": "bool", "i": None, "f": None,
+                "s": json.dumps(v, separators=(",", ":")), "b": True}
+    raise TypeError(f"unsupported value {v!r}")
+
+
+def records_to_df(
+    spark: SparkSession,
+    records: Iterable[dict],
+    tag: str = "rec",
+    timestamps: Optional[list] = None,
+) -> DataFrame:
+    """Build a dynamic-record DataFrame from Python dicts (fixtures)."""
+    rows = []
+    recs = list(records)
+    for i, r in enumerate(recs):
+        body = {k: encode_value(v) for k, v in r.items()}
+        ts = timestamps[i] if timestamps else None
+        rows.append((tag, ts, body))
+    return spark.createDataFrame(
+        rows, f"tag string, ts timestamp, body {BODY_SCHEMA}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column accessors over the encoding
+# ---------------------------------------------------------------------------
+
+
+def get(body: Column, key: str, *subkeys: str) -> Column:
+    """element_at: NULL iff the key is missing."""
+    c = F.element_at(body, key)
+    # subkey navigation over collapsed nested values is handled at the
+    # sqlsp layer via JSON extraction on .s (see sqlsp/exec.py).
+    return c
+
+
+def present(body: Column, key: str) -> Column:
+    return F.element_at(body, key).isNotNull()
+
+
+def is_nil(body: Column, key: str) -> Column:
+    """Present with msgpack-nil value."""
+    e = F.element_at(body, key)
+    return F.coalesce(e.isNotNull() & (e.getField("t") == "null"), F.lit(False))
+
+
+def typed(v: Column) -> dict[str, Column]:
+    """Branch columns of one tagged value."""
+    return {
+        "t": v.getField("t"),
+        "i": v.getField("i"),
+        "f": v.getField("f"),
+        "s": v.getField("s"),
+        "b": v.getField("b"),
+    }
+
+
+def as_double(v: Column, convert_str: bool = True) -> Column:
+    """Numeric view (object_to_number, flb_sp.c:355-400): int/float pass
+    through; strings convert iff enabled; everything else NULL."""
+    t = v.getField("t")
+    out = (
+        F.when(t == "int", v.getField("i").cast("double"))
+        .when(t == "float", v.getField("f"))
+    )
+    if convert_str:
+        out = out.when(t == "string", str_to_num(v.getField("s")))
+    return out
+
+
+def as_string(v: Column) -> Column:
+    """String rendering for projection: mirrors how package_results emits
+    values (ints as ints, floats as floats, strings verbatim)."""
+    t = v.getField("t")
+    return (
+        F.when(t == "string", v.getField("s"))
+        .when(t == "int", v.getField("i").cast("string"))
+        .when(t == "float", v.getField("f").cast("string"))
+        .when(t == "bool",
+              F.when(v.getField("s").isNotNull(), v.getField("s"))
+              .otherwise(v.getField("b").cast("string")))
+        .when(t == "null", F.lit(None).cast("string"))
+    )
+
+
+def fb_type_col(v: Column) -> Column:
+    return v.getField("t")
+
+
+# dynamic comparison: value vs a python literal, FB coercion rules
+def compare_lit(v: Column, lit_val, op: str) -> Column:
+    """Tagged value vs literal with numerical_comp semantics
+    (flb_sp.c:828-996). Missing (NULL struct) -> comparison false.
+
+    ``!=``/``<>`` parses as NOT(EQ) in the reference grammar
+    (sql.y:336-342), so a missing key under != yields **true**.
+    """
+    if op in ("!=", "<>"):
+        return ~compare_lit(v, lit_val, "=")
+
+    t = v.getField("t")
+    FALSE = F.lit(False)
+
+    if lit_val is None:
+        if op == "=":
+            return F.coalesce(t == "null", FALSE)
+        return FALSE
+
+    if isinstance(lit_val, bool):
+        if op == "=":
+            return F.coalesce((t == "bool") & (v.getField("b") == F.lit(lit_val)), FALSE)
+        return FALSE
+
+    if isinstance(lit_val, (int, float)):
+        # int/int compares exactly; anything involving float (or a string
+        # that parses as float) promotes to double (itof_convert).
+        if isinstance(lit_val, int):
+            li = F.lit(lit_val).cast("long")
+            int_cmp = _cmp(v.getField("i"), li, op)
+            num = as_double(v)
+            dbl_cmp = _cmp(num, F.lit(float(lit_val)), op)
+            return F.coalesce(
+                F.when(t == "int", int_cmp).otherwise(dbl_cmp), FALSE
+            )
+        num = as_double(v)
+        return F.coalesce(_cmp(num, F.lit(float(lit_val)), op), FALSE)
+
+    if isinstance(lit_val, str):
+        s = F.when(t == "string", v.getField("s"))
+        return F.coalesce(_cmp(s, F.lit(lit_val), op), FALSE)
+
+    raise TypeError(f"unsupported literal {lit_val!r}")
+
+
+def compare_keys(left: Column, right: Column, op: str) -> Column:
+    """Tagged value vs tagged value, FB coercion rules. ``!=`` is NOT(EQ)
+    (sql.y:336-342): true when either key is missing."""
+    if op in ("!=", "<>"):
+        return ~compare_keys(left, right, "=")
+    lt, rt = left.getField("t"), right.getField("t")
+    FALSE = F.lit(False)
+    both_str = (lt == "string") & (rt == "string")
+    str_cmp = _cmp(left.getField("s"), right.getField("s"), op)
+    ln = as_double(left)
+    rn = as_double(right)
+    # string converts only when the other side is numeric (flb_sp.c:839-842)
+    num_ok = (
+        ((lt.isin("int", "float")) & (rt.isin("int", "float", "string")))
+        | ((lt == "string") & (rt.isin("int", "float")))
+    )
+    num_cmp = _cmp(ln, rn, op)
+    both_bool = (lt == "bool") & (rt == "bool")
+    bool_cmp = (
+        _cmp_eq_only(left.getField("b"), right.getField("b"), op)
+    )
+    both_null = (lt == "null") & (rt == "null")
+    null_cmp = F.lit(op == "=")
+    return F.coalesce(
+        F.when(both_str, str_cmp)
+        .when(num_ok, num_cmp)
+        .when(both_bool, bool_cmp)
+        .when(both_null, null_cmp)
+        .otherwise(FALSE),
+        FALSE,
+    )
+
+
+def _cmp(a: Column, b: Column, op: str) -> Column:
+    if op == "=":
+        return a == b
+    if op in ("!=", "<>"):
+        # note: callers wrap with coalesce; != over missing handled upstream
+        return ~(a == b)
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise ValueError(op)
+
+
+def _cmp_eq_only(a: Column, b: Column, op: str) -> Column:
+    if op == "=":
+        return a == b
+    if op in ("!=", "<>"):
+        return ~(a == b)
+    return F.lit(False)

@@ -1,0 +1,383 @@
+"""Parsers: the scan+project stage.
+
+Reference: parser registry src/flb_parser.c:148-348, dispatcher
+``flb_parser_do`` :1044; regex parser src/flb_parser_regex.c:114-227 with
+named-capture-to-key extraction via Onigmo (src/flb_regex.c:306
+``onig_foreach_name``); JSON parser src/flb_parser_json.c:29-199; logfmt
+src/flb_parser_logfmt.c:40-200; LTSV src/flb_parser_ltsv.c; decoders
+src/flb_parser_decoder.c; typecast src/flb_typecast.c:27-46.
+
+Shared semantics (src/flb_parser_regex.c:44-113 ``cb_results``):
+* all captured values are strings unless a ``Types`` cast applies;
+* empty captures are dropped when ``skip_empty_values`` (default TRUE,
+  src/flb_parser.c:545-549); non-participating optional groups never
+  produce a key;
+* if ``time_fmt`` is set, the ``time_key`` (default "time") capture is
+  parsed into the record timestamp and removed unless ``time_keep``;
+  an unparseable time drops the key and leaves the timestamp unset.
+
+Execution strategy (Spark-first):
+* **jvm** engine (default): each named group becomes one
+  ``F.regexp_extract(col, pattern, group_index)`` — the pattern is
+  compiled once, names are stripped to indices driver-side, and the whole
+  parse stays inside whole-stage codegen. Exactly equivalent to the
+  reference under the default ``skip_empty_values=true`` (where ""-valued
+  and non-participating keys are both dropped).
+* **pandas** engine: a vectorized Arrow-batched UDF using
+  ``pd.Series.str.extract`` which distinguishes non-participating groups
+  (NaN) from empty matches ("") — needed only when
+  ``skip_empty_values=false``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .timefmt import parse_time
+
+# ---------------------------------------------------------------------------
+# pattern plumbing
+# ---------------------------------------------------------------------------
+
+_NAMED_GROUP = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def onig_to_python(pattern: str) -> str:
+    """Onigmo ``(?<name>...)`` -> Python ``(?P<name>...)``. The parsers.conf
+    corpus uses no Onigmo-only constructs beyond this."""
+    p = pattern
+    if p.startswith("/") and p.endswith("/"):
+        p = p[1:-1]  # syslog-rfc3164 pattern is slash-wrapped (parsers.conf:86)
+    return _NAMED_GROUP.sub(lambda m: f"(?P<{m.group(1)}>", p)
+
+
+def strip_names(pattern: str) -> tuple[str, dict[str, int]]:
+    """Remove group names (Java forbids '_' in them) and map name->index.
+
+    Index counts every opening '(' that starts a capturing group, in
+    order, matching both Onigmo and java.util.regex numbering.
+    """
+    p = pattern
+    if p.startswith("/") and p.endswith("/"):
+        p = p[1:-1]
+    out: list[str] = []
+    name_to_idx: dict[str, int] = {}
+    idx = 0
+    i = 0
+    n = len(p)
+    while i < n:
+        ch = p[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(p[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            # character class: copy until unescaped ']'
+            j = i + 1
+            if j < n and p[j] == "^":
+                j += 1
+            if j < n and p[j] == "]":
+                j += 1
+            while j < n and p[j] != "]":
+                if p[j] == "\\":
+                    j += 1
+                j += 1
+            out.append(p[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            m = _NAMED_GROUP.match(p, i)
+            if m:
+                idx += 1
+                name_to_idx[m.group(1)] = idx
+                out.append("(")
+                i = m.end()
+                continue
+            if p[i : i + 2] == "(?":
+                out.append(ch)  # non-capturing / lookaround
+                i += 1
+                continue
+            idx += 1
+            out.append("(")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), name_to_idx
+
+
+# ---------------------------------------------------------------------------
+# parser specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TypeCast:
+    """Types option entry: ``key int|uint|float|bool|string|hex``
+    (include/fluent-bit/flb_typecast.h:29-36)."""
+
+    key: str
+    to: str
+
+    def apply(self, c: Column) -> Column:
+        if self.to in ("int", "uint", "integer"):
+            return c.cast("long")
+        if self.to == "float":
+            return c.cast("double")
+        if self.to in ("bool", "boolean"):
+            return F.when(F.lower(c).isin("true"), F.lit(True)).when(
+                F.lower(c).isin("false"), F.lit(False)
+            )
+        if self.to == "hex":
+            return F.conv(c, 16, 10).cast("long")
+        return c
+
+
+@dataclass(frozen=True)
+class RegexParser:
+    """Fluent Bit [PARSER] Format regex."""
+
+    name: str
+    regex: str
+    time_key: str = "time"
+    time_fmt: Optional[str] = None
+    time_keep: bool = False
+    time_offset: Optional[str] = None
+    types: Sequence[TypeCast] = field(default_factory=tuple)
+    skip_empty_values: bool = True
+    engine: str = "jvm"  # 'jvm' | 'pandas'
+
+    def group_names(self) -> list[str]:
+        return _NAMED_GROUP.findall(
+            self.regex[1:-1]
+            if self.regex.startswith("/") and self.regex.endswith("/")
+            else self.regex
+        )
+
+    def apply(
+        self,
+        df: DataFrame,
+        source_col: str,
+        *,
+        ts_col: str = "__parsed_ts",
+        prefix: str = "",
+        assume_year: int = 2024,
+    ) -> DataFrame:
+        """Project one column per named group (+ parsed timestamp).
+
+        Missing keys surface as SQL NULL (never ""): under the default
+        skip_empty_values, ""-captures are nulled out too, matching the
+        reference's key-drop (cb_results, flb_parser_regex.c:57-60).
+        """
+        names = self.group_names()
+        src = F.col(source_col)
+
+        if self.engine == "jvm":
+            stripped, name_to_idx = strip_names(self.regex)
+            # regexp_extract returns "" both for no-match rows and for
+            # non-participating groups; gate on the row matching at all.
+            row_matches = src.rlike(stripped)
+            cols: dict[str, Column] = {}
+            for nm in names:
+                c = F.regexp_extract(src, stripped, name_to_idx[nm])
+                c = F.when(row_matches, c)
+                if self.skip_empty_values:
+                    c = F.when(c == "", F.lit(None)).otherwise(c)
+                cols[nm] = c
+        else:
+            cols = self._pandas_extract(df, src, names)
+
+        out = df
+        # time lookup (cb_results time_key branch)
+        if self.time_fmt is not None and self.time_key in names:
+            tcol = cols[self.time_key]
+            out_ts = parse_time(
+                tcol, self.time_fmt, assume_year=assume_year, time_offset=self.time_offset
+            )
+            if not self.time_keep:
+                cols.pop(self.time_key)
+        else:
+            out_ts = F.lit(None).cast("timestamp")
+
+        casts = {t.key: t for t in self.types}
+        for nm, c in cols.items():
+            if nm in casts:
+                c = casts[nm].apply(c)
+            out = out.withColumn(prefix + nm, c)
+        out = out.withColumn(ts_col, out_ts)
+        return out
+
+    def _pandas_extract(self, df: DataFrame, src: Column, names: list[str]) -> dict[str, Column]:
+        pat = onig_to_python(self.regex)
+        skip_empty = self.skip_empty_values
+        fields = ", ".join(f"`{n}` string" for n in names)
+
+        @pandas_udf(f"struct<{fields}>")
+        def extract(s: pd.Series) -> pd.DataFrame:
+            rx = re.compile(pat)
+            res = s.str.extract(rx, expand=True)
+            res = res.reindex(columns=names)
+            if skip_empty:
+                res = res.where(res != "", other=None)
+            return res
+
+        struct = extract(src)
+        return {n: struct.getField(n) for n in names}
+
+
+@dataclass(frozen=True)
+class JsonParser:
+    """Format json (src/flb_parser_json.c:29-199): JSON object -> keys; the
+    time_key is consumed like the regex parser. Known-schema fast path via
+    from_json; dynamic records go through fbrecord/json_to_body."""
+
+    name: str
+    time_key: str = "time"
+    time_fmt: Optional[str] = None
+    time_keep: bool = False
+    types: Sequence[TypeCast] = field(default_factory=tuple)
+
+    def apply_schema(
+        self,
+        df: DataFrame,
+        source_col: str,
+        schema: str,
+        *,
+        ts_col: str = "__parsed_ts",
+        prefix: str = "",
+        assume_year: int = 2024,
+    ) -> DataFrame:
+        parsed = F.from_json(F.col(source_col), schema)
+        out = df.withColumn("__j", parsed)
+        names = [f.name for f in out.schema["__j"].dataType.fields]
+        cols = {n: F.col("__j").getField(n) for n in names}
+        if self.time_fmt is not None and self.time_key in names:
+            ts = parse_time(
+                cols[self.time_key].cast("string"), self.time_fmt, assume_year=assume_year
+            )
+            if not self.time_keep:
+                cols.pop(self.time_key)
+        else:
+            ts = F.lit(None).cast("timestamp")
+        for n, c in cols.items():
+            out = out.withColumn(prefix + n, c)
+        return out.withColumn(ts_col, ts).drop("__j")
+
+
+def parse_json_to_map(source: Column) -> Column:
+    """JSON object -> map<string,string>; scalar values rendered as text,
+    nested values as their JSON text (fidelity for '*' projection)."""
+    return F.from_json(source, "map<string,string>")
+
+
+@dataclass(frozen=True)
+class LogfmtParser:
+    """Format logfmt (src/flb_parser_logfmt.c:40-200): ``key=value`` pairs,
+    bare keys (value ""), double-quoted values with ``\\`` escapes.
+    ``logfmt_no_bare_keys`` rejects bare keys (:64-68)."""
+
+    name: str
+    no_bare_keys: bool = False
+
+    # one regex pass per pair, JVM-side: keys per the reference ident table
+    # (letters, digits, and most punctuation except '=', '"', space)
+    _PAIR = r'([^\s"=]+)(?:=(?:"((?:[^"\\]|\\.)*)"|([^\s]*)))?'
+
+    def apply(self, df: DataFrame, source_col: str, out_col: str = "kv") -> DataFrame:
+        """-> map<string,string> column. Escapes in quoted values are
+        unescaped (\\" -> ", \\\\ -> \\, \\n -> newline)."""
+        src = F.col(source_col)
+        pairs = F.regexp_extract_all(src, F.lit(f"({self._PAIR})"), 1)
+        if self.no_bare_keys:
+            pairs = F.filter(pairs, lambda p: p.contains("="))
+
+        def split_pair(p: Column) -> Column:
+            key = F.regexp_extract(p, self._PAIR, 1)
+            quoted = F.regexp_extract(p, self._PAIR, 2)
+            bare = F.regexp_extract(p, self._PAIR, 3)
+            has_eq = p.contains("=")
+            has_quote = p.rlike(r'^[^\s"=]+="')
+            val = F.when(has_quote, _unescape(quoted)).otherwise(
+                F.when(has_eq, bare).otherwise(F.lit(""))
+            )
+            return F.struct(key.alias("key"), val.alias("value"))
+
+        entries = F.transform(pairs, split_pair)
+        return df.withColumn(out_col, F.map_from_entries(entries))
+
+
+def _unescape(c: Column) -> Column:
+    c = F.regexp_replace(c, r'\\(")', "$1")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\\\", "\\\\")
+    return c
+
+
+@dataclass(frozen=True)
+class LtsvParser:
+    """Format ltsv (src/flb_parser_ltsv.c): tab-separated ``label:value``."""
+
+    name: str
+
+    def apply(self, df: DataFrame, source_col: str, out_col: str = "kv") -> DataFrame:
+        return df.withColumn(out_col, F.str_to_map(F.col(source_col), F.lit("\t"), F.lit(":")))
+
+
+# ---------------------------------------------------------------------------
+# decoders (src/flb_parser_decoder.c)
+# ---------------------------------------------------------------------------
+
+
+def decode_field_as_json(df: DataFrame, col: str, schema: str) -> DataFrame:
+    """``Decode_Field_As json <col>``: replace an escaped-JSON string field
+    with its parsed object (the docker ``log`` field pattern,
+    src/flb_parser_decoder.c:423-470)."""
+    return df.withColumn(col, F.from_json(F.col(col), schema))
+
+
+def decode_field_json_to_map(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """``Decode_Field json <col> <out>``: parse into a NEW key, keep the
+    original (flb_parser_decoder.c Decode_Field vs Decode_Field_As)."""
+    return df.withColumn(out_col, F.from_json(F.col(col), "map<string,string>"))
+
+
+def decode_escaped(df: DataFrame, col: str) -> DataFrame:
+    """``Decode_Field_As escaped``: unescape \\n \\t \\" \\\\ sequences."""
+    return df.withColumn(col, _unescape(F.col(col)))
+
+
+# the parsers.conf corpus, precompiled (conf/parsers.conf:2-27,69-91)
+APACHE = RegexParser(
+    "apache",
+    r"^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \[(?<time>[^\]]*)\] \"(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?\" (?<code>[^ ]*) (?<size>[^ ]*)(?: \"(?<referer>[^\"]*)\" \"(?<agent>[^\"]*)\")?$",
+    time_fmt="%d/%b/%Y:%H:%M:%S %z",
+)
+NGINX = RegexParser(
+    "nginx",
+    r"^(?<remote>[^ ]*) (?<host>[^ ]*) (?<user>[^ ]*) \[(?<time>[^\]]*)\] \"(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?\" (?<code>[^ ]*) (?<size>[^ ]*)(?: \"(?<referer>[^\"]*)\" \"(?<agent>[^\"]*)\")",
+    time_fmt="%d/%b/%Y:%H:%M:%S %z",
+)
+APACHE_ERROR = RegexParser(
+    "apache_error",
+    r"^\[[^ ]* (?<time>[^\]]*)\] \[(?<level>[^\]]*)\](?: \[pid (?<pid>[^\]]*)\])?( \[client (?<client>[^\]]*)\])? (?<message>.*)$",
+)
+SYSLOG_RFC5424 = RegexParser(
+    "syslog-rfc5424",
+    r"^\<(?<pri>[0-9]{1,5})\>1 (?<time>[^ ]+) (?<host>[^ ]+) (?<ident>[^ ]+) (?<pid>[-0-9]+) (?<msgid>[^ ]+) (?<extradata>(\[(.*?)\]|-)) (?<message>.+)$",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L%z",
+    time_keep=True,
+)
+SYSLOG_RFC3164 = RegexParser(
+    "syslog-rfc3164",
+    r"/^\<(?<pri>[0-9]+)\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<host>[^ ]*) (?<ident>[a-zA-Z0-9_\/\.\-]*)(?:\[(?<pid>[0-9]+)\])?(?:[^\:]*\:)? *(?<message>.*)$/",
+    time_fmt="%b %d %H:%M:%S",
+    time_keep=True,
+)

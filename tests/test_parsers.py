@@ -1,0 +1,176 @@
+"""Parser golden tests.
+
+Vectors from /root/reference/tests/internal/parser_regex.c:158-230,
+parser_logfmt.c:154-300, and conf/parsers.conf patterns applied to
+canonical sample lines."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.parsers import (
+    APACHE,
+    APACHE_ERROR,
+    SYSLOG_RFC5424,
+    JsonParser,
+    LogfmtParser,
+    LtsvParser,
+    RegexParser,
+    TypeCast,
+    decode_field_as_json,
+    onig_to_python,
+    strip_names,
+)
+
+APACHE_LINE = (
+    '192.168.1.10 - alice [28/Feb/2024:10:20:30 +0000] '
+    '"GET /index.html HTTP/1.1" 200 5120 "http://ref.example/" "curl/8.0"'
+)
+APACHE_NOREF = '10.0.0.2 - - [01/Mar/2024:00:00:00 +0000] "POST /api HTTP/1.1" 500 123'
+
+
+def _parse(spark, parser, lines, **kw):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    return parser.apply(df, "line", **kw)
+
+
+def test_strip_names_indices():
+    stripped, idx = strip_names(r"^(?<a>\d+) (x) (?<b>[^ ]*)$")
+    assert stripped == r"^(\d+) (x) ([^ ]*)$"
+    assert idx == {"a": 1, "b": 3}
+
+
+def test_strip_names_charclass_paren():
+    stripped, idx = strip_names(r"(?<k>[()]+)(?:nc)")
+    assert idx == {"k": 1}
+    assert stripped == r"([()]+)(?:nc)"
+
+
+def test_onig_to_python():
+    assert onig_to_python(r"(?<name>\d+)") == r"(?P<name>\d+)"
+    assert onig_to_python(r"/^x$/") == "^x$"
+
+
+def _check_apache(row):
+    assert row["host"] == "192.168.1.10"
+    assert row["user"] == "alice"
+    assert row["method"] == "GET"
+    assert row["path"] == "/index.html"
+    assert row["code"] == "200"
+    assert row["size"] == "5120"
+    assert row["referer"] == "http://ref.example/"
+    assert row["agent"] == "curl/8.0"
+    assert row["__parsed_ts"] == dt.datetime(2024, 2, 28, 10, 20, 30)
+    assert "time" not in row.asDict()  # time_key consumed (time_keep off)
+
+
+def test_apache_jvm(spark):
+    row = _parse(spark, APACHE, [APACHE_LINE]).first()
+    _check_apache(row)
+
+
+def test_apache_pandas(spark):
+    import dataclasses
+
+    p = dataclasses.replace(APACHE, engine="pandas")
+    row = _parse(spark, p, [APACHE_LINE]).first()
+    _check_apache(row)
+
+
+def test_apache_missing_groups_both_engines(spark):
+    import dataclasses
+
+    for eng in ("jvm", "pandas"):
+        p = dataclasses.replace(APACHE, engine=eng)
+        row = _parse(spark, p, [APACHE_NOREF]).first()
+        assert row["referer"] is None and row["agent"] is None, eng
+        assert row["code"] == "500" and row["size"] == "123", eng
+        assert row["__parsed_ts"] == dt.datetime(2024, 3, 1), eng
+
+
+def test_apache_non_matching_line(spark):
+    row = _parse(spark, APACHE, ["garbage with no structure"]).first()
+    assert row["host"] is None and row["code"] is None
+
+
+def test_apache_error_no_timefmt(spark):
+    line = "[Mon Feb 26 10:00:00 2024] [error] [pid 1234] [client 1.2.3.4] oops"
+    row = _parse(spark, APACHE_ERROR, [line]).first()
+    assert row["level"] == "error"
+    assert row["pid"] == "1234"
+    assert row["client"] == "1.2.3.4"
+    assert row["message"] == "oops"
+    assert row["__parsed_ts"] is None  # no Time_Format -> timestamp unset
+
+
+def test_typecast_regex(spark):
+    # tests/internal/parser_regex.c:158-199 shape: 'text 100 1.23 true'
+    p = RegexParser(
+        "types",
+        r"^(?<text>[^ ]+) (?<int>[^ ]+) (?<double>[^ ]+) (?<bool>[^ ]+)$",
+        types=(TypeCast("int", "integer"), TypeCast("double", "float"), TypeCast("bool", "boolean")),
+    )
+    row = _parse(spark, p, ["hello 100 1.23 true"]).first()
+    assert row["text"] == "hello"
+    assert row["int"] == 100
+    assert abs(row["double"] - 1.23) < 1e-9
+    assert row["bool"] is True
+
+
+def test_syslog_rfc5424(spark):
+    line = "<34>1 2024-02-28T10:20:30.123+0000 host1 app 1234 MSGID - hello world"
+    row = _parse(spark, SYSLOG_RFC5424, [line]).first()
+    assert row["pri"] == "34"
+    assert row["host"] == "host1"
+    assert row["message"] == "hello world"
+    assert row["time"] == "2024-02-28T10:20:30.123+0000"  # Time_Keep On
+    assert row["__parsed_ts"] == dt.datetime(2024, 2, 28, 10, 20, 30, 123000)
+
+
+def test_logfmt_basic(spark):
+    # parser_logfmt.c:157-161
+    lf = LogfmtParser("logfmt")
+    df = spark.createDataFrame(
+        [('str="text" int=100 double=1.23 bool=true',)], "line string"
+    )
+    row = lf.apply(df, "line").first()
+    assert row["kv"] == {"str": "text", "int": "100", "double": "1.23", "bool": "true"}
+
+
+def test_logfmt_bare_and_escapes(spark):
+    lf = LogfmtParser("logfmt")
+    df = spark.createDataFrame(
+        [('bare k2= q="a \\"b\\" c" plain=x',)], "line string"
+    )
+    row = lf.apply(df, "line").first()
+    assert row["kv"] == {"bare": "", "k2": "", "q": 'a "b" c', "plain": "x"}
+
+
+def test_logfmt_no_bare_keys(spark):
+    lf = LogfmtParser("logfmt", no_bare_keys=True)
+    df = spark.createDataFrame([("bare plain=x",)], "line string")
+    row = lf.apply(df, "line").first()
+    assert row["kv"] == {"plain": "x"}
+
+
+def test_ltsv(spark):
+    lt = LtsvParser("ltsv")
+    df = spark.createDataFrame([("host:1.2.3.4\tstatus:200\tpath:/x",)], "line string")
+    row = lt.apply(df, "line").first()
+    assert row["kv"] == {"host": "1.2.3.4", "status": "200", "path": "/x"}
+
+
+def test_json_parser_schema_and_docker_decode(spark):
+    jp = JsonParser("docker", time_fmt="%Y-%m-%dT%H:%M:%S.%L", time_keep=True)
+    df = spark.createDataFrame(
+        [('{"log":"{\\"inner\\":42}","stream":"stdout","time":"2024-01-02T03:04:05.123"}',)],
+        "line string",
+    )
+    out = jp.apply_schema(df, "line", "log string, stream string, time string")
+    row = out.first()
+    assert row["stream"] == "stdout"
+    assert row["time"] == "2024-01-02T03:04:05.123"
+    assert row["__parsed_ts"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    # Decode_Field_As json log (src/flb_parser_decoder.c:423-470)
+    out2 = decode_field_as_json(out, "log", "inner long")
+    assert out2.first()["log"]["inner"] == 42
