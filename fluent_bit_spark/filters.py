@@ -1,0 +1,388 @@
+"""Filters: grep, modify, record_modifier, nest/lift, type_converter,
+expect — the reference's in-line per-chunk record transforms
+(src/flb_filter.c:119-231) re-expressed as narrow DataFrame ops.
+
+Dynamic bodies are `map<string,string>` columns (value stringification is
+how these filters compare values in the reference too — conditions are
+string/regex matches over msgpack scalars rendered per rule config);
+fixed-schema variants operate on real columns where noted.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .accessor import compile_path
+
+# ---------------------------------------------------------------------------
+# filter_grep — plugins/filter_grep/grep.c
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GrepRule:
+    """(type, field accessor, regex); type 'regex' keeps, 'exclude' drops."""
+
+    type: str  # 'regex' | 'exclude'
+    field: str
+    pattern: str
+
+
+def _grep_match(df: DataFrame, rule: GrepRule, body_map: Optional[str]) -> Column:
+    c = compile_path(rule.field, body_map=body_map).cast("string")
+    # flb_ra_regex_match: missing key -> no match (ret <= 0)
+    return F.coalesce(c.rlike(rule.pattern), F.lit(False))
+
+
+def grep_predicate(
+    df: DataFrame,
+    rules: Sequence[GrepRule],
+    logical_op: str = "legacy",
+    body_map: Optional[str] = None,
+) -> Column:
+    """Keep-predicate implementing grep's three modes.
+
+    * legacy (grep.c:167-194 ``grep_filter_data``): scan rules in order;
+      a non-matching 'regex' rule excludes; a matching 'exclude' rule
+      excludes; a matching 'regex' rule keeps; fall-through keeps.
+    * AND/OR (grep.c:250-284 ``grep_filter_data_and_or``): all rules share
+      one type (the code reads the *last* rule's type, grep.c:278); found =
+      AND/OR-combination of matches; 'regex' keeps when found, 'exclude'
+      keeps when not found.
+    """
+    if not rules:
+        return F.lit(True)
+    if logical_op == "legacy":
+        # first decisive rule wins: fold from the last rule backwards so the
+        # earliest rule's decision dominates. A 'regex' rule decides both
+        # ways (match keeps, no-match drops -> later rules unreachable); an
+        # 'exclude' rule decides only on match (drops); fall-through keeps.
+        acc = F.lit(True)
+        for r in reversed(rules):
+            m = _grep_match(df, r, body_map)
+            if r.type == "regex":
+                acc = F.when(m, F.lit(True)).otherwise(F.lit(False))
+            else:
+                acc = F.when(m, F.lit(False)).otherwise(acc)
+        return acc
+
+    matches = [_grep_match(df, r, body_map) for r in rules]
+    if logical_op.lower() == "and":
+        found = reduce(lambda a, b: a & b, matches)
+    elif logical_op.lower() == "or":
+        found = reduce(lambda a, b: a | b, matches)
+    else:
+        raise ValueError(f"bad logical_op {logical_op}")
+    rule_type = rules[-1].type  # the reference reads the last rule's type (grep.c:278)
+    return found if rule_type == "regex" else ~found
+
+
+def apply_grep(
+    df: DataFrame,
+    rules: Sequence[GrepRule],
+    logical_op: str = "legacy",
+    body_map: Optional[str] = None,
+) -> DataFrame:
+    return df.filter(grep_predicate(df, rules, logical_op, body_map))
+
+
+# ---------------------------------------------------------------------------
+# filter_modify — plugins/filter_modify/modify.c (map<string,string> bodies)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModifyCondition:
+    """modify.c:226-253,901-915. All configured conditions must hold (AND)."""
+
+    type: str  # key_exists key_does_not_exist a_key_matches no_key_matches
+    #            key_value_equals key_value_does_not_equal
+    #            key_value_matches key_value_does_not_match
+    key: str
+    value: Optional[str] = None
+
+    def to_column(self, body: Column) -> Column:
+        get = F.element_at(body, self.key)
+        if self.type == "key_exists":
+            return get.isNotNull()
+        if self.type == "key_does_not_exist":
+            return get.isNull()
+        if self.type == "a_key_matches":
+            hits = F.filter(F.map_keys(body), lambda k: k.rlike(self.key))
+            return F.size(hits) > 0
+        if self.type == "no_key_matches":
+            hits = F.filter(F.map_keys(body), lambda k: k.rlike(self.key))
+            return F.size(hits) == 0
+        if self.type == "key_value_equals":
+            return F.coalesce(get == F.lit(self.value), F.lit(False))
+        if self.type == "key_value_does_not_equal":
+            # reference requires the key to exist for value conditions
+            return F.coalesce(get != F.lit(self.value), F.lit(False))
+        if self.type == "key_value_matches":
+            return F.coalesce(get.rlike(self.value), F.lit(False))
+        if self.type == "key_value_does_not_match":
+            return F.coalesce(~get.rlike(self.value), F.lit(False))
+        raise ValueError(f"unknown condition {self.type}")
+
+
+@dataclass(frozen=True)
+class ModifyRule:
+    """One of the 11 rule types (modify.c:413-460)."""
+
+    op: str  # set add remove remove_wildcard remove_regex rename hard_rename
+    #          copy hard_copy move_to_start move_to_end
+    key: str
+    value: Optional[str] = None
+
+    def apply(self, m: Column) -> Column:
+        k, v = self.key, self.value
+        has = F.element_at(m, k).isNotNull()
+        if self.op == "set":
+            # SET overwrites (apply_rule_SET modify.c:1184)
+            return _map_put(m, k, F.lit(v))
+        if self.op == "add":
+            # ADD only when absent (apply_rule_ADD modify.c:1165-1175)
+            return F.when(has, m).otherwise(_map_put(m, k, F.lit(v)))
+        if self.op == "remove":
+            return _map_drop(m, lambda key: key == k)
+        if self.op == "remove_wildcard":
+            return _map_drop(m, lambda key: key.startswith(k))
+        if self.op == "remove_regex":
+            return _map_drop(m, lambda key: key.rlike(k))
+        if self.op == "rename":
+            # skip when target exists (apply_rule_RENAME modify.c:967-978)
+            tgt = F.element_at(m, v).isNotNull()
+            renamed = _map_rename(m, k, v)
+            return F.when(has & ~tgt, renamed).otherwise(m)
+        if self.op == "hard_rename":
+            # overwrite target (apply_rule_HARD_RENAME modify.c:1013-1035)
+            dropped = _map_drop(m, lambda key: key == v)
+            return F.when(has, _map_rename(dropped, k, v)).otherwise(m)
+        if self.op == "copy":
+            tgt = F.element_at(m, v).isNotNull()
+            return F.when(has & ~tgt, _map_put(m, v, F.element_at(m, k))).otherwise(m)
+        if self.op == "hard_copy":
+            return F.when(has, _map_put(m, v, F.element_at(m, k))).otherwise(m)
+        if self.op in ("move_to_start", "move_to_end"):
+            # msgpack maps are ordered; Spark maps preserve entry order
+            # through map_entries/map_from_entries, so reorder entries.
+            ent = F.map_entries(m)
+            hit = F.filter(ent, lambda e: e.getField("key").startswith(k))
+            rest = F.filter(ent, lambda e: ~e.getField("key").startswith(k))
+            ordered = (
+                F.concat(hit, rest) if self.op == "move_to_start" else F.concat(rest, hit)
+            )
+            return F.map_from_entries(ordered)
+        raise ValueError(f"unknown modify op {self.op}")
+
+
+def _map_put(m: Column, key: str, value: Column) -> Column:
+    dropped = F.map_filter(m, lambda k, _: k != key)
+    return F.map_concat(dropped, F.create_map(F.lit(key), value))
+
+
+def _map_drop(m: Column, pred) -> Column:
+    return F.map_filter(m, lambda k, _: ~pred(k))
+
+
+def _map_rename(m: Column, old: str, new: str) -> Column:
+    ent = F.map_entries(m)
+    renamed = F.transform(
+        ent,
+        lambda e: F.struct(
+            F.when(e.getField("key") == old, F.lit(new))
+            .otherwise(e.getField("key"))
+            .alias("key"),
+            e.getField("value").alias("value"),
+        ),
+    )
+    return F.map_from_entries(renamed)
+
+
+def apply_modify(
+    df: DataFrame,
+    rules: Sequence[ModifyRule],
+    conditions: Sequence[ModifyCondition] = (),
+    body_col: str = "body",
+) -> DataFrame:
+    body = F.col(body_col)
+    new_body = body
+    for r in rules:
+        new_body = r.apply(new_body)
+    if conditions:
+        cond = reduce(lambda a, b: a & b, (c.to_column(body) for c in conditions))
+        new_body = F.when(cond, new_body).otherwise(body)
+    return df.withColumn(body_col, new_body)
+
+
+# ---------------------------------------------------------------------------
+# filter_record_modifier — plugins/filter_record_modifier/filter_modifier.c
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RecordModifier:
+    """Append static records, remove keys (trailing-* wildcard), or
+    allowlist keys (mutually exclusive with remove, filter_modifier.c:149-153)."""
+
+    records: Sequence[tuple[str, str]] = field(default_factory=tuple)
+    remove_keys: Sequence[str] = field(default_factory=tuple)
+    allowlist_keys: Sequence[str] = field(default_factory=tuple)
+
+    def __post_init__(self):
+        if self.remove_keys and self.allowlist_keys:
+            raise ValueError("remove_keys and allowlist_keys are mutually exclusive")
+
+    def _key_pred(self, keys: Sequence[str]):
+        exact = [k for k in keys if not k.endswith("*")]
+        prefixes = [k[:-1] for k in keys if k.endswith("*")]
+
+        def pred(k: Column) -> Column:
+            p = k.isin(exact) if exact else F.lit(False)
+            for pre in prefixes:
+                p = p | k.startswith(pre)
+            return p
+
+        return pred
+
+    def apply(self, df: DataFrame, body_col: str = "body") -> DataFrame:
+        m = F.col(body_col)
+        if self.allowlist_keys:
+            pred = self._key_pred(self.allowlist_keys)
+            m = F.map_filter(m, lambda k, _: pred(k))
+        elif self.remove_keys:
+            pred = self._key_pred(self.remove_keys)
+            m = F.map_filter(m, lambda k, _: ~pred(k))
+        for k, v in self.records:
+            m = _map_put(m, k, F.lit(v))
+        return df.withColumn(body_col, m)
+
+
+# ---------------------------------------------------------------------------
+# filter_nest — plugins/filter_nest/nest.c (column mode: struct nesting)
+# ---------------------------------------------------------------------------
+
+
+def nest_columns(
+    df: DataFrame, wildcard: str, nest_under: str, remove_prefix: Optional[str] = None
+) -> DataFrame:
+    """Operation Nest (nest.c:86-89): move columns matching the prefix-*
+    wildcard under a new struct column."""
+    prefix = wildcard[:-1] if wildcard.endswith("*") else None
+    hit = [
+        c
+        for c in df.columns
+        if (c == wildcard if prefix is None else c.startswith(prefix))
+    ]
+    if not hit:
+        return df
+    fields = []
+    for c in hit:
+        name = c[len(remove_prefix):] if remove_prefix and c.startswith(remove_prefix) else c
+        fields.append(F.col(c).alias(name))
+    return df.withColumn(nest_under, F.struct(*fields)).drop(*hit)
+
+
+def lift_columns(
+    df: DataFrame, nested_under: str, add_prefix: Optional[str] = None
+) -> DataFrame:
+    """Operation Lift: flatten a struct column's fields to the top level."""
+    sub = df.schema[nested_under].dataType
+    cols = [c for c in df.columns if c != nested_under]
+    lifted = [
+        F.col(f"{nested_under}.{f.name}").alias((add_prefix or "") + f.name)
+        for f in sub.fields
+    ]
+    return df.select(*cols, *lifted)
+
+
+def nest_map(df: DataFrame, wildcard: str, nest_under: str, body_col: str = "body") -> DataFrame:
+    """Map-mode Nest: hit keys become a JSON-ish sub-map stored under
+    nest_under in a map<string,map<string,string>>-free way — the sub-map
+    is serialized with to_json for string-map bodies."""
+    m = F.col(body_col)
+    prefix = wildcard[:-1] if wildcard.endswith("*") else wildcard
+    hit = F.map_filter(m, lambda k, _: k.startswith(prefix))
+    rest = F.map_filter(m, lambda k, _: ~k.startswith(prefix))
+    return df.withColumn(body_col, F.map_concat(rest, F.create_map(F.lit(nest_under), F.to_json(hit))))
+
+
+# ---------------------------------------------------------------------------
+# filter_type_converter — plugins/filter_type_converter/type_converter.c
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TypeConverterRule:
+    """``int_key/uint_key/float_key/str_key FROM TO TYPE``
+    (type_converter.c:121-131): copy field FROM to TO with a cast."""
+
+    from_key: str
+    to_key: str
+    to_type: str  # int uint float string
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.from_key)
+        if self.to_type in ("int", "uint"):
+            c = c.cast("long")
+        elif self.to_type == "float":
+            c = c.cast("double")
+        else:
+            c = c.cast("string")
+        return df.withColumn(self.to_key, c)
+
+
+def apply_type_converter(df: DataFrame, rules: Sequence[TypeConverterRule]) -> DataFrame:
+    for r in rules:
+        df = r.apply(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# filter_expect — plugins/filter_expect/expect.c:35-56,164-177
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ExpectRule:
+    type: str  # key_exists key_not_exists key_val_is_null key_val_is_not_null key_val_eq
+    key: str
+    value: Optional[str] = None
+
+    def to_column(self, df: DataFrame, body_map: Optional[str] = None) -> Column:
+        c = compile_path(self.key, body_map=body_map)
+        if self.type == "key_exists":
+            return c.isNotNull()
+        if self.type == "key_not_exists":
+            return c.isNull()
+        if self.type == "key_val_is_null":
+            return c.isNull()
+        if self.type == "key_val_is_not_null":
+            return c.isNotNull()
+        if self.type == "key_val_eq":
+            return F.coalesce(c.cast("string") == F.lit(self.value), F.lit(False))
+        raise ValueError(self.type)
+
+
+def apply_expect(
+    df: DataFrame,
+    rules: Sequence[ExpectRule],
+    action: str = "result_key",
+    result_key: str = "__expect_ok",
+    body_map: Optional[str] = None,
+) -> DataFrame:
+    """action 'result_key' annotates; 'exit' raises on first violation
+    (the test-time assertion mode)."""
+    ok = reduce(lambda a, b: a & b, (r.to_column(df, body_map) for r in rules))
+    if action == "result_key":
+        return df.withColumn(result_key, ok)
+    n_bad = df.filter(~F.coalesce(ok, F.lit(False))).count()
+    if n_bad:
+        raise AssertionError(f"filter_expect: {n_bad} records violate expectations")
+    return df

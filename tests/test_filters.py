@@ -1,0 +1,207 @@
+"""Filter golden tests mirroring the reference runtime suites
+(tests/runtime/filter_grep.c, filter_modify.c, filter_record_modifier.c)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.filters import (
+    ExpectRule,
+    GrepRule,
+    ModifyCondition,
+    ModifyRule,
+    RecordModifier,
+    TypeConverterRule,
+    apply_expect,
+    apply_grep,
+    apply_modify,
+    apply_type_converter,
+    grep_predicate,
+    lift_columns,
+    nest_columns,
+)
+
+
+@pytest.fixture()
+def logs(spark):
+    return spark.createDataFrame(
+        [
+            ("aa", "bbb", 1),
+            ("zz", "ccc", 2),
+            ("aa", "ddd", 3),
+            (None, "eee", 4),
+        ],
+        "k1 string, k2 string, id int",
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+# --- grep legacy mode (grep.c:167-194) ---
+
+def test_grep_legacy_regex_keeps_on_match(logs):
+    out = apply_grep(logs, [GrepRule("regex", "k1", "^aa$")])
+    assert _ids(out) == [1, 3]
+
+
+def test_grep_legacy_missing_key_excludes(logs):
+    # row with NULL k1: ra match <= 0 -> regex rule excludes
+    out = apply_grep(logs, [GrepRule("regex", "k1", ".")])
+    assert _ids(out) == [1, 2, 3]
+
+
+def test_grep_legacy_exclude(logs):
+    out = apply_grep(logs, [GrepRule("exclude", "k2", "ccc")])
+    assert _ids(out) == [1, 3, 4]
+
+
+def test_grep_legacy_first_decisive_wins(logs):
+    # rule1 regex k1=^aa is decisive for every row (keep aa, drop others);
+    # rule2 exclude k2=bbb is never reached
+    out = apply_grep(
+        logs,
+        [GrepRule("regex", "k1", "^aa$"), GrepRule("exclude", "k2", "bbb")],
+    )
+    assert _ids(out) == [1, 3]
+    # swap: exclude first is decisive only on match
+    out = apply_grep(
+        logs,
+        [GrepRule("exclude", "k2", "bbb"), GrepRule("regex", "k1", "^aa$")],
+    )
+    assert _ids(out) == [3]
+
+
+def test_grep_and_or(logs):
+    both = [GrepRule("regex", "k1", "^aa$"), GrepRule("regex", "k2", "ddd")]
+    assert _ids(apply_grep(logs, both, "AND")) == [3]
+    assert _ids(apply_grep(logs, both, "OR")) == [1, 3]
+    # exclude type with AND: drop rows matching all
+    exc = [GrepRule("exclude", "k1", "^aa$"), GrepRule("exclude", "k2", "bbb")]
+    assert _ids(apply_grep(logs, exc, "AND")) == [2, 3, 4]
+
+
+# --- modify (filter_modify.c rule matrix) ---
+
+
+@pytest.fixture()
+def recs(spark):
+    return spark.createDataFrame(
+        [
+            (1, {"a": "1", "b": "x", "pre_k": "v"}),
+            (2, {"b": "y"}),
+        ],
+        "id int, body map<string,string>",
+    )
+
+
+def _body(df, i):
+    return {r["id"]: r["body"] for r in df.collect()}[i]
+
+
+def test_modify_set_add(recs):
+    out = apply_modify(recs, [ModifyRule("set", "a", "9"), ModifyRule("add", "b", "n")])
+    assert _body(out, 1) == {"a": "9", "b": "x", "pre_k": "v"}
+    assert _body(out, 2) == {"b": "y", "a": "9"}
+
+
+def test_modify_remove_variants(recs):
+    out = apply_modify(recs, [ModifyRule("remove", "a")])
+    assert "a" not in _body(out, 1)
+    out = apply_modify(recs, [ModifyRule("remove_wildcard", "pre_")])
+    assert "pre_k" not in _body(out, 1)
+    out = apply_modify(recs, [ModifyRule("remove_regex", "^[ab]$")])
+    assert _body(out, 1) == {"pre_k": "v"}
+
+
+def test_modify_rename_semantics(recs):
+    # rename skips when target exists (modify.c:973-978)
+    out = apply_modify(recs, [ModifyRule("rename", "a", "b")])
+    assert _body(out, 1) == {"a": "1", "b": "x", "pre_k": "v"}
+    # hard_rename overwrites
+    out = apply_modify(recs, [ModifyRule("hard_rename", "a", "b")])
+    assert _body(out, 1) == {"b": "1", "pre_k": "v"}
+    # hard_rename no-op when source missing
+    assert _body(out, 2) == {"b": "y"}
+
+
+def test_modify_copy_semantics(recs):
+    out = apply_modify(recs, [ModifyRule("copy", "a", "b")])
+    assert _body(out, 1)["b"] == "x"  # target exists -> skip
+    out = apply_modify(recs, [ModifyRule("hard_copy", "a", "b")])
+    assert _body(out, 1)["b"] == "1"
+
+
+def test_modify_conditions_gate(recs):
+    rules = [ModifyRule("set", "flag", "on")]
+    out = apply_modify(recs, rules, [ModifyCondition("key_exists", "a")])
+    assert _body(out, 1)["flag"] == "on"
+    assert "flag" not in _body(out, 2)
+    out = apply_modify(recs, rules, [ModifyCondition("key_value_matches", "b", "^y$")])
+    assert "flag" not in _body(out, 1)
+    assert _body(out, 2)["flag"] == "on"
+    out = apply_modify(
+        recs, rules,
+        [ModifyCondition("a_key_matches", "^pre_"), ModifyCondition("key_value_equals", "a", "1")],
+    )
+    assert _body(out, 1)["flag"] == "on"
+    assert "flag" not in _body(out, 2)
+
+
+def test_modify_move_to_start(recs):
+    # key order is a JVM-side property: observe via map_entries (the
+    # python dict conversion re-hashes and loses it)
+    def keys(df, i):
+        rows = df.select("id", F.map_entries("body").alias("e")).collect()
+        return [e["key"] for r in rows if r["id"] == i for e in r["e"]]
+
+    out = apply_modify(recs, [ModifyRule("move_to_start", "b")])
+    assert keys(out, 1)[0] == "b"
+    out = apply_modify(recs, [ModifyRule("move_to_end", "a")])
+    assert keys(out, 1)[-1] == "a"
+
+
+# --- record_modifier ---
+
+def test_record_modifier(recs):
+    rm = RecordModifier(records=[("host", "h1")], remove_keys=["pre_*", "a"])
+    out = rm.apply(recs)
+    assert _body(out, 1) == {"b": "x", "host": "h1"}
+    rm = RecordModifier(allowlist_keys=["b"])
+    out = rm.apply(recs)
+    assert _body(out, 1) == {"b": "x"}
+    with pytest.raises(ValueError):
+        RecordModifier(remove_keys=["a"], allowlist_keys=["b"])
+
+
+# --- nest / lift ---
+
+def test_nest_lift_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x", "y", "z")], "id int, n_a string, n_b string, other string")
+    nested = nest_columns(df, "n_*", "sub", remove_prefix="n_")
+    assert "n_a" not in nested.columns and "sub" in nested.columns
+    row = nested.first()
+    assert row["sub"]["a"] == "x" and row["sub"]["b"] == "y"
+    lifted = lift_columns(nested, "sub", add_prefix="p_")
+    assert set(lifted.columns) == {"id", "other", "p_a", "p_b"}
+
+
+# --- type_converter ---
+
+def test_type_converter(spark):
+    df = spark.createDataFrame([("42", "1.5")], "a string, b string")
+    out = apply_type_converter(
+        df, [TypeConverterRule("a", "a_int", "int"), TypeConverterRule("b", "b_f", "float")]
+    )
+    row = out.first()
+    assert row["a_int"] == 42 and abs(row["b_f"] - 1.5) < 1e-9
+
+
+# --- expect ---
+
+def test_expect(spark):
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    out = apply_expect(df, [ExpectRule("key_exists", "a"), ExpectRule("key_val_is_null", "b")])
+    assert out.first()["__expect_ok"] is True
+    with pytest.raises(AssertionError):
+        apply_expect(df, [ExpectRule("key_val_eq", "a", "zzz")], action="exit")
