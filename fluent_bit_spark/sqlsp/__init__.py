@@ -1,0 +1,12 @@
+"""The stream-processor SQL subset (reference: src/stream_processor/).
+
+Grammar: src/stream_processor/parser/sql.y (+ lexer sql.l); EBNF in
+src/stream_processor/README.md. Execution here builds a DataFrame plan —
+unlike the reference's per-chunk interpreter (flb_sp.c), Catalyst gets to
+optimize it (pushdown, whole-stage codegen, hash aggregation).
+"""
+
+from .parser import parse_sql
+from .exec import execute, SPEngine
+
+__all__ = ["parse_sql", "execute", "SPEngine"]

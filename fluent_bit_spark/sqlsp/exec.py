@@ -1,0 +1,524 @@
+"""Execute a parsed stream-processor query as a DataFrame plan.
+
+Two record models share one executor:
+
+* **dynamic** — records are (tag, ts, body) with the tagged-union map
+  encoding of fbrecord.py; faithful to the reference's schemaless model
+  (heterogeneous keys per record, msgpack-nil vs missing distinction,
+  string->number coercion). Used for the golden tests ported from
+  tests/internal/include/sp_select_keys.h.
+* **static** — records are plain typed columns; the Fluent Bit type of
+  each operand is known at plan time so comparisons compile to bare
+  Catalyst expressions (whole-stage codegen, zero overhead). Used for the
+  production pipeline and the driver-facing queries.
+
+Window semantics: the reference fires *processing-time* timers
+(flb_sp.c:519-547) and is single-node; we assign **event-time** windows
+with F.window over the record timestamp — deterministic, testable, and
+the only sane definition on a cluster. Hopping windows recompute per
+window, which fixes the reference's known MIN/MAX retraction bug
+(flb_sp_aggregate_func.c:348-355: min/max are not retractable, stale
+extremes persist across hops).
+
+Aggregation notes (src/stream_processor/flb_sp_aggregate_func.c):
+* COUNT(key) == COUNT(*) == group record count (:199-205).
+* AVG = SUM/COUNT as float (:170-205).
+* records missing any GROUP BY key are dropped (flb_sp.c:1368-1372).
+* TIMESERIES_FORECAST(x, t) = simple linear regression of x over record
+  time, predicted at latest_time + t (:223-308); closed form from
+  built-in aggregates here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fbrecord
+from ..router import glob_to_regex
+from ..semantics import (
+    FB_BOOL,
+    FB_FLOAT,
+    FB_INT,
+    FB_NULL,
+    FB_STRING,
+    FBVal,
+    fb_compare,
+    fb_is_null,
+    fb_truthy,
+    fb_type_of,
+)
+from .parser import (
+    AGG_FUNCS,
+    Cmp,
+    Contains,
+    FuncCall,
+    KeyRef,
+    Literal,
+    Logical,
+    Query,
+    SelectKey,
+    parse_sql,
+)
+
+# ---------------------------------------------------------------------------
+# bindings
+# ---------------------------------------------------------------------------
+
+
+class DynamicBinding:
+    """Operands are tagged-union structs over the body map."""
+
+    def __init__(self, tag_col: str = "tag", ts_col: str = "ts", body_col: str = "body"):
+        self.tag_col = tag_col
+        self.ts_col = ts_col
+        self.body_col = body_col
+
+    # --- operand -> internal value -----------------------------------------
+    def value(self, key: KeyRef) -> Column:
+        v = F.element_at(F.col(self.body_col), key.name)
+        if key.subkeys:
+            path = "$"
+            for s in key.subkeys:
+                path += f"[{s}]" if isinstance(s, int) else f".{s}"
+            txt = F.get_json_object(v.getField("s"), path)
+            v = _tagged_from_json_text(txt)
+        return v
+
+    def func(self, name: str, now_ts=None) -> Column:
+        if name == "RECORD_TAG":
+            return _tag_str(F.col(self.tag_col))
+        if name == "RECORD_TIME":
+            return _tag_float(F.col(self.ts_col).cast("double"))
+        if name == "NOW":
+            base = now_ts if now_ts is not None else F.current_timestamp()
+            return _tag_str(F.date_format(base, "yyyy-MM-dd HH:mm:ss"))
+        if name == "UNIX_TIMESTAMP":
+            base = now_ts if now_ts is not None else F.current_timestamp()
+            return _tag_int(base.cast("long"))
+        raise ValueError(name)
+
+    def lit(self, v) -> Column:
+        if v is None:
+            return _tagged(F.lit("null"), None, None, None, None)
+        if isinstance(v, bool):
+            return _tagged(F.lit("bool"), None, None, None, F.lit(v))
+        if isinstance(v, int):
+            return _tag_int(F.lit(v).cast("long"))
+        if isinstance(v, float):
+            return _tag_float(F.lit(v))
+        return _tag_str(F.lit(v))
+
+    # --- semantics ----------------------------------------------------------
+    def compare(self, left: Column, op: str, right: Column) -> Column:
+        return fbrecord.compare_keys(left, right, op)
+
+    def truthy(self, v: Column) -> Column:
+        t = v.getField("t")
+        return F.coalesce(
+            F.when(t == "bool", v.getField("b"))
+            .when(t == "int", v.getField("i") > 0)
+            .when(t == "float", v.getField("f") > 0.0)
+            .when(t == "string", F.lit(True))
+            .otherwise(F.lit(False)),
+            F.lit(False),
+        )
+
+    def contains(self, key: KeyRef) -> Column:
+        return fbrecord.present(F.col(self.body_col), key.name)
+
+    def numeric(self, v: Column) -> Column:
+        return fbrecord.as_double(v)
+
+    def group_expr(self, v: Column) -> Column:
+        # int/float coerce for grouping (flb_sp_groupby.c int->float compare)
+        t = v.getField("t")
+        norm_t = F.when(t.isin("int", "float"), F.lit("num")).otherwise(t)
+        return F.struct(
+            norm_t.alias("t"),
+            fbrecord.as_double(v, convert_str=False).alias("n"),
+            v.getField("s").alias("s"),
+            v.getField("b").alias("b"),
+        )
+
+    def present(self, key: KeyRef) -> Column:
+        return self.value(key).isNotNull()
+
+    def render(self, v: Column) -> Column:
+        return fbrecord.as_string(v)
+
+
+class StaticBinding:
+    """Operands are typed columns of a fixed-schema DataFrame."""
+
+    def __init__(self, df: DataFrame, tag_col: str = "tag", ts_col: str = "ts"):
+        self.df = df
+        self.tag_col = tag_col
+        self.ts_col = ts_col
+
+    def value(self, key: KeyRef) -> FBVal:
+        c = F.col(key.name)
+        dtype = self.df.schema[key.name].dataType
+        for s in key.subkeys:
+            if isinstance(s, int):
+                c = F.element_at(c, s + 1)
+                dtype = dtype.elementType
+            else:
+                from pyspark.sql import types as T
+
+                if isinstance(dtype, T.StructType):
+                    c = c.getField(s)
+                    dtype = dtype[s].dataType
+                else:  # map
+                    c = F.element_at(c, s)
+                    dtype = dtype.valueType
+        return FBVal(c, fb_type_of(dtype))
+
+    def func(self, name: str, now_ts=None) -> FBVal:
+        if name == "RECORD_TAG":
+            return FBVal(F.col(self.tag_col), FB_STRING)
+        if name == "RECORD_TIME":
+            return FBVal(F.col(self.ts_col).cast("double"), FB_FLOAT)
+        if name == "NOW":
+            base = now_ts if now_ts is not None else F.current_timestamp()
+            return FBVal(F.date_format(base, "yyyy-MM-dd HH:mm:ss"), FB_STRING)
+        if name == "UNIX_TIMESTAMP":
+            base = now_ts if now_ts is not None else F.current_timestamp()
+            return FBVal(base.cast("long"), FB_INT)
+        raise ValueError(name)
+
+    def lit(self, v) -> FBVal:
+        return FBVal.lit(v)
+
+    def compare(self, left: FBVal, op: str, right: FBVal) -> Column:
+        if op == "=" and (left.ftype == FB_NULL or right.ftype == FB_NULL):
+            other = right if left.ftype == FB_NULL else left
+            if other.ftype == FB_NULL:
+                return F.lit(True)
+            return fb_is_null(other)
+        return fb_compare(left, right, op)
+
+    def truthy(self, v: FBVal) -> Column:
+        return fb_truthy(v)
+
+    def contains(self, key: KeyRef) -> Column:
+        return self.value(key).col.isNotNull()
+
+    def numeric(self, v: FBVal) -> Column:
+        if v.ftype == FB_STRING:
+            from ..semantics import str_to_num
+
+            return str_to_num(v.col)
+        return v.col.cast("double")
+
+    def group_expr(self, v: FBVal) -> Column:
+        return v.col
+
+    def present(self, key: KeyRef) -> Column:
+        return self.value(key).col.isNotNull()
+
+    def render(self, v: FBVal) -> Column:
+        return v.col
+
+
+def _tagged(t, i, f, s, b) -> Column:
+    return F.struct(
+        (t if t is not None else F.lit(None).cast("string")).alias("t"),
+        (i if i is not None else F.lit(None).cast("long")).alias("i"),
+        (f if f is not None else F.lit(None).cast("double")).alias("f"),
+        (s if s is not None else F.lit(None).cast("string")).alias("s"),
+        (b if b is not None else F.lit(None).cast("boolean")).alias("b"),
+    )
+
+
+def _tag_int(c: Column) -> Column:
+    return _tagged(F.lit("int"), c, None, None, None)
+
+
+def _tag_float(c: Column) -> Column:
+    return _tagged(F.lit("float"), None, c, None, None)
+
+
+def _tag_str(c: Column) -> Column:
+    return _tagged(F.lit("string"), None, None, c, None)
+
+
+def _tagged_from_json_text(txt: Column) -> Column:
+    """Reconstruct a tagged value from get_json_object text output."""
+    is_int = txt.rlike(r"^-?\d+$")
+    is_float = txt.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$")
+    is_bool = txt.isin("true", "false")
+    t = (
+        F.when(txt.isNull(), F.lit(None).cast("string"))
+        .when(txt == "null", F.lit("null"))
+        .when(is_bool, F.lit("bool"))
+        .when(is_int, F.lit("int"))
+        .when(is_float, F.lit("float"))
+        .otherwise(F.lit("string"))
+    )
+    out = _tagged(
+        t,
+        F.when(is_int, txt.cast("long")),
+        F.when(is_float, txt.cast("double")),
+        F.when(~is_bool & ~is_int & ~is_float & (txt != "null"), txt),
+        F.when(is_bool, txt == "true"),
+    )
+    return F.when(txt.isNull(), F.lit(None).cast(fbrecord.VALUE_SCHEMA)).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
+# condition compiler
+# ---------------------------------------------------------------------------
+
+
+def _operand(b, node, now_ts):
+    if isinstance(node, Literal):
+        return b.lit(node.value)
+    if isinstance(node, KeyRef):
+        return b.value(node)
+    if isinstance(node, FuncCall):
+        return b.func(node.name, now_ts)
+    raise TypeError(node)
+
+
+def _cond(b, node, now_ts) -> Column:
+    """Compile a condition tree to a non-null boolean Column."""
+    if isinstance(node, Logical):
+        if node.op == "NOT":
+            return ~_cond(b, node.left, now_ts)
+        l = _cond(b, node.left, now_ts)
+        r = _cond(b, node.right, now_ts)
+        return (l & r) if node.op == "AND" else (l | r)
+    if isinstance(node, Cmp):
+        if isinstance(node.left, Contains) or isinstance(node.right, Contains):
+            # @record.contains(k) used as a bare truth term (parser wraps
+            # bare operands in '= true')
+            cont = node.left if isinstance(node.left, Contains) else node.right
+            other = node.right if cont is node.left else node.left
+            base = b.contains(cont.key)
+            if isinstance(other, Literal) and other.value is True:
+                return base
+            raise ValueError("@record.contains only composes with = true")
+        left = _operand(b, node.left, now_ts)
+        right = _operand(b, node.right, now_ts)
+        return b.compare(left, node.op, right)
+    if isinstance(node, Contains):
+        return b.contains(node.key)
+    raise TypeError(node)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SPEngine:
+    """Resolves FROM STREAM:name / FROM TAG:'pattern' and runs queries.
+
+    streams — name -> DataFrame (the reference's input instances).
+    tag_source — DataFrame searched by tag glob for FROM TAG: queries
+    (flb_sp.c:2024-2034 matches tasks against chunk tags at runtime; in
+    batch we filter the unified source once).
+    """
+
+    streams: dict
+    tag_source: Optional[DataFrame] = None
+    mode: str = "dynamic"  # 'dynamic' | 'static'
+    tag_col: str = "tag"
+    ts_col: str = "ts"
+    body_col: str = "body"
+    now_ts = None  # fixed Column for NOW()/UNIX_TIMESTAMP() determinism
+
+    def run(self, sql: Union[str, Query]) -> DataFrame:
+        q = parse_sql(sql) if isinstance(sql, str) else sql
+        df = self._resolve_source(q)
+        return execute(q, df, mode=self.mode, tag_col=self.tag_col,
+                       ts_col=self.ts_col, body_col=self.body_col,
+                       now_ts=self.now_ts)
+
+    def create_stream(self, sql: str) -> DataFrame:
+        """CREATE STREAM name AS SELECT...: run + register result as a new
+        stream (flb_sp_stream.c:35-101). WITH(tag='t') re-tags."""
+        q = parse_sql(sql)
+        out = self.run(q)
+        if q.create_stream:
+            tag = q.stream_props.get("tag")
+            if tag and self.tag_col in out.columns:
+                out = out.withColumn(self.tag_col, F.lit(tag))
+            self.streams[q.create_stream] = out
+        return out
+
+    def _resolve_source(self, q: Query) -> DataFrame:
+        if q.source.kind == "stream":
+            if q.source.name not in self.streams:
+                raise KeyError(f"unknown stream {q.source.name}")
+            return self.streams[q.source.name]
+        if self.tag_source is None:
+            raise ValueError("FROM TAG: requires a tag_source")
+        rx = glob_to_regex(q.source.name)
+        return self.tag_source.filter(F.col(self.tag_col).rlike(rx))
+
+
+def execute(
+    q: Query,
+    df: DataFrame,
+    *,
+    mode: str = "dynamic",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    body_col: str = "body",
+    now_ts=None,
+) -> DataFrame:
+    if mode == "dynamic":
+        b = DynamicBinding(tag_col, ts_col, body_col)
+    else:
+        b = StaticBinding(df, tag_col, ts_col)
+
+    if q.where is not None:
+        df = df.filter(_cond(b, q.where, now_ts))
+        if mode == "static":
+            b = StaticBinding(df, tag_col, ts_col)
+
+    if q.has_aggregates:
+        out = _execute_aggregate(q, df, b, mode, ts_col, now_ts)
+    else:
+        out = _execute_projection(q, df, b, mode, body_col, now_ts)
+
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def _execute_projection(q, df, b, mode, body_col, now_ts) -> DataFrame:
+    if any(k.star for k in q.keys) and len(q.keys) == 1:
+        return df
+
+    if mode == "static":
+        cols = []
+        for k in q.keys:
+            if k.star:
+                cols.append(F.col("*"))
+            elif k.func:
+                cols.append(b.func(k.func, now_ts).col.alias(k.out_name))
+            else:
+                cols.append(b.value(k.key).col.alias(k.out_name))
+        return df.select(*cols)
+
+    # dynamic: rebuild the body map with only the selected & present keys
+    # ('missing keys are silently dropped' — flb_sp.c:1799-1821)
+    entries = []
+    passthrough_star = any(k.star for k in q.keys)
+    for k in q.keys:
+        if k.star:
+            continue
+        if k.func:
+            v = b.func(k.func, now_ts)
+            entries.append(F.struct(F.lit(k.out_name).alias("key"), v.alias("value")))
+            continue
+        v = b.value(k.key)
+        entries.append(
+            F.when(
+                v.isNotNull(),
+                F.struct(F.lit(k.out_name).alias("key"), v.alias("value")),
+            )
+        )
+    arr = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    new_body = F.map_from_entries(arr)
+    if passthrough_star:
+        new_body = F.map_concat(F.col(body_col), new_body)
+    keep = [c for c in df.columns if c != body_col]
+    return df.select(*keep, new_body.alias(body_col))
+
+
+def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
+    # selecting a bare key that is not grouped is an error (flb_sp.c:500-506)
+    group_names = {g.name for g in q.groupby}
+    for k in q.keys:
+        if k.func is None and not k.star and k.key.name not in group_names:
+            raise ValueError(
+                f"key '{k.key.name}' selected alongside aggregates must be in GROUP BY"
+            )
+
+    # drop records missing any group key (flb_sp.c:1368-1372)
+    for g in q.groupby:
+        df = df.filter(b.present(g))
+
+    group_cols = []
+    emit_group_cols = []
+    for g in q.groupby:
+        v = b.value(g)
+        ge = b.group_expr(v)
+        group_cols.append(ge.alias(f"__g_{g.name}"))
+        emit_group_cols.append(g)
+
+    if q.window is not None:
+        size = f"{q.window.size_sec} seconds"
+        if q.window.kind == "hopping":
+            w = F.window(F.col(ts_col), size, f"{q.window.advance_sec} seconds")
+        else:
+            w = F.window(F.col(ts_col), size)
+        group_cols = [w.alias("__w")] + group_cols
+
+    aggs = []
+    for k in q.keys:
+        if k.func is None or k.func not in AGG_FUNCS:
+            continue
+        name = k.out_name
+        if k.func == "COUNT":
+            aggs.append(F.count(F.lit(1)).alias(name))
+            continue
+        v = b.value(k.key)
+        n = b.numeric(v)
+        if k.func == "MIN":
+            aggs.append(F.min(n).alias(name))
+        elif k.func == "MAX":
+            aggs.append(F.max(n).alias(name))
+        elif k.func == "SUM":
+            aggs.append(F.sum(n).alias(name))
+        elif k.func == "AVG":
+            # AVG = SUM/record-count as float (flb_sp_aggregate_func.c:170-205)
+            aggs.append((F.sum(n) / F.count(F.lit(1))).alias(name))
+        elif k.func == "TIMESERIES_FORECAST":
+            # simple linear regression of y over record time, predicted at
+            # latest_time + offset (flb_sp_aggregate_func.c:223-308). Use
+            # covar_pop/var_pop (Welford-stable) instead of the raw-moment
+            # form: x is epoch seconds (~1.7e9) and avg(x*x)-avg(x)^2
+            # cancels catastrophically in doubles. Centered prediction
+            # avg(y) + b1*((max(x)-avg(x)) + t) avoids the same in b0.
+            x = F.col(ts_col).cast("double")
+            y = n
+            b1 = F.try_divide(F.covar_pop(x, y), F.var_pop(x))
+            forecast = F.avg(y) + b1 * (
+                (F.max(x) - F.avg(x)) + F.lit(float(k.forecast_offset))
+            )
+            aggs.append(forecast.alias(name))
+
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = grouped.agg(*aggs)
+
+    # re-emit group keys under their selected names/aliases
+    sel = []
+    if q.window is not None:
+        sel.append(F.col("__w.start").alias("window_start"))
+        sel.append(F.col("__w.end").alias("window_end"))
+    for k in q.keys:
+        if k.func in AGG_FUNCS:
+            sel.append(F.col(f"`{k.out_name}`"))
+        elif k.func:  # time/record funcs alongside aggregates
+            continue
+        else:
+            g = k.key
+            gc = F.col(f"__g_{g.name}")
+            if mode == "dynamic":
+                # normalized struct -> rendered value
+                gc = F.coalesce(
+                    gc.getField("n").cast("string"),
+                    gc.getField("s"),
+                    gc.getField("b").cast("string"),
+                )
+            sel.append(gc.alias(k.out_name))
+    return out.select(*sel)

