@@ -1,0 +1,9 @@
+"""Training-data-pipeline operations over document/embedding tables.
+
+Beyond the reference's own operators (SURVEY.md §2), a 100 TB web-text
+engine needs: deduplication (exact + near-dup), similarity search,
+text analysis, and multimodal column plumbing. All operators here are
+DataFrame-native; Python appears only inside Arrow-batched pandas UDFs.
+"""
+
+from . import dedup, similarity, textstats, multimodal  # noqa: F401

@@ -1,0 +1,225 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the whole point at 100 TB):
+* exact dedup is one hash-shuffle on a 64-bit digest, never on the raw
+  text (shuffle bytes ~ 16B/row instead of KBs).
+* MinHash/LSH: signatures are computed in a single narrow pass (all JVM:
+  shingle -> xxhash64 per hash function via transform()); candidate
+  generation shuffles only (band_hash, doc_id) pairs; the quadratic
+  verify step runs per-bucket, and buckets are bounded by banding.
+* SimHash: 64-bit fingerprint per doc, near-dups found by identical
+  fingerprints (or banded prefixes) — again a digest shuffle.
+
+All deterministic: hash seeds are fixed constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (lower-cased, whitespace tokenized).
+    Pure JVM: split + transform over a sequence of slices."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(
+        count > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact text. The shuffle key is
+    xxhash64(text), not the text itself; ties broken deterministically."""
+    digest = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per duplicate-group stats: representative id + member count."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """array<long> of per-hash-function minima over shingle hashes.
+
+    One xxhash64 per (shingle, seed); computed entirely inside Catalyst —
+    transform() over the seed sequence of transform() over shingles.
+    """
+    sh = shingles(text, shingle_n)
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    return F.transform(
+        seeds,
+        lambda s: F.coalesce(
+            F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
+            F.lit(2**63 - 1),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band bucket.
+
+    rows_per_band = num_hashes/bands; two docs collide in a band iff that
+    slice of their signatures is identical. Returns (id_a, id_b) with
+    id_a < id_b, deduplicated across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        )),
+                        b,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidates: estimated Jaccard = fraction of equal signature
+    positions. Joins signatures onto the (small) candidate set."""
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    out = (
+        pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.id_a == sigs.id)
+        .drop("id")
+        .join(
+            sigs.withColumnRenamed("sig", "sig_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    return out.select(
+        "id_a", "id_b", (eq / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash as a long: sign of per-bit weighted sums over shingle
+    hashes. JVM-only: aggregate over bits via sequence/transform.
+
+    For each bit k: bit = 1 iff #(shingles with hash bit k set) > n/2.
+    """
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda x: F.xxhash64(x))
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+    for k in range(64):
+        mask = (1 << k) if k < 63 else -(2**63)  # sign bit as two's complement
+        lit_mask = F.lit(mask).cast("long")
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(lit_mask) != 0))
+        acc = acc.bitwiseOR(F.when(cnt * 2 > n, lit_mask).otherwise(F.lit(0).cast("long")))
+    return acc
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """Group docs by identical SimHash (the scale-path bucketing: banded
+    prefix matching generalizes this; identical-fingerprint is the exact
+    near-dup core)."""
+    h = simhash(F.col(text_col), shingle_n)
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("simhash", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification / small scopes)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for given (id_a, id_b) pairs."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    out = (
+        pairs.join(docs.withColumnRenamed("sh", "sh_a"), pairs.id_a == docs.id)
+        .drop("id")
+        .join(
+            docs.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata; decode / feature-extract / resize / frame-sample as
+Arrow-batched pandas UDFs over mapInPandas.
+
+The actual codec work is STUBBED (no image/audio libraries in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (derived from
+the byte content) exercises the full Spark-side path — schema, batching,
+partition sizing, UDF signatures — which is the part that matters for the
+engine. Swapping in PIL/ffmpeg later changes only the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, mime:string>"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, phash long"
+)
+
+
+def make_media_table(spark, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a synthetic media table from documents: payload = utf-8 bytes
+    of the text (a deterministic opaque blob), metadata from hashes."""
+    i = F.col(id_col)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.abs(F.xxhash64(i)) % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.abs(F.xxhash64(i, F.lit(1))) % 1920 + 16).cast("int").alias("width"),
+        (F.abs(F.xxhash64(i, F.lit(2))) % 1080 + 16).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.abs(F.xxhash64(i, F.lit(3))) % 300 + 1).cast("int").alias("n_frames"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+    )
+    return docs.select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        F.to_binary(F.col(text_col), F.lit("utf-8")).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float, int]:
+    """Deterministic stand-in for an image decoder: dimensions and stats
+    derived from a sha256 of the bytes."""
+    h = hashlib.sha256(payload or b"").digest()
+    w = 16 + h[0]
+    ht = 16 + h[1]
+    mean_luma = sum(h[2:10]) / (8 * 255.0)
+    phash = int.from_bytes(h[10:18], "big", signed=True)
+    return w, ht, mean_luma, phash
+
+
+def decode_images(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> DataFrame:
+    """Image decode + feature extraction via mapInPandas (Arrow batches).
+
+    Partition contract: payloads stream through in Arrow batches — no
+    per-row Python call overhead beyond the decode itself; at scale,
+    repartition upstream so a partition's payload bytes fit executor
+    memory (spark.sql.files.maxPartitionBytes governs the scan side).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no image codec in this environment; pass fake=True to exercise "
+            "the Spark plumbing with the deterministic fake decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "mean_luma": [], "phash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, luma, ph = _fake_decode(bytes(payload) if payload is not None else b"")
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling plan for video rows: explode frame indices 0..n_frames
+    step every_n. The decode of each frame is the stubbed step; the
+    explode/partition shape is the real engine work."""
+    vids = df.filter(F.col("kind") == "video")
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+    return vids.select(
+        "media_id",
+        F.explode(idx).alias("frame_no"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize metadata computation (aspect-preserving target dims) — the
+    arithmetic is columnar; the pixel work is the stubbed decoder's."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return df.withColumns(
+        {
+            "target_w": F.ceil(w * scale).cast("int"),
+            "target_h": F.ceil(h * scale).cast("int"),
+        }
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the correctness baseline; dot products run
+  inside Catalyst (zip_with + aggregate), the top-k is a window rank over
+  the (query x corpus) cross join. Right for small query batches.
+* LSH-bucketed (random hyperplane signs) — the scale path: each vector
+  maps to a bit-signature bucket; candidates share a bucket (probe its
+  Hamming neighbors for recall); only candidates get exact scoring. At
+  10^12 docs the cross join is impossible; bucket joins shuffle only
+  (bucket_id, vec_id) pairs.
+* IVF-style coarse quantization: assign each vector to the nearest of K
+  deterministic anchor vectors (a broadcast join + argmin), search only
+  within the query's cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries must be small (it is
+    broadcast); corpus streams through one narrow scoring pass."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "cand_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, bit: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane `bit`
+    is a fixed-seed hash mapped to [-1, 1). Pure JVM."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda j: (
+            (F.abs(F.xxhash64(F.lit(7777), F.lit(bit), j)) % 2_000_001).cast("double")
+            / 1_000_000.0
+            - 1.0
+        ),
+    )
+
+
+def lsh_signature(vec: Column, dim: int, n_bits: int = 16) -> Column:
+    """Random-hyperplane sign signature as a long bucket id."""
+    bits = []
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b)
+        s = _dot(vec, plane)
+        bits.append(
+            F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for x in bits[1:]:
+        out = out.bitwiseOR(x)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to same-bucket
+    candidates. Recall grows with fewer bits / multi-probe; this single-
+    probe variant is the deterministic skeleton the scale path tunes."""
+    sig_c = lsh_signature(F.col(vec_col), dim, n_bits)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), sig_c.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_signature(F.col(vec_col), dim, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def ivf_assign(df: DataFrame, dim: int, n_cells: int = 16, vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse assignment: nearest deterministic anchor (max dot).
+    Anchors are fixed-hash unit-ish vectors; assignment is a narrow pass."""
+    scores = [
+        _dot(F.col(vec_col), _hyperplane(dim, 10_000 + cell)).alias(f"__s{cell}")
+        for cell in range(n_cells)
+    ]
+    arr = F.array(*[s for s in scores])
+    best = F.array_position(arr, F.array_max(arr)) - 1
+    return df.withColumn("ivf_cell", best.cast("int"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
+    sig = lsh_signature(F.col(vec_col), dim, n_bits)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,102 @@
+"""Text analysis: language-ID heuristic, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (JVM, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "es"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "est", "un", "une"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the token-count baseline)."""
+    t = F.split(F.trim(text), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation via regex segmentation
+    (the GPT-2 pre-tokenizer shape: contractions, letter runs, digit runs,
+    punctuation runs)."""
+    pieces = F.regexp_extract_all(
+        text,
+        F.lit(r"('s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)"),
+        1,
+    )
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def lang_id_scores(text: Column) -> Column:
+    """map<lang, score>: stopword-hit ratio per language (n-gram heuristic).
+    Deterministic, vocabulary embedded as literals — no Python."""
+    toks = F.transform(tokens(F.lower(text)), lambda x: F.regexp_replace(x, r"[^a-zäöüéèáí]", ""))
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        entries.append(F.struct(F.lit(lang).alias("key"), (hits / n).alias("value")))
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language, or 'und' when nothing scores."""
+    m = lang_id_scores(text)
+    ent = F.map_entries(m)
+    best = F.array_max(F.transform(ent, lambda e: F.struct(e.getField("value").alias("v"), e.getField("key").alias("k"))))
+    return F.when(best.getField("v") > 0, best.getField("k")).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band, punctuation
+    ratio, stopword presence, mean word length band — the C4/Gopher-style
+    web-text filters, columnar."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = n_chars / n_toks
+    punct = F.length(F.regexp_replace(text, r"[^\.\,\;\:\!\?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(en_stop, t)))
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 100_000), 1.0).otherwise(0.3)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop_hits > 0, 1.0).otherwise(0.6)
+    return (length_ok * 0.3 + wlen_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2).alias("quality")
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling-window hash over
+    word 4-grams — one stable long per document."""
+    from .dedup import shingles
+
+    sh = shingles(text, 4)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.coalesce(F.array_min(hashes), F.xxhash64(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: all stats as extra columns (single narrow stage)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "lang_pred": lang_id(t),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

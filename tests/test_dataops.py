@@ -1,0 +1,147 @@
+"""Data-ops tests on the driver testdata tables (documents, embeddings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.dataops import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",), ("",)], "t string")
+    rows = df.select(dedup.shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []
+    assert rows[2]["s"] == []
+
+
+def test_exact_dedup(docs):
+    n = docs.count()
+    kept = dedup.exact_dedup(docs).count()
+    # oracle: distinct texts
+    distinct = docs.select("text").distinct().count()
+    assert kept == distinct <= n
+
+
+def test_minhash_finds_exact_dups(docs, spark):
+    # append an exact copy of doc 0 with a new id -> must appear as candidate
+    clone = docs.filter(F.col("doc_id") == 0).withColumn("doc_id", F.lit(999999))
+    d2 = docs.unionByName(clone)
+    cands = dedup.minhash_lsh_candidates(d2, num_hashes=32, bands=8)
+    hits = cands.filter((F.col("id_a") == 0) & (F.col("id_b") == 999999)).count()
+    assert hits == 1
+    est = dedup.minhash_jaccard_estimate(d2, cands, num_hashes=32)
+    row = est.filter((F.col("id_a") == 0) & (F.col("id_b") == 999999)).first()
+    assert row["est_jaccard"] == 1.0
+
+
+def test_minhash_estimate_close_to_exact(docs):
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8).limit(20)
+    if cands.count() == 0:
+        pytest.skip("no near-dup candidates at this sf")
+    est = dedup.minhash_jaccard_estimate(docs, cands, num_hashes=32)
+    exact = dedup.ngram_jaccard_pairs(docs, cands)
+    j = est.join(exact, ["id_a", "id_b"])
+    bad = j.filter(F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.35).count()
+    assert bad == 0
+
+
+def test_simhash_identical_texts_same_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "the quick brown fox jumps over the dog"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    h = df.select("doc_id", dedup.simhash(F.col("text")).alias("h")).collect()
+    m = {r["doc_id"]: r["h"] for r in h}
+    assert m[1] == m[2] != m[3]
+    kept = dedup.simhash_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_brute_force_topk(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    top = similarity.brute_force_topk(emb, queries, k=5)
+    rows = top.collect()
+    assert len(rows) == 15
+    # ranks are 1..5 per query, cosine within [-1, 1], descending
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rl in per_q.items():
+        rl.sort()
+        assert [x[0] for x in rl] == [1, 2, 3, 4, 5]
+        coss = [x[1] for x in rl]
+        assert all(coss[i] >= coss[i + 1] - 1e-12 for i in range(4))
+        assert all(-1.0001 <= c <= 1.0001 for c in coss)
+
+
+def test_lsh_topk_overlaps_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=10, n_bits=6)
+    # same-bucket top-1 should be among exact top-10 reasonably often;
+    # assert structural sanity + at least one overlap across queries
+    j = approx.join(exact, ["query_id", "cand_id"]).count()
+    assert j >= 1
+
+
+def test_ivf_assign(emb):
+    out = similarity.ivf_assign(emb, dim=64, n_cells=8)
+    cells = out.groupBy("ivf_cell").count().collect()
+    assert all(0 <= r["ivf_cell"] < 8 for r in cells)
+    assert out.count() == emb.count()
+
+
+def test_embedding_near_dup_finds_clone(emb):
+    clone = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(888888))
+    e2 = emb.unionByName(clone)
+    pairs = similarity.embedding_near_dup(e2, dim=64, threshold=0.999, n_bits=8)
+    assert pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 888888)).count() == 1
+
+
+def test_textstats_profile(docs):
+    prof = textstats.text_profile(docs)
+    row = prof.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_pred"] is not None
+    # token count oracle
+    got = prof.select("doc_id", "n_tokens", "text").limit(20).collect()
+    for r in got:
+        assert r["n_tokens"] == len(r["text"].split())
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.make_media_table(spark, docs.limit(100))
+    feats = multimodal.decode_images(media, fake=True)
+    n_img = media.filter(F.col("kind") == "image").count()
+    assert feats.count() == n_img
+    row = feats.first()
+    assert 16 <= row["width"] <= 271 and 0 <= row["mean_luma"] <= 1
+    # determinism
+    again = multimodal.decode_images(media, fake=True)
+    assert sorted(feats.collect()) == sorted(again.collect())
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(media)
+    frames = multimodal.sample_frames(media, every_n=50)
+    assert frames.count() >= media.filter(F.col("kind") == "video").count()
+    rp = multimodal.resize_plan(media, max_side=128)
+    bad = rp.filter((F.col("target_w") > 128) | (F.col("target_h") > 128)).count()
+    assert bad == 0
