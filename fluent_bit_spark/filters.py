@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .accessor import compile_path
@@ -386,3 +386,60 @@ def apply_expect(
     if n_bad:
         raise AssertionError(f"filter_expect: {n_bad} records violate expectations")
     return df
+
+
+# ---------------------------------------------------------------------------
+# filter_throttle / filter_throttle_size —
+# plugins/filter_throttle/throttle.c:82-125 (sliding pane rate limit),
+# plugins/filter_throttle_size/throttle_size.c (byte-budget variant)
+# ---------------------------------------------------------------------------
+
+
+def apply_throttle(
+    df: DataFrame,
+    rate: int,
+    interval_sec: int,
+    ts_col: str = "ts",
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Event-time rate limit: keep at most ``rate`` records per
+    ``interval_sec`` pane.
+
+    The reference drops a record when the sliding-window average
+    ``total/size >= rate`` at arrival time (throttle.c:82-125) — an
+    arrival-order dependent decision. The batch re-expression is
+    deterministic sampling semantics (SURVEY.md §2.3): rank records
+    inside each event-time pane and keep the first ``rate`` (ordered by
+    timestamp, tie-broken by ``order_col``). Scale: one shuffle on the
+    pane key; panes are time-bounded so skew is bounded by ingest rate.
+    """
+    pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(pane).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rate)
+        .drop("__rn")
+    )
+
+
+def apply_throttle_size(
+    df: DataFrame,
+    max_bytes: int,
+    interval_sec: int,
+    size_field: str,
+    ts_col: str = "ts",
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Byte-budget variant: keep records while the running sum of
+    ``length(size_field)`` within the pane stays under ``max_bytes``
+    (throttle_size.c sums the printed size of the named field)."""
+    pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(pane).orderBy(*order)
+    running = F.sum(F.length(F.col(size_field).cast("string"))).over(w)
+    return (
+        df.withColumn("__bytes", running)
+        .filter(F.col("__bytes") <= max_bytes)
+        .drop("__bytes")
+    )

@@ -1,0 +1,118 @@
+"""Multiline joining as distributed sessionization.
+
+The reference joins physical lines into logical events with per-stream
+state machines (src/multiline/flb_ml.c + flb_ml_rule.c:48-80: rules are
+(from_states, regex, to_state) triples; a line matching no continuation
+rule from `state_start` begins a new logical event). Built-in modes
+exist per language/runtime (src/multiline/flb_ml_mode.c:28-45, one
+parser file per mode: flb_ml_parser_python.c, _java.c, _go.c, _ruby.c,
+_docker.c, _cri.c). Match types are REGEX / ENDSWITH / EQ
+(include/fluent-bit/multiline/flb_ml.h:35-37).
+
+Spark re-expression: no per-stream mutable state machine — a windowed
+running sum over an `is_start` flag assigns every line a group id, then
+one shuffle groups lines into logical records. This is embarrassingly
+parallel across streams (files) and scales with the number of distinct
+stream keys; within one stream the window is a single partition, which
+matches the reference's inherently sequential per-stream semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Continuation-line detectors for the built-in modes: a line matching
+# its mode's continuation regex attaches to the open record; anything
+# else starts a new one (the common shape of the reference's rule
+# tables in flb_ml_parser_*.c).
+BUILTIN_CONT = {
+    # python tracebacks (flb_ml_parser_python.c): the 'Traceback ...'
+    # line STARTS the record; indented frame/source lines and the final
+    # '<Name>Error: ...' line continue it
+    "python": r"^([\s]+.+|\w+(Error|Exception): .*)$",
+    # java stack traces (flb_ml_parser_java.c)
+    "java": r"^(\s+at .+|\s+\.\.\. \d+ more|Caused by: .+|\s+.+)$",
+    # go panics (flb_ml_parser_go.c)
+    "go": r"^(goroutine \d+.*|\s+.+|.+\.go:\d+.*|created by .+)$",
+    # ruby exceptions (flb_ml_parser_ruby.c)
+    "ruby": r"^(\s+from .+|\s+.+)$",
+}
+
+
+def start_flag(
+    line: Column,
+    mode_or_regex: str,
+    match_type: str = "regex",
+) -> Column:
+    """Boolean 'this line begins a new logical record'.
+
+    For built-in modes the flag is the negation of the mode's
+    continuation regex; for a custom pattern it is a positive
+    start-of-record match. match_type mirrors flb_ml.h:35-37:
+    'regex' | 'endswith' | 'eq' (endswith/eq used by docker partial
+    joining, where a record ends when 'log' ends with a newline).
+    """
+    if match_type == "endswith":
+        return line.endswith(mode_or_regex)
+    if match_type == "eq":
+        return line == mode_or_regex
+    if mode_or_regex in BUILTIN_CONT:
+        return ~F.coalesce(line.rlike(BUILTIN_CONT[mode_or_regex]), F.lit(True))
+    return F.coalesce(line.rlike(mode_or_regex), F.lit(False))
+
+
+def sessionize(
+    df: DataFrame,
+    start: Column,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    out_col: str = "message",
+    sep: str = "\n",
+) -> DataFrame:
+    """Join consecutive lines into logical records.
+
+    Returns one row per logical record: (stream, first order value,
+    n_lines, joined message). The first line of each stream always
+    starts a record even if `start` is false for it (the reference's
+    state_start behavior: with no open record, any line opens one).
+    """
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    is_first = F.row_number().over(w) == 1
+    flag = (start | is_first).cast("long")
+    grouped = df.withColumn("__grp", F.sum(flag).over(w))
+    # order-preserving concat: sort (order, line) structs inside the group
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l")))
+    )
+    return (
+        grouped.groupBy(stream_col, "__grp")
+        .agg(
+            F.min(order_col).alias("first_line_no"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws(sep, F.transform(ordered, lambda e: e.getField("l"))).alias(out_col),
+        )
+        .drop("__grp")
+    )
+
+
+def sessionize_mode(
+    df: DataFrame,
+    mode: str,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    out_col: str = "message",
+) -> DataFrame:
+    """sessionize() with a built-in mode's start detector."""
+    return sessionize(
+        df,
+        start_flag(F.col(line_col), mode),
+        stream_col=stream_col,
+        order_col=order_col,
+        line_col=line_col,
+        out_col=out_col,
+    )

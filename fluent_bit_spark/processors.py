@@ -1,0 +1,134 @@
+"""Processor units: content_modifier, sampling, log_to_metrics.
+
+Reference: processors attach to an input/output and run as an ordered
+list of (condition, action) units (src/flb_processor.c:311-452).
+Actions here are pure narrow column transforms, so Catalyst fuses an
+entire processor chain into the scan stage — no extra passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# processor_content_modifier — plugins/processor_content_modifier/
+# cm_config.c:28-47 actions: insert upsert delete rename hash extract convert
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ContentModifierRule:
+    action: str  # insert | upsert | delete | rename | hash | extract | convert
+    key: str
+    value: Optional[str] = None
+    pattern: Optional[str] = None  # for extract: named groups -> new columns
+    converted_type: Optional[str] = None  # for convert
+
+
+def apply_content_modifier(df: DataFrame, rules: Sequence[ContentModifierRule]) -> DataFrame:
+    """Column-schema variant of the content modifier (the map-schema
+    variant reuses filters.apply_modify). `hash` replaces the value with
+    its SHA-256 hex digest (cm_config.c action FLB_CM_HASH)."""
+    for r in rules:
+        if r.action == "insert":
+            if r.key not in df.columns:
+                df = df.withColumn(r.key, F.lit(r.value))
+        elif r.action == "upsert":
+            df = df.withColumn(r.key, F.lit(r.value))
+        elif r.action == "delete":
+            df = df.drop(r.key)
+        elif r.action == "rename":
+            df = df.withColumnRenamed(r.key, r.value)
+        elif r.action == "hash":
+            df = df.withColumn(r.key, F.sha2(F.col(r.key).cast("string"), 256))
+        elif r.action == "extract":
+            # named capture groups -> one new column per group
+            import re as _re
+
+            names = _re.findall(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r.pattern)
+            # Spark's regexp_extract uses numbered groups; named syntax is
+            # accepted by the JVM regex engine, groups addressed by index.
+            jpat = r.pattern
+            for i, nm in enumerate(names, start=1):
+                df = df.withColumn(nm, F.regexp_extract(F.col(r.key), jpat, i))
+        elif r.action == "convert":
+            df = df.withColumn(r.key, F.col(r.key).cast(r.converted_type))
+        else:
+            raise ValueError(f"unknown content_modifier action {r.action}")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# processor_sampling — plugins/processor_sampling/sampling_probabilistic.c
+# ---------------------------------------------------------------------------
+
+
+def probabilistic_sample(
+    df: DataFrame,
+    percentage: float,
+    id_col: str,
+    keep_condition: Optional[Column] = None,
+) -> DataFrame:
+    """Deterministic probabilistic sampler.
+
+    The reference draws a random number per trace/record and keeps when
+    < percentage (sampling_probabilistic.c). For reproducibility across
+    engines and runs we derive the draw from a Knuth multiplicative hash
+    of a stable id — pure integer arithmetic, identical in any SQL
+    engine. keep_condition short-circuits sampling (the conditional
+    sampling modes: always keep rows matching the condition).
+    """
+    draw = F.pmod(F.col(id_col).cast("bigint") * F.lit(2654435761), F.lit(4294967296))
+    keep = draw < F.lit(int(percentage / 100.0 * 4294967296))
+    if keep_condition is not None:
+        keep = keep_condition | keep
+    return df.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# filter_log_to_metrics — plugins/filter_log_to_metrics/log_to_metrics.c
+# :120-265 modes: counter (count matches), gauge (value of a field),
+# histogram (bucketed distribution of a field)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LogToMetricsSpec:
+    mode: str  # counter | gauge | histogram
+    label_fields: Sequence[str] = field(default_factory=tuple)
+    value_field: Optional[str] = None
+    match_field: Optional[str] = None
+    match_regex: Optional[str] = None
+    buckets: Sequence[float] = (1.0, 5.0, 10.0, 50.0)
+
+
+def log_to_metrics(df: DataFrame, spec: LogToMetricsSpec) -> DataFrame:
+    """Derive a metrics table from the log stream: one shuffle
+    (groupBy labels), map-side partial aggregation for free."""
+    if spec.match_field and spec.match_regex:
+        df = df.filter(
+            F.coalesce(F.col(spec.match_field).cast("string").rlike(spec.match_regex), F.lit(False))
+        )
+    labels = [F.col(c) for c in spec.label_fields]
+    if spec.mode == "counter":
+        return df.groupBy(*labels).agg(F.count(F.lit(1)).alias("metric_value"))
+    if spec.mode == "gauge":
+        # reference gauge keeps the latest observed value; batch analogue:
+        # the max over the batch (deterministic, order-free)
+        return df.groupBy(*labels).agg(F.max(F.col(spec.value_field)).alias("metric_value"))
+    if spec.mode == "histogram":
+        v = F.col(spec.value_field).cast("double")
+        edges = sorted(spec.buckets)
+        bucket = F.lit(f"+Inf")
+        for e in reversed(edges):
+            bucket = F.when(v <= e, F.lit(f"le_{e}")).otherwise(bucket)
+        return (
+            df.withColumn("bucket", bucket)
+            .groupBy(*labels, F.col("bucket"))
+            .agg(F.count(F.lit(1)).alias("metric_value"))
+        )
+    raise ValueError(f"unknown log_to_metrics mode {spec.mode}")

@@ -1,0 +1,141 @@
+"""Tests for multiline sessionization, throttle, and processor units
+(content_modifier, sampling, log_to_metrics)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.filters import apply_throttle, apply_throttle_size
+from fluent_bit_spark.multiline import sessionize, sessionize_mode, start_flag
+from fluent_bit_spark.processors import (
+    ContentModifierRule,
+    LogToMetricsSpec,
+    apply_content_modifier,
+    log_to_metrics,
+    probabilistic_sample,
+)
+
+PY_TRACE = [
+    ("f1", 0, "starting worker"),
+    ("f1", 1, "Traceback (most recent call last):"),
+    ("f1", 2, '  File "app.py", line 10, in run'),
+    ("f1", 3, "    do_thing()"),
+    ("f1", 4, "ValueError: bad input"),
+    ("f1", 5, "worker restarted"),
+    ("f2", 0, "only one line"),
+]
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(rows, "file string, line_no long, line string")
+
+
+def test_multiline_python_mode(spark):
+    df = _lines(spark, PY_TRACE)
+    out = sessionize_mode(df, "python").orderBy("file", "first_line_no").collect()
+    msgs = [(r["file"], r["message"], r["n_lines"]) for r in out]
+    assert msgs[0] == ("f1", "starting worker", 1)
+    assert msgs[1] == (
+        "f1",
+        "Traceback (most recent call last):\n"
+        '  File "app.py", line 10, in run\n    do_thing()\nValueError: bad input',
+        4,
+    )
+    assert msgs[2] == ("f1", "worker restarted", 1)
+    assert msgs[3] == ("f2", "only one line", 1)
+
+
+def test_multiline_custom_start_regex(spark):
+    rows = [
+        ("a", 0, "2024-01-01 ok"),
+        ("a", 1, "cont line"),
+        ("a", 2, "2024-01-02 next"),
+    ]
+    df = _lines(spark, rows)
+    out = (
+        sessionize(df, start_flag(F.col("line"), r"^\d{4}-"))
+        .orderBy("first_line_no")
+        .collect()
+    )
+    assert [r["message"] for r in out] == ["2024-01-01 ok\ncont line", "2024-01-02 next"]
+
+
+def test_multiline_first_line_not_start(spark):
+    # file begins mid-record: first line still opens a record
+    rows = [("a", 0, "cont"), ("a", 1, "2024-01-01 start"), ("a", 2, "cont2")]
+    df = _lines(spark, rows)
+    out = (
+        sessionize(df, start_flag(F.col("line"), r"^\d{4}-"))
+        .orderBy("first_line_no")
+        .collect()
+    )
+    assert [r["message"] for r in out] == ["cont", "2024-01-01 start\ncont2"]
+
+
+def _events(spark, n=20):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=7 * i), f"m{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, msg string")
+
+
+def test_throttle_rate(spark):
+    df = _events(spark, 20)  # 7s apart -> panes of 60s hold ~8-9 rows
+    out = apply_throttle(df, rate=3, interval_sec=60, order_col="event_id")
+    got = out.orderBy("event_id").select("event_id").rdd.map(lambda r: r[0]).collect()
+    # panes of 60s: ids 0..8 (t 0-56), 9..17 (63-119), 18..19 (126-133)
+    assert got == [0, 1, 2, 9, 10, 11, 18, 19]
+
+
+def test_throttle_size(spark):
+    df = _events(spark, 10).withColumn("payload", F.lit("x" * 10))
+    out = apply_throttle_size(
+        df, max_bytes=25, interval_sec=60, size_field="payload", order_col="event_id"
+    )
+    # 10 bytes each, budget 25 -> first 2 rows of each 60s pane
+    got = out.orderBy("event_id").select("event_id").rdd.map(lambda r: r[0]).collect()
+    assert got == [0, 1, 9]
+
+
+def test_content_modifier(spark):
+    df = spark.createDataFrame([(1, "GET /a 200"), (2, "POST /b 500")], "id long, line string")
+    out = apply_content_modifier(
+        df,
+        [
+            ContentModifierRule("extract", "line", pattern=r"(?<verb>\w+) (?<path>\S+) (?<code>\d+)"),
+            ContentModifierRule("convert", "code", converted_type="int"),
+            ContentModifierRule("upsert", "env", value="prod"),
+            ContentModifierRule("rename", "line", value="raw"),
+            ContentModifierRule("hash", "path"),
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["verb"] == "GET" and rows[1]["code"] == 200
+    assert rows[2]["env"] == "prod" and "raw" in out.columns
+    assert len(rows[1]["path"]) == 64  # sha256 hex
+
+
+def test_probabilistic_sample_deterministic(spark):
+    df = _events(spark, 100)
+    a = probabilistic_sample(df, 30.0, "event_id").count()
+    b = probabilistic_sample(df, 30.0, "event_id").count()
+    assert a == b
+    assert 10 < a < 60  # ~30 of 100
+    kept_all = probabilistic_sample(
+        df, 0.0, "event_id", keep_condition=F.col("event_id") < 5
+    )
+    assert kept_all.count() == 5
+
+
+def test_log_to_metrics_counter_gauge_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("b", 20.0), ("b", 60.0)], "k string, v double"
+    )
+    c = log_to_metrics(df, LogToMetricsSpec("counter", label_fields=["k"]))
+    assert {(r["k"], r["metric_value"]) for r in c.collect()} == {("a", 2), ("b", 2)}
+    g = log_to_metrics(df, LogToMetricsSpec("gauge", label_fields=["k"], value_field="v"))
+    assert {(r["k"], r["metric_value"]) for r in g.collect()} == {("a", 4.0), ("b", 60.0)}
+    h = log_to_metrics(
+        df, LogToMetricsSpec("histogram", label_fields=["k"], value_field="v", buckets=(5.0, 50.0))
+    )
+    got = {(r["k"], r["bucket"], r["metric_value"]) for r in h.collect()}
+    assert got == {("a", "le_5.0", 2), ("b", "le_50.0", 1), ("b", "+Inf", 1)}
