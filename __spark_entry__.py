@@ -1,38 +1,1077 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (parsers, filters, router, SQL stream processor, enrich,
+processors, dedup/similarity/text dataops); `oracle_sql()` carries the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names and
+value formatting are aligned on both sides (aggregates rounded to 4
+decimals, timestamps reduced to epoch seconds) so the driver's
+order-insensitive value-hash matches.
+
+Non-SQL-expressible entries (MinHash/SimHash/LSH — xxhash64-derived —
+and the multimodal decode plumbing) intentionally have no oracle entry;
+the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# the module is loaded by the driver from the repo root; make the package
+# importable regardless of cwd
+import sys
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from fluent_bit_spark.filters import (  # noqa: E402
+    ExpectRule,
+    GrepRule,
+    ModifyCondition,
+    ModifyRule,
+    RecordModifier,
+    TypeConverterRule,
+    apply_expect,
+    apply_grep,
+    apply_modify,
+    apply_throttle,
+    apply_throttle_size,
+    apply_type_converter,
+    lift_columns,
+    nest_columns,
+)
+from fluent_bit_spark.multiline import sessionize, start_flag  # noqa: E402
+from fluent_bit_spark.parsers import LogfmtParser, LtsvParser, RegexParser  # noqa: E402
+from fluent_bit_spark.processors import (  # noqa: E402
+    ContentModifierRule,
+    LogToMetricsSpec,
+    apply_content_modifier,
+    log_to_metrics,
+    probabilistic_sample,
+)
+from fluent_bit_spark.router import (  # noqa: E402
+    RewriteTagRule,
+    RouteCondition,
+    SinkSpec,
+    apply_rewrite_tag,
+    route_flags,
+)
+from fluent_bit_spark.sqlsp import SPEngine  # noqa: E402
+from fluent_bit_spark.dataops import dedup, multimodal, similarity, textstats  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+def _epoch(c):
+    # truncating epoch seconds; oracle side uses CAST(floor(epoch(ts)) AS BIGINT)
+    return F.unix_timestamp(c)
+
+
+def _tagged_events(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tag = F.concat(
+        F.col("event_type"), F.lit(".u"), (F.col("user_id") % 10).cast("string")
+    )
+    return ev.withColumn("tag", tag)
+
+
+_TAG_SQL = "event_type || '.u' || CAST(user_id % 10 AS VARCHAR)"
+_EPOCH_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# filter family
+# ---------------------------------------------------------------------------
+
+
+def q_grep_legacy(spark, sf_dir):
+    """filter_grep legacy mode (plugins/filter_grep/grep.c:167-194):
+    first decisive rule wins — a matching exclude drops, then a
+    non-matching regex drops, a matching regex keeps."""
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        GrepRule("exclude", "props", r'"k": 9'),
+        GrepRule("regex", "event_type", r"^(click|view)$"),
+    ]
+    return apply_grep(ev, rules).select("event_id", "event_type", "props")
+
+
+def q_grep_and(spark, sf_dir):
+    """grep Logical_Op AND (grep.c:250-284)."""
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        GrepRule("regex", "event_type", r"^(click|view|purchase)$"),
+        GrepRule("regex", "props", r'"k": [12]'),
+    ]
+    return apply_grep(ev, rules, logical_op="AND").select("event_id")
+
+
+def q_grep_or_exclude(spark, sf_dir):
+    """grep Logical_Op OR over exclude rules: drop when ANY matches."""
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        GrepRule("exclude", "event_type", r"^error$"),
+        GrepRule("exclude", "props", r'"k": 9\d\}'),
+    ]
+    return apply_grep(ev, rules, logical_op="OR").select("event_id", "event_type")
+
+
+def q_modify(spark, sf_dir):
+    """filter_modify conditional rewriting (modify.c) over the dynamic
+    map encoding: conditions gate the whole rule chain."""
+    ev = _t(spark, sf_dir, "events")
+    body = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("props"), F.col("props"),
+    )
+    df = ev.withColumn("body", body)
+    rules = [
+        ModifyRule("set", "env", "prod"),
+        ModifyRule("rename", "uid", "user"),
+        ModifyRule("hard_copy", "etype", "etype_copy"),
+        ModifyRule("remove", "props"),
+    ]
+    conds = [ModifyCondition("key_value_matches", "etype", r"^(click|purchase)$")]
+    out = apply_modify(df, rules, conds)
+    m = F.col("body")
+    return out.select(
+        "event_id",
+        F.element_at(m, "env").alias("env"),
+        F.element_at(m, "user").alias("user"),
+        F.element_at(m, "uid").alias("uid"),
+        F.element_at(m, "etype_copy").alias("etype_copy"),
+        F.element_at(m, "props").isNotNull().alias("has_props"),
+    )
+
+
+def q_record_modifier(spark, sf_dir):
+    """filter_record_modifier: allowlist + static Record k/v."""
+    ev = _t(spark, sf_dir, "events")
+    body = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("props"), F.col("props"),
+    )
+    df = ev.withColumn("body", body)
+    rm = RecordModifier(records=[("src", "fb")], allowlist_keys=["etype", "uid"])
+    out = rm.apply(df)
+    m = F.col("body")
+    return out.select(
+        "event_id",
+        F.element_at(m, "etype").alias("etype"),
+        F.element_at(m, "uid").alias("uid"),
+        F.element_at(m, "src").alias("src"),
+        F.element_at(m, "props").isNotNull().alias("has_props"),
+    )
+
+
+def q_nest_lift(spark, sf_dir):
+    """filter_nest Operation Nest then Lift with Add_prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    nested = nest_columns(docs.select("doc_id", "lang", "source"), "lang", "meta")
+    nested = nest_columns(nested, "source", "meta2")
+    # merge: lift both with prefix
+    out = lift_columns(nested, "meta", add_prefix="m_")
+    out = lift_columns(out, "meta2", add_prefix="m_")
+    return out.select("doc_id", "m_lang", "m_source")
+
+
+def q_type_converter(spark, sf_dir):
+    """filter_type_converter: FROM TO TYPE copies with cast."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.withColumn("kstr", F.regexp_extract("props", r'"k": (\d+)', 1))
+    rules = [
+        TypeConverterRule("kstr", "k_int", "int"),
+        TypeConverterRule("user_id", "uid_str", "string"),
+        TypeConverterRule("kstr", "k_float", "float"),
+    ]
+    return apply_type_converter(df, rules).select(
+        "event_id", "k_int", "uid_str", "k_float"
+    )
+
+
+def q_expect(spark, sf_dir):
+    """filter_expect with action result_key (annotation mode)."""
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        ExpectRule("key_val_is_not_null", "props"),
+        ExpectRule("key_val_eq", "event_type", "click"),
+    ]
+    return apply_expect(ev, rules, result_key="ok").select("event_id", "ok")
+
+
+def q_throttle(spark, sf_dir):
+    """filter_throttle as deterministic event-time rate limiting."""
+    ev = _t(spark, sf_dir, "events")
+    return apply_throttle(
+        ev, rate=20, interval_sec=3600, ts_col="ts", order_col="event_id"
+    ).select("event_id")
+
+
+def q_throttle_size(spark, sf_dir):
+    """filter_throttle_size: per-pane byte budget on a field's rendering."""
+    ev = _t(spark, sf_dir, "events")
+    return apply_throttle_size(
+        ev, max_bytes=120, interval_sec=3600, size_field="props",
+        ts_col="ts", order_col="event_id",
+    ).select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# parser family
+# ---------------------------------------------------------------------------
+
+
+def q_parser_regex(spark, sf_dir):
+    """regex parser: named capture groups -> columns
+    (src/flb_parser_regex.c:114-227)."""
+    ev = _t(spark, sf_dir, "events")
+    p = RegexParser(name="kparse", regex=r'^\{"k": (?<kv>\d+)\}$')
+    return p.apply(ev, "props").select("event_id", "kv")
+
+
+def q_parser_regex_time(spark, sf_dir):
+    """regex parser with time_key/time_fmt: apache-style %d/%b/%Y:%H:%M:%S %z
+    round-trip (src/flb_parser.c:1159 flb_parser_time_lookup)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["), F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] code="), (F.col("user_id") % 7).cast("string"),
+    )
+    df = ev.withColumn("line", line)
+    p = RegexParser(
+        name="t",
+        regex=r"^\[(?<time>[^\]]+)\] code=(?<code>\d+)$",
+        time_key="time",
+        time_fmt="%d/%b/%Y:%H:%M:%S %z",
+    )
+    out = p.apply(df, "line", ts_col="log_ts")
+    return out.select("event_id", "code", _epoch(F.col("log_ts")).alias("log_epoch"))
+
+
+def q_parser_json(spark, sf_dir):
+    """json parser + aggregation of an extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_parser_logfmt(spark, sf_dir):
+    """logfmt parser round trip (src/flb_parser_logfmt.c)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" uid="), F.col("user_id").cast("string"),
+        F.lit(' msg="ev \\"q\\" done" flag'),
+    )
+    df = ev.withColumn("line", line)
+    out = LogfmtParser(name="lf").apply(df, "line")
+    m = F.col("kv")
+    return out.select(
+        "event_id",
+        F.element_at(m, "type").alias("ptype"),
+        F.element_at(m, "uid").alias("puid"),
+        F.element_at(m, "msg").alias("pmsg"),
+        F.element_at(m, "flag").alias("pflag"),
+    )
+
+
+def q_parser_ltsv(spark, sf_dir):
+    """LTSV parser (src/flb_parser_ltsv.c): tab-separated label:value."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("type:"), F.col("event_type"),
+        F.lit("\tuid:"), F.col("user_id").cast("string"),
+    )
+    df = ev.withColumn("line", line)
+    out = LtsvParser(name="lt").apply(df, "line")
+    m = F.col("kv")
+    return out.select(
+        "event_id",
+        F.element_at(m, "type").alias("ptype"),
+        F.element_at(m, "uid").alias("puid"),
+    )
+
+
+def q_multiline(spark, sf_dir):
+    """multiline core as sessionization (src/multiline/flb_ml.c)."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("f"), (F.col("user_id") % 5).cast("string")).alias("file"),
+        F.col("event_id").alias("line_no"),
+        F.when(
+            (F.col("event_id") % 4).isin(1, 2),
+            F.concat(F.lit("  cont "), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("start "), F.col("event_id").cast("string")))
+        .alias("line"),
+    )
+    out = sessionize(lines, start_flag(F.col("line"), r"^start"))
+    return out.select("file", "first_line_no", "n_lines", "message")
+
+
+# ---------------------------------------------------------------------------
+# router family
+# ---------------------------------------------------------------------------
+
+
+def q_route_counts(spark, sf_dir):
+    """tag-glob + conditional routing to per-sink counts
+    (src/flb_router.c:86-134; src/flb_router_condition.c)."""
+    df = _tagged_events(spark, sf_dir)
+    sinks = [
+        SinkSpec("clicks", match="click.*"),
+        SinkSpec("u3", match="*.u3"),
+        SinkSpec("big", match="*", conditions=(RouteCondition("value", "gte", 15.0),)),
+        SinkSpec("errs_or_signup", match_regex=r"^(error|signup)\."),
+    ]
+    flagged = route_flags(df, sinks)
+    agg = flagged.agg(
+        *[F.sum(F.col(f"__route_{s.name}").cast("long")).alias(s.name) for s in sinks]
+    )
+    return agg.selectExpr(
+        "stack(4, 'clicks', clicks, 'u3', u3, 'big', big, "
+        "'errs_or_signup', errs_or_signup) as (sink, n)"
+    )
+
+
+def q_rewrite_tag(spark, sf_dir):
+    """filter_rewrite_tag with $TAG[n] template + keep=false
+    (plugins/filter_rewrite_tag/rewrite_tag.c:37-104)."""
+    df = _tagged_events(spark, sf_dir)
+    rules = [RewriteTagRule(key="event_type", regex=r"^err", new_tag="alerts.$TAG[1]", keep=False)]
+    out = apply_rewrite_tag(df, rules)
+    return out.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_rewrite_tag_keep(spark, sf_dir):
+    """rewrite_tag keep=true: original AND re-tagged copy both flow."""
+    df = _tagged_events(spark, sf_dir)
+    rules = [RewriteTagRule(key="event_type", regex=r"^signup$", new_tag="onboard.$TAG[1]", keep=True)]
+    out = apply_rewrite_tag(df, rules)
+    return out.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# SQL stream processor (src/stream_processor/)
+# ---------------------------------------------------------------------------
+
+
+def _sp(spark, sf_dir) -> SPEngine:
+    ev = _tagged_events(spark, sf_dir)
+    return SPEngine(streams={"events": ev}, tag_source=ev, mode="static", ts_col="ts")
+
+
+def q_sp_select(spark, sf_dir):
+    """SP projection + WHERE (sql.y:158-239; flb_sp.c:1607 sp_process_data)."""
+    eng = _sp(spark, sf_dir)
+    return eng.run(
+        "SELECT event_id AS eid, event_type AS etype, value AS v "
+        "FROM STREAM:events WHERE value >= 10 AND event_type != 'error';"
+    )
+
+
+def q_sp_coercion(spark, sf_dir):
+    """FB comparison semantics: string literal compared to a number field
+    is parsed to a number (flb_sp.c:840-842)."""
+    eng = _sp(spark, sf_dir)
+    return eng.run("SELECT event_id AS eid FROM STREAM:events WHERE user_id > '125';")
+
+
+def q_sp_aggregate(spark, sf_dir):
+    """global aggregates (flb_sp_aggregate_func.c:50-205)."""
+    eng = _sp(spark, sf_dir)
+    out = eng.run(
+        "SELECT MIN(value) AS vmin, MAX(value) AS vmax, SUM(value) AS vsum, "
+        "AVG(value) AS vavg, COUNT(*) AS n FROM STREAM:events;"
+    )
+    return out.select("vmin", "vmax", _r4("vsum").alias("vsum"), _r4("vavg").alias("vavg"), "n")
+
+
+def q_sp_groupby(spark, sf_dir):
+    """GROUP BY path (flb_sp.c:1280-1429, flb_sp_groupby.c)."""
+    eng = _sp(spark, sf_dir)
+    out = eng.run(
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv, MIN(value) AS mn, "
+        "MAX(value) AS mx FROM STREAM:events GROUP BY event_type;"
+    )
+    return out.select("event_type", "n", _r4("sv").alias("sv"), "mn", "mx")
+
+
+def q_sp_window_tumbling(spark, sf_dir):
+    """WINDOW TUMBLING re-expressed on event time (SURVEY §2.5: the
+    reference fires on processing-time timers, flb_sp.c:519-527; we assign
+    by warc_ts/ts — deterministic, testable)."""
+    eng = _sp(spark, sf_dir)
+    out = eng.run(
+        "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv FROM STREAM:events "
+        "WINDOW TUMBLING (300 SECOND) GROUP BY event_type;"
+    )
+    return out.select(
+        _epoch(F.col("window_start")).alias("ws"),
+        "event_type", "n", _r4("sv").alias("sv"),
+    )
+
+
+def q_sp_window_hopping(spark, sf_dir):
+    """WINDOW HOPPING (600, ADVANCE BY 300): Spark recomputes each hop, so
+    MIN/MAX are correct (the reference's non-retractable MIN/MAX over
+    hopping windows keep stale extremes — flb_sp_aggregate_func.c:348-355;
+    we match correct semantics per SURVEY §2.5)."""
+    eng = _sp(spark, sf_dir)
+    out = eng.run(
+        "SELECT COUNT(*) AS n, SUM(value) AS sv FROM STREAM:events "
+        "WINDOW HOPPING (600 SECOND, ADVANCE BY 300 SECOND);"
+    )
+    return out.select(_epoch(F.col("window_start")).alias("ws"), "n", _r4("sv").alias("sv"))
+
+
+def q_sp_forecast(spark, sf_dir):
+    """TIMESERIES_FORECAST: linear regression over (t - t0, value),
+    predicted at latest + 600s (flb_sp_aggregate_func.c:223-308)."""
+    eng = _sp(spark, sf_dir)
+    out = eng.run("SELECT TIMESERIES_FORECAST(value, 600) AS fc FROM STREAM:events;")
+    return out.select(_r4("fc").alias("fc"))
+
+
+def q_sp_create_stream(spark, sf_dir):
+    """CREATE STREAM ... AS SELECT chaining (flb_sp_stream.c:35-101)."""
+    eng = _sp(spark, sf_dir)
+    eng.create_stream(
+        "CREATE STREAM peruser AS SELECT user_id, COUNT(*) AS n, SUM(value) AS sv "
+        "FROM STREAM:events GROUP BY user_id;"
+    )
+    out = eng.run("SELECT user_id, n FROM STREAM:peruser WHERE n > 70 GROUP BY user_id, n;")
+    # n > 70: integer compare, no float drift; project plain columns
+    return out.select("user_id", "n")
+
+
+def q_sp_tag_match(spark, sf_dir):
+    """FROM TAG:'pattern' source selection (flb_sp.c:2024-2034)."""
+    eng = _sp(spark, sf_dir)
+    return eng.run("SELECT event_id AS eid FROM TAG:'click.*';")
+
+
+# ---------------------------------------------------------------------------
+# enrichment (broadcast lookup joins)
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_broadcast(spark, sf_dir):
+    """geoip2/checklist-style lookup enrichment: broadcast hash join of the
+    stream against a dimension (plugins/filter_geoip2/geoip2.c:45-110),
+    then the out_counter aggregation per enriched attribute."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
+    )
+
+
+def q_checklist(spark, sf_dir):
+    """filter_checklist: annotate rows whose key is in a value list
+    (plugins/filter_checklist/checklist.c:501-541)."""
+    from fluent_bit_spark.enrich import checklist_annotate
+
+    ev = _t(spark, sf_dir, "events")
+    out = checklist_annotate(
+        ev.withColumn("uid_str", F.col("user_id").cast("string")),
+        values=["3", "7", "11", "42"],
+        lookup_key="uid_str",
+        records=[("flagged", "true")],
+    )
+    return out.groupBy("flagged").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# processors
+# ---------------------------------------------------------------------------
+
+
+def q_content_modifier(spark, sf_dir):
+    """processor_content_modifier: extract/convert/hash/upsert
+    (plugins/processor_content_modifier/cm_config.c:28-47)."""
+    ev = _t(spark, sf_dir, "events")
+    out = apply_content_modifier(
+        ev,
+        [
+            ContentModifierRule("extract", "props", pattern=r'"k": (?<kval>\d+)'),
+            ContentModifierRule("convert", "kval", converted_type="bigint"),
+            ContentModifierRule("hash", "event_type"),
+            ContentModifierRule("upsert", "env", value="prod"),
+        ],
+    )
+    return out.select("event_id", "kval", F.col("event_type").alias("etype_sha"), "env")
+
+
+def q_sampling(spark, sf_dir):
+    """processor_sampling probabilistic mode, deterministic draw; rows
+    matching the keep-condition always pass (sampling_cond_*.c)."""
+    ev = _t(spark, sf_dir, "events")
+    out = probabilistic_sample(
+        ev, 30.0, "event_id", keep_condition=F.col("event_type") == "error"
+    )
+    return out.select("event_id", "event_type")
+
+
+def q_log_to_metrics(spark, sf_dir):
+    """filter_log_to_metrics histogram mode (log_to_metrics.c:120-265)."""
+    ev = _t(spark, sf_dir, "events")
+    spec = LogToMetricsSpec(
+        "histogram", label_fields=("event_type",), value_field="value",
+        buckets=(2.0, 5.0, 10.0),
+    )
+    return log_to_metrics(ev, spec)
+
+
+# ---------------------------------------------------------------------------
+# dataops: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """exact dedup group stats: shuffle on a 64-bit digest, not raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs).select("rep_id", "n_members")
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    """exact dedup kept set: lowest doc_id per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """exact word-3-gram Jaccard over candidate pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = dedup.ngram_jaccard_pairs(docs, pairs, n=1)
+    return out.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", _r4("jaccard").alias("j")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-based; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    est = dedup.minhash_jaccard_estimate(docs, pairs, num_hashes=32)
+    return est.select("id_a", "id_b", _r4("est_jaccard").alias("est_j"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint dedup (xxhash64-based; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(docs).select("doc_id", "simhash")
+
+
+def q_text_profile(spark, sf_dir):
+    """text analysis: token counts, BPE-ish counts, lang-ID, quality."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.text_profile(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        _r4(F.col("quality")).alias("q"),
+    )
+
+
+def q_sim_topk(spark, sf_dir):
+    """brute-force cosine top-k (correctness baseline for ANN)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "cand_id", "rank")
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (hyperplane signs; deterministic; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(emb, queries, k=5, dim=64, n_bits=8)
+    return out.select("query_id", "cand_id", "rank")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """multimodal plumbing: opaque binary payloads + pandas-UDF decode
+    (deterministic fake decoder; rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.make_media_table(spark, docs)
+    out = multimodal.decode_images(media, fake=True)
+    return out.select("media_id", "width", "height", "phash")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline (the flagship)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """parse -> filter -> route -> per-sink counts off ONE pass (the
+    north-rule pipeline shape; mirrors out_counter per sink)."""
+    ev = _t(spark, sf_dir, "events")
+    # parse stage: json props
+    df = ev.withColumn("kval", F.get_json_object("props", "$.k").cast("long"))
+    # filter stage: grep legacy keep click/view/purchase
+    rules = [
+        GrepRule("exclude", "event_type", r"^error$"),
+        GrepRule("regex", "event_type", r"^(click|view|purchase|signup)$"),
+    ]
+    df = apply_grep(df, rules)
+    # modify stage: derived band column
+    band = (
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+    )
+    df = df.withColumn("band", band)
+    # tag + route
+    df = df.withColumn(
+        "tag", F.concat(F.col("event_type"), F.lit(".u"), (F.col("user_id") % 10).cast("string"))
+    )
+    sinks = [
+        SinkSpec("clicks", match="click.*"),
+        SinkSpec("views_u3", match="view.u3"),
+        SinkSpec("high_band", match="*", conditions=(RouteCondition("band", "eq", "high"),)),
+        SinkSpec("kmax", match="*", conditions=(RouteCondition("kval", "gte", 90),)),
+    ]
+    flagged = route_flags(df, sinks)
+    agg = flagged.agg(
+        *[F.sum(F.col(f"__route_{s.name}").cast("long")).alias(s.name) for s in sinks],
+        _r4(F.sum(F.when(F.col("__route_high_band"), F.col("value")))).alias("sv_high"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'clicks', clicks, 'views_u3', views_u3, 'high_band', high_band, "
+        "'kmax', kmax) as (sink, n)",
+        "sv_high",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pipeline_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "grep_legacy": q_grep_legacy,
+        "grep_and": q_grep_and,
+        "grep_or_exclude": q_grep_or_exclude,
+        "modify": q_modify,
+        "record_modifier": q_record_modifier,
+        "nest_lift": q_nest_lift,
+        "type_converter": q_type_converter,
+        "expect": q_expect,
+        "throttle": q_throttle,
+        "throttle_size": q_throttle_size,
+        "parser_regex": q_parser_regex,
+        "parser_regex_time": q_parser_regex_time,
+        "parser_json": q_parser_json,
+        "parser_logfmt": q_parser_logfmt,
+        "parser_ltsv": q_parser_ltsv,
+        "multiline": q_multiline,
+        "route_counts": q_route_counts,
+        "rewrite_tag": q_rewrite_tag,
+        "rewrite_tag_keep": q_rewrite_tag_keep,
+        "sp_select": q_sp_select,
+        "sp_coercion": q_sp_coercion,
+        "sp_aggregate": q_sp_aggregate,
+        "sp_groupby": q_sp_groupby,
+        "sp_window_tumbling": q_sp_window_tumbling,
+        "sp_window_hopping": q_sp_window_hopping,
+        "sp_forecast": q_sp_forecast,
+        "sp_create_stream": q_sp_create_stream,
+        "sp_tag_match": q_sp_tag_match,
+        "enrich_broadcast": q_enrich_broadcast,
+        "checklist": q_checklist,
+        "content_modifier": q_content_modifier,
+        "sampling": q_sampling,
+        "log_to_metrics": q_log_to_metrics,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_profile": q_text_profile,
+        "sim_topk": q_sim_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "pipeline_e2e": q_pipeline_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tag = _TAG_SQL
+    ep = _EPOCH_SQL
+    kv = r"""regexp_extract(props, '"k": (\d+)', 1)"""
+    toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
+    toks_l = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
+    # SQL string literal: single quotes in the pattern doubled for DuckDB
+    bpe_pat = r"(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)"
+    sw = {
+        "en": "['the','and','of','to','is','in','that','it']",
+        "es": "['el','la','de','que','y','en','los','es']",
+        "de": "['der','die','und','das','ist','nicht','ein','zu']",
+        "fr": "['le','la','les','et','de','est','un','une']",
+    }
+    lang_scores = ", ".join(
+        f"len(list_filter(toks_norm, t -> list_contains({lst}, t))) / nt AS s_{lang}"
+        for lang, lst in sw.items()
+    )
+
+    return {
+        "grep_legacy": r"""
+            SELECT event_id, event_type, props FROM events
+            WHERE NOT regexp_matches(props, '"k": 9')
+              AND regexp_matches(event_type, '^(click|view)$')
+        """,
+        "grep_and": r"""
+            SELECT event_id FROM events
+            WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+              AND regexp_matches(props, '"k": [12]')
+        """,
+        "grep_or_exclude": r"""
+            SELECT event_id, event_type FROM events
+            WHERE NOT (regexp_matches(event_type, '^error$')
+                       OR regexp_matches(props, '"k": 9\d\}'))
+        """,
+        "modify": r"""
+            SELECT event_id,
+              CASE WHEN hit THEN 'prod' END AS env,
+              CASE WHEN hit THEN CAST(user_id AS VARCHAR) END AS "user",
+              CASE WHEN NOT hit THEN CAST(user_id AS VARCHAR) END AS uid,
+              CASE WHEN hit THEN event_type END AS etype_copy,
+              NOT hit AS has_props
+            FROM (SELECT *, regexp_matches(event_type, '^(click|purchase)$') AS hit
+                  FROM events)
+        """,
+        "record_modifier": """
+            SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid,
+                   'fb' AS src, FALSE AS has_props
+            FROM events
+        """,
+        "nest_lift": """
+            SELECT doc_id, lang AS m_lang, source AS m_source FROM documents
+        """,
+        "type_converter": f"""
+            SELECT event_id, CAST({kv} AS BIGINT) AS k_int,
+                   CAST(user_id AS VARCHAR) AS uid_str,
+                   CAST({kv} AS DOUBLE) AS k_float
+            FROM events
+        """,
+        "expect": """
+            SELECT event_id, (props IS NOT NULL AND event_type = 'click') AS ok
+            FROM events
+        """,
+        "throttle": f"""
+            SELECT event_id FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 20
+        """,
+        "throttle_size": f"""
+            SELECT event_id FROM events
+            QUALIFY sum(length(props)) OVER (
+                PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 120
+        """,
+        "parser_regex": r"""
+            SELECT event_id, regexp_extract(props, '^\{"k": (\d+)\}$', 1) AS kv
+            FROM events
+        """,
+        "parser_regex_time": f"""
+            SELECT event_id, CAST(user_id % 7 AS VARCHAR) AS code,
+                   {ep} AS log_epoch
+            FROM events
+        """,
+        "parser_json": f"""
+            SELECT event_type, SUM(CAST({kv} AS BIGINT)) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "parser_logfmt": """
+            SELECT event_id, event_type AS ptype, CAST(user_id AS VARCHAR) AS puid,
+                   'ev "q" done' AS pmsg, '' AS pflag
+            FROM events
+        """,
+        "parser_ltsv": """
+            SELECT event_id, event_type AS ptype, CAST(user_id AS VARCHAR) AS puid
+            FROM events
+        """,
+        "multiline": """
+            WITH l AS (
+              SELECT 'f' || CAST(user_id % 5 AS VARCHAR) AS file,
+                     event_id AS line_no,
+                     CASE WHEN event_id % 4 IN (1, 2)
+                          THEN '  cont ' || CAST(event_id AS VARCHAR)
+                          ELSE 'start ' || CAST(event_id AS VARCHAR) END AS line
+              FROM events),
+            f AS (
+              SELECT *, min(line_no) OVER (PARTITION BY file) AS first_ln FROM l),
+            g AS (
+              SELECT *, sum(CASE WHEN line LIKE 'start%' OR line_no = first_ln
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY file ORDER BY line_no) AS grp
+              FROM f)
+            SELECT file, min(line_no) AS first_line_no, COUNT(*) AS n_lines,
+                   string_agg(line, chr(10) ORDER BY line_no) AS message
+            FROM g GROUP BY file, grp
+        """,
+        "route_counts": f"""
+            WITH t AS (SELECT *, {tag} AS tag FROM events)
+            SELECT 'clicks' AS sink, COUNT(*) AS n FROM t WHERE tag LIKE 'click.%'
+            UNION ALL
+            SELECT 'u3', COUNT(*) FROM t WHERE regexp_matches(tag, '^.*\\.u3$')
+            UNION ALL
+            SELECT 'big', COUNT(*) FROM t WHERE value >= 15.0
+            UNION ALL
+            SELECT 'errs_or_signup', COUNT(*) FROM t
+              WHERE regexp_matches(tag, '^(error|signup)\\.')
+        """,
+        "rewrite_tag": f"""
+            WITH t AS (SELECT *, {tag} AS tag FROM events),
+            r AS (SELECT CASE WHEN regexp_matches(event_type, '^err')
+                              THEN 'alerts.' || split_part(tag, '.', 2)
+                              ELSE tag END AS tag
+                  FROM t)
+            SELECT tag, COUNT(*) AS n FROM r GROUP BY tag
+        """,
+        "rewrite_tag_keep": f"""
+            WITH t AS (SELECT *, {tag} AS tag FROM events),
+            r AS (
+              SELECT tag FROM t
+              UNION ALL
+              SELECT 'onboard.' || split_part(tag, '.', 2) AS tag FROM t
+              WHERE regexp_matches(event_type, '^signup$'))
+            SELECT tag, COUNT(*) AS n FROM r GROUP BY tag
+        """,
+        "sp_select": """
+            SELECT event_id AS eid, event_type AS etype, value AS v FROM events
+            WHERE value >= 10 AND event_type != 'error'
+        """,
+        "sp_coercion": """
+            SELECT event_id AS eid FROM events WHERE user_id > 125
+        """,
+        "sp_aggregate": """
+            SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+                   round(SUM(value), 4) AS vsum,
+                   round(SUM(value) / COUNT(*), 4) AS vavg,
+                   COUNT(*) AS n
+            FROM events
+        """,
+        "sp_groupby": """
+            SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS sv,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events GROUP BY event_type
+        """,
+        "sp_window_tumbling": f"""
+            SELECT CAST(floor({ep} / 300) * 300 AS BIGINT) AS ws, event_type,
+                   COUNT(*) AS n, round(SUM(value), 4) AS sv
+            FROM events GROUP BY 1, 2
+        """,
+        "sp_window_hopping": f"""
+            WITH h AS (
+              SELECT unnest([CAST(floor({ep} / 300) * 300 AS BIGINT),
+                             CAST(floor({ep} / 300) * 300 - 300 AS BIGINT)]) AS ws,
+                     value
+              FROM events)
+            SELECT ws, COUNT(*) AS n, round(SUM(value), 4) AS sv
+            FROM h GROUP BY ws
+        """,
+        "sp_forecast": """
+            SELECT round(AVG(value) + regr_slope(value, epoch(ts)) *
+                         ((MAX(epoch(ts)) - AVG(epoch(ts))) + 600.0), 4) AS fc
+            FROM events
+        """,
+        "sp_create_stream": """
+            SELECT user_id, n FROM (
+              SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+            WHERE n > 70
+        """,
+        "sp_tag_match": f"""
+            SELECT event_id AS eid FROM events
+            WHERE regexp_matches({tag}, '^click\\..*$')
+        """,
+        "enrich_broadcast": """
+            SELECT c.c_mktsegment, COUNT(*) AS n, round(SUM(e.value), 4) AS sv
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "checklist": """
+            SELECT CASE WHEN CAST(user_id AS VARCHAR) IN ('3','7','11','42')
+                        THEN 'true' END AS flagged,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "content_modifier": f"""
+            SELECT event_id, CAST({kv} AS BIGINT) AS kval,
+                   sha256(event_type) AS etype_sha, 'prod' AS env
+            FROM events
+        """,
+        "sampling": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type = 'error'
+               OR (event_id * 2654435761) % 4294967296 < 1288490188
+        """,
+        "log_to_metrics": """
+            SELECT event_type,
+                   CASE WHEN value <= 2.0 THEN 'le_2.0'
+                        WHEN value <= 5.0 THEN 'le_5.0'
+                        WHEN value <= 10.0 THEN 'le_10.0'
+                        ELSE '+Inf' END AS bucket,
+                   COUNT(*) AS metric_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact_groups": """
+            SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_members
+            FROM documents GROUP BY text
+        """,
+        "dedup_exact_keep": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS sh
+              FROM documents WHERE doc_id < 60),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+              FROM d a, d b WHERE a.doc_id < b.doc_id),
+            j AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+                          AS DOUBLE) AS jac
+              FROM p)
+            SELECT id_a, id_b, round(jac, 4) AS j FROM j WHERE jac >= 0.2
+        """,
+        "text_profile": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     {toks} AS toks,
+                     {toks_l} AS toks_low
+              FROM documents),
+            n AS (
+              SELECT doc_id, text, toks, toks_low,
+                     len(toks) AS n_tokens,
+                     greatest(len(toks_low), 1) AS nt,
+                     list_transform(toks_low,
+                       t -> regexp_replace(t, '[^a-zäöüéèáí]', '', 'g')) AS toks_norm
+              FROM base),
+            s AS (
+              SELECT doc_id, text, toks, n_tokens, nt, toks_low,
+                     {lang_scores}
+              FROM n),
+            q AS (
+              SELECT *,
+                     length(text) AS n_chars,
+                     greatest(len(toks), 1) AS ntq,
+                     length(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+                       AS punct,
+                     len(list_filter(toks_low,
+                       t -> list_contains({sw['en']}, t))) AS stop_hits_ci
+              FROM s),
+            q2 AS (
+              SELECT *,
+                     len(list_filter(list_transform(toks, t -> lower(t)),
+                       t -> list_contains({sw['en']}, t))) AS stop_hits
+              FROM q)
+            SELECT doc_id,
+                   n_tokens,
+                   len(list_filter(regexp_extract_all(text,
+                     '{bpe_pat}', 1), p -> trim(p) != '')) AS n_bpe_tokens,
+                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   round(CAST(
+                     (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                           THEN 1.0 ELSE 0.3 END) * 0.3 +
+                     (CASE WHEN (CAST(n_chars AS DOUBLE) / ntq) >= 3
+                            AND (CAST(n_chars AS DOUBLE) / ntq) <= 12
+                           THEN 1.0 ELSE 0.4 END) * 0.3 +
+                     (CASE WHEN (CAST(punct AS DOUBLE) / greatest(n_chars, 1)) <= 0.2
+                           THEN 1.0 ELSE 0.5 END) * 0.2 +
+                     (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.6 END) * 0.2
+                   AS DOUBLE), 4) AS q
+            FROM q2
+        """,
+        "sim_topk": """
+            WITH qv AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+              FROM embeddings WHERE vec_id < 5),
+            cv AS (
+              SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c
+              FROM embeddings),
+            s AS (
+              SELECT query_id, cand_id,
+                     list_cosine_similarity(q, c) AS cos
+              FROM qv, cv WHERE cand_id != query_id)
+            SELECT query_id, cand_id, rank FROM (
+              SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, cand_id ASC) AS rank
+              FROM s)
+            WHERE rank <= 5
+        """,
+        "pipeline_e2e": f"""
+            WITH p AS (
+              SELECT *, CAST({kv} AS BIGINT) AS kval, {tag} AS tag,
+                     CASE WHEN value < 5 THEN 'low'
+                          WHEN value < 15 THEN 'mid'
+                          ELSE 'high' END AS band
+              FROM events
+              WHERE NOT regexp_matches(event_type, '^error$')
+                AND regexp_matches(event_type, '^(click|view|purchase|signup)$')),
+            sv AS (
+              SELECT round(SUM(CASE WHEN band = 'high' THEN value END), 4)
+                AS sv_high FROM p)
+            SELECT s.sink, s.n, sv.sv_high FROM (
+              SELECT 'clicks' AS sink, COUNT(*) AS n FROM p WHERE tag LIKE 'click.%'
+              UNION ALL
+              SELECT 'views_u3', COUNT(*) FROM p WHERE tag = 'view.u3'
+              UNION ALL
+              SELECT 'high_band', COUNT(*) FROM p WHERE band = 'high'
+              UNION ALL
+              SELECT 'kmax', COUNT(*) FROM p WHERE kval >= 90) s, sv
+        """,
+    }

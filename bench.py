@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the end-to-end parse->filter/enrich->route pipeline over
+the synthetic Common-Crawl-shape table (BASELINE.json input_hint), with
+per-sink counts taken in the same pass; docs/sec is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_spark(cpus: int, shuffle_partitions: int | None = None) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fluent-bit-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def _materialize(df) -> int:
+    """Run the full plan without collecting to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
+    """The north-rule job: generate the Common-Crawl-shape table, parse the
+    embedded access-log line, filter, enrich (broadcast), tag, route to
+    sinks, count per sink — one pass, no driver loops."""
+    from fluent_bit_spark.pipeline import (
+        DEFAULT_SINKS,
+        enrich_stage,
+        filter_stage,
+        parse_stage,
+        tag_stage,
+    )
+    from fluent_bit_spark.router import route_flags
+    from fluent_bit_spark.webgen import generate, geo_dict, lang_dict
+
+    pages = generate(spark, n_rows, partitions=partitions)
+    parsed = tag_stage(
+        enrich_stage(filter_stage(parse_stage(pages)), geo_dict(spark), lang_dict(spark))
+    )
+    flagged = route_flags(parsed, DEFAULT_SINKS)
+    counts = flagged.agg(
+        *[
+            F.sum(F.col(f"__route_{s.name}").cast("long")).alias(s.name)
+            for s in DEFAULT_SINKS
+        ]
+    )
+    row = counts.collect()[0]
+    return row.asDict()
+
+
+HEADLINE = [
+    "pipeline_e2e",
+    "sp_groupby",
+    "sp_window_tumbling",
+    "enrich_broadcast",
+    "route_counts",
+    "text_profile",
+    "dedup_minhash_lsh",
+    "sim_topk",
+    "multiline",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once on a cheap query
+    _materialize(qs["route_counts"](spark, sf_dir))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # the north-rule e2e job on the synthetic web table, sized with sf
+    n_docs = int(os.environ.get("SPARK_GRAFT_WEBROWS", str(int(2_000_000 * sf_num))))
+    t0 = time.time()
+    run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
+    e2e_sec = time.time() - t0
+    timings["webgen_e2e"] = round(e2e_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "cpus": cpus,
+                "webgen_docs": n_docs,
+                "webgen_docs_per_sec": round(n_docs / e2e_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,14 +21,27 @@ from pyspark.sql import functions as F
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (lower-cased, whitespace tokenized).
-    Pure JVM: split + transform over a sequence of slices."""
+
+    Built by zipping n shifted views of the token array. Every shifted
+    slice sits in *argument* position of arrays_zip, so the tokenizing
+    split() runs exactly n times per row — never per element. (A
+    transform() over an index sequence with slice(toks, i, n) in the
+    lambda body re-evaluates the split per shingle: O(tokens² · |text|),
+    catastrophic on long documents.)"""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    return F.when(
-        count > 0,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    if n == 1:
+        return toks
+    shifted = [toks] + [
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        for k in range(1, n)
+    ]
+    zipped = F.arrays_zip(*[c.alias(str(i)) for i, c in enumerate(shifted)])
+    fields = [f"{i}" for i in range(n)]
+    # rows past size-(n-1) carry nulls in the last field -> not shingles
+    full = F.filter(zipped, lambda s: s.getField(fields[-1]).isNotNull())
+    return F.transform(
+        full, lambda s: F.concat_ws(" ", *[s.getField(f) for f in fields])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -68,13 +81,15 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
     transform() over the seed sequence of transform() over shingles.
     """
     sh = shingles(text, shingle_n)
+    # per-shingle row of num_hashes hashes, shingle array in argument
+    # position (one evaluation); columnwise min via a single fold.
     seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    return F.transform(
-        seeds,
-        lambda s: F.coalesce(
-            F.array_min(F.transform(sh, lambda x: F.xxhash64(x, s))),
-            F.lit(2**63 - 1),
-        ),
+    per_shingle = F.transform(
+        sh, lambda x: F.transform(seeds, lambda s: F.xxhash64(x, s))
+    )
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        per_shingle, init, lambda acc, row: F.zip_with(acc, row, lambda a, b: F.least(a, b))
     )
 
 
@@ -163,21 +178,42 @@ def minhash_jaccard_estimate(
 
 
 def simhash(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash as a long: sign of per-bit weighted sums over shingle
-    hashes. JVM-only: aggregate over bits via sequence/transform.
+    """64-bit SimHash as a long: for each bit k, set iff #(shingles with
+    hash bit k set) > n/2.
 
-    For each bit k: bit = 1 iff #(shingles with hash bit k set) > n/2.
+    One pass: fold the shingle-hash array into [bit0..bit63 counts, n]
+    (the hash array sits in argument position — single evaluation), then
+    one zip against the literal mask table builds the fingerprint. The
+    earlier form (64 filter() passes, each re-evaluating the hash array)
+    was O(64 · shingle-build) per row.
     """
     sh = shingles(text, shingle_n)
     hashes = F.transform(sh, lambda x: F.xxhash64(x))
-    n = F.size(hashes)
-    acc = F.lit(0).cast("long")
-    for k in range(64):
-        mask = (1 << k) if k < 63 else -(2**63)  # sign bit as two's complement
-        lit_mask = F.lit(mask).cast("long")
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(lit_mask) != 0))
-        acc = acc.bitwiseOR(F.when(cnt * 2 > n, lit_mask).otherwise(F.lit(0).cast("long")))
-    return acc
+    mask_vals = [(1 << k) if k < 63 else -(2**63) for k in range(64)]  # sign bit 2's compl.
+    # 65 slots: 64 bit-set counts + total n (sentinel mask 0)
+    masks65 = F.array(*[F.lit(m).cast("long") for m in mask_vals + [0]])
+    counts_n = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 65),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks65,
+            lambda a, m: a
+            + F.when(m == 0, F.lit(1).cast("long")).otherwise(
+                F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ),
+        ),
+    )
+    masks = F.array(*[F.lit(m).cast("long") for m in mask_vals])
+    n = F.element_at(counts_n, 65)
+    chosen = F.zip_with(
+        F.slice(counts_n, 1, 64),
+        masks,
+        lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        chosen, F.lit(0).cast("long"), lambda acc, m: acc.bitwiseOR(m)
+    )
 
 
 def simhash_dedup(
@@ -187,7 +223,10 @@ def simhash_dedup(
     prefix matching generalizes this; identical-fingerprint is the exact
     near-dup core)."""
     h = simhash(F.col(text_col), shingle_n)
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    # window-partition on the materialized column, not the expression —
+    # the Window operator materializes its input, so the (heavy) simhash
+    # computes once per row instead of once per use in the window spec
+    w = Window.partitionBy(F.col("simhash")).orderBy(F.col(id_col))
     return (
         df.withColumn("simhash", h)
         .withColumn("__rn", F.row_number().over(w))

@@ -489,7 +489,9 @@ def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
             # form: x is epoch seconds (~1.7e9) and avg(x*x)-avg(x)^2
             # cancels catastrophically in doubles. Centered prediction
             # avg(y) + b1*((max(x)-avg(x)) + t) avoids the same in b0.
-            x = F.col(ts_col).cast("double")
+            # NTZ-safe epoch double (parquet timestamps read as TIMESTAMP_NTZ
+            # cannot cast straight to double); session tz is UTC in tests
+            x = F.col(ts_col).cast("timestamp").cast("double")
             y = n
             b1 = F.try_divide(F.covar_pop(x, y), F.var_pop(x))
             forecast = F.avg(y) + b1 * (
