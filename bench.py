@@ -42,10 +42,28 @@ def _materialize(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def prepare_webgen_input(spark: SparkSession, n_rows: int) -> str:
+    """Materialize the deterministic Common-Crawl-shape table to parquet
+    once (the real pipeline reads an Iceberg/parquet table — benching the
+    generator fused into the pipeline both mis-measures and blows the
+    whole-stage-codegen 64KB method limit on the fused expression).
+
+    Generation partitioning is FIXED (256 files) so every parallelism
+    level reads byte-identical input, and task waves stay fine-grained
+    (good load balance at every executor count)."""
+    path = f"/tmp/fbs_webgen_{n_rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from fluent_bit_spark.webgen import generate
+
+        generate(spark, n_rows, partitions=256).write.mode("overwrite").parquet(path)
+    return path
+
+
 def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
-    """The north-rule job: generate the Common-Crawl-shape table, parse the
-    embedded access-log line, filter, enrich (broadcast), tag, route to
-    sinks, count per sink — one pass, no driver loops."""
+    """The north-rule job: parse the embedded access-log line out of the
+    web table, filter, enrich (broadcast), tag, route to sinks, count per
+    sink — one pass, no driver loops. Input comes from parquet (scan
+    stage), exactly like the production Iceberg source."""
     from fluent_bit_spark.pipeline import (
         DEFAULT_SINKS,
         enrich_stage,
@@ -54,9 +72,10 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
         tag_stage,
     )
     from fluent_bit_spark.router import route_flags
-    from fluent_bit_spark.webgen import generate, geo_dict, lang_dict
+    from fluent_bit_spark.webgen import geo_dict, lang_dict
 
-    pages = generate(spark, n_rows, partitions=partitions)
+    path = prepare_webgen_input(spark, n_rows)
+    pages = spark.read.parquet(path)
     parsed = tag_stage(
         enrich_stage(filter_stage(parse_stage(pages)), geo_dict(spark), lang_dict(spark))
     )

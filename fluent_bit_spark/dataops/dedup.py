@@ -216,20 +216,53 @@ def simhash(text: Column, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """(id, simhash) via explode + hash aggregation — the scale path.
+
+    Same fingerprint as simhash(), but per-bit majority counts run as 64
+    codegen'd SUM aggregates over exploded shingle hashes instead of an
+    interpreted higher-order fold (HOF lambdas never enter whole-stage
+    codegen). Map-side partial aggregation collapses each doc to one
+    65-counter row per partition before the (id)-keyed shuffle, so the
+    shuffle carries ~0.5 KB/doc regardless of document length.
+    """
+    mask_vals = [(1 << k) if k < 63 else -(2**63) for k in range(64)]
+    sh = shingles(F.col(text_col), shingle_n)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.transform(sh, lambda x: F.xxhash64(x))).alias("h"),
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    aggs = [F.count(F.col("h")).alias("n")] + [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, one).otherwise(zero)
+        ).alias(f"b{k}")
+        for k, m in enumerate(mask_vals)
+    ]
+    g = base.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for k, m in enumerate(mask_vals):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{k}") * 2 > F.col("n"), F.lit(m).cast("long")).otherwise(zero)
+        )
+    return g.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
 ) -> DataFrame:
     """Group docs by identical SimHash (the scale-path bucketing: banded
     prefix matching generalizes this; identical-fingerprint is the exact
-    near-dup core)."""
-    h = simhash(F.col(text_col), shingle_n)
-    # window-partition on the materialized column, not the expression —
-    # the Window operator materializes its input, so the (heavy) simhash
-    # computes once per row instead of once per use in the window spec
+    near-dup core). Fingerprints come from simhash_table (codegen path);
+    the join back is on the id key."""
+    sims = simhash_table(df, text_col, id_col, shingle_n)
+    joined = df.join(sims, id_col)
     w = Window.partitionBy(F.col("simhash")).orderBy(F.col(id_col))
     return (
-        df.withColumn("simhash", h)
-        .withColumn("__rn", F.row_number().over(w))
+        joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

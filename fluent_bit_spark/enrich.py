@@ -93,3 +93,40 @@ def checklist_annotate(
     for k, v in records:
         out = out.withColumn(k, F.when(hit, F.lit(v)))
     return out
+
+
+def literal_map_enrich(
+    df: DataFrame,
+    rows: Sequence[tuple],
+    lookup_key: str,
+    fields: Sequence[str],
+    key_extract: Optional[str] = None,
+) -> DataFrame:
+    """Tiny-dimension enrichment as a LITERAL map expression — zero
+    exchanges.
+
+    The reference holds small lookup tables (GeoIP buckets, checklist
+    files, lang dicts) in an in-process hash table probed per record
+    (checklist.c flb_hash_table; geoip2.c mmdb handle). A broadcast join
+    is the general Spark analogue, but for dictionaries of O(100)
+    entries the broadcast exchange + extra query stage dominate the
+    probe cost; embedding the table as `create_map` literals keeps the
+    lookup inside whole-stage codegen — the closest physical match to
+    the reference's per-worker hash probe, and measurably better for
+    N->4N scaling (each broadcast adds fixed serial per-job time).
+
+    rows — (key, field1, field2, ...) tuples, e.g. geo_dict.collect().
+    """
+    key = (
+        F.regexp_extract(F.col(lookup_key), key_extract, 1)
+        if key_extract
+        else F.col(lookup_key).cast("string")
+    )
+    out = df
+    for i, fname in enumerate(fields, start=1):
+        entries = []
+        for r in rows:
+            entries.append(F.lit(str(r[0])))
+            entries.append(F.lit(r[i]))
+        out = out.withColumn(fname, F.element_at(F.create_map(*entries), key))
+    return out

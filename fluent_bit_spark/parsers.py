@@ -180,17 +180,7 @@ class RegexParser:
         src = F.col(source_col)
 
         if self.engine == "jvm":
-            stripped, name_to_idx = strip_names(self.regex)
-            # regexp_extract returns "" both for no-match rows and for
-            # non-participating groups; gate on the row matching at all.
-            row_matches = src.rlike(stripped)
-            cols: dict[str, Column] = {}
-            for nm in names:
-                c = F.regexp_extract(src, stripped, name_to_idx[nm])
-                c = F.when(row_matches, c)
-                if self.skip_empty_values:
-                    c = F.when(c == "", F.lit(None)).otherwise(c)
-                cols[nm] = c
+            df, cols = self._jvm_extract(df, src, names)
         else:
             cols = self._pandas_extract(df, src, names)
 
@@ -212,7 +202,63 @@ class RegexParser:
                 c = casts[nm].apply(c)
             out = out.withColumn(prefix + nm, c)
         out = out.withColumn(ts_col, out_ts)
+        if "__fb_parts" in out.columns:
+            out = out.drop("__fb_parts")
         return out
+
+    # ASCII record separator: never a regex metachar, vanishingly rare in
+    # log text; rows containing it take the per-group fallback path.
+    _SEP = "\x1e"
+
+    def _jvm_extract(
+        self, df: DataFrame, src: Column, names: list[str]
+    ) -> tuple[DataFrame, dict[str, Column]]:
+        """All capture groups in ONE regex pass.
+
+        An anchored pattern is rewritten into a regexp_replace whose
+        replacement packs every group ($i) joined by a sentinel; one
+        split recovers all fields: 1 regex execution per row instead of
+        1 rlike + N regexp_extract (the naive form re-runs the pattern
+        per group — the dominant CPU + allocation cost of the parse
+        stage at scale). The parts array is materialized as a REAL
+        column first: CollapseProject refuses to inline an expensive
+        expression referenced N times, so it evaluates once per row —
+        referencing it from inside per-field when() branches instead
+        would defeat codegen subexpression elimination (conditional
+        branches are never hoisted) and re-run the regex per field.
+        Rows containing the sentinel fall back lazily to per-group
+        extraction; non-anchored patterns always use the per-group path.
+        """
+        stripped, name_to_idx = strip_names(self.regex)
+        row_matches = src.rlike(stripped)
+
+        def slow(nm: str) -> Column:
+            return F.when(row_matches, F.regexp_extract(src, stripped, name_to_idx[nm]))
+
+        anchored = stripped.startswith("^") and stripped.endswith("$")
+        cols: dict[str, Column] = {}
+        if anchored and len(names) > 1:
+            repl = self._SEP.join(f"${name_to_idx[nm]}" for nm in names)
+            packed = F.regexp_replace(src, stripped, repl)
+            df = df.withColumn("__fb_parts", F.split(packed, self._SEP, -1))
+            parts = F.col("__fb_parts")
+            has_sep = src.contains(self._SEP)
+            for j, nm in enumerate(names):
+                # unmatched sentinel-free line -> 1 part: try_element_at
+                # (ANSI-safe) gives null past the end; field 0 needs the
+                # match gate
+                fast = F.try_element_at(parts, F.lit(j + 1))
+                if j == 0:
+                    fast = F.when(F.size(parts) == len(names), fast)
+                cols[nm] = F.when(has_sep, slow(nm)).otherwise(fast)
+        else:
+            for nm in names:
+                cols[nm] = slow(nm)
+        if self.skip_empty_values:
+            cols = {
+                nm: F.when(c == "", F.lit(None)).otherwise(c) for nm, c in cols.items()
+            }
+        return df, cols
 
     def _pandas_extract(self, df: DataFrame, src: Column, names: list[str]) -> dict[str, Column]:
         pat = onig_to_python(self.regex)

@@ -36,7 +36,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from .enrich import dict_enrich, geoip_enrich
+from .enrich import dict_enrich, geoip_enrich, literal_map_enrich
 from .parsers import APACHE
 from .router import RouteCondition, RewriteTagRule, SinkSpec, apply_rewrite_tag, route_flags
 from .webgen import geo_dict, lang_dict
@@ -93,9 +93,28 @@ def filter_stage(df: DataFrame) -> DataFrame:
     return df.withColumn("code_class", code_class)
 
 
-def enrich_stage(df: DataFrame, geo: DataFrame, langs: DataFrame) -> DataFrame:
-    df = geoip_enrich(df, geo, lookup_key="host")
-    df = dict_enrich(df, langs, on="lang")
+def enrich_stage(
+    df: DataFrame, geo: DataFrame, langs: DataFrame, literal_threshold: int = 1000
+) -> DataFrame:
+    """Dimensions up to `literal_threshold` rows are embedded as literal
+    map expressions (zero exchanges — the analogue of the reference's
+    per-process hash table, see enrich.literal_map_enrich); larger ones
+    go through the broadcast hash join."""
+    geo_rows = geo.select("ip_prefix", "country", "city").limit(literal_threshold + 1).collect()
+    if len(geo_rows) <= literal_threshold:
+        df = literal_map_enrich(
+            df, [tuple(r) for r in geo_rows], "host",
+            ["country", "city"], key_extract=r"^(\d+)\.",
+        )
+    else:
+        df = geoip_enrich(df, geo, lookup_key="host")
+    lang_rows = langs.select("lang", "lang_name", "family").limit(literal_threshold + 1).collect()
+    if len(lang_rows) <= literal_threshold:
+        df = literal_map_enrich(
+            df, [tuple(r) for r in lang_rows], "lang", ["lang_name", "family"]
+        )
+    else:
+        df = dict_enrich(df, langs, on="lang")
     return df
 
 

@@ -1,0 +1,123 @@
+"""Structured Streaming surface: the reference's continuous-ingest side.
+
+Mappings (SURVEY.md §2.1):
+* in_tail (glob follow + per-file offset checkpoint in SQLite,
+  plugins/in_tail/tail_db.c:35-81, tail_sql.h:30-44) ->
+  `spark.readStream` file source + Structured Streaming checkpoint dir:
+  the checkpoint's file-source log IS the offset table, and restart
+  resumes exactly where the last trigger stopped.
+* in_dummy (synthetic records at `rate`/sec, in_dummy.c:243-257) ->
+  `format("rate")` source mapped onto a payload column.
+* tumbling/hopping windows with late data -> event-time windows +
+  watermark (an upgrade over the reference's processing-time timers,
+  flb_sp.c:519-527 — documented divergence, SURVEY §2.5).
+* multi-sink routed writes -> foreachBatch: route_flags once per
+  micro-batch, one filtered write per sink — the same single-pass
+  fan-out as the batch pipeline (flb_engine_dispatch.c:247-354).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .pipeline import enrich_stage, filter_stage, parse_stage, tag_stage
+from .router import SinkSpec, route_flags
+from .webgen import geo_dict, lang_dict
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def tail_source(
+    spark: SparkSession,
+    path: str,
+    schema: str = PAGES_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """in_tail analogue: follow a growing directory of files. New files
+    appearing under `path` are picked up on the next trigger; processed
+    files are recorded in the query checkpoint (never re-read)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def dummy_source(
+    spark: SparkSession, rows_per_second: int = 10, payload: str = '{"message":"dummy"}'
+) -> DataFrame:
+    """in_dummy analogue: `rate` rows/sec with a fixed payload
+    (in_dummy.c `dummy` property), tagged like the reference default."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.lit(payload).alias("body"),
+            F.lit("dummy.0").alias("tag"),
+        )
+    )
+
+
+def run_pipeline_stream(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    sinks: Sequence[SinkSpec],
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The batch pipeline's stages applied to a stream, fanned out to
+    per-sink parquet dirs inside foreachBatch. Restarting with the same
+    checkpoint_dir resumes from the recorded file offsets (in_tail's
+    offset db semantics) — already-processed input is never re-routed."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    geo = geo_dict(spark)
+    langs = lang_dict(spark)
+    parsed = tag_stage(enrich_stage(filter_stage(parse_stage(pages)), geo, langs))
+
+    sink_list = list(sinks)
+    route_cols = [f"__route_{s.name}" for s in sink_list]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = route_flags(batch_df, sink_list).persist()
+        try:
+            for s in sink_list:
+                part = flagged.filter(F.col(f"__route_{s.name}")).drop(*route_cols)
+                part.write.mode("append").parquet(os.path.join(out_dir, s.name))
+        finally:
+            flagged.unpersist()
+
+    writer = (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_metrics_stream(
+    pages: DataFrame,
+    window: str = "60 seconds",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time tumbling aggregation with late-data handling — the
+    streaming form of the SQL processor's windowed counts. The watermark
+    bounds state (the reference holds unbounded per-window accumulators
+    until its wall-clock timer fires)."""
+    parsed = filter_stage(parse_stage(pages))
+    return (
+        parsed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("code_class"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("size_i").alias("bytes"))
+        .select(F.col("w.start").alias("window_start"), "code_class", "n", "bytes")
+    )

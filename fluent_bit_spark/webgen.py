@@ -154,7 +154,13 @@ def geo_dict(spark: SparkSession, n: int = 1000) -> DataFrame:
     )
 
 
+_LANG_CACHE: dict = {}
+
+
 def lang_dict(spark: SparkSession) -> DataFrame:
+    cached = _LANG_CACHE.get(id(spark))
+    if cached is not None:
+        return cached
     rows = [
         ("en", "English", "germanic"),
         ("es", "Spanish", "romance"),
@@ -164,6 +170,8 @@ def lang_dict(spark: SparkSession) -> DataFrame:
         ("pt", "Portuguese", "romance"),
         ("ru", "Russian", "slavic"),
     ]
-    return SparkSession.getActiveSession().createDataFrame(
+    df = SparkSession.getActiveSession().createDataFrame(
         rows, "lang string, lang_name string, family string"
     )
+    _LANG_CACHE[id(spark)] = df
+    return df

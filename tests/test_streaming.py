@@ -1,0 +1,91 @@
+"""Structured Streaming surface: in_tail-style follow + checkpoint
+resume, per-sink routed writes, windowed metrics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.router import SinkSpec
+from fluent_bit_spark.streaming import (
+    run_pipeline_stream,
+    tail_source,
+    windowed_metrics_stream,
+)
+from fluent_bit_spark.webgen import generate
+
+SINKS = [SinkSpec("ok", match="web.ok.*"), SinkSpec("errs", match="web.*error*")]
+
+
+def _read_counts(spark, out_dir):
+    counts = {}
+    for s in SINKS:
+        p = os.path.join(out_dir, s.name)
+        counts[s.name] = spark.read.parquet(p).count() if os.path.exists(p) else 0
+    return counts
+
+
+@pytest.mark.slow
+def test_tail_follow_and_resume(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: first 2000 rows land in the watched dir
+    generate(spark, 2000, partitions=2).write.mode("overwrite").parquet(src)
+    q = run_pipeline_stream(
+        spark, tail_source(spark, src), out, SINKS, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    first = _read_counts(spark, out)
+    assert sum(first.values()) > 0
+
+    # batch 2: MORE files appear (rotation/append analogue); restart with
+    # the same checkpoint -> only the new files are processed
+    generate(spark, 1000, partitions=1).withColumn(
+        "url", F.concat(F.lit("late-"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    q2 = run_pipeline_stream(
+        spark, tail_source(spark, src), out, SINKS, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    second = _read_counts(spark, out)
+    assert sum(second.values()) > sum(first.values())
+
+    # no duplicates: every url appears at most once per sink
+    for s in SINKS:
+        df = spark.read.parquet(os.path.join(out, s.name))
+        assert df.count() == df.select("url").distinct().count()
+
+    # third run with NO new input: counts unchanged (offset db semantics)
+    q3 = run_pipeline_stream(
+        spark, tail_source(spark, src), out, SINKS, checkpoint_dir=ckpt
+    )
+    q3.awaitTermination(120)
+    assert _read_counts(spark, out) == second
+
+
+@pytest.mark.slow
+def test_windowed_metrics_stream(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    generate(spark, 3000, partitions=2).write.mode("overwrite").parquet(src)
+
+    m = windowed_metrics_stream(tail_source(spark, src), window="300 seconds")
+    q = (
+        m.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # 3000 rows at 1 row/sec -> 10 tumbling windows of 300s. In append
+    # mode only windows strictly below the final watermark (max event
+    # time - 5 min) emit: watermark = 2699s closes the 8 windows ending
+    # at <= 2400s... 2699s; the rest stay in state at end-of-stream.
+    assert got.count() >= 8
+    assert got.agg(F.sum("n")).collect()[0][0] >= 2400

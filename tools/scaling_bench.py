@@ -1,0 +1,100 @@
+"""Two-parallelism scaling benchmark (the north rule's N -> 4N criterion,
+sandbox proxy per driver instruction: local[8] vs local[32] on the same
+input).
+
+Runs the end-to-end parse -> filter/enrich -> tag-route -> per-sink-count
+job over the deterministic Common-Crawl-shape table at both parallelism
+levels in SEPARATE subprocesses (fresh JVM each, so executor threads and
+memory are truly re-sized), 1 warm-up + `--runs` timed runs each, and
+prints a JSON report with docs/sec at both levels and the scaling
+efficiency (T_4N / T_N) / 4.
+
+Usage: python tools/scaling_bench.py [--docs 2000000] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from bench import build_spark, run_webgen_e2e
+
+cpus = {cpus}
+n_docs = {docs}
+runs = {runs}
+spark = build_spark(cpus)
+spark.sparkContext.setLogLevel("ERROR")
+
+# warm-up: JVM JIT + codegen caches (not timed)
+run_webgen_e2e(spark, max(n_docs // 10, 10_000), partitions=cpus * 2)
+
+times = []
+counts = None
+for _ in range(runs):
+    t0 = time.time()
+    counts = run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
+    times.append(time.time() - t0)
+best = min(times)
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "docs": n_docs, "times": times, "best_sec": best,
+      "docs_per_sec": n_docs / best, "sink_counts": counts}}))
+"""
+
+
+def run_level(cpus: int, docs: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, cpus=cpus, docs=docs, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    lo = run_level(args.low, args.docs, args.runs)
+    hi = run_level(args.high, args.docs, args.runs)
+    assert lo["sink_counts"] == hi["sink_counts"], (
+        "per-sink counts must be identical across parallelism levels: "
+        f"{lo['sink_counts']} vs {hi['sink_counts']}"
+    )
+    ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
+    eff = ratio / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "docs": args.docs,
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_docs_per_sec": round(lo["docs_per_sec"], 1),
+                "high_docs_per_sec": round(hi["docs_per_sec"], 1),
+                "low_times": [round(t, 2) for t in lo["times"]],
+                "high_times": [round(t, 2) for t in hi["times"]],
+                "speedup": round(ratio, 3),
+                "scaling_efficiency": round(eff, 3),
+                "sink_counts_equal": True,
+                "sink_counts": lo["sink_counts"],
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
