@@ -471,6 +471,18 @@ def q_sp_create_stream(spark, sf_dir):
     return out.select("user_id", "n")
 
 
+def q_sp_snapshot(spark, sf_dir):
+    """CREATE SNAPSHOT + FLUSH SNAPSHOT (sql.y:122-144,
+    flb_sp_snapshot.c:30-90): LIMIT-n retention applied at flush, then
+    the flush query's WHERE."""
+    eng = _sp(spark, sf_dir)
+    eng.run("CREATE SNAPSHOT recent AS SELECT * FROM STREAM:events LIMIT 100;")
+    out = eng.run(
+        "FLUSH SNAPSHOT recent AS SELECT * FROM STREAM:events WHERE value > 10;"
+    )
+    return out.select(F.col("event_id").alias("eid"))
+
+
 def q_sp_tag_match(spark, sf_dir):
     """FROM TAG:'pattern' source selection (flb_sp.c:2024-2034)."""
     eng = _sp(spark, sf_dir)
@@ -720,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_window_hopping": q_sp_window_hopping,
         "sp_forecast": q_sp_forecast,
         "sp_create_stream": q_sp_create_stream,
+        "sp_snapshot": q_sp_snapshot,
         "sp_tag_match": q_sp_tag_match,
         "enrich_broadcast": q_enrich_broadcast,
         "checklist": q_checklist,
@@ -924,6 +937,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n FROM (
               SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
             WHERE n > 70
+        """,
+        "sp_snapshot": """
+            SELECT event_id AS eid FROM (
+              SELECT * FROM events
+              QUALIFY row_number() OVER (ORDER BY ts DESC) <= 100)
+            WHERE value > 10
         """,
         "sp_tag_match": f"""
             SELECT event_id AS eid FROM events

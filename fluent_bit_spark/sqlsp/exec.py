@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Union
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fbrecord
@@ -332,13 +332,69 @@ class SPEngine:
     ts_col: str = "ts"
     body_col: str = "body"
     now_ts = None  # fixed Column for NOW()/UNIX_TIMESTAMP() determinism
+    snapshots: dict = None  # name -> (source df, record_limit, seconds)
+
+    def __post_init__(self):
+        if self.snapshots is None:
+            self.snapshots = {}
 
     def run(self, sql: Union[str, Query]) -> DataFrame:
         q = parse_sql(sql) if isinstance(sql, str) else sql
+        if q.create_snapshot:
+            return self._snapshot_create(q)
+        if q.flush_snapshot:
+            return self._snapshot_flush(q)
         df = self._resolve_source(q)
         return execute(q, df, mode=self.mode, tag_col=self.tag_col,
                        ts_col=self.ts_col, body_col=self.body_col,
                        now_ts=self.now_ts)
+
+    # -- snapshots (sql.y:122-144; flb_sp_snapshot.c:30-90) ---------------
+    #
+    # The reference rings raw records per task: LIMIT n caps the record
+    # count, WITH(seconds=s) caps the time span; CREATE emits nothing,
+    # FLUSH dumps the retained buffer (through its optional WHERE). Batch
+    # re-expression: retention is applied at flush time over event time
+    # (ts_col) — last-n by ts, or ts within `seconds` of the newest
+    # record — instead of arrival time (documented divergence: the batch
+    # engine has no arrival clock; windows/snapshots key off event time).
+
+    def _snapshot_create(self, q) -> DataFrame:
+        src = self._resolve_source(q)
+        seconds = int(q.stream_props.get("seconds", 0))
+        self.snapshots[q.create_snapshot] = (src, q.limit, seconds)
+        return src.limit(0)  # snapshot emits nothing (cb_snapshot_create)
+
+    def _snapshot_flush(self, q) -> DataFrame:
+        if q.flush_snapshot not in self.snapshots:
+            raise KeyError(f"unknown snapshot {q.flush_snapshot}")
+        df, record_limit, seconds = self.snapshots[q.flush_snapshot]
+        everything = Window.partitionBy(F.lit(1))
+        if seconds:
+            newest = F.max(F.col(self.ts_col)).over(everything)
+            df = (
+                df.withColumn("__newest", newest)
+                .filter(
+                    F.col(self.ts_col).cast("timestamp").cast("double")
+                    > F.col("__newest").cast("timestamp").cast("double") - seconds
+                )
+                .drop("__newest")
+            )
+        if record_limit:
+            w = Window.partitionBy(F.lit(1)).orderBy(F.desc(self.ts_col))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= record_limit)
+                .drop("__rn")
+            )
+        if q.where is not None:
+            b = (
+                DynamicBinding(self.tag_col, self.ts_col, self.body_col)
+                if self.mode == "dynamic"
+                else StaticBinding(df, self.tag_col, self.ts_col)
+            )
+            df = df.filter(_cond(b, q.where, self.now_ts))
+        return df
 
     def create_stream(self, sql: str) -> DataFrame:
         """CREATE STREAM name AS SELECT...: run + register result as a new

@@ -106,9 +106,11 @@ class Query:
     window: Optional[WindowSpec] = None
     groupby: Sequence[KeyRef] = field(default_factory=tuple)
     limit: Optional[int] = None
-    # CREATE STREAM wrapper
+    # CREATE STREAM / CREATE SNAPSHOT / FLUSH SNAPSHOT wrappers
     create_stream: Optional[str] = None
     stream_props: dict = field(default_factory=dict)
+    create_snapshot: Optional[str] = None  # sql.y:122-132
+    flush_snapshot: Optional[str] = None   # sql.y:134-144
 
     @property
     def has_aggregates(self) -> bool:
@@ -178,26 +180,43 @@ class _P:
             raise ValueError(f"expected {val!r}, got {v!r}")
 
 
+def _parse_props(p: _P) -> dict:
+    props: dict = {}
+    if p.kw("WITH"):
+        p.expect("(")
+        while True:
+            _, k = p.next()
+            p.expect("=")
+            kind, v = p.next()
+            props[k] = v[1:-1] if kind == "str" else v
+            if p.peek()[1] == ",":
+                p.next()
+                continue
+            break
+        p.expect(")")
+    return props
+
+
 def parse_sql(sql: str) -> Query:
     p = _P(sql.strip().rstrip(";") + ";")
-    # CREATE STREAM name [WITH(...)] AS SELECT ...
+    # CREATE STREAM|SNAPSHOT name [WITH(...)] AS SELECT ... (sql.y:109-132)
+    # FLUSH SNAPSHOT name [WITH(...)] AS SELECT ...          (sql.y:134-144)
     create_name = None
+    snapshot_name = None
+    flush_name = None
     props: dict = {}
     if p.kw("CREATE"):
-        p.expect_kw("STREAM")
-        _, create_name = p.next()
-        if p.kw("WITH"):
-            p.expect("(")
-            while True:
-                _, k = p.next()
-                p.expect("=")
-                kind, v = p.next()
-                props[k] = v[1:-1] if kind == "str" else v
-                if p.peek()[1] == ",":
-                    p.next()
-                    continue
-                break
-            p.expect(")")
+        if p.kw("SNAPSHOT"):
+            _, snapshot_name = p.next()
+        else:
+            p.expect_kw("STREAM")
+            _, create_name = p.next()
+        props = _parse_props(p)
+        p.expect_kw("AS")
+    elif p.kw("FLUSH"):
+        p.expect_kw("SNAPSHOT")
+        _, flush_name = p.next()
+        props = _parse_props(p)
         p.expect_kw("AS")
     p.expect_kw("SELECT")
     keys = _parse_keys(p)
@@ -239,6 +258,8 @@ def parse_sql(sql: str) -> Query:
         limit=limit,
         create_stream=create_name,
         stream_props=props,
+        create_snapshot=snapshot_name,
+        flush_snapshot=flush_name,
     )
 
 

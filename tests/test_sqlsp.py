@@ -267,3 +267,39 @@ def test_static_mode(spark):
     row = eng.run("SELECT COUNT(*) AS c, SUM(v) AS s, AVG(v) AS a FROM STREAM:S;").collect()[0]
     assert row["c"] == 2 and row["s"] == 10.0 + 10.0 or True
     assert row["s"] == 20.0 and row["a"] == 10.0
+
+
+# --- snapshots (sql.y:122-144, flb_sp_snapshot.c; test vectors
+# tests/internal/include/sp_snapshot.h: LIMIT 5 -> 5 rows on flush;
+# WITH(seconds=s) -> time-bounded rows) ------------------------------------
+
+
+def test_snapshot_create_emits_nothing(engine):
+    out = engine.run("CREATE SNAPSHOT snap1 AS SELECT * FROM STREAM:FLB LIMIT 5;")
+    assert out.count() == 0  # cb_snapshot_create: snapshot returns nothing
+
+
+def test_snapshot_flush_record_limit(engine):
+    engine.run("CREATE SNAPSHOT snap2 AS SELECT * FROM STREAM:FLB LIMIT 5;")
+    rows = engine.run("FLUSH SNAPSHOT snap2 AS SELECT * FROM STREAM:FLB;").collect()
+    # last 5 records by event time (ids 6..10)
+    assert len(rows) == 5
+    ids = sorted(int(r["body"]["id"]["i"]) for r in rows)
+    assert ids == [6, 7, 8, 9, 10]
+
+
+def test_snapshot_flush_time_limit(engine):
+    engine.run(
+        "CREATE SNAPSHOT snap3 WITH(seconds='5') AS SELECT * FROM STREAM:FLB;"
+    )
+    rows = engine.run("FLUSH SNAPSHOT snap3 AS SELECT * FROM STREAM:FLB;").collect()
+    # 11 records 1s apart; ts within (newest-5s, newest] -> ids 6..10
+    assert sorted(int(r["body"]["id"]["i"]) for r in rows) == [6, 7, 8, 9, 10]
+
+
+def test_snapshot_flush_where(engine):
+    engine.run("CREATE SNAPSHOT snap4 AS SELECT * FROM STREAM:FLB LIMIT 8;")
+    rows = engine.run(
+        "FLUSH SNAPSHOT snap4 AS SELECT * FROM STREAM:FLB WHERE usage > 90;"
+    ).collect()
+    assert sorted(int(r["body"]["id"]["i"]) for r in rows) == [9, 10]
