@@ -1,0 +1,80 @@
+"""spark-submit entrypoint for the parse -> enrich -> route -> sink
+pipeline (the north rule's deployment shape).
+
+Cluster:
+    zip -r fbs.zip fluent_bit_spark
+    spark-submit --py-files fbs.zip jobs/run_pipeline.py \
+        --input s3://bucket/crawl_table --output s3://bucket/routed \
+        --run-id 2026-08-17 --format iceberg
+
+Local smoke:
+    python jobs/run_pipeline.py --generate 100000 --output /tmp/routed
+
+The job is idempotent per run-id: a re-submit after partial failure
+skips sinks that already committed (pipeline.run_pipeline resume path —
+the Iceberg-snapshot-checkpoint analogue documented in SURVEY §4.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="path/table of web pages (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate N synthetic docs instead of reading --input")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    builder = (
+        SparkSession.builder.appName(f"fluent-bit-spark:{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+
+    from fluent_bit_spark.pipeline import run_pipeline
+    from fluent_bit_spark.webgen import generate
+
+    if args.generate:
+        pages = generate(spark, args.generate, partitions=spark.sparkContext.defaultParallelism * 2)
+    elif args.input:
+        if args.format == "iceberg":
+            pages = spark.read.table(args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --generate is required")
+
+    result = run_pipeline(
+        spark, pages, args.output, run_id=args.run_id, resume=not args.no_resume
+    )
+    print(json.dumps({
+        "run_id": result.run_id,
+        "input_rows": result.input_rows,
+        "parsed_rows": result.parsed_rows,
+        "sink_counts": result.sink_counts,
+        "resumed_sinks": result.resumed_sinks,
+        "duration_sec": round(result.duration_sec, 2),
+        "manifest": result.manifest_path,
+    }))
+
+
+if __name__ == "__main__":
+    main()
