@@ -638,6 +638,23 @@ def q_sim_lsh_topk(spark, sf_dir):
     return out.select("query_id", "cand_id", "rank")
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF-cell-restricted ANN (scale path; deterministic anchors;
+    rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=2)
+    return out.select("query_id", "cand_id", "rank")
+
+
+def q_sim_near_dup(spark, sf_dir):
+    """embedding-cosine near-dup pairs via LSH buckets + exact verify
+    (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup(emb, dim=64, threshold=0.3, n_bits=8)
+    return out.select("id_a", "id_b", _r4("cos").alias("c"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """multimodal plumbing: opaque binary payloads + pandas-UDF decode
     (deterministic fake decoder; rows-only)."""
@@ -747,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "pipeline_e2e": q_pipeline_e2e,
     }

@@ -162,3 +162,54 @@ def embedding_near_dup(
         cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only candidates in the query's nprobe best cells.
+
+    At 10^12 vectors the corpus is partitioned (and at rest: bucketed /
+    partitioned Iceberg) by ivf_cell, so a probe touches nprobe/n_cells
+    of the data; the per-cell scoring join shuffles only the (small)
+    probe set. Recall is tuned by nprobe.
+    """
+    c = ivf_assign(corpus, dim, n_cells, vec_col=vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "ivf_cell"
+    )
+    cell_scores = F.array(
+        *[
+            F.struct(
+                _dot(F.col(vec_col), _hyperplane(dim, 10_000 + cell)).alias("s"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell in range(n_cells)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
+        lambda e: e.getField("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells).alias("ivf_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
