@@ -669,6 +669,15 @@ def q_multimodal_decode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_skew_distinct(spark, sf_dir):
+    """two-stage exact per-key COUNT(DISTINCT) — the de-skew shape for
+    non-decomposable per-key state (skew.two_stage_distinct)."""
+    from fluent_bit_spark.skew import two_stage_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return two_stage_distinct(ev, "event_type", "user_id")
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """parse -> filter -> route -> per-sink counts off ONE pass (the
     north-rule pipeline shape; mirrors out_counter per sink)."""
@@ -767,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "skew_distinct": q_skew_distinct,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -1090,6 +1100,10 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, cand_id ASC) AS rank
               FROM s)
             WHERE rank <= 5
+        """,
+        "skew_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "pipeline_e2e": f"""
             WITH p AS (

@@ -1,0 +1,92 @@
+"""Skew handling: salted repartitioning and two-stage aggregation.
+
+The reference never shuffles (single process), so skew is a pure
+Spark-side concern (SURVEY §4.3): the north rule calls for salted
+repartitioning of domain-skewed urls plus explicit shuffle-partition
+tuning. Spark's map-side partial aggregation already neutralizes skew
+for decomposable aggregates (sum/count/min/max); the cases that still
+need explicit salting are:
+
+* writes / repartitions keyed by a hot column (one task would receive a
+  Zipf head domain's entire slice) -> salted_repartition
+* per-key DISTINCT-style state (partial agg can't shrink it) ->
+  two_stage_distinct
+* collect_list-ish per-key state -> bounded by salting then merging.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin.enabled) covers
+the sort-merge-join side; broadcast joins are skew-immune.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(df: DataFrame, buckets: int, deterministic_from: str | None = None) -> Column:
+    """A salt in [0, buckets): deterministic when derived from a unique
+    column (reproducible tests), else random (better balance)."""
+    if deterministic_from is not None:
+        return F.pmod(F.xxhash64(F.col(deterministic_from)), F.lit(buckets)).cast("int")
+    return (F.rand(seed=42) * buckets).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    buckets: int = 16,
+    deterministic_from: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition by (key, salt): a hot key's rows spread over `buckets`
+    partitions instead of one. Use before per-key writes or downstream
+    per-partition work when the key is Zipf-skewed (web domains).
+
+    The partition count is explicit (defaults to the session's
+    spark.sql.shuffle.partitions) — with only the columns given, AQE is
+    free to coalesce the exchange back to a handful of partitions and
+    re-concentrate the hot key."""
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.withColumn("__salt", salt_col(df, buckets, deterministic_from))
+        .repartition(num_partitions, F.col(key), F.col("__salt"))
+        .drop("__salt")
+    )
+
+
+def two_stage_distinct(
+    df: DataFrame, key: str, value: str, out_name: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT value) without a single hot reducer:
+    shuffle 1 groups by (key, value) — the hot key spreads over its
+    distinct values — shuffle 2 counts per key over already-deduped rows."""
+    return (
+        df.groupBy(F.col(key), F.col(value))
+        .agg(F.lit(1))
+        .groupBy(F.col(key))
+        .agg(F.count(F.lit(1)).alias(out_name))
+    )
+
+
+def salted_two_stage_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 16,
+    deterministic_from: str | None = None,
+) -> DataFrame:
+    """Decomposable aggregates via an explicit (key, salt) pre-shuffle —
+    the classic salting shape, exposed for when partial aggregation is
+    disabled or state per key must stay bounded. Produces count + sum
+    per key, equal to the direct groupBy."""
+    stage1 = (
+        df.withColumn("__salt", salt_col(df, buckets, deterministic_from))
+        .groupBy(F.col(key), F.col("__salt"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(F.col(value)).alias("__s"))
+    )
+    return stage1.groupBy(F.col(key)).agg(
+        F.sum("__n").alias("n"), F.sum("__s").alias("s")
+    )

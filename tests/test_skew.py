@@ -1,0 +1,57 @@
+"""Skew handling: salted repartition balance + two-stage agg equality."""
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.skew import (
+    salted_repartition,
+    salted_two_stage_agg,
+    two_stage_distinct,
+)
+from fluent_bit_spark.webgen import generate
+
+
+def test_salted_repartition_balances_hot_key(spark):
+    pages = generate(spark, 4000, partitions=4)
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    df = pages.withColumn("domain", domain)
+    # rank-1 Zipf domain owns a large share of rows
+    top = df.groupBy("domain").count().orderBy(F.desc("count")).first()
+    assert top["count"] > 400  # skewed input
+
+    out = salted_repartition(df, "domain", buckets=8, deterministic_from="url")
+    sizes = out.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    biggest = max(r["count"] for r in sizes)
+    # without salting the hot domain's rows land in ONE partition
+    assert biggest < top["count"]
+
+
+def test_two_stage_distinct_matches_direct(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["event_type"], r["n_distinct"])
+        for r in two_stage_distinct(ev, "event_type", "user_id").collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_two_stage_agg_matches_direct(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["event_type"], r["n"], round(r["s"], 4))
+        for r in salted_two_stage_agg(
+            ev, "event_type", "value", deterministic_from="event_id"
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["n"], round(r["s"], 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want

@@ -303,3 +303,29 @@ def test_snapshot_flush_where(engine):
         "FLUSH SNAPSHOT snap4 AS SELECT * FROM STREAM:FLB WHERE usage > 90;"
     ).collect()
     assert sorted(int(r["body"]["id"]["i"]) for r in rows) == [9, 10]
+
+
+# --- invalid queries (tests/internal/include/sp_invalid_queries.h):
+# each must be rejected at parse or bind time ------------------------------
+
+INVALID = [
+    # selecting a bare key alongside an aggregate without GROUP BY
+    # (flb_sp.c:500-506)
+    "SELECT id, MIN(id) FROM STREAM:FLB;",
+    "SELECT *, COUNT(id) FROM STREAM:FLB;",
+    # literal NULL comparison with '=' NULL on the right of TAG source
+    "SELECT * FROM TAG:FLB WHERE bool = NULL ;",
+    # unknown @record function
+    "SELECT * FROM TAG:FLB WHERE @record.some_random_func() ;",
+    # windowed variants of the ungrouped-key errors
+    "SELECT id, MIN(id) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, COUNT(id) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, COUNT(bool) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+    "SELECT *, bool, COUNT(bool) FROM STREAM:FLB WINDOW TUMBLING (1 SECOND) GROUP BY bool;",
+]
+
+
+@pytest.mark.parametrize("sql", INVALID)
+def test_invalid_queries_rejected(engine, sql):
+    with pytest.raises(Exception):
+        engine.run(sql).collect()
