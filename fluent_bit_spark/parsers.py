@@ -427,3 +427,74 @@ SYSLOG_RFC3164 = RegexParser(
     time_fmt="%b %d %H:%M:%S",
     time_keep=True,
 )
+APACHE2 = RegexParser(
+    "apache2",
+    r'^(?<host>[^ ]*) [^ ]* (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^ ]*) +\S*)?" (?<code>[^ ]*) (?<size>[^ ]*)(?: "(?<referer>[^\"]*)" "(?<agent>.*)")?$',
+    time_fmt="%d/%b/%Y:%H:%M:%S %z",
+)
+K8S_NGINX_INGRESS = RegexParser(
+    "k8s-nginx-ingress",
+    r'^(?<host>[^ ]*) - (?<user>[^ ]*) \[(?<time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)?" (?<code>[^ ]*) (?<size>[^ ]*) "(?<referer>[^\"]*)" "(?<agent>[^\"]*)" (?<request_length>[^ ]*) (?<request_time>[^ ]*) \[(?<proxy_upstream_name>[^ ]*)\] (\[(?<proxy_alternative_upstream_name>[^ ]*)\] )?(?<upstream_addr>[^ ]*) (?<upstream_response_length>[^ ]*) (?<upstream_response_time>[^ ]*) (?<upstream_status>[^ ]*) (?<reg_id>[^ ]*).*$',
+    time_fmt="%d/%b/%Y:%H:%M:%S %z",
+)
+DOCKER_DAEMON = RegexParser(
+    "docker-daemon",
+    r'time="(?<time>[^ ]*)" level=(?<level>[^ ]*) msg="(?<msg>[^ ].*)"',
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L",
+    time_keep=True,
+)
+SYSLOG_RFC3164_LOCAL = RegexParser(
+    "syslog-rfc3164-local",
+    r"^\<(?<pri>[0-9]+)\>(?<time>[^ ]* {1,2}[^ ]* [^ ]*) (?<ident>[a-zA-Z0-9_\/\.\-]*)(?:\[(?<pid>[0-9]+)\])?(?:[^\:]*\:)? *(?<message>.*)$",
+    time_fmt="%b %d %H:%M:%S",
+    time_keep=True,
+)
+MONGODB = RegexParser(
+    "mongodb",
+    r"^(?<time>[^ ]*)\s+(?<severity>\w)\s+(?<component>[^ ]+)\s+\[(?<context>[^\]]+)]\s+(?<message>.*?) *(?<ms>(\d+))?(:?ms)?$",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L",
+    time_keep=True,
+)
+ENVOY = RegexParser(
+    "envoy",
+    r'^\[(?<start_time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)? (?<protocol>\S+)" (?<code>[^ ]*) (?<response_flags>[^ ]*) (?<bytes_received>[^ ]*) (?<bytes_sent>[^ ]*) (?<duration>[^ ]*) (?<x_envoy_upstream_service_time>[^ ]*) "(?<x_forwarded_for>[^ ]*)" "(?<user_agent>[^\"]*)" "(?<request_id>[^\"]*)" "(?<authority>[^ ]*)" "(?<upstream_host>[^ ]*)"',
+    time_key="start_time",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L%z",
+    time_keep=True,
+)
+ISTIO_ENVOY_PROXY = RegexParser(
+    "istio-envoy-proxy",
+    r'^\[(?<start_time>[^\]]*)\] "(?<method>\S+)(?: +(?<path>[^\"]*?)(?: +\S*)?)? (?<protocol>\S+)" (?<response_code>[^ ]*) (?<response_flags>[^ ]*) (?<response_code_details>[^ ]*) (?<connection_termination_details>[^ ]*) "(?<upstream_transport_failure_reason>[^ ]*)" (?<bytes_received>[^ ]*) (?<bytes_sent>[^ ]*) (?<duration>[^ ]*) (?<x_envoy_upstream_service_time>[^ ]*) "(?<x_forwarded_for>[^ ]*)" "(?<user_agent>[^\"]*)" "(?<x_request_id>[^\"]*)" "(?<authority>[^ ]*)" "(?<upstream_host>[^ ]*)" (?<upstream_cluster>[^ ]*) (?<upstream_local_address>[^ ]*) (?<downstream_local_address>[^ ]*) (?<downstream_remote_address>[^ ]*) (?<requested_server_name>[^ ]*) (?<route_name>[^  ]*)$',
+    time_key="start_time",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L%z",
+    time_keep=True,
+)
+CRI = RegexParser(
+    "cri",
+    r"^(?<time>[^ ]+) (?<stream>stdout|stderr) (?<logtag>[^ ]*) (?<message>.*)$",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L%z",
+    time_keep=True,
+)
+KUBE_CUSTOM = RegexParser(
+    "kube-custom",
+    r"(?<tag>[^.]+)?\.?(?<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\.log$",
+)
+KMSG_NETFILTER_LOG = RegexParser(
+    "kmsg-netfilter-log",
+    r"^\<(?<pri>[0-9]{1,5})\>1 (?<time>[^ ]+) (?<host>[^ ]+) kernel - - - \[[0-9\.]*\] (?<logprefix>[^ ]*)\s?IN=(?<in>[^ ]*) OUT=(?<out>[^ ]*) MAC=(?<macsrc>[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}):(?<macdst>[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}):(?<ethtype>[0-9a-f]{2}:[0-9a-f]{2}) SRC=(?<saddr>[^ ]*) DST=(?<daddr>[^ ]*) LEN=(?<len>[^ ]*) TOS=(?<tos>[^ ]*) PREC=(?<prec>[^ ]*) TTL=(?<ttl>[^ ]*) ID=(?<id>[^ ]*) (D*F*)\s*PROTO=(?<proto>[^ ]*)\s?((SPT=)?(?<sport>[0-9]*))\s?((DPT=)?(?<dport>[0-9]*))\s?((LEN=)?(?<protolen>[0-9]*))\s?((WINDOW=)?(?<window>[0-9]*))\s?((RES=)?(?<res>0?x?[0-9]*))\s?(?<flag>[^ ]*)\s?((URGP=)?(?<urgp>[0-9]*))",
+    time_fmt="%Y-%m-%dT%H:%M:%S.%L%z",
+)
+JSON = JsonParser("json", time_fmt="%d/%b/%Y:%H:%M:%S %z")
+DOCKER = JsonParser("docker", time_fmt="%Y-%m-%dT%H:%M:%S.%L", time_keep=True)
+LOGFMT = LogfmtParser("logfmt")
+
+# registry: every [PARSER] of conf/parsers.conf:1-200 by name
+PARSERS = {
+    p.name: p
+    for p in [
+        APACHE, APACHE2, APACHE_ERROR, NGINX, K8S_NGINX_INGRESS, JSON, LOGFMT,
+        DOCKER, DOCKER_DAEMON, SYSLOG_RFC5424, SYSLOG_RFC3164_LOCAL,
+        SYSLOG_RFC3164, MONGODB, ENVOY, ISTIO_ENVOY_PROXY, CRI, KUBE_CUSTOM,
+        KMSG_NETFILTER_LOG,
+    ]
+}

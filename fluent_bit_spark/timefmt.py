@@ -47,8 +47,8 @@ _MAP = {
     "%S": "ss",
     "%p": "a",
     "%j": "DDD",
-    "%z": "xx",    # +0000 style; use %:z for +00:00
-    "%:z": "xxx",
+    "%z": "XX",    # +0000 style AND literal 'Z' (ISO); use %:z for +00:00
+    "%:z": "XXX",
     "%Z": "zz",
     "%%": "%",
 }
@@ -136,8 +136,11 @@ def parse_time(
             fmt = "yyyy " + fmt
         if time_offset and not tf.has_zone:
             s = F.concat(s, F.lit(" " + time_offset))
-            fmt = fmt + " xx"
-        return F.to_timestamp(s, fmt)
+            fmt = fmt + " XX"
+        # try_to_timestamp: an unparseable time yields NULL, matching the
+        # reference (time stays unset, flb_parser.c:1159+) — plain
+        # to_timestamp under ANSI mode would fail the whole job instead
+        return F.try_to_timestamp(s, F.lit(fmt))
 
     if not tf.frac_digits:
         return finish(col, tf.spark_fmt)

@@ -60,7 +60,7 @@ def _one(spark, s, fmt, **kw):
 
 
 def test_translate_basic():
-    assert translate_strptime(APACHE).spark_fmt == "d/MMM/yyyy:HH:mm:ss xx"
+    assert translate_strptime(APACHE).spark_fmt == "d/MMM/yyyy:HH:mm:ss XX"
     tf = translate_strptime(DOCKER)
     assert tf.spark_fmt == "yyyy-MM-d'T'HH:mm:ss.SSS"
     assert tf.frac_digits == 3 and tf.has_year and not tf.has_zone
