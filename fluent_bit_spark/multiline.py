@@ -116,3 +116,64 @@ def sessionize_mode(
         line_col=line_col,
         out_col=out_col,
     )
+
+
+def sessionize_cri(
+    df: DataFrame,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    logtag_col: str = "logtag",
+    line_col: str = "message",
+    out_col: str = "message",
+) -> DataFrame:
+    """CRI partial-line joining (flb_ml_parser_cri.c): a 'P' logtag marks
+    a partial line continued by the next line(s) of the same stream; 'F'
+    marks the final piece. A record STARTS wherever the previous line was
+    final — expressed as lag(logtag) != 'P' — then the standard
+    running-sum grouping applies. Joined without separators (CRI splits
+    mid-line, not at newlines)."""
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    prev = F.lag(F.col(logtag_col)).over(w)
+    start = prev.isNull() | (prev != "P")
+    grouped = df.withColumn("__grp", F.sum(start.cast("long")).over(w))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l")))
+    )
+    return (
+        grouped.groupBy(stream_col, "__grp")
+        .agg(
+            F.min(order_col).alias("first_line_no"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws("", F.transform(ordered, lambda e: e.getField("l"))).alias(out_col),
+        )
+        .drop("__grp")
+    )
+
+
+def sessionize_docker(
+    df: DataFrame,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    log_col: str = "log",
+    out_col: str = "message",
+) -> DataFrame:
+    """Docker partial joining (flb_ml_parser_docker.c): the json 'log'
+    value of a COMPLETE event ends with a newline; a value without one is
+    a partial continued by the next record. Record start = previous log
+    value ended with a newline (match_type endswith, flb_ml.h:35-37)."""
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    prev = F.lag(F.col(log_col)).over(w)
+    start = prev.isNull() | prev.endswith("\n")
+    grouped = df.withColumn("__grp", F.sum(start.cast("long")).over(w))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(log_col).alias("l")))
+    )
+    return (
+        grouped.groupBy(stream_col, "__grp")
+        .agg(
+            F.min(order_col).alias("first_line_no"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws("", F.transform(ordered, lambda e: e.getField("l"))).alias(out_col),
+        )
+        .drop("__grp")
+    )

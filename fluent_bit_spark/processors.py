@@ -29,22 +29,41 @@ class ContentModifierRule:
     converted_type: Optional[str] = None  # for convert
 
 
-def apply_content_modifier(df: DataFrame, rules: Sequence[ContentModifierRule]) -> DataFrame:
+def apply_content_modifier(
+    df: DataFrame,
+    rules: Sequence[ContentModifierRule],
+    condition: Optional[Column] = None,
+) -> DataFrame:
     """Column-schema variant of the content modifier (the map-schema
     variant reuses filters.apply_modify). `hash` replaces the value with
-    its SHA-256 hex digest (cm_config.c action FLB_CM_HASH)."""
+    its SHA-256 hex digest (cm_config.c action FLB_CM_HASH).
+
+    condition — the processor unit's record-level gate
+    (flb_processor.c:311-452): value-affecting actions apply only where
+    it holds; schema-level actions (rename/delete) are all-or-nothing in
+    a columnar engine and ignore it (documented divergence).
+    """
+
+    def gated(new: Column, old: Column) -> Column:
+        if condition is None:
+            return new
+        return F.when(condition, new).otherwise(old)
+
     for r in rules:
         if r.action == "insert":
             if r.key not in df.columns:
-                df = df.withColumn(r.key, F.lit(r.value))
+                df = df.withColumn(r.key, gated(F.lit(r.value), F.lit(None)))
         elif r.action == "upsert":
-            df = df.withColumn(r.key, F.lit(r.value))
+            old = F.col(r.key) if r.key in df.columns else F.lit(None)
+            df = df.withColumn(r.key, gated(F.lit(r.value), old))
         elif r.action == "delete":
             df = df.drop(r.key)
         elif r.action == "rename":
             df = df.withColumnRenamed(r.key, r.value)
         elif r.action == "hash":
-            df = df.withColumn(r.key, F.sha2(F.col(r.key).cast("string"), 256))
+            df = df.withColumn(
+                r.key, gated(F.sha2(F.col(r.key).cast("string"), 256), F.col(r.key))
+            )
         elif r.action == "extract":
             # named capture groups -> one new column per group
             import re as _re
@@ -54,9 +73,13 @@ def apply_content_modifier(df: DataFrame, rules: Sequence[ContentModifierRule]) 
             # accepted by the JVM regex engine, groups addressed by index.
             jpat = r.pattern
             for i, nm in enumerate(names, start=1):
-                df = df.withColumn(nm, F.regexp_extract(F.col(r.key), jpat, i))
+                df = df.withColumn(
+                    nm, gated(F.regexp_extract(F.col(r.key), jpat, i), F.lit(None))
+                )
         elif r.action == "convert":
-            df = df.withColumn(r.key, F.col(r.key).cast(r.converted_type))
+            df = df.withColumn(
+                r.key, gated(F.col(r.key).cast(r.converted_type), F.col(r.key))
+            )
         else:
             raise ValueError(f"unknown content_modifier action {r.action}")
     return df

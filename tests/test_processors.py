@@ -139,3 +139,51 @@ def test_log_to_metrics_counter_gauge_histogram(spark):
     )
     got = {(r["k"], r["bucket"], r["metric_value"]) for r in h.collect()}
     assert got == {("a", "le_5.0", 2), ("b", "le_50.0", 1), ("b", "+Inf", 1)}
+
+
+def test_multiline_cri_partial_join(spark):
+    from fluent_bit_spark.multiline import sessionize_cri
+
+    rows = [
+        ("c1", 0, "P", "long line part 1 "),
+        ("c1", 1, "P", "part 2 "),
+        ("c1", 2, "F", "part 3"),
+        ("c1", 3, "F", "whole line"),
+        ("c2", 0, "F", "other stream"),
+    ]
+    df = spark.createDataFrame(rows, "file string, line_no long, logtag string, message string")
+    out = sessionize_cri(df).orderBy("file", "first_line_no").collect()
+    assert [(r["file"], r["message"], r["n_lines"]) for r in out] == [
+        ("c1", "long line part 1 part 2 part 3", 3),
+        ("c1", "whole line", 1),
+        ("c2", "other stream", 1),
+    ]
+
+
+def test_multiline_docker_partial_join(spark):
+    from fluent_bit_spark.multiline import sessionize_docker
+
+    rows = [
+        ("d1", 0, "a 16kb chunk"),
+        ("d1", 1, " continued"),
+        ("d1", 2, " end\n"),
+        ("d1", 3, "complete\n"),
+    ]
+    df = spark.createDataFrame(rows, "file string, line_no long, log string")
+    out = sessionize_docker(df).orderBy("first_line_no").collect()
+    assert [(r["message"], r["n_lines"]) for r in out] == [
+        ("a 16kb chunk continued end\n", 3),
+        ("complete\n", 1),
+    ]
+
+
+def test_content_modifier_condition_gate(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = apply_content_modifier(
+        df,
+        [ContentModifierRule("hash", "v"), ContentModifierRule("upsert", "env", value="prod")],
+        condition=F.col("id") == 1,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows[1]["v"]) == 64 and rows[1]["env"] == "prod"
+    assert rows[2]["v"] == "b" and rows[2]["env"] is None
