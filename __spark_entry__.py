@@ -669,6 +669,86 @@ def q_multimodal_decode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _dyn_stream(spark, sf_dir):
+    """Dynamic-schema stream: heterogeneous key sets per record (the
+    samples.json shape — SURVEY §1.3): click rows carry int k, view rows
+    carry an explicit-null k + msg, error rows a string-number code."""
+    from fluent_bit_spark.fbrecord import VALUE_SCHEMA
+
+    ev = _t(spark, sf_dir, "events")
+
+    def tv(t, i=None, f=None, s=None, b=None):
+        return F.struct(
+            F.lit(t).alias("t"),
+            (i if i is not None else F.lit(None)).cast("long").alias("i"),
+            (f if f is not None else F.lit(None)).cast("double").alias("f"),
+            (s if s is not None else F.lit(None)).cast("string").alias("s"),
+            (b if b is not None else F.lit(None)).cast("boolean").alias("b"),
+        )
+
+    none_v = F.lit(None).cast(VALUE_SCHEMA)
+    ent = lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+    kval = F.get_json_object("props", "$.k").cast("long")
+    entries = F.array(
+        ent(F.lit("id"), tv("int", i=F.col("event_id"))),
+        ent(
+            F.when(F.col("event_type") == "click", "k")
+            .when(F.col("event_type") == "view", "k"),
+            F.when(F.col("event_type") == "click", tv("int", i=kval)).otherwise(
+                tv("null")
+            ),
+        ),
+        ent(
+            F.when(F.col("event_type") == "view", "msg"),
+            tv("string", s=F.concat(F.lit("v"), F.col("user_id"))),
+        ),
+        ent(
+            F.when(F.col("event_type") == "error", "code"),
+            tv("string", s=(F.col("user_id") % 7).cast("string")),
+        ),
+    )
+    body = F.map_from_entries(F.filter(entries, lambda e: e.getField("key").isNotNull()))
+    df = ev.select(
+        F.lit("dyn.0").alias("tag"), F.col("ts"), body.alias("body")
+    )
+    return SPEngine(streams={"dyn": df}, mode="dynamic", ts_col="ts")
+
+
+def _dyn_flat(out, *keys):
+    cols = [
+        F.coalesce(
+            F.element_at(F.col("body"), k).getField("i").cast("string"),
+            F.element_at(F.col("body"), k).getField("s"),
+        ).alias(k)
+        for k in keys
+    ]
+    return out.select(*cols)
+
+
+def q_sp_dyn_contains(spark, sf_dir):
+    """dynamic mode @record.contains over heterogeneous keys
+    (flb_sp.c reduce_expression; key present regardless of value)."""
+    eng = _dyn_stream(spark, sf_dir)
+    out = eng.run("SELECT id FROM STREAM:dyn WHERE @record.contains(k);")
+    return _dyn_flat(out, "id")
+
+
+def q_sp_dyn_isnull(spark, sf_dir):
+    """IS NULL matches only explicit nulls, not missing keys
+    (sp_select_keys.h check #5 semantics)."""
+    eng = _dyn_stream(spark, sf_dir)
+    out = eng.run("SELECT id FROM STREAM:dyn WHERE k IS NULL;")
+    return _dyn_flat(out, "id")
+
+
+def q_sp_dyn_coercion(spark, sf_dir):
+    """string-number field compared to an int literal -> parsed to number
+    (flb_sp.c:840-842)."""
+    eng = _dyn_stream(spark, sf_dir)
+    out = eng.run("SELECT id, code FROM STREAM:dyn WHERE code = 4;")
+    return _dyn_flat(out, "id", "code")
+
+
 def q_skew_distinct(spark, sf_dir):
     """two-stage exact per-key COUNT(DISTINCT) — the de-skew shape for
     non-decomposable per-key state (skew.two_stage_distinct)."""
@@ -777,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "skew_distinct": q_skew_distinct,
+        "sp_dyn_contains": q_sp_dyn_contains,
+        "sp_dyn_isnull": q_sp_dyn_isnull,
+        "sp_dyn_coercion": q_sp_dyn_coercion,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -1100,6 +1183,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, cand_id ASC) AS rank
               FROM s)
             WHERE rank <= 5
+        """,
+        "sp_dyn_contains": """
+            SELECT CAST(event_id AS VARCHAR) AS id FROM events
+            WHERE event_type IN ('click', 'view')
+        """,
+        "sp_dyn_isnull": """
+            SELECT CAST(event_id AS VARCHAR) AS id FROM events
+            WHERE event_type = 'view'
+        """,
+        "sp_dyn_coercion": """
+            SELECT CAST(event_id AS VARCHAR) AS id,
+                   CAST(user_id % 7 AS VARCHAR) AS code
+            FROM events WHERE event_type = 'error' AND user_id % 7 = 4
         """,
         "skew_distinct": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

@@ -76,8 +76,13 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
 
     path = prepare_webgen_input(spark, n_rows)
     pages = spark.read.parquet(path)
+    engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
     parsed = tag_stage(
-        enrich_stage(filter_stage(parse_stage(pages)), geo_dict(spark), lang_dict(spark))
+        enrich_stage(
+            filter_stage(parse_stage(pages, engine=engine)),
+            geo_dict(spark),
+            lang_dict(spark),
+        )
     )
     flagged = route_flags(parsed, DEFAULT_SINKS)
     counts = flagged.agg(

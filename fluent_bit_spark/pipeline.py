@@ -70,12 +70,21 @@ class PipelineResult:
     manifest_path: str
 
 
-def parse_stage(pages: DataFrame) -> DataFrame:
+def parse_stage(pages: DataFrame, engine: str = "jvm") -> DataFrame:
     """Extract the embedded access-log line from ``text`` and parse it with
-    the apache parser (conf/parsers.conf:2-7). Pure narrow ops."""
+    the apache parser (conf/parsers.conf:2-7). Pure narrow ops.
+
+    engine — 'jvm' (single-pass pack-and-split regexp, whole-stage
+    codegen; default) or 'pandas' (Arrow-batched pd.Series.str.extract —
+    the vectorized-UDF path of BASELINE.json's input_hint; same output,
+    used when Onigmo-only constructs or ""-vs-missing distinction
+    matter). Both engines are golden-tested byte-identical per url."""
+    import dataclasses
+
+    parser = APACHE if engine == "jvm" else dataclasses.replace(APACHE, engine=engine)
     line = F.regexp_extract(F.col("text"), r"\nLOG ([^\n]+)", 1)
     df = pages.withColumn("line", line)
-    df = APACHE.apply(df, "line", ts_col="log_ts")
+    df = parser.apply(df, "line", ts_col="log_ts")
     return df
 
 
