@@ -137,6 +137,9 @@ def main():
     # input staging is one-time setup, not part of the measured pipeline
     n_docs = int(os.environ.get("SPARK_GRAFT_WEBROWS", str(int(2_000_000 * sf_num))))
     prepare_webgen_input(spark, n_docs)
+    # warm-up: python workers + Arrow channels + codegen (first pandas-UDF
+    # job pays ~10s of one-time startup that is not pipeline throughput)
+    run_webgen_e2e(spark, max(n_docs // 10, 10_000), partitions=cpus * 2)
     t0 = time.time()
     run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
     e2e_sec = time.time() - t0

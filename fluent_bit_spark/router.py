@@ -134,7 +134,10 @@ class SinkSpec:
     match_regex: Optional[str] = None
     conditions: Sequence[RouteCondition] = field(default_factory=tuple)
     condition_op: str = "and"  # 'and' | 'or'
-    fmt: str = "parquet"  # out_file formats: json/csv/parquet (file.c:196-230)
+    # out_file formats (plugins/out_file/file.c:196-230): json csv ltsv
+    # plain template, plus parquet (the columnar-native default)
+    fmt: str = "parquet"
+    template: Optional[str] = None  # '{key}' placeholders for fmt=template
 
     def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
         p = match_col(F.col(tag_col), self.match, self.match_regex)
@@ -199,12 +202,32 @@ def apply_rewrite_tag(
     df: DataFrame,
     rules: Sequence[RewriteTagRule],
     tag_col: str = "tag",
+    emitter_passes: int = 1,
 ) -> DataFrame:
     """Apply rewrite_tag rules. First matching rule wins per record
     (rewrite_tag.c iterates rules and emits on first match). Records whose
     rule has keep=True are duplicated: original tag + new tag (the emitter
     re-injection, in_emitter plugin).
+
+    emitter_passes — the reference re-injects re-tagged records at the
+    pipeline head, where they may match ANOTHER rewrite rule (emitter
+    cascade; cycles are possible at runtime). Batch-shaped: each extra
+    pass re-applies the rule list to the output of the previous pass;
+    we bound the cascade to a fixed pass count instead of allowing
+    cycles (SURVEY §7.4 risk 6). Rules that no longer match are no-ops,
+    so a cascade that converges early is a fixpoint.
     """
+    out = df
+    for _ in range(max(1, emitter_passes)):
+        out = _apply_rewrite_tag_once(out, rules, tag_col)
+    return out
+
+
+def _apply_rewrite_tag_once(
+    df: DataFrame,
+    rules: Sequence[RewriteTagRule],
+    tag_col: str = "tag",
+) -> DataFrame:
     tag = F.col(tag_col)
     new_tag = None  # Column: rewritten tag or NULL if no rule matched
     keep_flag = F.lit(False)
@@ -275,14 +298,52 @@ def write_sinks(
 
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
+            dest = f"{base_path}/{s.name}"
+            if s.fmt in ("ltsv", "plain", "template"):
+                # the observe node upstream of this projection still fires
+                part = part.select(_text_line(part, s).alias("value"))
+                part.write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             writer = part.write.mode("overwrite")
             if s.fmt == "json":
-                writer.json(f"{base_path}/{s.name}")
+                writer.json(dest)
             elif s.fmt == "csv":
-                writer.option("header", True).csv(f"{base_path}/{s.name}")
+                writer.option("header", True).csv(dest)
             else:
-                writer.parquet(f"{base_path}/{s.name}")
+                writer.parquet(dest)
             counts[s.name] = obs.get["n"]
     finally:
         flagged.unpersist()
     return counts
+
+
+def _text_line(df: DataFrame, s: SinkSpec) -> Column:
+    """Render a record to one text line per out_file's line formats
+    (file.c:196-230): ltsv = tab-separated label:value over all fields;
+    plain = space-joined values; template = '{key}' substitution."""
+    cols = [c for c in df.columns]
+    if s.fmt == "ltsv":
+        return F.concat_ws(
+            "\t",
+            *[F.concat(F.lit(f"{c}:"), F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols],
+        )
+    if s.fmt == "plain":
+        return F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
+    # template
+    import re as _re
+
+    parts: list[Column] = []
+    last = 0
+    tmpl = s.template or ""
+    for m in _re.finditer(r"\{(\w+)\}", tmpl):
+        if m.start() > last:
+            parts.append(F.lit(tmpl[last : m.start()]))
+        name = m.group(1)
+        parts.append(
+            F.coalesce(F.col(name).cast("string"), F.lit("")) if name in cols else F.lit(m.group(0))
+        )
+        last = m.end()
+    if last < len(tmpl):
+        parts.append(F.lit(tmpl[last:]))
+    return F.concat(*parts) if parts else F.lit("")

@@ -93,3 +93,36 @@ def test_sink_conditions(spark):
     )
     got = df.select("tag", sink_or.predicate(df).alias("p")).collect()
     assert all(r["p"] for r in got)
+
+
+def test_out_file_text_formats(spark, tmp_path):
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = spark.createDataFrame(
+        [("a.1", "hello", 7), ("b.2", "world", 9)], "tag string, msg string, n long"
+    )
+    sinks = [
+        SinkSpec("lt", match="a.*", fmt="ltsv"),
+        SinkSpec("pl", match="*", fmt="plain"),
+        SinkSpec("tp", match="b.*", fmt="template", template="[{tag}] {msg} n={n}"),
+    ]
+    counts = write_sinks(df, sinks, str(tmp_path))
+    assert counts == {"lt": 1, "pl": 2, "tp": 1}
+    lt = spark.read.text(str(tmp_path / "lt")).collect()[0]["value"]
+    assert lt == "tag:a.1\tmsg:hello\tn:7"
+    tp = spark.read.text(str(tmp_path / "tp")).collect()[0]["value"]
+    assert tp == "[b.2] world n=9"
+
+
+def test_rewrite_tag_emitter_cascade(spark):
+    from fluent_bit_spark.router import RewriteTagRule, apply_rewrite_tag
+
+    df = spark.createDataFrame([("app.x", "warn")], "tag string, lvl string")
+    rules = [
+        RewriteTagRule(key="tag", regex=r"^app\.", new_tag="stage1.$TAG[1]", keep=False),
+        RewriteTagRule(key="tag", regex=r"^stage1\.", new_tag="stage2.$TAG[1]", keep=False),
+    ]
+    one = {r["tag"] for r in apply_rewrite_tag(df, rules).collect()}
+    two = {r["tag"] for r in apply_rewrite_tag(df, rules, emitter_passes=2).collect()}
+    assert one == {"stage1.x"}     # single pass: first matching rule wins
+    assert two == {"stage2.x"}     # emitter re-pass: cascades to rule 2
