@@ -498,3 +498,127 @@ PARSERS = {
         KMSG_NETFILTER_LOG,
     ]
 }
+
+
+# ---------------------------------------------------------------------------
+# decoder chains — src/flb_parser_decoder.c:391-470 (rule walk), :677-728
+# (config: Decode_Field vs Decode_Field_As; optional action try_next /
+# do_next; backends json escaped escaped_utf8 mysql_quoted)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DecoderRule:
+    """One Decode_Field / Decode_Field_As entry."""
+
+    mode: str      # 'as' (replace in place) | 'field' (decode under new key)
+    backend: str   # json | escaped | escaped_utf8 | mysql_quoted
+    field: str
+    action: str = "stop"  # stop (default) | try_next | do_next
+
+
+def _unescape_utf8_udf():
+    """escaped_utf8 backend (flb_parser_decoder.c:100): \\xNN byte escapes
+    decoded back to UTF-8 text. Arrow-batched; bytes-level, deterministic.
+    Built lazily — pandas_udf needs an active session to parse its type."""
+
+    @pandas_udf("string")
+    def unescape_utf8(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        pat = _re.compile(rb"\\x([0-9a-fA-F]{2})")
+
+        def one(x):
+            if x is None:
+                return None
+            raw = pat.sub(lambda m: bytes([int(m.group(1), 16)]), x.encode("utf-8"))
+            return raw.decode("utf-8", "replace")
+
+        return s.map(one)
+
+    return unescape_utf8
+
+
+def _mysql_unquote(c: Column) -> Column:
+    """mysql_quoted backend (flb_mysql_unquote_string): strip the outer
+    quotes, collapse doubled quotes and backslash escapes."""
+    inner = F.substring(c, 2, F.length(c) - 2)
+    inner = F.regexp_replace(inner, r"''", "'")
+    inner = F.regexp_replace(inner, r'""', '"')
+    inner = F.regexp_replace(inner, r"\\'", "'")
+    inner = F.regexp_replace(inner, r'\\"', '"')
+    return inner
+
+
+def apply_decoder_chain(df: DataFrame, rules: Sequence[DecoderRule]) -> DataFrame:
+    """Columnar decoder chain with the reference's control flow:
+
+    * a failing backend stops the chain unless its action is try_next /
+      do_next (flb_parser_decoder.c:444-453);
+    * a successful 'as' rule replaces the value in place and continues
+      only for do_next;
+    * a successful 'field' rule materializes ``<field>_decoded`` (the
+      merge-into-record analogue) leaving the original value intact;
+    * a 'json' success on an 'as' rule produces ``<field>_map``
+      (map<string,string>) — the typed result of the docker-style
+      ``Decode_Field_As escaped_utf8 log do_next`` + ``Decode_Field_As
+      json log`` chain.
+
+    All per-row state (stopped / current value) is carried in Column
+    expressions; the whole chain stays in one narrow projection.
+    """
+    by_field: dict[str, list[DecoderRule]] = {}
+    for r in rules:
+        by_field.setdefault(r.field, []).append(r)
+
+    for fld, chain in by_field.items():
+        cur = F.col(fld)
+        stopped = F.lit(False)
+        jmap = None
+        decoded_field = None
+        for r in chain:
+            if r.backend == "json":
+                parsed = F.from_json(cur, "map<string,string>")
+                success = parsed.isNotNull()
+                transformed = cur  # string form unchanged; typed result below
+            elif r.backend == "escaped":
+                success = F.lit(True)
+                transformed = _unescape(cur)
+            elif r.backend == "escaped_utf8":
+                success = F.lit(True)
+                transformed = _unescape_utf8_udf()(cur)
+            elif r.backend == "mysql_quoted":
+                success = (
+                    (F.length(cur) >= 2)
+                    & (
+                        (cur.startswith("'") & cur.endswith("'"))
+                        | (cur.startswith('"') & cur.endswith('"'))
+                    )
+                )
+                transformed = _mysql_unquote(cur)
+            else:
+                raise ValueError(f"unknown decoder backend {r.backend}")
+
+            applies = ~stopped & F.coalesce(success, F.lit(False))
+            if r.backend == "json" and r.mode == "as":
+                nxt = F.when(applies, parsed)
+                jmap = nxt if jmap is None else F.coalesce(jmap, nxt)
+            elif r.mode == "as":
+                cur = F.when(applies, transformed).otherwise(cur)
+            else:  # decode under a new key, original kept
+                nxt = F.when(applies, transformed)
+                decoded_field = (
+                    nxt if decoded_field is None else F.coalesce(decoded_field, nxt)
+                )
+            if r.action == "stop":
+                # stop after this rule regardless of outcome unless it
+                # failed with try/do_next (handled by `applies` above)
+                stopped = stopped | applies | F.coalesce(success, F.lit(False))
+            # try_next / do_next: chain continues on both outcomes
+
+        df = df.withColumn(fld, cur)
+        if jmap is not None:
+            df = df.withColumn(f"{fld}_map", jmap)
+        if decoded_field is not None:
+            df = df.withColumn(f"{fld}_decoded", decoded_field)
+    return df

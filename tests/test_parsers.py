@@ -174,3 +174,53 @@ def test_json_parser_schema_and_docker_decode(spark):
     # Decode_Field_As json log (src/flb_parser_decoder.c:423-470)
     out2 = decode_field_as_json(out, "log", "inner long")
     assert out2.first()["log"]["inner"] == 42
+
+
+def test_decoder_chain_docker_shape(spark):
+    """Decode_Field_As escaped_utf8 log do_next + Decode_Field_As json log
+    (the docker parsers.conf chain)."""
+    from fluent_bit_spark.parsers import DecoderRule, apply_decoder_chain
+
+    line = '{"msg": "caf\\xc3\\xa9", "n": "1"}'
+    df = spark.createDataFrame([(line,)], "log string")
+    out = apply_decoder_chain(
+        df,
+        [
+            DecoderRule("as", "escaped_utf8", "log", action="do_next"),
+            DecoderRule("as", "json", "log"),
+        ],
+    )
+    row = out.collect()[0]
+    assert row["log_map"]["msg"] == "café"
+    assert row["log_map"]["n"] == "1"
+
+
+def test_decoder_mysql_quoted_and_try_next(spark):
+    from fluent_bit_spark.parsers import DecoderRule, apply_decoder_chain
+
+    df = spark.createDataFrame(
+        [("'it''s quoted'",), ("not quoted",)], "v string"
+    )
+    out = apply_decoder_chain(df, [DecoderRule("as", "mysql_quoted", "v")])
+    vals = [r["v"] for r in out.orderBy("v").collect()]
+    assert "it's quoted" in vals and "not quoted" in vals
+
+    # try_next: json fails on a non-json value, falls through to escaped
+    df2 = spark.createDataFrame([("a\\nb",)], "v string")
+    out2 = apply_decoder_chain(
+        df2,
+        [
+            DecoderRule("as", "json", "v", action="try_next"),
+            DecoderRule("as", "escaped", "v"),
+        ],
+    )
+    assert out2.collect()[0]["v"] == "a\nb"
+
+
+def test_decoder_field_mode_keeps_original(spark):
+    from fluent_bit_spark.parsers import DecoderRule, apply_decoder_chain
+
+    df = spark.createDataFrame([("x\\ty",)], "v string")
+    out = apply_decoder_chain(df, [DecoderRule("field", "escaped", "v")])
+    row = out.collect()[0]
+    assert row["v"] == "x\\ty" and row["v_decoded"] == "x\ty"
