@@ -1,0 +1,260 @@
+"""Classic-mode configuration: parse a fluent-bit.conf-style file and
+build/run the equivalent Spark pipeline.
+
+Reference: the classic config format (conf/fluent-bit.conf; parsing in
+src/flb_config.c + flb_cf_fluentbit.c) — indented Key Value pairs under
+[SERVICE] / [INPUT] / [FILTER] / [OUTPUT] sections; [FILTER] and
+[OUTPUT] attach to the stream via their Match glob. This module lets a
+fluent-bit user bring their config: sections map onto the operators of
+this package and run as ONE batch job (inputs unioned, filters gated by
+their Match, outputs written via the multi-sink fan-out with per-sink
+counts).
+
+Supported plugins (the analytics-relevant subset; SURVEY §2):
+  INPUT:  tail (Path/Parser/Tag — batch read of the glob), dummy
+          (Dummy/Samples/Tag)
+  FILTER: grep (Regex/Exclude/Logical_Op), modify (Set/Add/Remove/
+          Rename/.../Condition), record_modifier (Record/Remove_key/
+          Allowlist_key), rewrite_tag (Rule), throttle (Rate/Interval),
+          type_converter (int_key/float_key/str_key/uint_key)
+  OUTPUT: file (Path/Format), null, counter
+
+Unsupported plugin names raise — silently dropping a stage would
+corrupt routing parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .filters import (
+    GrepRule,
+    ModifyCondition,
+    ModifyRule,
+    RecordModifier,
+    TypeConverterRule,
+    apply_grep,
+    apply_modify,
+    apply_throttle,
+    apply_type_converter,
+)
+from .parsers import PARSERS
+from .router import (
+    RewriteTagRule,
+    SinkSpec,
+    apply_rewrite_tag,
+    match_col,
+    write_sinks,
+)
+
+# ---------------------------------------------------------------------------
+# classic-format parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Section:
+    name: str                      # SERVICE / INPUT / FILTER / OUTPUT
+    entries: list = field(default_factory=list)  # ordered (key_lower, value)
+
+    def get(self, key: str, default: Optional[str] = None) -> Optional[str]:
+        for k, v in self.entries:
+            if k == key.lower():
+                return v
+        return default
+
+    def get_all(self, key: str) -> list:
+        return [v for k, v in self.entries if k == key.lower()]
+
+
+def parse_classic(text: str) -> list:
+    """Parse the classic indented format: '[NAME]' headers, 'Key  Value'
+    lines (first whitespace run splits key from value), '#' comments."""
+    sections: list[Section] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            sections.append(Section(line[1:-1].strip().upper()))
+            continue
+        if not sections:
+            raise ValueError(f"entry outside any section: {line!r}")
+        parts = line.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1] if len(parts) > 1 else ""
+        sections[-1].entries.append((key, val))
+    return sections
+
+
+# ---------------------------------------------------------------------------
+# stage builders
+# ---------------------------------------------------------------------------
+
+
+def _build_input(spark: SparkSession, s: Section) -> DataFrame:
+    name = (s.get("name") or "").lower()
+    tag = s.get("tag", name or "input")
+    if name == "tail":
+        path = s.get("path")
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        df = df.withColumn("tag", F.lit(tag))
+        parser_name = s.get("parser")
+        if parser_name:
+            parser = PARSERS[parser_name]
+            df = parser.apply(df, "line", ts_col="ts")
+        return df
+    if name == "dummy":
+        n = int(s.get("samples", "1"))
+        payload = s.get("dummy", '{"message":"dummy"}')
+        fields = json.loads(payload)
+        df = spark.range(n).select(
+            F.lit(tag).alias("tag"),
+            *[F.lit(v).alias(k) for k, v in fields.items()],
+        )
+        return df
+    raise ValueError(f"unsupported INPUT plugin {name!r}")
+
+
+def _tag_gate(df: DataFrame, match: str) -> F.Column:
+    return match_col(F.col("tag"), match)
+
+
+def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
+    name = (s.get("name") or "").lower()
+    match = s.get("match", "*")
+    gate = _tag_gate(df, match)
+
+    if name == "grep":
+        rules = [GrepRule("regex", *v.split(None, 1)) for v in s.get_all("regex")]
+        rules += [GrepRule("exclude", *v.split(None, 1)) for v in s.get_all("exclude")]
+        op = s.get("logical_op", "legacy")
+        from .filters import grep_predicate
+
+        keep = grep_predicate(df, rules, logical_op=op)
+        return df.filter(~gate | keep)
+
+    if name == "modify":
+        # column-schema variant of filter_modify: value ops are gated by
+        # the Match predicate AND the conditions (modify.c applies the
+        # whole rule chain only when all conditions hold)
+        cond = gate
+        for v in s.get_all("condition"):
+            parts = v.split(None, 2)
+            ctype = parts[0].lower()
+            key = parts[1]
+            val = parts[2] if len(parts) > 2 else None
+            c = F.col(key) if key in df.columns else F.lit(None)
+            if ctype == "key_exists":
+                cond = cond & c.isNotNull()
+            elif ctype == "key_does_not_exist":
+                cond = cond & c.isNull()
+            elif ctype == "key_value_equals":
+                cond = cond & F.coalesce(c.cast("string") == val, F.lit(False))
+            elif ctype == "key_value_matches":
+                cond = cond & F.coalesce(c.cast("string").rlike(val), F.lit(False))
+            else:
+                raise ValueError(f"unsupported modify condition {ctype}")
+        for v in s.get_all("set"):
+            k, val = v.split(None, 1)
+            old = F.col(k) if k in df.columns else F.lit(None)
+            df = df.withColumn(k, F.when(cond, F.lit(val)).otherwise(old))
+        for v in s.get_all("add"):
+            k, val = v.split(None, 1)
+            if k not in df.columns:
+                df = df.withColumn(k, F.when(cond, F.lit(val)))
+        for v in s.get_all("remove"):
+            df = df.drop(v.strip())
+        for v in s.get_all("rename"):
+            k, new = v.split(None, 1)
+            df = df.withColumnRenamed(k, new.strip())
+        for v in s.get_all("copy") + s.get_all("hard_copy"):
+            k, new = v.split(None, 1)
+            df = df.withColumn(new.strip(), F.when(cond, F.col(k)))
+        return df
+
+    if name == "record_modifier":
+        rm = RecordModifier(
+            records=[tuple(v.split(None, 1)) for v in s.get_all("record")],
+            remove_keys=s.get_all("remove_key"),
+            allowlist_keys=s.get_all("allowlist_key") + s.get_all("whitelist_key"),
+        )
+        return rm.apply(df)
+
+    if name == "rewrite_tag":
+        rules = []
+        for v in s.get_all("rule"):
+            key, regex, new_tag, keep = v.split(None, 3)
+            rules.append(
+                RewriteTagRule(key.lstrip("$"), regex, new_tag, keep.lower() == "true")
+            )
+        return apply_rewrite_tag(df, rules)
+
+    if name == "throttle":
+        rate = int(s.get("rate", "1"))
+        interval = s.get("interval", "1s").rstrip("s")
+        return apply_throttle(df, rate=rate, interval_sec=int(interval), ts_col="ts")
+
+    if name == "type_converter":
+        rules = []
+        for key in ("int_key", "uint_key", "float_key", "str_key"):
+            to_type = {"int_key": "int", "uint_key": "uint",
+                       "float_key": "float", "str_key": "string"}[key]
+            for v in s.get_all(key):
+                frm, to = v.split(None, 1)
+                rules.append(TypeConverterRule(frm, to.strip(), to_type))
+        return apply_type_converter(df, rules)
+
+    raise ValueError(f"unsupported FILTER plugin {name!r}")
+
+
+def _build_sink(s: Section) -> SinkSpec:
+    name = (s.get("name") or "").lower()
+    match = s.get("match", "*")
+    if name == "file":
+        return SinkSpec(
+            s.get("sink_name", match.replace("*", "all").replace(".", "_") or "out"),
+            match=match,
+            fmt=(s.get("format", "json")),
+            template=s.get("template"),
+        )
+    if name in ("null", "counter", "stdout"):
+        return SinkSpec(f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet")
+    raise ValueError(f"unsupported OUTPUT plugin {name!r}")
+
+
+@dataclass
+class PipelineRun:
+    counts: dict
+    frame: DataFrame
+
+
+def run_classic_config(
+    spark: SparkSession, conf_text: str, out_dir: str
+) -> PipelineRun:
+    """Parse + execute a classic config as one batch job. Returns the
+    routed frame and per-sink counts (the out_counter numbers)."""
+    sections = parse_classic(conf_text)
+    inputs = [s for s in sections if s.name == "INPUT"]
+    filters = [s for s in sections if s.name == "FILTER"]
+    outputs = [s for s in sections if s.name == "OUTPUT"]
+    if not inputs or not outputs:
+        raise ValueError("config needs at least one INPUT and one OUTPUT")
+
+    frames = [_build_input(spark, s) for s in inputs]
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+
+    for s in filters:
+        df = _apply_filter(df, s)
+
+    sinks = [_build_sink(s) for s in outputs]
+    counts = write_sinks(df, sinks, out_dir)
+    return PipelineRun(counts=counts, frame=df)

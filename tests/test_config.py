@@ -1,0 +1,78 @@
+"""Classic fluent-bit.conf-driven pipeline: parse, build, run, count."""
+
+import os
+
+from fluent_bit_spark.config import parse_classic, run_classic_config
+
+CONF = """
+# fluent-bit style classic config
+[SERVICE]
+    Flush        1
+    Log_Level    info
+
+[INPUT]
+    Name   tail
+    Path   {path}
+    Parser apache
+    Tag    web.access
+
+[INPUT]
+    Name   dummy
+    Dummy  {{"message": "keepalive", "code": "200"}}
+    Samples 3
+    Tag    hb.ping
+
+[FILTER]
+    Name       grep
+    Match      web.*
+    Regex      code ^2
+
+[FILTER]
+    Name   modify
+    Match  web.*
+    Condition Key_value_equals code 200
+    Set    status ok
+    Copy   host origin_host
+
+[OUTPUT]
+    Name   file
+    Match  web.*
+    Format csv
+    sink_name web_out
+
+[OUTPUT]
+    Name   counter
+    Match  *
+"""
+
+LOG_LINES = [
+    '1.2.3.4 - alice [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 100',
+    '5.6.7.8 - bob [10/Oct/2000:13:55:37 -0700] "GET /b HTTP/1.0" 404 50',
+    '9.9.9.9 - carol [10/Oct/2000:13:55:38 -0700] "POST /c HTTP/1.0" 201 70',
+]
+
+
+def test_parse_classic_sections():
+    secs = parse_classic(CONF.format(path="/tmp/x"))
+    names = [s.name for s in secs]
+    assert names == ["SERVICE", "INPUT", "INPUT", "FILTER", "FILTER", "OUTPUT", "OUTPUT"]
+    assert secs[1].get("parser") == "apache"
+    assert secs[3].get_all("regex") == ["code ^2"]
+
+
+def test_run_classic_config(spark, tmp_path):
+    src = tmp_path / "access.log"
+    src.write_text("\n".join(LOG_LINES) + "\n")
+    out = str(tmp_path / "out")
+
+    run = run_classic_config(spark, CONF.format(path=str(src)), out)
+    # grep keeps 2xx web rows only; counter sees kept web rows + 3 dummies
+    assert run.counts["web_out"] == 2
+    assert run.counts["counter_all"] == 5
+
+    got = spark.read.option("header", True).csv(os.path.join(out, "web_out"))
+    rows = {r["host"]: r for r in got.collect()}
+    assert set(rows) == {"1.2.3.4", "9.9.9.9"}
+    # modify: status=ok only where code == 200; copy host -> origin_host
+    assert rows["1.2.3.4"]["status"] == "ok" and rows["1.2.3.4"]["origin_host"] == "1.2.3.4"
+    assert rows["9.9.9.9"]["status"] is None
