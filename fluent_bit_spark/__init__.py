@@ -29,6 +29,14 @@ sqlsp       the stream-processor SQL subset -> DataFrame plans
 fbrecord    dynamic (schemaless) record encoding as a JVM-native tagged
             map column.
 webgen      deterministic Common-Crawl-shape input table generator.
+multiline   multiline joining as windowed sessionization (+ CRI/docker
+            partial-line modes).
+processors  content_modifier / sampling / log_to_metrics / scripted
+            (lua-analogue) processor units.
+config      classic fluent-bit.conf parsing -> pipeline execution.
+skew        salted repartitioning + two-stage de-skew aggregation.
+streaming   Structured Streaming surface (in_tail follow + checkpoint
+            resume, in_dummy, watermarked windowed metrics).
 pipeline    parse -> filter/enrich -> route -> aggregate orchestration with
             lineage + metrics + checkpoint/resume.
 dataops     training-data-pipeline operations: dedup (exact/minhash/

@@ -155,3 +155,27 @@ def log_to_metrics(df: DataFrame, spec: LogToMetricsSpec) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("metric_value"))
         )
     raise ValueError(f"unknown log_to_metrics mode {spec.mode}")
+
+
+# ---------------------------------------------------------------------------
+# filter_lua / filter_wasm analogue — plugins/filter_lua/lua.c: arbitrary
+# scripted per-record transform (script + call returning (code, ts, record))
+# ---------------------------------------------------------------------------
+
+
+def scripted_transform(df: DataFrame, fn, schema: str) -> DataFrame:
+    """The scripted-filter escape hatch, Arrow-batched instead of
+    per-record: `fn(pdf: pandas.DataFrame) -> pandas.DataFrame` runs via
+    mapInPandas over record batches — the vectorized counterpart of the
+    Lua callback's (code, ts, record) contract. Dropping rows = filtering
+    the batch (code -1); modifying = editing columns (code 1|2).
+
+    Use ONLY when no built-in operator expresses the logic: everything
+    else in this package stays JVM-side.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(run, schema)

@@ -187,3 +187,17 @@ def test_content_modifier_condition_gate(spark):
     rows = {r["id"]: r for r in out.collect()}
     assert len(rows[1]["v"]) == 64 and rows[1]["env"] == "prod"
     assert rows[2]["v"] == "b" and rows[2]["env"] is None
+
+
+def test_scripted_transform_lua_analogue(spark):
+    from fluent_bit_spark.processors import scripted_transform
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+
+    def script(pdf):
+        pdf = pdf[pdf["id"] != 2].copy()     # code -1: drop record
+        pdf["v"] = pdf["v"].str.upper()      # code 1: modified record
+        return pdf
+
+    out = scripted_transform(df, script, "id long, v string")
+    assert {(r["id"], r["v"]) for r in out.collect()} == {(1, "A"), (3, "C")}
