@@ -1,0 +1,42 @@
+"""Bucketed (co-located) joins: the zero-shuffle path for repeated
+large-large joins.
+
+The reference never joins streams; our enrichments broadcast small dims.
+But at 10^12 rows, recurring joins against LARGE dimensions (url -> crawl
+metadata, user -> profile) must not shuffle the fact table every run:
+bucketing both sides by the join key at write time makes every
+subsequent join a zero-exchange sort-merge join — each task reads
+matching bucket files from both tables. This is the batch analogue of
+partitioned stateful co-location in stream processors.
+
+Bucket counts must match (or divide) across tables; pick a count sized
+so bucket files land in the 128 MB - 1 GB range at the target scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed table (bucket metadata lives in the catalog;
+    files under `path`). Sorted buckets let the join skip the sort step."""
+    w = df.write.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).mode("overwrite").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key: no Exchange on
+    either side (verify with .explain — the test asserts it)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,30 @@
+"""Bucketed co-located join: assert the physical plan has NO shuffle
+exchange on either side (the 100 TB repeated-join strategy)."""
+
+from fluent_bit_spark.bucketing import colocated_join, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    write_bucketed(ev, "b_events", "user_id", 8, str(tmp_path / "be"))
+    write_bucketed(cust, "b_cust", "user_id", 8, str(tmp_path / "bc"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = colocated_join(spark, "b_events", "b_cust", "user_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffles
+            # and it actually computes the right thing
+            n = joined.count()
+            expected = ev.join(cust, "user_id").count()
+            assert n == expected > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
