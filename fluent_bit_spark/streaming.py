@@ -121,3 +121,59 @@ def windowed_metrics_stream(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("size_i").alias("bytes"))
         .select(F.col("w.start").alias("window_start"), "code_class", "n", "bytes")
     )
+
+
+def throttle_stream(
+    pages: DataFrame,
+    rate: int,
+    interval_sec: int,
+    key_col: str = "lang",
+    ts_col: str = "warc_ts",
+):
+    """True stateful rate limiting on a stream: at most `rate` records per
+    key per `interval_sec` pane, enforced with per-key state across
+    micro-batches via applyInPandasWithState — the custom-stateful-operator
+    path for semantics Spark's built-ins can't express (the batch
+    apply_throttle ranks within a pane; this one carries pane counters
+    between triggers like the reference's ticker-advanced window,
+    plugins/filter_throttle/throttle.c:82-125).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = pages.schema
+    out_schema = schema.simpleString().replace("struct<", "").rstrip(">")
+    state_schema = "pane long, used long"
+
+    def limit_group(key, pdfs, state: GroupState):
+        if state.exists:
+            cur_pane, used = state.get
+        else:
+            cur_pane, used = -1, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            panes = (pdf[ts_col].astype("int64") // 1_000_000_000) // interval_sec
+            keep_rows = []
+            for i, pane in enumerate(panes):
+                if pane != cur_pane:
+                    cur_pane, used = int(pane), 0
+                if used < rate:
+                    used += 1
+                    keep_rows.append(i)
+            if keep_rows:
+                out.append(pdf.iloc[keep_rows])
+        state.update((int(cur_pane), int(used)))
+        if out:
+            yield pd.concat(out)
+
+    return (
+        pages.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            limit_group,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -89,3 +89,39 @@ def test_windowed_metrics_stream(spark, tmp_path):
     # at <= 2400s... 2699s; the rest stay in state at end-of-stream.
     assert got.count() >= 8
     assert got.agg(F.sum("n")).collect()[0][0] >= 2400
+
+
+@pytest.mark.slow
+def test_throttle_stream_stateful(spark, tmp_path):
+    from fluent_bit_spark.streaming import tail_source, throttle_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # 1 row/sec per generate(); throttle to 10 per 60s pane per lang
+    generate(spark, 1200, partitions=2).write.mode("overwrite").parquet(src)
+
+    limited = throttle_stream(tail_source(spark, src), rate=10, interval_sec=60)
+    q = (
+        limited.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    n_langs = got.select("lang").distinct().count()
+    # 1200 seconds -> 20 panes; cap = 10/pane/lang; every (lang, pane)
+    # group obeys the cap and totals stay far below the input
+    per = (
+        got.withColumn("pane", (F.unix_timestamp("warc_ts") / 60).cast("long"))
+        .groupBy("lang", "pane")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per <= 10
+    assert 0 < got.count() < 1200
+    assert n_langs >= 3
