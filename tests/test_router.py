@@ -126,3 +126,28 @@ def test_rewrite_tag_emitter_cascade(spark):
     two = {r["tag"] for r in apply_rewrite_tag(df, rules, emitter_passes=2).collect()}
     assert one == {"stage1.x"}     # single pass: first matching rule wins
     assert two == {"stage2.x"}     # emitter re-pass: cascades to rule 2
+
+
+def test_glob_property_vs_python_reference(spark):
+    """Property test: the JVM-compiled glob predicate agrees with the
+    driver-side matcher (itself validated against the C truth vectors of
+    tests/internal/router.c) on randomized tag/pattern pairs."""
+    import random
+
+    from fluent_bit_spark.router import match_col, tag_matches
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    tags = list(
+        {"".join(rng.choice("abc.") for _ in range(rng.randint(0, 6))) for _ in range(150)}
+    )
+    patterns = list(
+        {"".join(rng.choice("ab.*c") for _ in range(rng.randint(0, 5))) for _ in range(20)}
+    )
+    df = spark.createDataFrame([(t,) for t in tags], "tag string")
+    cols = [match_col(F.col("tag"), p).alias(f"m{i}") for i, p in enumerate(patterns)]
+    rows = df.select(F.col("tag"), *cols).collect()  # ONE job for all pairs
+    for r in rows:
+        for i, p in enumerate(patterns):
+            assert r[f"m{i}"] == tag_matches(p)(r["tag"]), (p, r["tag"])
