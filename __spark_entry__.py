@@ -749,6 +749,21 @@ def q_sp_dyn_coercion(spark, sf_dir):
     return _dyn_flat(out, "id", "code")
 
 
+def q_dedup_neardup_pipeline(spark, sf_dir):
+    """Full near-dup dedup composition: MinHash signatures -> LSH banding
+    candidates -> exact n-gram Jaccard verify -> keep-set (drop the
+    higher id of every verified pair). The end-to-end web-dedup shape;
+    xxhash64-derived, rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=2).filter(
+        F.col("jaccard") >= 0.5
+    )
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.select("doc_id")
+
+
 def q_skew_distinct(spark, sf_dir):
     """two-stage exact per-key COUNT(DISTINCT) — the de-skew shape for
     non-decomposable per-key state (skew.two_stage_distinct)."""
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
