@@ -179,3 +179,31 @@ def scripted_transform(df: DataFrame, fn, schema: str) -> DataFrame:
             yield fn(pdf)
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# processor_template — plugins/processor_template: render a new field from
+# a template over existing fields
+# ---------------------------------------------------------------------------
+
+
+def apply_template(df: DataFrame, out_key: str, template: str) -> DataFrame:
+    """Render '{field}' placeholders against record fields into a new
+    column — pure concat, stays in codegen."""
+    import re as _re
+
+    parts: list[Column] = []
+    last = 0
+    for m in _re.finditer(r"\{(\w+)\}", template):
+        if m.start() > last:
+            parts.append(F.lit(template[last : m.start()]))
+        name = m.group(1)
+        parts.append(
+            F.coalesce(F.col(name).cast("string"), F.lit(""))
+            if name in df.columns
+            else F.lit(m.group(0))
+        )
+        last = m.end()
+    if last < len(template):
+        parts.append(F.lit(template[last:]))
+    return df.withColumn(out_key, F.concat(*parts) if parts else F.lit(""))

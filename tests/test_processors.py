@@ -201,3 +201,11 @@ def test_scripted_transform_lua_analogue(spark):
 
     out = scripted_transform(df, script, "id long, v string")
     assert {(r["id"], r["v"]) for r in out.collect()} == {(1, "A"), (3, "C")}
+
+
+def test_processor_template(spark):
+    from fluent_bit_spark.processors import apply_template
+
+    df = spark.createDataFrame([("GET", 200, None)], "verb string, code long, x string")
+    out = apply_template(df, "line", "{verb} -> {code} [{x}] {missing}")
+    assert out.collect()[0]["line"] == "GET -> 200 [] {missing}"
