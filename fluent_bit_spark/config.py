@@ -28,19 +28,15 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .filters import (
     GrepRule,
-    ModifyCondition,
-    ModifyRule,
     RecordModifier,
     TypeConverterRule,
-    apply_grep,
-    apply_modify,
     apply_throttle,
     apply_type_converter,
 )

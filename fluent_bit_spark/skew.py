@@ -19,8 +19,6 @@ the sort-merge-join side; broadcast joins are skew-immune.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
