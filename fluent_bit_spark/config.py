@@ -122,6 +122,16 @@ def _tag_gate(df: DataFrame, match: str) -> F.Column:
     return match_col(F.col("tag"), match)
 
 
+def parse_interval(value: str) -> int:
+    """fluent-bit interval string -> seconds ('30', '30s', '5m', '1h', '1d');
+    flb_utils.c:flb_utils_time_to_seconds accepts these unit suffixes."""
+    v = value.strip().lower()
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    if v and v[-1] in units:
+        return int(v[:-1]) * units[v[-1]]
+    return int(v)
+
+
 def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
     name = (s.get("name") or "").lower()
     match = s.get("match", "*")
@@ -165,11 +175,25 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
             k, val = v.split(None, 1)
             if k not in df.columns:
                 df = df.withColumn(k, F.when(cond, F.lit(val)))
+        # Remove/Rename must honor the Match gate + Conditions on the
+        # unioned multi-tag frame: when the rule is gated, null the value
+        # per-row (column-schema analogue of dropping the key from matched
+        # records only); only an ungated rule may change the schema.
+        ungated = match == "*" and not s.get_all("condition")
         for v in s.get_all("remove"):
-            df = df.drop(v.strip())
+            k = v.strip()
+            if ungated:
+                df = df.drop(k)
+            elif k in df.columns:
+                df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("rename"):
             k, new = v.split(None, 1)
-            df = df.withColumnRenamed(k, new.strip())
+            new = new.strip()
+            if ungated:
+                df = df.withColumnRenamed(k, new)
+            elif k in df.columns:
+                df = df.withColumn(new, F.when(cond, F.col(k)))
+                df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("copy") + s.get_all("hard_copy"):
             k, new = v.split(None, 1)
             df = df.withColumn(new.strip(), F.when(cond, F.col(k)))
@@ -194,8 +218,8 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
 
     if name == "throttle":
         rate = int(s.get("rate", "1"))
-        interval = s.get("interval", "1s").rstrip("s")
-        return apply_throttle(df, rate=rate, interval_sec=int(interval), ts_col="ts")
+        interval_sec = parse_interval(s.get("interval", "1s"))
+        return apply_throttle(df, rate=rate, interval_sec=interval_sec, ts_col="ts")
 
     if name == "type_converter":
         rules = []

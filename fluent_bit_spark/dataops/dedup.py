@@ -93,25 +93,16 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
+def _minhash_banded(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banding: docs sharing any band bucket.
-
-    rows_per_band = num_hashes/bands; two docs collide in a band iff that
-    slice of their signatures is identical. Returns (id_a, id_b) with
-    id_a < id_b, deduplicated across bands.
-    """
+    """(id, band, bucket) membership rows for LSH banding."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
     base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = base.select(
+    return base.select(
         "id",
         F.explode(
             F.transform(
@@ -129,6 +120,62 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _cap_buckets(membership: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:
+    """Deterministically sub-sample each bucket to max_bucket_size members
+    (lowest ids kept). Web data guarantees degenerate buckets — every
+    empty/boilerplate page shares one signature — and an uncapped
+    self-join goes quadratic in the hot bucket: the 100-TB scale-killer.
+    Capping bounds within-bucket pair count at C(cap, 2) while keeping
+    recall for moderately hot buckets. Callers surface what was dropped
+    via lsh_overflow_buckets (no silent caps)."""
+    w = Window.partitionBy(*keys).orderBy(F.col("id"))
+    return (
+        membership.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket_size)
+        .drop("__rk")
+    )
+
+
+def lsh_overflow_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Buckets whose membership exceeds the cap, with their sizes — the
+    audit view for the sub-sampling done in minhash_lsh_candidates."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band bucket.
+
+    rows_per_band = num_hashes/bands; two docs collide in a band iff that
+    slice of their signatures is identical. Returns (id_a, id_b) with
+    id_a < id_b, deduplicated across bands. Buckets larger than
+    max_bucket_size are deterministically sub-sampled (see _cap_buckets);
+    use lsh_overflow_buckets for the dropped-bucket audit.
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -148,10 +148,22 @@ def embedding_near_dup(
     n_bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify.
+
+    Buckets above max_bucket_size are deterministically sub-sampled
+    (lowest ids kept) before the self-join — a hot bucket (zero vectors,
+    one dominant cluster) would otherwise make the pair count quadratic
+    at scale. Same rationale as dedup._cap_buckets."""
     sig = lsh_signature(F.col(vec_col), dim, n_bits)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(F.col("id"))
+    base = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket_size)
+        .drop("__rk")
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,

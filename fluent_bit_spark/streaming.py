@@ -141,8 +141,9 @@ def throttle_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = pages.schema
-    out_schema = schema.simpleString().replace("struct<", "").rstrip(">")
+    # pass the StructType directly: string-munging simpleString() breaks
+    # on nested struct/array-of-struct columns
+    out_schema = pages.schema
     state_schema = "pane long, used long"
 
     def limit_group(key, pdfs, state: GroupState):

@@ -50,6 +50,38 @@ def test_minhash_finds_exact_dups(docs, spark):
     assert row["est_jaccard"] == 1.0
 
 
+def test_lsh_bucket_cap_bounds_degenerate_pairs(spark):
+    # 500 identical docs share every band bucket: uncapped, the self-join
+    # would emit C(500,2)=124750 pairs. The cap bounds it at C(cap,2).
+    cap = 16
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate page text again and again") for i in range(500)],
+        "doc_id long, text string",
+    )
+    cands = dedup.minhash_lsh_candidates(
+        df, num_hashes=32, bands=8, max_bucket_size=cap
+    )
+    n = cands.count()
+    assert 0 < n <= cap * (cap - 1) // 2
+    # audit view surfaces what was capped (no silent drops)
+    overflow = dedup.lsh_overflow_buckets(
+        df, num_hashes=32, bands=8, max_bucket_size=cap
+    )
+    assert overflow.count() == 8  # every band's single hot bucket
+    assert overflow.agg(F.max("bucket_size")).first()[0] == 500
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    cap = 8
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup(
+        df, dim=4, threshold=0.5, n_bits=4, max_bucket_size=cap
+    )
+    n = pairs.count()
+    assert 0 < n <= cap * (cap - 1) // 2
+
+
 def test_minhash_estimate_close_to_exact(docs):
     cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8).limit(20)
     if cands.count() == 0:
