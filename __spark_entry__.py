@@ -62,6 +62,7 @@ from fluent_bit_spark.router import (  # noqa: E402
     route_flags,
 )
 from fluent_bit_spark.sqlsp import SPEngine  # noqa: E402
+from fluent_bit_spark import kube  # noqa: E402
 from fluent_bit_spark.dataops import dedup, multimodal, similarity, textstats  # noqa: E402
 
 
@@ -523,6 +524,63 @@ def q_checklist(spark, sf_dir):
     return out.groupBy("flagged").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_kube_enrich(spark, sf_dir):
+    """filter_kubernetes: tag -> (pod, ns, container, docker_id) via
+    KUBE_TAG_TO_REGEX (kube_regex.h:27), then pod-metadata snapshot
+    broadcast join (kube_meta.c flb_kube_meta_get), then per-(ns, host)
+    out_counter aggregation. The kube tag is synthesized from events
+    deterministically; the DuckDB oracle runs the SAME regex extraction
+    and join in SQL."""
+    import json as _json
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    pod = F.concat(F.lit("app-"), (F.col("user_id") % 20).cast("string"))
+    ns = F.concat(F.lit("ns"), (F.col("user_id") % 5).cast("string"))
+    did = F.concat(F.md5(uid), F.md5(uid))
+    tag = F.concat(
+        F.lit(kube.KUBE_TAG_PREFIX), pod, F.lit("_"), ns, F.lit("_main-"),
+        did, F.lit(".log"),
+    )
+    df = kube.kube_tag_meta(ev.withColumn("tag", tag))
+    pods = [
+        _json.dumps(
+            {
+                "metadata": {
+                    "name": f"app-{i}",
+                    "namespace": f"ns{i % 5}",
+                    "uid": f"pod-{i:04d}",
+                    "labels": {"app": f"app-{i}"},
+                },
+                "spec": {"nodeName": f"node{i % 4}"},
+                "status": {
+                    "podIP": f"10.0.0.{i}",
+                    "containerStatuses": [
+                        {
+                            "name": "main",
+                            "image": "img:latest",
+                            "imageID": "docker-pullable://img@sha256:0",
+                            "containerID": "docker://" + "0" * 64,
+                        }
+                    ],
+                },
+            }
+        )
+        for i in range(20)
+    ]
+    dim = kube.pod_meta_from_json(spark, pods)
+    out = kube.kube_enrich(df, dim)
+    return (
+        out.select(
+            F.col("namespace_name"),
+            F.col("kubernetes")["host"].alias("host"),
+            F.col("value"),
+        )
+        .groupBy("namespace_name", "host")
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # processors
 # ---------------------------------------------------------------------------
@@ -861,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_tag_match": q_sp_tag_match,
         "enrich_broadcast": q_enrich_broadcast,
         "checklist": q_checklist,
+        "kube_enrich": q_kube_enrich,
         "content_modifier": q_content_modifier,
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
@@ -881,6 +940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_dyn_isnull": q_sp_dyn_isnull,
         "sp_dyn_coercion": q_sp_dyn_coercion,
     }
+
+
+# KUBE_TAG_TO_REGEX with onig named groups stripped to plain groups (the
+# same compilation RegexParser does) so the DuckDB oracle runs the exact
+# regex the Spark side runs.
+from fluent_bit_spark.parsers import strip_names as _strip_names  # noqa: E402
+
+_KUBE_RX, _KUBE_IDX = _strip_names(kube.KUBE_TAG_TO_REGEX)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1089,6 +1156,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'true' END AS flagged,
                    COUNT(*) AS n
             FROM events GROUP BY 1
+        """,
+        "kube_enrich": f"""
+            WITH ext AS (
+                SELECT value,
+                       regexp_extract(payload, '{_KUBE_RX}', {_KUBE_IDX["namespace_name"]}) AS namespace_name,
+                       regexp_extract(payload, '{_KUBE_RX}', {_KUBE_IDX["pod_name"]}) AS pod_name
+                FROM (
+                    SELECT value,
+                           'app-' || (user_id % 20) || '_ns' || (user_id % 5)
+                           || '_main-' || md5(CAST(user_id AS VARCHAR))
+                           || md5(CAST(user_id AS VARCHAR)) || '.log' AS payload
+                    FROM events
+                )
+            ), dim AS (
+                SELECT 'ns' || (i % 5) AS namespace_name,
+                       'app-' || i AS pod_name,
+                       'node' || (i % 4) AS host
+                FROM range(20) t(i)
+            )
+            SELECT e.namespace_name AS namespace_name, d.host AS host,
+                   COUNT(*) AS n, round(SUM(e.value), 4) AS sv
+            FROM ext e LEFT JOIN dim d USING (namespace_name, pod_name)
+            GROUP BY 1, 2
         """,
         "content_modifier": f"""
             SELECT event_id, CAST({kv} AS BIGINT) AS kval,

@@ -1,0 +1,339 @@
+"""filter_kubernetes re-expressed for Spark.
+
+The reference's most-deployed filter (plugins/filter_kubernetes/, ~5.4k C):
+per record it
+  1. extracts (pod, namespace, container, docker_id) from the TAG
+     (kube_regex.h:27 KUBE_TAG_TO_REGEX after stripping Kube_Tag_Prefix,
+     kube_conf.h:63-65),
+  2. looks the pod up in an in-process metadata cache fed by the kube
+     API-server / kubelet (kube_meta.c get_api_server_info), attaching a
+     `kubernetes` map (pod_id/labels/annotations/host/container_*),
+  3. optionally re-parses the `log` field (Merge_Log, kubernetes.c:278-500
+     merge_log_handler) lifting its JSON keys into the record,
+  4. honors `fluentbit.io/parser` / `fluentbit.io/exclude` pod annotations
+     (kube_property.c:31-140) when k8s-logging.* is enabled.
+
+Spark-first mapping: the metadata cache is a **pod-metadata snapshot
+DataFrame broadcast-joined** on (namespace_name, pod_name) — the build side
+ships once per executor, exactly the role of the reference's per-process
+hash cache; tag extraction is the existing RegexParser one-pass machinery;
+merge_log is `from_json` against a caller schema (Catalyst, no UDF);
+annotation properties become filters / branch parsers over the joined
+annotation map.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .parsers import RegexParser
+
+# kube_conf.h:63-65 (docker path); kube_regex.h:27-31. Onig named-group
+# syntax — compiled through RegexParser.strip_names like every parser here.
+KUBE_TAG_PREFIX = "kube.var.log.containers."
+KUBE_TAG_TO_REGEX = (
+    r"(?<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+    r"(?:\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_(?<namespace_name>[^_]+)_"
+    r"(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\.log$"
+)
+KUBE_JOURNAL_TO_REGEX = (
+    r"^(?<name_prefix>[^_]+)_(?<container_name>[^\._]+)"
+    r"(\.(?<container_hash>[^_]+))?_(?<pod_name>[^_]+)_"
+    r"(?<namespace_name>[^_]+)_[^_]+_[^_]+$"
+)
+# kube_regex.h:31 — ReplicaSet suffix alphabet (no vowels/confusables)
+DEPLOYMENT_REGEX = r"^(.+)-([bcdfghjklmnpqrstvwxz2456789]{6,10})$"
+
+# K8s API-server pod object, the fields kube_meta.c extract_pod_meta reads
+POD_META_SCHEMA = (
+    "struct<"
+    "metadata: struct<name: string, namespace: string, uid: string,"
+    "  labels: map<string,string>, annotations: map<string,string>,"
+    "  ownerReferences: array<struct<kind: string, name: string>>>,"
+    "spec: struct<nodeName: string>,"
+    "status: struct<podIP: string,"
+    "  containerStatuses: array<struct<name: string, image: string,"
+    "    imageID: string, containerID: string>>>"
+    ">"
+)
+
+
+def workload_from_owner(owner_refs: Column) -> Column:
+    """Workload (deployment) name from metadata.ownerReferences.
+
+    kube_meta.c:893-919: for a ReplicaSet owner, DEPLOYMENT_REGEX strips
+    the replicaset-hash suffix (e.g. nginx-66b6c48dd5 -> nginx); a
+    non-matching or non-ReplicaSet owner keeps its name verbatim.
+    """
+    owner = F.try_element_at(owner_refs, F.lit(1))
+    dep = F.regexp_extract(owner["name"], DEPLOYMENT_REGEX, 1)
+    return F.when(
+        owner["kind"] == "ReplicaSet",
+        F.when(dep != "", dep).otherwise(owner["name"]),
+    ).otherwise(owner["name"])
+
+
+def kube_tag_meta(
+    df: DataFrame,
+    tag_col: str = "tag",
+    tag_prefix: str = KUBE_TAG_PREFIX,
+    regex: str = KUBE_TAG_TO_REGEX,
+) -> DataFrame:
+    """Extract pod/namespace/container/docker_id columns from the tag.
+
+    Mirrors kube_meta.c tag_to_meta(): strip Kube_Tag_Prefix, match the
+    tag regex on the remainder. A custom `Regex_Parser` (the runtime
+    tests' `kubernetes-tag` parser) is just a different `regex`. Rows
+    whose tag doesn't match get NULLs (the reference skips enrichment).
+    Pure narrow projection — one regex pass via RegexParser's pack-split.
+    """
+    payload = F.when(
+        F.col(tag_col).startswith(tag_prefix),
+        F.expr(f"substring({tag_col}, {len(tag_prefix) + 1})"),
+    ).otherwise(F.col(tag_col))
+    out = df.withColumn("__kube_tag", payload)
+    parser = RegexParser(name="kube_tag", regex=regex, time_fmt=None)
+    out = parser.apply(out, "__kube_tag", ts_col="__kube_ts")
+    return out.drop("__kube_tag", "__kube_ts")
+
+
+def pod_meta_from_json(spark, pod_jsons: Sequence[str]) -> DataFrame:
+    """Pod API objects (JSON text, e.g. the reference's *.meta fixtures or
+    a `kubectl get pods -o json` dump) -> the pod-metadata snapshot dim.
+
+    Columns: namespace_name, pod_name, pod_id, labels, annotations, host,
+    pod_ip, containers (map container_name -> {docker_id, container_hash,
+    container_image}). This is the build side of the broadcast join — at
+    production scale it comes from a periodic API-server snapshot job, and
+    stays tiny (pods-per-cluster) next to the log stream.
+    """
+    raw = spark.createDataFrame([(j,) for j in pod_jsons], "j: string")
+    p = F.from_json(F.col("j"), POD_META_SCHEMA)
+    strip = lambda c, pre: F.regexp_replace(c, r"^[a-z-]+://", "")  # noqa: E731
+    containers = F.map_from_entries(
+        F.transform(
+            p["status"]["containerStatuses"],
+            lambda c: F.struct(
+                c["name"].alias("key"),
+                F.struct(
+                    strip(c["containerID"], "docker://").alias("docker_id"),
+                    strip(c["imageID"], "docker-pullable://").alias("container_hash"),
+                    c["image"].alias("container_image"),
+                ).alias("value"),
+            ),
+        )
+    )
+    return raw.select(
+        p["metadata"]["namespace"].alias("namespace_name"),
+        p["metadata"]["name"].alias("pod_name"),
+        p["metadata"]["uid"].alias("pod_id"),
+        p["metadata"]["labels"].alias("labels"),
+        p["metadata"]["annotations"].alias("annotations"),
+        p["spec"]["nodeName"].alias("host"),
+        p["status"]["podIP"].alias("pod_ip"),
+        containers.alias("containers"),
+        p["metadata"]["ownerReferences"].alias("owner_references"),
+    )
+
+
+def kube_enrich(
+    df: DataFrame,
+    pod_meta: DataFrame,
+    labels: bool = True,
+    annotations: bool = False,
+    owner_references: bool = False,
+    nested: bool = True,
+) -> DataFrame:
+    """Attach the `kubernetes` metadata to tag-extracted rows.
+
+    The reference probes a per-process hash cache per record
+    (kube_meta.c flb_kube_meta_get); the Spark analogue is a broadcast
+    LEFT join on (namespace_name, pod_name) — the snapshot ships to every
+    executor once, the log stream never shuffles. `labels`/`annotations`
+    mirror kube_conf.h:106-110 option gates (labels on, annotations off
+    by default). With nested=True the result carries one `kubernetes`
+    struct column shaped like the reference's output map
+    (tests/runtime/data/kubernetes/out/core/core_base_fluent-bit.out).
+    """
+    dim_cols = ["namespace_name", "pod_name", "pod_id", "host", "pod_ip", "containers"]
+    if labels:
+        dim_cols.append("labels")
+    if annotations:
+        dim_cols.append("annotations")
+    if owner_references and "owner_references" in pod_meta.columns:
+        dim_cols.append("owner_references")
+    dim = pod_meta.select(*dim_cols)
+    joined = df.join(broadcast(dim), ["namespace_name", "pod_name"], "left")
+
+    cinfo = F.try_element_at(F.col("containers"), F.col("container_name"))
+    fields: list[Column] = [
+        F.col("pod_name"),
+        F.col("namespace_name"),
+        F.col("pod_id"),
+    ]
+    if labels:
+        fields.append(F.col("labels"))
+    if annotations:
+        fields.append(F.col("annotations"))
+    fields += [
+        F.col("host"),
+        F.col("pod_ip"),
+        F.col("container_name"),
+        F.coalesce(F.col("docker_id"), cinfo["docker_id"]).alias("docker_id")
+        if "docker_id" in df.columns
+        else cinfo["docker_id"].alias("docker_id"),
+        cinfo["container_hash"].alias("container_hash"),
+        cinfo["container_image"].alias("container_image"),
+    ]
+    if owner_references and "owner_references" in pod_meta.columns:
+        fields.append(workload_from_owner(F.col("owner_references")).alias("workload"))
+    if not nested:
+        return joined.drop("containers")
+    out = joined.withColumn("kubernetes", F.struct(*fields))
+    return out.drop(
+        "containers",
+        "pod_id",
+        "host",
+        "pod_ip",
+        *(["labels"] if labels else []),
+        *(["annotations"] if annotations else []),
+        *(["owner_references"] if owner_references else []),
+    )
+
+
+def merge_log(
+    df: DataFrame,
+    schema: str,
+    log_col: str = "log",
+    merge_log_key: Optional[str] = None,
+    keep_log: bool = True,
+    merge_log_trim: bool = True,
+) -> DataFrame:
+    """Merge_Log: lift the JSON content of `log` into the record.
+
+    kubernetes.c:278-500 merge_log_handler: if the log value parses as a
+    JSON map it is merged (MERGE_MAP/MERGE_PARSED); under Merge_Log_Key
+    the parsed map nests under that key instead; Keep_Log=false drops the
+    original `log` only when the merge succeeded; Merge_Log_Trim strips
+    the trailing newline of merged values (kubernetes.c:464). The
+    reference discovers keys per record from msgpack; Spark columns are
+    static, so the merged keys come from the caller-supplied `schema`
+    (DDL struct string) — the filter_parser convention used across this
+    repo. Rows that don't parse keep their original record (from_json ->
+    NULL struct), exactly the reference's failed-merge path.
+    """
+    parsed = F.from_json(F.col(log_col), schema)
+    out = df.withColumn("__m", parsed)
+    # from_json on a StructType yields an all-null struct (PERMISSIVE) for
+    # malformed input rather than NULL; a MapType parse does return NULL,
+    # so it is the reliable merge-succeeded gate (MERGE_NONE vs MERGE_MAP).
+    success = F.from_json(F.col(log_col), "map<string,string>").isNotNull()
+    names = [f.name for f in out.schema["__m"].dataType.fields]
+
+    def _trim(c: Column, dt) -> Column:
+        if merge_log_trim and dt.simpleString() == "string":
+            return F.regexp_replace(c, r"[\r\n]+$", "")
+        return c
+
+    dts = {f.name: f.dataType for f in out.schema["__m"].dataType.fields}
+    if merge_log_key:
+        merged = F.when(
+            success,
+            F.struct(*[_trim(F.col("__m")[n], dts[n]).alias(n) for n in names]),
+        )
+        out = out.withColumn(merge_log_key, merged)
+    else:
+        for n in names:
+            out = out.withColumn(n, F.when(success, _trim(F.col("__m")[n], dts[n])))
+    if not keep_log:
+        out = out.withColumn(
+            log_col, F.when(success, F.lit(None)).otherwise(F.col(log_col))
+        )
+    return out.drop("__m")
+
+
+def annotation_exclude(
+    df: DataFrame,
+    stream_col: str = "stream",
+    annotations_col: str = "annotations",
+    k8s_logging_exclude: bool = True,
+) -> DataFrame:
+    """fluentbit.io/exclude[_stdout|_stderr] pod annotation.
+
+    kube_property.c:107-140 prop_set_exclude: a truthy exclude annotation
+    drops the pod's records (optionally per stream); only honored when
+    the filter enables K8S-Logging.Exclude. Spark: a filter over the
+    broadcast-joined annotation map — stays in codegen.
+    """
+    if not k8s_logging_exclude:
+        return df
+    ann = F.col(annotations_col)
+    truthy = lambda c: F.lower(F.coalesce(c, F.lit("false"))).isin(  # noqa: E731
+        "true", "on", "yes", "1"
+    )
+    base = truthy(F.try_element_at(ann, F.lit("fluentbit.io/exclude")))
+    per_stream = truthy(
+        F.try_element_at(
+            ann, F.concat(F.lit("fluentbit.io/exclude_"), F.col(stream_col))
+        )
+    )
+    return df.filter(~(base | per_stream))
+
+
+def annotation_parser(
+    df: DataFrame,
+    parsers: dict[str, RegexParser],
+    source_col: str = "log",
+    annotations_col: str = "annotations",
+    stream_col: Optional[str] = None,
+    k8s_logging_parser: bool = True,
+) -> DataFrame:
+    """fluentbit.io/parser[_stdout|_stderr] pod annotation.
+
+    kube_property.c:31-105: the annotation names a parser applied to the
+    log field of that pod's records. Per-row dynamic parser choice is
+    re-expressed as a union of per-parser branches: filter rows whose
+    annotation names parser P, apply P, union the branches with the
+    unparsed remainder. Each branch is a narrow pass; the union is a
+    plan-level concat (no shuffle). Unknown parser names fall through
+    unparsed, like the reference's parser-lookup miss.
+    """
+    if not k8s_logging_parser or not parsers:
+        return df
+    ann = F.col(annotations_col)
+    keys = [F.lit("fluentbit.io/parser")]
+    if stream_col is not None:
+        keys.append(F.concat(F.lit("fluentbit.io/parser_"), F.col(stream_col)))
+    chosen = F.coalesce(
+        *[F.try_element_at(ann, k) for k in keys[::-1]]
+    )  # stream-specific wins (kube_property.c:83-99 stream gate)
+    out = df.withColumn("__parser", chosen)
+
+    all_groups: list[str] = []
+    for p in parsers.values():
+        for g in p.group_names():
+            if g not in all_groups:
+                all_groups.append(g)
+
+    branches = []
+    rest = out.filter(
+        F.col("__parser").isNull() | ~F.col("__parser").isin(list(parsers))
+    )
+    for g in all_groups:
+        rest = rest.withColumn(g, F.lit(None).cast("string"))
+    branches.append(rest.drop("__parser"))
+    for name, p in parsers.items():
+        b = out.filter(F.col("__parser") == name)
+        b = p.apply(b, source_col, ts_col="__ann_ts")
+        for g in all_groups:
+            if g not in (b.columns):
+                b = b.withColumn(g, F.lit(None).cast("string"))
+        branches.append(b.drop("__parser", "__ann_ts"))
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionByName(b)
+    return result

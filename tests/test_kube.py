@@ -1,0 +1,256 @@
+"""filter_kubernetes goldens, ported from tests/runtime/filter_kubernetes.c
+and tests/runtime/data/kubernetes/ (log/meta/out fixtures)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import kube
+from fluent_bit_spark.parsers import RegexParser
+
+DOCKER_ID = "c9898099f6d235126d564ed38a020007ea7a6fac6e25e718de683c9dd0076c16"
+
+# trimmed to the fields kube_meta.c extracts; values from
+# tests/runtime/data/kubernetes/meta/core_base.meta
+CORE_BASE_META = json.dumps(
+    {
+        "apiVersion": "v1",
+        "kind": "Pod",
+        "metadata": {
+            "annotations": {
+                "prometheus.io/path": "/api/v1/metrics/prometheus",
+                "prometheus.io/port": "2020",
+                "prometheus.io/scrape": "true",
+            },
+            "labels": {"app.kubernetes.io/name": "fluent-bit"},
+            "name": "base",
+            "namespace": "core",
+            "uid": "e9f2963f-55f2-11e9-84c5-02e422b8a84a",
+        },
+        "spec": {"nodeName": "ip-10-49-18-80.eu-west-1.compute.internal"},
+        "status": {
+            "podIP": "100.116.192.42",
+            "containerStatuses": [
+                {
+                    "containerID": "docker://" + DOCKER_ID,
+                    "image": "fluent/fluent-bit:latest",
+                    "imageID": "docker-pullable://fluent/fluent-bit@sha256:7ac0fd3569af866e9a6a22eb592744200d2dbe098cf066162453f8d0b06c531f",
+                    "name": "fluent-bit",
+                }
+            ],
+        },
+    }
+)
+
+
+def test_kube_tag_to_regex_production_tag(spark):
+    # the in_tail production shape: kube.var.log.containers.<pod>_<ns>_<container>-<64hex>.log
+    tag = f"kube.var.log.containers.base_core_fluent-bit-{DOCKER_ID}.log"
+    df = spark.createDataFrame([(tag, "x")], "tag string, log string")
+    out = kube.kube_tag_meta(df).first()
+    assert out["pod_name"] == "base"
+    assert out["namespace_name"] == "core"
+    assert out["container_name"] == "fluent-bit"
+    assert out["docker_id"] == DOCKER_ID
+
+
+def test_kube_tag_dotted_pod_and_nonmatch(spark):
+    tag = f"kube.var.log.containers.web.v2_prod_app-{DOCKER_ID}.log"
+    bad = "not.a.kube.tag"
+    df = spark.createDataFrame([(tag,), (bad,)], "tag string")
+    rows = {r["tag"]: r for r in kube.kube_tag_meta(df).collect()}
+    assert rows[tag]["pod_name"] == "web.v2"
+    assert rows[tag]["namespace_name"] == "prod"
+    assert rows[bad]["pod_name"] is None
+
+
+def test_kube_custom_regex_parser_tag(spark):
+    # runtime tests use Tag kube.<ns>.<pod>.<container> with the
+    # kubernetes-tag parser (data/kubernetes/parsers.conf:8-10)
+    df = spark.createDataFrame([("kube.core.base.fluent-bit",)], "tag string")
+    out = kube.kube_tag_meta(
+        df,
+        tag_prefix="kube.",
+        regex=r"^(?<namespace_name>[^.]+)\.(?<pod_name>[^.]+)\.(?<container_name>[^.]+)$",
+    ).first()
+    assert (out["namespace_name"], out["pod_name"], out["container_name"]) == (
+        "core",
+        "base",
+        "fluent-bit",
+    )
+
+
+def test_workload_from_owner_references(spark):
+    # kube_meta.c:893-919: ReplicaSet owner name minus the hash suffix is
+    # the deployment; non-matching / non-ReplicaSet owners pass verbatim
+    df = spark.createDataFrame(
+        [
+            ([{"kind": "ReplicaSet", "name": "nginx-66b6c48dd5"}],),
+            ([{"kind": "ReplicaSet", "name": "oddname"}],),
+            ([{"kind": "DaemonSet", "name": "fluent-bit"}],),
+        ],
+        "refs array<struct<kind string, name string>>",
+    )
+    got = [
+        r["w"]
+        for r in df.select(
+            kube.workload_from_owner(F.col("refs")).alias("w")
+        ).collect()
+    ]
+    assert got == ["nginx", "oddname", "fluent-bit"]
+
+
+def test_pod_meta_from_json(spark):
+    dim = kube.pod_meta_from_json(spark, [CORE_BASE_META]).first()
+    assert dim["namespace_name"] == "core"
+    assert dim["pod_name"] == "base"
+    assert dim["pod_id"] == "e9f2963f-55f2-11e9-84c5-02e422b8a84a"
+    assert dim["labels"] == {"app.kubernetes.io/name": "fluent-bit"}
+    assert dim["host"] == "ip-10-49-18-80.eu-west-1.compute.internal"
+    assert dim["pod_ip"] == "100.116.192.42"
+    c = dim["containers"]["fluent-bit"]
+    assert c["docker_id"] == DOCKER_ID
+    assert c["container_hash"].startswith("fluent/fluent-bit@sha256:7ac0fd")
+    assert c["container_image"] == "fluent/fluent-bit:latest"
+
+
+def test_kube_enrich_core_base_golden(spark):
+    """End-to-end parity with out/core/core_base_fluent-bit.out."""
+    tag = f"kube.var.log.containers.base_core_fluent-bit-{DOCKER_ID}.log"
+    df = spark.createDataFrame(
+        [(tag, "Fluent Bit is logging\n", "stdout")],
+        "tag string, log string, stream string",
+    )
+    dim = kube.pod_meta_from_json(spark, [CORE_BASE_META])
+    out = kube.kube_enrich(
+        kube.kube_tag_meta(df), dim, labels=True, annotations=True
+    ).first()
+    k = out["kubernetes"]
+    assert k["pod_name"] == "base"
+    assert k["namespace_name"] == "core"
+    assert k["pod_id"] == "e9f2963f-55f2-11e9-84c5-02e422b8a84a"
+    assert k["labels"] == {"app.kubernetes.io/name": "fluent-bit"}
+    assert k["annotations"]["prometheus.io/port"] == "2020"
+    assert k["host"] == "ip-10-49-18-80.eu-west-1.compute.internal"
+    assert k["pod_ip"] == "100.116.192.42"
+    assert k["container_name"] == "fluent-bit"
+    assert k["docker_id"] == DOCKER_ID
+    assert k["container_hash"] == (
+        "fluent/fluent-bit@sha256:"
+        "7ac0fd3569af866e9a6a22eb592744200d2dbe098cf066162453f8d0b06c531f"
+    )
+    assert k["container_image"] == "fluent/fluent-bit:latest"
+    assert out["log"] == "Fluent Bit is logging\n"
+    assert out["stream"] == "stdout"
+
+
+def test_kube_enrich_unknown_pod_left_join(spark):
+    tag = f"kube.var.log.containers.ghost_ns_c-{DOCKER_ID}.log"
+    df = spark.createDataFrame([(tag, "x")], "tag string, log string")
+    dim = kube.pod_meta_from_json(spark, [CORE_BASE_META])
+    out = kube.kube_enrich(kube.kube_tag_meta(df), dim).first()
+    assert out["kubernetes"]["pod_name"] == "ghost"
+    assert out["kubernetes"]["pod_id"] is None
+
+
+# --- Merge_Log option matrix (out/options/options_merge-log-*.out) ---
+
+
+def _log_df(spark, log):
+    return spark.createDataFrame([(log, "stdout")], "log string, stream string")
+
+
+def test_merge_log_enabled_json(spark):
+    # options_merge-log-enabled_json: log merges, original kept (Keep_Log default on)
+    df = _log_df(spark, '{"text":"Simple text"}\n')
+    out = kube.merge_log(df, "text string").first()
+    assert out["text"] == "Simple text"
+    assert out["log"] == '{"text":"Simple text"}\n'
+
+
+def test_merge_log_text_not_json_keeps_record(spark):
+    # options_merge-log-enabled_text: non-JSON log -> no merge, log intact
+    df = _log_df(spark, "This is not json\n")
+    out = kube.merge_log(df, "text string").first()
+    assert out["text"] is None
+    assert out["log"] == "This is not json\n"
+
+
+def test_merge_log_key(spark):
+    # options_merge-log-key: parsed map nests under Merge_Log_Key
+    df = _log_df(spark, '{"text":"Simple text"}\n')
+    out = kube.merge_log(df, "text string", merge_log_key="merge-log-key").first()
+    assert out["merge-log-key"]["text"] == "Simple text"
+    assert out["log"] == '{"text":"Simple text"}\n'
+
+
+def test_merge_log_keep_log_disabled(spark):
+    # options_keep-log-disabled: log dropped only on successful merge
+    ok = kube.merge_log(
+        _log_df(spark, '{"text":"Simple text"}\n'), "text string", keep_log=False
+    ).first()
+    assert ok["text"] == "Simple text" and ok["log"] is None
+    bad = kube.merge_log(
+        _log_df(spark, "plain\n"), "text string", keep_log=False
+    ).first()
+    assert bad["text"] is None and bad["log"] == "plain\n"
+
+
+def test_merge_log_trim(spark):
+    # options_merge-log-trim-*: trailing newline of merged values
+    df = _log_df(spark, '{"text":"Simple text\\n"}')
+    trimmed = kube.merge_log(df, "text string").first()
+    assert trimmed["text"] == "Simple text"
+    kept = kube.merge_log(df, "text string", merge_log_trim=False).first()
+    assert kept["text"] == "Simple text\n"
+
+
+# --- annotation properties (kube_property.c) ---
+
+
+def _ann_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "log string, stream string, annotations map<string,string>"
+    )
+
+
+def test_annotation_exclude(spark):
+    rows = [
+        ("a", "stdout", {"fluentbit.io/exclude": "true"}),
+        ("b", "stdout", {"fluentbit.io/exclude": "false"}),
+        ("c", "stdout", {}),
+        ("d", "stdout", {"fluentbit.io/exclude_stdout": "true"}),
+        ("e", "stderr", {"fluentbit.io/exclude_stdout": "true"}),
+    ]
+    kept = {r["log"] for r in kube.annotation_exclude(_ann_df(spark, rows)).collect()}
+    assert kept == {"b", "c", "e"}
+    # K8S-Logging.Exclude off -> annotation not honored (kube_property.c:116)
+    allk = kube.annotation_exclude(
+        _ann_df(spark, rows), k8s_logging_exclude=False
+    ).count()
+    assert allk == 5
+
+
+def test_annotation_parser_branches(spark):
+    parsers = {
+        "kv": RegexParser(name="kv", regex=r"^(?<k>\w+)=(?<v>\w+)$", time_fmt=None),
+        "num": RegexParser(name="num", regex=r"^(?<n>\d+)$", time_fmt=None),
+    }
+    rows = [
+        ("a=1", "stdout", {"fluentbit.io/parser": "kv"}),
+        ("42", "stdout", {"fluentbit.io/parser": "num"}),
+        ("a=2", "stdout", {"fluentbit.io/parser": "nosuch"}),
+        ("a=3", "stdout", {}),
+        ("b=9", "stderr", {"fluentbit.io/parser_stderr": "kv"}),
+    ]
+    out = kube.annotation_parser(
+        _ann_df(spark, rows), parsers, stream_col="stream"
+    )
+    got = {r["log"]: (r["k"], r["v"], r["n"]) for r in out.collect()}
+    assert got["a=1"] == ("a", "1", None)
+    assert got["42"] == (None, None, "42")
+    assert got["a=2"] == (None, None, None)  # unknown parser falls through
+    assert got["a=3"] == (None, None, None)
+    assert got["b=9"] == ("b", "9", None)  # stream-scoped annotation
+    assert out.count() == 5
