@@ -524,6 +524,39 @@ def q_checklist(spark, sf_dir):
     return out.groupBy("flagged").agg(F.count(F.lit(1)).alias("n"))
 
 
+_GEO_CIDRS = [
+    ("17.0.0.0/8", "US", "wide8"),
+    ("17.128.0.0/9", "US", "half9"),
+    ("42.0.0.0/7", "CN", "wide7"),
+    ("99.0.0.0/8", "DE", "base8"),
+    ("99.128.0.0/10", "DE", "q10"),
+    ("99.192.0.0/18", "DE", "s18"),
+    ("120.5.0.0/16", "JP", "c16"),
+]
+
+
+def q_geoip_cidr(spark, sf_dir):
+    """filter_geoip2 with real CIDR longest-prefix semantics
+    (plugins/filter_geoip2/geoip2.c:45-110, MMDB tree probe): /8-bucketed
+    broadcast join + sorted-prefix array filter; the DuckDB oracle
+    resolves the longest match with arg_max over the mask join."""
+    from fluent_bit_spark.enrich import cidr_geoip_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        (F.col("user_id") % 200 + 1).cast("string"),
+        ((F.col("event_id") * 13) % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    dim = spark.createDataFrame(_GEO_CIDRS, "cidr string, country string, city string")
+    out = cidr_geoip_enrich(ev.withColumn("ip", ip), dim, "ip")
+    return out.groupBy("country", "city").agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
+    )
+
+
 def q_kube_enrich(spark, sf_dir):
     """filter_kubernetes: tag -> (pod, ns, container, docker_id) via
     KUBE_TAG_TO_REGEX (kube_regex.h:27), then pod-metadata snapshot
@@ -920,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "checklist": q_checklist,
         "kube_enrich": q_kube_enrich,
+        "geoip_cidr": q_geoip_cidr,
         "content_modifier": q_content_modifier,
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
@@ -948,6 +982,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from fluent_bit_spark.parsers import strip_names as _strip_names  # noqa: E402
 
 _KUBE_RX, _KUBE_IDX = _strip_names(kube.KUBE_TAG_TO_REGEX)
+
+
+def _geo_cidr_values() -> str:
+    """_GEO_CIDRS as DuckDB VALUES rows (net as uint32, prefix length)."""
+    rows = []
+    for cidr, country, city in _GEO_CIDRS:
+        net, plen = cidr.split("/")
+        o = [int(x) for x in net.split(".")]
+        num = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+        rows.append(f"({num}, {plen}, '{country}', '{city}')")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1179,6 +1224,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, round(SUM(e.value), 4) AS sv
             FROM ext e LEFT JOIN dim d USING (namespace_name, pod_name)
             GROUP BY 1, 2
+        """,
+        "geoip_cidr": f"""
+            WITH probe AS (
+                SELECT event_id, value,
+                       (user_id % 200 + 1) * 16777216
+                       + ((event_id * 13) % 256) * 65536
+                       + ((event_id * 7) % 256) * 256
+                       + (event_id % 256) AS ip_num
+                FROM events
+            ), d AS (
+                SELECT net_num, len, country, city,
+                       CAST(4294967296 - power(2, 32 - len) AS BIGINT) AS mask
+                FROM (VALUES {_geo_cidr_values()}) t(net_num, len, country, city)
+            ), j AS (
+                SELECT p.event_id, p.value, d.country, d.city, d.len
+                FROM probe p
+                LEFT JOIN d ON (p.ip_num & d.mask) = (d.net_num & d.mask)
+            ), best AS (
+                SELECT event_id, any_value(value) AS value,
+                       arg_max(country, len) AS country,
+                       arg_max(city, len) AS city
+                FROM j GROUP BY event_id
+            )
+            SELECT country, city, COUNT(*) AS n, round(SUM(value), 4) AS sv
+            FROM best GROUP BY 1, 2
         """,
         "content_modifier": f"""
             SELECT event_id, CAST({kv} AS BIGINT) AS kval,

@@ -46,6 +46,104 @@ def geoip_enrich(
     return probe.join(broadcast(dim), "__geo_key", "left").drop("__geo_key")
 
 
+def ip_to_long(c: Column) -> Column:
+    """Dotted-quad IPv4 string -> uint32 as BIGINT (NULL if malformed)."""
+    parts = F.split(c, r"\.")
+    octet = lambda i: F.try_element_at(parts, F.lit(i)).cast("long")  # noqa: E731
+    num = (
+        octet(1) * 16777216 + octet(2) * 65536 + octet(3) * 256 + octet(4)
+    )
+    return F.when(F.size(parts) == 4, num)
+
+
+def cidr_dim_prepare(
+    cidr_df: DataFrame,
+    fields: Sequence[str],
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """CIDR table -> per-/8-bucket sorted match arrays for cidr_geoip_enrich.
+
+    Each `a.b.c.d/L` row parses to (net_masked, mask, prefix_len) and is
+    assigned to every /8 bucket it covers (prefixes wider than /8 explode
+    into their 2^(8-L) buckets — rare in real GeoIP data, bounded at 256).
+    Rows within a bucket collect into an array sorted by prefix_len DESC,
+    so the probe's first surviving filter element IS the longest match.
+    This is dim-side-only work: probe rows are never duplicated and never
+    shuffle (the reference walks the MMDB binary-search tree per record,
+    geoip2.c:45-110; the sorted-bucket array is that tree flattened per
+    /8 subtree and shipped once per executor).
+    """
+    net_str = F.regexp_extract(F.col(cidr_col), r"^([0-9.]+)/(\d+)$", 1)
+    plen = F.regexp_extract(F.col(cidr_col), r"^([0-9.]+)/(\d+)$", 2).cast("int")
+    net = ip_to_long(net_str)
+    # mask = 2^32 - 2^(32-L); doubles are exact up to 2^53
+    mask = (F.lit(4294967296) - F.pow(F.lit(2.0), 32 - plen)).cast("long")
+    d = cidr_df.select(
+        (net.bitwiseAND(mask)).alias("net_masked"),
+        mask.alias("mask"),
+        plen.alias("prefix_len"),
+        net.alias("__net"),
+        *[F.col(f) for f in fields],
+    )
+    first_bucket = F.shiftright(F.col("__net"), 24)
+    n_buckets = F.when(
+        F.col("prefix_len") < 8,
+        F.pow(F.lit(2.0), 8 - F.col("prefix_len")).cast("long"),
+    ).otherwise(F.lit(1))
+    d = d.withColumn(
+        "bucket", F.explode(F.sequence(first_bucket, first_bucket + n_buckets - 1))
+    ).drop("__net")
+    entry = F.struct(
+        F.col("prefix_len"), F.col("net_masked"), F.col("mask"),
+        *[F.col(f) for f in fields],
+    )
+    return d.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(entry), asc=False).alias("__cidr_entries")
+    )
+
+
+def cidr_geoip_enrich(
+    df: DataFrame,
+    cidr_df: DataFrame,
+    lookup_key: str,
+    fields: Sequence[str] = ("country", "city"),
+    cidr_col: str = "cidr",
+    prepared: bool = False,
+) -> DataFrame:
+    """Longest-prefix (CIDR) GeoIP lookup, MMDB-faithful.
+
+    plugins/filter_geoip2/geoip2.c:45-110 probes the MaxMind tree for the
+    most-specific network containing the record's IP. Spark shape: ONE
+    broadcast hash join on the IP's /8 bucket (no probe-row duplication,
+    no keyed shuffle of the stream), then an array filter over that
+    bucket's prefix entries — sorted longest-first, so element 1 of the
+    survivors is the answer. The ip_num column is materialized before the
+    HOF so the lambda body never re-evaluates it per element.
+    """
+    dim = (
+        cidr_df
+        if prepared
+        else cidr_dim_prepare(cidr_df, fields, cidr_col=cidr_col)
+    )
+    probe = df.withColumn("__ip_num", ip_to_long(F.col(lookup_key)))
+    probe = probe.withColumn("__ip_bucket", F.shiftright(F.col("__ip_num"), 24))
+    joined = probe.join(
+        broadcast(dim.withColumnRenamed("bucket", "__ip_bucket")),
+        "__ip_bucket",
+        "left",
+    )
+    ip = F.col("__ip_num")
+    matches = F.filter(
+        F.col("__cidr_entries"),
+        lambda x: ip.bitwiseAND(x["mask"]) == x["net_masked"],
+    )
+    best = F.try_element_at(matches, F.lit(1))
+    out = joined
+    for f in fields:
+        out = out.withColumn(f, best[f])
+    return out.drop("__ip_num", "__ip_bucket", "__cidr_entries")
+
+
 def dict_enrich(
     df: DataFrame,
     dim: DataFrame,

@@ -1,0 +1,78 @@
+"""Enrichment tests: CIDR longest-prefix GeoIP (filter_geoip2 analogue)."""
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import enrich
+
+DIM_ROWS = [
+    ("17.0.0.0/8", "US", "wide8"),
+    ("17.128.0.0/9", "US", "half9"),
+    ("17.128.64.0/18", "US", "site18"),
+    ("42.0.0.0/7", "CN", "wide7"),  # covers 42.x and 43.x -> bucket expansion
+    ("99.1.2.0/24", "DE", "lan24"),
+    ("99.1.2.128/25", "DE", "lab25"),
+]
+
+
+def _dim(spark):
+    return spark.createDataFrame(DIM_ROWS, "cidr string, country string, city string")
+
+
+def _lookup(spark, ips):
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    out = enrich.cidr_geoip_enrich(df, _dim(spark), "ip")
+    return {r["ip"]: (r["country"], r["city"]) for r in out.collect()}
+
+
+def test_ip_to_long(spark):
+    df = spark.createDataFrame([("1.2.3.4",), ("255.255.255.255",), ("bad",)], "ip string")
+    got = [r["n"] for r in df.select(enrich.ip_to_long(F.col("ip")).alias("n")).collect()]
+    assert got == [16909060, 4294967295, None]
+
+
+def test_longest_prefix_wins(spark):
+    got = _lookup(
+        spark,
+        [
+            "17.1.2.3",        # only /8
+            "17.129.0.1",      # /9 beats /8
+            "17.128.100.1",    # /18 beats /9 beats /8 (128.64..128.127 -> .100)
+            "99.1.2.5",        # /24
+            "99.1.2.200",      # /25 beats /24
+        ],
+    )
+    assert got["17.1.2.3"] == ("US", "wide8")
+    assert got["17.129.0.1"] == ("US", "half9")
+    assert got["17.128.100.1"] == ("US", "site18")
+    assert got["99.1.2.5"] == ("DE", "lan24")
+    assert got["99.1.2.200"] == ("DE", "lab25")
+
+
+def test_wide_prefix_bucket_expansion(spark):
+    # /7 covers two /8 buckets; both must resolve
+    got = _lookup(spark, ["42.9.9.9", "43.200.1.1"])
+    assert got["42.9.9.9"] == ("CN", "wide7")
+    assert got["43.200.1.1"] == ("CN", "wide7")
+
+
+def test_no_match_and_malformed(spark):
+    got = _lookup(spark, ["8.8.8.8", "not-an-ip"])
+    assert got["8.8.8.8"] == (None, None)
+    assert got["not-an-ip"] == (None, None)
+
+
+def test_prepared_dim_reuse(spark):
+    prepared = enrich.cidr_dim_prepare(_dim(spark), ["country", "city"])
+    df = spark.createDataFrame([("99.1.2.129",)], "ip string")
+    out = enrich.cidr_geoip_enrich(
+        df, prepared, "ip", fields=["country", "city"], prepared=True
+    ).first()
+    assert (out["country"], out["city"]) == ("DE", "lab25")
+
+
+def test_plan_is_single_broadcast_join(spark):
+    df = spark.createDataFrame([("17.1.1.1",)], "ip string")
+    out = enrich.cidr_geoip_enrich(df, _dim(spark), "ip")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
