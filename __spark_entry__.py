@@ -698,6 +698,29 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup(docs).select("doc_id", "simhash")
 
 
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash Hamming-band near-dup: banded fingerprint candidates +
+    popcount(xor) <= 3 verify. Uses the md5-derived 60-bit hash so the
+    DuckDB oracle recomputes the identical fingerprints, banding, bucket
+    cap, and Hamming filter value-for-value (closing simhash_dedup's
+    identical-fingerprint-only recall gap)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = docs.filter(F.size(toks) >= 2)
+    pairs = dedup.simhash_near_dup(
+        docs,
+        shingle_n=2,
+        bits=60,
+        bands=4,
+        max_hamming=3,
+        max_bucket_size=64,
+        hash_fn=dedup.md5_hash60,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """text analysis: token counts, BPE-ish counts, lang-ID, quality."""
     docs = _t(spark, sf_dir, "documents")
@@ -962,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_hamming": q_simhash_hamming,
         "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
         "sim_topk": q_sim_topk,
@@ -982,6 +1006,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from fluent_bit_spark.parsers import strip_names as _strip_names  # noqa: E402
 
 _KUBE_RX, _KUBE_IDX = _strip_names(kube.KUBE_TAG_TO_REGEX)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of q_simhash_hamming: identical md5-60 shingle hash,
+    per-bit majority, 4x15 banding, 64-cap, popcount(xor) <= 3."""
+    bsum = "".join(
+        f", SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE 0 END) AS b{k}"
+        for k in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{k}*2 > n THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for k in range(60)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), docs2 AS (
+            SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        ), sh AS (
+            SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS s
+            FROM docs2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), h AS (
+            SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ), bits AS (
+            SELECT doc_id, COUNT(*) AS n {bsum} FROM h GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, {fp_terms} AS fp FROM bits
+        ), banded AS (
+            SELECT doc_id, fp, bb.band, (fp >> (bb.band * 15)) & 32767 AS bucket
+            FROM fp, (VALUES (0), (1), (2), (3)) bb(band)
+        ), capped AS (
+            SELECT * FROM banded
+            QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= 64
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.fp AS fa, b.fp AS fb
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """
 
 
 def _geo_cidr_values() -> str:
@@ -1225,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ext e LEFT JOIN dim d USING (namespace_name, pod_name)
             GROUP BY 1, 2
         """,
+        "simhash_hamming": _simhash_oracle_sql(),
         "geoip_cidr": f"""
             WITH probe AS (
                 SELECT event_id, value,

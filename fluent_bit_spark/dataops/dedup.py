@@ -263,8 +263,24 @@ def simhash(text: Column, shingle_n: int = 2) -> Column:
     )
 
 
+def md5_hash60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit BIGINT.
+
+    The cross-engine-checkable hash: DuckDB computes the identical value
+    as CAST('0x' || substring(md5(x),1,15) AS BIGINT), which lets the
+    driver oracle verify simhash fingerprints value-for-value (xxhash64
+    has no DuckDB equivalent, so xxhash-based variants are rows-only).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, simhash) via explode + hash aggregation — the scale path.
 
@@ -275,11 +291,15 @@ def simhash_table(
     65-counter row per partition before the (id)-keyed shuffle, so the
     shuffle carries ~0.5 KB/doc regardless of document length.
     """
-    mask_vals = [(1 << k) if k < 63 else -(2**63) for k in range(64)]
+    if bits == 64:
+        mask_vals = [(1 << k) if k < 63 else -(2**63) for k in range(64)]
+    else:
+        mask_vals = [1 << k for k in range(bits)]
+    hf = hash_fn or F.xxhash64
     sh = shingles(F.col(text_col), shingle_n)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(F.transform(sh, lambda x: F.xxhash64(x))).alias("h"),
+        F.explode_outer(F.transform(sh, lambda x: hf(x))).alias("h"),
     )
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
@@ -312,6 +332,90 @@ def simhash_dedup(
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def simhash_hamming_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhash fingerprints.
+
+    Banding closes simhash_dedup's recall gap (identical-fingerprint-only
+    misses 1-3 bit flips): the fingerprint splits into `bands` contiguous
+    slices; by pigeonhole, any pair within max_hamming <= bands-1 bit
+    flips shares at least one untouched band, so candidates = docs
+    sharing any band bucket — a keyed equi-join on (band, bucket), never
+    all-pairs. Verification is popcount(xor) <= k, pure JVM bit ops.
+    Buckets above max_bucket_size are deterministically sub-sampled
+    (lowest ids), same hot-bucket bound as MinHash-LSH.
+
+    Returns (id_a, id_b, hamming), deduplicated across bands.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = F.col(fp_col)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(fp, b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sims.select(
+        F.col(id_col).alias("id"), fp.alias("fp"), F.explode(F.array(*entries)).alias("bb")
+    ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+    hash_fn=None,
+) -> DataFrame:
+    """simhash_table + simhash_hamming_pairs composed end-to-end."""
+    sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
+    return simhash_hamming_pairs(
+        sims,
+        id_col=id_col,
+        fp_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )
 
 

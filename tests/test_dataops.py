@@ -148,6 +148,39 @@ def test_embedding_near_dup_finds_clone(emb):
     assert pairs.filter((F.col("id_a") == 0) & (F.col("id_b") == 888888)).count() == 1
 
 
+def test_md5_hash60_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([("hello world",), ("foo bar",)], "t string")
+    got = [r["h"] for r in df.select(dedup.md5_hash60(F.col("t")).alias("h")).collect()]
+    want = [
+        duckdb.sql(
+            f"SELECT CAST('0x' || substring(md5('{t}'),1,15) AS BIGINT)"
+        ).fetchone()[0]
+        for t in ["hello world", "foo bar"]
+    ]
+    assert got == want
+
+
+def test_simhash_hamming_near_dup(spark):
+    # 1-word edit on a 200-word doc flips few fingerprint bits: the
+    # banded candidates + popcount verify must find it (the recall case
+    # identical-fingerprint dedup misses); unrelated docs must not pair.
+    base = " ".join(f"w{i}" for i in range(200))
+    mod = base.replace("w100", "zzz")
+    other = " ".join(f"q{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, mod), (3, other), (4, base)], "doc_id long, text string"
+    )
+    pairs = dedup.simhash_near_dup(
+        docs, bits=60, bands=4, max_hamming=6, hash_fn=dedup.md5_hash60
+    )
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert rows[(1, 4)] == 0
+    assert 0 < rows[(1, 2)] <= 6
+    assert not any(3 in p for p in rows)
+
+
 def test_textstats_profile(docs):
     prof = textstats.text_profile(docs)
     row = prof.first()
