@@ -395,12 +395,17 @@ def apply_expect(
 # ---------------------------------------------------------------------------
 
 
+def _pane_salt(order: list, salt_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(*order), F.lit(salt_buckets))
+
+
 def apply_throttle(
     df: DataFrame,
     rate: int,
     interval_sec: int,
     ts_col: str = "ts",
     order_col: Optional[str] = None,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Event-time rate limit: keep at most ``rate`` records per
     ``interval_sec`` pane.
@@ -410,11 +415,27 @@ def apply_throttle(
     arrival-order dependent decision. The batch re-expression is
     deterministic sampling semantics (SURVEY.md §2.3): rank records
     inside each event-time pane and keep the first ``rate`` (ordered by
-    timestamp, tie-broken by ``order_col``). Scale: one shuffle on the
-    pane key; panes are time-bounded so skew is bounded by ingest rate.
+    timestamp, tie-broken by ``order_col``).
+
+    Scale: a pane is one reducer, and at 100x ingest a single pane can
+    hold billions of rows. A salted pre-limit bounds that: rank within
+    (pane, hash-salt bucket) first and keep only bucket-rank <= rate —
+    any row ranked past ``rate`` inside its bucket is provably past
+    ``rate`` globally (the global prefix contains its bucket prefix) —
+    so the final pane-keyed rank sees at most salt_buckets*rate rows per
+    pane. Identical results; set salt_buckets=0 to skip the extra
+    shuffle for small batches. The stateful streaming variant
+    (streaming.throttle_stream) is the arrival-time analogue.
     """
     pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    if salt_buckets:
+        wp = Window.partitionBy(pane, _pane_salt(order, salt_buckets)).orderBy(*order)
+        df = (
+            df.withColumn("__prn", F.row_number().over(wp))
+            .filter(F.col("__prn") <= rate)
+            .drop("__prn")
+        )
     w = Window.partitionBy(pane).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -430,16 +451,29 @@ def apply_throttle_size(
     size_field: str,
     ts_col: str = "ts",
     order_col: Optional[str] = None,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Byte-budget variant: keep records while the running sum of
     ``length(size_field)`` within the pane stays under ``max_bytes``
-    (throttle_size.c sums the printed size of the named field)."""
+    (throttle_size.c sums the printed size of the named field).
+
+    Same salted pre-limit as apply_throttle: a row whose running byte
+    sum within its (pane, salt) bucket already exceeds the budget is
+    provably over budget globally, so it can be dropped before the
+    pane-keyed pass."""
     pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    size_bytes = F.length(F.col(size_field).cast("string"))
+    if salt_buckets:
+        wp = Window.partitionBy(pane, _pane_salt(order, salt_buckets)).orderBy(*order)
+        df = (
+            df.withColumn("__pbytes", F.sum(size_bytes).over(wp))
+            .filter(F.col("__pbytes") <= max_bytes)
+            .drop("__pbytes")
+        )
     w = Window.partitionBy(pane).orderBy(*order)
-    running = F.sum(F.length(F.col(size_field).cast("string"))).over(w)
     return (
-        df.withColumn("__bytes", running)
+        df.withColumn("__bytes", F.sum(size_bytes).over(w))
         .filter(F.col("__bytes") <= max_bytes)
         .drop("__bytes")
     )

@@ -369,11 +369,13 @@ class SPEngine:
         if q.flush_snapshot not in self.snapshots:
             raise KeyError(f"unknown snapshot {q.flush_snapshot}")
         df, record_limit, seconds = self.snapshots[q.flush_snapshot]
-        everything = Window.partitionBy(F.lit(1))
         if seconds:
-            newest = F.max(F.col(self.ts_col)).over(everything)
+            # scalar max(ts) via partial-aggregate + 1-row broadcast: the
+            # source stays fully parallel (a global window would funnel
+            # the whole FROM source through one task at scale)
+            newest = df.agg(F.max(F.col(self.ts_col)).alias("__newest"))
             df = (
-                df.withColumn("__newest", newest)
+                df.crossJoin(F.broadcast(newest))
                 .filter(
                     F.col(self.ts_col).cast("timestamp").cast("double")
                     > F.col("__newest").cast("timestamp").cast("double") - seconds
@@ -381,12 +383,10 @@ class SPEngine:
                 .drop("__newest")
             )
         if record_limit:
-            w = Window.partitionBy(F.lit(1)).orderBy(F.desc(self.ts_col))
-            df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= record_limit)
-                .drop("__rn")
-            )
+            # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+            # top-n then a merged top-n — no SinglePartition exchange of
+            # the data (vs a global row_number window)
+            df = df.orderBy(F.desc(self.ts_col)).limit(record_limit)
         if q.where is not None:
             b = (
                 DynamicBinding(self.tag_col, self.ts_col, self.body_col)
