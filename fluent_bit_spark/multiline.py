@@ -19,10 +19,12 @@ matches the reference's inherently sequential per-stream semantics.
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # Continuation-line detectors for the built-in modes: a line matching
 # its mode's continuation regex attaches to the open record; anything
@@ -116,6 +118,149 @@ def sessionize_mode(
         line_col=line_col,
         out_col=out_col,
     )
+
+
+@dataclass(frozen=True)
+class MLRule:
+    """One [MULTILINE_PARSER] rule: (from_states, regex, to_state).
+
+    flb_ml_rule.c:49-115 flb_ml_rule_create: from_states is a
+    comma-split list; a rule listing 'start_state' is a start rule (the
+    first rule must be one); to_state may be absent (terminal).
+    """
+
+    from_states: tuple[str, ...]
+    regex: str
+    to_state: Optional[str] = None
+
+    @property
+    def start_state(self) -> bool:
+        return "start_state" in self.from_states
+
+
+def sessionize_custom_rules(
+    df: DataFrame,
+    rules: Sequence[MLRule],
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    out_col: str = "message",
+    sep: str = "\n",
+) -> DataFrame:
+    """Custom multiline rule-set state machine, faithful to
+    flb_ml_rule.c:329-437 flb_ml_rule_process:
+
+    * in a state, try the state's successor rules (to_state_map:
+      rules whose from_states contain the current rule's to_state,
+      flb_ml_rule.c:198-243) in declaration order, skipping start
+      rules; a match appends the line;
+    * otherwise try start rules in order; a match flushes any open
+      buffer and begins a new record (try_start_state:303-327);
+    * a matched rule whose successors include a start rule flushes the
+      completed record immediately (try_flushing_buffer:245-278);
+    * a line matching nothing flushes pending data and is emitted as a
+      standalone record (flb_ml.c:727-754); the state survives flushes
+      (rule_to_state is never cleared on flush).
+
+    Spark shape: the per-rule regexes run JVM-side as rlike projections
+    (whole-stage codegen — the expensive part of the walk); the tiny
+    boolean state walk runs per stream via applyInPandas (Arrow-batched,
+    parallel across streams; within one stream the walk is inherently
+    sequential, exactly the reference's per-stream model).
+    """
+    rules = list(rules)
+    if not rules or not rules[0].start_state:
+        raise ValueError("first multiline rule must contain 'start_state'")
+    start_idx = [i for i, r in enumerate(rules) if r.start_state]
+    succ = {
+        i: (
+            [
+                j
+                for j, r2 in enumerate(rules)
+                if rules[i].to_state is not None and rules[i].to_state in r2.from_states
+            ]
+            if rules[i].to_state is not None
+            else []
+        )
+        for i in range(len(rules))
+    }
+    cont_succ = {i: [j for j in succ[i] if not rules[j].start_state] for i in succ}
+    flush_after = {i: any(rules[j].start_state for j in succ[i]) for i in succ}
+    n_rules = len(rules)
+
+    flags = [
+        F.coalesce(F.col(line_col).rlike(r.regex), F.lit(False)).alias(f"__m{i}")
+        for i, r in enumerate(rules)
+    ]
+    base = df.select(F.col(stream_col), F.col(order_col), F.col(line_col), *flags)
+
+    stream_type = df.schema[stream_col].dataType
+    order_type = df.schema[order_col].dataType
+    out_schema = StructType(
+        [
+            StructField(stream_col, stream_type),
+            StructField("first_line_no", order_type),
+            StructField("n_lines", LongType()),
+            StructField(out_col, StringType()),
+        ]
+    )
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col)
+        lines = pdf[line_col].tolist()
+        orders = pdf[order_col].tolist()
+        mcols = [pdf[f"__m{i}"].tolist() for i in range(n_rules)]
+        skey = pdf[stream_col].iloc[0]
+
+        records = []  # (first_order, n, text)
+        open_first = None
+        open_parts: list[str] = []
+        state: Optional[int] = None
+
+        def close():
+            nonlocal open_first, open_parts
+            if open_parts:
+                records.append((open_first, len(open_parts), sep.join(open_parts)))
+                open_first, open_parts = None, []
+
+        for k, line in enumerate(lines):
+            rule = None
+            if state is not None:
+                for j in cont_succ[state]:
+                    if mcols[j][k]:
+                        rule = j
+                        if not open_parts:
+                            open_first = orders[k]
+                        open_parts.append(line)
+                        break
+            if rule is None:
+                for j in start_idx:
+                    if mcols[j][k]:
+                        close()
+                        open_first = orders[k]
+                        open_parts = [line]
+                        rule = j
+                        break
+            if rule is not None:
+                state = rule
+                if flush_after[rule]:
+                    close()
+            else:
+                close()
+                records.append((orders[k], 1, line))
+        close()
+        return pd.DataFrame(
+            {
+                stream_col: [skey] * len(records),
+                "first_line_no": [r[0] for r in records],
+                "n_lines": [r[1] for r in records],
+                out_col: [r[2] for r in records],
+            }
+        )
+
+    return base.groupBy(stream_col).applyInPandas(walk, out_schema)
 
 
 def sessionize_cri(

@@ -1,0 +1,137 @@
+"""Custom multiline rule-set goldens (flb_ml_rule.c state machines).
+
+Rule sets ported from the reference's own fixtures:
+* exception_test — tests/runtime/data/tail/parsers_multiline_json.conf
+* multiline-regex — tests/runtime/data/tail/parsers_multiline.conf
+plus synthetic multi-state sets exercising transitions the built-in
+continuation-regex approximation cannot express.
+"""
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.multiline import MLRule, sessionize_custom_rules
+
+
+def _run(spark, rules, lines, **kw):
+    df = spark.createDataFrame(
+        [("s1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+    out = sessionize_custom_rules(df, rules, **kw)
+    rows = sorted(out.collect(), key=lambda r: r["first_line_no"])
+    return [(r["first_line_no"], r["n_lines"], r[kw.get("out_col", "message")]) for r in rows]
+
+
+def test_exception_test_ruleset(spark):
+    # parsers_multiline_json.conf: syslog-style start + '  at' frames
+    rules = [
+        MLRule(("start_state",), r"(Dec \d+ \d+:\d+:\d+)(.*)", "cont"),
+        MLRule(("cont",), r"^\s+at.*", "cont"),
+    ]
+    lines = [
+        "Dec 14 06:41:08 Exception in thread main",
+        "    at com.example.Main(Main.java:12)",
+        "    at com.example.Other(Other.java:3)",
+        "Dec 14 06:41:09 single line",
+        "unmatched noise",
+    ]
+    got = _run(spark, rules, lines)
+    assert got == [
+        (0, 3, "\n".join(lines[0:3])),
+        (3, 1, lines[3]),
+        (4, 1, lines[4]),
+    ]
+
+
+def test_multiline_regex_negative_lookahead(spark):
+    # parsers_multiline.conf: bracketed-timestamp start, lookahead cont
+    ts = r"^\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}\]"
+    rules = [
+        MLRule(("start_state",), ts, "cont"),
+        MLRule(("cont",), r"^(?!\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}\]).*", "cont"),
+    ]
+    lines = [
+        "[2023-01-01 10:00:00,000] first event",
+        "continuation one",
+        "continuation two",
+        "[2023-01-01 10:00:01,000] second event",
+    ]
+    got = _run(spark, rules, lines)
+    assert got == [(0, 3, "\n".join(lines[0:3])), (3, 1, lines[3])]
+
+
+def test_multi_state_transitions(spark):
+    # '  at' frames only continue after an ERROR start — the per-state
+    # from_states gating a single continuation regex cannot express
+    rules = [
+        MLRule(("start_state",), r"^ERROR", "after_error"),
+        MLRule(("after_error", "frames"), r"^\s+at", "frames"),
+        MLRule(("frames",), r"^Caused by", "after_error"),
+    ]
+    lines = [
+        "  at orphan.frame(None:1)",  # no open record -> standalone
+        "ERROR boom",
+        "  at a.b(C.java:1)",
+        "Caused by: inner",
+        "  at d.e(F.java:2)",
+        "INFO ok",                    # matches nothing -> flush + standalone
+        "  at another.orphan(X:9)",   # state survives flush? no: 'INFO' matched
+                                      # nothing, state stays 'frames' -> '  at'
+                                      # continues a NEW record (reference keeps
+                                      # rule_to_state across flushes)
+    ]
+    got = _run(spark, rules, lines)
+    assert got == [
+        (0, 1, lines[0]),
+        (1, 4, "\n".join(lines[1:5])),
+        (5, 1, lines[5]),
+        (6, 1, lines[6]),
+    ]
+
+
+def test_end_rule_flushes_immediately(spark):
+    # to_state == 'start_state' => successors include a start rule =>
+    # try_flushing_buffer closes the record at the END line
+    rules = [
+        MLRule(("start_state",), r"^BEGIN", "body"),
+        MLRule(("body",), r"^END$", "start_state"),
+        MLRule(("body",), r"^data", "body"),
+    ]
+    lines = ["BEGIN", "data 1", "data 2", "END", "loose", "BEGIN", "data 3", "END"]
+    got = _run(spark, rules, lines)
+    assert got == [
+        (0, 4, "BEGIN\ndata 1\ndata 2\nEND"),
+        (4, 1, "loose"),
+        (5, 3, "BEGIN\ndata 3\nEND"),
+    ]
+
+
+def test_first_rule_must_be_start(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sessionize_custom_rules(
+            spark.createDataFrame([("s", 0, "x")], "file string, line_no long, line string"),
+            [MLRule(("cont",), r".*", "cont")],
+        )
+
+
+def test_streams_are_independent(spark):
+    rules = [
+        MLRule(("start_state",), r"^S", "c"),
+        MLRule(("c",), r"^\+", "c"),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("a", 0, "S one"),
+            ("a", 1, "+a1"),
+            ("b", 0, "S uno"),
+            ("b", 1, "+b1"),
+            ("b", 2, "+b2"),
+        ],
+        "file string, line_no long, line string",
+    )
+    out = sessionize_custom_rules(df, rules)
+    got = {(r["file"]): (r["n_lines"], r["message"]) for r in out.collect()}
+    assert got["a"] == (2, "S one\n+a1")
+    assert got["b"] == (3, "S uno\n+b1\n+b2")
