@@ -89,6 +89,60 @@ def parse_classic(text: str) -> list:
     return sections
 
 
+def parse_yaml(text: str) -> list:
+    """Parse the YAML config format (src/config_format/flb_cf_yaml.c):
+
+        service: {flush: 1}
+        pipeline:
+          inputs:   [{name: dummy, tag: t, ...}, ...]
+          filters:  [{name: grep, match: '*', regex: 'k v'}, ...]
+          outputs:  [{name: file, match: '*'}]
+
+    List-valued options (a filter's multiple `regex`/`rule` entries)
+    expand to repeated Section entries, matching the classic format's
+    repeated-key convention.
+    """
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    sections: list[Section] = []
+    svc = doc.get("service") or {}
+    if svc:
+        sections.append(
+            Section("SERVICE", [(str(k).lower(), str(v)) for k, v in svc.items()])
+        )
+    pipeline = doc.get("pipeline") or {}
+    for kind, secname in (
+        ("inputs", "INPUT"),
+        ("filters", "FILTER"),
+        ("outputs", "OUTPUT"),
+    ):
+        for item in pipeline.get(kind) or []:
+            entries = []
+            for k, v in (item or {}).items():
+                key = str(k).lower()
+                vals = v if isinstance(v, list) else [v]
+                for x in vals:
+                    if isinstance(x, bool):
+                        x = "true" if x else "false"
+                    entries.append((key, str(x)))
+            sections.append(Section(secname, entries))
+    return sections
+
+
+def parse_config(text: str) -> list:
+    """Dispatch classic vs yaml by shape: classic configs open with a
+    '[SECTION]' header; everything else parses as YAML."""
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            return parse_classic(text)
+        break
+    return parse_yaml(text)
+
+
 # ---------------------------------------------------------------------------
 # stage builders
 # ---------------------------------------------------------------------------
@@ -120,6 +174,10 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
 
 def _tag_gate(df: DataFrame, match: str) -> F.Column:
     return match_col(F.col("tag"), match)
+
+
+def _bool(v: str) -> bool:
+    return str(v).strip().lower() in ("true", "on", "yes", "1")
 
 
 def parse_interval(value: str) -> int:
@@ -231,6 +289,42 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
                 rules.append(TypeConverterRule(frm, to.strip(), to_type))
         return apply_type_converter(df, rules)
 
+    if name == "parser":
+        # filter_parser.c:104-126: Key_Name + ordered Parser chain +
+        # Reserve_Data / Preserve_Key flags
+        from .parsers import apply_parser_filter
+
+        key_name = s.get("key_name")
+        if not key_name:
+            raise ValueError("[FILTER] parser requires Key_Name")
+        ps = [PARSERS[p] for p in s.get_all("parser")]
+        return apply_parser_filter(
+            df,
+            key_name,
+            ps,
+            reserve_data=_bool(s.get("reserve_data", "false")),
+            preserve_key=_bool(s.get("preserve_key", "false")),
+            ts_col="ts" if "ts" in df.columns else None,
+        )
+
+    if name == "nest":
+        from .filters import lift_columns, nest_columns
+
+        op = (s.get("operation") or "nest").lower()
+        if op == "nest":
+            out = df
+            for wc in s.get_all("wildcard"):
+                out = nest_columns(
+                    out, wc, s.get("nest_under", "nested"),
+                    remove_prefix=s.get("remove_prefix"),
+                )
+            return out
+        if op == "lift":
+            return lift_columns(
+                df, s.get("nested_under"), add_prefix=s.get("add_prefix")
+            )
+        raise ValueError(f"unsupported nest Operation {op!r}")
+
     raise ValueError(f"unsupported FILTER plugin {name!r}")
 
 
@@ -255,12 +349,20 @@ class PipelineRun:
     frame: DataFrame
 
 
+def run_config(spark: SparkSession, conf_text: str, out_dir: str) -> PipelineRun:
+    """Parse + execute a config (classic or yaml) as one batch job."""
+    return _run_sections(spark, parse_config(conf_text), out_dir)
+
+
 def run_classic_config(
     spark: SparkSession, conf_text: str, out_dir: str
 ) -> PipelineRun:
     """Parse + execute a classic config as one batch job. Returns the
     routed frame and per-sink counts (the out_counter numbers)."""
-    sections = parse_classic(conf_text)
+    return _run_sections(spark, parse_classic(conf_text), out_dir)
+
+
+def _run_sections(spark: SparkSession, sections: list, out_dir: str) -> PipelineRun:
     inputs = [s for s in sections if s.name == "INPUT"]
     filters = [s for s in sections if s.name == "FILTER"]
     outputs = [s for s in sections if s.name == "OUTPUT"]

@@ -317,6 +317,96 @@ class JsonParser:
         return out.withColumn(ts_col, ts).drop("__j")
 
 
+def apply_parser_filter(
+    df: DataFrame,
+    source_col: str,
+    parsers: Sequence["RegexParser"],
+    reserve_data: bool = False,
+    preserve_key: bool = False,
+    ts_col: Optional[str] = None,
+    infra_cols: Sequence[str] = ("tag",),
+) -> DataFrame:
+    """filter_parser: re-parse a record field with a parser chain.
+
+    plugins/filter_parser/filter_parser.c:104-126 (options) + 213-320
+    (cb_parser): each configured parser is tried in order against the
+    Key_Name value; on the first success the parsed keys become the
+    record. Reserve_Data keeps the other original fields; Preserve_Key
+    keeps the source field itself; a record no parser matches passes
+    through untouched. Column semantics: non-matching rows keep their
+    values, matching rows null out non-parsed fields unless
+    Reserve_Data (the per-row analogue of the key-drop). A parsed
+    timestamp (parser Time_Key/Time_Format) overwrites ts_col on
+    matched rows, like the reference's time lookup.
+    """
+    src = F.col(source_col)
+    flags: list[Column] = []
+    value_cols: dict[str, list[tuple[Column, Column]]] = {}
+    ts_candidates: list[tuple[Column, Column]] = []
+    out = df
+    earlier = F.lit(False)
+    for i, p in enumerate(parsers):
+        stripped, _ = strip_names(p.regex)
+        # effective flag: this parser matched AND no earlier parser did —
+        # the reference stops at the first successful parser in the chain
+        flag = F.coalesce(src.rlike(stripped), F.lit(False)) & ~earlier
+        earlier = earlier | flag
+        prefix = f"__pf{i}_"
+        out = p.apply(out, source_col, ts_col=f"{prefix}ts", prefix=prefix)
+        names = p.group_names()
+        if p.time_fmt is not None and not p.time_keep and p.time_key in names:
+            names = [n for n in names if n != p.time_key]
+        for n in names:
+            value_cols.setdefault(n, []).append((flag, F.col(prefix + n)))
+        if p.time_fmt is not None:
+            ts_candidates.append((flag, F.col(f"{prefix}ts")))
+        flags.append(flag)
+
+    # first-match-wins: earlier parser's flag shadows later ones
+    def first_match(cands: list[tuple[Column, Column]]) -> tuple[Column, Column]:
+        expr = F.lit(None)
+        hit = F.lit(False)
+        for flag, val in reversed(cands):
+            expr = F.when(flag, val).otherwise(expr)
+            hit = F.when(flag, F.lit(True)).otherwise(hit)
+        return expr, hit
+
+    matched = F.lit(False)
+    for fl in flags:
+        matched = matched | fl
+
+    parsed_names = list(value_cols)
+    originals = [
+        c
+        for c in df.columns
+        if c not in parsed_names
+        and c != source_col
+        and c not in infra_cols
+        and c != ts_col
+    ]
+    for n, cands in value_cols.items():
+        val, _ = first_match(cands)
+        if n in df.columns:
+            val = F.when(matched, val).otherwise(F.col(n))
+        out = out.withColumn(n, val)
+    if not reserve_data:
+        for c in originals:
+            out = out.withColumn(
+                c, F.when(matched, F.lit(None)).otherwise(F.col(c))
+            )
+    if not preserve_key:
+        out = out.withColumn(
+            source_col, F.when(matched, F.lit(None)).otherwise(src)
+        )
+    if ts_col is not None and ts_candidates:
+        pts, _ = first_match(ts_candidates)
+        base_ts = F.col(ts_col) if ts_col in df.columns else F.lit(None).cast("timestamp")
+        out = out.withColumn(ts_col, F.coalesce(pts, base_ts))
+    drop = [f"__pf{i}_{n}" for i, p in enumerate(parsers) for n in p.group_names()]
+    drop += [f"__pf{i}_ts" for i in range(len(parsers))]
+    return out.drop(*drop)
+
+
 def parse_json_to_map(source: Column) -> Column:
     """JSON object -> map<string,string>; scalar values rendered as text,
     nested values as their JSON text (fidelity for '*' projection)."""

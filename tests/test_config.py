@@ -76,3 +76,138 @@ def test_run_classic_config(spark, tmp_path):
     # modify: status=ok only where code == 200; copy host -> origin_host
     assert rows["1.2.3.4"]["status"] == "ok" and rows["1.2.3.4"]["origin_host"] == "1.2.3.4"
     assert rows["9.9.9.9"]["status"] is None
+
+
+YAML_CONF = """
+service:
+  flush: 1
+pipeline:
+  inputs:
+    - name: tail
+      path: {path}
+      parser: apache
+      tag: web.access
+    - name: dummy
+      dummy: '{{"message": "keepalive", "code": "200"}}'
+      samples: 3
+      tag: hb.ping
+  filters:
+    - name: grep
+      match: 'web.*'
+      regex: code ^2
+    - name: modify
+      match: 'web.*'
+      condition: Key_value_equals code 200
+      set: status ok
+      copy: host origin_host
+  outputs:
+    - name: file
+      match: 'web.*'
+      format: csv
+      sink_name: web_out
+    - name: counter
+      match: '*'
+"""
+
+
+def test_run_yaml_config_matches_classic(spark, tmp_path):
+    """The yaml config (src/config_format/flb_cf_yaml.c shape) must build
+    the identical pipeline as the classic config."""
+    from fluent_bit_spark.config import run_config
+
+    src = tmp_path / "access.log"
+    src.write_text("\n".join(LOG_LINES) + "\n")
+    out = str(tmp_path / "out_yaml")
+
+    run = run_config(spark, YAML_CONF.format(path=str(src)), out)
+    assert run.counts["web_out"] == 2
+    assert run.counts["counter_all"] == 5
+    got = spark.read.option("header", True).csv(os.path.join(out, "web_out"))
+    rows = {r["host"]: r for r in got.collect()}
+    assert rows["1.2.3.4"]["status"] == "ok"
+    assert rows["9.9.9.9"]["status"] is None
+
+
+PARSER_FILTER_CONF = """
+[INPUT]
+    Name   dummy
+    Dummy  {{"payload": "{payload}", "keep_me": "yes"}}
+    Samples 1
+    Tag    app.log
+
+[FILTER]
+    Name         parser
+    Match        app.*
+    Key_Name     payload
+    Parser       logfmt_kv
+    Reserve_Data {reserve}
+    Preserve_Key {preserve}
+
+[OUTPUT]
+    Name   file
+    Match  *
+    Format json
+    sink_name out
+"""
+
+
+def test_filter_parser_reserve_preserve(spark, tmp_path):
+    """[FILTER] parser wiring: Reserve_Data / Preserve_Key option matrix
+    (filter_parser.c:104-126)."""
+    from fluent_bit_spark.config import run_config
+    from fluent_bit_spark.parsers import PARSERS, RegexParser
+
+    PARSERS.setdefault(
+        "logfmt_kv",
+        RegexParser(name="logfmt_kv", regex=r"^level=(?<level>\w+) msg=(?<msg>\w+)$",
+                    time_fmt=None),
+    )
+    payload = "level=warn msg=slow"
+
+    def run(reserve, preserve, sub):
+        out = str(tmp_path / sub)
+        r = run_config(
+            spark,
+            PARSER_FILTER_CONF.format(payload=payload, reserve=reserve, preserve=preserve),
+            out,
+        )
+        return r.frame.first()
+
+    row = run("Off", "Off", "a")
+    assert row["level"] == "warn" and row["msg"] == "slow"
+    assert row["payload"] is None and row["keep_me"] is None
+
+    row = run("On", "Off", "b")
+    assert row["level"] == "warn" and row["keep_me"] == "yes"
+    assert row["payload"] is None
+
+    row = run("On", "On", "c")
+    assert row["payload"] == payload and row["keep_me"] == "yes"
+
+
+def test_filter_nest_config(spark, tmp_path):
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+[INPUT]
+    Name   dummy
+    Dummy  {"aws_region": "us-1", "aws_az": "a", "other": "x"}
+    Samples 1
+    Tag    t
+
+[FILTER]
+    Name       nest
+    Match      *
+    Operation  nest
+    Wildcard   aws_*
+    Nest_under aws
+    Remove_prefix aws_
+
+[OUTPUT]
+    Name   null
+    Match  *
+"""
+    r = run_config(spark, conf, str(tmp_path / "nest_out"))
+    row = r.frame.first()
+    assert row["other"] == "x"
+    assert row["aws"]["region"] == "us-1" and row["aws"]["az"] == "a"

@@ -224,3 +224,28 @@ def test_decoder_field_mode_keeps_original(spark):
     out = apply_decoder_chain(df, [DecoderRule("field", "escaped", "v")])
     row = out.collect()[0]
     assert row["v"] == "x\\ty" and row["v_decoded"] == "x\ty"
+
+
+def test_apply_parser_filter_first_match_wins(spark):
+    """filter_parser tries the Parser chain in order; the first match
+    owns the record (filter_parser.c cb_parser loop)."""
+    from fluent_bit_spark.parsers import RegexParser, apply_parser_filter
+
+    p1 = RegexParser(name="p1", regex=r"^A (?<a>\w+)$", time_fmt=None)
+    p2 = RegexParser(name="p2", regex=r"^. (?<b>\w+)$", time_fmt=None)
+    df = spark.createDataFrame(
+        [("t", "A one", "x"), ("t", "B two", "y"), ("t", "nope!", "z")],
+        "tag string, payload string, extra string",
+    )
+    out = apply_parser_filter(
+        df, "payload", [p1, p2], reserve_data=False, infra_cols=("tag", "extra")
+    )
+    rows = {r["extra"]: r for r in out.collect()}
+    # p1 matched: a set, b null (p2 not consulted though it also matches)
+    assert rows["x"]["a"] == "one" and rows["x"]["b"] is None
+    # p2 matched: b set
+    assert rows["y"]["a"] is None and rows["y"]["b"] == "two"
+    # no parser matched: record untouched
+    assert rows["z"]["payload"] == "nope!" and rows["z"]["a"] is None
+    # matched rows drop the source key by default
+    assert rows["x"]["payload"] is None
