@@ -983,20 +983,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "simhash_hamming": q_simhash_hamming,
-        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
         "sim_topk": q_sim_topk,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_near_dup": q_sim_near_dup,
-        "multimodal_decode": q_multimodal_decode,
         "skew_distinct": q_skew_distinct,
         "sp_dyn_contains": q_sp_dyn_contains,
         "sp_dyn_isnull": q_sp_dyn_isnull,
         "sp_dyn_coercion": q_sp_dyn_coercion,
+        # ---- rows-only entries (no SQL-expressible oracle: xxhash64-
+        # derived or pandas-UDF decode; independently value-verified in
+        # pytest against scalar-eval python oracles). Kept LAST so a
+        # driver row cap can only ever drop rows-only evidence, never an
+        # oracle-backed row; ordered by information value.
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_near_dup": q_sim_near_dup,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

@@ -210,3 +210,203 @@ def test_multimodal_plumbing(spark, docs):
     rp = multimodal.resize_plan(media, max_side=128)
     bad = rp.filter((F.col("target_w") > 128) | (F.col("target_h") > 128)).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Independent python oracles for the rows-only (non-SQL-expressible) ops:
+# hash primitives are evaluated via Spark SCALAR eval on literal rows (a
+# different code path than the HOF/join pipelines under test); signatures,
+# banding, bucketing, ranking are recomputed in plain Python and compared
+# exactly.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_hash_map(spark, strings, seeds):
+    """xxhash64(s, seed) for every (s, seed) via literal-row scalar eval."""
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    rows = df.select(
+        "s", F.array(*[F.xxhash64("s", F.lit(seed)) for seed in seeds]).alias("h")
+    ).collect()
+    return {r["s"]: r["h"] for r in rows}
+
+
+def test_minhash_lsh_candidates_python_oracle(spark):
+    import re
+
+    NH, NB, SN = 16, 8, 3
+    rpb = NH // NB
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    rows = [(r["doc_id"], r["text"]) for r in base.collect()]
+    rows.append((999999, rows[0][1]))  # guaranteed near-dup clone
+    d2 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingle(text):
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < SN:
+            return []
+        return [" ".join(toks[i : i + SN]) for i in range(len(toks) - SN + 1)]
+
+    all_sh = sorted({s for _, t in rows for s in shingle(t)})
+    hmap = _scalar_hash_map(spark, all_sh, list(range(1, NH + 1)))
+    MAX = 2**63 - 1
+    sigs = {}
+    for did, t in rows:
+        sig = [MAX] * NH
+        for s in shingle(t):
+            sig = [min(a, b) for a, b in zip(sig, hmap[s])]
+        sigs[did] = sig
+
+    band_strs = sorted(
+        {
+            ",".join(str(v) for v in sigs[d][b * rpb : (b + 1) * rpb])
+            for d in sigs
+            for b in range(NB)
+        }
+    )
+    bmap = _scalar_hash_map(spark, band_strs, list(range(NB)))
+    member = {}
+    for d in sigs:
+        for b in range(NB):
+            key = ",".join(str(v) for v in sigs[d][b * rpb : (b + 1) * rpb])
+            member.setdefault((b, bmap[key][b]), []).append(d)
+    want = set()
+    for ids in member.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want.add((ids[i], ids[j]))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(d2, num_hashes=NH, bands=NB).collect()
+    }
+    assert got == want
+    assert (0 if rows[0][0] != 0 else rows[0][0], 999999) in got or (
+        rows[0][0],
+        999999,
+    ) in got
+
+
+def test_ivf_topk_python_oracle(spark):
+    DIM, NC, NPROBE, K = 64, 8, 2, 5
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(60)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    )
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    # anchor planes via scalar eval of the same fixed-seed hash
+    pair_rows = [(10_000 + c, j) for c in range(NC) for j in range(DIM)]
+    # xxhash64 is type-sensitive: _hyperplane's seed literals are INTs
+    pdf = spark.createDataFrame(pair_rows, "bit int, j int")
+    hrows = pdf.select(
+        "bit", "j", F.xxhash64(F.lit(7777), F.col("bit"), F.col("j")).alias("h")
+    ).collect()
+    hv = {(r["bit"], r["j"]): r["h"] for r in hrows}
+    planes = {
+        c: [(abs(hv[(10_000 + c, j)]) % 2_000_001) / 1_000_000.0 - 1.0 for j in range(DIM)]
+        for c in range(NC)
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        import math
+
+        na = math.sqrt(dot(a, a))
+        nb = math.sqrt(dot(b, b))
+        return dot(a, b) / (na * nb) if na * nb else None
+
+    def cell_of(v):
+        scores = [dot(v, planes[c]) for c in range(NC)]
+        return scores.index(max(scores))
+
+    assign = {vid: cell_of(v) for vid, v in vecs.items()}
+    want = {}
+    for qid in sorted(vecs):
+        if qid >= 5:
+            continue
+        qv = vecs[qid]
+        scored = sorted(
+            [(dot(qv, planes[c]), c) for c in range(NC)]
+        )[::-1][:NPROBE]
+        probe = {c for _, c in scored}
+        cands = [
+            (cid, cos(qv, vecs[cid]))
+            for cid in vecs
+            if cid != qid and assign[cid] in probe
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid, _) in enumerate(cands[:K], start=1):
+            want[(qid, cid)] = rank
+
+    out = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=DIM, k=K, n_cells=NC, nprobe=NPROBE
+    )
+    got = {(r["query_id"], r["cand_id"]): r["rank"] for r in out.collect()}
+    assert got == want
+
+
+def test_embedding_near_dup_python_oracle(spark):
+    DIM, NBITS, THR = 64, 8, 0.3
+    base = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(50)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    )
+    # clone guarantees at least one same-bucket above-threshold pair
+    emb = base.unionByName(
+        base.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(777777))
+    )
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    pair_rows = [(b, j) for b in range(NBITS) for j in range(DIM)]
+    pdf = spark.createDataFrame(pair_rows, "bit int, j int")
+    hrows = pdf.select(
+        "bit", "j", F.xxhash64(F.lit(7777), F.col("bit"), F.col("j")).alias("h")
+    ).collect()
+    hv = {(r["bit"], r["j"]): r["h"] for r in hrows}
+    planes = {
+        b: [(abs(hv[(b, j)]) % 2_000_001) / 1_000_000.0 - 1.0 for j in range(DIM)]
+        for b in range(NBITS)
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        import math
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    def bucket(v):
+        out = 0
+        for b in range(NBITS):
+            if dot(v, planes[b]) >= 0:
+                out |= 1 << b
+        return out
+
+    byb = {}
+    for vid, v in sorted(vecs.items()):
+        byb.setdefault(bucket(v), []).append(vid)
+    want = set()
+    for ids in byb.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos(vecs[ids[i]], vecs[ids[j]]) >= THR:
+                    want.add((ids[i], ids[j]))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(
+            emb, dim=DIM, threshold=THR, n_bits=NBITS
+        ).collect()
+    }
+    assert got == want and len(want) > 0
