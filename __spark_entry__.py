@@ -619,6 +619,37 @@ def q_kube_enrich(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_metrics_labels(spark, sf_dir):
+    """Metrics event class end-to-end: log_to_metrics-style counters ->
+    processor_labels (upsert env, delete src, hash type; labels.c:404-445)
+    -> processor_metrics_selector include-by-prefix (selector.c:62-135,
+    dropping a planted non-matching metric)."""
+    from fluent_bit_spark import metrics as M
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("value"))
+    m = m.select(
+        F.concat(F.lit("fb_events_"), F.col("event_type")).alias("metric_name"),
+        F.col("value").cast("double").alias("value"),
+        F.create_map(
+            F.lit("type"), F.col("event_type"), F.lit("src"), F.lit("events")
+        ).alias("labels"),
+    )
+    extra = spark.createDataFrame(
+        [("other_metric", 1.0, {"type": "x"})],
+        "metric_name string, value double, labels map<string,string>",
+    )
+    m = m.unionByName(extra)
+    m = M.apply_labels(m, upserts=[("env", "prod")], deletes=["src"], hashes=["type"])
+    m = M.metrics_selector(m, "fb_events_", action="include", operation_type="prefix")
+    return m.select(
+        "metric_name",
+        F.try_element_at(F.col("labels"), F.lit("env")).alias("env"),
+        F.try_element_at(F.col("labels"), F.lit("type")).alias("type_hash"),
+        F.col("value").cast("long").alias("n"),
+    )
+
+
 def q_content_modifier(spark, sf_dir):
     """processor_content_modifier: extract/convert/hash/upsert
     (plugins/processor_content_modifier/cm_config.c:28-47)."""
@@ -977,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checklist": q_checklist,
         "kube_enrich": q_kube_enrich,
         "geoip_cidr": q_geoip_cidr,
+        "metrics_labels": q_metrics_labels,
         "content_modifier": q_content_modifier,
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
@@ -1300,6 +1332,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "simhash_hamming": _simhash_oracle_sql(),
+        "metrics_labels": """
+            SELECT 'fb_events_' || event_type AS metric_name,
+                   'prod' AS env,
+                   lower(sha256(event_type)) AS type_hash,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "geoip_cidr": f"""
             WITH probe AS (
                 SELECT event_id, value,

@@ -1,0 +1,120 @@
+"""Metrics event class: the cmetrics-table analogue + its processors.
+
+The reference carries three event classes per chunk (logs / metrics /
+traces, src/flb_input_chunk.c:1483-1494). Metrics flow as cmetrics
+objects: fully-qualified name, value, and a label k/v set. The Spark
+convention here is one DataFrame row per metric sample:
+
+    metric_name: string   -- fq name ("fluentbit_input_records_total")
+    value:       double
+    labels:      map<string,string>
+
+plugins/processor_labels (labels.c:404-445 action table) edits the
+label set; plugins/processor_metrics_selector (selector.c:62-135)
+includes/excludes whole metrics by name. Both are narrow Catalyst map
+expressions — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _without(labels: Column, name: str) -> Column:
+    return F.map_filter(labels, lambda k, v: k != name)
+
+
+def _with(labels: Column, name: str, value: Column) -> Column:
+    return F.map_concat(_without(labels, name), F.create_map(F.lit(name), value))
+
+
+def apply_labels(
+    df: DataFrame,
+    inserts: Sequence[tuple] = (),
+    updates: Sequence[tuple] = (),
+    upserts: Sequence[tuple] = (),
+    deletes: Sequence[str] = (),
+    hashes: Sequence[str] = (),
+    labels_col: str = "labels",
+) -> DataFrame:
+    """processor_labels (labels.c:404-445): edit metric label sets.
+
+    insert — add only if the label is absent; update — change only if
+    present; upsert — set unconditionally; delete — drop the label;
+    hash — replace the label's value with its SHA-256 hex digest.
+    All pure map expressions over the labels column.
+    """
+    labels = F.col(labels_col)
+    for name, value in inserts:
+        labels = F.when(
+            F.map_contains_key(labels, F.lit(name)), labels
+        ).otherwise(_with(labels, name, F.lit(value)))
+    for name, value in updates:
+        labels = F.when(
+            F.map_contains_key(labels, F.lit(name)),
+            _with(labels, name, F.lit(value)),
+        ).otherwise(labels)
+    for name, value in upserts:
+        labels = _with(labels, name, F.lit(value))
+    for name in deletes:
+        labels = _without(labels, name)
+    for name in hashes:
+        labels = F.transform_values(
+            labels,
+            lambda k, v: F.when(k == name, F.lower(F.sha2(v, 256))).otherwise(v),
+        )
+    return df.withColumn(labels_col, labels)
+
+
+def metrics_selector(
+    df: DataFrame,
+    metric_name: Optional[str] = None,
+    action: str = "include",
+    operation_type: str = "full",
+    context: str = "metric_name",
+    label_key: Optional[str] = None,
+    label_value: Optional[str] = None,
+    name_col: str = "metric_name",
+    labels_col: str = "labels",
+) -> DataFrame:
+    """processor_metrics_selector (selector.c:62-135).
+
+    context=metric_name: keep (include) or drop (exclude) metrics whose
+    fq name matches `metric_name` — exact (full), prefix, substring, or
+    regex when the pattern is wrapped in slashes ('/.../'), mirroring
+    the reference's pattern detection. context=delete_label_value:
+    remove the (label_key, label_value) pair from every metric's label
+    set (the name filter is not consulted).
+    """
+    if context == "delete_label_value":
+        if label_key is None:
+            raise ValueError("delete_label_value requires label_key")
+        labels = F.col(labels_col)
+        if label_value is None:
+            labels = F.map_filter(labels, lambda k, v: k != label_key)
+        else:
+            labels = F.map_filter(
+                labels, lambda k, v: ~((k == label_key) & (v == label_value))
+            )
+        return df.withColumn(labels_col, labels)
+
+    if metric_name is None:
+        raise ValueError("metric_name selector requires a pattern")
+    name = F.col(name_col)
+    if metric_name.startswith("/") and metric_name.endswith("/"):
+        hit = name.rlike(metric_name[1:-1])
+    elif operation_type == "prefix":
+        hit = name.startswith(metric_name)
+    elif operation_type == "substring":
+        hit = name.contains(metric_name)
+    else:  # full
+        hit = name == metric_name
+    hit = F.coalesce(hit, F.lit(False))
+    if action == "include":
+        return df.filter(hit)
+    if action == "exclude":
+        return df.filter(~hit)
+    raise ValueError(f"unknown selector action {action!r}")

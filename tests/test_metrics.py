@@ -1,0 +1,82 @@
+"""Metrics event class: processor_labels + processor_metrics_selector."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import metrics
+
+
+@pytest.fixture()
+def mdf(spark):
+    return spark.createDataFrame(
+        [
+            ("fluentbit_input_records_total", 10.0, {"plugin": "tail", "host": "a"}),
+            ("fluentbit_output_errors_total", 2.0, {"plugin": "es"}),
+            ("process_uptime_seconds", 99.0, {}),
+        ],
+        "metric_name string, value double, labels map<string,string>",
+    )
+
+
+def test_labels_action_matrix(spark, mdf):
+    out = metrics.apply_labels(
+        mdf,
+        inserts=[("plugin", "won't-overwrite"), ("zone", "z1")],
+        updates=[("host", "b"), ("missing", "never-added")],
+        upserts=[("env", "prod")],
+        deletes=["todelete"],
+    )
+    rows = {r["metric_name"]: r["labels"] for r in out.collect()}
+    got = rows["fluentbit_input_records_total"]
+    assert got["plugin"] == "tail"          # insert does not overwrite
+    assert got["zone"] == "z1"              # insert adds when absent
+    assert got["host"] == "b"               # update changes existing
+    assert "missing" not in got             # update ignores absent
+    assert got["env"] == "prod"             # upsert always sets
+    # empty-label metric: inserts add, update skips, upsert sets
+    assert rows["process_uptime_seconds"] == {
+        "plugin": "won't-overwrite",
+        "zone": "z1",
+        "env": "prod",
+    }
+
+
+def test_labels_hash(spark, mdf):
+    import hashlib
+
+    out = metrics.apply_labels(mdf, hashes=["plugin"])
+    rows = {r["metric_name"]: r["labels"] for r in out.collect()}
+    want = hashlib.sha256(b"tail").hexdigest()
+    assert rows["fluentbit_input_records_total"]["plugin"] == want
+    assert rows["fluentbit_input_records_total"]["host"] == "a"  # untouched
+
+
+def test_selector_name_contexts(spark, mdf):
+    names = lambda df: sorted(  # noqa: E731
+        r["metric_name"] for r in df.collect()
+    )
+    assert names(
+        metrics.metrics_selector(mdf, "fluentbit_", operation_type="prefix")
+    ) == ["fluentbit_input_records_total", "fluentbit_output_errors_total"]
+    assert names(
+        metrics.metrics_selector(
+            mdf, "errors", action="exclude", operation_type="substring"
+        )
+    ) == ["fluentbit_input_records_total", "process_uptime_seconds"]
+    assert names(metrics.metrics_selector(mdf, "process_uptime_seconds")) == [
+        "process_uptime_seconds"
+    ]
+    # slash-wrapped pattern is a regex (selector.c pattern detection)
+    assert names(metrics.metrics_selector(mdf, "/_total$/")) == [
+        "fluentbit_input_records_total",
+        "fluentbit_output_errors_total",
+    ]
+
+
+def test_selector_delete_label_value(spark, mdf):
+    out = metrics.metrics_selector(
+        mdf, context="delete_label_value", label_key="plugin", label_value="tail"
+    )
+    rows = {r["metric_name"]: r["labels"] for r in out.collect()}
+    assert "plugin" not in rows["fluentbit_input_records_total"]
+    assert rows["fluentbit_output_errors_total"]["plugin"] == "es"  # other value kept
