@@ -173,16 +173,19 @@ def test_filter_parser_reserve_preserve(spark, tmp_path):
         )
         return r.frame.first()
 
-    row = run("Off", "Off", "a")
-    assert row["level"] == "warn" and row["msg"] == "slow"
-    assert row["payload"] is None and row["keep_me"] is None
+    try:
+        row = run("Off", "Off", "a")
+        assert row["level"] == "warn" and row["msg"] == "slow"
+        assert row["payload"] is None and row["keep_me"] is None
 
-    row = run("On", "Off", "b")
-    assert row["level"] == "warn" and row["keep_me"] == "yes"
-    assert row["payload"] is None
+        row = run("On", "Off", "b")
+        assert row["level"] == "warn" and row["keep_me"] == "yes"
+        assert row["payload"] is None
 
-    row = run("On", "On", "c")
-    assert row["payload"] == payload and row["keep_me"] == "yes"
+        row = run("On", "On", "c")
+        assert row["payload"] == payload and row["keep_me"] == "yes"
+    finally:
+        PARSERS.pop("logfmt_kv", None)
 
 
 def test_filter_nest_config(spark, tmp_path):
