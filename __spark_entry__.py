@@ -650,6 +650,28 @@ def q_metrics_labels(spark, sf_dir):
     )
 
 
+def q_otel_envelope(spark, sf_dir):
+    """processor_opentelemetry_envelope (otel_envelope.c:170-206): splice
+    OTLP group_start/group_end marker rows around each tag-group's records;
+    the start marker carries {schema: otlp, resource_id: 0, scope_id: 0}
+    (envelop_init, otel_envelope.c:58-60)."""
+    from fluent_bit_spark.processors import otel_envelope
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "user_id")
+    return otel_envelope(ev, group_cols=("event_type",), seq_col="event_id")
+
+
+def q_flowcounter(spark, sf_dir):
+    """out_flowcounter per-tick record/byte rates
+    (out_flowcounter.c:51-120) with the per-tag split."""
+    from fluent_bit_spark.router import flowcounter
+
+    ev = _t(spark, sf_dir, "events")
+    return flowcounter(
+        ev, ts_col="ts", unit="minute", size_col="props", group_cols=("event_type",)
+    )
+
+
 def q_content_modifier(spark, sf_dir):
     """processor_content_modifier: extract/convert/hash/upsert
     (plugins/processor_content_modifier/cm_config.c:28-47)."""
@@ -1009,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kube_enrich": q_kube_enrich,
         "geoip_cidr": q_geoip_cidr,
         "metrics_labels": q_metrics_labels,
+        "otel_envelope": q_otel_envelope,
+        "flowcounter": q_flowcounter,
         "content_modifier": q_content_modifier,
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
@@ -1363,6 +1387,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT country, city, COUNT(*) AS n, round(SUM(value), 4) AS sv
             FROM best GROUP BY 1, 2
+        """,
+        "otel_envelope": """
+            WITH ev AS (
+                SELECT event_type, event_id, user_id FROM events
+            ), b AS (
+                SELECT event_type, MIN(event_id) AS f, MAX(event_id) AS l
+                FROM ev GROUP BY event_type
+            )
+            SELECT event_type, f AS event_id, CAST(NULL AS BIGINT) AS user_id,
+                   'group_start' AS record_type, CAST(0 AS INTEGER) AS ord,
+                   'otlp' AS otel_schema, CAST(0 AS BIGINT) AS resource_id,
+                   CAST(0 AS BIGINT) AS scope_id
+            FROM b
+            UNION ALL
+            SELECT event_type, event_id, user_id,
+                   'normal', CAST(1 AS INTEGER),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM ev
+            UNION ALL
+            SELECT event_type, l, CAST(NULL AS BIGINT),
+                   'group_end', CAST(2 AS INTEGER),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM b
+        """,
+        "flowcounter": """
+            SELECT event_type,
+                   CAST((floor(floor(epoch(ts)) / 60) + 1) * 60 AS BIGINT) AS until,
+                   COUNT(*) AS counts,
+                   CAST(SUM(strlen(props)) AS BIGINT) AS bytes,
+                   CAST(floor(COUNT(*) / 60) AS BIGINT) AS counts_per_unit,
+                   CAST(floor(SUM(strlen(props)) / 60) AS BIGINT)
+                       AS bytes_per_unit
+            FROM events GROUP BY 1, 2
         """,
         "content_modifier": f"""
             SELECT event_id, CAST({kv} AS BIGINT) AS kval,

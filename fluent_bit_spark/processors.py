@@ -182,6 +182,73 @@ def scripted_transform(df: DataFrame, fn, schema: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# processor_opentelemetry_envelope — plugins/processor_opentelemetry_envelope/
+# otel_envelope.c:40-206: wrap each run of ungrouped log records in OTLP
+# group-start / group-end marker records; the start marker carries the
+# metadata {schema: "otlp", resource_id: 0, scope_id: 0}.
+# ---------------------------------------------------------------------------
+
+
+def otel_envelope(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """Columnar re-expression of the OTLP envelope: the reference walks a
+    chunk and splices a GROUP_START record before the first normal record
+    and a GROUP_END after the last (otel_envelope.c:170-206, the
+    timestamp field carries FLB_LOG_EVENT_GROUP_START/_END). Here a
+    "chunk" is the set of rows sharing `group_cols`; marker rows are
+    derived with one partial-aggregated groupBy (min/max of `seq_col`)
+    and unioned back — two narrow aggregations, no window, no UDF.
+
+    Output = original columns plus:
+      record_type  — 'group_start' | 'normal' | 'group_end'
+      ord          — 0/1/2 secondary sort key within a seq position
+      otel_schema, resource_id, scope_id — the start marker's metadata
+      (envelop_init, otel_envelope.c:58-60); null on other rows.
+    Payload columns are null on marker rows (the C marker records carry
+    an empty body).
+    """
+    keys = [F.col(c) for c in group_cols]
+    payload = [c for c in df.columns if c not in group_cols and c != seq_col]
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(seq_col).alias("__first"), F.max(seq_col).alias("__last")
+    )
+
+    def marker(seq_expr, record_type: str, ordv: int, with_meta: bool):
+        cols = [F.col(c) for c in group_cols]
+        cols.append(seq_expr.alias(seq_col))
+        cols.extend(F.lit(None).alias(c) for c in payload)
+        cols.append(F.lit(record_type).alias("record_type"))
+        cols.append(F.lit(ordv).alias("ord"))
+        if with_meta:
+            cols.append(F.lit("otlp").alias("otel_schema"))
+            cols.append(F.lit(0).cast("bigint").alias("resource_id"))
+            cols.append(F.lit(0).cast("bigint").alias("scope_id"))
+        else:
+            cols.append(F.lit(None).cast("string").alias("otel_schema"))
+            cols.append(F.lit(None).cast("bigint").alias("resource_id"))
+            cols.append(F.lit(None).cast("bigint").alias("scope_id"))
+        return bounds.select(*cols)
+
+    starts = marker(F.col("__first"), "group_start", 0, True)
+    ends = marker(F.col("__last"), "group_end", 2, False)
+    normal = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(seq_col),
+        *[F.col(c) for c in payload],
+        F.lit("normal").alias("record_type"),
+        F.lit(1).alias("ord"),
+        F.lit(None).cast("string").alias("otel_schema"),
+        F.lit(None).cast("bigint").alias("resource_id"),
+        F.lit(None).cast("bigint").alias("scope_id"),
+    )
+    return starts.unionByName(normal).unionByName(ends)
+
+
+# ---------------------------------------------------------------------------
 # processor_template — plugins/processor_template: render a new field from
 # a template over existing fields
 # ---------------------------------------------------------------------------

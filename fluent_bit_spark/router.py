@@ -318,6 +318,55 @@ def write_sinks(
     return counts
 
 
+_FLOW_TICKS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def flowcounter(
+    df: DataFrame,
+    ts_col: str,
+    unit: str = "minute",
+    size_col: Optional[str] = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """out_flowcounter: per-tick record/byte rates
+    (plugins/out_flowcounter/out_flowcounter.c:51-120).
+
+    The reference buckets events into tick-wide buffers ending at
+    ``until`` (configure(): tick = 1/60/3600/86400 for
+    second/minute/hour/day) and on flush prints counts, bytes,
+    counts/tick and bytes/tick (output_fcount(), integer division).
+    Batch shape: one partial-aggregated groupBy on the computed bucket —
+    ``until`` = bucket end epoch, exactly the C buffer boundary. Record
+    byte size is the payload column's octet length (the C version counts
+    msgpack-serialized bytes; divergence documented). `group_cols` adds
+    the per-tag split the C plugin leaves as a TODO
+    (out_flowcounter.c:118 "TODO filtering with tag?").
+    """
+    tick = _FLOW_TICKS[unit]
+    until = (
+        (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / tick) + 1) * tick
+    ).cast("bigint")
+    size = (
+        F.octet_length(F.col(size_col).cast("string")) if size_col else F.lit(0)
+    ).cast("bigint")
+    keys = [F.col(c) for c in group_cols] + [until.alias("until")]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("counts"),
+            F.sum(size).alias("bytes"),
+        )
+        .select(
+            *group_cols,
+            "until",
+            "counts",
+            "bytes",
+            (F.col("counts") / tick).cast("bigint").alias("counts_per_unit"),
+            (F.col("bytes") / tick).cast("bigint").alias("bytes_per_unit"),
+        )
+    )
+
+
 def _text_line(df: DataFrame, s: SinkSpec) -> Column:
     """Render a record to one text line per out_file's line formats
     (file.c:196-230): ltsv = tab-separated label:value over all fields;

@@ -209,3 +209,57 @@ def test_processor_template(spark):
     df = spark.createDataFrame([("GET", 200, None)], "verb string, code long, x string")
     out = apply_template(df, "line", "{verb} -> {code} [{x}] {missing}")
     assert out.collect()[0]["line"] == "GET -> 200 [] {missing}"
+
+
+def test_otel_envelope_markers(spark):
+    """otel_envelope.c:170-206: one group_start before the first record of
+    each group and one group_end after the last; the start marker carries
+    {schema: otlp, resource_id: 0, scope_id: 0} (envelop_init)."""
+    from fluent_bit_spark.processors import otel_envelope
+
+    df = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 7, "y"), ("b", 1, "z")],
+        "tag string, seq long, msg string",
+    )
+    out = otel_envelope(df, group_cols=("tag",), seq_col="seq")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["tag"], r["seq"], r["ord"])
+    )
+    shape = [(r["tag"], r["seq"], r["record_type"]) for r in rows]
+    assert shape == [
+        ("a", 3, "group_start"), ("a", 3, "normal"), ("a", 7, "normal"),
+        ("a", 7, "group_end"),
+        ("b", 1, "group_start"), ("b", 1, "normal"), ("b", 1, "group_end"),
+    ]
+    start = rows[0]
+    assert (start["otel_schema"], start["resource_id"], start["scope_id"]) == (
+        "otlp", 0, 0,
+    )
+    assert start["msg"] is None           # marker body is empty
+    assert rows[1]["otel_schema"] is None  # normal rows carry no meta
+
+
+def test_flowcounter_rates(spark):
+    """out_flowcounter.c:51-120: tick bucketing ('until' = bucket end),
+    counts/bytes plus integer-divided per-unit rates."""
+    from fluent_bit_spark.router import flowcounter
+
+    df = spark.createDataFrame(
+        [
+            ("t", "2024-01-01 00:00:10", "aaaa"),
+            ("t", "2024-01-01 00:00:50", "bb"),
+            ("t", "2024-01-01 00:01:05", "cccccc"),
+        ],
+        "tag string, ts string, payload string",
+    )
+    out = flowcounter(
+        df, ts_col="ts", unit="minute", size_col="payload", group_cols=("tag",)
+    )
+    rows = {r["until"]: r for r in out.collect()}
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert set(rows) == {base + 60, base + 120}
+    first = rows[base + 60]
+    assert (first["counts"], first["bytes"]) == (2, 6)
+    assert (first["counts_per_unit"], first["bytes_per_unit"]) == (0, 0)
+    hour = flowcounter(df, ts_col="ts", unit="hour", size_col="payload").collect()
+    assert len(hour) == 1 and hour[0]["counts"] == 3 and hour[0]["bytes"] == 12
