@@ -1,0 +1,259 @@
+"""out_file msgpack format: per-record msgpack serialization.
+
+The reference's `Format msgpack` writes each event's raw msgpack —
+an `[timestamp, {record map}]` pair per record — straight to the file
+(plugins/out_file/file.c:476-480 FLB_OUT_FILE_FMT_MSGPACK branch,
+format per flb_log_event encoding). No msgpack library ships in this
+environment, so the byte layout is produced by a small pure-Python
+packer covering the types a flattened log record can hold (nil, bool,
+int, float64, str, bin, array, map). Packing runs Arrow-batched inside
+``mapInPandas`` — the designed vectorized escape hatch for per-record
+byte layouts Catalyst cannot express.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def pack_value(obj) -> bytes:
+    """Minimal msgpack encoder (spec: https://msgpack.org, format table).
+
+    Ints use the shortest signed/unsigned form, matching the reference's
+    flb_msgpack packing of parsed values.
+    """
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return struct.pack("B", obj)
+        if -32 <= obj < 0:
+            return struct.pack("b", obj)
+        if 0 <= obj <= 0xFF:
+            return b"\xcc" + struct.pack("B", obj)
+        if 0 <= obj <= 0xFFFF:
+            return b"\xcd" + struct.pack(">H", obj)
+        if 0 <= obj <= 0xFFFFFFFF:
+            return b"\xce" + struct.pack(">I", obj)
+        if 0 <= obj:
+            return b"\xcf" + struct.pack(">Q", obj)
+        if -0x80 <= obj:
+            return b"\xd0" + struct.pack("b", obj)
+        if -0x8000 <= obj:
+            return b"\xd1" + struct.pack(">h", obj)
+        if -0x80000000 <= obj:
+            return b"\xd2" + struct.pack(">i", obj)
+        return b"\xd3" + struct.pack(">q", obj)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, str):
+        b = obj.encode("utf-8")
+        n = len(b)
+        if n <= 31:
+            return struct.pack("B", 0xA0 | n) + b
+        if n <= 0xFF:
+            return b"\xd9" + struct.pack("B", n) + b
+        if n <= 0xFFFF:
+            return b"\xda" + struct.pack(">H", n) + b
+        return b"\xdb" + struct.pack(">I", n) + b
+    if isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n <= 0xFF:
+            return b"\xc4" + struct.pack("B", n) + bytes(obj)
+        if n <= 0xFFFF:
+            return b"\xc5" + struct.pack(">H", n) + bytes(obj)
+        return b"\xc6" + struct.pack(">I", n) + bytes(obj)
+    if isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n <= 15:
+            head = struct.pack("B", 0x90 | n)
+        elif n <= 0xFFFF:
+            head = b"\xdc" + struct.pack(">H", n)
+        else:
+            head = b"\xdd" + struct.pack(">I", n)
+        return head + b"".join(pack_value(v) for v in obj)
+    if isinstance(obj, dict):
+        n = len(obj)
+        if n <= 15:
+            head = struct.pack("B", 0x80 | n)
+        elif n <= 0xFFFF:
+            head = b"\xde" + struct.pack(">H", n)
+        else:
+            head = b"\xdf" + struct.pack(">I", n)
+        return head + b"".join(pack_value(k) + pack_value(v) for k, v in obj.items())
+    raise TypeError(f"msgpack: unsupported type {type(obj)!r}")
+
+
+def pack_record(ts: float, record: dict) -> bytes:
+    """One event = [timestamp, {record}] (the flb_log_event pair)."""
+    return pack_value([float(ts), record])
+
+
+def unpack_stream(data: bytes):
+    """Decode a concatenation of msgpack values (test/roundtrip helper)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        val, pos = _unpack_one(data, pos)
+        out.append(val)
+    return out
+
+
+def _unpack_one(data: bytes, pos: int):
+    b = data[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 0x100, pos
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return data[pos : pos + n].decode("utf-8"), pos + n
+    if 0x90 <= b <= 0x9F:
+        return _unpack_seq(data, pos, b & 0x0F)
+    if 0x80 <= b <= 0x8F:
+        return _unpack_map(data, pos, b & 0x0F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xC4:
+        n = data[pos]
+        return bytes(data[pos + 1 : pos + 1 + n]), pos + 1 + n
+    if b == 0xC5:
+        (n,) = struct.unpack_from(">H", data, pos)
+        return bytes(data[pos + 2 : pos + 2 + n]), pos + 2 + n
+    if b == 0xC6:
+        (n,) = struct.unpack_from(">I", data, pos)
+        return bytes(data[pos + 4 : pos + 4 + n]), pos + 4 + n
+    if b == 0xCB:
+        return struct.unpack_from(">d", data, pos)[0], pos + 8
+    if b == 0xCC:
+        return data[pos], pos + 1
+    if b == 0xCD:
+        return struct.unpack_from(">H", data, pos)[0], pos + 2
+    if b == 0xCE:
+        return struct.unpack_from(">I", data, pos)[0], pos + 4
+    if b == 0xCF:
+        return struct.unpack_from(">Q", data, pos)[0], pos + 8
+    if b == 0xD0:
+        return struct.unpack_from("b", data, pos)[0], pos + 1
+    if b == 0xD1:
+        return struct.unpack_from(">h", data, pos)[0], pos + 2
+    if b == 0xD2:
+        return struct.unpack_from(">i", data, pos)[0], pos + 4
+    if b == 0xD3:
+        return struct.unpack_from(">q", data, pos)[0], pos + 8
+    if b == 0xD9:
+        n = data[pos]
+        return data[pos + 1 : pos + 1 + n].decode("utf-8"), pos + 1 + n
+    if b == 0xDA:
+        (n,) = struct.unpack_from(">H", data, pos)
+        return data[pos + 2 : pos + 2 + n].decode("utf-8"), pos + 2 + n
+    if b == 0xDB:
+        (n,) = struct.unpack_from(">I", data, pos)
+        return data[pos + 4 : pos + 4 + n].decode("utf-8"), pos + 4 + n
+    if b == 0xDC:
+        (n,) = struct.unpack_from(">H", data, pos)
+        return _unpack_seq(data, pos + 2, n)
+    if b == 0xDE:
+        (n,) = struct.unpack_from(">H", data, pos)
+        return _unpack_map(data, pos + 2, n)
+    raise ValueError(f"msgpack: unhandled byte 0x{b:02x}")
+
+
+def _unpack_seq(data, pos, n):
+    out = []
+    for _ in range(n):
+        v, pos = _unpack_one(data, pos)
+        out.append(v)
+    return out, pos
+
+
+def _unpack_map(data, pos, n):
+    out = {}
+    for _ in range(n):
+        k, pos = _unpack_one(data, pos)
+        v, pos = _unpack_one(data, pos)
+        out[k] = v
+    return out, pos
+
+
+def write_msgpack(
+    df: DataFrame, ts_col, cols: Sequence[str], dest: str
+) -> int:
+    """Write the stream as raw concatenated msgpack events to
+    ``dest/part-<pid>.msgpack`` — one file per partition, written
+    task-side exactly as the reference's local-file sink does
+    (out_file is a local filesystem writer; file.c cb_file_flush).
+    Task retries overwrite the same per-partition file, so the write is
+    idempotent. Returns the record count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    packed = to_msgpack_binary(df, ts_col, cols)
+
+    def writer(batches: Iterable):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dest, f"part-{pid:05d}.msgpack")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for v in pdf["value"]:
+                    f.write(v)
+                    n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    row = packed.mapInPandas(writer, "n long").agg(F.sum("n").alias("n")).first()
+    return int(row["n"] or 0)
+
+
+def to_msgpack_binary(
+    df: DataFrame, ts_col, cols: Sequence[str]
+) -> DataFrame:
+    """(value: binary) rows: one packed [ts, record] per input row.
+
+    Arrow-batched: each pandas batch is walked once; NaN/None fields are
+    packed as nil. The epoch-seconds float mirrors flb_time_to_double.
+    """
+    import math
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = []
+            if ts_col is None:
+                ts = pd.Series([0.0] * len(pdf))
+            else:
+                ts = pdf[ts_col]
+                if pd.api.types.is_datetime64_any_dtype(ts):
+                    ts = ts.astype("int64") / 1e9  # epoch seconds
+            recs = pdf[list(cols)]
+            for t, row in zip(ts.tolist(), recs.itertuples(index=False)):
+                rec = {}
+                for k, v in zip(cols, row):
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        rec[k] = None
+                    elif hasattr(v, "item"):  # numpy scalar -> python
+                        rec[k] = v.item()
+                    else:
+                        rec[k] = v
+                vals.append(pack_record(t, rec))
+            yield pd.DataFrame({"value": vals})
+
+    return df.mapInPandas(run, "value binary")

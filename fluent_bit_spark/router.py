@@ -135,9 +135,15 @@ class SinkSpec:
     conditions: Sequence[RouteCondition] = field(default_factory=tuple)
     condition_op: str = "and"  # 'and' | 'or'
     # out_file formats (plugins/out_file/file.c:196-230): json csv ltsv
-    # plain template, plus parquet (the columnar-native default)
+    # plain template msgpack, plus parquet (the columnar-native default)
     fmt: str = "parquet"
     template: Optional[str] = None  # '{key}' placeholders for fmt=template
+    # Delimiter / Label_Delimiter properties (file.c:69-86 check_delimiter:
+    # only 'tab'/'\t', 'space', 'comma' are accepted; anything else keeps
+    # the format default: csv ',', ltsv '\t' + ':')
+    delimiter: Optional[str] = None
+    label_delimiter: Optional[str] = None
+    ts_col: Optional[str] = None  # timestamp source for fmt=msgpack
 
     def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
         p = match_col(F.col(tag_col), self.match, self.match_regex)
@@ -305,11 +311,24 @@ def write_sinks(
                 part.write.mode("overwrite").text(dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "msgpack":
+                from .msgpackfmt import write_msgpack
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                cols = [c for c in part.columns if c != ts_col]
+                write_msgpack(part, ts_col, cols, dest)
+                counts[s.name] = obs.get["n"]
+                continue
             writer = part.write.mode("overwrite")
             if s.fmt == "json":
                 writer.json(dest)
             elif s.fmt == "csv":
-                writer.option("header", True).csv(dest)
+                writer.option("header", True).option(
+                    "sep", _check_delimiter(s.delimiter) or ","
+                ).csv(dest)
             else:
                 writer.parquet(dest)
             counts[s.name] = obs.get["n"]
@@ -367,15 +386,33 @@ def flowcounter(
     )
 
 
+def _check_delimiter(value: Optional[str]) -> Optional[str]:
+    """file.c:69-86: only tab/space/comma names are honored; anything
+    else (including a literal character) falls back to the format
+    default — faithfully, even though it surprises."""
+    if value is None:
+        return None
+    low = value.lower()
+    if low in ("\\t", "tab"):
+        return "\t"
+    if low == "space":
+        return " "
+    if low == "comma":
+        return ","
+    return None
+
+
 def _text_line(df: DataFrame, s: SinkSpec) -> Column:
     """Render a record to one text line per out_file's line formats
     (file.c:196-230): ltsv = tab-separated label:value over all fields;
     plain = space-joined values; template = '{key}' substitution."""
     cols = [c for c in df.columns]
     if s.fmt == "ltsv":
+        delim = _check_delimiter(s.delimiter) or "\t"
+        label = _check_delimiter(s.label_delimiter) or ":"
         return F.concat_ws(
-            "\t",
-            *[F.concat(F.lit(f"{c}:"), F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols],
+            delim,
+            *[F.concat(F.lit(f"{c}{label}"), F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols],
         )
     if s.fmt == "plain":
         return F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])

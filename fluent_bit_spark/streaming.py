@@ -178,3 +178,95 @@ def throttle_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# in_kafka glue — plugins/in_kafka/in_kafka.c
+# ---------------------------------------------------------------------------
+
+def kafka_options(
+    brokers: str,
+    topics: str,
+    group_id: Optional[str] = None,
+    client_id: Optional[str] = None,
+    poll_timeout_ms: Optional[int] = None,
+    buffer_max_size: Optional[str] = None,
+    rdkafka: Optional[dict] = None,
+) -> dict:
+    """Map in_kafka's config surface (in_kafka.c:519-570 config_map:
+    brokers, topics, client_id, group_id, poll_timeout_ms,
+    buffer_max_size, rdkafka.* passthrough) onto Spark's kafka source
+    options. rdkafka.* options pass through with Spark's `kafka.`
+    prefix — both sides hand them to the same librdkafka-compatible
+    option namespace."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+    }
+    if group_id:
+        opts["kafka.group.id"] = group_id
+    if client_id:
+        opts["kafka.client.id"] = client_id
+    if poll_timeout_ms is not None:
+        opts["kafkaConsumer.pollTimeoutMs"] = str(poll_timeout_ms)
+    if buffer_max_size is not None:
+        # in_kafka caps the accumulated chunk; the Spark analogue caps
+        # per-trigger intake
+        opts["maxOffsetsPerTrigger"] = str(buffer_max_size)
+    for k, v in (rdkafka or {}).items():
+        opts[f"kafka.{k}"] = str(v)
+    return opts
+
+
+def attach_kafka_frame(
+    df: DataFrame,
+    tag: str = "kafka.*",
+    fmt: str = "json",
+    parser=None,
+) -> DataFrame:
+    """Shape a kafka-source frame (key/value binary, topic, partition,
+    offset, timestamp) into the in_kafka record
+    {topic, partition, offset, key, payload} (in_kafka.c:73-136), under
+    the configured tag (a '*' in the tag is replaced by the topic name,
+    the reference's topic-templated tagging). format json -> payload
+    parsed via the given parser or kept as the raw string (the reference
+    falls back to raw on unparsable payloads, in_kafka.c:48-58)."""
+    tag_col = (
+        F.concat(
+            F.lit(tag.split("*")[0]), F.col("topic"), F.lit(tag.split("*", 1)[1])
+        )
+        if "*" in tag
+        else F.lit(tag)
+    )
+    out = df.select(
+        tag_col.alias("tag"),
+        F.col("timestamp").alias("ts"),
+        F.col("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("payload"),
+    )
+    if fmt == "json" and parser is not None:
+        out = parser.apply(out, "payload")
+    return out
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    tag: str = "kafka.*",
+    fmt: str = "json",
+    parser=None,
+    starting_offsets: str = "latest",
+    **kafka_kwargs,
+) -> DataFrame:
+    """in_kafka -> Spark's built-in kafka source with the record shape
+    and tagging attached. Requires the spark-sql-kafka connector on the
+    classpath (delegated dependency, SURVEY §2.1)."""
+    opts = kafka_options(brokers, topics, **kafka_kwargs)
+    reader = spark.readStream.format("kafka").options(**opts).option(
+        "startingOffsets", starting_offsets
+    )
+    return attach_kafka_frame(reader.load(), tag=tag, fmt=fmt, parser=parser)

@@ -151,3 +151,82 @@ def test_glob_property_vs_python_reference(spark):
     for r in rows:
         for i, p in enumerate(patterns):
             assert r[f"m{i}"] == tag_matches(p)(r["tag"]), (p, r["tag"])
+
+
+def test_msgpack_pack_golden():
+    """Byte-exact msgpack encoding vs the published format table."""
+    from fluent_bit_spark.msgpackfmt import pack_record, pack_value, unpack_stream
+
+    assert pack_value(5) == b"\x05"
+    assert pack_value(-3) == b"\xfd"
+    assert pack_value(200) == b"\xcc\xc8"
+    assert pack_value(None) == b"\xc0"
+    assert pack_value(True) == b"\xc3"
+    assert pack_value("abc") == b"\xa3abc"
+    assert pack_value(1.5) == b"\xcb\x3f\xf8\x00\x00\x00\x00\x00\x00"
+    # one event: [ts, {k: v}] — fixarray(2) + float64 + fixmap(1)
+    got = pack_record(1.0, {"k": 7})
+    assert got == b"\x92" + b"\xcb\x3f\xf0\x00\x00\x00\x00\x00\x00" + b"\x81\xa1k\x07"
+    # roundtrip of a concatenated stream
+    stream = pack_record(1.0, {"a": "x"}) + pack_record(2.0, {"b": None})
+    assert unpack_stream(stream) == [[1.0, {"a": "x"}], [2.0, {"b": None}]]
+
+
+def test_msgpack_sink_roundtrip(spark, tmp_path):
+    """Format msgpack writes raw [ts, record] events (file.c msgpack
+    branch); files concatenate and decode back to the input rows."""
+    import glob
+
+    from fluent_bit_spark.msgpackfmt import unpack_stream
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = spark.createDataFrame(
+        [("t.a", 1.0, "hello", 7), ("t.a", 2.0, "world", None)],
+        "tag string, ts double, msg string, n long",
+    ).repartition(2)
+    counts = write_sinks(
+        df, [SinkSpec("mp", match="t.*", fmt="msgpack", ts_col="ts")], str(tmp_path)
+    )
+    assert counts["mp"] == 2
+    data = b"".join(
+        open(p, "rb").read()
+        for p in sorted(glob.glob(str(tmp_path / "mp" / "*.msgpack")))
+    )
+    events = sorted(unpack_stream(data), key=lambda e: e[0])
+    assert events[0] == [1.0, {"tag": "t.a", "msg": "hello", "n": 7}]
+    assert events[1] == [2.0, {"tag": "t.a", "msg": "world", "n": None}]
+
+
+def test_delimiter_options(spark, tmp_path):
+    """Delimiter/Label_Delimiter (file.c:69-86): only the names
+    tab/space/comma are honored; csv sep and ltsv delimiters follow."""
+    import glob
+
+    from fluent_bit_spark.router import SinkSpec, _check_delimiter, write_sinks
+
+    assert _check_delimiter("tab") == "\t"
+    assert _check_delimiter("space") == " "
+    assert _check_delimiter("comma") == ","
+    assert _check_delimiter("|") is None  # unknown name -> format default
+
+    df = spark.createDataFrame([("t", "a", 1)], "tag string, k string, n long")
+    write_sinks(
+        df,
+        [
+            SinkSpec("c", fmt="csv", delimiter="tab"),
+            SinkSpec("l", fmt="ltsv", delimiter="comma", label_delimiter="space"),
+        ],
+        str(tmp_path),
+    )
+    csv_lines = [
+        ln
+        for p in glob.glob(str(tmp_path / "c" / "*.csv"))
+        for ln in open(p).read().splitlines()
+    ]
+    assert "t\ta\t1" in csv_lines
+    ltsv_lines = [
+        ln
+        for p in glob.glob(str(tmp_path / "l" / "part-*"))
+        for ln in open(p).read().splitlines()
+    ]
+    assert ltsv_lines == ["tag t,k a,n 1"]

@@ -125,3 +125,44 @@ def test_throttle_stream_stateful(spark, tmp_path):
     assert per <= 10
     assert 0 < got.count() < 1200
     assert n_langs >= 3
+
+
+def test_kafka_option_mapping():
+    from fluent_bit_spark.streaming import kafka_options
+
+    opts = kafka_options(
+        "b1:9092,b2:9092", "logs,audit", group_id="g", client_id="c",
+        poll_timeout_ms=500, buffer_max_size="10000",
+        rdkafka={"security.protocol": "SASL_SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "logs,audit"
+    assert opts["kafka.group.id"] == "g"
+    assert opts["kafka.client.id"] == "c"
+    assert opts["kafkaConsumer.pollTimeoutMs"] == "500"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_kafka_frame_shape(spark):
+    """in_kafka record shape {topic, partition, offset, key, payload}
+    (in_kafka.c:73-136) + topic-templated tag, on a kafka-schema frame."""
+    from fluent_bit_spark.parsers import RegexParser, TypeCast
+    from fluent_bit_spark.streaming import attach_kafka_frame
+
+    kafka_shaped = spark.createDataFrame(
+        [
+            (b"k1", b"lvl=3 msg=ok", "logs", 0, 42, "2024-01-01 00:00:00"),
+            (None, b"lvl=7 msg=bad", "audit", 1, 7, "2024-01-01 00:00:01"),
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp string",
+    )
+    p = RegexParser("kv", r"lvl=(?<lvl>\d+) msg=(?<msg>\w+)", time_fmt=None,
+                    types=(TypeCast("lvl", "int"),))
+    out = attach_kafka_frame(kafka_shaped, tag="kafka.*", parser=p)
+    rows = {r["topic"]: r for r in out.collect()}
+    assert rows["logs"]["tag"] == "kafka.logs"
+    assert rows["logs"]["key"] == "k1" and rows["logs"]["offset"] == 42
+    assert rows["logs"]["lvl"] == 3 and rows["logs"]["msg"] == "ok"
+    assert rows["audit"]["tag"] == "kafka.audit" and rows["audit"]["lvl"] == 7
