@@ -103,18 +103,29 @@ def lsh_topk(
     n_bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact scoring restricted to same-bucket
-    candidates. Recall grows with fewer bits / multi-probe; this single-
-    probe variant is the deterministic skeleton the scale path tunes."""
+    """Approximate top-k: exact scoring restricted to shared-bucket
+    candidates. n_probe > 1 additionally probes the buckets reached by
+    flipping the query's lowest-|margin| signature bits (multi-probe
+    LSH) — recall rises without touching the corpus-side layout: the
+    corpus still stores ONE bucket per vector, only the tiny broadcast
+    query set explodes to n_probe rows."""
     sig_c = lsh_signature(F.col(vec_col), dim, n_bits)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), sig_c.alias("bucket")
     )
-    q = queries.select(
+    q0 = queries.withColumn("__sig", lsh_signature(F.col(vec_col), dim, n_bits))
+    if n_probe <= 1:
+        qbucket = F.array(F.col("__sig"))
+    else:
+        qbucket = lsh_probe_buckets(
+            F.col(vec_col), dim, n_bits, n_probe, sig=F.col("__sig")
+        )
+    q = q0.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_signature(F.col(vec_col), dim, n_bits).alias("bucket"),
+        F.explode(qbucket).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -129,14 +140,114 @@ def lsh_topk(
     )
 
 
-def ivf_assign(df: DataFrame, dim: int, n_cells: int = 16, vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse assignment: nearest deterministic anchor (max dot).
-    Anchors are fixed-hash unit-ish vectors; assignment is a narrow pass."""
-    scores = [
-        _dot(F.col(vec_col), _hyperplane(dim, 10_000 + cell)).alias(f"__s{cell}")
-        for cell in range(n_cells)
-    ]
-    arr = F.array(*[s for s in scores])
+def lsh_probe_buckets(
+    vec: Column, dim: int, n_bits: int, n_probe: int, sig: Column = None
+) -> Column:
+    """Multi-probe bucket list: the primary signature plus the buckets
+    reached by flipping the (n_probe - 1) lowest-|margin| bits — the
+    classic multi-probe LSH heuristic (Lv et al., VLDB'07): a vector near
+    a hyperplane most likely disagrees with its true neighbors on exactly
+    that plane's bit. All JVM expressions: per-bit margins are sorted as
+    (|dot|, bit) structs, no UDF.
+
+    Returns array<long> of `n_probe` distinct bucket ids.
+    """
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(_dot(vec, _hyperplane(dim, b))).alias("m"),
+                F.lit(b).alias("bit"),
+            )
+            for b in range(n_bits)
+        ]
+    )
+    flip_bits = F.transform(
+        F.slice(F.array_sort(margins), 1, n_probe - 1),
+        lambda e: e.getField("bit"),
+    )
+    # pass a MATERIALIZED sig column when possible: a lambda body
+    # re-evaluates captured outer expressions per element (CLAUDE.md),
+    # so an inline signature would recompute n_bits dot products per flip
+    if sig is None:
+        sig = lsh_signature(vec, dim, n_bits)
+    # shiftleft's shift amount must be a python int, so index a literal
+    # powers-of-two array with the (dynamic) bit number instead
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    flips = F.transform(
+        flip_bits,
+        lambda bit: sig.bitwiseXOR(F.try_element_at(powers, bit.cast("int") + 1)),
+    )
+    return F.concat(F.array(sig), flips)
+
+
+def ivf_train_anchors(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_n: int = 20_000,
+    iters: int = 8,
+):
+    """Train IVF coarse anchors: k-means over a BOUNDED sample.
+
+    The sample (≤ sample_n vectors) is pulled to the driver — standard
+    IVF practice (the codebook is tiny and training data need not be
+    exhaustive); assignment of the full corpus stays distributed via
+    ivf_assign(anchors=...). Deterministic: first-k distinct init, fixed
+    iteration count, no RNG.
+    """
+    import numpy as np
+
+    rows = df.select(F.col(vec_col)).limit(sample_n).collect()
+    x = np.asarray([r[0] for r in rows], dtype="float64")
+    if len(x) < n_cells:
+        raise ValueError(f"need >= {n_cells} vectors to train, got {len(x)}")
+    # first-k distinct rows as init (deterministic)
+    _, first_idx = np.unique(x, axis=0, return_index=True)
+    init_idx = np.sort(first_idx)[:n_cells]
+    if len(init_idx) < n_cells:
+        raise ValueError("fewer distinct vectors than cells")
+    centers = x[init_idx].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in centers]
+
+
+def _anchor_scores(vec: Column, dim: int, n_cells: int, anchors) -> list[Column]:
+    """Per-cell affinity: dot(vec, anchor). anchors=None keeps the
+    hash-derived skeleton planes (the untrained fallback)."""
+    if anchors is None:
+        return [
+            _dot(vec, _hyperplane(dim, 10_000 + cell)) for cell in range(n_cells)
+        ]
+    # trained centroids: nearest by euclidean == max (dot - |c|^2/2)
+    out = []
+    for c in anchors:
+        lit = F.array(*[F.lit(float(v)) for v in c])
+        sq = sum(v * v for v in c) / 2.0
+        out.append(_dot(vec, lit) - F.lit(sq))
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    anchors=None,
+) -> DataFrame:
+    """IVF coarse assignment: nearest anchor, as one narrow pass.
+
+    anchors — trained centroid list from ivf_train_anchors (nearest-
+    centroid by euclidean distance, the FAISS IVF contract); None keeps
+    deterministic hash planes (max dot) as the skeleton."""
+    scores = _anchor_scores(F.col(vec_col), dim, n_cells, anchors)
+    arr = F.array(*scores)
     best = F.array_position(arr, F.array_max(arr)) - 1
     return df.withColumn("ivf_cell", best.cast("int"))
 
@@ -185,24 +296,25 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anchors=None,
 ) -> DataFrame:
     """IVF search: score only candidates in the query's nprobe best cells.
 
     At 10^12 vectors the corpus is partitioned (and at rest: bucketed /
     partitioned Iceberg) by ivf_cell, so a probe touches nprobe/n_cells
     of the data; the per-cell scoring join shuffles only the (small)
-    probe set. Recall is tuned by nprobe.
+    probe set. Recall is tuned by nprobe and anchor quality — pass the
+    trained centroids from ivf_train_anchors for real cells.
     """
-    c = ivf_assign(corpus, dim, n_cells, vec_col=vec_col).select(
+    c = ivf_assign(corpus, dim, n_cells, vec_col=vec_col, anchors=anchors).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "ivf_cell"
     )
     cell_scores = F.array(
         *[
-            F.struct(
-                _dot(F.col(vec_col), _hyperplane(dim, 10_000 + cell)).alias("s"),
-                F.lit(cell).alias("cell"),
+            F.struct(s.alias("s"), F.lit(cell).alias("cell"))
+            for cell, s in enumerate(
+                _anchor_scores(F.col(vec_col), dim, n_cells, anchors)
             )
-            for cell in range(n_cells)
         ]
     )
     probe_cells = F.transform(

@@ -410,3 +410,51 @@ def test_embedding_near_dup_python_oracle(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ivf_trained_anchors(spark):
+    """Trained centroids separate well-defined clusters; cluster members
+    land in the same cell and ivf_topk(anchors=...) finds in-cluster
+    neighbors with nprobe=1."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.3, 0.3) for v in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    anchors = similarity.ivf_train_anchors(df, dim=4, n_cells=3, iters=6)
+    assert len(anchors) == 3 and all(len(a) == 4 for a in anchors)
+
+    out = similarity.ivf_assign(df, dim=4, n_cells=3, anchors=anchors)
+    got = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    # each true cluster maps to exactly one cell, and the three differ
+    cell_of = [got[i] for i in range(3)]
+    assert len(set(cell_of)) == 3
+    for i in range(90):
+        assert got[i] == cell_of[i % 3]
+
+    q = df.filter(F.col("vec_id") < 3)
+    top = similarity.ivf_topk(
+        df, q, dim=4, k=5, n_cells=3, nprobe=1, anchors=anchors
+    ).collect()
+    # with trained cells, every neighbor comes from the query's cluster
+    for r in top:
+        assert r["cand_id"] % 3 == r["query_id"] % 3
+
+
+def test_lsh_multiprobe_recall_not_worse(emb):
+    """Multi-probe candidates strictly include single-probe's (primary
+    bucket always probed), so recall vs brute force can only rise."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    single = similarity.lsh_topk(emb, queries, dim=64, k=10, n_bits=6, n_probe=1)
+    multi = similarity.lsh_topk(emb, queries, dim=64, k=10, n_bits=6, n_probe=4)
+    # no duplicate (query, cand) pairs from probing
+    assert multi.groupBy("query_id", "cand_id").count().filter("count > 1").count() == 0
+    r1 = single.join(exact, ["query_id", "cand_id"]).count()
+    r4 = multi.join(exact, ["query_id", "cand_id"]).count()
+    assert r4 >= r1
