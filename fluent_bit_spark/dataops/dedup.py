@@ -122,6 +122,24 @@ def _minhash_banded(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def self_join_ready(df: DataFrame, persist: bool = True) -> DataFrame:
+    """Materialize a frame that is about to be self-joined.
+
+    A self-join recomputes the whole upstream once per side (Catalyst
+    assigns fresh expression ids to the aliased side, so no
+    ReusedExchange forms) — for LSH/simhash membership tables that means
+    running the signature build, the most expensive stage, twice.
+    MEMORY_AND_DISK persist makes it compute once and spill-safely
+    serve both sides. At full 100-TB scale, stage the membership table
+    to parquet instead (same single-materialization effect, bounded
+    executor memory); persist=False restores the pure-lazy plan."""
+    if persist:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def _cap_buckets(membership: DataFrame, keys: list, max_bucket_size: int) -> DataFrame:
     """Deterministically sub-sample each bucket to max_bucket_size members
     (lowest ids kept). Web data guarantees degenerate buckets — every
@@ -165,6 +183,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int = 256,
+    persist_membership: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band bucket.
 
@@ -172,10 +191,13 @@ def minhash_lsh_candidates(
     slice of their signatures is identical. Returns (id_a, id_b) with
     id_a < id_b, deduplicated across bands. Buckets larger than
     max_bucket_size are deterministically sub-sampled (see _cap_buckets);
-    use lsh_overflow_buckets for the dropped-bucket audit.
+    use lsh_overflow_buckets for the dropped-bucket audit. The membership
+    table is persisted so the signature build runs once, not once per
+    self-join side (self_join_ready).
     """
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = self_join_ready(banded, persist_membership)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -343,6 +365,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int = 256,
+    persist_membership: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over simhash fingerprints.
 
@@ -371,6 +394,7 @@ def simhash_hamming_pairs(
         F.col(id_col).alias("id"), fp.alias("fp"), F.explode(F.array(*entries)).alias("bb")
     ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = self_join_ready(banded, persist_membership)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

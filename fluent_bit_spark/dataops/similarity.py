@@ -260,13 +260,18 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 1024,
+    persist_membership: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify.
 
     Buckets above max_bucket_size are deterministically sub-sampled
     (lowest ids kept) before the self-join — a hot bucket (zero vectors,
     one dominant cluster) would otherwise make the pair count quadratic
-    at scale. Same rationale as dedup._cap_buckets."""
+    at scale. Same rationale as dedup._cap_buckets. The bucketed frame is
+    persisted so the signature pass runs once, not once per self-join
+    side (dedup.self_join_ready)."""
+    from .dedup import self_join_ready
+
     sig = lsh_signature(F.col(vec_col), dim, n_bits)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
     w = Window.partitionBy("bucket").orderBy(F.col("id"))
@@ -275,6 +280,7 @@ def embedding_near_dup(
         .filter(F.col("__rk") <= max_bucket_size)
         .drop("__rk")
     )
+    base = self_join_ready(base, persist_membership)
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
