@@ -20,8 +20,11 @@ from typing import Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# identifier charset per the reference lexer (ra.l:56):
+# [_A-Za-z][A-Za-z0-9_.\-/]* — dots, dashes and slashes are part of ONE
+# flat key name ($key-dash, $kubernetes.labels), not navigation
 _PATH = re.compile(
-    r"""^\$(?P<root>[A-Za-z_][A-Za-z0-9_]*|\d)
+    r"""^\$(?P<root>[A-Za-z_][A-Za-z0-9_.\-/]*|\d)
          (?P<rest>(\[(?:'[^']*'|"[^\"]*"|\d+)\])*)$""",
     re.X,
 )
@@ -89,12 +92,19 @@ def compile_path(
         return captures[ref]
 
     if body_map is not None:
-        c = F.element_at(F.col(body_map), p.root)
+        c = F.try_element_at(F.col(body_map), F.lit(p.root))
     else:
-        c = F.col(p.root)
+        # backtick-quote so a dot inside the key name stays a flat column
+        # reference, not struct navigation
+        c = F.col(f"`{p.root}`" if "." in p.root else p.root)
     for s in p.subs:
+        # try_element_at, not element_at: ANSI mode throws on missing
+        # keys / out-of-range indexes, but the reference returns
+        # "no result" (record_accessor.c array_index_overflow,
+        # nonexistent_key_access tests) — i.e. NULL here
         if isinstance(s, int):
-            c = F.element_at(c, s + 1)  # RA array index is 0-based; element_at 1-based
+            # RA array index is 0-based; element_at is 1-based
+            c = F.try_element_at(c, F.lit(s + 1))
         else:
-            c = c.getField(s) if body_map is None else F.element_at(c, s)
+            c = c.getField(s) if body_map is None else F.try_element_at(c, F.lit(s))
     return c

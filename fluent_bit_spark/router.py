@@ -176,10 +176,21 @@ class RewriteTagRule:
     keep: bool = False
 
 
-_TMPL_TOKEN = re.compile(r"\$TAG(?:\[(\d+)\])?|\$(\d)|\$([A-Za-z_][A-Za-z0-9_]*)")
+# token order: $TAG[n] keyword, $0..$9 capture refs, then a record
+# accessor — whose identifier charset mirrors the reference lexer
+# (ra.l:56, [_A-Za-z][A-Za-z0-9_.\-/]*, GREEDY: '$key.suffix' lexes as
+# one key named 'key.suffix', same as the reference) with optional
+# ['sub'] / [N] subscript chains
+_TMPL_TOKEN = re.compile(
+    r"\$TAG(?:\[(\d+)\])?"
+    r"|\$(\d)"
+    r"|(\$[A-Za-z_][A-Za-z0-9_.\-/]*(?:\[(?:'[^']*'|\"[^\"]*\"|\d+)\])*)"
+)
 
 
 def _compile_template(tmpl: str, tag_col: Column, captures: dict[int, Column]) -> Column:
+    from .accessor import compile_path
+
     parts: list[Column] = []
     pos = 0
     for m in _TMPL_TOKEN.finditer(tmpl):
@@ -195,7 +206,12 @@ def _compile_template(tmpl: str, tag_col: Column, captures: dict[int, Column]) -
         elif m.group(2) is not None:
             parts.append(captures[int(m.group(2))])
         else:
-            parts.append(F.col(m.group(3)).cast("string"))
+            # missing keys render as empty, not NULL: flb_ra_translate
+            # (check=FALSE, flb_record_accessor.c:628-668) keeps going
+            # when a key lookup fails — concat of a NULL would null the
+            # whole tag otherwise
+            ref = compile_path(m.group(3))
+            parts.append(F.coalesce(ref.cast("string"), F.lit("")))
         pos = m.end()
     if pos < len(tmpl):
         parts.append(F.lit(tmpl[pos:]))

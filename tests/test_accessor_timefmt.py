@@ -110,3 +110,39 @@ def test_epoch(spark):
 def test_time_offset_fixed(spark):
     ts = _one(spark, "2024-01-02T03:04:05.000", DOCKER, time_offset="+0200")
     assert ts == dt.datetime(2024, 1, 2, 1, 4, 5)
+
+
+def test_accessor_dash_dot_slash_keys(spark):
+    """ra.l:56 identifier charset [_A-Za-z][A-Za-z0-9_.\\-/]*: dashes,
+    dots and slashes are part of one flat key (cb_dash_key, the
+    kubernetes label convention)."""
+    from fluent_bit_spark.accessor import compile_path, parse_path
+
+    assert parse_path("$key-dash").root == "key-dash"
+    assert parse_path("$app.kubernetes.io/name").root == "app.kubernetes.io/name"
+    df = spark.createDataFrame(
+        [("something", "v1")], "`key-dash` string, `a.b` string"
+    )
+    assert df.select(compile_path("$key-dash").alias("x")).first()["x"] == "something"
+    assert df.select(compile_path("$a.b").alias("x")).first()["x"] == "v1"
+
+
+def test_accessor_overflow_and_missing_are_null(spark):
+    """array_index_overflow / nonexistent_key_access: out-of-range and
+    absent lookups yield no result (NULL), never an error — ANSI mode
+    would throw with plain element_at."""
+    from fluent_bit_spark.accessor import compile_path
+
+    df = spark.createDataFrame([([1, 2],)], "arr array<int>")
+    row = df.select(
+        compile_path("$arr[1]").alias("ok"),
+        compile_path("$arr[5]").alias("over"),
+    ).first()
+    assert row["ok"] == 2 and row["over"] is None
+
+    dm = spark.createDataFrame([({"a": "1"},)], "body map<string,string>")
+    row = dm.select(
+        compile_path("$a", body_map="body").alias("hit"),
+        compile_path("$nope", body_map="body").alias("miss"),
+    ).first()
+    assert row["hit"] == "1" and row["miss"] is None

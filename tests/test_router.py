@@ -230,3 +230,26 @@ def test_delimiter_options(spark, tmp_path):
         for ln in open(p).read().splitlines()
     ]
     assert ltsv_lines == ["tag t,k a,n 1"]
+
+
+def test_rewrite_template_record_accessors(spark):
+    """Templates accept record accessors with subscripts
+    ($kube['ns'], rewrite_tag.c new-tag translation via
+    flb_ra_translate); NULL values render as empty segments, not a NULL
+    tag (flb_record_accessor.c:628 check=FALSE semantics)."""
+    from fluent_bit_spark.router import RewriteTagRule, apply_rewrite_tag
+
+    df = spark.createDataFrame(
+        [("app.x", "checkout", {"ns": "prod"}), ("app.y", None, {"ns": "dev"})],
+        "tag string, svc string, kube map<string,string>",
+    )
+    # note: '$svc.' would lex the dot into the key name — the reference
+    # lexer (ra.l:56) has the same greedy charset, so templates put
+    # accessor refs at segment end or use non-dot separators
+    rules = [
+        RewriteTagRule(
+            key="tag", regex=r"^app\.", new_tag="k.$kube['ns'].x_$svc"
+        )
+    ]
+    out = {r["tag"] for r in apply_rewrite_tag(df, rules).collect()}
+    assert out == {"k.prod.x_checkout", "k.dev.x_"}
