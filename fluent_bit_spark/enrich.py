@@ -228,3 +228,66 @@ def literal_map_enrich(
             entries.append(F.lit(r[i]))
         out = out.withColumn(fname, F.element_at(F.create_map(*entries), key))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Environment-metadata filters: filter_aws / filter_ecs / filter_sysinfo.
+# Each fetches node/task metadata ONCE at init (IMDS HTTP, ECS agent
+# introspection, uname) and annotates every record with the same static
+# keys (aws.c:67-124 expose_* / ecs.c:48-90 / sysinfo.c). The Spark
+# analogue is exact: collect the metadata once on the driver, stamp it
+# as literal columns — stays entirely inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+# filter_aws config_map key set (plugins/filter_aws/aws.h option names ->
+# injected record keys)
+AWS_FIELDS = (
+    "az", "ec2_instance_id", "ec2_instance_type", "private_ip",
+    "vpc_id", "ami_id", "account_id", "hostname",
+)
+# filter_ecs cluster metadata keys (ecs.c:48-90 expose_ecs_cluster_meta)
+ECS_FIELDS = ("aws.ecs.cluster_name", "aws.ecs.ecs_agent_version",
+              "aws.ecs.task_arn", "aws.ecs.task_id")
+
+
+def sysinfo_metadata(
+    hostname_key: Optional[str] = "hostname",
+    os_version_key: Optional[str] = "os_version",
+    kernel_version_key: Optional[str] = "kernel_version",
+) -> dict:
+    """filter_sysinfo (sysinfo.c:251-266 config keys): real values from
+    the driver host — the reference reads the same uname/hostname."""
+    import platform
+
+    out = {}
+    if hostname_key:
+        out[hostname_key] = platform.node()
+    if os_version_key:
+        out[os_version_key] = platform.version()
+    if kernel_version_key:
+        out[kernel_version_key] = platform.release()
+    return out
+
+
+def aws_metadata(fetch, fields: Sequence[str] = AWS_FIELDS) -> dict:
+    """filter_aws metadata set. `fetch(field) -> str` abstracts the IMDS
+    v2 calls (aws.c get_metadata_* group machinery) — no IMDS endpoint
+    exists off-EC2 (or in this sandbox), so the transport is injected;
+    tests pass a fake. Keys mirror the injected record keys."""
+    return {f: fetch(f) for f in fields}
+
+
+def ecs_metadata(fetch, fields: Sequence[str] = ECS_FIELDS) -> dict:
+    """filter_ecs cluster/task metadata (ecs.c expose_ecs_cluster_meta);
+    fetch abstracts the ECS agent introspection endpoint."""
+    return {f: fetch(f) for f in fields}
+
+
+def environment_enrich(df: DataFrame, metadata: dict) -> DataFrame:
+    """Stamp the (static) metadata dict as literal columns — the batch
+    analogue of the per-record kvlist append every one of these filters
+    performs. Keys containing dots stay flat column names (backticked on
+    read via the record accessor)."""
+    for k, v in metadata.items():
+        df = df.withColumn(k, F.lit(v))
+    return df

@@ -270,3 +270,50 @@ def kafka_source(
         "startingOffsets", starting_offsets
     )
     return attach_kafka_frame(reader.load(), tag=tag, fmt=fmt, parser=parser)
+
+
+# ---------------------------------------------------------------------------
+# in_exec / in_stdin — plugins/in_exec/in_exec.c, plugins/in_stdin/
+# ---------------------------------------------------------------------------
+
+def exec_source(
+    spark: SparkSession,
+    command: str,
+    tag: str = "exec.0",
+    parser=None,
+    timeout_s: float = 30.0,
+) -> DataFrame:
+    """in_exec: run a command, one record per stdout line
+    (in_exec.c cb_exec collects the pipe into newline-split records).
+    The reference runs the command on its single node; the analogue runs
+    it on the driver — the DataFrame of lines then distributes. An
+    attached parser projects its fields (Parser option)."""
+    import subprocess
+
+    out = subprocess.run(
+        command, shell=True, capture_output=True, text=True, timeout=timeout_s
+    )
+    lines = [(tag, ln) for ln in out.stdout.splitlines()]
+    df = spark.createDataFrame(lines or [], "tag string, exec string")
+    if parser is not None:
+        df = parser.apply(df, "exec")
+    return df
+
+
+def stdin_source(
+    spark: SparkSession,
+    tag: str = "stdin.0",
+    parser=None,
+    stream=None,
+) -> DataFrame:
+    """in_stdin: one record per input line (json lines pass through the
+    attached parser, matching the plugin's flb_pack behavior). `stream`
+    defaults to sys.stdin; injectable for tests."""
+    import sys as _sys
+
+    stream = stream if stream is not None else _sys.stdin
+    lines = [(tag, ln.rstrip("\n")) for ln in stream]
+    df = spark.createDataFrame(lines or [], "tag string, log string")
+    if parser is not None:
+        df = parser.apply(df, "log")
+    return df

@@ -76,3 +76,35 @@ def test_plan_is_single_broadcast_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_environment_enrich_family(spark):
+    """filter_aws / filter_ecs / filter_sysinfo: metadata fetched once,
+    stamped as static keys on every record (aws.c:67-124, ecs.c:48-90,
+    sysinfo.c:251-266)."""
+    from fluent_bit_spark.enrich import (
+        AWS_FIELDS,
+        aws_metadata,
+        ecs_metadata,
+        environment_enrich,
+        sysinfo_metadata,
+    )
+
+    df = spark.createDataFrame([("t", 1), ("t", 2)], "tag string, n long")
+    fake = lambda k: f"v-{k}"
+    md = {}
+    md.update(aws_metadata(fake))
+    md.update(ecs_metadata(fake))
+    md.update(sysinfo_metadata())
+    out = environment_enrich(df, md)
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["az"] == "v-az" and r["ec2_instance_id"] == "v-ec2_instance_id"
+        assert r["aws.ecs.cluster_name"] == "v-aws.ecs.cluster_name"
+        assert isinstance(r["kernel_version"], str) and r["kernel_version"]
+    assert set(AWS_FIELDS) <= set(out.columns)
+    # record-accessor reads the dotted flat key
+    from fluent_bit_spark.accessor import compile_path
+    got = out.select(compile_path("$aws.ecs.task_id").alias("x")).first()["x"]
+    assert got == "v-aws.ecs.task_id"

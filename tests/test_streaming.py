@@ -166,3 +166,20 @@ def test_kafka_frame_shape(spark):
     assert rows["logs"]["key"] == "k1" and rows["logs"]["offset"] == 42
     assert rows["logs"]["lvl"] == 3 and rows["logs"]["msg"] == "ok"
     assert rows["audit"]["tag"] == "kafka.audit" and rows["audit"]["lvl"] == 7
+
+
+def test_exec_and_stdin_sources(spark):
+    """in_exec: one record per stdout line; in_stdin: one per input line,
+    parser attach projects fields."""
+    import io
+
+    from fluent_bit_spark.parsers import RegexParser
+    from fluent_bit_spark.streaming import exec_source, stdin_source
+
+    df = exec_source(spark, "printf 'a\\nb\\n'", tag="exec.t")
+    assert [r["exec"] for r in df.orderBy("exec").collect()] == ["a", "b"]
+    assert df.first()["tag"] == "exec.t"
+
+    p = RegexParser("kv", r"k=(?<k>\w+)", time_fmt=None)
+    sdf = stdin_source(spark, stream=io.StringIO("k=x\nk=y\n"), parser=p)
+    assert sorted(r["k"] for r in sdf.collect()) == ["x", "y"]
