@@ -1,0 +1,74 @@
+"""Composed training-data cleaning pipeline over a document corpus.
+
+The end-to-end shape a 100-TB pretraining-data job runs, assembled from
+this package's primitives — each stage is the scale-audited operator,
+composed so the expensive ones see the fewest rows:
+
+    1. profile   — tokens / lang-ID / quality score (one narrow pass,
+                   textstats.py, pure Catalyst)
+    2. filter    — quality threshold + language allow-list (pushed ahead
+                   of every shuffle; at 100 TB this prunes the corpus
+                   before anything keyed runs)
+    3. exact dedup — keep lowest id per xxhash64(text) digest
+                   (dedup.exact_dedup; shuffles 16 B/row, never raw text)
+    4. near dedup  — MinHash-LSH candidates -> exact n-gram Jaccard
+                   verify -> drop the higher id of each confirmed pair
+                   (dedup.minhash_lsh_candidates + ngram_jaccard_pairs;
+                   bucket-capped, membership persisted once)
+    5. stats     — per-language kept/token tallies for the run manifest
+
+Returns (kept DataFrame, stats DataFrame). Stage order is the
+performance contract: near-dup (the costliest stage) runs only on
+quality-filtered, exactly-deduped survivors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.7,
+    langs: Optional[Sequence[str]] = None,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the 5-stage cleaning pipeline; see module docstring."""
+    text = F.col(text_col)
+    profiled = df.withColumn("quality", textstats.quality_score(text)).withColumn(
+        "lang_pred", textstats.lang_id(text)
+    ).withColumn("n_tokens", textstats.token_count(text))
+
+    kept = profiled.filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+
+    kept = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col)
+
+    cands = dedup.minhash_lsh_candidates(
+        kept, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    )
+    verified = dedup.ngram_jaccard_pairs(
+        kept, cands, n=shingle_n, text_col=text_col, id_col=id_col
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    # drop the higher id of each confirmed near-dup pair (anti-join on a
+    # distinct drop-set: one shuffle keyed by the 8-byte id)
+    drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+    kept = kept.join(drops, id_col, "left_anti")
+
+    stats = kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return kept, stats

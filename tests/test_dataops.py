@@ -458,3 +458,34 @@ def test_lsh_multiprobe_recall_not_worse(emb):
     r1 = single.join(exact, ["query_id", "cand_id"]).count()
     r4 = multi.join(exact, ["query_id", "cand_id"]).count()
     assert r4 >= r1
+
+
+def test_clean_corpus_pipeline(spark):
+    """Composed training-data cleaning: quality filter -> lang filter ->
+    exact dedup -> LSH+verify near-dedup -> per-lang stats. Each doc in
+    the fixture exercises one stage."""
+    from fluent_bit_spark.dataops.corpus import clean_corpus
+
+    good = ("The quick brown fox jumps over the lazy dog and then walks "
+            "into the quiet old town for some well earned rest. ") * 3
+    near = good.replace("quiet old town", "quiet new town")
+    rows = [
+        (1, good, "en"),                      # kept (representative)
+        (2, good, "en"),                      # exact dup of 1 -> dropped
+        (3, near, "en"),                      # near dup of 1 -> dropped
+        (4, "!!!! ???? ;;;; :::: ....", "en"),  # low quality -> dropped
+        (5, ("Der schnelle braune Fuchs springt ueber den faulen Hund "
+             "und laeuft dann in die stille alte Stadt. ") * 3, "de"),
+        (6, ("A completely different english document about sailing the "
+             "wide open sea with a steady wind and a good old map. ") * 3,
+         "en"),                               # kept (distinct)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept, stats = clean_corpus(
+        df, min_quality=0.7, langs=("en",), jaccard_threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 6]
+    st = {r["lang_pred"]: r for r in stats.collect()}
+    assert st["en"]["n_docs"] == 2 and st["en"]["n_tokens"] > 0
+    assert 0 < st["en"]["avg_quality"] <= 1.0
