@@ -169,6 +169,22 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
             *[F.lit(v).alias(k) for k, v in fields.items()],
         )
         return df
+    if name == "exec":
+        from .streaming import exec_source
+
+        parser_name = s.get("parser")
+        parser = PARSERS[parser_name] if parser_name else None
+        return exec_source(spark, s.get("command"), tag=tag, parser=parser)
+    if name == "syslog":
+        # in_syslog listens on a socket and runs the configured syslog
+        # parser (plugins/in_syslog); the batch analogue reads the spool
+        # file/glob and applies the same parser (default rfc3164,
+        # syslog_conf.c default parser name)
+        path = s.get("path")
+        parser = PARSERS[s.get("parser", "syslog-rfc3164")]
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        df = df.withColumn("tag", F.lit(tag))
+        return parser.apply(df, "line", ts_col="ts")
     raise ValueError(f"unsupported INPUT plugin {name!r}")
 
 

@@ -214,3 +214,47 @@ def test_filter_nest_config(spark, tmp_path):
     row = r.frame.first()
     assert row["other"] == "x"
     assert row["aws"]["region"] == "us-1" and row["aws"]["az"] == "a"
+
+
+def test_input_exec_and_syslog(spark, tmp_path):
+    """[INPUT] exec (command stdout lines) and syslog (spool file +
+    rfc3164 parser) through the config-driven pipeline."""
+    from fluent_bit_spark.config import run_config
+
+    spool = tmp_path / "syslog.log"
+    spool.write_text(
+        "<13>Feb  5 21:12:32 host app[42]: boot ok\n"
+        "<13>Feb  5 21:12:33 host app[42]: ready\n"
+    )
+    conf = f"""
+[INPUT]
+    Name   syslog
+    Path   {spool}
+    Tag    sys.t
+
+[OUTPUT]
+    Name   file
+    Match  *
+    Format json
+    sink_name out
+"""
+    r = run_config(spark, conf, str(tmp_path / "o1"))
+    rows = r.frame.orderBy("message").collect()
+    assert len(rows) == 2
+    assert rows[0]["ident"] == "app" and rows[0]["pid"] == "42"
+    assert rows[0]["message"] == "boot ok" and rows[0]["tag"] == "sys.t"
+
+    conf2 = """
+[INPUT]
+    Name    exec
+    Command printf 'x=1\\ny=2\\n'
+    Tag     ex.t
+
+[OUTPUT]
+    Name   file
+    Match  *
+    Format json
+    sink_name out
+"""
+    r2 = run_config(spark, conf2, str(tmp_path / "o2"))
+    assert sorted(x["exec"] for x in r2.frame.collect()) == ["x=1", "y=2"]
