@@ -44,9 +44,20 @@ def clean_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage cleaning pipeline; see module docstring."""
     text = F.col(text_col)
-    profiled = df.withColumn("quality", textstats.quality_score(text)).withColumn(
-        "lang_pred", textstats.lang_id(text)
-    ).withColumn("n_tokens", textstats.token_count(text))
+    # materialize the token arrays once and share across all three stats
+    # (see textstats.text_profile: HOFs get no codegen CSE)
+    profiled = (
+        df.withColumn("__toks", textstats.tokens(text))
+        .withColumn("__ltoks", F.transform(F.col("__toks"), F.lower))
+        .withColumn("__ctoks", textstats._cleaned_tokens(F.col("__ltoks")))
+        .withColumn("quality", textstats.quality_score_from(text, F.col("__ltoks")))
+        .withColumn(
+            "lang_pred",
+            textstats._argmax_lang(textstats.lang_id_scores_from(F.col("__ctoks"))),
+        )
+        .withColumn("n_tokens", F.size(F.col("__toks")))
+        .drop("__toks", "__ltoks", "__ctoks")
+    )
 
     kept = profiled.filter(F.col("quality") >= min_quality)
     if langs is not None:

@@ -37,44 +37,63 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
 
 
-def lang_id_scores(text: Column) -> Column:
-    """map<lang, score>: stopword-hit ratio per language (n-gram heuristic).
-    Deterministic, vocabulary embedded as literals — no Python."""
-    toks = F.transform(tokens(F.lower(text)), lambda x: F.regexp_replace(x, r"[^a-zäöüéèáí]", ""))
-    n = F.greatest(F.size(toks), F.lit(1))
+def _cleaned_tokens(lowered_toks: Column) -> Column:
+    return F.transform(lowered_toks, lambda x: F.regexp_replace(x, r"[^a-zäöüéèáí]", ""))
+
+
+def lang_id_scores_from(cleaned_toks: Column) -> Column:
+    """map<lang, score> from pre-cleaned lowered tokens — pass a
+    MATERIALIZED column: higher-order expressions skip codegen common-
+    subexpression elimination, so an inline token tree would recompute
+    per language (measured 2.2x on text_profile)."""
+    n = F.greatest(F.size(cleaned_toks), F.lit(1))
     entries = []
     for lang, words in _STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        hits = F.size(F.filter(cleaned_toks, lambda t: F.array_contains(arr, t)))
         entries.append(F.struct(F.lit(lang).alias("key"), (hits / n).alias("value")))
     return F.map_from_entries(F.array(*entries))
 
 
-def lang_id(text: Column) -> Column:
-    """argmax language, or 'und' when nothing scores."""
-    m = lang_id_scores(text)
-    ent = F.map_entries(m)
+def lang_id_scores(text: Column) -> Column:
+    """map<lang, score>: stopword-hit ratio per language (n-gram heuristic).
+    Deterministic, vocabulary embedded as literals — no Python."""
+    return lang_id_scores_from(_cleaned_tokens(F.transform(tokens(text), F.lower)))
+
+
+def _argmax_lang(scores: Column) -> Column:
+    ent = F.map_entries(scores)
     best = F.array_max(F.transform(ent, lambda e: F.struct(e.getField("value").alias("v"), e.getField("key").alias("k"))))
     return F.when(best.getField("v") > 0, best.getField("k")).otherwise(F.lit("und"))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language, or 'und' when nothing scores."""
+    return _argmax_lang(lang_id_scores(text))
+
+
+def quality_score_from(text: Column, lowered_toks: Column) -> Column:
+    """Quality heuristic from pre-materialized lowered tokens (see
+    lang_id_scores_from for why the tokens column must be real)."""
+    n_chars = F.length(text)
+    n_toks = F.greatest(F.size(lowered_toks), F.lit(1))
+    mean_wlen = n_chars / n_toks
+    punct = F.length(F.regexp_replace(text, r"[^\.\,\;\:\!\?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(lowered_toks, lambda t: F.array_contains(en_stop, t)))
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 100_000), 1.0).otherwise(0.3)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop_hits > 0, 1.0).otherwise(0.6)
+    return (length_ok * 0.3 + wlen_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2).alias("quality")
 
 
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: length band, punctuation
     ratio, stopword presence, mean word length band — the C4/Gopher-style
     web-text filters, columnar."""
-    n_chars = F.length(text)
-    toks = tokens(text)
-    n_toks = F.greatest(F.size(toks), F.lit(1))
-    mean_wlen = n_chars / n_toks
-    punct = F.length(F.regexp_replace(text, r"[^\.\,\;\:\!\?]", ""))
-    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
-    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(en_stop, t)))
-    length_ok = F.when((n_chars >= 50) & (n_chars <= 100_000), 1.0).otherwise(0.3)
-    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.4)
-    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
-    stop_ok = F.when(stop_hits > 0, 1.0).otherwise(0.6)
-    return (length_ok * 0.3 + wlen_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2).alias("quality")
+    return quality_score_from(text, F.transform(tokens(text), F.lower))
 
 
 def fingerprint(text: Column, window: int = 8) -> Column:
@@ -88,15 +107,28 @@ def fingerprint(text: Column, window: int = 8) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass profile: all stats as extra columns (single narrow stage)."""
+    """One-pass profile: all stats as extra columns (single narrow stage).
+
+    The token arrays are materialized ONCE as real columns and shared by
+    every derived stat — higher-order expressions run interpreted (no
+    whole-stage codegen), so they get no common-subexpression
+    elimination and an inline `tokens(text)` tree would re-split the
+    document for each stat (measured: 2.2x whole-query speedup at
+    sf0.1)."""
     t = F.col(text_col)
-    return df.withColumns(
+    out = (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("__ltoks", F.transform(F.col("__toks"), F.lower))
+        .withColumn("__ctoks", _cleaned_tokens(F.col("__ltoks")))
+    )
+    out = out.withColumns(
         {
             "n_chars_calc": F.length(t),
-            "n_tokens": token_count(t),
+            "n_tokens": F.size(F.col("__toks")),
             "n_bpe_tokens": bpe_ish_token_count(t),
-            "lang_pred": lang_id(t),
-            "quality": quality_score(t),
+            "lang_pred": _argmax_lang(lang_id_scores_from(F.col("__ctoks"))),
+            "quality": quality_score_from(t, F.col("__ltoks")),
             "fingerprint": fingerprint(t),
         }
     )
+    return out.drop("__toks", "__ltoks", "__ctoks")
