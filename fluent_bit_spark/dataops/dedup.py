@@ -250,9 +250,9 @@ def minhash_jaccard_estimate(
     num_hashes: int = 64, shingle_n: int = 3,
 ) -> DataFrame:
     """Verify candidates: estimated Jaccard = fraction of equal signature
-    positions. Joins signatures onto the (small) candidate set."""
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    sigs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    positions. Joins signatures onto the (small) candidate set; the
+    signature table comes from the codegen path (minhash_table)."""
+    sigs = minhash_table(df, text_col, id_col, num_hashes, shingle_n)
     out = (
         pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.id_a == sigs.id)
         .drop("id")
