@@ -263,6 +263,11 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
         for v in s.get_all("rename"):
             k, new = v.split(None, 1)
             new = new.strip()
+            # modify.c RENAME is a no-op when the target key already
+            # exists (only HARD_RENAME overwrites) — and the gated form
+            # must not null the destination on non-matching rows
+            if new in df.columns:
+                continue
             if ungated:
                 df = df.withColumnRenamed(k, new)
             elif k in df.columns:
@@ -321,6 +326,7 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
             reserve_data=_bool(s.get("reserve_data", "false")),
             preserve_key=_bool(s.get("preserve_key", "false")),
             ts_col="ts" if "ts" in df.columns else None,
+            gate=gate,
         )
 
     if name == "nest":
@@ -328,13 +334,13 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
 
         op = (s.get("operation") or "nest").lower()
         if op == "nest":
-            out = df
-            for wc in s.get_all("wildcard"):
-                out = nest_columns(
-                    out, wc, s.get("nest_under", "nested"),
-                    remove_prefix=s.get("remove_prefix"),
-                )
-            return out
+            # one struct from ALL wildcards (repeated calls would each
+            # overwrite Nest_under). Schema-level op: Match gating is
+            # schema-wide on the unioned frame, like Remove/Rename above.
+            return nest_columns(
+                df, s.get_all("wildcard"), s.get("nest_under", "nested"),
+                remove_prefix=s.get("remove_prefix"),
+            )
         if op == "lift":
             return lift_columns(
                 df, s.get("nested_under"), add_prefix=s.get("add_prefix")

@@ -270,16 +270,11 @@ def embedding_near_dup(
     at scale. Same rationale as dedup._cap_buckets. The bucketed frame is
     persisted so the signature pass runs once, not once per self-join
     side (dedup.self_join_ready)."""
-    from .dedup import self_join_ready
+    from .dedup import _cap_buckets, self_join_ready
 
     sig = lsh_signature(F.col(vec_col), dim, n_bits)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
-    w = Window.partitionBy("bucket").orderBy(F.col("id"))
-    base = (
-        base.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_bucket_size)
-        .drop("__rk")
-    )
+    base = _cap_buckets(base, ["bucket"], max_bucket_size)
     base = self_join_ready(base, persist_membership)
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(

@@ -47,9 +47,19 @@ def geoip_enrich(
 
 
 def ip_to_long(c: Column) -> Column:
-    """Dotted-quad IPv4 string -> uint32 as BIGINT (NULL if malformed)."""
+    """Dotted-quad IPv4 string -> uint32 as BIGINT (NULL if malformed).
+
+    try_cast, not cast: the session runs ANSI mode, where cast of a
+    non-numeric part ('1.2.3.x', 'www.example.co.uk') THROWS instead of
+    yielding NULL. Out-of-range octets (>255) also null out rather than
+    producing a wrong address."""
+
     parts = F.split(c, r"\.")
-    octet = lambda i: F.try_element_at(parts, F.lit(i)).cast("long")  # noqa: E731
+
+    def octet(i: int) -> Column:
+        v = F.try_element_at(parts, F.lit(i)).try_cast("long")
+        return F.when((v >= 0) & (v <= 255), v)
+
     num = (
         octet(1) * 16777216 + octet(2) * 65536 + octet(3) * 256 + octet(4)
     )
@@ -74,7 +84,9 @@ def cidr_dim_prepare(
     /8 subtree and shipped once per executor).
     """
     net_str = F.regexp_extract(F.col(cidr_col), r"^([0-9.]+)/(\d+)$", 1)
-    plen = F.regexp_extract(F.col(cidr_col), r"^([0-9.]+)/(\d+)$", 2).cast("int")
+    # try_cast: a malformed dim row (no '/len') extracts '' and a plain
+    # cast would abort the job under ANSI; null plen drops the row below
+    plen = F.regexp_extract(F.col(cidr_col), r"^([0-9.]+)/(\d+)$", 2).try_cast("int")
     net = ip_to_long(net_str)
     # mask = 2^32 - 2^(32-L); doubles are exact up to 2^53
     mask = (F.lit(4294967296) - F.pow(F.lit(2.0), 32 - plen)).cast("long")

@@ -270,16 +270,25 @@ class RecordModifier:
 
 
 def nest_columns(
-    df: DataFrame, wildcard: str, nest_under: str, remove_prefix: Optional[str] = None
+    df: DataFrame,
+    wildcard,
+    nest_under: str,
+    remove_prefix: Optional[str] = None,
 ) -> DataFrame:
     """Operation Nest (nest.c:86-89): move columns matching the prefix-*
-    wildcard under a new struct column."""
-    prefix = wildcard[:-1] if wildcard.endswith("*") else None
-    hit = [
-        c
-        for c in df.columns
-        if (c == wildcard if prefix is None else c.startswith(prefix))
-    ]
+    wildcard(s) under ONE new struct column. `wildcard` may be a single
+    pattern or a sequence — the reference collects every Wildcard
+    entry's matches into the same Nest_under map, so repeated
+    single-wildcard calls (which would each overwrite the struct) are
+    wrong for multi-wildcard configs."""
+    wildcards = [wildcard] if isinstance(wildcard, str) else list(wildcard)
+    hit = []
+    for wc in wildcards:
+        prefix = wc[:-1] if wc.endswith("*") else None
+        for c in df.columns:
+            matches = c == wc if prefix is None else c.startswith(prefix)
+            if matches and c not in hit:
+                hit.append(c)
     if not hit:
         return df
     fields = []
@@ -455,21 +464,36 @@ def apply_throttle_size(
 ) -> DataFrame:
     """Byte-budget variant: keep records while the running sum of
     ``length(size_field)`` within the pane stays under ``max_bytes``
-    (throttle_size.c sums the printed size of the named field).
+    (throttle_size.c sums the printed size of the named field; note the
+    reference's arrival-order greedy skips a too-big record without
+    charging its bytes — the batch re-expression is the deterministic
+    prefix cutoff, like apply_throttle's rank).
 
-    Same salted pre-limit as apply_throttle: a row whose running byte
-    sum within its (pane, salt) bucket already exceeds the budget is
-    provably over budget globally, so it can be dropped before the
-    pane-keyed pass."""
+    Salted pre-limit: a row whose running byte sum within its (pane,
+    salt) bucket exceeds the budget is provably over budget globally
+    (the global prefix contains the bucket prefix). Unlike the rank
+    case, simply deleting those rows would REMOVE their bytes from
+    later rows' running sums — so the pre-limit instead derives the
+    per-pane cutoff: pane prefix sums are monotone, hence every row at
+    or after the FIRST bucket-over row is over budget, and every row
+    before it reaches the final pane pass with its true prefix intact.
+    Results are identical to salt_buckets=0."""
     pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     size_bytes = F.length(F.col(size_field).cast("string"))
     if salt_buckets:
+        okey = F.struct(*order)
         wp = Window.partitionBy(pane, _pane_salt(order, salt_buckets)).orderBy(*order)
+        flagged = df.withColumn("__pbytes", F.sum(size_bytes).over(wp))
+        cut = (
+            flagged.filter(F.col("__pbytes") > max_bytes)
+            .groupBy(pane.alias("__pane"))
+            .agg(F.min(okey).alias("__cut"))
+        )
         df = (
-            df.withColumn("__pbytes", F.sum(size_bytes).over(wp))
-            .filter(F.col("__pbytes") <= max_bytes)
-            .drop("__pbytes")
+            flagged.join(F.broadcast(cut), pane == F.col("__pane"), "left")
+            .filter(F.col("__cut").isNull() | (okey < F.col("__cut")))
+            .drop("__pbytes", "__pane", "__cut")
         )
     w = Window.partitionBy(pane).orderBy(*order)
     return (

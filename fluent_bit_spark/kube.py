@@ -324,7 +324,11 @@ def annotation_parser(
         F.col("__parser").isNull() | ~F.col("__parser").isin(list(parsers))
     )
     for g in all_groups:
-        rest = rest.withColumn(g, F.lit(None).cast("string"))
+        # only pad names the frame lacks: an unparsed record passes
+        # through untouched in the reference, so a pre-existing column
+        # that merely shares a parser group's name must keep its value
+        if g not in rest.columns:
+            rest = rest.withColumn(g, F.lit(None).cast("string"))
     branches.append(rest.drop("__parser"))
     for name, p in parsers.items():
         b = out.filter(F.col("__parser") == name)

@@ -165,9 +165,15 @@ def _unpack_one(data: bytes, pos: int):
     if b == 0xDC:
         (n,) = struct.unpack_from(">H", data, pos)
         return _unpack_seq(data, pos + 2, n)
+    if b == 0xDD:
+        (n,) = struct.unpack_from(">I", data, pos)
+        return _unpack_seq(data, pos + 4, n)
     if b == 0xDE:
         (n,) = struct.unpack_from(">H", data, pos)
         return _unpack_map(data, pos + 2, n)
+    if b == 0xDF:
+        (n,) = struct.unpack_from(">I", data, pos)
+        return _unpack_map(data, pos + 4, n)
     raise ValueError(f"msgpack: unhandled byte 0x{b:02x}")
 
 

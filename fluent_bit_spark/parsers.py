@@ -325,6 +325,7 @@ def apply_parser_filter(
     preserve_key: bool = False,
     ts_col: Optional[str] = None,
     infra_cols: Sequence[str] = ("tag",),
+    gate: Optional[Column] = None,
 ) -> DataFrame:
     """filter_parser: re-parse a record field with a parser chain.
 
@@ -338,6 +339,10 @@ def apply_parser_filter(
     Reserve_Data (the per-row analogue of the key-drop). A parsed
     timestamp (parser Time_Key/Time_Format) overwrites ts_col on
     matched rows, like the reference's time lookup.
+
+    gate — the [FILTER] Match predicate: rows outside it behave as
+    "no parser matched" and pass through untouched (the filter engine
+    only hands matching-tag chunks to the plugin, flb_filter.c).
     """
     src = F.col(source_col)
     flags: list[Column] = []
@@ -350,6 +355,8 @@ def apply_parser_filter(
         # effective flag: this parser matched AND no earlier parser did —
         # the reference stops at the first successful parser in the chain
         flag = F.coalesce(src.rlike(stripped), F.lit(False)) & ~earlier
+        if gate is not None:
+            flag = flag & gate
         earlier = earlier | flag
         prefix = f"__pf{i}_"
         out = p.apply(out, source_col, ts_col=f"{prefix}ts", prefix=prefix)
@@ -385,9 +392,18 @@ def apply_parser_filter(
         and c != ts_col
     ]
     for n, cands in value_cols.items():
-        val, _ = first_match(cands)
+        val, hit = first_match(cands)
         if n in df.columns:
-            val = F.when(matched, val).otherwise(F.col(n))
+            # hit = matched by a parser that CAPTURES this name. A row
+            # matched by a different parser treats the column as an
+            # ordinary original field: kept under Reserve_Data, nulled
+            # otherwise — not blindly overwritten with the (null) parse.
+            if reserve_data:
+                val = F.when(hit, val).otherwise(F.col(n))
+            else:
+                val = F.when(hit, val).otherwise(
+                    F.when(matched, F.lit(None)).otherwise(F.col(n))
+                )
         out = out.withColumn(n, val)
     if not reserve_data:
         for c in originals:

@@ -108,3 +108,21 @@ def test_environment_enrich_family(spark):
     from fluent_bit_spark.accessor import compile_path
     got = out.select(compile_path("$aws.ecs.task_id").alias("x")).first()["x"]
     assert got == "v-aws.ecs.task_id"
+
+
+def test_ip_to_long_malformed_inputs_null(spark):
+    """ANSI-safe: non-numeric or out-of-range dotted strings yield NULL,
+    never a cast error or a wrong address."""
+    from fluent_bit_spark.enrich import ip_to_long
+
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("www.example.co.uk",), ("1.2.3.x",),
+         ("1.2.3.999",), ("1.2.3",), (None,)],
+        "ip string",
+    )
+    got = {r["ip"]: r["n"] for r in df.select("ip", ip_to_long(F.col("ip")).alias("n")).collect()}
+    assert got["1.2.3.4"] == 16909060
+    assert got["www.example.co.uk"] is None
+    assert got["1.2.3.x"] is None
+    assert got["1.2.3.999"] is None
+    assert got["1.2.3"] is None

@@ -205,3 +205,47 @@ def test_expect(spark):
     assert out.first()["__expect_ok"] is True
     with pytest.raises(AssertionError):
         apply_expect(df, [ExpectRule("key_val_eq", "a", "zzz")], action="exit")
+
+
+def test_throttle_size_salted_equals_unsalted(spark):
+    """The salted pre-limit must be result-identical to salt_buckets=0:
+    a bucket-over row's bytes still gate every LATER row (per-pane
+    cutoff), the code-review counterexample shape."""
+    rows = [
+        ("2024-01-01 00:00:01", 1, "x" * 20),
+        ("2024-01-01 00:00:02", 2, "y" * 20),
+        ("2024-01-01 00:00:03", 3, "z" * 5),
+        # second pane: all fit
+        ("2024-01-01 00:01:01", 4, "a" * 10),
+        ("2024-01-01 00:01:02", 5, "b" * 10),
+    ]
+    from fluent_bit_spark.filters import apply_throttle_size
+
+    df = spark.createDataFrame(rows, "ts string, id long, payload string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def run(salt):
+        out = apply_throttle_size(
+            df, max_bytes=25, interval_sec=60, size_field="payload",
+            order_col="id", salt_buckets=salt,
+        )
+        return sorted(r["id"] for r in out.collect())
+
+    plain = run(0)
+    assert plain == [1, 4, 5]  # r2 pushes prefix to 40, r3 to 45
+    for salt in (2, 8, 32):
+        assert run(salt) == plain
+
+
+def test_nest_multiple_wildcards_one_struct(spark):
+    """nest.c collects ALL Wildcard matches under one Nest_under map;
+    sequential per-wildcard structs would overwrite each other."""
+    from fluent_bit_spark.filters import nest_columns
+
+    df = spark.createDataFrame(
+        [("1", "2", "3", "k")], "a_x string, b_y string, a_z string, other string"
+    )
+    out = nest_columns(df, ["a_*", "b_*"], "nested")
+    row = out.first()
+    assert row["other"] == "k"
+    assert row["nested"].asDict() == {"a_x": "1", "b_y": "2", "a_z": "3"}

@@ -249,3 +249,55 @@ def test_apply_parser_filter_first_match_wins(spark):
     assert rows["z"]["payload"] == "nope!" and rows["z"]["a"] is None
     # matched rows drop the source key by default
     assert rows["x"]["payload"] is None
+
+
+def test_parser_filter_reserve_data_shared_column_name(spark):
+    """Reserve_Data keeps an original field even when its name collides
+    with ANOTHER parser's capture group: a row matched by parser B must
+    not null out the 'level' column that only parser A captures."""
+    from fluent_bit_spark.parsers import RegexParser, apply_parser_filter
+
+    a = RegexParser("a", r"^A lvlmsg=(?<level>\w+)$", time_fmt=None)
+    b = RegexParser("b", r"^B msg=(?<msg>\w+)$", time_fmt=None)
+    df = spark.createDataFrame(
+        [("t", "B msg=hi", "orig-level"), ("t", "A lvlmsg=warn", "orig-level"),
+         ("t", "no match", "orig-level")],
+        "tag string, payload string, level string",
+    )
+    out = apply_parser_filter(
+        df, "payload", [a, b], reserve_data=True, preserve_key=True
+    )
+    got = {r["payload"]: r for r in out.collect()}
+    assert got["B msg=hi"]["level"] == "orig-level"      # B matched, keeps original
+    assert got["B msg=hi"]["msg"] == "hi"
+    assert got["A lvlmsg=warn"]["level"] == "warn"       # A matched, parsed wins
+    assert got["no match"]["level"] == "orig-level"
+
+    # without Reserve_Data the non-parsed original field nulls on match
+    out2 = apply_parser_filter(
+        df, "payload", [a, b], reserve_data=False, preserve_key=True
+    )
+    got2 = {r["payload"]: r for r in out2.collect()}
+    assert got2["B msg=hi"]["level"] is None
+    assert got2["no match"]["level"] == "orig-level"
+
+
+def test_parser_filter_match_gate(spark):
+    """[FILTER] Match gating: rows with non-matching tags pass through
+    untouched even when their payload would parse."""
+    from fluent_bit_spark.parsers import RegexParser, apply_parser_filter
+    from pyspark.sql import functions as F
+
+    p = RegexParser("kv", r"k=(?<k>\w+)", time_fmt=None)
+    df = spark.createDataFrame(
+        [("app.a", "k=x", "keep"), ("db.b", "k=y", "keep")],
+        "tag string, payload string, extra string",
+    )
+    out = apply_parser_filter(
+        df, "payload", [p], reserve_data=False, preserve_key=False,
+        gate=F.col("tag").startswith("app."),
+    )
+    got = {r["tag"]: r for r in out.collect()}
+    assert got["app.a"]["k"] == "x" and got["app.a"]["extra"] is None
+    assert got["db.b"]["k"] is None
+    assert got["db.b"]["extra"] == "keep" and got["db.b"]["payload"] == "k=y"
