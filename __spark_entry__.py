@@ -713,16 +713,30 @@ def q_log_to_metrics(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_exact_groups(spark, sf_dir):
-    """exact dedup group stats: shuffle on a 64-bit digest, not raw text."""
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup: kept set (exact_dedup, lowest doc_id per distinct
+    text) annotated with its duplicate-group size (exact_dup_groups).
+    Both ops in one oracle row; shuffles carry the 64-bit digest, never
+    raw text."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dup_groups(docs).select("rep_id", "n_members")
+    kept = dedup.exact_dedup(docs).select("doc_id", "lang")
+    groups = dedup.exact_dup_groups(docs).select(
+        F.col("rep_id").alias("doc_id"), "n_members"
+    )
+    return kept.join(groups, "doc_id").select("doc_id", "lang", "n_members")
 
 
-def q_dedup_exact_keep(spark, sf_dir):
-    """exact dedup kept set: lowest doc_id per distinct text."""
+def q_dedup_minhash_md5(spark, sf_dir):
+    """MinHash+LSH banding with the md5-60 checkable hash engine: the
+    full candidate pipeline (signatures -> 4-band buckets -> cap ->
+    bucket self-join) value-verified against a DuckDB replica; the
+    xxhash64 engine (rows-only) is the scale default."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id", "lang")
+    docs = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
+    )
+    return pairs.select("id_a", "id_b")
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1036,8 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_modifier": q_content_modifier,
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash_hamming": q_simhash_hamming,
         "text_profile": q_text_profile,
@@ -1442,13 +1456,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS metric_value
             FROM events GROUP BY 1, 2
         """,
-        "dedup_exact_groups": """
-            SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_members
-            FROM documents GROUP BY text
+        "dedup_exact": """
+            WITH g AS (
+                SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+                FROM documents GROUP BY text
+            )
+            SELECT d.doc_id, d.lang, g.n_members
+            FROM documents d JOIN g ON d.doc_id = g.doc_id
         """,
-        "dedup_exact_keep": """
-            SELECT doc_id, lang FROM documents
-            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        "dedup_minhash_md5": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), docs2 AS (
+                SELECT doc_id, t FROM toks WHERE len(t) >= 2
+            ), sh AS (
+                SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS s
+                FROM docs2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            ), mins AS (
+                SELECT doc_id, sd.seed,
+                       MIN(CAST('0x' || substring(
+                           md5(CAST(sd.seed AS VARCHAR) || ':' || s), 1, 15)
+                           AS BIGINT)) AS m
+                FROM sh, (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) sd(seed)
+                GROUP BY doc_id, sd.seed
+            ), sigjoin AS (
+                SELECT doc_id, CAST((seed - 1) // 2 AS INTEGER) AS band,
+                       STRING_AGG(CAST(m AS VARCHAR), ',' ORDER BY seed) AS joined
+                FROM mins GROUP BY doc_id, CAST((seed - 1) // 2 AS INTEGER)
+            ), banded AS (
+                SELECT doc_id, band,
+                       CAST('0x' || substring(
+                           md5(CAST(band AS VARCHAR) || '|' || joined), 1, 15)
+                           AS BIGINT) AS bucket
+                FROM sigjoin
+            ), capped AS (
+                SELECT * FROM banded
+                QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= 256
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
         """,
         "dedup_ngram_jaccard": r"""
             WITH d AS (

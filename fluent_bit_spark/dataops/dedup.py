@@ -99,6 +99,7 @@ def minhash_table(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_engine: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) via explode + num_hashes MIN aggregates — the codegen
     scale path (same trick as simhash_table): the interpreted
@@ -107,15 +108,25 @@ def minhash_table(
     whole-stage codegen with map-side partial aggregation — the shuffle
     carries one 64-long row per document. Values are identical to
     minhash_signature (same xxhash64(shingle, seed), empty docs map to
-    Long.MaxValue slots via explode_outer + coalesce)."""
+    Long.MaxValue slots via explode_outer + coalesce).
+
+    hash_engine — 'xxhash64' (the scale default) or 'md5': first 15 md5
+    hex chars of '<seed>:<shingle>' as a 60-bit long, the cross-engine-
+    checkable hash DuckDB reproduces exactly (see md5_hash60)."""
     sh = shingles(F.col(text_col), shingle_n)
     ex = df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("__sh"))
     # xxhash64 SKIPS null inputs (hashes the seed alone), so a null
     # shingle from explode_outer must be masked or empty docs would get
     # a real-looking signature instead of the MaxValue sentinel
     notnull = F.col("__sh").isNotNull()
+
+    def h(s: int) -> Column:
+        if hash_engine == "md5":
+            return md5_hash60(F.concat(F.lit(f"{s}:"), F.col("__sh")))
+        return F.xxhash64(F.col("__sh"), F.lit(s))
+
     aggs = [
-        F.min(F.when(notnull, F.xxhash64(F.col("__sh"), F.lit(s)))).alias(f"__h{s}")
+        F.min(F.when(notnull, h(s))).alias(f"__h{s}")
         for s in range(1, num_hashes + 1)
     ]
     g = ex.groupBy("id").agg(*aggs)
@@ -128,27 +139,31 @@ def minhash_table(
 
 def _minhash_banded(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int,
-    shingle_n: int,
+    shingle_n: int, hash_engine: str = "xxhash64",
 ) -> DataFrame:
-    """(id, band, bucket) membership rows for LSH banding."""
+    """(id, band, bucket) membership rows for LSH banding. The bucket id
+    hashes the band's signature slice with the same engine as the
+    signatures ('md5' buckets = md5_hash60('<band>|<m1,m2,...>'), exactly
+    reproducible in the DuckDB oracle)."""
     rows_per_band = num_hashes // bands
-    base = minhash_table(df, text_col, id_col, num_hashes, shingle_n)
+    base = minhash_table(df, text_col, id_col, num_hashes, shingle_n, hash_engine)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def bucket(b: Column) -> Column:
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ))
+        if hash_engine == "md5":
+            return md5_hash60(F.concat(b.cast("string"), F.lit("|"), joined))
+        return F.xxhash64(joined, b)
+
     return base.select(
         "id",
         F.explode(
             F.transform(
                 band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        )),
-                        b,
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -216,6 +231,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket_size: int = 256,
     persist_membership: bool = True,
+    hash_engine: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band bucket.
 
@@ -227,7 +243,9 @@ def minhash_lsh_candidates(
     table is persisted so the signature build runs once, not once per
     self-join side (self_join_ready).
     """
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = _minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_engine
+    )
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     banded = self_join_ready(banded, persist_membership)
     a = banded.alias("a")

@@ -91,5 +91,5 @@ def test_simhash_membership_reused_not_recomputed(spark, queries):
 def test_dedup_shuffles_digest_not_text(spark, queries):
     """Exact dedup groups by xxhash64(text): the exchange carries the
     64-bit digest, not document bodies."""
-    plan = plan_of(queries["dedup_exact_groups"](spark, SF))
+    plan = plan_of(queries["dedup_exact"](spark, SF))
     assert "xxhash64" in plan
