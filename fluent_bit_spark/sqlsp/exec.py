@@ -580,3 +580,49 @@ def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
                 )
             sel.append(gc.alias(k.out_name))
     return out.select(*sel)
+
+
+def execute_stream(
+    sql_or_query,
+    stream_df: DataFrame,
+    *,
+    watermark: str = "30 seconds",
+    mode: str = "static",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    body_col: str = "body",
+) -> DataFrame:
+    """Run an SP query over a Structured Streaming frame.
+
+    The reference's stream processor is stream-native: windows fire on
+    processing-time timers (flb_sp.c:519-527) and hold only the open
+    window's accumulators. The Spark mapping is the same plan the batch
+    executor builds — the window assignment / groupBy / aggregates are
+    identical expressions — wrapped with an EVENT-TIME watermark so the
+    state store evicts closed windows (bounded state, late data handled;
+    the documented upgrade over the reference, SURVEY §2.5). Works with
+    writeStream outputMode('append') for windowed queries ('update' for
+    un-windowed aggregates).
+
+    LIMIT has no streaming equivalent (the reference applies it per
+    flush batch) and is rejected; TIMESERIES_FORECAST's covar/var
+    aggregates are supported by Spark's streaming aggregation state.
+
+    Caveat: Catalyst pushes the WHERE predicate BELOW the
+    EventTimeWatermark node, so only rows that survive the filter
+    advance the watermark — heartbeat/flush sentinels must match the
+    query's WHERE to close windows.
+    """
+    from .parser import parse_sql
+
+    q = parse_sql(sql_or_query) if isinstance(sql_or_query, str) else sql_or_query
+    if q.limit is not None:
+        raise ValueError(
+            "LIMIT is a per-flush-batch notion in the reference; "
+            "use the batch executor or bound the sink instead"
+        )
+    if q.has_aggregates:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    return execute(
+        q, stream_df, mode=mode, tag_col=tag_col, ts_col=ts_col, body_col=body_col
+    )

@@ -329,3 +329,85 @@ INVALID = [
 def test_invalid_queries_rejected(engine, sql):
     with pytest.raises(Exception):
         engine.run(sql).collect()
+
+
+def test_execute_stream_window_tumbling(spark, tmp_path):
+    """Streaming SP execution: the same tumbling-window plan over a
+    readStream source, with a watermark closing windows; emitted rows
+    equal the batch executor's result for every window the final
+    watermark has passed. (Note: the WHERE predicate is pushed below the
+    EventTimeWatermark node, so only rows that survive it advance the
+    watermark — flush sentinels must match the filter.)"""
+    import datetime as dt
+
+    from fluent_bit_spark.sqlsp import parse_sql
+    from fluent_bit_spark.sqlsp.exec import execute, execute_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("cpu", base + dt.timedelta(seconds=s), float(s)) for s in range(0, 12)
+    ]
+    # sentinel far in the future: advances the watermark past the real
+    # windows (it must pass the WHERE filter to count — see docstring)
+    sent1 = ("cpu", base + dt.timedelta(hours=2), 0.0)
+    sent2 = ("cpu", base + dt.timedelta(hours=3), 0.0)
+    src = str(tmp_path / "src")
+    schema = "tag string, ts timestamp, usage double"
+    # one file per write: the file-source batches PER FILE in arbitrary
+    # order, and rows landing after the sentinel's batch would be
+    # dropped as late data once the watermark has advanced
+    spark.createDataFrame(rows + [sent1], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    sql = ("SELECT COUNT(*) AS c, SUM(usage) AS s FROM STREAM:FLB "
+           "WHERE tag = 'cpu' WINDOW TUMBLING (5 SECOND);")
+    q = parse_sql(sql)
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        qy = (
+            execute_stream(q, stream, watermark="0 seconds", mode="static")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination(120)
+
+    run_stream()
+    # append mode emits a window in the batch AFTER the watermark passes
+    # it: a second availableNow round (same checkpoint — the resume
+    # path) with a later sentinel flushes the remaining closed windows
+    spark.createDataFrame([sent2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+
+    batch = execute(
+        q, spark.createDataFrame(rows + [sent1, sent2], schema), mode="static"
+    )
+    final_watermark = sent2[1]
+    want = {
+        (r["window_start"], r["c"], round(r["s"], 4))
+        for r in batch.collect()
+        if r["window_end"] <= final_watermark
+    }
+    got_df = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        (r["window_start"], r["c"], round(r["s"], 4)) for r in got_df.collect()
+    }
+    assert got == want
+    # the three real data windows are all present
+    reals = {w for w in got if w[0] < base + dt.timedelta(minutes=1)}
+    assert len(reals) == 3
+
+    # LIMIT has no streaming equivalent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        execute_stream(
+            parse_sql("SELECT * FROM STREAM:FLB LIMIT 5;"),
+            spark.readStream.schema(schema).parquet(src), mode="static",
+        )
