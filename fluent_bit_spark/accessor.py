@@ -108,3 +108,76 @@ def compile_path(
         else:
             c = c.getField(s) if body_map is None else F.try_element_at(c, F.lit(s))
     return c
+
+
+def _set_in(c: Column, subs: tuple, value: Column, is_map: bool) -> Column:
+    """Recursive write at a subscript chain: structs via withField, map
+    values via filter+concat (flb_ra_key_value_update's msgpack rewrite,
+    flb_ra_key.c — here a pure expression rebuild)."""
+    if not subs:
+        return value
+    head, rest = subs[0], subs[1:]
+    if isinstance(head, int):
+        raise ValueError("array-index update targets are not supported")
+    if is_map:
+        inner = F.try_element_at(c, F.lit(head))
+        new_inner = _set_in(inner, rest, value, is_map)
+        return F.map_concat(
+            F.map_filter(c, lambda k, v: k != head),
+            F.create_map(F.lit(head), new_inner),
+        )
+    return c.withField(head, _set_in(c.getField(head), rest, value, is_map))
+
+
+def update_path(
+    df,
+    path: str,
+    value: Column,
+    *,
+    body_map: Optional[str] = None,
+    rename_to: Optional[str] = None,
+):
+    """Write-side record accessor: flb_ra_update_key_val / _update_val /
+    _update_key (record_accessor.c cb_update_* semantics) — set the value
+    at `path`, optionally renaming the final key.
+
+    Fixed schema: nested struct fields rebuild via Column.withField;
+    top-level keys are plain withColumn. body_map: the dynamic map
+    encoding rebuilds the map (filter + concat). The reference updates
+    in place in the msgpack buffer; columnar engines rebuild the row —
+    same result, no mutation."""
+    p = parse_path(path)
+    if p.is_tag or p.capture_ref is not None:
+        raise ValueError("update targets must be record keys")
+    final_name = rename_to if rename_to is not None else (p.subs[-1] if p.subs else p.root)
+
+    if body_map is not None:
+        root = F.col(body_map)
+        if not p.subs:
+            new_map = F.map_concat(
+                F.map_filter(root, lambda k, v: k != p.root),
+                F.create_map(F.lit(final_name), value),
+            )
+            return df.withColumn(body_map, new_map)
+        # nested-in-map values are opaque text in the dynamic encoding
+        raise ValueError("dynamic encoding supports top-level updates only")
+
+    if not p.subs:
+        if rename_to is not None and p.root in df.columns:
+            df = df.withColumnRenamed(p.root, rename_to)
+            return df.withColumn(rename_to, value)
+        return df.withColumn(final_name, value)
+    root_col = F.col(f"`{p.root}`" if "." in p.root else p.root)
+    if rename_to is not None and rename_to != p.subs[-1]:
+        # rename = on the PARENT struct: drop the old field, add the new
+        parent_subs, old = p.subs[:-1], p.subs[-1]
+        parent = root_col
+        for s in parent_subs:
+            parent = parent.getField(s)
+        new_parent = parent.dropFields(f"`{old}`").withField(
+            f"`{rename_to}`", value
+        )
+        if not parent_subs:
+            return df.withColumn(p.root, new_parent)
+        return df.withColumn(p.root, _set_in(root_col, parent_subs, new_parent, False))
+    return df.withColumn(p.root, _set_in(root_col, p.subs, value, False))

@@ -146,3 +146,32 @@ def test_accessor_overflow_and_missing_are_null(spark):
         compile_path("$nope", body_map="body").alias("miss"),
     ).first()
     assert row["hit"] == "1" and row["miss"] is None
+
+
+def test_update_path_struct_and_map(spark):
+    """Write-side accessor (cb_update_key_val / update_val / add_key_val,
+    record_accessor.c:454-1300): set/rename values at nested paths."""
+    from fluent_bit_spark.accessor import update_path
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [({"x": {"y": "old"}}, "t")],
+        "k struct<x: struct<y: string>>, tag string",
+    )
+    # update_val at a nested path
+    out = update_path(df, "$k['x']['y']", F.lit("updated_val"))
+    assert out.first()["k"]["x"]["y"] == "updated_val"
+    # update_key_val: rename the final key and set its value
+    out = update_path(df, "$k['x']['y']", F.lit("v2"), rename_to="z")
+    row = out.first()["k"]["x"]
+    assert row["z"] == "v2" and "y" not in row.asDict()
+    # add at a new top-level key
+    out = update_path(df, "$new_key", F.lit("add_val"))
+    assert out.first()["new_key"] == "add_val"
+
+    # dynamic map encoding: top-level set + rename
+    dm = spark.createDataFrame([({"a": "1", "b": "2"},)], "body map<string,string>")
+    out = update_path(dm, "$a", F.lit("9"), body_map="body")
+    assert out.first()["body"] == {"a": "9", "b": "2"}
+    out = update_path(dm, "$a", F.lit("9"), body_map="body", rename_to="c")
+    assert out.first()["body"] == {"b": "2", "c": "9"}
