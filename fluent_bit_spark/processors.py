@@ -274,3 +274,95 @@ def apply_template(df: DataFrame, out_key: str, template: str) -> DataFrame:
     if last < len(template):
         parts.append(F.lit(template[last:]))
     return df.withColumn(out_key, F.concat(*parts) if parts else F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# processor_sampling tail mode — plugins/processor_sampling/sampling_tail.c:
+# buffer spans per trace, decide at trace completion; a trace is sampled
+# when ANY span satisfies ANY condition (sampling_conditions.c OR walk).
+# The traces event class convention here: one row per span with
+# trace_id, span_id, start_unix_nano, end_unix_nano, status_code
+# ('OK'|'ERROR'|'UNSET'), attributes map<string,string>.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TailCondition:
+    """One sampling condition (sampling_conf.c condition types)."""
+
+    type: str  # latency | span_count | status_codes | string_attribute |
+    #            numeric_attribute | boolean_attribute
+    threshold_ms_low: int = 0        # latency (sampling_cond_latency.c:42-43)
+    threshold_ms_high: int = 0
+    min_spans: int = 0               # span_count (inclusive band)
+    max_spans: int = 2**31 - 1
+    status_codes: Sequence[str] = ()  # subset of OK/ERROR/UNSET
+    key: Optional[str] = None        # attribute conditions
+    values: Sequence[str] = ()       # string/boolean values to match
+    min_value: Optional[float] = None  # numeric_attribute band
+    max_value: Optional[float] = None
+
+
+def tail_sample_traces(
+    spans: DataFrame,
+    conditions: Sequence[TailCondition],
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """Tail sampling: keep every span of every trace where any span
+    matches any condition (OR across conditions AND spans —
+    sampling_tail.c buffers the whole trace, sampling_conditions.c
+    returns on the first hit).
+
+    Batch shape: per-span predicates fold into one boolean, one
+    groupBy(trace_id) computes any-hit + span count, and the keep-set
+    joins back as a left-semi join on the SAME key — the join reuses the
+    aggregation's hash partitioning, so the whole decision costs one
+    shuffle of (trace_id, bool) pairs. The streaming analogue is
+    applyInPandasWithState keyed by trace_id with a completion timeout
+    (same pattern as streaming.throttle_stream)."""
+    lat_ms = (
+        (F.col("end_unix_nano") - F.col("start_unix_nano")) / F.lit(1_000_000)
+    )
+    span_pred = F.lit(False)
+    count_conds = []
+    for c in conditions:
+        if c.type == "latency":
+            p = F.lit(False)
+            if c.threshold_ms_low:
+                p = p | (lat_ms <= c.threshold_ms_low)
+            if c.threshold_ms_high:
+                p = p | (lat_ms >= c.threshold_ms_high)
+            span_pred = span_pred | p
+        elif c.type == "status_codes":
+            span_pred = span_pred | F.col("status_code").isin(list(c.status_codes))
+        elif c.type == "string_attribute":
+            v = F.try_element_at(F.col("attributes"), F.lit(c.key))
+            if c.values:
+                span_pred = span_pred | v.isin(list(c.values))
+            else:
+                span_pred = span_pred | v.isNotNull()
+        elif c.type == "boolean_attribute":
+            v = F.try_element_at(F.col("attributes"), F.lit(c.key))
+            span_pred = span_pred | v.isin([x.lower() for x in c.values] or ["true"])
+        elif c.type == "numeric_attribute":
+            v = F.try_element_at(F.col("attributes"), F.lit(c.key)).try_cast("double")
+            p = v.isNotNull()
+            if c.min_value is not None:
+                p = p & (v >= c.min_value)
+            if c.max_value is not None:
+                p = p & (v <= c.max_value)
+            span_pred = span_pred | p
+        elif c.type == "span_count":
+            count_conds.append((c.min_spans, c.max_spans))
+        else:
+            raise ValueError(f"unknown tail sampling condition {c.type!r}")
+
+    agg = spans.groupBy(trace_col).agg(
+        F.max(F.coalesce(span_pred, F.lit(False))).alias("__hit"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    keep = F.col("__hit")
+    for lo, hi in count_conds:
+        keep = keep | ((F.col("__n") >= lo) & (F.col("__n") <= hi))
+    kept = agg.filter(keep).select(trace_col)
+    return spans.join(kept, trace_col, "left_semi")

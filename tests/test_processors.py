@@ -263,3 +263,41 @@ def test_flowcounter_rates(spark):
     assert (first["counts_per_unit"], first["bytes_per_unit"]) == (0, 0)
     hour = flowcounter(df, ts_col="ts", unit="hour", size_col="payload").collect()
     assert len(hour) == 1 and hour[0]["counts"] == 3 and hour[0]["bytes"] == 12
+
+
+def test_tail_sample_traces(spark):
+    """sampling_tail.c + sampling_cond_*: a trace is kept (all spans)
+    when ANY span matches ANY condition; span_count bands on the whole
+    trace."""
+    from fluent_bit_spark.processors import TailCondition, tail_sample_traces
+
+    MS = 1_000_000
+    spans = spark.createDataFrame(
+        [
+            # t1: slow span (600ms) -> kept by latency high
+            ("t1", "a", 0, 600 * MS, "OK", {}),
+            ("t1", "b", 0, 10 * MS, "OK", {}),
+            # t2: error status -> kept by status_codes
+            ("t2", "c", 0, 5 * MS, "ERROR", {}),
+            # t3: nothing matches -> dropped
+            ("t3", "d", 0, 50 * MS, "OK", {}),
+            # t4: attribute tenant=gold -> kept
+            ("t4", "e", 0, 20 * MS, "OK", {"tenant": "gold"}),
+            # t5: 3 spans -> kept by span_count min 3
+            ("t5", "f", 0, 1 * MS, "OK", {}),
+            ("t5", "g", 0, 1 * MS, "OK", {}),
+            ("t5", "h", 0, 1 * MS, "OK", {}),
+        ],
+        "trace_id string, span_id string, start_unix_nano long, "
+        "end_unix_nano long, status_code string, attributes map<string,string>",
+    )
+    conds = [
+        TailCondition("latency", threshold_ms_high=500),
+        TailCondition("status_codes", status_codes=("ERROR",)),
+        TailCondition("string_attribute", key="tenant", values=("gold",)),
+        TailCondition("span_count", min_spans=3, max_spans=10),
+    ]
+    out = tail_sample_traces(spans, conds)
+    kept = {r["trace_id"] for r in out.collect()}
+    assert kept == {"t1", "t2", "t4", "t5"}
+    assert out.count() == 7  # every span of each kept trace
