@@ -253,3 +253,41 @@ def test_rewrite_template_record_accessors(spark):
     ]
     out = {r["tag"] for r in apply_rewrite_tag(df, rules).collect()}
     assert out == {"k.prod.x_checkout", "k.dev.x_"}
+
+
+def test_forward_protocol_decode(spark):
+    """in_forward payload formats (fw_prot.c / forward spec): Message,
+    Forward, PackedForward modes + EventTime ext timestamps."""
+    import struct as _struct
+
+    from fluent_bit_spark.msgpackfmt import (
+        decode_forward_frame,
+        forward_frames_to_records,
+        pack_value,
+    )
+
+    message = pack_value(["app.a", 100.5, {"k": "v"}])
+    forward = pack_value(["app.b", [[200.0, {"x": 1}], [201.0, {"x": 2}]]])
+    entries = pack_value([300.0, {"p": "q"}]) + pack_value([301.0, {"p": "r"}])
+    packed_fw = pack_value(["app.c", entries])
+    # EventTime ext: fixext8, type 0, sec=400 nsec=500000000
+    evtime = b"\xd7\x00" + _struct.pack(">II", 400, 500_000_000)
+    # build [tag, evtime, record] manually: fixarray(3) + str + ext + map
+    msg_ext = b"\x93" + pack_value("app.d") + evtime + pack_value({"e": "t"})
+
+    got = decode_forward_frame(message + forward + packed_fw + msg_ext)
+    assert got[0] == ("app.a", 100.5, {"k": "v"})
+    assert got[1] == ("app.b", 200.0, {"x": 1}) and got[2][2] == {"x": 2}
+    assert got[3] == ("app.c", 300.0, {"p": "q"}) and got[4][2] == {"p": "r"}
+    assert got[5][0] == "app.d" and abs(got[5][1] - 400.5) < 1e-9
+
+    frames = spark.createDataFrame(
+        [(message,), (forward + packed_fw,)], "value binary"
+    )
+    rows = forward_frames_to_records(frames).collect()
+    assert len(rows) == 5
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r)
+    assert by_tag["app.a"][0]["body"] == {"k": "v"}
+    assert {r["body"]["x"] for r in by_tag["app.b"]} == {"1", "2"}
