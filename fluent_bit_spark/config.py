@@ -359,6 +359,9 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match,
             fmt=(s.get("format", "json")),
             template=s.get("template"),
+            delimiter=s.get("delimiter"),
+            label_delimiter=s.get("label_delimiter"),
+            ts_col=s.get("ts_col"),
         )
     if name in ("null", "counter", "stdout"):
         return SinkSpec(f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet")

@@ -258,3 +258,47 @@ def test_input_exec_and_syslog(spark, tmp_path):
 """
     r2 = run_config(spark, conf2, str(tmp_path / "o2"))
     assert sorted(x["exec"] for x in r2.frame.collect()) == ["x=1", "y=2"]
+
+
+def test_output_msgpack_and_delimiter_options(spark, tmp_path):
+    """[OUTPUT] Format msgpack and Delimiter options flow through the
+    config surface (file.c config map)."""
+    import glob
+
+    from fluent_bit_spark.config import run_config
+    from fluent_bit_spark.msgpackfmt import unpack_stream
+
+    conf = """
+[INPUT]
+    Name   dummy
+    Dummy  {"msg": "hi", "n": "7"}
+    Samples 2
+    Tag    t
+
+[OUTPUT]
+    Name   file
+    Match  *
+    Format msgpack
+    sink_name mp
+
+[OUTPUT]
+    Name      file
+    Match     *
+    Format    csv
+    Delimiter tab
+    sink_name cs
+"""
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"mp": 2, "cs": 2}
+    data = b"".join(
+        open(p, "rb").read()
+        for p in glob.glob(str(tmp_path / "mp" / "*.msgpack"))
+    )
+    events = unpack_stream(data)
+    assert len(events) == 2 and events[0][1]["msg"] == "hi"
+    csv_lines = [
+        ln
+        for p in glob.glob(str(tmp_path / "cs" / "*.csv"))
+        for ln in open(p).read().splitlines()
+    ]
+    assert any("\t" in ln for ln in csv_lines)
