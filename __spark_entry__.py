@@ -8,9 +8,12 @@ value formatting are aligned on both sides (aggregates rounded to 4
 decimals, timestamps reduced to epoch seconds) so the driver's
 order-insensitive value-hash matches.
 
-Non-SQL-expressible entries (MinHash/SimHash/LSH — xxhash64-derived —
-and the multimodal decode plumbing) intentionally have no oracle entry;
-the driver records the weaker rows-only check for those.
+Non-SQL-expressible entries (the xxhash64-derived sketch variants and
+the multimodal decode plumbing) intentionally have no oracle entry; the
+driver records the weaker rows-only check for those, and each is
+value-verified in pytest against an independent python oracle. The
+md5-60 checkable hash engine gives MinHash-LSH (dedup_minhash_md5) and
+SimHash (simhash_hamming) fully oracle-verified rows.
 """
 
 from __future__ import annotations

@@ -144,6 +144,10 @@ class SinkSpec:
     delimiter: Optional[str] = None
     label_delimiter: Optional[str] = None
     ts_col: Optional[str] = None  # timestamp source for fmt=msgpack
+    # out_s3's size-bounded staging analogue (s3.h total_file_size /
+    # upload_chunk_size): cap records per output file; Spark's committer
+    # replaces the hand-rolled multipart machinery (SURVEY §2.7)
+    max_records_per_file: Optional[int] = None
 
     def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
         p = match_col(F.col(tag_col), self.match, self.match_regex)
@@ -339,6 +343,8 @@ def write_sinks(
                 counts[s.name] = obs.get["n"]
                 continue
             writer = part.write.mode("overwrite")
+            if s.max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
             if s.fmt == "json":
                 writer.json(dest)
             elif s.fmt == "csv":

@@ -291,3 +291,66 @@ def test_forward_protocol_decode(spark):
         by_tag.setdefault(r["tag"], []).append(r)
     assert by_tag["app.a"][0]["body"] == {"k": "v"}
     assert {r["body"]["x"] for r in by_tag["app.b"]} == {"1", "2"}
+
+
+def test_max_records_per_file(spark, tmp_path):
+    """SinkSpec.max_records_per_file: size-bounded output files, the
+    out_s3 total_file_size staging analogue (s3.h:31-67)."""
+    import glob
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = spark.createDataFrame(
+        [("t", i) for i in range(100)], "tag string, n long"
+    ).coalesce(1)
+    counts = write_sinks(
+        df, [SinkSpec("cap", fmt="parquet", max_records_per_file=30)], str(tmp_path)
+    )
+    assert counts["cap"] == 100
+    files = glob.glob(str(tmp_path / "cap" / "*.parquet"))
+    assert len(files) >= 4  # 100 rows / 30 per file
+    assert spark.read.parquet(str(tmp_path / "cap")).count() == 100
+
+
+def test_msgpack_roundtrip_property():
+    """Hypothesis property: pack/unpack is the identity on nested
+    JSON-shaped values (the record domain)."""
+    from hypothesis import given, settings, strategies as st
+
+    from fluent_bit_spark.msgpackfmt import pack_value, unpack_stream
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=80),
+        st.binary(max_size=40),
+    )
+    values = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=6),
+            st.dictionaries(st.text(max_size=10), inner, max_size=6),
+        ),
+        max_leaves=20,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        out = unpack_stream(pack_value(v))
+        assert len(out) == 1
+
+        def norm(x):
+            if isinstance(x, tuple):
+                return [norm(i) for i in x]
+            if isinstance(x, list):
+                return [norm(i) for i in x]
+            if isinstance(x, dict):
+                return {k: norm(val) for k, val in x.items()}
+            return x
+
+        assert norm(out[0]) == norm(v)
+
+    check()
