@@ -501,3 +501,37 @@ def apply_throttle_size(
         .filter(F.col("__bytes") <= max_bytes)
         .drop("__bytes")
     )
+
+
+def alter_size(
+    df: DataFrame,
+    add: int = 0,
+    remove: int = 0,
+    ts_col: str = "ts",
+    order_col: Optional[str] = None,
+    group_col: str = "tag",
+) -> DataFrame:
+    """filter_alter_size (alter_size.c:78-165): test/debug filter that
+    appends `add` synthetic records ({key: 'alter_size i'}) or keeps all
+    but the LAST `remove` records of each chunk. 'add' and 'remove' are
+    mutually exclusive, as in the reference. The chunk becomes the
+    per-`group_col` batch; removal order is (ts, order_col) — the
+    decoder-order analogue (the C removes from the tail by emitting only
+    the first total-remove records)."""
+    if add > 0 and remove > 0:
+        raise ValueError("cannot use 'add' and 'remove' at the same time")
+    if add > 0:
+        extra_rows = [(f"alter_size {i}",) for i in range(add)]
+        extra = df.sparkSession.createDataFrame(extra_rows, "key string")
+        return df.unionByName(extra, allowMissingColumns=True)
+    if remove > 0:
+        order = [F.col(ts_col).desc()] + (
+            [F.col(order_col).desc()] if order_col else []
+        )
+        w = Window.partitionBy(F.col(group_col)).orderBy(*order)
+        return (
+            df.withColumn("__rev", F.row_number().over(w))
+            .filter(F.col("__rev") > remove)
+            .drop("__rev")
+        )
+    return df

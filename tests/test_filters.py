@@ -249,3 +249,30 @@ def test_nest_multiple_wildcards_one_struct(spark):
     row = out.first()
     assert row["other"] == "k"
     assert row["nested"].asDict() == {"a_x": "1", "b_y": "2", "a_z": "3"}
+
+
+def test_alter_size_add_remove(spark):
+    """filter_alter_size (alter_size.c:78-165): add N synthetic records
+    or drop the last N per chunk; add+remove together rejected."""
+    from fluent_bit_spark.filters import alter_size
+
+    df = spark.createDataFrame(
+        [("t", i, f"m{i}") for i in range(5)] + [("u", 0, "x")],
+        "tag string, ts long, msg string",
+    )
+    added = alter_size(df, add=2)
+    assert added.count() == 8
+    keys = {r["key"] for r in added.filter(F.col("key").isNotNull()).collect()}
+    assert keys == {"alter_size 0", "alter_size 1"}
+
+    removed = alter_size(df, remove=2, ts_col="ts")
+    by_tag = {}
+    for r in removed.collect():
+        by_tag.setdefault(r["tag"], []).append(r["ts"])
+    assert sorted(by_tag["t"]) == [0, 1, 2]  # last 2 of chunk 't' dropped
+    assert "u" not in by_tag                 # chunk smaller than remove -> empty
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        alter_size(df, add=1, remove=1)
