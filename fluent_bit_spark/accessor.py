@@ -110,23 +110,18 @@ def compile_path(
     return c
 
 
-def _set_in(c: Column, subs: tuple, value: Column, is_map: bool) -> Column:
-    """Recursive write at a subscript chain: structs via withField, map
-    values via filter+concat (flb_ra_key_value_update's msgpack rewrite,
-    flb_ra_key.c — here a pure expression rebuild)."""
+def _set_in(c: Column, subs: tuple, value: Column) -> Column:
+    """Recursive struct write at a subscript chain via withField
+    (flb_ra_key_value_update's msgpack rewrite, flb_ra_key.c — here a
+    pure expression rebuild). Field names are backtick-quoted: withField
+    parses unquoted dots as NESTED navigation, but this package's key
+    convention (ra.l charset) treats a dotted name as one flat key."""
     if not subs:
         return value
     head, rest = subs[0], subs[1:]
     if isinstance(head, int):
         raise ValueError("array-index update targets are not supported")
-    if is_map:
-        inner = F.try_element_at(c, F.lit(head))
-        new_inner = _set_in(inner, rest, value, is_map)
-        return F.map_concat(
-            F.map_filter(c, lambda k, v: k != head),
-            F.create_map(F.lit(head), new_inner),
-        )
-    return c.withField(head, _set_in(c.getField(head), rest, value, is_map))
+    return c.withField(f"`{head}`", _set_in(c.getField(head), rest, value))
 
 
 def update_path(
@@ -154,8 +149,13 @@ def update_path(
     if body_map is not None:
         root = F.col(body_map)
         if not p.subs:
+            # drop BOTH the old key and any existing key with the target
+            # name: map_concat throws on duplicate keys under the default
+            # mapKeyDedupPolicy=EXCEPTION (rename onto an existing key)
             new_map = F.map_concat(
-                F.map_filter(root, lambda k, v: k != p.root),
+                F.map_filter(
+                    root, lambda k, v: (k != p.root) & (k != final_name)
+                ),
                 F.create_map(F.lit(final_name), value),
             )
             return df.withColumn(body_map, new_map)
@@ -179,5 +179,5 @@ def update_path(
         )
         if not parent_subs:
             return df.withColumn(p.root, new_parent)
-        return df.withColumn(p.root, _set_in(root_col, parent_subs, new_parent, False))
-    return df.withColumn(p.root, _set_in(root_col, p.subs, value, False))
+        return df.withColumn(p.root, _set_in(root_col, parent_subs, new_parent))
+    return df.withColumn(p.root, _set_in(root_col, p.subs, value))

@@ -362,6 +362,11 @@ def _build_sink(s: Section) -> SinkSpec:
             delimiter=s.get("delimiter"),
             label_delimiter=s.get("label_delimiter"),
             ts_col=s.get("ts_col"),
+            max_records_per_file=(
+                int(s.get("max_records_per_file"))
+                if s.get("max_records_per_file")
+                else None
+            ),
         )
     if name in ("null", "counter", "stdout"):
         return SinkSpec(f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet")

@@ -113,6 +113,8 @@ def minhash_table(
     hash_engine — 'xxhash64' (the scale default) or 'md5': first 15 md5
     hex chars of '<seed>:<shingle>' as a 60-bit long, the cross-engine-
     checkable hash DuckDB reproduces exactly (see md5_hash60)."""
+    if hash_engine not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_engine {hash_engine!r} (xxhash64|md5)")
     sh = shingles(F.col(text_col), shingle_n)
     ex = df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("__sh"))
     # xxhash64 SKIPS null inputs (hashes the seed alone), so a null

@@ -521,8 +521,14 @@ def alter_size(
     if add > 0 and remove > 0:
         raise ValueError("cannot use 'add' and 'remove' at the same time")
     if add > 0:
-        extra_rows = [(f"alter_size {i}",) for i in range(add)]
-        extra = df.sparkSession.createDataFrame(extra_rows, "key string")
+        # the reference appends per CHUNK, records inheriting the chunk's
+        # tag (alter_size.c:112-139); here: `add` rows per group_col
+        # value (ts stays null — the C stamps wall-clock, which would
+        # break determinism)
+        idx = df.sparkSession.createDataFrame(
+            [(f"alter_size {i}",) for i in range(add)], "key string"
+        )
+        extra = df.select(group_col).distinct().crossJoin(idx)
         return df.unionByName(extra, allowMissingColumns=True)
     if remove > 0:
         order = [F.col(ts_col).desc()] + (

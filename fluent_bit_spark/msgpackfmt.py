@@ -161,6 +161,14 @@ def _unpack_one(data: bytes, pos: int):
         if ext_type == 0:
             return ("__ext0__", payload), pos + 9
         raise ValueError(f"msgpack: unhandled ext type {ext_type}")
+    if b == 0xC7:
+        # ext8: the spec allows EventTime as ext8(len=8, type=0) too
+        n = data[pos]
+        ext_type = struct.unpack_from("b", data, pos + 1)[0]
+        payload = bytes(data[pos + 2 : pos + 2 + n])
+        if ext_type == 0 and n == 8:
+            return ("__ext0__", payload), pos + 2 + n
+        raise ValueError(f"msgpack: unhandled ext type {ext_type} (len {n})")
     if b == 0xD9:
         n = data[pos]
         return data[pos + 1 : pos + 1 + n].decode("utf-8"), pos + 1 + n
@@ -298,9 +306,17 @@ def decode_forward_frame(data: bytes):
             raise ValueError("forward frame must be an array [tag, ...]")
         tag = msg[0]
         second = msg[1]
+        option = msg[2] if len(msg) > 2 and isinstance(msg[2], dict) else {}
         if isinstance(second, (bytes, bytearray)):
-            # PackedForward: entries are concatenated [time, record] pairs
-            for t, rec in unpack_stream(bytes(second)):
+            # PackedForward: entries are concatenated [time, record]
+            # pairs; CompressedPackedForward gzips the blob and flags it
+            # in the option element (fw_prot.c compressed handling)
+            blob = bytes(second)
+            if option.get("compressed") == "gzip":
+                import gzip
+
+                blob = gzip.decompress(blob)
+            for t, rec in unpack_stream(blob):
                 out.append((tag, _event_time(t), rec))
         elif isinstance(second, list):
             # Forward: inline entry array
@@ -308,15 +324,37 @@ def decode_forward_frame(data: bytes):
                 out.append((tag, _event_time(t), rec))
         else:
             # Message: [tag, time, record]
+            if len(msg) < 3:
+                raise ValueError("Message-mode frame needs [tag, time, record]")
             out.append((tag, _event_time(second), msg[2]))
     return out
+
+
+def _render_text(v):
+    """Lossless-text rendering matching the dynamic-record convention:
+    booleans as 'true'/'false' (the Spark cast form), nested values as
+    JSON, bytes as utf-8 (lossy values hex-prefixed)."""
+    import json
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError:
+            return "0x" + bytes(v).hex()
+    return str(v)
 
 
 def forward_frames_to_records(df: DataFrame, value_col: str = "value") -> DataFrame:
     """(value: binary) frames -> (tag, ts, body) rows, Arrow-batched.
 
-    body values render as strings (the dynamic-record convention's
-    lossless-text form; fbrecord.records_to_df is the typed path)."""
+    body values render as convention-consistent text (_render_text;
+    fbrecord.records_to_df is the typed path)."""
     def run(batches: Iterable):
         import pandas as pd
 
@@ -326,9 +364,7 @@ def forward_frames_to_records(df: DataFrame, value_col: str = "value") -> DataFr
                 for tag, ts, rec in decode_forward_frame(bytes(blob)):
                     tags.append(tag)
                     tss.append(ts)
-                    bodies.append(
-                        {str(k): None if v is None else str(v) for k, v in rec.items()}
-                    )
+                    bodies.append({str(k): _render_text(v) for k, v in rec.items()})
             yield pd.DataFrame({"tag": tags, "ts": tss, "body": bodies})
 
     return df.mapInPandas(run, "tag string, ts double, body map<string,string>")

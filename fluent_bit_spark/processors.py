@@ -332,7 +332,9 @@ def tail_sample_traces(
                 p = p | (lat_ms <= c.threshold_ms_low)
             if c.threshold_ms_high:
                 p = p | (lat_ms >= c.threshold_ms_high)
-            span_pred = span_pred | p
+            # negative durations (clock skew) never sample:
+            # sampling_cond_latency.c:34-36 rejects start > end first
+            span_pred = span_pred | (p & (lat_ms >= 0))
         elif c.type == "status_codes":
             span_pred = span_pred | F.col("status_code").isin(list(c.status_codes))
         elif c.type == "string_attribute":
@@ -342,7 +344,8 @@ def tail_sample_traces(
             else:
                 span_pred = span_pred | v.isNotNull()
         elif c.type == "boolean_attribute":
-            v = F.try_element_at(F.col("attributes"), F.lit(c.key))
+            # case-insensitive on BOTH sides ('True' from str() renders)
+            v = F.lower(F.try_element_at(F.col("attributes"), F.lit(c.key)))
             span_pred = span_pred | v.isin([x.lower() for x in c.values] or ["true"])
         elif c.type == "numeric_attribute":
             v = F.try_element_at(F.col("attributes"), F.lit(c.key)).try_cast("double")

@@ -175,3 +175,21 @@ def test_update_path_struct_and_map(spark):
     assert out.first()["body"] == {"a": "9", "b": "2"}
     out = update_path(dm, "$a", F.lit("9"), body_map="body", rename_to="c")
     assert out.first()["body"] == {"b": "2", "c": "9"}
+
+
+def test_update_path_dotted_field_and_map_rename_collision(spark):
+    """withField must treat a dotted field name as ONE key (backticked),
+    and a dynamic-map rename onto an existing key must not trip the
+    duplicate-map-key error."""
+    from fluent_bit_spark.accessor import update_path
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [({"app.name": "old"},)], "k struct<`app.name`: string>"
+    )
+    out = update_path(df, "$k['app.name']", F.lit("new"))
+    assert out.first()["k"]["app.name"] == "new"
+
+    dm = spark.createDataFrame([({"a": "1", "b": "2"},)], "body map<string,string>")
+    out = update_path(dm, "$a", F.lit("9"), body_map="body", rename_to="b")
+    assert out.first()["body"] == {"b": "9"}

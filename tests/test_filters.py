@@ -261,9 +261,15 @@ def test_alter_size_add_remove(spark):
         "tag string, ts long, msg string",
     )
     added = alter_size(df, add=2)
-    assert added.count() == 8
-    keys = {r["key"] for r in added.filter(F.col("key").isNotNull()).collect()}
-    assert keys == {"alter_size 0", "alter_size 1"}
+    # per chunk (= per tag): 2 synthetic records under EACH of t and u,
+    # inheriting the chunk's tag (alter_size.c:112-139)
+    assert added.count() == 10
+    extra = added.filter(F.col("key").isNotNull())
+    per_tag = {r["tag"]: 0 for r in extra.collect()}
+    for r in extra.collect():
+        per_tag[r["tag"]] += 1
+    assert per_tag == {"t": 2, "u": 2}
+    assert {r["key"] for r in extra.collect()} == {"alter_size 0", "alter_size 1"}
 
     removed = alter_size(df, remove=2, ts_col="ts")
     by_tag = {}

@@ -301,3 +301,25 @@ def test_tail_sample_traces(spark):
     kept = {r["trace_id"] for r in out.collect()}
     assert kept == {"t1", "t2", "t4", "t5"}
     assert out.count() == 7  # every span of each kept trace
+
+
+def test_tail_sampling_edge_semantics(spark):
+    """Negative span durations never sample (sampling_cond_latency.c:34)
+    and boolean attributes match case-insensitively."""
+    from fluent_bit_spark.processors import TailCondition, tail_sample_traces
+
+    MS = 1_000_000
+    spans = spark.createDataFrame(
+        [
+            ("neg", "a", 600 * MS, 0, "OK", {}),        # start > end
+            ("cap", "b", 0, 1 * MS, "OK", {"hit": "True"}),
+        ],
+        "trace_id string, span_id string, start_unix_nano long, "
+        "end_unix_nano long, status_code string, attributes map<string,string>",
+    )
+    out = tail_sample_traces(
+        spans,
+        [TailCondition("latency", threshold_ms_low=10),
+         TailCondition("boolean_attribute", key="hit")],
+    )
+    assert {r["trace_id"] for r in out.collect()} == {"cap"}

@@ -354,3 +354,40 @@ def test_msgpack_roundtrip_property():
         assert norm(out[0]) == norm(v)
 
     check()
+
+
+def test_forward_decode_edge_cases():
+    """ext8 EventTime, gzip CompressedPackedForward, frame validation,
+    convention-consistent value rendering."""
+    import gzip as _gzip
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from fluent_bit_spark.msgpackfmt import (
+        _render_text,
+        decode_forward_frame,
+        pack_value,
+    )
+
+    # ext8 EventTime (0xC7 08 00 sec nsec)
+    ev8 = b"\xc7\x08\x00" + _struct.pack(">II", 10, 250_000_000)
+    msg = b"\x93" + pack_value("t") + ev8 + pack_value({"a": 1})
+    got = decode_forward_frame(msg)
+    assert abs(got[0][1] - 10.25) < 1e-9
+
+    # CompressedPackedForward
+    entries = pack_value([1.0, {"k": "v"}]) + pack_value([2.0, {"k": "w"}])
+    frame = pack_value(["tz", _gzip.compress(entries), {"compressed": "gzip"}])
+    got = decode_forward_frame(frame)
+    assert [r[2]["k"] for r in got] == ["v", "w"]
+
+    # malformed Message frame: clean error, not IndexError
+    with _pytest.raises(ValueError):
+        decode_forward_frame(pack_value(["t", 100]))
+
+    # value rendering follows the dynamic-record convention
+    assert _render_text(True) == "true"
+    assert _render_text({"a": 1}) == '{"a":1}'
+    assert _render_text(b"ab") == "ab"
+    assert _render_text(b"\xff\xfe") == "0xfffe"
