@@ -113,17 +113,22 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("engine", ["jvm", "pandas"])
 @pytest.mark.parametrize("name,line,want,want_ts", CASES, ids=[c[0] for c in CASES])
-def test_parser_corpus_golden(spark, name, line, want, want_ts):
-    p = PARSERS[name]
+def test_parser_corpus_golden(spark, name, line, want, want_ts, engine):
+    """Both parse engines must extract byte-identical values per line —
+    the north rule's per-row invariant, over the full parser corpus."""
+    import dataclasses
+
+    p = dataclasses.replace(PARSERS[name], engine=engine)
     df = spark.createDataFrame([(line,)], "line string")
     row = p.apply(df, "line", ts_col="__ts").collect()[0]
     for k, v in want.items():
-        assert row[k] == v, f"{name}.{k}: {row[k]!r} != {v!r}"
+        assert row[k] == v, f"{name}[{engine}].{k}: {row[k]!r} != {v!r}"
     if want_ts is not None:
-        assert row["__ts"] is not None, f"{name}: time not parsed"
+        assert row["__ts"] is not None, f"{name}[{engine}]: time not parsed"
         got = row["__ts"].strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
-        assert got == want_ts, f"{name}: ts {got} != {want_ts}"
+        assert got == want_ts, f"{name}[{engine}]: ts {got} != {want_ts}"
 
 
 def test_parser_corpus_complete(spark):
