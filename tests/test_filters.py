@@ -282,3 +282,44 @@ def test_alter_size_add_remove(spark):
 
     with _pytest.raises(ValueError):
         alter_size(df, add=1, remove=1)
+
+
+def test_throttle_size_salted_equivalence_property(spark):
+    """Randomized property: the salted pre-limit path returns EXACTLY the
+    unsalted path's rows for arbitrary pane layouts and sizes (guards the
+    per-pane cutoff reasoning)."""
+    import random
+
+    from fluent_bit_spark.filters import apply_throttle_size
+
+    rng = random.Random(1234)
+    rows = []
+    rid = 0
+    for pane in range(6):
+        for _ in range(rng.randint(0, 25)):
+            sec = pane * 60 + rng.randint(0, 59)
+            size = rng.randint(0, 30)
+            rows.append(
+                (f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}", rid, "x" * size)
+            )
+            rid += 1
+    df = spark.createDataFrame(rows, "ts string, id long, payload string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for max_bytes in (10, 55, 200):
+        want = sorted(
+            r["id"]
+            for r in apply_throttle_size(
+                df, max_bytes=max_bytes, interval_sec=60, size_field="payload",
+                order_col="id", salt_buckets=0,
+            ).collect()
+        )
+        for salt in (2, 7):
+            got = sorted(
+                r["id"]
+                for r in apply_throttle_size(
+                    df, max_bytes=max_bytes, interval_sec=60,
+                    size_field="payload", order_col="id", salt_buckets=salt,
+                ).collect()
+            )
+            assert got == want, (max_bytes, salt)

@@ -391,3 +391,42 @@ def test_forward_decode_edge_cases():
     assert _render_text({"a": 1}) == '{"a":1}'
     assert _render_text(b"ab") == "ab"
     assert _render_text(b"\xff\xfe") == "0xfffe"
+
+
+def test_forward_roundtrip_property():
+    """Hypothesis: packing arbitrary forward frames and decoding them
+    recovers every (tag, ts, record) with convention-rendered values."""
+    from hypothesis import given, settings, strategies as st
+
+    from fluent_bit_spark.msgpackfmt import decode_forward_frame, pack_value
+
+    record = st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.one_of(st.integers(-1000, 1000), st.text(max_size=12), st.booleans()),
+        max_size=5,
+    )
+    entry = st.tuples(st.floats(0, 2e9, allow_nan=False), record)
+    frame = st.one_of(
+        # Message mode
+        st.tuples(st.text(min_size=1, max_size=10), entry).map(
+            lambda x: ([x[0], x[1][0], x[1][1]], [(x[0], x[1][0], x[1][1])])
+        ),
+        # Forward mode
+        st.tuples(st.text(min_size=1, max_size=10), st.lists(entry, min_size=1, max_size=4)).map(
+            lambda x: (
+                [x[0], [[t, r] for t, r in x[1]]],
+                [(x[0], t, r) for t, r in x[1]],
+            )
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(frame)
+    def check(fr):
+        msg, want = fr
+        got = decode_forward_frame(pack_value(msg))
+        assert len(got) == len(want)
+        for (gt, gts, grec), (wt, wts, wrec) in zip(got, want):
+            assert gt == wt and abs(gts - wts) < 1e-6 and grec == wrec
+
+    check()
