@@ -118,8 +118,14 @@ def parse_yaml(text: str) -> list:
         ("outputs", "OUTPUT"),
     ):
         for item in pipeline.get(kind) or []:
+            item = dict(item or {})
+            # per-plugin processor units (flb_cf_yaml.c 'processors:'
+            # sub-section): logs-class units become FILTER sections
+            # match-scoped to this input's tag, inserted right after it
+            # (processors run at ingest, before pipeline filters)
+            procs = item.pop("processors", None) or {}
             entries = []
-            for k, v in (item or {}).items():
+            for k, v in item.items():
                 key = str(k).lower()
                 vals = v if isinstance(v, list) else [v]
                 for x in vals:
@@ -127,6 +133,13 @@ def parse_yaml(text: str) -> list:
                         x = "true" if x else "false"
                     entries.append((key, str(x)))
             sections.append(Section(secname, entries))
+            for proc in procs.get("logs") or []:
+                pentries = [("match", str(item.get("tag", "*")))]
+                for k, v in (proc or {}).items():
+                    if isinstance(v, bool):
+                        v = "true" if v else "false"
+                    pentries.append((str(k).lower(), str(v)))
+                sections.append(Section("FILTER", pentries))
     return sections
 
 
@@ -327,6 +340,24 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
             preserve_key=_bool(s.get("preserve_key", "false")),
             ts_col="ts" if "ts" in df.columns else None,
             gate=gate,
+        )
+
+    if name == "content_modifier":
+        # processor_content_modifier as a config unit (cm_config.c:28-47);
+        # one action per unit instance, chained by repeating the unit.
+        # Value actions honor the tag gate per-row; schema-level actions
+        # (delete/rename) follow the documented schema-wide divergence.
+        from .processors import ContentModifierRule, apply_content_modifier
+
+        rule = ContentModifierRule(
+            action=(s.get("action") or "").lower(),
+            key=s.get("key"),
+            value=s.get("value"),
+            pattern=s.get("pattern"),
+            converted_type=s.get("converted_type"),
+        )
+        return apply_content_modifier(
+            df, [rule], condition=gate if match != "*" else None
         )
 
     if name == "nest":

@@ -302,3 +302,43 @@ def test_output_msgpack_and_delimiter_options(spark, tmp_path):
         for ln in open(p).read().splitlines()
     ]
     assert any("\t" in ln for ln in csv_lines)
+
+
+def test_yaml_input_processors(spark, tmp_path):
+    """YAML per-input 'processors:' units (flb_cf_yaml.c processors
+    sub-section): logs-class units apply tag-scoped, at ingest, before
+    pipeline filters."""
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+pipeline:
+  inputs:
+    - name: dummy
+      dummy: '{"msg": "hello", "code": "200"}'
+      samples: 2
+      tag: app.a
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: source
+            value: edge
+          - name: content_modifier
+            action: hash
+            key: code
+    - name: dummy
+      dummy: '{"msg": "other", "code": "500"}'
+      samples: 1
+      tag: db.b
+  outputs:
+    - name: file
+      match: '*'
+      format: json
+      sink_name: out
+"""
+    r = run_config(spark, conf, str(tmp_path / "o"))
+    rows = {r_["tag"]: r_ for r_ in r.frame.collect()}
+    assert rows["app.a"]["source"] == "edge"
+    assert len(rows["app.a"]["code"]) == 64  # sha-256 hex
+    assert rows["db.b"]["code"] == "500"     # other tag untouched
+    assert rows["db.b"]["source"] is None
