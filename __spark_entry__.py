@@ -120,24 +120,53 @@ def q_grep_legacy(spark, sf_dir):
     return apply_grep(ev, rules).select("event_id", "event_type", "props")
 
 
-def q_grep_and(spark, sf_dir):
-    """grep Logical_Op AND (grep.c:250-284)."""
+def q_grep_modes(spark, sf_dir):
+    """grep Logical_Op AND (grep.c:250-284) and OR-over-exclude (drop
+    when ANY matches), both modes in one oracle row (mode column)."""
     ev = _t(spark, sf_dir, "events")
-    rules = [
+    and_rules = [
         GrepRule("regex", "event_type", r"^(click|view|purchase)$"),
         GrepRule("regex", "props", r'"k": [12]'),
     ]
-    return apply_grep(ev, rules, logical_op="AND").select("event_id")
-
-
-def q_grep_or_exclude(spark, sf_dir):
-    """grep Logical_Op OR over exclude rules: drop when ANY matches."""
-    ev = _t(spark, sf_dir, "events")
-    rules = [
+    or_rules = [
         GrepRule("exclude", "event_type", r"^error$"),
         GrepRule("exclude", "props", r'"k": 9\d\}'),
     ]
-    return apply_grep(ev, rules, logical_op="OR").select("event_id", "event_type")
+    a = apply_grep(ev, and_rules, logical_op="AND").select(
+        F.lit("and").alias("mode"), "event_id"
+    )
+    b = apply_grep(ev, or_rules, logical_op="OR").select(
+        F.lit("or_exclude").alias("mode"), "event_id"
+    )
+    return a.unionByName(b)
+
+
+def q_trace_sampling(spark, sf_dir):
+    """Tail-based trace sampling (sampling_tail.c + sampling_cond_*):
+    spans derived deterministically from events (trace = user, span
+    latency = value ms, error status from event_type); keep every span
+    of traces with a slow span, an error span, or >= 25 spans."""
+    from fluent_bit_spark.processors import TailCondition, tail_sample_traces
+
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        F.col("user_id").cast("string").alias("trace_id"),
+        F.col("event_id").cast("string").alias("span_id"),
+        F.lit(0).cast("long").alias("start_unix_nano"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("end_unix_nano"),
+        F.when(F.col("event_type") == "error", "ERROR")
+        .otherwise("OK")
+        .alias("status_code"),
+        F.create_map(F.lit("et"), F.col("event_type")).alias("attributes"),
+    )
+    out = tail_sample_traces(
+        spans,
+        [
+            TailCondition("latency", threshold_ms_high=400),
+            TailCondition("span_count", min_spans=80),
+        ],
+    )
+    return out.select("trace_id", "span_id", "status_code")
 
 
 def q_modify(spark, sf_dir):
@@ -1015,8 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last dict entry was the one silently dropped).
         "pipeline_e2e": q_pipeline_e2e,
         "grep_legacy": q_grep_legacy,
-        "grep_and": q_grep_and,
-        "grep_or_exclude": q_grep_or_exclude,
+        "grep_modes": q_grep_modes,
+        "trace_sampling": q_trace_sampling,
         "modify": q_modify,
         "record_modifier": q_record_modifier,
         "nest_lift": q_nest_lift,
@@ -1167,15 +1196,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT regexp_matches(props, '"k": 9')
               AND regexp_matches(event_type, '^(click|view)$')
         """,
-        "grep_and": r"""
-            SELECT event_id FROM events
+        "grep_modes": r"""
+            SELECT 'and' AS mode, event_id FROM events
             WHERE regexp_matches(event_type, '^(click|view|purchase)$')
               AND regexp_matches(props, '"k": [12]')
-        """,
-        "grep_or_exclude": r"""
-            SELECT event_id, event_type FROM events
+            UNION ALL
+            SELECT 'or_exclude' AS mode, event_id FROM events
             WHERE NOT (regexp_matches(event_type, '^error$')
                        OR regexp_matches(props, '"k": 9\d\}'))
+        """,
+        "trace_sampling": r"""
+            WITH spans AS (
+                SELECT CAST(user_id AS VARCHAR) AS trace_id,
+                       CAST(event_id AS VARCHAR) AS span_id,
+                       CAST(round(value * 1000000) AS BIGINT) AS end_ns,
+                       CASE WHEN event_type = 'error' THEN 'ERROR'
+                            ELSE 'OK' END AS status_code
+                FROM events
+            ), agg AS (
+                SELECT trace_id,
+                       MAX(CASE WHEN end_ns / 1000000.0 >= 400
+                                  AND end_ns >= 0
+                            THEN 1 ELSE 0 END) AS hit,
+                       COUNT(*) AS n
+                FROM spans GROUP BY trace_id
+            ), keep AS (
+                SELECT trace_id FROM agg WHERE hit = 1 OR n >= 80
+            )
+            SELECT s.trace_id, s.span_id, s.status_code
+            FROM spans s JOIN keep USING (trace_id)
         """,
         "modify": r"""
             SELECT event_id,
