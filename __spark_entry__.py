@@ -8,12 +8,16 @@ value formatting are aligned on both sides (aggregates rounded to 4
 decimals, timestamps reduced to epoch seconds) so the driver's
 order-insensitive value-hash matches.
 
-Non-SQL-expressible entries (the xxhash64-derived sketch variants and
-the multimodal decode plumbing) intentionally have no oracle entry; the
-driver records the weaker rows-only check for those, and each is
-value-verified in pytest against an independent python oracle. The
-md5-60 checkable hash engine gives MinHash-LSH (dedup_minhash_md5) and
-SimHash (simhash_hamming) fully oracle-verified rows.
+Every entry is oracle-backed (round 3): the md5-60 checkable hash
+engine (dedup.md5_hash60), md5-derived hyperplanes/anchors
+(similarity.md5_planes/md5_anchors), the mod-3 media-kind engine, and
+the sha256-based fake decoder give the former rows-only sketch/ANN/
+multimodal entries exact DuckDB replicas. The xxhash64-derived engines
+remain the scale defaults — engine choice swaps the hash, not the plan,
+and pytest property-checks value-equivalence of the two engines' plans.
+Near-duplicate operator rows are merged into multi-mode rows
+(grep_modes, throttle_modes, parser_kv, rewrite_tag_modes, sp_dynamic,
+sim_ann_topk) so all 50 entries fit the driver's recorded-row cap.
 """
 
 from __future__ import annotations
@@ -254,21 +258,20 @@ def q_expect(spark, sf_dir):
     return apply_expect(ev, rules, result_key="ok").select("event_id", "ok")
 
 
-def q_throttle(spark, sf_dir):
-    """filter_throttle as deterministic event-time rate limiting."""
+def q_throttle_modes(spark, sf_dir):
+    """filter_throttle (event-time rate pane) + filter_throttle_size
+    (per-pane byte budget) as one two-mode row — merged for driver
+    row-cap economy, same operators as the former throttle /
+    throttle_size entries."""
     ev = _t(spark, sf_dir, "events")
-    return apply_throttle(
+    rate = apply_throttle(
         ev, rate=20, interval_sec=3600, ts_col="ts", order_col="event_id"
-    ).select("event_id")
-
-
-def q_throttle_size(spark, sf_dir):
-    """filter_throttle_size: per-pane byte budget on a field's rendering."""
-    ev = _t(spark, sf_dir, "events")
-    return apply_throttle_size(
+    ).select(F.lit("rate").alias("mode"), "event_id")
+    size = apply_throttle_size(
         ev, max_bytes=120, interval_sec=3600, size_field="props",
         ts_col="ts", order_col="event_id",
-    ).select("event_id")
+    ).select(F.lit("size").alias("mode"), "event_id")
+    return rate.unionByName(size)
 
 
 # ---------------------------------------------------------------------------
@@ -314,41 +317,40 @@ def q_parser_json(spark, sf_dir):
     )
 
 
-def q_parser_logfmt(spark, sf_dir):
-    """logfmt parser round trip (src/flb_parser_logfmt.c)."""
+def q_parser_kv(spark, sf_dir):
+    """logfmt (src/flb_parser_logfmt.c) + LTSV (src/flb_parser_ltsv.c)
+    round trips as one two-mode row (merged for driver row-cap economy);
+    LTSV rows carry nulls in the logfmt-only fields."""
     ev = _t(spark, sf_dir, "events")
-    line = F.concat(
+    lf_line = F.concat(
         F.lit("type="), F.col("event_type"),
         F.lit(" uid="), F.col("user_id").cast("string"),
         F.lit(' msg="ev \\"q\\" done" flag'),
     )
-    df = ev.withColumn("line", line)
-    out = LogfmtParser(name="lf").apply(df, "line")
+    lf = LogfmtParser(name="lf").apply(ev.withColumn("line", lf_line), "line")
     m = F.col("kv")
-    return out.select(
+    lf_out = lf.select(
+        F.lit("logfmt").alias("mode"),
         "event_id",
         F.element_at(m, "type").alias("ptype"),
         F.element_at(m, "uid").alias("puid"),
         F.element_at(m, "msg").alias("pmsg"),
         F.element_at(m, "flag").alias("pflag"),
     )
-
-
-def q_parser_ltsv(spark, sf_dir):
-    """LTSV parser (src/flb_parser_ltsv.c): tab-separated label:value."""
-    ev = _t(spark, sf_dir, "events")
-    line = F.concat(
+    lt_line = F.concat(
         F.lit("type:"), F.col("event_type"),
         F.lit("\tuid:"), F.col("user_id").cast("string"),
     )
-    df = ev.withColumn("line", line)
-    out = LtsvParser(name="lt").apply(df, "line")
-    m = F.col("kv")
-    return out.select(
+    lt = LtsvParser(name="lt").apply(ev.withColumn("line", lt_line), "line")
+    lt_out = lt.select(
+        F.lit("ltsv").alias("mode"),
         "event_id",
         F.element_at(m, "type").alias("ptype"),
         F.element_at(m, "uid").alias("puid"),
+        F.lit(None).cast("string").alias("pmsg"),
+        F.lit(None).cast("string").alias("pflag"),
     )
+    return lf_out.unionByName(lt_out)
 
 
 def q_multiline(spark, sf_dir):
@@ -393,21 +395,22 @@ def q_route_counts(spark, sf_dir):
     )
 
 
-def q_rewrite_tag(spark, sf_dir):
-    """filter_rewrite_tag with $TAG[n] template + keep=false
-    (plugins/filter_rewrite_tag/rewrite_tag.c:37-104)."""
+def q_rewrite_tag_modes(spark, sf_dir):
+    """filter_rewrite_tag both ways in one row
+    (plugins/filter_rewrite_tag/rewrite_tag.c:37-104): keep=false
+    ($TAG[n] template replaces the record's tag) and keep=true (original
+    AND re-tagged emitter copy both flow)."""
     df = _tagged_events(spark, sf_dir)
-    rules = [RewriteTagRule(key="event_type", regex=r"^err", new_tag="alerts.$TAG[1]", keep=False)]
-    out = apply_rewrite_tag(df, rules)
-    return out.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
-
-
-def q_rewrite_tag_keep(spark, sf_dir):
-    """rewrite_tag keep=true: original AND re-tagged copy both flow."""
-    df = _tagged_events(spark, sf_dir)
-    rules = [RewriteTagRule(key="event_type", regex=r"^signup$", new_tag="onboard.$TAG[1]", keep=True)]
-    out = apply_rewrite_tag(df, rules)
-    return out.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+    drop = apply_rewrite_tag(
+        df, [RewriteTagRule(key="event_type", regex=r"^err", new_tag="alerts.$TAG[1]", keep=False)]
+    )
+    keep = apply_rewrite_tag(
+        df, [RewriteTagRule(key="event_type", regex=r"^signup$", new_tag="onboard.$TAG[1]", keep=True)]
+    )
+    out = drop.select(F.lit("replace").alias("mode"), "tag").unionByName(
+        keep.select(F.lit("keep").alias("mode"), "tag")
+    )
+    return out.groupBy("mode", "tag").agg(F.count(F.lit(1)).alias("n"))
 
 
 # ---------------------------------------------------------------------------
@@ -758,17 +761,23 @@ def q_dedup_exact(spark, sf_dir):
     return kept.join(groups, "doc_id").select("doc_id", "lang", "n_members")
 
 
-def q_dedup_minhash_md5(spark, sf_dir):
-    """MinHash+LSH banding with the md5-60 checkable hash engine: the
-    full candidate pipeline (signatures -> 4-band buckets -> cap ->
-    bucket self-join) value-verified against a DuckDB replica; the
-    xxhash64 engine (rows-only) is the scale default."""
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banding + Jaccard-estimate verify with the md5-60
+    checkable hash engine: the full near-dup candidate pipeline
+    (signatures -> 4-band buckets -> cap -> bucket self-join ->
+    signature-agreement estimate) value-verified against a DuckDB
+    replica. The xxhash64 engine is the scale default; its values are
+    property-tested equivalent in pytest (engine choice changes hashes,
+    not the plan)."""
     docs = _t(spark, sf_dir, "documents")
     docs = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
     pairs = dedup.minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
     )
-    return pairs.select("id_a", "id_b")
+    est = dedup.minhash_jaccard_estimate(
+        docs, pairs, num_hashes=8, shingle_n=2, hash_engine="md5"
+    )
+    return est.select("id_a", "id_b", _r4("est_jaccard").alias("est_j"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -783,18 +792,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-based; rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
-    est = dedup.minhash_jaccard_estimate(docs, pairs, num_hashes=32)
-    return est.select("id_a", "id_b", _r4("est_jaccard").alias("est_j"))
-
-
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprint dedup (xxhash64-based; rows-only check)."""
+    """SimHash fingerprint dedup — identical-fingerprint grouping, lowest
+    doc_id kept — with the md5-60 checkable hash (bits=60) so the DuckDB
+    oracle recomputes every fingerprint and the kept set value-for-value.
+    xxhash64/64-bit is the scale default (property-equivalent plan)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_dedup(docs).select("doc_id", "simhash")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = docs.filter(F.size(toks) >= 2)
+    out = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60)
+    return out.select("doc_id", "simhash")
 
 
 def q_simhash_hamming(spark, sf_dir):
@@ -843,36 +850,52 @@ def q_sim_topk(spark, sf_dir):
     return out.select("query_id", "cand_id", "rank")
 
 
-def q_sim_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (hyperplane signs; deterministic; rows-only)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_topk(emb, queries, k=5, dim=64, n_bits=8)
-    return out.select("query_id", "cand_id", "rank")
+def _emb_double(spark, sf_dir):
+    """embeddings with the float vector cast to double so both engines
+    run identical double arithmetic (DuckDB oracle casts AS DOUBLE[])."""
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
 
 
-def q_sim_ivf_topk(spark, sf_dir):
-    """IVF-cell-restricted ANN (scale path; deterministic anchors;
-    rows-only)."""
-    emb = _t(spark, sf_dir, "embeddings")
+def q_sim_ann_topk(spark, sf_dir):
+    """Both ANN paths in one two-mode row: LSH-bucketed top-k (hyperplane
+    sign buckets + exact cosine within bucket) and IVF-cell-restricted
+    top-k (nearest-anchor cells, nprobe probing). Uses md5-derived
+    checkable planes/anchors (similarity.md5_planes/md5_anchors) so the
+    DuckDB oracle replays signatures, cell assignment, probing, and ranks
+    value-for-value; the xxhash64-derived planes and trained k-means
+    anchors are the scale defaults (pytest recall checks)."""
+    emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_topk(emb, queries, dim=64, k=5, n_cells=8, nprobe=2)
-    return out.select("query_id", "cand_id", "rank")
+    lsh = similarity.lsh_topk(
+        emb, queries, k=5, dim=64, n_bits=8, planes=similarity.md5_planes(64, 8)
+    ).select(F.lit("lsh").alias("mode"), "query_id", "cand_id", "rank")
+    ivf = similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_cells=8, nprobe=2,
+        anchors=similarity.md5_anchors(64, 8),
+    ).select(F.lit("ivf").alias("mode"), "query_id", "cand_id", "rank")
+    return lsh.unionByName(ivf)
 
 
 def q_sim_near_dup(spark, sf_dir):
-    """embedding-cosine near-dup pairs via LSH buckets + exact verify
-    (rows-only)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.embedding_near_dup(emb, dim=64, threshold=0.3, n_bits=8)
+    """embedding-cosine near-dup pairs via LSH buckets + exact verify;
+    md5-derived checkable planes (oracle replays bucket + cosine)."""
+    emb = _emb_double(spark, sf_dir)
+    out = similarity.embedding_near_dup(
+        emb, dim=64, threshold=0.3, n_bits=8, planes=similarity.md5_planes(64, 8)
+    )
     return out.select("id_a", "id_b", _r4("cos").alias("c"))
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """multimodal plumbing: opaque binary payloads + pandas-UDF decode
-    (deterministic fake decoder; rows-only)."""
+    """multimodal plumbing: opaque binary payloads + Arrow-batched
+    pandas-UDF decode. The deterministic fake decoder derives dimensions
+    and phash from sha256(payload), which the DuckDB oracle recomputes;
+    kind assignment uses the checkable mod engine (the xxhash64 scatter
+    is the scale default)."""
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.make_media_table(spark, docs)
+    media = multimodal.make_media_table(spark, docs, kind_engine="mod")
     out = multimodal.decode_images(media, fake=True)
     return out.select("media_id", "width", "height", "phash")
 
@@ -938,37 +961,43 @@ def _dyn_flat(out, *keys):
     return out.select(*cols)
 
 
-def q_sp_dyn_contains(spark, sf_dir):
-    """dynamic mode @record.contains over heterogeneous keys
-    (flb_sp.c reduce_expression; key present regardless of value)."""
+def q_sp_dynamic(spark, sf_dir):
+    """Dynamic-schema SP semantics in one three-mode row (merged from the
+    former sp_dyn_contains / sp_dyn_isnull / sp_dyn_coercion entries):
+    @record.contains over heterogeneous keys (flb_sp.c
+    reduce_expression), IS NULL matching only explicit nulls — never
+    missing keys (sp_select_keys.h check #5), and string-number-to-int
+    comparison coercion (flb_sp.c:840-842). `code` is null outside the
+    coercion mode."""
     eng = _dyn_stream(spark, sf_dir)
-    out = eng.run("SELECT id FROM STREAM:dyn WHERE @record.contains(k);")
-    return _dyn_flat(out, "id")
-
-
-def q_sp_dyn_isnull(spark, sf_dir):
-    """IS NULL matches only explicit nulls, not missing keys
-    (sp_select_keys.h check #5 semantics)."""
-    eng = _dyn_stream(spark, sf_dir)
-    out = eng.run("SELECT id FROM STREAM:dyn WHERE k IS NULL;")
-    return _dyn_flat(out, "id")
-
-
-def q_sp_dyn_coercion(spark, sf_dir):
-    """string-number field compared to an int literal -> parsed to number
-    (flb_sp.c:840-842)."""
-    eng = _dyn_stream(spark, sf_dir)
-    out = eng.run("SELECT id, code FROM STREAM:dyn WHERE code = 4;")
-    return _dyn_flat(out, "id", "code")
+    nul = F.lit(None).cast("string")
+    contains = _dyn_flat(
+        eng.run("SELECT id FROM STREAM:dyn WHERE @record.contains(k);"), "id"
+    ).select(F.lit("contains").alias("mode"), "id", nul.alias("code"))
+    isnull = _dyn_flat(
+        eng.run("SELECT id FROM STREAM:dyn WHERE k IS NULL;"), "id"
+    ).select(F.lit("isnull").alias("mode"), "id", nul.alias("code"))
+    coerce = _dyn_flat(
+        eng.run("SELECT id, code FROM STREAM:dyn WHERE code = 4;"), "id", "code"
+    ).select(F.lit("coercion").alias("mode"), "id", "code")
+    return contains.unionByName(isnull).unionByName(coerce)
 
 
 def q_dedup_neardup_pipeline(spark, sf_dir):
     """Full near-dup dedup composition: MinHash signatures -> LSH banding
     candidates -> exact n-gram Jaccard verify -> keep-set (drop the
-    higher id of every verified pair). The end-to-end web-dedup shape;
-    xxhash64-derived, rows-only."""
+    higher id of every verified pair). The end-to-end web-dedup shape,
+    run on the md5-60 checkable engine so the DuckDB oracle replays
+    every stage (candidates, bigram Jaccard, keep set); xxhash64 is the
+    scale default. Docs too short to shingle skip candidate generation
+    but stay in the keep set."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    shingleable = docs.filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    )
+    cands = dedup.minhash_lsh_candidates(
+        shingleable, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
+    )
     verified = dedup.ngram_jaccard_pairs(docs, cands, n=2).filter(
         F.col("jaccard") >= 0.5
     )
@@ -1051,17 +1080,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_lift": q_nest_lift,
         "type_converter": q_type_converter,
         "expect": q_expect,
-        "throttle": q_throttle,
-        "throttle_size": q_throttle_size,
+        "throttle_modes": q_throttle_modes,
         "parser_regex": q_parser_regex,
         "parser_regex_time": q_parser_regex_time,
         "parser_json": q_parser_json,
-        "parser_logfmt": q_parser_logfmt,
-        "parser_ltsv": q_parser_ltsv,
+        "parser_kv": q_parser_kv,
         "multiline": q_multiline,
         "route_counts": q_route_counts,
-        "rewrite_tag": q_rewrite_tag,
-        "rewrite_tag_keep": q_rewrite_tag_keep,
+        "rewrite_tag_modes": q_rewrite_tag_modes,
         "sp_select": q_sp_select,
         "sp_coercion": q_sp_coercion,
         "sp_aggregate": q_sp_aggregate,
@@ -1072,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_create_stream": q_sp_create_stream,
         "sp_snapshot": q_sp_snapshot,
         "sp_tag_match": q_sp_tag_match,
+        "sp_dynamic": q_sp_dynamic,
         "enrich_broadcast": q_enrich_broadcast,
         "checklist": q_checklist,
         "kube_enrich": q_kube_enrich,
@@ -1083,27 +1110,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,
         "log_to_metrics": q_log_to_metrics,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
         "simhash_hamming": q_simhash_hamming,
+        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
         "sim_topk": q_sim_topk,
-        "skew_distinct": q_skew_distinct,
-        "sp_dyn_contains": q_sp_dyn_contains,
-        "sp_dyn_isnull": q_sp_dyn_isnull,
-        "sp_dyn_coercion": q_sp_dyn_coercion,
-        # ---- rows-only entries (no SQL-expressible oracle: xxhash64-
-        # derived or pandas-UDF decode; independently value-verified in
-        # pytest against scalar-eval python oracles). Kept LAST so a
-        # driver row cap can only ever drop rows-only evidence, never an
-        # oracle-backed row; ordered by information value.
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ann_topk": q_sim_ann_topk,
         "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "skew_distinct": q_skew_distinct,
     }
 
 
@@ -1115,9 +1132,11 @@ from fluent_bit_spark.parsers import strip_names as _strip_names  # noqa: E402
 _KUBE_RX, _KUBE_IDX = _strip_names(kube.KUBE_TAG_TO_REGEX)
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB replica of q_simhash_hamming: identical md5-60 shingle hash,
-    per-bit majority, 4x15 banding, 64-cap, popcount(xor) <= 3."""
+def _simhash_fp_cte() -> str:
+    """Shared WITH-clause body computing the md5-60 SimHash fingerprint
+    per doc (identical shingle hash + per-bit majority as
+    dedup.simhash_table with hash_fn=md5_hash60, bits=60); terminal CTE
+    is `fp(doc_id, fp)`."""
     bsum = "".join(
         f", SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE 0 END) AS b{k}"
         for k in range(60)
@@ -1142,7 +1161,14 @@ def _simhash_oracle_sql() -> str:
             SELECT doc_id, COUNT(*) AS n {bsum} FROM h GROUP BY doc_id
         ), fp AS (
             SELECT doc_id, {fp_terms} AS fp FROM bits
-        ), banded AS (
+        )"""
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of q_simhash_hamming: identical md5-60 shingle hash,
+    per-bit majority, 4x15 banding, 64-cap, popcount(xor) <= 3."""
+    return f"""
+        {_simhash_fp_cte()}, banded AS (
             SELECT doc_id, fp, bb.band, (fp >> (bb.band * 15)) & 32767 AS bucket
             FROM fp, (VALUES (0), (1), (2), (3)) bb(band)
         ), capped AS (
@@ -1157,6 +1183,220 @@ def _simhash_oracle_sql() -> str:
         )
         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+
+def _simhash_dedup_oracle_sql() -> str:
+    """DuckDB replica of q_dedup_simhash: md5-60 fingerprints, keep the
+    lowest doc_id per identical fingerprint."""
+    return f"""
+        {_simhash_fp_cte()}
+        SELECT doc_id, fp AS simhash FROM fp
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """
+
+
+def _minhash_md5_cte() -> str:
+    """Shared WITH-clause body replaying dedup.minhash_lsh_candidates
+    (hash_engine='md5', num_hashes=8, bands=4, shingle_n=2, cap 256):
+    terminal CTEs are `mins(doc_id, seed, m)`, `docs2(doc_id, t)` and
+    `cand(id_a, id_b)`."""
+    return """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), docs2 AS (
+            SELECT doc_id, t FROM toks WHERE len(t) >= 2
+        ), sh AS (
+            SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS s
+            FROM docs2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        ), mins AS (
+            SELECT doc_id, sd.seed,
+                   MIN(CAST('0x' || substring(
+                       md5(CAST(sd.seed AS VARCHAR) || ':' || s), 1, 15)
+                       AS BIGINT)) AS m
+            FROM sh, (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) sd(seed)
+            GROUP BY doc_id, sd.seed
+        ), sigjoin AS (
+            SELECT doc_id, CAST((seed - 1) // 2 AS INTEGER) AS band,
+                   STRING_AGG(CAST(m AS VARCHAR), ',' ORDER BY seed) AS joined
+            FROM mins GROUP BY doc_id, CAST((seed - 1) // 2 AS INTEGER)
+        ), banded AS (
+            SELECT doc_id, band,
+                   CAST('0x' || substring(
+                       md5(CAST(band AS VARCHAR) || '|' || joined), 1, 15)
+                       AS BIGINT) AS bucket
+            FROM sigjoin
+        ), capped AS (
+            SELECT * FROM banded
+            QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= 256
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.doc_id < b.doc_id
+        )"""
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """Candidates + signature-agreement Jaccard estimate (est over the
+    same 8 md5 minima the Spark side aggregates)."""
+    return f"""
+        {_minhash_md5_cte()}
+        SELECT c.id_a, c.id_b,
+               round(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 8.0, 4)
+                   AS est_j
+        FROM cand c
+        JOIN mins ma ON ma.doc_id = c.id_a
+        JOIN mins mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+        GROUP BY c.id_a, c.id_b
+    """
+
+
+def _neardup_pipeline_oracle_sql() -> str:
+    """Candidates -> exact bigram-Jaccard >= 0.5 verify -> keep set (all
+    documents minus the higher id of each verified pair)."""
+    return f"""
+        {_minhash_md5_cte()}, sh2 AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS sh
+            FROM docs2
+        ), ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sh2 a ON a.doc_id = c.id_a
+            JOIN sh2 b ON b.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                       AS DOUBLE) >= 0.5
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN (SELECT DISTINCT id_b FROM ver) v ON d.doc_id = v.id_b
+        WHERE v.id_b IS NULL
+    """
+
+
+def _sql_vec(vals) -> str:
+    """Python float list -> DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _ann_oracle_sql() -> str:
+    """DuckDB replica of q_sim_ann_topk: both modes share the double-cast
+    corpus; the md5-derived plane/anchor components are inlined as
+    literals (similarity.md5_planes/md5_anchors — parameters of the
+    algorithm, regenerable from md5 alone)."""
+    from fluent_bit_spark.dataops.similarity import md5_anchors, md5_planes
+
+    planes = md5_planes(64, 8)
+    anchors = md5_anchors(64, 8)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_vec(p)}) >= 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b, p in enumerate(planes)
+    )
+    score_list = ", ".join(
+        f"list_dot_product(v, {_sql_vec(a)}) - {repr(sum(x * x for x in a) / 2.0)}"
+        for a in anchors
+    )
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), lsig AS (
+            SELECT vec_id, v, {sig_terms} AS bucket FROM cv
+        ), lscored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   list_cosine_similarity(q.v, c.v) AS cos
+            FROM lsig q JOIN lsig c USING (bucket)
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        ), lsh AS (
+            SELECT 'lsh' AS mode, query_id, cand_id, rank FROM (
+              SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, cand_id ASC) AS rank
+              FROM lscored) WHERE rank <= 5
+        ), iscores AS (
+            SELECT vec_id, v, [{score_list}] AS sc FROM cv
+        ), icand AS (
+            SELECT vec_id AS cand_id, v AS cand_v,
+                   list_position(sc, list_max(sc)) - 1 AS cell
+            FROM iscores
+        ), iq AS (
+            SELECT vec_id AS query_id, v AS qv, u.i - 1 AS cell, sc[u.i] AS s
+            FROM iscores, UNNEST(generate_series(1, 8)) AS u(i)
+            WHERE vec_id < 5
+        ), iprobe AS (
+            SELECT query_id, qv, cell FROM iq
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, cell DESC) <= 2
+        ), iscored AS (
+            SELECT p.query_id, c.cand_id,
+                   list_cosine_similarity(p.qv, c.cand_v) AS cos
+            FROM iprobe p JOIN icand c USING (cell)
+            WHERE c.cand_id != p.query_id
+        ), ivf AS (
+            SELECT 'ivf' AS mode, query_id, cand_id, rank FROM (
+              SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, cand_id ASC) AS rank
+              FROM iscored) WHERE rank <= 5
+        )
+        SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+    """
+
+
+def _sim_near_dup_oracle_sql() -> str:
+    """DuckDB replica of q_sim_near_dup: md5-plane sign buckets, 1024
+    bucket cap, self-join, exact cosine >= 0.3."""
+    from fluent_bit_spark.dataops.similarity import md5_planes
+
+    planes = md5_planes(64, 8)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_vec(p)}) >= 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v, {sig_terms} AS bucket FROM cv
+        ), capped AS (
+            SELECT * FROM sig
+            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 1024
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.v, b.v) AS cos
+            FROM capped a JOIN capped b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 4) AS c FROM pairs WHERE cos >= 0.3
+    """
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB replica of q_multimodal_decode: kind = id % 3 (mod engine,
+    index 0 = image), then the fake decoder's sha256-derived features —
+    width/height from digest bytes 0-1, phash from bytes 10-17 big-endian
+    signed (multimodal._fake_decode)."""
+    return """
+        WITH img AS (
+            SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ), u AS (
+            SELECT media_id,
+                   16 + CAST('0x' || substring(h, 1, 2) AS INTEGER) AS width,
+                   16 + CAST('0x' || substring(h, 3, 2) AS INTEGER) AS height,
+                   CAST(CAST('0x' || substring(h, 21, 16) AS UBIGINT) AS HUGEINT) AS ph
+            FROM img
+        )
+        SELECT media_id, width, height,
+               CAST(CASE WHEN ph >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN ph - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE ph END AS BIGINT) AS phash
+        FROM u
     """
 
 
@@ -1254,13 +1494,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, (props IS NOT NULL AND event_type = 'click') AS ok
             FROM events
         """,
-        "throttle": f"""
-            SELECT event_id FROM events
+        "throttle_modes": f"""
+            SELECT 'rate' AS mode, event_id FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 20
-        """,
-        "throttle_size": f"""
-            SELECT event_id FROM events
+            UNION ALL
+            SELECT 'size' AS mode, event_id FROM events
             QUALIFY sum(length(props)) OVER (
                 PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 120
         """,
@@ -1278,13 +1517,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
-        "parser_logfmt": """
-            SELECT event_id, event_type AS ptype, CAST(user_id AS VARCHAR) AS puid,
+        "parser_kv": """
+            SELECT 'logfmt' AS mode, event_id, event_type AS ptype,
+                   CAST(user_id AS VARCHAR) AS puid,
                    'ev "q" done' AS pmsg, '' AS pflag
             FROM events
-        """,
-        "parser_ltsv": """
-            SELECT event_id, event_type AS ptype, CAST(user_id AS VARCHAR) AS puid
+            UNION ALL
+            SELECT 'ltsv' AS mode, event_id, event_type AS ptype,
+                   CAST(user_id AS VARCHAR) AS puid,
+                   CAST(NULL AS VARCHAR) AS pmsg, CAST(NULL AS VARCHAR) AS pflag
             FROM events
         """,
         "multiline": """
@@ -1317,22 +1558,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'errs_or_signup', COUNT(*) FROM t
               WHERE regexp_matches(tag, '^(error|signup)\\.')
         """,
-        "rewrite_tag": f"""
-            WITH t AS (SELECT *, {tag} AS tag FROM events),
-            r AS (SELECT CASE WHEN regexp_matches(event_type, '^err')
-                              THEN 'alerts.' || split_part(tag, '.', 2)
-                              ELSE tag END AS tag
-                  FROM t)
-            SELECT tag, COUNT(*) AS n FROM r GROUP BY tag
-        """,
-        "rewrite_tag_keep": f"""
+        "rewrite_tag_modes": f"""
             WITH t AS (SELECT *, {tag} AS tag FROM events),
             r AS (
-              SELECT tag FROM t
+              SELECT 'replace' AS mode,
+                     CASE WHEN regexp_matches(event_type, '^err')
+                          THEN 'alerts.' || split_part(tag, '.', 2)
+                          ELSE tag END AS tag
+              FROM t
               UNION ALL
-              SELECT 'onboard.' || split_part(tag, '.', 2) AS tag FROM t
-              WHERE regexp_matches(event_type, '^signup$'))
-            SELECT tag, COUNT(*) AS n FROM r GROUP BY tag
+              SELECT 'keep' AS mode, tag FROM t
+              UNION ALL
+              SELECT 'keep' AS mode, 'onboard.' || split_part(tag, '.', 2) AS tag
+              FROM t WHERE regexp_matches(event_type, '^signup$'))
+            SELECT mode, tag, COUNT(*) AS n FROM r GROUP BY mode, tag
         """,
         "sp_select": """
             SELECT event_id AS eid, event_type AS etype, value AS v FROM events
@@ -1516,41 +1755,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, g.n_members
             FROM documents d JOIN g ON d.doc_id = g.doc_id
         """,
-        "dedup_minhash_md5": """
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-                FROM documents
-            ), docs2 AS (
-                SELECT doc_id, t FROM toks WHERE len(t) >= 2
-            ), sh AS (
-                SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS s
-                FROM docs2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-            ), mins AS (
-                SELECT doc_id, sd.seed,
-                       MIN(CAST('0x' || substring(
-                           md5(CAST(sd.seed AS VARCHAR) || ':' || s), 1, 15)
-                           AS BIGINT)) AS m
-                FROM sh, (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) sd(seed)
-                GROUP BY doc_id, sd.seed
-            ), sigjoin AS (
-                SELECT doc_id, CAST((seed - 1) // 2 AS INTEGER) AS band,
-                       STRING_AGG(CAST(m AS VARCHAR), ',' ORDER BY seed) AS joined
-                FROM mins GROUP BY doc_id, CAST((seed - 1) // 2 AS INTEGER)
-            ), banded AS (
-                SELECT doc_id, band,
-                       CAST('0x' || substring(
-                           md5(CAST(band AS VARCHAR) || '|' || joined), 1, 15)
-                           AS BIGINT) AS bucket
-                FROM sigjoin
-            ), capped AS (
-                SELECT * FROM banded
-                QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= 256
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM capped a
-            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
-                         AND a.doc_id < b.doc_id
-        """,
+        "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
+        "dedup_simhash": _simhash_dedup_oracle_sql(),
+        "dedup_neardup_pipeline": _neardup_pipeline_oracle_sql(),
+        "sim_ann_topk": _ann_oracle_sql(),
+        "sim_near_dup": _sim_near_dup_oracle_sql(),
+        "multimodal_decode": _multimodal_oracle_sql(),
         "dedup_ngram_jaccard": r"""
             WITH d AS (
               SELECT doc_id,
@@ -1637,16 +1847,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             WHERE rank <= 5
         """,
-        "sp_dyn_contains": """
-            SELECT CAST(event_id AS VARCHAR) AS id FROM events
-            WHERE event_type IN ('click', 'view')
-        """,
-        "sp_dyn_isnull": """
-            SELECT CAST(event_id AS VARCHAR) AS id FROM events
-            WHERE event_type = 'view'
-        """,
-        "sp_dyn_coercion": """
-            SELECT CAST(event_id AS VARCHAR) AS id,
+        "sp_dynamic": """
+            SELECT 'contains' AS mode, CAST(event_id AS VARCHAR) AS id,
+                   CAST(NULL AS VARCHAR) AS code
+            FROM events WHERE event_type IN ('click', 'view')
+            UNION ALL
+            SELECT 'isnull' AS mode, CAST(event_id AS VARCHAR) AS id,
+                   CAST(NULL AS VARCHAR) AS code
+            FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT 'coercion' AS mode, CAST(event_id AS VARCHAR) AS id,
                    CAST(user_id % 7 AS VARCHAR) AS code
             FROM events WHERE event_type = 'error' AND user_id % 7 = 4
         """,

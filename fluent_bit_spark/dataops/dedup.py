@@ -267,12 +267,14 @@ def minhash_lsh_candidates(
 
 def minhash_jaccard_estimate(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 64, shingle_n: int = 3,
+    num_hashes: int = 64, shingle_n: int = 3, hash_engine: str = "xxhash64",
 ) -> DataFrame:
     """Verify candidates: estimated Jaccard = fraction of equal signature
     positions. Joins signatures onto the (small) candidate set; the
-    signature table comes from the codegen path (minhash_table)."""
-    sigs = minhash_table(df, text_col, id_col, num_hashes, shingle_n)
+    signature table comes from the codegen path (minhash_table). Pass the
+    same hash_engine used for candidate generation ('md5' for the
+    cross-engine-checkable variant)."""
+    sigs = minhash_table(df, text_col, id_col, num_hashes, shingle_n, hash_engine)
     out = (
         pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.id_a == sigs.id)
         .drop("id")
@@ -393,13 +395,15 @@ def simhash_table(
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2,
+    bits: int = 64, hash_fn=None,
 ) -> DataFrame:
     """Group docs by identical SimHash (the scale-path bucketing: banded
     prefix matching generalizes this; identical-fingerprint is the exact
     near-dup core). Fingerprints come from simhash_table (codegen path);
-    the join back is on the id key."""
-    sims = simhash_table(df, text_col, id_col, shingle_n)
+    the join back is on the id key. bits/hash_fn as in simhash_table
+    (md5_hash60 + bits=60 gives the oracle-checkable variant)."""
+    sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
     joined = df.join(sims, id_col)
     w = Window.partitionBy(F.col("simhash")).orderBy(F.col(id_col))
     return (

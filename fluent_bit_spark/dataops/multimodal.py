@@ -29,13 +29,27 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def make_media_table(spark, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def make_media_table(
+    spark,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kind_engine: str = "xxhash64",
+) -> DataFrame:
     """Derive a synthetic media table from documents: payload = utf-8 bytes
-    of the text (a deterministic opaque blob), metadata from hashes."""
+    of the text (a deterministic opaque blob), metadata from hashes.
+
+    kind_engine — 'xxhash64' scatters kinds pseudo-randomly (the scale
+    default); 'mod' assigns kind = id % 3, the cross-engine-checkable
+    derivation a SQL oracle can replay (same rationale as
+    dedup.md5_hash60)."""
     i = F.col(id_col)
+    if kind_engine == "mod":
+        kind_idx = (F.pmod(i, F.lit(3)) + 1).cast("int")
+    else:
+        kind_idx = (F.abs(F.xxhash64(i)) % 3 + 1).cast("int")
     kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.abs(F.xxhash64(i)) % 3 + 1).cast("int"),
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), kind_idx
     )
     meta = F.struct(
         (F.abs(F.xxhash64(i, F.lit(1))) % 1920 + 16).cast("int").alias("width"),

@@ -15,8 +15,31 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _md5_unit(tag: str, bit: int, j: int) -> float:
+    """Deterministic [-1, 1) component from md5(f"{tag}:{bit}:{j}") —
+    the cross-engine-checkable analogue of _hyperplane's xxhash64
+    derivation (dedup.md5_hash60 rationale): any engine with md5 can
+    regenerate the exact plane, so a DuckDB oracle can replay signature
+    arithmetic value-for-value with the constants inlined."""
+    h = int(hashlib.md5(f"{tag}:{bit}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 2_000_001) / 1_000_000.0 - 1.0
+
+
+def md5_planes(dim: int, n_bits: int, tag: str = "hp") -> list[list[float]]:
+    """n_bits checkable hyperplanes of `dim` md5-derived components."""
+    return [[_md5_unit(tag, b, j) for j in range(dim)] for b in range(n_bits)]
+
+
+def md5_anchors(dim: int, n_cells: int) -> list[list[float]]:
+    """Checkable IVF anchor vectors (the untrained-skeleton analogue of
+    ivf_train_anchors with md5-replayable components)."""
+    return md5_planes(dim, n_cells, tag="ivf")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -80,11 +103,23 @@ def _hyperplane(dim: int, bit: int) -> Column:
     )
 
 
-def lsh_signature(vec: Column, dim: int, n_bits: int = 16) -> Column:
-    """Random-hyperplane sign signature as a long bucket id."""
+def _plane_col(dim: int, bit: int, planes=None) -> Column:
+    """Plane `bit` as a Column: literal array when explicit (md5_planes)
+    components are given, else the JVM xxhash64 derivation."""
+    if planes is not None:
+        return F.array(*[F.lit(float(v)) for v in planes[bit]])
+    return _hyperplane(dim, bit)
+
+
+def lsh_signature(vec: Column, dim: int, n_bits: int = 16, planes=None) -> Column:
+    """Random-hyperplane sign signature as a long bucket id.
+
+    planes — optional explicit component lists (md5_planes) for the
+    cross-engine-checkable variant; None keeps the xxhash64 scale
+    default."""
     bits = []
     for b in range(n_bits):
-        plane = _hyperplane(dim, b)
+        plane = _plane_col(dim, b, planes)
         s = _dot(vec, plane)
         bits.append(
             F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -104,6 +139,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    planes=None,
 ) -> DataFrame:
     """Approximate top-k: exact scoring restricted to shared-bucket
     candidates. n_probe > 1 additionally probes the buckets reached by
@@ -111,16 +147,16 @@ def lsh_topk(
     LSH) — recall rises without touching the corpus-side layout: the
     corpus still stores ONE bucket per vector, only the tiny broadcast
     query set explodes to n_probe rows."""
-    sig_c = lsh_signature(F.col(vec_col), dim, n_bits)
+    sig_c = lsh_signature(F.col(vec_col), dim, n_bits, planes)
     c = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), sig_c.alias("bucket")
     )
-    q0 = queries.withColumn("__sig", lsh_signature(F.col(vec_col), dim, n_bits))
+    q0 = queries.withColumn("__sig", lsh_signature(F.col(vec_col), dim, n_bits, planes))
     if n_probe <= 1:
         qbucket = F.array(F.col("__sig"))
     else:
         qbucket = lsh_probe_buckets(
-            F.col(vec_col), dim, n_bits, n_probe, sig=F.col("__sig")
+            F.col(vec_col), dim, n_bits, n_probe, sig=F.col("__sig"), planes=planes
         )
     q = q0.select(
         F.col(id_col).alias("query_id"),
@@ -141,7 +177,7 @@ def lsh_topk(
 
 
 def lsh_probe_buckets(
-    vec: Column, dim: int, n_bits: int, n_probe: int, sig: Column = None
+    vec: Column, dim: int, n_bits: int, n_probe: int, sig: Column = None, planes=None
 ) -> Column:
     """Multi-probe bucket list: the primary signature plus the buckets
     reached by flipping the (n_probe - 1) lowest-|margin| bits — the
@@ -155,7 +191,7 @@ def lsh_probe_buckets(
     margins = F.array(
         *[
             F.struct(
-                F.abs(_dot(vec, _hyperplane(dim, b))).alias("m"),
+                F.abs(_dot(vec, _plane_col(dim, b, planes))).alias("m"),
                 F.lit(b).alias("bit"),
             )
             for b in range(n_bits)
@@ -169,7 +205,7 @@ def lsh_probe_buckets(
     # re-evaluates captured outer expressions per element (CLAUDE.md),
     # so an inline signature would recompute n_bits dot products per flip
     if sig is None:
-        sig = lsh_signature(vec, dim, n_bits)
+        sig = lsh_signature(vec, dim, n_bits, planes)
     # shiftleft's shift amount must be a python int, so index a literal
     # powers-of-two array with the (dynamic) bit number instead
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
@@ -261,6 +297,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     max_bucket_size: int = 1024,
     persist_membership: bool = True,
+    planes=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify.
 
@@ -272,7 +309,7 @@ def embedding_near_dup(
     side (dedup.self_join_ready)."""
     from .dedup import _cap_buckets, self_join_ready
 
-    sig = lsh_signature(F.col(vec_col), dim, n_bits)
+    sig = lsh_signature(F.col(vec_col), dim, n_bits, planes)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
     base = _cap_buckets(base, ["bucket"], max_bucket_size)
     base = self_join_ready(base, persist_membership)
