@@ -91,6 +91,16 @@ def _r4(c):
     return F.round(c, 4)
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Small-file table feeding a compute-bound (explode/hash/score)
+    pipeline: widen the scan to core count (dedup.spread_small_scan) so
+    the narrow stages parallelize — byte-based split sizing gives these
+    sub-MB fixtures ONE task otherwise."""
+    from fluent_bit_spark.dataops.dedup import spread_small_scan
+
+    return spread_small_scan(_t(spark, sf_dir, name))
+
+
 def _epoch(c):
     # truncating epoch seconds; oracle side uses CAST(floor(epoch(ts)) AS BIGINT)
     return F.unix_timestamp(c)
@@ -149,7 +159,7 @@ def q_trace_sampling(spark, sf_dir):
     """Tail-based trace sampling (sampling_tail.c + sampling_cond_*):
     spans derived deterministically from events (trace = user, span
     latency = value ms, error status from event_type); keep every span
-    of traces with a slow span, an error span, or >= 25 spans."""
+    of traces with a slow span (latency >= 400 ms) or >= 80 spans."""
     from fluent_bit_spark.processors import TailCondition, tail_sample_traces
 
     ev = _t(spark, sf_dir, "events")
@@ -769,14 +779,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     replica. The xxhash64 engine is the scale default; its values are
     property-tested equivalent in pytest (engine choice changes hashes,
     not the plan)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     docs = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
+    # with_sigs carries the 8-long signature onto the pair rows, so the
+    # estimate is a projection: ONE signature build, zero verify joins.
     pairs = dedup.minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
+        docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5", with_sigs=True
     )
-    est = dedup.minhash_jaccard_estimate(
-        docs, pairs, num_hashes=8, shingle_n=2, hash_engine="md5"
-    )
+    est = dedup.estimate_from_sig_pairs(pairs, num_hashes=8)
     return est.select("id_a", "id_b", _r4("est_jaccard").alias("est_j"))
 
 
@@ -797,7 +807,7 @@ def q_dedup_simhash(spark, sf_dir):
     doc_id kept — with the md5-60 checkable hash (bits=60) so the DuckDB
     oracle recomputes every fingerprint and the kept set value-for-value.
     xxhash64/64-bit is the scale default (property-equivalent plan)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = docs.filter(F.size(toks) >= 2)
     out = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60)
@@ -810,7 +820,7 @@ def q_simhash_hamming(spark, sf_dir):
     DuckDB oracle recomputes the identical fingerprints, banding, bucket
     cap, and Hamming filter value-for-value (closing simhash_dedup's
     identical-fingerprint-only recall gap)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = docs.filter(F.size(toks) >= 2)
     pairs = dedup.simhash_near_dup(
@@ -829,7 +839,7 @@ def q_simhash_hamming(spark, sf_dir):
 
 def q_text_profile(spark, sf_dir):
     """text analysis: token counts, BPE-ish counts, lang-ID, quality."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     out = textstats.text_profile(docs)
     return out.select(
         "doc_id",
@@ -842,9 +852,7 @@ def q_text_profile(spark, sf_dir):
 
 def q_sim_topk(spark, sf_dir):
     """brute-force cosine top-k (correctness baseline for ANN)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    )
+    emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.select("query_id", "cand_id", "rank")
@@ -853,7 +861,7 @@ def q_sim_topk(spark, sf_dir):
 def _emb_double(spark, sf_dir):
     """embeddings with the float vector cast to double so both engines
     run identical double arithmetic (DuckDB oracle casts AS DOUBLE[])."""
-    return _t(spark, sf_dir, "embeddings").withColumn(
+    return _t_spread(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
 
@@ -894,7 +902,7 @@ def q_multimodal_decode(spark, sf_dir):
     and phash from sha256(payload), which the DuckDB oracle recomputes;
     kind assignment uses the checkable mod engine (the xxhash64 scatter
     is the scale default)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     media = multimodal.make_media_table(spark, docs, kind_engine="mod")
     out = multimodal.decode_images(media, fake=True)
     return out.select("media_id", "width", "height", "phash")
@@ -991,7 +999,7 @@ def q_dedup_neardup_pipeline(spark, sf_dir):
     every stage (candidates, bigram Jaccard, keep set); xxhash64 is the
     scale default. Docs too short to shingle skip candidate generation
     but stay in the keep set."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     shingleable = docs.filter(
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
     )

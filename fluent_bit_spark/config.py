@@ -133,8 +133,21 @@ def parse_yaml(text: str) -> list:
                         x = "true" if x else "false"
                     entries.append((key, str(x)))
             sections.append(Section(secname, entries))
+            # processor units attach strictly per plugin instance in the
+            # reference (flb_processor.c): only INPUT processors become
+            # ingest-side filters here; filter/output processors: are not
+            # hoisted into the global filter chain (an output's
+            # processors run post-routing, which this chain can't model).
+            if secname != "INPUT":
+                continue
+            lowered = {str(k).lower(): v for k, v in item.items()}
+            # default tag = the plugin instance's own tag: alias, else
+            # plugin name (the same fallback _build_input applies) —
+            # never '*', which would run this unit on every pipeline
+            default_tag = lowered.get("alias") or lowered.get("name") or "input"
+            scope = str(lowered.get("tag", default_tag))
             for proc in procs.get("logs") or []:
-                pentries = [("match", str(item.get("tag", "*")))]
+                pentries = [("match", scope)]
                 for k, v in (proc or {}).items():
                     if isinstance(v, bool):
                         v = "true" if v else "false"

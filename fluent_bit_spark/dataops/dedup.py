@@ -19,6 +19,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a compute-bound pipeline whose scan is byte-small.
+
+    Spark sizes scan splits by bytes (spark.sql.files.maxPartitionBytes),
+    so a small parquet file whose rows explode 100-1000x downstream
+    (shingling, signature hashing) runs its whole narrow pipeline as ONE
+    task regardless of cluster width. A round-robin repartition of the
+    raw rows (one cheap shuffle, bytes = the scan itself) buys full-width
+    parallelism for the expensive explode+hash stages. No-op when the
+    scan already has >= core-count splits — at 100-TB scale the table has
+    thousands of splits and this never fires."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (lower-cased, whitespace tokenized).
 
@@ -141,14 +158,20 @@ def minhash_table(
 
 def _minhash_banded(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int,
-    shingle_n: int, hash_engine: str = "xxhash64",
+    shingle_n: int, hash_engine: str = "xxhash64", sigs: DataFrame | None = None,
+    with_sig: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) membership rows for LSH banding. The bucket id
     hashes the band's signature slice with the same engine as the
     signatures ('md5' buckets = md5_hash60('<band>|<m1,m2,...>'), exactly
-    reproducible in the DuckDB oracle)."""
+    reproducible in the DuckDB oracle). Pass a precomputed (and ideally
+    persisted) `sigs` (id, sig) table to share ONE signature build across
+    candidate generation and verification — the signature pass is the
+    expensive stage and runs once per consumer otherwise."""
     rows_per_band = num_hashes // bands
-    base = minhash_table(df, text_col, id_col, num_hashes, shingle_n, hash_engine)
+    base = sigs if sigs is not None else minhash_table(
+        df, text_col, id_col, num_hashes, shingle_n, hash_engine
+    )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
 
     def bucket(b: Column) -> Column:
@@ -160,15 +183,20 @@ def _minhash_banded(
             return md5_hash60(F.concat(b.cast("string"), F.lit("|"), joined))
         return F.xxhash64(joined, b)
 
+    keep_sig = ["sig"] if with_sig else []
     return base.select(
         "id",
+        *keep_sig,
         F.explode(
             F.transform(
                 band_idx,
                 lambda b: F.struct(b.alias("band"), bucket(b).alias("bucket")),
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", *keep_sig,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
 
 
 def self_join_ready(df: DataFrame, persist: bool = True) -> DataFrame:
@@ -234,6 +262,8 @@ def minhash_lsh_candidates(
     max_bucket_size: int = 256,
     persist_membership: bool = True,
     hash_engine: str = "xxhash64",
+    sigs: DataFrame | None = None,
+    with_sigs: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band bucket.
 
@@ -244,14 +274,28 @@ def minhash_lsh_candidates(
     use lsh_overflow_buckets for the dropped-bucket audit. The membership
     table is persisted so the signature build runs once, not once per
     self-join side (self_join_ready).
+
+    with_sigs=True additionally carries each side's signature array onto
+    the pair rows (sig_a, sig_b), letting estimate_from_sig_pairs verify
+    candidates as a pure projection — zero further joins and ONE
+    signature build total. Costs num_hashes longs per membership row
+    through the bucket shuffle: right when num_hashes is small or
+    verification always follows; for wide signatures pass a persisted
+    `sigs` table here and to minhash_jaccard_estimate instead.
     """
     banded = _minhash_banded(
-        df, text_col, id_col, num_hashes, bands, shingle_n, hash_engine
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_engine, sigs,
+        with_sig=with_sigs,
     )
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     banded = self_join_ready(banded, persist_membership)
     a = banded.alias("a")
     b = banded.alias("b")
+    extra = (
+        [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+        if with_sigs
+        else []
+    )
     pairs = (
         a.join(
             b,
@@ -259,22 +303,40 @@ def minhash_lsh_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), *extra)
         .distinct()
     )
     return pairs
 
 
+def estimate_from_sig_pairs(pairs: DataFrame, num_hashes: int) -> DataFrame:
+    """Jaccard estimate over pairs that already carry sig_a/sig_b
+    (minhash_lsh_candidates(with_sigs=True)): fraction of equal signature
+    positions, computed as a projection — no joins."""
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", (eq / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
 def minhash_jaccard_estimate(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, shingle_n: int = 3, hash_engine: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidates: estimated Jaccard = fraction of equal signature
     positions. Joins signatures onto the (small) candidate set; the
     signature table comes from the codegen path (minhash_table). Pass the
     same hash_engine used for candidate generation ('md5' for the
-    cross-engine-checkable variant)."""
-    sigs = minhash_table(df, text_col, id_col, num_hashes, shingle_n, hash_engine)
+    cross-engine-checkable variant), and ideally the SAME persisted
+    `sigs` table the candidate step used (one signature build total)."""
+    if sigs is None:
+        sigs = minhash_table(df, text_col, id_col, num_hashes, shingle_n, hash_engine)
     out = (
         pairs.join(sigs.withColumnRenamed("sig", "sig_a"), pairs.id_a == sigs.id)
         .drop("id")

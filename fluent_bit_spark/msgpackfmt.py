@@ -219,11 +219,17 @@ def write_msgpack(
     (out_file is a local filesystem writer; file.c cb_file_flush).
     Task retries overwrite the same per-partition file, so the write is
     idempotent. Returns the record count."""
+    import glob as _glob
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(dest, exist_ok=True)
+    # overwrite semantics like every other sink: a rerun with fewer
+    # partitions must not leave stale part files from the previous run
+    # visible to directory readers
+    for stale in _glob.glob(os.path.join(dest, "part-*.msgpack")):
+        os.remove(stale)
     packed = to_msgpack_binary(df, ts_col, cols)
 
     def writer(batches: Iterable):
@@ -262,9 +268,14 @@ def to_msgpack_binary(
             if ts_col is None:
                 ts = pd.Series([0.0] * len(pdf))
             else:
-                ts = pdf[ts_col]
-                if pd.api.types.is_datetime64_any_dtype(ts):
-                    ts = ts.astype("int64") / 1e9  # epoch seconds
+                raw = pdf[ts_col]
+                if pd.api.types.is_datetime64_any_dtype(raw):
+                    # NaT's int64 sentinel would pack a garbage epoch;
+                    # null timestamps pack as 0.0 (flb_time zero)
+                    ts = (raw.astype("int64") / 1e9).where(raw.notna(), 0.0)
+                else:
+                    # None in a numeric/object column would hit float(None)
+                    ts = raw.fillna(0.0).astype("float64")
             recs = pdf[list(cols)]
             for t, row in zip(ts.tolist(), recs.itertuples(index=False)):
                 rec = {}

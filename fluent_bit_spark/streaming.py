@@ -184,6 +184,21 @@ def throttle_stream(
 # in_kafka glue — plugins/in_kafka/in_kafka.c
 # ---------------------------------------------------------------------------
 
+def _parse_size(v) -> int:
+    """Byte-size string with optional K/M/G suffix -> int bytes
+    (flb_utils.c:flb_utils_size_to_bytes semantics, 1024 base). Rejects
+    anything else rather than passing an unparsable value to Spark."""
+    s = str(v).strip()
+    mult = 1
+    suffixes = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    if s and s[-1].lower() in suffixes:
+        mult = suffixes[s[-1].lower()]
+        s = s[:-1]
+    if not s.isdigit():
+        raise ValueError(f"buffer_max_size: unparsable byte size {v!r}")
+    return int(s) * mult
+
+
 def kafka_options(
     brokers: str,
     topics: str,
@@ -210,9 +225,12 @@ def kafka_options(
     if poll_timeout_ms is not None:
         opts["kafkaConsumer.pollTimeoutMs"] = str(poll_timeout_ms)
     if buffer_max_size is not None:
-        # in_kafka caps the accumulated chunk; the Spark analogue caps
-        # per-trigger intake
-        opts["maxOffsetsPerTrigger"] = str(buffer_max_size)
+        # in_kafka's buffer_max_size is a BYTE size (often suffixed,
+        # e.g. '4M'); Spark has no per-trigger byte cap, so map it onto
+        # the per-partition fetch byte limit — the same librdkafka knob
+        # namespace the reference hands it to. A record-count option
+        # (maxOffsetsPerTrigger) would silently change semantics.
+        opts["kafka.max.partition.fetch.bytes"] = str(_parse_size(buffer_max_size))
     for k, v in (rdkafka or {}).items():
         opts[f"kafka.{k}"] = str(v)
     return opts

@@ -342,3 +342,51 @@ pipeline:
     assert len(rows["app.a"]["code"]) == 64  # sha-256 hex
     assert rows["db.b"]["code"] == "500"     # other tag untouched
     assert rows["db.b"]["source"] is None
+
+
+def test_yaml_processor_scoping_defaults():
+    """Processor units attach strictly per plugin instance
+    (flb_processor.c): an input with NO explicit tag scopes its
+    processors to the plugin's own default tag (alias, else name) —
+    never '*' — and output-section processors are not hoisted into the
+    global filter chain."""
+    from fluent_bit_spark.config import parse_yaml
+
+    conf = """
+pipeline:
+  inputs:
+    - name: dummy
+      dummy: '{"m": 1}'
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: a
+            value: b
+    - name: dummy
+      alias: side
+      dummy: '{"m": 2}'
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: c
+            value: d
+  outputs:
+    - name: file
+      match: '*'
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: x
+            value: y
+"""
+    sections = parse_yaml(conf)
+    filters = [s for s in sections if s.name == "FILTER"]
+    matches = [dict(s.entries)["match"] for s in filters]
+    # input 1: default tag = plugin name; input 2: alias wins
+    assert matches == ["dummy", "side"]
+    # the output's processors unit must NOT appear as a global filter
+    keys = [dict(s.entries).get("key") for s in filters]
+    assert "x" not in keys

@@ -489,3 +489,41 @@ def test_clean_corpus_pipeline(spark):
     st = {r["lang_pred"]: r for r in stats.collect()}
     assert st["en"]["n_docs"] == 2 and st["en"]["n_tokens"] > 0
     assert 0 < st["en"]["avg_quality"] <= 1.0
+
+
+def test_with_sigs_estimate_matches_join_estimate(docs):
+    """minhash_lsh_candidates(with_sigs=True) + estimate_from_sig_pairs
+    (the zero-join verify path) returns exactly the pairs + estimates of
+    the join-based minhash_jaccard_estimate on the same candidates."""
+    d = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
+    carried = dedup.estimate_from_sig_pairs(
+        dedup.minhash_lsh_candidates(
+            d, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5",
+            with_sigs=True, persist_membership=False,
+        ),
+        num_hashes=8,
+    )
+    joined = dedup.minhash_jaccard_estimate(
+        d,
+        dedup.minhash_lsh_candidates(
+            d, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5",
+            persist_membership=False,
+        ),
+        num_hashes=8, shingle_n=2, hash_engine="md5",
+    )
+    a = sorted(map(tuple, carried.collect()))
+    b = sorted(map(tuple, joined.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_spread_small_scan_widens_single_split(docs):
+    """A sub-MB scan runs as one task; spread_small_scan widens it to
+    core count and is a no-op on already-wide frames."""
+    assert docs.rdd.getNumPartitions() == 1
+    wide = dedup.spread_small_scan(docs)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    assert wide.count() == docs.count()
+    # no-op on an already-wide frame: same plan object back
+    again = dedup.spread_small_scan(wide)
+    assert again.rdd.getNumPartitions() == target

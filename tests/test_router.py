@@ -197,6 +197,42 @@ def test_msgpack_sink_roundtrip(spark, tmp_path):
     assert events[1] == [2.0, {"tag": "t.a", "msg": "world", "n": None}]
 
 
+def test_msgpack_rerun_clears_stale_parts_and_null_ts(spark, tmp_path):
+    """A rerun with fewer partitions must not leave the previous run's
+    part files visible (overwrite semantics like every other sink), and
+    null/NaT timestamps pack as 0.0, not a garbage epoch sentinel."""
+    import glob
+
+    from fluent_bit_spark.msgpackfmt import unpack_stream, write_msgpack
+
+    dest = str(tmp_path / "mp")
+    wide = spark.createDataFrame(
+        [(float(i), f"m{i}") for i in range(8)], "ts double, msg string"
+    ).repartition(4)
+    assert write_msgpack(wide, "ts", ["msg"], dest) == 8
+    assert len(glob.glob(dest + "/part-*.msgpack")) == 4
+
+    narrow = spark.createDataFrame(
+        [(1.5, "only"), (None, "nullts")], "ts double, msg string"
+    ).coalesce(1)
+    assert write_msgpack(narrow, "ts", ["msg"], dest) == 2
+    files = glob.glob(dest + "/part-*.msgpack")
+    assert len(files) == 1  # stale part-00001..3 removed
+    events = sorted(unpack_stream(open(files[0], "rb").read()), key=lambda e: e[1]["msg"])
+    assert events[0] == [0.0, {"msg": "nullts"}]
+    assert events[1] == [1.5, {"msg": "only"}]
+
+    # NaT in a datetime column packs 0.0 too
+    dt = spark.createDataFrame(
+        [("2020-01-01 00:00:00", "a"), (None, "b")], "t string, msg string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS t", "msg").coalesce(1)
+    d2 = str(tmp_path / "mp2")
+    assert write_msgpack(dt, "t", ["msg"], d2) == 2
+    evs = {e[1]["msg"]: e[0] for p in glob.glob(d2 + "/part-*.msgpack")
+           for e in unpack_stream(open(p, "rb").read())}
+    assert evs["b"] == 0.0 and evs["a"] == 1577836800.0
+
+
 def test_delimiter_options(spark, tmp_path):
     """Delimiter/Label_Delimiter (file.c:69-86): only the names
     tab/space/comma are honored; csv sep and ltsv delimiters follow."""

@@ -132,7 +132,7 @@ def test_kafka_option_mapping():
 
     opts = kafka_options(
         "b1:9092,b2:9092", "logs,audit", group_id="g", client_id="c",
-        poll_timeout_ms=500, buffer_max_size="10000",
+        poll_timeout_ms=500, buffer_max_size="4M",
         rdkafka={"security.protocol": "SASL_SSL"},
     )
     assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
@@ -140,8 +140,16 @@ def test_kafka_option_mapping():
     assert opts["kafka.group.id"] == "g"
     assert opts["kafka.client.id"] == "c"
     assert opts["kafkaConsumer.pollTimeoutMs"] == "500"
-    assert opts["maxOffsetsPerTrigger"] == "10000"
+    # buffer_max_size is a BYTE size (suffix allowed) -> librdkafka fetch
+    # byte cap, never the record-count maxOffsetsPerTrigger
+    assert opts["kafka.max.partition.fetch.bytes"] == str(4 * 1024 * 1024)
+    assert "maxOffsetsPerTrigger" not in opts
     assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kafka_options("b:9092", "t", buffer_max_size="4X")
 
 
 def test_kafka_frame_shape(spark):
