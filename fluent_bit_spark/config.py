@@ -195,6 +195,16 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
             *[F.lit(v).alias(k) for k, v in fields.items()],
         )
         return df
+    if name == "dummy_profiles":
+        # PROFILES event class source (flb_input_chunk.c:1483-1494's
+        # fourth chunk type); encode_as_log mirrors in_opentelemetry's
+        # encode_profiles_as_log default (profiles.py)
+        from .profiles import dummy_profiles, profiles_as_log
+
+        df = dummy_profiles(spark, int(s.get("samples", "1")), tag)
+        if _bool(s.get("encode_as_log", "false")):
+            df = profiles_as_log(df)
+        return df
     if name == "exec":
         from .streaming import exec_source
 

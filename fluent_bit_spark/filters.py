@@ -415,9 +415,13 @@ def apply_throttle(
     ts_col: str = "ts",
     order_col: Optional[str] = None,
     salt_buckets: int = 32,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Event-time rate limit: keep at most ``rate`` records per
-    ``interval_sec`` pane.
+    ``interval_sec`` pane — per ``group_cols`` value when given (the
+    per-key limiting the reference's Throttle lacks and its
+    scripts/rate_limit.lua works around; this variant is exact and
+    distributed: the rank key is (group, pane)).
 
     The reference drops a record when the sliding-window average
     ``total/size >= rate`` at arrival time (throttle.c:82-125) — an
@@ -437,15 +441,16 @@ def apply_throttle(
     (streaming.throttle_stream) is the arrival-time analogue.
     """
     pane = F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec)
+    keys = [F.col(c) for c in (group_cols or [])] + [pane]
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     if salt_buckets:
-        wp = Window.partitionBy(pane, _pane_salt(order, salt_buckets)).orderBy(*order)
+        wp = Window.partitionBy(*keys, _pane_salt(order, salt_buckets)).orderBy(*order)
         df = (
             df.withColumn("__prn", F.row_number().over(wp))
             .filter(F.col("__prn") <= rate)
             .drop("__prn")
         )
-    w = Window.partitionBy(pane).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= rate)

@@ -1,0 +1,134 @@
+"""Stock filter_lua scripts re-expressed as vectorized scripted_transform
+recipes.
+
+The reference ships Lua callbacks with the contract (lua.c:659-676,
+scripts/test.lua): ``cb(tag, timestamp, record) -> (code, ts, record)``
+where code -1 deletes the record, 0 keeps it untouched, 1 replaces
+timestamp AND record, 2 replaces the record keeping the timestamp. These
+recipes port the stock scripts (scripts/append_tag.lua,
+scripts/override_time.lua, scripts/rate_limit.lua, scripts/test.lua
+cb_drop/cb_replace) onto processors.scripted_transform — the same
+semantics, applied to Arrow record batches instead of one record per
+callback: drop = filter the batch (code -1), modify = edit columns
+(code 1/2), timestamp replace = rewrite the ts column (code 1).
+
+Each recipe returns a ``fn(pdf) -> pdf`` suitable for
+``scripted_transform(df, fn, schema)`` plus the output schema, so users
+migrating an existing Lua script see a 1:1 shape: the Lua function body
+becomes the pandas batch body.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame
+
+from .processors import scripted_transform
+
+
+def _schema_of(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def append_tag(df: DataFrame, tag_col: str = "tag", out_key: str = "tag_field") -> DataFrame:
+    """scripts/append_tag.lua: ``new_record['tag'] = tag; return 1, ts,
+    new_record`` — every record gains a key carrying its stream tag
+    (code 1 with the timestamp passed through unchanged).
+
+    out_key defaults to 'tag_field' because the flat record here already
+    holds the routing tag under `tag_col`; set out_key='tag' to shadow it
+    exactly like the Lua script does on its record table."""
+
+    def fn(pdf):
+        out = pdf.copy()
+        out[out_key] = pdf[tag_col]
+        return out
+
+    return scripted_transform(df, fn, _schema_of(df) + f", {out_key} string")
+
+
+def override_time(df: DataFrame, time_key: str, ts_col: str = "ts") -> DataFrame:
+    """scripts/override_time.lua: ``return 1, record[KEY_OF_TIMESTAMP],
+    record`` — the event timestamp is replaced by an epoch carried inside
+    the record (code 1: timestamp replace). Records missing the key keep
+    their original timestamp (the Lua nil return would zero it; keeping
+    is the documented intent of the script's issue #662)."""
+
+    def fn(pdf):
+        out = pdf.copy()
+        repl = pdf[time_key]
+        keep = repl.isna()
+        out[ts_col] = repl.where(~keep, pdf[ts_col]).astype("float64")
+        return out
+
+    return scripted_transform(df, fn, _schema_of(df))
+
+
+def drop_where(df: DataFrame, key: str, value) -> DataFrame:
+    """scripts/test.lua cb_drop: ``return -1, 0, 0`` — code -1 deletes
+    the record; here for every record whose `key` equals `value` (the
+    drop-by-field pattern from the filter_lua docs)."""
+
+    def fn(pdf):
+        return pdf[pdf[key] != value]
+
+    return scripted_transform(df, fn, _schema_of(df))
+
+
+def replace_record(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """scripts/test.lua cb_replace: ``new_record = {new=12345,
+    old=record}; return 1, ts, new_record`` — the record is replaced by a
+    two-key map: a constant and the ORIGINAL record nested under 'old'
+    (serialized to JSON here; the Lua table nests natively)."""
+
+    def fn(pdf):
+        import pandas as pd
+
+        payload = pdf.drop(columns=[ts_col])
+        old = payload.apply(
+            lambda r: json.dumps(
+                {k: (None if isinstance(v, float) and math.isnan(v) else v)
+                 for k, v in r.items()},
+                sort_keys=True,
+            ),
+            axis=1,
+        ) if len(pdf) else pd.Series([], dtype="object")
+        return pd.DataFrame(
+            {"ts": pdf[ts_col], "new": [12345] * len(pdf), "old": old}
+        )
+
+    return scripted_transform(df, fn, "ts double, new long, old string")
+
+
+def rate_limit(
+    df: DataFrame,
+    group_key: str,
+    limit: int,
+    period_s: int = 60,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+) -> DataFrame:
+    """scripts/rate_limit.lua: per-group token bucket — at most `limit`
+    records per `group_key` value per `period_s` window; excess returns
+    code -1 (drop).
+
+    The Lua script counts per worker process and resets on wall-clock
+    period; this batch recipe counts per (group, event-time pane) within
+    each Arrow batch — the same per-worker approximation (state does not
+    cross partitions), made deterministic by ordering on `order_col`.
+    For an EXACT global limit use filters.apply_throttle with
+    group_cols=[group_key]: same pane semantics, window-ranked across the
+    whole dataset (that variant is oracle-verified)."""
+
+    def fn(pdf):
+        out = pdf.copy()
+        pane = (out[ts_col].astype("float64") // period_s).astype("int64")
+        if order_col is not None:
+            out = out.sort_values(order_col, kind="mergesort")
+            pane = pane.loc[out.index]
+        rank = out.groupby([out[group_key], pane]).cumcount()
+        return out[rank < limit]
+
+    return scripted_transform(df, fn, _schema_of(df))

@@ -251,14 +251,18 @@ def write_msgpack(
 
 
 def to_msgpack_binary(
-    df: DataFrame, ts_col, cols: Sequence[str]
+    df: DataFrame, ts_col, cols: Sequence[str], passthrough: Sequence[str] = ()
 ) -> DataFrame:
     """(value: binary) rows: one packed [ts, record] per input row.
 
     Arrow-batched: each pandas batch is walked once; NaN/None fields are
     packed as nil. The epoch-seconds float mirrors flb_time_to_double.
+    `passthrough` columns ride along unpacked (e.g. kafka topic/key next
+    to the packed value).
     """
     import math
+
+    pass_schema = "".join(f", {c} string" for c in passthrough)
 
     def run(batches: Iterable):
         import pandas as pd
@@ -287,9 +291,12 @@ def to_msgpack_binary(
                     else:
                         rec[k] = v
                 vals.append(pack_record(t, rec))
-            yield pd.DataFrame({"value": vals})
+            out = {"value": vals}
+            for c in passthrough:
+                out[c] = list(pdf[c])
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, "value binary")
+    return df.mapInPandas(run, "value binary" + pass_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""PROFILES event class — the fourth chunk type of the reference engine
+(src/flb_input_chunk.c:1483-1494 LOGS/METRICS/TRACES/PROFILES).
+
+The reference ingests OTLP profiles through in_opentelemetry guarded by
+`profiles_support` (opentelemetry.c:207-216) and carries them as
+cprofiles objects (pprof-shaped: sample type/unit, value, location
+stack, labels); with `encode_profiles_as_log` (the default) each profile
+is rendered to text and re-ingested on the LOGS pipeline
+(opentelemetry_prot.c ingest_profiles_context_as_log_entry). Support is
+skeletal there, and mirrored at the same depth here:
+
+* the DataFrame convention — one row per pprof sample:
+
+      tag:          string
+      ts:           timestamp-ish (epoch double)
+      profile_id:   string   -- one profile = one id
+      sample_type:  string   -- e.g. 'cpu', 'alloc_objects'
+      sample_unit:  string   -- e.g. 'nanoseconds', 'count'
+      value:        long
+      stack:        array<string>  -- leaf-first frame names
+      labels:       map<string,string>
+
+* routing is pass-through: a profiles frame carries the same tag column
+  every other class carries, so router.route_flags / write_sinks apply
+  unchanged (the reference routes all four classes through the same
+  chunk dispatch).
+* profiles_as_log is the encode_profiles_as_log bridge: render each
+  sample to a text line and hand it to the logs pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROFILE_SCHEMA = (
+    "tag string, ts double, profile_id string, sample_type string, "
+    "sample_unit string, value long, stack array<string>, "
+    "labels map<string,string>"
+)
+
+
+def dummy_profiles(spark: SparkSession, samples: int = 1, tag: str = "profiles.0") -> DataFrame:
+    """in_dummy analogue for the profiles class: deterministic pprof-shaped
+    sample rows (the test-source convention every class gets)."""
+    i = F.col("id")
+    return spark.range(samples).select(
+        F.lit(tag).alias("tag"),
+        (F.lit(1.0) + i).cast("double").alias("ts"),
+        F.concat(F.lit("prof-"), (i % 4).cast("string")).alias("profile_id"),
+        F.lit("cpu").alias("sample_type"),
+        F.lit("nanoseconds").alias("sample_unit"),
+        (i * 100 + 7).cast("long").alias("value"),
+        F.array(
+            F.concat(F.lit("leaf_"), (i % 3).cast("string")), F.lit("main")
+        ).alias("stack"),
+        F.create_map(F.lit("pid"), (i % 2).cast("string")).alias("labels"),
+    )
+
+
+def profiles_as_log(df: DataFrame) -> DataFrame:
+    """encode_profiles_as_log: render each sample to a text log record
+    (tag, ts, payload) so it flows down the LOGS pipeline — the
+    reference's default handling (opentelemetry.c:214-216, profiles
+    "encoded as text and ingested in the logging pipeline")."""
+    line = F.concat(
+        F.col("profile_id"),
+        F.lit(" "),
+        F.col("sample_type"),
+        F.lit("/"),
+        F.col("sample_unit"),
+        F.lit("="),
+        F.col("value").cast("string"),
+        F.lit(" @ "),
+        F.concat_ws(";", F.col("stack")),
+    )
+    return df.select("tag", "ts", line.alias("payload"))

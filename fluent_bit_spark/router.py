@@ -359,6 +359,91 @@ def write_sinks(
     return counts
 
 
+def kafka_frame(
+    df: DataFrame,
+    spec: SinkSpec,
+    topics: Sequence[str],
+    topic_key: Optional[str] = None,
+    message_key_field: Optional[str] = None,
+    message_key: Optional[str] = None,
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Shape records into the (topic, key, value) frame Spark's kafka
+    sink writes — the out_kafka glue, symmetric to streaming.kafka_options
+    / attach_kafka_frame on the source side.
+
+    Mirrors plugins/out_kafka/kafka.c produce():
+    * topic: record[topic_key] when that value IS a configured topic
+      (kafka_topic.c flb_kafka_topic_lookup — unknown values fall back
+      to the default, the FIRST configured topic); else the default.
+      A '*' in a topic template substitutes the record's tag (the
+      source-side tagging convention, reversed).
+    * key: record[message_key_field] (kafka.c message_key_field branch),
+      else the static message_key, else null (round-robin partitioning).
+    * value: rendered by the SinkSpec's format — json (the reference's
+      default), or ltsv/plain/template via the out_file line renderers,
+      or msgpack ([ts, record] packed binary).
+    """
+    default_topic = topics[0] if topics else "fluent-bit"
+
+    def templ(t: str) -> Column:
+        if "*" in t and tag_col in df.columns:
+            pre, post = t.split("*", 1)
+            return F.concat(F.lit(pre), F.col(tag_col), F.lit(post))
+        return F.lit(t)
+
+    topic = templ(default_topic)
+    if topic_key and topic_key in df.columns:
+        tv = F.col(topic_key).cast("string")
+        topic = F.when(tv.isin(list(topics)), tv).otherwise(templ(default_topic))
+
+    if message_key_field and message_key_field in df.columns:
+        key = F.col(message_key_field).cast("string")
+    elif message_key is not None:
+        key = F.lit(message_key)
+    else:
+        key = F.lit(None).cast("string")
+
+    if spec.fmt == "msgpack":
+        from .msgpackfmt import to_msgpack_binary
+
+        ts_col = spec.ts_col or next(
+            (c for c in df.columns if c in ("ts", "warc_ts", "time")), None
+        )
+        cols = [c for c in df.columns if c != ts_col]
+        keyed = df.withColumn("topic", topic).withColumn("key", key)
+        packed = to_msgpack_binary(
+            keyed, ts_col, cols, passthrough=["topic", "key"]
+        )
+        return packed.select("topic", "key", "value")
+    if spec.fmt in ("ltsv", "plain", "template"):
+        value = _text_line(df, spec)
+    else:  # json, the reference default (kafka.c FLB_KAFKA_FMT_JSON)
+        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        topic.alias("topic"), key.alias("key"), value.alias("value")
+    )
+
+
+def write_kafka(
+    df: DataFrame,
+    brokers: str,
+    spec: SinkSpec,
+    topics: Sequence[str],
+    rdkafka: Optional[dict] = None,
+    **frame_kwargs,
+):
+    """out_kafka: render + hand the frame to Spark's kafka batch sink.
+    rdkafka.* options pass through under Spark's `kafka.` prefix (the
+    same librdkafka namespace the reference forwards, kafka_config.c).
+    Requires the spark-sql-kafka connector (delegated, SURVEY §2.1)."""
+    frame = kafka_frame(df, spec, topics, **frame_kwargs)
+    writer = frame.write.format("kafka").option("kafka.bootstrap.servers", brokers)
+    for k, v in (rdkafka or {}).items():
+        writer = writer.option(f"kafka.{k}", str(v))
+    return writer.save()
+
+
 _FLOW_TICKS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 

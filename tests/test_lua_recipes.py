@@ -1,0 +1,109 @@
+"""Golden tests for the stock filter_lua script ports (lua_recipes.py).
+
+Each asserts the exact output the Lua callback contract specifies
+(lua.c:659-676 return-code semantics; scripts/append_tag.lua,
+override_time.lua, rate_limit.lua, test.lua)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import lua_recipes
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            ("app.a", 10.0, "hello", 1500000000.5),
+            ("app.b", 11.0, "drop-me", None),
+            ("db.c", 12.0, "world", 1600000000.25),
+        ],
+        "tag string, ts double, msg string, epoch double",
+    )
+
+
+def test_append_tag_golden(spark):
+    """append_tag.lua: record gains a key carrying the stream tag;
+    code 1 keeps the timestamp."""
+    out = lua_recipes.append_tag(_frame(spark), out_key="tag_field")
+    rows = {r["msg"]: r for r in out.collect()}
+    assert rows["hello"]["tag_field"] == "app.a"
+    assert rows["world"]["tag_field"] == "db.c"
+    assert rows["hello"]["ts"] == 10.0  # timestamp untouched
+
+
+def test_override_time_golden(spark):
+    """override_time.lua: code 1 replaces the event timestamp with the
+    epoch carried in the record; missing key keeps the original."""
+    out = lua_recipes.override_time(_frame(spark), time_key="epoch")
+    rows = {r["msg"]: r["ts"] for r in out.collect()}
+    assert rows["hello"] == 1500000000.5
+    assert rows["world"] == 1600000000.25
+    assert rows["drop-me"] == 11.0  # null epoch -> original kept
+
+
+def test_drop_where_golden(spark):
+    """test.lua cb_drop: code -1 deletes matching records, nothing else
+    changes."""
+    out = lua_recipes.drop_where(_frame(spark), "msg", "drop-me")
+    rows = sorted(r["msg"] for r in out.collect())
+    assert rows == ["hello", "world"]
+
+
+def test_replace_record_golden(spark):
+    """test.lua cb_replace: record becomes {new: 12345, old: <original
+    record>} with the timestamp kept."""
+    out = lua_recipes.replace_record(_frame(spark))
+    rows = {json.loads(r["old"])["msg"]: r for r in out.collect()}
+    r = rows["hello"]
+    assert r["new"] == 12345
+    assert r["ts"] == 10.0
+    assert json.loads(r["old"]) == {
+        "tag": "app.a", "msg": "hello", "epoch": 1500000000.5
+    }
+    # null field round-trips as JSON null (Lua nil)
+    assert json.loads(rows["drop-me"]["old"])["epoch"] is None
+
+
+def test_rate_limit_golden(spark):
+    """rate_limit.lua: at most `limit` records per group per period pane;
+    the overflow records return code -1 (drop)."""
+    rows = [
+        ("g1", float(t), t) for t in range(5)          # pane 0: 5 records
+    ] + [
+        ("g2", float(t), 100 + t) for t in range(2)    # pane 0: 2 records
+    ] + [
+        ("g1", 60.0 + float(t), 200 + t) for t in range(3)  # pane 1
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, n long").coalesce(1)
+    out = lua_recipes.rate_limit(
+        df, group_key="k", limit=3, period_s=60, order_col="n"
+    )
+    got = sorted(r["n"] for r in out.collect())
+    # g1 pane 0 capped at first 3 by order n; g2 and g1-pane-1 under limit
+    assert got == [0, 1, 2, 100, 101, 200, 201, 202]
+
+
+def test_rate_limit_matches_throttle_groupwise(spark):
+    """The exact-global variant the docstring points to: apply_throttle
+    with the group key produces the same kept set on a single partition
+    (same pane + per-group rank semantics)."""
+    from fluent_bit_spark.filters import apply_throttle
+
+    rows = [("g%d" % (i % 3), float(i % 120), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, ts double, n long").coalesce(1)
+    a = sorted(
+        r["n"]
+        for r in lua_recipes.rate_limit(
+            df, "k", limit=4, period_s=60, order_col="n"
+        ).collect()
+    )
+    ts_as_time = df.withColumn("tstamp", F.timestamp_seconds("ts"))
+    b = sorted(
+        r["n"]
+        for r in apply_throttle(
+            ts_as_time, rate=4, interval_sec=60, ts_col="tstamp",
+            order_col="n", group_cols=["k"],
+        ).collect()
+    )
+    assert a == b

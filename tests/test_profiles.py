@@ -1,0 +1,55 @@
+"""PROFILES event class (src/flb_input_chunk.c:1483-1494 fourth chunk
+type): pprof-shaped sample rows, pass-through routing, and the
+encode-as-log bridge (in_opentelemetry profiles path)."""
+
+import glob
+import json
+
+from fluent_bit_spark.profiles import dummy_profiles, profiles_as_log
+
+
+def test_profiles_route_passthrough(spark, tmp_path):
+    """A profiles frame routes by tag glob exactly like every other
+    class — config-driven, with per-sink counts."""
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+pipeline:
+  inputs:
+    - name: dummy_profiles
+      tag: prof.cpu
+      samples: 6
+    - name: dummy
+      tag: app.a
+      dummy: '{"msg": "log"}'
+      samples: 2
+  outputs:
+    - name: file
+      match: 'prof.*'
+      format: json
+      sink_name: profiles_out
+    - name: file
+      match: 'app.*'
+      format: json
+      sink_name: logs_out
+"""
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"profiles_out": 6, "logs_out": 2}
+    rows = [
+        json.loads(ln)
+        for p in glob.glob(str(tmp_path / "profiles_out" / "*.json"))
+        for ln in open(p).read().splitlines()
+    ]
+    assert len(rows) == 6
+    assert all(x["sample_type"] == "cpu" and x["stack"][-1] == "main" for x in rows)
+    assert {x["profile_id"] for x in rows} == {"prof-0", "prof-1", "prof-2", "prof-3"}
+
+
+def test_profiles_encode_as_log_bridge(spark):
+    """encode_profiles_as_log: samples render to text records carrying
+    (tag, ts, payload) — the logs-pipeline shape."""
+    df = profiles_as_log(dummy_profiles(spark, 2, tag="prof.x"))
+    rows = sorted(df.collect(), key=lambda r: r["ts"])
+    assert df.columns == ["tag", "ts", "payload"]
+    assert rows[0]["payload"] == "prof-0 cpu/nanoseconds=7 @ leaf_0;main"
+    assert rows[1]["payload"] == "prof-1 cpu/nanoseconds=107 @ leaf_1;main"
