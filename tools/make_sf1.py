@@ -1,0 +1,68 @@
+"""Generate a deterministic 10x-documents scale dir (sf1-equivalent) for
+off-fixture oracle checks of the dedup/similarity family.
+
+documents: 10 shifted copies of sf0.1's 5k docs (50k total); copies get a
+k-dependent suffix on a deterministic subset so exact dups, near dups and
+unique docs all exist across copies. embeddings: 10 shifted copies with a
+small deterministic per-copy perturbation on one coordinate (keeps
+near-dup structure without exact duplication). Other tables symlink to
+sf0.1 (only the doc/embedding queries are meant to run here).
+
+Usage: python tools/make_sf1.py [dest=/tmp/fbs_sf1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+]
+
+
+def main() -> None:
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fbs_sf1"
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"""
+        COPY (
+            SELECT d.doc_id + k.k * 5000 AS doc_id,
+                   CASE WHEN (d.doc_id + k.k) % 7 = 0 AND k.k > 0
+                        THEN d.text || ' copyvariant' || k.k
+                        ELSE d.text END AS text,
+                   d.lang, d.source
+            FROM '{SRC}/documents.parquet' d, range(10) k(k)
+            ORDER BY doc_id
+        ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+        COPY (
+            SELECT e.vec_id + k.k * 5000 AS vec_id,
+                   CASE WHEN k.k = 0 THEN e.embedding
+                        ELSE list_transform(
+                            list_zip(e.embedding,
+                                     range(len(e.embedding))),
+                            z -> CAST(z[1] + CASE WHEN z[2] = (k.k % 64) + 1
+                                                  THEN 0.01 * k.k
+                                                  ELSE 0.0 END AS FLOAT))
+                        END AS embedding
+            FROM '{SRC}/embeddings.parquet' e, range(10) k(k)
+            ORDER BY vec_id
+        ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in TABLES:
+        link = os.path.join(dest, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{dest}/documents.parquet'").fetchone()[0]
+    m = duckdb.sql(f"SELECT COUNT(*) FROM '{dest}/embeddings.parquet'").fetchone()[0]
+    print(f"{dest}: documents={n} embeddings={m}")
+
+
+if __name__ == "__main__":
+    main()

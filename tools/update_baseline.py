@@ -1,0 +1,71 @@
+"""Regenerate BASELINE.md's correctness-gate block from the newest
+CORRECTNESS_r*.json (the driver's hard record) so the doc can't drift
+from the artifacts (round-2 verdict, Next-round #7).
+
+Rewrites the region between the GENERATED-CORRECTNESS markers; everything
+else in BASELINE.md is left untouched. Run after each driver round:
+
+    python tools/update_baseline.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- GENERATED-CORRECTNESS:BEGIN (tools/update_baseline.py) -->"
+END = "<!-- GENERATED-CORRECTNESS:END -->"
+
+
+def summarize(path: str) -> str:
+    data = json.load(open(path))
+    rows = len(data)
+    green = sum(
+        1
+        for v in data.values()
+        if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+        and v.get("err") is None
+    )
+    rows_only = sum(1 for v in data.values() if v.get("err") == "no_oracle")
+    fails = rows - green - rows_only
+    name = os.path.basename(path)
+    return (
+        f"| correctness gate ({name}) | **{green} green** / {rows_only} rows-only"
+        f" / {fails} fail of {rows} recorded rows |"
+    )
+
+
+def main() -> None:
+    recs = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    lines = [
+        "| metric | value |",
+        "|---|---|",
+    ]
+    for p in recs:
+        lines.append(summarize(p))
+    # registry shape from the entry module (static read, no spark)
+    entry = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    n_queries = entry.count(": q_")
+    lines.append(
+        f"| registry | {n_queries} queries, every one with an oracle_sql "
+        f"entry (rows-only count: 0 since round 3) |"
+    )
+    block = BEGIN + "\n" + "\n".join(lines) + "\n" + END
+
+    baseline_path = os.path.join(REPO, "BASELINE.md")
+    text = open(baseline_path).read()
+    if BEGIN in text:
+        text = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+        )
+    else:
+        text += "\n\n## Correctness record (generated)\n\n" + block + "\n"
+    open(baseline_path, "w").write(text)
+    print(f"updated {baseline_path}: {len(recs)} record files summarized")
+
+
+if __name__ == "__main__":
+    main()
