@@ -33,7 +33,17 @@ multiline   multiline joining as windowed sessionization (+ CRI/docker
             partial-line modes).
 processors  content_modifier / sampling / log_to_metrics / scripted
             (lua-analogue) processor units.
-config      classic fluent-bit.conf parsing -> pipeline execution.
+config      classic + yaml fluent-bit.conf parsing -> pipeline execution.
+metrics     METRICS event class (processor_labels, metrics_selector).
+profiles    PROFILES event class (pprof sample rows, encode-as-log
+            bridge) — all four chunk classes of flb_input_chunk.c
+            modeled.
+lua_recipes stock filter_lua scripts as vectorized batch recipes
+            (append_tag / override_time / drop / replace / rate_limit).
+kube        filter_kubernetes analogue (tag meta + merge_log).
+msgpackfmt  msgpack pack/unpack + forward-protocol payload decode.
+enrich      broadcast lookup joins, CIDR GeoIP, checklist, env metadata.
+bucketing   bucketed co-located joins (zero-exchange large-large joins).
 skew        salted repartitioning + two-stage de-skew aggregation.
 streaming   Structured Streaming surface (in_tail follow + checkpoint
             resume, in_dummy, watermarked windowed metrics).

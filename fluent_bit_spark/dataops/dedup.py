@@ -537,6 +537,37 @@ def simhash_hamming_pairs(
     )
 
 
+def simhash_overflow_buckets(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """(band, bucket, bucket_size) rows exceeding the cap — the audit
+    view for simhash_hamming_pairs' sub-sampling, symmetric to
+    lsh_overflow_buckets (no silent caps)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = F.col(fp_col)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(fp, b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sims.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

@@ -527,3 +527,16 @@ def test_spread_small_scan_widens_single_split(docs):
     # no-op on an already-wide frame: same plan object back
     again = dedup.spread_small_scan(wide)
     assert again.rdd.getNumPartitions() == target
+
+
+def test_simhash_overflow_audit(spark):
+    """simhash_overflow_buckets surfaces capped hot buckets (no silent
+    caps), symmetric to lsh_overflow_buckets."""
+    rows = [(i, 0 if i < 20 else (1 << 40) + i) for i in range(30)]
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    over = dedup.simhash_overflow_buckets(
+        sims, bits=60, bands=4, max_bucket_size=8
+    ).collect()
+    # the 20 identical zero fingerprints overflow every band's cap of 8
+    assert len(over) >= 4
+    assert all(r["bucket_size"] >= 20 for r in over if r["bucket"] == 0)
