@@ -288,6 +288,74 @@ def ivf_assign(
     return df.withColumn("ivf_cell", best.cast("int"))
 
 
+def ivf_partition_at_rest(
+    df: DataFrame,
+    dest: str,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    anchors=None,
+) -> None:
+    """Materialize the corpus partitioned BY CELL — the at-rest layout
+    ivf_topk's docstring promises: `dest/ivf_cell=K/...` parquet, so a
+    probe reads nprobe/n_cells of the files via partition pruning (the
+    scan's PartitionFilters, no data touched outside the probed cells).
+    At 10^12 vectors this is the difference between scanning everything
+    per query batch and scanning only the probed shards."""
+    assigned = ivf_assign(df, dim, n_cells, vec_col=vec_col, anchors=anchors)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(dest)
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors=None,
+) -> DataFrame:
+    """IVF search over an ivf_partition_at_rest layout: the probe-cell
+    join key doubles as the partition column, so Catalyst prunes the
+    scan to the probed cells (assert `PartitionFilters` in the plan).
+    Same results as ivf_topk on the in-memory corpus (cell assignment is
+    deterministic given the same anchors)."""
+    c = spark.read.parquet(path).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "ivf_cell"
+    )
+    cell_scores = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(cell).alias("cell"))
+            for cell, s in enumerate(
+                _anchor_scores(F.col(vec_col), dim, n_cells, anchors)
+            )
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
+        lambda e: e.getField("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells).alias("ivf_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,
