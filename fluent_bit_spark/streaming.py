@@ -335,3 +335,71 @@ def stdin_source(
     if parser is not None:
         df = parser.apply(df, "log")
     return df
+
+
+# ---------------------------------------------------------------------------
+# in_forward — plugins/in_forward/ (fw_prot.c wire modes decoded in
+# msgpackfmt.decode_forward_frame). The transport here is a SPOOL
+# sidecar + file source, the same pattern in_syslog uses: a socket
+# accept loop does not belong inside Spark executors, so a tiny
+# out-of-job server spools each connection's frames to a file and the
+# (re-startable, checkpointable) Spark job reads the spool with the
+# binaryFile source.
+# ---------------------------------------------------------------------------
+
+
+def forward_spool_server(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """Minimal forward-protocol transport sidecar: accept TCP
+    connections, write each connection's bytes to ``spool_dir/
+    fwd-<n>.msgpack``. Returns (server, port); call server.shutdown()
+    to stop. No handshake (the reference's shared-key handshake is an
+    auth layer, fw_prot.c handles it before frames; out of scope), no
+    ack mode. Runs in a daemon thread — a deployment would run this (or
+    any fluentd-compatible receiver writing files) NEXT TO the cluster,
+    not in it."""
+    import os
+    import socketserver
+    import threading
+
+    os.makedirs(spool_dir, exist_ok=True)
+    seq = {"n": 0}
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            data = self.rfile.read()
+            if not data:
+                return
+            with lock:
+                n = seq["n"]
+                seq["n"] += 1
+            tmp = os.path.join(spool_dir, f".fwd-{n:06d}.tmp")
+            dst = os.path.join(spool_dir, f"fwd-{n:06d}.msgpack")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, dst)  # atomic: readers never see partials
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
+
+
+def forward_spool_source(
+    spark: SparkSession, spool_dir: str, streaming: bool = False
+) -> DataFrame:
+    """in_forward source over a spool dir of raw forward frames: the
+    binaryFile source reads whole files (readStream for follow mode with
+    checkpointed no-reprocessing), msgpackfmt.forward_frames_to_records
+    decodes Message / Forward / PackedForward (+gzip) frames with
+    EventTime ext timestamps into (tag, ts, body) rows."""
+    from .msgpackfmt import forward_frames_to_records
+
+    reader = spark.readStream if streaming else spark.read
+    df = (
+        reader.format("binaryFile")
+        .option("pathGlobFilter", "*.msgpack")
+        .load(spool_dir)
+    )
+    return forward_frames_to_records(df.select(F.col("content").alias("value")))

@@ -191,3 +191,49 @@ def test_exec_and_stdin_sources(spark):
     p = RegexParser("kv", r"k=(?<k>\w+)", time_fmt=None)
     sdf = stdin_source(spark, stream=io.StringIO("k=x\nk=y\n"), parser=p)
     assert sorted(r["k"] for r in sdf.collect()) == ["x", "y"]
+
+
+def test_forward_spool_transport_and_source(spark, tmp_path):
+    """in_forward end-to-end: the spool sidecar accepts real TCP
+    connections and the binaryFile source decodes every wire mode
+    (fw_prot.c Message / Forward / PackedForward)."""
+    import socket
+    import time
+
+    from fluent_bit_spark.msgpackfmt import pack_value
+    from fluent_bit_spark.streaming import (
+        forward_spool_server,
+        forward_spool_source,
+    )
+
+    spool = str(tmp_path / "spool")
+    srv, port = forward_spool_server(spool)
+    try:
+        def send(frame: bytes):
+            with socket.create_connection(("127.0.0.1", port)) as s:
+                s.sendall(frame)
+
+        # Message mode
+        send(pack_value(["app.a", 1000.0, {"msg": "hello", "n": 7}]))
+        # Forward mode (two inline entries)
+        send(pack_value(["app.b", [[1001.0, {"msg": "x"}], [1002.0, {"msg": "y"}]]]))
+        # PackedForward mode (concatenated [time, record] pairs as bin)
+        blob = pack_value([1003.0, {"msg": "packed"}])
+        send(pack_value(["app.c", blob]))
+        deadline = time.time() + 5
+        import glob as _glob
+
+        while len(_glob.glob(spool + "/fwd-*.msgpack")) < 3 and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    rows = forward_spool_source(spark, spool).collect()
+    got = sorted((r["tag"], r["ts"], dict(r["body"])["msg"]) for r in rows)
+    assert got == [
+        ("app.a", 1000.0, "hello"),
+        ("app.b", 1001.0, "x"),
+        ("app.b", 1002.0, "y"),
+        ("app.c", 1003.0, "packed"),
+    ]
