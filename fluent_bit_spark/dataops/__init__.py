@@ -2,8 +2,9 @@
 
 Beyond the reference's own operators (SURVEY.md §2), a 100 TB web-text
 engine needs: deduplication (exact + near-dup), similarity search,
-text analysis, and multimodal column plumbing. All operators here are
-DataFrame-native; Python appears only inside Arrow-batched pandas UDFs.
+text analysis, PII detection/redaction, and multimodal column plumbing.
+All operators here are DataFrame-native; Python appears only inside
+Arrow-batched pandas UDFs.
 """
 
-from . import dedup, similarity, textstats, multimodal  # noqa: F401
+from . import dedup, pii, similarity, textstats, multimodal  # noqa: F401

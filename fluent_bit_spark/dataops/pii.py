@@ -1,0 +1,97 @@
+"""PII / sensitive-data detection and redaction — the Spark-native
+analogue of plugins/filter_nightfall (nightfall.c sends each record to a
+cloud detection API, then masks the flagged byte ranges; nightfall.h
+POLICY/sampling config). A 100-TB training-data pipeline cannot call an
+external API per record, so detection here is local: anchored regex
+detectors + checksum verification (Luhn for card numbers), all Catalyst
+expressions inside whole-stage codegen — no UDF, no network.
+
+Detectors (kind -> pattern):
+  email        RFC-lite mailbox@domain.tld
+  ipv4         dotted quad with 0-255 octet check
+  phone        international/US formats, 7+ digits
+  credit_card  13-19 digit runs (spaces/dashes allowed) that PASS Luhn
+  ssn          US 9-digit xxx-xx-xxxx
+  aws_key      AKIA-prefixed access key ids
+  secret       long high-entropy-looking bearer/hex/base64 tokens
+
+`scan` emits per-row arrays of (kind, match) structs for audit /
+sampling-rate decisions (nightfall.h sample_rate); `redact` substitutes
+matches with `[REDACTED:<kind>]` (the reference masks byte ranges; a
+fixed substitution keeps the operation a pure regexp_replace chain —
+length-preserving '*' masking would force per-char work into Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b",
+    "phone": r"(?<![\dA-Za-z])\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?[ .\-]?\d{3}[ .\-]?\d{3,4}(?![\dA-Za-z])",
+    "credit_card": r"(?<![\dA-Za-z])(?:\d[ \-]?){13,19}(?![\dA-Za-z])",
+    "ssn": r"(?<![\dA-Za-z])\d{3}-\d{2}-\d{4}(?![\dA-Za-z])",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "secret": r"\b(?:bearer\s+)?[A-Za-z0-9+/_\-]{40,}={0,2}\b",
+}
+
+
+def luhn_ok(candidate: Column) -> Column:
+    """Luhn checksum over the digits of `candidate` (spaces/dashes
+    stripped) as a pure HOF fold: double every second digit from the
+    right, subtract 9 above 9, sum % 10 == 0."""
+    digits = F.split(F.regexp_replace(candidate, r"[^0-9]", ""), "")
+    digits = F.filter(digits, lambda d: d != "")
+    rev = F.reverse(digits)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(rev) - 1, F.lit(0)))
+    pairs = F.zip_with(rev, idx, lambda d, i: F.struct(d.cast("int").alias("d"), i.alias("i")))
+    term = lambda p: F.when(
+        p.getField("i") % 2 == 1,
+        F.when(p.getField("d") * 2 > 9, p.getField("d") * 2 - 9).otherwise(
+            p.getField("d") * 2
+        ),
+    ).otherwise(p.getField("d"))
+    total = F.aggregate(pairs, F.lit(0), lambda acc, p: acc + term(p))
+    return (F.size(digits) >= 13) & (total % 10 == 0)
+
+
+def scan(
+    df: DataFrame, text_col: str = "text", kinds=None, out_col: str = "pii"
+) -> DataFrame:
+    """Annotate rows with array<struct<kind,match>> of detector hits
+    (the detection response shape nightfall_api.c unpacks). credit_card
+    candidates must pass Luhn; everything else is pattern-only."""
+    kinds = list(kinds or PATTERNS)
+    t = F.col(text_col)
+    arrays = []
+    def tagger(kind: str):
+        # one-arg lambda: a two-arg lambda would make transform() pass
+        # (element, index) and the index would shadow the kind
+        return lambda m: F.struct(F.lit(kind).alias("kind"), m.alias("match"))
+
+    for kind in kinds:
+        hits = F.regexp_extract_all(t, F.lit(PATTERNS[kind]), 0)
+        if kind == "credit_card":
+            hits = F.filter(hits, luhn_ok)
+        arrays.append(F.transform(hits, tagger(kind)))
+    return df.withColumn(out_col, F.concat(*arrays) if len(arrays) > 1 else arrays[0])
+
+
+def redact(
+    df: DataFrame, text_col: str = "text", kinds=None, out_col: str | None = None
+) -> DataFrame:
+    """Replace every detector match with `[REDACTED:<kind>]`
+    (redact_record's masking, substitution form). Detector order is the
+    PATTERNS order restricted to `kinds`; earlier kinds win overlaps.
+    credit_card redaction is pattern-level (a Luhn-failing digit run is
+    left alone only by the narrower scan(); redact errs on removal —
+    the conservative choice for training data)."""
+    kinds = list(kinds or PATTERNS)
+    out = F.col(text_col)
+    for kind in kinds:
+        out = F.regexp_replace(out, PATTERNS[kind], f"[REDACTED:{kind}]")
+    return df.withColumn(out_col or text_col, out)
