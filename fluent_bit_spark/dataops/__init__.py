@@ -7,4 +7,4 @@ All operators here are DataFrame-native; Python appears only inside
 Arrow-batched pandas UDFs.
 """
 
-from . import dedup, pii, similarity, textstats, multimodal  # noqa: F401
+from . import dedup, inference, pii, similarity, textstats, multimodal  # noqa: F401

@@ -1,0 +1,63 @@
+"""Vectorized model inference over columns — the filter_tensorflow
+analogue (plugins/filter_tensorflow runs a TFLite interpreter per record
+inside the filter chain; input/output tensor config in tensorflow.c).
+
+The Spark-first shape: Arrow-batched mapInPandas with a per-PARTITION
+model handle — the interpreter loads once per python worker, then scores
+whole record batches (the reference pays a per-record invoke). No ML
+runtime ships in this container, so the bundled model is a deterministic
+fake (a fixed linear scorer); the engine-relevant parts — batch
+signature, schema contract, lazy per-partition model init, partition
+sizing — are real and tested. Swapping in tflite/onnxruntime changes
+only `model_fn`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def infer(
+    df: DataFrame,
+    input_cols: Sequence[str],
+    model_fn: Callable[[], Callable[[pd.DataFrame], pd.DataFrame]],
+    out_schema: str,
+    passthrough: Sequence[str] = (),
+) -> DataFrame:
+    """Run `model_fn` over Arrow batches of `input_cols`.
+
+    model_fn is a FACTORY: called once per partition (lazy model load on
+    the worker — the tf_lite interpreter-per-instance pattern,
+    tensorflow.c:flb_filter_tensorflow init), returning a callable that
+    maps an input-column pandas frame to an output frame matching
+    `out_schema` (minus the passthrough columns, which ride along)."""
+    cols = list(input_cols) + [c for c in passthrough if c not in input_cols]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_fn()
+        for pdf in batches:
+            out = model(pdf[list(input_cols)])
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
+
+    return df.select(*cols).mapInPandas(run, out_schema)
+
+
+def fake_quality_model() -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Deterministic stand-in scorer (no ML runtime in this container):
+    score = clamped affine function of text length and digit fraction.
+    Exercises the full plumbing; replace with a real tflite/onnx session
+    factory in production."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        text = pdf.iloc[:, 0].fillna("")
+        n = text.str.len().clip(lower=1)
+        digits = text.str.count(r"[0-9]")
+        s = (0.9 - 0.4 * (digits / n) + 0.0001 * n).clip(0.0, 1.0)
+        return pd.DataFrame({"score": s.astype("float64")})
+
+    return score

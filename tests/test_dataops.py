@@ -571,3 +571,30 @@ def test_ivf_at_rest_matches_inmemory_and_prunes(emb, spark, tmp_path):
     # probed cell directories are scanned
     plan = at_rest._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan and "ivf_cell" in plan
+
+
+def test_inference_plumbing(docs, spark):
+    """filter_tensorflow analogue: per-partition lazy model init +
+    Arrow-batched scoring; results match a driver-side replay of the
+    deterministic fake model."""
+    from fluent_bit_spark.dataops import inference
+
+    out = inference.infer(
+        docs,
+        input_cols=["text"],
+        model_fn=inference.fake_quality_model,
+        out_schema="score double, doc_id long",
+        passthrough=["doc_id"],
+    )
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    import pandas as pd
+
+    local = inference.fake_quality_model()(
+        pd.DataFrame({"text": [t for _, t in sorted(
+            (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect())]})
+    )["score"].tolist()
+    ids = sorted(got)
+    assert len(ids) == len(local)
+    for i, d in enumerate(ids):
+        assert abs(got[d] - local[i]) < 1e-12
+    assert all(0.0 <= v <= 1.0 for v in got.values())
