@@ -1,0 +1,204 @@
+"""HTTP ingest family — in_http, in_splunk (HEC), in_elasticsearch
+(bulk) re-expressed for a pull-based engine.
+
+The reference runs HTTP servers inside the agent (plugins/in_http/
+http_prot.c, in_splunk/splunk_prot.c, in_elasticsearch_bulk_prot.c).
+Accept loops don't belong in Spark executors, so the transport here is
+the same sidecar pattern as streaming.forward_spool_server: a tiny
+out-of-job HTTP server spools one envelope file per request
+(atomic rename), and the restartable Spark job reads the spool with the
+json file source. The PROTOCOL semantics — tag-from-URI with the
+reference's sanitizer, tag_key record override, object/array/NDJSON
+body unpacking, HEC event/raw endpoints, ES bulk action/doc pairing —
+are implemented as Catalyst transforms below, independently testable
+without the server.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socketserver
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ENVELOPE_SCHEMA = "path string, ct string, body string"
+
+
+def http_spool_server(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """Transport sidecar: every POST spools {"path","ct","body"} as one
+    single-line-JSON file. Responds 201 like in_http's default
+    successful_response_code (http.c config map). Returns (server, port);
+    server.shutdown() stops it. Runs in a daemon thread — deploy NEXT TO
+    the cluster, not in it."""
+    os.makedirs(spool_dir, exist_ok=True)
+    seq = {"n": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n_bytes = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n_bytes).decode("utf-8", errors="replace")
+            env = {
+                "path": self.path,
+                "ct": self.headers.get("Content-Type", ""),
+                "body": body,
+            }
+            with lock:
+                n = seq["n"]
+                seq["n"] += 1
+            tmp = os.path.join(spool_dir, f".req-{n:06d}.tmp")
+            dst = os.path.join(spool_dir, f"req-{n:06d}.json")
+            with open(tmp, "w") as f:
+                f.write(json.dumps(env, separators=(",", ":")))
+            os.rename(tmp, dst)
+            self.send_response(201)
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def http_spool_source(
+    spark: SparkSession, spool_dir: str, streaming: bool = False
+) -> DataFrame:
+    """(path, ct, body) request envelopes from the spool dir."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(ENVELOPE_SCHEMA)
+        .option("pathGlobFilter", "req-*.json")
+        .json(spool_dir)
+    )
+
+
+def _sanitize_tag(c: Column) -> Column:
+    """http_prot.c sanitize_tag: every char outside [A-Za-z0-9_.]
+    becomes '_'."""
+    return F.regexp_replace(c, r"[^A-Za-z0-9_.]", "_")
+
+
+def _uri_tag(path: Column, default_tag: str) -> Column:
+    """Tag from the request URI (http_prot.c:1060-1083): query string
+    stripped, leading '/' dropped, sanitized; bare '/' -> default tag."""
+    uri = F.split(path, r"\?").getItem(0)
+    stripped = F.regexp_replace(uri, r"^/", "")
+    return F.when(stripped == "", F.lit(default_tag)).otherwise(
+        _sanitize_tag(stripped)
+    )
+
+
+def _body_records(body: Column) -> Column:
+    """One JSON-object string per record from an object / array / NDJSON
+    body (in_http packs each msgpack map separately; flb_pack accepts
+    concatenated objects — newline-delimited here)."""
+    trimmed = F.trim(body)
+    arr = F.when(
+        trimmed.startswith("["),
+        # array body: from_json to array<string> keeps each element's text
+        F.from_json(trimmed, "array<string>"),
+    ).otherwise(F.filter(F.split(body, "\n"), lambda l: F.trim(l) != ""))
+    return arr
+
+
+def http_records(
+    df: DataFrame, default_tag: str = "http.0", tag_key: str | None = None
+) -> DataFrame:
+    """in_http: (tag, record) rows from request envelopes. Tag comes
+    from the URI path; `tag_key` (http.c tag_key option) overrides it
+    with a string field of the record when present."""
+    out = df.select(
+        _uri_tag(F.col("path"), default_tag).alias("__uri_tag"),
+        F.explode(_body_records(F.col("body"))).alias("record"),
+    )
+    tag = F.col("__uri_tag")
+    if tag_key:
+        field = F.get_json_object(F.col("record"), f"$.{tag_key}")
+        tag = F.when(field.isNotNull(), _sanitize_tag(field)).otherwise(tag)
+    return out.select(tag.alias("tag"), "record")
+
+
+def hec_records(df: DataFrame, default_tag: str = "splunk.0") -> DataFrame:
+    """in_splunk HEC: /services/collector/event[/1.0] bodies are NDJSON
+    envelopes whose `event` field becomes the record (object events
+    in-place, scalar events wrapped as {"event": ...} — splunk_prot.c
+    process_json); /services/collector/raw[/1.0] bodies break into one
+    {"raw": <line>} record per line. Other paths are dropped."""
+    path = F.split(F.col("path"), r"\?").getItem(0)
+    is_event = path.rlike(r"^/services/collector(/event(/1\.0)?)?$")
+    is_raw = path.rlike(r"^/services/collector/raw(/1\.0)?$")
+    lines = F.explode(
+        F.filter(F.split(F.col("body"), "\n"), lambda l: F.trim(l) != "")
+    )
+    ev = (
+        df.filter(is_event)
+        .select(lines.alias("line"))
+        .select(
+            F.lit(default_tag).alias("tag"),
+            F.coalesce(
+                F.get_json_object(F.col("line"), "$.event"),
+                F.col("line"),
+            ).alias("record"),
+            F.get_json_object(F.col("line"), "$.time").cast("double").alias("ts"),
+        )
+        .withColumn(
+            "record",
+            F.when(
+                F.trim(F.col("record")).startswith("{"), F.col("record")
+            ).otherwise(
+                F.to_json(F.struct(F.col("record").alias("event")))
+            ),
+        )
+    )
+    raw = (
+        df.filter(is_raw)
+        .select(lines.alias("line"))
+        .select(
+            F.lit(default_tag).alias("tag"),
+            F.to_json(F.struct(F.col("line").alias("raw"))).alias("record"),
+            F.lit(None).cast("double").alias("ts"),
+        )
+    )
+    return ev.unionByName(raw)
+
+
+def es_bulk_records(df: DataFrame, default_tag: str = "es.0") -> DataFrame:
+    """in_elasticsearch bulk: NDJSON alternating action/source lines
+    (in_elasticsearch_bulk_prot.c:349 — only `index` and `create`
+    write_ops carry a source doc and are ingested; delete/update are
+    skipped). Each kept row = (tag, op, record<json>)."""
+    with_id = df.withColumn("__req", F.monotonically_increasing_id())
+    lines = with_id.select(
+        "__req",
+        F.posexplode(
+            F.filter(F.split(F.col("body"), "\n"), lambda l: F.trim(l) != "")
+        ).alias("pos", "line"),
+    )
+    op = F.coalesce(
+        *[
+            F.when(
+                F.get_json_object(F.col("line"), f"$.{o}").isNotNull(), F.lit(o)
+            )
+            for o in ("index", "create", "delete", "update")
+        ]
+    )
+    w = Window.partitionBy("__req").orderBy("pos")
+    tagged = lines.withColumn("__op", op).withColumn(
+        "__prev_op", F.lag("__op").over(w)
+    )
+    docs = tagged.filter(
+        F.col("__op").isNull() & F.col("__prev_op").isin("index", "create")
+    )
+    return docs.select(
+        F.lit(default_tag).alias("tag"),
+        F.col("__prev_op").alias("op"),
+        F.col("line").alias("record"),
+    )

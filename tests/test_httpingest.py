@@ -1,0 +1,104 @@
+"""HTTP ingest family (httpingest.py): real-POST transport sidecar +
+in_http / Splunk HEC / ES bulk protocol semantics."""
+
+import json
+import urllib.request
+
+from fluent_bit_spark import httpingest
+
+
+def _post(port, path, body, ct="application/json"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=body.encode(),
+        headers={"Content-Type": ct},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        assert r.status == 201
+
+
+def test_http_end_to_end(spark, tmp_path):
+    """in_http over the spool sidecar: URI-path tags (sanitized,
+    query-string stripped, '/' -> default), object/array/NDJSON bodies."""
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        _post(port, "/app/logs", '{"msg": "one", "n": 1}')
+        _post(port, "/", '[{"msg": "a"}, {"msg": "b"}]')
+        _post(port, "/svc?debug=1", '{"msg": "x"}\n{"msg": "y"}\n')
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    env = httpingest.http_spool_source(spark, spool)
+    assert env.count() == 3
+    recs = httpingest.http_records(env, default_tag="http.0")
+    got = sorted(
+        (r["tag"], json.loads(r["record"])["msg"]) for r in recs.collect()
+    )
+    assert got == [
+        ("app_logs", "one"),     # '/' inside the path sanitizes to '_'
+        ("http.0", "a"),
+        ("http.0", "b"),
+        ("svc", "x"),
+        ("svc", "y"),
+    ]
+
+
+def test_http_tag_key_override(spark):
+    """tag_key (http.c option): a string record field replaces the
+    URI-derived tag, sanitized; records without it keep the URI tag."""
+    env = spark.createDataFrame(
+        [("/ignored", "", '{"route": "db prod", "msg": "m1"}\n{"msg": "m2"}')],
+        httpingest.ENVELOPE_SCHEMA,
+    )
+    recs = httpingest.http_records(env, tag_key="route")
+    got = sorted((r["tag"], json.loads(r["record"])["msg"]) for r in recs.collect())
+    assert got == [("db_prod", "m1"), ("ignored", "m2")]
+
+
+def test_hec_records(spark, tmp_path):
+    """Splunk HEC: event endpoint unwraps `event` (objects in place,
+    scalars wrapped), carries `time`; raw endpoint emits one {"raw":
+    line} per line; other paths drop."""
+    env = spark.createDataFrame(
+        [
+            ("/services/collector/event/1.0", "",
+             '{"time": 1718000000.5, "event": {"msg": "obj"}, "host": "h1"}\n'
+             '{"event": "plain text"}'),
+            ("/services/collector/raw", "", "line one\nline two"),
+            ("/services/collector/health", "", '{"ignored": true}'),
+        ],
+        httpingest.ENVELOPE_SCHEMA,
+    )
+    rows = httpingest.hec_records(env).collect()
+    recs = sorted((json.dumps(json.loads(r["record"]), sort_keys=True), r["ts"])
+                  for r in rows)
+    assert recs == [
+        ('{"event": "plain text"}', None),
+        ('{"msg": "obj"}', 1718000000.5),
+        ('{"raw": "line one"}', None),
+        ('{"raw": "line two"}', None),
+    ]
+
+
+def test_es_bulk_records(spark):
+    """ES bulk: only index/create actions carry ingested source docs
+    (in_elasticsearch_bulk_prot.c:349); delete has no doc, update is
+    skipped entirely."""
+    body = "\n".join(
+        [
+            '{"index": {"_index": "logs"}}',
+            '{"msg": "first"}',
+            '{"delete": {"_id": "9"}}',
+            '{"create": {"_index": "logs"}}',
+            '{"msg": "second"}',
+            '{"update": {"_id": "1"}}',
+            '{"doc": {"msg": "patched"}}',
+        ]
+    )
+    env = spark.createDataFrame([("/_bulk", "", body)], httpingest.ENVELOPE_SCHEMA)
+    rows = httpingest.es_bulk_records(env).collect()
+    got = sorted((r["op"], json.loads(r["record"]).get("msg")) for r in rows)
+    assert got == [("create", "second"), ("index", "first")]
