@@ -51,7 +51,10 @@ pipeline    parse -> filter/enrich -> route -> aggregate orchestration with
             lineage + metrics + checkpoint/resume.
 dataops     training-data-pipeline operations: dedup (exact/minhash/
             simhash/ngram/embedding), similarity search, text analysis,
-            multimodal column plumbing.
+            PII detection/redaction, vectorized inference, multimodal
+            column plumbing.
+httpingest  in_http / Splunk HEC / ES bulk protocol semantics over a
+            spool-sidecar transport.
 """
 
 __version__ = "0.1.0"
