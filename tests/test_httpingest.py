@@ -102,3 +102,49 @@ def test_es_bulk_records(spark):
     rows = httpingest.es_bulk_records(env).collect()
     got = sorted((r["op"], json.loads(r["record"]).get("msg")) for r in rows)
     assert got == [("create", "second"), ("index", "first")]
+
+
+def test_http_spool_streaming_follow(spark, tmp_path):
+    """Follow mode: the spool is a streaming source; a restart with the
+    same checkpoint only processes newly spooled requests (the in_tail
+    offset-db semantics applied to the HTTP sidecar)."""
+    import glob
+    import json as _json
+    import os
+
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(spool, exist_ok=True)
+
+    def spool_req(n, path, body):
+        env = {"path": path, "ct": "application/json", "body": body}
+        p = os.path.join(spool, f"req-{n:06d}.json")
+        with open(p + ".tmp", "w") as f:
+            f.write(_json.dumps(env))
+        os.rename(p + ".tmp", p)
+
+    def run_once():
+        src = httpingest.http_spool_source(spark, spool, streaming=True)
+        recs = httpingest.http_records(src)
+        q = (
+            recs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spool_req(0, "/app", '{"msg": "first"}')
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+
+    spool_req(1, "/app", '{"msg": "second"}\n{"msg": "third"}')
+    run_once()
+    got = sorted(
+        _json.loads(r["record"])["msg"] for r in spark.read.parquet(out).collect()
+    )
+    # no reprocessing of request 0, both new records ingested
+    assert got == ["first", "second", "third"]
+    assert len(glob.glob(spool + "/req-*.json")) == 2
