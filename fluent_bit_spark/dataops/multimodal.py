@@ -107,6 +107,57 @@ def decode_images(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> D
     return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_s double, rms double, clip_frac double"
+)
+
+
+def _fake_audio_decode(payload: bytes, sample_rate: int) -> tuple[float, float, float]:
+    """Deterministic stand-in for an audio decoder: duration from byte
+    length, level stats from a sha256 of the bytes (same honesty contract
+    as _fake_decode: the Spark plumbing is real, the codec is not)."""
+    h = hashlib.sha256(payload or b"").digest()
+    n = len(payload or b"")
+    duration = n / float(max(sample_rate, 1))
+    rms = sum(h[0:8]) / (8 * 255.0)
+    clip_frac = h[8] / 255.0 * 0.05
+    return duration, rms, clip_frac
+
+
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + level features via mapInPandas — the audio-modality
+    twin of decode_images (duration, RMS level, clipping fraction). Same
+    partition contract; swapping in soundfile/ffmpeg changes only the
+    inner function."""
+    if not fake:
+        raise NotImplementedError(
+            "no audio codec in this environment; pass fake=True to exercise "
+            "the Spark plumbing with the deterministic fake decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "duration_s": [],
+                   "rms": [], "clip_frac": []}
+            for mid, payload, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                dur, rms, clip = _fake_audio_decode(
+                    bytes(payload) if payload is not None else b"", int(sr)
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(sr))
+                out["duration_s"].append(dur)
+                out["rms"].append(rms)
+                out["clip_frac"].append(clip)
+            yield pd.DataFrame(out)
+
+    auds = df.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", F.col("meta.sample_rate").alias("sample_rate")
+    )
+    return auds.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plan for video rows: explode frame indices 0..n_frames
     step every_n. The decode of each frame is the stubbed step; the

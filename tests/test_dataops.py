@@ -598,3 +598,27 @@ def test_inference_plumbing(docs, spark):
     for i, d in enumerate(ids):
         assert abs(got[d] - local[i]) < 1e-12
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_multimodal_audio_plumbing(spark, docs):
+    """decode_audio: the audio-modality twin of decode_images — one row
+    per audio item, deterministic fake features matching a driver replay."""
+    import hashlib
+
+    media = multimodal.make_media_table(spark, docs.limit(200))
+    feats = multimodal.decode_audio(media, fake=True)
+    n_aud = media.filter(F.col("kind") == "audio").count()
+    rows = feats.collect()
+    assert len(rows) == n_aud > 0
+    src = {r["doc_id"]: r["text"] for r in docs.limit(200).collect()}
+    for r in rows[:10]:
+        payload = src[r["media_id"]].encode()
+        h = hashlib.sha256(payload).digest()
+        assert abs(r["duration_s"] - len(payload) / 16000.0) < 1e-9
+        assert abs(r["rms"] - sum(h[0:8]) / (8 * 255.0)) < 1e-12
+        assert 0.0 <= r["clip_frac"] <= 0.05
+
+    import pytest as _p
+
+    with _p.raises(NotImplementedError):
+        multimodal.decode_audio(media)
