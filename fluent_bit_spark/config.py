@@ -336,6 +336,19 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
         interval_sec = parse_interval(s.get("interval", "1s"))
         return apply_throttle(df, rate=rate, interval_sec=interval_sec, ts_col="ts")
 
+    if name == "pii":
+        # filter_nightfall analogue (dataops.pii): local detectors, no
+        # cloud API. Options: key (field to scan/redact, default 'log'),
+        # action scan|redact, detectors (comma list of PATTERNS kinds).
+        from .dataops import pii as _pii
+
+        key = s.get("key", "log")
+        kinds = [k.strip() for k in s.get("detectors", "").split(",") if k.strip()]
+        kinds = kinds or None
+        if s.get("action", "redact").lower() == "scan":
+            return _pii.scan(df, text_col=key, kinds=kinds)
+        return _pii.redact(df, text_col=key, kinds=kinds)
+
     if name == "type_converter":
         rules = []
         for key in ("int_key", "uint_key", "float_key", "str_key"):

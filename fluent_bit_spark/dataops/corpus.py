@@ -41,8 +41,15 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
     max_bucket_size: int = 256,
+    redact_pii: Optional[Sequence[str]] = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run the 5-stage cleaning pipeline; see module docstring."""
+    """Run the 5-stage cleaning pipeline; see module docstring.
+
+    redact_pii — optional detector-kind list (dataops.pii.PATTERNS keys);
+    when given, matches are substituted BEFORE dedup, so documents
+    differing only in their PII (the classic boilerplate-with-an-email
+    case) collapse into one duplicate group, and no raw PII survives
+    into the kept corpus."""
     text = F.col(text_col)
     # materialize the token arrays once and share across all three stats
     # (see textstats.text_profile: HOFs get no codegen CSE)
@@ -62,6 +69,11 @@ def clean_corpus(
     kept = profiled.filter(F.col("quality") >= min_quality)
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
+
+    if redact_pii:
+        from . import pii
+
+        kept = pii.redact(kept, text_col=text_col, kinds=redact_pii)
 
     kept = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col)
 

@@ -63,3 +63,56 @@ def test_redact_substitutes(spark):
     assert out[0] == "contact [REDACTED:email] or [REDACTED:email] now"
     assert "[REDACTED:ssn]" in out[4] and "[REDACTED:aws_key]" in out[4]
     assert out[6] == ROWS[6][1]  # untouched
+
+
+def test_pii_filter_in_config(spark, tmp_path):
+    """Config-driven PII redaction (the [FILTER] Name pii surface,
+    nightfall-analogue wiring)."""
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+pipeline:
+  inputs:
+    - name: dummy
+      tag: app.a
+      dummy: '{"log": "reach me at alice@example.com or 078-05-1120"}'
+      samples: 2
+  filters:
+    - name: pii
+      match: 'app.*'
+      key: log
+      detectors: email,ssn
+  outputs:
+    - name: file
+      match: '*'
+      format: json
+      sink_name: o
+"""
+    r = run_config(spark, conf, str(tmp_path))
+    rows = r.frame.collect()
+    assert all(
+        r_["log"] == "reach me at [REDACTED:email] or [REDACTED:ssn]" for r_ in rows
+    )
+
+
+def test_pii_in_clean_corpus(spark):
+    """PII-redacting corpus pipeline: docs differing only in their email
+    collapse into one duplicate group after redaction."""
+    from fluent_bit_spark.dataops.corpus import clean_corpus
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the long meadow toward the river contact ")
+    docs = spark.createDataFrame(
+        [
+            (1, body + "a@x.com for details today"),
+            (2, body + "b@y.org for details today"),
+            (3, "an entirely different document about cooking pasta slowly "
+                "with garlic butter and fresh basil leaves in the kitchen"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, _ = clean_corpus(docs, min_quality=0.0, redact_pii=["email"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3]  # doc 2 deduped away post-redaction
+    assert all("[REDACTED:email]" in r["text"] or r["doc_id"] == 3
+               for r in kept.collect())
