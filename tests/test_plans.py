@@ -93,3 +93,38 @@ def test_dedup_shuffles_digest_not_text(spark, queries):
     64-bit digest, not document bodies."""
     plan = plan_of(queries["dedup_exact"](spark, SF))
     assert "xxhash64" in plan
+
+
+def test_text_profile_is_one_narrow_pass(spark, queries):
+    """Round-3 shape: text_profile is ONE narrow codegen pass — the only
+    exchange allowed is spread_small_scan's round-robin widen; no joins,
+    no aggregation shuffle, no Python eval."""
+    plan = plan_of(queries["text_profile"](spark, SF))
+    # no keyed shuffle: the only partitioning in the plan is the
+    # round-robin widen (formatted explain prints each node twice, so
+    # count partitioning kinds, not "Exchange" occurrences)
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_minhash_lsh_membership_reused_and_join_free_verify(spark, queries):
+    """Round-3 shape: with_sigs pairs make the Jaccard-estimate verify a
+    projection — the plan has exactly one join (the bucket self-join over
+    the persisted membership, visible as InMemory relations on both
+    sides) and no sort-merge join."""
+    plan = plan_of(queries["dedup_minhash_lsh"](spark, SF))
+    # formatted explain prints each node in the tree AND the detail
+    # section: 2 printed occurrences per physical node
+    assert plan.count("InMemoryTableScan") == 4  # 2 sides x 2 printings
+    assert "SortMergeJoin" not in plan
+    # exactly one join operator total (the bucket self-join)
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+    assert n_joins == 2  # one node, printed twice
+
+
+def test_multimodal_decode_single_exchange(spark, queries):
+    """Arrow decode pipeline: spread widen is the only exchange; the
+    decode itself is mapInPandas with no further shuffle."""
+    plan = plan_of(queries["multimodal_decode"](spark, SF))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
