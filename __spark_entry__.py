@@ -781,12 +781,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     not the plan)."""
     docs = _t_spread(spark, sf_dir, "documents")
     docs = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
-    # with_sigs carries the 8-long signature onto the pair rows, so the
-    # estimate is a projection: ONE signature build, zero verify joins.
-    pairs = dedup.minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5", with_sigs=True
+    # one signature build, join-free verify, and the cross-band dedup
+    # shuffles (id_a, id_b, n_eq) scalars only (dedup.minhash_near_dup)
+    est = dedup.minhash_near_dup(
+        docs, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
     )
-    est = dedup.estimate_from_sig_pairs(pairs, num_hashes=8)
     return est.select("id_a", "id_b", _r4("est_jaccard").alias("est_j"))
 
 

@@ -309,6 +309,56 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket_size: int = 256,
+    persist_membership: bool = True,
+    hash_engine: str = "xxhash64",
+) -> DataFrame:
+    """Candidates + Jaccard estimate in one optimized flow: the bucket
+    self-join carries both signatures (with_sigs) but the AGREEMENT
+    COUNT is projected per pair BEFORE the cross-band dedup, so the
+    distinct's shuffle carries (id_a, id_b, n_eq) — three scalars —
+    instead of 2 x num_hashes signature longs. Identical values to
+    minhash_lsh_candidates(with_sigs) + estimate_from_sig_pairs; at
+    wide signatures (64+) the dedup shuffle shrinks ~20x."""
+    banded = _minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_engine,
+        with_sig=True,
+    )
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = self_join_ready(banded, persist_membership)
+    a, b = banded.alias("a"), banded.alias("b")
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            eq.alias("__eq"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (F.col("__eq") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
 def estimate_from_sig_pairs(pairs: DataFrame, num_hashes: int) -> DataFrame:
     """Jaccard estimate over pairs that already carry sig_a/sig_b
     (minhash_lsh_candidates(with_sigs=True)): fraction of equal signature

@@ -622,3 +622,23 @@ def test_multimodal_audio_plumbing(spark, docs):
 
     with _p.raises(NotImplementedError):
         multimodal.decode_audio(media)
+
+
+def test_minhash_near_dup_equals_two_step(docs):
+    """minhash_near_dup (scalar-shuffle dedup) returns exactly the
+    with_sigs two-step pipeline's pairs + estimates."""
+    d = docs.filter(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2)
+    one = dedup.minhash_near_dup(
+        d, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5",
+        persist_membership=False,
+    )
+    two = dedup.estimate_from_sig_pairs(
+        dedup.minhash_lsh_candidates(
+            d, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5",
+            with_sigs=True, persist_membership=False,
+        ),
+        num_hashes=8,
+    )
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, two.collect()))
+    assert a == b and len(a) > 0
