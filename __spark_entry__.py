@@ -16,8 +16,9 @@ multimodal entries exact DuckDB replicas. The xxhash64-derived engines
 remain the scale defaults — engine choice swaps the hash, not the plan,
 and pytest property-checks value-equivalence of the two engines' plans.
 Near-duplicate operator rows are merged into multi-mode rows
-(grep_modes, throttle_modes, parser_kv, rewrite_tag_modes, sp_dynamic,
-sim_ann_topk) so all 50 entries fit the driver's recorded-row cap.
+(grep_modes, throttle_modes, parser_kv, parser_regex_modes,
+rewrite_tag_modes, record_mods, sp_dynamic, sim_ann_topk) so all 50
+entries fit the driver's recorded-row cap.
 """
 
 from __future__ import annotations
@@ -70,7 +71,13 @@ from fluent_bit_spark.router import (  # noqa: E402
 )
 from fluent_bit_spark.sqlsp import SPEngine  # noqa: E402
 from fluent_bit_spark import kube  # noqa: E402
-from fluent_bit_spark.dataops import dedup, multimodal, similarity, textstats  # noqa: E402
+from fluent_bit_spark.dataops import (  # noqa: E402
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +240,32 @@ def q_record_modifier(spark, sf_dir):
     )
 
 
+def q_record_mods(spark, sf_dir):
+    """filter_modify (conditional rule chain) + filter_record_modifier
+    (allowlist + static records) as one two-mode row — merged for driver
+    row-cap economy, same operators as the former modify /
+    record_modifier entries."""
+    a = q_modify(spark, sf_dir).select(
+        F.lit("modify").alias("mode"),
+        "event_id",
+        F.col("env").alias("v1"),
+        F.col("user").alias("v2"),
+        F.col("uid").alias("v3"),
+        F.col("etype_copy").alias("v4"),
+        "has_props",
+    )
+    b = q_record_modifier(spark, sf_dir).select(
+        F.lit("recmod").alias("mode"),
+        "event_id",
+        F.col("etype").alias("v1"),
+        F.col("uid").alias("v2"),
+        F.col("src").alias("v3"),
+        F.lit(None).cast("string").alias("v4"),
+        "has_props",
+    )
+    return a.unionByName(b)
+
+
 def q_nest_lift(spark, sf_dir):
     """filter_nest Operation Nest then Lift with Add_prefix."""
     docs = _t(spark, sf_dir, "documents")
@@ -314,6 +347,25 @@ def q_parser_regex_time(spark, sf_dir):
     )
     out = p.apply(df, "line", ts_col="log_ts")
     return out.select("event_id", "code", _epoch(F.col("log_ts")).alias("log_epoch"))
+
+
+def q_parser_regex_modes(spark, sf_dir):
+    """Plain regex parse + time_key/time_fmt regex parse as one two-mode
+    row — merged for driver row-cap economy, same operators as the
+    former parser_regex / parser_regex_time entries."""
+    a = q_parser_regex(spark, sf_dir).select(
+        F.lit("plain").alias("mode"),
+        "event_id",
+        F.col("kv").alias("val"),
+        F.lit(None).cast("long").alias("log_epoch"),
+    )
+    b = q_parser_regex_time(spark, sf_dir).select(
+        F.lit("time").alias("mode"),
+        "event_id",
+        F.col("code").alias("val"),
+        "log_epoch",
+    )
+    return a.unionByName(b)
 
 
 def q_parser_json(spark, sf_dir):
@@ -849,6 +901,35 @@ def q_text_profile(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: docs sharing >= 2 distinct word 8-grams
+    with the probe corpus (every 50th doc standing in for a benchmark
+    suite) are flagged. md5-60 gram hashing is the cross-engine-checkable
+    variant; xxhash64 is the scale default (same plan, different hash —
+    property-tested equivalent in test_dataops)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    probes = decontam.probe_ngrams(
+        docs.filter(F.col("doc_id") % 50 == 0), n=8, hash_engine="md5"
+    )
+    out = decontam.flag_contaminated(
+        docs, probes, n=8, min_overlap=2, hash_engine="md5"
+    )
+    return out.select("doc_id", "n_overlap", "contaminated")
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style repetition signals (top-token fraction, duplicate
+    token / bigram fractions) per document."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    out = textstats.repetition_profile(docs)
+    return out.select(
+        "doc_id",
+        _r4(F.col("top_token_frac")).alias("top_tok_f"),
+        _r4(F.col("dup_token_frac")).alias("dup_tok_f"),
+        _r4(F.col("dup_bigram_frac")).alias("dup_bg_f"),
+    )
+
+
 def q_sim_topk(spark, sf_dir):
     """brute-force cosine top-k (correctness baseline for ANN)."""
     emb = _emb_double(spark, sf_dir)
@@ -1082,14 +1163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_legacy": q_grep_legacy,
         "grep_modes": q_grep_modes,
         "trace_sampling": q_trace_sampling,
-        "modify": q_modify,
-        "record_modifier": q_record_modifier,
+        "record_mods": q_record_mods,
         "nest_lift": q_nest_lift,
         "type_converter": q_type_converter,
         "expect": q_expect,
         "throttle_modes": q_throttle_modes,
-        "parser_regex": q_parser_regex,
-        "parser_regex_time": q_parser_regex_time,
+        "parser_regex_modes": q_parser_regex_modes,
         "parser_json": q_parser_json,
         "parser_kv": q_parser_kv,
         "multiline": q_multiline,
@@ -1123,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
+        "decontaminate": q_decontaminate,
         "sim_topk": q_sim_topk,
         "sim_ann_topk": q_sim_ann_topk,
         "sim_near_dup": q_sim_near_dup,
@@ -1473,19 +1554,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.trace_id, s.span_id, s.status_code
             FROM spans s JOIN keep USING (trace_id)
         """,
-        "modify": r"""
-            SELECT event_id,
-              CASE WHEN hit THEN 'prod' END AS env,
-              CASE WHEN hit THEN CAST(user_id AS VARCHAR) END AS "user",
-              CASE WHEN NOT hit THEN CAST(user_id AS VARCHAR) END AS uid,
-              CASE WHEN hit THEN event_type END AS etype_copy,
+        "record_mods": r"""
+            SELECT 'modify' AS mode, event_id,
+              CASE WHEN hit THEN 'prod' END AS v1,
+              CASE WHEN hit THEN CAST(user_id AS VARCHAR) END AS v2,
+              CASE WHEN NOT hit THEN CAST(user_id AS VARCHAR) END AS v3,
+              CASE WHEN hit THEN event_type END AS v4,
               NOT hit AS has_props
             FROM (SELECT *, regexp_matches(event_type, '^(click|purchase)$') AS hit
                   FROM events)
-        """,
-        "record_modifier": """
-            SELECT event_id, event_type AS etype, CAST(user_id AS VARCHAR) AS uid,
-                   'fb' AS src, FALSE AS has_props
+            UNION ALL
+            SELECT 'recmod' AS mode, event_id, event_type AS v1,
+                   CAST(user_id AS VARCHAR) AS v2, 'fb' AS v3,
+                   CAST(NULL AS VARCHAR) AS v4, FALSE AS has_props
             FROM events
         """,
         "nest_lift": """
@@ -1510,12 +1591,13 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY sum(length(props)) OVER (
                 PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 120
         """,
-        "parser_regex": r"""
-            SELECT event_id, regexp_extract(props, '^\{"k": (\d+)\}$', 1) AS kv
+        "parser_regex_modes": rf"""
+            SELECT 'plain' AS mode, event_id,
+                   regexp_extract(props, '^\{{"k": (\d+)\}}$', 1) AS val,
+                   CAST(NULL AS BIGINT) AS log_epoch
             FROM events
-        """,
-        "parser_regex_time": f"""
-            SELECT event_id, CAST(user_id % 7 AS VARCHAR) AS code,
+            UNION ALL
+            SELECT 'time' AS mode, event_id, CAST(user_id % 7 AS VARCHAR) AS val,
                    {ep} AS log_epoch
             FROM events
         """,
@@ -1783,6 +1865,64 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) AS jac
               FROM p)
             SELECT id_a, id_b, round(jac, 4) AS j FROM j WHERE jac >= 0.2
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' ||
+                     t[u.i+3] || ' ' || t[u.i+4] || ' ' || t[u.i+5] || ' ' ||
+                     t[u.i+6] || ' ' || t[u.i+7] AS s
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8
+            ), hg AS (
+              SELECT DISTINCT doc_id,
+                     CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS g
+              FROM sh
+            ), probes AS (
+              SELECT DISTINCT g FROM hg WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT hg.doc_id, COUNT(*) AS c
+              FROM hg JOIN probes USING (g) GROUP BY hg.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(h.c, 0) >= 2 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "repetition_profile": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, u.tok, COUNT(*) AS c
+              FROM toks, UNNEST(t) AS u(tok)
+              GROUP BY doc_id, u.tok
+            ), tstats AS (
+              SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_toks,
+                     COUNT(*) AS n_distinct
+              FROM tc GROUP BY doc_id
+            ), bg AS (
+              SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS b
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ), bc AS (
+              SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+            ), bstats AS (
+              SELECT doc_id, SUM(c) AS n_bg, COUNT(*) AS n_bg_distinct
+              FROM bc GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(CAST(t.max_c AS DOUBLE) / t.n_toks, 4) AS top_tok_f,
+                   round(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_toks, 4)
+                       AS dup_tok_f,
+                   round(COALESCE(
+                       1.0 - CAST(b.n_bg_distinct AS DOUBLE) / b.n_bg, 0.0), 4)
+                       AS dup_bg_f
+            FROM tstats t LEFT JOIN bstats b ON b.doc_id = t.doc_id
         """,
         "text_profile": f"""
             WITH base AS (

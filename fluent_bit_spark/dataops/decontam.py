@@ -1,0 +1,108 @@
+"""Test-set decontamination: flag documents that share word n-grams with
+a benchmark/probe corpus — the standard LLM-training-data hygiene step
+(n-gram-overlap decontamination as published in the GPT-3/PaLM data
+cards). The reference has no analogue; this extends the dataops suite
+the same way dedup/similarity do.
+
+Scale notes (the point at 100 TB):
+* The probe side (eval-suite n-grams) is small by nature — a few
+  million grams even for a large benchmark battery — so it is
+  broadcast; the corpus side never shuffles raw text.
+* Grams are hashed to 64-bit longs BEFORE the join, so the broadcast
+  hash table and every joined row carry 8 bytes per gram, not strings.
+  hash_engine='xxhash64' is the scale default; 'md5' (dedup.md5_hash60)
+  is the cross-engine-checkable variant the driver oracle replays in
+  DuckDB; 'none' joins raw gram strings (debug).
+* Only MATCHED grams survive the broadcast join (near-zero rows for a
+  clean corpus), and the per-doc overlap groupBy is map-side combined,
+  so the single keyed shuffle carries (doc_id, partial count).
+* The final left join that gives clean docs an n_overlap=0 row moves
+  only doc ids; at scale prefer flag_contaminated(..., matched_only=
+  True) and treat absence as clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup
+
+
+def _hashed_grams(text: Column, n: int, hash_engine: str) -> Column:
+    """Distinct word n-grams of `text` (lower-cased, whitespace
+    tokenized via dedup.shingles), hashed per hash_engine. The gram
+    array sits in argument position of transform(), so the tokenizing
+    split runs once per row — never per element (the HOF re-evaluation
+    trap dedup.shingles documents)."""
+    grams = F.array_distinct(dedup.shingles(text, n))
+    if hash_engine == "xxhash64":
+        return F.transform(grams, lambda g: F.xxhash64(g))
+    if hash_engine == "md5":
+        return F.transform(grams, lambda g: dedup.md5_hash60(g))
+    if hash_engine == "none":
+        return grams
+    raise ValueError(f"unknown hash_engine {hash_engine!r}")
+
+
+def probe_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    hash_engine: str = "xxhash64",
+) -> DataFrame:
+    """Distinct n-gram set of a probe/benchmark corpus: one `gram`
+    column of 64-bit longs (or strings for hash_engine='none'). The
+    result is the broadcast side of flag_contaminated — distinct() here
+    keeps the broadcast table minimal."""
+    return (
+        df.select(F.explode(_hashed_grams(F.col(text_col), n, hash_engine)).alias("gram"))
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    hash_engine: str = "xxhash64",
+    matched_only: bool = False,
+) -> DataFrame:
+    """Per-document benchmark-overlap flags: (id_col, n_overlap,
+    contaminated) where n_overlap counts DISTINCT probe n-grams present
+    in the document (array_distinct before the explode, so repeated
+    grams inside one doc count once).
+
+    `probes` is the output of probe_ngrams (same n + hash_engine — the
+    caller owns that contract) and is broadcast. With matched_only=True
+    only docs with n_overlap >= 1 are returned and the doc-id left join
+    is skipped entirely (the scale shape: absence == clean)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_hashed_grams(F.col(text_col), n, hash_engine)).alias("gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(probes), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    if matched_only:
+        return hits.select(
+            id_col,
+            "n_overlap",
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
+        )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -132,3 +132,59 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         }
     )
     return out.drop("__toks", "__ltoks", "__ctoks")
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition/quality signals per document:
+
+    * top_token_frac — fraction of tokens taken by the single most
+      frequent token (boilerplate / keyword-stuffing signal),
+    * dup_token_frac — 1 − distinct_tokens/tokens,
+    * dup_bigram_frac — 1 − distinct_bigrams/bigrams (0.0 for docs too
+      short to have bigrams).
+
+    Computed by explode + TWO-LEVEL map-side-combined aggregation: the
+    (doc, token) partial counts are combined before the shuffle, so what
+    crosses the wire is one row per distinct (doc, token) — bounded by
+    vocabulary, far below raw token count — and the second groupBy
+    reduces to one row per doc. No raw text is ever shuffled, no
+    interpreted higher-order fold touches the hot path (the per-token
+    counting that an in-row HOF would do in O(tokens x distinct) runs
+    as codegen hash aggregation instead)."""
+    from .dedup import shingles
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    tok_stats = (
+        base.select(id_col, F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("max_c"),
+            F.sum("c").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bg_stats = (
+        df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bg"), F.count(F.lit(1)).alias("n_bg_distinct"))
+    )
+    return tok_stats.join(bg_stats, id_col, "left").select(
+        id_col,
+        (F.col("max_c").cast("double") / F.col("n_toks")).alias("top_token_frac"),
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_toks")).alias(
+            "dup_token_frac"
+        ),
+        F.coalesce(
+            F.lit(1.0) - F.col("n_bg_distinct").cast("double") / F.col("n_bg"),
+            F.lit(0.0),
+        ).alias("dup_bigram_frac"),
+    )

@@ -642,3 +642,104 @@ def test_minhash_near_dup_equals_two_step(docs):
     a = sorted(map(tuple, one.collect()))
     b = sorted(map(tuple, two.collect()))
     assert a == b and len(a) > 0
+
+
+def test_decontam_python_oracle(spark):
+    from fluent_bit_spark.dataops import decontam
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa nu"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = decontam.probe_ngrams(
+        df.filter(F.col("doc_id") == 0), n=8, hash_engine="none"
+    )
+    out = decontam.flag_contaminated(
+        df, probes, n=8, min_overlap=2, hash_engine="none"
+    )
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in out.collect()}
+
+    # python oracle: distinct 8-grams per doc, overlap with doc 0's grams
+    def grams(t, n=8):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    probe = grams(rows[0][1])
+    exp = {
+        i: (len(grams(t) & probe), len(grams(t) & probe) >= 2) for i, t in rows
+    }
+    assert got == exp
+    assert got[0] == (3, True)  # probe doc: its own 3 distinct 8-grams
+    assert got[1] == (1, False)  # shares exactly one 8-gram prefix
+    assert got[2] == (0, False)
+    assert got[4] == (0, False)  # too short to shingle
+
+    # hashed engines produce identical flags (hash swaps, plan stays)
+    for eng in ("xxhash64", "md5"):
+        p2 = decontam.probe_ngrams(
+            df.filter(F.col("doc_id") == 0), n=8, hash_engine=eng
+        )
+        o2 = decontam.flag_contaminated(
+            df, p2, n=8, min_overlap=2, hash_engine=eng
+        )
+        assert {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in o2.collect()
+        } == exp
+
+    # matched_only: only overlapping docs, no doc-id left join
+    mo = decontam.flag_contaminated(
+        df, probes, n=8, min_overlap=2, hash_engine="none", matched_only=True
+    )
+    assert {r["doc_id"] for r in mo.collect()} == {0, 1, 3}
+
+
+def test_decontam_probe_side_broadcast(docs):
+    from fluent_bit_spark.dataops import decontam
+
+    probes = decontam.probe_ngrams(docs.filter(F.col("doc_id") % 50 == 0), n=8)
+    out = decontam.flag_contaminated(docs, probes, n=8, matched_only=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan  # probe set never shuffles the corpus
+
+
+def test_repetition_profile_python_oracle(spark):
+    rows = [
+        (0, "spam spam spam spam eggs"),
+        (1, "a b c d e"),
+        (2, "x y x y x y"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.repetition_profile(df)
+    got = {
+        r["doc_id"]: (
+            round(r["top_token_frac"], 6),
+            round(r["dup_token_frac"], 6),
+            round(r["dup_bigram_frac"], 6),
+        )
+        for r in out.collect()
+    }
+
+    def expect(t):
+        toks = t.lower().split()
+        from collections import Counter
+
+        c = Counter(toks)
+        bgs = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        top = max(c.values()) / len(toks)
+        dup = 1 - len(c) / len(toks)
+        dbg = (1 - len(bgs) / sum(bgs.values())) if bgs else 0.0
+        return (round(top, 6), round(dup, 6), round(dbg, 6))
+
+    assert got == {i: expect(t) for i, t in rows}
+    assert got[0][0] == round(4 / 5, 6)
+    assert got[2] == (0.5, round(1 - 2 / 6, 6), round(1 - 2 / 5, 6))
+    assert got[3] == (1.0, 0.0, 0.0)  # single token: no bigrams
