@@ -811,16 +811,50 @@ def q_log_to_metrics(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """exact dedup: kept set (exact_dedup, lowest doc_id per distinct
-    text) annotated with its duplicate-group size (exact_dup_groups).
-    Both ops in one oracle row; shuffles carry the 64-bit digest, never
-    raw text."""
+    """Two-mode exact-dedup row.
+
+    mode 'doc': kept set (exact_dedup, lowest doc_id per distinct text)
+    annotated with its duplicate-group size (exact_dup_groups); shuffles
+    carry the 64-bit digest, never raw text.
+
+    mode 'para': CCNet-style corpus-wide paragraph dedup
+    (dedup.paragraph_dedup) over synthesized multi-paragraph pages (the
+    flat synthetic docs carry no newlines, so every 5 consecutive docs
+    are concatenated with blank-line separators — duplicate docs in the
+    corpus become duplicate paragraphs ACROSS pages). Output is the
+    md5 of each page's deduplicated text + surviving paragraph count;
+    fully-deduplicated pages drop out."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(docs).select("doc_id", "lang")
     groups = dedup.exact_dup_groups(docs).select(
         F.col("rep_id").alias("doc_id"), "n_members"
     )
-    return kept.join(groups, "doc_id").select("doc_id", "lang", "n_members")
+    a = (
+        kept.join(groups, "doc_id")
+        .select(
+            F.lit("doc").alias("mode"),
+            F.col("doc_id").alias("id"),
+            F.col("lang").alias("val"),
+            F.col("n_members").cast("long").alias("n"),
+        )
+    )
+    pages = (
+        docs.groupBy(F.floor(F.col("doc_id") / 5).cast("long").alias("page_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("dt"))
+        .select(
+            "page_id",
+            F.array_join(
+                F.transform("dt", lambda s: s.getField("text")), "\n\n"
+            ).alias("text"),
+        )
+    )
+    b = dedup.paragraph_dedup(pages, id_col="page_id").select(
+        F.lit("para").alias("mode"),
+        F.col("page_id").alias("id"),
+        F.md5("text").alias("val"),
+        F.col("n_paras").cast("long").alias("n"),
+    )
+    return a.unionByName(b)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1836,13 +1870,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS metric_value
             FROM events GROUP BY 1, 2
         """,
-        "dedup_exact": """
+        "dedup_exact": r"""
             WITH g AS (
                 SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
                 FROM documents GROUP BY text
+            ),
+            a AS (
+                SELECT 'doc' AS mode, d.doc_id AS id, d.lang AS val,
+                       CAST(g.n_members AS BIGINT) AS n
+                FROM documents d JOIN g ON d.doc_id = g.doc_id
+            ),
+            pages AS (
+                SELECT CAST(floor(doc_id / 5) AS BIGINT) AS page_id,
+                       string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                           AS text
+                FROM documents GROUP BY 1
+            ),
+            split0 AS (
+                SELECT page_id, string_split_regex(text, '\n{2,}') AS ps
+                FROM pages
+            ),
+            paras AS (
+                SELECT page_id, u.i - 1 AS pos, trim(ps[u.i]) AS para
+                FROM split0, UNNEST(generate_series(1, len(ps))) AS u(i)
+                WHERE trim(ps[u.i]) <> ''
+            ),
+            ranked AS (
+                SELECT page_id, pos, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY page_id, pos) AS rn
+                FROM paras
+            ),
+            b AS (
+                SELECT 'para' AS mode, page_id AS id,
+                       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos))
+                           AS val,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM ranked WHERE rn = 1 GROUP BY page_id
             )
-            SELECT d.doc_id, d.lang, g.n_members
-            FROM documents d JOIN g ON d.doc_id = g.doc_id
+            SELECT * FROM a UNION ALL SELECT * FROM b
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_simhash": _simhash_dedup_oracle_sql(),

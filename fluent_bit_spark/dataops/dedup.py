@@ -86,6 +86,62 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n{2,}",
+    out_sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: split every document on
+    `sep`, keep only the FIRST occurrence (lowest (id, position)) of each
+    distinct trimmed paragraph across the whole corpus, and reassemble
+    the surviving paragraphs in document order. Documents whose every
+    paragraph already appeared elsewhere drop out entirely.
+
+    Returns (id_col, text, n_paras) — `text` is the deduplicated
+    document, n_paras the surviving paragraph count.
+
+    Scale shape: the first-occurrence shuffle is keyed by
+    xxhash64(paragraph) — each paragraph's bytes cross the wire exactly
+    once (they must: survivors are reassembled), and the per-hash window
+    ranks by (id, pos) so the representative is deterministic. The
+    reassembly groupBy shuffles only SURVIVING paragraphs keyed by doc
+    id. No quadratic step anywhere; collisions at 64 bits are the same
+    accepted risk exact_dedup documents."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        )
+        .withColumn("__para", F.trim(F.col("__para")))
+        .filter(F.col("__para") != "")
+    )
+    w = Window.partitionBy(F.xxhash64(F.col("__para"))).orderBy(
+        F.col(id_col), F.col("__pos")
+    )
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+            ).alias("__ps")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__ps"), lambda s: s.getField("__para")), out_sep
+            ).alias("text"),
+            F.size(F.col("__ps")).alias("n_paras"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -743,3 +743,41 @@ def test_repetition_profile_python_oracle(spark):
     assert got[0][0] == round(4 / 5, 6)
     assert got[2] == (0.5, round(1 - 2 / 6, 6), round(1 - 2 / 5, 6))
     assert got[3] == (1.0, 0.0, 0.0)  # single token: no bigrams
+
+
+def test_paragraph_dedup_python_oracle(spark):
+    rows = [
+        (0, "alpha beta\n\ncommon para one\n\ngamma delta"),
+        (1, "common para one\n\nunique to one\n\ncommon para two"),
+        (2, "common para two\n\n  common para one  \n\nepsilon"),
+        (3, "common para one\n\ncommon para two"),  # fully duplicated doc
+        (4, "   \n\n\n\n"),  # only empty paragraphs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.paragraph_dedup(df)
+    got = {r["doc_id"]: (r["text"], r["n_paras"]) for r in out.collect()}
+
+    # python oracle: global first occurrence by (doc_id, pos)
+    seen, exp = set(), {}
+    for i, t in rows:
+        kept = []
+        for p in (x.strip() for x in __import__("re").split(r"\n{2,}", t)):
+            if p and p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            exp[i] = ("\n\n".join(kept), len(kept))
+    assert got == exp
+    assert got[0] == ("alpha beta\n\ncommon para one\n\ngamma delta", 3)
+    assert got[2] == ("epsilon", 1)  # both common paras removed, order kept
+    assert 3 not in got and 4 not in got  # fully-deduped docs drop out
+
+
+def test_paragraph_dedup_intra_doc_repeat(spark):
+    # the same paragraph twice in ONE doc: earliest position wins
+    df = spark.createDataFrame(
+        [(7, "rep\n\nmid\n\nrep")], "doc_id long, text string"
+    )
+    out = dedup.paragraph_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "rep\n\nmid" and out[0]["n_paras"] == 2
