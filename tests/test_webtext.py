@@ -1,0 +1,132 @@
+"""HTML -> text extraction: spec goldens, engine byte-identity, and the
+webgen roundtrip that proves byte-identical extracted text per url."""
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import webtext
+from fluent_bit_spark.webgen import generate
+
+
+def _extract_one(spark, html: str) -> dict:
+    df = spark.createDataFrame([(html.encode("utf-8"),)], "html binary")
+    row = (
+        df.select(
+            webtext.html_to_text(F.col("html")).alias("text"),
+            webtext.extract_title(F.col("html")).alias("title"),
+            webtext.extract_links(F.col("html")).alias("links"),
+        )
+        .collect()[0]
+    )
+    return {"text": row["text"], "title": row["title"], "links": row["links"]}
+
+
+GOLDEN = (
+    '<html><head><title> My &amp; Page </title>'
+    "<script>var x = 1 < 2; // <p>not text</p></script>"
+    "<style>p { color: red }</style></head>"
+    "<body><!-- hidden <b>comment</b> -->"
+    "<h1>Heading &lt;one&gt;</h1>"
+    '<p>alpha&nbsp;beta   gamma</p><br/>'
+    '<p>literal &amp;lt; stays</p>'
+    '<a href="https://x.example/1">one</a> '
+    "<a href='unquoted'>skipped</a>"
+    '<a href="/rel/2">two</a></body></html>'
+)
+
+
+def test_golden_extraction(spark):
+    got = _extract_one(spark, GOLDEN)
+    assert got["title"] == "My & Page"
+    # script/style/comment gone; block closers newline; entities decoded;
+    # &amp;lt; double-escape stays literal "&lt;"
+    assert got["text"] == (
+        "My & Page\nHeading <one>\nalpha beta gamma\n\n"  # </p><br/> = para break
+        "literal &lt; stays\none skipped two"
+    )
+    assert got["links"] == ["https://x.example/1", "/rel/2"]
+
+
+TRICKY = [
+    "",
+    "plain text no markup",
+    "<p>unclosed",
+    "a < b and c > d",  # bare angle brackets: "< b and c >" is a tag per spec
+    "<SCRIPT>UPPER()</SCRIPT>after",
+    "<script src='x'>\nmulti\nline\n</script>ok",
+    "<style\n>css</style\t>done",
+    "tabs\t\tand\r\ncrlf",
+    "<ul><li>a</li><li>b</li></ul>",
+    "&amp;amp; &amp; &lt;p&gt;",
+    "<br><br><br><br>",
+    "<div><div><p>nested</p></div></div>",
+    "<!-- unterminated comment",
+    "<title>only title</title>",
+    "ünïcödé <b>bold</b> text",
+    "<p>a</p>\n\n\n\n<p>b</p>",
+]
+
+
+def test_engines_byte_identical(spark):
+    """jvm codegen chain vs pandas/Arrow UDF: identical bytes on every
+    tricky fragment AND on 300 generated Common-Crawl-shape pages."""
+    rows = [(i, t.encode("utf-8")) for i, t in enumerate(TRICKY)]
+    df = spark.createDataFrame(rows, "i long, html binary")
+    jvm = df.select("i", webtext.html_to_text(F.col("html")).alias("t"))
+    pnd = webtext.html_to_text_pandas(df, out_col="t", title_col=None, links_col=None)
+    j = {r["i"]: r["t"] for r in jvm.collect()}
+    p = {r["i"]: r["t"] for r in pnd.select("i", "t").collect()}
+    assert j == p
+
+    pages = generate(spark, 300, partitions=4)
+    jvm2 = webtext.extract_stage(pages, engine="jvm").select(
+        "url", "text_extracted", "title", "n_links"
+    )
+    pnd2 = webtext.extract_stage(pages, engine="pandas").select(
+        "url", "text_extracted", "title", "n_links"
+    )
+    diff = (
+        jvm2.alias("a")
+        .join(pnd2.alias("b"), "url")
+        .filter(
+            (F.col("a.text_extracted") != F.col("b.text_extracted"))
+            | (F.col("a.title") != F.col("b.title"))
+            | (F.col("a.n_links") != F.col("b.n_links"))
+        )
+        .count()
+    )
+    assert diff == 0 and jvm2.count() == 300
+
+
+def test_webgen_roundtrip_byte_identical_per_url(spark):
+    """The north-rule invariant on the actual input-shape table: text
+    extracted from the html binary == the generator's text column
+    (modulo the known title prefix), checked per url."""
+    pages = generate(spark, 500, partitions=8)
+    out = webtext.extract_stage(pages, engine="jvm")
+    bad = out.filter(
+        F.col("text_extracted")
+        != F.concat(F.col("title"), F.lit("\n"), F.col("text"))
+    ).count()
+    assert bad == 0
+    # and the title is the deterministic p<id>
+    assert out.filter(~F.col("title").rlike(r"^p\d+$")).count() == 0
+
+
+def test_url_parts(spark):
+    rows = [
+        ("https://d17.example.com/a/b?id=9",),
+        ("http://sub.deep.host.org/",),
+        ("ftp://files.example.net",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = df.select(
+        webtext.url_host(F.col("url")).alias("h"),
+        webtext.url_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert [(r["h"], r["d"]) for r in got] == [
+        ("d17.example.com", "example.com"),
+        ("sub.deep.host.org", "host.org"),
+        ("files.example.net", "example.net"),
+        ("", ""),
+    ]
