@@ -887,28 +887,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprint dedup — identical-fingerprint grouping, lowest
-    doc_id kept — with the md5-60 checkable hash (bits=60) so the DuckDB
-    oracle recomputes every fingerprint and the kept set value-for-value.
-    xxhash64/64-bit is the scale default (property-equivalent plan)."""
+def q_simhash_modes(spark, sf_dir):
+    """SimHash two-mode row (merged dedup_simhash + simhash_hamming to
+    fit the driver's 50-row cap; both former rows were green in r02):
+    mode='fp' — fingerprint dedup, every kept (doc_id, simhash) pair;
+    mode='ham' — Hamming-band near-dup candidates + popcount(xor) <= 3
+    verify. Both use the md5-60 checkable hash (bits=60) so the DuckDB
+    oracle recomputes fingerprints, banding, bucket cap, and the Hamming
+    filter value-for-value. xxhash64/64-bit is the scale default
+    (property-equivalent plan)."""
     docs = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = docs.filter(F.size(toks) >= 2)
-    out = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60)
-    return out.select("doc_id", "simhash")
-
-
-def q_simhash_hamming(spark, sf_dir):
-    """SimHash Hamming-band near-dup: banded fingerprint candidates +
-    popcount(xor) <= 3 verify. Uses the md5-derived 60-bit hash so the
-    DuckDB oracle recomputes the identical fingerprints, banding, bucket
-    cap, and Hamming filter value-for-value (closing simhash_dedup's
-    identical-fingerprint-only recall gap)."""
-    docs = _t_spread(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    docs = docs.filter(F.size(toks) >= 2)
-    pairs = dedup.simhash_near_dup(
+    fp = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60)
+    ham = dedup.simhash_near_dup(
         docs,
         shingle_n=2,
         bits=60,
@@ -917,8 +909,54 @@ def q_simhash_hamming(spark, sf_dir):
         max_bucket_size=64,
         hash_fn=dedup.md5_hash60,
     )
-    return pairs.select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    return ham.select(
+        F.lit("ham").alias("mode"),
+        F.col("id_a").cast("long").alias("x"),
+        F.col("id_b").cast("long").alias("y"),
+        F.col("hamming").cast("long").alias("v"),
+    ).unionByName(
+        fp.select(
+            F.lit("fp").alias("mode"),
+            F.col("doc_id").cast("long").alias("x"),
+            F.col("simhash").cast("long").alias("y"),
+            F.lit(None).cast("long").alias("v"),
+        )
+    )
+
+
+def q_webtext_extract(spark, sf_dir):
+    """HTML -> text extraction over a binary html column (the north
+    rule's web-page parse stage, webtext.py): markup synthesized
+    deterministically around each documents.text — script/style blocks,
+    comments, entities (incl. the &amp;lt; double-escape), block-closer
+    newlines, href links — then the full normative STRIP/ENTITY/WS spec
+    runs via the JVM codegen engine. The DuckDB oracle rebuilds the
+    identical markup and replays the identical pattern sequence (the
+    very constants webtext.STRIP_STEPS/ENTITY_STEPS/WS_STEPS), so three
+    engines agree byte-for-byte: JVM here, pandas/Arrow in
+    tests/test_webtext.py, RE2 in the oracle."""
+    from fluent_bit_spark import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html_str = F.concat(
+        F.lit("<html><head><title>D"), i, F.lit(" &amp; doc</title>"),
+        F.lit("<script>var x = 1 < 2;</script><style>p{color:red}</style></head><body>"),
+        F.when(i % 3 == 0, F.lit("<!-- hidden <b>note</b> -->")).otherwise(F.lit("")),
+        F.lit("<h1>T &lt;"), i, F.lit("&gt;</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="/d/'), i, F.lit('">x</a>'),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit('<a href="https://h'), i, F.lit('.example/">y</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    html = F.to_binary(html_str, F.lit("utf-8"))
+    return docs.select(
+        i.alias("doc_id"),
+        webtext.html_to_text(html).alias("text_x"),
+        webtext.extract_title(html).alias("title"),
+        F.size(webtext.extract_links(html)).cast("long").alias("n_links"),
     )
 
 
@@ -1232,8 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_hamming": q_simhash_hamming,
+        "simhash_modes": q_simhash_modes,
+        "webtext_extract": q_webtext_extract,
         "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -1286,9 +1324,12 @@ def _simhash_fp_cte() -> str:
         )"""
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB replica of q_simhash_hamming: identical md5-60 shingle hash,
-    per-bit majority, 4x15 banding, 64-cap, popcount(xor) <= 3."""
+def _simhash_modes_oracle_sql() -> str:
+    """DuckDB replica of q_simhash_modes (merged dedup_simhash +
+    simhash_hamming): one md5-60 fingerprint CTE feeding both the
+    'ham' branch (4x15 banding, 64-cap, popcount(xor) <= 3) and the
+    'fp' branch (lowest doc_id kept per identical fingerprint).
+    QUALIFY binds per SELECT inside the UNION (DuckDB semantics)."""
     return f"""
         {_simhash_fp_cte()}, banded AS (
             SELECT doc_id, fp, bb.band, (fp >> (bb.band * 15)) & 32767 AS bucket
@@ -1303,18 +1344,62 @@ def _simhash_oracle_sql() -> str:
             JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
                          AND a.doc_id < b.doc_id
         )
-        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        SELECT 'ham' AS mode, id_a AS x, id_b AS y,
+               CAST(bit_count(xor(fa, fb)) AS BIGINT) AS v
         FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        UNION ALL
+        SELECT 'fp' AS mode, doc_id AS x, fp AS y, CAST(NULL AS BIGINT) AS v
+        FROM fp
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
     """
 
 
-def _simhash_dedup_oracle_sql() -> str:
-    """DuckDB replica of q_dedup_simhash: md5-60 fingerprints, keep the
-    lowest doc_id per identical fingerprint."""
+def _webtext_oracle_sql() -> str:
+    """DuckDB replica of q_webtext_extract: rebuilds the identical
+    synthetic markup, then replays webtext's NORMATIVE pattern constants
+    (STRIP_STEPS / ENTITY_STEPS / WS_STEPS — the same module-level lists
+    the Spark engines run) through RE2 regexp_replace chains. Single
+    source of truth: a spec edit changes all three engines at once."""
+    from fluent_bit_spark import webtext
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    def chain(expr: str) -> str:
+        for pat, rep in webtext.STRIP_STEPS:
+            expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        return entity_ws(expr)
+
+    def entity_ws(expr: str) -> str:
+        for lit, rep in webtext.ENTITY_STEPS:
+            expr = f"replace({expr}, '{q(lit)}', '{q(rep)}')"
+        for pat, rep in webtext.WS_STEPS:
+            expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+        return expr
+
+    title_raw = (
+        "regexp_extract(html, '(?is)<title[^>]*>(.*?)</title', 1)"
+    )
+    href = r'(?i)href[ \t]*=[ \t]*"([^"]*)"'
     return f"""
-        {_simhash_fp_cte()}
-        SELECT doc_id, fp AS simhash FROM fp
-        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        WITH src AS (
+            SELECT doc_id,
+                   '<html><head><title>D' || doc_id || ' &amp; doc</title>' ||
+                   '<script>var x = 1 < 2;</script><style>p{{color:red}}</style></head><body>' ||
+                   CASE WHEN doc_id % 3 = 0 THEN '<!-- hidden <b>note</b> -->' ELSE '' END ||
+                   '<h1>T &lt;' || doc_id || '&gt;</h1><p>' || text || '</p>' ||
+                   '<a href="/d/' || doc_id || '">x</a>' ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '<a href="https://h' || doc_id || '.example/">y</a>'
+                        ELSE '' END ||
+                   '</body></html>' AS html
+            FROM documents
+        )
+        SELECT doc_id,
+               {chain("html")} AS text_x,
+               {entity_ws(title_raw)} AS title,
+               CAST(len(regexp_extract_all(html, '{q(href)}', 1)) AS BIGINT) AS n_links
+        FROM src
     """
 
 
@@ -1783,7 +1868,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ext e LEFT JOIN dim d USING (namespace_name, pod_name)
             GROUP BY 1, 2
         """,
-        "simhash_hamming": _simhash_oracle_sql(),
+        "simhash_modes": _simhash_modes_oracle_sql(),
+        "webtext_extract": _webtext_oracle_sql(),
         "metrics_labels": """
             SELECT 'fb_events_' || event_type AS metric_name,
                    'prod' AS env,
@@ -1911,7 +1997,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM a UNION ALL SELECT * FROM b
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
-        "dedup_simhash": _simhash_dedup_oracle_sql(),
         "dedup_neardup_pipeline": _neardup_pipeline_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_near_dup": _sim_near_dup_oracle_sql(),

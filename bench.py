@@ -66,10 +66,13 @@ def prepare_webgen_input(spark: SparkSession, n_rows: int) -> str:
 
 
 def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
-    """The north-rule job: parse the embedded access-log line out of the
-    web table, filter, enrich (broadcast), tag, route to sinks, count per
-    sink — one pass, no driver loops. Input comes from parquet (scan
-    stage), exactly like the production Iceberg source."""
+    """The north-rule job: extract text from the binary ``html`` column
+    (webtext, byte-identical per url across engines), parse the embedded
+    access-log line out of the extracted bytes, filter, enrich
+    (broadcast), tag, route to sinks, count per sink — one pass, no
+    driver loops. Input comes from parquet (scan stage), exactly like
+    the production Iceberg source."""
+    from fluent_bit_spark import webtext
     from fluent_bit_spark.pipeline import (
         DEFAULT_SINKS,
         enrich_stage,
@@ -81,11 +84,14 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     from fluent_bit_spark.webgen import geo_dict, lang_dict
 
     path = prepare_webgen_input(spark, n_rows)
-    pages = spark.read.parquet(path)
+    pages = spark.read.parquet(path).drop("text")  # force the html path
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
+    extracted = webtext.extract_stage(pages, engine=engine, keep_html=False)
     parsed = tag_stage(
         enrich_stage(
-            filter_stage(parse_stage(pages, engine=engine)),
+            filter_stage(
+                parse_stage(extracted, engine=engine, text_col="text_extracted")
+            ),
             geo_dict(spark),
             lang_dict(spark),
         )

@@ -70,9 +70,17 @@ class PipelineResult:
     manifest_path: str
 
 
-def parse_stage(pages: DataFrame, engine: str = "jvm") -> DataFrame:
-    """Extract the embedded access-log line from ``text`` and parse it with
-    the apache parser (conf/parsers.conf:2-7). Pure narrow ops.
+def parse_stage(
+    pages: DataFrame, engine: str = "jvm", text_col: str = "text"
+) -> DataFrame:
+    """Extract the embedded access-log line from ``text_col`` and parse it
+    with the apache parser (conf/parsers.conf:2-7). Pure narrow ops.
+
+    ``text_col`` may be the source table's ``text`` column or
+    ``text_extracted`` from :func:`webtext.extract_stage` — the full
+    north-rule pipeline runs extraction off the binary ``html`` column
+    first and parses the extracted bytes (the two are byte-identical per
+    url modulo the title line; test_webtext roundtrip).
 
     engine — 'jvm' (single-pass pack-and-split regexp, whole-stage
     codegen; default) or 'pandas' (Arrow-batched pd.Series.str.extract —
@@ -82,7 +90,7 @@ def parse_stage(pages: DataFrame, engine: str = "jvm") -> DataFrame:
     import dataclasses
 
     parser = APACHE if engine == "jvm" else dataclasses.replace(APACHE, engine=engine)
-    line = F.regexp_extract(F.col("text"), r"\nLOG ([^\n]+)", 1)
+    line = F.regexp_extract(F.col(text_col), r"\nLOG ([^\n]+)", 1)
     df = pages.withColumn("line", line)
     df = parser.apply(df, "line", ts_col="log_ts")
     return df
@@ -90,8 +98,26 @@ def parse_stage(pages: DataFrame, engine: str = "jvm") -> DataFrame:
 
 def filter_stage(df: DataFrame) -> DataFrame:
     """grep-keep parsed rows; type_converter-style casts; modify-style
-    derived fields (all narrow)."""
-    df = df.filter(F.coalesce(F.col("code").rlike(r"^\d+$"), F.lit(False)))
+    derived fields (all narrow).
+
+    The keep-predicate carries an always-false non-deterministic OR-term:
+    without it, PushPredicateThroughProject substitutes `code` with its
+    defining expression and pushes the filter below the parse (and
+    html-extraction) projections — every row then evaluates the full
+    regex chain TWICE (once in the pushed predicate, once in the
+    surviving projection; measured 3.3x on webgen_e2e). A
+    non-deterministic predicate is pinned in place, so the chain runs
+    once and the filter reads the materialized column. Nothing useful is
+    lost: the predicate references parsed columns only, so it could
+    never reach the parquet scan anyway. Streaming frames keep the plain
+    predicate: Structured Streaming rejects non-deterministic filter
+    expressions, and a microbatch's pushed predicate re-evaluates the
+    same chain either way — the pin is a batch-plan optimization."""
+    keep = F.coalesce(F.col("code").rlike(r"^\d+$"), F.lit(False))
+    if df.isStreaming:
+        df = df.filter(keep)
+    else:
+        df = df.filter(keep | (F.monotonically_increasing_id() < F.lit(0)))
     df = df.withColumn("size_i", F.col("size").cast("long"))
     code_class = (
         F.when(F.col("code").startswith("2"), "ok")

@@ -254,6 +254,8 @@ def _apply_rewrite_tag_once(
     rules: Sequence[RewriteTagRule],
     tag_col: str = "tag",
 ) -> DataFrame:
+    if not rules:
+        return df
     tag = F.col(tag_col)
     new_tag = None  # Column: rewritten tag or NULL if no rule matched
     keep_flag = F.lit(False)
@@ -267,18 +269,26 @@ def _apply_rewrite_tag_once(
         keep_flag = F.when(hit, F.lit(r.keep)).otherwise(keep_flag)
         matched_any = matched_any | hit
 
-    rewritten = df.withColumn("__new_tag", new_tag).withColumn("__keep", keep_flag)
-    # records that matched -> re-tagged copy; originals survive when keep or no match
-    retagged = (
-        rewritten.filter(F.col("__new_tag").isNotNull())
-        .withColumn(tag_col, F.col("__new_tag"))
-        .drop("__new_tag", "__keep")
+    # Single-pass emit via explode: per record the set of output tags is
+    #   matched & keep  -> [original, rewritten]   (emitter re-injection copy)
+    #   matched & !keep -> [rewritten]
+    #   no match        -> [original]
+    # A union of two filtered branches computes the ENTIRE upstream once
+    # per side (fresh expr ids, no ReusedExchange — the dedup
+    # self_join_ready lesson); with the html-extraction pipeline upstream
+    # that union was a measured 2x on webgen_e2e. Generate(explode) keeps
+    # one pass and stays inside whole-stage codegen.
+    out_tags = (
+        F.when(new_tag.isNotNull() & keep_flag, F.array(tag, new_tag))
+        .when(new_tag.isNotNull(), F.array(new_tag))
+        .otherwise(F.array(tag))
     )
-    originals = (
-        rewritten.filter(F.col("__new_tag").isNull() | F.col("__keep"))
-        .drop("__new_tag", "__keep")
+    rewritten = df.withColumn("__out_tags", out_tags)
+    return (
+        rewritten.withColumn(tag_col, F.explode(F.col("__out_tags")))
+        .drop("__out_tags")
+        .select(*df.columns)
     )
-    return originals.unionByName(retagged)
 
 
 # ---------------------------------------------------------------------------

@@ -83,7 +83,7 @@ def test_simhash_membership_reused_not_recomputed(spark, queries):
     """The banded fingerprint table is persisted before the self-join:
     the plan reads the cache (InMemoryTableScan) instead of running the
     signature aggregation once per side."""
-    plan = plan_of(queries["simhash_hamming"](spark, SF))
+    plan = plan_of(queries["simhash_modes"](spark, SF))
     assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
 
