@@ -86,7 +86,8 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     path = prepare_webgen_input(spark, n_rows)
     pages = spark.read.parquet(path).drop("text")  # force the html path
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
-    extracted = webtext.extract_stage(pages, engine=engine, keep_html=False)
+    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "arrow")
+    extracted = webtext.extract_stage(pages, engine=ext_engine, keep_html=False)
     parsed = tag_stage(
         enrich_stage(
             filter_stage(
@@ -164,14 +165,19 @@ def main():
     n_docs = int(os.environ.get("SPARK_GRAFT_WEBROWS", str(int(30_000_000 * sf_num))))
     prepare_webgen_input(spark, n_docs)
 
-    # Core accounting for the pandas/Arrow parse engine: each Spark task
+    # Core accounting for the pandas/Arrow engines: each Spark task
     # drives a separate python worker, so local[K] occupies ~2K cores.
     # At K = all hardware cores that is the saturation regime BENCH.md
     # documents (12.9-115.8s spread on identical runs). Cap the webgen
-    # session at hw/2 cores for the pandas engine so task + worker fit.
+    # session at hw/2 cores when any python-side engine runs so task +
+    # worker fit. Engine defaults (measured, BENCH.md round-3 table):
+    # arrow extraction + pandas parse = 270k docs/s vs 158k all-pandas
+    # and 91k all-JVM (java.util.regex loses to RE2 on this workload).
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
+    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "arrow")
     hw = os.cpu_count() or cpus
-    webgen_cpus = min(cpus, max(4, hw // 2)) if engine == "pandas" else cpus
+    python_side = engine == "pandas" or ext_engine in ("pandas", "arrow")
+    webgen_cpus = min(cpus, max(4, hw // 2)) if python_side else cpus
     if webgen_cpus != cpus:
         spark.stop()
         spark = build_spark(webgen_cpus)

@@ -296,9 +296,15 @@ def extract_stage(
     ``keep_html=False`` drops the binary column at the extraction seam —
     at 10^12 rows the html body dominates row width, so the pandas
     engine skips shipping it back over Arrow and the JVM plan prunes it
-    from every later stage."""
+    from every later stage.
+
+    engine — 'jvm' (codegen regexp_replace chain), 'pandas'
+    (mapInPandas + pd.Series.str.replace), or 'arrow' (mapInArrow +
+    pyarrow.compute RE2 chains; skips the pandas materialization)."""
     if engine == "pandas":
         return html_to_text_pandas(df, html_col=html_col, keep_html=keep_html)
+    if engine == "arrow":
+        return html_to_text_arrow(df, html_col=html_col, keep_html=keep_html)
     html = F.col(html_col)
     out = (
         df.withColumn("text_extracted", html_to_text(html))

@@ -67,34 +67,50 @@ TRICKY = [
 
 
 def test_engines_byte_identical(spark):
-    """jvm codegen chain vs pandas/Arrow UDF: identical bytes on every
-    tricky fragment AND on 300 generated Common-Crawl-shape pages."""
+    """jvm codegen chain vs pandas UDF vs arrow/RE2 mapInArrow: identical
+    bytes on every tricky fragment AND on 300 generated
+    Common-Crawl-shape pages."""
     rows = [(i, t.encode("utf-8")) for i, t in enumerate(TRICKY)]
     df = spark.createDataFrame(rows, "i long, html binary")
     jvm = df.select("i", webtext.html_to_text(F.col("html")).alias("t"))
     pnd = webtext.html_to_text_pandas(df, out_col="t", title_col=None, links_col=None)
+    arw = webtext.html_to_text_arrow(df, out_col="t", title_col=None, links_col=None)
     j = {r["i"]: r["t"] for r in jvm.collect()}
     p = {r["i"]: r["t"] for r in pnd.select("i", "t").collect()}
-    assert j == p
+    a = {r["i"]: r["t"] for r in arw.select("i", "t").collect()}
+    assert j == p == a
 
     pages = generate(spark, 300, partitions=4)
     jvm2 = webtext.extract_stage(pages, engine="jvm").select(
         "url", "text_extracted", "title", "n_links"
     )
-    pnd2 = webtext.extract_stage(pages, engine="pandas").select(
-        "url", "text_extracted", "title", "n_links"
-    )
-    diff = (
-        jvm2.alias("a")
-        .join(pnd2.alias("b"), "url")
-        .filter(
-            (F.col("a.text_extracted") != F.col("b.text_extracted"))
-            | (F.col("a.title") != F.col("b.title"))
-            | (F.col("a.n_links") != F.col("b.n_links"))
+    for eng in ("pandas", "arrow"):
+        other = webtext.extract_stage(pages, engine=eng).select(
+            "url", "text_extracted", "title", "n_links"
         )
-        .count()
-    )
-    assert diff == 0 and jvm2.count() == 300
+        diff = (
+            jvm2.alias("a")
+            .join(other.alias("b"), "url")
+            .filter(
+                (F.col("a.text_extracted") != F.col("b.text_extracted"))
+                | (F.col("a.title") != F.col("b.title"))
+                | (F.col("a.n_links") != F.col("b.n_links"))
+            )
+            .count()
+        )
+        assert diff == 0, eng
+    assert jvm2.count() == 300
+
+
+def test_extract_stage_keep_html_prunes(spark):
+    """keep_html=False drops the wide binary column at the seam on every
+    engine; the remaining columns and values are unchanged."""
+    pages = generate(spark, 50, partitions=2)
+    for eng in ("jvm", "pandas", "arrow"):
+        out = webtext.extract_stage(pages, engine=eng, keep_html=False)
+        assert "html" not in out.columns, eng
+        assert {"text_extracted", "title", "n_links"} <= set(out.columns), eng
+        assert out.count() == 50, eng
 
 
 def test_webgen_roundtrip_byte_identical_per_url(spark):
