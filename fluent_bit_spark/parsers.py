@@ -184,14 +184,33 @@ class RegexParser:
         else:
             cols = self._pandas_extract(df, src, names)
 
+        return self.finish(
+            df, cols, ts_col=ts_col, prefix=prefix, assume_year=assume_year
+        )
+
+    def finish(
+        self,
+        df: DataFrame,
+        cols: dict[str, Column],
+        *,
+        ts_col: str = "__parsed_ts",
+        prefix: str = "",
+        assume_year: int = 2024,
+    ) -> DataFrame:
+        """Post-extraction half of :meth:`apply` — time lookup
+        (cb_results time_key branch), type casts, column projection.
+        Shared by both engines and by the fused extraction+parse path
+        (webtext.extract_parse_arrow), whose group columns arrive as real
+        columns rather than expressions."""
+        names = self.group_names()
         out = df
-        # time lookup (cb_results time_key branch)
         if self.time_fmt is not None and self.time_key in names:
             tcol = cols[self.time_key]
             out_ts = parse_time(
                 tcol, self.time_fmt, assume_year=assume_year, time_offset=self.time_offset
             )
             if not self.time_keep:
+                cols = dict(cols)
                 cols.pop(self.time_key)
         else:
             out_ts = F.lit(None).cast("timestamp")

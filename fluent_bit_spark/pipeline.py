@@ -96,6 +96,28 @@ def parse_stage(
     return df
 
 
+def extract_parse_stage(
+    pages: DataFrame,
+    parser=APACHE,
+    keep_html: bool = False,
+    include_text: bool = True,
+) -> DataFrame:
+    """Fused html->text extraction + regex parse in ONE python crossing
+    (webtext.extract_parse_arrow): the scale path for the python-engine
+    pipeline — the extracted text never round-trips JVM->Python twice.
+    Output schema matches parse_stage(extract_stage(...),
+    text_col='text_extracted') byte-for-byte (test_webtext);
+    ``include_text=False`` drops the extracted-text/title/line columns at
+    the worker boundary for route/count jobs that never re-read the
+    body."""
+    from . import webtext
+
+    return webtext.extract_parse_arrow(
+        pages, parser, ts_col="log_ts", keep_html=keep_html,
+        include_text=include_text,
+    )
+
+
 def filter_stage(df: DataFrame) -> DataFrame:
     """grep-keep parsed rows; type_converter-style casts; modify-style
     derived fields (all narrow).
@@ -128,26 +150,53 @@ def filter_stage(df: DataFrame) -> DataFrame:
     return df.withColumn("code_class", code_class)
 
 
+def load_enrich_dims(
+    geo: DataFrame, langs: DataFrame, literal_threshold: int = 1000
+) -> tuple[list, list]:
+    """Collect the enrichment dimensions ONCE at job startup — the
+    reference loads its geoip2 mmdb / kubernetes metadata at plugin init
+    (plugins/filter_geoip2/geoip2.c init path), not per chunk. Re-running
+    the same pipeline (retries, microbatches, bench repeats) should reuse
+    the collected rows instead of paying two driver jobs per run."""
+    geo_rows = [
+        tuple(r)
+        for r in geo.select("ip_prefix", "country", "city")
+        .limit(literal_threshold + 1)
+        .collect()
+    ]
+    lang_rows = [
+        tuple(r)
+        for r in langs.select("lang", "lang_name", "family")
+        .limit(literal_threshold + 1)
+        .collect()
+    ]
+    return geo_rows, lang_rows
+
+
 def enrich_stage(
-    df: DataFrame, geo: DataFrame, langs: DataFrame, literal_threshold: int = 1000
+    df: DataFrame,
+    geo: DataFrame,
+    langs: DataFrame,
+    literal_threshold: int = 1000,
+    dims: Optional[tuple[list, list]] = None,
 ) -> DataFrame:
     """Dimensions up to `literal_threshold` rows are embedded as literal
     map expressions (zero exchanges — the analogue of the reference's
     per-process hash table, see enrich.literal_map_enrich); larger ones
-    go through the broadcast hash join."""
-    geo_rows = geo.select("ip_prefix", "country", "city").limit(literal_threshold + 1).collect()
+    go through the broadcast hash join. Pass ``dims`` (from
+    :func:`load_enrich_dims`) to skip the per-call dimension collects."""
+    geo_rows, lang_rows = dims if dims is not None else load_enrich_dims(
+        geo, langs, literal_threshold
+    )
     if len(geo_rows) <= literal_threshold:
         df = literal_map_enrich(
-            df, [tuple(r) for r in geo_rows], "host",
+            df, geo_rows, "host",
             ["country", "city"], key_extract=r"^(\d+)\.",
         )
     else:
         df = geoip_enrich(df, geo, lookup_key="host")
-    lang_rows = langs.select("lang", "lang_name", "family").limit(literal_threshold + 1).collect()
     if len(lang_rows) <= literal_threshold:
-        df = literal_map_enrich(
-            df, [tuple(r) for r in lang_rows], "lang", ["lang_name", "family"]
-        )
+        df = literal_map_enrich(df, lang_rows, "lang", ["lang_name", "family"])
     else:
         df = dict_enrich(df, langs, on="lang")
     return df

