@@ -128,3 +128,42 @@ def test_multimodal_decode_single_exchange(spark, queries):
     decode itself is mapInPandas with no further shuffle."""
     plan = plan_of(queries["multimodal_decode"](spark, SF))
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_fused_webgen_plan_shape(spark):
+    """Round-3 final webgen shape (PLANS.md): ONE PythonMapInArrow
+    crossing, no wide text columns in its output when include_text=False,
+    and the only exchange in the counts job carries the 5 aggregated
+    sums (SinglePartition of scalars, not data)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.pipeline import (
+        DEFAULT_SINKS,
+        enrich_stage,
+        extract_parse_stage,
+        filter_stage,
+        tag_stage,
+    )
+    from fluent_bit_spark.router import route_flags
+    from fluent_bit_spark.webgen import generate, geo_dict, lang_dict
+
+    pages = generate(spark, 100, partitions=2).drop("text")
+    stage_out = extract_parse_stage(pages, include_text=False)
+    assert "text_extracted" not in stage_out.columns
+    assert "line" not in stage_out.columns
+    parsed = tag_stage(
+        enrich_stage(filter_stage(stage_out), geo_dict(spark), lang_dict(spark))
+    )
+    counts = route_flags(parsed, DEFAULT_SINKS).agg(
+        *[
+            F.sum(F.col(f"__route_{s.name}").cast("long")).alias(s.name)
+            for s in DEFAULT_SINKS
+        ]
+    )
+    plan = plan_of(counts)
+    # one python crossing (node printed twice in formatted explain)
+    assert plan.count("MapInArrow") == 2, plan
+    # no data-bearing repartition: no hash/range exchange anywhere
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    # the rewrite-tag explode stays in-plan (no union recompute)
+    assert "Generate" in plan and "Union" not in plan
