@@ -234,12 +234,23 @@ def run_pipeline(
     sinks: Sequence[SinkSpec] = DEFAULT_SINKS,
     resume: bool = True,
     coalesce_output: Optional[int] = None,
+    engine: str = "jvm",
 ) -> PipelineResult:
+    """engine — 'jvm'/'pandas' parse the source ``text`` column;
+    'fused' runs the north-rule shape: html->text extraction + parse in
+    one Arrow crossing (extract_parse_stage) off the binary ``html``
+    column, source ``text`` ignored. Sinks then carry the extracted
+    text/title alongside the parsed fields."""
     t0 = time.time()
     geo = geo_dict(spark)
     langs = lang_dict(spark)
 
-    parsed = tag_stage(enrich_stage(filter_stage(parse_stage(pages)), geo, langs))
+    if engine == "fused":
+        src = pages.drop("text") if "text" in pages.columns else pages
+        stage_out = extract_parse_stage(src)
+    else:
+        stage_out = parse_stage(pages, engine=engine)
+    parsed = tag_stage(enrich_stage(filter_stage(stage_out), geo, langs))
 
     flagged = route_flags(parsed, sinks).persist()
     try:

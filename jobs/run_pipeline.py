@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic docs instead of reading --input")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--engine", default="fused", choices=["fused", "jvm", "pandas"],
+                    help="fused = html->text extraction + parse in one Arrow "
+                         "crossing (north-rule default); jvm/pandas parse the "
+                         "source text column")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -63,7 +67,8 @@ def main() -> None:
         ap.error("one of --input / --generate is required")
 
     result = run_pipeline(
-        spark, pages, args.output, run_id=args.run_id, resume=not args.no_resume
+        spark, pages, args.output, run_id=args.run_id,
+        resume=not args.no_resume, engine=args.engine,
     )
     print(json.dumps({
         "run_id": result.run_id,
