@@ -74,15 +74,28 @@ def run_pipeline_stream(
     sinks: Sequence[SinkSpec],
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
+    engine: str = "jvm",
 ) -> StreamingQuery:
     """The batch pipeline's stages applied to a stream, fanned out to
     per-sink parquet dirs inside foreachBatch. Restarting with the same
     checkpoint_dir resumes from the recorded file offsets (in_tail's
-    offset db semantics) — already-processed input is never re-routed."""
+    offset db semantics) — already-processed input is never re-routed.
+
+    engine='fused' runs the north-rule shape on the stream: html->text
+    extraction + parse in one Arrow crossing (mapInArrow is supported
+    on streaming frames); 'jvm'/'pandas' parse the source text column.
+    """
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     geo = geo_dict(spark)
     langs = lang_dict(spark)
-    parsed = tag_stage(enrich_stage(filter_stage(parse_stage(pages)), geo, langs))
+    if engine == "fused":
+        from .pipeline import extract_parse_stage
+
+        src = pages.drop("text") if "text" in pages.columns else pages
+        stage_out = extract_parse_stage(src)
+    else:
+        stage_out = parse_stage(pages, engine=engine)
+    parsed = tag_stage(enrich_stage(filter_stage(stage_out), geo, langs))
 
     sink_list = list(sinks)
     route_cols = [f"__route_{s.name}" for s in sink_list]

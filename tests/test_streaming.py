@@ -237,3 +237,53 @@ def test_forward_spool_transport_and_source(spark, tmp_path):
         ("app.b", 1002.0, "y"),
         ("app.c", 1003.0, "packed"),
     ]
+
+
+@pytest.mark.slow
+def test_stream_fused_extraction_and_resume(spark, tmp_path):
+    """North-rule streaming shape: the fused mapInArrow extract+parse
+    stage runs on a streaming frame, per-sink counts equal the batch
+    fused pipeline, and a checkpoint restart never re-routes processed
+    input."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    generate(spark, 1500, partitions=1).write.mode("overwrite").parquet(src)
+    q = run_pipeline_stream(
+        spark, tail_source(spark, src), out, SINKS,
+        checkpoint_dir=ckpt, engine="fused",
+    )
+    q.awaitTermination(120)
+    first = _read_counts(spark, out)
+
+    # batch oracle: the fused batch pipeline over the same input
+    from fluent_bit_spark.pipeline import (
+        enrich_stage, extract_parse_stage, filter_stage, tag_stage,
+    )
+    from fluent_bit_spark.router import route_flags
+    from fluent_bit_spark.webgen import geo_dict, lang_dict
+
+    batch = tag_stage(
+        enrich_stage(
+            filter_stage(extract_parse_stage(spark.read.parquet(src).drop("text"))),
+            geo_dict(spark),
+            lang_dict(spark),
+        )
+    )
+    flagged = route_flags(batch, SINKS)
+    expected = {
+        s.name: flagged.filter(F.col(f"__route_{s.name}")).count() for s in SINKS
+    }
+    assert first == expected, (first, expected)
+    # the stream output carries the extracted text per url
+    ok = spark.read.parquet(out + "/ok")
+    assert "text_extracted" in ok.columns and "title" in ok.columns
+
+    # restart with the same checkpoint and NO new input: nothing re-routed
+    q2 = run_pipeline_stream(
+        spark, tail_source(spark, src), out, SINKS,
+        checkpoint_dir=ckpt, engine="fused",
+    )
+    q2.awaitTermination(120)
+    assert _read_counts(spark, out) == first
