@@ -340,6 +340,14 @@ def extract_parse_arrow(
     names = parser.group_names()
     pat = onig_to_python(parser.regex)  # (?P<n>...) — RE2-compatible
     skip_empty = parser.skip_empty_values
+    if not skip_empty:
+        # RE2 yields "" for a non-participating optional group where
+        # java.util.regex yields null; only the skip_empty nulling makes
+        # the two engines value-identical. Refuse rather than diverge.
+        raise ValueError(
+            "extract_parse_arrow requires parser.skip_empty_values=True "
+            "(RE2 ''-vs-null divergence on optional groups otherwise)"
+        )
 
     schema_fields = [
         f"{f.name} {f.dataType.simpleString()}"

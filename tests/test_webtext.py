@@ -146,3 +146,40 @@ def test_url_parts(spark):
         ("files.example.net", "example.net"),
         ("", ""),
     ]
+
+
+def test_extract_parse_arrow_requires_skip_empty(spark):
+    """The fused engine refuses skip_empty_values=False: RE2 yields ''
+    for non-participating optional groups where java.util.regex yields
+    null, and only the skip-empty nulling reconciles the engines."""
+    import dataclasses
+
+    import pytest
+
+    from fluent_bit_spark.parsers import APACHE
+    from fluent_bit_spark.webtext import extract_parse_arrow
+
+    pages = generate(spark, 5, partitions=1)
+    bad = dataclasses.replace(APACHE, skip_empty_values=False)
+    with pytest.raises(ValueError, match="skip_empty_values"):
+        extract_parse_arrow(pages, bad)
+
+
+def test_fused_extract_parse_equals_unfused(spark):
+    """extract_parse_arrow (one mapInArrow crossing) is value-identical
+    to extract_stage(engine='arrow') + RegexParser pandas parse on every
+    shared column, including the JVM-side parsed timestamp."""
+    from fluent_bit_spark.pipeline import extract_parse_stage, parse_stage
+
+    pages = generate(spark, 500, partitions=4).drop("text")
+    fused = extract_parse_stage(pages)
+    unfused = parse_stage(
+        webtext.extract_stage(pages, engine="arrow", keep_html=False),
+        engine="pandas",
+        text_col="text_extracted",
+    )
+    common = [c for c in fused.columns if c in unfused.columns]
+    a, b = fused.select(common), unfused.select(common)
+    n = a.count()
+    assert n == 500
+    assert a.intersectAll(b).count() == n
