@@ -78,7 +78,7 @@ def prepare_webgen_input(spark: SparkSession, n_rows: int) -> str:
 _DIMS_CACHE: dict = {}
 
 
-def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
+def run_webgen_e2e(spark: SparkSession, n_rows: int) -> dict:
     """The north-rule job: extract text from the binary ``html`` column
     (webtext, byte-identical per url across engines), parse the embedded
     access-log line out of the extracted bytes, filter, enrich
@@ -100,7 +100,7 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int, partitions: int) -> dict:
     path = prepare_webgen_input(spark, n_rows)
     # Split-size policy: the scan feeds a python-heavy stage, so task
     # granularity must track PARALLELISM, not a fixed byte size — aim for
-    # ~4 full task waves at this session's core count (build_spark
+    # ~8 full task waves at this session's core count (build_spark
     # comment has the failure mode: 12 byte-sized tasks on 8 cores = 1.5
     # ragged waves, 0.66 scaling efficiency). Same policy at every
     # cluster size; on a 1000-executor cluster the identical formula
@@ -231,9 +231,9 @@ def main():
     # + page cache (first pandas-UDF job pays ~10s of one-time startup and
     # the first scan reads cold files — neither is pipeline throughput);
     # then min-of-3 timed runs (this VM shows multi-second noise spikes).
-    run_webgen_e2e(spark, n_docs, partitions=webgen_cpus * 2)
+    run_webgen_e2e(spark, n_docs)
     e2e_sec = min(
-        _timed(lambda: run_webgen_e2e(spark, n_docs, partitions=webgen_cpus * 2))
+        _timed(lambda: run_webgen_e2e(spark, n_docs))
         for _ in range(3)
     )
     timings["webgen_e2e"] = round(e2e_sec, 3)

@@ -34,13 +34,13 @@ spark = build_spark(cpus)
 spark.sparkContext.setLogLevel("ERROR")
 
 # warm-up: JVM JIT + codegen caches (not timed)
-run_webgen_e2e(spark, max(n_docs // 10, 10_000), partitions=cpus * 2)
+run_webgen_e2e(spark, max(n_docs // 10, 10_000))
 
 times = []
 counts = None
 for _ in range(runs):
     t0 = time.time()
-    counts = run_webgen_e2e(spark, n_docs, partitions=cpus * 2)
+    counts = run_webgen_e2e(spark, n_docs)
     times.append(time.time() - t0)
 best = min(times)
 print("CHILD_RESULT " + json.dumps(
