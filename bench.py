@@ -112,6 +112,7 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int) -> dict:
     )
     par = spark.sparkContext.defaultParallelism
     split = max(4 * 1024 * 1024, total_bytes // (8 * par))
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     pages = spark.read.parquet(path).drop("text")  # force the html path
     engine = os.environ.get("SPARK_GRAFT_PARSER_ENGINE", "pandas")
@@ -128,7 +129,9 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int) -> dict:
     # pipeline.load_enrich_dims) — repeated runs reuse them
     from fluent_bit_spark.pipeline import load_enrich_dims
 
-    key = id(spark)
+    # applicationId, not id(spark): CPython reuses freed addresses, so a
+    # stop()+rebuild session could silently hit a stale cache entry
+    key = spark.sparkContext.applicationId
     if key not in _DIMS_CACHE:
         _DIMS_CACHE.clear()
         _DIMS_CACHE[key] = load_enrich_dims(geo_dict(spark), lang_dict(spark))
@@ -147,7 +150,11 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int) -> dict:
             for s in DEFAULT_SINKS
         ]
     )
-    row = counts.collect()[0]
+    try:
+        row = counts.collect()[0]
+    finally:
+        # don't leak the webgen-sized split into later jobs on this session
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     return row.asDict()
 
 

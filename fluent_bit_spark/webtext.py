@@ -18,6 +18,8 @@ The extraction spec is deliberately deterministic and closed (so three
 independent implementations — JVM, pandas, and the DuckDB oracle —
 agree byte-for-byte):
 
+  0. a NULL html value is the empty document (text "", title "",
+     0 links) — identical across engines by construction
   1. decode the binary as UTF-8
   2. drop <script>...</script> and <style>...</style> blocks
   3. drop <!-- comments -->
@@ -44,6 +46,7 @@ lines.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -63,10 +66,16 @@ _BLOCK_CLOSERS = (
 # Each step is one full pass over the (long) raw-html strings — memory
 # traffic, not regex CPU, is the scale cost — so same-replacement steps
 # are merged into alternations: script/style/comment all erase to " "
-# (one pass), <br>/<hr> and block closers both break to "\n" (one pass;
-# the alternatives match disjoint substrings, so the merged pass is
-# exactly the sequential result). Measured 6->3 passes = -17% e2e
-# extraction wall time at 3M docs.
+# (one pass), <br>/<hr> and block closers both break to "\n" (one pass).
+# The br/closer merge is exactly the sequential result (the alternatives
+# match disjoint substrings). The script/style/comment merge is a SPEC
+# CHANGE for pathologically interleaved blocks: leftmost-first
+# alternation instead of script-pass-then-style-pass (e.g.
+# '<style>a<script>b</style>c</script>' now keeps 'c', not 'a'). The
+# constants are the single normative source all three engines + the
+# DuckDB oracle replay, so the change lands everywhere at once
+# (goldens + 3-engine byte-identity tests pin it). Measured 6->3
+# passes = -17% e2e extraction wall time at 3M docs.
 STRIP_STEPS: list[tuple[str, str]] = [
     (
         r"(?is)<script\b[^>]*>.*?</script[ \t]*>"
@@ -97,8 +106,10 @@ WS_STEPS: list[tuple[str, str]] = [
 
 
 def _html_str(col: Column) -> Column:
-    """binary -> UTF-8 string (string input passes through the cast)."""
-    return F.decode(col, "UTF-8")
+    """binary -> UTF-8 string; NULL html is the empty document (spec
+    step 0) so every engine yields text=""/title=""/n_links=0 instead of
+    engine-dependent null propagation (jvm null vs pandas fillna)."""
+    return F.coalesce(F.decode(col, "UTF-8"), F.lit(""))
 
 
 def html_to_text(html: Column) -> Column:
@@ -146,6 +157,32 @@ def url_domain(url: Column) -> Column:
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
 
 
+# Shared python-engine pattern literals (python re + RE2 dialect; the
+# JVM engine keeps its java.util.regex (?<t>...) form inline).
+TITLE_PAT = r"(?is)<title[^>]*>(?P<t>.*?)</title"
+HREF_PAT = r'(?i)href[ \t]*=[ \t]*"[^"]*"'
+
+
+def _require_html_col(df: DataFrame, html_col: str) -> None:
+    """Fail fast on a missing input column: pyarrow's
+    Schema.get_field_index returns -1 for an unknown name and
+    batch.column(-1) silently reads the LAST column — a misconfigured
+    html_col would otherwise extract garbage and complete 'successfully'
+    with empty sinks."""
+    if html_col not in df.columns:
+        raise ValueError(
+            f"html column {html_col!r} not in input columns {df.columns}"
+        )
+
+
+def _out_schema_fields(df: DataFrame, html_col: str, keep_html: bool) -> list[str]:
+    return [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if keep_html or f.name != html_col
+    ]
+
+
 def html_to_text_pandas(
     df: DataFrame,
     html_col: str = "html",
@@ -165,11 +202,8 @@ def html_to_text_pandas(
     """
     import pandas as pd  # noqa: F401
 
-    schema_fields = [
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if keep_html or f.name != html_col
-    ]
+    _require_html_col(df, html_col)
+    schema_fields = _out_schema_fields(df, html_col, keep_html)
     schema_fields.append(f"{out_col} string")
     if title_col:
         schema_fields.append(f"{title_col} string")
@@ -180,6 +214,7 @@ def html_to_text_pandas(
     strip_steps = list(STRIP_STEPS)
     entity_steps = list(ENTITY_STEPS)
     ws_steps = list(WS_STEPS)
+    title_pat, href_pat = TITLE_PAT, HREF_PAT
 
     def run(batches):
         import re
@@ -189,15 +224,16 @@ def html_to_text_pandas(
             s = raw.map(
                 lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b
             ).astype("string")
+            s = s.fillna("")  # spec step 0: NULL html = empty document
             if title_col:
-                t = s.str.extract(r"(?is)<title[^>]*>(.*?)</title", expand=False)
+                t = s.str.extract(title_pat, expand=False)
                 t = t.fillna("")
                 for lit, rep in entity_steps:
                     t = t.str.replace(lit, rep, regex=False)
                 for pat, rep in ws_steps:
                     t = t.str.replace(pat, rep, regex=True)
             if links_col:
-                n = s.str.count(r'(?i)href[ \t]*=[ \t]*"[^"]*"')
+                n = s.str.count(href_pat)
             for pat, rep in strip_steps:
                 s = s.str.replace(pat, rep, regex=True)
             for lit, rep in entity_steps:
@@ -232,11 +268,8 @@ def html_to_text_arrow(
     engines (test_webtext)."""
     import pyarrow as pa  # noqa: F401
 
-    schema_fields = [
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if keep_html or f.name != html_col
-    ]
+    _require_html_col(df, html_col)
+    schema_fields = _out_schema_fields(df, html_col, keep_html)
     schema_fields.append(f"{out_col} string")
     if title_col:
         schema_fields.append(f"{title_col} string")
@@ -247,8 +280,7 @@ def html_to_text_arrow(
     strip_steps = list(STRIP_STEPS)
     entity_steps = list(ENTITY_STEPS)
     ws_steps = list(WS_STEPS)
-    title_pat = r"(?is)<title[^>]*>(?P<t>.*?)</title"
-    href_pat = r'(?i)href[ \t]*=[ \t]*"[^"]*"'
+    title_pat, href_pat = TITLE_PAT, HREF_PAT
 
     def run(batches):
         import pyarrow as pa
@@ -272,6 +304,7 @@ def html_to_text_arrow(
             s = raw if pa.types.is_string(raw.type) or pa.types.is_large_string(
                 raw.type
             ) else pc.cast(raw, pa.string())
+            s = pc.fill_null(s, "")  # spec step 0: NULL html = empty doc
             names, arrays = [], []
             for i, f in enumerate(batch.schema):
                 if keep_html or f.name != html_col:
@@ -349,11 +382,8 @@ def extract_parse_arrow(
             "(RE2 ''-vs-null divergence on optional groups otherwise)"
         )
 
-    schema_fields = [
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if keep_html or f.name != html_col
-    ]
+    _require_html_col(df, html_col)
+    schema_fields = _out_schema_fields(df, html_col, keep_html)
     if include_text:
         schema_fields += [f"{out_col} string", f"{title_col} string"]
     schema_fields.append(f"{links_col} int")
@@ -365,9 +395,14 @@ def extract_parse_arrow(
     strip_steps = list(STRIP_STEPS)
     entity_steps = list(ENTITY_STEPS)
     ws_steps = list(WS_STEPS)
-    title_pat = r"(?is)<title[^>]*>(?P<t>.*?)</title"
-    href_pat = r'(?i)href[ \t]*=[ \t]*"[^"]*"'
-    line_named = line_pat.replace("(", "(?P<l>", 1)
+    title_pat, href_pat = TITLE_PAT, HREF_PAT
+    # name line_pat's first capturing group: find the first unescaped
+    # '(' that is not a '(?...' construct — a blind replace('(') would
+    # corrupt patterns whose first paren is escaped or non-capturing
+    m = re.search(r"(?<!\\)\((?!\?)", line_pat)
+    if m is None:
+        raise ValueError(f"line_pat needs a capturing group: {line_pat!r}")
+    line_named = line_pat[: m.start()] + "(?P<l>" + line_pat[m.start() + 1 :]
 
     def run(batches):
         import pyarrow as pa
@@ -388,6 +423,7 @@ def extract_parse_arrow(
             s = raw if pa.types.is_string(raw.type) or pa.types.is_large_string(
                 raw.type
             ) else pc.cast(raw, pa.string())
+            s = pc.fill_null(s, "")  # spec step 0: NULL html = empty doc
             text = s
             for pat_, rep in strip_steps:
                 text = pc.replace_substring_regex(text, pattern=pat_, replacement=rep)

@@ -183,3 +183,66 @@ def test_fused_extract_parse_equals_unfused(spark):
     n = a.count()
     assert n == 500
     assert a.intersectAll(b).count() == n
+
+
+def test_null_html_is_empty_document_on_every_engine(spark):
+    """Spec step 0: NULL html = empty document (text '', title '',
+    n_links 0) — identical on jvm, pandas, and arrow engines (previously
+    jvm propagated null, pandas yielded ''/0, arrow yielded null/null)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, b"<p>x</p>")], "i long, html binary"
+    )
+    expect = {1: ("", "", 0), 2: ("x", "", 0)}
+    for eng in ("jvm", "pandas", "arrow"):
+        out = webtext.extract_stage(df, engine=eng)
+        got = {
+            r["i"]: (r["text_extracted"], r["title"], r["n_links"])
+            for r in out.collect()
+        }
+        assert got == expect, (eng, got)
+
+    # and the fused engine: null html parses to no LOG line, all groups null
+    from fluent_bit_spark.parsers import APACHE
+    from fluent_bit_spark.webtext import extract_parse_arrow
+
+    fused = extract_parse_arrow(df, APACHE).select("i", "text_extracted", "host")
+    got = {r["i"]: (r["text_extracted"], r["host"]) for r in fused.collect()}
+    assert got == {1: ("", None), 2: ("x", None)}
+
+
+def test_missing_html_col_fails_fast(spark):
+    """pyarrow get_field_index returns -1 for unknown names and
+    column(-1) silently reads the LAST column — the engines must refuse
+    a missing input column instead of extracting garbage."""
+    import pytest
+
+    from fluent_bit_spark.parsers import APACHE
+    from fluent_bit_spark.webtext import extract_parse_arrow
+
+    df = spark.createDataFrame([("a", "b")], "text string, lang string")
+    for fn in (
+        lambda: webtext.html_to_text_pandas(df),
+        lambda: webtext.html_to_text_arrow(df),
+        lambda: extract_parse_arrow(df, APACHE),
+    ):
+        with pytest.raises(ValueError, match="html"):
+            fn()
+
+
+def test_line_pat_first_paren_rewrite(spark):
+    """The line_pat capture-group naming skips escaped and non-capturing
+    parens instead of blindly rewriting the first '('."""
+    from fluent_bit_spark.parsers import APACHE
+    from fluent_bit_spark.webtext import extract_parse_arrow
+
+    html = "<p>head</p>\nLOG 1.2.3.4 - - [t] \"GET /x\" 200 7".encode()
+    df = spark.createDataFrame([(1, html)], "i long, html binary")
+    # non-capturing group BEFORE the real capture group
+    out = extract_parse_arrow(
+        df, APACHE, line_pat=r"(?:\n|^)LOG ([^\n]+)"
+    ).select("host", "code").collect()[0]
+    assert (out["host"], out["code"]) == ("1.2.3.4", "200")
+
+    import pytest
+    with pytest.raises(ValueError, match="capturing group"):
+        extract_parse_arrow(df, APACHE, line_pat=r"LOG \S+")
