@@ -176,7 +176,11 @@ def parse_config(text: str) -> list:
 
 def _build_input(spark: SparkSession, s: Section) -> DataFrame:
     name = (s.get("name") or "").lower()
-    tag = s.get("tag", name or "input")
+    # default tag = the instance name: alias when set, else plugin name
+    # (flb_input_name semantics) — must match parse_yaml's processor
+    # match scope or per-input processors on an aliased input would
+    # silently never fire
+    tag = s.get("tag", s.get("alias") or name or "input")
     if name == "tail":
         path = s.get("path")
         df = spark.read.text(path).withColumnRenamed("value", "line")

@@ -117,13 +117,14 @@ def paragraph_dedup(
         .withColumn("__para", F.trim(F.col("__para")))
         .filter(F.col("__para") != "")
     )
-    w = Window.partitionBy(F.xxhash64(F.col("__para"))).orderBy(
-        F.col(id_col), F.col("__pos")
-    )
+    # materialize the partition hash first (window specs partition by
+    # real columns, not expressions — repo-wide rule)
+    paras = paras.withColumn("__ph", F.xxhash64(F.col("__para")))
+    w = Window.partitionBy(F.col("__ph")).orderBy(F.col(id_col), F.col("__pos"))
     kept = (
         paras.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__ph")
     )
     return (
         kept.groupBy(id_col)
@@ -581,6 +582,32 @@ def simhash_dedup(
     )
 
 
+def _simhash_banded(
+    sims, id_col: str, fp_col: str, bits: int, bands: int, with_fp: bool
+):
+    """(id[, fp], band, bucket) rows — the ONE band/bucket derivation
+    shared by simhash_hamming_pairs and simhash_overflow_buckets, so the
+    overflow audit can never drift from the buckets the candidate join
+    actually uses."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = F.col(fp_col)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(fp, b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    fp_cols = [fp.alias("fp")] if with_fp else []
+    out_fp = ["fp"] if with_fp else []
+    return sims.select(
+        F.col(id_col).alias("id"), *fp_cols, F.explode(F.array(*entries)).alias("bb")
+    ).select(
+        "id", *out_fp, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def simhash_hamming_pairs(
     sims: DataFrame,
     id_col: str = "doc_id",
@@ -604,19 +631,7 @@ def simhash_hamming_pairs(
 
     Returns (id_a, id_b, hamming), deduplicated across bands.
     """
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    fp = F.col(fp_col)
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(fp, b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sims.select(
-        F.col(id_col).alias("id"), fp.alias("fp"), F.explode(F.array(*entries)).alias("bb")
-    ).select("id", "fp", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _simhash_banded(sims, id_col, fp_col, bits, bands, with_fp=True)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     banded = self_join_ready(banded, persist_membership)
     a, b = banded.alias("a"), banded.alias("b")
@@ -654,19 +669,7 @@ def simhash_overflow_buckets(
     """(band, bucket, bucket_size) rows exceeding the cap — the audit
     view for simhash_hamming_pairs' sub-sampling, symmetric to
     lsh_overflow_buckets (no silent caps)."""
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    fp = F.col(fp_col)
-    entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(fp, b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sims.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _simhash_banded(sims, id_col, fp_col, bits, bands, with_fp=False)
     return (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))

@@ -173,32 +173,51 @@ def hec_records(df: DataFrame, default_tag: str = "splunk.0") -> DataFrame:
 def es_bulk_records(df: DataFrame, default_tag: str = "es.0") -> DataFrame:
     """in_elasticsearch bulk: NDJSON alternating action/source lines
     (in_elasticsearch_bulk_prot.c:349 — only `index` and `create`
-    write_ops carry a source doc and are ingested; delete/update are
-    skipped). Each kept row = (tag, op, record<json>)."""
-    with_id = df.withColumn("__req", F.monotonically_increasing_id())
-    lines = with_id.select(
-        "__req",
-        F.posexplode(
-            F.filter(F.split(F.col("body"), "\n"), lambda l: F.trim(l) != "")
-        ).alias("pos", "line"),
+    write_ops carry a source doc and are ingested; delete has no source
+    line; update's source line is consumed but skipped). Each kept row =
+    (tag, op, record<json>).
+
+    The protocol is strictly POSITIONAL: whether a line is an action or
+    a source doc depends on the previous action, never on the line's own
+    keys (a source document legitimately containing a top-level
+    'index'/'update'/... key must not be mistaken for an action). A
+    per-request fold walks the line array carrying the pending write_op
+    — requests are single HTTP bodies, so the interpreted-HOF cost is
+    bounded by body size, not corpus size."""
+
+    def op_of(line):
+        return F.coalesce(
+            *[
+                F.when(F.get_json_object(line, f"$.{o}").isNotNull(), F.lit(o))
+                for o in ("index", "create", "delete", "update")
+            ]
+        )
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("pend"),
+        F.lit([]).cast("array<struct<op:string,rec:string>>").alias("docs"),
     )
-    op = F.coalesce(
-        *[
-            F.when(
-                F.get_json_object(F.col("line"), f"$.{o}").isNotNull(), F.lit(o)
-            )
-            for o in ("index", "create", "delete", "update")
-        ]
-    )
-    w = Window.partitionBy("__req").orderBy("pos")
-    tagged = lines.withColumn("__op", op).withColumn(
-        "__prev_op", F.lag("__op").over(w)
-    )
-    docs = tagged.filter(
-        F.col("__op").isNull() & F.col("__prev_op").isin("index", "create")
+
+    def step(acc, line):
+        pend = acc["pend"]
+        kept = F.when(
+            pend.isin("index", "create"),
+            F.array_append(
+                acc["docs"], F.struct(pend.alias("op"), line.alias("rec"))
+            ),
+        ).otherwise(acc["docs"])
+        op = op_of(line)
+        next_pend = F.when(
+            pend.isNull() & op.isin("index", "create", "update"), op
+        )
+        return F.struct(next_pend.alias("pend"), kept.alias("docs"))
+
+    lines_arr = F.filter(F.split(F.col("body"), "\n"), lambda l: F.trim(l) != "")
+    docs = df.select(
+        F.explode(F.aggregate(lines_arr, acc0, step)["docs"]).alias("d")
     )
     return docs.select(
         F.lit(default_tag).alias("tag"),
-        F.col("__prev_op").alias("op"),
-        F.col("line").alias("record"),
+        F.col("d.op").alias("op"),
+        F.col("d.rec").alias("record"),
     )

@@ -87,11 +87,15 @@ def replace_record(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         import pandas as pd
 
         payload = pdf.drop(columns=[ts_col])
+        def scalarize(v):
+            # numpy scalars (int64/float64/bool_) are not JSON-serializable
+            if hasattr(v, "item"):
+                v = v.item()
+            return None if isinstance(v, float) and math.isnan(v) else v
+
         old = payload.apply(
             lambda r: json.dumps(
-                {k: (None if isinstance(v, float) and math.isnan(v) else v)
-                 for k, v in r.items()},
-                sort_keys=True,
+                {k: scalarize(v) for k, v in r.items()}, sort_keys=True
             ),
             axis=1,
         ) if len(pdf) else pd.Series([], dtype="object")

@@ -407,12 +407,16 @@ def kafka_frame(
         tv = F.col(topic_key).cast("string")
         topic = F.when(tv.isin(list(topics)), tv).otherwise(templ(default_topic))
 
+    # per-RECORD fallback like out_kafka's produce(): a null field value
+    # falls back to the static message_key, not to a null key
+    # (plugins/out_kafka/kafka.c message_key_field lookup-miss path)
+    fallback = (
+        F.lit(message_key) if message_key is not None else F.lit(None).cast("string")
+    )
     if message_key_field and message_key_field in df.columns:
-        key = F.col(message_key_field).cast("string")
-    elif message_key is not None:
-        key = F.lit(message_key)
+        key = F.coalesce(F.col(message_key_field).cast("string"), fallback)
     else:
-        key = F.lit(None).cast("string")
+        key = fallback
 
     if spec.fmt == "msgpack":
         from .msgpackfmt import to_msgpack_binary

@@ -390,3 +390,35 @@ pipeline:
     # the output's processors unit must NOT appear as a global filter
     keys = [dict(s.entries).get("key") for s in filters]
     assert "x" not in keys
+
+
+def test_yaml_aliased_input_processors_fire(spark, tmp_path):
+    """An input with an alias and no explicit tag is tagged by its alias
+    (flb_input_name semantics), so its per-input processor unit — scoped
+    to the same default — actually fires."""
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+pipeline:
+  inputs:
+    - name: dummy
+      alias: web
+      dummy: '{"msg": "hi"}'
+      samples: 1
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: source
+            value: edge
+  outputs:
+    - name: file
+      match: '*'
+      format: json
+      sink_name: out
+"""
+    r = run_config(spark, conf, str(tmp_path / "o"))
+    rows = r.frame.collect()
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "web"
+    assert rows[0]["source"] == "edge"

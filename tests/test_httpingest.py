@@ -104,6 +104,29 @@ def test_es_bulk_records(spark):
     assert got == [("create", "second"), ("index", "first")]
 
 
+def test_es_bulk_is_positional_not_content_based(spark):
+    """A source DOC whose top-level keys collide with action names
+    ('index', 'update', ...) must still be ingested as a doc: the bulk
+    protocol is positional (the line after an index/create action is
+    always its source), never content-sniffed."""
+    body = "\n".join(
+        [
+            '{"index": {"_index": "logs"}}',
+            '{"update": "2024-01-01", "msg": "doc-with-action-shaped-key"}',
+            '{"delete": {"_id": "9"}}',
+            '{"index": {}}',
+            '{"index": 7, "msg": "another"}',
+        ]
+    )
+    env = spark.createDataFrame([("/_bulk", "", body)], httpingest.ENVELOPE_SCHEMA)
+    rows = httpingest.es_bulk_records(env).collect()
+    got = sorted((r["op"], json.loads(r["record"]).get("msg")) for r in rows)
+    assert got == [
+        ("index", "another"),
+        ("index", "doc-with-action-shaped-key"),
+    ]
+
+
 def test_http_spool_streaming_follow(spark, tmp_path):
     """Follow mode: the spool is a streaming source; a restart with the
     same checkpoint only processes newly spooled requests (the in_tail

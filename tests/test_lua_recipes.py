@@ -65,6 +65,17 @@ def test_replace_record_golden(spark):
     assert json.loads(rows["drop-me"]["old"])["epoch"] is None
 
 
+def test_replace_record_integer_columns(spark):
+    """numpy.int64 values from long columns must serialize (json.dumps
+    rejects numpy scalars without the .item() scalarization)."""
+    df = spark.createDataFrame(
+        [("a", 10.0, 7), ("b", 11.0, 8)], "k string, ts double, n long"
+    )
+    out = lua_recipes.replace_record(df).collect()
+    got = {json.loads(r["old"])["k"]: json.loads(r["old"])["n"] for r in out}
+    assert got == {"a": 7, "b": 8}
+
+
 def test_rate_limit_golden(spark):
     """rate_limit.lua: at most `limit` records per group per period pane;
     the overflow records return code -1 (drop)."""

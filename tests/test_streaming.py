@@ -176,6 +176,24 @@ def test_kafka_frame_shape(spark):
     assert rows["audit"]["tag"] == "kafka.audit" and rows["audit"]["lvl"] == 7
 
 
+def test_kafka_sink_key_per_record_fallback(spark):
+    """out_kafka's produce() falls back to the static message_key when
+    the message_key_field value is missing on that RECORD — a null field
+    must not produce a null kafka key (kafka.c lookup-miss path)."""
+    from fluent_bit_spark.router import SinkSpec, kafka_frame
+
+    df = spark.createDataFrame(
+        [("app.a", "u1", "x"), ("app.b", None, "y")],
+        "tag string, user string, msg string",
+    )
+    out = kafka_frame(
+        df, SinkSpec("k", fmt="json"), topics=["logs"],
+        message_key_field="user", message_key="static-key",
+    )
+    keys = sorted(r["key"] for r in out.collect())
+    assert keys == ["static-key", "u1"]
+
+
 def test_exec_and_stdin_sources(spark):
     """in_exec: one record per stdout line; in_stdin: one per input line,
     parser attach projects fields."""
