@@ -899,7 +899,12 @@ def q_simhash_modes(spark, sf_dir):
     docs = _t_spread(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = docs.filter(F.size(toks) >= 2)
-    fp = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60)
+    # ONE signature build feeds both branches (persisted — a fresh plan
+    # per branch would recompute the 60-wide aggregate twice)
+    sims = dedup.simhash_table(
+        docs, shingle_n=2, bits=60, hash_fn=dedup.md5_hash60
+    ).persist()
+    fp = dedup.simhash_dedup(docs, bits=60, hash_fn=dedup.md5_hash60, sims=sims)
     ham = dedup.simhash_near_dup(
         docs,
         shingle_n=2,
@@ -908,6 +913,7 @@ def q_simhash_modes(spark, sf_dir):
         max_hamming=3,
         max_bucket_size=64,
         hash_fn=dedup.md5_hash60,
+        sims=sims,
     )
     return ham.select(
         F.lit("ham").alias("mode"),

@@ -565,14 +565,18 @@ def simhash_table(
 
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2,
-    bits: int = 64, hash_fn=None,
+    bits: int = 64, hash_fn=None, sims: DataFrame = None,
 ) -> DataFrame:
     """Group docs by identical SimHash (the scale-path bucketing: banded
     prefix matching generalizes this; identical-fingerprint is the exact
     near-dup core). Fingerprints come from simhash_table (codegen path);
     the join back is on the id key. bits/hash_fn as in simhash_table
-    (md5_hash60 + bits=60 gives the oracle-checkable variant)."""
-    sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
+    (md5_hash60 + bits=60 gives the oracle-checkable variant). Pass a
+    precomputed (persisted) ``sims`` table to share ONE signature build
+    across several consumers — a fresh plan recomputes it per consumer
+    (the self_join_ready lesson)."""
+    if sims is None:
+        sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
     joined = df.join(sims, id_col)
     w = Window.partitionBy(F.col("simhash")).orderBy(F.col(id_col))
     return (
@@ -687,9 +691,12 @@ def simhash_near_dup(
     max_hamming: int = 3,
     max_bucket_size: int = 256,
     hash_fn=None,
+    sims: DataFrame = None,
 ) -> DataFrame:
-    """simhash_table + simhash_hamming_pairs composed end-to-end."""
-    sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
+    """simhash_table + simhash_hamming_pairs composed end-to-end. A
+    precomputed ``sims`` table is used as-is (see simhash_dedup)."""
+    if sims is None:
+        sims = simhash_table(df, text_col, id_col, shingle_n, bits=bits, hash_fn=hash_fn)
     return simhash_hamming_pairs(
         sims,
         id_col=id_col,
