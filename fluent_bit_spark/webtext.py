@@ -33,9 +33,12 @@ agree byte-for-byte):
      to a blank line, and the result is trimmed
 
 All regexes stay inside the common RE2 / java.util.regex / python-re
-dialect (explicit character classes instead of ``\\s``, which is
-unicode-aware in python but not in java/RE2; no backreferences) so the
-identical pattern strings run on all three engines.
+dialect so the identical pattern strings run on all three engines:
+explicit character classes instead of ``\\s``/``\\b`` (unicode-aware in
+python, ASCII in java/RE2), ``[sS][cC]..`` classes instead of ``(?i)``
+(python/RE2 case-fold unicode — ``(?i)script`` matches ``ſcript`` —
+java does not; verified divergence), and no backreferences or
+lookaround (RE2 has neither).
 
 Reference: the text/html handling the reference applies per record is a
 raw passthrough (pack/flb_pack.c keeps payloads opaque); extraction
@@ -58,10 +61,29 @@ from pyspark.sql import functions as F
 # python re (pandas engine), and RE2 (DuckDB oracle).
 # ---------------------------------------------------------------------------
 
-_BLOCK_CLOSERS = (
-    "p|div|h[1-6]|li|tr|title|ul|ol|table|blockquote|pre|"
-    "section|article|header|footer|figure|figcaption|dd|dt"
-)
+def _ci(word: str) -> str:
+    """ASCII-case-insensitive literal: '[sS][cC]...' classes instead of
+    the (?i) flag. (?i) is NOT portable across the three engines: python
+    re full-casefolds unicode ((?i)script matches 'ſcript', long s),
+    RE2 simple-folds it too, but java.util.regex without UNICODE_CASE is
+    ASCII-only — a real divergence on real web text (verified). Explicit
+    classes pin ASCII semantics on every engine."""
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in word)
+
+
+# ASCII-word boundary after a tag name, RE2-compatible (RE2 has no
+# lookahead; \b is unicode-aware in python but ASCII in java/RE2 — same
+# portability trap as (?i)): the name is followed either by '>' or by a
+# non-ASCII-word char then anything up to '>'.
+_TAG_REST = r"(?:>|[^>a-zA-Z0-9_][^>]*>)"
+
+_BLOCK_CLOSERS = "|".join(
+    _ci(w)
+    for w in (
+        "p div li tr title ul ol table blockquote pre "
+        "section article header footer figure figcaption dd dt"
+    ).split()
+) + "|[hH][1-6]"
 
 # Each step is one full pass over the (long) raw-html strings — memory
 # traffic, not regex CPU, is the scale cost — so same-replacement steps
@@ -78,12 +100,16 @@ _BLOCK_CLOSERS = (
 # passes = -17% e2e extraction wall time at 3M docs.
 STRIP_STEPS: list[tuple[str, str]] = [
     (
-        r"(?is)<script\b[^>]*>.*?</script[ \t]*>"
-        r"|<style\b[^>]*>.*?</style[ \t]*>"
+        r"(?s)<" + _ci("script") + _TAG_REST + r".*?</" + _ci("script") + r"[ \t]*>"
+        r"|<" + _ci("style") + _TAG_REST + r".*?</" + _ci("style") + r"[ \t]*>"
         r"|<!--.*?-->",
         " ",
     ),
-    (r"(?i)<(?:br|hr)[ \t]*/?>|</(?:" + _BLOCK_CLOSERS + r")[ \t]*>", "\n"),
+    (
+        r"<(?:" + _ci("br") + "|" + _ci("hr") + r")[ \t]*/?>"
+        r"|</(?:" + _BLOCK_CLOSERS + r")[ \t]*>",
+        "\n",
+    ),
     (r"(?s)<[^>]*>", " "),
 ]
 
@@ -129,7 +155,8 @@ def html_to_text(html: Column) -> Column:
 def extract_title(html: Column) -> Column:
     """<title> content, entity-decoded and whitespace-normalized (the
     same steps 6-7 the body text gets)."""
-    out = F.regexp_extract(_html_str(html), r"(?is)<title[^>]*>(.*?)</title", 1)
+    pat = r"(?s)<" + _ci("title") + r"[^>]*>(.*?)</" + _ci("title")
+    out = F.regexp_extract(_html_str(html), pat, 1)
     for lit, rep in ENTITY_STEPS:
         out = F.replace(out, F.lit(lit), F.lit(rep))
     for pat, rep in WS_STEPS:
@@ -139,9 +166,8 @@ def extract_title(html: Column) -> Column:
 
 def extract_links(html: Column) -> Column:
     """array<string> of href targets, document order, raw (un-decoded)."""
-    return F.regexp_extract_all(
-        _html_str(html), F.lit(r'(?i)href[ \t]*=[ \t]*"([^"]*)"'), F.lit(1)
-    )
+    pat = _ci("href") + r'[ \t]*=[ \t]*"([^"]*)"'
+    return F.regexp_extract_all(_html_str(html), F.lit(pat), F.lit(1))
 
 
 def url_host(url: Column) -> Column:
@@ -159,8 +185,8 @@ def url_domain(url: Column) -> Column:
 
 # Shared python-engine pattern literals (python re + RE2 dialect; the
 # JVM engine keeps its java.util.regex (?<t>...) form inline).
-TITLE_PAT = r"(?is)<title[^>]*>(?P<t>.*?)</title"
-HREF_PAT = r'(?i)href[ \t]*=[ \t]*"[^"]*"'
+TITLE_PAT = r"(?s)<" + _ci("title") + r"[^>]*>(?P<t>.*?)</" + _ci("title")
+HREF_PAT = _ci("href") + r'[ \t]*=[ \t]*"[^"]*"'
 
 
 def _require_html_col(df: DataFrame, html_col: str) -> None:

@@ -63,6 +63,13 @@ TRICKY = [
     "<title>only title</title>",
     "ünïcödé <b>bold</b> text",
     "<p>a</p>\n\n\n\n<p>b</p>",
+    # unicode case-folding traps: python re (?i) matches 'ſcript' (long
+    # s) and '\b' treats 'ü' as a word char — java/RE2 disagree; the
+    # spec pins ASCII semantics via [sS][cC].. classes and _TAG_REST
+    "<ſcript>not a script</ſcript> kept",
+    "<SCRIPTü>x</script> boundary",
+    "<scripté>y</script> tail",
+    "<TıTLE>dotless i</TıTLE>",
 ]
 
 
@@ -246,3 +253,33 @@ def test_line_pat_first_paren_rewrite(spark):
     import pytest
     with pytest.raises(ValueError, match="capturing group"):
         extract_parse_arrow(df, APACHE, line_pat=r"LOG \S+")
+
+
+def test_engine_identity_property(spark):
+    """Property test: on randomized HTML-ish fragments (nested tags,
+    stray angle brackets, entities, unicode, partial script/style/
+    comment blocks), the three engines return identical bytes."""
+    import random
+
+    rng = random.Random(42)
+    atoms = [
+        "<p>", "</p>", "<script>", "</script>", "<STYLE x=1>", "</style>",
+        "<!--", "-->", "<br/>", "<div >", "</div>", "&amp;", "&lt;",
+        "&amp;lt;", "plain", "tëxt", "ſcript", "a<b", "c>d", "\n", "\t",
+        "  ", '<a href="/x">', "</a>", "<TITLE>", "</title>", "<hr>",
+        "<h3>", "</h3>", "\r\n", "&nbsp;", "ü", "<", ">", '"q"',
+    ]
+    frags = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 14)))
+        for _ in range(120)
+    ]
+    rows = [(i, t.encode("utf-8")) for i, t in enumerate(frags)]
+    df = spark.createDataFrame(rows, "i long, html binary")
+    jvm = {r["i"]: r["t"] for r in df.select(
+        "i", webtext.html_to_text(F.col("html")).alias("t")).collect()}
+    pnd = {r["i"]: r["t"] for r in webtext.html_to_text_pandas(
+        df, out_col="t", title_col=None, links_col=None).select("i", "t").collect()}
+    arw = {r["i"]: r["t"] for r in webtext.html_to_text_arrow(
+        df, out_col="t", title_col=None, links_col=None).select("i", "t").collect()}
+    bad = [i for i in jvm if not (jvm[i] == pnd[i] == arw[i])]
+    assert not bad, [(i, frags[i], jvm[i], pnd[i], arw[i]) for i in bad[:3]]
