@@ -1381,12 +1381,15 @@ def _webtext_oracle_sql() -> str:
             expr = f"replace({expr}, '{q(lit)}', '{q(rep)}')"
         for pat, rep in webtext.WS_STEPS:
             expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
-        return expr
+        # normative final trim (webtext.TRIM_CHARS); chr() for the
+        # control chars a SQL string literal can't carry cleanly
+        return (
+            f"trim({expr}, ' ' || chr(9) || chr(13) || chr(10) || chr(12))"
+        )
 
-    title_raw = (
-        "regexp_extract(html, '(?is)<title[^>]*>(.*?)</title', 1)"
-    )
-    href = r'(?i)href[ \t]*=[ \t]*"([^"]*)"'
+    title_pat = webtext.TITLE_PAT.replace("(?P<t>", "(")
+    title_raw = f"regexp_extract(html, '{q(title_pat)}', 1)"
+    href = webtext.HREF_PAT.replace('"[^"]*"', '"([^"]*)"')
     return f"""
         WITH src AS (
             SELECT doc_id,

