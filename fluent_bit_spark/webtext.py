@@ -20,7 +20,15 @@ agree byte-for-byte):
 
   0. a NULL html value is the empty document (text "", title "",
      0 links) — identical across engines by construction
-  1. decode the binary as UTF-8
+  1. decode the binary as UTF-8, LOSSILY: malformed sequences become
+     U+FFFD per the Unicode maximal-subpart rule (what python
+     ``errors="replace"`` and Spark ``make_valid_utf8`` both implement
+     — verified byte-identical on overlong/truncated/surrogate/lone-
+     continuation vectors). Real Common-Crawl payloads contain invalid
+     UTF-8; a throwing decode (Spark 4 ANSI ``decode``, pyarrow's
+     binary->string cast) turns one bad page into a failed task, and
+     at 10^12 rows a failed task with deterministic input is a failed
+     JOB — the decode step must be total
   2. drop <script>...</script> and <style>...</style> blocks
   3. drop <!-- comments -->
   4. <br>/<hr> and closing block-level tags become a newline
@@ -144,8 +152,14 @@ TRIM_CHARS = " \t\r\n\f"
 def _html_str(col: Column) -> Column:
     """binary -> UTF-8 string; NULL html is the empty document (spec
     step 0) so every engine yields text=""/title=""/n_links=0 instead of
-    engine-dependent null propagation (jvm null vs pandas fillna)."""
-    return F.coalesce(F.decode(col, "UTF-8"), F.lit(""))
+    engine-dependent null propagation (jvm null vs pandas fillna).
+
+    Lossy decode (spec step 1): CAST(binary AS STRING) reinterprets the
+    bytes (never throws — unlike ANSI ``decode``, which fails the task
+    on the first malformed page) and ``make_valid_utf8`` substitutes
+    U+FFFD with maximal-subpart semantics, byte-identical to python's
+    ``errors="replace"`` (test_webtext malformed-vector test)."""
+    return F.coalesce(F.make_valid_utf8(col.cast("string")), F.lit(""))
 
 
 def html_to_text(html: Column) -> Column:
@@ -197,6 +211,35 @@ def url_domain(url: Column) -> Column:
 # JVM engine keeps its java.util.regex (?<t>...) form inline).
 TITLE_PAT = r"(?s)<" + _ci("title") + r"[^>]*>(?P<t>.*?)</" + _ci("title")
 HREF_PAT = _ci("href") + r'[ \t]*=[ \t]*"[^"]*"'
+
+
+def _make_arrow_decoder():
+    """Returns the arrow-engine UTF-8 decode step (spec step 1), built
+    as a local function so mapInArrow closures serialize it BY VALUE —
+    workers keep needing no package import beyond the captured steps.
+
+    Fast path: pyarrow's vectorized binary->string cast, which VALIDATES
+    and raises ArrowInvalid on the first malformed sequence. Only a
+    batch that actually contains invalid UTF-8 (rare; one bad page)
+    falls back to per-row lossy decode — python ``errors="replace"``
+    implements the same maximal-subpart U+FFFD substitution as the JVM
+    engine's make_valid_utf8 (verified identical, test_webtext)."""
+
+    def decode_utf8(raw, pa, pc):
+        if pa.types.is_string(raw.type) or pa.types.is_large_string(raw.type):
+            return raw
+        try:
+            return pc.cast(raw, pa.string())
+        except pa.lib.ArrowInvalid:
+            return pa.array(
+                [
+                    None if b is None else bytes(b).decode("utf-8", "replace")
+                    for b in raw.to_pylist()
+                ],
+                pa.string(),
+            )
+
+    return decode_utf8
 
 
 def _require_html_col(df: DataFrame, html_col: str) -> None:
@@ -257,8 +300,12 @@ def html_to_text_pandas(
 
         for pdf in batches:
             raw = pdf[html_col]
+            # spec step 1: lossy decode (maximal-subpart U+FFFD), same
+            # bytes-in/chars-out as the JVM engine's make_valid_utf8
             s = raw.map(
-                lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b
+                lambda b: b.decode("utf-8", "replace")
+                if isinstance(b, (bytes, bytearray))
+                else b
             ).astype("string")
             s = s.fillna("")  # spec step 0: NULL html = empty document
             if title_col:
@@ -319,6 +366,7 @@ def html_to_text_arrow(
     entity_steps = list(ENTITY_STEPS)
     ws_steps = list(WS_STEPS)
     title_pat, href_pat, trim_chars = TITLE_PAT, HREF_PAT, TRIM_CHARS
+    decode_utf8 = _make_arrow_decoder()
 
     def run(batches):
         import pyarrow as pa
@@ -339,9 +387,7 @@ def html_to_text_arrow(
         for batch in batches:
             idx = batch.schema.get_field_index(html_col)
             raw = batch.column(idx)
-            s = raw if pa.types.is_string(raw.type) or pa.types.is_large_string(
-                raw.type
-            ) else pc.cast(raw, pa.string())
+            s = decode_utf8(raw, pa, pc)  # spec step 1: lossy decode
             s = pc.fill_null(s, "")  # spec step 0: NULL html = empty doc
             names, arrays = [], []
             for i, f in enumerate(batch.schema):
@@ -441,6 +487,7 @@ def extract_parse_arrow(
     if m is None:
         raise ValueError(f"line_pat needs a capturing group: {line_pat!r}")
     line_named = line_pat[: m.start()] + "(?P<l>" + line_pat[m.start() + 1 :]
+    decode_utf8 = _make_arrow_decoder()
 
     def run(batches):
         import pyarrow as pa
@@ -458,9 +505,7 @@ def extract_parse_arrow(
         for batch in batches:
             idx = batch.schema.get_field_index(html_col)
             raw = batch.column(idx)
-            s = raw if pa.types.is_string(raw.type) or pa.types.is_large_string(
-                raw.type
-            ) else pc.cast(raw, pa.string())
+            s = decode_utf8(raw, pa, pc)  # spec step 1: lossy decode
             s = pc.fill_null(s, "")  # spec step 0: NULL html = empty doc
             text = s
             for pat_, rep in strip_steps:

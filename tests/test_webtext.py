@@ -255,6 +255,57 @@ def test_line_pat_first_paren_rewrite(spark):
         extract_parse_arrow(df, APACHE, line_pat=r"LOG \S+")
 
 
+MALFORMED = [
+    b"<p>ok</p>",                      # valid row in the same batch
+    b"<p>\xff\xfe bad</p>",            # lone invalid bytes
+    b"<p>\xe2\x82 truncated</p>",      # truncated 3-byte sequence
+    b"\xc0\xafoverlong",               # overlong encoding
+    b"ends mid\xe2",                   # truncated at end of doc
+    b"lone cont \x80\x80 x",           # stray continuation bytes
+    b"\xed\xa0\x80 surrogate",         # UTF-8-encoded surrogate
+    b"<title>t\xffitle</title><p>body</p>",  # malformed inside markup
+]
+
+
+def test_malformed_utf8_is_lossy_not_fatal(spark):
+    """Spec step 1: invalid UTF-8 decodes LOSSILY (maximal-subpart
+    U+FFFD) on every engine instead of failing the task — one bad
+    Common-Crawl page must not kill a 10^12-row job. All engines agree
+    byte-for-byte with python's errors='replace'."""
+    rows = [(i, b) for i, b in enumerate(MALFORMED)]
+    df = spark.createDataFrame(rows, "i long, html binary")
+
+    def norm(b: bytes) -> str:
+        """The spec applied in pure python (decode step + the fact that
+        these fragments exercise no strip/entity rewrites beyond tags)."""
+        return b.decode("utf-8", "replace")
+
+    jvm = {r["i"]: r["t"] for r in df.select(
+        "i", webtext.html_to_text(F.col("html")).alias("t")).collect()}
+    pnd = {r["i"]: r["t"] for r in webtext.html_to_text_pandas(
+        df, out_col="t", title_col=None, links_col=None).select("i", "t").collect()}
+    arw = {r["i"]: r["t"] for r in webtext.html_to_text_arrow(
+        df, out_col="t", title_col=None, links_col=None).select("i", "t").collect()}
+    assert jvm == pnd == arw
+    # the replacement char itself survives extraction as text
+    assert "�" in jvm[1] and "bad" in jvm[1]
+    # malformed title decodes lossily and doesn't poison the body
+    assert jvm[7] == "t�itle\nbody"
+
+    # fused engine: same rows, parse columns null, no task failure
+    from fluent_bit_spark.parsers import APACHE
+    from fluent_bit_spark.webtext import extract_parse_arrow
+
+    fused = extract_parse_arrow(df, APACHE)
+    got = {r["i"]: r["text_extracted"] for r in
+           fused.select("i", "text_extracted").collect()}
+    assert got == jvm
+
+    # title path through the arrow engine on the malformed-title row
+    t = webtext.html_to_text_arrow(df).filter(F.col("i") == 7).collect()[0]
+    assert t["title"] == "t�itle"
+
+
 def test_engine_identity_property(spark):
     """Property test: on randomized HTML-ish fragments (nested tags,
     stray angle brackets, entities, unicode, partial script/style/
