@@ -278,16 +278,24 @@ def q_nest_lift(spark, sf_dir):
 
 
 def q_type_converter(spark, sf_dir):
-    """filter_type_converter: FROM TO TYPE copies with cast."""
+    """filter_type_converter: FROM TO TYPE copies with the reference's
+    TOTAL C-library conversions (flb_typecast.c leading-parse: '12px'
+    -> 12, 'click' -> null for int / 0.0 for float — an ANSI CAST
+    would fail the task on the first non-numeric value)."""
     ev = _t(spark, sf_dir, "events")
-    df = ev.withColumn("kstr", F.regexp_extract("props", r'"k": (\d+)', 1))
+    df = ev.withColumn(
+        "kstr", F.regexp_extract("props", r'"k": (\d+)', 1)
+    ).withColumn("kpx", F.concat(F.col("kstr"), F.lit("px")))
     rules = [
         TypeConverterRule("kstr", "k_int", "int"),
         TypeConverterRule("user_id", "uid_str", "string"),
         TypeConverterRule("kstr", "k_float", "float"),
+        TypeConverterRule("kpx", "kpx_int", "int"),  # strtol leading parse
+        TypeConverterRule("event_type", "et_int", "int"),  # no digits -> null
+        TypeConverterRule("event_type", "et_float", "float"),  # atof -> 0.0
     ]
     return apply_type_converter(df, rules).select(
-        "event_id", "k_int", "uid_str", "k_float"
+        "event_id", "k_int", "uid_str", "k_float", "kpx_int", "et_int", "et_float"
     )
 
 
@@ -1701,9 +1709,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang AS m_lang, source AS m_source FROM documents
         """,
         "type_converter": f"""
+            -- flb_typecast leading-parse semantics: strtol takes the
+            -- longest leading digit run (TRY_CAST of the extract; ''
+            -- extract -> NULL), atof maps garbage to 0.0 (no error
+            -- check in the reference), nulls stay null
             SELECT event_id, CAST({kv} AS BIGINT) AS k_int,
                    CAST(user_id AS VARCHAR) AS uid_str,
-                   CAST({kv} AS DOUBLE) AS k_float
+                   CAST({kv} AS DOUBLE) AS k_float,
+                   TRY_CAST(regexp_extract({kv} || 'px',
+                       '^[ \t\n\r\f]*([+-]?[0-9]+)', 1) AS BIGINT) AS kpx_int,
+                   TRY_CAST(regexp_extract(event_type,
+                       '^[ \t\n\r\f]*([+-]?[0-9]+)', 1) AS BIGINT) AS et_int,
+                   CASE WHEN event_type IS NULL THEN NULL
+                        ELSE COALESCE(TRY_CAST(regexp_extract(event_type,
+                            '^[ \t\n\r\f]*([+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?)',
+                            1) AS DOUBLE), 0.0)
+                   END AS et_float
             FROM events
         """,
         "expect": """

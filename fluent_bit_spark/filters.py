@@ -330,18 +330,29 @@ def nest_map(df: DataFrame, wildcard: str, nest_under: str, body_col: str = "bod
 @dataclass(frozen=True)
 class TypeConverterRule:
     """``int_key/uint_key/float_key/str_key FROM TO TYPE``
-    (type_converter.c:121-131): copy field FROM to TO with a cast."""
+    (type_converter.c:121-131): copy field FROM to TO with a cast.
+
+    Conversions are TOTAL with the reference's C-library leading-parse
+    semantics (parsers.strtol_long / atof_double — '12px' -> 12,
+    'abc' -> 0.0 for float): an ANSI CAST would fail the whole task on
+    the first malformed value. On a failed int conversion the reference
+    writes the ORIGINAL value under to_key (type_converter.c:291-297);
+    a typed column can't hold both, so failure maps to null."""
 
     from_key: str
     to_key: str
     to_type: str  # int uint float string
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from .parsers import atof_double, strtol_long, strtoul_long
+
         c = F.col(self.from_key)
-        if self.to_type in ("int", "uint"):
-            c = c.cast("long")
+        if self.to_type == "int":
+            c = strtol_long(c)
+        elif self.to_type == "uint":
+            c = strtoul_long(c)
         elif self.to_type == "float":
-            c = c.cast("double")
+            c = atof_double(c)
         else:
             c = c.cast("string")
         return df.withColumn(self.to_key, c)

@@ -147,7 +147,9 @@ def hec_records(df: DataFrame, default_tag: str = "splunk.0") -> DataFrame:
                 F.get_json_object(F.col("line"), "$.event"),
                 F.col("line"),
             ).alias("record"),
-            F.get_json_object(F.col("line"), "$.time").cast("double").alias("ts"),
+            # try_cast: a malformed HEC "time" value is a null event
+            # time (the reference stamps receive-time), never a failed task
+            F.get_json_object(F.col("line"), "$.time").try_cast("double").alias("ts"),
         )
         .withColumn(
             "record",

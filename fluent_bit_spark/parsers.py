@@ -118,25 +118,92 @@ def strip_names(pattern: str) -> tuple[str, dict[str, int]]:
 # ---------------------------------------------------------------------------
 
 
+# Total (never-throwing) string->number conversions with the C-library
+# leading-parse semantics flb_typecast.c relies on. Spark 4 runs ANSI
+# mode: a plain CAST throws CAST_INVALID_INPUT on the first malformed
+# value ('' included), so one garbage record would fail the task — and
+# with deterministic input, the whole job. These expressions are total
+# AND match the reference: strtoimax/atof parse the longest valid
+# leading run ("12abc" -> 12), they don't all-or-nothing like CAST.
+_STRTOL_LEAD = r"^[ \t\n\r\f]*([+-]?[0-9]+)"
+_STRTOUL_LEAD = r"^[ \t\n\r\f]*\+?([0-9]+)"
+_ATOF_LEAD = r"^[ \t\n\r\f]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+_HEX_LEAD = r"^[ \t\n\r\f]*\+?(?:0[xX])?([0-9a-fA-F]+)"
+
+
+def strtol_long(c: Column) -> Column:
+    """``strtoimax(str, NULL, 10)`` as a total Catalyst expression: skip
+    leading whitespace, parse the longest leading signed-decimal run;
+    no digits -> null. flb_typecast.c:100-104 additionally treats a
+    parsed 0 as a conversion ERROR (keeping the original value) — that
+    quirk conflates legitimate zeros with failures and has no
+    typed-column equivalent, so 0 parses as 0 here. Overflow -> null
+    (strtoimax clamps to INTMAX instead)."""
+    return F.regexp_extract(c.cast("string"), _STRTOL_LEAD, 1).try_cast("long")
+
+
+def strtoul_long(c: Column) -> Column:
+    """``strtoumax(str, NULL, 10)``: unsigned leading parse; no digits
+    -> null. The C call wraps a leading '-' through 2^64 (typecast.c
+    uint path) — replicating the wrap would manufacture garbage values,
+    so negative input is a conversion failure (null) here."""
+    return F.regexp_extract(c.cast("string"), _STRTOUL_LEAD, 1).try_cast("long")
+
+
+def atof_double(c: Column) -> Column:
+    """``atof()`` as a total expression: longest leading float parse
+    (sign, decimal, exponent); GARBAGE -> 0.0 — atof returns 0.0 and
+    flb_typecast.c:132-137 packs the result with no error check, so
+    'abc' really does convert to 0.0 in the reference. Null stays
+    null."""
+    s = F.regexp_extract(c.cast("string"), _ATOF_LEAD, 1)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.coalesce(s.try_cast("double"), F.lit(0.0))
+    )
+
+
+def fb_bool(c: Column) -> Column:
+    """flb_typecast.c:138-149 bool: ``strncasecmp`` PREFIX match — any
+    string starting 'true'/'false' (ASCII case-insensitive) converts
+    ('trueX' is true); anything else is a conversion failure -> null."""
+    low = F.lower(c.cast("string"))
+    return F.when(low.startswith("true"), F.lit(True)).when(
+        low.startswith("false"), F.lit(False)
+    )
+
+
+def strtoul_hex(c: Column) -> Column:
+    """``strtoumax(str, NULL, 16)``: optional 0x prefix, longest leading
+    hex-digit run; no hex digits -> null (the reference's ret=-1 error
+    path, flb_typecast.c:121-127). Values above 2^63-1 -> null rather
+    than wrapping."""
+    s = F.regexp_extract(c.cast("string"), _HEX_LEAD, 1)
+    return F.when(s == "", F.lit(None).cast("long")).otherwise(
+        F.conv(s, 16, 10).try_cast("long")
+    )
+
+
 @dataclass(frozen=True)
 class TypeCast:
     """Types option entry: ``key int|uint|float|bool|string|hex``
-    (include/fluent-bit/flb_typecast.h:29-36)."""
+    (include/fluent-bit/flb_typecast.h:29-36). Conversion failure is
+    null — the reference keeps the original msgpack value in place
+    (parser typecast error path), which a typed column can't express."""
 
     key: str
     to: str
 
     def apply(self, c: Column) -> Column:
-        if self.to in ("int", "uint", "integer"):
-            return c.cast("long")
+        if self.to in ("int", "integer"):
+            return strtol_long(c)
+        if self.to == "uint":
+            return strtoul_long(c)
         if self.to == "float":
-            return c.cast("double")
+            return atof_double(c)
         if self.to in ("bool", "boolean"):
-            return F.when(F.lower(c).isin("true"), F.lit(True)).when(
-                F.lower(c).isin("false"), F.lit(False)
-            )
+            return fb_bool(c)
         if self.to == "hex":
-            return F.conv(c, 16, 10).cast("long")
+            return strtoul_hex(c)
         return c
 
 

@@ -140,7 +140,9 @@ def filter_stage(df: DataFrame) -> DataFrame:
         df = df.filter(keep)
     else:
         df = df.filter(keep | (F.monotonically_increasing_id() < F.lit(0)))
-    df = df.withColumn("size_i", F.col("size").cast("long"))
+    # Apache logs write '-' for bodyless responses: try_cast maps it to
+    # null (big_transfers treats null as not-big) instead of throwing
+    df = df.withColumn("size_i", F.col("size").try_cast("long"))
     code_class = (
         F.when(F.col("code").startswith("2"), "ok")
         .when(F.col("code").startswith("3"), "redirect")

@@ -105,7 +105,25 @@ def probabilistic_sample(
     engine. keep_condition short-circuits sampling (the conditional
     sampling modes: always keep rows matching the condition).
     """
-    draw = F.pmod(F.col(id_col).cast("bigint") * F.lit(2654435761), F.lit(4294967296))
+    # numeric ids use the Knuth draw directly; a non-numeric id (hex
+    # trace ids, uuids) hashes to its 64-bit draw instead of throwing
+    # ANSI CAST_INVALID_INPUT and failing the task on one record
+    id_num = F.coalesce(
+        F.col(id_col).try_cast("bigint"), F.xxhash64(F.col(id_col))
+    )
+    # (id * K) mod 2^32 computed overflow-free: a direct multiply
+    # overflows long (ANSI ARITHMETIC_OVERFLOW) for any id >= ~3.5e9 —
+    # including every xxhash64 draw. Split the 32-bit residue into
+    # 16-bit halves; all intermediates stay < 2^48. Exactly equal to
+    # the naive formula wherever that one doesn't overflow, so the
+    # DuckDB oracle replay (small fixture ids) is unchanged.
+    K = F.lit(2654435761)
+    x = F.pmod(id_num, F.lit(4294967296))
+    h, l = F.shiftright(x, 16), x.bitwiseAND(F.lit(65535))
+    draw = F.pmod(
+        (h * K).bitwiseAND(F.lit(65535)) * F.lit(65536) + l * K,
+        F.lit(4294967296),
+    )
     keep = draw < F.lit(int(percentage / 100.0 * 4294967296))
     if keep_condition is not None:
         keep = keep_condition | keep
@@ -144,7 +162,9 @@ def log_to_metrics(df: DataFrame, spec: LogToMetricsSpec) -> DataFrame:
         # the max over the batch (deterministic, order-free)
         return df.groupBy(*labels).agg(F.max(F.col(spec.value_field)).alias("metric_value"))
     if spec.mode == "histogram":
-        v = F.col(spec.value_field).cast("double")
+        # try_cast: a non-numeric observation lands in +Inf (the when
+        # chain falls through on null) instead of failing the job
+        v = F.col(spec.value_field).try_cast("double")
         edges = sorted(spec.buckets)
         bucket = F.lit(f"+Inf")
         for e in reversed(edges):

@@ -197,6 +197,38 @@ def test_type_converter(spark):
     assert row["a_int"] == 42 and abs(row["b_f"] - 1.5) < 1e-9
 
 
+def test_type_converter_total_on_garbage(spark):
+    """Conversions are TOTAL with flb_typecast's C-library leading-parse
+    semantics: one malformed value must convert per strtol/atof rules —
+    not throw ANSI CAST_INVALID_INPUT and fail the task."""
+    rows = [
+        ("12px", "12px"),     # strtol leading parse -> 12; atof -> 12.0
+        ("abc", "abc"),       # no digits: int -> null; atof -> 0.0
+        ("  -7 ", "  -7 "),   # leading whitespace + sign
+        ("", ""),             # empty string: int null, atof 0.0
+        (None, None),         # null stays null on both
+        ("1e3", "1e3"),       # exponent: int 1, float 1000.0
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = apply_type_converter(
+        df,
+        [
+            TypeConverterRule("a", "i", "int"),
+            TypeConverterRule("a", "u", "uint"),
+            TypeConverterRule("b", "f", "float"),
+        ],
+    ).collect()
+    got = [(r["i"], r["u"], r["f"]) for r in out]
+    assert got == [
+        (12, 12, 12.0),
+        (None, None, 0.0),
+        (-7, None, -7.0),   # uint: leading '-' is failure, not a 2^64 wrap
+        (None, None, 0.0),
+        (None, None, None),
+        (1, 1, 1000.0),
+    ]
+
+
 # --- expect ---
 
 def test_expect(spark):

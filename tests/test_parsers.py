@@ -117,6 +117,34 @@ def test_typecast_regex(spark):
     assert row["bool"] is True
 
 
+def test_typecast_total_matches_c_library(spark):
+    """flb_typecast.c conversion semantics on malformed input: strtol
+    leading parse, atof garbage->0.0, strncasecmp PREFIX bools, strtoumax
+    hex with optional 0x — all total (no ANSI CAST throw on bad rows)."""
+    p = RegexParser(
+        "edges",
+        r"^(?<i>[^ ]+) (?<f>[^ ]+) (?<b>[^ ]+) (?<h>[^ ]+)$",
+        types=(
+            TypeCast("i", "int"),
+            TypeCast("f", "float"),
+            TypeCast("b", "bool"),
+            TypeCast("h", "hex"),
+        ),
+    )
+    lines = [
+        "12abc 3.5e2 TRUEish 0xFF",   # leading parses + prefix bool + 0x hex
+        "abc junk yes zz",            # all conversion failures (atof->0.0)
+        "-4 . falsey DEAD",           # bare '.' is not a float -> 0.0
+    ]
+    rows = _parse(spark, p, lines).collect()
+    got = {r["line"]: (r["i"], r["f"], r["b"], r["h"]) for r in rows}
+    assert got == {
+        lines[0]: (12, 350.0, True, 255),
+        lines[1]: (None, 0.0, None, None),
+        lines[2]: (-4, 0.0, False, 57005),
+    }
+
+
 def test_syslog_rfc5424(spark):
     line = "<34>1 2024-02-28T10:20:30.123+0000 host1 app 1234 MSGID - hello world"
     row = _parse(spark, SYSLOG_RFC5424, [line]).first()
