@@ -86,6 +86,43 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first arrival
+    per exact text, drop re-deliveries that land within the watermark
+    horizon.
+
+    The state store holds one 8-byte xxhash64 digest (plus event time)
+    per distinct document seen inside the horizon and evicts entries as
+    the watermark advances — the batch :func:`exact_dedup` guarantee,
+    restricted to the window a stream can afford. That is exactly the
+    duplicate profile of a log/crawl pipeline (re-sent chunks, retried
+    fetches: seconds-to-minutes apart), and the same trade the
+    reference's in_tail offset DB makes (dedup within what it can
+    remember, not across all history). Like exact_dedup, the shuffle
+    and the state key carry the digest, never raw text — state size is
+    ~16 bytes/distinct doc, so a 1-hour horizon at 1M docs/min holds
+    ~1 GB across ALL executors' state stores.
+
+    First-arrival-wins replaces the batch operator's lowest-id-wins:
+    a stream can't see future ids, and Spark's
+    ``dropDuplicatesWithinWatermark`` keeps the earliest-processed row
+    per key (deterministic under replay from the checkpoint)."""
+    if not df.isStreaming:
+        raise ValueError("streaming_exact_dedup requires a streaming frame; "
+                         "use exact_dedup for batch")
+    return (
+        df.withColumn("__digest", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

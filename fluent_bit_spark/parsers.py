@@ -176,11 +176,14 @@ def strtoul_hex(c: Column) -> Column:
     """``strtoumax(str, NULL, 16)``: optional 0x prefix, longest leading
     hex-digit run; no hex digits -> null (the reference's ret=-1 error
     path, flb_typecast.c:121-127). Values above 2^63-1 -> null rather
-    than wrapping."""
+    than wrapping — which also means bounding conv() to runs of <= 16
+    hex digits first: ANSI conv() itself throws ARITHMETIC_OVERFLOW
+    past 2^64, and a 17-digit run in the data must not fail the task
+    (strtoumax clamps those to UINTMAX, i.e. above 2^63 -> null here
+    either way). try_cast nulls the remaining 2^63..2^64-1 band."""
     s = F.regexp_extract(c.cast("string"), _HEX_LEAD, 1)
-    return F.when(s == "", F.lit(None).cast("long")).otherwise(
-        F.conv(s, 16, 10).try_cast("long")
-    )
+    bounded = F.when((s != "") & (F.length(s) <= 16), s)
+    return F.conv(bounded, 16, 10).try_cast("long")
 
 
 @dataclass(frozen=True)

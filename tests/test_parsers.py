@@ -329,3 +329,84 @@ def test_parser_filter_match_gate(spark):
     assert got["app.a"]["k"] == "x" and got["app.a"]["extra"] is None
     assert got["db.b"]["k"] is None
     assert got["db.b"]["extra"] == "keep" and got["db.b"]["payload"] == "k=y"
+
+
+def test_typecast_property_vs_c_model(spark):
+    """Randomized property test: strtol_long/strtoul_long/atof_double/
+    fb_bool/strtoul_hex agree with a pure-python model of the C calls
+    flb_typecast.c makes, on 400 adversarial strings in ONE Spark job."""
+    import random
+    import re as _re
+
+    from fluent_bit_spark.parsers import (
+        atof_double,
+        fb_bool,
+        strtol_long,
+        strtoul_hex,
+        strtoul_long,
+    )
+
+    def strtol_model(s):
+        m = _re.match(r"[ \t\n\r\f]*([+-]?[0-9]+)", s)
+        if not m:
+            return None
+        v = int(m.group(1))
+        return v if -(2**63) <= v < 2**63 else None  # overflow -> null
+
+    def strtoul_model(s):
+        m = _re.match(r"[ \t\n\r\f]*\+?([0-9]+)", s)
+        if not m:
+            return None
+        v = int(m.group(1))
+        return v if v < 2**63 else None
+
+    def atof_model(s):
+        m = _re.match(
+            r"[ \t\n\r\f]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)", s
+        )
+        return float(m.group(1)) if m else 0.0
+
+    def bool_model(s):
+        low = s.lower()
+        if low.startswith("true"):
+            return True
+        if low.startswith("false"):
+            return False
+        return None
+
+    def hex_model(s):
+        m = _re.match(r"[ \t\n\r\f]*\+?(?:0[xX])?([0-9a-fA-F]+)", s)
+        if not m:
+            return None
+        v = int(m.group(1), 16)
+        return v if v < 2**63 else None
+
+    rng = random.Random(7)
+    atoms = ["1", "9", "0", "42", "+", "-", ".", " ", "\t", "e", "E",
+             "x", "abc", "tRuE", "False", "0x", "ff", "DEAD", "1234567",
+             "9" * 18, "", "px", "\n"]
+    cases = ["".join(rng.choice(atoms) for _ in range(rng.randint(0, 6)))
+             for _ in range(400)]
+    # bound exponents so float overflow->inf never enters (the model and
+    # try_cast agree on finite values; atof inf handling is out of scope)
+    cases = [c for c in cases if not _re.search(r"[eE][+-]?[0-9]{4,}", c)]
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, s string")
+    got = {
+        r["i"]: (r["l"], r["u"], r["f"], r["b"], r["h"])
+        for r in df.select(
+            "i",
+            strtol_long(F.col("s")).alias("l"),
+            strtoul_long(F.col("s")).alias("u"),
+            atof_double(F.col("s")).alias("f"),
+            fb_bool(F.col("s")).alias("b"),
+            strtoul_hex(F.col("s")).alias("h"),
+        ).collect()
+    }
+    bad = []
+    for i, c in enumerate(cases):
+        want = (strtol_model(c), strtoul_model(c), atof_model(c),
+                bool_model(c), hex_model(c))
+        if got[i] != want:
+            bad.append((repr(c), got[i], want))
+    assert not bad, bad[:5]

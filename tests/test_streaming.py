@@ -305,3 +305,61 @@ def test_stream_fused_extraction_and_resume(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert _read_counts(spark, out) == first
+
+
+@pytest.mark.slow
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: first arrival per text wins within a
+    batch, re-deliveries in a LATER restart (same checkpoint, within
+    the watermark horizon) are still dropped, and batch frames are
+    refused."""
+    import pytest as _pytest
+
+    from fluent_bit_spark.dataops.dedup import streaming_exact_dedup
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch guard
+    with _pytest.raises(ValueError, match="streaming"):
+        streaming_exact_dedup(generate(spark, 5, partitions=1))
+
+    def run_once():
+        stream = tail_source(spark, src)
+        q = (
+            streaming_exact_dedup(stream, text_col="text", ts_col="warc_ts")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # file 1: 400 docs where ids i and i+200 carry IDENTICAL text
+    base = generate(spark, 200, partitions=1).select("url", "warc_ts", "text")
+    dupes = base.withColumn("url", F.concat(F.lit("dup-"), F.col("url")))
+    base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(src)
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 200
+    assert got1.select("text").distinct().count() == 200
+
+    # file 2 (restart, same checkpoint): 100 re-deliveries of known text
+    # + 100 genuinely new docs -> only the new docs come through
+    redeliver = base.limit(100).withColumn(
+        "url", F.concat(F.lit("again-"), F.col("url"))
+    )
+    fresh = (
+        generate(spark, 300, partitions=1)
+        .select("url", "warc_ts", "text")
+        .subtract(base)  # deterministic generator: 200 shared prefix docs
+        .limit(100)
+        .withColumn("text", F.concat(F.lit("new "), F.col("text")))
+    )
+    redeliver.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 300  # 200 + only the 100 fresh docs
+    assert got2.filter(F.col("text").startswith("new ")).count() == 100
