@@ -275,11 +275,6 @@ def test_malformed_utf8_is_lossy_not_fatal(spark):
     rows = [(i, b) for i, b in enumerate(MALFORMED)]
     df = spark.createDataFrame(rows, "i long, html binary")
 
-    def norm(b: bytes) -> str:
-        """The spec applied in pure python (decode step + the fact that
-        these fragments exercise no strip/entity rewrites beyond tags)."""
-        return b.decode("utf-8", "replace")
-
     jvm = {r["i"]: r["t"] for r in df.select(
         "i", webtext.html_to_text(F.col("html")).alias("t")).collect()}
     pnd = {r["i"]: r["t"] for r in webtext.html_to_text_pandas(

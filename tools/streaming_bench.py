@@ -1,0 +1,129 @@
+"""Streaming-throughput benchmark: the north-rule job (binary-html
+extraction -> parse -> enrich -> tag-route -> per-sink parquet) run
+through Structured Streaming (`streaming.run_pipeline_stream`, fused
+Arrow engine) over the staged webgen table, against the batch pipeline
+(`pipeline.run_pipeline`) writing the same sinks from the same input.
+
+Two streaming modes:
+  * catch-up   — availableNow, all staged files in one micro-batch
+                 (the backlog-drain shape; closest to the batch job)
+  * micro-batch — maxFilesPerTrigger splits the input into ~8 triggers
+                 (the steady-tail shape; measures per-trigger overhead:
+                 offset commit, sink re-open, state round-trip)
+
+Per-sink counts are asserted identical across all three runs (the north
+rule's routed-row equality), and docs/sec reported for each.
+
+Usage: python tools/streaming_bench.py [--docs 2000000] [--cpus 16]
+Results land in BENCH.md's streaming section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from bench import build_spark, prepare_webgen_input  # noqa: E402
+
+
+def _sink_counts(spark, out_dir, sinks) -> dict:
+    counts = {}
+    for s in sinks:
+        p = os.path.join(out_dir, s.name)
+        counts[s.name] = (
+            spark.read.parquet(p).count() if os.path.exists(p) else 0
+        )
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument(
+        "--cpus",
+        type=int,
+        default=max(4, (os.cpu_count() or 16) // 2),
+        help="default hw/2: the fused engine occupies a python worker "
+        "per task slot (BENCH.md core accounting)",
+    )
+    ap.add_argument("--triggers", type=int, default=8,
+                    help="micro-batch mode splits the 256 staged files "
+                    "into this many triggers")
+    args = ap.parse_args()
+
+    from fluent_bit_spark.pipeline import DEFAULT_SINKS, run_pipeline
+    from fluent_bit_spark.streaming import run_pipeline_stream, tail_source
+
+    spark = build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = prepare_webgen_input(spark, args.docs)
+    work = f"/tmp/fbs_stream_bench_{args.docs}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    # warm-up (not timed): python workers, Arrow channels, codegen, page
+    # cache — one-time session costs, not pipeline throughput (same
+    # protocol as bench.py / scaling_bench.py)
+    warm_src = prepare_webgen_input(spark, max(args.docs // 10, 10_000))
+    run_pipeline(
+        spark, spark.read.parquet(warm_src), os.path.join(work, "warm"),
+        run_id="warm", resume=False, engine="fused",
+    )
+
+    # batch comparator: same input, same sinks, parquet actually written
+    pages = spark.read.parquet(src)
+    t0 = time.time()
+    result = run_pipeline(
+        spark, pages, os.path.join(work, "batch"), run_id="bench",
+        resume=False, engine="fused",
+    )
+    batch_sec = time.time() - t0
+    batch_counts = dict(result.sink_counts)
+
+    runs = {}
+    for mode, max_files in (
+        ("catchup", None),
+        ("microbatch", max(1, 256 // args.triggers)),
+    ):
+        out = os.path.join(work, mode)
+        stream = tail_source(spark, src, max_files_per_trigger=max_files)
+        t0 = time.time()
+        q = run_pipeline_stream(
+            spark, stream, out, DEFAULT_SINKS,
+            checkpoint_dir=os.path.join(out, "_ckpt"), engine="fused",
+        )
+        q.awaitTermination()
+        sec = time.time() - t0
+        counts = _sink_counts(spark, out, DEFAULT_SINKS)
+        assert counts == batch_counts, (
+            f"{mode} per-sink counts diverge from batch: "
+            f"{counts} vs {batch_counts}"
+        )
+        runs[mode] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(args.docs / sec, 1),
+        }
+
+    print(
+        json.dumps(
+            {
+                "docs": args.docs,
+                "cpus": args.cpus,
+                "batch_sec": round(batch_sec, 2),
+                "batch_docs_per_sec": round(args.docs / batch_sec, 1),
+                "streaming": runs,
+                "sink_counts_equal": True,
+                "sink_counts": batch_counts,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
