@@ -16,6 +16,12 @@ Scale design (the north rule's explicit asks):
 * skew: Zipf-skewed domains are only ever *aggregated* after AQE-aware
   shuffles (spark.sql.adaptive.* on); the parse/route path is shuffle-free.
 * no re-parse per sink: the parsed+enriched frame is persisted once.
+  The persist is corpus-sized in THIS batch entrypoint — fine for
+  per-partition/backfill jobs; the corpus-scale deployment is
+  `streaming.run_pipeline_stream` with availableNow (jobs/run_pipeline
+  --stream), where the same stages run per micro-batch and the persist
+  is bounded to one trigger's files. Throughput is identical
+  (BENCH.md "Streaming vs batch": ±1% at 2M docs, counts equal).
 * lineage: every run appends a manifest JSON (run id, input snapshot,
   per-sink row counts, durations) under <out>/_lineage/, the analogue of
   in_tail's SQLite offset db (plugins/in_tail/tail_sql.h:30-44).

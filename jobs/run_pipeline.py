@@ -41,6 +41,16 @@ def main() -> None:
                          "crossing (north-rule default); jvm/pandas parse the "
                          "source text column")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="run the Structured-Streaming deployment shape "
+                         "(availableNow): same stages per micro-batch, so the "
+                         "one-pass persist is bounded to a trigger's files "
+                         "instead of the whole corpus — the corpus-scale mode. "
+                         "Resume = the streaming checkpoint (re-submit picks "
+                         "up only new input files). Parquet --input only.")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="with --stream: bound each micro-batch (and its "
+                         "persist) to this many input files")
     args = ap.parse_args()
 
     builder = (
@@ -55,6 +65,47 @@ def main() -> None:
 
     from fluent_bit_spark.pipeline import run_pipeline
     from fluent_bit_spark.webgen import generate
+
+    if args.stream:
+        import time
+
+        from fluent_bit_spark.pipeline import DEFAULT_SINKS
+        from fluent_bit_spark.streaming import run_pipeline_stream, tail_source
+
+        src = args.input
+        if args.generate:
+            # stage generated docs as files — a stream needs a file source
+            src = os.path.join(args.output, "_staged_input")
+            generate(
+                spark, args.generate,
+                partitions=spark.sparkContext.defaultParallelism * 2,
+            ).write.mode("overwrite").parquet(src)
+        if not src:
+            ap.error("--stream needs --input or --generate")
+        t0 = time.time()
+        q = run_pipeline_stream(
+            spark,
+            tail_source(spark, src, max_files_per_trigger=args.max_files_per_trigger),
+            args.output,
+            DEFAULT_SINKS,
+            checkpoint_dir=os.path.join(args.output, "_checkpoint"),
+            engine=args.engine,
+        )
+        q.awaitTermination()
+        counts = {}
+        for s in DEFAULT_SINKS:
+            p = os.path.join(args.output, s.name)
+            counts[s.name] = (
+                spark.read.parquet(p).count() if os.path.exists(p) else 0
+            )
+        print(json.dumps({
+            "run_id": args.run_id,
+            "mode": "stream",
+            "sink_counts": counts,
+            "duration_sec": round(time.time() - t0, 2),
+            "checkpoint": os.path.join(args.output, "_checkpoint"),
+        }))
+        return
 
     if args.generate:
         pages = generate(spark, args.generate, partitions=spark.sparkContext.defaultParallelism * 2)
