@@ -125,40 +125,59 @@ def strip_names(pattern: str) -> tuple[str, dict[str, int]]:
 # with deterministic input, the whole job. These expressions are total
 # AND match the reference: strtoimax/atof parse the longest valid
 # leading run ("12abc" -> 12), they don't all-or-nothing like CAST.
-_STRTOL_LEAD = r"^[ \t\n\r\f]*([+-]?[0-9]+)"
-_STRTOUL_LEAD = r"^[ \t\n\r\f]*\+?([0-9]+)"
-_ATOF_LEAD = r"^[ \t\n\r\f]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
-_HEX_LEAD = r"^[ \t\n\r\f]*\+?(?:0[xX])?([0-9a-fA-F]+)"
+# C isspace set (incl. \x0B vertical tab), shared by every leading parse
+_C_WS = r"[ \t\n\r\f\x0B]*"
+_STRTOL_LEAD = rf"^{_C_WS}([+-]?[0-9]+)"
+_STRTOUL_LEAD = rf"^{_C_WS}\+?([0-9]+)"
+_ATOF_LEAD = rf"^{_C_WS}([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+_HEX_LEAD = rf"^{_C_WS}\+?(?:0[xX])?([0-9a-fA-F]+)"
 
 
 def strtol_long(c: Column) -> Column:
-    """``strtoimax(str, NULL, 10)`` as a total Catalyst expression: skip
-    leading whitespace, parse the longest leading signed-decimal run;
-    no digits -> null. flb_typecast.c:100-104 additionally treats a
-    parsed 0 as a conversion ERROR (keeping the original value) — that
-    quirk conflates legitimate zeros with failures and has no
-    typed-column equivalent, so 0 parses as 0 here. Overflow -> null
-    (strtoimax clamps to INTMAX instead)."""
-    return F.regexp_extract(c.cast("string"), _STRTOL_LEAD, 1).try_cast("long")
+    """``strtoimax(str, NULL, 10)`` as a total Catalyst expression.
+
+    try_cast runs first so an ALREADY-NUMERIC input converts exactly
+    (a double renders as scientific notation — '1.2345678E7' — and a
+    string leading-digit parse of that would yield 1, not 12345678);
+    for strings it succeeds precisely on clean integral text, where it
+    equals the C parse. The fallback is the strtol leading parse: skip
+    leading whitespace, longest signed-decimal run, no digits -> null.
+    flb_typecast.c:100-104 additionally treats a parsed 0 as a
+    conversion ERROR (keeping the original value) — that quirk
+    conflates legitimate zeros with failures and has no typed-column
+    equivalent, so 0 parses as 0 here. Overflow -> null (strtoimax
+    clamps to INTMAX instead)."""
+    return F.coalesce(
+        c.try_cast("long"),
+        F.regexp_extract(c.cast("string"), _STRTOL_LEAD, 1).try_cast("long"),
+    )
 
 
 def strtoul_long(c: Column) -> Column:
-    """``strtoumax(str, NULL, 10)``: unsigned leading parse; no digits
-    -> null. The C call wraps a leading '-' through 2^64 (typecast.c
-    uint path) — replicating the wrap would manufacture garbage values,
-    so negative input is a conversion failure (null) here."""
-    return F.regexp_extract(c.cast("string"), _STRTOUL_LEAD, 1).try_cast("long")
+    """``strtoumax(str, NULL, 10)``: unsigned parse; no digits -> null.
+    The C call wraps a leading '-' through 2^64 (typecast.c uint path)
+    — replicating the wrap would manufacture garbage values, so
+    negative input is a conversion failure (null) here. Numeric inputs
+    convert exactly via try_cast (see strtol_long)."""
+    t = c.try_cast("long")
+    return F.coalesce(
+        F.when(t >= 0, t),
+        F.regexp_extract(c.cast("string"), _STRTOUL_LEAD, 1).try_cast("long"),
+    )
 
 
 def atof_double(c: Column) -> Column:
-    """``atof()`` as a total expression: longest leading float parse
-    (sign, decimal, exponent); GARBAGE -> 0.0 — atof returns 0.0 and
-    flb_typecast.c:132-137 packs the result with no error check, so
-    'abc' really does convert to 0.0 in the reference. Null stays
-    null."""
+    """``atof()`` as a total expression; GARBAGE -> 0.0 — atof returns
+    0.0 and flb_typecast.c:132-137 packs the result with no error
+    check, so 'abc' really does convert to 0.0 in the reference. Null
+    stays null. Numeric inputs convert exactly via try_cast (see
+    strtol_long); for strings try_cast succeeds on clean float text
+    (where it equals the C parse — including the inf/nan literals
+    atof also accepts) and the longest-leading-float parse covers the
+    '1.5x' tail-garbage case."""
     s = F.regexp_extract(c.cast("string"), _ATOF_LEAD, 1)
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
-        F.coalesce(s.try_cast("double"), F.lit(0.0))
+        F.coalesce(c.try_cast("double"), s.try_cast("double"), F.lit(0.0))
     )
 
 
@@ -176,14 +195,21 @@ def strtoul_hex(c: Column) -> Column:
     """``strtoumax(str, NULL, 16)``: optional 0x prefix, longest leading
     hex-digit run; no hex digits -> null (the reference's ret=-1 error
     path, flb_typecast.c:121-127). Values above 2^63-1 -> null rather
-    than wrapping — which also means bounding conv() to runs of <= 16
-    hex digits first: ANSI conv() itself throws ARITHMETIC_OVERFLOW
-    past 2^64, and a 17-digit run in the data must not fail the task
-    (strtoumax clamps those to UINTMAX, i.e. above 2^63 -> null here
-    either way). try_cast nulls the remaining 2^63..2^64-1 band."""
+    than wrapping — which also means bounding conv() to <= 16
+    SIGNIFICANT digits first: ANSI conv() itself throws
+    ARITHMETIC_OVERFLOW past 2^64, and a long run in the data must not
+    fail the task (strtoumax clamps those to UINTMAX, i.e. above 2^63
+    -> null here either way). Leading zeros are stripped before the
+    bound so zero-padded ids ('00000000000000FF0', 17 digits, value
+    4080) convert like strtoumax does; an all-zeros run is the value
+    0. try_cast nulls the remaining 2^63..2^64-1 band."""
     s = F.regexp_extract(c.cast("string"), _HEX_LEAD, 1)
-    bounded = F.when((s != "") & (F.length(s) <= 16), s)
-    return F.conv(bounded, 16, 10).try_cast("long")
+    z = F.regexp_replace(s, "^0+", "")
+    return (
+        F.when(s == "", F.lit(None).cast("long"))
+        .when(z == "", F.lit(0).cast("long"))
+        .when(F.length(z) <= 16, F.conv(z, 16, 10).try_cast("long"))
+    )
 
 
 @dataclass(frozen=True)

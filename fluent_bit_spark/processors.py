@@ -77,9 +77,22 @@ def apply_content_modifier(
                     nm, gated(F.regexp_extract(F.col(r.key), jpat, i), F.lit(None))
                 )
         elif r.action == "convert":
-            df = df.withColumn(
-                r.key, gated(F.col(r.key).cast(r.converted_type), F.col(r.key))
-            )
+            # total conversions (the reference's cm convert goes through
+            # flb_typecast): an extract-produced '' or garbage value must
+            # convert to null, not throw ANSI CAST_INVALID_INPUT
+            from .parsers import atof_double, fb_bool, strtol_long
+
+            t = (r.converted_type or "string").lower()
+            src = F.col(r.key)
+            if t in ("int", "integer", "bigint", "long"):
+                conv = strtol_long(src)
+            elif t in ("double", "float"):
+                conv = atof_double(src)
+            elif t in ("bool", "boolean"):
+                conv = fb_bool(src)
+            else:
+                conv = src.try_cast(r.converted_type)
+            df = df.withColumn(r.key, gated(conv, src))
         else:
             raise ValueError(f"unknown content_modifier action {r.action}")
     return df
@@ -107,9 +120,13 @@ def probabilistic_sample(
     """
     # numeric ids use the Knuth draw directly; a non-numeric id (hex
     # trace ids, uuids) hashes to its 64-bit draw instead of throwing
-    # ANSI CAST_INVALID_INPUT and failing the task on one record
-    id_num = F.coalesce(
-        F.col(id_col).try_cast("bigint"), F.xxhash64(F.col(id_col))
+    # ANSI CAST_INVALID_INPUT and failing the task on one record. A
+    # NULL id stays null -> the filter drops it (the pre-hardening
+    # behavior; xxhash64(null)=seed would give every null-id row ONE
+    # shared draw and keep/drop them as a block)
+    id_num = F.when(
+        F.col(id_col).isNotNull(),
+        F.coalesce(F.col(id_col).try_cast("bigint"), F.xxhash64(F.col(id_col))),
     )
     # (id * K) mod 2^32 computed overflow-free: a direct multiply
     # overflows long (ANSI ARITHMETIC_OVERFLOW) for any id >= ~3.5e9 —

@@ -261,8 +261,10 @@ def _tagged_from_json_text(txt: Column) -> Column:
     )
     out = _tagged(
         t,
-        F.when(is_int, txt.cast("long")),
-        F.when(is_float, txt.cast("double")),
+        # try_cast: is_int admits arbitrarily long digit runs, and an
+        # out-of-long-range JSON integer must not ANSI-throw the task
+        F.when(is_int, txt.try_cast("long")),
+        F.when(is_float, txt.try_cast("double")),
         F.when(~is_bool & ~is_int & ~is_float & (txt != "null"), txt),
         F.when(is_bool, txt == "true"),
     )

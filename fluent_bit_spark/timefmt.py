@@ -125,13 +125,13 @@ def parse_time(
     """
     tf = translate_strptime(strptime_fmt, frac_digits)
     if tf.epoch:
-        # strtol-style leading-integer parse ('%s' is parsed with
-        # strtol in flb_parser_time_lookup); garbage -> null timestamp
-        # instead of an ANSI CAST throw failing the task
-        epoch = F.regexp_extract(
-            col.cast("string"), r"^[ \t]*([+-]?[0-9]+)", 1
-        ).try_cast("long")
-        return F.to_timestamp(F.from_unixtime(epoch))
+        # strtol semantics ('%s' is parsed with strtol in
+        # flb_parser_time_lookup): garbage -> null timestamp instead of
+        # an ANSI CAST throw failing the task; numeric inputs convert
+        # exactly (function-level import: parsers imports this module)
+        from .parsers import strtol_long
+
+        return F.to_timestamp(F.from_unixtime(strtol_long(col)))
 
     # strptime skips redundant whitespace between fields; Java does not.
     col = F.regexp_replace(col, " +", " ")

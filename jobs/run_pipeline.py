@@ -82,28 +82,50 @@ def main() -> None:
             ).write.mode("overwrite").parquet(src)
         if not src:
             ap.error("--stream needs --input or --generate")
+        ckpt = os.path.join(args.output, "_checkpoint")
+        if args.no_resume:
+            # the streaming checkpoint IS the resume state; a fresh run
+            # must drop it (and the sinks it committed) or the re-staged
+            # input would APPEND onto the previous run's output
+            if "://" in args.output:
+                ap.error(
+                    "--no-resume with --stream on a remote output: delete "
+                    f"{ckpt} (and the sink dirs) with your object-store "
+                    "tooling instead"
+                )
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
+            from fluent_bit_spark.pipeline import DEFAULT_SINKS as _sinks
+
+            for s in _sinks:
+                shutil.rmtree(os.path.join(args.output, s.name), ignore_errors=True)
         t0 = time.time()
         q = run_pipeline_stream(
             spark,
             tail_source(spark, src, max_files_per_trigger=args.max_files_per_trigger),
             args.output,
             DEFAULT_SINKS,
-            checkpoint_dir=os.path.join(args.output, "_checkpoint"),
+            checkpoint_dir=ckpt,
             engine=args.engine,
         )
         q.awaitTermination()
         counts = {}
         for s in DEFAULT_SINKS:
-            p = os.path.join(args.output, s.name)
-            counts[s.name] = (
-                spark.read.parquet(p).count() if os.path.exists(p) else 0
-            )
+            # count via spark, not os.path.exists — the output may be an
+            # object store (s3://...) the driver's local fs can't see
+            try:
+                counts[s.name] = spark.read.parquet(
+                    os.path.join(args.output, s.name)
+                ).count()
+            except Exception:
+                counts[s.name] = 0  # sink never received a row
         print(json.dumps({
             "run_id": args.run_id,
             "mode": "stream",
             "sink_counts": counts,
             "duration_sec": round(time.time() - t0, 2),
-            "checkpoint": os.path.join(args.output, "_checkpoint"),
+            "checkpoint": ckpt,
         }))
         return
 

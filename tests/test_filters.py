@@ -228,6 +228,19 @@ def test_type_converter_total_on_garbage(spark):
         (1, 1, 1000.0),
     ]
 
+    # already-numeric columns convert EXACTLY — a double renders as
+    # scientific notation ('1.2345678E7') and a string leading-digit
+    # parse of that would yield 1 (the code-review counterexample)
+    dbl = spark.createDataFrame([(12345678.0,), (2.5,), (None,)], "d double")
+    out2 = apply_type_converter(
+        dbl, [TypeConverterRule("d", "i", "int"), TypeConverterRule("d", "f", "float")]
+    ).collect()
+    assert [(r["i"], r["f"]) for r in out2] == [
+        (12345678, 12345678.0),
+        (2, 2.5),
+        (None, None),
+    ]
+
 
 # --- expect ---
 

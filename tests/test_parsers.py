@@ -135,6 +135,9 @@ def test_typecast_total_matches_c_library(spark):
         "12abc 3.5e2 TRUEish 0xFF",   # leading parses + prefix bool + 0x hex
         "abc junk yes zz",            # all conversion failures (atof->0.0)
         "-4 . falsey DEAD",           # bare '.' is not a float -> 0.0
+        # zero-padded 17-digit hex (otel-style fixed-width id): leading
+        # zeros must not trip the 16-significant-digit conv() bound
+        "7 2.5 FALSE 00000000000000FF0",
     ]
     rows = _parse(spark, p, lines).collect()
     got = {r["line"]: (r["i"], r["f"], r["b"], r["h"]) for r in rows}
@@ -142,6 +145,7 @@ def test_typecast_total_matches_c_library(spark):
         lines[0]: (12, 350.0, True, 255),
         lines[1]: (None, 0.0, None, None),
         lines[2]: (-4, 0.0, False, 57005),
+        lines[3]: (7, 2.5, False, 4080),
     }
 
 

@@ -323,3 +323,18 @@ def test_tail_sampling_edge_semantics(spark):
          TailCondition("boolean_attribute", key="hit")],
     )
     assert {r["trace_id"] for r in out.collect()} == {"cap"}
+
+
+def test_probabilistic_sample_dirty_ids(spark):
+    """Non-numeric ids draw from their hash; NULL ids are dropped (not
+    block-kept on the shared xxhash64-of-null draw); huge numeric ids
+    don't overflow the Knuth multiply."""
+    from fluent_bit_spark.processors import probabilistic_sample
+
+    rows = [("42",), ("deadbeef-span",), (str(2**62),), (None,)]
+    df = spark.createDataFrame(rows, "trace_id string")
+    kept_all = probabilistic_sample(df, 100.0, "trace_id")
+    got = sorted(r["trace_id"] for r in kept_all.collect() if r["trace_id"])
+    assert got == sorted(["42", "deadbeef-span", str(2**62)])
+    assert kept_all.count() == 3  # the null id is dropped even at 100%
+    assert probabilistic_sample(df, 0.0, "trace_id").count() == 0

@@ -86,10 +86,13 @@ def main() -> None:
     batch_sec = time.time() - t0
     batch_counts = dict(result.sink_counts)
 
+    import glob as _glob
+
+    n_files = len(_glob.glob(os.path.join(src, "*.parquet")))
     runs = {}
     for mode, max_files in (
         ("catchup", None),
-        ("microbatch", max(1, 256 // args.triggers)),
+        ("microbatch", max(1, n_files // args.triggers)),
     ):
         out = os.path.join(work, mode)
         stream = tail_source(spark, src, max_files_per_trigger=max_files)
