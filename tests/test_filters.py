@@ -368,3 +368,38 @@ def test_throttle_size_salted_equivalence_property(spark):
                 ).collect()
             )
             assert got == want, (max_bytes, salt)
+
+
+def test_typecast_reference_vectors(spark):
+    """tests/internal/typecast.c TEST_LIST ported 1:1: str_to_int,
+    int_to_str, str_to_float, float_to_str, bool_to_str, str_to_bool,
+    str_to_hex (typecast.c:26-357)."""
+    from fluent_bit_spark.parsers import TypeCast
+
+    df = spark.createDataFrame(
+        [("1234", "true", "0xdeadbeef", "1234.567", 1234, 1234.567, True)],
+        "s_int string, s_bool string, s_hex string, s_float string, "
+        "i long, d double, b boolean",
+    )
+    out = apply_type_converter(
+        df,
+        [
+            TypeConverterRule("s_int", "v_int", "int"),        # str_to_int
+            TypeConverterRule("s_float", "v_float", "float"),  # str_to_float
+            TypeConverterRule("i", "v_istr", "string"),        # int_to_str
+            TypeConverterRule("d", "v_dstr", "string"),        # float_to_str
+            TypeConverterRule("b", "v_bstr", "string"),        # bool_to_str
+        ],
+    ).select(
+        "v_int", "v_float", "v_istr", "v_dstr", "v_bstr",
+        TypeCast("s_bool", "bool").apply(F.col("s_bool")).alias("v_bool"),
+        TypeCast("s_hex", "hex").apply(F.col("s_hex")).alias("v_hex"),
+    )
+    row = out.first()
+    assert row["v_int"] == 1234
+    assert abs(row["v_float"] - 1234.567) < 1e-9
+    assert row["v_istr"] == "1234"
+    assert row["v_dstr"] == "1234.567"
+    assert row["v_bstr"] == "true"
+    assert row["v_bool"] is True
+    assert row["v_hex"] == 0xDEADBEEF
