@@ -19,6 +19,7 @@ Mappings (SURVEY.md §2.1):
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,19 +198,50 @@ def throttle_stream(
 # in_kafka glue — plugins/in_kafka/in_kafka.c
 # ---------------------------------------------------------------------------
 
+def size_to_bytes(size) -> int:
+    """Byte-size string -> int bytes, faithful to
+    flb_utils.c:527 ``flb_utils_size_to_bytes`` (vectors:
+    tests/internal/unit_sizes.c): DECIMAL multipliers (K=1000, not
+    1024), one- or two-char suffix where the second char must be 'B'
+    (case-insensitive), fractional values via atof ("1.5M"), literal
+    "false" -> 0, and -1 for anything unparsable (empty, >2 suffix
+    chars, bad second suffix char, unknown multiplier)."""
+    s = str(size)
+    if s.lower() == "false":
+        return 0
+    if not s:
+        return -1
+    try:
+        val = float(re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)?", s).group(0) or 0)
+    except (TypeError, ValueError):
+        val = 0.0
+    plen = 0
+    for i in range(len(s) - 1, 0, -1):
+        if s[i].isdigit():
+            break
+        plen += 1
+    if plen == 0:
+        return int(val)
+    if plen > 2:
+        return -1
+    suffix = s[-plen:].upper()
+    if plen == 2 and suffix[1] != "B":
+        return -1
+    mult = {"K": 10**3, "M": 10**6, "G": 10**9}.get(suffix[0])
+    if mult is None:
+        return -1
+    if abs(val) >= 2**63 / mult / 2:
+        return -1
+    return int(val * mult)
+
+
 def _parse_size(v) -> int:
-    """Byte-size string with optional K/M/G suffix -> int bytes
-    (flb_utils.c:flb_utils_size_to_bytes semantics, 1024 base). Rejects
-    anything else rather than passing an unparsable value to Spark."""
-    s = str(v).strip()
-    mult = 1
-    suffixes = {"k": 1024, "m": 1024**2, "g": 1024**3}
-    if s and s[-1].lower() in suffixes:
-        mult = suffixes[s[-1].lower()]
-        s = s[:-1]
-    if not s.isdigit():
+    """size_to_bytes that REJECTS invalid input instead of returning -1
+    — a bad config value must not reach Spark as a fetch-bytes option."""
+    n = size_to_bytes(v)
+    if n < 0:
         raise ValueError(f"buffer_max_size: unparsable byte size {v!r}")
-    return int(s) * mult
+    return n
 
 
 def kafka_options(

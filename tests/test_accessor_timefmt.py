@@ -193,3 +193,138 @@ def test_update_path_dotted_field_and_map_rename_collision(spark):
     dm = spark.createDataFrame([({"a": "1", "b": "2"},)], "body map<string,string>")
     out = update_path(dm, "$a", F.lit("9"), body_map="body", rename_to="b")
     assert out.first()["body"] == {"b": "9"}
+
+
+# --- flb_strptime vectors (tests/internal/strptime.c TEST_LIST, ported
+# at the timestamp level: tm fields + gmtoff combine into the UTC
+# instant parse_time returns; %C and bare-%p vectors are out of scope) ---
+
+
+def test_strptime_basic_date_time(spark):
+    # strptime.c:26 basic_date_time
+    ts = _one(spark, "2023-05-12 10:30:45", "%Y-%m-%d %H:%M:%S")
+    assert ts == dt.datetime(2023, 5, 12, 10, 30, 45)
+
+
+def test_strptime_textual_month_day(spark):
+    # strptime.c:43 textual_month_day: "May 12 2023 Friday" %b %d %Y %A
+    ts = _one(spark, "May 12 2023 Friday", "%b %d %Y %A")
+    assert ts == dt.datetime(2023, 5, 12)
+
+
+def test_strptime_year_variations_posix_pivot(spark):
+    # strptime.c:62 year_variations: %y 15 -> 2015, 99 -> 1999 (POSIX
+    # pivot, flb_strptime.c:769-775 — NOT Java's base-2000 2099)
+    assert _one(spark, "15", "%y") == dt.datetime(2015, 1, 1)
+    assert _one(spark, "99", "%y") == dt.datetime(1999, 1, 1)
+    assert _one(spark, "68", "%y") == dt.datetime(2068, 1, 1)
+    assert _one(spark, "69", "%y") == dt.datetime(1969, 1, 1)
+
+
+def test_strptime_am_pm(spark):
+    # strptime.c:92 am_pm
+    f = "%I:%M:%S %p"
+    assert _one(spark, "01:00:00 AM", f).hour == 1
+    assert _one(spark, "12:00:00 AM", f).hour == 0
+    assert _one(spark, "01:00:00 PM", f).hour == 13
+    assert _one(spark, "12:00:00 PM", f).hour == 12
+
+
+def test_strptime_seconds_since_epoch(spark):
+    # strptime.c:130 seconds_since_epoch
+    assert _one(spark, "0", "%s") == dt.datetime(1970, 1, 1)
+    assert _one(spark, "1678608000", "%s") == dt.datetime(2023, 3, 12, 8)
+
+
+def test_strptime_recursive_formats(spark):
+    # strptime.c:156 recursive_formats: %F == %Y-%m-%d; plus %T/%D/%R
+    assert _one(spark, "2024-01-20", "%F") == dt.datetime(2024, 1, 20)
+    assert _one(spark, "2024-01-20 10:30:45", "%F %T") == dt.datetime(
+        2024, 1, 20, 10, 30, 45
+    )
+    assert _one(spark, "01/20/24 10:30", "%D %R") == dt.datetime(
+        2024, 1, 20, 10, 30
+    )
+
+
+def test_strptime_timezone_z_numeric(spark):
+    # strptime.c:170 timezone_z_numeric: Z, ±hhmm, ±hh:mm, ±hh
+    f = "%Y-%m-%d %H:%M:%S%z"
+    assert _one(spark, "2023-05-12 10:30:00Z", f) == dt.datetime(
+        2023, 5, 12, 10, 30
+    )
+    base = dt.datetime(2023, 5, 12, 10, 30)
+    assert _one(spark, "2023-05-12 10:30:00+0530", f) == base - dt.timedelta(
+        hours=5, minutes=30
+    )
+    assert _one(spark, "2023-05-12 10:30:00-0800", f) == base + dt.timedelta(
+        hours=8
+    )
+    assert _one(spark, "2023-05-12 10:30:00+05:30", f) == base - dt.timedelta(
+        hours=5, minutes=30
+    )
+    assert _one(spark, "2023-05-12 10:30:00+05", f) == base - dt.timedelta(
+        hours=5
+    )
+    assert _one(spark, "2023-05-12 14:00:00 +01", "%Y-%m-%d %H:%M:%S %z") == (
+        dt.datetime(2023, 5, 12, 13, 0)
+    )
+
+
+def test_strptime_timezone_z_named_rfc822(spark):
+    # strptime.c:231 timezone_z_named_rfc822: GMT / EST / EDT via %z
+    f = "%Y-%m-%d %H:%M:%S%z"
+    base = dt.datetime(2023, 5, 12, 10, 30)
+    assert _one(spark, "2023-05-12 10:30:00GMT", f) == base
+    assert _one(spark, "2023-05-12 10:30:00EST", f) == base + dt.timedelta(hours=5)
+    assert _one(spark, "2023-05-12 10:30:00EDT", f) == base + dt.timedelta(hours=4)
+
+
+def test_strptime_timezone_Z_known_list(spark):
+    # strptime.c:265 timezone_Z_known_list — fixed offsets from
+    # flb_known_timezones, case-insensitive, date-INdependent (Java zz
+    # would resolve CEST at a January date to +01; the table says +02)
+    f = "%Y-%m-%d %H:%M:%S %Z"
+    jan = dt.datetime(2023, 1, 10, 10, 0)
+    assert _one(spark, "2023-01-10 10:00:00 PST", f) == jan + dt.timedelta(hours=8)
+    assert _one(spark, "2023-01-10 14:00:00 cest", f) == dt.datetime(
+        2023, 1, 10, 12, 0
+    )
+    assert _one(spark, "2023-01-10 14:00:00 JST", f) == dt.datetime(
+        2023, 1, 10, 5, 0
+    )
+    assert _one(spark, "2023-01-10 14:00:00 ICT", f) == dt.datetime(
+        2023, 1, 10, 7, 0
+    )
+    assert _one(spark, "2023-01-10 14:00:00 WIB", f) == dt.datetime(
+        2023, 1, 10, 7, 0
+    )
+    # military zone K = +10
+    assert _one(spark, "2023-01-10 14:00:00 K", f) == dt.datetime(
+        2023, 1, 10, 4, 0
+    )
+    # unknown abbreviation -> NULL (strptime.c:319 PSTX)
+    assert _one(spark, "2023-01-10 14:00:00 PSTX", f) is None
+
+
+def test_strptime_timezone_Z_fallback_gmt_utc(spark):
+    # strptime.c:324 timezone_Z_fallback_gmt_utc
+    f = "%Y-%m-%d %H:%M:%S %Z"
+    want = dt.datetime(2023, 1, 10, 14, 0)
+    assert _one(spark, "2023-01-10 14:00:00 GMT", f) == want
+    assert _one(spark, "2023-01-10 14:00:00 UTC", f) == want
+
+
+def test_strptime_invalid_inputs(spark):
+    # strptime.c:341 invalid_inputs: mismatch and out-of-range -> NULL
+    assert _one(spark, "", "%Y") is None
+    assert _one(spark, "abc", "%Y") is None
+    assert _one(spark, "2023-13-01", "%Y-%m-%d") is None
+
+
+def test_strptime_whitespace_handling(spark):
+    # strptime.c:363 whitespace_handling: redundant whitespace skipped
+    ts = _one(spark, "  2023-05-12  10:30:45  ", " %Y-%m-%d %H:%M:%S ")
+    assert ts == dt.datetime(2023, 5, 12, 10, 30, 45)
+    ts = _one(spark, "2023-05-12T10:30:45", "%Y-%m-%dT%H:%M:%S")
+    assert ts == dt.datetime(2023, 5, 12, 10, 30, 45)

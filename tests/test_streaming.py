@@ -141,8 +141,9 @@ def test_kafka_option_mapping():
     assert opts["kafka.client.id"] == "c"
     assert opts["kafkaConsumer.pollTimeoutMs"] == "500"
     # buffer_max_size is a BYTE size (suffix allowed) -> librdkafka fetch
-    # byte cap, never the record-count maxOffsetsPerTrigger
-    assert opts["kafka.max.partition.fetch.bytes"] == str(4 * 1024 * 1024)
+    # byte cap, never the record-count maxOffsetsPerTrigger. Decimal
+    # multiplier per flb_utils_size_to_bytes (4M = 4*10^6, not 2^22).
+    assert opts["kafka.max.partition.fetch.bytes"] == str(4 * 1000 * 1000)
     assert "maxOffsetsPerTrigger" not in opts
     assert opts["kafka.security.protocol"] == "SASL_SSL"
 
@@ -150,6 +151,44 @@ def test_kafka_option_mapping():
 
     with _pytest.raises(ValueError):
         kafka_options("b:9092", "t", buffer_max_size="4X")
+
+
+def test_size_to_bytes_reference_vectors():
+    """tests/internal/unit_sizes.c TEST_LIST ported 1:1 (decimal
+    multipliers, 1/2-char suffixes, invalid -> -1), plus the 'false'->0
+    and fractional-value behaviors of flb_utils.c:527."""
+    from fluent_bit_spark.streaming import size_to_bytes
+
+    KB = 1000
+    MB = 1000 * KB
+    GB = 1000 * MB
+    # bytes, no prefix
+    assert size_to_bytes("1") == 1
+    assert size_to_bytes("50") == 50
+    assert size_to_bytes("1000") == KB
+    # decimal prefix: KB
+    for s in ("1KB", "1K", "1kB", "1kb", "1k"):
+        assert size_to_bytes(s) == KB, s
+    # decimal prefix: MB
+    for s in ("1MB", "1M", "1mB", "1mb", "1m"):
+        assert size_to_bytes(s) == MB, s
+    assert size_to_bytes("5m") == 5 * MB
+    # decimal prefix: GB
+    for s in ("1GB", "1G", "1gB", "1gb", "1g"):
+        assert size_to_bytes(s) == GB, s
+    assert size_to_bytes("5g") == 5 * GB
+    assert size_to_bytes("32g") == 32 * GB
+    # invalid values
+    assert size_to_bytes("aabb") == -1
+    assert size_to_bytes("") == -1
+    # invalid prefixes
+    assert size_to_bytes("1kX") == -1
+    assert size_to_bytes("1MX") == -1
+    assert size_to_bytes("1GX") == -1
+    # flb_utils.c extras beyond the vector list
+    assert size_to_bytes("false") == 0
+    assert size_to_bytes("FALSE") == 0
+    assert size_to_bytes("1.5M") == 1_500_000
 
 
 def test_kafka_frame_shape(spark):
