@@ -1,0 +1,193 @@
+"""GELF line rendering — flb_msgpack_to_gelf re-expressed over typed
+columns (src/flb_pack_gelf.c:407-785, vectors tests/internal/gelf.c).
+
+The reference walks a dynamic msgpack map per record; here the schema
+is static, so the whole line is ONE plan-time ``concat`` of per-column
+segments — pure codegen string expressions, no Python in the hot path.
+
+Faithful behaviors (flb_pack_gelf.c line refs):
+
+* ``{"version":"1.1"`` header, ``", "`` (comma-space) before every
+  field, record fields in column order, trailing ``timestamp`` from
+  the record time when the record carries no timestamp key (:760-771,
+  ``%li.%03lu`` — seconds + zero-padded milliseconds).
+* key classification (:521-610): host_key -> ``host``,
+  short_message_key -> ``short_message``, timestamp_key ->
+  ``timestamp``, level_key -> ``level``, full_message_key ->
+  ``full_message``; ``id`` dropped (``_id`` is not allowed in GELF);
+  every other key emitted as ``_<key>``.
+* key sanitization (:30-42): characters outside ``[A-Za-z0-9_.-]``
+  become ``_``.
+* values (:659-726): strings/booleans quoted (booleans as
+  ``"true"``/``"false"``), integers bare, floats C ``"%f"`` (6
+  decimals), NULL fields skipped entirely.
+* arrays (:306-405 flatten): one quoted string of ``", "``-joined
+  elements, elements rendered bare (no inner quotes).
+* nested structs (:617-637): flattened to ``_parent_child`` keys.
+* level (:552-597): syslog keywords (emerg..debug, case-insensitive)
+  and single digits '0'-'7' map to the bare integer; other strings
+  stay quoted strings (the reference warns and keeps them).
+
+Missing short_message is a plan-time ValueError (:773-776 errors at
+runtime). Map-typed columns are rejected — their keys are data, which
+a static plan can't flatten; restructure to a struct first.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# flb_pack_gelf.c:552-586 allowed_levels — index IS the syslog level
+_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+
+
+def _sanitize(key: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", key)
+
+
+def _escape(c: Column) -> Column:
+    """JSON string-content escaping (flb_sds_cat_utf8's escape set for
+    the characters that occur in log data: backslash, quote, and the
+    C0 controls with short forms)."""
+    for find, repl in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+        ("\b", "\\b"),
+        ("\f", "\\f"),
+    ):
+        c = F.replace(c, F.lit(find), F.lit(repl))
+    return c
+
+
+def _bare(col: Column, dtype: T.DataType) -> Column:
+    """Render a scalar WITHOUT quotes (array-element / numeric form)."""
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return F.format_string("%f", col)  # C "%f", flb_pack_gelf.c:697
+    if isinstance(dtype, T.StringType):
+        return col
+    return col.cast("string")
+
+
+def _value(col: Column, dtype: T.DataType) -> Column:
+    """Render a scalar value position (quoted iff string-like)."""
+    if isinstance(dtype, (T.StringType, T.BooleanType, T.BinaryType)):
+        s = _escape(col.cast("string")) if not isinstance(
+            dtype, T.BooleanType
+        ) else _bare(col, dtype)
+        return F.concat(F.lit('"'), s, F.lit('"'))
+    if isinstance(dtype, T.ArrayType):
+        elems = F.transform(
+            col, lambda e: F.coalesce(_bare(e, dtype.elementType), F.lit("null"))
+        )
+        return F.concat(F.lit('"'), F.array_join(elems, ", "), F.lit('"'))
+    if isinstance(dtype, T.TimestampType) or isinstance(dtype, T.TimestampNTZType):
+        return F.concat(F.lit('"'), col.cast("string"), F.lit('"'))
+    return _bare(col, dtype)
+
+
+def _level_value(col: Column, dtype: T.DataType) -> Column:
+    if not isinstance(dtype, T.StringType):
+        return _value(col, dtype)
+    low = F.lower(col)
+    kw = F.try_element_at(
+        F.create_map(
+            *[F.lit(x) for i, name in enumerate(_LEVELS) for x in (name, str(i))]
+        ),
+        low,
+    )
+    digit = F.when(col.rlike("^[0-7]$"), col)
+    return F.coalesce(kw, digit, F.concat(F.lit('"'), _escape(col), F.lit('"')))
+
+
+def _segments(col: Column, dtype: T.DataType, out_key: str, level: bool = False):
+    """(gelf_key, rendered_value) pairs for one column — structs fan
+    out to one pair per leaf with '_parent_child' keys."""
+    if isinstance(dtype, T.MapType):
+        raise ValueError(
+            f"gelf: map column {out_key!r} has data-dependent keys — "
+            "restructure to a struct before the sink"
+        )
+    if isinstance(dtype, T.StructType):
+        pairs = []
+        for fld in dtype.fields:
+            pairs.extend(
+                _segments(
+                    col.getField(fld.name),
+                    fld.dataType,
+                    f"{out_key}_{_sanitize(fld.name)}",
+                )
+            )
+        return pairs
+    val = _level_value(col, dtype) if level else _value(col, dtype)
+    return [(out_key, F.when(col.isNull(), F.lit("")).otherwise(
+        F.concat(F.lit(f', "{out_key}":'), val)
+    ))]
+
+
+def gelf_line(
+    df: DataFrame,
+    *,
+    ts_col: Optional[str] = None,
+    host_key: str = "host",
+    timestamp_key: str = "timestamp",
+    level_key: str = "level",
+    short_message_key: str = "short_message",
+    full_message_key: str = "full_message",
+    exclude: tuple = (),
+) -> Column:
+    """One GELF JSON line per record (flb_msgpack_raw_to_gelf).
+
+    ``ts_col`` is the record-time column (the flb_time argument): it
+    renders as the trailing ``"timestamp":sec.mmm`` unless the record
+    itself carries ``timestamp_key``. Columns in ``exclude`` (e.g. the
+    tag routing column when it should not ship) are skipped.
+    """
+    renames = {
+        host_key: "host",
+        timestamp_key: "timestamp",
+        level_key: "level",
+        short_message_key: "short_message",
+        full_message_key: "full_message",
+    }
+    parts: list[Column] = [F.lit('{"version":"1.1"')]
+    saw_short = saw_ts = False
+    for fld in df.schema.fields:
+        name = fld.name
+        if name in exclude or name == ts_col:
+            continue
+        if name in renames:
+            out_key = renames[name]
+            saw_short = saw_short or out_key == "short_message"
+            saw_ts = saw_ts or out_key == "timestamp"
+            segs = _segments(
+                F.col(name), fld.dataType, out_key, level=out_key == "level"
+            )
+        elif name == "id":  # '_id' not allowed in GELF (:610-613)
+            continue
+        else:
+            segs = _segments(F.col(name), fld.dataType, f"_{_sanitize(name)}")
+        parts.extend(seg for _, seg in segs)
+    if not saw_short:
+        raise ValueError("gelf: missing short_message key")  # :773-776
+    if not saw_ts and ts_col is not None:
+        ts = F.col(ts_col).cast("timestamp")
+        parts.append(
+            F.concat(
+                F.lit(', "timestamp":'),
+                F.unix_timestamp(ts).cast("string"),
+                F.lit("."),
+                F.date_format(ts, "SSS"),
+            )
+        )
+    parts.append(F.lit("}"))
+    return F.concat(*parts)

@@ -148,6 +148,9 @@ class SinkSpec:
     # upload_chunk_size): cap records per output file; Spark's committer
     # replaces the hand-rolled multipart machinery (SURVEY §2.7)
     max_records_per_file: Optional[int] = None
+    # fmt=gelf key overrides (struct flb_gelf_fields, flb_pack.h:112-118:
+    # {host,timestamp,level,short_message,full_message}_key)
+    gelf_fields: Optional[dict] = None
 
     def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
         p = match_col(F.col(tag_col), self.match, self.match_regex)
@@ -335,9 +338,21 @@ def write_sinks(
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
             dest = f"{base_path}/{s.name}"
-            if s.fmt in ("ltsv", "plain", "template"):
+            if s.fmt in ("ltsv", "plain", "template", "gelf"):
                 # the observe node upstream of this projection still fires
-                part = part.select(_text_line(part, s).alias("value"))
+                if s.fmt == "gelf":
+                    from .gelffmt import gelf_line
+
+                    ts_col = s.ts_col or next(
+                        (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                        None,
+                    )
+                    line = gelf_line(
+                        part, ts_col=ts_col, **(s.gelf_fields or {})
+                    )
+                else:
+                    line = _text_line(part, s)
+                part = part.select(line.alias("value"))
                 part.write.mode("overwrite").text(dest)
                 counts[s.name] = obs.get["n"]
                 continue

@@ -1,0 +1,175 @@
+"""GELF rendering goldens — tests/internal/gelf.c TEST_LIST plus the
+flb_pack_gelf.c behavior matrix (key classes, level mapping, struct
+flatten, null skip, sanitization).
+
+The reference's vector arrays are heterogeneous msgpack arrays
+([true, 2019, "str"]); typed columns render the same bytes from
+array<string> since array elements print bare (no inner quotes).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.gelffmt import gelf_line
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _line(df, **kw):
+    return df.select(gelf_line(df, **kw).alias("v")).first()["v"]
+
+
+def test_gelf_pack_msec(spark):
+    """gelf.c:59 gelf_pack_msec — byte-exact: ts 337647600s + 12.34ms
+    renders '%li.%03lu' = 337647600.012 (issue fluent/fluent-bit#3727)."""
+    ts = EPOCH + dt.timedelta(seconds=337647600, microseconds=12341)
+    df = spark.createDataFrame(
+        [(["true", "2019", "str"], False, ts)],
+        "t1 array<string>, t2 boolean, ts timestamp",
+    )
+    assert _line(df, ts_col="ts", short_message_key="t1") == (
+        '{"version":"1.1", "short_message":"true, 2019, str", '
+        '"_t2":"false", "timestamp":337647600.012}'
+    )
+
+
+def test_gelf_pack_tag_key(spark):
+    """gelf.c:105 gelf_pack_tag_key — the tag record key becomes _tag
+    (issue fluent/fluent-bit#8921)."""
+    ts = EPOCH + dt.timedelta(seconds=337647600, microseconds=12341)
+    df = spark.createDataFrame(
+        [(["true", "2019", "str"], False, "test.gelf.fluent-bit", ts)],
+        "t1 array<string>, t2 boolean, tag string, ts timestamp",
+    )
+    assert _line(df, ts_col="ts", short_message_key="t1") == (
+        '{"version":"1.1", "short_message":"true, 2019, str", '
+        '"_t2":"false", "_tag":"test.gelf.fluent-bit", '
+        '"timestamp":337647600.012}'
+    )
+
+
+def test_gelf_pack(spark):
+    """gelf.c:15 gelf_pack — field rendering byte-exact; the C vector's
+    un-normalized flb_time (nsec=1234111111 > 1s, printed verbatim as
+    .1234) is not expressible as an instant, so the record time here is
+    the normalized equivalent and only the fields are compared."""
+    ts = EPOCH + dt.timedelta(seconds=337647601, microseconds=234111)
+    df = spark.createDataFrame(
+        [(["true", "2019", "str"], False, ts)],
+        "t1 array<string>, t2 boolean, ts timestamp",
+    )
+    out = _line(df, ts_col="ts", short_message_key="t1")
+    assert out.startswith(
+        '{"version":"1.1", "short_message":"true, 2019, str", "_t2":"false"'
+    )
+    assert out.endswith(', "timestamp":337647601.234}')
+
+
+def test_gelf_key_classes_and_level(spark):
+    """flb_pack_gelf.c:521-610: host/level/full_message rename, 'id'
+    dropped, custom keys _-prefixed and sanitized; :552-586 level
+    keyword -> integer, digit passthrough, unknown stays quoted."""
+    df = spark.createDataFrame(
+        [("web01", "warning", "m", "full", "x", 7, "k")],
+        "hostname string, severity string, msg string, full_message string, "
+        "id string, `bad key!` long, `k` string",
+    )
+    out = _line(
+        df,
+        host_key="hostname",
+        level_key="severity",
+        short_message_key="msg",
+    )
+    assert out == (
+        '{"version":"1.1", "host":"web01", "level":4, "short_message":"m", '
+        '"full_message":"full", "_bad_key_":7, "_k":"k"}'
+    )
+    for level, want in [
+        ("EMERG", "4"[:0] + "0"), ("debug", "7"), ("3", "3"),
+    ]:
+        one = spark.createDataFrame([(level, "m")], "severity string, msg string")
+        got = _line(one, level_key="severity", short_message_key="msg")
+        assert f'"level":{want},' in got + ",", (level, got)
+    # unknown keyword stays a quoted string (reference warns + keeps)
+    one = spark.createDataFrame([("loud", "m")], "severity string, msg string")
+    assert '"level":"loud"' in _line(
+        one, level_key="severity", short_message_key="msg"
+    )
+
+
+def test_gelf_struct_flatten_null_skip_and_escape(spark):
+    """flb_pack_gelf.c:617-637 struct -> _parent_child; :661-664 NULL
+    fields skipped; string content JSON-escaped; float prints C %f."""
+    df = spark.createDataFrame(
+        [(("v1", None, 2.5), 'say "hi"\n', None)],
+        "meta struct<a:string, b:string, pi:double>, msg string, gone string",
+    )
+    out = _line(df, short_message_key="msg")
+    assert out == (
+        '{"version":"1.1", "_meta_a":"v1", "_meta_pi":2.500000, '
+        '"short_message":"say \\"hi\\"\\n"}'
+    )
+
+
+def test_gelf_requires_short_message_and_rejects_maps(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="short_message"):
+        gelf_line(df)
+    df2 = spark.createDataFrame(
+        [({"a": "b"}, "m")], "m map<string,string>, short_message string"
+    )
+    with pytest.raises(ValueError, match="map column"):
+        gelf_line(df2)
+
+
+def test_gelf_record_timestamp_key_wins(spark):
+    """:548-551 a record timestamp key renders in place; no trailing
+    record-time timestamp is appended."""
+    ts = EPOCH + dt.timedelta(seconds=100)
+    df = spark.createDataFrame(
+        [(123.25, "m", ts)], "timestamp double, msg string, ts timestamp"
+    )
+    out = _line(df, ts_col="ts", short_message_key="msg")
+    assert out == (
+        '{"version":"1.1", "timestamp":123.250000, "short_message":"m"}'
+    )
+
+
+def test_gelf_sink_roundtrip(spark, tmp_path):
+    """fmt='gelf' through write_sinks: one text line per record."""
+    import json
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    ts = EPOCH + dt.timedelta(seconds=337647600, microseconds=12341)
+    df = spark.createDataFrame(
+        [("app.a", "hello", "info", ts), ("app.b", "bye", "err", ts)],
+        "tag string, message string, level string, ts timestamp",
+    )
+    counts = write_sinks(
+        df,
+        [
+            SinkSpec(
+                name="g",
+                match="app.*",
+                fmt="gelf",
+                ts_col="ts",
+                gelf_fields={"short_message_key": "message"},
+            )
+        ],
+        str(tmp_path),
+    )
+    assert counts["g"] == 2
+    lines = sorted(
+        line
+        for f in (tmp_path / "g").glob("part-*")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == [
+        '{"version":"1.1", "_tag":"app.a", "short_message":"hello", '
+        '"level":6, "timestamp":337647600.012}',
+        '{"version":"1.1", "_tag":"app.b", "short_message":"bye", '
+        '"level":3, "timestamp":337647600.012}',
+    ]
