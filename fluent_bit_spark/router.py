@@ -33,6 +33,7 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parsers import atof_double
 from .semantics import FBVal, fb_compare, fb_and, fb_or, fb_type_of
 
 # ---------------------------------------------------------------------------
@@ -102,26 +103,78 @@ _COND_OPS = {
 
 @dataclass(frozen=True)
 class RouteCondition:
-    """One rule: ``field op value`` (flb_conditionals.h:55-64)."""
+    """One rule: ``field op value`` (flb_conditionals.h:55-64).
+
+    Evaluation follows flb_conditionals.c exactly:
+
+    * a MISSING/null field makes the rule FALSE for EVERY op — including
+      neq / not_in / not_regex (:396-405: a missing field short-circuits
+      an AND condition to FALSE and is skipped — contributes false — in
+      an OR chain);
+    * gt/lt/gte/lte on a string field go through ``atof`` (:313-331 —
+      non-numeric text compares as 0.0), numeric fields compare
+      directly;
+    * ``field`` may be a record-accessor path (``$key['sub']``,
+      :295 flb_cfl_ra_translate);
+    * an empty regex pattern is rejected at rule creation
+      (flb_conditionals.c rule validation, vectors
+      tests/internal/conditionals.c:1022-1041).
+    """
 
     field: str
     op: str  # eq neq gt lt gte lte regex not_regex in not_in
     value: object
 
+    def _resolve(self, df: DataFrame):
+        """(column, leaf DataType) — plain column name or $-accessor."""
+        if self.field.startswith("$"):
+            from .accessor import compile_path, parse_path
+
+            p = parse_path(self.field)
+            dtype = df.schema[p.root].dataType
+            for sub in p.subs:
+                from pyspark.sql import types as T
+
+                if isinstance(dtype, T.StructType):
+                    dtype = dtype[sub].dataType
+                elif isinstance(dtype, T.MapType):
+                    dtype = dtype.valueType
+                elif isinstance(dtype, T.ArrayType):
+                    dtype = dtype.elementType
+            return compile_path(self.field), dtype
+        return F.col(self.field), df.schema[self.field.split(".")[0]].dataType
+
     def to_column(self, df: DataFrame) -> Column:
-        c = F.col(self.field)
-        ftype = fb_type_of(df.schema[self.field.split(".")[0]].dataType)
-        if self.op in _COND_OPS:
-            return fb_compare(FBVal(c, ftype), FBVal.lit(self.value), _COND_OPS[self.op])
-        if self.op == "regex":
-            return F.coalesce(c.cast("string").rlike(str(self.value)), F.lit(False))
-        if self.op == "not_regex":
-            return ~F.coalesce(c.cast("string").rlike(str(self.value)), F.lit(False))
-        if self.op == "in":
-            return F.coalesce(c.isin(list(self.value)), F.lit(False))
-        if self.op == "not_in":
-            return ~F.coalesce(c.isin(list(self.value)), F.lit(False))
-        raise ValueError(f"unknown condition op {self.op}")
+        from pyspark.sql import types as T
+
+        c, dtype = self._resolve(df)
+        if self.op in ("gt", "lt", "gte", "lte"):
+            left = atof_double(c) if isinstance(dtype, T.StringType) else c
+            rhs = F.lit(float(self.value))
+            result = {
+                "gt": left > rhs,
+                "lt": left < rhs,
+                "gte": left >= rhs,
+                "lte": left <= rhs,
+            }[self.op]
+        elif self.op in _COND_OPS:
+            result = fb_compare(
+                FBVal(c, fb_type_of(dtype)), FBVal.lit(self.value), _COND_OPS[self.op]
+            )
+        elif self.op in ("regex", "not_regex"):
+            if not str(self.value):
+                raise ValueError(f"{self.op}: empty pattern rejected")
+            hit = c.cast("string").rlike(str(self.value))
+            result = hit if self.op == "regex" else ~hit
+        elif self.op == "in":
+            result = c.isin(list(self.value))
+        elif self.op == "not_in":
+            result = ~c.isin(list(self.value))
+        else:
+            raise ValueError(f"unknown condition op {self.op}")
+        return F.when(c.isNull(), F.lit(False)).otherwise(
+            F.coalesce(result, F.lit(False))
+        )
 
 
 @dataclass(frozen=True)

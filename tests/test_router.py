@@ -547,3 +547,87 @@ def test_kafka_sink_option_assembly(spark, monkeypatch):
     assert seen["kafka.bootstrap.servers"] == "b1:9092"
     assert seen["kafka.security.protocol"] == "SASL_SSL"
     assert seen["saved"]
+
+
+def test_conditionals_reference_vectors(spark):
+    """tests/internal/conditionals.c ported over RouteCondition:
+    equals/not_equals (:354/:435), numeric (:393), in/not_in (:474/:514),
+    missing_values (:879 — missing field is FALSE for EVERY op),
+    border_cases (:951 — non-numeric string in numeric ops, empty-string
+    membership, regex metacharacters, empty pattern rejected),
+    gte_lte_border_cases (:1744)."""
+    from fluent_bit_spark.router import RouteCondition
+
+    def ev(cond, data, schema):
+        df = spark.createDataFrame([data], schema)
+        return df.select(cond.to_column(df).alias("v")).first()["v"]
+
+    lvl = "level string"
+    # equals / not_equals
+    assert ev(RouteCondition("level", "eq", "error"), ("error",), lvl) is True
+    assert ev(RouteCondition("level", "eq", "error"), ("info",), lvl) is False
+    assert ev(RouteCondition("level", "neq", "error"), ("info",), lvl) is True
+    assert ev(RouteCondition("level", "neq", "error"), ("error",), lvl) is False
+    # numeric gt / lt
+    num = "count double"
+    assert ev(RouteCondition("count", "gt", 40.0), (42.0,), num) is True
+    assert ev(RouteCondition("count", "lt", 50.0), (42.0,), num) is True
+    # in / not_in
+    arr = ["error", "warn", "fatal"]
+    assert ev(RouteCondition("level", "in", arr), ("error",), lvl) is True
+    assert ev(RouteCondition("level", "in", arr), ("info",), lvl) is False
+    assert ev(RouteCondition("level", "not_in", arr), ("info",), lvl) is True
+    assert ev(RouteCondition("level", "not_in", arr), ("error",), lvl) is False
+    # missing (null) field -> FALSE for every op, including the negated
+    # ones (flb_conditionals.c:396-405)
+    for cond in [
+        RouteCondition("level", "in", arr),
+        RouteCondition("level", "not_in", arr),
+        RouteCondition("level", "eq", "production"),
+        RouteCondition("level", "neq", "production"),
+        RouteCondition("level", "not_regex", "x"),
+        RouteCondition("level", "gte", 1.0),
+    ]:
+        assert ev(cond, (None,), lvl) is False, cond.op
+    # border cases
+    assert ev(RouteCondition("count", "gt", 42.0), ("not_a_number",),
+              "count string") is False
+    assert ev(RouteCondition("level", "in", arr + [""]), ("",), lvl) is True
+    assert ev(
+        RouteCondition("path", "regex", r"^/api/v1/users\[[0-9]+\]$"),
+        ("/api/v1/users[123]",), "path string",
+    ) is True
+    import pytest as _p
+    with _p.raises(ValueError, match="empty pattern"):
+        df = spark.createDataFrame([("x",)], "path string")
+        RouteCondition("path", "regex", "").to_column(df)
+    # gte/lte borders (atof on strings; exact on numerics)
+    assert ev(RouteCondition("pod_status", "gte", 1.0),
+              ("CrashLoopBackOff",), "pod_status string") is False
+    assert ev(RouteCondition("cpu_limit", "gte", 1.0), (1.0000001,),
+              "cpu_limit double") is True
+    assert ev(RouteCondition("memory_request", "gte", -256.0), (-128.0,),
+              "memory_request double") is True
+    assert ev(RouteCondition("current_replicas", "gte", 0.0), (0.0,),
+              "current_replicas double") is True
+    assert ev(RouteCondition("desired_replicas", "lte", 0.0), (-0.0,),
+              "desired_replicas double") is True
+
+
+def test_conditionals_dollar_paths_and_nesting(spark):
+    """processor_conditional.c:1122 dollar_prefixed_fields and :1187
+    deeply_nested_field_access: record-accessor condition fields."""
+    from fluent_bit_spark.router import RouteCondition
+
+    df = spark.createDataFrame(
+        [("error", {"pod": {"name": "web-1", "restarts": "7"}})],
+        "status string, kubernetes struct<pod:struct<name:string, restarts:string>>",
+    )
+    for cond, want in [
+        (RouteCondition("$status", "eq", "error"), True),
+        (RouteCondition("$kubernetes['pod']['name']", "regex", "^web-"), True),
+        (RouteCondition("$kubernetes['pod']['restarts']", "gte", 5.0), True),
+        (RouteCondition("$kubernetes['pod']['restarts']", "lt", 5.0), False),
+    ]:
+        got = df.select(cond.to_column(df).alias("v")).first()["v"]
+        assert got is want, cond
