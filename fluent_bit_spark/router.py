@@ -204,6 +204,12 @@ class SinkSpec:
     # fmt=gelf key overrides (struct flb_gelf_fields, flb_pack.h:112-118:
     # {host,timestamp,level,short_message,full_message}_key)
     gelf_fields: Optional[dict] = None
+    # out_file json_date_format / json_date_key properties (file.c config
+    # map -> flb_pack_msgpack_to_json_format): when set, fmt=json writes
+    # flb-shaped lines {"<date_key>":<ts>, ...record} instead of Spark's
+    # typed-column JSON
+    json_date_format: Optional[str] = None  # double|java_sql_timestamp|iso8601|epoch|epoch_ms
+    json_date_key: str = "date"
 
     def predicate(self, df: DataFrame, tag_col: str = "tag") -> Column:
         p = match_col(F.col(tag_col), self.match, self.match_regex)
@@ -420,6 +426,15 @@ def write_sinks(
                 write_msgpack(part, ts_col, cols, dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "json" and s.json_date_format:
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                part = part.select(json_line(part, s, ts_col).alias("value"))
+                part.write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             writer = part.write.mode("overwrite")
             if s.max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
@@ -589,6 +604,59 @@ def _check_delimiter(value: Optional[str]) -> Optional[str]:
     if low == "comma":
         return ","
     return None
+
+
+def json_date_col(ts: Column, date_format: str) -> Column:
+    """Render the record time per json_date_format
+    (flb_pack.c:1245-1276; option names :1111-1131; vectors
+    tests/internal/pack.c:1126-1150): double = sec.usec, iso8601 =
+    quoted %Y-%m-%dT%H:%M:%S.%06uZ (UTC), java_sql_timestamp = quoted
+    %Y-%m-%d %H:%M:%S.%06u, epoch = bare seconds, epoch_ms/millis/
+    milliseconds = bare milliseconds."""
+    f = date_format.lower()
+    ts = ts.cast("timestamp")
+    micros = F.lpad((F.unix_micros(ts) % 1000000).cast("string"), 6, "0")
+    if f == "double":
+        return F.concat(F.unix_timestamp(ts).cast("string"), F.lit("."), micros)
+    if f == "java_sql_timestamp":
+        return F.concat(
+            F.lit('"'), F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("."), micros, F.lit('"'),
+        )
+    if f == "iso8601":
+        return F.concat(
+            F.lit('"'), F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("."), micros, F.lit('Z"'),
+        )
+    if f == "epoch":
+        return F.unix_timestamp(ts).cast("string")
+    if f in ("epoch_ms", "epoch_millis", "epoch_milliseconds"):
+        return F.unix_millis(ts).cast("string")
+    raise ValueError(f"unknown json_date_format {date_format!r}")  # :1130 -1
+
+
+def json_line(df: DataFrame, s: SinkSpec, ts_col: Optional[str]) -> Column:
+    """One flb json-lines record: {"<date_key>":<ts>, ...record}
+    (flb_pack_msgpack_to_json_format FLB_PACK_JSON_FORMAT_LINES — the
+    out_file json path, file.c). The record body renders via to_json
+    (nulls kept, like the msgpack->json conversion); the date key is
+    injected first, as the reference does."""
+    body_cols = [c for c in df.columns if c != ts_col]
+    if not body_cols:
+        raise ValueError("json_date_format sink needs at least one record column")
+    body = F.to_json(
+        F.struct(*[F.col(c) for c in body_cols]),
+        {"ignoreNullFields": "false"},
+    )
+    if ts_col is None:
+        return body
+    date = json_date_col(F.col(ts_col), s.json_date_format)
+    return F.concat(
+        F.lit('{"%s":' % s.json_date_key),
+        date,
+        F.when(F.length(body) > 2, F.lit(",")).otherwise(F.lit("")),
+        F.substring(body, 2, 2147483647),
+    )
 
 
 def _text_line(df: DataFrame, s: SinkSpec) -> Column:

@@ -173,3 +173,61 @@ def test_gelf_sink_roundtrip(spark, tmp_path):
         '{"version":"1.1", "_tag":"app.b", "short_message":"bye", '
         '"level":3, "timestamp":337647600.012}',
     ]
+
+
+# --- json_date_format vectors (tests/internal/pack.c:1126-1150) ---
+
+
+def test_json_date_formats(spark):
+    """flb_pack_msgpack_to_json_format date rendering, byte-exact for
+    ts = 123456789.123456s (1973-11-29T21:33:09.123456Z)."""
+    from fluent_bit_spark.router import json_date_col
+
+    ts = EPOCH + dt.timedelta(seconds=123456789, microseconds=123456)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+
+    def render(fmt):
+        return df.select(json_date_col(F.col("ts"), fmt).alias("v")).first()["v"]
+
+    assert render("iso8601") == '"1973-11-29T21:33:09.123456Z"'
+    assert render("double") == "123456789.123456"
+    assert render("java_sql_timestamp") == '"1973-11-29 21:33:09.123456"'
+    assert render("epoch") == "123456789"
+    assert render("epoch_ms") == "123456789123"
+    assert render("EPOCH_MILLIS") == "123456789123"  # strcasecmp aliases
+    with pytest.raises(ValueError):
+        render("nope")
+
+
+def test_json_lines_sink_with_date_key(spark, tmp_path):
+    """out_file fmt=json + json_date_format/json_date_key: flb-shaped
+    lines with the date injected first (file.c -> FLB_PACK_JSON_FORMAT_LINES)."""
+    import json
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    ts = EPOCH + dt.timedelta(seconds=123456789, microseconds=123456)
+    df = spark.createDataFrame(
+        [("app.a", "hello", None, ts)],
+        "tag string, message string, gap string, ts timestamp",
+    )
+    counts = write_sinks(
+        df,
+        [
+            SinkSpec(
+                name="j", match="app.*", fmt="json", ts_col="ts",
+                json_date_format="double", json_date_key="ts",
+            )
+        ],
+        str(tmp_path),
+    )
+    assert counts["j"] == 1
+    [line] = [
+        line
+        for f in (tmp_path / "j").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    assert line.startswith('{"ts":123456789.123456,')
+    assert json.loads(line) == {
+        "ts": 123456789.123456, "tag": "app.a", "message": "hello", "gap": None,
+    }
