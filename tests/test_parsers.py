@@ -414,3 +414,34 @@ def test_typecast_property_vs_c_model(spark):
         if got[i] != want:
             bad.append((repr(c), got[i], want))
     assert not bad, bad[:5]
+
+
+def test_json_dup_keys_last_wins(spark):
+    """tests/internal/pack.c:337 json_dup_keys (fixtures
+    data/pack/dup_keys_in/out.json): duplicate keys resolve to the LAST
+    occurrence, including inside nested maps."""
+    from fluent_bit_spark.parsers import JsonParser, parse_json_to_map
+
+    raw = (
+        '{"date": 872835240, "map": {"sub1": false, "sub2": "aaa", '
+        '"sub3": "bbb", "sub1": null, "sub1": true}, "key1": 12345, '
+        '"key2": 444, "date": 1059113640, "key1": 333}'
+    )
+    df = spark.createDataFrame([(raw,)], "log string")
+    out = JsonParser("json").apply_schema(
+        df,
+        "log",
+        "date bigint, map struct<sub1:boolean, sub2:string, sub3:string>, "
+        "key1 bigint, key2 bigint",
+    )
+    row = out.first()
+    assert row["date"] == 1059113640
+    assert row["key1"] == 333
+    assert row["key2"] == 444
+    assert row["map"]["sub1"] is True
+    assert row["map"]["sub2"] == "aaa"
+    assert row["map"]["sub3"] == "bbb"
+    # dynamic-map path: same last-wins resolution
+    m = df.select(parse_json_to_map(F.col("log")).alias("m")).first()["m"]
+    assert m["date"] == "1059113640"
+    assert m["key1"] == "333"

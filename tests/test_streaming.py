@@ -402,3 +402,38 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 300  # 200 + only the 100 fresh docs
     assert got2.filter(F.col("text").startswith("new ")).count() == 100
+
+
+def test_flb_time_msgpack_vectors():
+    """tests/internal/flb_time.c flb_time_msgpack_to_time vectors over
+    the forward-format decode: int seconds, double, EventTime fixext8
+    (fluentd forward spec), and the two invalid-ext rejections."""
+    import struct as _s
+
+    import pytest as _p
+
+    from fluent_bit_spark.msgpackfmt import _event_time, unpack_stream
+
+    SEC = 1647061992  # 0x622c2be8
+    NSEC = 123000000  # 0x0754d4c0
+
+    # int object (msgpack uint32)
+    [v] = list(unpack_stream(b"\xce" + _s.pack(">I", SEC)))
+    assert _event_time(v) == float(SEC)
+
+    # double object
+    [v] = list(unpack_stream(b"\xcb" + _s.pack(">d", SEC + 0.123)))
+    assert abs(_event_time(v) - (SEC + NSEC / 1e9)) < 1e-5  # 10us tolerance
+
+    # EventTime fixext8 type 0: 4B sec + 4B nsec (flb_time.c:34 eventtime[])
+    ext = bytes([0x62, 0x2C, 0x2B, 0xE8, 0x07, 0x54, 0xD4, 0xC0])
+    [v] = list(unpack_stream(b"\xd7\x00" + ext))
+    assert abs(_event_time(v) - (SEC + NSEC / 1e9)) < 1e-9
+
+    # ext with invalid size 5 -> reject (flb_time.c:215 invalid)
+    with _p.raises(ValueError):
+        list(unpack_stream(b"\xc7\x05\x00" + ext[:5]))
+
+    # fixext8 with invalid type 10 -> reject
+    with _p.raises(ValueError):
+        list(unpack_stream(b"\xd7\x0a" + ext))
