@@ -397,9 +397,15 @@ def write_sinks(
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
             dest = f"{base_path}/{s.name}"
-            if s.fmt in ("ltsv", "plain", "template", "gelf"):
+            if s.fmt in ("ltsv", "plain", "template", "gelf", "out_file"):
                 # the observe node upstream of this projection still fires
-                if s.fmt == "gelf":
+                if s.fmt == "out_file":
+                    ts_col = s.ts_col or next(
+                        (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                        None,
+                    )
+                    line = out_file_line(part, ts_col, tag_col)
+                elif s.fmt == "gelf":
                     from .gelffmt import gelf_line
 
                     ts_col = s.ts_col or next(
@@ -604,6 +610,34 @@ def _check_delimiter(value: Optional[str]) -> Optional[str]:
     if low == "comma":
         return ","
     return None
+
+
+def out_file_line(df: DataFrame, ts_col: Optional[str], tag_col: str) -> Column:
+    """The out_file plugin's classic JSON line (file.c:723-733):
+    ``tag: [sec.%09lu, {record json}]`` — tag and time are chunk/event
+    level in the reference, so they frame the record body rather than
+    appearing inside it. A record with no timestamp prints 0.000000000
+    (zeroed flb_time)."""
+    body_cols = [c for c in df.columns if c not in (ts_col, tag_col)]
+    if not body_cols:
+        raise ValueError("out_file line needs at least one record column")
+    body = F.to_json(
+        F.struct(*[F.col(c) for c in body_cols]), {"ignoreNullFields": "false"}
+    )
+    if ts_col is not None:
+        ts = F.col(ts_col).cast("timestamp")
+        sec = F.coalesce(F.unix_timestamp(ts), F.lit(0)).cast("string")
+        nanos = F.lpad(
+            (F.coalesce(F.unix_micros(ts), F.lit(0)) % 1000000 * 1000).cast("string"),
+            9,
+            "0",
+        )
+    else:
+        sec, nanos = F.lit("0"), F.lit("000000000")
+    return F.concat(
+        F.col(tag_col).cast("string"), F.lit(": ["),
+        sec, F.lit("."), nanos, F.lit(", "), body, F.lit("]"),
+    )
 
 
 def json_date_col(ts: Column, date_format: str) -> Column:

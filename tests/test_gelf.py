@@ -231,3 +231,28 @@ def test_json_lines_sink_with_date_key(spark, tmp_path):
     assert json.loads(line) == {
         "ts": 123456789.123456, "tag": "app.a", "message": "hello", "gap": None,
     }
+
+
+def test_out_file_classic_json_lines(spark, tmp_path):
+    """out_file Format json writes 'tag: [sec.%09lu, {record}]' lines
+    (file.c:723-733) — tag and time frame the record body."""
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    ts = EPOCH + dt.timedelta(seconds=1647061992, microseconds=123000)
+    df = spark.createDataFrame(
+        [("web.ok", "GET", 200, ts)],
+        "tag string, method string, code int, ts timestamp",
+    )
+    counts = write_sinks(
+        df, [SinkSpec(name="f", match="web.*", fmt="out_file", ts_col="ts")],
+        str(tmp_path),
+    )
+    assert counts["f"] == 1
+    [line] = [
+        line
+        for f in (tmp_path / "f").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    assert line == (
+        'web.ok: [1647061992.123000000, {"method":"GET","code":200}]'
+    )
