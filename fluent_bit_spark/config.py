@@ -19,6 +19,12 @@ Supported plugins (the analytics-relevant subset; SURVEY §2):
           type_converter (int_key/float_key/str_key/uint_key)
   OUTPUT: file (Path/Format), null, counter
 
+Config-level features: ${VAR} env substitution (env table first, then
+the OS environment; flb_env.c), classic @SET / @INCLUDE directives and
+YAML env:/includes: sections, and config-defined [PARSER] sections —
+inline, via YAML parsers:, or via [SERVICE] parsers_file — registered
+by name alongside the stock parsers.conf corpus.
+
 Unsupported plugin names raise — silently dropping a stage would
 corrupt routing parity.
 """
@@ -27,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -69,13 +76,70 @@ class Section:
         return [v for k, v in self.entries if k == key.lower()]
 
 
-def parse_classic(text: str) -> list:
+_ENV_PAT = re.compile(r"\$\{([^}]+)\}")
+
+
+def translate_env(value: str, env: Optional[dict] = None) -> str:
+    """``${NAME}`` substitution (src/flb_env.c:flb_env_var_translate):
+    the config's own env table (env: section / @SET) is consulted
+    first, then the process environment; an unset (or empty OS-level)
+    variable substitutes as the EMPTY string — flb warns and drops it
+    (:187-189), it never leaves the ``${...}`` literal in place."""
+    env = env or {}
+
+    def sub(m):
+        k = m.group(1)
+        if k in env:
+            return str(env[k])
+        v = os.environ.get(k)
+        return v if v else ""
+
+    return _ENV_PAT.sub(sub, value)
+
+
+def parse_classic(
+    text: str, base_dir: Optional[str] = None, env: Optional[dict] = None
+) -> list:
     """Parse the classic indented format: '[NAME]' headers, 'Key  Value'
-    lines (first whitespace run splits key from value), '#' comments."""
+    lines (first whitespace run splits key from value), '#' comments.
+
+    Directives (flb_cf_fluentbit.c): ``@SET k=v`` adds to the env table
+    for ${k} substitution in later values; ``@INCLUDE pattern`` splices
+    the matching files' sections in place (glob, sorted, relative to
+    ``base_dir``). The env table is shared down into includes, like the
+    reference's single flb_env per config load.
+    """
+    env = env if env is not None else {}
     sections: list[Section] = []
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
+            continue
+        if line.startswith("@"):
+            parts = line[1:].split(None, 1)
+            directive = parts[0].upper()
+            arg = translate_env(parts[1].strip(), env) if len(parts) > 1 else ""
+            if directive == "SET":
+                k, _, v = arg.partition("=")
+                env[k.strip()] = v.strip()
+            elif directive == "INCLUDE":
+                import glob as _glob
+
+                pattern = (
+                    os.path.join(base_dir, arg)
+                    if base_dir and not os.path.isabs(arg)
+                    else arg
+                )
+                paths = sorted(_glob.glob(pattern))
+                if not paths:
+                    raise ValueError(f"@INCLUDE matched no files: {arg!r}")
+                for p in paths:
+                    with open(p) as fh:
+                        sections.extend(
+                            parse_config(fh.read(), base_dir=os.path.dirname(p), env=env)
+                        )
+            else:
+                raise ValueError(f"unknown config directive @{directive}")
             continue
         if line.startswith("[") and line.endswith("]"):
             sections.append(Section(line[1:-1].strip().upper()))
@@ -84,15 +148,21 @@ def parse_classic(text: str) -> list:
             raise ValueError(f"entry outside any section: {line!r}")
         parts = line.split(None, 1)
         key = parts[0].lower()
-        val = parts[1] if len(parts) > 1 else ""
+        val = translate_env(parts[1], env) if len(parts) > 1 else ""
         sections[-1].entries.append((key, val))
     return sections
 
 
-def parse_yaml(text: str) -> list:
+def parse_yaml(
+    text: str, base_dir: Optional[str] = None, env: Optional[dict] = None
+) -> list:
     """Parse the YAML config format (src/config_format/flb_cf_yaml.c):
 
+        env: {key: value}              # ${key} substitution table
+        includes: [other.yaml, ...]    # spliced in, relative paths
         service: {flush: 1}
+        parsers: [{name: p, format: regex, regex: ..., ...}, ...]
+        multiline_parsers: [...]
         pipeline:
           inputs:   [{name: dummy, tag: t, ...}, ...]
           filters:  [{name: grep, match: '*', regex: 'k v'}, ...]
@@ -105,12 +175,38 @@ def parse_yaml(text: str) -> list:
     import yaml
 
     doc = yaml.safe_load(text) or {}
+    env = {**(env or {}), **{str(k): str(v) for k, v in (doc.get("env") or {}).items()}}
+
+    def tr(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return translate_env(str(v), env)
+
     sections: list[Section] = []
+    for inc in doc.get("includes") or []:
+        p = tr(inc)
+        if base_dir and not os.path.isabs(p):
+            p = os.path.join(base_dir, p)
+        with open(p) as fh:
+            sections.extend(
+                parse_config(fh.read(), base_dir=os.path.dirname(p), env=env)
+            )
     svc = doc.get("service") or {}
     if svc:
         sections.append(
-            Section("SERVICE", [(str(k).lower(), str(v)) for k, v in svc.items()])
+            Section("SERVICE", [(str(k).lower(), tr(v)) for k, v in svc.items()])
         )
+    for key, secname in (
+        ("parsers", "PARSER"),
+        ("multiline_parsers", "MULTILINE_PARSER"),
+    ):
+        for item in doc.get(key) or []:
+            sections.append(
+                Section(
+                    secname,
+                    [(str(k).lower(), tr(v)) for k, v in (item or {}).items()],
+                )
+            )
     pipeline = doc.get("pipeline") or {}
     for kind, secname in (
         ("inputs", "INPUT"),
@@ -129,9 +225,7 @@ def parse_yaml(text: str) -> list:
                 key = str(k).lower()
                 vals = v if isinstance(v, list) else [v]
                 for x in vals:
-                    if isinstance(x, bool):
-                        x = "true" if x else "false"
-                    entries.append((key, str(x)))
+                    entries.append((key, tr(x)))
             sections.append(Section(secname, entries))
             # processor units attach strictly per plugin instance in the
             # reference (flb_processor.c): only INPUT processors become
@@ -149,24 +243,92 @@ def parse_yaml(text: str) -> list:
             for proc in procs.get("logs") or []:
                 pentries = [("match", scope)]
                 for k, v in (proc or {}).items():
-                    if isinstance(v, bool):
-                        v = "true" if v else "false"
-                    pentries.append((str(k).lower(), str(v)))
+                    pentries.append((str(k).lower(), tr(v)))
                 sections.append(Section("FILTER", pentries))
     return sections
 
 
-def parse_config(text: str) -> list:
+def parse_config(
+    text: str, base_dir: Optional[str] = None, env: Optional[dict] = None
+) -> list:
     """Dispatch classic vs yaml by shape: classic configs open with a
-    '[SECTION]' header; everything else parses as YAML."""
+    '[SECTION]' header or an '@' directive; everything else parses as
+    YAML. ``base_dir`` anchors relative @INCLUDE / includes: paths;
+    ``env`` seeds the ${var} substitution table."""
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        if line.startswith("[") and line.endswith("]"):
-            return parse_classic(text)
+        if (line.startswith("[") and line.endswith("]")) or line.startswith("@"):
+            return parse_classic(text, base_dir=base_dir, env=env)
         break
-    return parse_yaml(text)
+    return parse_yaml(text, base_dir=base_dir, env=env)
+
+
+def parser_from_section(s: Section):
+    """[PARSER] section -> parser object (flb_parser.c:flb_parser_conf_file
+    property walk; Types per proc_types_str :401-460 — space-separated
+    ``key:type`` pairs, type names integer/bool/float/hex/string)."""
+    from .parsers import JsonParser, LogfmtParser, LtsvParser, RegexParser, TypeCast
+
+    fmt = (s.get("format") or "regex").lower()
+    name = s.get("name")
+    if not name:
+        raise ValueError("[PARSER] requires Name")
+    types = tuple(
+        TypeCast(*pair.split(":", 1))
+        for v in s.get_all("types")
+        for pair in v.split()
+        if ":" in pair
+    )
+    kw = dict(
+        time_key=s.get("time_key", "time"),
+        time_fmt=s.get("time_format"),
+        time_keep=_bool(s.get("time_keep", "false")),
+        types=types,
+    )
+    if fmt == "regex":
+        rx = s.get("regex")
+        if not rx:
+            raise ValueError(f"[PARSER] {name}: Format regex requires Regex")
+        return RegexParser(
+            name,
+            rx,
+            time_offset=s.get("time_offset"),
+            skip_empty_values=_bool(s.get("skip_empty_values", "true")),
+            **kw,
+        )
+    if fmt == "json":
+        return JsonParser(name, **kw)
+    if fmt == "ltsv":
+        return LtsvParser(name)
+    if fmt == "logfmt":
+        return LogfmtParser(name)
+    raise ValueError(f"[PARSER] {name}: unsupported Format {fmt!r}")
+
+
+def build_parser_registry(
+    sections: list, base_dir: Optional[str] = None
+) -> dict:
+    """Stock parsers + config-defined [PARSER] sections + any files named
+    by [SERVICE] parsers_file (flb_parser_conf: each file is a classic
+    config whose PARSER sections register by name)."""
+    registry = dict(PARSERS)
+    svc = next((s for s in sections if s.name == "SERVICE"), None)
+    extra = list(sections)
+    for path in svc.get_all("parsers_file") if svc else []:
+        p = (
+            os.path.join(base_dir, path)
+            if base_dir and not os.path.isabs(path)
+            else path
+        )
+        with open(p) as fh:
+            extra.extend(parse_classic(fh.read(), base_dir=os.path.dirname(p)))
+    for s in extra:
+        if s.name == "PARSER":
+            parser = parser_from_section(s)
+            registry[parser.name] = parser
+    return registry
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +336,10 @@ def parse_config(text: str) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _build_input(spark: SparkSession, s: Section) -> DataFrame:
+def _build_input(
+    spark: SparkSession, s: Section, parsers: Optional[dict] = None
+) -> DataFrame:
+    parsers = parsers if parsers is not None else PARSERS
     name = (s.get("name") or "").lower()
     # default tag = the instance name: alias when set, else plugin name
     # (flb_input_name semantics) — must match parse_yaml's processor
@@ -187,7 +352,7 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
         df = df.withColumn("tag", F.lit(tag))
         parser_name = s.get("parser")
         if parser_name:
-            parser = PARSERS[parser_name]
+            parser = parsers[parser_name]
             df = parser.apply(df, "line", ts_col="ts")
         return df
     if name == "dummy":
@@ -213,7 +378,7 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
         from .streaming import exec_source
 
         parser_name = s.get("parser")
-        parser = PARSERS[parser_name] if parser_name else None
+        parser = parsers[parser_name] if parser_name else None
         return exec_source(spark, s.get("command"), tag=tag, parser=parser)
     if name == "syslog":
         # in_syslog listens on a socket and runs the configured syslog
@@ -221,7 +386,7 @@ def _build_input(spark: SparkSession, s: Section) -> DataFrame:
         # file/glob and applies the same parser (default rfc3164,
         # syslog_conf.c default parser name)
         path = s.get("path")
-        parser = PARSERS[s.get("parser", "syslog-rfc3164")]
+        parser = parsers[s.get("parser", "syslog-rfc3164")]
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return parser.apply(df, "line", ts_col="ts")
@@ -246,7 +411,10 @@ def parse_interval(value: str) -> int:
     return int(v)
 
 
-def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
+def _apply_filter(
+    df: DataFrame, s: Section, parsers: Optional[dict] = None
+) -> DataFrame:
+    parsers = parsers if parsers is not None else PARSERS
     name = (s.get("name") or "").lower()
     match = s.get("match", "*")
     gate = _tag_gate(df, match)
@@ -371,7 +539,7 @@ def _apply_filter(df: DataFrame, s: Section) -> DataFrame:
         key_name = s.get("key_name")
         if not key_name:
             raise ValueError("[FILTER] parser requires Key_Name")
-        ps = [PARSERS[p] for p in s.get_all("parser")]
+        ps = [parsers[p] for p in s.get_all("parser")]
         return apply_parser_filter(
             df,
             key_name,
@@ -450,9 +618,18 @@ class PipelineRun:
     frame: DataFrame
 
 
-def run_config(spark: SparkSession, conf_text: str, out_dir: str) -> PipelineRun:
-    """Parse + execute a config (classic or yaml) as one batch job."""
-    return _run_sections(spark, parse_config(conf_text), out_dir)
+def run_config(
+    spark: SparkSession,
+    conf_text: str,
+    out_dir: str,
+    base_dir: Optional[str] = None,
+    env: Optional[dict] = None,
+) -> PipelineRun:
+    """Parse + execute a config (classic or yaml) as one batch job.
+    ``base_dir`` anchors relative @INCLUDE / includes: / parsers_file
+    paths; ``env`` pre-seeds the ${var} table."""
+    sections = parse_config(conf_text, base_dir=base_dir, env=env)
+    return _run_sections(spark, sections, out_dir, base_dir=base_dir)
 
 
 def run_classic_config(
@@ -463,20 +640,26 @@ def run_classic_config(
     return _run_sections(spark, parse_classic(conf_text), out_dir)
 
 
-def _run_sections(spark: SparkSession, sections: list, out_dir: str) -> PipelineRun:
+def _run_sections(
+    spark: SparkSession,
+    sections: list,
+    out_dir: str,
+    base_dir: Optional[str] = None,
+) -> PipelineRun:
+    parsers = build_parser_registry(sections, base_dir=base_dir)
     inputs = [s for s in sections if s.name == "INPUT"]
     filters = [s for s in sections if s.name == "FILTER"]
     outputs = [s for s in sections if s.name == "OUTPUT"]
     if not inputs or not outputs:
         raise ValueError("config needs at least one INPUT and one OUTPUT")
 
-    frames = [_build_input(spark, s) for s in inputs]
+    frames = [_build_input(spark, s, parsers) for s in inputs]
     df = frames[0]
     for other in frames[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
 
     for s in filters:
-        df = _apply_filter(df, s)
+        df = _apply_filter(df, s, parsers)
 
     sinks = [_build_sink(s) for s in outputs]
     counts = write_sinks(df, sinks, out_dir)

@@ -422,3 +422,124 @@ pipeline:
     assert len(rows) == 1
     assert rows[0]["tag"] == "web"
     assert rows[0]["source"] == "edge"
+
+
+def test_env_substitution_and_set_directive():
+    """flb_env.c var translate (env table first, then OS env, missing ->
+    empty) + the classic @SET directive (flb_cf_fluentbit.c)."""
+    from fluent_bit_spark.config import parse_classic, translate_env
+
+    assert translate_env("a-${X}-b", {"X": "1"}) == "a-1-b"
+    os.environ["FBS_TEST_VAR"] = "osval"
+    try:
+        assert translate_env("${FBS_TEST_VAR}") == "osval"
+        # config env table wins over the OS environment
+        assert translate_env("${FBS_TEST_VAR}", {"FBS_TEST_VAR": "cfg"}) == "cfg"
+    finally:
+        del os.environ["FBS_TEST_VAR"]
+    # unset -> empty string, never the literal
+    assert translate_env("x${NOPE_NOT_SET}y") == "xy"
+
+    secs = parse_classic(
+        "@SET who=world\n"
+        "[INPUT]\n"
+        "    Name dummy\n"
+        "    Tag  hello.${who}\n"
+    )
+    assert secs[0].get("tag") == "hello.world"
+
+
+def test_include_directive_and_yaml_includes(tmp_path):
+    """@INCLUDE (classic, glob + sorted) and YAML includes: splice the
+    included files' sections (config_format_yaml.c test_basic shape:
+    fluent-bit.yaml includes service.yaml)."""
+    from fluent_bit_spark.config import parse_config
+
+    (tmp_path / "a_extra.conf").write_text(
+        "[INPUT]\n    Name dummy\n    Tag from_include\n"
+    )
+    secs = parse_config(
+        "@INCLUDE *_extra.conf\n[OUTPUT]\n    Name null\n    Match *\n",
+        base_dir=str(tmp_path),
+    )
+    assert [s.name for s in secs] == ["INPUT", "OUTPUT"]
+    assert secs[0].get("tag") == "from_include"
+
+    (tmp_path / "service.yaml").write_text(
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      tag: included.dummy\n"
+    )
+    secs = parse_config(
+        "includes:\n"
+        "  - service.yaml\n"
+        "env:\n"
+        "  observability: cloud\n"
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      tag: main.${observability}\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n",
+        base_dir=str(tmp_path),
+    )
+    inputs = [s for s in secs if s.name == "INPUT"]
+    assert [s.get("tag") for s in inputs] == ["included.dummy", "main.cloud"]
+
+
+def test_config_defined_parser_sections(spark, tmp_path):
+    """[PARSER] sections (classic parsers_file AND yaml parsers:) build
+    real parsers available to inputs/filters by name, like
+    flb_parser_conf_file registration."""
+    from fluent_bit_spark.config import run_config
+
+    logfile = tmp_path / "app.log"
+    logfile.write_text("7|heat\n9|cold\n")
+    (tmp_path / "parsers.conf").write_text(
+        "[PARSER]\n"
+        "    Name    pipes\n"
+        "    Format  regex\n"
+        "    Regex   /^(?<n>[0-9]+)\\|(?<word>.+)$/\n"
+        "    Types   n:integer\n"
+    )
+    conf = (
+        "[SERVICE]\n"
+        "    parsers_file parsers.conf\n"
+        "[INPUT]\n"
+        "    Name   tail\n"
+        f"    Path   {logfile}\n"
+        "    Parser pipes\n"
+        "    Tag    t.pipes\n"
+        "[OUTPUT]\n"
+        "    Name   file\n"
+        "    Match  *\n"
+        "    Format json\n"
+        "    sink_name out\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o1"), base_dir=str(tmp_path))
+    assert run.counts["out"] == 2
+    rows = {r["n"]: r["word"] for r in run.frame.select("n", "word").collect()}
+    assert rows == {7: "heat", 9: "cold"}  # Types n:integer applied
+
+    yaml_conf = (
+        "parsers:\n"
+        "  - name: pipes_y\n"
+        "    format: regex\n"
+        "    regex: '/^(?<n>[0-9]+)\\|(?<word>.+)$/'\n"
+        "    types: 'n:integer'\n"
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {logfile}\n"
+        "      parser: pipes_y\n"
+        "      tag: t.pipes\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: '*'\n"
+        "      format: json\n"
+        "      sink_name: out\n"
+    )
+    run = run_config(spark, yaml_conf, str(tmp_path / "o2"))
+    assert run.counts["out"] == 2
