@@ -180,6 +180,11 @@ def parse_yaml(
     def tr(v) -> str:
         if isinstance(v, bool):
             return "true" if v else "false"
+        if v is None:
+            # yaml implicit typing turns the bare scalar `null` into
+            # None; the reference reads raw scalars, so `name: null`
+            # (the out_null plugin) must stay the string "null"
+            return "null"
         return translate_env(str(v), env)
 
     sections: list[Section] = []
@@ -201,12 +206,24 @@ def parse_yaml(
         ("multiline_parsers", "MULTILINE_PARSER"),
     ):
         for item in doc.get(key) or []:
-            sections.append(
-                Section(
-                    secname,
-                    [(str(k).lower(), tr(v)) for k, v in (item or {}).items()],
-                )
-            )
+            entries = []
+            for k, v in (item or {}).items():
+                # YAML multiline rules are structured {state, regex,
+                # next_state} dicts; normalize to the classic format's
+                # repeated quoted-triple `rule` entries
+                if str(k).lower() == "rules" and isinstance(v, list):
+                    for r in v:
+                        r = r or {}
+                        entries.append(
+                            (
+                                "rule",
+                                f'"{r.get("state", "")}"  "{tr(r.get("regex", ""))}"'
+                                f'  "{r.get("next_state", "")}"',
+                            )
+                        )
+                else:
+                    entries.append((str(k).lower(), tr(v)))
+            sections.append(Section(secname, entries))
     pipeline = doc.get("pipeline") or {}
     for kind, secname in (
         ("inputs", "INPUT"),
@@ -307,6 +324,53 @@ def parser_from_section(s: Section):
     raise ValueError(f"[PARSER] {name}: unsupported Format {fmt!r}")
 
 
+_ML_RULE_PAT = re.compile(r'"([^"]*)"\s+"([^"]*)"(?:\s+"([^"]*)")?')
+
+
+def multiline_rules_from_section(s: Section) -> list:
+    """[MULTILINE_PARSER] rule entries -> MLRule list
+    (flb_ml_rule.c:49-115: quoted triple ``"from_states" "/regex/"
+    "to_state"``; from_states comma-split, surrounding slashes stripped
+    from the regex, empty to_state terminal)."""
+    from .multiline import MLRule
+
+    rules = []
+    for v in s.get_all("rule"):
+        m = _ML_RULE_PAT.match(v.strip())
+        if not m:
+            raise ValueError(f"[MULTILINE_PARSER] bad rule entry: {v!r}")
+        states, rx, to_state = m.group(1), m.group(2), m.group(3)
+        if rx.startswith("/") and rx.endswith("/"):
+            rx = rx[1:-1]
+        rules.append(
+            MLRule(
+                tuple(x.strip() for x in states.split(",") if x.strip()),
+                rx,
+                to_state or None,
+            )
+        )
+    if not rules or not rules[0].start_state:
+        raise ValueError(
+            f"[MULTILINE_PARSER] {s.get('name')!r}: first rule must be a "
+            "start_state rule (flb_ml_rule validation)"
+        )
+    return rules
+
+
+def build_multiline_registry(sections: list) -> dict:
+    """name -> MLRule list for every config-defined [MULTILINE_PARSER]
+    (type regex; the built-in modes resolve separately by name)."""
+    registry = {}
+    for s in sections:
+        if s.name != "MULTILINE_PARSER":
+            continue
+        name = s.get("name")
+        if not name:
+            raise ValueError("[MULTILINE_PARSER] requires Name")
+        registry[name] = multiline_rules_from_section(s)
+    return registry
+
+
 def build_parser_registry(
     sections: list, base_dir: Optional[str] = None
 ) -> dict:
@@ -337,9 +401,13 @@ def build_parser_registry(
 
 
 def _build_input(
-    spark: SparkSession, s: Section, parsers: Optional[dict] = None
+    spark: SparkSession,
+    s: Section,
+    parsers: Optional[dict] = None,
+    multiline_parsers: Optional[dict] = None,
 ) -> DataFrame:
     parsers = parsers if parsers is not None else PARSERS
+    multiline_parsers = multiline_parsers or {}
     name = (s.get("name") or "").lower()
     # default tag = the instance name: alias when set, else plugin name
     # (flb_input_name semantics) — must match parse_yaml's processor
@@ -348,7 +416,38 @@ def _build_input(
     tag = s.get("tag", s.get("alias") or name or "input")
     if name == "tail":
         path = s.get("path")
-        df = spark.read.text(path).withColumnRenamed("value", "line")
+        ml = s.get("multiline.parser")
+        if ml:
+            # in_tail multiline.parser: join lines into logical records
+            # BEFORE any parser. Batch ordering: text splits are read in
+            # file-offset order, so monotonically_increasing_id orders
+            # lines within each file (partition ids follow offsets).
+            from .multiline import BUILTIN_CONT, sessionize_custom_rules, sessionize_mode
+
+            names = [x.strip() for x in ml.split(",") if x.strip()]
+            if len(names) != 1:
+                raise ValueError(
+                    "multiline.parser: one parser per input supported "
+                    f"(got {ml!r}); docker/cri partial joining has its own "
+                    "sessionize_cri/_docker entry points"
+                )
+            mln = names[0]
+            lines = spark.read.text(path).select(
+                F.input_file_name().alias("file"),
+                F.monotonically_increasing_id().alias("line_no"),
+                F.col("value").alias("line"),
+            )
+            if mln in BUILTIN_CONT:
+                df = sessionize_mode(lines, mln)
+            elif mln in multiline_parsers:
+                df = sessionize_custom_rules(lines, multiline_parsers[mln])
+            else:
+                raise ValueError(f"unknown multiline.parser {mln!r}")
+            df = df.withColumnRenamed("message", "line").drop(
+                "file", "first_line_no", "n_lines"
+            )
+        else:
+            df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         parser_name = s.get("parser")
         if parser_name:
@@ -647,13 +746,14 @@ def _run_sections(
     base_dir: Optional[str] = None,
 ) -> PipelineRun:
     parsers = build_parser_registry(sections, base_dir=base_dir)
+    ml_parsers = build_multiline_registry(sections)
     inputs = [s for s in sections if s.name == "INPUT"]
     filters = [s for s in sections if s.name == "FILTER"]
     outputs = [s for s in sections if s.name == "OUTPUT"]
     if not inputs or not outputs:
         raise ValueError("config needs at least one INPUT and one OUTPUT")
 
-    frames = [_build_input(spark, s, parsers) for s in inputs]
+    frames = [_build_input(spark, s, parsers, ml_parsers) for s in inputs]
     df = frames[0]
     for other in frames[1:]:
         df = df.unionByName(other, allowMissingColumns=True)

@@ -543,3 +543,83 @@ def test_config_defined_parser_sections(spark, tmp_path):
     )
     run = run_config(spark, yaml_conf, str(tmp_path / "o2"))
     assert run.counts["out"] == 2
+
+
+def test_config_defined_multiline_parser(spark, tmp_path):
+    """YAML multiline_parsers: (config_format_yaml.c test fixture shape,
+    exception_test rules) drive in_tail's multiline.parser: structured
+    {state, regex, next_state} rules join continuation lines before any
+    parser runs (flb_ml_rule.c state machine)."""
+    from fluent_bit_spark.config import run_config
+
+    log = tmp_path / "ml.log"
+    log.write_text(
+        "Dec 14 06:41:08 start of first\n"
+        "    at com.example.One\n"
+        "    at com.example.Two\n"
+        "Dec 14 06:41:09 second record\n"
+        "Dec 14 06:41:10 third record\n"
+        "    at com.example.Three\n"
+    )
+    conf = (
+        "multiline_parsers:\n"
+        "  - name: exception_test\n"
+        "    type: regex\n"
+        "    flush_timeout: 1000\n"
+        "    rules:\n"
+        "      - state: start_state\n"
+        '        regex: "/(Dec \\\\d+ \\\\d+\\\\:\\\\d+\\\\:\\\\d+)(.*)/"\n'
+        "        next_state: cont\n"
+        "      - state: cont\n"
+        '        regex: "/^\\\\s+at.*/"\n'
+        "        next_state: cont\n"
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {log}\n"
+        "      multiline.parser: exception_test\n"
+        "      tag: app.ml\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: '*'\n"
+        "      format: json\n"
+        "      sink_name: out\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    assert run.counts["out"] == 3
+    msgs = sorted(r["line"] for r in run.frame.select("line").collect())
+    assert msgs == [
+        "Dec 14 06:41:08 start of first\n    at com.example.One\n"
+        "    at com.example.Two",
+        "Dec 14 06:41:09 second record",
+        "Dec 14 06:41:10 third record\n    at com.example.Three",
+    ]
+
+
+def test_builtin_multiline_mode_in_tail(spark, tmp_path):
+    """multiline.parser: java (built-in mode) through the config path."""
+    from fluent_bit_spark.config import run_config
+
+    log = tmp_path / "j.log"
+    log.write_text(
+        "Exception in thread main java.lang.RuntimeException\n"
+        "    at com.example.Main.run(Main.java:5)\n"
+        "Caused by: java.lang.NullPointerException\n"
+        "ok line\n"
+    )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {log}\n"
+        "      multiline.parser: java\n"
+        "      tag: app.j\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    msgs = sorted(r["line"] for r in run.frame.select("line").collect())
+    assert len(msgs) == 2
+    assert msgs[0].count("\n") == 2  # exception + at + Caused by joined
+    assert msgs[1] == "ok line"
