@@ -260,7 +260,13 @@ def parse_yaml(
             for proc in procs.get("logs") or []:
                 pentries = [("match", scope)]
                 for k, v in (proc or {}).items():
-                    pentries.append((str(k).lower(), tr(v)))
+                    if str(k).lower() == "condition" and isinstance(v, dict):
+                        # processor-unit condition block ({op, rules})
+                        # — flb_processor.c:311-452; kept structured as
+                        # JSON so the string-pair Section can carry it
+                        pentries.append(("condition_block", json.dumps(v)))
+                    else:
+                        pentries.append((str(k).lower(), tr(v)))
                 sections.append(Section("FILTER", pentries))
     return sections
 
@@ -510,6 +516,39 @@ def parse_interval(value: str) -> int:
     return int(v)
 
 
+def _condition_gate(df: DataFrame, block: dict) -> F.Column:
+    """Processor-unit condition block {op: and|or, rules: [{field, op,
+    value}]} -> boolean Column (flb_processor.c:311-452 set_property +
+    flb_conditionals evaluation; vectors
+    tests/internal/processor_conditional.c). Each rule evaluates with
+    RouteCondition's faithful missing-field/atof semantics; an empty
+    rule set is TRUE for AND and FALSE for OR
+    (flb_conditionals.c:386-389)."""
+    from .router import RouteCondition
+
+    op = str(block.get("op", "and")).lower()
+    if op not in ("and", "or"):
+        raise ValueError(f"condition: unknown op {block.get('op')!r}")
+    rules = block.get("rules")
+    if rules is None or not isinstance(rules, list):
+        raise ValueError("condition: rules must be a list")
+    cols = []
+    for r in rules:
+        r = r or {}
+        missing = [k for k in ("field", "op", "value") if k not in r]
+        if missing:
+            raise ValueError(f"condition rule missing {missing}: {r!r}")
+        cols.append(
+            RouteCondition(str(r["field"]), str(r["op"]).lower(), r["value"]).to_column(df)
+        )
+    if not cols:
+        return F.lit(op == "and")
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc & c) if op == "and" else (acc | c)
+    return acc
+
+
 def _apply_filter(
     df: DataFrame, s: Section, parsers: Optional[dict] = None
 ) -> DataFrame:
@@ -517,6 +556,9 @@ def _apply_filter(
     name = (s.get("name") or "").lower()
     match = s.get("match", "*")
     gate = _tag_gate(df, match)
+    cond_json = s.get("condition_block")
+    if cond_json:
+        gate = gate & _condition_gate(df, json.loads(cond_json))
 
     if name == "grep":
         rules = [GrepRule("regex", *v.split(None, 1)) for v in s.get_all("regex")]
@@ -560,7 +602,11 @@ def _apply_filter(
         # unioned multi-tag frame: when the rule is gated, null the value
         # per-row (column-schema analogue of dropping the key from matched
         # records only); only an ungated rule may change the schema.
-        ungated = match == "*" and not s.get_all("condition")
+        ungated = (
+            match == "*"
+            and not s.get_all("condition")
+            and not s.get("condition_block")
+        )
         for v in s.get_all("remove"):
             k = v.strip()
             if ungated:
@@ -663,9 +709,8 @@ def _apply_filter(
             pattern=s.get("pattern"),
             converted_type=s.get("converted_type"),
         )
-        return apply_content_modifier(
-            df, [rule], condition=gate if match != "*" else None
-        )
+        gated = match != "*" or s.get("condition_block")
+        return apply_content_modifier(df, [rule], condition=gate if gated else None)
 
     if name == "nest":
         from .filters import lift_columns, nest_columns

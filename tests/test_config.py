@@ -623,3 +623,67 @@ def test_builtin_multiline_mode_in_tail(spark, tmp_path):
     assert len(msgs) == 2
     assert msgs[0].count("\n") == 2  # exception + at + Caused by joined
     assert msgs[1] == "ok line"
+
+
+def test_processor_condition_block(spark, tmp_path):
+    """processor-unit condition: blocks (processor_conditional.c:307
+    basic_condition + :730 comparison operators): the unit's action only
+    touches rows satisfying {op, rules}; others pass through untouched."""
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      tag: app.log\n"
+        "      samples: 1\n"
+        '      dummy: \'{"level": "error", "latency": "450"}\'\n'
+        "      processors:\n"
+        "        logs:\n"
+        "          - name: content_modifier\n"
+        "            action: insert\n"
+        "            key: alert\n"
+        "            value: 'true'\n"
+        "            condition:\n"
+        "              op: and\n"
+        "              rules:\n"
+        "                - field: '$level'\n"
+        "                  op: eq\n"
+        "                  value: error\n"
+        "                - field: '$latency'\n"
+        "                  op: gt\n"
+        "                  value: 400\n"
+        "    - name: dummy\n"
+        "      tag: app.log\n"
+        "      samples: 1\n"
+        '      dummy: \'{"level": "info", "latency": "450"}\'\n'
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    rows = {r["level"]: r["alert"] for r in run.frame.collect()}
+    assert rows == {"error": "true", "info": None}
+
+
+def test_processor_condition_block_validation(spark):
+    """processor_conditional.c:1392-1646 invalid-rule vectors: missing
+    field/operator/value and a non-list rules entry are rejected."""
+    import pytest as _p
+
+    from fluent_bit_spark.config import _condition_gate
+
+    df = spark.createDataFrame([("x",)], "level string")
+    for bad in [
+        {"op": "and", "rules": [{"op": "eq", "value": "x"}]},      # no field
+        {"op": "and", "rules": [{"field": "$level", "value": "x"}]},  # no op
+        {"op": "and", "rules": [{"field": "$level", "op": "eq"}]},    # no value
+        {"op": "and", "rules": "nope"},                                # bad rules
+        {"op": "xor", "rules": []},                                    # bad op
+    ]:
+        with _p.raises(ValueError):
+            _condition_gate(df, bad)
+    # empty rule set: AND -> true, OR -> false (flb_conditionals.c:386-389)
+    t = df.select(_condition_gate(df, {"op": "and", "rules": []}).alias("v")).first()["v"]
+    f = df.select(_condition_gate(df, {"op": "or", "rules": []}).alias("v")).first()["v"]
+    assert t is True and f is False
