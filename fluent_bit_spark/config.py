@@ -421,7 +421,34 @@ def _build_input(
     # silently never fire
     tag = s.get("tag", s.get("alias") or name or "input")
     if name == "tail":
+        # Path accepts comma-separated globs; Exclude_Path removes
+        # matches by shell pattern (tail.c config map: path,
+        # exclude_path, key default "log", path_key, skip_empty_lines)
+        import fnmatch
+        import glob as _glob
+
         path = s.get("path")
+        patterns = [p.strip() for p in (path or "").split(",") if p.strip()]
+        files: list[str] = []
+        for pat in patterns:
+            files.extend(sorted(_glob.glob(pat)))
+        excludes = [
+            e.strip()
+            for e in (s.get("exclude_path") or "").split(",")
+            if e.strip()
+        ]
+        if excludes:
+            files = [
+                f
+                for f in files
+                if not any(
+                    fnmatch.fnmatch(f, e) or fnmatch.fnmatch(os.path.basename(f), e)
+                    for e in excludes
+                )
+            ]
+        if not files:
+            raise ValueError(f"in_tail: Path matched no files: {path!r}")
+        key = s.get("key", "log")
         ml = s.get("multiline.parser")
         if ml:
             # in_tail multiline.parser: join lines into logical records
@@ -438,27 +465,38 @@ def _build_input(
                     "sessionize_cri/_docker entry points"
                 )
             mln = names[0]
-            lines = spark.read.text(path).select(
+            lines = spark.read.text(files).select(
                 F.input_file_name().alias("file"),
                 F.monotonically_increasing_id().alias("line_no"),
-                F.col("value").alias("line"),
+                F.col("value").alias(key),
             )
+            if _bool(s.get("skip_empty_lines", "false")):
+                lines = lines.filter(F.length(key) > 0)
             if mln in BUILTIN_CONT:
-                df = sessionize_mode(lines, mln)
+                df = sessionize_mode(lines, mln, line_col=key, out_col="__ml")
             elif mln in multiline_parsers:
-                df = sessionize_custom_rules(lines, multiline_parsers[mln])
+                df = sessionize_custom_rules(
+                    lines, multiline_parsers[mln], line_col=key, out_col="__ml"
+                )
             else:
                 raise ValueError(f"unknown multiline.parser {mln!r}")
-            df = df.withColumnRenamed("message", "line").drop(
-                "file", "first_line_no", "n_lines"
-            )
+            df = df.withColumnRenamed("__ml", key).drop("first_line_no", "n_lines")
         else:
-            df = spark.read.text(path).withColumnRenamed("value", "line")
-        df = df.withColumn("tag", F.lit(tag))
+            df = spark.read.text(files).select(
+                F.input_file_name().alias("file"), F.col("value").alias(key)
+            )
+            if _bool(s.get("skip_empty_lines", "false")):
+                df = df.filter(F.length(key) > 0)
+        path_key = s.get("path_key")
+        if path_key:
+            # input_file_name is a file:// URI locally; records carry
+            # the plain path like the reference
+            df = df.withColumn(path_key, F.regexp_replace("file", "^file://", ""))
+        df = df.drop("file").withColumn("tag", F.lit(tag))
         parser_name = s.get("parser")
         if parser_name:
             parser = parsers[parser_name]
-            df = parser.apply(df, "line", ts_col="ts")
+            df = parser.apply(df, key, ts_col="ts")
         return df
     if name == "dummy":
         n = int(s.get("samples", "1"))

@@ -587,7 +587,7 @@ def test_config_defined_multiline_parser(spark, tmp_path):
     )
     run = run_config(spark, conf, str(tmp_path / "o"))
     assert run.counts["out"] == 3
-    msgs = sorted(r["line"] for r in run.frame.select("line").collect())
+    msgs = sorted(r["log"] for r in run.frame.select("log").collect())
     assert msgs == [
         "Dec 14 06:41:08 start of first\n    at com.example.One\n"
         "    at com.example.Two",
@@ -619,7 +619,7 @@ def test_builtin_multiline_mode_in_tail(spark, tmp_path):
         "      match: '*'\n"
     )
     run = run_config(spark, conf, str(tmp_path / "o"))
-    msgs = sorted(r["line"] for r in run.frame.select("line").collect())
+    msgs = sorted(r["log"] for r in run.frame.select("log").collect())
     assert len(msgs) == 2
     assert msgs[0].count("\n") == 2  # exception + at + Caused by joined
     assert msgs[1] == "ok line"
@@ -687,3 +687,42 @@ def test_processor_condition_block_validation(spark):
     t = df.select(_condition_gate(df, {"op": "and", "rules": []}).alias("v")).first()["v"]
     f = df.select(_condition_gate(df, {"op": "or", "rules": []}).alias("v")).first()["v"]
     assert t is True and f is False
+
+
+def test_tail_key_pathkey_exclude_skip(spark, tmp_path):
+    """in_tail config map options (tail.c:587-723): Key renames the
+    record key (default 'log'), Path_Key adds the source path,
+    Exclude_Path removes shell-pattern matches, Skip_Empty_Lines drops
+    blank lines."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "a.log").write_text("one\n\ntwo\n")
+    (tmp_path / "b.gz.log").write_text("nope\n")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/*.log\n"
+        "      exclude_path: '*.gz.*'\n"
+        "      key: msg\n"
+        "      path_key: src\n"
+        "      skip_empty_lines: true\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    rows = sorted((r["msg"], r["src"]) for r in run.frame.collect())
+    assert rows == [
+        ("one", str(tmp_path / "a.log")),
+        ("two", str(tmp_path / "a.log")),
+    ]
+    import pytest as _p
+
+    with _p.raises(ValueError, match="matched no files"):
+        run_config(
+            spark,
+            conf.replace("*.log", "*.missing"),
+            str(tmp_path / "o2"),
+        )
