@@ -112,16 +112,20 @@ def typed(v: Column) -> dict[str, Column]:
     }
 
 
-def as_double(v: Column, convert_str: bool = True) -> Column:
+def as_double(v: Column, convert_str: bool = True, cap19: bool = True) -> Column:
     """Numeric view (object_to_number, flb_sp.c:355-400): int/float pass
-    through; strings convert iff enabled; everything else NULL."""
+    through; strings convert iff enabled; everything else NULL.
+
+    cap19 mirrors object_to_number's 19-char guard (flb_sp.c:380-383) —
+    on for aggregate/GROUP BY entry points, off for WHERE comparisons
+    (exp_string_to_number calls string_to_number directly)."""
     t = v.getField("t")
     out = (
         F.when(t == "int", v.getField("i").cast("double"))
         .when(t == "float", v.getField("f"))
     )
     if convert_str:
-        out = out.when(t == "string", str_to_num(v.getField("s")))
+        out = out.when(t == "string", str_to_num(v.getField("s"), cap19=cap19))
     return out
 
 
@@ -174,12 +178,12 @@ def compare_lit(v: Column, lit_val, op: str) -> Column:
         if isinstance(lit_val, int):
             li = F.lit(lit_val).cast("long")
             int_cmp = _cmp(v.getField("i"), li, op)
-            num = as_double(v)
+            num = as_double(v, cap19=False)
             dbl_cmp = _cmp(num, F.lit(float(lit_val)), op)
             return F.coalesce(
                 F.when(t == "int", int_cmp).otherwise(dbl_cmp), FALSE
             )
-        num = as_double(v)
+        num = as_double(v, cap19=False)
         return F.coalesce(_cmp(num, F.lit(float(lit_val)), op), FALSE)
 
     if isinstance(lit_val, str):
@@ -198,8 +202,8 @@ def compare_keys(left: Column, right: Column, op: str) -> Column:
     FALSE = F.lit(False)
     both_str = (lt == "string") & (rt == "string")
     str_cmp = _cmp(left.getField("s"), right.getField("s"), op)
-    ln = as_double(left)
-    rn = as_double(right)
+    ln = as_double(left, cap19=False)
+    rn = as_double(right, cap19=False)
     # string converts only when the other side is numeric (flb_sp.c:839-842)
     num_ok = (
         ((lt.isin("int", "float")) & (rt.isin("int", "float", "string")))

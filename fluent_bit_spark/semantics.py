@@ -102,23 +102,45 @@ class FBVal:
         raise TypeError(f"unsupported literal: {value!r}")
 
 
-def _is_intlike_string(c: Column) -> Column:
-    # string_to_number (flb_sp.c:298-350): one '.' -> float path, 0 -> int,
-    # >1 dots -> unconvertible; strtoll/strtold accept leading sign/space.
-    # Strings longer than 19 chars never convert (flb_sp.c:380-383).
-    return c.rlike(r"^\s*[+-]?[0-9]+\s*$") & (F.length(c) <= 19)
+# strtold leading parse: optional C whitespace + sign, then digits with an
+# optional dot (and optional exponent); stops at the first unparsable char.
+_FLOAT_LEAD = r"^[ \t\n\r\f\v]*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+# strtoll base-10 leading parse.
+_INT_LEAD = r"^[ \t\n\r\f\v]*([+-]?[0-9]+)"
 
 
-def _is_floatlike_string(c: Column) -> Column:
-    return (
-        c.rlike(r"^\s*[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?\s*$")
-        & (F.length(c) <= 19)
+def str_to_num(c: Column, cap19: bool = False) -> Column:
+    """String -> double via the SP's string_to_number (flb_sp.c:298-351);
+    NULL when unconvertible.
+
+    Faithful C semantics: the '.' count over the WHOLE string picks the
+    branch (>1 dots -> unconvertible, ==1 -> strtold, ==0 -> strtoll);
+    both parsers are leading ("123abc" -> 123, "12x.5" -> 12.0 on the
+    one-dot branch), end==str fails, and ERANGE fails (int64 overflow on
+    the integer branch, +-inf on the float branch). Note "1e5" has no dot
+    so it takes the strtoll branch -> 1, not 100000.
+
+    cap19=True adds object_to_number's guard (flb_sp.c:380-383): strings
+    longer than 19 chars never convert. The guard applies where
+    object_to_number is the entry (aggregates, GROUP BY keys) but NOT in
+    WHERE comparisons (exp_string_to_number, flb_sp.c:799-826, calls
+    string_to_number directly).
+    """
+    dots = F.length(c) - F.length(F.regexp_replace(c, r"\.", ""))
+    f_lead = F.regexp_extract(c, _FLOAT_LEAD, 1)
+    i_lead = F.regexp_extract(c, _INT_LEAD, 1)
+    fval = f_lead.try_cast("double")
+    fval = F.when(F.abs(fval) != float("inf"), fval)  # strtold ERANGE
+    # strtoll ERANGE: out-of-int64-range leading digits fail (errno check)
+    ival = i_lead.try_cast("long").cast("double")
+    out = (
+        F.when(dots > 1, F.lit(None).cast("double"))
+        .when(dots == 1, F.when(f_lead != "", fval))
+        .otherwise(F.when(i_lead != "", ival))
     )
-
-
-def str_to_num(c: Column) -> Column:
-    """String -> double following string_to_number; NULL when unconvertible."""
-    return F.when(_is_intlike_string(c) | _is_floatlike_string(c), c.cast("double"))
+    if cap19:
+        out = F.when(F.length(c) <= 19, out)
+    return out
 
 
 def _coerced(left: FBVal, right: FBVal) -> tuple[Column, Column, str]:

@@ -50,6 +50,7 @@ from ..semantics import (
     fb_is_null,
     fb_truthy,
     fb_type_of,
+    str_to_num,
 )
 from .parser import (
     AGG_FUNCS,
@@ -134,14 +135,36 @@ class DynamicBinding:
         return fbrecord.as_double(v)
 
     def group_expr(self, v: Column) -> Column:
-        # int/float coerce for grouping (flb_sp_groupby.c int->float compare)
+        # GROUP BY key typing (sp_process_aggregate_data, flb_sp.c:1328-1367
+        # with str_conv on by default, flb_config.c:388): numeric strings
+        # coerce via string_to_number (19-char cap), booleans become int64
+        # 0/1, and int/float group together (flb_sp_groupby.c:36-44 promotes
+        # to double on compare — "10", 10 and 10.0 land in one group).
+        # Non-coercible strings group by strcmp.
         t = v.getField("t")
-        norm_t = F.when(t.isin("int", "float"), F.lit("num")).otherwise(t)
+        n = F.when(t == "bool", v.getField("b").cast("int").cast("double")).otherwise(
+            fbrecord.as_double(v)
+        )
+        is_num = n.isNotNull()
         return F.struct(
-            norm_t.alias("t"),
-            fbrecord.as_double(v, convert_str=False).alias("n"),
-            v.getField("s").alias("s"),
-            v.getField("b").alias("b"),
+            F.when(is_num, F.lit("num")).otherwise(t).alias("t"),
+            n.alias("n"),
+            F.when(is_num, F.lit(None).cast("string"))
+            .otherwise(v.getField("s"))
+            .alias("s"),
+        )
+
+    def group_is_int(self, v: Column) -> Column:
+        # int-ness for emit: the stored node keeps int64 unless a float
+        # member promotes it (flb_sp_groupby.c:36-44) -> output is int iff
+        # every group member is int-like (int, bool, or integer string).
+        t = v.getField("t")
+        s = v.getField("s")
+        return (
+            (t == "int")
+            | (t == "bool")
+            | ((t == "string") & str_to_num(s, cap19=True).isNotNull()
+               & ~s.contains("."))
         )
 
     def present(self, key: KeyRef) -> Column:
@@ -507,11 +530,19 @@ def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
 
     group_cols = []
     emit_group_cols = []
+    int_flag_aggs = []
     for g in q.groupby:
         v = b.value(g)
         ge = b.group_expr(v)
         group_cols.append(ge.alias(f"__g_{g.name}"))
         emit_group_cols.append(g)
+        if mode == "dynamic":
+            # emit typing: the stored key stays int64 unless any float
+            # member promoted it (flb_sp_groupby.c:36-44); tracked as an
+            # all-members-int flag outside the grouping identity
+            int_flag_aggs.append(
+                F.min(b.group_is_int(v)).alias(f"__gi_{g.name}")
+            )
 
     if q.window is not None:
         size = f"{q.window.size_sec} seconds"
@@ -558,7 +589,7 @@ def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
             aggs.append(forecast.alias(name))
 
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
-    out = grouped.agg(*aggs)
+    out = grouped.agg(*aggs, *int_flag_aggs)
 
     # re-emit group keys under their selected names/aliases
     sel = []
@@ -574,12 +605,20 @@ def _execute_aggregate(q, df, b, mode, ts_col, now_ts) -> DataFrame:
             g = k.key
             gc = F.col(f"__g_{g.name}")
             if mode == "dynamic":
-                # normalized struct -> rendered value
-                gc = F.coalesce(
-                    gc.getField("n").cast("string"),
-                    gc.getField("s"),
-                    gc.getField("b").cast("string"),
-                )
+                # package_results (flb_sp.c:1236-1254) emits the COERCED
+                # group value: int64 when every member was int-like (bools
+                # and integer strings included), float if any member
+                # promoted the node, the raw string otherwise. Rendered
+                # into the flat string column the way the reference's JSON
+                # serializer would print it.
+                n = gc.getField("n")
+                is_int = F.col(f"__gi_{g.name}")
+                gc = F.when(
+                    gc.getField("t") == "num",
+                    F.when(is_int, n.cast("long").cast("string")).otherwise(
+                        n.cast("string")
+                    ),
+                ).otherwise(gc.getField("s"))
             sel.append(gc.alias(k.out_name))
     return out.select(*sel)
 

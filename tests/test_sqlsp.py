@@ -117,7 +117,9 @@ def test_aggr_count(engine):
     assert len(rows) == 1 and rows[0]["COUNT(*)"] == 11
 
 
-# check #11: groupby bool where word3 IS NOT NULL: 2 groups
+# sp_window.h check #2 / cb_select_groupby: 2 groups, bool emitted as
+# int64 1/0 (sp_process_aggregate_data converts BOOLEAN group keys to
+# FLB_SP_NUM_I64, flb_sp.c:1349-1352; packaged via msgpack_pack_int64)
 # true: ids 0,1,2,3,4,5,7,8 ; false: ids 6,9 (id=10 has word3=nil -> dropped)
 def test_groupby_bool(engine):
     rows = _rows(
@@ -127,10 +129,11 @@ def test_groupby_bool(engine):
     )
     assert len(rows) == 2
     by = {r["bool"]: r for r in rows}
-    t, f = by["true"], by["false"]
+    t, f = by["1"], by["0"]
     assert t["MIN(id)"] == 0 and t["MAX(id)"] == 8 and t["COUNT(*)"] == 8
     assert f["MIN(id)"] == 6 and f["MAX(id)"] == 9 and f["COUNT(*)"] == 2
-    assert abs(f["SUM(bytes)"] - 20.50) < 1e-9
+    assert abs(t["SUM(bytes)"] - 80.0) < 1e-9 and abs(t["AVG(bytes)"] - 10.0) < 1e-9
+    assert abs(f["SUM(bytes)"] - 20.50) < 1e-9 and abs(f["AVG(bytes)"] - 10.25) < 1e-9
 
 
 # checks #12/#13: NOW()/UNIX_TIMESTAMP() emit under alias; 2 matching rows
@@ -199,6 +202,88 @@ def test_groupby_missing_key_dropped(engine):
     rows = _rows(engine, "SELECT word2, COUNT(*) AS c FROM STREAM:FLB GROUP BY word2;")
     # only ids 0,1 carry word2
     assert {r["word2"]: r["c"] for r in rows} == {"logging": 1, "rlz": 1}
+
+
+# sp_window.h check #0 / cb_window_5_second (stream_processor.c:451-546):
+# the reference ingests the 11-record sample buffer once per second for 5
+# seconds and fires the tumbling window once, aggregating the accumulated
+# 5x ingest. Batch equivalent: 5 unioned copies, timestamps inside one
+# event-time pane. WHERE word3 IS NOT NULL keeps ids 0..9 (missing key
+# passes IS NOT NULL; only id=10's explicit nil is NULL).
+def test_window_5_seconds_accumulated(spark):
+    recs = [dict(r) for _ in range(5) for r in SAMPLES]
+    ts = [BASE + dt.timedelta(seconds=0.08 * i) for i in range(len(recs))]
+    df = records_to_df(spark, recs, tag="samples", timestamps=ts)
+    eng = SPEngine(streams={"FLB": df}, mode="dynamic")
+    rows = eng.run(
+        "SELECT SUM(id) AS s, AVG(id) AS a FROM STREAM:FLB "
+        "WINDOW TUMBLING (5 SECOND) WHERE word3 IS NOT NULL;"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["s"] == 225.0 and abs(rows[0]["a"] - 4.5) < 1e-9
+
+
+# test_conv_from_str_to_num port (stream_processor.c:793-921): a GROUP BY
+# key holding the string "123456" must come out as the NUMBER 123456
+# (str_conv defaults on, flb_config.c:388; conversion in
+# sp_process_aggregate_data via object_to_number). Observable here two
+# ways: string and number forms of the same value land in ONE group, and
+# the emitted value is the number's rendering (bool group keys become
+# int64 0/1 the same way).
+def test_conv_from_str_to_num(spark):
+    recs = [
+        {"word": "hoge", "num": "123456"},
+        {"word": "hoge", "num": 123456},
+        {"word": "hoge", "num": "10.30"},
+        {"word": "hoge", "num": 10.3},
+        {"word": "hoge", "num": "not-a-number"},
+    ]
+    df = records_to_df(spark, recs, tag="tail.0")
+    eng = SPEngine(streams={"tail.0": df}, mode="dynamic")
+    rows = eng.run(
+        "SELECT word, num, COUNT(*) FROM STREAM:tail.0 GROUP BY word, num;"
+    ).collect()
+    got = {r["num"]: r["COUNT(*)"] for r in rows}
+    assert got == {"123456": 2, "10.3": 2, "not-a-number": 1}
+
+
+# string_to_number C-model vectors (flb_sp.c:298-351): leading parse,
+# whole-string dot count picks the branch, int64 ERANGE fails, no-dot
+# strings never take the float path ("1e5" -> strtoll -> 1).
+def test_string_to_number_c_model(spark):
+    from fluent_bit_spark.semantics import str_to_num
+
+    vectors = [
+        ("123abc", 123.0),       # strtoll leading parse
+        ("1e5", 1.0),            # no dot -> integer branch
+        ("12.5xy", 12.5),        # strtold leading parse
+        ("12x.5", 12.0),         # one dot ANYWHERE -> strtold, stops at x
+        ("1.2.3", None),         # >1 dots -> unconvertible
+        (".", None),             # end == str
+        ("abc", None),
+        (" +42 ", 42.0),         # strtoll skips leading whitespace/sign
+        ("9223372036854775807", 9.223372036854776e18),  # INT64_MAX ok
+        ("9223372036854775808", None),  # ERANGE
+        ("1.0e999", None),       # strtold ERANGE (inf)
+        ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in vectors], "s string")
+    got = {r["s"]: r["n"] for r in df.select("s", str_to_num(F.col("s")).alias("n")).collect()}
+    for s, want in vectors:
+        if want is None:
+            assert got[s] is None, (s, got[s])
+        else:
+            assert got[s] == want, (s, got[s])
+    # object_to_number's 19-char guard (flb_sp.c:380-383) applies on the
+    # aggregate/GROUP BY entry, not in comparisons. A 20-char FLOAT string
+    # is fine through strtold (no ERANGE) but blocked by the guard; a
+    # 20-digit INT string fails either way (strtoll ERANGE).
+    df2 = spark.createDataFrame([("1234567890.123456789",)], "s string")
+    r = df2.select(
+        str_to_num(F.col("s")).alias("uncapped"),
+        str_to_num(F.col("s"), cap19=True).alias("capped"),
+    ).first()
+    assert r["uncapped"] == 1234567890.123456789 and r["capped"] is None
 
 
 def test_timeseries_forecast(engine):
