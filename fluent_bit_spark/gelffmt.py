@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .jsonesc import fb_json_escape
+
 # flb_pack_gelf.c:552-586 allowed_levels — index IS the syslog level
 _LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
 
@@ -51,20 +53,11 @@ def _sanitize(key: str) -> str:
 
 
 def _escape(c: Column) -> Column:
-    """JSON string-content escaping (flb_sds_cat_utf8's escape set for
-    the characters that occur in log data: backslash, quote, and the
-    C0 controls with short forms)."""
-    for find, repl in (
-        ("\\", "\\\\"),
-        ('"', '\\"'),
-        ("\n", "\\n"),
-        ("\r", "\\r"),
-        ("\t", "\\t"),
-        ("\b", "\\b"),
-        ("\f", "\\f"),
-    ):
-        c = F.replace(c, F.lit(find), F.lit(repl))
-    return c
+    """JSON string-content escaping: flb_pack_gelf renders every string
+    through flb_sds_cat_utf8 (flb_pack_gelf.c:125), which delegates to
+    the engine-wide flb_utils_write_str writer — short forms, lowercase
+    \\u00xx controls, and \\uxxxx for ALL non-ASCII (jsonesc module)."""
+    return fb_json_escape(c)
 
 
 def _bare(col: Column, dtype: T.DataType) -> Column:

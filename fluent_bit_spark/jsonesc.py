@@ -1,0 +1,148 @@
+"""flb_utils_write_str-faithful JSON string escaping.
+
+The reference's single JSON string writer (flb_utils.c:854-1245
+flb_utils_write_str_escaped; reached from every JSON-rendering sink via
+flb_sds_cat_utf8, flb_sds.c:283-334) escapes:
+
+* the json_escape_table set (flb_utils.c:854-870): ``" \\`` and the
+  short forms ``\\n \\r \\t \\b \\f``; the remaining C0 controls and
+  0x7F as lowercase ``\\u00xx``;
+* EVERY non-ASCII character as lowercase ``\\uxxxx`` (flb_utils.c:1022,
+  ``snprintf("\\\\u%.4x")``), emitting a UTF-16 surrogate pair for
+  codepoints beyond the BMP (flb_utils.c:1085-1093);
+* '/' is NOT escaped (absent from the table).
+
+Spark's ``to_json`` (Jackson) differs observably: non-ASCII stays raw
+UTF-8, 0x7F stays raw, and control escapes use uppercase hex
+(``\\u001B``). The json/gelf sinks therefore render string values
+through :func:`fb_json_escape` instead of Jackson.
+
+Invalid UTF-8 never reaches this stage: Spark string columns are valid
+UTF-16 by construction — binary decode goes through
+``make_valid_utf8``'s lossy U+FFFD replacement, which matches the
+writer's own replacement for invalid sequences (flb_utils.c:985-996);
+U+FFFD itself then renders as ``\\ufffd`` here.
+
+Test vectors: tests/internal/utils.c test_write_str /
+test_write_str_special_bytes / test_utils_write_str_buffer_overrun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# printable ASCII that passes through verbatim: 0x20-0x7E minus '"' (0x22)
+# and '\' (0x5C). Strings made only of these need no escaping at all.
+# \A/\z anchors: Java's $ matches BEFORE a trailing newline, which would
+# wrongly fast-path strings ending in \n.
+_PLAIN_RE = r"\A[ !#-\[\]-~]*\z"
+
+# json_escape_table short forms (flb_utils.c:855-861)
+_SHORT = (
+    ('"', '\\"'),
+    ("\\", "\\\\"),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+    ("\b", "\\b"),
+    ("\f", "\\f"),
+)
+
+
+def _hex4(cp: Column) -> Column:
+    """Lowercase 4-digit hex, the writer's ``%.4x``."""
+    return F.lpad(F.lower(F.hex(cp)), 4, "0")
+
+
+def _escape_char(ch: Column) -> Column:
+    cp = F.ascii(ch)
+    out = None
+    for find, repl in _SHORT:
+        cond = ch == find
+        out = F.when(cond, F.lit(repl)) if out is None else out.when(cond, F.lit(repl))
+    u = F.concat(F.lit("\\u"), _hex4(cp))
+    # surrogate pair for astral codepoints (flb_utils.c:1085-1093)
+    high = F.lit(0xD800) + F.shiftright(cp - F.lit(0x10000), 10)
+    low = F.lit(0xDC00) + (cp - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF))
+    pair = F.concat(F.lit("\\u"), _hex4(high), F.lit("\\u"), _hex4(low))
+    return (
+        out.when((cp <= 0x1F) | (cp == 0x7F), u)  # C0 controls + DEL
+        .when(cp <= 0x7E, ch)  # plain ASCII
+        .when(cp <= 0xFFFF, u)  # BMP
+        .otherwise(pair)
+    )
+
+
+def fb_json_escape(c: Column) -> Column:
+    """Escape one string column's content for a JSON string literal,
+    byte-identical to flb_utils_write_str(escape=true).
+
+    Plain printable-ASCII strings short-circuit untouched (the writer's
+    own SIMD bulk-copy fast path, flb_utils.c:908-925); only rows that
+    actually need escaping pay the per-character walk.
+    """
+    walked = F.array_join(
+        F.transform(F.split(c, ""), _escape_char), ""
+    )
+    return F.when(c.rlike(_PLAIN_RE), c).otherwise(walked)
+
+
+def _jackson_fragment(col: Column) -> Column:
+    """Render one value exactly as Spark's to_json would, as a JSON
+    fragment: wrap in a one-field struct, strip the '{"v":' envelope.
+    Used for non-string types (numbers, bools, timestamps, nested
+    containers) where Jackson's rendering is already the sink format."""
+    j = F.to_json(F.struct(col.alias("v")), {"ignoreNullFields": "false"})
+    # j == '{"v":' + fragment + '}': keep chars 6..len-1
+    return F.substring(j, F.lit(6), F.length(j) - 6)
+
+
+def fb_json_body(df, cols) -> Column:
+    """``{"k":v,...}`` over the given top-level columns with string
+    values escaped per flb_utils_write_str (keys are python-side
+    constants, escaped the same way statically). Non-string scalar and
+    nested values keep Jackson's rendering — numbers/bools are
+    identical either way; strings nested inside struct/map/array
+    columns keep Jackson escaping (documented divergence: the reference
+    re-escapes at every depth, a flat log record rarely nests)."""
+    from pyspark.sql import types as T
+
+    parts: list[Column] = [F.lit("{")]
+    for i, name in enumerate(cols):
+        key = _py_escape(name)
+        prefix = ("," if i else "") + '"' + key + '":'
+        parts.append(F.lit(prefix))
+        col = F.col(f"`{name}`")
+        dtype = df.schema[name].dataType
+        if isinstance(dtype, T.StringType):
+            parts.append(
+                F.when(col.isNull(), F.lit("null")).otherwise(
+                    F.concat(F.lit('"'), fb_json_escape(col), F.lit('"'))
+                )
+            )
+        else:
+            parts.append(_jackson_fragment(col))
+    parts.append(F.lit("}"))
+    return F.concat(*parts)
+
+
+def _py_escape(s: str) -> str:
+    """Python-side mirror of fb_json_escape for static keys."""
+    out = []
+    short = dict(_SHORT)
+    for ch in s:
+        cp = ord(ch)
+        if ch in short:
+            out.append(short[ch])
+        elif cp <= 0x1F or cp == 0x7F:
+            out.append("\\u%04x" % cp)
+        elif cp <= 0x7E:
+            out.append(ch)
+        elif cp <= 0xFFFF:
+            out.append("\\u%04x" % cp)
+        else:
+            hi = 0xD800 + ((cp - 0x10000) >> 10)
+            lo = 0xDC00 + ((cp - 0x10000) & 0x3FF)
+            out.append("\\u%04x\\u%04x" % (hi, lo))
+    return "".join(out)

@@ -33,6 +33,7 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .jsonesc import fb_json_body
 from .parsers import atof_double
 from .semantics import FBVal, fb_compare, fb_and, fb_or, fb_type_of
 
@@ -432,21 +433,32 @@ def write_sinks(
                 write_msgpack(part, ts_col, cols, dest)
                 counts[s.name] = obs.get["n"]
                 continue
-            if s.fmt == "json" and s.json_date_format:
+            if s.fmt == "json":
+                # out_file json lines (flb_pack_msgpack_to_json_format):
+                # fb_json_body keeps nulls and escapes strings exactly like
+                # flb_utils_write_str; with json_date_format set the date
+                # key frames the record (json_line), else the bare record
                 ts_col = s.ts_col or next(
                     (c for c in part.columns if c in ("ts", "warc_ts", "time")),
                     None,
                 )
-                part = part.select(json_line(part, s, ts_col).alias("value"))
-                part.write.mode("overwrite").text(dest)
+                if s.json_date_format:
+                    line = json_line(part, s, ts_col)
+                else:
+                    line = fb_json_body(part, part.columns)
+                part = part.select(line.alias("value"))
+                writer = part.write.mode("overwrite")
+                if s.max_records_per_file:
+                    writer = writer.option(
+                        "maxRecordsPerFile", s.max_records_per_file
+                    )
+                writer.text(dest)
                 counts[s.name] = obs.get["n"]
                 continue
             writer = part.write.mode("overwrite")
             if s.max_records_per_file:
                 writer = writer.option("maxRecordsPerFile", s.max_records_per_file)
-            if s.fmt == "json":
-                writer.json(dest)
-            elif s.fmt == "csv":
+            if s.fmt == "csv":
                 writer.option("header", True).option(
                     "sep", _check_delimiter(s.delimiter) or ","
                 ).csv(dest)
@@ -522,7 +534,7 @@ def kafka_frame(
     if spec.fmt in ("ltsv", "plain", "template"):
         value = _text_line(df, spec)
     else:  # json, the reference default (kafka.c FLB_KAFKA_FMT_JSON)
-        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        value = fb_json_body(df, df.columns)
     return df.select(
         topic.alias("topic"), key.alias("key"), value.alias("value")
     )
@@ -621,9 +633,7 @@ def out_file_line(df: DataFrame, ts_col: Optional[str], tag_col: str) -> Column:
     body_cols = [c for c in df.columns if c not in (ts_col, tag_col)]
     if not body_cols:
         raise ValueError("out_file line needs at least one record column")
-    body = F.to_json(
-        F.struct(*[F.col(c) for c in body_cols]), {"ignoreNullFields": "false"}
-    )
+    body = fb_json_body(df, body_cols)
     if ts_col is not None:
         ts = F.col(ts_col).cast("timestamp")
         sec = F.coalesce(F.unix_timestamp(ts), F.lit(0)).cast("string")
@@ -672,16 +682,14 @@ def json_date_col(ts: Column, date_format: str) -> Column:
 def json_line(df: DataFrame, s: SinkSpec, ts_col: Optional[str]) -> Column:
     """One flb json-lines record: {"<date_key>":<ts>, ...record}
     (flb_pack_msgpack_to_json_format FLB_PACK_JSON_FORMAT_LINES — the
-    out_file json path, file.c). The record body renders via to_json
-    (nulls kept, like the msgpack->json conversion); the date key is
-    injected first, as the reference does."""
+    out_file json path, file.c). The record body renders via
+    fb_json_body (nulls kept and strings escaped exactly like the
+    msgpack->json conversion, jsonesc module); the date key is injected
+    first, as the reference does."""
     body_cols = [c for c in df.columns if c != ts_col]
     if not body_cols:
         raise ValueError("json_date_format sink needs at least one record column")
-    body = F.to_json(
-        F.struct(*[F.col(c) for c in body_cols]),
-        {"ignoreNullFields": "false"},
-    )
+    body = fb_json_body(df, body_cols)
     if ts_col is None:
         return body
     date = json_date_col(F.col(ts_col), s.json_date_format)

@@ -1,0 +1,82 @@
+"""flb_utils_write_str escaping vectors.
+
+Ported from /root/reference/tests/internal/utils.c (test_write_str,
+test_write_str_special_bytes) against the Catalyst escaper in
+fluent_bit_spark/jsonesc.py. The invalid-UTF-8 fragment vectors
+(test_write_str_invalid_*) don't apply: Spark string columns are valid
+by construction — binary decode goes through make_valid_utf8's U+FFFD
+replacement, the writer's own behavior for invalid sequences
+(flb_utils.c:985-996)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.jsonesc import fb_json_body, fb_json_escape, _py_escape
+
+VECTORS = [
+    # utils.c:314-317
+    ("a", "a"),
+    # utils.c:319-322
+    ("\n", "\\n"),
+    # utils.c:324-327: escaped Unicode representation of あ
+    ("あ", "\\u3042"),
+    # utils.c test_write_str_special_bytes: 你好世界
+    ("你好世界", "\\u4f60\\u597d\\u4e16\\u754c"),
+    # json_escape_table short forms + '/' NOT escaped (flb_utils.c:855-861)
+    ('q"w\\e/r', 'q\\"w\\\\e/r'),
+    ("\t\b\f\r", "\\t\\b\\f\\r"),
+    # C0 controls and DEL as lowercase \u00xx (flb_utils.c:862-870)
+    ("\x01\x1b\x7f", "\\u0001\\u001b\\u007f"),
+    # astral codepoint -> UTF-16 surrogate pair (flb_utils.c:1085-1093)
+    ("\U0001f600", "\\ud83d\\ude00"),
+    # U+FFFD (what make_valid_utf8 leaves behind for invalid bytes)
+    ("�", "\\ufffd"),
+    # plain fast path
+    ("plain ascii 123 {}", "plain ascii 123 {}"),
+    ("", ""),
+    # trailing newline must NOT take the fast path (Java $-before-\n trap)
+    ("abc\n", "abc\\n"),
+]
+
+
+def test_write_str_vectors(spark):
+    df = spark.createDataFrame([(s,) for s, _ in VECTORS], "s string")
+    got = {
+        r["s"]: r["e"]
+        for r in df.select("s", fb_json_escape(F.col("s")).alias("e")).collect()
+    }
+    for s, want in VECTORS:
+        assert got[s] == want, (repr(s), repr(got[s]), repr(want))
+
+
+def test_py_escape_matches_column_escape(spark):
+    df = spark.createDataFrame([(s,) for s, _ in VECTORS], "s string")
+    got = {
+        r["s"]: r["e"]
+        for r in df.select("s", fb_json_escape(F.col("s")).alias("e")).collect()
+    }
+    for s, _ in VECTORS:
+        assert _py_escape(s) == got[s]
+
+
+def test_json_body_rendering(spark):
+    df = spark.createDataFrame(
+        [("héllo", 10.5, 3, True, None, [1, 2])],
+        "s string, d double, i long, b boolean, n string, a array<int>",
+    )
+    line = df.select(fb_json_body(df, df.columns).alias("j")).first()["j"]
+    assert line == '{"s":"h\\u00e9llo","d":10.5,"i":3,"b":true,"n":null,"a":[1,2]}'
+
+
+def test_json_body_roundtrips(spark):
+    """The escaped output must decode back to the original values (it is
+    valid JSON whose \\u escapes are the reference's encoding choice)."""
+    import json
+
+    samples = [s for s, _ in VECTORS]
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    lines = [
+        r["j"] for r in df.select(fb_json_body(df, ["v"]).alias("j")).collect()
+    ]
+    decoded = sorted(json.loads(l)["v"] for l in lines)
+    assert decoded == sorted(samples)
