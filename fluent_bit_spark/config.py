@@ -455,7 +455,7 @@ def _build_input(
             # BEFORE any parser. Batch ordering: text splits are read in
             # file-offset order, so monotonically_increasing_id orders
             # lines within each file (partition ids follow offsets).
-            from .multiline import BUILTIN_CONT, sessionize_custom_rules, sessionize_mode
+            from .multiline import BUILTIN_RULES, sessionize_custom_rules, sessionize_mode
 
             names = [x.strip() for x in ml.split(",") if x.strip()]
             if len(names) != 1:
@@ -472,7 +472,7 @@ def _build_input(
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 lines = lines.filter(F.length(key) > 0)
-            if mln in BUILTIN_CONT:
+            if mln in BUILTIN_RULES:
                 df = sessionize_mode(lines, mln, line_col=key, out_col="__ml")
             elif mln in multiline_parsers:
                 df = sessionize_custom_rules(

@@ -26,43 +26,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-# Continuation-line detectors for the built-in modes: a line matching
-# its mode's continuation regex attaches to the open record; anything
-# else starts a new one (the common shape of the reference's rule
-# tables in flb_ml_parser_*.c).
-BUILTIN_CONT = {
-    # python tracebacks (flb_ml_parser_python.c): the 'Traceback ...'
-    # line STARTS the record; indented frame/source lines and the final
-    # '<Name>Error: ...' line continue it
-    "python": r"^([\s]+.+|\w+(Error|Exception): .*)$",
-    # java stack traces (flb_ml_parser_java.c)
-    "java": r"^(\s+at .+|\s+\.\.\. \d+ more|Caused by: .+|\s+.+)$",
-    # go panics (flb_ml_parser_go.c)
-    "go": r"^(goroutine \d+.*|\s+.+|.+\.go:\d+.*|created by .+)$",
-    # ruby exceptions (flb_ml_parser_ruby.c)
-    "ruby": r"^(\s+from .+|\s+.+)$",
-}
-
-
 def start_flag(
     line: Column,
     mode_or_regex: str,
     match_type: str = "regex",
 ) -> Column:
-    """Boolean 'this line begins a new logical record'.
-
-    For built-in modes the flag is the negation of the mode's
-    continuation regex; for a custom pattern it is a positive
-    start-of-record match. match_type mirrors flb_ml.h:35-37:
-    'regex' | 'endswith' | 'eq' (endswith/eq used by docker partial
-    joining, where a record ends when 'log' ends with a newline).
-    """
+    """Boolean 'this line begins a new logical record' for a custom
+    start pattern. match_type mirrors flb_ml.h:35-37: 'regex' |
+    'endswith' | 'eq' (endswith/eq used by docker partial joining,
+    where a record ends when 'log' ends with a newline)."""
     if match_type == "endswith":
         return line.endswith(mode_or_regex)
     if match_type == "eq":
         return line == mode_or_regex
-    if mode_or_regex in BUILTIN_CONT:
-        return ~F.coalesce(line.rlike(BUILTIN_CONT[mode_or_regex]), F.lit(True))
     return F.coalesce(line.rlike(mode_or_regex), F.lit(False))
 
 
@@ -109,14 +85,64 @@ def sessionize_mode(
     line_col: str = "line",
     out_col: str = "message",
 ) -> DataFrame:
-    """sessionize() with a built-in mode's start detector."""
-    return sessionize(
+    """A built-in language mode's multiline joiner: the faithful rule-set
+    state machine transcribed from flb_ml_parser_<mode>.c (BUILTIN_RULES
+    below), run through the same executor as config-defined custom
+    parsers. Golden-tested against tests/internal/multiline.c's
+    java/python/ruby/go vectors."""
+    if mode not in BUILTIN_RULES:
+        raise ValueError(f"unknown built-in multiline mode {mode!r}")
+    return sessionize_custom_rules(
         df,
-        start_flag(F.col(line_col), mode),
+        BUILTIN_RULES[mode],
         stream_col=stream_col,
         order_col=order_col,
         line_col=line_col,
         out_col=out_col,
+    )
+
+
+def sessionize_match(
+    df: DataFrame,
+    match_str: str,
+    match_type: str = "endswith",
+    negate: bool = False,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    out_col: str = "message",
+    sep: str = "\n",
+) -> DataFrame:
+    """FLB_ML_ENDSWITH / FLB_ML_EQ parser semantics (flb_ml.c:273-345):
+    EVERY line appends to the open buffer; a line whose (negated) match
+    fires flushes the record including itself. Batch shape: a record
+    starts right after a flushing line (lag of the match flag).
+
+    Vector: tests/internal/multiline.c test_endswith — match_str '\\\\',
+    negate true: lines end-escaped with a backslash continue, the first
+    unescaped line closes the record."""
+    if match_type == "endswith":
+        m = F.col(line_col).endswith(match_str)
+    elif match_type in ("eq", "equal"):
+        m = F.col(line_col) == match_str
+    else:
+        raise ValueError(f"unsupported match_type {match_type!r}")
+    if negate:
+        m = ~m
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    # materialize the lag flag first: a window expression can't nest
+    # inside sessionize's running-sum window argument
+    df = df.withColumn(
+        "__ml_start", F.coalesce(F.lag(m.cast("boolean")).over(w), F.lit(True))
+    )
+    return sessionize(
+        df,
+        F.col("__ml_start"),
+        stream_col=stream_col,
+        order_col=order_col,
+        line_col=line_col,
+        out_col=out_col,
+        sep=sep,
     )
 
 
@@ -136,6 +162,73 @@ class MLRule:
     @property
     def start_state(self) -> bool:
         return "start_state" in self.from_states
+
+
+def _R(froms: str, regex: str, to: Optional[str]) -> MLRule:
+    return MLRule(tuple(s.strip() for s in froms.split(",")), regex, to)
+
+
+# The built-in language modes, transcribed rule-for-rule from
+# src/multiline/flb_ml_parser_{python,java,go,ruby}.c. One translation
+# for line-shaped input: tail lines arrive newline-stripped, so the
+# reference's [:\r\n] / [\r\n]*$ alternations gain an end-of-line
+# branch ((:|$), ^$). Golden vectors: tests/internal/multiline.c.
+BUILTIN_RULES: dict[str, list[MLRule]] = {
+    # flb_ml_parser_python.c:59-88
+    "python": [
+        _R("start_state", r"^Traceback \(most recent call last\):$", "python"),
+        _R("python", r"^[\t ]+File ", "python_code"),
+        _R("python_code", r"[^\t ]", "python"),
+        _R("python", r"^(?:[^\s.():]+\.)*[^\s.():]+:", "start_state"),
+    ],
+    # flb_ml_parser_java.c:60-132
+    "java": [
+        _R(
+            "start_state, java_start_exception",
+            r"(.)(?:Exception|Error|Throwable|V8 errors stack trace)(:|[\r\n]|$)",
+            "java_after_exception",
+        ),
+        _R("java_after_exception", r"^[\t ]*nested exception is:[\t ]*",
+           "java_start_exception"),
+        _R("java_after_exception", r"^[\r\n]*$", "java_after_exception"),
+        _R("java_after_exception, java", r"^[\t ]+(?:eval )?at ", "java"),
+        _R(
+            "java_after_exception, java",
+            r"^[\t ]+--- End of inner exception stack trace ---$",
+            "java",
+        ),
+        _R(
+            "java_after_exception, java",
+            "^--- End of stack trace from previous "
+            "location where exception was thrown ---$",
+            "java",
+        ),
+        _R("java_after_exception, java", r"^[\t ]*(?:Caused by|Suppressed):",
+           "java_after_exception"),
+        _R(
+            "java_after_exception, java",
+            r"^[\t ]*... \d+ (?:more|common frames omitted)",
+            "java",
+        ),
+    ],
+    # flb_ml_parser_go.c:59-140
+    "go": [
+        _R("start_state", r"\bpanic: ", "go_after_panic"),
+        _R("start_state", r"http: panic serving", "go_goroutine"),
+        _R("go_after_panic", r"^$", "go_goroutine"),
+        _R("go_after_panic, go_after_signal, go_frame_1", r"^$", "go_goroutine"),
+        _R("go_after_panic", r"^\[signal ", "go_after_signal"),
+        _R("go_goroutine", r"^goroutine \d+ \[[^\]]+\]:$", "go_frame_1"),
+        _R("go_frame_1", r"^(?:[^\s.:]+\.)*[^\s.():]+\(|^created by ", "go_frame_2"),
+        _R("go_frame_2", r"^\s", "go_frame_1"),
+    ],
+    # flb_ml_parser_ruby.c:59-76
+    "ruby": [
+        _R("start_state, ruby_start_exception", r"^.+:\d+:in\s+.*",
+           "ruby_after_exception"),
+        _R("ruby_after_exception, ruby", r"^\s+from\s+.*:\d+:in\s+.*", "ruby"),
+    ],
+}
 
 
 def sessionize_custom_rules(

@@ -135,3 +135,190 @@ def test_streams_are_independent(spark):
     got = {(r["file"]): (r["n_lines"], r["message"]) for r in out.collect()}
     assert got["a"] == (2, "S one\n+a1")
     assert got["b"] == (3, "S uno\n+b1\n+b2")
+
+
+# ---------------------------------------------------------------------------
+# tests/internal/multiline.c golden vectors for the BUILT-IN language modes
+# (java_input/java_output etc., multiline.c:147-330). The reference feeds
+# newline-terminated raw records and emits their concatenation; line-shaped
+# input strips the trailing newline per line, so expected records are the
+# reference outputs with per-line newlines as the join separator and the
+# final trailing newline removed.
+# ---------------------------------------------------------------------------
+
+from fluent_bit_spark.multiline import sessionize_match, sessionize_mode
+
+
+def _run_mode(spark, mode, lines):
+    df = spark.createDataFrame(
+        [("s1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+    out = sessionize_mode(df, mode)
+    rows = sorted(out.collect(), key=lambda r: r["first_line_no"])
+    return [r["message"] for r in rows]
+
+
+def test_parser_java_vector(spark):
+    # multiline.c:147-172 java_input/java_output
+    lines = [
+        'Exception in thread "main" java.lang.IllegalStateException: ..null property',
+        "     at com.example.myproject.Author.getBookIds(xx.java:38)",
+        "     at com.example.myproject.Bootstrap.main(Bootstrap.java:14)",
+        "Caused by: java.lang.NullPointerException",
+        "     at com.example.myproject.Book.getId(Book.java:22)",
+        "     at com.example.myproject.Author.getBookIds(Author.java:35)",
+        "     ... 1 more",
+        "single line",
+    ]
+    assert _run_mode(spark, "java", lines) == [
+        "\n".join(lines[:7]),
+        "single line",
+    ]
+
+
+def test_parser_python_vector(spark):
+    # multiline.c:195-241 python_input/python_output
+    lines = [
+        "Traceback (most recent call last):",
+        '  File "/base/data/home/runtimes/python27/python27_lib/versions/third_party/webapp2-2.5.2/webapp2.py", line 1535, in __call__',
+        "    rv = self.handle_exception(request, response, e)",
+        '  File "/base/data/home/apps/s~nearfieldspy/1.378705245900539993/nearfieldspy.py", line 17, in start',
+        "    return get()",
+        '  File "/base/data/home/apps/s~nearfieldspy/1.378705245900539993/nearfieldspy.py", line 5, in get',
+        "    raise Exception('spam', 'eggs')",
+        "Exception: ('spam', 'eggs')",
+        "hello world, not multiline",
+    ]
+    assert _run_mode(spark, "python", lines) == [
+        "\n".join(lines[:8]),
+        "hello world, not multiline",
+    ]
+
+
+def test_parser_ruby_vector(spark):
+    # multiline.c:173-194 ruby_input/ruby_output
+    lines = [
+        "/app/config/routes.rb:6:in `/': divided by 0 (ZeroDivisionError)",
+        "\tfrom /app/config/routes.rb:6:in `block in <main>'",
+        "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:428:in `instance_exec'",
+        "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:428:in `eval_block'",
+        "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:410:in `draw'",
+        "\tfrom /app/config/routes.rb:1:in `<main>'",
+        "hello world, not multiline",
+    ]
+    assert _run_mode(spark, "ruby", lines) == [
+        "\n".join(lines[:6]),
+        "hello world, not multiline",
+    ]
+
+
+def test_parser_go_vector(spark):
+    # multiline.c:244-330 go_input/go_output: one panic record spanning
+    # four goroutine dumps with blank separator lines, then a standalone
+    lines = [
+        "panic: my panic",
+        "",
+        "goroutine 4 [running]:",
+        "panic(0x45cb40, 0x47ad70)",
+        "\t/usr/local/go/src/runtime/panic.go:542 +0x46c fp=0xc42003f7b8 sp=0xc42003f710 pc=0x422f7c",
+        "main.main.func1(0xc420024120)",
+        "\tfoo.go:6 +0x39 fp=0xc42003f7d8 sp=0xc42003f7b8 pc=0x451339",
+        "runtime.goexit()",
+        "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc42003f7e0 sp=0xc42003f7d8 pc=0x44b4d1",
+        "created by main.main",
+        "\tfoo.go:5 +0x58",
+        "",
+        "goroutine 1 [chan receive]:",
+        "runtime.gopark(0x4739b8, 0xc420024178, 0x46fcd7, 0xc, 0xc420028e17, 0x3)",
+        "\t/usr/local/go/src/runtime/proc.go:280 +0x12c fp=0xc420053e30 sp=0xc420053e00 pc=0x42503c",
+        "runtime.goparkunlock(0xc420024178, 0x46fcd7, 0xc, 0x1000f010040c217, 0x3)",
+        "\t/usr/local/go/src/runtime/proc.go:286 +0x5e fp=0xc420053e70 sp=0xc420053e30 pc=0x42512e",
+        "runtime.chanrecv(0xc420024120, 0x0, 0xc420053f01, 0x4512d8)",
+        "\t/usr/local/go/src/runtime/chan.go:506 +0x304 fp=0xc420053f20 sp=0xc420053e70 pc=0x4046b4",
+        "runtime.chanrecv1(0xc420024120, 0x0)",
+        "\t/usr/local/go/src/runtime/chan.go:388 +0x2b fp=0xc420053f50 sp=0xc420053f20 pc=0x40439b",
+        "main.main()",
+        "\tfoo.go:9 +0x6f fp=0xc420053f80 sp=0xc420053f50 pc=0x4512ef",
+        "runtime.main()",
+        "\t/usr/local/go/src/runtime/proc.go:185 +0x20d fp=0xc420053fe0 sp=0xc420053f80 pc=0x424bad",
+        "runtime.goexit()",
+        "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc420053fe8 sp=0xc420053fe0 pc=0x44b4d1",
+        "",
+        "goroutine 2 [force gc (idle)]:",
+        "runtime.gopark(0x4739b8, 0x4ad720, 0x47001e, 0xf, 0x14, 0x1)",
+        "\t/usr/local/go/src/runtime/proc.go:280 +0x12c fp=0xc42003e768 sp=0xc42003e738 pc=0x42503c",
+        "runtime.goparkunlock(0x4ad720, 0x47001e, 0xf, 0xc420000114, 0x1)",
+        "\t/usr/local/go/src/runtime/proc.go:286 +0x5e fp=0xc42003e7a8 sp=0xc42003e768 pc=0x42512e",
+        "runtime.forcegchelper()",
+        "\t/usr/local/go/src/runtime/proc.go:238 +0xcc fp=0xc42003e7e0 sp=0xc42003e7a8 pc=0x424e5c",
+        "runtime.goexit()",
+        "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc42003e7e8 sp=0xc42003e7e0 pc=0x44b4d1",
+        "created by runtime.init.4",
+        "\t/usr/local/go/src/runtime/proc.go:227 +0x35",
+        "",
+        "goroutine 3 [GC sweep wait]:",
+        "runtime.gopark(0x4739b8, 0x4ad7e0, 0x46fdd2, 0xd, 0x419914, 0x1)",
+        "\t/usr/local/go/src/runtime/proc.go:280 +0x12c fp=0xc42003ef60 sp=0xc42003ef30 pc=0x42503c",
+        "runtime.goparkunlock(0x4ad7e0, 0x46fdd2, 0xd, 0x14, 0x1)",
+        "\t/usr/local/go/src/runtime/proc.go:286 +0x5e fp=0xc42003efa0 sp=0xc42003ef60 pc=0x42512e",
+        "runtime.bgsweep(0xc42001e150)",
+        "\t/usr/local/go/src/runtime/mgcsweep.go:52 +0xa3 fp=0xc42003efd8 sp=0xc42003efa0 pc=0x419973",
+        "runtime.goexit()",
+        "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc42003efe0 sp=0xc42003efd8 pc=0x44b4d1",
+        "created by runtime.gcenable",
+        "\t/usr/local/go/src/runtime/mgc.go:216 +0x58",
+        "one more line, no multiline",
+    ]
+    got = _run_mode(spark, "go", lines)
+    assert got == [
+        "\n".join(lines[:-1]),
+        "one more line, no multiline",
+    ]
+
+
+def test_parser_elastic_vector(spark):
+    # multiline.c:969-1080 test_parser_elastic: custom 2-rule set built
+    # with flb_ml_rule_create at runtime
+    rules = [
+        MLRule(("start_state",), r"^\[", "elastic_cont"),
+        MLRule(("elastic_cont",), r"^\s+", "elastic_cont"),
+    ]
+    lines = [
+        "[some weird test] IndexNotFoundException[no such index]",
+        "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver....",
+        "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver.java:133)",
+        "    at org.elasticsearch.action.admin.indices.delete.java:75)",
+        "another separate log line",
+    ]
+    got = _run(spark, rules, lines)
+    assert got == [
+        (0, 4, "\n".join(lines[:4])),
+        (4, 1, lines[4]),
+    ]
+
+
+def test_endswith_vector(spark):
+    # multiline.c:75-89 + test_endswith (ENDSWITH type, match_str '\\',
+    # negate true): escaped lines continue; the first unescaped line
+    # closes the record including itself
+    lines = [
+        "1a. some multiline log \\",
+        "1b. some multiline log",
+        "2a. another multiline log\\",
+        "2b. another multiline log",
+        "3a. non multiline 1",
+        "4a. non multiline 2",
+    ]
+    df = spark.createDataFrame(
+        [("s1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+    out = sessionize_match(df, "\\", match_type="endswith", negate=True)
+    got = [r["message"] for r in sorted(out.collect(), key=lambda r: r["first_line_no"])]
+    assert got == [
+        "1a. some multiline log \\\n1b. some multiline log",
+        "2a. another multiline log\\\n2b. another multiline log",
+        "3a. non multiline 1",
+        "4a. non multiline 2",
+    ]
