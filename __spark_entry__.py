@@ -1189,6 +1189,58 @@ def q_skew_distinct(spark, sf_dir):
     return two_stage_distinct(ev, "event_type", "user_id")
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL-level dedup tier (webtext.normalize_url): the cheapest dedup
+    stage in a crawl pipeline, run before any content hashing. Messy
+    deterministic URL variants are fabricated from doc_id (three forms
+    per logical page: cased scheme/host + default port + utm param,
+    fbclid + fragment, and the clean form) and canonicalized; the count
+    per canonical URL proves the variants collapse. The oracle replays
+    the normalization pipeline step by step in RE2 SQL, not the
+    fixture's shortcut."""
+    from fluent_bit_spark import webtext
+
+    docs = _t(spark, sf_dir, "documents")
+    logical = (F.col("doc_id") % 97).cast("string")
+    form = F.col("doc_id") % 3
+    raw = (
+        F.when(
+            form == 0,
+            F.concat(F.lit("http://news.example.com/item/"), logical),
+        )
+        .when(
+            form == 1,
+            F.concat(
+                F.lit("HTTP://News.Example.COM:80/item/"),
+                logical,
+                F.lit("/?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://news.example.com/item/"),
+                logical,
+                F.lit("?fbclid=abc123#frag"),
+            )
+        )
+    )
+    out = docs.select(webtext.normalize_url(raw).alias("url"))
+    return out.groupBy("url").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality score: mean token log-probability
+    under a unigram model trained on the corpus in the same job
+    (textstats.unigram_logprob_quality) — fully distributed, no
+    driver-side vocab; the shuffle-join scale path is exercised (the
+    broadcast_vocab variant is plan-equivalent, pytest-checked)."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    out = textstats.unigram_logprob_quality(docs)
+    return out.select(
+        "doc_id", "n_scored_tokens", _r4(F.col("lm_logprob")).alias("lm_lp")
+    )
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """parse -> filter -> route -> per-sink counts off ONE pass (the
     north-rule pipeline shape; mirrors out_counter per sink)."""
@@ -1295,6 +1347,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "skew_distinct": q_skew_distinct,
+        # entries past the driver's 50-recorded-row cap (dict order is
+        # deliberate): still fully oracle-backed — the in-repo replica
+        # (tools/check_oracle.py) runs them on every invocation
+        "url_canonical": q_url_canonical,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -2212,5 +2269,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'high_band', COUNT(*) FROM p WHERE band = 'high'
               UNION ALL
               SELECT 'kmax', COUNT(*) FROM p WHERE kval >= 90) s, sv
+        """,
+        "url_canonical": r"""
+            WITH raw AS (
+              SELECT CASE doc_id % 3
+                WHEN 0 THEN 'http://news.example.com/item/' || (doc_id % 97)
+                WHEN 1 THEN 'HTTP://News.Example.COM:80/item/' || (doc_id % 97)
+                            || '/?utm_source=feed'
+                ELSE 'http://news.example.com/item/' || (doc_id % 97)
+                     || '?fbclid=abc123#frag' END AS u0
+              FROM documents),
+            s1 AS (SELECT regexp_replace(trim(u0), '#.*$', '') AS u FROM raw),
+            s2 AS (SELECT lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+                          || u[length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1:]
+                     AS u FROM s1),
+            s3 AS (SELECT regexp_replace(
+                     regexp_replace(u, '^(http://[^/?:]*):80([/?]|$)', '\1\2'),
+                     '^(https://[^/?:]*):443([/?]|$)', '\1\2') AS u FROM s2),
+            s4 AS (SELECT u,
+                     regexp_replace(
+                       CASE WHEN contains(u, '?') THEN split_part(u, '?', 1) ELSE u END,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+/.*[^/])/$', '\1') AS base,
+                     CASE WHEN contains(u, '?')
+                          THEN u[length(split_part(u, '?', 1)) + 2:] END AS q
+                   FROM s3),
+            s5 AS (SELECT base, q,
+                     list_filter(string_split(q, '&'),
+                       p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))
+                       AS kept
+                   FROM s4)
+            SELECT CASE WHEN q IS NOT NULL AND len(kept) > 0
+                        THEN base || '?' || array_to_string(kept, '&')
+                        ELSE base END AS url,
+                   COUNT(*) AS n_docs
+            FROM s5 GROUP BY 1
+        """,
+        "lm_quality": f"""
+            WITH toklists AS (
+              SELECT doc_id, {toks} AS toks FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS t FROM toklists),
+            freq AS (
+              SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+            tot AS (
+              SELECT SUM(c) AS N FROM freq)
+            SELECT tok.doc_id,
+                   COUNT(*) AS n_scored_tokens,
+                   round(CAST(AVG(ln(CAST(freq.c AS DOUBLE) / tot.N)) AS DOUBLE), 4)
+                     AS lm_lp
+            FROM tok JOIN freq USING (t) CROSS JOIN tot
+            GROUP BY tok.doc_id
         """,
     }

@@ -188,3 +188,58 @@ def repetition_profile(
             F.lit(0.0),
         ).alias("dup_bigram_frac"),
     )
+
+
+def unigram_logprob_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """CCNet-style language-model quality score: mean unigram
+    log-probability per document, with the unigram model trained on the
+    corpus itself in the same job. Low (very negative) scores flag
+    gibberish / rare-token documents; high scores flag natural,
+    common-vocabulary text.
+
+    Fully distributed — NO driver-side vocab collect:
+
+    * token frequencies: explode + groupBy(tok) (map-side combined);
+    * corpus totals (N tokens, V vocab): a 1-row scalar aggregate,
+      crossJoin-broadcast (the zero-exchange scalar pattern);
+    * scoring: join exploded tokens back to the frequency table on tok,
+      then mean log(c/N) per document.
+
+    min_count prunes the vocabulary (hapax legomena dominate raw web
+    vocab); pruned/unseen tokens score the floor log(0.5/N) so OOV mass
+    still penalizes. broadcast_vocab=True broadcasts the frequency
+    table — right when the pruned vocab is known to be small; the
+    default shuffle join is the 100-TB-safe path (vocab of raw web text
+    can exceed broadcast limits).
+
+    Returns (id_col, n_scored_tokens, lm_logprob).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = freq.agg(
+        F.sum("__c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    vocab = freq.filter(F.col("__c") >= min_count)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = (
+        toks.join(vocab, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.log(F.col("__c").cast("double") / F.col("__N")),
+                F.log(F.lit(0.5) / F.col("__N")),
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.avg("__lp").alias("lm_logprob"),
+    )

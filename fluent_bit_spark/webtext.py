@@ -207,6 +207,49 @@ def url_domain(url: Column) -> Column:
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
 
 
+# query params that never affect page identity (the usual web-crawl
+# canonicalization drop set)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for URL-level dedup — the cheapest dedup tier
+    in a crawl pipeline (runs before any content hashing):
+
+    1. trim; drop the #fragment;
+    2. lowercase the scheme://host[:port] head (path/query keep case);
+    3. drop default ports (:80 for http, :443 for https);
+    4. drop tracking query params (utm_*, gclid, fbclid, ref); drop the
+       '?' if nothing survives;
+    5. drop one trailing '/' from a non-root path.
+
+    Pure Catalyst (regex + array ops, codegen); every step is RE2-safe
+    (no lookaround) so a DuckDB oracle replays it verbatim. Param ORDER
+    is preserved (sorting params canonicalizes more aggressively but
+    changes identity of deliberately ordered APIs — documented choice).
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    u = F.concat(F.lower(head), F.substring(u, F.length(head) + 1, F.lit(2147483647)))
+    u = F.regexp_replace(u, r"^(http://[^/?:]*):80([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?:]*):443([/?]|$)", r"$1$2")
+    base = F.substring_index(u, "?", 1)
+    q = F.when(u.contains("?"), F.substring(u, F.length(base) + 2, F.lit(2147483647)))
+    # trailing slash on a non-root path (the root '/' right after the
+    # host stays; the host atom is anchored scheme-first so it cannot
+    # under-consume and eat the root slash)
+    base = F.regexp_replace(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+/.*[^/])/$", r"$1"
+    )
+    kept = F.filter(
+        F.split(q, "&"), lambda p: ~p.rlike(_TRACKING_PARAM_RE)
+    )
+    return F.when(
+        q.isNotNull() & (F.size(kept) > 0),
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+
+
 # Shared python-engine pattern literals (python re + RE2 dialect; the
 # JVM engine keeps its java.util.regex (?<t>...) form inline).
 TITLE_PAT = r"(?s)<" + _ci("title") + r"[^>]*>(?P<t>.*?)</" + _ci("title")

@@ -781,3 +781,44 @@ def test_paragraph_dedup_intra_doc_repeat(spark):
     out = dedup.paragraph_dedup(df).collect()
     assert len(out) == 1
     assert out[0]["text"] == "rep\n\nmid" and out[0]["n_paras"] == 2
+
+
+def test_unigram_logprob_quality_exact(spark):
+    """Mean unigram logprob against hand-computed values; the shuffle-join
+    scale path and the broadcast_vocab variant must agree exactly."""
+    import math
+
+    from fluent_bit_spark.dataops.textstats import unigram_logprob_quality
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the the the"), (2, "rare words here")],
+        "doc_id long, text string",
+    )
+    # N=9; counts: the=4, others=1
+    out = {r["doc_id"]: r for r in unigram_logprob_quality(docs).collect()}
+    assert out[1]["n_scored_tokens"] == 3
+    assert abs(out[1]["lm_logprob"] - math.log(4 / 9)) < 1e-12
+    expect0 = (math.log(1 / 9) + math.log(1 / 9) + math.log(4 / 9)) / 3
+    assert abs(out[0]["lm_logprob"] - expect0) < 1e-12
+
+    bcast = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in unigram_logprob_quality(docs, broadcast_vocab=True).collect()
+    }
+    for k, r in out.items():
+        assert bcast[k] == r["lm_logprob"]
+
+
+def test_unigram_logprob_min_count_floor(spark):
+    """min_count prunes hapax tokens to the OOV floor log(0.5/N)."""
+    import math
+
+    from fluent_bit_spark.dataops.textstats import unigram_logprob_quality
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb")], "doc_id long, text string"
+    )
+    out = unigram_logprob_quality(docs, min_count=2).collect()[0]
+    # N=3; aa kept (c=2), bb pruned -> floor log(0.5/3)
+    expect = (2 * math.log(2 / 3) + math.log(0.5 / 3)) / 3
+    assert abs(out["lm_logprob"] - expect) < 1e-12

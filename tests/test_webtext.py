@@ -329,3 +329,31 @@ def test_engine_identity_property(spark):
         df, out_col="t", title_col=None, links_col=None).select("i", "t").collect()}
     bad = [i for i in jvm if not (jvm[i] == pnd[i] == arw[i])]
     assert not bad, [(i, frags[i], jvm[i], pnd[i], arw[i]) for i in bad[:3]]
+
+
+def test_normalize_url_vectors(spark):
+    """webtext.normalize_url canonicalization contract: scheme/host
+    lowercase, fragment gone, default ports gone, tracking params
+    dropped (utm_*/gclid/fbclid/ref, exact-key anchored), trailing
+    slash stripped off non-root paths only."""
+    from fluent_bit_spark.webtext import normalize_url
+
+    vectors = [
+        ("HTTP://Example.COM:80/Path/?utm_source=x&id=3#frag", "http://example.com/Path?id=3"),
+        ("https://A.com:443/", "https://a.com/"),
+        ("https://a.com/p/q/", "https://a.com/p/q"),
+        ("http://a.com/?utm_a=1&utm_b=2", "http://a.com/"),
+        ("http://a.com/x?a=1&fbclid=2&b=3", "http://a.com/x?a=1&b=3"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default port kept
+        ("http://a.com", "http://a.com"),
+        ("http://a.com/x?ref=nav", "http://a.com/x"),
+        ("http://a.com/x?refresh=1", "http://a.com/x?refresh=1"),  # 'ref' is anchored
+        ("  http://a.com/x  ", "http://a.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in vectors], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    for u, want in vectors:
+        assert got[u] == want, (u, got[u], want)
