@@ -37,7 +37,7 @@ pipeline:
     assert r.counts == {"profiles_out": 6, "logs_out": 2}
     rows = [
         json.loads(ln)
-        for p in glob.glob(str(tmp_path / "profiles_out" / "*.json"))
+        for p in glob.glob(str(tmp_path / "profiles_out" / "part-*"))
         for ln in open(p).read().splitlines()
     ]
     assert len(rows) == 6
