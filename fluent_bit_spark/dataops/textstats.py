@@ -221,10 +221,14 @@ def unigram_logprob_quality(
     Returns (id_col, n_scored_tokens, lm_logprob).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))
-    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
-    totals = freq.agg(
-        F.sum("__c").alias("__N"), F.count(F.lit(1)).alias("__V")
-    )
+    # persist the model: totals and the scoring join both read the
+    # frequency table, and a fresh plan per consumer would re-scan and
+    # re-aggregate the whole corpus for each (fresh expr ids — Spark
+    # gives no ReusedExchange across separately-built DataFrames; same
+    # trap as dedup.self_join_ready). The persisted table is vocab-sized,
+    # not corpus-sized.
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c")).persist()
+    totals = freq.agg(F.sum("__c").alias("__N"))
     vocab = freq.filter(F.col("__c") >= min_count)
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
