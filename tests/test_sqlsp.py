@@ -496,3 +496,59 @@ def test_execute_stream_window_tumbling(spark, tmp_path):
             parse_sql("SELECT * FROM STREAM:FLB LIMIT 5;"),
             spark.readStream.schema(schema).parquet(src), mode="static",
         )
+
+
+# sp_window.h checks #3/#5 (hopping windows) — data: samples-hw/{1..7}.json,
+# the 11-sample cycle split into per-second ingest files of sizes
+# 4,4,3,4,4,3,4 with id=k, usage=10*(k+1). The reference fires hop/window
+# events on processing-time timers; the final fired window covers ingest
+# seconds 3..7 (verified by simulating the fixture). Event-time mapping:
+# stamp each record with its ingest second and the same window falls out
+# of WINDOW HOPPING (5, ADVANCE BY 2) — cb_hopping_window_5_second's
+# SUM(id)=266 / AVG(id)=16.625 on the [4,9) pane below.
+_HW_SIZES = [4, 4, 3, 4, 4, 3, 4]
+
+
+def _hw_records():
+    recs, k = [], 0
+    for f, size in enumerate(_HW_SIZES, start=1):
+        for _ in range(size):
+            base = dict(SAMPLES[k % len(SAMPLES)])
+            base["id"] = k
+            base["usage"] = 10 * (k + 1)
+            recs.append((f, base))
+            k += 1
+    return recs
+
+
+def test_hopping_window_5_second_vector(spark):
+    recs = _hw_records()
+    ts = [BASE + dt.timedelta(seconds=f + 1) for f, _ in recs]
+    df = records_to_df(spark, [r for _, r in recs], tag="samples", timestamps=ts)
+    eng = SPEngine(streams={"FLB": df}, mode="dynamic")
+    rows = eng.run(
+        "SELECT SUM(id) AS s, AVG(id) AS a FROM STREAM:FLB "
+        "WINDOW HOPPING (5 SECOND, ADVANCE BY 2 SECOND) WHERE word3 IS NOT NULL;"
+    ).collect()
+    by_start = {(r["window_start"] - BASE).total_seconds(): r for r in rows}
+    target = by_start[4.0]  # [BASE+4, BASE+9) = ingest seconds 4..8 = files 3..7
+    assert target["s"] == 266.0
+    assert abs(target["a"] - 16.625) < 1e-9
+
+
+def test_forecast_hopping_vector(spark):
+    # cb_forecast_hopping_window: AVG(usage)=175, FORECAST(usage,20)=460
+    # over the final window's records (ids 8..25). The reference's
+    # regression runs on per-record timestamps (1 + id seconds) while its
+    # window state is processing-time — two axes; the values are checked
+    # on the reference's own record subset with its record timestamps.
+    recs = [r for f, r in _hw_records() if f >= 3]
+    ts = [BASE + dt.timedelta(seconds=r["id"] + 1) for r in recs]
+    df = records_to_df(spark, recs, tag="samples", timestamps=ts)
+    eng = SPEngine(streams={"FLB": df}, mode="dynamic")
+    row = eng.run(
+        "SELECT AVG(usage) AS a, TIMESERIES_FORECAST(usage, 20) AS fc "
+        "FROM STREAM:FLB;"
+    ).collect()[0]
+    assert abs(row["a"] - 175.0) < 1e-9
+    assert abs(row["fc"] - 460.0) < 1e-6
