@@ -65,6 +65,10 @@ from .router import (
 class Section:
     name: str                      # SERVICE / INPUT / FILTER / OUTPUT
     entries: list = field(default_factory=list)  # ordered (key_lower, value)
+    # classic-format groups: an INDENTED [header] inside a section opens
+    # a group attached to it (flb_cf_fluentbit.c; fixture
+    # tests/internal/data/config_format/classic/fluent-bit.conf [GROUP n])
+    groups: list = field(default_factory=list)  # ordered (name, [(k, v)])
 
     def get(self, key: str, default: Optional[str] = None) -> Optional[str]:
         for k, v in self.entries:
@@ -111,10 +115,12 @@ def parse_classic(
     """
     env = env if env is not None else {}
     sections: list[Section] = []
+    open_group: Optional[list] = None  # entries list of the open group
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
+        indented = raw[:1] in (" ", "\t")
         if line.startswith("@"):
             parts = line[1:].split(None, 1)
             directive = parts[0].upper()
@@ -142,14 +148,25 @@ def parse_classic(
                 raise ValueError(f"unknown config directive @{directive}")
             continue
         if line.startswith("[") and line.endswith("]"):
-            sections.append(Section(line[1:-1].strip().upper()))
+            name = line[1:-1].strip().upper()
+            if indented and sections:
+                # an indented [header] opens a GROUP of the current
+                # section (flb_cf_fluentbit.c group handling)
+                open_group = []
+                sections[-1].groups.append((name, open_group))
+            else:
+                sections.append(Section(name))
+                open_group = None
             continue
         if not sections:
             raise ValueError(f"entry outside any section: {line!r}")
         parts = line.split(None, 1)
         key = parts[0].lower()
         val = translate_env(parts[1], env) if len(parts) > 1 else ""
-        sections[-1].entries.append((key, val))
+        if open_group is not None:
+            open_group.append((key, val))
+        else:
+            sections[-1].entries.append((key, val))
     return sections
 
 

@@ -726,3 +726,72 @@ def test_tail_key_pathkey_exclude_skip(spark, tmp_path):
             conf.replace("*.log", "*.missing"),
             str(tmp_path / "o2"),
         )
+
+
+def test_classic_format_basic_vector(tmp_path):
+    """config_format_fluentbit.c test_basic over the classic fixture
+    (data/config_format/classic/fluent-bit.conf + service.conf): 8
+    sections, 3 SERVICE properties, 2 meta directives applied, the
+    INPUT carrying two [GROUP n] groups of 2 properties each, and an
+    unknown section preserved."""
+    from fluent_bit_spark.config import parse_classic
+
+    (tmp_path / "service.conf").write_text(
+        "[SERVICE]\n"
+        "    flush     1\n"
+        "    log_level info\n"
+        "    http_server on\n"
+    )
+    conf = (
+        "@SET a=1\n"
+        "@SET b=2\n"
+        "@INCLUDE service.conf\n"
+        "\n"
+        "[PARSER]\n"
+        "    name       test_api\n"
+        "\n"
+        "[MULTILINE_PARSER]\n"
+        "    name       abc\n"
+        "\n"
+        "[CUSTOM]\n"
+        "    name       calyptia\n"
+        "\n"
+        "[INPUT]\n"
+        "    name      tail\n"
+        "    path      /var/log/containers/*.log\n"
+        "\n"
+        "    [GROUP 1]\n"
+        "        key1  aa\n"
+        "        key2  bb\n"
+        "\n"
+        "    [GROUP 2]\n"
+        "        key3  cc\n"
+        "        key4  dd\n"
+        "\n"
+        "[FILTER]\n"
+        "    name      stdout\n"
+        "    match     *\n"
+        "\n"
+        "[OUTPUT]\n"
+        "    name      null\n"
+        "    match     *\n"
+        "\n"
+        "[UNKNOWN]\n"
+        "    name      blah\n"
+    )
+    env = {}
+    sections = parse_classic(conf, base_dir=str(tmp_path), env=env)
+    assert len(sections) == 8  # cf->sections == 8 incl. SERVICE
+    by = {}
+    for s in sections:
+        by.setdefault(s.name, []).append(s)
+    assert len(by["SERVICE"][0].entries) == 3  # service property count
+    assert env == {"a": "1", "b": "2"}  # the two @SET metas
+    for name in ("PARSER", "MULTILINE_PARSER", "CUSTOM", "INPUT",
+                 "FILTER", "OUTPUT", "UNKNOWN"):
+        assert len(by[name]) == 1
+    inp = by["INPUT"][0]
+    assert [g[0] for g in inp.groups] == ["GROUP 1", "GROUP 2"]
+    assert all(len(entries) == 2 for _, entries in inp.groups)
+    # group entries don't leak into the section's own properties
+    assert [k for k, _ in inp.entries] == ["name", "path"]
