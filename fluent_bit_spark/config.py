@@ -472,16 +472,14 @@ def _build_input(
             # BEFORE any parser. Batch ordering: text splits are read in
             # file-offset order, so monotonically_increasing_id orders
             # lines within each file (partition ids follow offsets).
-            from .multiline import BUILTIN_RULES, sessionize_custom_rules, sessionize_mode
+            from .multiline import (
+                BUILTIN_RULES,
+                sessionize_container,
+                sessionize_custom_rules,
+                sessionize_mode,
+            )
 
             names = [x.strip() for x in ml.split(",") if x.strip()]
-            if len(names) != 1:
-                raise ValueError(
-                    "multiline.parser: one parser per input supported "
-                    f"(got {ml!r}); docker/cri partial joining has its own "
-                    "sessionize_cri/_docker entry points"
-                )
-            mln = names[0]
             lines = spark.read.text(files).select(
                 F.input_file_name().alias("file"),
                 F.monotonically_increasing_id().alias("line_no"),
@@ -489,14 +487,27 @@ def _build_input(
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 lines = lines.filter(F.length(key) > 0)
-            if mln in BUILTIN_RULES:
-                df = sessionize_mode(lines, mln, line_col=key, out_col="__ml")
-            elif mln in multiline_parsers:
+            if set(names) <= {"docker", "cri"} and names:
+                # the container chain ('docker, cri' or either alone):
+                # per-line classification + per-(file, class, stream)
+                # partial joining (tests/internal/multiline.c
+                # container_mix / docker_cri_chain vectors)
+                df = sessionize_container(
+                    lines, line_col=key, out_col="__ml"
+                ).drop("klass")
+            elif len(names) != 1:
+                raise ValueError(
+                    "multiline.parser: one parser per input supported "
+                    f"(got {ml!r}); only the docker/cri pair chains"
+                )
+            elif names[0] in BUILTIN_RULES:
+                df = sessionize_mode(lines, names[0], line_col=key, out_col="__ml")
+            elif names[0] in multiline_parsers:
                 df = sessionize_custom_rules(
-                    lines, multiline_parsers[mln], line_col=key, out_col="__ml"
+                    lines, multiline_parsers[names[0]], line_col=key, out_col="__ml"
                 )
             else:
-                raise ValueError(f"unknown multiline.parser {mln!r}")
+                raise ValueError(f"unknown multiline.parser {names[0]!r}")
             df = df.withColumnRenamed("__ml", key).drop("first_line_no", "n_lines")
         else:
             df = spark.read.text(files).select(

@@ -415,3 +415,73 @@ def sessionize_docker(
         )
         .drop("__grp")
     )
+
+
+# CRI line shape: time stream logtag message (flb_ml_parser_cri.c regex)
+_CRI_LINE_RE = r"^(\S+) (stdout|stderr) ([FP]) (.*)$"
+
+
+def sessionize_container(
+    df: DataFrame,
+    stream_col: str = "file",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    out_col: str = "message",
+) -> DataFrame:
+    """Mixed docker / CRI container-log joining — the in_tail
+    ``multiline.parser docker, cri`` chain. Each raw line is classified
+    (docker JSON events carry log/stream keys; CRI lines are
+    ``time stream tag message``) and partial-joined independently per
+    (source stream, class, stdout/stderr): docker completes when the
+    'log' value ends with a newline, CRI when logtag is 'F'. A record
+    STARTS wherever the previous line of the same partition was final —
+    so buffered docker fragments survive interleaved CRI flushes, and
+    CRI lines never wait on the docker buffer (the docker-first-chain
+    regression in tests/internal/multiline.c docker_cri_chain /
+    container_mix vectors).
+
+    Returns (stream_col, first_line_no, n_lines, klass, iostream,
+    out_col): klass 'docker'|'cri', parts concatenated WITHOUT a
+    separator (container runtimes split mid-line, not at newlines).
+    Pure Catalyst: classification/extraction are codegen projections;
+    the per-partition lag + running sum is one window."""
+    line = F.col(line_col)
+    is_cri = line.rlike(_CRI_LINE_RE)
+    klass = F.when(is_cri, F.lit("cri")).otherwise(F.lit("docker"))
+    iostream = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 2)).otherwise(
+        F.coalesce(F.get_json_object(line, "$.stream"), F.lit(""))
+    )
+    content = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 4)).otherwise(
+        F.coalesce(F.get_json_object(line, "$.log"), line)
+    )
+    is_final = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 3) == "F").otherwise(
+        content.endswith("\n")
+    )
+    base = df.select(
+        F.col(stream_col),
+        F.col(order_col),
+        klass.alias("klass"),
+        iostream.alias("iostream"),
+        content.alias("__content"),
+        is_final.alias("__final"),
+    )
+    w = Window.partitionBy(stream_col, "klass", "iostream").orderBy(order_col)
+    prev_final = F.lag("__final").over(w)
+    start = F.coalesce(prev_final, F.lit(True))
+    grouped = base.withColumn("__grp", F.sum(start.cast("long")).over(w))
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col("__content").alias("l"))
+        )
+    )
+    return (
+        grouped.groupBy(stream_col, "klass", "iostream", "__grp")
+        .agg(
+            F.min(order_col).alias("first_line_no"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws("", F.transform(ordered, lambda e: e.getField("l"))).alias(
+                out_col
+            ),
+        )
+        .drop("__grp")
+    )

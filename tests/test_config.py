@@ -795,3 +795,30 @@ def test_classic_format_basic_vector(tmp_path):
     assert all(len(entries) == 2 for _, entries in inp.groups)
     # group entries don't leak into the section's own properties
     assert [k for k, _ in inp.entries] == ["name", "path"]
+
+
+def test_tail_docker_cri_chain(spark, tmp_path):
+    """in_tail multiline.parser 'docker, cri': the container chain joins
+    docker partials and CRI partials per stream."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "c.log").write_text(
+        '{"log": "aa", "stream": "stdout", "time": "t1"}\n'
+        '{"log": "bb\\n", "stream": "stdout", "time": "t2"}\n'
+        "2019-05-07T18:57:50.904275087+00:00 stderr P part \n"
+        "2019-05-07T18:57:51.904275088+00:00 stderr F two\n"
+    )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/c.log\n"
+        "      multiline.parser: docker, cri\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    msgs = sorted(r["log"] for r in run.frame.collect())
+    assert msgs == ["aabb\n", "part two"]

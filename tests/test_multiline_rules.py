@@ -322,3 +322,78 @@ def test_endswith_vector(spark):
         "3a. non multiline 1",
         "4a. non multiline 2",
     ]
+
+
+def test_container_mix_vector(spark):
+    """multiline.c:92-126 container_mix_input/_output: docker JSON events
+    and CRI lines interleaved on stdout/stderr; docker partials buffer
+    across interleaved CRI flushes, CRI flushes immediately."""
+    from fluent_bit_spark.multiline import sessionize_container
+
+    lines = [
+        '{"log": "a1\\n", "stream": "stdout", "time": "2021-02-01T16:45:03.01231z"}',
+        '{"log": "a2\\n", "stream": "stderr", "time": "2021-02-01T16:45:03.01231z"}',
+        '{"log": "bb", "stream": "stdout", "time": "2021-02-01T16:45:03.01232z"}',
+        '{"log": "cc", "stream": "stdout", "time": "2021-02-01T16:45:03.01233z"}',
+        '{"log": "dd", "stream": "stderr", "time": "2021-02-01T16:45:03.01232z"}',
+        '{"log": "ee\\n", "stream": "stderr", "time": "2021-02-01T16:45:03.01233z"}',
+        "2019-05-07T18:57:52.904275089+00:00 stdout F single full",
+        "2019-05-07T18:57:50.904275087+00:00 stdout P 1a. some ",
+        "2019-05-07T18:57:51.904275088+00:00 stdout P multiline ",
+        "2019-05-07T18:57:52.904275089+00:00 stdout F log",
+        "2019-05-07T18:57:50.904275087+00:00 stderr P 1b. some ",
+        "2019-05-07T18:57:51.904275088+00:00 stderr P multiline ",
+        "2019-05-07T18:57:52.904275089+00:00 stderr F log",
+        '{"log": "dd-out\\n", "stream": "stdout", "time": "2021-02-01T16:45:03.01234z"}',
+        '{"log": "dd-err\\n", "stream": "stderr", "time": "2021-02-01T16:45:03.01234z"}',
+    ]
+    df = spark.createDataFrame(
+        [("s1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+    out = sessionize_container(df).collect()
+    got = sorted(r["message"] for r in out)
+    assert got == sorted(
+        [
+            "a1\n",
+            "a2\n",
+            "ddee\n",
+            "single full",
+            "1a. some multiline log",
+            "1b. some multiline log",
+            "bbccdd-out\n",
+            "dd-err\n",
+        ]
+    )
+    # class/stream attribution
+    by_msg = {r["message"]: (r["klass"], r["iostream"]) for r in out}
+    assert by_msg["single full"] == ("cri", "stdout")
+    assert by_msg["1b. some multiline log"] == ("cri", "stderr")
+    assert by_msg["bbccdd-out\n"] == ("docker", "stdout")
+    assert by_msg["ddee\n"] == ("docker", "stderr")
+
+
+def test_docker_cri_chain_vector(spark):
+    """multiline.c:135-146 docker_cri_chain regression: with docker first
+    in the chain, CRI records must not buffer behind the docker parser —
+    each F line is its own record."""
+    from fluent_bit_spark.multiline import sessionize_container
+
+    lines = [
+        "2025-09-22T19:07:06.115398289Z stdout F first message",
+        "2025-09-22T19:07:06.116725604Z stdout F second message",
+        "2025-09-22T19:07:08.582112316Z stdout F third message",
+    ]
+    df = spark.createDataFrame(
+        [("s1", i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+    out = sorted(
+        sessionize_container(df).collect(), key=lambda r: r["first_line_no"]
+    )
+    assert [r["message"] for r in out] == [
+        "first message",
+        "second message",
+        "third message",
+    ]
+    assert all(r["klass"] == "cri" and r["n_lines"] == 1 for r in out)
