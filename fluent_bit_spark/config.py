@@ -595,8 +595,16 @@ def _condition_gate(df: DataFrame, block: dict) -> F.Column:
     op = str(block.get("op", "and")).lower()
     if op not in ("and", "or"):
         raise ValueError(f"condition: unknown op {block.get('op')!r}")
+    if "default" in block:
+        # a default route/condition matches everything
+        # (flb_router_condition.c:361,428 is_default; parse at
+        # flb_router_config.c:762-768)
+        if block["default"] in (True, "true", "on", "yes"):
+            return F.lit(True)
     rules = block.get("rules")
     if rules is None or not isinstance(rules, list):
+        # neither default nor rules is a config error
+        # (flb_router_config.c:794-797)
         raise ValueError("condition: rules must be a list")
     cols = []
     for r in rules:

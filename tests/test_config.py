@@ -822,3 +822,19 @@ def test_tail_docker_cri_chain(spark, tmp_path):
     run = run_config(spark, conf, str(tmp_path / "o"))
     msgs = sorted(r["log"] for r in run.frame.collect())
     assert msgs == ["aabb\n", "part two"]
+
+
+def test_condition_default_route(spark):
+    """conditional_routing.c default_route semantics: a condition block
+    with default: true matches every record (flb_router_condition.c:361
+    is_default short-circuit); neither default nor rules is a config
+    error (flb_router_config.c:794-797)."""
+    from fluent_bit_spark.config import _condition_gate
+
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v long")
+    kept = df.filter(_condition_gate(df, {"default": True})).count()
+    assert kept == 2
+    import pytest as _p
+
+    with _p.raises(ValueError, match="rules"):
+        _condition_gate(df, {"op": "and"})
