@@ -104,6 +104,7 @@ class ModifyCondition:
     type: str  # key_exists key_does_not_exist a_key_matches no_key_matches
     #            key_value_equals key_value_does_not_equal
     #            key_value_matches key_value_does_not_match
+    #            matching_keys_have_matching_values (+ negation)
     key: str
     value: Optional[str] = None
 
@@ -128,6 +129,22 @@ class ModifyCondition:
             return F.coalesce(get.rlike(self.value), F.lit(False))
         if self.type == "key_value_does_not_match":
             return F.coalesce(~get.rlike(self.value), F.lit(False))
+        if self.type in (
+            "matching_keys_have_matching_values",
+            "matching_keys_do_not_have_matching_values",
+        ):
+            # modify.c:859-895: every key matching regex(key) must carry a
+            # value matching regex(value) — vacuously TRUE when no key
+            # matches; the DO_NOT variant is the plain negation
+            bad = F.filter(
+                F.map_entries(body),
+                lambda e: e.getField("key").rlike(self.key)
+                & ~F.coalesce(e.getField("value").rlike(self.value), F.lit(False)),
+            )
+            have = F.size(bad) == 0
+            if self.type == "matching_keys_have_matching_values":
+                return have
+            return ~have
         raise ValueError(f"unknown condition {self.type}")
 
 

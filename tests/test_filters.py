@@ -403,3 +403,44 @@ def test_typecast_reference_vectors(spark):
     assert row["v_bstr"] == "true"
     assert row["v_bool"] is True
     assert row["v_hex"] == 0xDEADBEEF
+
+
+def test_modify_matching_keys_conditions(spark):
+    """tests/runtime/filter_modify.c flb_test_cond_matching_keys_* (and
+    modify.c:859-895): matching_keys_have_matching_values — every key
+    matching regex A has a value matching regex B (vacuous TRUE when no
+    key matches); the do_not variant is the negation."""
+    cond = "matching_keys_have_matching_values"
+    ncond = "matching_keys_do_not_have_matching_values"
+
+    df = spark.createDataFrame(
+        [
+            # runtime vector: {"k1":"n1","k2":"n3"} -> HAVE is true
+            (1, {"k1": "n1", "k2": "n3"}),
+            # runtime vector: {"k1":"aa","k2":"bb"} -> HAVE is false
+            (2, {"k1": "aa", "k2": "bb"}),
+            # no key matches -> vacuous TRUE
+            (3, {"zz": "anything"}),
+        ],
+        "id int, body map<string,string>",
+    )
+    have = apply_modify(
+        df,
+        [ModifyRule("copy", "k1", "matches")],
+        conditions=[ModifyCondition(cond, r"^[a-z][0-9]$", r"^[a-z][0-9]$")],
+    )
+    got = {r["id"]: r["body"] for r in have.collect()}
+    assert got[1].get("matches") == "n1"          # runtime expected
+    assert "matches" not in got[2]
+    # vacuous TRUE: condition holds for id=3, but copy is a no-op (no k1)
+    assert got[3].get("matches") is None
+
+    nhave = apply_modify(
+        df,
+        [ModifyRule("copy", "k1", "no_matches")],
+        conditions=[ModifyCondition(ncond, r"^[a-z][0-9]$", r"^[a-z][0-9]$")],
+    )
+    got = {r["id"]: r["body"] for r in nhave.collect()}
+    assert "no_matches" not in got[1]
+    assert got[2].get("no_matches") == "aa"       # runtime expected
+    assert "no_matches" not in got[3]
