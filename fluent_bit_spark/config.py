@@ -83,6 +83,43 @@ class Section:
 _ENV_PAT = re.compile(r"\$\{([^}]+)\}")
 
 
+def split_quoted(s: str, max_split: int = 0) -> list[str]:
+    """flb_utils_split_quoted(' ', max_split) (flb_utils.c:321-465): space
+    separated tokens; a token OPENING with a double or single quote runs
+    to its matching quote with \\\" \\' \\\\ escapes unescaped and the
+    quotes stripped; after max_split tokens any remainder is appended
+    verbatim as one last entry. Lets config values carry keys/values
+    with embedded spaces (tests/runtime/filter_modify.c issue_1225)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] == " ":
+            i += 1
+        if i >= n:
+            break
+        if max_split > 0 and len(out) >= max_split:
+            out.append(s[i:])
+            break
+        if s[i] in "\"'":
+            q = s[i]
+            i += 1
+            buf: list[str] = []
+            while i < n and s[i] != q:
+                if s[i] == "\\" and i + 1 < n and s[i + 1] in (q, "\\"):
+                    i += 1
+                buf.append(s[i])
+                i += 1
+            i += 1  # closing quote
+            out.append("".join(buf))
+        else:
+            j = s.find(" ", i)
+            if j == -1:
+                j = n
+            out.append(s[i:j])
+            i = j
+    return out
+
+
 def translate_env(value: str, env: Optional[dict] = None) -> str:
     """``${NAME}`` substitution (src/flb_env.c:flb_env_var_translate):
     the config's own env table (env: section / @SET) is consulted
@@ -649,11 +686,13 @@ def _apply_filter(
         # whole rule chain only when all conditions hold)
         cond = gate
         for v in s.get_all("condition"):
-            parts = v.split(None, 2)
+            # quoted tokens keep embedded spaces (flb_utils_split_quoted;
+            # tests/runtime/filter_modify.c issue_1225)
+            parts = split_quoted(v)
             ctype = parts[0].lower()
             key = parts[1]
-            val = parts[2] if len(parts) > 2 else None
-            c = F.col(key) if key in df.columns else F.lit(None)
+            val = " ".join(parts[2:]) if len(parts) > 2 else None
+            c = F.col(f"`{key}`") if key in df.columns else F.lit(None)
             if ctype == "key_exists":
                 cond = cond & c.isNotNull()
             elif ctype == "key_does_not_exist":
@@ -664,12 +703,16 @@ def _apply_filter(
                 cond = cond & F.coalesce(c.cast("string").rlike(val), F.lit(False))
             else:
                 raise ValueError(f"unsupported modify condition {ctype}")
+        def _kv(v: str) -> tuple[str, str]:
+            parts = split_quoted(v)
+            return parts[0], " ".join(parts[1:])
+
         for v in s.get_all("set"):
-            k, val = v.split(None, 1)
-            old = F.col(k) if k in df.columns else F.lit(None)
+            k, val = _kv(v)
+            old = F.col(f"`{k}`") if k in df.columns else F.lit(None)
             df = df.withColumn(k, F.when(cond, F.lit(val)).otherwise(old))
         for v in s.get_all("add"):
-            k, val = v.split(None, 1)
+            k, val = _kv(v)
             if k not in df.columns:
                 df = df.withColumn(k, F.when(cond, F.lit(val)))
         # Remove/Rename must honor the Match gate + Conditions on the
@@ -688,8 +731,7 @@ def _apply_filter(
             elif k in df.columns:
                 df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("rename"):
-            k, new = v.split(None, 1)
-            new = new.strip()
+            k, new = split_quoted(v)[:2]
             # modify.c RENAME is a no-op when the target key already
             # exists (only HARD_RENAME overwrites) — and the gated form
             # must not null the destination on non-matching rows
@@ -701,8 +743,8 @@ def _apply_filter(
                 df = df.withColumn(new, F.when(cond, F.col(k)))
                 df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("copy") + s.get_all("hard_copy"):
-            k, new = v.split(None, 1)
-            df = df.withColumn(new.strip(), F.when(cond, F.col(k)))
+            k, new = split_quoted(v)[:2]
+            df = df.withColumn(new, F.when(cond, F.col(f"`{k}`")))
         return df
 
     if name == "record_modifier":

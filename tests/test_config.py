@@ -838,3 +838,38 @@ def test_condition_default_route(spark):
 
     with _p.raises(ValueError, match="rules"):
         _condition_gate(df, {"op": "and"})
+
+
+def test_modify_quoted_keys_with_spaces(spark, tmp_path):
+    """tests/runtime/filter_modify.c flb_test_issue_1225: quoted config
+    tokens keep embedded spaces (flb_utils_split_quoted) — condition and
+    add operate on 'key 1' / values with spaces."""
+    from fluent_bit_spark.config import run_config, split_quoted
+
+    assert split_quoted('key_value_matches "key 1" ".*with spaces.*"') == [
+        "key_value_matches", "key 1", ".*with spaces.*",
+    ]
+    assert split_quoted(r'"a \"b\" c" tail') == ['a "b" c', "tail"]
+    assert split_quoted("a b c d", 2) == ["a", "b", "c d"]
+
+    conf = """
+[INPUT]
+    Name   dummy
+    Dummy  {"key 1": "first value with spaces"}
+    Samples 1
+    Tag    t
+
+[FILTER]
+    Name      modify
+    Match     *
+    Condition key_value_matches "key 1" ".*with spaces.*"
+    Add       "key 2" "second value with spaces"
+
+[OUTPUT]
+    Name   null
+    Match  *
+"""
+    r = run_config(spark, conf, str(tmp_path / "o"))
+    row = r.frame.first()
+    assert row["key 1"] == "first value with spaces"
+    assert row["key 2"] == "second value with spaces"
