@@ -1180,6 +1180,28 @@ def q_dedup_neardup_pipeline(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dup clustering — the final dedup stage: pairwise
+    verification says a~b and b~c, the keep-policy needs the whole
+    cluster {a,b,c}. Verified near-dup pairs (md5 engine, same pipeline
+    as dedup_neardup_pipeline) feed dedup.connected_components
+    (iterative min-label propagation + pointer jumping,
+    localCheckpoint-bounded lineage). component = min doc_id of the
+    cluster. The oracle replays the clustering as a recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    shingleable = docs.filter(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 2
+    )
+    cands = dedup.minhash_lsh_candidates(
+        shingleable, num_hashes=8, bands=4, shingle_n=2, hash_engine="md5"
+    )
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=2).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup.connected_components(verified).select("doc_id", "component")
+
+
 def q_skew_distinct(spark, sf_dir):
     """two-stage exact per-key COUNT(DISTINCT) — the de-skew shape for
     non-decomposable per-key state (skew.two_stage_distinct)."""
@@ -1352,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py) runs them on every invocation
         "url_canonical": q_url_canonical,
         "lm_quality": q_lm_quality,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1556,6 +1579,29 @@ def _neardup_pipeline_oracle_sql() -> str:
         SELECT d.doc_id FROM documents d
         LEFT JOIN (SELECT DISTINCT id_b FROM ver) v ON d.doc_id = v.id_b
         WHERE v.id_b IS NULL
+    """
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Same verified pairs as the neardup oracle, then connected
+    components as a recursive-CTE transitive closure: component = MIN
+    reachable id."""
+    base = _neardup_pipeline_oracle_sql()
+    ctes = base[: base.rindex("SELECT d.doc_id")]
+    ctes = ctes.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return f"""
+        {ctes}, edges2 AS (
+            SELECT id_a AS s, id_b AS d FROM ver
+            UNION SELECT id_b, id_a FROM ver
+            UNION SELECT id_a, id_a FROM ver
+            UNION SELECT id_b, id_b FROM ver
+        ), walk(src, reach) AS (
+            SELECT s, d FROM edges2
+            UNION
+            SELECT w.src, e.d FROM walk w JOIN edges2 e ON w.reach = e.s
+        )
+        SELECT src AS doc_id, MIN(reach) AS component
+        FROM walk GROUP BY src
     """
 
 
@@ -2085,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_neardup_pipeline": _neardup_pipeline_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "sim_ann_topk": _ann_oracle_sql(),
         "sim_near_dup": _sim_near_dup_oracle_sql(),
         "multimodal_decode": _multimodal_oracle_sql(),

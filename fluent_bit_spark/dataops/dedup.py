@@ -772,3 +772,89 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return out.select("id_a", "id_b", F.try_divide(inter, union).alias("jaccard"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_id: str = "doc_id",
+    out_comp: str = "component",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clustering: connected components over a
+    sparse pair list, the final stage of web-scale dedup (pairwise
+    verification says a~b and b~c; the keep-policy needs the whole
+    cluster {a,b,c}).
+
+    Spark-first iterative algorithm — min-label propagation with one
+    pointer-jumping step per round (the large-star/small-star family):
+
+    * L(v) starts as v;
+    * each round: L'(v) = min(L(v), min over neighbors' L) — one
+      shuffle join + map-side-combined MIN agg;
+    * then one pointer jump L''(v) = L(L'(v)) — components collapse in
+      O(log diameter) rounds instead of O(diameter);
+    * stop when no label changed (a count on the joined delta).
+
+    Each round's labels are localCheckpoint-ed (eager): persist alone
+    keeps the LOGICAL plan growing — each round references the previous
+    labels three times (step, pointer table, delta), so the plan tree
+    doubles per round and the driver OOMs stringifying it around round
+    20; checkpointing truncates lineage to the materialized blocks. Dup
+    clusters are small and shallow in practice; the pointer jump keeps
+    pathological chains cheap. Returns (out_id, out_comp) for every
+    node appearing in `pairs`, component id = the minimum node id of
+    the cluster.
+    """
+    a = F.col(src).alias("s")
+    b = F.col(dst).alias("d")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["d"] == labels["id"])
+                .groupBy("s")
+                .agg(F.min("comp").alias("nmin"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    ).alias("comp"),
+                    F.col("comp").alias("old"),
+                )
+            )
+            # pointer jump: comp <- label(comp)
+            ptr = stepped.select(
+                F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+            )
+            jumped = stepped.join(
+                ptr, stepped["comp"] == ptr["pid"], "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp"),
+                "old",
+            ).localCheckpoint()
+            changed = jumped.filter(F.col("comp") != F.col("old")).count()
+            labels = jumped.select("id", "comp")
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias(out_id), F.col("comp").alias(out_comp)
+        )
+    finally:
+        edges.unpersist()

@@ -822,3 +822,56 @@ def test_unigram_logprob_min_count_floor(spark):
     # N=3; aa kept (c=2), bb pruned -> floor log(0.5/3)
     expect = (2 * math.log(2 / 3) + math.log(0.5 / 3)) / 3
     assert abs(out["lm_logprob"] - expect) < 1e-12
+
+
+def test_connected_components_union_find_model(spark):
+    """dedup.connected_components vs a python union-find oracle on a
+    randomized sparse graph (clusters, chains, self-loops, isolates)."""
+    import random
+
+    from fluent_bit_spark.dataops.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # random clusters
+    base = 0
+    for _ in range(12):
+        size = rng.randint(1, 9)
+        nodes = list(range(base, base + size))
+        base += size + rng.randint(0, 3)  # gaps -> ids not contiguous
+        for _ in range(max(1, size)):
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+        # ensure connectivity inside the cluster
+        for i in range(len(nodes) - 1):
+            if rng.random() < 0.7:
+                edges.append((nodes[i], nodes[i + 1]))
+    # a long chain
+    chain = list(range(1000, 1050))
+    edges += list(zip(chain, chain[1:]))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in list(parent):
+        want[n] = find(n)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
