@@ -42,6 +42,7 @@ def clean_corpus(
     shingle_n: int = 3,
     max_bucket_size: int = 256,
     redact_pii: Optional[Sequence[str]] = None,
+    cluster_dups: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the 5-stage cleaning pipeline; see module docstring.
 
@@ -49,7 +50,15 @@ def clean_corpus(
     when given, matches are substituted BEFORE dedup, so documents
     differing only in their PII (the classic boilerplate-with-an-email
     case) collapse into one duplicate group, and no raw PII survives
-    into the kept corpus."""
+    into the kept corpus.
+
+    cluster_dups — when True, verified near-dup pairs are closed
+    transitively (dedup.connected_components) and only the minimum id of
+    each cluster survives; the per-pair default drops the higher id of
+    every verified pair, which keeps both endpoints of an a-b, b-c chain
+    connected only through a third doc (a and b both survive unless the
+    a~b pair itself verified). Clustering is the stricter, web-scale
+    policy; per-pair is cheaper (no iterative rounds)."""
     text = F.col(text_col)
     # materialize the token arrays once and share across all three stats
     # (see textstats.text_profile: HOFs get no codegen CSE)
@@ -84,9 +93,16 @@ def clean_corpus(
     verified = dedup.ngram_jaccard_pairs(
         kept, cands, n=shingle_n, text_col=text_col, id_col=id_col
     ).filter(F.col("jaccard") >= jaccard_threshold)
-    # drop the higher id of each confirmed near-dup pair (anti-join on a
-    # distinct drop-set: one shuffle keyed by the 8-byte id)
-    drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if cluster_dups:
+        # transitive closure: keep only the min id of each dup cluster
+        comps = dedup.connected_components(verified)
+        drops = comps.filter(F.col("doc_id") != F.col("component")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        # drop the higher id of each confirmed near-dup pair (anti-join
+        # on a distinct drop-set: one shuffle keyed by the 8-byte id)
+        drops = verified.select(F.col("id_b").alias(id_col)).distinct()
     kept = kept.join(drops, id_col, "left_anti")
 
     stats = kept.groupBy("lang_pred").agg(

@@ -875,3 +875,33 @@ def test_connected_components_union_find_model(spark):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+def test_clean_corpus_cluster_dups(spark):
+    """cluster_dups=True closes near-dup pairs transitively: a chain
+    a~b, b~c keeps only the cluster minimum even when a~c itself never
+    verified."""
+    from fluent_bit_spark.dataops.corpus import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, base + " extra more"),
+            (10, "completely different text about spark shuffles and joins here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept_pair, _ = clean_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.5, shingle_n=2
+    )
+    kept_cluster, _ = clean_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.5, shingle_n=2,
+        cluster_dups=True,
+    )
+    ids_pair = sorted(r["doc_id"] for r in kept_pair.select("doc_id").collect())
+    ids_cluster = sorted(r["doc_id"] for r in kept_cluster.select("doc_id").collect())
+    assert ids_cluster == [1, 10]
+    # the cluster policy is at least as strict as per-pair
+    assert set(ids_cluster) <= set(ids_pair)
