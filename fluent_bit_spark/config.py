@@ -503,6 +503,39 @@ def _build_input(
         if not files:
             raise ValueError(f"in_tail: Path matched no files: {path!r}")
         key = s.get("key", "log")
+        ignore_older = s.get("ignore_older")
+        if ignore_older:
+            # tail_scan_glob.c:246-252: files whose mtime is older than
+            # now - ignore_older are excluded at scan time (no error —
+            # the reference just tails nothing)
+            import time as _time
+
+            cutoff = _time.time() - parse_interval(ignore_older)
+            files = [f for f in files if os.stat(f).st_mtime >= cutoff]
+            if not files:
+                empty = spark.createDataFrame([], f"`{key}` string, tag string")
+                pk = s.get("path_key")
+                return empty.withColumn(pk, F.lit(None).cast("string")) if pk else empty
+
+        def _long_line_policy(frame: DataFrame, line_col: str) -> DataFrame:
+            # tail_file.c:1639-1656: a line that fills Buffer_Max_Size
+            # without a newline is SKIPPED when Skip_Long_Lines is on;
+            # with it off the whole FILE errors out ("Skipping file")
+            bms = s.get("buffer_max_size")
+            if not bms:
+                return frame
+            from .streaming import _parse_size
+
+            too_long = F.octet_length(F.col(line_col)) >= _parse_size(bms)
+            if _bool(s.get("skip_long_lines", "false")):
+                return frame.filter(~too_long)
+            from pyspark.sql import Window as _W
+
+            file_bad = F.max(too_long.cast("int")).over(_W.partitionBy("file"))
+            return frame.withColumn("__bad", file_bad).filter(
+                F.col("__bad") == 0
+            ).drop("__bad")
+
         ml = s.get("multiline.parser")
         if ml:
             # in_tail multiline.parser: join lines into logical records
@@ -524,6 +557,7 @@ def _build_input(
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 lines = lines.filter(F.length(key) > 0)
+            lines = _long_line_policy(lines, key)
             if set(names) <= {"docker", "cri"} and names:
                 # the container chain ('docker, cri' or either alone):
                 # per-line classification + per-(file, class, stream)
@@ -552,6 +586,7 @@ def _build_input(
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 df = df.filter(F.length(key) > 0)
+            df = _long_line_policy(df, key)
         path_key = s.get("path_key")
         if path_key:
             # input_file_name is a file:// URI locally; records carry

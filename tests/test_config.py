@@ -873,3 +873,63 @@ def test_modify_quoted_keys_with_spaces(spark, tmp_path):
     row = r.frame.first()
     assert row["key 1"] == "first value with spaces"
     assert row["key 2"] == "second value with spaces"
+
+
+def test_tail_skip_long_lines_and_ignore_older(spark, tmp_path):
+    """in_tail Buffer_Max_Size/Skip_Long_Lines (tail_file.c:1639-1656:
+    skip the line when on, skip the whole FILE when off) and
+    Ignore_Older (tail_scan_glob.c:246-252: stale-mtime files excluded
+    at scan, no error)."""
+    import os as _os
+    import time as _time
+
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "a.log").write_text("short\n" + "x" * 64 + "\nalso short\n")
+    (tmp_path / "b.log").write_text("tiny\n")
+    base = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/*.log\n"
+        "      buffer_max_size: 32\n"
+        "{extra}"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    # skip_long_lines on: only the 64-byte line drops
+    run = run_config(
+        spark, base.format(extra="      skip_long_lines: on\n"),
+        str(tmp_path / "o1"),
+    )
+    assert sorted(r["log"] for r in run.frame.collect()) == [
+        "also short", "short", "tiny",
+    ]
+    # off: the whole file with the long line drops
+    run = run_config(spark, base.format(extra=""), str(tmp_path / "o2"))
+    assert sorted(r["log"] for r in run.frame.collect()) == ["tiny"]
+
+    # ignore_older: age a.log beyond the horizon
+    old = _time.time() - 3600
+    _os.utime(tmp_path / "a.log", (old, old))
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/*.log\n"
+        "      ignore_older: 5m\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o3"))
+    assert sorted(r["log"] for r in run.frame.collect()) == [
+        "tiny",
+    ]
+    # all files stale -> empty frame, no error
+    _os.utime(tmp_path / "b.log", (old, old))
+    run = run_config(spark, conf, str(tmp_path / "o4"))
+    assert run.frame.count() == 0
