@@ -83,6 +83,53 @@ class Section:
 _ENV_PAT = re.compile(r"\$\{([^}]+)\}")
 
 
+def tail_tag_compose(tag: str, fname: str, tag_regex: Optional[str] = None) -> str:
+    """in_tail dynamic tag composition (tail_file.c:852-1010 tag_compose).
+
+    Tag_Regex branch: the regex (onig named groups) searches the file
+    path; ``<name>`` placeholders in the Tag template are replaced by
+    the captures, a missing name becomes ``_``; no match is an error
+    (the reference skips the file). No sanitize pass in this branch.
+
+    Star branch: ``*`` expands to the full file path, then the buffer
+    is sanitized exactly like the C loop: '/' '\\\\' ':' become '.'
+    (dropped outright at position 0), consecutive dots collapse, stray
+    '*' drop, a trailing '.' drops.
+    """
+    import re as _re
+
+    if tag_regex:
+        rx = _re.sub(r"\(\?<([A-Za-z0-9_]+)>", r"(?P<\1>", tag_regex)
+        m = _re.search(rx, fname)
+        if not m:
+            raise ValueError(f"tag_regex did not match file {fname!r}")
+        groups = {k: v for k, v in m.groupdict().items() if v is not None}
+        return _re.sub(
+            r"<([^<>]+)>", lambda g: groups.get(g.group(1), "_"), tag
+        )
+    star = tag.find("*")
+    if star < 0:
+        return tag
+    buf = tag[:star] + fname + tag[star + 1 :]
+    out: list[str] = []
+    for ch in buf:
+        if ch in "/\\:":
+            if not out:
+                continue  # position 0: dropped, not converted
+            ch = "."
+        if ch == ".":
+            if out and out[-1] == ".":
+                continue
+            out.append(".")
+            continue
+        if ch == "*":
+            continue
+        out.append(ch)
+    if out and out[-1] == ".":
+        out.pop()
+    return "".join(out)
+
+
 def split_quoted(s: str, max_split: int = 0) -> list[str]:
     """flb_utils_split_quoted(' ', max_split) (flb_utils.c:321-465): space
     separated tokens; a token OPENING with a double or single quote runs
@@ -592,7 +639,21 @@ def _build_input(
             # input_file_name is a file:// URI locally; records carry
             # the plain path like the reference
             df = df.withColumn(path_key, F.regexp_replace("file", "^file://", ""))
-        df = df.drop("file").withColumn("tag", F.lit(tag))
+        tag_regex = s.get("tag_regex")
+        if tag_regex or "*" in tag:
+            # dynamic per-file tags (tail_file.c tag_compose): the file
+            # list is known at build time, so compose driver-side and
+            # attach via a literal map on the file column (stays codegen)
+            per_file = {f: tail_tag_compose(tag, f, tag_regex) for f in files}
+            plain = F.regexp_replace("file", "^file://", "")
+            tag_map = F.create_map(
+                *[F.lit(x) for kv in per_file.items() for x in kv]
+            )
+            df = df.drop("tag") if "tag" in df.columns else df
+            df = df.withColumn("tag", F.element_at(tag_map, plain))
+            df = df.drop("file")
+        else:
+            df = df.drop("file").withColumn("tag", F.lit(tag))
         parser_name = s.get("parser")
         if parser_name:
             parser = parsers[parser_name]

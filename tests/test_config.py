@@ -933,3 +933,43 @@ def test_tail_skip_long_lines_and_ignore_older(spark, tmp_path):
     _os.utime(tmp_path / "b.log", (old, old))
     run = run_config(spark, conf, str(tmp_path / "o4"))
     assert run.frame.count() == 0
+
+
+def test_tail_dynamic_tags(spark, tmp_path):
+    """in_tail dynamic tag composition (tail_file.c:852-1010): Tag with
+    '*' expands to the sanitized file path (slashes to dots, no leading
+    dot, collapsed doubles, no trailing dot); Tag_Regex named captures
+    fill <name> placeholders, a missing capture becomes '_'."""
+    from fluent_bit_spark.config import run_config, tail_tag_compose
+
+    # unit vectors for the sanitize pass
+    assert tail_tag_compose("kube.*", "/var/log/pods/app.log") == \
+        "kube.var.log.pods.app.log"
+    assert tail_tag_compose("*", "/var/log/x.log") == "var.log.x.log"
+    assert tail_tag_compose("a.*.b", "/v/x.log") == "a.v.x.log.b"
+    assert tail_tag_compose(
+        "kube.<ns>.<pod>", "/var/log/containers/mypod_myns_c1.log",
+        tag_regex=r"(?<pod>[a-z0-9-]+)_(?<ns>[a-z0-9-]+)_",
+    ) == "kube.myns.mypod"
+    assert tail_tag_compose(
+        "kube.<missing>", "/var/log/x.log", tag_regex=r"(?<pod>x)",
+    ) == "kube._"
+
+    d = tmp_path / "pods"
+    d.mkdir()
+    (d / "alpha.log").write_text("a1\n")
+    (d / "beta.log").write_text("b1\nb2\n")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {d}/*.log\n"
+        "      tag: 'svc.<name>'\n"
+        "      tag_regex: '(?<name>[a-z]+)\\.log$'\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    got = sorted((r["tag"], r["log"]) for r in run.frame.collect())
+    assert got == [("svc.alpha", "a1"), ("svc.beta", "b1"), ("svc.beta", "b2")]
