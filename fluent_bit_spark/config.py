@@ -843,6 +843,58 @@ def _apply_filter(
             df = df.withColumn(new, F.when(cond, F.col(f"`{k}`")))
         return df
 
+    if name == "kubernetes":
+        # filter_kubernetes via the reference's own offline metadata path:
+        # Kube_meta_preload_cache_dir holds {namespace}_{pod}.meta JSON
+        # files (kube_meta.c:300-340) — the API-server fetch is out of
+        # scope for a pull-based batch engine, the cache dir is the
+        # supported source. Tag meta extraction + broadcast enrich;
+        # Merge_Log lifts the JSON log content (merge_log_schema carries
+        # the DDL, the repo's static-schema convention for filter_parser
+        # shapes). Records whose tag doesn't match the kube regex keep
+        # null meta, like the reference's skipped enrichment.
+        import glob as _glob
+
+        from . import kube as _kube
+
+        cache = s.get("kube_meta_preload_cache_dir")
+        if not cache:
+            raise ValueError(
+                "filter kubernetes: kube_meta_preload_cache_dir is required "
+                "(the API-server fetch is delegated; the cache dir is the "
+                "reference's own offline path)"
+            )
+        metas = sorted(_glob.glob(os.path.join(cache, "*.meta")))
+        if not metas:
+            raise ValueError(f"filter kubernetes: no *.meta files in {cache!r}")
+        with_json = []
+        for p in metas:
+            with open(p) as fh:
+                with_json.append(fh.read())
+        pod_meta = _kube.pod_meta_from_json(df.sparkSession, with_json)
+        prefix = s.get("kube_tag_prefix", _kube.KUBE_TAG_PREFIX)
+        out = _kube.kube_tag_meta(df, tag_prefix=prefix)
+        out = _kube.kube_enrich(
+            out,
+            pod_meta,
+            labels=_bool(s.get("labels", "on")),
+            annotations=_bool(s.get("annotations", "off")),
+        )
+        if _bool(s.get("merge_log", "off")):
+            schema = s.get("merge_log_schema")
+            if not schema:
+                raise ValueError(
+                    "filter kubernetes: Merge_Log needs merge_log_schema "
+                    "(DDL) in the static-column model"
+                )
+            out = _kube.merge_log(
+                out,
+                schema,
+                merge_log_key=s.get("merge_log_key"),
+                keep_log=_bool(s.get("keep_log", "on")),
+            )
+        return out.drop("pod_name", "namespace_name", "container_name", "docker_id")
+
     if name == "record_modifier":
         rm = RecordModifier(
             records=[tuple(v.split(None, 1)) for v in s.get_all("record")],

@@ -973,3 +973,74 @@ def test_tail_dynamic_tags(spark, tmp_path):
     run = run_config(spark, conf, str(tmp_path / "o"))
     got = sorted((r["tag"], r["log"]) for r in run.frame.collect())
     assert got == [("svc.alpha", "a1"), ("svc.beta", "b1"), ("svc.beta", "b2")]
+
+
+def test_kubernetes_filter_e2e(spark, tmp_path):
+    """The full k8s flow through config: tail a container log file named
+    {pod}_{namespace}_{container}-{docker_id}.log with the docker/cri
+    chain and a dynamic kube.* tag, then filter kubernetes enriches from
+    Kube_meta_preload_cache_dir ({ns}_{pod}.meta files,
+    kube_meta.c:300-340) and Merge_Log lifts the JSON payload."""
+    import json as _json
+
+    docker_id = "a" * 64
+    logs = tmp_path / "containers"
+    logs.mkdir()
+    lf = logs / f"base_core_fluent-bit-{docker_id}.log"
+    lf.write_text(
+        '{"log": "{\\"msg\\": \\"boot\\", \\"code\\": \\"200\\"}\\n", '
+        '"stream": "stdout", "time": "2021-02-01T16:45:03.01231z"}\n'
+    )
+    cache = tmp_path / "meta"
+    cache.mkdir()
+    (cache / "core_base.meta").write_text(_json.dumps({
+        "metadata": {
+            "name": "base", "namespace": "core",
+            "uid": "e9f2963f-55f2-11e9-84c5-02e422b8a84a",
+            "labels": {"app": "fb"},
+        },
+        "spec": {"nodeName": "node-1"},
+        "status": {
+            "podIP": "100.116.192.42",
+            "containerStatuses": [{
+                "containerID": "docker://" + docker_id,
+                "image": "fluent/fluent-bit:latest",
+                "imageID": "docker-pullable://fluent/fluent-bit@sha256:dead",
+                "name": "fluent-bit",
+            }],
+        },
+    }))
+    # the sanitized tag prefix for this tmp dir stands in for
+    # kube.var.log.containers. (Kube_Tag_Prefix is configurable for
+    # exactly this reason)
+    from fluent_bit_spark.config import run_config, tail_tag_compose
+
+    prefix = tail_tag_compose("kube.*", str(logs) + "/")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {logs}/*.log\n"
+        "      multiline.parser: docker, cri\n"
+        "      tag: 'kube.*'\n"
+        "  filters:\n"
+        "    - name: kubernetes\n"
+        "      match: 'kube.*'\n"
+        f"      kube_tag_prefix: '{prefix}'\n"
+        f"      kube_meta_preload_cache_dir: {cache}\n"
+        "      merge_log: on\n"
+        "      merge_log_schema: 'msg string, code string'\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    row = run.frame.first()
+    k = row["kubernetes"]
+    assert k["pod_name"] == "base" and k["namespace_name"] == "core"
+    assert k["container_name"] == "fluent-bit"
+    assert k["docker_id"] == docker_id
+    assert k["pod_ip"] == "100.116.192.42" and k["host"] == "node-1"
+    assert k["labels"]["app"] == "fb"
+    assert k["container_image"] == "fluent/fluent-bit:latest"
+    assert row["msg"] == "boot" and row["code"] == "200"
