@@ -843,6 +843,32 @@ def _apply_filter(
             df = df.withColumn(new, F.when(cond, F.col(f"`{k}`")))
         return df
 
+    if name == "checklist":
+        # filter_checklist (checklist.c config map: file, lookup_key,
+        # record K V, mode exact|partial, ignore_case): the file carries
+        # one value per line, blanks and '#' comments skipped
+        from .enrich import checklist_annotate
+
+        path = s.get("file")
+        if not path:
+            raise ValueError("filter checklist: file is required")
+        with open(path) as fh:
+            vals = [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        recs = [tuple(split_quoted(v)[:2]) for v in s.get_all("record")]
+        out = checklist_annotate(
+            df,
+            vals,
+            lookup_key=s.get("lookup_key", "log"),
+            records=recs or (("flagged", "true"),),
+            mode=s.get("mode", "exact"),
+            ignore_case=_bool(s.get("ignore_case", "false")),
+        )
+        return out
+
     if name == "kubernetes":
         # filter_kubernetes via the reference's own offline metadata path:
         # Kube_meta_preload_cache_dir holds {namespace}_{pod}.meta JSON

@@ -172,36 +172,48 @@ def checklist_annotate(
     lookup_key: str,
     records: Sequence[tuple[str, str]] = (("flagged", "true"),),
     mode: str = "exact",
+    ignore_case: bool = False,
 ) -> DataFrame:
     """filter_checklist: annotate rows whose lookup_key matches the list.
 
     mode 'exact' mirrors the hash lookup; 'partial' matches substrings
-    (checklist.h:30-48 exact vs partial). The value list is embedded as a
-    literal array when small (pure JVM, no join) or broadcast-joined when
-    large.
+    (checklist.h:30-48 exact vs partial); ignore_case lowers both sides
+    (checklist.c ignore_case property; runtime vector
+    tests/runtime/filter_checklist.c flb_test_ignore_case). The value
+    list is embedded as a literal array when small (pure JVM, no join)
+    or broadcast-joined when large.
     """
     c = F.col(lookup_key)
     vals = list(values)
+    if ignore_case:
+        c = F.lower(c)
+        vals = [v.lower() for v in vals]
     if mode == "exact":
         if len(vals) <= 1000:
             hit = c.isin(vals)
         else:
             spark = df.sparkSession
-            dim = spark.createDataFrame([(v,) for v in vals], f"{lookup_key} string")
+            dim = spark.createDataFrame([(v,) for v in vals], "__ck string")
             marked = dim.withColumn("__hit", F.lit(True))
-            df = df.join(broadcast(marked), lookup_key, "left")
+            df = df.join(
+                broadcast(marked), c == F.col("__ck"), "left"
+            )
             hit = F.coalesce(F.col("__hit"), F.lit(False))
             out = df
             for k, v in records:
-                out = out.withColumn(k, F.when(hit, F.lit(v)))
-            return out.drop("__hit")
+                old = F.col(f"`{k}`") if k in out.columns else F.lit(None)
+                out = out.withColumn(k, F.when(hit, F.lit(v)).otherwise(old))
+            return out.drop("__hit", "__ck")
     else:
         hit = F.lit(False)
         for v in vals:
             hit = hit | c.contains(v)
     out = df
     for k, v in records:
-        out = out.withColumn(k, F.when(hit, F.lit(v)))
+        # record K V only rewrites MATCHED rows (checklist.c:501-541);
+        # an existing key keeps its value elsewhere
+        old = F.col(f"`{k}`") if k in out.columns else F.lit(None)
+        out = out.withColumn(k, F.when(hit, F.lit(v)).otherwise(old))
     return out
 
 

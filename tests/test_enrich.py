@@ -126,3 +126,48 @@ def test_ip_to_long_malformed_inputs_null(spark):
     assert got["1.2.3.x"] is None
     assert got["1.2.3.999"] is None
     assert got["1.2.3"] is None
+
+
+def test_checklist_runtime_vectors(spark, tmp_path):
+    """tests/runtime/filter_checklist.c: lookup_key / ignore_case /
+    mode partial vectors through the config surface; record K V rewrites
+    only matched rows (checklist.c:501-541)."""
+    from fluent_bit_spark.config import run_config
+
+    lst = tmp_path / "check.list"
+    lst.write_text("malicious word\nconfidential\n")
+    conf = (
+        "[INPUT]\n"
+        "    Name   dummy\n"
+        '    Dummy  {{"secret": "{val}"}}\n'
+        "    Samples 1\n"
+        "    Tag    t\n"
+        "\n"
+        "[FILTER]\n"
+        "    Name        checklist\n"
+        "    Match       *\n"
+        f"    File        {lst}\n"
+        "    Lookup_key  secret\n"
+        '    Record      "secret" "----"\n'
+        "{extra}"
+        "\n"
+        "[OUTPUT]\n"
+        "    Name   null\n"
+        "    Match  *\n"
+    )
+
+    def run(val, extra, sub):
+        r = run_config(spark, conf.format(val=val, extra=extra), str(tmp_path / sub))
+        return r.frame.first()["secret"]
+
+    # flb_test_lookup_key(s): matched values rewrite to ----
+    assert run("malicious word", "", "a") == "----"
+    assert run("confidential", "", "b") == "----"
+    # unmatched rows keep the original value
+    assert run("harmless", "", "c") == "harmless"
+    # flb_test_ignore_case
+    assert run("MALICIOUS WORD", "    Ignore_case true\n", "d") == "----"
+    assert run("MALICIOUS WORD", "", "e") == "MALICIOUS WORD"
+    # flb_test_mode_partial
+    assert run("xx confidential yy", "    Mode partial\n", "f") == "----"
+    assert run("xx confidential yy", "", "g") == "xx confidential yy"
