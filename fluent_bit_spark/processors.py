@@ -154,6 +154,17 @@ def probabilistic_sample(
 # ---------------------------------------------------------------------------
 
 
+# kubernetes_mode's fixed label set (log_to_metrics.c:42-49), read from
+# the nested `kubernetes` map filter_kubernetes attaches
+KUBERNETES_LABEL_KEYS = (
+    "namespace_name",
+    "pod_name",
+    "container_name",
+    "docker_id",
+    "pod_id",
+)
+
+
 @dataclass(frozen=True)
 class LogToMetricsSpec:
     mode: str  # counter | gauge | histogram
@@ -162,6 +173,9 @@ class LogToMetricsSpec:
     match_field: Optional[str] = None
     match_regex: Optional[str] = None
     buckets: Sequence[float] = (1.0, 5.0, 10.0, 50.0)
+    # log_to_metrics.c:246-255 kubernetes_mode: prepend the 5 fixed k8s
+    # labels extracted from the record's `kubernetes` map
+    kubernetes_mode: bool = False
 
 
 def log_to_metrics(df: DataFrame, spec: LogToMetricsSpec) -> DataFrame:
@@ -172,6 +186,11 @@ def log_to_metrics(df: DataFrame, spec: LogToMetricsSpec) -> DataFrame:
             F.coalesce(F.col(spec.match_field).cast("string").rlike(spec.match_regex), F.lit(False))
         )
     labels = [F.col(c) for c in spec.label_fields]
+    if spec.kubernetes_mode:
+        k = F.col("kubernetes")
+        labels = [
+            k[name].alias(name) for name in KUBERNETES_LABEL_KEYS
+        ] + labels
     if spec.mode == "counter":
         return df.groupBy(*labels).agg(F.count(F.lit(1)).alias("metric_value"))
     if spec.mode == "gauge":

@@ -338,3 +338,42 @@ def test_probabilistic_sample_dirty_ids(spark):
     assert got == sorted(["42", "deadbeef-span", str(2**62)])
     assert kept_all.count() == 3  # the null id is dropped even at 100%
     assert probabilistic_sample(df, 0.0, "trace_id").count() == 0
+
+
+def test_log_to_metrics_kubernetes_mode(spark):
+    """tests/runtime/filter_log_to_metrics.c counter_k8s /
+    counter_k8s_two_tuples: kubernetes_mode prepends the five fixed k8s
+    labels (log_to_metrics.c:42-49) read from the nested kubernetes map;
+    distinct pods count separately."""
+    from fluent_bit_spark.processors import LogToMetricsSpec, log_to_metrics
+
+    k1 = {"namespace_name": "k8s-dummy", "pod_name": "testpod",
+          "container_name": "mycontainer", "docker_id": "abc123",
+          "pod_id": "def456"}
+    k2 = dict(k1, pod_name="otherpod", pod_id="xyz789")
+    df = spark.createDataFrame(
+        [("hello", k1, "red"), ("hello", k1, "blue"), ("hello", k2, "red")],
+        "message string, kubernetes map<string,string>, color string",
+    )
+    out = log_to_metrics(
+        df,
+        LogToMetricsSpec(
+            mode="counter", kubernetes_mode=True,
+            match_field="message", match_regex=".*ell.*",
+        ),
+    )
+    rows = {r["pod_name"]: r for r in out.collect()}
+    assert rows["testpod"]["metric_value"] == 2
+    assert rows["otherpod"]["metric_value"] == 1
+    assert rows["testpod"]["namespace_name"] == "k8s-dummy"
+    assert rows["otherpod"]["pod_id"] == "xyz789"
+    # extra label fields compose after the k8s set (two_tuples shape)
+    out2 = log_to_metrics(
+        df,
+        LogToMetricsSpec(
+            mode="counter", kubernetes_mode=True, label_fields=("color",),
+        ),
+    )
+    got = {(r["pod_name"], r["color"]): r["metric_value"] for r in out2.collect()}
+    assert got == {("testpod", "red"): 1, ("testpod", "blue"): 1,
+                   ("otherpod", "red"): 1}
