@@ -550,6 +550,24 @@ def _build_input(
         if not files:
             raise ValueError(f"in_tail: Path matched no files: {path!r}")
         key = s.get("key", "log")
+        # absolute real paths: the per-file tag map and the reference's
+        # record path both derive from what the scanner resolved
+        files = [os.path.abspath(f) for f in files]
+
+        def _empty_tail() -> DataFrame:
+            # an in_tail input with nothing to read produces zero
+            # records, not an error — with the SAME schema the populated
+            # path would have (a downstream filter on parser columns
+            # must still resolve)
+            empty = spark.createDataFrame([], f"`{key}` string, tag string")
+            pk = s.get("path_key")
+            if pk:
+                empty = empty.withColumn(pk, F.lit(None).cast("string"))
+            pn = s.get("parser")
+            if pn:
+                empty = parsers[pn].apply(empty, key, ts_col="ts")
+            return empty
+
         ignore_older = s.get("ignore_older")
         if ignore_older:
             # tail_scan_glob.c:246-252: files whose mtime is older than
@@ -560,14 +578,16 @@ def _build_input(
             cutoff = _time.time() - parse_interval(ignore_older)
             files = [f for f in files if os.stat(f).st_mtime >= cutoff]
             if not files:
-                empty = spark.createDataFrame([], f"`{key}` string, tag string")
-                pk = s.get("path_key")
-                return empty.withColumn(pk, F.lit(None).cast("string")) if pk else empty
+                return _empty_tail()
 
-        def _long_line_policy(frame: DataFrame, line_col: str) -> DataFrame:
+        def _long_line_policy(
+            frame: DataFrame, line_col: str, order_col: str
+        ) -> DataFrame:
             # tail_file.c:1639-1656: a line that fills Buffer_Max_Size
             # without a newline is SKIPPED when Skip_Long_Lines is on;
-            # with it off the whole FILE errors out ("Skipping file")
+            # with it off the file errors out ("Skipping file") — but
+            # only AFTER the lines already consumed were emitted, so the
+            # batch shape keeps everything before the first long line
             bms = s.get("buffer_max_size")
             if not bms:
                 return frame
@@ -578,10 +598,12 @@ def _build_input(
                 return frame.filter(~too_long)
             from pyspark.sql import Window as _W
 
-            file_bad = F.max(too_long.cast("int")).over(_W.partitionBy("file"))
-            return frame.withColumn("__bad", file_bad).filter(
-                F.col("__bad") == 0
-            ).drop("__bad")
+            first_bad = F.min(
+                F.when(too_long, F.col(order_col))
+            ).over(_W.partitionBy("file"))
+            return frame.withColumn("__fb", first_bad).filter(
+                F.col("__fb").isNull() | (F.col(order_col) < F.col("__fb"))
+            ).drop("__fb")
 
         ml = s.get("multiline.parser")
         if ml:
@@ -604,15 +626,18 @@ def _build_input(
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 lines = lines.filter(F.length(key) > 0)
-            lines = _long_line_policy(lines, key)
+            lines = _long_line_policy(lines, key, "line_no")
             if set(names) <= {"docker", "cri"} and names:
                 # the container chain ('docker, cri' or either alone):
                 # per-line classification + per-(file, class, stream)
                 # partial joining (tests/internal/multiline.c
-                # container_mix / docker_cri_chain vectors)
-                df = sessionize_container(
-                    lines, line_col=key, out_col="__ml"
-                ).drop("klass")
+                # container_mix / docker_cri_chain vectors). The stream
+                # attribution keeps the record key the runtimes use
+                df = (
+                    sessionize_container(lines, line_col=key, out_col="__ml")
+                    .withColumnRenamed("iostream", "stream")
+                    .drop("klass")
+                )
             elif len(names) != 1:
                 raise ValueError(
                     "multiline.parser: one parser per input supported "
@@ -629,23 +654,36 @@ def _build_input(
             df = df.withColumnRenamed("__ml", key).drop("first_line_no", "n_lines")
         else:
             df = spark.read.text(files).select(
-                F.input_file_name().alias("file"), F.col("value").alias(key)
+                F.input_file_name().alias("file"),
+                F.monotonically_increasing_id().alias("__ln"),
+                F.col("value").alias(key),
             )
             if _bool(s.get("skip_empty_lines", "false")):
                 df = df.filter(F.length(key) > 0)
-            df = _long_line_policy(df, key)
+            df = _long_line_policy(df, key, "__ln").drop("__ln")
+        # input_file_name is a file:// URI with percent-encoding locally;
+        # decode back to the plain absolute path the scanner resolved so
+        # the per-file tag map and path_key match (spaces etc. included)
+        plain = F.url_decode(F.regexp_replace("file", "^file://", ""))
         path_key = s.get("path_key")
         if path_key:
-            # input_file_name is a file:// URI locally; records carry
-            # the plain path like the reference
-            df = df.withColumn(path_key, F.regexp_replace("file", "^file://", ""))
+            df = df.withColumn(path_key, plain)
         tag_regex = s.get("tag_regex")
         if tag_regex or "*" in tag:
             # dynamic per-file tags (tail_file.c tag_compose): the file
             # list is known at build time, so compose driver-side and
-            # attach via a literal map on the file column (stays codegen)
-            per_file = {f: tail_tag_compose(tag, f, tag_regex) for f in files}
-            plain = F.regexp_replace("file", "^file://", "")
+            # attach via a literal map on the file column (stays
+            # codegen). A Tag_Regex non-match skips THAT file, like the
+            # reference's flb_plg_error + continue (tail_file.c:876-881)
+            per_file = {}
+            for f in files:
+                try:
+                    per_file[f] = tail_tag_compose(tag, f, tag_regex)
+                except ValueError:
+                    continue
+            if not per_file:
+                return _empty_tail()
+            df = df.filter(plain.isin(list(per_file)))
             tag_map = F.create_map(
                 *[F.lit(x) for kv in per_file.items() for x in kv]
             )
@@ -782,12 +820,16 @@ def _apply_filter(
         # whole rule chain only when all conditions hold)
         cond = gate
         for v in s.get_all("condition"):
-            # quoted tokens keep embedded spaces (flb_utils_split_quoted;
-            # tests/runtime/filter_modify.c issue_1225)
-            parts = split_quoted(v)
+            # quoted tokens keep embedded spaces (flb_utils_split_quoted
+            # with max_split=3; tests/runtime/filter_modify.c issue_1225);
+            # more than 3 tokens is 'Invalid config' (modify.c:171-182) —
+            # unquoted values with spaces are rejected, not joined
+            parts = split_quoted(v, 3)
+            if len(parts) < 2 or len(parts) > 3:
+                raise ValueError(f"Invalid config for condition: {v!r}")
             ctype = parts[0].lower()
             key = parts[1]
-            val = " ".join(parts[2:]) if len(parts) > 2 else None
+            val = parts[2] if len(parts) == 3 else None
             c = F.col(f"`{key}`") if key in df.columns else F.lit(None)
             if ctype == "key_exists":
                 cond = cond & c.isNotNull()
@@ -800,8 +842,15 @@ def _apply_filter(
             else:
                 raise ValueError(f"unsupported modify condition {ctype}")
         def _kv(v: str) -> tuple[str, str]:
-            parts = split_quoted(v)
-            return parts[0], " ".join(parts[1:])
+            # rule values split the same way (modify.c:171-182): exactly
+            # key + value; values with spaces must be quoted
+            parts = split_quoted(v, 3)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"Invalid config for modify rule: {v!r} "
+                    "(quote values containing spaces)"
+                )
+            return parts[0], parts[1]
 
         for v in s.get_all("set"):
             k, val = _kv(v)
@@ -827,7 +876,7 @@ def _apply_filter(
             elif k in df.columns:
                 df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("rename"):
-            k, new = split_quoted(v)[:2]
+            k, new = _kv(v)
             # modify.c RENAME is a no-op when the target key already
             # exists (only HARD_RENAME overwrites) — and the gated form
             # must not null the destination on non-matching rows
@@ -839,7 +888,7 @@ def _apply_filter(
                 df = df.withColumn(new, F.when(cond, F.col(k)))
                 df = df.withColumn(k, F.when(cond, F.lit(None)).otherwise(F.col(k)))
         for v in s.get_all("copy") + s.get_all("hard_copy"):
-            k, new = split_quoted(v)[:2]
+            k, new = _kv(v)
             df = df.withColumn(new, F.when(cond, F.col(f"`{k}`")))
         return df
 

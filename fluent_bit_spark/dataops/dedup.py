@@ -803,7 +803,9 @@ def connected_components(
     doubles per round and the driver OOMs stringifying it around round
     20; checkpointing truncates lineage to the materialized blocks. Dup
     clusters are small and shallow in practice; the pointer jump keeps
-    pathological chains cheap. Returns (out_id, out_comp) for every
+    pathological chains cheap. Old rounds' checkpoint blocks are
+    released by the ContextCleaner once their python references drop
+    (each round rebinds `labels`). Returns (out_id, out_comp) for every
     node appearing in `pairs`, component id = the minimum node id of
     the cluster.
     """

@@ -218,6 +218,13 @@ def unigram_logprob_quality(
     default shuffle join is the 100-TB-safe path (vocab of raw web text
     can exceed broadcast limits).
 
+    Lifecycle note: the persisted frequency table stays cached for the
+    session (the returned frame still reads it lazily, so this function
+    cannot unpersist it). Long-lived drivers making repeated calls
+    should spark.catalog.clearCache() between runs — also the benching
+    rule from the build notes (the CacheManager matches persisted plans
+    by logical plan).
+
     Returns (id_col, n_scored_tokens, lm_logprob).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok"))

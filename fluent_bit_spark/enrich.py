@@ -188,6 +188,10 @@ def checklist_annotate(
     if ignore_case:
         c = F.lower(c)
         vals = [v.lower() for v in vals]
+    # the reference's hash table dedups inherently; a duplicated line in
+    # the checklist file must not duplicate matching records through the
+    # broadcast join
+    vals = list(dict.fromkeys(vals))
     if mode == "exact":
         if len(vals) <= 1000:
             hit = c.isin(vals)

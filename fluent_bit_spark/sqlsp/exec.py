@@ -232,9 +232,9 @@ class StaticBinding:
 
     def numeric(self, v: FBVal) -> Column:
         if v.ftype == FB_STRING:
-            from ..semantics import str_to_num
-
-            return str_to_num(v.col)
+            # aggregate/GROUP BY entry goes through object_to_number,
+            # which carries the 19-char guard (flb_sp.c:380-383)
+            return str_to_num(v.col, cap19=True)
         return v.col.cast("double")
 
     def group_expr(self, v: FBVal) -> Column:

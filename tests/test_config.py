@@ -907,9 +907,11 @@ def test_tail_skip_long_lines_and_ignore_older(spark, tmp_path):
     assert sorted(r["log"] for r in run.frame.collect()) == [
         "also short", "short", "tiny",
     ]
-    # off: the whole file with the long line drops
+    # off: the file errors out AT the long line — lines the reference
+    # already consumed before it stay emitted (tail_file.c
+    # process_content runs before the overflow check)
     run = run_config(spark, base.format(extra=""), str(tmp_path / "o2"))
-    assert sorted(r["log"] for r in run.frame.collect()) == ["tiny"]
+    assert sorted(r["log"] for r in run.frame.collect()) == ["short", "tiny"]
 
     # ignore_older: age a.log beyond the horizon
     old = _time.time() - 3600
@@ -1044,3 +1046,61 @@ def test_kubernetes_filter_e2e(spark, tmp_path):
     assert k["labels"]["app"] == "fb"
     assert k["container_image"] == "fluent/fluent-bit:latest"
     assert row["msg"] == "boot" and row["code"] == "200"
+
+
+def test_tail_dynamic_tag_relative_path_and_regex_miss(spark, tmp_path, monkeypatch):
+    """Review findings: the per-file tag map must key by the resolved
+    absolute path even when Path is relative (input_file_name returns
+    an absolute URI), and a Tag_Regex non-match skips only that file
+    (tail_file.c:876-881), not the pipeline."""
+    import os as _os
+
+    from fluent_bit_spark.config import run_config
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "good.log").write_text("g1\n")
+    (d / "BAD.log").write_text("b1\n")
+    monkeypatch.chdir(tmp_path)
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        "      path: logs/*.log\n"            # relative on purpose
+        "      tag: 'svc.<name>'\n"
+        "      tag_regex: '/(?<name>[a-z]+)\\.log$'\n"  # misses BAD.log
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    got = sorted((r["tag"], r["log"]) for r in run.frame.collect())
+    assert got == [("svc.good", "g1")]
+
+
+def test_modify_rejects_unquoted_multiword_values(spark, tmp_path):
+    """modify.c:171-182: more than 3 tokens after quote-aware splitting
+    is 'Invalid config' — unquoted values with spaces are rejected, not
+    silently joined."""
+    import pytest as _p
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "[INPUT]\n"
+        "    Name   dummy\n"
+        '    Dummy  {"k": "v"}\n'
+        "    Samples 1\n"
+        "    Tag    t\n"
+        "\n"
+        "[FILTER]\n"
+        "    Name   modify\n"
+        "    Match  *\n"
+        "    Set    msg hello big world\n"
+        "\n"
+        "[OUTPUT]\n"
+        "    Name   null\n"
+        "    Match  *\n"
+    )
+    with _p.raises(ValueError, match="Invalid config"):
+        run_config(spark, conf, str(tmp_path / "o"))
