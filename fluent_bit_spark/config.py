@@ -593,7 +593,25 @@ def _build_input(
                 return frame
             from .streaming import _parse_size
 
-            too_long = F.octet_length(F.col(line_col)) >= _parse_size(bms)
+            limit = _parse_size(bms)
+            too_long = F.octet_length(F.col(line_col)) >= limit
+            if _bool(s.get("truncate_long_lines", "false")):
+                # in_tail truncate_long_lines: the long line is emitted
+                # truncated to the buffer size instead of skipped
+                # (tests/runtime/in_tail.c:1063 expects before +
+                # truncated + after). Byte-exact slice; a codepoint cut
+                # at the boundary drops (lossy U+FFFD repair stripped at
+                # the end — the reference truncates AT a UTF-8 boundary)
+                sliced = F.make_valid_utf8(
+                    F.expr(
+                        f"substr(cast(`{line_col}` as binary), 1, {limit})"
+                    ).cast("string")
+                )
+                sliced = F.regexp_replace(sliced, "�+$", "")
+                return frame.withColumn(
+                    line_col,
+                    F.when(too_long, sliced).otherwise(F.col(line_col)),
+                )
             if _bool(s.get("skip_long_lines", "false")):
                 return frame.filter(~too_long)
             from pyspark.sql import Window as _W

@@ -1104,3 +1104,39 @@ def test_modify_rejects_unquoted_multiword_values(spark, tmp_path):
     )
     with _p.raises(ValueError, match="Invalid config"):
         run_config(spark, conf, str(tmp_path / "o"))
+
+
+def test_tail_truncate_long_lines(spark, tmp_path):
+    """tests/runtime/in_tail.c flb_test_in_tail_truncate_long_lines(+_utf8):
+    truncate_long_lines emits the long line truncated to Buffer_Max_Size
+    (before + truncated + after = 3 records), never splitting a UTF-8
+    codepoint at the boundary."""
+    from fluent_bit_spark.config import run_config
+
+    long_line = "x" * 100
+    # é is 2 bytes; place one straddling the 32-byte boundary
+    utf8_line = "a" * 31 + "é" + "b" * 40
+    (tmp_path / "t.log").write_text(
+        f"before_long_line\n{long_line}\n{utf8_line}\nafter_long_line\n",
+        encoding="utf-8",
+    )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/t.log\n"
+        "      buffer_max_size: 32\n"
+        "      truncate_long_lines: on\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    got = sorted(r["log"] for r in run.frame.collect())
+    assert got == sorted([
+        "before_long_line",
+        "x" * 32,
+        "a" * 31,  # the é would split at byte 32 -> dropped whole
+        "after_long_line",
+    ])
