@@ -83,6 +83,34 @@ class Section:
 _ENV_PAT = re.compile(r"\$\{([^}]+)\}")
 
 
+# generic.encoding / unicode.encoding names (src/unicode/flb_conv.c
+# converter registry + tail_config.c:199-222) -> python codec names
+_ENCODINGS = {
+    "shiftjis": "shift_jis",
+    "sjis": "shift_jis",
+    "gb18030": "gb18030",
+    "gbk": "gbk",
+    "uhc": "cp949",
+    "big5": "big5",
+    "win866": "cp866",
+    "win874": "cp874",
+    "win1250": "cp1250",
+    "win1251": "cp1251",
+    "win1252": "cp1252",
+    "win1253": "cp1253",
+    "win1254": "cp1254",
+    "win1255": "cp1255",
+    "win1256": "cp1256",
+    "win1257": "cp1257",
+    "win1258": "cp1258",
+    "utf-16le": "utf-16-le",
+    "utf16-le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    "utf16-be": "utf-16-be",
+    "auto": "utf-16",  # BOM-sniffing, the unicode.encoding auto mode
+}
+
+
 def tail_tag_compose(tag: str, fname: str, tag_regex: Optional[str] = None) -> str:
     """in_tail dynamic tag composition (tail_file.c:852-1010 tag_compose).
 
@@ -623,6 +651,53 @@ def _build_input(
                 F.col("__fb").isNull() | (F.col(order_col) < F.col("__fb"))
             ).drop("__fb")
 
+        enc = s.get("generic.encoding") or s.get("unicode.encoding")
+        if s.get("generic.encoding") and s.get("unicode.encoding"):
+            # tail_config.c:239-246
+            raise ValueError(
+                "'unicode.encoding' and 'generic.encoding' cannot be "
+                "specified at the same time"
+            )
+
+        def _read_lines() -> DataFrame:
+            """(file, line_no, <key>) rows. UTF-8 files go through the
+            native text source; generic.encoding / unicode.encoding
+            (tail_config.c:199-237; converters src/unicode/flb_conv.c)
+            read as binaryFile and decode per file in one Arrow-batched
+            pass — file-level parallelism, the reference's own unit."""
+            if not enc:
+                return spark.read.text(files).select(
+                    F.input_file_name().alias("file"),
+                    F.monotonically_increasing_id().alias("line_no"),
+                    F.col("value").alias(key),
+                )
+            codec = _ENCODINGS.get(enc.lower().replace("_", "-"))
+            if codec is None:
+                raise ValueError(f"invalid encoding value {enc!r}")
+
+            def _decode(batches):
+                import pandas as pd
+                from urllib.parse import unquote, urlparse
+
+                for pdf in batches:
+                    out = {"file": [], "line_no": [], key: []}
+                    for path, content in zip(pdf["path"], pdf["content"]):
+                        plain_path = unquote(urlparse(path).path)
+                        text = bytes(content).decode(codec, errors="replace")
+                        rows = text.split("\n")
+                        if rows and rows[-1] == "":
+                            rows.pop()
+                        for i, ln in enumerate(rows):
+                            out["file"].append(plain_path)
+                            out["line_no"].append(i)
+                            out[key].append(ln.rstrip("\r"))
+                    yield pd.DataFrame(out)
+
+            raw = spark.read.format("binaryFile").load(files)
+            return raw.select("path", "content").mapInPandas(
+                _decode, f"file string, line_no long, `{key}` string"
+            )
+
         ml = s.get("multiline.parser")
         if ml:
             # in_tail multiline.parser: join lines into logical records
@@ -637,11 +712,7 @@ def _build_input(
             )
 
             names = [x.strip() for x in ml.split(",") if x.strip()]
-            lines = spark.read.text(files).select(
-                F.input_file_name().alias("file"),
-                F.monotonically_increasing_id().alias("line_no"),
-                F.col("value").alias(key),
-            )
+            lines = _read_lines()
             if _bool(s.get("skip_empty_lines", "false")):
                 lines = lines.filter(F.length(key) > 0)
             lines = _long_line_policy(lines, key, "line_no")
@@ -671,18 +742,18 @@ def _build_input(
                 raise ValueError(f"unknown multiline.parser {names[0]!r}")
             df = df.withColumnRenamed("__ml", key).drop("first_line_no", "n_lines")
         else:
-            df = spark.read.text(files).select(
-                F.input_file_name().alias("file"),
-                F.monotonically_increasing_id().alias("__ln"),
-                F.col("value").alias(key),
-            )
+            df = _read_lines()
             if _bool(s.get("skip_empty_lines", "false")):
                 df = df.filter(F.length(key) > 0)
-            df = _long_line_policy(df, key, "__ln").drop("__ln")
+            df = _long_line_policy(df, key, "line_no").drop("line_no")
         # input_file_name is a file:// URI with percent-encoding locally;
         # decode back to the plain absolute path the scanner resolved so
-        # the per-file tag map and path_key match (spaces etc. included)
-        plain = F.url_decode(F.regexp_replace("file", "^file://", ""))
+        # the per-file tag map and path_key match (spaces etc. included).
+        # The encoding reader already emits plain paths — pass through.
+        plain = F.when(
+            F.col("file").startswith("file:"),
+            F.url_decode(F.regexp_replace("file", "^file://", "")),
+        ).otherwise(F.col("file"))
         path_key = s.get("path_key")
         if path_key:
             df = df.withColumn(path_key, plain)

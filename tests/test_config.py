@@ -1140,3 +1140,56 @@ def test_tail_truncate_long_lines(spark, tmp_path):
         "a" * 31,  # the é would split at byte 32 -> dropped whole
         "after_long_line",
     ])
+
+
+def test_tail_generic_and_unicode_encoding(spark, tmp_path):
+    """in_tail generic.encoding / unicode.encoding
+    (tests/runtime/in_tail.c enc_* and utf16* tests): non-UTF-8 files
+    decode to UTF-8 records; both options together are a config error
+    (tail_config.c:239-246)."""
+    import pytest as _p
+
+    from fluent_bit_spark.config import run_config
+
+    sj = tmp_path / "sjis.log"
+    sj.write_bytes("こんにちは\nworld\n".encode("shift_jis"))
+    w = tmp_path / "win.log"
+    w.write_bytes("caf\xe9 ole\n".encode("cp1252"))
+    u16 = tmp_path / "u16.log"
+    u16.write_bytes("utf sixteen\nline two\n".encode("utf-16-le"))
+
+    def conf(path, opt, val):
+        return (
+            "pipeline:\n"
+            "  inputs:\n"
+            "    - name: tail\n"
+            f"      path: {path}\n"
+            f"      {opt}: {val}\n"
+            "      tag: t\n"
+            "  outputs:\n"
+            "    - name: null\n"
+            "      match: '*'\n"
+        )
+
+    r = run_config(spark, conf(sj, "generic.encoding", "ShiftJIS"),
+                   str(tmp_path / "o1"))
+    assert sorted(x["log"] for x in r.frame.collect()) == ["world", "こんにちは"]
+
+    r = run_config(spark, conf(w, "generic.encoding", "Win1252"),
+                   str(tmp_path / "o2"))
+    assert [x["log"] for x in r.frame.collect()] == ["café ole"]
+
+    r = run_config(spark, conf(u16, "unicode.encoding", "utf-16le"),
+                   str(tmp_path / "o3"))
+    assert sorted(x["log"] for x in r.frame.collect()) == [
+        "line two", "utf sixteen",
+    ]
+
+    with _p.raises(ValueError, match="invalid encoding"):
+        run_config(spark, conf(sj, "generic.encoding", "klingon"),
+                   str(tmp_path / "o4"))
+    bad = conf(sj, "generic.encoding", "ShiftJIS").replace(
+        "      tag: t\n", "      unicode.encoding: utf-16le\n      tag: t\n"
+    )
+    with _p.raises(ValueError, match="at the same time"):
+        run_config(spark, bad, str(tmp_path / "o5"))
