@@ -699,6 +699,12 @@ def _build_input(
             )
 
         ml = s.get("multiline.parser")
+        if not ml and _bool(s.get("docker_mode", "false")):
+            # Docker_Mode On (tail_dockermode.c; runtime vectors
+            # tests/runtime/in_tail.c flb_test_in_tail_dockermode*):
+            # joins split docker JSON events — the docker class of the
+            # container chain
+            ml = "docker"
         if ml:
             # in_tail multiline.parser: join lines into logical records
             # BEFORE any parser. Batch ordering: text splits are read in

@@ -1193,3 +1193,30 @@ def test_tail_generic_and_unicode_encoding(spark, tmp_path):
     )
     with _p.raises(ValueError, match="at the same time"):
         run_config(spark, bad, str(tmp_path / "o5"))
+
+
+def test_tail_docker_mode(spark, tmp_path):
+    """Docker_Mode On (tests/runtime/in_tail.c dockermode*): split docker
+    JSON events join until the log value ends in a newline."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "d.log").write_text(
+        '{"log": "part one ", "stream": "stdout", "time": "t1"}\n'
+        '{"log": "part two\\n", "stream": "stdout", "time": "t2"}\n'
+        '{"log": "whole\\n", "stream": "stdout", "time": "t3"}\n'
+    )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/d.log\n"
+        "      docker_mode: on\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    assert sorted(r["log"] for r in run.frame.collect()) == [
+        "part one part two\n", "whole\n",
+    ]
