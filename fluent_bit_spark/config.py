@@ -83,9 +83,10 @@ class Section:
 _ENV_PAT = re.compile(r"\$\{([^}]+)\}")
 
 
-# generic.encoding / unicode.encoding names (src/unicode/flb_conv.c
-# converter registry + tail_config.c:199-222) -> python codec names
-_ENCODINGS = {
+# generic.encoding names (src/unicode/flb_conv.c converter registry) and
+# unicode.encoding names (tail_config.c:199-222) -> python codecs. The
+# two options validate against their OWN table, like the reference.
+_GENERIC_ENCODINGS = {
     "shiftjis": "shift_jis",
     "sjis": "shift_jis",
     "gb18030": "gb18030",
@@ -103,11 +104,13 @@ _ENCODINGS = {
     "win1256": "cp1256",
     "win1257": "cp1257",
     "win1258": "cp1258",
+}
+_UNICODE_ENCODINGS = {
     "utf-16le": "utf-16-le",
     "utf16-le": "utf-16-le",
     "utf-16be": "utf-16-be",
     "utf16-be": "utf-16-be",
-    "auto": "utf-16",  # BOM-sniffing, the unicode.encoding auto mode
+    "auto": "utf-16",  # BOM-sniffing
 }
 
 
@@ -627,15 +630,23 @@ def _build_input(
                 # in_tail truncate_long_lines: the long line is emitted
                 # truncated to the buffer size instead of skipped
                 # (tests/runtime/in_tail.c:1063 expects before +
-                # truncated + after). Byte-exact slice; a codepoint cut
-                # at the boundary drops (lossy U+FFFD repair stripped at
-                # the end — the reference truncates AT a UTF-8 boundary)
+                # truncated + after). Byte-exact slice; when the cut
+                # lands MID-codepoint (the next source byte is a UTF-8
+                # continuation byte 0x80-0xBF) the partial codepoint
+                # drops — exactly one trailing replacement char from the
+                # lossy repair, and ONLY then, so genuine U+FFFD content
+                # already in the record survives
+                bin_line = f"cast(`{line_col}` as binary)"
                 sliced = F.make_valid_utf8(
-                    F.expr(
-                        f"substr(cast(`{line_col}` as binary), 1, {limit})"
-                    ).cast("string")
+                    F.expr(f"substr({bin_line}, 1, {limit})").cast("string")
                 )
-                sliced = F.regexp_replace(sliced, "�+$", "")
+                nxt = F.expr(f"hex(substr({bin_line}, {limit + 1}, 1))")
+                cut_mid = (
+                    F.octet_length(F.col(line_col)) > limit
+                ) & nxt.between("80", "BF")
+                sliced = F.when(
+                    cut_mid, F.regexp_replace(sliced, "�$", "")
+                ).otherwise(sliced)
                 return frame.withColumn(
                     line_col,
                     F.when(too_long, sliced).otherwise(F.col(line_col)),
@@ -671,11 +682,18 @@ def _build_input(
                     F.monotonically_increasing_id().alias("line_no"),
                     F.col("value").alias(key),
                 )
-            codec = _ENCODINGS.get(enc.lower().replace("_", "-"))
+            table = (
+                _GENERIC_ENCODINGS
+                if s.get("generic.encoding")
+                else _UNICODE_ENCODINGS
+            )
+            codec = table.get(enc.lower().replace("_", "-"))
             if codec is None:
                 raise ValueError(f"invalid encoding value {enc!r}")
 
             def _decode(batches):
+                import re as _re
+
                 import pandas as pd
                 from urllib.parse import unquote, urlparse
 
@@ -684,13 +702,17 @@ def _build_input(
                     for path, content in zip(pdf["path"], pdf["content"]):
                         plain_path = unquote(urlparse(path).path)
                         text = bytes(content).decode(codec, errors="replace")
-                        rows = text.split("\n")
+                        # the native text reader terminates lines on
+                        # \n, \r\n AND lone \r (Hadoop LineRecordReader)
+                        # — same bytes must yield the same records
+                        # through either reader
+                        rows = _re.split("\r\n|\r|\n", text)
                         if rows and rows[-1] == "":
                             rows.pop()
                         for i, ln in enumerate(rows):
                             out["file"].append(plain_path)
                             out["line_no"].append(i)
-                            out[key].append(ln.rstrip("\r"))
+                            out[key].append(ln)
                     yield pd.DataFrame(out)
 
             raw = spark.read.format("binaryFile").load(files)

@@ -447,15 +447,30 @@ def sessionize_container(
     the per-partition lag + running sum is one window."""
     line = F.col(line_col)
     is_cri = line.rlike(_CRI_LINE_RE)
-    klass = F.when(is_cri, F.lit("cri")).otherwise(F.lit("docker"))
-    iostream = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 2)).otherwise(
-        F.coalesce(F.get_json_object(line, "$.stream"), F.lit(""))
+    docker_log = F.get_json_object(line, "$.log")
+    is_docker = ~is_cri & docker_log.isNotNull()
+    # a line that is neither CRI nor a docker JSON event passes through
+    # one-per-record (tail_dockermode.c's unparseable-line ret=-1 path)
+    # in its own class so it can never glue onto an open docker buffer
+    klass = (
+        F.when(is_cri, F.lit("cri"))
+        .when(is_docker, F.lit("docker"))
+        .otherwise(F.lit("raw"))
     )
-    content = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 4)).otherwise(
-        F.coalesce(F.get_json_object(line, "$.log"), line)
+    iostream = (
+        F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 2))
+        .when(is_docker, F.coalesce(F.get_json_object(line, "$.stream"), F.lit("")))
+        .otherwise(F.lit(""))
     )
-    is_final = F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 3) == "F").otherwise(
-        content.endswith("\n")
+    content = (
+        F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 4))
+        .when(is_docker, docker_log)
+        .otherwise(line)
+    )
+    is_final = (
+        F.when(is_cri, F.regexp_extract(line, _CRI_LINE_RE, 3) == "F")
+        .when(is_docker, docker_log.endswith("\n"))
+        .otherwise(F.lit(True))
     )
     base = df.select(
         F.col(stream_col),

@@ -1220,3 +1220,95 @@ def test_tail_docker_mode(spark, tmp_path):
     assert sorted(r["log"] for r in run.frame.collect()) == [
         "part one part two\n", "whole\n",
     ]
+
+
+def test_tail_encoding_cr_and_table_separation(spark, tmp_path):
+    """Second-review fixes: the encoding reader splits lines on \\n,
+    \\r\\n AND lone \\r like the native text reader; each encoding
+    option validates against its own name table."""
+    import pytest as _p
+
+    from fluent_bit_spark.config import run_config
+
+    f = tmp_path / "cr.log"
+    f.write_bytes(b"a\rb\r\nc\n")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {f}\n"
+        "      generic.encoding: Win1252\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    r = run_config(spark, conf, str(tmp_path / "o1"))
+    assert sorted(x["log"] for x in r.frame.collect()) == ["a", "b", "c"]
+
+    with _p.raises(ValueError, match="invalid encoding"):
+        run_config(
+            spark,
+            conf.replace("generic.encoding: Win1252", "generic.encoding: utf-16le"),
+            str(tmp_path / "o2"),
+        )
+    with _p.raises(ValueError, match="invalid encoding"):
+        run_config(
+            spark,
+            conf.replace("generic.encoding: Win1252", "unicode.encoding: ShiftJIS"),
+            str(tmp_path / "o3"),
+        )
+
+
+def test_tail_docker_mode_raw_lines_pass_through(spark, tmp_path):
+    """Second-review fix: with Docker_Mode on, unparseable (non-JSON)
+    lines pass through one-per-record (tail_dockermode.c's ret=-1 path)
+    and never glue onto an open docker partial buffer."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "d.log").write_text(
+        '{"log": "part one ", "stream": "stdout", "time": "t1"}\n'
+        "plain text line\n"
+        "another raw\n"
+        '{"log": "part two\\n", "stream": "stdout", "time": "t2"}\n'
+    )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/d.log\n"
+        "      docker_mode: on\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    assert sorted(r["log"] for r in run.frame.collect()) == [
+        "another raw", "part one part two\n", "plain text line",
+    ]
+
+
+def test_tail_truncate_keeps_real_replacement_chars(spark, tmp_path):
+    """Second-review fix: truncation strips the replacement char only
+    when the cut landed mid-codepoint; genuine U+FFFD content at the
+    boundary survives."""
+    from fluent_bit_spark.config import run_config
+
+    # 29 ascii + U+FFFD (3 bytes) = exactly 32 bytes, more data follows
+    line = "a" * 29 + "�" + "b" * 20
+    (tmp_path / "t.log").write_text(line + "\n", encoding="utf-8")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/t.log\n"
+        "      buffer_max_size: 32\n"
+        "      truncate_long_lines: on\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "o"))
+    assert [r["log"] for r in run.frame.collect()] == ["a" * 29 + "�"]
