@@ -205,6 +205,10 @@ class SinkSpec:
     # fmt=gelf key overrides (struct flb_gelf_fields, flb_pack.h:112-118:
     # {host,timestamp,level,short_message,full_message}_key)
     gelf_fields: Optional[dict] = None
+    # fmt=es_bulk option overrides (out_es config map: index,
+    # write_operation, id_key, logstash_format/_prefix/_dateformat,
+    # time_key) — the offline Bulk-API payload rendering
+    es_options: Optional[dict] = None
     # out_file json_date_format / json_date_key properties (file.c config
     # map -> flb_pack_msgpack_to_json_format): when set, fmt=json writes
     # flb-shaped lines {"<date_key>":<ts>, ...record} instead of Spark's
@@ -398,7 +402,7 @@ def write_sinks(
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
             dest = f"{base_path}/{s.name}"
-            if s.fmt in ("ltsv", "plain", "template", "gelf", "out_file"):
+            if s.fmt in ("ltsv", "plain", "template", "gelf", "out_file", "es_bulk"):
                 # the observe node upstream of this projection still fires
                 if s.fmt == "out_file":
                     ts_col = s.ts_col or next(
@@ -406,6 +410,12 @@ def write_sinks(
                         None,
                     )
                     line = out_file_line(part, ts_col, tag_col)
+                elif s.fmt == "es_bulk":
+                    ts_col = s.ts_col or next(
+                        (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                        None,
+                    )
+                    line = es_bulk_lines(part, ts_col, **(s.es_options or {}))
                 elif s.fmt == "gelf":
                     from .gelffmt import gelf_line
 
@@ -622,6 +632,79 @@ def _check_delimiter(value: Optional[str]) -> Optional[str]:
     if low == "comma":
         return ","
     return None
+
+
+# strftime -> Spark datetime pattern, the subset logstash_dateformat uses
+_STRF_TO_SPARK = (
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+)
+
+
+def es_bulk_lines(
+    df: DataFrame,
+    ts_col: Optional[str],
+    index: str = "fluent-bit",
+    write_operation: str = "create",
+    id_key: Optional[str] = None,
+    logstash_format: bool = False,
+    logstash_prefix: str = "logstash",
+    logstash_prefix_separator: str = "-",
+    logstash_dateformat: str = "%Y.%m.%d",
+    time_key: str = "@timestamp",
+) -> Column:
+    """Elasticsearch Bulk API payload rendering (plugins/out_es/
+    es_bulk.h:27-30 action-line formats + es.c elasticsearch_format):
+    one ``{"<op>":{"_index":...[,"_id":...]}}\\n{record}`` pair per
+    record. Defaults mirror es.h:25-28 / the es.c config map (index
+    'fluent-bit', write_operation 'create', logstash prefix/'%Y.%m.%d').
+    upsert renders as the update op (es_conf.c:311-312); with
+    logstash_format the index is prefix + separator + the record
+    date; the record body carries time_key first (Time_Key default
+    '@timestamp') then the fields, strings escaped by the engine-wide
+    writer. The HTTP delivery itself stays delegated — this is the
+    payload a bulk loader posts."""
+    from .jsonesc import fb_json_body, fb_json_escape
+
+    op = write_operation.lower()
+    if op == "upsert":
+        op = "update"
+    if op not in ("index", "create", "update"):
+        raise ValueError(f"unknown write_operation {write_operation!r}")
+    if logstash_format:
+        if ts_col is None:
+            raise ValueError("logstash_format needs a timestamp column")
+        fmt = logstash_dateformat
+        for a, b in _STRF_TO_SPARK:
+            fmt = fmt.replace(a, b)
+        idx = F.concat(
+            F.lit(logstash_prefix + logstash_prefix_separator),
+            F.date_format(F.col(ts_col).cast("timestamp"), fmt),
+        )
+    else:
+        idx = F.lit(index)
+    action = [F.lit('{"%s":{"_index":"' % op), fb_json_escape(idx), F.lit('"')]
+    if id_key:
+        action += [
+            F.lit(',"_id":"'),
+            fb_json_escape(F.col(id_key).cast("string")),
+            F.lit('"'),
+        ]
+    action.append(F.lit("}}"))
+    body_cols = [c for c in df.columns if c != ts_col]
+    body = fb_json_body(df, body_cols)
+    if ts_col is not None:
+        stamp = F.concat(
+            F.lit('{"%s":"' % time_key),
+            F.date_format(
+                F.col(ts_col).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+            ),
+            F.lit('"'),
+            F.when(F.length(body) > 2, F.lit(",")).otherwise(F.lit("")),
+            F.substring(body, 2, 2147483647),
+        )
+        body = stamp
+    return F.concat(*action, F.lit("\n"), body)
 
 
 def out_file_line(df: DataFrame, ts_col: Optional[str], tag_col: str) -> Column:

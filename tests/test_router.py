@@ -631,3 +631,51 @@ def test_conditionals_dollar_paths_and_nesting(spark):
     ]:
         got = df.select(cond.to_column(df).alias("v")).first()["v"]
         assert got is want, cond
+
+
+def test_es_bulk_lines(spark, tmp_path):
+    """out_es Bulk payload rendering (es_bulk.h:27-30 action formats,
+    es.h:25-28 defaults): op/_index/_id action line + record body with
+    Time_Key first; logstash_format composes the dated index; upsert
+    renders as update (es_conf.c:311-312)."""
+    import datetime as dt
+    import glob as _glob
+    import json
+
+    from fluent_bit_spark.router import SinkSpec, es_bulk_lines, write_sinks
+
+    df = spark.createDataFrame(
+        [("t", dt.datetime(2024, 1, 2, 3, 4, 5), "m1", "id-1")],
+        "tag string, ts timestamp, msg string, doc_id string",
+    )
+    line = df.select(
+        es_bulk_lines(df, "ts", id_key="doc_id").alias("v")
+    ).first()["v"]
+    action, body = line.split("\n")
+    assert json.loads(action) == {"create": {"_index": "fluent-bit", "_id": "id-1"}}
+    rec = json.loads(body)
+    assert rec["@timestamp"].startswith("2024-01-02T03:04:05")
+    assert rec["msg"] == "m1" and rec["tag"] == "t"
+
+    line = df.select(
+        es_bulk_lines(
+            df, "ts", write_operation="upsert", logstash_format=True
+        ).alias("v")
+    ).first()["v"]
+    action = json.loads(line.split("\n")[0])
+    assert action == {"update": {"_index": "logstash-2024.01.02"}}
+
+    # through the sink dispatch
+    counts = write_sinks(
+        df,
+        [SinkSpec(name="es", match="*", fmt="es_bulk",
+                  es_options={"index": "logs-v1"})],
+        str(tmp_path),
+    )
+    assert counts == {"es": 1}
+    data = "".join(
+        open(p).read() for p in _glob.glob(str(tmp_path / "es" / "part-*"))
+    )
+    lines = [ln for ln in data.splitlines() if ln]
+    assert json.loads(lines[0]) == {"create": {"_index": "logs-v1"}}
+    assert json.loads(lines[1])["msg"] == "m1"
