@@ -707,6 +707,93 @@ def es_bulk_lines(
     return F.concat(*action, F.lit("\n"), body)
 
 
+def splunk_hec_lines(
+    df: DataFrame,
+    ts_col: Optional[str],
+    event_host: Optional[str] = None,
+    event_source: Optional[str] = None,
+    event_sourcetype: Optional[str] = None,
+    event_index: Optional[str] = None,
+    send_raw: bool = False,
+) -> Column:
+    """Splunk HEC event payload (plugins/out_splunk/splunk.c:420-470
+    pack_map_content): ``{"time": <epoch double>, [host/source/
+    sourcetype/index meta], "event": {record}}``; splunk_send_raw emits
+    the bare record map. Time renders with microsecond precision; the
+    HTTP delivery stays delegated."""
+    from .jsonesc import _py_escape, fb_json_body
+
+    body_cols = [c for c in df.columns if c != ts_col]
+    body = fb_json_body(df, body_cols)
+    if send_raw:
+        return body
+    if ts_col is not None:
+        t = F.format_string(
+            "%.6f", F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+        )
+    else:
+        t = F.lit("0.000000")
+    meta = ""
+    for k, v in (
+        ("host", event_host),
+        ("source", event_source),
+        ("sourcetype", event_sourcetype),
+        ("index", event_index),
+    ):
+        if v is not None:
+            meta += ',"%s":"%s"' % (k, _py_escape(str(v)))
+    return F.concat(
+        F.lit('{"time":'), t, F.lit(meta), F.lit(',"event":'), body, F.lit("}")
+    )
+
+
+def loki_lines(
+    df: DataFrame,
+    ts_col: Optional[str],
+    labels: Optional[dict] = None,
+    label_keys: Optional[Sequence[str]] = None,
+) -> Column:
+    """Loki push API v1 payload (plugins/out_loki/loki.c:1655-1745):
+    ``{"streams":[{"stream":{labels},"values":[["<ns>","<line>"]]}]}``
+    with one stream entry per record — static `labels` plus per-record
+    `label_keys` column values; the log line is the record JSON,
+    escaped as a JSON string through the engine-wide writer. Nanosecond
+    timestamps come exact from unix_micros*1000."""
+    from .jsonesc import _py_escape, fb_json_body, fb_json_escape
+
+    labels = labels or {}
+    label_keys = list(label_keys or [])
+    parts: list[Column] = [F.lit('{"streams":[{"stream":{')]
+    first = True
+    for k, v in labels.items():
+        parts.append(
+            F.lit(
+                ("" if first else ",")
+                + '"%s":"%s"' % (_py_escape(str(k)), _py_escape(str(v)))
+            )
+        )
+        first = False
+    for k in label_keys:
+        parts.append(F.lit(("" if first else ",") + '"%s":"' % _py_escape(k)))
+        parts.append(fb_json_escape(F.col(f"`{k}`").cast("string")))
+        parts.append(F.lit('"'))
+        first = False
+    if ts_col is not None:
+        ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000).cast("string")
+    else:
+        ns = F.lit("0")
+    body_cols = [c for c in df.columns if c != ts_col]
+    line = fb_json_escape(fb_json_body(df, body_cols))
+    parts += [
+        F.lit('},"values":[["'),
+        ns,
+        F.lit('","'),
+        line,
+        F.lit('"]]}]}'),
+    ]
+    return F.concat(*parts)
+
+
 def out_file_line(df: DataFrame, ts_col: Optional[str], tag_col: str) -> Column:
     """The out_file plugin's classic JSON line (file.c:723-733):
     ``tag: [sec.%09lu, {record json}]`` — tag and time are chunk/event

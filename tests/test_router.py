@@ -679,3 +679,41 @@ def test_es_bulk_lines(spark, tmp_path):
     lines = [ln for ln in data.splitlines() if ln]
     assert json.loads(lines[0]) == {"create": {"_index": "logs-v1"}}
     assert json.loads(lines[1])["msg"] == "m1"
+
+
+def test_splunk_hec_and_loki_lines(spark):
+    """Offline payload renderers: Splunk HEC event envelope
+    (splunk.c:420-470) and the Loki push v1 shape (loki.c:1655-1745);
+    both must decode back to the record through standard JSON."""
+    import datetime as dt
+    import json
+
+    from fluent_bit_spark.router import loki_lines, splunk_hec_lines
+
+    df = spark.createDataFrame(
+        [("app", dt.datetime(2024, 1, 2, 3, 4, 5, 123000), 'say "hi"', "web-1")],
+        "tag string, ts timestamp, msg string, host string",
+    )
+    hec = df.select(
+        splunk_hec_lines(
+            df, "ts", event_host="h1", event_sourcetype="_json", event_index="main"
+        ).alias("v")
+    ).first()["v"]
+    obj = json.loads(hec)
+    assert obj["host"] == "h1" and obj["sourcetype"] == "_json"
+    assert obj["index"] == "main"
+    assert obj["event"]["msg"] == 'say "hi"' and obj["event"]["tag"] == "app"
+    assert abs(obj["time"] - 1704164645.123) < 1e-6
+
+    raw = df.select(splunk_hec_lines(df, "ts", send_raw=True).alias("v")).first()["v"]
+    assert json.loads(raw)["msg"] == 'say "hi"'
+
+    loki = df.select(
+        loki_lines(df, "ts", labels={"job": "fluent-bit"}, label_keys=["host"]).alias("v")
+    ).first()["v"]
+    obj = json.loads(loki)
+    stream = obj["streams"][0]
+    assert stream["stream"] == {"job": "fluent-bit", "host": "web-1"}
+    ns, line = stream["values"][0]
+    assert ns == str(1704164645123000 * 1000)
+    assert json.loads(line)["msg"] == 'say "hi"'
