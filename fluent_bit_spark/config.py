@@ -306,7 +306,19 @@ def parse_yaml(
     """
     import yaml
 
-    doc = yaml.safe_load(text) or {}
+    class _RawBoolLoader(yaml.SafeLoader):
+        """flb_cf_yaml reads scalars as raw strings — YAML 1.1's
+        implicit booleans would turn values like `off`/`on`/`y`/`no`
+        into bools (the Norway problem: `offset_key: off` must stay the
+        STRING 'off'). Keep true/false spelling by dropping the bool
+        resolver; _bool() handles the strings downstream."""
+
+    _RawBoolLoader.yaml_implicit_resolvers = {
+        k: [(tag, rx) for tag, rx in v if tag != "tag:yaml.org,2002:bool"]
+        for k, v in yaml.SafeLoader.yaml_implicit_resolvers.items()
+    }
+
+    doc = yaml.load(text, Loader=_RawBoolLoader) or {}
     env = {**(env or {}), **{str(k): str(v) for k, v in (doc.get("env") or {}).items()}}
 
     def tr(v) -> str:
@@ -771,6 +783,23 @@ def _build_input(
             df = df.withColumnRenamed("__ml", key).drop("first_line_no", "n_lines")
         else:
             df = _read_lines()
+            offset_key = s.get("offset_key")
+            if offset_key:
+                # tail_file.c:184-198 offset_key: the stream offset AFTER
+                # the record — cumulative bytes of this and all previous
+                # lines (+1 per \n terminator), computed on the raw lines
+                # BEFORE any skip filters, like the reference's counter
+                from pyspark.sql import Window as _W
+
+                w = (
+                    _W.partitionBy("file")
+                    .orderBy("line_no")
+                    .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+                )
+                df = df.withColumn(
+                    offset_key,
+                    F.sum(F.octet_length(F.col(f"`{key}`")) + 1).over(w),
+                )
             if _bool(s.get("skip_empty_lines", "false")):
                 df = df.filter(F.length(key) > 0)
             df = _long_line_policy(df, key, "line_no").drop("line_no")

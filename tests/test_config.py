@@ -1312,3 +1312,29 @@ def test_tail_truncate_keeps_real_replacement_chars(spark, tmp_path):
     )
     run = run_config(spark, conf, str(tmp_path / "o"))
     assert [r["log"] for r in run.frame.collect()] == ["a" * 29 + "�"]
+
+
+def test_tail_offset_key(spark, tmp_path):
+    """in_tail Offset_Key (tail_file.c:184-198): each record carries the
+    stream offset AFTER it — cumulative raw bytes including the newline,
+    unaffected by skip filters applied later."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "o.log").write_text("ab\n\ncdef\n")
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/o.log\n"
+        "      offset_key: off\n"
+        "      skip_empty_lines: true\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+    )
+    run = run_config(spark, conf, str(tmp_path / "out"))
+    got = sorted((r["log"], r["off"]) for r in run.frame.collect())
+    # 'ab\n' ends at 3; the skipped empty line still advances to 4;
+    # 'cdef\n' ends at 9
+    assert got == [("ab", 3), ("cdef", 9)]
