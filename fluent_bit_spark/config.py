@@ -1238,6 +1238,56 @@ def _build_sink(s: Section) -> SinkSpec:
         )
     if name in ("null", "counter", "stdout"):
         return SinkSpec(f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet")
+    if name in ("es", "elasticsearch", "opensearch"):
+        # out_es offline path: render the Bulk API payload to the sink
+        # dir (the delivery POST stays delegated)
+        opts = {}
+        for k in ("index", "write_operation", "id_key", "logstash_prefix",
+                  "logstash_prefix_separator", "logstash_dateformat", "time_key"):
+            v = s.get(k)
+            if v is not None:
+                opts[k] = v
+        if s.get("logstash_format") is not None:
+            opts["logstash_format"] = _bool(s.get("logstash_format"))
+        return SinkSpec(
+            s.get("sink_name", f"es_{match.replace('*', 'all')}"),
+            match=match, fmt="es_bulk", ts_col=s.get("ts_col"), es_options=opts,
+        )
+    if name == "splunk":
+        opts = {}
+        for src, dst in (("event_host", "event_host"),
+                         ("event_source", "event_source"),
+                         ("event_sourcetype", "event_sourcetype"),
+                         ("event_index", "event_index")):
+            v = s.get(src)
+            if v is not None:
+                opts[dst] = v
+        if s.get("splunk_send_raw") is not None:
+            opts["send_raw"] = _bool(s.get("splunk_send_raw"))
+        return SinkSpec(
+            s.get("sink_name", f"splunk_{match.replace('*', 'all')}"),
+            match=match, fmt="splunk_hec", ts_col=s.get("ts_col"),
+            format_options=opts,
+        )
+    if name == "loki":
+        opts = {}
+        if s.get("labels"):
+            # out_loki labels: comma list of key=value
+            opts["labels"] = dict(
+                kv.split("=", 1) for kv in s.get("labels").split(",") if "=" in kv
+            )
+        if s.get("label_keys"):
+            # $key record accessors, comma list (loki.c label_keys)
+            opts["label_keys"] = [
+                k.strip().lstrip("$")
+                for k in s.get("label_keys").split(",")
+                if k.strip()
+            ]
+        return SinkSpec(
+            s.get("sink_name", f"loki_{match.replace('*', 'all')}"),
+            match=match, fmt="loki", ts_col=s.get("ts_col"),
+            format_options=opts,
+        )
     raise ValueError(f"unsupported OUTPUT plugin {name!r}")
 
 

@@ -209,6 +209,9 @@ class SinkSpec:
     # write_operation, id_key, logstash_format/_prefix/_dateformat,
     # time_key) — the offline Bulk-API payload rendering
     es_options: Optional[dict] = None
+    # fmt=splunk_hec / fmt=loki renderer options (splunk_hec_lines /
+    # loki_lines kwargs)
+    format_options: Optional[dict] = None
     # out_file json_date_format / json_date_key properties (file.c config
     # map -> flb_pack_msgpack_to_json_format): when set, fmt=json writes
     # flb-shaped lines {"<date_key>":<ts>, ...record} instead of Spark's
@@ -402,7 +405,10 @@ def write_sinks(
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
             dest = f"{base_path}/{s.name}"
-            if s.fmt in ("ltsv", "plain", "template", "gelf", "out_file", "es_bulk"):
+            if s.fmt in (
+                "ltsv", "plain", "template", "gelf", "out_file",
+                "es_bulk", "splunk_hec", "loki",
+            ):
                 # the observe node upstream of this projection still fires
                 if s.fmt == "out_file":
                     ts_col = s.ts_col or next(
@@ -410,12 +416,21 @@ def write_sinks(
                         None,
                     )
                     line = out_file_line(part, ts_col, tag_col)
-                elif s.fmt == "es_bulk":
+                elif s.fmt in ("es_bulk", "splunk_hec", "loki"):
                     ts_col = s.ts_col or next(
                         (c for c in part.columns if c in ("ts", "warc_ts", "time")),
                         None,
                     )
-                    line = es_bulk_lines(part, ts_col, **(s.es_options or {}))
+                    if s.fmt == "es_bulk":
+                        line = es_bulk_lines(
+                            part, ts_col, **(s.es_options or s.format_options or {})
+                        )
+                    elif s.fmt == "splunk_hec":
+                        line = splunk_hec_lines(
+                            part, ts_col, **(s.format_options or {})
+                        )
+                    else:
+                        line = loki_lines(part, ts_col, **(s.format_options or {}))
                 elif s.fmt == "gelf":
                     from .gelffmt import gelf_line
 

@@ -1338,3 +1338,59 @@ def test_tail_offset_key(spark, tmp_path):
     # 'ab\n' ends at 3; the skipped empty line still advances to 4;
     # 'cdef\n' ends at 9
     assert got == [("ab", 3), ("cdef", 9)]
+
+
+def test_output_es_splunk_loki(spark, tmp_path):
+    """OUTPUT es/splunk/loki render their delivery payloads to the sink
+    dir (the offline path; HTTP delivery delegated)."""
+    import glob as _glob
+    import json
+
+    from fluent_bit_spark.config import run_config
+
+    conf = """
+[INPUT]
+    Name   dummy
+    Dummy  {"msg": "hello", "svc": "web"}
+    Samples 1
+    Tag    t
+
+[OUTPUT]
+    Name            es
+    Match           *
+    Index           logs-v2
+    Write_Operation index
+    sink_name       es_out
+
+[OUTPUT]
+    Name             splunk
+    Match            *
+    Event_Sourcetype _json
+    sink_name        splunk_out
+
+[OUTPUT]
+    Name       loki
+    Match      *
+    Labels     job=fb,env=dev
+    Label_Keys $svc
+    sink_name  loki_out
+"""
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"es_out": 1, "splunk_out": 1, "loki_out": 1}
+
+    def read(sub):
+        return "".join(
+            open(p).read() for p in _glob.glob(str(tmp_path / sub / "part-*"))
+        )
+
+    es = read("es_out").splitlines()
+    assert json.loads(es[0]) == {"index": {"_index": "logs-v2"}}
+    assert json.loads(es[1])["msg"] == "hello"
+
+    hec = json.loads(read("splunk_out"))
+    assert hec["sourcetype"] == "_json" and hec["event"]["msg"] == "hello"
+
+    loki = json.loads(read("loki_out"))
+    st = loki["streams"][0]
+    assert st["stream"] == {"job": "fb", "env": "dev", "svc": "web"}
+    assert json.loads(st["values"][0][1])["msg"] == "hello"
