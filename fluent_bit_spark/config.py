@@ -368,6 +368,17 @@ def parse_yaml(
                 else:
                     entries.append((str(k).lower(), tr(v)))
             sections.append(Section(secname, entries))
+    # top-level stream_processor: task list ({name, exec} entries —
+    # flb_cf_yaml's FLB_CF_STREAM_PROCESSOR section; fixture
+    # tests/internal/data/config_format/yaml/stream_processor.yaml)
+    for item in doc.get("stream_processor") or []:
+        item = item or {}
+        sections.append(
+            Section(
+                "STREAM_TASK",
+                [(str(k).lower(), tr(v)) for k, v in item.items()],
+            )
+        )
     pipeline = doc.get("pipeline") or {}
     for kind, secname in (
         ("inputs", "INPUT"),
@@ -1340,6 +1351,45 @@ def _run_sections(
 
     for s in filters:
         df = _apply_filter(df, s, parsers)
+
+    # stream_processor tasks (flb_cf's STREAM_PROCESSOR section; executed
+    # over post-filter data like flb_input_chunk.c:2852 flb_sp_do). Input
+    # instances register as <plugin>.<index> for FROM STREAM: references;
+    # CREATE STREAM WITH(tag=) re-injects its result into the routed
+    # stream (flb_sp_stream.c, the in_emitter analogue); a tagless CREATE
+    # STREAM only registers for later tasks; a bare SELECT's result is
+    # printed and discarded by the reference (flb_sp.c:2091-2094), so it
+    # executes for validation only.
+    sp_tasks = [s for s in sections if s.name == "STREAM_TASK"]
+    if sp_tasks:
+        from .sqlsp import SPEngine, parse_sql as _parse_sql
+
+        streams: dict = {}
+        counter: dict = {}
+        for s, f in zip(inputs, frames):
+            plugin = (s.get("name") or "input").lower()
+            idx = counter.get(plugin, 0)
+            counter[plugin] = idx + 1
+            g = f
+            for fs in filters:
+                g = _apply_filter(g, fs, parsers)
+            streams[f"{plugin}.{idx}"] = g
+        eng = SPEngine(streams=streams, tag_source=df, mode="static")
+        for t in sp_tasks:
+            sql = t.get("exec")
+            if not sql:
+                raise ValueError("stream_processor task needs an exec query")
+            q = _parse_sql(sql)
+            if q.create_stream:
+                out = eng.create_stream(sql)
+                if q.stream_props.get("tag"):
+                    if "tag" not in out.columns:
+                        out = out.withColumn(
+                            "tag", F.lit(q.stream_props["tag"])
+                        )
+                    df = df.unionByName(out, allowMissingColumns=True)
+            else:
+                eng.run(sql)
 
     sinks = [_build_sink(s) for s in outputs]
     counts = write_sinks(df, sinks, out_dir)

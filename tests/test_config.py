@@ -1394,3 +1394,65 @@ def test_output_es_splunk_loki(spark, tmp_path):
     st = loki["streams"][0]
     assert st["stream"] == {"job": "fb", "env": "dev", "svc": "web"}
     assert json.loads(st["values"][0][1])["msg"] == "hello"
+
+
+def test_stream_processor_section(spark, tmp_path):
+    """YAML stream_processor: task list (flb_cf FLB_CF_STREAM_PROCESSOR;
+    fixture data/config_format/yaml/stream_processor.yaml): CREATE
+    STREAM WITH(tag=) re-injects its result into the routed stream;
+    FROM STREAM:tail.0 resolves the input instance by plugin.index."""
+    import json as _json
+
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "acc.log").write_text(
+        '{"path": "/a", "http_status": 200}\n'
+        '{"path": "/b", "http_status": 500}\n'
+        '{"path": "/c", "http_status": 500}\n'
+    )
+    conf = (
+        "stream_processor:\n"
+        "  - name: create_results\n"
+        "    exec: CREATE STREAM results WITH (tag='500_error') AS "
+        "SELECT path, http_status FROM STREAM:tail.0 WHERE http_status=500;\n"
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: tail\n"
+        f"      path: {tmp_path}/acc.log\n"
+        "      tag: logs\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '500_error'\n"
+        "    - name: null\n"
+        "      match: 'logs'\n"
+    )
+    # parse the JSON lines into columns first via a filter parser? keep
+    # simple: the tail input with a json-ish regex parser
+    conf = conf.replace(
+        "      tag: logs\n",
+        "      tag: logs\n",
+    )
+    from fluent_bit_spark.parsers import PARSERS, RegexParser
+
+    PARSERS.setdefault(
+        "acc_json",
+        RegexParser(
+            name="acc_json",
+            regex=r'"path": "(?<path>[^"]+)", "http_status": (?<http_status>\d+)',
+            time_fmt=None,
+        ),
+    )
+    try:
+        conf = conf.replace(
+            f"      path: {tmp_path}/acc.log\n",
+            f"      path: {tmp_path}/acc.log\n      parser: acc_json\n",
+        )
+        run = run_config(spark, conf, str(tmp_path / "o"))
+        assert run.counts == {"null_500_error": 2, "null_logs": 3}
+        errs = sorted(
+            r["path"]
+            for r in run.frame.filter("tag = '500_error'").collect()
+        )
+        assert errs == ["/b", "/c"]
+    finally:
+        PARSERS.pop("acc_json", None)
