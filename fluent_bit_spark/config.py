@@ -1361,6 +1361,19 @@ def _run_sections(
     # printed and discarded by the reference (flb_sp.c:2091-2094), so it
     # executes for validation only.
     sp_tasks = [s for s in sections if s.name == "STREAM_TASK"]
+    # classic mode: [SERVICE] Streams_File points at a file of
+    # [STREAM_TASK] Name/Exec sections (flb_sp.c:95-140 reads both
+    # spellings; yaml's stream_processor list parses to the same shape)
+    for svc in (s for s in sections if s.name == "SERVICE"):
+        sf = svc.get("streams_file")
+        if sf:
+            p = sf if os.path.isabs(sf) or not base_dir else os.path.join(base_dir, sf)
+            with open(p) as fh:
+                sp_tasks.extend(
+                    x
+                    for x in parse_config(fh.read(), base_dir=os.path.dirname(p))
+                    if x.name == "STREAM_TASK"
+                )
     if sp_tasks:
         from .sqlsp import SPEngine, parse_sql as _parse_sql
 

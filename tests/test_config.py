@@ -1456,3 +1456,39 @@ def test_stream_processor_section(spark, tmp_path):
         assert errs == ["/b", "/c"]
     finally:
         PARSERS.pop("acc_json", None)
+
+
+def test_classic_streams_file(spark, tmp_path):
+    """Classic mode: [SERVICE] Streams_File loads [STREAM_TASK]
+    Name/Exec sections (flb_sp.c:95-140 reads both the classic and yaml
+    spellings)."""
+    from fluent_bit_spark.config import run_config
+
+    (tmp_path / "in.log").write_text("1\n20\n300\n")
+    (tmp_path / "stream.conf").write_text(
+        "[STREAM_TASK]\n"
+        "    Name  big\n"
+        "    Exec  CREATE STREAM big WITH (tag='big') AS "
+        "SELECT log FROM STREAM:tail.0 WHERE log > 100;\n"
+    )
+    conf = (
+        "[SERVICE]\n"
+        "    Streams_File stream.conf\n"
+        "\n"
+        "[INPUT]\n"
+        "    Name tail\n"
+        f"    Path {tmp_path}/in.log\n"
+        "    Tag  raw\n"
+        "\n"
+        "[OUTPUT]\n"
+        "    Name  null\n"
+        "    Match big\n"
+        "\n"
+        "[OUTPUT]\n"
+        "    Name  null\n"
+        "    Match raw\n"
+    )
+    run = run_config(
+        spark, conf, str(tmp_path / "o"), base_dir=str(tmp_path)
+    )
+    assert run.counts == {"null_big": 1, "null_raw": 3}
