@@ -400,10 +400,17 @@ def parse_yaml(
                     entries.append((key, tr(x)))
             sections.append(Section(secname, entries))
             # processor units attach strictly per plugin instance in the
-            # reference (flb_processor.c): only INPUT processors become
-            # ingest-side filters here; filter/output processors: are not
-            # hoisted into the global filter chain (an output's
-            # processors run post-routing, which this chain can't model).
+            # reference (flb_processor.c): INPUT processors become
+            # ingest-side filters scoped to the input's tag; an OUTPUT's
+            # processors run post-routing on ITS delivery stream — kept
+            # structured on the section and applied by write_sinks to
+            # the sink's filtered frame.
+            if secname == "OUTPUT":
+                for proc in procs.get("logs") or []:
+                    sections[-1].entries.append(
+                        ("processor_block", json.dumps(proc or {}))
+                    )
+                continue
             if secname != "INPUT":
                 continue
             lowered = {str(k).lower(): v for k, v in item.items()}
@@ -1229,13 +1236,36 @@ def _apply_filter(
     raise ValueError(f"unsupported FILTER plugin {name!r}")
 
 
+def _sink_processors(s: Section) -> Optional[list]:
+    """Output-attached processor units -> DataFrame callables applied to
+    the sink's own delivery stream (flb_processor.c semantics)."""
+    blocks = s.get_all("processor_block")
+    if not blocks:
+        return None
+
+    def make(proc: dict):
+        entries = [("match", "*")]
+        for k, v in proc.items():
+            if str(k).lower() == "condition" and isinstance(v, dict):
+                entries.append(("condition_block", json.dumps(v)))
+            else:
+                vals = v if isinstance(v, list) else [v]
+                entries.extend((str(k).lower(), str(x)) for x in vals)
+        sec = Section("FILTER", entries)
+        return lambda df: _apply_filter(df, sec)
+
+    return [make(json.loads(b)) for b in blocks]
+
+
 def _build_sink(s: Section) -> SinkSpec:
     name = (s.get("name") or "").lower()
     match = s.get("match", "*")
+    procs = _sink_processors(s)
     if name == "file":
         return SinkSpec(
             s.get("sink_name", match.replace("*", "all").replace(".", "_") or "out"),
             match=match,
+            processors=procs,
             fmt=(s.get("format", "json")),
             template=s.get("template"),
             delimiter=s.get("delimiter"),
@@ -1248,7 +1278,10 @@ def _build_sink(s: Section) -> SinkSpec:
             ),
         )
     if name in ("null", "counter", "stdout"):
-        return SinkSpec(f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet")
+        return SinkSpec(
+            f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet",
+            processors=procs,
+        )
     if name in ("es", "elasticsearch", "opensearch"):
         # out_es offline path: render the Bulk API payload to the sink
         # dir (the delivery POST stays delegated)
@@ -1263,6 +1296,7 @@ def _build_sink(s: Section) -> SinkSpec:
         return SinkSpec(
             s.get("sink_name", f"es_{match.replace('*', 'all')}"),
             match=match, fmt="es_bulk", ts_col=s.get("ts_col"), es_options=opts,
+            processors=procs,
         )
     if name == "splunk":
         opts = {}
@@ -1278,7 +1312,7 @@ def _build_sink(s: Section) -> SinkSpec:
         return SinkSpec(
             s.get("sink_name", f"splunk_{match.replace('*', 'all')}"),
             match=match, fmt="splunk_hec", ts_col=s.get("ts_col"),
-            format_options=opts,
+            format_options=opts, processors=procs,
         )
     if name == "loki":
         opts = {}
@@ -1297,7 +1331,7 @@ def _build_sink(s: Section) -> SinkSpec:
         return SinkSpec(
             s.get("sink_name", f"loki_{match.replace('*', 'all')}"),
             match=match, fmt="loki", ts_col=s.get("ts_col"),
-            format_options=opts,
+            format_options=opts, processors=procs,
         )
     raise ValueError(f"unsupported OUTPUT plugin {name!r}")
 

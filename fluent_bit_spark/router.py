@@ -212,6 +212,10 @@ class SinkSpec:
     # fmt=splunk_hec / fmt=loki renderer options (splunk_hec_lines /
     # loki_lines kwargs)
     format_options: Optional[dict] = None
+    # output-attached processor units (flb_processor.c: an output's
+    # processors run on ITS delivery stream, after routing): callables
+    # DataFrame -> DataFrame applied to the sink's filtered frame
+    processors: Optional[Sequence[Callable[[DataFrame], DataFrame]]] = None
     # out_file json_date_format / json_date_key properties (file.c config
     # map -> flb_pack_msgpack_to_json_format): when set, fmt=json writes
     # flb-shaped lines {"<date_key>":<ts>, ...record} instead of Spark's
@@ -404,6 +408,8 @@ def write_sinks(
 
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
+            for proc in s.processors or ():
+                part = proc(part)
             dest = f"{base_path}/{s.name}"
             if s.fmt in (
                 "ltsv", "plain", "template", "gelf", "out_file",

@@ -1492,3 +1492,49 @@ def test_classic_streams_file(spark, tmp_path):
         spark, conf, str(tmp_path / "o"), base_dir=str(tmp_path)
     )
     assert run.counts == {"null_big": 1, "null_raw": 3}
+
+
+def test_output_processors_per_sink(spark, tmp_path):
+    """An OUTPUT's processors: unit runs on ITS delivery stream only
+    (flb_processor.c attaches units per plugin instance) — the other
+    sink's records stay untouched."""
+    import glob as _glob
+    import json as _json
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"msg\": \"x\"}'\n"
+        "      samples: 2\n"
+        "      tag: t\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: '*'\n"
+        "      format: json\n"
+        "      sink_name: redacted\n"
+        "      processors:\n"
+        "        logs:\n"
+        "          - name: content_modifier\n"
+        "            action: insert\n"
+        "            key: stage\n"
+        "            value: delivered\n"
+        "    - name: file\n"
+        "      match: '*'\n"
+        "      format: json\n"
+        "      sink_name: plain\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"redacted": 2, "plain": 2}
+
+    def rows(sub):
+        return [
+            _json.loads(ln)
+            for p in _glob.glob(str(tmp_path / sub / "part-*"))
+            for ln in open(p).read().splitlines()
+        ]
+
+    assert all(x.get("stage") == "delivered" for x in rows("redacted"))
+    assert all("stage" not in x for x in rows("plain"))
