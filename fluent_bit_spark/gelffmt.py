@@ -71,8 +71,24 @@ def _bare(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
-def _value(col: Column, dtype: T.DataType) -> Column:
+def _ts_numeric(col: Column) -> Column:
+    """``sec.mmm`` — the flb_pack_gelf timestamp form (:760-771,
+    ``%li.%03lu``); a null time renders as epoch 0, never a null line."""
+    ts = F.coalesce(col.cast("timestamp"), F.timestamp_seconds(F.lit(0)))
+    return F.concat(
+        F.unix_timestamp(ts).cast("string"), F.lit("."), F.date_format(ts, "SSS")
+    )
+
+
+def _value(col: Column, dtype: T.DataType, is_timestamp: bool = False) -> Column:
     """Render a scalar value position (quoted iff string-like)."""
+    if is_timestamp and isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType)
+    ):
+        # the GELF `timestamp` field is numeric sec.millis
+        # (flb_pack_gelf.c:646-652 appends the raw value unquoted);
+        # a quoted string form breaks numeric consumers
+        return _ts_numeric(col)
     if isinstance(dtype, (T.StringType, T.BooleanType, T.BinaryType)):
         s = _escape(col.cast("string")) if not isinstance(
             dtype, T.BooleanType
@@ -121,7 +137,11 @@ def _segments(col: Column, dtype: T.DataType, out_key: str, level: bool = False)
                 )
             )
         return pairs
-    val = _level_value(col, dtype) if level else _value(col, dtype)
+    val = (
+        _level_value(col, dtype)
+        if level
+        else _value(col, dtype, is_timestamp=out_key == "timestamp")
+    )
     return [(out_key, F.when(col.isNull(), F.lit("")).otherwise(
         F.concat(F.lit(f', "{out_key}":'), val)
     ))]
@@ -173,14 +193,8 @@ def gelf_line(
     if not saw_short:
         raise ValueError("gelf: missing short_message key")  # :773-776
     if not saw_ts and ts_col is not None:
-        ts = F.col(ts_col).cast("timestamp")
         parts.append(
-            F.concat(
-                F.lit(', "timestamp":'),
-                F.unix_timestamp(ts).cast("string"),
-                F.lit("."),
-                F.date_format(ts, "SSS"),
-            )
+            F.concat(F.lit(', "timestamp":'), _ts_numeric(F.col(ts_col)))
         )
     parts.append(F.lit("}"))
     return F.concat(*parts)

@@ -403,13 +403,17 @@ def write_sinks(
             part = flagged.filter(F.col(f"__route_{s.name}")).drop(
                 *[f"__route_{x.name}" for x in sinks]
             )
+            # output-attached processor units run BEFORE the counter is
+            # attached: the reference's output counters see the
+            # post-processor delivery stream (out_counter counts what the
+            # sink actually renders, counter.c:57-79)
+            for proc in s.processors or ():
+                part = proc(part)
             obs_name = f"sink_{s.name}"
             from pyspark.sql import Observation
 
             obs = Observation(obs_name)
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
-            for proc in s.processors or ():
-                part = proc(part)
             dest = f"{base_path}/{s.name}"
             if s.fmt in (
                 "ltsv", "plain", "template", "gelf", "out_file",
@@ -698,19 +702,30 @@ def es_bulk_lines(
         fmt = logstash_dateformat
         for a, b in _STRF_TO_SPARK:
             fmt = fmt.replace(a, b)
+        # a null record time must not null the whole line — the reference
+        # always stamps a time (zeroed flb_time), so index from epoch 0
         idx = F.concat(
             F.lit(logstash_prefix + logstash_prefix_separator),
-            F.date_format(F.col(ts_col).cast("timestamp"), fmt),
+            F.date_format(
+                F.coalesce(
+                    F.col(ts_col).cast("timestamp"), F.timestamp_seconds(F.lit(0))
+                ),
+                fmt,
+            ),
         )
     else:
         idx = F.lit(index)
     action = [F.lit('{"%s":{"_index":"' % op), fb_json_escape(idx), F.lit('"')]
     if id_key:
-        action += [
-            F.lit(',"_id":"'),
-            fb_json_escape(F.col(id_key).cast("string")),
-            F.lit('"'),
-        ]
+        # es.c es_get_id_value: a missing/null Id_Key value just skips the
+        # _id field — it must not null-poison the action line
+        idv = F.col(id_key).cast("string")
+        action.append(
+            F.when(
+                idv.isNotNull(),
+                F.concat(F.lit(',"_id":"'), fb_json_escape(idv), F.lit('"')),
+            ).otherwise(F.lit(""))
+        )
     action.append(F.lit("}}"))
     body_cols = [c for c in df.columns if c != ts_col]
     body = fb_json_body(df, body_cols)
@@ -718,7 +733,10 @@ def es_bulk_lines(
         stamp = F.concat(
             F.lit('{"%s":"' % time_key),
             F.date_format(
-                F.col(ts_col).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+                F.coalesce(
+                    F.col(ts_col).cast("timestamp"), F.timestamp_seconds(F.lit(0))
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS",
             ),
             F.lit('"'),
             F.when(F.length(body) > 2, F.lit(",")).otherwise(F.lit("")),
@@ -749,8 +767,14 @@ def splunk_hec_lines(
     if send_raw:
         return body
     if ts_col is not None:
+        # null record time renders as 0.000000 (zeroed flb_time), never a
+        # null line
         t = F.format_string(
-            "%.6f", F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+            "%.6f",
+            F.coalesce(
+                F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(0)
+            )
+            / F.lit(1e6),
         )
     else:
         t = F.lit("0.000000")
@@ -784,23 +808,33 @@ def loki_lines(
 
     labels = labels or {}
     label_keys = list(label_keys or [])
-    parts: list[Column] = [F.lit('{"streams":[{"stream":{')]
-    first = True
-    for k, v in labels.items():
-        parts.append(
-            F.lit(
-                ("" if first else ",")
-                + '"%s":"%s"' % (_py_escape(str(k)), _py_escape(str(v)))
+    # each label is an independent fragment; concat_ws skips nulls, so a
+    # record with a NULL label_keys value just omits that label (the
+    # reference skips missing keys, loki.c pack_record_labels) instead of
+    # null-poisoning the whole line
+    entries: list[Column] = [
+        F.lit('"%s":"%s"' % (_py_escape(str(k)), _py_escape(str(v))))
+        for k, v in labels.items()
+    ]
+    for k in label_keys:
+        kv = F.col(f"`{k}`").cast("string")
+        entries.append(
+            F.when(
+                kv.isNotNull(),
+                F.concat(
+                    F.lit('"%s":"' % _py_escape(k)), fb_json_escape(kv), F.lit('"')
+                ),
             )
         )
-        first = False
-    for k in label_keys:
-        parts.append(F.lit(("" if first else ",") + '"%s":"' % _py_escape(k)))
-        parts.append(fb_json_escape(F.col(f"`{k}`").cast("string")))
-        parts.append(F.lit('"'))
-        first = False
+    parts: list[Column] = [F.lit('{"streams":[{"stream":{')]
+    if entries:
+        parts.append(F.concat_ws(",", *entries))
     if ts_col is not None:
-        ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000).cast("string")
+        # null record time -> ns 0 (zeroed flb_time), never a null line
+        ns = F.coalesce(
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000).cast("string"),
+            F.lit("0"),
+        )
     else:
         ns = F.lit("0")
     body_cols = [c for c in df.columns if c != ts_col]

@@ -211,8 +211,13 @@ def size_to_bytes(size) -> int:
         return 0
     if not s:
         return -1
+    num = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)?", s).group(0)
+    if not any(ch.isdigit() for ch in num):
+        # digitless input ('M', 'KB') is unparsable in the reference —
+        # it must not silently become 0 bytes
+        return -1
     try:
-        val = float(re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)?", s).group(0) or 0)
+        val = float(num)
     except (TypeError, ValueError):
         val = 0.0
     plen = 0

@@ -256,3 +256,29 @@ def test_out_file_classic_json_lines(spark, tmp_path):
     assert line == (
         'web.ok: [1647061992.123000000, {"method":"GET","code":200}]'
     )
+
+
+def test_gelf_record_timestamp_column_numeric_and_null_time(spark):
+    """A record-carried TimestampType timestamp key renders as bare
+    numeric sec.millis (flb_pack_gelf.c:646-652 — consumers parse the
+    field numerically), and a null record time stamps epoch 0 instead of
+    nulling the line."""
+    import datetime as dt
+
+    from fluent_bit_spark.gelffmt import gelf_line
+
+    ts = dt.datetime(1980, 9, 12, 23, 0, 0, 12000)
+    df = spark.createDataFrame(
+        [(ts, "m", None)], "timestamp timestamp, msg string, ts timestamp"
+    )
+    out = df.select(gelf_line(df, ts_col="ts", short_message_key="msg").alias("v"))
+    line = out.first()["v"]
+    assert '"timestamp":337647600.012' in line
+    assert '"timestamp":"' not in line
+
+    # null trailing record time -> epoch 0, line intact
+    df2 = spark.createDataFrame([("m", None)], "msg string, ts timestamp")
+    line2 = df2.select(
+        gelf_line(df2, ts_col="ts", short_message_key="msg").alias("v")
+    ).first()["v"]
+    assert line2.endswith(', "timestamp":0.000}')

@@ -717,3 +717,69 @@ def test_splunk_hec_and_loki_lines(spark):
     ns, line = stream["values"][0]
     assert ns == str(1704164645123000 * 1000)
     assert json.loads(line)["msg"] == 'say "hi"'
+
+
+def test_renderer_null_tolerance(spark):
+    """A null label value, null Id_Key, or null record time must degrade
+    per-field, never null the whole rendered line (the reference omits a
+    missing label/_id and always stamps a time — es.c es_get_id_value,
+    loki.c pack_record_labels, zeroed flb_time)."""
+    import json
+
+    from fluent_bit_spark.router import (
+        es_bulk_lines,
+        loki_lines,
+        splunk_hec_lines,
+    )
+
+    df = spark.createDataFrame(
+        [("app", None, "m1", None)],
+        "tag string, ts timestamp, msg string, host string",
+    )
+
+    # es_bulk: null id -> _id omitted; null ts -> epoch-0 stamp + index
+    line = df.select(
+        es_bulk_lines(df, "ts", id_key="host", logstash_format=True).alias("v")
+    ).first()["v"]
+    action, body = line.split("\n")
+    assert json.loads(action) == {"create": {"_index": "logstash-1970.01.01"}}
+    rec = json.loads(body)
+    assert rec["@timestamp"].startswith("1970-01-01T00:00:00")
+    assert rec["msg"] == "m1" and rec["host"] is None
+
+    # splunk: null ts -> time 0
+    hec = df.select(splunk_hec_lines(df, "ts").alias("v")).first()["v"]
+    obj = json.loads(hec)
+    assert obj["time"] == 0.0 and obj["event"]["msg"] == "m1"
+
+    # loki: null label value omitted, null ts -> ns "0"
+    loki = df.select(
+        loki_lines(df, "ts", labels={"job": "fb"}, label_keys=["host"]).alias("v")
+    ).first()["v"]
+    obj = json.loads(loki)
+    stream = obj["streams"][0]
+    assert stream["stream"] == {"job": "fb"}
+    ns, line = stream["values"][0]
+    assert ns == "0" and json.loads(line)["msg"] == "m1"
+
+
+def test_sink_counts_see_post_processor_stream(spark, tmp_path):
+    """Per-sink counts reflect the post-processor delivery stream — a
+    processor that drops records must shrink the sink's counter (the
+    reference's output counters run on what the sink renders)."""
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = spark.createDataFrame(
+        [("t", "keep"), ("t", "drop"), ("t", "keep")],
+        "tag string, msg string",
+    )
+    sinks = [
+        SinkSpec(
+            name="filtered",
+            match="*",
+            fmt="json",
+            processors=(lambda d: d.filter(F.col("msg") == "keep"),),
+        )
+    ]
+    counts = write_sinks(df, sinks, str(tmp_path))
+    assert counts == {"filtered": 2}

@@ -437,3 +437,17 @@ def test_flb_time_msgpack_vectors():
     # fixext8 with invalid type 10 -> reject
     with _p.raises(ValueError):
         list(unpack_stream(b"\xd7\x0a" + ext))
+
+
+def test_size_to_bytes_digitless_rejected():
+    """A digitless suffix-only string ('M', 'KB') is unparsable in
+    flb_utils_size_to_bytes (-1) — it must not silently become 0 bytes."""
+    from fluent_bit_spark.streaming import size_to_bytes
+
+    assert size_to_bytes("M") == -1
+    assert size_to_bytes("KB") == -1
+    assert size_to_bytes("gB") == -1
+    assert size_to_bytes(" B") == -1
+    # digit-bearing forms still parse
+    assert size_to_bytes("1M") == 10**6
+    assert size_to_bytes(".5M") == 500_000
