@@ -16,12 +16,12 @@ multimodal entries exact DuckDB replicas. The xxhash64-derived engines
 remain the scale defaults — engine choice swaps the hash, not the plan,
 and pytest property-checks value-equivalence of the two engines' plans.
 Near-duplicate operator rows are merged into multi-mode rows
-(grep_modes, throttle_modes, parser_kv, parser_regex_modes,
-rewrite_tag_modes, record_mods, sp_dynamic, sim_ann_topk) so the first 50
-entries fit the driver's recorded-row cap; the round-3-continuation
-entries (url_canonical, lm_quality, dedup_clusters) sit past the cap by
-deliberate dict ordering and are exercised by the in-repo replica
-(tools/check_oracle.py) instead — 53 oracle-backed queries total.
+(grep_modes, throttle_modes, parser_kv [logfmt/ltsv/json],
+parser_regex_modes, rewrite_tag_modes, record_mods, sp_dynamic,
+sp_aggregate [agg/forecast], enrich_broadcast [seg/checklist],
+sim_ann_topk) so ALL registered entries — exactly 50 — fit the driver's
+recorded-row cap: every operator family gets a driver-recorded oracle
+row. The in-repo replica (tools/check_oracle.py) runs the same 50.
 """
 
 from __future__ import annotations
@@ -392,8 +392,11 @@ def q_parser_json(spark, sf_dir):
 
 def q_parser_kv(spark, sf_dir):
     """logfmt (src/flb_parser_logfmt.c) + LTSV (src/flb_parser_ltsv.c)
-    round trips as one two-mode row (merged for driver row-cap economy);
-    LTSV rows carry nulls in the logfmt-only fields."""
+    round trips + the json parser's extract-and-aggregate (the former
+    parser_json entry) as one three-mode row (merged for driver row-cap
+    economy); LTSV rows carry nulls in the logfmt-only fields; 'json'
+    rows are per-event_type aggregates (event_id null, puid = sum_k,
+    pmsg = n)."""
     ev = _t(spark, sf_dir, "events")
     lf_line = F.concat(
         F.lit("type="), F.col("event_type"),
@@ -423,7 +426,15 @@ def q_parser_kv(spark, sf_dir):
         F.lit(None).cast("string").alias("pmsg"),
         F.lit(None).cast("string").alias("pflag"),
     )
-    return lf_out.unionByName(lt_out)
+    js_out = q_parser_json(spark, sf_dir).select(
+        F.lit("json").alias("mode"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_type").alias("ptype"),
+        F.col("sum_k").cast("string").alias("puid"),
+        F.col("n").cast("string").alias("pmsg"),
+        F.lit(None).cast("string").alias("pflag"),
+    )
+    return lf_out.unionByName(lt_out).unionByName(js_out)
 
 
 def q_multiline(spark, sf_dir):
@@ -513,13 +524,29 @@ def q_sp_coercion(spark, sf_dir):
 
 
 def q_sp_aggregate(spark, sf_dir):
-    """global aggregates (flb_sp_aggregate_func.c:50-205)."""
+    """Two-mode row (merged with the former sp_forecast entry for driver
+    row-cap economy — both are 1-row aggregates over the same fixture):
+    mode 'agg' = global aggregates (flb_sp_aggregate_func.c:50-205),
+    mode 'forecast' = TIMESERIES_FORECAST (closed-form linear regression,
+    flb_sp_aggregate_func.c:223-308) predicted at latest + 600s."""
     eng = _sp(spark, sf_dir)
     out = eng.run(
         "SELECT MIN(value) AS vmin, MAX(value) AS vmax, SUM(value) AS vsum, "
         "AVG(value) AS vavg, COUNT(*) AS n FROM STREAM:events;"
     )
-    return out.select("vmin", "vmax", _r4("vsum").alias("vsum"), _r4("vavg").alias("vavg"), "n")
+    nd = F.lit(None).cast("double")
+    a = out.select(
+        F.lit("agg").alias("mode"),
+        "vmin", "vmax", _r4("vsum").alias("vsum"), _r4("vavg").alias("vavg"),
+        "n", nd.alias("fc"),
+    )
+    fcr = eng.run("SELECT TIMESERIES_FORECAST(value, 600) AS fc FROM STREAM:events;")
+    b = fcr.select(
+        F.lit("forecast").alias("mode"),
+        nd.alias("vmin"), nd.alias("vmax"), nd.alias("vsum"), nd.alias("vavg"),
+        F.lit(None).cast("long").alias("n"), _r4("fc").alias("fc"),
+    )
+    return a.unionByName(b)
 
 
 def q_sp_groupby(spark, sf_dir):
@@ -560,12 +587,6 @@ def q_sp_window_hopping(spark, sf_dir):
     return out.select(_epoch(F.col("window_start")).alias("ws"), "n", _r4("sv").alias("sv"))
 
 
-def q_sp_forecast(spark, sf_dir):
-    """TIMESERIES_FORECAST: linear regression over (t - t0, value),
-    predicted at latest + 600s (flb_sp_aggregate_func.c:223-308)."""
-    eng = _sp(spark, sf_dir)
-    out = eng.run("SELECT TIMESERIES_FORECAST(value, 600) AS fc FROM STREAM:events;")
-    return out.select(_r4("fc").alias("fc"))
 
 
 def q_sp_create_stream(spark, sf_dir):
@@ -604,32 +625,39 @@ def q_sp_tag_match(spark, sf_dir):
 
 
 def q_enrich_broadcast(spark, sf_dir):
-    """geoip2/checklist-style lookup enrichment: broadcast hash join of the
-    stream against a dimension (plugins/filter_geoip2/geoip2.c:45-110),
-    then the out_counter aggregation per enriched attribute."""
+    """Two-mode row (merged with the former checklist entry for driver
+    row-cap economy).
+
+    mode 'seg': geoip2-style lookup enrichment — broadcast hash join of
+    the stream against a dimension (plugins/filter_geoip2/geoip2.c:45-110)
+    then the out_counter aggregation per enriched attribute.
+
+    mode 'checklist': filter_checklist annotation, rows whose key is in a
+    value list (plugins/filter_checklist/checklist.c:501-541), counted per
+    flag value."""
+    from fluent_bit_spark.enrich import checklist_annotate
+
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     joined = ev.join(F.broadcast(cust), "user_id", "left")
-    return joined.groupBy("c_mktsegment").agg(
+    a = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
+    ).select(
+        F.lit("seg").alias("mode"), F.col("c_mktsegment").alias("key"), "n", "sv"
     )
-
-
-def q_checklist(spark, sf_dir):
-    """filter_checklist: annotate rows whose key is in a value list
-    (plugins/filter_checklist/checklist.c:501-541)."""
-    from fluent_bit_spark.enrich import checklist_annotate
-
-    ev = _t(spark, sf_dir, "events")
-    out = checklist_annotate(
+    chk = checklist_annotate(
         ev.withColumn("uid_str", F.col("user_id").cast("string")),
         values=["3", "7", "11", "42"],
         lookup_key="uid_str",
         records=[("flagged", "true")],
     )
-    return out.groupBy("flagged").agg(F.count(F.lit(1)).alias("n"))
+    b = chk.groupBy("flagged").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("checklist").alias("mode"), F.col("flagged").alias("key"),
+        "n", F.lit(None).cast("double").alias("sv"),
+    )
+    return a.unionByName(b)
 
 
 _GEO_CIDRS = [
@@ -1332,7 +1360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect": q_expect,
         "throttle_modes": q_throttle_modes,
         "parser_regex_modes": q_parser_regex_modes,
-        "parser_json": q_parser_json,
         "parser_kv": q_parser_kv,
         "multiline": q_multiline,
         "route_counts": q_route_counts,
@@ -1343,13 +1370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_groupby": q_sp_groupby,
         "sp_window_tumbling": q_sp_window_tumbling,
         "sp_window_hopping": q_sp_window_hopping,
-        "sp_forecast": q_sp_forecast,
         "sp_create_stream": q_sp_create_stream,
         "sp_snapshot": q_sp_snapshot,
         "sp_tag_match": q_sp_tag_match,
         "sp_dynamic": q_sp_dynamic,
         "enrich_broadcast": q_enrich_broadcast,
-        "checklist": q_checklist,
         "kube_enrich": q_kube_enrich,
         "geoip_cidr": q_geoip_cidr,
         "metrics_labels": q_metrics_labels,
@@ -1372,9 +1397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": q_sim_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "skew_distinct": q_skew_distinct,
-        # entries past the driver's 50-recorded-row cap (dict order is
-        # deliberate): still fully oracle-backed — the in-repo replica
-        # (tools/check_oracle.py) runs them on every invocation
         "url_canonical": q_url_canonical,
         "lm_quality": q_lm_quality,
         "dedup_clusters": q_dedup_clusters,
@@ -1856,12 +1878,7 @@ def oracle_sql() -> dict[str, str]:
                    {ep} AS log_epoch
             FROM events
         """,
-        "parser_json": f"""
-            SELECT event_type, CAST(SUM(CAST({kv} AS BIGINT)) AS BIGINT) AS sum_k,
-                   COUNT(*) AS n
-            FROM events GROUP BY event_type
-        """,
-        "parser_kv": """
+        "parser_kv": f"""
             SELECT 'logfmt' AS mode, event_id, event_type AS ptype,
                    CAST(user_id AS VARCHAR) AS puid,
                    'ev "q" done' AS pmsg, '' AS pflag
@@ -1871,6 +1888,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id AS VARCHAR) AS puid,
                    CAST(NULL AS VARCHAR) AS pmsg, CAST(NULL AS VARCHAR) AS pflag
             FROM events
+            UNION ALL
+            SELECT 'json' AS mode, CAST(NULL AS BIGINT) AS event_id,
+                   event_type AS ptype,
+                   CAST(CAST(SUM(CAST({kv} AS BIGINT)) AS BIGINT) AS VARCHAR)
+                       AS puid,
+                   CAST(COUNT(*) AS VARCHAR) AS pmsg,
+                   CAST(NULL AS VARCHAR) AS pflag
+            FROM events GROUP BY event_type
         """,
         "multiline": """
             WITH l AS (
@@ -1925,10 +1950,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id AS eid FROM events WHERE user_id > 125
         """,
         "sp_aggregate": """
-            SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+            SELECT 'agg' AS mode, MIN(value) AS vmin, MAX(value) AS vmax,
                    round(SUM(value), 4) AS vsum,
                    round(SUM(value) / COUNT(*), 4) AS vavg,
-                   COUNT(*) AS n
+                   COUNT(*) AS n, CAST(NULL AS DOUBLE) AS fc
+            FROM events
+            UNION ALL
+            SELECT 'forecast', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT),
+                   round(AVG(value) + regr_slope(value, epoch(ts)) *
+                         ((MAX(epoch(ts)) - AVG(epoch(ts))) + 600.0), 4)
             FROM events
         """,
         "sp_groupby": """
@@ -1950,11 +1982,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws, COUNT(*) AS n, round(SUM(value), 4) AS sv
             FROM h GROUP BY ws
         """,
-        "sp_forecast": """
-            SELECT round(AVG(value) + regr_slope(value, epoch(ts)) *
-                         ((MAX(epoch(ts)) - AVG(epoch(ts))) + 600.0), 4) AS fc
-            FROM events
-        """,
         "sp_create_stream": """
             SELECT user_id, n FROM (
               SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
@@ -1971,15 +1998,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches({tag}, '^click\\..*$')
         """,
         "enrich_broadcast": """
-            SELECT c.c_mktsegment, COUNT(*) AS n, round(SUM(e.value), 4) AS sv
+            SELECT 'seg' AS mode, c.c_mktsegment AS key, COUNT(*) AS n,
+                   round(SUM(e.value), 4) AS sv
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
-        """,
-        "checklist": """
-            SELECT CASE WHEN CAST(user_id AS VARCHAR) IN ('3','7','11','42')
-                        THEN 'true' END AS flagged,
-                   COUNT(*) AS n
-            FROM events GROUP BY 1
+            UNION ALL
+            SELECT 'checklist' AS mode,
+                   CASE WHEN CAST(user_id AS VARCHAR) IN ('3','7','11','42')
+                        THEN 'true' END AS key,
+                   COUNT(*) AS n, CAST(NULL AS DOUBLE) AS sv
+            FROM events GROUP BY 2
         """,
         "kube_enrich": f"""
             WITH ext AS (
