@@ -210,15 +210,16 @@ def _unpack_map(data, pos, n):
     return out, pos
 
 
-def write_msgpack(
-    df: DataFrame, ts_col, cols: Sequence[str], dest: str
+def _write_binary_values(
+    packed: DataFrame, dest: str, suffix: str, count_col: str = None
 ) -> int:
-    """Write the stream as raw concatenated msgpack events to
-    ``dest/part-<pid>.msgpack`` — one file per partition, written
-    task-side exactly as the reference's local-file sink does
-    (out_file is a local filesystem writer; file.c cb_file_flush).
-    Task retries overwrite the same per-partition file, so the write is
-    idempotent. Returns the record count."""
+    """Write a (value: binary[, n: long]) frame stream as raw
+    concatenated bytes to ``dest/part-<pid>.<suffix>`` — one file per
+    partition, written task-side exactly as the reference's local-file
+    sink does (out_file is a local filesystem writer; file.c
+    cb_file_flush). Task retries overwrite the same per-partition file,
+    so the write is idempotent. Returns the record count (rows, or the
+    sum of ``count_col`` when frames carry multiple records)."""
     import glob as _glob
     import os
 
@@ -228,26 +229,49 @@ def write_msgpack(
     # overwrite semantics like every other sink: a rerun with fewer
     # partitions must not leave stale part files from the previous run
     # visible to directory readers
-    for stale in _glob.glob(os.path.join(dest, "part-*.msgpack")):
+    for stale in _glob.glob(os.path.join(dest, f"part-*.{suffix}")):
         os.remove(stale)
-    packed = to_msgpack_binary(df, ts_col, cols)
 
     def writer(batches: Iterable):
         import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(dest, f"part-{pid:05d}.msgpack")
+        path = os.path.join(dest, f"part-{pid:05d}.{suffix}")
         n = 0
         with open(path, "wb") as f:
             for pdf in batches:
-                for v in pdf["value"]:
+                for i, v in enumerate(pdf["value"]):
                     f.write(v)
-                    n += 1
+                    n += int(pdf[count_col].iloc[i]) if count_col else 1
         yield pd.DataFrame({"n": [n]})
 
     row = packed.mapInPandas(writer, "n long").agg(F.sum("n").alias("n")).first()
     return int(row["n"] or 0)
+
+
+def write_msgpack(
+    df: DataFrame, ts_col, cols: Sequence[str], dest: str
+) -> int:
+    """Format msgpack sink: raw concatenated [ts, {record}] events
+    (plugins/out_file/file.c:476-480). Returns the record count."""
+    return _write_binary_values(to_msgpack_binary(df, ts_col, cols), dest, "msgpack")
+
+
+def write_forward(
+    df: DataFrame,
+    ts_col,
+    cols: Sequence[str],
+    dest: str,
+    tag_col: str = "tag",
+    **frame_opts,
+) -> int:
+    """Forward-protocol sink: the payload stream out_forward would write
+    to the wire (flush_forward_mode / flush_message_mode), staged as
+    ``part-*.fwd`` files a forwarder posts verbatim. Returns the record
+    count (records, not frames)."""
+    frames = to_forward_frames(df, ts_col, cols, tag_col=tag_col, **frame_opts)
+    return _write_binary_values(frames, dest, "fwd", count_col="n")
 
 
 def to_msgpack_binary(
@@ -386,3 +410,203 @@ def forward_frames_to_records(df: DataFrame, value_col: str = "value") -> DataFr
             yield pd.DataFrame({"tag": tags, "ts": tss, "body": bodies})
 
     return df.mapInPandas(run, "tag string, ts double, body map<string,string>")
+
+
+# ---------------------------------------------------------------------------
+# out_forward payload ENCODE — the symmetric side of decode_forward_frame
+# (plugins/out_forward/forward.c:1175 flush_message_mode, :1268
+# flush_forward_mode; payload layout per forward_format.c:
+# flb_forward_format_forward_mode :399-459, message mode :480-540,
+# append_options :85-185, compat mode :468-540). Renders routed frames as
+# Message / Forward / PackedForward payloads; TCP delivery stays
+# delegated, exactly like the es/splunk/loki renderers.
+# ---------------------------------------------------------------------------
+
+# FLB_EVENT_TYPE_LOGS (flb_input_chunk.h:73) — the fluent_signal value
+# append_options stamps on every log frame
+FLUENT_SIGNAL_LOGS = 0
+
+
+def pack_event_time(sec: int, nsec: int) -> bytes:
+    """EventTime ext: fixext8 type 0, 4-byte sec + 4-byte nsec big-endian
+    (flb_time FLB_TIME_ETFMT_V1_FIXEXT; the forward spec's sub-second
+    timestamp). Symmetric with _event_time's decode."""
+    return b"\xd7\x00" + struct.pack(">II", sec & 0xFFFFFFFF, nsec & 0xFFFFFFFF)
+
+
+def _pack_time(ts: float, time_as_integer: bool) -> bytes:
+    if time_as_integer:
+        # Fluentd <= 0.12 compat (FLB_TIME_ETFMT_INT)
+        return pack_value(int(ts))
+    sec = int(ts)
+    nsec = int(round((ts - sec) * 1e9))
+    if nsec >= 1_000_000_000:  # float rounding at the second boundary
+        sec, nsec = sec + 1, 0
+    return pack_event_time(sec, nsec)
+
+
+def _chunk_hex(payload: bytes) -> str:
+    """require_ack_response chunk id: first 16 bytes of sha512 over the
+    entry payload, as a 32-char hex string (append_options,
+    forward_format.c:104-121 via flb_hash_simple + bin_to_hex)."""
+    import hashlib
+
+    return hashlib.sha512(payload).digest()[:16].hex()
+
+
+def _array_header(n: int) -> bytes:
+    if n <= 15:
+        return struct.pack("B", 0x90 | n)
+    if n <= 0xFFFF:
+        return b"\xdc" + struct.pack(">H", n)
+    return b"\xdd" + struct.pack(">I", n)
+
+
+def _bin_header(n: int) -> bytes:
+    if n <= 0xFF:
+        return b"\xc4" + struct.pack("B", n)
+    if n <= 0xFFFF:
+        return b"\xc5" + struct.pack(">H", n)
+    return b"\xc6" + struct.pack(">I", n)
+
+
+def _options(
+    entries: int,
+    payload: bytes,
+    require_ack_response: bool,
+    compressed: bool,
+) -> dict:
+    """The options map in append_options' exact key order — 'chunk' MUST
+    be first (flush_* reads map.ptr[0] as the ack chunk id,
+    forward.c:1436); then size, compressed, fluent_signal
+    (forward_format.c:124-170)."""
+    opts: dict = {}
+    if require_ack_response:
+        opts["chunk"] = _chunk_hex(payload)
+    if entries > 0:
+        opts["size"] = entries
+    if compressed:
+        opts["compressed"] = "gzip"
+    opts["fluent_signal"] = FLUENT_SIGNAL_LOGS
+    return opts
+
+
+def encode_forward_frame(
+    tag: str,
+    events,
+    *,
+    mode: str = "forward",
+    time_as_integer: bool = False,
+    send_options: bool = False,
+    require_ack_response: bool = False,
+    compress: str = None,
+) -> bytes:
+    """One forward-protocol frame for a (tag, [(ts, record), ...]) chunk.
+
+    mode 'forward': ``[tag, [[time, record], ...], options?]``
+    (flb_forward_format_forward_mode); with compress='gzip' the entry
+    array becomes a gzipped bin — CompressedPackedForward — and the
+    options map carries compressed:'gzip'. mode 'packed': the bin form
+    without gzip (PackedForward, the shape in_forward's fw_prot.c also
+    accepts). mode 'message': concatenated per-record
+    ``[tag, time, record, options]`` frames (message mode packs 4
+    elements with per-record options, forward_format.c:505-540).
+
+    Config-map validations mirrored from forward.c:886-918: compress
+    implies send_options, and is incompatible with time_as_integer and
+    message mode.
+    """
+    if compress not in (None, "gzip"):
+        raise ValueError(f"invalid compress mode: {compress}")  # :897
+    if compress:
+        if time_as_integer:
+            raise ValueError(
+                "compress gzip is incompatible with time_as_integer"  # :905
+            )
+        if mode == "message":
+            raise ValueError(
+                "compress gzip is incompatible with message mode"  # :912
+            )
+        send_options = True  # :886 'compress (implies send_options)'
+    if mode == "message":
+        out = b""
+        for ts, rec in events:
+            region = _pack_time(ts, time_as_integer) + pack_value(rec)
+            opts = _options(0, region, require_ack_response, False)
+            out += (
+                _array_header(4) + pack_value(str(tag)) + region
+                + pack_value(opts)
+            )
+        return out
+    if mode not in ("forward", "packed"):
+        raise ValueError(f"unknown forward mode {mode!r}")
+    entry_blob = b"".join(
+        _array_header(2) + _pack_time(ts, time_as_integer) + pack_value(rec)
+        for ts, rec in events
+    )
+    n = len(events)
+    if compress == "gzip":
+        import gzip
+
+        zipped = gzip.compress(entry_blob)
+        payload = _bin_header(len(zipped)) + zipped
+    elif mode == "packed":
+        payload = _bin_header(len(entry_blob)) + entry_blob
+    else:
+        payload = _array_header(n) + entry_blob
+    head = _array_header(3 if send_options else 2) + pack_value(str(tag))
+    if not send_options:
+        return head + payload
+    opts = _options(n, entry_blob, require_ack_response, compress == "gzip")
+    return head + payload + pack_value(opts)
+
+
+def to_forward_frames(
+    df: DataFrame,
+    ts_col,
+    cols: Sequence[str],
+    tag_col: str = "tag",
+    **frame_opts,
+) -> DataFrame:
+    """(tag, value binary, n long) rows: one forward frame per tag group
+    per Arrow batch — the batch is this engine's chunk, mirroring the
+    reference's one-flush-per-(tag, chunk) dispatch
+    (flb_engine_dispatch.c). Arrow-batched mapInPandas, no per-row
+    Python in the driver plan; roundtrips through
+    decode_forward_frame."""
+    import math
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            if ts_col is None:
+                ts = pd.Series([0.0] * len(pdf))
+            else:
+                raw = pdf[ts_col]
+                if pd.api.types.is_datetime64_any_dtype(raw):
+                    ts = (raw.astype("int64") / 1e9).where(raw.notna(), 0.0)
+                else:
+                    ts = raw.fillna(0.0).astype("float64")
+            groups: dict = {}
+            recs = pdf[list(cols)]
+            for tag, t, row in zip(
+                pdf[tag_col], ts.tolist(), recs.itertuples(index=False)
+            ):
+                rec = {}
+                for k, v in zip(cols, row):
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        rec[k] = None
+                    elif hasattr(v, "item"):
+                        rec[k] = v.item()
+                    else:
+                        rec[k] = v
+                groups.setdefault(str(tag), []).append((t, rec))
+            tags, vals, ns = [], [], []
+            for tag, events in groups.items():
+                tags.append(tag)
+                vals.append(encode_forward_frame(tag, events, **frame_opts))
+                ns.append(len(events))
+            yield pd.DataFrame({"tag": tags, "value": vals, "n": ns})
+
+    return df.mapInPandas(run, "tag string, value binary, n long")

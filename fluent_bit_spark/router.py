@@ -468,6 +468,22 @@ def write_sinks(
                 write_msgpack(part, ts_col, cols, dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "forward":
+                # out_forward payload staging: the tag frames the records
+                # (forward_format.c append_tag), so it leaves the body
+                from .msgpackfmt import write_forward
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                cols = [c for c in part.columns if c not in (ts_col, tag_col)]
+                write_forward(
+                    part, ts_col, cols, dest, tag_col=tag_col,
+                    **(s.format_options or {}),
+                )
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "json":
                 # out_file json lines (flb_pack_msgpack_to_json_format):
                 # fb_json_body keeps nulls and escapes strings exactly like

@@ -783,3 +783,171 @@ def test_sink_counts_see_post_processor_stream(spark, tmp_path):
     ]
     counts = write_sinks(df, sinks, str(tmp_path))
     assert counts == {"filtered": 2}
+
+
+def test_forward_encode_goldens():
+    """out_forward wire encode byte goldens (forward_format.c layouts):
+    EventTime fixext8, entry array, options map key order with chunk
+    first (flush_* reads map.ptr[0] as the ack chunk id)."""
+    import hashlib
+
+    from fluent_bit_spark.msgpackfmt import (
+        encode_forward_frame,
+        pack_event_time,
+        pack_value,
+        unpack_stream,
+    )
+
+    # EventTime ext: fixext8 type 0, big-endian sec + nsec
+    assert pack_event_time(1, 2) == b"\xd7\x00\x00\x00\x00\x01\x00\x00\x00\x02"
+
+    # Forward mode, no options: [tag, [[EventTime, record]]]
+    frame = encode_forward_frame("t.1", [(1.0, {"k": "v"})])
+    assert frame == (
+        b"\x92" + pack_value("t.1")
+        + b"\x91" + b"\x92" + pack_event_time(1, 0) + pack_value({"k": "v"})
+    )
+
+    # send_options: array(3), options = {size, fluent_signal}
+    frame = encode_forward_frame("t", [(0.0, {"a": 1})], send_options=True)
+    msgs = unpack_stream(frame)
+    assert len(msgs) == 1 and len(msgs[0]) == 3
+    assert msgs[0][2] == {"size": 1, "fluent_signal": 0}
+
+    # require_ack: chunk first, 32 hex chars of sha512[:16] over entries
+    frame = encode_forward_frame(
+        "t", [(0.0, {"a": 1})], send_options=True, require_ack_response=True
+    )
+    opts = unpack_stream(frame)[0][2]
+    entry_blob = b"\x92" + pack_event_time(0, 0) + pack_value({"a": 1})
+    assert list(opts) == ["chunk", "size", "fluent_signal"]
+    assert opts["chunk"] == hashlib.sha512(entry_blob).digest()[:16].hex()
+
+    # time_as_integer (Fluentd <= 0.12 compat): plain int timestamp
+    frame = encode_forward_frame(
+        "t", [(3.7, {"a": 1})], time_as_integer=True
+    )
+    assert unpack_stream(frame)[0][1][0][0] == 3
+
+    # message mode: per-record [tag, time, record, options] frames
+    frame = encode_forward_frame(
+        "t", [(1.0, {"a": 1}), (2.0, {"a": 2})], mode="message"
+    )
+    msgs = unpack_stream(frame)
+    assert len(msgs) == 2 and all(len(m) == 4 for m in msgs)
+    assert msgs[1][2] == {"a": 2}
+    assert msgs[0][3] == {"fluent_signal": 0}  # entries=0 -> no size key
+
+    # config-map validations (forward.c:886-918)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_forward_frame("t", [], compress="gzip", time_as_integer=True)
+    with _pytest.raises(ValueError):
+        encode_forward_frame("t", [], compress="gzip", mode="message")
+    with _pytest.raises(ValueError):
+        encode_forward_frame("t", [], compress="zstd")
+
+
+def test_forward_encode_decode_roundtrip_property():
+    """encode_forward_frame -> decode_forward_frame identity across all
+    modes on randomized records (the property the symmetric coder pair
+    must hold; decode is the e2e-tested in_forward side)."""
+    import math
+    import random
+
+    from fluent_bit_spark.msgpackfmt import (
+        decode_forward_frame,
+        encode_forward_frame,
+    )
+
+    rng = random.Random(77)
+
+    def rand_val(depth=0):
+        kind = rng.randrange(8 if depth < 2 else 6)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return rng.choice([True, False])
+        if kind == 2:
+            return rng.randint(-(2**40), 2**40)
+        if kind == 3:
+            return round(rng.uniform(-1e6, 1e6), 6)
+        if kind == 4:
+            return "".join(
+                rng.choice("abc xyzÅ∂é\n\"\\") for _ in range(rng.randrange(12))
+            )
+        if kind == 5:
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(8)))
+        if kind == 6:
+            return [rand_val(depth + 1) for _ in range(rng.randrange(4))]
+        return {f"k{i}": rand_val(depth + 1) for i in range(rng.randrange(4))}
+
+    for trial in range(40):
+        events = [
+            (
+                rng.randrange(2**32) + rng.randrange(1000) / 1000.0,
+                {f"f{i}": rand_val() for i in range(rng.randrange(1, 5))},
+            )
+            for _ in range(rng.randrange(1, 6))
+        ]
+        mode = rng.choice(["forward", "packed", "message"])
+        opts = dict(
+            mode=mode,
+            send_options=rng.choice([True, False]),
+            require_ack_response=rng.choice([True, False]),
+            time_as_integer=rng.choice([True, False]),
+        )
+        if (
+            mode != "message"
+            and not opts["time_as_integer"]
+            and rng.random() < 0.4
+        ):
+            opts["compress"] = "gzip"
+        frame = encode_forward_frame("app.x", events, **opts)
+        got = decode_forward_frame(frame)
+        assert len(got) == len(events), (trial, opts)
+        for (ts, rec), (gtag, gts, grec) in zip(events, got):
+            assert gtag == "app.x"
+            want_ts = float(int(ts)) if opts["time_as_integer"] else ts
+            assert math.isclose(gts, want_ts, abs_tol=1e-6), (trial, opts)
+            assert grec == rec, (trial, opts)
+
+
+def test_forward_sink_e2e(spark, tmp_path):
+    """fmt='forward' SinkSpec: routed frames stage as .fwd files whose
+    bytes decode back to the records via decode_forward_frame; counts
+    come from the same single pass."""
+    import datetime as dt
+    import glob as _glob
+
+    from fluent_bit_spark.msgpackfmt import decode_forward_frame
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = spark.createDataFrame(
+        [
+            ("app.a", dt.datetime(2024, 1, 2, 3, 4, 5, 250000), "m1", 1),
+            ("app.b", dt.datetime(2024, 1, 2, 3, 4, 6), "m2", 2),
+            ("sys.x", dt.datetime(2024, 1, 2, 3, 4, 7), "m3", 3),
+        ],
+        "tag string, ts timestamp, msg string, k long",
+    )
+    counts = write_sinks(
+        df,
+        [
+            SinkSpec(
+                name="fwd", match="app.*", fmt="forward",
+                format_options={"send_options": True, "compress": "gzip"},
+            )
+        ],
+        str(tmp_path),
+    )
+    assert counts == {"fwd": 2}
+    blob = b"".join(
+        open(p, "rb").read()
+        for p in sorted(_glob.glob(str(tmp_path / "fwd" / "part-*.fwd")))
+    )
+    recs = sorted(decode_forward_frame(blob))
+    assert [r[0] for r in recs] == ["app.a", "app.b"]
+    assert recs[0][2] == {"msg": "m1", "k": 1}
+    assert abs(recs[0][1] - 1704164645.25) < 1e-6
