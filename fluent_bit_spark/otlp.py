@@ -1,0 +1,244 @@
+"""in_opentelemetry OTLP-JSON logs ingest (plugins/in_opentelemetry/
+opentelemetry_logs.c; URI routing opentelemetry_prot.c:433,581,1089).
+
+The reference accepts OTLP/HTTP POSTs on /v1/logs and converts the
+ExportLogsServiceRequest envelope into grouped log events: one
+group per (resourceLogs index, scopeLogs index) framed by
+group-start/group-end markers — the start marker carries the metadata
+``{schema: otlp, resource_id: i, scope_id: j}`` and a group body holding
+the resource/scope maps (opentelemetry_logs.c:376-510) — plus one record
+per logRecord with the ``otlp`` metadata map (otel_pack_v1_metadata,
+:196-295) and the body-key rules (:557-575).
+
+Transport reuses the httpingest spool sidecar (the same pattern as
+in_http/HEC/ES bulk); the decode itself is recursive over OTLP AnyValue
+(kvlists inside arrays inside kvlists), which a static Catalyst schema
+can't express — so it runs as the designed Arrow-batched ``mapInPandas``
+escape hatch, one Python crossing per request envelope, bounded by body
+size. The pure-Python decoder is exposed separately for golden tests.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OTLP_LOGS_SCHEMA = (
+    "tag string, resource_id long, scope_id long, ord int, seq long, "
+    "record_type string, otel_schema string, group_body string, "
+    "ts double, otlp string, record string"
+)
+
+
+def any_value(v):
+    """OTLP-JSON AnyValue -> python value (otlp_pack_any_value,
+    opentelemetry_logs.c:139-195): string/bool/int/double unwrap,
+    arrayValue/kvlistValue recurse, bytesValue kept as the JSON text
+    (base64), unset -> None. intValue arrives as a JSON string per the
+    OTLP-JSON encoding."""
+    if v is None:
+        return None
+    if "stringValue" in v:
+        return v["stringValue"]
+    if "boolValue" in v:
+        return bool(v["boolValue"])
+    if "intValue" in v:
+        return int(v["intValue"])
+    if "doubleValue" in v:
+        return float(v["doubleValue"])
+    if "arrayValue" in v:
+        return [any_value(x) for x in (v["arrayValue"] or {}).get("values", [])]
+    if "kvlistValue" in v:
+        return kvlist((v["kvlistValue"] or {}).get("values", []))
+    if "bytesValue" in v:
+        return v["bytesValue"]
+    return None
+
+
+def kvlist(values) -> dict:
+    """KeyValue list -> map (otel_pack_kvarray)."""
+    return {kv.get("key"): any_value(kv.get("value")) for kv in values or []}
+
+
+def _resource_scope_body(resource_log: dict, scope_log: dict) -> dict:
+    """The group-start body {resource: {...}, scope: {...}}
+    (opentelemetry_logs.c:388-510): resource carries attributes /
+    dropped_attributes_count / the resourceLogs schemaUrl; scope carries
+    the scopeLogs schemaUrl / name / version / attributes /
+    dropped_attributes_count, or stays an empty map."""
+    res = resource_log.get("resource") or {}
+    rbody: dict = {}
+    if res.get("attributes"):
+        rbody["attributes"] = kvlist(res["attributes"])
+    if res.get("droppedAttributesCount"):
+        rbody["dropped_attributes_count"] = int(res["droppedAttributesCount"])
+    if resource_log.get("schemaUrl"):
+        rbody["schema_url"] = resource_log["schemaUrl"]
+    scope = scope_log.get("scope") or {}
+    sbody: dict = {}
+    if scope.get("name") or scope.get("version") or scope.get("attributes"):
+        if scope_log.get("schemaUrl"):
+            sbody["schema_url"] = scope_log["schemaUrl"]
+        if scope.get("name"):
+            sbody["name"] = scope["name"]
+        if scope.get("version"):
+            sbody["version"] = scope["version"]
+        if scope.get("attributes"):
+            sbody["attributes"] = kvlist(scope["attributes"])
+        if scope.get("droppedAttributesCount"):
+            sbody["dropped_attributes_count"] = int(
+                scope["droppedAttributesCount"]
+            )
+    return {"resource": rbody, "scope": sbody}
+
+
+def _record_meta(rec: dict) -> dict:
+    """otel_pack_v1_metadata (opentelemetry_logs.c:196-295): the ``otlp``
+    metadata map — observed_timestamp / timestamp (only when nonzero),
+    severity_number (only 1..24), severity_text (nonempty), attributes,
+    trace_id / span_id (nonempty), trace_flags (always)."""
+    m: dict = {}
+    observed = int(rec.get("observedTimeUnixNano") or 0)
+    if observed:
+        m["observed_timestamp"] = observed
+    t = int(rec.get("timeUnixNano") or 0)
+    if t:
+        m["timestamp"] = t
+    sev = int(rec.get("severityNumber") or 0)
+    if 1 <= sev <= 24:
+        m["severity_number"] = sev
+    if rec.get("severityText"):
+        m["severity_text"] = rec["severityText"]
+    if rec.get("attributes"):
+        m["attributes"] = kvlist(rec["attributes"])
+    if rec.get("traceId"):
+        m["trace_id"] = rec["traceId"]
+    if rec.get("spanId"):
+        m["span_id"] = rec["spanId"]
+    m["trace_flags"] = int(rec.get("flags") or 0) & 0xFF
+    return {"otlp": m}
+
+
+def decode_otlp_logs(
+    body: str,
+    tag: str = "opentelemetry.0",
+    logs_body_key: Optional[str] = None,
+    receive_ts: Optional[float] = None,
+):
+    """One ExportLogsServiceRequest JSON body -> list of grouped rows
+    (dicts in OTLP_LOGS_SCHEMA order). Event time precedence per
+    opentelemetry_logs.c:516-528: timeUnixNano, else
+    observedTimeUnixNano, else the receive time (``receive_ts``; the
+    reference stamps flb_time_get — pass None to leave it null for
+    deterministic pipelines). Body-key rule (:557-575): a kvlist body
+    with no logs_body_key becomes the record map itself; anything else
+    wraps under ``logs_body_key`` (default 'log')."""
+    req = json.loads(body)
+    rows = []
+    for rid, resource_log in enumerate(req.get("resourceLogs") or []):
+        for sid, scope_log in enumerate(resource_log.get("scopeLogs") or []):
+            group = _resource_scope_body(resource_log, scope_log)
+            base = {"tag": tag, "resource_id": rid, "scope_id": sid}
+            rows.append(
+                dict(
+                    base,
+                    ord=0,
+                    seq=0,
+                    record_type="group_start",
+                    otel_schema="otlp",
+                    group_body=json.dumps(group, separators=(",", ":")),
+                    ts=None,
+                    otlp=None,
+                    record=None,
+                )
+            )
+            recs = scope_log.get("logRecords") or []
+            for seq, rec in enumerate(recs):
+                t = int(rec.get("timeUnixNano") or 0)
+                observed = int(rec.get("observedTimeUnixNano") or 0)
+                if t > 0:
+                    ts = t / 1e9
+                elif observed > 0:
+                    ts = observed / 1e9
+                else:
+                    ts = receive_ts
+                bodyv = rec.get("body")
+                if (
+                    logs_body_key is None
+                    and isinstance(bodyv, dict)
+                    and "kvlistValue" in bodyv
+                ):
+                    record = any_value(bodyv)
+                else:
+                    record = {(logs_body_key or "log"): any_value(bodyv)}
+                rows.append(
+                    dict(
+                        base,
+                        ord=1,
+                        seq=seq,
+                        record_type="normal",
+                        otel_schema=None,
+                        group_body=None,
+                        ts=ts,
+                        otlp=json.dumps(_record_meta(rec), separators=(",", ":")),
+                        record=json.dumps(record, separators=(",", ":")),
+                    )
+                )
+            rows.append(
+                dict(
+                    base,
+                    ord=2,
+                    seq=max(len(recs) - 1, 0),
+                    record_type="group_end",
+                    otel_schema=None,
+                    group_body=None,
+                    ts=None,
+                    otlp=None,
+                    record=None,
+                )
+            )
+    return rows
+
+
+def otlp_logs_records(
+    df: DataFrame,
+    default_tag: str = "opentelemetry.0",
+    logs_body_key: Optional[str] = None,
+    receive_ts: Optional[float] = None,
+) -> DataFrame:
+    """in_opentelemetry: grouped (tag, markers, records) rows from HTTP
+    spool envelopes. Only /v1/logs JSON envelopes are consumed
+    (opentelemetry_prot.c:433 rejects other URIs; :856 content-type
+    gate); protobuf payloads are out of scope (no protobuf runtime in
+    this environment — documented limit, the JSON encoding carries
+    identical information). Sort by (resource_id, scope_id, ord, seq)
+    to replay the reference's chunk order."""
+    path = F.split(F.col("path"), r"\?").getItem(0)
+    keep = df.filter(
+        (path == "/v1/logs") & F.lower(F.col("ct")).contains("json")
+    )
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        cols = [
+            "tag", "resource_id", "scope_id", "ord", "seq", "record_type",
+            "otel_schema", "group_body", "ts", "otlp", "record",
+        ]
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                rows.extend(
+                    decode_otlp_logs(
+                        body,
+                        tag=default_tag,
+                        logs_body_key=logs_body_key,
+                        receive_ts=receive_ts,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keep.mapInPandas(run, OTLP_LOGS_SCHEMA)

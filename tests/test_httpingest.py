@@ -171,3 +171,163 @@ def test_http_spool_streaming_follow(spark, tmp_path):
     # no reprocessing of request 0, both new records ingested
     assert got == ["first", "second", "third"]
     assert len(glob.glob(spool + "/req-*.json")) == 2
+
+
+OTLP_BODY = json.dumps(
+    {
+        "resourceLogs": [
+            {
+                "schemaUrl": "https://otel/1.0",
+                "resource": {
+                    "attributes": [
+                        {
+                            "key": "service.name",
+                            "value": {"stringValue": "cart"},
+                        }
+                    ],
+                    "droppedAttributesCount": 2,
+                },
+                "scopeLogs": [
+                    {
+                        "scope": {
+                            "name": "lib",
+                            "version": "1.2",
+                            "attributes": [
+                                {"key": "x", "value": {"intValue": "7"}}
+                            ],
+                        },
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1704164645250000000",
+                                "severityNumber": 9,
+                                "severityText": "INFO",
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "b7ad6b7169203331",
+                                "flags": 1,
+                                "attributes": [
+                                    {
+                                        "key": "nested",
+                                        "value": {
+                                            "kvlistValue": {
+                                                "values": [
+                                                    {
+                                                        "key": "arr",
+                                                        "value": {
+                                                            "arrayValue": {
+                                                                "values": [
+                                                                    {"intValue": "1"},
+                                                                    {"boolValue": True},
+                                                                ]
+                                                            }
+                                                        },
+                                                    }
+                                                ]
+                                            }
+                                        },
+                                    }
+                                ],
+                                "body": {"stringValue": "hello"},
+                            },
+                            {
+                                "observedTimeUnixNano": "2000000000",
+                                "severityNumber": 30,
+                                "body": {
+                                    "kvlistValue": {
+                                        "values": [
+                                            {
+                                                "key": "msg",
+                                                "value": {"stringValue": "kv"},
+                                            }
+                                        ]
+                                    }
+                                },
+                            },
+                            {"body": None},
+                        ],
+                    },
+                    {"scope": {}, "logRecords": [{"body": {"intValue": "5"}}]},
+                ],
+            }
+        ]
+    }
+)
+
+
+def test_otlp_logs_end_to_end(spark, tmp_path):
+    """in_opentelemetry OTLP-JSON logs over a real POST: /v1/logs
+    envelopes become the grouped frame otel_envelope's shape expects —
+    start markers with {schema: otlp, resource_id, scope_id} + the
+    resource/scope group body, per-record otlp metadata with the
+    timestamp-precedence / severity-bounds / body-key rules
+    (opentelemetry_logs.c:376-590), end markers."""
+    from fluent_bit_spark import otlp
+
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        _post(port, "/v1/logs", OTLP_BODY)
+        _post(port, "/v1/traces", '{"resourceSpans": []}')  # ignored
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    env = httpingest.http_spool_source(spark, spool)
+    out = otlp.otlp_logs_records(env).orderBy(
+        "resource_id", "scope_id", "ord", "seq"
+    )
+    rows = [r.asDict() for r in out.collect()]
+
+    # frame shape: [start, n1, n2, n3, end, start, n1, end]
+    assert [r["record_type"] for r in rows] == [
+        "group_start", "normal", "normal", "normal", "group_end",
+        "group_start", "normal", "group_end",
+    ]
+    start = rows[0]
+    assert (start["otel_schema"], start["resource_id"], start["scope_id"]) == (
+        "otlp", 0, 0
+    )
+    gb = json.loads(start["group_body"])
+    assert gb["resource"] == {
+        "attributes": {"service.name": "cart"},
+        "dropped_attributes_count": 2,
+        "schema_url": "https://otel/1.0",
+    }
+    assert gb["scope"] == {
+        "name": "lib", "version": "1.2", "attributes": {"x": 7}
+    }
+
+    r1 = rows[1]
+    assert abs(r1["ts"] - 1704164645.25) < 1e-6  # timeUnixNano wins
+    meta = json.loads(r1["otlp"])["otlp"]
+    assert meta["timestamp"] == 1704164645250000000
+    assert meta["severity_number"] == 9 and meta["severity_text"] == "INFO"
+    assert meta["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert meta["trace_flags"] == 1
+    assert meta["attributes"] == {"nested": {"arr": [1, True]}}
+    assert json.loads(r1["record"]) == {"log": "hello"}  # scalar body wraps
+
+    r2 = rows[2]
+    assert abs(r2["ts"] - 2.0) < 1e-9  # observedTimeUnixNano fallback
+    meta2 = json.loads(r2["otlp"])["otlp"]
+    assert "severity_number" not in meta2  # 30 is out of the 1..24 range
+    assert json.loads(r2["record"]) == {"msg": "kv"}  # kvlist body in place
+
+    r3 = rows[3]
+    assert r3["ts"] is None  # no time anywhere, deterministic null
+    assert json.loads(r3["record"]) == {"log": None}
+
+    # second scope group: empty scope -> {}, int body wraps under 'log'
+    start2 = rows[5]
+    assert (start2["resource_id"], start2["scope_id"]) == (0, 1)
+    assert json.loads(start2["group_body"])["scope"] == {}
+    assert json.loads(rows[6]["record"]) == {"log": 5}
+
+    # logs_body_key override: kvlist body also wraps
+    out2 = otlp.otlp_logs_records(env, logs_body_key="message")
+    recs2 = [
+        json.loads(r["record"])
+        for r in out2.filter("record_type = 'normal'")
+        .orderBy("resource_id", "scope_id", "seq")
+        .collect()
+    ]
+    assert recs2[1] == {"message": {"msg": "kv"}}
