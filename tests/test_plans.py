@@ -167,3 +167,65 @@ def test_fused_webgen_plan_shape(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     # the rewrite-tag explode stays in-plan (no union recompute)
     assert "Generate" in plan and "Union" not in plan
+
+
+def test_renderer_sinks_reuse_single_persisted_upstream(
+    spark, monkeypatch, tmp_path
+):
+    """Every rendered sink write (es_bulk / splunk_hec / loki / gelf /
+    out_file json) must read the ONE persisted routed frame
+    (InMemoryTableScan), never re-scan the source per sink — a
+    cache-drop refactor in write_sinks turns these plans back into
+    parquet scans and fails here (round-3 verdict task #7)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn(
+            "tag",
+            F.concat(F.col("event_type"), F.lit(".u"),
+                     (F.col("user_id") % 10).cast("string")),
+        )
+        .withColumn("msg", F.col("props"))
+    )
+    plans: dict[str, str] = {}
+
+    class RecordingWriter:
+        def __init__(self, d):
+            self.d = d
+
+        def mode(self, m):
+            return self
+
+        def option(self, k, v):
+            return self
+
+        def text(self, dest):
+            plans[dest] = plan_of(self.d)
+            self.d.count()  # fire the observe() action the counts need
+
+        csv = parquet = text
+
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: RecordingWriter(self))
+    )
+    sinks = [
+        SinkSpec("es", match="*", fmt="es_bulk"),
+        SinkSpec("hec", match="click.*", fmt="splunk_hec"),
+        SinkSpec("lk", match="*", fmt="loki",
+                 format_options={"labels": {"job": "fb"}}),
+        SinkSpec("ge", match="*", fmt="gelf",
+                 gelf_fields={"short_message_key": "msg"}),
+        SinkSpec("js", match="*", fmt="json"),
+    ]
+    counts = write_sinks(df, sinks, str(tmp_path))
+    assert len(plans) == 5 and counts["es"] == counts["lk"] > 0
+    for dest, plan in plans.items():
+        # each sink reads the cache; dropping the persist() in
+        # write_sinks removes every InMemoryTableScan and fails here
+        # (the 'Scan parquet' text inside the plan is the cached
+        # relation's BUILD plan, printed by formatted explain — the
+        # execution path is the InMemoryTableScan node)
+        assert "InMemoryTableScan" in plan, dest
