@@ -136,3 +136,60 @@ def rate_limit(
         return out[rank < limit]
 
     return scripted_transform(df, fn, _schema_of(df))
+
+
+def rename_keys(df: DataFrame, renames: dict) -> DataFrame:
+    """The docs' key-rename cb_filter idiom (filter_lua docs):
+    ``record['new'] = record['old']; record['old'] = nil;
+    return 2, timestamp, record`` — code 2: record replaced, timestamp
+    kept. Missing source keys are left alone, exactly like indexing a
+    nil Lua table field."""
+
+    def fn(pdf):
+        present = {k: v for k, v in renames.items() if k in pdf.columns}
+        return pdf.rename(columns=present)
+
+    fields = []
+    for f in df.schema.fields:
+        fields.append(f"{renames.get(f.name, f.name)} {f.dataType.simpleString()}")
+    return scripted_transform(df, fn, ", ".join(fields))
+
+
+def conditional_retag(
+    df: DataFrame,
+    key: str,
+    pattern: str,
+    new_tag: str,
+    tag_col: str = "tag",
+    keep: bool = False,
+) -> DataFrame:
+    """The docs' conditional re-tag idiom: a Lua cb can't change the
+    tag, so the documented composite is the script stamping a marker
+    field when ``record[key]`` matches (code 2) and a rewrite_tag rule
+    on the marker re-injecting through the emitter. Composed here as
+    one recipe: the marker stamp runs as the scripted batch body (the
+    Lua cb's 1:1 shape), the re-injection reuses
+    router.apply_rewrite_tag's single-pass emitter cascade — `new_tag`
+    accepts the same $TAG[n] template surface."""
+    import re as _re
+
+    from .router import RewriteTagRule, apply_rewrite_tag
+
+    rx = _re.compile(pattern)
+
+    def fn(pdf):
+        out = pdf.copy()
+        hit = pdf[key].astype("object").map(
+            lambda v: v is not None and isinstance(v, str)
+            and rx.search(v) is not None
+        )
+        out["__retag"] = hit.map(lambda h: "y" if h else None)
+        return out
+
+    marked = scripted_transform(df, fn, _schema_of(df) + ", __retag string")
+    out = apply_rewrite_tag(
+        marked,
+        [RewriteTagRule(key="__retag", regex="^y$", new_tag=new_tag, keep=keep)],
+        tag_col=tag_col,
+    )
+    return out.drop("__retag")

@@ -118,3 +118,41 @@ def test_rate_limit_matches_throttle_groupwise(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_rename_keys_golden(spark):
+    """key-rename idiom: record['new'] = record['old']; record['old'] =
+    nil; return 2, ts, record — code 2 replaces the record, keeps the
+    timestamp; missing source keys are nil-indexing no-ops."""
+    out = lua_recipes.rename_keys(
+        _frame(spark), {"msg": "message", "absent": "never"}
+    )
+    assert "msg" not in out.columns and "message" in out.columns
+    assert "never" not in out.columns
+    rows = {r["message"]: r for r in out.collect()}
+    assert rows["hello"]["ts"] == 10.0 and rows["hello"]["tag"] == "app.a"
+    assert len(rows) == 3
+
+
+def test_conditional_retag_golden(spark):
+    """conditional re-tag idiom: the cb stamps a marker when
+    record[key] matches, a rewrite_tag rule on the marker re-injects —
+    keep=False replaces the tag ($TAG[n] template surface), keep=True
+    keeps the original flowing too."""
+    out = lua_recipes.conditional_retag(
+        _frame(spark), key="msg", pattern=r"^drop", new_tag="quarantine.$TAG[1]"
+    )
+    rows = {r["msg"]: r["tag"] for r in out.collect()}
+    assert rows == {
+        "hello": "app.a",
+        "drop-me": "quarantine.b",
+        "world": "db.c",
+    }
+    assert "__retag" not in out.columns
+
+    kept = lua_recipes.conditional_retag(
+        _frame(spark), key="msg", pattern=r"^drop", new_tag="quarantine.$TAG[1]",
+        keep=True,
+    )
+    tags = sorted(r["tag"] for r in kept.collect())
+    assert tags == ["app.a", "app.b", "db.c", "quarantine.b"]
