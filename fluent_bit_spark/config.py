@@ -1333,6 +1333,46 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="loki", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "forward":
+        # out_forward offline path: stage the exact wire payloads
+        # (Message/Forward/PackedForward frames) the plugin would write;
+        # config map per forward.c:1760-1800 (+ :886 'compress implies
+        # send_options', enforced by the encoder)
+        opts = {}
+        for k in ("time_as_integer", "send_options", "require_ack_response"):
+            if s.get(k) is not None:
+                opts[k] = _bool(s.get(k))
+        if s.get("compress"):
+            opts["compress"] = s.get("compress").lower()
+        if s.get("mode"):
+            opts["mode"] = s.get("mode").lower()
+        return SinkSpec(
+            s.get("sink_name", f"forward_{match.replace('*', 'all')}"),
+            match=match, fmt="forward", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
+    if name == "prometheus_exporter":
+        # out_prometheus_exporter: exposition text rendering
+        # (prom.c:169 cb_prom_flush); add_label entries become static
+        # labels appended to every sample (prom.c:118-126), add_timestamp
+        # stamps ms times
+        opts = {}
+        if s.get("add_timestamp") is not None:
+            opts["add_timestamp"] = _bool(s.get("add_timestamp"))
+            opts["ts_col"] = s.get("ts_col", "ts")
+        statics = []
+        for kv in s.get_all("add_label"):
+            parts = split_quoted(kv)
+            if len(parts) == 2:
+                statics.append((parts[0], parts[1]))
+        if statics:
+            opts["static_labels"] = statics
+        if s.get("metric_type"):
+            opts["metric_type"] = s.get("metric_type").lower()
+        return SinkSpec(
+            s.get("sink_name", f"prom_{match.replace('*', 'all')}"),
+            match=match, fmt="prom", format_options=opts, processors=procs,
+        )
     raise ValueError(f"unsupported OUTPUT plugin {name!r}")
 
 

@@ -468,6 +468,23 @@ def write_sinks(
                 write_msgpack(part, ts_col, cols, dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "prom":
+                # exposition text (metrics.prom_lines): banner-before-
+                # samples ordering must survive the file write, and an
+                # exposition page is one scrape document by definition —
+                # a single sorted partition, like the reference's one
+                # text buffer per scrape (hash_format_metrics)
+                from .metrics import prom_lines
+
+                page = prom_lines(part, **(s.format_options or {}))
+                page = (
+                    page.repartition(1)
+                    .sortWithinPartitions("metric_name", "ord", "line")
+                    .select(F.col("line").alias("value"))
+                )
+                page.write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "forward":
                 # out_forward payload staging: the tag frames the records
                 # (forward_format.c append_tag), so it leaves the body

@@ -1538,3 +1538,101 @@ def test_output_processors_per_sink(spark, tmp_path):
 
     assert all(x.get("stage") == "delivered" for x in rows("redacted"))
     assert all("stage" not in x for x in rows("plain"))
+
+
+def test_forward_output_config_e2e(spark, tmp_path):
+    """OUTPUT name:forward stages the exact out_forward wire payloads;
+    the .fwd bytes decode back to the routed records (roundtrip through
+    the e2e-tested in_forward side)."""
+    import glob as _glob
+
+    from fluent_bit_spark.config import run_config
+    from fluent_bit_spark.msgpackfmt import decode_forward_frame
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"msg\": \"w1\"}'\n"
+        "      samples: 3\n"
+        "      tag: app.fw\n"
+        "  outputs:\n"
+        "    - name: forward\n"
+        "      match: 'app.*'\n"
+        "      send_options: on\n"
+        "      compress: gzip\n"
+        "      sink_name: fwd\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"fwd": 3}
+    blob = b"".join(
+        open(p, "rb").read()
+        for p in sorted(_glob.glob(str(tmp_path / "fwd" / "part-*.fwd")))
+    )
+    recs = decode_forward_frame(blob)
+    assert len(recs) == 3
+    assert all(t == "app.fw" for t, _, _ in recs)
+    assert all(rec.get("msg") == "w1" for _, _, rec in recs)
+
+
+def test_prometheus_exporter_output_section(spark):
+    """OUTPUT name:prometheus_exporter parses into the prom SinkSpec:
+    add_label pairs become static labels (prom.c:118-126), add_timestamp
+    and metric_type flow through."""
+    from fluent_bit_spark.config import _build_sink, parse_classic
+
+    conf = (
+        "[OUTPUT]\n"
+        "    name prometheus_exporter\n"
+        "    match metrics.*\n"
+        "    add_label env prod\n"
+        "    add_label region us-east-1\n"
+        "    metric_type counter\n"
+    )
+    (sec,) = parse_classic(conf)
+    spec = _build_sink(sec)
+    assert spec.fmt == "prom" and spec.match == "metrics.*"
+    assert spec.format_options["static_labels"] == [
+        ("env", "prod"), ("region", "us-east-1")
+    ]
+    assert spec.format_options["metric_type"] == "counter"
+
+
+def test_prom_sink_writes_exposition_page(spark, tmp_path):
+    """fmt='prom' sink: one sorted exposition page per sink — banner
+    lines precede their family's samples, static labels applied, counts
+    from the same pass."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    m = spark.createDataFrame(
+        [("metrics.0", "fb_up", 1.0), ("metrics.0", "fb_events", 42.0)],
+        "tag string, metric_name string, value double",
+    ).withColumn("labels", F.create_map(F.lit("src"), F.lit("fb")))
+    counts = write_sinks(
+        m,
+        [
+            SinkSpec(
+                "prom", match="metrics.*", fmt="prom",
+                format_options={
+                    "metric_type": "counter",
+                    "static_labels": [("env", "prod")],
+                },
+            )
+        ],
+        str(tmp_path),
+    )
+    assert counts == {"prom": 2}
+    import glob as _glob
+
+    files = _glob.glob(str(tmp_path / "prom" / "part-*"))
+    assert len(files) == 1  # one scrape page
+    text = open(files[0]).read()
+    lines = [l for l in text.splitlines() if l]
+    assert lines[0] == "# HELP fb_events\n# TYPE fb_events counter".splitlines()[0]
+    idx_banner = lines.index("# TYPE fb_up counter")
+    # the routing tag column does not ship as a label
+    idx_sample = lines.index('fb_up{env="prod",src="fb"} 1')
+    assert idx_banner < idx_sample
+    assert 'fb_events{env="prod",src="fb"} 42' in lines
