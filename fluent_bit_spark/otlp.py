@@ -242,3 +242,125 @@ def otlp_logs_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_LOGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OTLP-JSON traces ingest (opentelemetry_traces.c: /v1/traces JSON ->
+# ctraces; URI routing opentelemetry_prot.c:1261). Output rows use this
+# engine's traces-event-class convention (processors.py: one row per
+# span with trace_id/span_id/start/end_unix_nano/status_code/attributes)
+# so the stream feeds tail_sample_traces directly.
+# ---------------------------------------------------------------------------
+
+OTLP_TRACES_SCHEMA = (
+    "tag string, resource_id long, scope_id long, trace_id string, "
+    "span_id string, parent_span_id string, name string, kind int, "
+    "start_unix_nano long, end_unix_nano long, status_code string, "
+    "status_message string, attributes map<string,string>, "
+    "resource string, scope string"
+)
+
+# status.code: OTLP-JSON carries the enum as int or name
+_STATUS_CODES = {0: "UNSET", 1: "OK", 2: "ERROR"}
+_KIND_NAMES = {
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3,
+    "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5,
+}
+
+
+def _status_of(status: dict):
+    code = (status or {}).get("code", 0)
+    if isinstance(code, str):
+        code = {"STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1,
+                "STATUS_CODE_ERROR": 2}.get(code, 0)
+    return _STATUS_CODES.get(int(code), "UNSET"), (status or {}).get("message")
+
+
+def _attr_strings(attrs) -> dict:
+    """kvlist -> map<string,string> in the engine's lossless-text
+    convention (booleans 'true'/'false', nested values JSON) so the
+    numeric/boolean tail-sampling conditions parse them back."""
+    from .msgpackfmt import _render_text
+
+    return {k: _render_text(v) for k, v in kvlist(attrs).items()}
+
+
+def decode_otlp_traces(body: str, tag: str = "opentelemetry.0"):
+    """One ExportTraceServiceRequest JSON body -> span rows (dicts in
+    OTLP_TRACES_SCHEMA order). resource/scope context rides along as
+    JSON columns (ctraces keeps them attached per scope-span group)."""
+    req = json.loads(body)
+    rows = []
+    for rid, resource_span in enumerate(req.get("resourceSpans") or []):
+        res = resource_span.get("resource") or {}
+        res_json = json.dumps(
+            {"attributes": kvlist(res.get("attributes"))},
+            separators=(",", ":"),
+        )
+        for sid, scope_span in enumerate(resource_span.get("scopeSpans") or []):
+            scope = scope_span.get("scope") or {}
+            scope_json = json.dumps(
+                {
+                    k: v
+                    for k, v in (
+                        ("name", scope.get("name")),
+                        ("version", scope.get("version")),
+                    )
+                    if v
+                },
+                separators=(",", ":"),
+            )
+            for span in scope_span.get("spans") or []:
+                kind = span.get("kind", 0)
+                if isinstance(kind, str):
+                    kind = _KIND_NAMES.get(kind, 0)
+                status_code, status_msg = _status_of(span.get("status"))
+                rows.append(
+                    {
+                        "tag": tag,
+                        "resource_id": rid,
+                        "scope_id": sid,
+                        "trace_id": span.get("traceId"),
+                        "span_id": span.get("spanId"),
+                        "parent_span_id": span.get("parentSpanId"),
+                        "name": span.get("name"),
+                        "kind": int(kind),
+                        "start_unix_nano": int(span.get("startTimeUnixNano") or 0),
+                        "end_unix_nano": int(span.get("endTimeUnixNano") or 0),
+                        "status_code": status_code,
+                        "status_message": status_msg,
+                        "attributes": _attr_strings(span.get("attributes")),
+                        "resource": res_json,
+                        "scope": scope_json,
+                    }
+                )
+    return rows
+
+
+def otlp_traces_records(
+    df: DataFrame, default_tag: str = "opentelemetry.0"
+) -> DataFrame:
+    """in_opentelemetry traces: span rows from /v1/traces JSON spool
+    envelopes, shaped for processors.tail_sample_traces."""
+    path = F.split(F.col("path"), r"\?").getItem(0)
+    keep = df.filter(
+        (path == "/v1/traces") & F.lower(F.col("ct")).contains("json")
+    )
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        cols = [
+            "tag", "resource_id", "scope_id", "trace_id", "span_id",
+            "parent_span_id", "name", "kind", "start_unix_nano",
+            "end_unix_nano", "status_code", "status_message", "attributes",
+            "resource", "scope",
+        ]
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                rows.extend(decode_otlp_traces(body, tag=default_tag))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keep.mapInPandas(run, OTLP_TRACES_SCHEMA)

@@ -331,3 +331,90 @@ def test_otlp_logs_end_to_end(spark, tmp_path):
         .collect()
     ]
     assert recs2[1] == {"message": {"msg": "kv"}}
+
+
+def test_otlp_traces_end_to_end(spark, tmp_path):
+    """in_opentelemetry OTLP-JSON traces over a real POST: /v1/traces
+    spans land in the traces-event-class shape and feed
+    tail_sample_traces directly (status/kind enum mapping, ns
+    timestamps, attribute stringification)."""
+    from fluent_bit_spark import otlp
+    from fluent_bit_spark.processors import TailCondition, tail_sample_traces
+
+    def span(tid, sid, start, end, status=None, kind=2, attrs=None):
+        s = {
+            "traceId": tid, "spanId": sid, "name": f"op-{sid}", "kind": kind,
+            "startTimeUnixNano": str(start), "endTimeUnixNano": str(end),
+        }
+        if status:
+            s["status"] = status
+        if attrs:
+            s["attributes"] = [
+                {"key": k, "value": v} for k, v in attrs.items()
+            ]
+        return s
+
+    body = json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name",
+                             "value": {"stringValue": "cart"}}
+                        ]
+                    },
+                    "scopeSpans": [
+                        {
+                            "scope": {"name": "lib", "version": "1"},
+                            "spans": [
+                                # slow trace: 500ms span
+                                span("t1", "a1", 0, 500_000_000),
+                                span("t1", "a2", 0, 1_000_000,
+                                     kind="SPAN_KIND_CLIENT"),
+                                # fast trace, error status (string enum)
+                                span("t2", "b1", 0, 1_000_000,
+                                     status={"code": "STATUS_CODE_ERROR",
+                                             "message": "boom"},
+                                     attrs={"http.status": {"intValue": "500"}}),
+                                # fast trace, no hit
+                                span("t3", "c1", 0, 2_000_000,
+                                     status={"code": 1}),
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        _post(port, "/v1/traces", body)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    env = httpingest.http_spool_source(spark, spool)
+    spans = otlp.otlp_traces_records(env)
+    rows = {r["span_id"]: r.asDict() for r in spans.collect()}
+    assert len(rows) == 4
+    assert rows["a1"]["end_unix_nano"] == 500_000_000
+    assert rows["a2"]["kind"] == 3  # SPAN_KIND_CLIENT name -> enum
+    assert rows["b1"]["status_code"] == "ERROR"
+    assert rows["b1"]["status_message"] == "boom"
+    assert rows["b1"]["attributes"] == {"http.status": "500"}
+    assert rows["c1"]["status_code"] == "OK"
+    assert json.loads(rows["a1"]["resource"])["attributes"] == {
+        "service.name": "cart"
+    }
+
+    kept = tail_sample_traces(
+        spans,
+        [
+            TailCondition("latency", threshold_ms_high=400),
+            TailCondition("status_codes", status_codes=("ERROR",)),
+        ],
+    )
+    kept_ids = sorted(r["span_id"] for r in kept.collect())
+    assert kept_ids == ["a1", "a2", "b1"]  # whole t1 trace + the error

@@ -1,0 +1,195 @@
+"""Off-fixture scale check for the round-3 iterative/two-pass operators
+(round-3 verdict, next-round task #6): run dedup's full near-dup ->
+connected-components clustering and the corpus-trained unigram-LM
+quality scorer on a synthetic corpus ~100x the sf0.01 fixture (500 docs
+-> 50k default), with the SCALE engines (xxhash64), and verify the
+results against exact in-process oracles:
+
+* clustering: the verified pair set is collected (bounded — candidates
+  are banded+capped) and replayed through a python union-find; every
+  (doc_id, component) row must match min-reachable-id exactly.
+* lm_quality: token frequencies are recomputed in python for a doc
+  sample; mean log-prob must match to 1e-9.
+
+Usage: python tools/offfixture_bench.py [--docs 50000] [--cpus 16]
+Prints one JSON line (rows, clusters, timings, checks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def synth_docs(spark, n_docs: int):
+    """Deterministic corpus with controlled duplicate structure: docs
+    come in families of 10 — ids 10k..10k+9 share a base text; members
+    1-3 are exact copies of the base, 4-5 perturb one token
+    (near-dups), 6-9 are distinct. Vocabulary is a closed 26*40 token
+    set so the LM oracle can recompute frequencies in-process."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    fam = (F.col("doc_id") / 10).cast("long")
+    member = F.col("doc_id") % 10
+    # 12 base tokens per family, token = letter(word position) + number
+    words = [
+        F.concat(
+            F.lit(chr(ord("a") + k)),
+            ((fam * (k + 7) + k * k) % 40).cast("string"),
+        )
+        for k in range(12)
+    ]
+    base = F.concat_ws(" ", *words)
+    # near-dups: replace the LAST token; distinct: mix the member in
+    perturbed = F.concat_ws(
+        " ", *words[:-1], F.concat(F.lit("z"), (fam % 40 + member).cast("string"))
+    )
+    distinct_words = [
+        F.concat(
+            F.lit(chr(ord("a") + k)),
+            ((fam * (k + 7) + member * 13 + k) % 40).cast("string"),
+        )
+        for k in range(12)
+    ]
+    distinct = F.concat_ws(" ", *distinct_words)
+    text = (
+        F.when(member <= 3, base)
+        .when(member <= 5, perturbed)
+        .otherwise(distinct)
+    )
+    return df.withColumn("text", text)
+
+
+def check_clusters(pairs, clusters) -> int:
+    """Union-find oracle over the verified pair set; returns mismatch
+    count against the Spark components."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for x in (a, b):
+            want[x] = min(want.get(x, x), find(x))
+    # canonicalize: component = min id reachable
+    roots: dict = {}
+    for x in want:
+        roots.setdefault(find(x), set()).add(x)
+    expect = {}
+    for members in roots.values():
+        lo = min(members)
+        for m in members:
+            expect[m] = lo
+    mism = 0
+    for doc_id, comp in clusters:
+        if expect.get(doc_id) != comp:
+            mism += 1
+    if set(expect) != {d for d, _ in clusters}:
+        mism += len(set(expect) ^ {d for d, _ in clusters})
+    return mism
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--lm-sample", type=int, default=25)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.dataops import dedup, textstats
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synth_docs(spark, args.docs).repartition(args.cpus).persist()
+    n = docs.count()
+
+    # --- dedup -> clustering, xxhash64 scale engine -------------------
+    t0 = time.time()
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_n=2
+    )
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=2).filter(
+        F.col("jaccard") >= 0.5
+    ).persist()
+    pairs = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    comps = dedup.connected_components(verified)
+    clusters = [(r["doc_id"], r["component"]) for r in comps.collect()]
+    t_cluster = time.time() - t0
+    mismatches = check_clusters(pairs, clusters)
+    n_clusters = len({c for _, c in clusters})
+
+    # --- lm_quality, shuffle-join scale path --------------------------
+    t0 = time.time()
+    lm = textstats.unigram_logprob_quality(docs)
+    lm_rows = lm.count()
+    sample = {
+        r["doc_id"]: (r["n_scored_tokens"], r["lm_logprob"])
+        for r in lm.filter(F.col("doc_id") < args.lm_sample).collect()
+    }
+    t_lm = time.time() - t0
+
+    # in-process LM oracle over the closed vocabulary
+    toks_by_doc = {
+        r["doc_id"]: r["text"].split()
+        for r in docs.filter(F.col("doc_id") < args.lm_sample).collect()
+    }
+    freq: dict = {}
+    total = 0
+    for r in docs.select("text").toLocalIterator():
+        for t in r["text"].split():
+            freq[t] = freq.get(t, 0) + 1
+            total += 1
+    lm_bad = 0
+    for doc_id, toks in toks_by_doc.items():
+        want = sum(math.log(freq[t] / total) for t in toks) / len(toks)
+        got_n, got_lp = sample[doc_id]
+        if got_n != len(toks) or abs(got_lp - want) > 1e-9:
+            lm_bad += 1
+
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "pairs_verified": len(pairs),
+                "clustered_docs": len(clusters),
+                "clusters": n_clusters,
+                "cluster_mismatches": mismatches,
+                "cluster_sec": round(t_cluster, 2),
+                "lm_rows": lm_rows,
+                "lm_sample_checked": len(sample),
+                "lm_mismatches": lm_bad,
+                "lm_sec": round(t_lm, 2),
+                "ok": mismatches == 0 and lm_bad == 0 and lm_rows == n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
