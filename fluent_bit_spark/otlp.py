@@ -364,3 +364,140 @@ def otlp_traces_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_TRACES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OTLP-JSON metrics ingest (/v1/metrics, opentelemetry_prot.c:431,574 ->
+# cmt_decode_opentelemetry). Data points land in this engine's metrics
+# event-class convention (metrics.py: metric_name / value / labels), so
+# processor_labels, metrics_selector and the Prometheus exposition
+# renderer compose directly. Mapping mirrors the cmetrics decoder:
+# gauge -> gauge, sum -> counter, histogram -> cumulative
+# _bucket/_sum/_count rows (OTLP bucketCounts are per-bucket; the
+# exposition convention is cumulative), summary -> quantile rows +
+# _sum/_count.
+# ---------------------------------------------------------------------------
+
+OTLP_METRICS_SCHEMA = (
+    "tag string, resource_id long, scope_id long, metric_name string, "
+    "metric_type string, value double, labels map<string,string>, "
+    "ts double, unit string, description string"
+)
+
+
+def _point_value(p: dict):
+    if "asDouble" in p:
+        return float(p["asDouble"])
+    if "asInt" in p:
+        return float(int(p["asInt"]))
+    return None
+
+
+def _point_labels(p: dict) -> dict:
+    return _attr_strings(p.get("attributes"))
+
+
+def _point_ts(p: dict):
+    t = int(p.get("timeUnixNano") or 0)
+    return t / 1e9 if t else None
+
+
+def decode_otlp_metrics(body: str, tag: str = "opentelemetry.0"):
+    """One ExportMetricsServiceRequest JSON body -> metric sample rows
+    (dicts in OTLP_METRICS_SCHEMA order)."""
+    req = json.loads(body)
+    rows = []
+
+    def emit(rid, sid, name, mtype, value, labels, ts, unit, desc):
+        rows.append(
+            {
+                "tag": tag, "resource_id": rid, "scope_id": sid,
+                "metric_name": name, "metric_type": mtype,
+                "value": value, "labels": labels, "ts": ts,
+                "unit": unit, "description": desc,
+            }
+        )
+
+    for rid, rm in enumerate(req.get("resourceMetrics") or []):
+        for sid, sm in enumerate(rm.get("scopeMetrics") or []):
+            for metric in sm.get("metrics") or []:
+                name = metric.get("name")
+                unit = metric.get("unit")
+                desc = metric.get("description")
+                if "gauge" in metric or "sum" in metric:
+                    mtype = "gauge" if "gauge" in metric else "counter"
+                    block = metric.get("gauge") or metric.get("sum") or {}
+                    for p in block.get("dataPoints") or []:
+                        emit(
+                            rid, sid, name, mtype, _point_value(p),
+                            _point_labels(p), _point_ts(p), unit, desc,
+                        )
+                elif "histogram" in metric:
+                    for p in (metric["histogram"] or {}).get("dataPoints") or []:
+                        labels = _point_labels(p)
+                        ts = _point_ts(p)
+                        bounds = [float(b) for b in p.get("explicitBounds") or []]
+                        counts = [int(c) for c in p.get("bucketCounts") or []]
+                        running = 0
+                        for i, c in enumerate(counts):
+                            running += c
+                            le = (
+                                "%g" % bounds[i] if i < len(bounds) else "+Inf"
+                            )
+                            if i < len(bounds) and "." not in le:
+                                le += ".0"
+                            emit(
+                                rid, sid, f"{name}_bucket", "histogram",
+                                float(running), dict(labels, le=le), ts,
+                                unit, desc,
+                            )
+                        if p.get("sum") is not None:
+                            emit(rid, sid, f"{name}_sum", "histogram",
+                                 float(p["sum"]), labels, ts, unit, desc)
+                        emit(rid, sid, f"{name}_count", "histogram",
+                             float(int(p.get("count") or 0)), labels, ts,
+                             unit, desc)
+                elif "summary" in metric:
+                    for p in (metric["summary"] or {}).get("dataPoints") or []:
+                        labels = _point_labels(p)
+                        ts = _point_ts(p)
+                        for q in p.get("quantileValues") or []:
+                            emit(
+                                rid, sid, name, "summary",
+                                float(q.get("value") or 0.0),
+                                dict(labels, quantile=str(q.get("quantile", 0))),
+                                ts, unit, desc,
+                            )
+                        if p.get("sum") is not None:
+                            emit(rid, sid, f"{name}_sum", "summary",
+                                 float(p["sum"]), labels, ts, unit, desc)
+                        emit(rid, sid, f"{name}_count", "summary",
+                             float(int(p.get("count") or 0)), labels, ts,
+                             unit, desc)
+    return rows
+
+
+def otlp_metrics_records(
+    df: DataFrame, default_tag: str = "opentelemetry.0"
+) -> DataFrame:
+    """in_opentelemetry metrics: sample rows from /v1/metrics JSON spool
+    envelopes, shaped for metrics.py's processors and prom_lines."""
+    path = F.split(F.col("path"), r"\?").getItem(0)
+    keep = df.filter(
+        (path == "/v1/metrics") & F.lower(F.col("ct")).contains("json")
+    )
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        cols = [
+            "tag", "resource_id", "scope_id", "metric_name", "metric_type",
+            "value", "labels", "ts", "unit", "description",
+        ]
+        for pdf in batches:
+            rows = []
+            for body in pdf["body"]:
+                rows.extend(decode_otlp_metrics(body, tag=default_tag))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keep.mapInPandas(run, OTLP_METRICS_SCHEMA)

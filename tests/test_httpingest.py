@@ -418,3 +418,107 @@ def test_otlp_traces_end_to_end(spark, tmp_path):
     )
     kept_ids = sorted(r["span_id"] for r in kept.collect())
     assert kept_ids == ["a1", "a2", "b1"]  # whole t1 trace + the error
+
+
+def test_otlp_metrics_end_to_end(spark, tmp_path):
+    """in_opentelemetry OTLP-JSON metrics: /v1/metrics data points land
+    in the metrics event-class convention (gauge->gauge, sum->counter,
+    histogram->cumulative _bucket/_sum/_count with exposition-format le
+    labels) and flow straight into metrics_selector + prom_lines."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark import metrics as M
+    from fluent_bit_spark import otlp
+
+    body = json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "scopeMetrics": [
+                        {
+                            "metrics": [
+                                {
+                                    "name": "proc_mem",
+                                    "unit": "By",
+                                    "gauge": {
+                                        "dataPoints": [
+                                            {
+                                                "asInt": "1024",
+                                                "timeUnixNano": "2000000000",
+                                                "attributes": [
+                                                    {"key": "host",
+                                                     "value": {"stringValue": "a"}}
+                                                ],
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "name": "req_total",
+                                    "sum": {
+                                        "isMonotonic": True,
+                                        "dataPoints": [{"asDouble": 7.5}],
+                                    },
+                                },
+                                {
+                                    "name": "latency",
+                                    "histogram": {
+                                        "dataPoints": [
+                                            {
+                                                "bucketCounts": ["1", "2", "3"],
+                                                "explicitBounds": [0.5, 2],
+                                                "sum": 9.25,
+                                                "count": "6",
+                                            }
+                                        ]
+                                    },
+                                },
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
+    )
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        _post(port, "/v1/metrics", body)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    env = httpingest.http_spool_source(spark, spool)
+    m = otlp.otlp_metrics_records(env)
+    rows = [r.asDict() for r in m.collect()]
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["metric_name"], []).append(r)
+
+    g = by_name["proc_mem"][0]
+    assert g["metric_type"] == "gauge" and g["value"] == 1024.0
+    assert g["labels"] == {"host": "a"} and abs(g["ts"] - 2.0) < 1e-9
+    assert g["unit"] == "By"
+
+    c = by_name["req_total"][0]
+    assert c["metric_type"] == "counter" and c["value"] == 7.5
+
+    # histogram: per-bucket counts 1,2,3 -> cumulative 1,3,6; le formats
+    buckets = sorted(
+        (r["labels"]["le"], r["value"]) for r in by_name["latency_bucket"]
+    )
+    assert buckets == [("+Inf", 6.0), ("0.5", 1.0), ("2.0", 3.0)]
+    assert by_name["latency_sum"][0]["value"] == 9.25
+    assert by_name["latency_count"][0]["value"] == 6.0
+
+    # composes with the metrics processors + exposition renderer
+    sel = M.metrics_selector(m, "latency", operation_type="prefix")
+    lines = [
+        r["line"]
+        for r in M.prom_lines(
+            sel.filter("metric_name = 'latency_bucket'"),
+            metric_type="histogram",
+        ).collect()
+        if not r["line"].startswith("#")
+    ]
+    assert 'latency_bucket{le="2.0"} 3' in lines
