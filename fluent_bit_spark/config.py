@@ -896,6 +896,73 @@ def _build_input(
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return parser.apply(df, "line", ts_col="ts")
+    if name in ("http", "splunk", "elasticsearch", "opentelemetry"):
+        # HTTP ingest family: the accept loop runs in the spool sidecar
+        # (httpingest.http_spool_server — the analogue of the plugins'
+        # listen/port surface); the job reads the spool. spool_path is
+        # this engine's transport option.
+        from . import httpingest
+
+        spool = s.get("spool_path")
+        if not spool:
+            raise ValueError(f"INPUT {name} needs spool_path")
+        env = httpingest.http_spool_source(spark, spool)
+        if name == "http":
+            df = httpingest.http_records(
+                env, default_tag=tag, tag_key=s.get("tag_key")
+            )
+        elif name == "splunk":
+            df = httpingest.hec_records(env, default_tag=tag)
+        elif name == "elasticsearch":
+            df = httpingest.es_bulk_records(env, default_tag=tag)
+        else:
+            # in_opentelemetry: signal selects the event class
+            # (/v1/logs default; traces/metrics per opentelemetry_prot.c
+            # URI routing)
+            from . import otlp
+
+            signal = (s.get("signal") or "logs").lower()
+            if signal == "logs":
+                df = otlp.otlp_logs_records(
+                    env,
+                    default_tag=tag,
+                    logs_body_key=s.get("logs_body_key"),
+                )
+            elif signal == "traces":
+                df = otlp.otlp_traces_records(env, default_tag=tag)
+            elif signal == "metrics":
+                df = otlp.otlp_metrics_records(env, default_tag=tag)
+            else:
+                raise ValueError(f"opentelemetry: unknown signal {signal!r}")
+        # the record payload arrives as a JSON string for the json-body
+        # plugins; an explicit parser option flattens it via the
+        # configured parser (filter_parser analogue), matching the
+        # typed-column convention downstream filters expect
+        parser_name = s.get("parser")
+        if parser_name and "record" in df.columns:
+            parser = parsers[parser_name]
+            if hasattr(parser, "apply"):
+                df = parser.apply(df, "record")
+            else:
+                # JsonParser needs a schema: an explicit `schema` option
+                # wins; otherwise infer from a bounded record sample
+                # (plugin-init cost, like the reference's parser setup —
+                # one driver pass over <=100 spooled records)
+                schema = s.get("schema")
+                if not schema:
+                    sample = [
+                        r["record"]
+                        for r in df.select("record").limit(100).collect()
+                    ]
+                    inferred = spark.read.json(
+                        spark.sparkContext.parallelize(sample or ["{}"])
+                    ).schema
+                    # from_json takes the StructType directly (nested
+                    # fields survive; a DDL-string rebuild would not)
+                    schema = inferred if inferred.fields else None
+                if schema is not None:
+                    df = parser.apply_schema(df, "record", schema)
+        return df
     raise ValueError(f"unsupported INPUT plugin {name!r}")
 
 

@@ -1636,3 +1636,83 @@ def test_prom_sink_writes_exposition_page(spark, tmp_path):
     idx_sample = lines.index('fb_up{env="prod",src="fb"} 1')
     assert idx_banner < idx_sample
     assert 'fb_events{env="prod",src="fb"} 42' in lines
+
+
+def test_http_family_inputs_config_e2e(spark, tmp_path):
+    """INPUT name:http / name:opentelemetry over the spool transport:
+    spooled request envelopes flow through the config pipeline into
+    routed sinks (the [INPUT] surface of the HTTP ingest family)."""
+    import json as _json
+    import os
+
+    from fluent_bit_spark.config import run_config
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    # two in_http requests spooled (the sidecar's on-disk shape)
+    for i, (path, body) in enumerate(
+        [
+            ("/app/a", '{"msg": "x1", "lvl": "info"}'),
+            ("/app/a", '{"msg": "x2", "lvl": "error"}'),
+        ]
+    ):
+        (spool / f"req-{i:06d}.json").write_text(
+            _json.dumps({"path": path, "ct": "application/json", "body": body})
+        )
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: http\n"
+        f"      spool_path: {spool}\n"
+        "      tag: web\n"
+        "      parser: json\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: 'app*'\n"
+        "      format: json\n"
+        "      sink_name: web_logs\n"
+    )
+    r = run_config(spark, conf, str(tmp_path / "out"))
+    assert r.counts == {"web_logs": 2}
+
+    # in_opentelemetry logs signal over the same spool shape
+    ot_spool = tmp_path / "otspool"
+    os.makedirs(ot_spool)
+    otlp_body = _json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "scopeLogs": [
+                        {
+                            "logRecords": [
+                                {"timeUnixNano": "1000000000",
+                                 "body": {"stringValue": "hi"}},
+                                {"timeUnixNano": "2000000000",
+                                 "body": {"stringValue": "there"}},
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
+    )
+    (ot_spool / "req-000000.json").write_text(
+        _json.dumps(
+            {"path": "/v1/logs", "ct": "application/json", "body": otlp_body}
+        )
+    )
+    conf2 = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: opentelemetry\n"
+        f"      spool_path: {ot_spool}\n"
+        "      tag: otel\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: 'otel'\n"
+        "      format: json\n"
+        "      sink_name: otel_out\n"
+    )
+    r2 = run_config(spark, conf2, str(tmp_path / "out2"))
+    # 2 normal records + group start/end markers flow as rows
+    assert r2.counts == {"otel_out": 4}
