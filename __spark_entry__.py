@@ -19,7 +19,8 @@ Near-duplicate operator rows are merged into multi-mode rows
 (grep_modes, throttle_modes, parser_kv [logfmt/ltsv/json],
 parser_regex_modes, rewrite_tag_modes, record_mods, sp_dynamic,
 sp_aggregate [agg/forecast], enrich_broadcast [seg/checklist],
-sim_ann_topk) so ALL registered entries — exactly 50 — fit the driver's
+sampling_modes [prob/tail], sim_ann_topk) so ALL registered entries —
+exactly 50 — fit the driver's
 recorded-row cap: every operator family gets a driver-recorded oracle
 row. The in-repo replica (tools/check_oracle.py) runs the same 50.
 """
@@ -834,6 +835,46 @@ def q_sampling(spark, sf_dir):
     return out.select("event_id", "event_type")
 
 
+def q_sampling_modes(spark, sf_dir):
+    """processor_sampling BOTH modes in one row (merged from the former
+    sampling / trace_sampling entries for driver row-cap economy):
+    mode 'prob' = probabilistic head sampling, mode 'tail' = tail-based
+    trace sampling — the plugin's two operating modes
+    (processor_sampling/sampling.c mode option)."""
+    a = q_sampling(spark, sf_dir).select(
+        F.lit("prob").alias("mode"),
+        F.col("event_id").cast("string").alias("a"),
+        F.col("event_type").alias("b"),
+        F.lit(None).cast("string").alias("c"),
+    )
+    b = q_trace_sampling(spark, sf_dir).select(
+        F.lit("tail").alias("mode"),
+        F.col("trace_id").alias("a"),
+        F.col("span_id").alias("b"),
+        F.col("status_code").alias("c"),
+    )
+    return a.unionByName(b)
+
+
+def q_prom_exposition(spark, sf_dir):
+    """Prometheus exposition rendering (out_prometheus_exporter ->
+    cmt_encode_prometheus): log_to_metrics-style per-event_type counters
+    rendered as banner + sample rows; the DuckDB oracle replays the
+    HELP/TYPE banner, the label block, and the '%.17g' value formatting
+    (printf %g shares the dtoa semantics for these integral values)."""
+    from fluent_bit_spark import metrics as M
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = m.select(
+        F.concat(F.lit("fb_events_"), F.col("event_type")).alias("metric_name"),
+        F.col("n").cast("double").alias("value"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("labels"),
+    )
+    out = M.prom_lines(m, metric_type="counter", static_labels=[("env", "prod")])
+    return out.select(F.col("metric_name").alias("name"), "ord", "line")
+
+
 def q_log_to_metrics(spark, sf_dir):
     """filter_log_to_metrics histogram mode (log_to_metrics.c:120-265)."""
     ev = _t(spark, sf_dir, "events")
@@ -1353,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "grep_legacy": q_grep_legacy,
         "grep_modes": q_grep_modes,
-        "trace_sampling": q_trace_sampling,
+        "sampling_modes": q_sampling_modes,
         "record_mods": q_record_mods,
         "nest_lift": q_nest_lift,
         "type_converter": q_type_converter,
@@ -1381,7 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_envelope": q_otel_envelope,
         "flowcounter": q_flowcounter,
         "content_modifier": q_content_modifier,
-        "sampling": q_sampling,
+        "prom_exposition": q_prom_exposition,
         "log_to_metrics": q_log_to_metrics,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1797,7 +1838,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (regexp_matches(event_type, '^error$')
                        OR regexp_matches(props, '"k": 9\d\}'))
         """,
-        "trace_sampling": r"""
+        "sampling_modes": r"""
             WITH spans AS (
                 SELECT CAST(user_id AS VARCHAR) AS trace_id,
                        CAST(event_id AS VARCHAR) AS span_id,
@@ -1815,8 +1856,31 @@ def oracle_sql() -> dict[str, str]:
             ), keep AS (
                 SELECT trace_id FROM agg WHERE hit = 1 OR n >= 80
             )
-            SELECT s.trace_id, s.span_id, s.status_code
+            SELECT 'tail' AS mode, s.trace_id AS a, s.span_id AS b,
+                   s.status_code AS c
             FROM spans s JOIN keep USING (trace_id)
+            UNION ALL
+            SELECT 'prob' AS mode, CAST(event_id AS VARCHAR) AS a,
+                   event_type AS b, CAST(NULL AS VARCHAR) AS c
+            FROM events
+            WHERE event_type = 'error'
+               OR (event_id * 2654435761) % 4294967296 < 1288490188
+        """,
+        "prom_exposition": r"""
+            WITH m AS (
+                SELECT 'fb_events_' || event_type AS name, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY event_type
+            )
+            SELECT name, 0 AS ord,
+                   '# HELP ' || name || chr(10) ||
+                   '# TYPE ' || name || ' counter' AS line
+            FROM m
+            UNION ALL
+            SELECT name, 1 AS ord,
+                   name || '{env="prod",type="' || event_type || '"} ' ||
+                   printf('%.17g', CAST(n AS DOUBLE)) AS line
+            FROM m
         """,
         "record_mods": r"""
             SELECT 'modify' AS mode, event_id,
@@ -2105,11 +2169,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST({kv} AS BIGINT) AS kval,
                    sha256(event_type) AS etype_sha, 'prod' AS env
             FROM events
-        """,
-        "sampling": """
-            SELECT event_id, event_type FROM events
-            WHERE event_type = 'error'
-               OR (event_id * 2654435761) % 4294967296 < 1288490188
         """,
         "log_to_metrics": """
             SELECT event_type,

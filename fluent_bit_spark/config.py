@@ -922,16 +922,23 @@ def _build_input(
             from . import otlp
 
             signal = (s.get("signal") or "logs").lower()
+            # tag_from_uri (default true, opentelemetry.c:237-239): with
+            # no explicit Tag, the tag derives from the URI
+            # (v1_logs / v1_traces / v1_metrics)
+            if s.get("tag") is None and _bool(s.get("tag_from_uri", "true")):
+                otag = f"v1_{signal}"
+            else:
+                otag = tag
             if signal == "logs":
                 df = otlp.otlp_logs_records(
                     env,
-                    default_tag=tag,
+                    default_tag=otag,
                     logs_body_key=s.get("logs_body_key"),
                 )
             elif signal == "traces":
-                df = otlp.otlp_traces_records(env, default_tag=tag)
+                df = otlp.otlp_traces_records(env, default_tag=otag)
             elif signal == "metrics":
-                df = otlp.otlp_metrics_records(env, default_tag=tag)
+                df = otlp.otlp_metrics_records(env, default_tag=otag)
             else:
                 raise ValueError(f"opentelemetry: unknown signal {signal!r}")
         # the record payload arrives as a JSON string for the json-body

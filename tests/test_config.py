@@ -1716,3 +1716,37 @@ def test_http_family_inputs_config_e2e(spark, tmp_path):
     r2 = run_config(spark, conf2, str(tmp_path / "out2"))
     # 2 normal records + group start/end markers flow as rows
     assert r2.counts == {"otel_out": 4}
+
+
+def test_otlp_input_tag_from_uri(spark, tmp_path):
+    """in_opentelemetry tag_from_uri (default true, opentelemetry.c:237):
+    with no explicit Tag the stream tags v1_<signal>; an explicit Tag
+    wins."""
+    import json as _json
+    import os
+
+    from fluent_bit_spark.config import _build_input, parse_classic
+
+    spool = tmp_path / "sp"
+    os.makedirs(spool)
+    (spool / "req-000000.json").write_text(
+        _json.dumps(
+            {
+                "path": "/v1/logs",
+                "ct": "application/json",
+                "body": _json.dumps(
+                    {"resourceLogs": [{"scopeLogs": [{"logRecords": [
+                        {"body": {"stringValue": "x"}}]}]}]}
+                ),
+            }
+        )
+    )
+    conf = f"[INPUT]\n    name opentelemetry\n    spool_path {spool}\n"
+    (sec,) = parse_classic(conf)
+    df = _build_input(spark, sec)
+    assert df.select("tag").distinct().first()["tag"] == "v1_logs"
+
+    conf2 = conf + "    tag my.otel\n"
+    (sec2,) = parse_classic(conf2)
+    df2 = _build_input(spark, sec2)
+    assert df2.select("tag").distinct().first()["tag"] == "my.otel"
