@@ -1,0 +1,151 @@
+"""Training-data export operators: deterministic corpus shuffling,
+sharded writes, and sequence packing.
+
+A training run wants (a) a reproducible global shuffle of the cleaned
+corpus (so restarts and reruns see the same order), (b) size-balanced
+shards, and (c) documents packed into fixed token budgets (context
+windows) with minimal padding waste. None of these exist in the
+reference — they belong to the "operations a large-scale training-data
+pipeline would need" tier next to dedup/decontam.
+
+Scale notes:
+* the shuffle key is a 64-bit hash of (id, seed) — a range partition on
+  it is a uniform, deterministic, restart-stable global order with no
+  driver-side state and no skew (hash output is uniform by design).
+* packing is the classic two-level compromise: a deterministic shuffle
+  spreads documents uniformly, then FIRST-FIT packing runs per
+  partition (one Arrow pass, zero cross-partition coordination).
+  Per-partition first-fit over hash-shuffled input wastes O(max_doc/
+  budget) per partition tail — negligible at millions of docs per
+  partition — while an exact global bin-pack would serialize the whole
+  corpus through one node.
+* pack ids are (partition << 32 | local index): globally unique,
+  deterministic for a fixed partition count, no monotonically_
+  increasing_id (whose values change with scheduling).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_key(id_col, seed: int = 0):
+    """Deterministic 64-bit shuffle key: xxhash64(id, seed). Reruns and
+    resumed jobs see the identical order."""
+    return F.xxhash64(F.col(id_col) if isinstance(id_col, str) else id_col,
+                      F.lit(int(seed)))
+
+
+def shuffle_corpus(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Reproducible global shuffle: range-partition + sort on the hash
+    key. One exchange; the output order is a pure function of
+    (ids, seed, partitions)."""
+    keyed = df.withColumn("__shuf", shuffle_key(id_col, seed))
+    if partitions:
+        keyed = keyed.repartitionByRange(partitions, "__shuf")
+    else:
+        keyed = keyed.repartitionByRange("__shuf")
+    return keyed.sortWithinPartitions("__shuf").drop("__shuf")
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Add a uniform deterministic `shard` column (hash mod n): balanced
+    by hash uniformity, stable across reruns; write with
+    ``partitionBy('shard')`` for one directory per shard."""
+    return df.withColumn(
+        "shard", F.pmod(shuffle_key(id_col, seed), F.lit(n_shards)).cast("int")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: int = 0,
+    partitions: Optional[int] = None,
+    drop_oversize: bool = False,
+) -> DataFrame:
+    """Pack documents into fixed token budgets (training context
+    windows): first-fit over the deterministically shuffled stream,
+    per partition.
+
+    Returns one row per input document with:
+      pack_id    — globally unique long (partition << 32 | local pack)
+      pack_pos   — the document's position inside its pack
+      pack_tokens — the pack's total token count (same on every member)
+
+    Documents longer than ``max_tokens`` get a singleton pack (the
+    caller truncates/splits downstream) unless ``drop_oversize``.
+    Every input doc appears exactly once; every pack_tokens <=
+    max_tokens (oversize singletons excepted) — both properties are
+    pytest-guarded.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    src = df.withColumn("__shuf", shuffle_key(id_col, seed))
+    if drop_oversize:
+        src = src.filter(F.col(tokens_col) <= max_tokens)
+    if partitions:
+        src = src.repartitionByRange(partitions, "__shuf")
+    else:
+        src = src.repartitionByRange("__shuf")
+    src = src.sortWithinPartitions("__shuf").drop("__shuf")
+    src_cols = [f.name for f in src.schema.fields]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+        + ", pack_id long, pack_pos int, pack_tokens long"
+    )
+
+    def run(batches: Iterable):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # first-fit over the arrival order: packs stay open until full
+        open_packs: list = []  # [(local_id, remaining)]
+        next_local = 0
+        members: list = []  # rows of (original row dict + pack fields)
+        totals: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                need = int(row[tokens_col] or 0)
+                slot = None
+                for i, (lid, rem) in enumerate(open_packs):
+                    if need <= rem:
+                        slot = i
+                        break
+                if slot is None:
+                    lid = next_local
+                    next_local += 1
+                    open_packs.append((lid, max(max_tokens - need, 0)))
+                    totals[lid] = 0
+                    counts[lid] = 0
+                else:
+                    lid, rem = open_packs[slot]
+                    open_packs[slot] = (lid, rem - need)
+                row["pack_id"] = (pid << 32) | lid
+                row["pack_pos"] = counts[lid]
+                counts[lid] += 1
+                totals[lid] += need
+                members.append(row)
+                # bound the open list: full-ish packs retire (first-fit
+                # with a small active window — the shuffled stream is
+                # uniform so old packs rarely fit new docs anyway)
+                open_packs = [p for p in open_packs if p[1] > 0][-64:]
+        for row in members:
+            row["pack_tokens"] = totals[row["pack_id"] & 0xFFFFFFFF]
+        yield pd.DataFrame(
+            members, columns=src_cols + ["pack_id", "pack_pos", "pack_tokens"]
+        )
+
+    return src.mapInPandas(run, out_schema)

@@ -905,3 +905,71 @@ def test_clean_corpus_cluster_dups(spark):
     assert ids_cluster == [1, 10]
     # the cluster policy is at least as strict as per-pair
     assert set(ids_cluster) <= set(ids_pair)
+
+
+def test_shuffle_and_shards_deterministic(spark):
+    """shuffle_corpus: same (ids, seed, partitions) -> identical order
+    across runs; different seed -> different order. assign_shards:
+    uniform-ish, stable."""
+    from fluent_bit_spark.dataops import packing
+
+    docs = spark.range(2000).selectExpr("id AS doc_id", "id % 7 AS junk")
+    a = [r["doc_id"] for r in packing.shuffle_corpus(docs, partitions=4).collect()]
+    b = [r["doc_id"] for r in packing.shuffle_corpus(docs, partitions=4).collect()]
+    c = [r["doc_id"] for r in packing.shuffle_corpus(docs, seed=9, partitions=4).collect()]
+    assert a == b and a != c and sorted(a) == list(range(2000))
+
+    sh = packing.assign_shards(docs, 8)
+    counts = {r["shard"]: r["n"] for r in sh.groupBy("shard").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+    sh2 = packing.assign_shards(docs, 8)
+    assert sh.collect() == sh2.collect()
+
+
+def test_pack_sequences_invariants(spark):
+    """pack_sequences: every doc exactly once, pack budgets respected
+    (oversize docs become singletons), positions contiguous,
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.dataops import packing
+
+    docs = spark.range(3000).selectExpr(
+        "id AS doc_id",
+        # lengths 1..900, with some oversize (> 512) rows
+        "CAST(1 + (id * 37) % 900 AS long) AS n_tokens",
+    )
+    out = packing.pack_sequences(docs, max_tokens=512, partitions=6).persist()
+    rows = out.collect()
+    # exactly-once coverage
+    assert sorted(r["doc_id"] for r in rows) == list(range(3000))
+    # budget: packs over 512 must be oversize singletons
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m["n_tokens"] for m in members)
+        assert total == members[0]["pack_tokens"]
+        if total > 512:
+            assert len(members) == 1 and members[0]["n_tokens"] > 512
+        # positions contiguous 0..n-1
+        assert sorted(m["pack_pos"] for m in members) == list(range(len(members)))
+    # waste: average fill of multi-member packs is decent (> 60%)
+    fills = [
+        sum(m["n_tokens"] for m in members) / 512
+        for members in by_pack.values()
+        if sum(m["n_tokens"] for m in members) <= 512
+    ]
+    assert sum(fills) / len(fills) > 0.6
+    # deterministic
+    again = packing.pack_sequences(docs, max_tokens=512, partitions=6).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # drop_oversize drops exactly the > 512 docs
+    kept = packing.pack_sequences(
+        docs, max_tokens=512, partitions=6, drop_oversize=True
+    )
+    n_small = docs.filter(F.col("n_tokens") <= 512).count()
+    assert kept.count() == n_small
+    out.unpersist()
