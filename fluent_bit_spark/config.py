@@ -1272,6 +1272,97 @@ def _apply_filter(
             gate=gate,
         )
 
+    if name == "log_to_metrics":
+        # filter_log_to_metrics (log_to_metrics.c config map :1020-1120):
+        # derive a metrics stream from the matching log rows and emit it
+        # under the Tag option (the emitter pattern, same shape as
+        # rewrite_tag's re-injection); the log rows keep flowing unless
+        # discard_logs. fq name = namespace_subsystem_name (cmetrics
+        # join, empty subsystem skipped; default namespace 'log_metric').
+        from .metrics import DEFAULT_HISTOGRAM_BUCKETS, histogram_samples
+        from .processors import LogToMetricsSpec
+        from .processors import log_to_metrics as _l2m
+
+        mode = (s.get("metric_mode", "counter")).lower()
+        fq = "_".join(
+            x
+            for x in (
+                s.get("metric_namespace", "log_metric"),
+                s.get("metric_subsystem"),
+                s.get("metric_name", "a"),
+            )
+            if x
+        )
+        src = df.filter(gate)
+        # regex/exclude: 'KEY PATTERN' record filters (:1022-1031)
+        for v in s.get_all("regex"):
+            k, pat = v.split(None, 1)
+            src = src.filter(
+                F.coalesce(F.col(k).cast("string").rlike(pat), F.lit(False))
+            )
+        for v in s.get_all("exclude"):
+            k, pat = v.split(None, 1)
+            src = src.filter(
+                ~F.coalesce(F.col(k).cast("string").rlike(pat), F.lit(False))
+            )
+        label_fields = tuple(s.get_all("label_field"))
+        kube = _bool(s.get("kubernetes_mode", "false"))
+        mtag = s.get("tag") or "log_metric"
+        if mode == "histogram":
+            # classic configs repeat `bucket`; YAML mappings can't, so a
+            # single value also accepts a comma/space list
+            bvals = [
+                b
+                for v in s.get_all("bucket")
+                for b in v.replace(",", " ").split()
+            ]
+            buckets = tuple(float(b) for b in bvals) or (
+                DEFAULT_HISTOGRAM_BUCKETS  # :650-658 default bucket warn
+            )
+            lf = label_fields
+            if kube:
+                from .processors import KUBERNETES_LABEL_KEYS
+
+                k = F.col("kubernetes")
+                src = src.select(
+                    "*", *[k[n].alias(n) for n in KUBERNETES_LABEL_KEYS]
+                )
+                lf = tuple(KUBERNETES_LABEL_KEYS) + lf
+            m = histogram_samples(
+                src, fq, s.get("value_field"), buckets=buckets, label_fields=lf
+            )
+        else:
+            spec = LogToMetricsSpec(
+                mode,
+                label_fields=label_fields,
+                value_field=s.get("value_field"),
+                kubernetes_mode=kube,
+            )
+            grouped = _l2m(src, spec)
+            lf = list(label_fields)
+            if kube:
+                from .processors import KUBERNETES_LABEL_KEYS
+
+                lf = list(KUBERNETES_LABEL_KEYS) + lf
+            pairs: list = []
+            for c in lf:
+                pairs += [F.lit(c), F.col(c).cast("string")]
+            labels = (
+                F.create_map(*pairs)
+                if pairs
+                else F.create_map().cast("map<string,string>")
+            )
+            m = grouped.select(
+                F.lit(fq).alias("metric_name"),
+                F.col("metric_value").cast("double").alias("value"),
+                labels.alias("labels"),
+            )
+        m = m.withColumn("tag", F.lit(mtag))
+        out = df
+        if _bool(s.get("discard_logs", "false")):
+            out = out.filter(~gate)
+        return out.unionByName(m, allowMissingColumns=True)
+
     if name == "content_modifier":
         # processor_content_modifier as a config unit (cm_config.c:28-47);
         # one action per unit instance, chained by repeating the unit.
@@ -1353,8 +1444,8 @@ def _build_sink(s: Section) -> SinkSpec:
         )
     if name in ("null", "counter", "stdout"):
         return SinkSpec(
-            f"{name}_{match.replace('*', 'all')}", match=match, fmt="parquet",
-            processors=procs,
+            s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+            match=match, fmt="parquet", processors=procs,
         )
     if name in ("es", "elasticsearch", "opensearch"):
         # out_es offline path: render the Bulk API payload to the sink

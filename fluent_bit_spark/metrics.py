@@ -379,3 +379,81 @@ def prom_histogram_lines(
     for r in rows:
         out = out.unionByName(r)
     return out
+
+
+# cmt_histogram_buckets_default_create (lib/cmetrics/src/cmt_histogram.c)
+DEFAULT_HISTOGRAM_BUCKETS = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0
+)
+
+
+def histogram_samples(
+    df: DataFrame,
+    name: str,
+    value_field: str,
+    buckets: Sequence[float] = DEFAULT_HISTOGRAM_BUCKETS,
+    label_fields: Sequence[str] = (),
+    le_key: str = "le",
+) -> DataFrame:
+    """Aggregate a raw value stream into metric-TABLE histogram rows
+    (the metric_name/value/labels convention): per label set, cumulative
+    ``<name>_bucket`` rows with le labels ('%g' + '.0' form), then
+    ``<name>_sum`` and ``<name>_count`` — the same series
+    prom_histogram_lines renders as text, kept as rows so
+    processor_labels / metrics_selector / exposition compose. One
+    map-side-combined groupBy."""
+    edges = sorted(float(b) for b in buckets)
+    v = F.col(value_field).try_cast("double")
+    keys = [F.col(c) for c in label_fields]
+    aggs = [
+        F.sum(F.when(v <= e, 1).otherwise(0)).alias(f"__b{i}")
+        for i, e in enumerate(edges)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__count"))
+    aggs.append(F.coalesce(F.sum(v), F.lit(0.0)).alias("__sum"))
+    agg = df.groupBy(*keys).agg(*aggs)
+
+    def labels_map(extra: Optional[tuple] = None) -> Column:
+        pairs: list[Column] = []
+        for c in label_fields:
+            pairs += [F.lit(c), F.col(c).cast("string")]
+        if extra is not None:
+            pairs += [F.lit(extra[0]), F.lit(extra[1])]
+        if not pairs:
+            return F.create_map().cast("map<string,string>")
+        return F.create_map(*pairs)
+
+    parts = []
+    for i, e in enumerate(edges):
+        parts.append(
+            agg.select(
+                F.lit(f"{name}_bucket").alias("metric_name"),
+                F.col(f"__b{i}").cast("double").alias("value"),
+                labels_map((le_key, _bucket_str(e))).alias("labels"),
+            )
+        )
+    parts.append(
+        agg.select(
+            F.lit(f"{name}_bucket").alias("metric_name"),
+            F.col("__count").cast("double").alias("value"),
+            labels_map((le_key, "+Inf")).alias("labels"),
+        )
+    )
+    parts.append(
+        agg.select(
+            F.lit(f"{name}_sum").alias("metric_name"),
+            F.col("__sum").alias("value"),
+            labels_map().alias("labels"),
+        )
+    )
+    parts.append(
+        agg.select(
+            F.lit(f"{name}_count").alias("metric_name"),
+            F.col("__count").cast("double").alias("value"),
+            labels_map().alias("labels"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

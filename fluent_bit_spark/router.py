@@ -400,7 +400,10 @@ def write_sinks(
     counts: dict[str, int] = {}
     try:
         for s in sinks:
-            part = flagged.filter(F.col(f"__route_{s.name}")).drop(
+            # backticks: sink names may carry dots (glob-derived names
+            # like 'counter_app.all'), which bare F.col parses as a
+            # nested-field path
+            part = flagged.filter(F.col(f"`__route_{s.name}`")).drop(
                 *[f"__route_{x.name}" for x in sinks]
             )
             # output-attached processor units run BEFORE the counter is

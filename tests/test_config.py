@@ -1750,3 +1750,95 @@ def test_otlp_input_tag_from_uri(spark, tmp_path):
     (sec2,) = parse_classic(conf2)
     df2 = _build_input(spark, sec2)
     assert df2.select("tag").distinct().first()["tag"] == "my.otel"
+
+
+def test_log_to_metrics_filter_to_prometheus_exporter(spark, tmp_path):
+    """The reference's flagship metrics pipeline fully config-driven:
+    logs -> [FILTER] log_to_metrics (counter + fq-name composition +
+    label_field + regex gate + Tag emitter) -> [OUTPUT]
+    prometheus_exporter exposition page; discard_logs drops the
+    originals."""
+    import glob as _glob
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"msg\": \"ok\", \"code\": \"200\"}'\n"
+        "      samples: 3\n"
+        "      tag: app.a\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"msg\": \"boom\", \"code\": \"500\"}'\n"
+        "      samples: 2\n"
+        "      tag: app.b\n"
+        "  filters:\n"
+        "    - name: log_to_metrics\n"
+        "      match: 'app.*'\n"
+        "      metric_mode: counter\n"
+        "      metric_name: hits\n"
+        "      metric_subsystem: web\n"
+        "      label_field: code\n"
+        "      regex: msg ^(ok|boom)$\n"
+        "      tag: metrics.hits\n"
+        "  outputs:\n"
+        "    - name: prometheus_exporter\n"
+        "      match: 'metrics.*'\n"
+        "      metric_type: counter\n"
+        "      sink_name: prom\n"
+        "    - name: file\n"
+        "      match: 'app.*'\n"
+        "      format: json\n"
+        "      sink_name: logs\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"prom": 2, "logs": 5}  # 2 label sets, 5 log rows
+    page = "".join(
+        open(p).read() for p in _glob.glob(str(tmp_path / "prom" / "part-*"))
+    )
+    assert "# TYPE log_metric_web_hits counter" in page
+    assert 'log_metric_web_hits{code="200"} 3' in page
+    assert 'log_metric_web_hits{code="500"} 2' in page
+
+    # histogram mode + discard_logs
+    conf2 = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"lat\": \"0.3\"}'\n"
+        "      samples: 4\n"
+        "      tag: app.h\n"
+        "  filters:\n"
+        "    - name: log_to_metrics\n"
+        "      match: 'app.*'\n"
+        "      metric_mode: histogram\n"
+        "      metric_name: lat\n"
+        "      value_field: lat\n"
+        "      bucket: 0.25, 0.5\n"
+        "      discard_logs: on\n"
+        "      tag: metrics.lat\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: 'metrics.*'\n"
+        "      format: json\n"
+        "      sink_name: m\n"
+        "    - name: counter\n"
+        "      match: 'app.*'\n"
+        "      sink_name: leftover_logs\n"
+    )
+    import json as _json
+
+    r2 = run_config(spark, conf2, str(tmp_path / "h"))
+    assert r2.counts["leftover_logs"] == 0  # discard_logs
+    rows = [
+        _json.loads(ln)
+        for p in _glob.glob(str(tmp_path / "h" / "m" / "part-*"))
+        for ln in open(p).read().splitlines()
+    ]
+    by = {(x["metric_name"], x["labels"].get("le", "")): x["value"] for x in rows}
+    assert by[("log_metric_lat_bucket", "0.25")] == 0.0
+    assert by[("log_metric_lat_bucket", "0.5")] == 4.0  # cumulative
+    assert by[("log_metric_lat_bucket", "+Inf")] == 4.0
+    assert abs(by[("log_metric_lat_sum", "")] - 1.2) < 1e-9
+    assert by[("log_metric_lat_count", "")] == 4.0
