@@ -1272,6 +1272,65 @@ def _apply_filter(
             gate=gate,
         )
 
+    if name == "expect":
+        # filter_expect (flb_filter_expect config map): rule options ->
+        # ExpectRule list; action 'exit' raises on the first violating
+        # matching record, 'warn'/'result_key' annotate (the warn log
+        # line becomes a boolean column the pipeline can inspect)
+        from .filters import ExpectRule, apply_expect
+
+        rules = []
+        for rtype in (
+            "key_exists", "key_not_exists",
+            "key_val_is_null", "key_val_is_not_null",
+        ):
+            for v in s.get_all(rtype):
+                rules.append(ExpectRule(rtype, v.strip()))
+        for v in s.get_all("key_val_eq"):
+            k, val = v.split(None, 1)
+            rules.append(ExpectRule("key_val_eq", k, val))
+        action = (s.get("action", "warn")).lower()
+        if action == "exit":
+            apply_expect(df.filter(gate), rules, action="exit")
+            return df
+        rk = s.get("result_key", "__expect_ok")
+        out = apply_expect(df, rules, result_key=rk)
+        return out.withColumn(rk, F.when(gate, F.col(rk)))
+
+    if name == "alter_size":
+        # filter_alter_size (alter_size.c config map: add / remove)
+        from .filters import alter_size as _alter_size
+
+        sub = df.filter(gate)
+        rest = df.filter(~gate)
+        out = _alter_size(
+            sub,
+            add=int(s.get("add", "0") or 0),
+            remove=int(s.get("remove", "0") or 0),
+            # removal order needs a column; fall back to the first one
+            # for ts-less streams (decoder order analogue)
+            ts_col="ts" if "ts" in df.columns else df.columns[0],
+        )
+        return rest.unionByName(out, allowMissingColumns=True)
+
+    if name == "sysinfo":
+        # filter_sysinfo (sysinfo.c:251-266): stamp driver-host values
+        # under the configured keys (unset option = key skipped)
+        from .enrich import environment_enrich, sysinfo_metadata
+
+        meta = sysinfo_metadata(
+            hostname_key=s.get("hostname_key"),
+            os_version_key=s.get("os_version_key"),
+            kernel_version_key=s.get("kernel_version_key"),
+        )
+        enriched = environment_enrich(df, meta)
+        # Match-gated: non-matching rows keep null in the new columns
+        for k in meta:
+            enriched = enriched.withColumn(
+                k, F.when(gate, F.col(f"`{k}`"))
+            )
+        return enriched
+
     if name == "log_to_metrics":
         # filter_log_to_metrics (log_to_metrics.c config map :1020-1120):
         # derive a metrics stream from the matching log rows and emit it

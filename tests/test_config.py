@@ -1842,3 +1842,53 @@ def test_log_to_metrics_filter_to_prometheus_exporter(spark, tmp_path):
     assert by[("log_metric_lat_bucket", "+Inf")] == 4.0
     assert abs(by[("log_metric_lat_sum", "")] - 1.2) < 1e-9
     assert by[("log_metric_lat_count", "")] == 4.0
+
+
+def test_expect_alter_size_sysinfo_filters_config(spark, tmp_path):
+    """[FILTER] expect / alter_size / sysinfo config wiring."""
+    import platform
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"msg\": \"a\", \"lvl\": \"info\"}'\n"
+        "      samples: 3\n"
+        "      tag: app.x\n"
+        "  filters:\n"
+        "    - name: expect\n"
+        "      match: 'app.*'\n"
+        "      key_exists: msg\n"
+        "      key_val_eq: lvl info\n"
+        "      action: result_key\n"
+        "      result_key: ok\n"
+        "    - name: sysinfo\n"
+        "      match: 'app.*'\n"
+        "      hostname_key: host\n"
+        "    - name: alter_size\n"
+        "      match: 'app.*'\n"
+        "      add: 2\n"
+        "  outputs:\n"
+        "    - name: null\n"
+        "      match: '*'\n"
+        "      sink_name: out\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"out": 5}  # 3 records + 2 alter_size appends
+    rows = r.frame.collect()
+    real = [x for x in rows if x["msg"] is not None]
+    added = [x for x in rows if x["msg"] is None]
+    assert all(x["ok"] is True for x in real)
+    assert all(x["host"] == platform.node() for x in real)
+    assert sorted(x["key"] for x in added) == ["alter_size 0", "alter_size 1"]
+
+    # expect action: exit raises on violation
+    import pytest as _pytest
+
+    bad = conf.replace("key_val_eq: lvl info", "key_val_eq: lvl debug").replace(
+        "action: result_key", "action: exit"
+    )
+    with _pytest.raises(AssertionError):
+        run_config(spark, bad, str(tmp_path / "bad"))
