@@ -957,9 +957,16 @@ def _build_input(
                 # one driver pass over <=100 spooled records)
                 schema = s.get("schema")
                 if not schema:
+                    # null records (OTLP group markers) must not reach
+                    # the sampler — spark.read.json str()-ifies None to
+                    # the literal 'None', poisoning the inferred schema
+                    # with a _corrupt_record column
                     sample = [
                         r["record"]
-                        for r in df.select("record").limit(100).collect()
+                        for r in df.select("record")
+                        .where(F.col("record").isNotNull())
+                        .limit(100)
+                        .collect()
                     ]
                     inferred = spark.read.json(
                         spark.sparkContext.parallelize(sample or ["{}"])
@@ -1289,6 +1296,12 @@ def _apply_filter(
         for v in s.get_all("key_val_eq"):
             k, val = v.split(None, 1)
             rules.append(ExpectRule("key_val_eq", k, val))
+        if not rules:
+            raise ValueError(
+                "[FILTER] expect needs at least one rule "
+                "(key_exists / key_not_exists / key_val_is_null / "
+                "key_val_is_not_null / key_val_eq)"
+            )
         action = (s.get("action", "warn")).lower()
         if action == "exit":
             apply_expect(df.filter(gate), rules, action="exit")
@@ -1298,9 +1311,14 @@ def _apply_filter(
         return out.withColumn(rk, F.when(gate, F.col(rk)))
 
     if name == "alter_size":
-        # filter_alter_size (alter_size.c config map: add / remove)
+        # filter_alter_size (alter_size.c config map: add / remove).
+        # Both output branches read df — persist so the upstream parse/
+        # enrich chain computes once, not once per side (a self-union
+        # recomputes its upstream per side, the dedup.self_join_ready
+        # lesson)
         from .filters import alter_size as _alter_size
 
+        df = df.persist()
         sub = df.filter(gate)
         rest = df.filter(~gate)
         out = _alter_size(
@@ -1342,6 +1360,9 @@ def _apply_filter(
         from .processors import LogToMetricsSpec
         from .processors import log_to_metrics as _l2m
 
+        # both the metrics aggregate and the passthrough logs read df —
+        # persist so the upstream chain computes once, not per branch
+        df = df.persist()
         mode = (s.get("metric_mode", "counter")).lower()
         fq = "_".join(
             x

@@ -105,47 +105,73 @@ def pack_sequences(
         + ", pack_id long, pack_pos int, pack_tokens long"
     )
 
+    out_cols = src_cols + ["pack_id", "pack_pos", "pack_tokens"]
+
     def run(batches: Iterable):
+        import math as _math
+
         import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        # first-fit over the arrival order: packs stay open until full
-        open_packs: list = []  # [(local_id, remaining)]
+        # first-fit over the arrival order: packs stay open until full.
+        # Memory stays bounded: only rows of the <=64 OPEN packs buffer
+        # (pack_tokens is final when a pack retires, so retired packs
+        # emit immediately) — never the whole partition.
+        open_packs: dict = {}  # lid -> {"rem": int, "rows": [], "total": int}
+        open_order: list = []  # lids, arrival order (first-fit scan order)
         next_local = 0
-        members: list = []  # rows of (original row dict + pack fields)
-        totals: dict = {}
-        counts: dict = {}
+        done: list = []  # rows of retired packs, pending emit
+
+        def retire(lid):
+            pack = open_packs.pop(lid)
+            for r in pack["rows"]:
+                r["pack_tokens"] = pack["total"]
+            done.extend(pack["rows"])
+
         for pdf in batches:
             for row in pdf.to_dict("records"):
-                need = int(row[tokens_col] or 0)
-                slot = None
-                for i, (lid, rem) in enumerate(open_packs):
-                    if need <= rem:
-                        slot = i
+                raw = row[tokens_col]
+                # nullable long columns cross Arrow->pandas as float64
+                # with NaN; NaN is truthy, so guard explicitly
+                need = (
+                    0
+                    if raw is None
+                    or (isinstance(raw, float) and _math.isnan(raw))
+                    else int(raw)
+                )
+                lid = None
+                for cand in open_order:
+                    if need <= open_packs[cand]["rem"]:
+                        lid = cand
                         break
-                if slot is None:
+                if lid is None:
                     lid = next_local
                     next_local += 1
-                    open_packs.append((lid, max(max_tokens - need, 0)))
-                    totals[lid] = 0
-                    counts[lid] = 0
+                    open_packs[lid] = {
+                        "rem": max(max_tokens - need, 0), "rows": [], "total": 0,
+                    }
+                    open_order.append(lid)
                 else:
-                    lid, rem = open_packs[slot]
-                    open_packs[slot] = (lid, rem - need)
+                    open_packs[lid]["rem"] -= need
+                pack = open_packs[lid]
                 row["pack_id"] = (pid << 32) | lid
-                row["pack_pos"] = counts[lid]
-                counts[lid] += 1
-                totals[lid] += need
-                members.append(row)
-                # bound the open list: full-ish packs retire (first-fit
-                # with a small active window — the shuffled stream is
-                # uniform so old packs rarely fit new docs anyway)
-                open_packs = [p for p in open_packs if p[1] > 0][-64:]
-        for row in members:
-            row["pack_tokens"] = totals[row["pack_id"] & 0xFFFFFFFF]
-        yield pd.DataFrame(
-            members, columns=src_cols + ["pack_id", "pack_pos", "pack_tokens"]
-        )
+                row["pack_pos"] = len(pack["rows"])
+                pack["total"] += need
+                pack["rows"].append(row)
+                # retire full packs and bound the open window to 64
+                # (first-fit with a small active window — the shuffled
+                # stream is uniform, old packs rarely fit new docs)
+                if pack["rem"] <= 0:
+                    open_order.remove(lid)
+                    retire(lid)
+                while len(open_order) > 64:
+                    retire(open_order.pop(0))
+                if len(done) >= 10_000:
+                    yield pd.DataFrame(done, columns=out_cols)
+                    done = []
+        for lid in open_order:
+            retire(lid)
+        yield pd.DataFrame(done, columns=out_cols)
 
     return src.mapInPandas(run, out_schema)

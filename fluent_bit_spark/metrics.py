@@ -171,10 +171,12 @@ def prom_g17(col: Column) -> Column:
 
 
 def _bucket_str(v: float) -> str:
-    """bucket_value_to_string: '%g', then '.0' appended when no '.'
-    (so le=\"2.0\", not le=\"2\")."""
+    """bucket_value_to_string: '%g', then '.0' appended when the string
+    has no '.' (so le=\"2.0\", not le=\"2\") — but never onto an
+    exponent form ('1e+06' must stay a parseable float, not
+    '1e+06.0')."""
     s = "%g" % float(v)
-    if "." not in s:
+    if "." not in s and "e" not in s and "E" not in s:
         s += ".0"
     return s
 
@@ -235,7 +237,10 @@ def prom_sample_line(
         name,
         _label_block(labels_col, static_labels, extra_labels),
         F.lit(" "),
-        prom_g17(value),
+        # a null value renders 0 (cmt_metric_get_value of an unset
+        # metric; OTLP NO_RECORDED_VALUE points carry no number) —
+        # never a null-poisoned blank line
+        prom_g17(F.coalesce(value, F.lit(0.0))),
     ]
     if ts_col is not None:
         # nanoseconds -> milliseconds (append_metric_value :199-201);

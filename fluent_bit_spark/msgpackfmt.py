@@ -548,7 +548,10 @@ def encode_forward_frame(
     if compress == "gzip":
         import gzip
 
-        zipped = gzip.compress(entry_blob)
+        # mtime=0: identical input must produce identical frame bytes
+        # across reruns/task retries (the idempotent per-partition-file
+        # write depends on it; default mtime embeds wall-clock)
+        zipped = gzip.compress(entry_blob, mtime=0)
         payload = _bin_header(len(zipped)) + zipped
     elif mode == "packed":
         payload = _bin_header(len(entry_blob)) + entry_blob

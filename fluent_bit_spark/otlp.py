@@ -405,6 +405,8 @@ def _point_ts(p: dict):
 def decode_otlp_metrics(body: str, tag: str = "opentelemetry.0"):
     """One ExportMetricsServiceRequest JSON body -> metric sample rows
     (dicts in OTLP_METRICS_SCHEMA order)."""
+    from .metrics import _bucket_str
+
     req = json.loads(body)
     rows = []
 
@@ -442,10 +444,10 @@ def decode_otlp_metrics(body: str, tag: str = "opentelemetry.0"):
                         for i, c in enumerate(counts):
                             running += c
                             le = (
-                                "%g" % bounds[i] if i < len(bounds) else "+Inf"
+                                _bucket_str(bounds[i])
+                                if i < len(bounds)
+                                else "+Inf"
                             )
-                            if i < len(bounds) and "." not in le:
-                                le += ".0"
                             emit(
                                 rid, sid, f"{name}_bucket", "histogram",
                                 float(running), dict(labels, le=le), ts,

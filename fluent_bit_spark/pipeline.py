@@ -283,7 +283,11 @@ def run_pipeline(
                 sink_counts[s.name] = prior[s.name]["rows"]
                 resumed.append(s.name)
                 continue
-            part = flagged.filter(F.col(f"__route_{s.name}")).drop(*route_cols)
+            # backticks: dot-carrying sink names must not parse as
+            # nested paths (same fix as router.write_sinks)
+            part = flagged.filter(
+                F.col(f"`__route_{s.name}`")
+            ).drop(*route_cols)
             obs = Observation(f"sink_{s.name}_{run_id}")
             part = part.observe(obs, F.count(F.lit(1)).alias("n"))
             if coalesce_output:

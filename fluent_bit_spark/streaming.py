@@ -105,7 +105,11 @@ def run_pipeline_stream(
         flagged = route_flags(batch_df, sink_list).persist()
         try:
             for s in sink_list:
-                part = flagged.filter(F.col(f"__route_{s.name}")).drop(*route_cols)
+                # backticks: dot-carrying sink names must not parse as
+                # nested paths (same fix as router.write_sinks)
+                part = flagged.filter(
+                    F.col(f"`__route_{s.name}`")
+                ).drop(*route_cols)
                 part.write.mode("append").parquet(os.path.join(out_dir, s.name))
         finally:
             flagged.unpersist()

@@ -973,3 +973,15 @@ def test_pack_sequences_invariants(spark):
     n_small = docs.filter(F.col("n_tokens") <= 512).count()
     assert kept.count() == n_small
     out.unpersist()
+
+
+def test_pack_sequences_null_tokens(spark):
+    """Null token counts pack as 0-cost members instead of killing the
+    task (nullable long -> pandas float64 NaN)."""
+    from fluent_bit_spark.dataops import packing
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 20)], "doc_id long, n_tokens long"
+    )
+    rows = packing.pack_sequences(docs, max_tokens=64, partitions=2).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]

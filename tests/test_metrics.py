@@ -252,3 +252,28 @@ def test_prom_lines_from_log_to_metrics(spark):
         "# HELP fb_events_error\n# TYPE fb_events_error counter",
         'fb_events_error{type="error",env="prod"} 1',
     ]
+
+
+def test_bucket_str_exponent_form():
+    """le labels must stay parseable floats: no '.0' onto exponent
+    forms ('1e+06', not '1e+06.0')."""
+    from fluent_bit_spark.metrics import _bucket_str
+
+    assert _bucket_str(2) == "2.0"
+    assert _bucket_str(0.25) == "0.25"
+    assert _bucket_str(1_000_000) == "1e+06"
+    assert _bucket_str(1e-05) == "1e-05"
+
+
+def test_prom_sample_null_value_renders_zero(spark):
+    """A null metric value renders 0 (cmt unset-value semantics), never
+    a null-poisoned blank line."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.metrics import prom_sample_line
+
+    df = spark.createDataFrame([(None,)], "v double")
+    line = df.select(
+        prom_sample_line(F.lit("m"), F.col("v")).alias("l")
+    ).first()["l"]
+    assert line == "m 0"

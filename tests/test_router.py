@@ -951,3 +951,17 @@ def test_forward_sink_e2e(spark, tmp_path):
     assert [r[0] for r in recs] == ["app.a", "app.b"]
     assert recs[0][2] == {"msg": "m1", "k": 1}
     assert abs(recs[0][1] - 1704164645.25) < 1e-6
+
+
+def test_forward_gzip_frames_deterministic():
+    """CompressedPackedForward frames must be byte-identical across
+    encodes (mtime=0): task retries overwrite per-partition files, so
+    rerun bytes must match."""
+    import time
+
+    from fluent_bit_spark.msgpackfmt import encode_forward_frame
+
+    a = encode_forward_frame("t", [(1.0, {"k": "v"})], compress="gzip")
+    time.sleep(1.1)  # a wall-clock mtime would differ across this gap
+    b = encode_forward_frame("t", [(1.0, {"k": "v"})], compress="gzip")
+    assert a == b
