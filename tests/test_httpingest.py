@@ -522,3 +522,59 @@ def test_otlp_metrics_end_to_end(spark, tmp_path):
         if not r["line"].startswith("#")
     ]
     assert 'latency_bucket{le="2.0"} 3' in lines
+
+
+def test_otlp_spool_streaming_follow(spark, tmp_path):
+    """OTLP logs over the streaming spool: the grouped-frame decode runs
+    per micro-batch (mapInPandas on a streaming frame); a restart with
+    the same checkpoint only decodes newly spooled exports."""
+    import json as _json
+    import os
+
+    from fluent_bit_spark import otlp
+
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(spool, exist_ok=True)
+
+    def export(n, msgs):
+        body = _json.dumps(
+            {"resourceLogs": [{"scopeLogs": [{"logRecords": [
+                {"timeUnixNano": str((i + 1) * 10**9),
+                 "body": {"stringValue": m}}
+                for i, m in enumerate(msgs)
+            ]}]}]}
+        )
+        env = {"path": "/v1/logs", "ct": "application/json", "body": body}
+        p = os.path.join(spool, f"req-{n:06d}.json")
+        with open(p + ".tmp", "w") as f:
+            f.write(_json.dumps(env))
+        os.rename(p + ".tmp", p)
+
+    def run_once():
+        src = httpingest.http_spool_source(spark, spool, streaming=True)
+        recs = otlp.otlp_logs_records(src)
+        q = (
+            recs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    export(0, ["a"])
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 3  # start + 1 record + end
+
+    export(1, ["b", "c"])
+    run_once()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 3 + 4  # request 0 NOT reprocessed
+    msgs = sorted(
+        _json.loads(r["record"])["log"]
+        for r in rows.filter("record_type = 'normal'").collect()
+    )
+    assert msgs == ["a", "b", "c"]
