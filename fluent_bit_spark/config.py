@@ -1279,6 +1279,38 @@ def _apply_filter(
             gate=gate,
         )
 
+    if name == "multiline":
+        # [FILTER] multiline mode 'partial_message' (ml.c:1012: "Mode can
+        # be 'parser' for regex concat, or 'partial_message' to
+        # concatenate split docker logs"): join records split by the
+        # Docker 16KB limit on the partial_* metadata. Parser mode stays
+        # the input-level surface (in_tail multiline.parser) — the
+        # buffered re-sessionization of already-ingested records needs
+        # the file/order context only inputs carry.
+        from .multiline import join_partial_messages
+
+        mode = (s.get("mode", "partial_message")).lower()
+        if mode != "partial_message":
+            raise ValueError(
+                "[FILTER] multiline supports mode partial_message; parser "
+                "mode is the in_tail multiline.parser surface"
+            )
+        order_col = next(
+            (c for c in ("line_no", "event_id", "ts") if c in df.columns),
+            df.columns[0],
+        )
+        df = df.persist()  # both branches (partial/passthrough) read df
+        gated = df.filter(gate)
+        rest = df.filter(~gate)
+        joined = join_partial_messages(
+            gated,
+            key_content=s.get("multiline.key_content", "log"),
+            order_col=order_col,
+        )
+        return rest.drop(
+            *[c for c in df.columns if c.startswith("partial_")]
+        ).unionByName(joined)
+
     if name == "expect":
         # filter_expect (flb_filter_expect config map): rule options ->
         # ExpectRule list; action 'exit' raises on the first violating

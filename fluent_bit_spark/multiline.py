@@ -500,3 +500,47 @@ def sessionize_container(
         )
         .drop("__grp")
     )
+
+
+def join_partial_messages(
+    df: DataFrame,
+    key_content: str = "log",
+    order_col: str = "line_no",
+    tag_col: str = "tag",
+    partial_flag_col: str = "partial_message",
+    partial_id_col: str = "partial_id",
+) -> DataFrame:
+    """filter_multiline mode 'partial_message' (plugins/filter_multiline/
+    ml.c:634-740, ml_concat.c): records flagged partial_message=true
+    group by (tag, partial_id) — the Docker 16KB-split metadata — and
+    their `key_content` values concatenate in order; the assembled
+    record keeps the FIRST piece's other fields and every partial_*
+    key is dropped (ml_create_packer skips the partial_ prefix).
+    Non-partial records pass through untouched.
+
+    One groupBy over the partial subset; the reference buffers per
+    (input, tag, partial_id) packer until partial_last — order here
+    comes from `order_col` (the decoder-order analogue), so partial_last
+    is informational, not load-bearing."""
+    flag = F.col(partial_flag_col) if partial_flag_col in df.columns else F.lit(None)
+    is_partial = F.lower(F.coalesce(flag.cast("string"), F.lit(""))) == "true"
+    keep_cols = [c for c in df.columns if not c.startswith("partial_")]
+    passthrough = df.filter(~is_partial).select(*keep_cols)
+    parts = df.filter(is_partial)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(key_content).alias("v"))
+        )
+    )
+    others = [c for c in keep_cols if c not in (key_content, tag_col)]
+    agg = (
+        parts.groupBy(F.col(tag_col), F.col(partial_id_col).alias("__pid"))
+        .agg(
+            F.concat_ws(
+                "", F.transform(ordered, lambda e: e.getField("v"))
+            ).alias(key_content),
+            *[F.min_by(F.col(c), F.col(order_col)).alias(c) for c in others],
+        )
+        .drop("__pid")
+    )
+    return passthrough.unionByName(agg.select(*keep_cols))

@@ -397,3 +397,70 @@ def test_docker_cri_chain_vector(spark):
         "third message",
     ]
     assert all(r["klass"] == "cri" and r["n_lines"] == 1 for r in out)
+
+
+def test_join_partial_messages(spark):
+    """filter_multiline mode partial_message (ml.c:634-740): docker
+    16KB-split records group by (tag, partial_id), key_content pieces
+    concatenate in order, first piece's fields win, partial_* keys
+    drop; non-partial records pass through."""
+    from fluent_bit_spark.multiline import join_partial_messages
+
+    df = spark.createDataFrame(
+        [
+            ("app.a", 1, "part-1 ", "true", "id-1", "false", "c1"),
+            ("app.a", 2, "part-2 ", "true", "id-1", "false", "c9"),
+            ("app.a", 3, "part-3", "true", "id-1", "true", "c9"),
+            ("app.a", 4, "whole", None, None, None, "c2"),
+            ("app.b", 5, "x", "true", "id-2", "false", "c3"),
+            ("app.b", 6, "y", "true", "id-2", "true", "c3"),
+        ],
+        "tag string, line_no long, log string, partial_message string, "
+        "partial_id string, partial_last string, container string",
+    )
+    out = join_partial_messages(df)
+    assert not any(c.startswith("partial_") for c in out.columns)
+    rows = {r["log"]: r for r in out.collect()}
+    assert set(rows) == {"part-1 part-2 part-3", "whole", "xy"}
+    joined = rows["part-1 part-2 part-3"]
+    assert joined["tag"] == "app.a"
+    assert joined["container"] == "c1"  # FIRST piece's fields win
+    assert joined["line_no"] == 1
+    assert rows["whole"]["container"] == "c2"
+
+
+def test_multiline_partial_filter_config(spark, tmp_path):
+    """[FILTER] multiline mode partial_message through the config
+    surface."""
+    import json as _json
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "pipeline:\n"
+        "  inputs:\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"log\": \"a\", \"partial_message\": \"true\", "
+        "\"partial_id\": \"p1\", \"seq\": \"1\"}'\n"
+        "      samples: 1\n"
+        "      tag: c.x\n"
+        "    - name: dummy\n"
+        "      dummy: '{\"log\": \"b\", \"partial_message\": \"true\", "
+        "\"partial_id\": \"p1\", \"seq\": \"2\"}'\n"
+        "      samples: 1\n"
+        "      tag: c.x\n"
+        "  filters:\n"
+        "    - name: multiline\n"
+        "      match: 'c.*'\n"
+        "      mode: partial_message\n"
+        "  outputs:\n"
+        "    - name: file\n"
+        "      match: '*'\n"
+        "      format: json\n"
+        "      sink_name: out\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"out": 1}
+    row = r.frame.first()
+    # order_col falls back to the first column; seq carries the order
+    assert row["log"] in ("ab", "ba") and len(row["log"]) == 2

@@ -1,0 +1,174 @@
+"""Two-parallelism scaling evidence for the DEDUP job shape (the
+second-most-expensive pipeline after parse/route): MinHash-LSH
+candidates -> bigram-Jaccard verify -> connected-components clustering,
+with the xxhash64 scale engines, at N and 4N cores on the same staged
+input — the same interleaved L/H, min-of-N, fresh-JVM-per-level
+methodology as tools/scaling_bench.py (BENCH.md notes). This job is
+JVM-only (no python workers), so the 4->16 pairing is clean on 32 hw
+threads.
+
+The corpus is synthesized deterministically (unique-ish family bases,
+controlled dup structure: 10-doc families with 4 exact copies + 2
+near-dups) and STAGED to parquet first so the timing measures the
+operators, not generation.
+
+Usage: python tools/scaling_dedup.py [--docs 400000] [--runs 2]
+                                     [--low 4] [--high 16] [--rounds 2]
+Prints one JSON line with docs/sec at both levels + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "16").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n_docs = {docs}
+df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+fam = (F.col("doc_id") / 10).cast("long")
+member = F.col("doc_id") % 10
+words = [
+    F.concat(F.lit(chr(ord('a') + k)),
+             ((fam * (k + 7) + k * k) % 9973).cast("string"))
+    for k in range(12)
+]
+base = F.concat_ws(" ", *words)
+perturbed = F.concat_ws(" ", *words[:-1],
+                        F.concat(F.lit("z"), (fam % 9973 + member).cast("string")))
+distinct_words = [
+    F.concat(F.lit(chr(ord('a') + k)),
+             ((fam * (k + 7) + member * 13 + k) % 9973).cast("string"))
+    for k in range(12)
+]
+text = (F.when(member <= 3, base)
+         .when(member <= 5, perturbed)
+         .otherwise(F.concat_ws(" ", *distinct_words)))
+df.withColumn("text", text).repartition(32).write.mode("overwrite").parquet({staged!r})
+print("STAGED", n_docs)
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark.dataops import dedup
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def job():
+    docs = spark.read.parquet({staged!r})
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_n=2)
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=2).filter(
+        F.col("jaccard") >= 0.5)
+    comps = dedup.connected_components(verified)
+    return comps.agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("component").alias("k")).first()
+
+# warm-up (codegen compile; not timed)
+row = job(); spark.catalog.clearCache()
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times),
+      "clustered": row["n"], "clusters": row["k"]}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"dedup_scale_{args.docs}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, docs=args.docs, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if "STAGED" not in stage.stdout:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+
+    lo_times: list = []
+    hi_times: list = []
+    shape = None
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs)
+        hi = run_level(staged, args.high, args.runs)
+        assert (lo["clustered"], lo["clusters"]) == (hi["clustered"], hi["clusters"]), (
+            "cluster results must be identical across parallelism levels"
+        )
+        shape = (lo["clustered"], lo["clusters"])
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = lo_best / hi_best
+    eff = ratio / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "job": "dedup_cluster_pipeline",
+                "docs": args.docs,
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_best_sec": round(lo_best, 2),
+                "high_best_sec": round(hi_best, 2),
+                "low_docs_per_sec": round(args.docs / lo_best, 1),
+                "high_docs_per_sec": round(args.docs / hi_best, 1),
+                "low_times": [round(t, 2) for t in lo_times],
+                "high_times": [round(t, 2) for t in hi_times],
+                "speedup": round(ratio, 3),
+                "scaling_efficiency": round(eff, 3),
+                "clustered_docs": shape[0],
+                "clusters": shape[1],
+                "results_equal_across_levels": True,
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
