@@ -850,8 +850,18 @@ def connected_components(
                 "id",
                 F.coalesce(F.col("pcomp"), F.col("comp")).alias("comp"),
                 "old",
+            )
+            # the convergence delta rides the checkpoint materialization
+            # as an Observation — one action per round, not two (the
+            # second count() job was pure coordination overhead at scale)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            jumped = jumped.observe(
+                obs,
+                F.sum((F.col("comp") != F.col("old")).cast("long")).alias("d"),
             ).localCheckpoint()
-            changed = jumped.filter(F.col("comp") != F.col("old")).count()
+            changed = obs.get["d"] or 0
             labels = jumped.select("id", "comp")
             if changed == 0:
                 break
