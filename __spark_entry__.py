@@ -16,13 +16,15 @@ multimodal entries exact DuckDB replicas. The xxhash64-derived engines
 remain the scale defaults — engine choice swaps the hash, not the plan,
 and pytest property-checks value-equivalence of the two engines' plans.
 Near-duplicate operator rows are merged into multi-mode rows
-(grep_modes, throttle_modes, parser_kv [logfmt/ltsv/json],
-parser_regex_modes, rewrite_tag_modes, record_mods, sp_dynamic,
-sp_aggregate [agg/forecast], enrich_broadcast [seg/checklist],
-sampling_modes [prob/tail], sim_ann_topk) so ALL registered entries —
-exactly 50 — fit the driver's
-recorded-row cap: every operator family gets a driver-recorded oracle
-row. The in-repo replica (tools/check_oracle.py) runs the same 50.
+(grep_modes [legacy/and/or_exclude], throttle_modes, parser_kv
+[logfmt/ltsv/json], parser_regex_modes, rewrite_tag_modes, record_mods,
+sp_dynamic, sp_aggregate [agg/forecast], enrich_broadcast
+[seg/checklist], sampling_modes [prob/tail], sim_ann_topk) so ALL
+registered entries — exactly 50 — fit the driver's recorded-row cap:
+every operator family gets a driver-recorded oracle row, including
+filter_lua (round 4: a real user script on the from-scratch Lua
+interpreter). The in-repo replica (tools/check_oracle.py) runs the
+same 50.
 """
 
 from __future__ import annotations
@@ -133,22 +135,16 @@ _EPOCH_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
 # ---------------------------------------------------------------------------
 
 
-def q_grep_legacy(spark, sf_dir):
-    """filter_grep legacy mode (plugins/filter_grep/grep.c:167-194):
-    first decisive rule wins — a matching exclude drops, then a
-    non-matching regex drops, a matching regex keeps."""
+def q_grep_modes(spark, sf_dir):
+    """All three filter_grep modes in one oracle row (mode column):
+    legacy first-decisive-rule (plugins/filter_grep/grep.c:167-194),
+    Logical_Op AND (grep.c:250-284), and OR-over-exclude (drop when ANY
+    matches)."""
     ev = _t(spark, sf_dir, "events")
-    rules = [
+    legacy_rules = [
         GrepRule("exclude", "props", r'"k": 9'),
         GrepRule("regex", "event_type", r"^(click|view)$"),
     ]
-    return apply_grep(ev, rules).select("event_id", "event_type", "props")
-
-
-def q_grep_modes(spark, sf_dir):
-    """grep Logical_Op AND (grep.c:250-284) and OR-over-exclude (drop
-    when ANY matches), both modes in one oracle row (mode column)."""
-    ev = _t(spark, sf_dir, "events")
     and_rules = [
         GrepRule("regex", "event_type", r"^(click|view|purchase)$"),
         GrepRule("regex", "props", r'"k": [12]'),
@@ -157,13 +153,65 @@ def q_grep_modes(spark, sf_dir):
         GrepRule("exclude", "event_type", r"^error$"),
         GrepRule("exclude", "props", r'"k": 9\d\}'),
     ]
+    lg = apply_grep(ev, legacy_rules).select(
+        F.lit("legacy").alias("mode"), "event_id"
+    )
     a = apply_grep(ev, and_rules, logical_op="AND").select(
         F.lit("and").alias("mode"), "event_id"
     )
     b = apply_grep(ev, or_rules, logical_op="OR").select(
         F.lit("or_exclude").alias("mode"), "event_id"
     )
-    return a.unionByName(b)
+    return lg.unionByName(a).unionByName(b)
+
+
+_LUA_ORACLE_SCRIPT = """
+function cb(tag, ts, record)
+    if record.event_type == 'error' then
+        return -1, 0, 0
+    end
+    record.flag = string.upper(string.sub(record.event_type, 1, 1))
+    record.vi = record.value * 10
+    record.tagged = tag .. '/' .. record.event_type
+    return 1, ts + 3600, record
+end
+"""
+
+
+def q_filter_lua(spark, sf_dir):
+    """filter_lua (plugins/filter_lua/lua.c callback contract) running a
+    REAL user script on the from-scratch Lua interpreter
+    (fluent_bit_spark.luainterp) over Arrow batches: drop (code -1),
+    modify + timestamp replace (code 1), string library, tag access, and
+    type_int_key int64 truncation (src/flb_lua.c:378-421) — each leg
+    replicated by the DuckDB oracle."""
+    from fluent_bit_spark.luafilter import LuaFilterSpec, filter_lua_columns
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.concat(F.lit("ev."), (F.col("event_id") % 3).cast("string")).alias("tag"),
+        _epoch(F.col("ts")).cast("double").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    spec = LuaFilterSpec(code=_LUA_ORACLE_SCRIPT, call="cb", type_int_key=["vi"])
+    out = filter_lua_columns(
+        df,
+        spec,
+        out_schema=(
+            "tag string, ts_epoch double, event_id bigint, "
+            "event_type string, value double, flag string, vi bigint, "
+            "tagged string"
+        ),
+    )
+    return out.select(
+        "event_id",
+        "flag",
+        "vi",
+        "tagged",
+        F.col("ts_epoch").cast("bigint").alias("ts_out"),
+    )
 
 
 def q_trace_sampling(spark, sf_dir):
@@ -1392,8 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS row cap (r01 recorded only 50 of 51 entries and the
         # last dict entry was the one silently dropped).
         "pipeline_e2e": q_pipeline_e2e,
-        "grep_legacy": q_grep_legacy,
         "grep_modes": q_grep_modes,
+        "filter_lua": q_filter_lua,
         "sampling_modes": q_sampling_modes,
         "record_mods": q_record_mods,
         "nest_lift": q_nest_lift,
@@ -1824,12 +1872,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
-        "grep_legacy": r"""
-            SELECT event_id, event_type, props FROM events
+        "grep_modes": r"""
+            SELECT 'legacy' AS mode, event_id FROM events
             WHERE NOT regexp_matches(props, '"k": 9')
               AND regexp_matches(event_type, '^(click|view)$')
-        """,
-        "grep_modes": r"""
+            UNION ALL
             SELECT 'and' AS mode, event_id FROM events
             WHERE regexp_matches(event_type, '^(click|view|purchase)$')
               AND regexp_matches(props, '"k": [12]')
@@ -1837,6 +1884,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'or_exclude' AS mode, event_id FROM events
             WHERE NOT (regexp_matches(event_type, '^error$')
                        OR regexp_matches(props, '"k": 9\d\}'))
+        """,
+        "filter_lua": r"""
+            SELECT event_id,
+                   upper(substr(event_type, 1, 1)) AS flag,
+                   CAST(trunc(value * 10) AS BIGINT) AS vi,
+                   'ev.' || CAST(event_id % 3 AS VARCHAR) || '/' || event_type
+                       AS tagged,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS ts_out
+            FROM events
+            WHERE event_type <> 'error'
         """,
         "sampling_modes": r"""
             WITH spans AS (

@@ -1311,6 +1311,90 @@ def _apply_filter(
             *[c for c in df.columns if c.startswith("partial_")]
         ).unionByName(joined)
 
+    if name == "lua":
+        # filter_lua (plugins/filter_lua/lua.c:772-812 config map): run a
+        # user Lua script's callback per record on the from-scratch
+        # interpreter (fluent_bit_spark.luainterp). `script` loads a
+        # file, `code` is inline source; type_int_key/type_array_key are
+        # space-separated lists (lua_config.c:130-178 flb_utils_split).
+        from .luafilter import LuaFilterSpec, filter_lua_columns
+
+        code = s.get("code")
+        script_path = s.get("script")
+        if script_path and not code:
+            with open(script_path, encoding="utf-8") as fh:
+                code = fh.read()
+        if not code:
+            raise ValueError("[FILTER] lua needs 'script' or 'code'")
+        call = s.get("call")
+        if not call:
+            raise ValueError("[FILTER] lua needs 'call'")
+        spec = LuaFilterSpec(
+            code=code,
+            call=call,
+            type_int_key=(s.get("type_int_key") or "").replace(",", " ").split(),
+            type_array_key=(s.get("type_array_key") or "").replace(",", " ").split(),
+            protected_mode=_bool(s.get("protected_mode", "true")),
+            time_as_table=_bool(s.get("time_as_table", "false")),
+            enable_flb_null=_bool(s.get("enable_flb_null", "false")),
+            chunkname=script_path or "inline.lua",
+        )
+        # the frame's `ts` timestamp column crosses the script boundary
+        # as an epoch double (the Lua contract's timestamp), then comes
+        # back as a timestamp of the original flavor
+        work = df.withColumn("__lua_gate", gate)
+        ts_type = None
+        if "ts" in df.columns:
+            ts_type = dict(
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            )["ts"]
+            work = work.withColumn(
+                "__lua_ts", F.col("ts").cast("timestamp").cast("double")
+            ).drop("ts")
+        else:
+            work = work.withColumn("__lua_ts", F.lit(0.0))
+        # schema for keys the script ADDS: explicit `out_schema` option,
+        # else inferred by a bounded driver-side sample run (records are
+        # schemaless in the reference; Spark frames are typed)
+        out_schema = s.get("out_schema")
+        if out_schema is None:
+            from .luafilter import infer_added_columns
+
+            sample = [
+                (
+                    r["tag"] if "tag" in r and r["tag"] is not None else "",
+                    float(r["__lua_ts"] or 0.0),
+                    {
+                        k: v
+                        for k, v in r.asDict(recursive=True).items()
+                        if v is not None
+                        and k not in ("tag", "__lua_ts", "__lua_gate")
+                    },
+                )
+                for r in work.limit(8).collect()
+            ]
+            added = infer_added_columns(
+                sample, spec, known=set(work.columns))
+            if added:
+                base = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in work.schema.fields
+                    if f.name != "__lua_gate"
+                )
+                out_schema = base + ", " + ", ".join(
+                    f"`{k}` {t}" for k, t in added.items())
+        out = filter_lua_columns(
+            work, spec, tag_col="tag", ts_col="__lua_ts",
+            gate_col="__lua_gate", out_schema=out_schema)
+        if ts_type is not None:
+            out = out.withColumn(
+                "ts", F.timestamp_seconds(F.col("__lua_ts")).cast(ts_type))
+        added_cols = [
+            c for c in out.columns
+            if c not in df.columns and c not in ("__lua_ts", "ts")
+        ]
+        return out.select(*df.columns, *added_cols)
+
     if name == "expect":
         # filter_expect (flb_filter_expect config map): rule options ->
         # ExpectRule list; action 'exit' raises on the first violating

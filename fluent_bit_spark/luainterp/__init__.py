@@ -1,0 +1,30 @@
+"""A from-scratch Lua 5.1 interpreter (the filter_lua execution engine).
+
+The reference embeds LuaJIT and runs user scripts per record through
+``plugins/filter_lua/lua.c`` (callback contract at lua.c:659-676) with
+lua<->msgpack conversion in ``src/flb_lua.c``. This package is a pure-
+Python Lua 5.1 subset interpreter — lexer, recursive-descent parser,
+tree-walking evaluator, Lua pattern engine, and the stdlib slice the
+stock + test scripts exercise (string/table/math/os + base library) —
+so arbitrary user scripts run inside Spark python workers over Arrow
+batches instead of requiring a C runtime.
+
+Scope notes (documented, tested):
+- All numbers are doubles (Lua 5.1 / LuaJIT semantics); integral values
+  render without a decimal point (``%.14g``).
+- Coroutines, goto (5.2+), io/file access, require/load of external
+  modules are intentionally NOT implemented: filter scripts are pure
+  record transforms; file/process access from executors would be a
+  correctness and security hole at cluster scale.
+- ``os.time``/``os.clock`` are injectable for deterministic tests.
+"""
+
+from .interp import LuaError, LuaFunction, LuaRuntime, LuaTable, lua_tostring
+
+__all__ = [
+    "LuaRuntime",
+    "LuaTable",
+    "LuaError",
+    "LuaFunction",
+    "lua_tostring",
+]

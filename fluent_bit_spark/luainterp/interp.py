@@ -1,0 +1,701 @@
+"""Lua 5.1 tree-walking evaluator.
+
+Semantics follow the Lua 5.1 reference manual and the behavior the
+reference exercises through LuaJIT (`src/flb_lua.c`,
+`tests/internal/lua.c`): doubles-only numbers, metatables (__index,
+__newindex, __call, __tostring, __eq/__lt/__le, __len, arithmetic and
+__concat), closures with upvalues, multiple assignment/returns with
+last-position expansion, and Lua truthiness (only nil/false are falsy).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+class LuaError(Exception):
+    """A runtime error raised inside Lua (error(), bad ops, ...)."""
+
+    def __init__(self, value):
+        self.value = value  # Lua value (usually a string)
+        super().__init__(lua_tostring(value))
+
+
+class _Break(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, values: list):
+        self.values = values
+
+
+class LuaTable:
+    """A Lua table: one dict (insertion-ordered) + optional metatable.
+
+    Number keys are Lua doubles; Python's cross-type numeric hashing
+    (1 == 1.0) gives Lua's t[1] ≡ t[1.0] for free."""
+
+    __slots__ = ("hash", "metatable")
+
+    def __init__(self):
+        self.hash: dict = {}
+        self.metatable: LuaTable | None = None
+
+    # raw ops ----------------------------------------------------------
+    def rawget(self, key):
+        if key is None:
+            return None
+        if isinstance(key, float) and key.is_integer():
+            key = int(key)
+        return self.hash.get(key)
+
+    def rawset(self, key, value):
+        if key is None:
+            raise LuaError("table index is nil")
+        if isinstance(key, float):
+            if math.isnan(key):
+                raise LuaError("table index is NaN")
+            if key.is_integer():
+                key = int(key)
+        if value is None:
+            self.hash.pop(key, None)
+        else:
+            self.hash[key] = value
+
+    def length(self) -> float:
+        """# operator: a border of the array part (dense 1..n length)."""
+        n = 0
+        h = self.hash
+        while (n + 1) in h:
+            n += 1
+        return float(n)
+
+    def next_key(self, key):
+        """next(t, key) → (k, v) or None. Insertion-ordered traversal."""
+        keys = list(self.hash.keys())
+        if key is None:
+            idx = 0
+        else:
+            if isinstance(key, float) and key.is_integer():
+                key = int(key)
+            try:
+                idx = keys.index(key) + 1
+            except ValueError:
+                raise LuaError("invalid key to 'next'")
+        if idx >= len(keys):
+            return None
+        k = keys[idx]
+        return (k, self.hash[k])
+
+
+class LuaNullType:
+    """The lightuserdata NULL sentinel (flb_lua_enable_flb_null,
+    src/flb_lua.c:28-37): a truthy non-nil stand-in for msgpack nil so
+    scripts can see and keep null values. type() reports 'userdata'."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return "flb.null"
+
+
+LUA_NULL = LuaNullType()
+
+
+class LuaFunction:
+    __slots__ = ("params", "is_vararg", "block", "env", "name", "chunkname")
+
+    def __init__(self, params, is_vararg, block, env, name="?", chunkname="?"):
+        self.params = params
+        self.is_vararg = is_vararg
+        self.block = block
+        self.env = env
+        self.name = name
+        self.chunkname = chunkname
+
+
+class Env:
+    """Lexical scope: a dict of locals chained to the parent scope."""
+
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent: "Env | None" = None):
+        self.vars: dict = {}
+        self.parent = parent
+
+    def lookup(self, name: str) -> "Env | None":
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e
+            e = e.parent
+        return None
+
+
+# -- value helpers -------------------------------------------------------
+
+def lua_type_name(v) -> str:
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, LuaTable):
+        return "table"
+    if isinstance(v, LuaNullType):
+        return "userdata"
+    return "function"  # LuaFunction or python callable
+
+
+def fmt_number(v: float) -> str:
+    """Lua 5.1 tostring(number): LUAI_NUMFMT '%.14g'."""
+    if isinstance(v, int):
+        v = float(v)
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if math.isnan(v):
+        return "nan"
+    return "%.14g" % v
+
+
+def lua_tostring(v) -> str:
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, (int, float)):
+        return fmt_number(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, LuaTable):
+        return "table: 0x%012x" % (id(v) & 0xFFFFFFFFFFFF)
+    if isinstance(v, LuaNullType):
+        return "userdata: NULL"
+    return "function: 0x%012x" % (id(v) & 0xFFFFFFFFFFFF)
+
+
+def lua_tonumber(v, base=None):
+    if base is not None:
+        if not isinstance(v, str):
+            return None
+        try:
+            return float(int(v.strip(), int(base)))
+        except ValueError:
+            return None
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        s = v.strip()
+        try:
+            if s[:2].lower() == "0x" or s[:3].lower() in ("-0x", "+0x"):
+                neg = s.startswith("-")
+                s2 = s.lstrip("+-")
+                return -float(int(s2, 16)) if neg else float(int(s2, 16))
+            return float(s)
+        except (ValueError, IndexError):
+            return None
+    return None
+
+
+def is_truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+# -- the interpreter ------------------------------------------------------
+
+_ARITH_EVENT = {"+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
+                "%": "__mod", "^": "__pow"}
+
+
+class LuaRuntime:
+    """One Lua state: globals + loaded chunks. Mirrors lua_State usage in
+    plugins/filter_lua/lua.c (one state per filter instance; here one per
+    Spark python worker partition)."""
+
+    def __init__(self, stdout=None, time_fn=None):
+        from . import stdlib
+        self.globals = LuaTable()
+        self.stdout: list[str] = []  # print() capture
+        self._stdout_hook = stdout
+        self.string_lib: LuaTable | None = None
+        stdlib.install(self, time_fn=time_fn)
+
+    # -- public API ------------------------------------------------------
+    def execute(self, src: str, chunkname: str = "chunk") -> list:
+        """Load and run a chunk (≈ luaL_loadstring + lua_pcall)."""
+        from .lparser import parse
+        block = parse(src, chunkname)
+        env = Env()
+        frame = {"varargs": [], "chunkname": chunkname}
+        try:
+            self.exec_block(block, env, frame)
+        except _Return as r:
+            return r.values
+        return []
+
+    def get_global(self, name: str):
+        return self.globals.rawget(name)
+
+    def set_global(self, name: str, value):
+        self.globals.rawset(name, value)
+
+    def call(self, fn, args: list) -> list:
+        """Call a Lua or builtin function with Python-level args."""
+        return self.call_value(fn, list(args), 0)
+
+    # -- call machinery ----------------------------------------------------
+    def call_value(self, fn, args: list, line: int) -> list:
+        if isinstance(fn, LuaFunction):
+            env = Env(fn.env)
+            np = len(fn.params)
+            for i, p in enumerate(fn.params):
+                env.vars[p] = args[i] if i < len(args) else None
+            varargs = args[np:] if fn.is_vararg else []
+            frame = {"varargs": varargs, "chunkname": fn.chunkname}
+            try:
+                self.exec_block(fn.block, env, frame)
+            except _Return as r:
+                return r.values
+            return []
+        if callable(fn):
+            res = fn(self, args)
+            if res is None:
+                return []
+            if isinstance(res, list):
+                return res
+            return [res]
+        if isinstance(fn, LuaTable) and fn.metatable is not None:
+            h = fn.metatable.rawget("__call")
+            if h is not None:
+                return self.call_value(h, [fn] + args, line)
+        raise LuaError(f"attempt to call a {lua_type_name(fn)} value")
+
+    # -- table access with metatables ---------------------------------------
+    def index(self, obj, key, line=0):
+        if isinstance(obj, LuaTable):
+            v = obj.rawget(key)
+            if v is not None:
+                return v
+            mt = obj.metatable
+            if mt is None:
+                return None
+            h = mt.rawget("__index")
+            if h is None:
+                return None
+            if isinstance(h, LuaTable):
+                return self.index(h, key, line)
+            return self._first(self.call_value(h, [obj, key], line))
+        if isinstance(obj, str):
+            # strings carry a metatable with __index = string library
+            if self.string_lib is not None:
+                return self.string_lib.rawget(key)
+            return None
+        raise LuaError(f"attempt to index a {lua_type_name(obj)} value")
+
+    def setindex(self, obj, key, value, line=0):
+        if isinstance(obj, LuaTable):
+            if obj.rawget(key) is None and obj.metatable is not None:
+                h = obj.metatable.rawget("__newindex")
+                if h is not None:
+                    if isinstance(h, LuaTable):
+                        return self.setindex(h, key, value, line)
+                    self.call_value(h, [obj, key, value], line)
+                    return
+            obj.rawset(key, value)
+            return
+        raise LuaError(f"attempt to index a {lua_type_name(obj)} value")
+
+    # -- operators ---------------------------------------------------------
+    def _meta_bin(self, event, a, b, line):
+        for v in (a, b):
+            if isinstance(v, LuaTable) and v.metatable is not None:
+                h = v.metatable.rawget(event)
+                if h is not None:
+                    return self._first(self.call_value(h, [a, b], line))
+        return _NO_META
+
+    def arith(self, op, a, b, line):
+        x, y = _arith_num(a), _arith_num(b)
+        if x is not None and y is not None:
+            if op == "+":
+                return x + y
+            if op == "-":
+                return x - y
+            if op == "*":
+                return x * y
+            if op == "/":
+                if y == 0.0:
+                    if x == 0.0:
+                        return float("nan")
+                    return math.copysign(math.inf, x) * math.copysign(1.0, y)
+                return x / y
+            if op == "%":
+                if y == 0.0:
+                    return float("nan")
+                return x - math.floor(x / y) * y
+            if op == "^":
+                try:
+                    r = x ** y
+                    return float(r) if not isinstance(r, complex) else float("nan")
+                except (OverflowError, ZeroDivisionError):
+                    if x == 0.0 and y < 0:
+                        return math.inf
+                    return math.inf
+        r = self._meta_bin(_ARITH_EVENT[op], a, b, line)
+        if r is not _NO_META:
+            return r
+        bad = a if _arith_num(a) is None else b
+        raise LuaError(
+            f"attempt to perform arithmetic on a {lua_type_name(bad)} value")
+
+    def concat(self, a, b, line):
+        ok_a = isinstance(a, str) or (isinstance(a, (int, float)) and not isinstance(a, bool))
+        ok_b = isinstance(b, str) or (isinstance(b, (int, float)) and not isinstance(b, bool))
+        if ok_a and ok_b:
+            sa = a if isinstance(a, str) else fmt_number(a)
+            sb = b if isinstance(b, str) else fmt_number(b)
+            return sa + sb
+        r = self._meta_bin("__concat", a, b, line)
+        if r is not _NO_META:
+            return r
+        bad = a if not ok_a else b
+        raise LuaError(f"attempt to concatenate a {lua_type_name(bad)} value")
+
+    def eq(self, a, b, line):
+        if a is None and b is None:
+            return True
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a is b
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return float(a) == float(b)
+        if isinstance(a, str) and isinstance(b, str):
+            return a == b
+        if a is b:
+            return True
+        if isinstance(a, LuaTable) and isinstance(b, LuaTable):
+            r = self._meta_bin("__eq", a, b, line)
+            if r is not _NO_META:
+                return is_truthy(r)
+        return False
+
+    def lt(self, a, b, line):
+        if isinstance(a, (int, float)) and not isinstance(a, bool) and \
+           isinstance(b, (int, float)) and not isinstance(b, bool):
+            return float(a) < float(b)
+        if isinstance(a, str) and isinstance(b, str):
+            return a < b
+        r = self._meta_bin("__lt", a, b, line)
+        if r is not _NO_META:
+            return is_truthy(r)
+        raise LuaError(
+            f"attempt to compare {lua_type_name(a)} with {lua_type_name(b)}")
+
+    def le(self, a, b, line):
+        if isinstance(a, (int, float)) and not isinstance(a, bool) and \
+           isinstance(b, (int, float)) and not isinstance(b, bool):
+            return float(a) <= float(b)
+        if isinstance(a, str) and isinstance(b, str):
+            return a <= b
+        r = self._meta_bin("__le", a, b, line)
+        if r is not _NO_META:
+            return is_truthy(r)
+        # Lua 5.1 fallback: a <= b  ⇔  not (b < a)
+        r = self._meta_bin("__lt", b, a, line)
+        if r is not _NO_META:
+            return not is_truthy(r)
+        raise LuaError(
+            f"attempt to compare {lua_type_name(a)} with {lua_type_name(b)}")
+
+    def length_of(self, v, line):
+        if isinstance(v, str):
+            return float(len(v))
+        if isinstance(v, LuaTable):
+            if v.metatable is not None:
+                h = v.metatable.rawget("__len")
+                if h is not None:
+                    return self._first(self.call_value(h, [v], line))
+            return v.length()
+        raise LuaError(f"attempt to get length of a {lua_type_name(v)} value")
+
+    def tostring_meta(self, v) -> str:
+        if isinstance(v, LuaTable) and v.metatable is not None:
+            h = v.metatable.rawget("__tostring")
+            if h is not None:
+                return self._first(self.call_value(h, [v], 0))
+        return lua_tostring(v)
+
+    # -- statement execution -------------------------------------------------
+    def exec_block(self, block: list, env: Env, frame: dict):
+        for st in block:
+            self.exec_stmt(st, env, frame)
+
+    def exec_stmt(self, st, env: Env, frame: dict):
+        tag = st[0]
+        if tag == "callstat":
+            self.eval_multi(st[1], env, frame)
+        elif tag == "local":
+            _, names, exprs, _line = st
+            vals = self.eval_explist(exprs, env, frame, len(names))
+            for i, name in enumerate(names):
+                env.vars[name] = vals[i]
+        elif tag == "assign":
+            _, targets, exprs, line = st
+            vals = self.eval_explist(exprs, env, frame, len(targets))
+            for tgt, val in zip(targets, vals):
+                if tgt[0] == "name":
+                    name = tgt[1]
+                    scope = env.lookup(name)
+                    if scope is not None:
+                        scope.vars[name] = val
+                    else:
+                        self.globals.rawset(name, val)
+                else:  # index
+                    obj = self.eval_expr(tgt[1], env, frame)
+                    key = self.eval_expr(tgt[2], env, frame)
+                    self.setindex(obj, key, val, line)
+        elif tag == "if":
+            _, arms, elseblock = st
+            for cond, block in arms:
+                if is_truthy(self.eval_expr(cond, env, frame)):
+                    self.exec_block(block, Env(env), frame)
+                    return
+            if elseblock is not None:
+                self.exec_block(elseblock, Env(env), frame)
+        elif tag == "while":
+            _, cond, block = st
+            while is_truthy(self.eval_expr(cond, env, frame)):
+                try:
+                    self.exec_block(block, Env(env), frame)
+                except _Break:
+                    break
+        elif tag == "repeat":
+            _, block, cond = st
+            while True:
+                scope = Env(env)
+                try:
+                    # until's condition sees the loop body's locals
+                    self.exec_block(block, scope, frame)
+                except _Break:
+                    break
+                if is_truthy(self.eval_expr(cond, scope, frame)):
+                    break
+        elif tag == "fornum":
+            _, name, e_start, e_stop, e_step, block, line = st
+            start = _fornum_value(self.eval_expr(e_start, env, frame), "initial", line)
+            stop = _fornum_value(self.eval_expr(e_stop, env, frame), "limit", line)
+            step = 1.0 if e_step is None else \
+                _fornum_value(self.eval_expr(e_step, env, frame), "step", line)
+            if step == 0.0:
+                raise LuaError("'for' step is zero")
+            i = start
+            while (step > 0 and i <= stop) or (step < 0 and i >= stop):
+                scope = Env(env)
+                scope.vars[name] = i
+                try:
+                    self.exec_block(block, scope, frame)
+                except _Break:
+                    break
+                i += step
+        elif tag == "forin":
+            _, names, exprs, block, line = st
+            vals = self.eval_explist(exprs, env, frame, 3)
+            f, s, ctrl = vals[0], vals[1], vals[2]
+            while True:
+                rets = self.call_value(f, [s, ctrl], line)
+                if not rets or rets[0] is None:
+                    break
+                ctrl = rets[0]
+                scope = Env(env)
+                for i, nm in enumerate(names):
+                    scope.vars[nm] = rets[i] if i < len(rets) else None
+                try:
+                    self.exec_block(block, scope, frame)
+                except _Break:
+                    break
+        elif tag == "do":
+            self.exec_block(st[1], Env(env), frame)
+        elif tag == "localfunc":
+            _, name, fnexpr, _line = st
+            env.vars[name] = None  # visible to its own body (recursion)
+            fn = self.eval_expr(fnexpr, env, frame)
+            fn.name = name
+            env.vars[name] = fn
+        elif tag == "return":
+            raise _Return(self.eval_explist(st[1], env, frame, -1))
+        elif tag == "break":
+            raise _Break()
+        else:  # pragma: no cover
+            raise LuaError(f"unknown statement {tag}")
+
+    # -- expression evaluation -------------------------------------------------
+    def eval_explist(self, exprs: list, env: Env, frame: dict, want: int) -> list:
+        """Evaluate an expression list with Lua adjustment rules: every
+        position truncates to one value except the last, which expands.
+        want=-1 returns all values."""
+        vals: list = []
+        for i, e in enumerate(exprs):
+            if i == len(exprs) - 1:
+                vals.extend(self.eval_multi(e, env, frame))
+            else:
+                vals.append(self.eval_expr(e, env, frame))
+        if want >= 0:
+            while len(vals) < want:
+                vals.append(None)
+            del vals[want:]
+        return vals
+
+    def eval_multi(self, e, env: Env, frame: dict) -> list:
+        """Evaluate an expression keeping multiple values (calls, ...)."""
+        tag = e[0]
+        if tag == "call":
+            fn = self.eval_expr(e[1], env, frame)
+            args = self.eval_explist(e[2], env, frame, -1)
+            return self.call_value(fn, args, e[3])
+        if tag == "method":
+            obj = self.eval_expr(e[1], env, frame)
+            fn = self.index(obj, e[2], e[4])
+            args = [obj] + self.eval_explist(e[3], env, frame, -1)
+            return self.call_value(fn, args, e[4])
+        if tag == "vararg":
+            return list(frame["varargs"])
+        return [self.eval_expr(e, env, frame)]
+
+    def eval_expr(self, e, env: Env, frame: dict):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "str":
+            return e[1]
+        if tag == "nil":
+            return None
+        if tag == "true":
+            return True
+        if tag == "false":
+            return False
+        if tag == "name":
+            name = e[1]
+            scope = env.lookup(name)
+            if scope is not None:
+                return scope.vars[name]
+            return self.globals.rawget(name)
+        if tag == "index":
+            obj = self.eval_expr(e[1], env, frame)
+            key = self.eval_expr(e[2], env, frame)
+            return self.index(obj, key, e[3])
+        if tag in ("call", "method", "vararg"):
+            return self._first(self.eval_multi(e, env, frame))
+        if tag == "paren":
+            return self.eval_expr(e[1], env, frame)
+        if tag == "and":
+            v = self.eval_expr(e[1], env, frame)
+            if not is_truthy(v):
+                return v
+            return self.eval_expr(e[2], env, frame)
+        if tag == "or":
+            v = self.eval_expr(e[1], env, frame)
+            if is_truthy(v):
+                return v
+            return self.eval_expr(e[2], env, frame)
+        if tag == "binop":
+            _, op, le, re_, line = e
+            a = self.eval_expr(le, env, frame)
+            b = self.eval_expr(re_, env, frame)
+            if op in _ARITH_EVENT:
+                return self.arith(op, a, b, line)
+            if op == "..":
+                return self.concat(a, b, line)
+            if op == "==":
+                return self.eq(a, b, line)
+            if op == "~=":
+                return not self.eq(a, b, line)
+            if op == "<":
+                return self.lt(a, b, line)
+            if op == ">":
+                return self.lt(b, a, line)
+            if op == "<=":
+                return self.le(a, b, line)
+            if op == ">=":
+                return self.le(b, a, line)
+            raise LuaError(f"unknown operator {op}")  # pragma: no cover
+        if tag == "unop":
+            _, op, operand, line = e
+            v = self.eval_expr(operand, env, frame)
+            if op == "-":
+                x = _arith_num(v)
+                if x is not None:
+                    return -x
+                if isinstance(v, LuaTable) and v.metatable is not None:
+                    h = v.metatable.rawget("__unm")
+                    if h is not None:
+                        return self._first(self.call_value(h, [v, v], line))
+                raise LuaError(
+                    f"attempt to perform arithmetic on a {lua_type_name(v)} value")
+            if op == "not":
+                return not is_truthy(v)
+            if op == "#":
+                return self.length_of(v, line)
+            raise LuaError(f"unknown operator {op}")  # pragma: no cover
+        if tag == "func":
+            _, params, is_vararg, block, line = e
+            return LuaFunction(params, is_vararg, block, env,
+                               chunkname=frame["chunkname"])
+        if tag == "table":
+            _, array, hash_, line = e
+            t = LuaTable()
+            n = 0
+            for i, item in enumerate(array):
+                if i == len(array) - 1:
+                    for v in self.eval_multi(item, env, frame):
+                        n += 1
+                        t.rawset(float(n), v)
+                else:
+                    n += 1
+                    t.rawset(float(n), self.eval_expr(item, env, frame))
+            for kexpr, vexpr in hash_:
+                k = self.eval_expr(kexpr, env, frame)
+                v = self.eval_expr(vexpr, env, frame)
+                t.rawset(k, v)
+            return t
+        raise LuaError(f"unknown expression {tag}")  # pragma: no cover
+
+    @staticmethod
+    def _first(vals: list):
+        return vals[0] if vals else None
+
+
+class _NoMeta:
+    pass
+
+
+_NO_META = _NoMeta()
+
+
+def _arith_num(v):
+    """Arithmetic coercion: numbers, or strings convertible to number."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return lua_tonumber(v)
+    return None
+
+
+def _fornum_value(v, which: str, line: int) -> float:
+    x = _arith_num(v)
+    if x is None:
+        raise LuaError(f"'for' {which} value must be a number")
+    return x

@@ -1,0 +1,212 @@
+"""Lua 5.1 lexer.
+
+Token stream for the recursive-descent parser. Covers the full 5.1
+lexical grammar (Lua reference manual §2.1; the reference embeds LuaJIT
+whose lexer is lj_lex.c): names, keywords, short strings with escapes,
+long strings/comments with ``[=*[`` levels, decimal/hex/exponent
+numbers, and all operators including ``..`` / ``...``.
+"""
+
+from __future__ import annotations
+
+KEYWORDS = {
+    "and", "break", "do", "else", "elseif", "end", "false", "for",
+    "function", "if", "in", "local", "nil", "not", "or", "repeat",
+    "return", "then", "true", "until", "while",
+}
+
+# multi-char operators first (longest match wins)
+_OPS3 = ("...",)
+_OPS2 = ("==", "~=", "<=", ">=", "..")
+_OPS1 = "+-*/%^#<>=(){}[];:,."
+
+
+class Token:
+    __slots__ = ("kind", "value", "line")
+
+    def __init__(self, kind: str, value, line: int):
+        self.kind = kind  # 'name' | 'number' | 'string' | 'op' | 'keyword' | 'eof'
+        self.value = value
+        self.line = line
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Token({self.kind},{self.value!r},l{self.line})"
+
+
+class LuaSyntaxError(SyntaxError):
+    pass
+
+
+_ESCAPES = {
+    "a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
+    "t": "\t", "v": "\v", "\\": "\\", '"': '"', "'": "'", "\n": "\n",
+}
+
+
+def _long_bracket_level(src: str, i: int) -> int:
+    """If src[i:] opens a long bracket '['=*'[', return the level, else -1."""
+    if i >= len(src) or src[i] != "[":
+        return -1
+    j = i + 1
+    while j < len(src) and src[j] == "=":
+        j += 1
+    if j < len(src) and src[j] == "[":
+        return j - i - 1
+    return -1
+
+
+def tokenize(src: str, chunkname: str = "?") -> list[Token]:
+    toks: list[Token] = []
+    i, n, line = 0, len(src), 1
+
+    def err(msg: str):
+        raise LuaSyntaxError(f"{chunkname}:{line}: {msg}")
+
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        # comments
+        if src.startswith("--", i):
+            lvl = _long_bracket_level(src, i + 2)
+            if lvl >= 0:
+                close = "]" + "=" * lvl + "]"
+                end = src.find(close, i + 2)
+                if end < 0:
+                    err("unfinished long comment")
+                line += src.count("\n", i, end)
+                i = end + len(close)
+            else:
+                end = src.find("\n", i)
+                i = n if end < 0 else end
+            continue
+        # long string
+        lvl = _long_bracket_level(src, i)
+        if lvl >= 0:
+            open_len = lvl + 2
+            close = "]" + "=" * lvl + "]"
+            start = i + open_len
+            # a newline immediately after the opening bracket is skipped
+            if start < n and src[start] == "\n":
+                line += 1
+                start += 1
+            end = src.find(close, start)
+            if end < 0:
+                err("unfinished long string")
+            body = src[start:end]
+            line += body.count("\n")
+            toks.append(Token("string", body, line))
+            i = end + len(close)
+            continue
+        # short string
+        if c in "'\"":
+            quote = c
+            i += 1
+            buf: list[str] = []
+            start_line = line
+            while True:
+                if i >= n:
+                    line = start_line
+                    err("unfinished string")
+                ch = src[i]
+                if ch == quote:
+                    i += 1
+                    break
+                if ch == "\n":
+                    err("unfinished string")
+                if ch == "\\":
+                    i += 1
+                    if i >= n:
+                        err("unfinished string")
+                    e = src[i]
+                    if e in _ESCAPES:
+                        buf.append(_ESCAPES[e])
+                        if e == "\n":
+                            line += 1
+                        i += 1
+                    elif e.isdigit():  # \ddd (up to 3 digits)
+                        j = i
+                        while j < n and j < i + 3 and src[j].isdigit():
+                            j += 1
+                        code = int(src[i:j])
+                        if code > 255:
+                            err("decimal escape too large")
+                        buf.append(chr(code))
+                        i = j
+                    elif e == "x":  # LuaJIT extension \xXX
+                        hx = src[i + 1:i + 3]
+                        if len(hx) < 2:
+                            err("hexadecimal digit expected")
+                        buf.append(chr(int(hx, 16)))
+                        i += 3
+                    else:
+                        err(f"invalid escape sequence '\\{e}'")
+                else:
+                    buf.append(ch)
+                    i += 1
+            toks.append(Token("string", "".join(buf), start_line))
+            continue
+        # number
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            if src.startswith("0x", i) or src.startswith("0X", i):
+                j = i + 2
+                while j < n and (src[j] in "0123456789abcdefABCDEF"):
+                    j += 1
+                val = float(int(src[i + 2:j], 16))
+            else:
+                while j < n and src[j].isdigit():
+                    j += 1
+                if j < n and src[j] == ".":
+                    j += 1
+                    while j < n and src[j].isdigit():
+                        j += 1
+                if j < n and src[j] in "eE":
+                    k = j + 1
+                    if k < n and src[k] in "+-":
+                        k += 1
+                    if k < n and src[k].isdigit():
+                        j = k
+                        while j < n and src[j].isdigit():
+                            j += 1
+                try:
+                    val = float(src[i:j])
+                except ValueError:
+                    err(f"malformed number near '{src[i:j]}'")
+            if j < n and (src[j].isalpha() or src[j] == "_"):
+                err(f"malformed number near '{src[i:j + 1]}'")
+            toks.append(Token("number", val, line))
+            i = j
+            continue
+        # name / keyword
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (src[j].isalnum() or src[j] == "_"):
+                j += 1
+            word = src[i:j]
+            toks.append(Token("keyword" if word in KEYWORDS else "name", word, line))
+            i = j
+            continue
+        # operators
+        if src.startswith(_OPS3, i):
+            toks.append(Token("op", src[i:i + 3], line))
+            i += 3
+            continue
+        two = src[i:i + 2]
+        if two in _OPS2:
+            toks.append(Token("op", two, line))
+            i += 2
+            continue
+        if c in _OPS1:
+            toks.append(Token("op", c, line))
+            i += 1
+            continue
+        err(f"unexpected symbol near '{c}'")
+
+    toks.append(Token("eof", None, line))
+    return toks

@@ -1,0 +1,411 @@
+"""Lua 5.1 recursive-descent parser → tuple AST.
+
+Grammar follows the Lua 5.1 reference manual §8 (complete syntax).
+AST nodes are plain tuples tagged by their first element — cheap to
+build and to dispatch on in the tree-walking evaluator.
+
+Expression nodes:
+  ('nil',) ('true',) ('false',) ('num', float) ('str', str)
+  ('vararg', line) ('name', name, line) ('index', obj, key, line)
+  ('call', fnexpr, [args], line) ('method', objexpr, name, [args], line)
+  ('func', [params], is_vararg, block, line)
+  ('table', [array_exprs], [(kexpr, vexpr)], line)
+  ('binop', op, l, r, line) ('unop', op, e, line)
+  ('and', l, r) ('or', l, r) ('paren', e)
+
+Statement nodes:
+  ('local', [names], [exprs], line) ('assign', [targets], [exprs], line)
+  ('callstat', callexpr, line) ('do', block)
+  ('while', cond, block) ('repeat', block, cond)
+  ('if', [(cond, block), ...], elseblock_or_None)
+  ('fornum', name, start, stop, step_or_None, block, line)
+  ('forin', [names], [exprs], block, line)
+  ('localfunc', name, funcexpr, line)
+  ('return', [exprs], line) ('break', line)
+"""
+
+from __future__ import annotations
+
+from .lexer import LuaSyntaxError, Token, tokenize
+
+# binary operator precedence: (left, right); right > left ⇒ right-assoc
+_BINPRI = {
+    "or": (1, 1), "and": (2, 2),
+    "<": (3, 3), ">": (3, 3), "<=": (3, 3), ">=": (3, 3),
+    "~=": (3, 3), "==": (3, 3),
+    "..": (9, 8),  # right assoc
+    "+": (10, 10), "-": (10, 10),
+    "*": (11, 11), "/": (11, 11), "%": (11, 11),
+    "^": (14, 13),  # right assoc
+}
+_UNARY_PRI = 12
+
+_BLOCK_END = {"end", "else", "elseif", "until"}
+
+
+class Parser:
+    def __init__(self, src: str, chunkname: str = "?"):
+        self.toks: list[Token] = tokenize(src, chunkname)
+        self.pos = 0
+        self.chunkname = chunkname
+
+    # -- token helpers -------------------------------------------------
+    def peek(self) -> Token:
+        return self.toks[self.pos]
+
+    def next(self) -> Token:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def check(self, kind: str, value=None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (value is None or t.value == value)
+
+    def accept(self, kind: str, value=None) -> Token | None:
+        if self.check(kind, value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value=None) -> Token:
+        t = self.peek()
+        if t.kind != kind or (value is not None and t.value != value):
+            want = value if value is not None else kind
+            got = t.value if t.value is not None else t.kind
+            raise LuaSyntaxError(
+                f"{self.chunkname}:{t.line}: '{want}' expected near '{got}'")
+        return self.next()
+
+    def err(self, msg: str):
+        t = self.peek()
+        raise LuaSyntaxError(f"{self.chunkname}:{t.line}: {msg}")
+
+    # -- entry ---------------------------------------------------------
+    def parse_chunk(self) -> list:
+        block = self.parse_block()
+        if not self.check("eof"):
+            self.err(f"'<eof>' expected near '{self.peek().value}'")
+        return block
+
+    # -- blocks & statements --------------------------------------------
+    def parse_block(self) -> list:
+        stmts: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "eof" or (t.kind == "keyword" and t.value in _BLOCK_END):
+                break
+            if t.kind == "keyword" and t.value == "return":
+                stmts.append(self.parse_return())
+                self.accept("op", ";")
+                break
+            if t.kind == "keyword" and t.value == "break":
+                self.next()
+                stmts.append(("break", t.line))
+                self.accept("op", ";")
+                break
+            st = self.parse_statement()
+            if st is not None:
+                stmts.append(st)
+        return stmts
+
+    def parse_return(self):
+        line = self.expect("keyword", "return").line
+        t = self.peek()
+        if (t.kind == "eof" or (t.kind == "keyword" and t.value in _BLOCK_END)
+                or (t.kind == "op" and t.value == ";")):
+            return ("return", [], line)
+        return ("return", self.parse_explist(), line)
+
+    def parse_statement(self):
+        t = self.peek()
+        if t.kind == "op" and t.value == ";":
+            self.next()
+            return None
+        if t.kind == "keyword":
+            kw = t.value
+            if kw == "do":
+                self.next()
+                block = self.parse_block()
+                self.expect("keyword", "end")
+                return ("do", block)
+            if kw == "while":
+                self.next()
+                cond = self.parse_expr()
+                self.expect("keyword", "do")
+                block = self.parse_block()
+                self.expect("keyword", "end")
+                return ("while", cond, block)
+            if kw == "repeat":
+                self.next()
+                block = self.parse_block()
+                self.expect("keyword", "until")
+                cond = self.parse_expr()
+                return ("repeat", block, cond)
+            if kw == "if":
+                return self.parse_if()
+            if kw == "for":
+                return self.parse_for()
+            if kw == "function":
+                return self.parse_funcstat()
+            if kw == "local":
+                return self.parse_local()
+            self.err(f"unexpected symbol near '{kw}'")
+        # expression statement: assignment or call
+        return self.parse_exprstat()
+
+    def parse_if(self):
+        self.expect("keyword", "if")
+        arms = []
+        cond = self.parse_expr()
+        self.expect("keyword", "then")
+        arms.append((cond, self.parse_block()))
+        elseblock = None
+        while True:
+            t = self.peek()
+            if t.kind == "keyword" and t.value == "elseif":
+                self.next()
+                c = self.parse_expr()
+                self.expect("keyword", "then")
+                arms.append((c, self.parse_block()))
+            elif t.kind == "keyword" and t.value == "else":
+                self.next()
+                elseblock = self.parse_block()
+                self.expect("keyword", "end")
+                break
+            else:
+                self.expect("keyword", "end")
+                break
+        return ("if", arms, elseblock)
+
+    def parse_for(self):
+        line = self.expect("keyword", "for").line
+        name1 = self.expect("name").value
+        if self.accept("op", "="):
+            start = self.parse_expr()
+            self.expect("op", ",")
+            stop = self.parse_expr()
+            step = self.parse_expr() if self.accept("op", ",") else None
+            self.expect("keyword", "do")
+            block = self.parse_block()
+            self.expect("keyword", "end")
+            return ("fornum", name1, start, stop, step, block, line)
+        names = [name1]
+        while self.accept("op", ","):
+            names.append(self.expect("name").value)
+        self.expect("keyword", "in")
+        exprs = self.parse_explist()
+        self.expect("keyword", "do")
+        block = self.parse_block()
+        self.expect("keyword", "end")
+        return ("forin", names, exprs, block, line)
+
+    def parse_funcstat(self):
+        line = self.expect("keyword", "function").line
+        # funcname ::= Name {'.' Name} [':' Name]
+        target = ("name", self.expect("name").value, line)
+        is_method = False
+        while True:
+            if self.accept("op", "."):
+                target = ("index", target, ("str", self.expect("name").value), line)
+            elif self.accept("op", ":"):
+                target = ("index", target, ("str", self.expect("name").value), line)
+                is_method = True
+                break
+            else:
+                break
+        fn = self.parse_funcbody(line, is_method)
+        return ("assign", [target], [fn], line)
+
+    def parse_local(self):
+        line = self.expect("keyword", "local").line
+        if self.accept("keyword", "function"):
+            name = self.expect("name").value
+            fn = self.parse_funcbody(line, False)
+            return ("localfunc", name, fn, line)
+        names = [self.expect("name").value]
+        while self.accept("op", ","):
+            names.append(self.expect("name").value)
+        exprs = self.parse_explist() if self.accept("op", "=") else []
+        return ("local", names, exprs, line)
+
+    def parse_funcbody(self, line: int, is_method: bool):
+        self.expect("op", "(")
+        params: list[str] = ["self"] if is_method else []
+        is_vararg = False
+        if not self.check("op", ")"):
+            while True:
+                if self.accept("op", "..."):
+                    is_vararg = True
+                    break
+                params.append(self.expect("name").value)
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        block = self.parse_block()
+        self.expect("keyword", "end")
+        return ("func", params, is_vararg, block, line)
+
+    def parse_exprstat(self):
+        line = self.peek().line
+        e = self.parse_suffixedexp()
+        if self.check("op", "=") or self.check("op", ","):
+            targets = [e]
+            while self.accept("op", ","):
+                targets.append(self.parse_suffixedexp())
+            self.expect("op", "=")
+            exprs = self.parse_explist()
+            for tgt in targets:
+                if tgt[0] not in ("name", "index"):
+                    self.err("cannot assign to this expression")
+            return ("assign", targets, exprs, line)
+        if e[0] not in ("call", "method"):
+            self.err("syntax error (expression is not a statement)")
+        return ("callstat", e, line)
+
+    # -- expressions -----------------------------------------------------
+    def parse_explist(self) -> list:
+        exprs = [self.parse_expr()]
+        while self.accept("op", ","):
+            exprs.append(self.parse_expr())
+        return exprs
+
+    def parse_expr(self, limit: int = 0):
+        t = self.peek()
+        # unary
+        if (t.kind == "op" and t.value in ("-", "#")) or \
+           (t.kind == "keyword" and t.value == "not"):
+            op = t.value
+            self.next()
+            operand = self.parse_expr(_UNARY_PRI)
+            e = ("unop", op, operand, t.line)
+        else:
+            e = self.parse_simpleexp()
+        # binary loop
+        while True:
+            t = self.peek()
+            op = None
+            if t.kind == "op" and t.value in _BINPRI:
+                op = t.value
+            elif t.kind == "keyword" and t.value in ("and", "or"):
+                op = t.value
+            if op is None:
+                break
+            left_pri, right_pri = _BINPRI[op]
+            if left_pri <= limit:
+                break
+            self.next()
+            rhs = self.parse_expr(right_pri)
+            if op == "and":
+                e = ("and", e, rhs)
+            elif op == "or":
+                e = ("or", e, rhs)
+            else:
+                e = ("binop", op, e, rhs, t.line)
+        return e
+
+    def parse_simpleexp(self):
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            return ("num", t.value)
+        if t.kind == "string":
+            self.next()
+            return ("str", t.value)
+        if t.kind == "keyword":
+            if t.value == "nil":
+                self.next()
+                return ("nil",)
+            if t.value == "true":
+                self.next()
+                return ("true",)
+            if t.value == "false":
+                self.next()
+                return ("false",)
+            if t.value == "function":
+                self.next()
+                return self.parse_funcbody(t.line, False)
+        if t.kind == "op":
+            if t.value == "...":
+                self.next()
+                return ("vararg", t.line)
+            if t.value == "{":
+                return self.parse_table()
+        return self.parse_suffixedexp()
+
+    def parse_primaryexp(self):
+        t = self.peek()
+        if t.kind == "name":
+            self.next()
+            return ("name", t.value, t.line)
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return ("paren", e)
+        self.err(f"unexpected symbol near '{t.value if t.value is not None else t.kind}'")
+
+    def parse_suffixedexp(self):
+        e = self.parse_primaryexp()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value == ".":
+                self.next()
+                name = self.expect("name").value
+                e = ("index", e, ("str", name), t.line)
+            elif t.kind == "op" and t.value == "[":
+                self.next()
+                k = self.parse_expr()
+                self.expect("op", "]")
+                e = ("index", e, k, t.line)
+            elif t.kind == "op" and t.value == ":":
+                self.next()
+                name = self.expect("name").value
+                args = self.parse_args()
+                e = ("method", e, name, args, t.line)
+            elif (t.kind == "op" and t.value in ("(", "{")) or t.kind == "string":
+                args = self.parse_args()
+                e = ("call", e, args, t.line)
+            else:
+                return e
+
+    def parse_args(self) -> list:
+        t = self.peek()
+        if t.kind == "string":
+            self.next()
+            return [("str", t.value)]
+        if t.kind == "op" and t.value == "{":
+            return [self.parse_table()]
+        self.expect("op", "(")
+        if self.accept("op", ")"):
+            return []
+        args = self.parse_explist()
+        self.expect("op", ")")
+        return args
+
+    def parse_table(self):
+        line = self.expect("op", "{").line
+        array: list = []
+        hash_: list = []
+        while not self.check("op", "}"):
+            t = self.peek()
+            if t.kind == "op" and t.value == "[":
+                self.next()
+                k = self.parse_expr()
+                self.expect("op", "]")
+                self.expect("op", "=")
+                hash_.append((k, self.parse_expr()))
+            elif t.kind == "name" and self.toks[self.pos + 1].kind == "op" \
+                    and self.toks[self.pos + 1].value == "=":
+                self.next()
+                self.next()
+                hash_.append((("str", t.value), self.parse_expr()))
+            else:
+                array.append(self.parse_expr())
+            if not (self.accept("op", ",") or self.accept("op", ";")):
+                break
+        self.expect("op", "}")
+        return ("table", array, hash_, line)
+
+
+def parse(src: str, chunkname: str = "?") -> list:
+    return Parser(src, chunkname).parse_chunk()

@@ -1,0 +1,411 @@
+"""Lua 5.1 pattern matching (string.find/match/gmatch/gsub backend).
+
+A faithful backtracking matcher for Lua patterns (reference manual
+§5.4.1; lstrlib.c in PUC Lua / lj_lib str in LuaJIT): character classes
+%a %c %d %l %p %s %u %w %x %z and complements, sets [..] with ranges
+and classes, quantifiers * + - ?, anchors, captures including position
+captures, back-references %1-%9, %b balanced match and %f frontier.
+
+Operates on str (Lua strings here are Python str; the filter path
+decodes utf-8 with replacement before scripts see text, matching the
+engine's make_valid_utf8 convention).
+"""
+
+from __future__ import annotations
+
+from .interp import LuaError
+
+MAXCAPTURES = 32
+_CAP_POSITION = -2  # position capture marker
+_CAP_UNFINISHED = -1
+
+
+def _class_match(c: str, cl: str) -> bool:
+    if cl.isalpha():
+        lower = cl.lower()
+        if lower == "a":
+            res = c.isalpha()
+        elif lower == "c":
+            res = ord(c) < 32 or ord(c) == 127
+        elif lower == "d":
+            res = c.isdigit()
+        elif lower == "l":
+            res = c.islower()
+        elif lower == "p":
+            o = ord(c)
+            res = (33 <= o <= 47) or (58 <= o <= 64) or (91 <= o <= 96) or (123 <= o <= 126)
+        elif lower == "s":
+            res = c in " \t\n\r\f\v"
+        elif lower == "u":
+            res = c.isupper()
+        elif lower == "w":
+            res = c.isalnum()
+        elif lower == "x":
+            res = c in "0123456789abcdefABCDEF"
+        else:
+            return c == cl
+        return res if cl.islower() else not res
+    if cl == "z":  # deprecated alias for \0 (kept: 5.1)
+        return c == "\0"
+    if cl == "Z":
+        return c != "\0"
+    return c == cl
+
+
+class _MatchState:
+    __slots__ = ("src", "pat", "caps")
+
+    def __init__(self, src: str, pat: str):
+        self.src = src
+        self.pat = pat
+        self.caps: list[list] = []  # [start, len] (len=-2 ⇒ position capture)
+
+
+def _classend(ms: _MatchState, p: int) -> int:
+    """Index just past the single-char class starting at pat[p]."""
+    pat = ms.pat
+    c = pat[p]
+    p += 1
+    if c == "%":
+        if p >= len(pat):
+            raise LuaError("malformed pattern (ends with '%')")
+        return p + 1
+    if c == "[":
+        # lstrlib.c classEnd: optional '^', then a do-while that always
+        # consumes one char (two for %x) BEFORE testing for ']' — so a
+        # ']' immediately after '[' or '[^' is a literal set member.
+        if p < len(pat) and pat[p] == "^":
+            p += 1
+        while True:
+            if p >= len(pat):
+                raise LuaError("malformed pattern (missing ']')")
+            ch = pat[p]
+            p += 1
+            if ch == "%":
+                if p >= len(pat):
+                    raise LuaError("malformed pattern (ends with '%')")
+                p += 1
+            if p < len(pat) and pat[p] == "]":
+                return p + 1
+    return p
+
+
+def _match_set(c: str, pat: str, p: int, ep: int) -> bool:
+    """c against set pat[p:ep], where pat[p]=='[' and pat[ep-1]==']'."""
+    p += 1
+    negate = False
+    if p < ep and pat[p] == "^":
+        negate = True
+        p += 1
+    found = False
+    while p < ep - 1:  # ep-1 is the closing ']'
+        if pat[p] == "%" and p + 1 < ep - 1:
+            p += 1
+            if _class_match(c, pat[p]):
+                found = True
+            p += 1
+        elif p + 2 < ep - 1 and pat[p + 1] == "-":
+            if pat[p] <= c <= pat[p + 2]:
+                found = True
+            p += 3
+        else:
+            if pat[p] == c:
+                found = True
+            p += 1
+    return found != negate
+
+
+def _single_match(ms: _MatchState, s: int, p: int, ep: int) -> bool:
+    if s >= len(ms.src):
+        return False
+    c = ms.src[s]
+    pc = ms.pat[p]
+    if pc == ".":
+        return True
+    if pc == "%":
+        return _class_match(c, ms.pat[p + 1])
+    if pc == "[":
+        return _match_set(c, ms.pat, p, ep)
+    return pc == c
+
+
+def _match_balance(ms: _MatchState, s: int, p: int) -> int:
+    if p + 1 >= len(ms.pat):
+        raise LuaError("missing arguments to '%b'")
+    if s >= len(ms.src) or ms.src[s] != ms.pat[p]:
+        return -1
+    b, e = ms.pat[p], ms.pat[p + 1]
+    cont = 1
+    i = s + 1
+    while i < len(ms.src):
+        if ms.src[i] == e:
+            cont -= 1
+            if cont == 0:
+                return i + 1
+        elif ms.src[i] == b:
+            cont += 1
+        i += 1
+    return -1
+
+
+def _match_capture(ms: _MatchState, s: int, idx: int) -> int:
+    idx -= 1
+    if idx < 0 or idx >= len(ms.caps) or ms.caps[idx][1] == _CAP_UNFINISHED:
+        raise LuaError(f"invalid capture index %{idx + 1}")
+    start, length = ms.caps[idx]
+    cap = ms.src[start:start + length]
+    if ms.src.startswith(cap, s):
+        return s + len(cap)
+    return -1
+
+
+def _match(ms: _MatchState, s: int, p: int) -> int:
+    """Try to match pat[p:] at src[s:]; return end index or -1."""
+    pat, src = ms.pat, ms.src
+    while True:
+        if p >= len(pat):
+            return s
+        c = pat[p]
+        if c == "(":
+            if p + 1 < len(pat) and pat[p + 1] == ")":  # position capture
+                ms.caps.append([s, _CAP_POSITION])
+                r = _match(ms, s, p + 2)
+                if r < 0:
+                    ms.caps.pop()
+                return r
+            ms.caps.append([s, _CAP_UNFINISHED])
+            r = _match(ms, s, p + 1)
+            if r < 0:
+                ms.caps.pop()
+            return r
+        if c == ")":
+            for i in range(len(ms.caps) - 1, -1, -1):
+                if ms.caps[i][1] == _CAP_UNFINISHED:
+                    ms.caps[i][1] = s - ms.caps[i][0]
+                    r = _match(ms, s, p + 1)
+                    if r < 0:
+                        ms.caps[i][1] = _CAP_UNFINISHED
+                    return r
+            raise LuaError("invalid pattern capture")
+        if c == "$" and p + 1 == len(pat):
+            return s if s == len(src) else -1
+        if c == "%":
+            nxt = pat[p + 1] if p + 1 < len(pat) else ""
+            if nxt == "b":
+                r = _match_balance(ms, s, p + 2)
+                if r < 0:
+                    return -1
+                s = r
+                p += 4
+                continue
+            if nxt == "f":
+                p += 2
+                if p >= len(pat) or pat[p] != "[":
+                    raise LuaError("missing '[' after '%f' in pattern")
+                ep = _classend(ms, p)
+                prev = src[s - 1] if s > 0 else "\0"
+                cur = src[s] if s < len(src) else "\0"
+                if (not _match_set(prev, pat, p, ep)) and _match_set(cur, pat, p, ep):
+                    p = ep
+                    continue
+                return -1
+            if nxt.isdigit():
+                r = _match_capture(ms, s, int(nxt))
+                if r < 0:
+                    return -1
+                s = r
+                p += 2
+                continue
+        # default: single-char class possibly followed by a quantifier
+        ep = _classend(ms, p)
+        quant = pat[ep] if ep < len(pat) else ""
+        if quant == "?":
+            if _single_match(ms, s, p, ep):
+                r = _match(ms, s + 1, ep + 1)
+                if r >= 0:
+                    return r
+            p = ep + 1
+            continue
+        if quant == "+":
+            if not _single_match(ms, s, p, ep):
+                return -1
+            s += 1
+            # fall through to max-expand
+            count = 0
+            while _single_match(ms, s + count, p, ep):
+                count += 1
+            while count >= 0:
+                r = _match(ms, s + count, ep + 1)
+                if r >= 0:
+                    return r
+                count -= 1
+            return -1
+        if quant == "*":
+            count = 0
+            while _single_match(ms, s + count, p, ep):
+                count += 1
+            while count >= 0:
+                r = _match(ms, s + count, ep + 1)
+                if r >= 0:
+                    return r
+                count -= 1
+            return -1
+        if quant == "-":
+            while True:
+                r = _match(ms, s, ep + 1)
+                if r >= 0:
+                    return r
+                if _single_match(ms, s, p, ep):
+                    s += 1
+                else:
+                    return -1
+        if not _single_match(ms, s, p, ep):
+            return -1
+        s += 1
+        p = ep
+
+
+def _captures(ms: _MatchState, s: int, e: int, whole_if_none=True) -> list:
+    """Extract capture values; Lua position captures are 1-based ints."""
+    if not ms.caps:
+        return [ms.src[s:e]] if whole_if_none else []
+    out = []
+    for start, length in ms.caps:
+        if length == _CAP_POSITION:
+            out.append(float(start + 1))
+        elif length == _CAP_UNFINISHED:
+            raise LuaError("unfinished capture")
+        else:
+            out.append(ms.src[start:start + length])
+    return out
+
+
+def str_find_aux(src: str, pat: str, init: int, plain: bool, want_find: bool):
+    """Shared engine for string.find (want_find) / string.match.
+
+    init is a 1-based Lua index (may be negative). Returns None or, for
+    find: [start1based, end1based, *captures]; for match: [*captures or
+    whole]."""
+    ls = len(src)
+    if init < 0:
+        init = ls + init + 1
+        if init < 1:
+            init = 1
+    elif init == 0:
+        init = 1
+    if init > ls + 1:
+        return None
+    s0 = init - 1
+    if want_find and plain:
+        idx = src.find(pat, s0)
+        if idx < 0:
+            return None
+        return [float(idx + 1), float(idx + len(pat))]
+    anchored = pat.startswith("^")
+    p0 = 1 if anchored else 0
+    s = s0
+    while True:
+        ms = _MatchState(src, pat)
+        e = _match(ms, s, p0)
+        if e >= 0:
+            if want_find:
+                return [float(s + 1), float(e)] + _captures(ms, s, e, whole_if_none=False)
+            return _captures(ms, s, e)
+        s += 1
+        if anchored or s > ls:
+            return None
+
+
+def gmatch_iter(src: str, pat: str):
+    """Generator of capture lists for string.gmatch."""
+    s = 0
+    ls = len(src)
+    anchored = pat.startswith("^")  # 5.1: '^' in gmatch matches literally? (it anchors each try; PUC allows it)
+    p0 = 1 if anchored else 0
+    while s <= ls:
+        ms = _MatchState(src, pat)
+        e = _match(ms, s, p0)
+        if e >= 0:
+            yield _captures(ms, s, e)
+            s = e + 1 if e == s else e
+        else:
+            s += 1
+        if anchored:
+            return
+
+
+def gsub(runtime, src: str, pat: str, repl, max_n) -> tuple[str, int]:
+    """string.gsub backend. repl: string | table | function."""
+    from .interp import LuaTable, fmt_number, lua_tostring, lua_type_name
+
+    anchored = pat.startswith("^")
+    p0 = 1 if anchored else 0
+    out: list[str] = []
+    s = 0
+    count = 0
+    ls = len(src)
+    while s <= ls and (max_n is None or count < max_n):
+        ms = _MatchState(src, pat)
+        e = _match(ms, s, p0)
+        if e >= 0:
+            count += 1
+            caps = _captures(ms, s, e)
+            whole = src[s:e]
+            if isinstance(repl, str):
+                buf = []
+                i = 0
+                while i < len(repl):
+                    ch = repl[i]
+                    if ch == "%":
+                        i += 1
+                        d = repl[i] if i < len(repl) else ""
+                        if d == "%":
+                            buf.append("%")
+                        elif d.isdigit():
+                            if d == "0":
+                                buf.append(whole)
+                            else:
+                                idx = int(d) - 1
+                                if idx >= len(caps):
+                                    raise LuaError(f"invalid capture index %{d}")
+                                v = caps[idx]
+                                buf.append(v if isinstance(v, str) else fmt_number(v))
+                        else:
+                            raise LuaError("invalid use of '%' in replacement string")
+                        i += 1
+                    else:
+                        buf.append(ch)
+                        i += 1
+                out.append("".join(buf))
+            elif isinstance(repl, LuaTable):
+                v = repl.rawget(caps[0])
+                out.append(_gsub_value(v, whole))
+            elif callable(repl) or hasattr(repl, "block"):
+                rets = runtime.call_value(repl, list(caps), 0)
+                v = rets[0] if rets else None
+                out.append(_gsub_value(v, whole))
+            else:
+                raise LuaError(
+                    f"bad argument #3 to 'gsub' (string/function/table expected, "
+                    f"got {lua_type_name(repl)})")
+        if e >= 0 and e > s:
+            s = e
+        else:
+            if s < ls:
+                out.append(src[s])
+            s += 1
+        if anchored:
+            break
+    out.append(src[s:])
+    return "".join(out), count
+
+
+def _gsub_value(v, whole: str) -> str:
+    from .interp import fmt_number, lua_type_name
+    if v is None or v is False:
+        return whole
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return fmt_number(v)
+    raise LuaError(f"invalid replacement value (a {lua_type_name(v)})")

@@ -1,0 +1,604 @@
+"""Lua 5.1 standard library subset.
+
+Base library + string/table/math/os — the slice every Fluent Bit filter
+script in the reference tree uses (scripts/*.lua, examples/kafka_filter/
+kafka.lua, tests/runtime/filter_lua.c, tests/internal/lua.c). io/
+package/coroutine/debug are deliberately absent: executor-side file or
+process access from a record transform would be unsafe at cluster scale
+and the reference's filter contract never needs it.
+"""
+
+from __future__ import annotations
+
+import math
+import random as _random
+import time as _time
+
+from . import patterns
+from .interp import (
+    LuaError,
+    LuaFunction,
+    LuaRuntime,
+    LuaTable,
+    fmt_number,
+    is_truthy,
+    lua_tonumber,
+    lua_tostring,
+    lua_type_name,
+)
+
+
+def _arg(args: list, i: int):
+    return args[i] if i < len(args) else None
+
+
+def _check_table(args, i, fname):
+    v = _arg(args, i)
+    if not isinstance(v, LuaTable):
+        raise LuaError(
+            f"bad argument #{i + 1} to '{fname}' (table expected, got {lua_type_name(v)})")
+    return v
+
+
+def _check_str(args, i, fname):
+    v = _arg(args, i)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return fmt_number(v)
+    raise LuaError(
+        f"bad argument #{i + 1} to '{fname}' (string expected, got {lua_type_name(v)})")
+
+
+def _check_num(args, i, fname, default=None):
+    v = _arg(args, i)
+    if v is None and default is not None:
+        return default
+    n = lua_tonumber(v)
+    if n is None:
+        raise LuaError(
+            f"bad argument #{i + 1} to '{fname}' (number expected, got {lua_type_name(v)})")
+    return n
+
+
+def _str_index(s: str, i: int, default: int) -> int:
+    """Lua 1-based string index with negative wrapping."""
+    if i is None:
+        return default
+    if i < 0:
+        i = len(s) + i + 1
+    return i
+
+
+def install(rt: LuaRuntime, time_fn=None):
+    g = rt.globals
+    time_fn = time_fn or (lambda: _time.time())
+
+    # ---- base library ---------------------------------------------------
+    def _print(runtime, args):
+        line = "\t".join(runtime.tostring_meta(a) for a in args)
+        runtime.stdout.append(line)
+        if runtime._stdout_hook is not None:
+            runtime._stdout_hook(line)
+        return []
+
+    def _type(runtime, args):
+        if not args:
+            raise LuaError("bad argument #1 to 'type' (value expected)")
+        return [lua_type_name(args[0])]
+
+    def _tostring(runtime, args):
+        return [runtime.tostring_meta(_arg(args, 0))]
+
+    def _tonumber(runtime, args):
+        return [lua_tonumber(_arg(args, 0), _arg(args, 1))]
+
+    def _next(runtime, args):
+        t = _check_table(args, 0, "next")
+        kv = t.next_key(_arg(args, 1))
+        if kv is None:
+            return [None]
+        k, v = kv
+        return [float(k) if isinstance(k, int) else k, v]
+
+    def _pairs(runtime, args):
+        t = _check_table(args, 0, "pairs")
+        if t.metatable is not None:
+            h = t.metatable.rawget("__pairs")
+            if h is not None:
+                return runtime.call_value(h, [t], 0)
+        return [g.rawget("next"), t, None]
+
+    def _ipairs(runtime, args):
+        t = _check_table(args, 0, "ipairs")
+
+        def it(runtime2, a2):
+            tt, i = a2[0], a2[1]
+            i = float(i) + 1.0
+            v = tt.rawget(i)
+            if v is None:
+                return [None]
+            return [i, v]
+
+        return [it, t, 0.0]
+
+    def _select(runtime, args):
+        n = _arg(args, 0)
+        rest = args[1:]
+        if n == "#":
+            return [float(len(rest))]
+        i = int(_check_num(args, 0, "select"))
+        if i < 0:
+            i = len(rest) + i + 1
+        if i < 1:
+            raise LuaError("bad argument #1 to 'select' (index out of range)")
+        return rest[i - 1:]
+
+    def _error(runtime, args):
+        msg = _arg(args, 0)
+        level = _arg(args, 1)
+        if isinstance(msg, str) and (level is None or level != 0):
+            msg = "?: " + msg  # position info: chunk-level granularity
+        raise LuaError(msg)
+
+    def _assert(runtime, args):
+        if not args or not is_truthy(args[0]):
+            msg = _arg(args, 1)
+            raise LuaError(msg if msg is not None else "assertion failed!")
+        return list(args)
+
+    def _pcall(runtime, args):
+        if not args:
+            raise LuaError("bad argument #1 to 'pcall' (value expected)")
+        try:
+            rets = runtime.call_value(args[0], list(args[1:]), 0)
+            return [True] + rets
+        except LuaError as e:
+            return [False, e.value]
+        except (_RecursionGuard, RecursionError):
+            return [False, "stack overflow"]
+
+    def _xpcall(runtime, args):
+        fn, handler = _arg(args, 0), _arg(args, 1)
+        try:
+            rets = runtime.call_value(fn, [], 0)
+            return [True] + rets
+        except LuaError as e:
+            h = runtime.call_value(handler, [e.value], 0)
+            return [False] + h
+
+    def _unpack(runtime, args):
+        t = _check_table(args, 0, "unpack")
+        i = int(_check_num(args, 1, "unpack", 1.0))
+        j = int(_check_num(args, 2, "unpack", t.length()))
+        return [t.rawget(float(k)) for k in range(i, j + 1)]
+
+    def _rawget(runtime, args):
+        return [_check_table(args, 0, "rawget").rawget(_arg(args, 1))]
+
+    def _rawset(runtime, args):
+        t = _check_table(args, 0, "rawset")
+        t.rawset(_arg(args, 1), _arg(args, 2))
+        return [t]
+
+    def _rawequal(runtime, args):
+        a, b = _arg(args, 0), _arg(args, 1)
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                and not isinstance(a, bool) and not isinstance(b, bool):
+            return [float(a) == float(b)]
+        return [a is b or a == b if isinstance(a, str) else a is b]
+
+    def _setmetatable(runtime, args):
+        t = _check_table(args, 0, "setmetatable")
+        mt = _arg(args, 1)
+        if mt is not None and not isinstance(mt, LuaTable):
+            raise LuaError("bad argument #2 to 'setmetatable' (nil or table expected)")
+        if t.metatable is not None and t.metatable.rawget("__metatable") is not None:
+            raise LuaError("cannot change a protected metatable")
+        t.metatable = mt
+        return [t]
+
+    def _getmetatable(runtime, args):
+        v = _arg(args, 0)
+        if isinstance(v, LuaTable) and v.metatable is not None:
+            protected = v.metatable.rawget("__metatable")
+            return [protected if protected is not None else v.metatable]
+        if isinstance(v, str):
+            mt = LuaTable()
+            mt.rawset("__index", rt.string_lib)
+            return [mt]
+        return [None]
+
+    for name, fn in [
+        ("print", _print), ("type", _type), ("tostring", _tostring),
+        ("tonumber", _tonumber), ("next", _next), ("pairs", _pairs),
+        ("ipairs", _ipairs), ("select", _select), ("error", _error),
+        ("assert", _assert), ("pcall", _pcall), ("xpcall", _xpcall),
+        ("unpack", _unpack), ("rawget", _rawget), ("rawset", _rawset),
+        ("rawequal", _rawequal), ("setmetatable", _setmetatable),
+        ("getmetatable", _getmetatable),
+    ]:
+        g.rawset(name, fn)
+    g.rawset("_G", g)
+    g.rawset("_VERSION", "Lua 5.1")
+
+    # ---- string ----------------------------------------------------------
+    s_lib = LuaTable()
+    rt.string_lib = s_lib
+
+    def s_len(runtime, args):
+        return [float(len(_check_str(args, 0, "len")))]
+
+    def s_sub(runtime, args):
+        s = _check_str(args, 0, "sub")
+        i = int(_check_num(args, 1, "sub", 1.0))
+        j = int(_check_num(args, 2, "sub", -1.0))
+        n = len(s)
+        if i < 0:
+            i = max(n + i + 1, 1)
+        elif i == 0:
+            i = 1
+        if j < 0:
+            j = n + j + 1
+        elif j > n:
+            j = n
+        if i > j:
+            return [""]
+        return [s[i - 1:j]]
+
+    def s_upper(runtime, args):
+        return [_check_str(args, 0, "upper").upper()]
+
+    def s_lower(runtime, args):
+        return [_check_str(args, 0, "lower").lower()]
+
+    def s_rep(runtime, args):
+        s = _check_str(args, 0, "rep")
+        n = int(_check_num(args, 1, "rep"))
+        return [s * max(n, 0)]
+
+    def s_reverse(runtime, args):
+        return [_check_str(args, 0, "reverse")[::-1]]
+
+    def s_byte(runtime, args):
+        s = _check_str(args, 0, "byte")
+        i = int(_check_num(args, 1, "byte", 1.0))
+        j = int(_check_num(args, 2, "byte", float(i)))
+        n = len(s)
+        if i < 0:
+            i = n + i + 1
+        if j < 0:
+            j = n + j + 1
+        i, j = max(i, 1), min(j, n)
+        return [float(ord(c)) for c in s[i - 1:j]]
+
+    def s_char(runtime, args):
+        return ["".join(chr(int(_check_num(args, i, "char"))) for i in range(len(args)))]
+
+    def s_format(runtime, args):
+        fmt = _check_str(args, 0, "format")
+        out: list[str] = []
+        argi = 1
+        i = 0
+        while i < len(fmt):
+            c = fmt[i]
+            if c != "%":
+                out.append(c)
+                i += 1
+                continue
+            j = i + 1
+            while j < len(fmt) and fmt[j] in "-+ #0":
+                j += 1
+            while j < len(fmt) and fmt[j].isdigit():
+                j += 1
+            if j < len(fmt) and fmt[j] == ".":
+                j += 1
+                while j < len(fmt) and fmt[j].isdigit():
+                    j += 1
+            if j >= len(fmt):
+                raise LuaError("invalid format string to 'format'")
+            conv = fmt[j]
+            spec = fmt[i:j + 1]
+            if conv == "%":
+                out.append("%")
+            elif conv in "di":
+                v = _check_num(args, argi, "format")
+                out.append((spec[:-1] + "d") % int(v))
+                argi += 1
+            elif conv == "u":
+                v = int(_check_num(args, argi, "format"))
+                out.append((spec[:-1] + "d") % (v & 0xFFFFFFFFFFFFFFFF if v < 0 else v))
+                argi += 1
+            elif conv in "xXo":
+                out.append(spec % int(_check_num(args, argi, "format")))
+                argi += 1
+            elif conv == "c":
+                out.append(chr(int(_check_num(args, argi, "format"))))
+                argi += 1
+            elif conv in "eEfgG":
+                out.append(spec % _check_num(args, argi, "format"))
+                argi += 1
+            elif conv == "q":
+                v = _check_str(args, argi, "format")
+                buf = ['"']
+                for ch in v:
+                    if ch == '"':
+                        buf.append('\\"')
+                    elif ch == "\\":
+                        buf.append("\\\\")
+                    elif ch == "\n":
+                        buf.append("\\n")
+                    elif ch == "\r":
+                        buf.append("\\r")
+                    elif ch == "\0":
+                        buf.append("\\0")
+                    else:
+                        buf.append(ch)
+                buf.append('"')
+                out.append("".join(buf))
+                argi += 1
+            elif conv == "s":
+                v = _arg(args, argi)
+                out.append(spec % runtime.tostring_meta(v))
+                argi += 1
+            else:
+                raise LuaError(f"invalid option '%{conv}' to 'format'")
+            i = j + 1
+        return ["".join(out)]
+
+    def s_find(runtime, args):
+        s = _check_str(args, 0, "find")
+        pat = _check_str(args, 1, "find")
+        init = int(_check_num(args, 2, "find", 1.0))
+        plain = is_truthy(_arg(args, 3))
+        r = patterns.str_find_aux(s, pat, init, plain, want_find=True)
+        return [None] if r is None else r
+
+    def s_match(runtime, args):
+        s = _check_str(args, 0, "match")
+        pat = _check_str(args, 1, "match")
+        init = int(_check_num(args, 2, "match", 1.0))
+        r = patterns.str_find_aux(s, pat, init, False, want_find=False)
+        return [None] if r is None else r
+
+    def s_gmatch(runtime, args):
+        s = _check_str(args, 0, "gmatch")
+        pat = _check_str(args, 1, "gmatch")
+        it = patterns.gmatch_iter(s, pat)
+
+        def step(runtime2, a2):
+            try:
+                return list(next(it))
+            except StopIteration:
+                return [None]
+
+        return [step]
+
+    def s_gsub(runtime, args):
+        s = _check_str(args, 0, "gsub")
+        pat = _check_str(args, 1, "gsub")
+        repl = _arg(args, 2)
+        max_n = _arg(args, 3)
+        if max_n is not None:
+            max_n = int(lua_tonumber(max_n))
+        if isinstance(repl, (int, float)) and not isinstance(repl, bool):
+            repl = fmt_number(repl)
+        res, n = patterns.gsub(runtime, s, pat, repl, max_n)
+        return [res, float(n)]
+
+    for name, fn in [
+        ("len", s_len), ("sub", s_sub), ("upper", s_upper), ("lower", s_lower),
+        ("rep", s_rep), ("reverse", s_reverse), ("byte", s_byte),
+        ("char", s_char), ("format", s_format), ("find", s_find),
+        ("match", s_match), ("gmatch", s_gmatch), ("gsub", s_gsub),
+    ]:
+        s_lib.rawset(name, fn)
+    g.rawset("string", s_lib)
+
+    # ---- table -----------------------------------------------------------
+    t_lib = LuaTable()
+
+    def t_insert(runtime, args):
+        t = _check_table(args, 0, "insert")
+        n = int(t.length())
+        if len(args) == 2:
+            t.rawset(float(n + 1), args[1])
+        elif len(args) >= 3:
+            pos = int(_check_num(args, 1, "insert"))
+            for k in range(n, pos - 1, -1):
+                t.rawset(float(k + 1), t.rawget(float(k)))
+            t.rawset(float(pos), args[2])
+        else:
+            raise LuaError("wrong number of arguments to 'insert'")
+        return []
+
+    def t_remove(runtime, args):
+        t = _check_table(args, 0, "remove")
+        n = int(t.length())
+        pos = int(_check_num(args, 1, "remove", float(n)))
+        if n == 0:
+            return [None]
+        v = t.rawget(float(pos))
+        for k in range(pos, n):
+            t.rawset(float(k), t.rawget(float(k + 1)))
+        t.rawset(float(n), None)
+        return [v]
+
+    def t_concat(runtime, args):
+        t = _check_table(args, 0, "concat")
+        sep = _arg(args, 1)
+        sep = "" if sep is None else (sep if isinstance(sep, str) else fmt_number(sep))
+        i = int(_check_num(args, 2, "concat", 1.0))
+        j = int(_check_num(args, 3, "concat", t.length()))
+        parts = []
+        for k in range(i, j + 1):
+            v = t.rawget(float(k))
+            if isinstance(v, str):
+                parts.append(v)
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                parts.append(fmt_number(v))
+            else:
+                raise LuaError(
+                    f"invalid value (at index {k}) in table for 'concat'")
+        return [sep.join(parts)]
+
+    def t_sort(runtime, args):
+        t = _check_table(args, 0, "sort")
+        comp = _arg(args, 1)
+        n = int(t.length())
+        items = [t.rawget(float(k)) for k in range(1, n + 1)]
+        if comp is None:
+            import functools
+
+            def cmp(a, b):
+                if runtime.lt(a, b, 0):
+                    return -1
+                if runtime.lt(b, a, 0):
+                    return 1
+                return 0
+
+            items.sort(key=functools.cmp_to_key(cmp))
+        else:
+            import functools
+
+            def cmp2(a, b):
+                if is_truthy(runtime._first(runtime.call_value(comp, [a, b], 0))):
+                    return -1
+                if is_truthy(runtime._first(runtime.call_value(comp, [b, a], 0))):
+                    return 1
+                return 0
+
+            items.sort(key=functools.cmp_to_key(cmp2))
+        for k, v in enumerate(items):
+            t.rawset(float(k + 1), v)
+        return []
+
+    def t_maxn(runtime, args):
+        t = _check_table(args, 0, "maxn")
+        mx = 0.0
+        for k in t.hash:
+            if isinstance(k, (int, float)) and not isinstance(k, bool) and float(k) > mx:
+                mx = float(k)
+        return [mx]
+
+    def t_getn(runtime, args):
+        return [_check_table(args, 0, "getn").length()]
+
+    for name, fn in [
+        ("insert", t_insert), ("remove", t_remove), ("concat", t_concat),
+        ("sort", t_sort), ("maxn", t_maxn), ("getn", t_getn),
+    ]:
+        t_lib.rawset(name, fn)
+    g.rawset("table", t_lib)
+
+    # ---- math ------------------------------------------------------------
+    m_lib = LuaTable()
+    rng = _random.Random(0)
+
+    def m1(f):
+        def inner(runtime, args):
+            return [float(f(_check_num(args, 0, "math")))]
+        return inner
+
+    m_lib.rawset("floor", m1(math.floor))
+    m_lib.rawset("ceil", m1(math.ceil))
+    m_lib.rawset("abs", m1(abs))
+    m_lib.rawset("sqrt", m1(math.sqrt))
+    m_lib.rawset("exp", m1(math.exp))
+    m_lib.rawset("log", m1(math.log))
+    m_lib.rawset("log10", m1(math.log10))
+    m_lib.rawset("sin", m1(math.sin))
+    m_lib.rawset("cos", m1(math.cos))
+    m_lib.rawset("tan", m1(math.tan))
+    m_lib.rawset("huge", math.inf)
+    m_lib.rawset("pi", math.pi)
+
+    def m_max(runtime, args):
+        return [max(_check_num(args, i, "max") for i in range(len(args)))]
+
+    def m_min(runtime, args):
+        return [min(_check_num(args, i, "min") for i in range(len(args)))]
+
+    def m_fmod(runtime, args):
+        return [math.fmod(_check_num(args, 0, "fmod"), _check_num(args, 1, "fmod"))]
+
+    def m_pow(runtime, args):
+        return [_check_num(args, 0, "pow") ** _check_num(args, 1, "pow")]
+
+    def m_modf(runtime, args):
+        frac, integ = math.modf(_check_num(args, 0, "modf"))
+        return [integ, frac]
+
+    def m_random(runtime, args):
+        if not args:
+            return [rng.random()]
+        lo = 1
+        if len(args) >= 2:
+            lo = int(_check_num(args, 0, "random"))
+            hi = int(_check_num(args, 1, "random"))
+        else:
+            hi = int(_check_num(args, 0, "random"))
+        return [float(rng.randint(lo, hi))]
+
+    def m_randomseed(runtime, args):
+        rng.seed(_check_num(args, 0, "randomseed"))
+        return []
+
+    for name, fn in [
+        ("max", m_max), ("min", m_min), ("fmod", m_fmod), ("pow", m_pow),
+        ("modf", m_modf), ("random", m_random), ("randomseed", m_randomseed),
+    ]:
+        m_lib.rawset(name, fn)
+    g.rawset("math", m_lib)
+
+    # ---- os (deterministic-injectable clock; no process/file access) ------
+    o_lib = LuaTable()
+
+    def o_time(runtime, args):
+        t = _arg(args, 0)
+        if isinstance(t, LuaTable):
+            import calendar
+            import datetime
+            dt = datetime.datetime(
+                int(lua_tonumber(t.rawget("year")) or 1970),
+                int(lua_tonumber(t.rawget("month")) or 1),
+                int(lua_tonumber(t.rawget("day")) or 1),
+                int(lua_tonumber(t.rawget("hour")) or 12),
+                int(lua_tonumber(t.rawget("min")) or 0),
+                int(lua_tonumber(t.rawget("sec")) or 0),
+            )
+            return [float(calendar.timegm(dt.timetuple()))]
+        return [float(math.floor(time_fn()))]
+
+    def o_clock(runtime, args):
+        return [float(time_fn())]
+
+    def o_date(runtime, args):
+        fmt = _check_str(args, 0, "date") if args else "%c"
+        t = _check_num(args, 1, "date", float(math.floor(time_fn())))
+        utc = fmt.startswith("!")
+        if utc:
+            fmt = fmt[1:]
+        st = _time.gmtime(t) if utc else _time.localtime(t)
+        if fmt.startswith("*t"):
+            out = LuaTable()
+            out.rawset("year", float(st.tm_year))
+            out.rawset("month", float(st.tm_mon))
+            out.rawset("day", float(st.tm_mday))
+            out.rawset("hour", float(st.tm_hour))
+            out.rawset("min", float(st.tm_min))
+            out.rawset("sec", float(st.tm_sec))
+            out.rawset("wday", float(st.tm_wday + 2 if st.tm_wday < 6 else 1))
+            out.rawset("yday", float(st.tm_yday))
+            out.rawset("isdst", False)
+            return [out]
+        return [_time.strftime(fmt, st)]
+
+    o_lib.rawset("time", o_time)
+    o_lib.rawset("clock", o_clock)
+    o_lib.rawset("date", o_date)
+    g.rawset("os", o_lib)
+
+
+class _RecursionGuard(Exception):
+    pass

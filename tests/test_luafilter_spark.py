@@ -1,0 +1,241 @@
+"""filter_lua on Spark: mapInPandas operators + config [FILTER] lua e2e.
+
+The reference runs scripts per record inside the filter chain
+(plugins/filter_lua/lua.c); here the same scripts run per partition
+over Arrow batches — these tests assert the Spark-side plumbing: tag
+gating, record split/drop changing row counts, per-partition script
+state, schema mapping, and the config wiring (script file + inline
+code, type_int_key, Match glob).
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.luafilter import (
+    LuaFilterSpec,
+    filter_lua_columns,
+    filter_lua_json,
+)
+
+
+@pytest.fixture(scope="module")
+def json_frame(spark):
+    rows = [
+        ("app.a", 10.0, json.dumps({"level": "info", "n": 1})),
+        ("app.b", 11.0, json.dumps({"level": "error", "n": 2})),
+        ("db.x", 12.0, json.dumps({"level": "warn", "n": 3})),
+        ("app.a", 13.0, json.dumps({"level": "debug", "n": 4})),
+    ]
+    return spark.createDataFrame(rows, "tag string, ts_epoch double, body string")
+
+
+class TestFilterLuaJson:
+    def test_modify_and_drop(self, json_frame):
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function cb(tag, ts, record)
+                    if record.level == 'debug' then
+                        return -1, 0, 0
+                    end
+                    record.seen = true
+                    record.n2 = record.n * 2
+                    return 1, ts, record
+                end
+            """),
+            call="cb",
+        )
+        out = filter_lua_json(json_frame, spec)
+        rows = {r["tag"] + str(r["ts_epoch"]): json.loads(r["body"])
+                for r in out.collect()}
+        assert len(rows) == 3  # debug dropped
+        assert rows["app.a10.0"] == {"level": "info", "n": 1, "seen": True, "n2": 2}
+
+    def test_match_glob_bypasses(self, json_frame):
+        spec = LuaFilterSpec(
+            code="function cb(t, ts, r)\n r.hit = true\n return 1, ts, r\nend",
+            call="cb")
+        out = filter_lua_json(json_frame, spec, match="app.*")
+        bodies = {r["tag"]: json.loads(r["body"]) for r in out.collect()}
+        assert bodies["app.b"].get("hit") is True
+        assert "hit" not in bodies["db.x"]  # bypassed untouched
+
+    def test_record_split_expands_rows(self, json_frame):
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function cb(tag, ts, record)
+                    return 1, ts, { {part=1, n=record.n}, {part=2, n=record.n} }
+                end
+            """),
+            call="cb")
+        out = filter_lua_json(json_frame, spec)
+        assert out.count() == 8
+
+    def test_timestamp_replacement(self, json_frame):
+        spec = LuaFilterSpec(
+            code="function cb(t, ts, r)\n return 1, ts + 100, r\nend", call="cb")
+        out = filter_lua_json(json_frame, spec)
+        assert sorted(r["ts_epoch"] for r in out.collect()) == [
+            110.0, 111.0, 112.0, 113.0]
+
+    def test_protected_mode_batch_notouch(self, json_frame):
+        # record.missing.deep errors per record → the whole batch passes
+        # through unmodified (chunk NOTOUCH, lua.c:573-589)
+        spec = LuaFilterSpec(
+            code="function cb(t, ts, r)\n return 1, ts, r.missing.deep\nend",
+            call="cb")
+        out = filter_lua_json(json_frame, spec)
+        got = {r["tag"]: json.loads(r["body"]) for r in out.collect()}
+        assert got["db.x"] == {"level": "warn", "n": 3}
+        assert out.count() == 4
+
+
+class TestFilterLuaColumns:
+    def test_flat_frame_edit(self, spark):
+        df = spark.createDataFrame(
+            [("svc.a", 5.0, "GET", 200), ("svc.b", 6.0, "POST", 500)],
+            "tag string, ts_epoch double, method string, status bigint")
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function cb(tag, ts, record)
+                    if record.status >= 500 then
+                        record.method = string.lower(record.method)
+                    end
+                    return 2, 0, record
+                end
+            """),
+            call="cb")
+        out = filter_lua_columns(df, spec).orderBy("tag").collect()
+        assert [r["method"] for r in out] == ["GET", "post"]
+        assert [r["ts_epoch"] for r in out] == [5.0, 6.0]  # code 2 keeps ts
+
+    def test_out_schema_adds_column(self, spark):
+        df = spark.createDataFrame(
+            [("t.a", 1.0, 7)], "tag string, ts_epoch double, n bigint")
+        spec = LuaFilterSpec(
+            code="function cb(t, ts, r)\n r.double_n = r.n * 2\n return 1, ts, r\nend",
+            call="cb")
+        out = filter_lua_columns(
+            df, spec,
+            out_schema="tag string, ts_epoch double, n bigint, double_n bigint")
+        assert out.collect()[0]["double_n"] == 14
+
+    def test_null_cells_are_absent_keys(self, spark):
+        df = spark.createDataFrame(
+            [("t.a", 1.0, None, "x")],
+            "tag string, ts_epoch double, opt string, req string")
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function cb(t, ts, r)
+                    if r.opt == nil then r.req = r.req .. '!' end
+                    return 1, ts, r
+                end
+            """),
+            call="cb")
+        row = filter_lua_columns(df, spec).collect()[0]
+        assert row["req"] == "x!" and row["opt"] is None
+
+
+class TestConfigLuaFilter:
+    def test_config_script_file_e2e(self, spark, tmp_path):
+        # classic config: [FILTER] lua with script file + call, applied
+        # only to matching tags; type_int_key forces integer packing
+        script = tmp_path / "munge.lua"
+        script.write_text(textwrap.dedent("""
+            function munge(tag, timestamp, record)
+                if record.level == 'drop-me' then
+                    return -1, 0, 0
+                end
+                record.score = record.score + 0.5
+                record.from_lua = tag
+                return 1, timestamp, record
+            end
+        """))
+        conf = textwrap.dedent(f"""
+        [SERVICE]
+            Flush 1
+
+        [INPUT]
+            Name dummy
+            Tag app.log
+            Samples 3
+            Dummy {{"level": "info", "score": 1}}
+
+        [INPUT]
+            Name dummy
+            Tag db.log
+            Samples 2
+            Dummy {{"level": "info", "score": 1}}
+
+        [FILTER]
+            Name lua
+            Match app.*
+            script {script}
+            call munge
+            type_int_key score
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 5
+        rows = {(r["tag"], i): r.asDict()
+                for i, r in enumerate(run.frame.collect())}
+        app = [d for (t, _), d in rows.items() if t == "app.log"]
+        db = [d for (t, _), d in rows.items() if t == "db.log"]
+        assert len(app) == 3 and len(db) == 2
+        for d in app:
+            assert d["from_lua"] == "app.log"
+            # 1 + 0.5 → type_int_key truncates back to 1
+            assert d["score"] == 1
+        for d in db:  # non-matching tag bypasses the script
+            assert d.get("from_lua") is None
+
+    def test_config_inline_code_drop(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag x.a
+            Samples 4
+            Dummy {"n": 1}
+
+        [FILTER]
+            Name lua
+            Match *
+            code function f(tag, ts, record)  if record.n == 1 then return -1, 0, 0 end  return 0, 0, 0 end
+            call f
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 0
+
+    def test_partition_state_accumulates(self, spark):
+        # the kafka.lua counter pattern: one Lua state per PARTITION, so
+        # with a single partition the counter sees every record in order
+        df = spark.createDataFrame(
+            [("t", float(i), "m") for i in range(5)],
+            "tag string, ts_epoch double, msg string").coalesce(1)
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                local count = 0
+                function cb(tag, ts, record)
+                    count = count + 1
+                    record.msg = 'n=' .. count
+                    return 1, ts, record
+                end
+            """),
+            call="cb")
+        out = filter_lua_columns(df, spec).orderBy("ts_epoch").collect()
+        assert [r["msg"] for r in out] == [f"n={i}" for i in range(1, 6)]

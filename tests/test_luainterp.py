@@ -1,0 +1,717 @@
+"""Lua interpreter conformance + filter_lua contract tests.
+
+Vectors ported from the reference:
+- tests/internal/lua.c (stringify helper, push/tomsgpack round-trips,
+  arraylength semantics)
+- tests/runtime/filter_lua.c (the 16 embedded scripts and their
+  asserted outputs: type_int_key, type_array_key, tag append, drop,
+  split, null handling, metadata 5-arg form, invalid metatable)
+- scripts/*.lua and examples/kafka_filter/kafka.lua run VERBATIM.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fluent_bit_spark.luafilter import (
+    LuaFilterSpec,
+    lua_to_python,
+    python_to_lua,
+    run_lua_filter,
+)
+from fluent_bit_spark.luainterp import LuaError, LuaRuntime, LuaTable
+from fluent_bit_spark.luainterp.interp import LUA_NULL
+
+# the reference's own deterministic table printer
+# (tests/internal/lua.c:15-30) — exercised as a conformance vector:
+# recursion, closures over globals, pairs/ipairs, table.insert/sort.
+STRINGIFY = """
+function stringify(o)
+   if type(o) == 'table' then
+      local keys = {}
+      for k in pairs(o) do table.insert(keys, k) end
+      table.sort(keys)
+      local s = '{ '
+      for _,k in ipairs(keys) do
+         local v = o[k]
+         s = s .. '['..k..'] = ' .. stringify(v) .. ' '
+      end
+      return s .. '}'
+   else
+      return tostring(o)
+   end
+end
+"""
+
+
+def rt_with_stringify() -> LuaRuntime:
+    rt = LuaRuntime()
+    rt.execute(STRINGIFY, "stringify.lua")
+    return rt
+
+
+def stringify(rt: LuaRuntime, value) -> str:
+    return rt.call(rt.get_global("stringify"), [value])[0]
+
+
+class TestLanguageCore:
+    def run(self, src: str):
+        return LuaRuntime().execute(src, "t.lua")
+
+    def test_arith_and_compare(self):
+        assert self.run("return 1+2*3, 2^10, 7%3, 10/4, -(3), 1 < 2, 'a' < 'b'") == [
+            7.0, 1024.0, 1.0, 2.5, -3.0, True, True]
+
+    def test_string_number_coercion(self):
+        # arithmetic coerces numeric strings; concat coerces numbers
+        assert self.run("return '10' + 5, 10 .. 20") == [15.0, "1020"]
+
+    def test_truthiness_and_logic(self):
+        assert self.run("return nil and 1, false or 'x', not nil, 0 and 'zero_is_true'") == [
+            None, "x", True, "zero_is_true"]
+
+    def test_multiple_assignment_and_returns(self):
+        assert self.run("""
+            local function two() return 1, 2 end
+            local a, b, c = two()
+            local d, e = two(), 10       -- call not in last position → 1 value
+            return a, b, c, d, e
+        """) == [1.0, 2.0, None, 1.0, 10.0]
+
+    def test_paren_truncates_multivalue(self):
+        assert self.run("""
+            local function two() return 1, 2 end
+            return (two())
+        """) == [1.0]
+
+    def test_closures_and_upvalues(self):
+        assert self.run("""
+            local function counter()
+                local n = 0
+                return function() n = n + 1 return n end
+            end
+            local c = counter()
+            c(); c()
+            return c()
+        """) == [3.0]
+
+    def test_numeric_for_with_step(self):
+        assert self.run("""
+            local s = 0
+            for i = 10, 1, -2 do s = s + i end
+            return s
+        """) == [30.0]
+
+    def test_while_repeat_break(self):
+        assert self.run("""
+            local i, j = 0, 0
+            while true do i = i + 1 if i >= 3 then break end end
+            repeat j = j + 1 until j >= 4
+            return i, j
+        """) == [3.0, 4.0]
+
+    def test_generic_for_pairs_order(self):
+        assert self.run("""
+            local t = {z = 1, a = 2}
+            t.m = 3
+            local keys = ''
+            for k, v in pairs(t) do keys = keys .. k .. v end
+            return keys
+        """) == ["z1a2m3"]  # insertion order (deterministic here)
+
+    def test_ipairs_stops_at_hole(self):
+        assert self.run("""
+            local t = {10, 20, nil, 40}
+            local n = 0
+            for i, v in ipairs(t) do n = n + v end
+            return n
+        """) == [30.0]
+
+    def test_table_length_and_constructors(self):
+        assert self.run("return #'abcd', #({1,2,3}), ({[1]='a', x='y'})[1]") == [
+            4.0, 3.0, "a"]
+
+    def test_vararg_and_select(self):
+        assert self.run("""
+            local function f(...)
+                return select('#', ...), select(2, ...)
+            end
+            return f('a', 'b', 'c')
+        """) == [3.0, "b", "c"]
+
+    def test_method_call_and_string_methods(self):
+        assert self.run("""
+            local s = 'Hello'
+            return s:upper(), ('x-y'):sub(1, 1), ('%d!'):format(5)
+        """) == ["HELLO", "x", "5!"]
+
+    def test_metatable_index_function_and_call(self):
+        assert self.run("""
+            local base = {greet = 'hi'}
+            local t = setmetatable({}, {__index = base})
+            local u = setmetatable({}, {__index = function(tbl, k) return k .. '!' end})
+            return t.greet, u.anything
+        """) == ["hi", "anything!"]
+
+    def test_metatable_arith_and_tostring(self):
+        assert self.run("""
+            local mt = {__add = function(a, b) return a.v + b.v end,
+                        __tostring = function(a) return 'V' .. a.v end}
+            local a = setmetatable({v = 2}, mt)
+            local b = setmetatable({v = 3}, mt)
+            return a + b, tostring(a)
+        """) == [5.0, "V2"]
+
+    def test_pcall_and_error(self):
+        out = self.run("""
+            local ok, err = pcall(function() error('boom') end)
+            local ok2, v = pcall(function() return 42 end)
+            return ok, err, ok2, v
+        """)
+        assert out[0] is False and "boom" in out[1]
+        assert out[2] is True and out[3] == 42.0
+
+    def test_tostring_numbers_14g(self):
+        # Lua 5.1 LUAI_NUMFMT "%.14g": integral doubles print bare
+        assert self.run(
+            "return tostring(10), tostring(10.2), tostring(1/0), tostring(0/0)"
+        ) == ["10", "10.2", "inf", "nan"]
+
+    def test_tonumber_hex_and_base(self):
+        assert self.run(
+            "return tonumber('0x10'), tonumber(' 5 '), tonumber('z'), tonumber('ff', 16)"
+        ) == [16.0, 5.0, None, 255.0]
+
+    def test_unpack_and_table_lib(self):
+        assert self.run("""
+            local t = {3, 1, 2}
+            table.sort(t)
+            table.insert(t, 9)
+            table.insert(t, 1, 0)
+            local removed = table.remove(t, 2)
+            return table.concat(t, ','), removed, unpack({7, 8})
+        """) == ["0,2,3,9", 1.0, 7.0, 8.0]
+
+    def test_math_lib(self):
+        assert self.run(
+            "return math.floor(3.7), math.ceil(3.2), math.max(1,5,3), "
+            "math.min(2,0), math.abs(-4), math.huge > 1e308, math.fmod(7,3)"
+        ) == [3.0, 4.0, 5.0, 0.0, 4.0, True, 1.0]
+
+    def test_long_strings_and_comments(self):
+        assert self.run("""
+            --[[ a long
+                 comment ]]
+            local s = [[line1
+line2]]
+            return s, [==[nested ]] ok]==]
+        """) == ["line1\nline2", "nested ]] ok"]
+
+    def test_string_escapes(self):
+        assert self.run(r"return 'a\tb\n\65\x42\'q'") == ["a\tb\nAB'q"]
+
+    def test_scoping_do_blocks(self):
+        assert self.run("""
+            local x = 1
+            do local x = 2 end
+            if true then local x = 3 end
+            return x
+        """) == [1.0]
+
+    def test_global_vs_local(self):
+        assert self.run("""
+            g = 5
+            local function f() g = g + 1 return g end
+            f()
+            return g, _G.g
+        """) == [6.0, 6.0]
+
+    def test_recursive_local_function(self):
+        assert self.run("""
+            local function fib(n)
+                if n < 2 then return n end
+                return fib(n - 1) + fib(n - 2)
+            end
+            return fib(10)
+        """) == [55.0]
+
+    def test_concat_right_assoc_and_precedence(self):
+        assert self.run("return 'n=' .. 1 + 2, 2 ^ 3 ^ 2") == ["n=3", 512.0]
+
+
+class TestLuaPatterns:
+    def run(self, src: str):
+        return LuaRuntime().execute(src, "p.lua")
+
+    def test_find_plain_and_pattern(self):
+        assert self.run("return string.find('hello world', 'o w')") == [5.0, 7.0]
+        assert self.run("return string.find('a.b', '.', 1, true)") == [2.0, 2.0]
+        assert self.run("return string.find('abc123', '%d+')") == [4.0, 6.0]
+
+    def test_match_captures(self):
+        assert self.run("return string.match('key=val', '(%w+)=(%w+)')") == ["key", "val"]
+        assert self.run("return ('2024-01-15'):match('(%d+)-(%d+)-(%d+)')") == [
+            "2024", "01", "15"]
+
+    def test_position_capture(self):
+        assert self.run("return string.match('abc', '()b()')") == [2.0, 3.0]
+
+    def test_gmatch(self):
+        assert self.run("""
+            local words = {}
+            for w in string.gmatch('one two  three', '%a+') do
+                table.insert(words, w)
+            end
+            return table.concat(words, '|')
+        """) == ["one|two|three"]
+
+    def test_gsub_string_repl(self):
+        assert self.run("return string.gsub('hello world', 'o', '0')") == ["hell0 w0rld", 2.0]
+        assert self.run("return string.gsub('abc', '(%a)', '%1%1')") == ["aabbcc", 3.0]
+        assert self.run("return string.gsub('ab', 'x', 'y')") == ["ab", 0.0]
+
+    def test_gsub_function_and_table_repl(self):
+        assert self.run("""
+            local s = string.gsub('a=1,b=2', '(%a)=(%d)', function(k, v)
+                return k .. ':' .. (v + 1)
+            end)
+            return s
+        """) == ["a:2,b:3"]
+        assert self.run("""
+            return string.gsub('$x $y', '%$(%a)', {x = 'one', y = 'two'})
+        """) == ["one two", 2.0]
+
+    def test_gsub_max_n(self):
+        assert self.run("return string.gsub('aaa', 'a', 'b', 2)") == ["bba", 2.0]
+
+    def test_anchors(self):
+        assert self.run("return string.match('abc', '^a'), string.match('abc', 'c$'), "
+                        "string.match('abc', '^abc$')") == ["a", "c", "abc"]
+
+    def test_sets_and_ranges(self):
+        assert self.run("return string.match('foo_bar9', '[%a_][%w_]*')") == ["foo_bar9"]
+        assert self.run("return string.match('xyz', '[^abc]+')") == ["xyz"]
+        assert self.run("return string.match('a]b', '[%]a]+')") == ["a]"]
+
+    def test_lazy_star(self):
+        assert self.run("return string.match('<a><b>', '<(.-)>')") == ["a"]
+        assert self.run("return string.match('<a><b>', '<(.*)>')") == ["a><b"]
+
+    def test_balanced(self):
+        assert self.run("return string.match('(foo (bar)) tail', '%b()')") == ["(foo (bar))"]
+
+    def test_frontier(self):
+        assert self.run("return string.find('THE (quick) fox', '%f[%a]%u+%f[%A]')") == [
+            1.0, 3.0]
+
+    def test_backreference(self):
+        assert self.run("return string.match('abcabc x', '(abc)%1')") == ["abc"]
+
+    def test_escaped_magic(self):
+        assert self.run("return string.match('3.14', '%d%.%d+')") == ["3.14"]
+
+
+class TestStringifyVectors:
+    """tests/internal/lua.c check_equals vectors."""
+
+    def test_pushtimetable_shape(self):
+        # flb_lua_pushtimetable(5, 6) → "{ [nsec] = 6 [sec] = 5 }"
+        rt = rt_with_stringify()
+        t = LuaTable()
+        t.rawset("sec", 5.0)
+        t.rawset("nsec", 6.0)
+        assert stringify(rt, t) == "{ [nsec] = 6 [sec] = 5 }"
+
+    def test_pushmsgpack_vector(self):
+        # msgpack [{"key":"value"}, "msgpack-str", 4] pushed to lua
+        rt = rt_with_stringify()
+        v = python_to_lua([{"key": "value"}, "msgpack-str", 4])
+        assert stringify(rt, v) == "{ [1] = { [key] = value } [2] = msgpack-str [3] = 4 }"
+
+    def test_tomsgpack_vector(self):
+        # lua {{['key']='value'},'msgpack-str',4} → [{"key"=>"value"}, "msgpack-str", 4]
+        rt = LuaRuntime()
+        rt.execute("obj = {{['key']='value'},'msgpack-str',4}")
+        assert lua_to_python(rt.get_global("obj")) == [
+            {"key": "value"}, "msgpack-str", 4]
+
+    def test_arraylength_vectors(self):
+        # tests/internal/lua.c test_lua_arraylength: t[i]=i for 1..10 → 10
+        rt = LuaRuntime()
+        rt.execute("t = {} for i = 1, 10 do t[i] = i end")
+        assert lua_to_python(rt.get_global("t")) == [float(i) for i in range(1, 11)]
+        # sparse positive int keys → array 1..maxn with nil holes
+        rt.execute("s = {[1] = 'a', [3] = 'c'}")
+        assert lua_to_python(rt.get_global("s")) == ["a", None, "c"]
+        # string keys → map
+        rt.execute("m = {x = 1}")
+        assert lua_to_python(rt.get_global("m")) == {"x": 1}
+        # empty → empty map
+        rt.execute("e = {}")
+        assert lua_to_python(rt.get_global("e")) == {}
+
+
+def run_one(script, record, call="lua_main", tag="test", ts=0.0, **kw):
+    spec = LuaFilterSpec(code=script, call=call, **kw)
+    return list(run_lua_filter([(tag, ts, record)], spec))
+
+
+class TestRuntimeScriptVectors:
+    """tests/runtime/filter_lua.c embedded scripts + asserted outputs."""
+
+    def test_helloworld_print_keeps_record(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    print("hello world")\n'
+            '    return 0, timestamp, record\nend\n',
+            {"key": "val"})
+        assert out == [("test", 0.0, {"key": "val"}, None)]
+
+    def test_append_tag(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    new_record = record\n'
+            '    new_record["tag"] = tag\n'
+            '    return 1, timestamp, new_record\nend\n',
+            {"key": "val"}, tag="test")
+        assert out[0][2] == {"key": "val", "tag": "test"}
+
+    def test_type_int_key(self):
+        # input {"key":"val"}; script sets lua_int=10.2; with
+        # type_int_key the output must be the integer 10, not 10.2
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    new_record = record\n'
+            '    new_record["lua_int"] = 10.2\n'
+            '    return 1, timestamp, new_record\nend\n',
+            {"key": "val"}, type_int_key=["lua_int"])
+        assert out[0][2]["lua_int"] == 10
+        assert isinstance(out[0][2]["lua_int"], int)
+
+    def test_type_int_key_multi(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    new_record = record\n'
+            '    new_record["lua_int_1"] = 10.1\n'
+            '    new_record["lua_int_2"] = 100.2\n'
+            '    return 1, timestamp, new_record\nend\n',
+            {"key": "val"}, type_int_key=["lua_int_1", "lua_int_2"])
+        assert out[0][2]["lua_int_1"] == 10
+        assert out[0][2]["lua_int_2"] == 100
+
+    def test_type_array_key(self):
+        # {} must render as [] (not {}) under type_array_key
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    new_record = record\n'
+            '    new_record["lua_array"] = {};\n'
+            '    new_record["lua_array2"] = {1,2,3};\n'
+            '    return 1, timestamp, new_record\nend\n',
+            {"key": "val"}, type_array_key=["lua_array", "lua_array2"])
+        rec = out[0][2]
+        assert rec["lua_array"] == []
+        assert rec["lua_array2"] == [1, 2, 3]
+
+    def test_array_contains_null(self):
+        # [1, null, "world"] survives a pass through the script
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    new_record = record\n'
+            '    new_record["modify"] = "yes"\n'
+            '    return 1, timestamp, new_record\nend\n',
+            {"hello": [1, None, "world"]})
+        assert out[0][2] == {"hello": [1, None, "world"], "modify": "yes"}
+
+    def test_drop_all_records(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    return -1, 0, 0\nend\n',
+            {"key": "val"})
+        assert out == []
+
+    def test_enable_flb_null(self):
+        script = ('function lua_main(tag, timestamp, record)\n'
+                  '    return 1, timestamp, record\nend\n')
+        # without the option the null key vanishes
+        out = run_one(script, {"hello": None})
+        assert out[0][2] == {}
+        # with it, "hello":null survives
+        out = run_one(script, {"hello": None}, enable_flb_null=True)
+        assert out[0][2] == {"hello": None}
+
+    def test_split_record(self):
+        # returning record.x (an array of maps) splits into N records,
+        # each with the returned timestamp 5
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    return 1, 5, record.x\nend\n',
+            {"x": [{"a": 1}, {"b": 2}, {"c": 3}]})
+        assert [(r[1], r[2]) for r in out] == [
+            (5.0, {"a": 1}), (5.0, {"b": 2}), (5.0, {"c": 3})]
+
+    def test_empty_array_roundtrip(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    return 1, 5, record\nend\n',
+            {"key": []})
+        assert out[0][2] == {"key": []}
+
+    def test_invalid_metatable(self):
+        # mutating getmetatable(record) with a non-string key must not
+        # break packing (flb_lua_getmetatable skips non-string keys)
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    meta = getmetatable(record)\n'
+            '    meta[10] = "hoge"\n'
+            '    return 1, timestamp, record\nend\n',
+            {"key": "val"})
+        assert out[0][2] == {"key": "val"}
+
+    def test_metadata_single_record(self):
+        # 5-arg form: callback edits metadata and record
+        spec = LuaFilterSpec(
+            code='function lua_main(tag, ts, group, metadata, record)\n'
+                 "  metadata['stream'] = 'custom'\n"
+                 "  record['extra'] = 'yes'\n"
+                 '  return 1, ts, metadata, record\nend',
+            call="lua_main")
+        out = list(run_lua_filter(
+            [("test", 1.0, {"msg": "hi"}, {"stream": "orig"})], spec))
+        assert out == [("test", 1.0, {"msg": "hi", "extra": "yes"},
+                        {"stream": "custom"})]
+
+    def test_metadata_array_split(self):
+        # 5-arg form returning parallel arrays → 2 records with zipped
+        # per-record metadata
+        spec = LuaFilterSpec(
+            code='function lua_main(tag, ts, group, metadata, record)\n'
+                 "  return 1, ts, { {stream='one'}, {stream='two'} }, "
+                 "{ {msg='a'}, {msg='b'} }\nend",
+            call="lua_main")
+        out = list(run_lua_filter([("test", 1.0, {"foo": "bar"}, None)], spec))
+        assert out == [("test", 1.0, {"msg": "a"}, {"stream": "one"}),
+                       ("test", 1.0, {"msg": "b"}, {"stream": "two"})]
+
+    def test_code_2_keeps_timestamp(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    return 2, 999, record\nend\n',
+            {"k": 1}, ts=42.0)
+        assert out[0][1] == 42.0
+
+    def test_unexpected_code_keeps_original(self):
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    record.x = "added"\n'
+            '    return 7, timestamp, record\nend\n',
+            {"k": 1}, ts=3.0)
+        assert out == [("test", 3.0, {"k": 1}, None)]
+
+    def test_time_as_table(self):
+        spec = LuaFilterSpec(
+            code='function lua_main(tag, ts, record)\n'
+                 '    record.sec = ts.sec\n'
+                 '    record.nsec = ts.nsec\n'
+                 '    ts.sec = ts.sec + 10\n'
+                 '    return 1, ts, record\nend',
+            call="lua_main", time_as_table=True)
+        out = list(run_lua_filter([("t", 5.25, {})], spec))
+        tag, ts, rec, _ = out[0]
+        assert rec["sec"] == 5 and rec["nsec"] == 250000000
+        assert ts == pytest.approx(15.25)
+
+    def test_integral_double_packs_as_int(self):
+        # flb_lua.c lua_isinteger: 10.0 → int64, 10.2 → double
+        out = run_one(
+            'function lua_main(tag, timestamp, record)\n'
+            '    record.a = 10.0\n'
+            '    record.b = 10.2\n'
+            '    return 1, timestamp, record\nend\n', {})
+        rec = out[0][2]
+        assert rec["a"] == 10 and isinstance(rec["a"], int)
+        assert rec["b"] == 10.2 and isinstance(rec["b"], float)
+
+    def test_missing_callback_rejected(self):
+        with pytest.raises(LuaError, match="not found"):
+            LuaFilterSpec(code="x = 1", call="nope").build_runtime()
+
+    def test_bad_arity_rejected(self):
+        with pytest.raises(LuaError, match="invalid number of args"):
+            LuaFilterSpec(code="function f(a, b) end", call="f").build_runtime()
+
+
+class TestStockScripts:
+    """scripts/*.lua + examples/kafka_filter/kafka.lua run VERBATIM."""
+
+    APPEND_TAG = """
+function append_tag(tag, timestamp, record)
+    new_record = record
+    new_record["tag"] = tag
+    return 1, timestamp, new_record
+end
+"""
+
+    OVERRIDE_TIME = """
+function override_time(tag, timestamp, record)
+         -- modify KEY_OF_TIMESTAMP properly.
+         return 1, record["KEY_OF_TIMESTAMP"], record
+end
+"""
+
+    RATE_LIMIT = """
+local counter = {}
+local time = 0
+local group_key = "docker_id"
+local group_bucket_period_s = 60
+local group_bucket_limit = 3
+
+local function get_current_time(timestamp)
+    return math.floor(timestamp / group_bucket_period_s)
+end
+
+function rate_limit(tag, timestamp, record)
+    local t = os.time()
+    local current_time = get_current_time(t)
+    if current_time ~= time then
+        time = current_time
+        counter = {} -- reset the counter
+    end
+    local counter_key = record["kubernetes"][group_key]
+    local logs_count = counter[counter_key]
+    if logs_count == nil then
+        counter[counter_key] = 1
+    else
+        counter[counter_key] = logs_count + 1
+        if counter[counter_key] > group_bucket_limit then
+            return -1, 0, 0 -- drop the log
+        end
+    end
+    return 0, 0, 0 -- keep the log
+end
+"""
+
+    KAFKA = """
+local count = 0
+function modify_kafka_message(tag, timestamp, record)
+    count = count + 1
+    local payload = record.payload
+    payload.topic = record.topic
+    payload.status = 'processed by fluent-bit, total records: '..tostring(count)
+    return 1, timestamp, payload
+end
+"""
+
+    def test_append_tag(self):
+        spec = LuaFilterSpec(code=self.APPEND_TAG, call="append_tag")
+        out = list(run_lua_filter([("app.log", 9.5, {"m": "x"})], spec))
+        assert out == [("app.log", 9.5, {"m": "x", "tag": "app.log"}, None)]
+
+    def test_override_time(self):
+        spec = LuaFilterSpec(code=self.OVERRIDE_TIME, call="override_time")
+        out = list(run_lua_filter(
+            [("t", 0.0, {"KEY_OF_TIMESTAMP": 1530239065.807368, "data": "sample"})],
+            spec))
+        assert out[0][1] == pytest.approx(1530239065.807368)
+
+    def test_rate_limit_per_group_state(self):
+        # one Lua state across records: the counter table accumulates;
+        # 4th record of the same docker_id within the bucket is dropped
+        clock = [100.0]
+        spec = LuaFilterSpec(code=self.RATE_LIMIT, call="rate_limit",
+                             time_fn=lambda: clock[0])
+        rt, fn, n_args = spec.build_runtime()
+
+        def push(did):
+            return list(run_lua_filter(
+                [("kube.a", 1.0, {"kubernetes": {"docker_id": did}})],
+                spec, rt, fn, n_args))
+
+        assert [len(push("c1")) for _ in range(5)] == [1, 1, 1, 0, 0]
+        assert len(push("c2")) == 1  # other group unaffected
+        clock[0] += 60  # next bucket → counter resets
+        assert [len(push("c1")) for _ in range(4)] == [1, 1, 1, 0]
+
+    def test_kafka_counter_state(self):
+        spec = LuaFilterSpec(code=self.KAFKA, call="modify_kafka_message")
+        rt, fn, n_args = spec.build_runtime()
+        rows = [("t", 1.0, {"payload": {"v": i}, "topic": "events"}) for i in range(3)]
+        out = list(run_lua_filter(rows, spec, rt, fn, n_args))
+        assert [r[2]["status"] for r in out] == [
+            "processed by fluent-bit, total records: 1",
+            "processed by fluent-bit, total records: 2",
+            "processed by fluent-bit, total records: 3",
+        ]
+        assert out[0][2]["topic"] == "events"
+
+    def test_test_lua_cb_print_format(self):
+        # scripts/test.lua cb_print: exact line format via string.format
+        script = """
+function cb_print(tag, timestamp, record)
+   output = tag .. ":  [" .. string.format("%f", timestamp) .. ", { "
+   for key, val in pairs(record) do
+      output = output .. string.format(" %s => %s,", key, val)
+   end
+   output = string.sub(output,1,-2) .. " }]"
+   print(output)
+   return 0, 0, 0
+end
+"""
+        spec = LuaFilterSpec(code=script, call="cb_print")
+        rt, fn, n_args = spec.build_runtime()
+        out = list(run_lua_filter([("mytag", 123.456789, {"k1": "v1", "k2": 2})],
+                                  spec, rt, fn, n_args))
+        assert out[0][2] == {"k1": "v1", "k2": 2}
+        assert rt.stdout == ["mytag:  [123.456789, {  k1 => v1, k2 => 2 }]"]
+
+    def test_test_lua_cb_replace(self):
+        script = """
+function cb_replace(tag, timestamp, record)
+   new_record = {}
+   new_record["new"] = 12345
+   new_record["old"] = record
+   return 1, timestamp, new_record
+end
+"""
+        out = run_one(script, {"a": 1}, call="cb_replace", ts=2.0)
+        assert out[0][2] == {"new": 12345, "old": {"a": 1}}
+
+
+class TestProtectedMode:
+    ERR = ('function lua_main(tag, timestamp, record)\n'
+           '    return 1, timestamp, record.missing.deep\nend\n')
+
+    def test_protected_raises_luaerror(self):
+        spec = LuaFilterSpec(code=self.ERR, call="lua_main")
+        with pytest.raises(LuaError):
+            list(run_lua_filter([("t", 0.0, {})], spec))
+
+    def test_conversion_fidelity_roundtrip(self):
+        rec = {"s": "x", "i": 5, "f": 2.5, "b": True, "n": [1, 2, {"k": "v"}],
+               "m": {"nested": {"deep": [True, False]}}}
+        out = run_one(
+            'function lua_main(tag, ts, record)\n return 1, ts, record\nend\n',
+            rec)
+        assert out[0][2] == rec
+
+    def test_bytes_decode_replacement(self):
+        out = run_one(
+            'function lua_main(tag, ts, record)\n return 1, ts, record\nend\n',
+            {"bin": b"caf\xc3\xa9 \xff!"})
+        assert out[0][2]["bin"] == "café �!"
+
+    def test_nan_inf_survive(self):
+        out = run_one(
+            'function lua_main(tag, ts, record)\n'
+            '    record.inf = 1/0\n    return 1, ts, record\nend\n', {})
+        assert out[0][2]["inf"] == math.inf
+
+    def test_flb_null_sentinel_visible_to_script(self):
+        spec = LuaFilterSpec(
+            code='function f(tag, ts, record)\n'
+                 '  if record.v == flb_null then record.was_null = true end\n'
+                 '  return 1, ts, record\nend',
+            call="f", enable_flb_null=True)
+        out = list(run_lua_filter([("t", 0.0, {"v": None})], spec))
+        assert out[0][2] == {"v": None, "was_null": True}
