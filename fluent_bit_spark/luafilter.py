@@ -132,7 +132,7 @@ def _maxn(t: LuaTable) -> int:
     flb_lua.c:270-302; non-integral max ⇒ not an array)."""
     mx = 0
     frac_above = 0.0
-    for k in t.hash:
+    for k, _v in t.items():
         if isinstance(k, (int, float)) and not isinstance(k, bool):
             f = float(k)
             if f > 0:
@@ -155,7 +155,7 @@ def _array_length(t: LuaTable) -> int:
         return n
     if n < 0:
         return -1
-    return -1 if t.hash else 0  # empty → 0 (packs as empty map)
+    return -1 if any(True for _ in t.items()) else 0  # empty → empty map
 
 
 def lua_to_python(v, int_keys: frozenset = frozenset(),
@@ -191,7 +191,7 @@ def lua_to_python(v, int_keys: frozenset = frozenset(),
             if n > 0:
                 return _to_array(v, n, int_keys, array_keys)
         out = {}
-        for k, val in v.hash.items():
+        for k, val in v.items():
             key = k if isinstance(k, str) else _map_key(k)
             if isinstance(k, str) and k in int_keys and \
                     isinstance(val, (int, float)) and not isinstance(val, bool):

@@ -30,17 +30,28 @@ class _Return(Exception):
         self.values = values
 
 
+class _Tomb:
+    """Deleted-slot marker: assigning nil keeps the slot (order + the
+    ability to next() past the current key when a script clears fields
+    DURING pairs traversal, which Lua explicitly permits)."""
+
+
+_TOMB = _Tomb()
+
+
 class LuaTable:
     """A Lua table: one dict (insertion-ordered) + optional metatable.
 
     Number keys are Lua doubles; Python's cross-type numeric hashing
-    (1 == 1.0) gives Lua's t[1] ≡ t[1.0] for free."""
+    (1 == 1.0) gives Lua's t[1] ≡ t[1.0] for free. Deletions leave
+    order-preserving tombstones (compacted when they dominate)."""
 
-    __slots__ = ("hash", "metatable")
+    __slots__ = ("hash", "metatable", "_tombs")
 
     def __init__(self):
         self.hash: dict = {}
         self.metatable: LuaTable | None = None
+        self._tombs = 0
 
     # raw ops ----------------------------------------------------------
     def rawget(self, key):
@@ -48,7 +59,8 @@ class LuaTable:
             return None
         if isinstance(key, float) and key.is_integer():
             key = int(key)
-        return self.hash.get(key)
+        v = self.hash.get(key)
+        return None if v is _TOMB else v
 
     def rawset(self, key, value):
         if key is None:
@@ -59,20 +71,36 @@ class LuaTable:
             if key.is_integer():
                 key = int(key)
         if value is None:
-            self.hash.pop(key, None)
+            # tombstone, never pop: compacting could drop a live pairs()
+            # cursor mid-traversal; memory stays bounded by the table's
+            # peak key count (re-assignment reuses the slot)
+            if self.hash.get(key) is not None and self.hash[key] is not _TOMB:
+                self.hash[key] = _TOMB
+                self._tombs += 1
         else:
+            if self.hash.get(key) is _TOMB:
+                self._tombs -= 1
             self.hash[key] = value
+
+    def items(self):
+        """Live (key, value) pairs in insertion order."""
+        return ((k, v) for k, v in self.hash.items() if v is not _TOMB)
 
     def length(self) -> float:
         """# operator: a border of the array part (dense 1..n length)."""
         n = 0
         h = self.hash
-        while (n + 1) in h:
+        while True:
+            v = h.get(n + 1)
+            if v is None or v is _TOMB:
+                return float(n)
             n += 1
-        return float(n)
 
     def next_key(self, key):
-        """next(t, key) → (k, v) or None. Insertion-ordered traversal."""
+        """next(t, key) → (k, v) or None. Insertion-ordered traversal;
+        tombstoned slots are skipped but still anchor the cursor, so
+        deleting the current key mid-iteration is safe (Lua manual §2.8,
+        ltable.c luaH_next semantics)."""
         keys = list(self.hash.keys())
         if key is None:
             idx = 0
@@ -83,10 +111,13 @@ class LuaTable:
                 idx = keys.index(key) + 1
             except ValueError:
                 raise LuaError("invalid key to 'next'")
-        if idx >= len(keys):
-            return None
-        k = keys[idx]
-        return (k, self.hash[k])
+        while idx < len(keys):
+            k = keys[idx]
+            v = self.hash[k]
+            if v is not _TOMB:
+                return (k, v)
+            idx += 1
+        return None
 
 
 class LuaNullType:

@@ -476,7 +476,7 @@ def install(rt: LuaRuntime, time_fn=None):
     def t_maxn(runtime, args):
         t = _check_table(args, 0, "maxn")
         mx = 0.0
-        for k in t.hash:
+        for k, _v in t.items():
             if isinstance(k, (int, float)) and not isinstance(k, bool) and float(k) > mx:
                 mx = float(k)
         return [mx]

@@ -715,3 +715,79 @@ class TestProtectedMode:
             call="f", enable_flb_null=True)
         out = list(run_lua_filter([("t", 0.0, {"v": None})], spec))
         assert out[0][2] == {"v": None, "was_null": True}
+
+
+class TestTableEdgeSemantics:
+    def run(self, src: str):
+        return LuaRuntime().execute(src, "edge.lua")
+
+    def test_delete_during_pairs_traversal(self):
+        # the Lua manual explicitly allows clearing the CURRENT field
+        # during next()-based traversal
+        assert self.run("""
+            local t = {a = 1, b = 2, c = 3, d = 4}
+            local seen = 0
+            for k, v in pairs(t) do
+                seen = seen + 1
+                t[k] = nil
+            end
+            local left = 0
+            for k in pairs(t) do left = left + 1 end
+            return seen, left
+        """) == [4.0, 0.0]
+
+    def test_delete_then_reinsert_slot(self):
+        assert self.run("""
+            local t = {1, 2, 3}
+            t[2] = nil
+            local len_after_hole = #t
+            t[2] = 20
+            return len_after_hole, #t, t[2]
+        """) == [1.0, 3.0, 20.0]
+
+    def test_len_metamethod(self):
+        assert self.run("""
+            local t = setmetatable({}, {__len = function() return 42 end})
+            return #t
+        """) == [42.0]
+
+    def test_method_definition_self(self):
+        assert self.run("""
+            local obj = {n = 10}
+            function obj:bump(k) self.n = self.n + k return self.n end
+            return obj:bump(5)
+        """) == [15.0]
+
+    def test_nested_function_name_assignment(self):
+        assert self.run("""
+            local m = {sub = {}}
+            function m.sub.f(x) return x * 2 end
+            return m.sub.f(21)
+        """) == [42.0]
+
+    def test_varargs_in_table_constructor(self):
+        assert self.run("""
+            local function pack(...) return {...} end
+            local t = pack('a', 'b', 'c')
+            return #t, t[3]
+        """) == [3.0, "c"]
+
+    def test_newindex_metamethod(self):
+        assert self.run("""
+            local log = {}
+            local t = setmetatable({}, {__newindex = function(tbl, k, v)
+                rawset(tbl, k, v)
+                table.insert(log, k)
+            end})
+            t.x = 1
+            t.x = 2  -- existing key: __newindex NOT consulted
+            return #log, t.x
+        """) == [1.0, 2.0]
+
+    def test_next_direct(self):
+        assert self.run("""
+            local t = {only = 7}
+            local k, v = next(t)
+            local k2 = next(t, k)
+            return k, v, k2 == nil
+        """) == ["only", 7.0, True]
