@@ -1712,6 +1712,20 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="forward", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "http":
+        # out_http offline path: stage the exact request bodies the
+        # plugin would POST (http.c:119-260); format/json_date_format/
+        # json_date_key/compress per the plugin's config map
+        # (http.c:795-815, defaults json/double/date)
+        opts = {}
+        for k in ("format", "json_date_format", "json_date_key", "compress"):
+            if s.get(k):
+                opts[k] = s.get(k).lower() if k != "json_date_key" else s.get(k)
+        return SinkSpec(
+            s.get("sink_name", f"http_{match.replace('*', 'all')}"),
+            match=match, fmt="http", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "prometheus_exporter":
         # out_prometheus_exporter: exposition text rendering
         # (prom.c:169 cb_prom_flush); add_label entries become static

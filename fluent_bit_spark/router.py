@@ -504,6 +504,19 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "http":
+                # out_http staging: one request-body row per (tag, chunk),
+                # written as a parquet table a poster iterates (body +
+                # content_type + content_encoding per request) — request
+                # boundaries survive, unlike a concatenated byte stream
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                http_payloads(part, s, ts_col=ts_col, tag_col=tag_col) \
+                    .write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "json":
                 # out_file json lines (flb_pack_msgpack_to_json_format):
                 # fb_json_body keeps nulls and escapes strings exactly like
@@ -883,6 +896,113 @@ def loki_lines(
         F.lit('"]]}]}'),
     ]
     return F.concat(*parts)
+
+
+def http_payloads(
+    df: DataFrame,
+    spec: SinkSpec,
+    ts_col: Optional[str] = None,
+    tag_col: str = "tag",
+) -> DataFrame:
+    """out_http request-body rendering (plugins/out_http/http.c:119-260
+    + flb_pack_msgpack_to_json_format, src/flb_pack.c:1169-1480): stage
+    the exact bodies the plugin would POST, one request per (tag, Arrow
+    batch) — the batch is this engine's chunk, like to_forward_frames.
+
+    format (http.c:797 default 'json'):
+      json        → one JSON array  [{date,...},{...}]  (',' separators)
+      json_stream → records back-to-back  {...}{...}
+      json_lines  → one record per line + trailing newline (ndjson)
+      msgpack     → raw concatenated [ts, {record}] events
+    Each JSON record gets the date key first (json_date_key default
+    'date', json_date_format default 'double', http_conf.c:257-276).
+    compress gzip (http.c:147-153) gzips the body deterministically
+    (mtime=0) and stamps content_encoding. The per-record JSON object
+    renders JVM-side (codegen concat + flb escaping); python only joins
+    strings per group and compresses — O(bytes), no per-record logic.
+
+    Returns (tag, body binary, n long, content_type, content_encoding).
+    """
+    import gzip as _gzip
+
+    from typing import Iterable
+
+    opts = spec.format_options or {}
+    fmt = (opts.get("format") or "json").lower()
+    compress = (opts.get("compress") or "").lower() or None
+    if fmt not in ("json", "json_stream", "json_lines", "msgpack"):
+        raise ValueError(f"unsupported out_http format {fmt!r}")
+    if compress not in (None, "gzip"):
+        # snappy/zstd libs aren't in this environment; documented gate
+        raise ValueError(f"unsupported out_http compress {compress!r}")
+    mime = {
+        "json": "application/json",
+        "json_stream": "application/json",
+        "json_lines": "application/x-ndjson",
+        "msgpack": "application/msgpack",
+    }[fmt]
+    encoding = "gzip" if compress == "gzip" else ""
+
+    if fmt == "msgpack":
+        from .msgpackfmt import to_msgpack_binary
+
+        cols = [c for c in df.columns if c not in (ts_col, tag_col)]
+        rendered = to_msgpack_binary(
+            df.withColumnRenamed(tag_col, "__http_tag"), ts_col, cols,
+            passthrough=("__http_tag",),
+        ).select(F.col("__http_tag").alias("tag"), F.col("value").alias("line"))
+    else:
+        body_cols = [c for c in df.columns if c not in (ts_col, tag_col)]
+        body = fb_json_body(df, body_cols)
+        date_fmt = opts.get("json_date_format") or "double"
+        date_key = opts.get("json_date_key") or "date"
+        if ts_col is not None:
+            date = json_date_col(F.col(ts_col), date_fmt)
+            line = F.concat(
+                F.lit('{"%s":' % date_key),
+                date,
+                F.when(F.length(body) > 2, F.lit(",")).otherwise(F.lit("")),
+                F.substring(body, 2, 2147483647),
+            )
+        else:
+            line = body
+        rendered = df.select(F.col(tag_col).alias("tag"), line.alias("line"))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags, bodies, ns = [], [], []
+            for tag, lines in groups.items():
+                if fmt == "msgpack":
+                    raw = b"".join(lines)
+                elif fmt == "json":
+                    raw = ("[" + ",".join(lines) + "]").encode("utf-8")
+                elif fmt == "json_stream":
+                    raw = "".join(lines).encode("utf-8")
+                else:  # json_lines
+                    raw = "".join(l + "\n" for l in lines).encode("utf-8")
+                if compress == "gzip":
+                    raw = _gzip.compress(raw, mtime=0)
+                tags.append(tag)
+                bodies.append(raw)
+                ns.append(len(lines))
+            yield pd.DataFrame({
+                "tag": tags,
+                "body": bodies,
+                "n": ns,
+                "content_type": [mime] * len(tags),
+                "content_encoding": [encoding] * len(tags),
+            })
+
+    return rendered.mapInPandas(
+        run,
+        "tag string, body binary, n long, content_type string, "
+        "content_encoding string",
+    )
 
 
 def out_file_line(df: DataFrame, ts_col: Optional[str], tag_col: str) -> Column:

@@ -1,0 +1,157 @@
+"""out_http request-body staging (router.http_payloads + config e2e).
+
+Byte-level vectors per plugins/out_http/http.c:119-260 and
+flb_pack_msgpack_to_json_format (src/flb_pack.c:1169-1480): array /
+stream / lines assembly, date-key-first records, mime + encoding
+stamps, deterministic gzip, msgpack event concatenation."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from fluent_bit_spark.router import SinkSpec, http_payloads
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("app.a", 1700000000, "alpha", 1),
+        ("app.a", 1700000001, "beta", 2),
+        ("db.x", 1700000002, "gamma", 3),
+    ]
+    df = spark.createDataFrame(rows, "tag string, es long, msg string, n long")
+    return df.select(
+        "tag", F.timestamp_seconds(F.col("es")).alias("ts"), "msg", "n"
+    ).coalesce(1)
+
+
+def spec(**opts) -> SinkSpec:
+    return SinkSpec("http_out", match="*", fmt="http", format_options=opts)
+
+
+def collect(df):
+    return {r["tag"]: r for r in df.collect()}
+
+
+class TestHttpPayloads:
+    def test_json_array_with_date_key(self, frame):
+        out = collect(http_payloads(frame, spec(format="json",
+                                                json_date_format="epoch"),
+                                    ts_col="ts"))
+        body = out["app.a"]["body"].decode()
+        assert body == (
+            '[{"date":1700000000,"msg":"alpha","n":1},'
+            '{"date":1700000001,"msg":"beta","n":2}]'
+        )
+        assert out["app.a"]["n"] == 2
+        assert out["app.a"]["content_type"] == "application/json"
+        assert out["app.a"]["content_encoding"] == ""
+        assert json.loads(out["db.x"]["body"]) == [
+            {"date": 1700000002, "msg": "gamma", "n": 3}]
+
+    def test_json_stream_back_to_back(self, frame):
+        out = collect(http_payloads(frame, spec(format="json_stream",
+                                                json_date_format="epoch"),
+                                    ts_col="ts"))
+        assert out["app.a"]["body"].decode() == (
+            '{"date":1700000000,"msg":"alpha","n":1}'
+            '{"date":1700000001,"msg":"beta","n":2}'
+        )
+        assert out["app.a"]["content_type"] == "application/json"
+
+    def test_json_lines_trailing_newline(self, frame):
+        out = collect(http_payloads(frame, spec(format="json_lines",
+                                                json_date_format="epoch"),
+                                    ts_col="ts"))
+        body = out["app.a"]["body"].decode()
+        assert body.endswith("\n")
+        assert [json.loads(x) for x in body.splitlines()] == [
+            {"date": 1700000000, "msg": "alpha", "n": 1},
+            {"date": 1700000001, "msg": "beta", "n": 2},
+        ]
+        assert out["app.a"]["content_type"] == "application/x-ndjson"
+
+    def test_default_date_format_double(self, frame):
+        # http_conf.c:266: default json_date_format is DOUBLE
+        out = collect(http_payloads(frame, spec(), ts_col="ts"))
+        first = json.loads(out["db.x"]["body"])[0]
+        assert first["date"] == pytest.approx(1700000002.0)
+
+    def test_custom_date_key(self, frame):
+        out = collect(http_payloads(
+            frame, spec(format="json_lines", json_date_format="epoch",
+                        json_date_key="@timestamp"),
+            ts_col="ts"))
+        rec = json.loads(out["db.x"]["body"].splitlines()[0])
+        assert rec["@timestamp"] == 1700000002
+
+    def test_gzip_deterministic(self, frame):
+        s = spec(format="json_lines", json_date_format="epoch",
+                 compress="gzip")
+        a = collect(http_payloads(frame, s, ts_col="ts"))
+        b = collect(http_payloads(frame, s, ts_col="ts"))
+        assert a["app.a"]["body"] == b["app.a"]["body"]
+        assert a["app.a"]["content_encoding"] == "gzip"
+        plain = collect(http_payloads(
+            frame, spec(format="json_lines", json_date_format="epoch"),
+            ts_col="ts"))
+        assert gzip.decompress(a["app.a"]["body"]) == plain["app.a"]["body"]
+
+    def test_msgpack_events_roundtrip(self, frame):
+        from fluent_bit_spark.msgpackfmt import unpack_stream
+
+        out = collect(http_payloads(frame, spec(format="msgpack"),
+                                    ts_col="ts"))
+        events = list(unpack_stream(out["app.a"]["body"]))
+        assert [(int(t), r) for t, r in events] == [
+            (1700000000, {"msg": "alpha", "n": 1}),
+            (1700000001, {"msg": "beta", "n": 2}),
+        ]
+        assert out["app.a"]["content_type"] == "application/msgpack"
+
+    def test_unknown_format_rejected(self, frame):
+        with pytest.raises(ValueError, match="unsupported out_http format"):
+            http_payloads(frame, spec(format="protobuf"), ts_col="ts")
+
+    def test_unsupported_compress_rejected(self, frame):
+        with pytest.raises(ValueError, match="unsupported out_http compress"):
+            http_payloads(frame, spec(compress="snappy"), ts_col="ts")
+
+
+class TestConfigHttpSink:
+    def test_config_e2e_staged_requests(self, spark, tmp_path):
+        import textwrap
+
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag web.a
+            Samples 3
+            Dummy {"m": "x"}
+
+        [OUTPUT]
+            Name http
+            Match web.*
+            Format json_lines
+            json_date_format epoch
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["http_web.all"] == 3
+        staged = spark.read.parquet(str(tmp_path / "out" / "http_web.all"))
+        rows = staged.collect()
+        assert sum(r["n"] for r in rows) == 3
+        for r in rows:
+            assert r["content_type"] == "application/x-ndjson"
+            for line in r["body"].decode().splitlines():
+                assert json.loads(line)["m"] == "x"
