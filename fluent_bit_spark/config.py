@@ -1726,6 +1726,21 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "opentelemetry":
+        # out_opentelemetry offline path: stage ExportLogsServiceRequest
+        # JSON envelopes (opentelemetry_logs.c; logs_body_key /
+        # logs_body_key_attributes per the plugin's config map)
+        opts = {}
+        if s.get("logs_body_key"):
+            opts["logs_body_key"] = s.get("logs_body_key").lstrip("$")
+        if s.get("logs_body_key_attributes") is not None:
+            opts["logs_body_key_attributes"] = _bool(
+                s.get("logs_body_key_attributes"))
+        return SinkSpec(
+            s.get("sink_name", f"otlp_{match.replace('*', 'all')}"),
+            match=match, fmt="otlp", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "prometheus_exporter":
         # out_prometheus_exporter: exposition text rendering
         # (prom.c:169 cb_prom_flush); add_label entries become static

@@ -503,3 +503,197 @@ def otlp_metrics_records(
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_METRICS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OTLP-JSON logs ENCODE (out_opentelemetry, plugins/out_opentelemetry/
+# opentelemetry_logs.c): the symmetric twin of decode_otlp_logs — render
+# this engine's grouped log frames back into ExportLogsServiceRequest
+# JSON envelopes. The reference posts protobuf
+# (Opentelemetry__Proto__Logs__V1__*); the OTLP/HTTP JSON encoding
+# carries identical information and is what the ingest side consumes
+# (protobuf runtime out of scope in this environment, documented).
+# ---------------------------------------------------------------------------
+
+
+def encode_any_value(v) -> dict:
+    """python value → OTLP-JSON AnyValue (msgpack_object_to_otlp_any_value,
+    opentelemetry_utils.c): bool before int (Lua/JSON booleans are ints'
+    subtype in python), int64 as a STRING per the OTLP-JSON encoding,
+    nil → unset AnyValue ({})."""
+    if v is None:
+        return {}
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    if isinstance(v, str):
+        return {"stringValue": v}
+    if isinstance(v, (list, tuple)):
+        return {"arrayValue": {"values": [encode_any_value(x) for x in v]}}
+    if isinstance(v, dict):
+        return {"kvlistValue": {"values": encode_kvlist(v)}}
+    return {"stringValue": str(v)}
+
+
+def encode_kvlist(d: dict) -> list:
+    return [{"key": k, "value": encode_any_value(v)} for k, v in d.items()]
+
+
+def _encode_log_record(
+    ts, otlp_meta: dict, record, logs_body_key=None,
+    logs_body_key_attributes=False,
+) -> dict:
+    """One logRecord (append_v1_logs_metadata_and_fields,
+    opentelemetry_logs.c:388-655): otlp metadata keys win, event time is
+    the timeUnixNano fallback (:443), severityNumber only when valid
+    1..24 (:86-97), body per log_body_key rule (log_record_set_body
+    :160-201; remaining keys become attributes only under
+    logs_body_key_attributes, :234-304)."""
+    m = otlp_meta or {}
+    lr: dict = {}
+    t = int(m.get("timestamp") or 0)
+    if t <= 0 and ts is not None:
+        # flb_time keeps (sec, nsec) ints — a single double multiply by
+        # 1e9 loses sub-second precision past 2^53; split like the C does
+        sec = int(float(ts) // 1)
+        nsec = int(round((float(ts) - sec) * 1e9))
+        t = sec * 1_000_000_000 + nsec
+    if t > 0:
+        lr["timeUnixNano"] = str(t)
+    observed = int(m.get("observed_timestamp") or 0)
+    if observed > 0:
+        lr["observedTimeUnixNano"] = str(observed)
+    sev = int(m.get("severity_number") or 0)
+    if 1 <= sev <= 24:
+        lr["severityNumber"] = sev
+    if m.get("severity_text"):
+        lr["severityText"] = m["severity_text"]
+    attrs = dict(m.get("attributes") or {})
+    body = record
+    if logs_body_key and isinstance(record, dict) and logs_body_key in record:
+        body = record[logs_body_key]
+        if logs_body_key_attributes:
+            for k, v in record.items():
+                if k != logs_body_key:
+                    attrs.setdefault(k, v)
+    if attrs:
+        lr["attributes"] = encode_kvlist(attrs)
+    if body is not None:
+        lr["body"] = encode_any_value(body)
+    if m.get("trace_id"):
+        lr["traceId"] = m["trace_id"]
+    if m.get("span_id"):
+        lr["spanId"] = m["span_id"]
+    if m.get("trace_flags"):
+        lr["flags"] = int(m["trace_flags"])
+    return lr
+
+
+def encode_otlp_logs(
+    rows,
+    logs_body_key: Optional[str] = None,
+    logs_body_key_attributes: bool = False,
+) -> str:
+    """Grouped rows (OTLP_LOGS_SCHEMA dict order: group_start markers +
+    normal records, sequential) → one ExportLogsServiceRequest JSON
+    body. Each group_start opens a fresh resourceLogs/scopeLogs section
+    (the reference walks the chunk the same way, logs_flush_to_otel);
+    records before any marker go into a default empty section, exactly
+    like the processor's otel_envelope wraps ungrouped records."""
+    resource_logs: list = []
+    current = None
+
+    def open_section(group_body: Optional[str]):
+        g = json.loads(group_body) if group_body else {}
+        res = g.get("resource") or {}
+        scope = g.get("scope") or {}
+        rl: dict = {"resource": {}}
+        if res.get("attributes"):
+            rl["resource"]["attributes"] = encode_kvlist(res["attributes"])
+        if res.get("dropped_attributes_count"):
+            rl["resource"]["droppedAttributesCount"] = int(
+                res["dropped_attributes_count"])
+        if res.get("schema_url"):
+            rl["schemaUrl"] = res["schema_url"]
+        sl: dict = {"scope": {}, "logRecords": []}
+        if scope.get("name"):
+            sl["scope"]["name"] = scope["name"]
+        if scope.get("version"):
+            sl["scope"]["version"] = scope["version"]
+        if scope.get("attributes"):
+            sl["scope"]["attributes"] = encode_kvlist(scope["attributes"])
+        if scope.get("dropped_attributes_count"):
+            sl["scope"]["droppedAttributesCount"] = int(
+                scope["dropped_attributes_count"])
+        if scope.get("schema_url"):
+            sl["schemaUrl"] = scope["schema_url"]
+        rl["scopeLogs"] = [sl]
+        resource_logs.append(rl)
+        return sl
+
+    for row in rows:
+        rtype = row.get("record_type")
+        if rtype == "group_start":
+            current = open_section(row.get("group_body"))
+            continue
+        if rtype == "group_end":
+            current = None
+            continue
+        if current is None:
+            current = open_section(None)
+        meta = row.get("otlp")
+        meta = json.loads(meta) if isinstance(meta, str) and meta else (meta or {})
+        # the frame column carries the record METADATA map, whose otlp
+        # keys nest under 'otlp' (_record_meta); accept both shapes
+        if isinstance(meta, dict) and isinstance(meta.get("otlp"), dict):
+            meta = meta["otlp"]
+        rec = row.get("record")
+        rec = json.loads(rec) if isinstance(rec, str) and rec else rec
+        current["logRecords"].append(
+            _encode_log_record(
+                row.get("ts"), meta, rec,
+                logs_body_key=logs_body_key,
+                logs_body_key_attributes=logs_body_key_attributes,
+            )
+        )
+    return json.dumps({"resourceLogs": resource_logs}, separators=(",", ":"))
+
+
+def otlp_logs_payloads(
+    df: DataFrame,
+    tag_col: str = "tag",
+    logs_body_key: Optional[str] = None,
+    logs_body_key_attributes: bool = False,
+) -> DataFrame:
+    """out_opentelemetry staging: (tag, body string, n long) — one
+    ExportLogsServiceRequest JSON body per (tag, PARTITION). Rows buffer
+    across Arrow batches and flush at partition end so a resource/scope
+    group never splits mid-envelope (the reference's flush unit is the
+    chunk; this engine's chunk is the partition). Rows are assembled in
+    partition order: sort upstream by (resource_id, scope_id, ord, seq)
+    when replaying spool frames."""
+    cols = [c for c in (
+        tag_col, "resource_id", "scope_id", "ord", "seq", "record_type",
+        "otel_schema", "group_body", "ts", "otlp", "record",
+    ) if c in df.columns]
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        per_tag: dict = {}
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                per_tag.setdefault(str(row.get(tag_col)), []).append(row)
+        tags, bodies, ns = [], [], []
+        for tag, rows in per_tag.items():
+            tags.append(tag)
+            bodies.append(encode_otlp_logs(
+                rows, logs_body_key=logs_body_key,
+                logs_body_key_attributes=logs_body_key_attributes))
+            ns.append(sum(1 for r in rows if r.get("record_type") == "normal"))
+        yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
+
+    return df.select(*cols).mapInPandas(run, "tag string, body string, n long")

@@ -504,6 +504,43 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "otlp":
+                # out_opentelemetry staging (opentelemetry_logs.c): the
+                # delivery stream renders as ExportLogsServiceRequest
+                # JSON envelopes, one per (tag, partition-chunk). A flat
+                # routed frame wraps each record as the kvlist body with
+                # the event time as timeUnixNano; grouped frames (from
+                # processors.otel_envelope / otlp ingest) keep their
+                # resource/scope sections via otlp.otlp_logs_payloads.
+                from .otlp import otlp_logs_payloads
+
+                if "record_type" in part.columns:
+                    shaped = part
+                else:
+                    ts_col = s.ts_col or next(
+                        (c for c in part.columns
+                         if c in ("ts", "warc_ts", "time")),
+                        None,
+                    )
+                    rec_cols = [c for c in part.columns
+                                if c not in (ts_col, tag_col)]
+                    ts_expr = (
+                        F.col(ts_col).cast("timestamp").cast("double")
+                        if ts_col is not None else F.lit(None).cast("double")
+                    )
+                    shaped = part.select(
+                        F.col(tag_col).alias("tag"),
+                        F.lit("normal").alias("record_type"),
+                        F.lit(None).cast("string").alias("group_body"),
+                        ts_expr.alias("ts"),
+                        F.lit(None).cast("string").alias("otlp"),
+                        fb_json_body(part, rec_cols).alias("record"),
+                    )
+                otlp_logs_payloads(
+                    shaped, **(s.format_options or {})
+                ).write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "http":
                 # out_http staging: one request-body row per (tag, chunk),
                 # written as a parquet table a poster iterates (body +

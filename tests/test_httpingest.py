@@ -578,3 +578,144 @@ def test_otlp_spool_streaming_follow(spark, tmp_path):
         for r in rows.filter("record_type = 'normal'").collect()
     )
     assert msgs == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# out_opentelemetry: OTLP-JSON logs ENCODE (otlp.encode_otlp_logs /
+# otlp_logs_payloads) — the symmetric twin of the ingest decoder.
+# Property: decode(encode(decode(x))) == decode(x) — a full
+# envelope→rows→envelope→rows cycle is a fixed point.
+# ---------------------------------------------------------------------------
+
+
+OTLP_FULL_ENVELOPE = json.dumps({
+    "resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "billing"}},
+            {"key": "host.id", "value": {"intValue": "7"}},
+        ]},
+        "schemaUrl": "https://opentelemetry.io/schemas/1.21.0",
+        "scopeLogs": [{
+            "scope": {"name": "app", "version": "1.2",
+                      "attributes": [{"key": "lib", "value": {"boolValue": True}}]},
+            "schemaUrl": "https://opentelemetry.io/schemas/scope",
+            "logRecords": [
+                {"timeUnixNano": "1700000000000000000",
+                 "severityNumber": 9, "severityText": "INFO",
+                 "traceId": "0102030405060708090a0b0c0d0e0f10",
+                 "spanId": "0102030405060708", "flags": 1,
+                 "attributes": [{"key": "env", "value": {"stringValue": "prod"}}],
+                 "body": {"kvlistValue": {"values": [
+                     {"key": "message", "value": {"stringValue": "paid"}},
+                     {"key": "amount", "value": {"doubleValue": 3.5}},
+                     {"key": "items", "value": {"arrayValue": {"values": [
+                         {"intValue": "1"}, {"stringValue": "x"}]}}},
+                 ]}}},
+                {"observedTimeUnixNano": "1700000001000000000",
+                 "body": {"stringValue": "plain text line"}},
+            ],
+        }],
+    }],
+})
+
+
+class TestOtlpLogsEncode:
+    def test_roundtrip_fixed_point(self):
+        from fluent_bit_spark.otlp import decode_otlp_logs, encode_otlp_logs
+
+        rows1 = decode_otlp_logs(OTLP_FULL_ENVELOPE, tag="otel.a")
+        body2 = encode_otlp_logs(rows1)
+        rows2 = decode_otlp_logs(body2, tag="otel.a")
+        body3 = encode_otlp_logs(rows2)
+        # after one cycle the representation is a fixed point
+        assert body2 == body3
+        # and the semantic content survives the first cycle
+        r1 = [r for r in rows1 if r["record_type"] == "normal"]
+        r2 = [r for r in rows2 if r["record_type"] == "normal"]
+        assert len(r1) == len(r2) == 2
+        assert json.loads(r1[0]["record"]) == json.loads(r2[0]["record"])
+        assert json.loads(r1[0]["otlp"])["otlp"]["trace_id"] == \
+            json.loads(r2[0]["otlp"])["otlp"]["trace_id"]
+        # group body (resource+scope) survives byte-identically
+        g1 = [r for r in rows1 if r["record_type"] == "group_start"][0]
+        g2 = [r for r in rows2 if r["record_type"] == "group_start"][0]
+        assert g1["group_body"] == g2["group_body"]
+
+    def test_plain_body_wraps_under_log_and_unwraps(self):
+        from fluent_bit_spark.otlp import decode_otlp_logs, encode_otlp_logs
+
+        rows = decode_otlp_logs(OTLP_FULL_ENVELOPE)
+        body2 = json.loads(encode_otlp_logs(rows, logs_body_key="log"))
+        # the 2nd record decoded to {"log": "plain text line"}; encoding
+        # with logs_body_key unwraps it back to a string body
+        lr = body2["resourceLogs"][0]["scopeLogs"][0]["logRecords"][1]
+        assert lr["body"] == {"stringValue": "plain text line"}
+
+    def test_flat_records_default_section(self):
+        from fluent_bit_spark.otlp import encode_otlp_logs
+
+        rows = [
+            {"record_type": "normal", "ts": 1700000000.25,
+             "otlp": None, "record": json.dumps({"m": "a", "n": 1})},
+            {"record_type": "normal", "ts": None,
+             "otlp": None, "record": json.dumps({"m": "b"})},
+        ]
+        env = json.loads(encode_otlp_logs(rows))
+        assert len(env["resourceLogs"]) == 1
+        recs = env["resourceLogs"][0]["scopeLogs"][0]["logRecords"]
+        assert recs[0]["timeUnixNano"] == "1700000000250000000"
+        assert recs[0]["body"]["kvlistValue"]["values"][0] == {
+            "key": "m", "value": {"stringValue": "a"}}
+        assert "timeUnixNano" not in recs[1]
+
+    def test_severity_bounds_and_flags(self):
+        from fluent_bit_spark.otlp import encode_otlp_logs
+
+        rows = [{"record_type": "normal", "ts": None,
+                 "otlp": json.dumps({"severity_number": 99,
+                                     "trace_flags": 0}),
+                 "record": json.dumps({"x": 1})}]
+        env = json.loads(encode_otlp_logs(rows))
+        lr = env["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+        assert "severityNumber" not in lr  # 99 invalid (1..24)
+        assert "flags" not in lr  # zero flags omitted
+
+    def test_logs_body_key_attributes(self):
+        from fluent_bit_spark.otlp import encode_otlp_logs
+
+        rows = [{"record_type": "normal", "ts": None, "otlp": None,
+                 "record": json.dumps({"msg": "hello", "extra": 5})}]
+        env = json.loads(encode_otlp_logs(
+            rows, logs_body_key="msg", logs_body_key_attributes=True))
+        lr = env["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+        assert lr["body"] == {"stringValue": "hello"}
+        assert lr["attributes"] == [
+            {"key": "extra", "value": {"intValue": "5"}}]
+
+
+class TestOtlpSinkSpark:
+    def test_write_sinks_otlp_staging(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from fluent_bit_spark.otlp import decode_otlp_logs
+        from fluent_bit_spark.router import SinkSpec, write_sinks
+
+        df = spark.createDataFrame(
+            [("otel.a", 1700000000, "paid", 3), ("otel.a", 1700000001, "refund", 4)],
+            "tag string, es long, msg string, n long",
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "msg", "n").coalesce(1)
+        counts = write_sinks(
+            df, [SinkSpec("otlp_out", match="otel.*", fmt="otlp")],
+            str(tmp_path))
+        assert counts["otlp_out"] == 2
+        staged = spark.read.parquet(str(tmp_path / "otlp_out")).collect()
+        assert sum(r["n"] for r in staged) == 2
+        # the staged envelope is consumable by the ingest decoder
+        recs = []
+        for r in staged:
+            for row in decode_otlp_logs(r["body"]):
+                if row["record_type"] == "normal":
+                    recs.append(json.loads(row["record"]))
+        assert sorted(r["msg"] for r in recs) == ["paid", "refund"]
+        assert all(set(r) == {"msg", "n"} for r in recs)
