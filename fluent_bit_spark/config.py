@@ -1726,6 +1726,44 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "syslog":
+        # out_syslog offline path: render RFC5424/RFC3164 lines (option
+        # names per the plugin's config map, syslog.c:833-940)
+        opts = {}
+        if s.get("syslog_format"):
+            opts["fmt"] = s.get("syslog_format").lower()
+        for k in ("severity_key", "facility_key", "hostname_key",
+                  "appname_key", "procid_key", "msgid_key", "message_key"):
+            v = s.get(f"syslog_{k}")
+            if v is not None:
+                opts[k] = v.lstrip("$")
+        for k in ("hostname_preset", "appname_preset", "procid_preset",
+                  "msgid_preset"):
+            v = s.get(f"syslog_{k}")
+            if v is not None:
+                opts[k] = v
+        for k in ("severity_preset", "facility_preset"):
+            v = s.get(f"syslog_{k}")
+            if v is not None:
+                opts[k] = int(v)
+        if s.get("syslog_sd_key"):
+            # repeatable option; a YAML mapping can't repeat keys so a
+            # comma list is accepted too (the log_to_metrics precedent)
+            sd = []
+            for raw in s.get_all("syslog_sd_key"):
+                for part_ in raw.split(","):
+                    if part_.strip():
+                        sd.append(part_.strip().lstrip("$"))
+            opts["sd_keys"] = sd
+        if s.get("syslog_maxsize"):
+            opts["maxsize"] = int(s.get("syslog_maxsize"))
+        if s.get("allow_longer_sd_id") is not None:
+            opts["allow_longer_sd_id"] = _bool(s.get("allow_longer_sd_id"))
+        return SinkSpec(
+            s.get("sink_name", f"syslog_{match.replace('*', 'all')}"),
+            match=match, fmt="syslog", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "opentelemetry":
         # out_opentelemetry offline path: stage ExportLogsServiceRequest
         # JSON envelopes (opentelemetry_logs.c; logs_body_key /

@@ -504,6 +504,23 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "syslog":
+                # out_syslog staging: RFC5424/RFC3164 lines, one per
+                # record (syslog.c syslog_format), written as text files
+                # a forwarder posts line-by-line
+                from .syslogfmt import syslog_line
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                opts = dict(s.format_options or {})
+                opts.setdefault("ts_col", ts_col)
+                part.select(
+                    syslog_line(part, **opts).alias("value")
+                ).write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "otlp":
                 # out_opentelemetry staging (opentelemetry_logs.c): the
                 # delivery stream renders as ExportLogsServiceRequest

@@ -1,0 +1,240 @@
+"""out_syslog message rendering (plugins/out_syslog/syslog.c).
+
+RFC5424 (syslog_rfc5424, syslog.c:144-296) and RFC3164
+(syslog_rfc3164, :297-381) lines assembled entirely JVM-side (codegen
+concat/when chains — no python in the hot path): PRI from
+facility<<3 | severity resolved from record keys (digit, 2-digit, or
+name per the syslog_severity/syslog_facility tables, :57-101) with
+preset fallbacks (config map defaults severity 6 / facility 1); field
+length caps (hostname 255, appname 48, procid 128, msgid 32);
+structured-data elements from map-typed record keys with SD-NAME
+sanitization (non-PRINTUSASCII / '=' / SP / ']' / '"' → '_',
+rfc5424_sp_name table) and value escaping ('"', '\\', ']' get a
+backslash, rfc5424_sp_value + flb_sds_cat_esc); the RFC5424 UTF-8 BOM
+before MSG; raw passthrough when the message already starts with '<';
+maxsize truncation (defaults 1024/2048, syslog_conf.c:146-153 — chars
+here vs bytes in C, a divergence only for multibyte tails).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["syslog_line", "SEVERITY_NAMES", "FACILITY_NAMES"]
+
+# syslog.c:57-76
+SEVERITY_NAMES = {
+    "emerg": 0, "alert": 1, "crit": 2, "err": 3,
+    "warning": 4, "notice": 5, "info": 6, "debug": 7,
+}
+# syslog.c:77-101 (note: no value 15; local0.. start at 16)
+FACILITY_NAMES = {
+    "kern": 0, "user": 1, "mail": 2, "daemon": 3, "auth": 4, "syslog": 5,
+    "lpr": 6, "news": 7, "uucp": 8, "cron": 9, "authpriv": 10, "ftp": 11,
+    "ntp": 12, "security": 13, "console": 14, "local0": 16, "local1": 17,
+    "local2": 18, "local3": 19, "local4": 20, "local5": 21, "local6": 22,
+    "local7": 23,
+}
+
+
+def _as_text(df: DataFrame, key: Optional[str]) -> Optional[Column]:
+    """A record key as its syslog text value (msgpack_to_syslog
+    :560-620): strings as-is, booleans 'true'/'false', ints decimal,
+    floats '%f' (six decimals)."""
+    if key is None or key not in df.columns:
+        return None
+    dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[key]
+    c = F.col(f"`{key}`")
+    if dt == "boolean":
+        return F.when(c, F.lit("true")).when(~c, F.lit("false"))
+    if dt in ("double", "float"):
+        return F.when(c.isNotNull(), F.format_string("%f", c))
+    if dt == "string":
+        return c
+    return c.cast("string")
+
+
+def _resolve_level(
+    text: Optional[Column], names: dict, lo: int, hi: int, preset: int
+) -> Column:
+    """Severity/facility from a record value: single digit, two digits
+    (facility only), or a case-insensitive name; anything else falls
+    back to the preset (msgpack_to_syslog :634-700)."""
+    out = F.lit(int(preset))
+    if text is None:
+        return out
+    t = F.trim(text)
+    num = t.try_cast("int")
+    # severity accepts ONE digit 0-7 (:646), facility one or two digits
+    # 0-23 (:657-671)
+    pattern = r"^\d$" if hi <= 7 else r"^\d{1,2}$"
+    resolved = F.when(t.rlike(pattern) & num.between(lo, hi), num)
+    for name, value in names.items():
+        resolved = resolved.when(F.lower(t) == name, F.lit(value))
+    return F.coalesce(resolved, out)
+
+
+def _cap(c: Column, n: int) -> Column:
+    return F.substring(c, 1, n)
+
+
+def _sd_element(df: DataFrame, key: str, allow_longer_sd_id: bool) -> Column:
+    """One [SD-ID k="v" ...] element from a map-typed record key
+    (msgpack_to_sd, syslog.c:383-545). Null map → empty string."""
+    sd_id = key if allow_longer_sd_id else key[:32]
+    sd_id = "".join(
+        ch if ("!" <= ch <= "~" and ch not in '=]"') else "_" for ch in sd_id
+    )
+    entries = F.transform(
+        F.map_entries(F.col(f"`{key}`")),
+        lambda e: F.concat(
+            F.lit(" "),
+            F.regexp_replace(
+                _cap(e["key"], 9999 if allow_longer_sd_id else 32),
+                r'[^\x21-\x7e]|[=\]"]', "_",
+            ),
+            F.lit('="'),
+            F.regexp_replace(
+                e["value"].cast("string"), r'(["\\\]])', r"\\$1"
+            ),
+            F.lit('"'),
+        ),
+    )
+    return F.when(
+        F.col(f"`{key}`").isNotNull(),
+        F.concat(F.lit("[" + sd_id), F.concat_ws("", entries), F.lit("]")),
+    ).otherwise(F.lit(""))
+
+
+def syslog_line(
+    df: DataFrame,
+    *,
+    fmt: str = "rfc5424",
+    ts_col: Optional[str] = None,
+    severity_key: Optional[str] = None,
+    facility_key: Optional[str] = None,
+    hostname_key: Optional[str] = None,
+    appname_key: Optional[str] = None,
+    procid_key: Optional[str] = None,
+    msgid_key: Optional[str] = None,
+    message_key: Optional[str] = None,
+    sd_keys: Sequence[str] = (),
+    severity_preset: int = 6,
+    facility_preset: int = 1,
+    hostname_preset: Optional[str] = None,
+    appname_preset: Optional[str] = None,
+    procid_preset: Optional[str] = None,
+    msgid_preset: Optional[str] = None,
+    maxsize: Optional[int] = None,
+    allow_longer_sd_id: bool = False,
+) -> Column:
+    """One rendered syslog message per record (syslog_format,
+    syslog.c:742-820). Returns a string Column."""
+    if fmt not in ("rfc5424", "rfc3164"):
+        raise ValueError(f"unsupported syslog_format {fmt!r}")
+    if maxsize is None:
+        maxsize = 1024 if fmt == "rfc3164" else 2048
+
+    sev = _resolve_level(_as_text(df, severity_key), SEVERITY_NAMES,
+                         0, 7, severity_preset)
+    fac = _resolve_level(_as_text(df, facility_key), FACILITY_NAMES,
+                         0, 23, facility_preset)
+    prival = (fac * 8 + sev).cast("string")
+
+    def field(key, preset, cap):
+        c = _as_text(df, key)
+        if c is None and preset is None:
+            return None
+        if c is None:
+            return F.lit(preset[:cap])
+        base = _cap(c, cap)
+        if preset is not None:
+            base = F.coalesce(base, F.lit(preset[:cap]))
+        return base
+
+    hostname = field(hostname_key, hostname_preset, 255)
+    appname = field(appname_key, appname_preset, 48)
+    procid = field(procid_key, procid_preset, 128)
+    msgid = field(msgid_key, msgid_preset, 32)
+    message = _as_text(df, message_key)
+
+    ts = F.col(ts_col).cast("timestamp") if ts_col else None
+
+    if fmt == "rfc5424":
+        time_part = (
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            if ts is not None
+            else F.lit("1970-01-01T00:00:00.000000Z")
+        )
+        if ts is not None:
+            time_part = F.coalesce(time_part,
+                                   F.lit("1970-01-01T00:00:00.000000Z"))
+
+        def dash(c):
+            return F.coalesce(c, F.lit("-")) if c is not None else F.lit("-")
+
+        sd_parts = [
+            _sd_element(df, k, allow_longer_sd_id)
+            for k in sd_keys
+            if k in df.columns
+        ]
+        sd = F.concat(*sd_parts) if sd_parts else F.lit("")
+        sd = F.when(F.length(sd) > 0, sd).otherwise(F.lit("-"))
+        line = F.concat(
+            F.lit("<"), prival, F.lit(">1 "),
+            time_part, F.lit(" "),
+            dash(hostname), F.lit(" "),
+            dash(appname), F.lit(" "),
+            dash(procid), F.lit(" "),
+            dash(msgid), F.lit(" "),
+            sd,
+        )
+        if message is not None:
+            # " " + UTF-8 BOM frames the MSG part (syslog.c:281-289)
+            line = F.when(
+                message.isNotNull(),
+                F.concat(line, F.lit(" \ufeff"), message),
+            ).otherwise(line)
+    else:  # rfc3164
+        if ts is not None:
+            time_part = F.concat(
+                F.date_format(ts, "MMM"), F.lit(" "),
+                F.format_string("%2d", F.dayofmonth(ts)), F.lit(" "),
+                F.date_format(ts, "HH:mm:ss"),
+            )
+            time_part = F.coalesce(time_part, F.lit("Jan  1 00:00:00"))
+        else:
+            time_part = F.lit("Jan  1 00:00:00")
+        line = F.concat(F.lit("<"), prival, F.lit(">"), time_part, F.lit(" "))
+        if hostname is not None:
+            line = F.when(
+                hostname.isNotNull(),
+                F.concat(line, hostname, F.lit(" ")),
+            ).otherwise(line)
+        if appname is not None:
+            tagpart = appname
+            if procid is not None:
+                tagpart = F.when(
+                    procid.isNotNull(),
+                    F.concat(appname, F.lit("["), procid, F.lit("]")),
+                ).otherwise(appname)
+            line = F.when(
+                appname.isNotNull(),
+                F.concat(line, tagpart, F.lit(": ")),
+            ).otherwise(line)
+        if message is not None:
+            line = F.when(
+                message.isNotNull(), F.concat(line, message)
+            ).otherwise(line)
+
+    line = _cap(line, maxsize)
+    if message is not None:
+        # a message already carrying a syslog header passes through
+        # verbatim (syslog.c:152-160, :305-313)
+        line = F.when(
+            message.isNotNull() & message.startswith("<"), message
+        ).otherwise(line)
+    return line

@@ -1,0 +1,231 @@
+"""out_syslog rendering (syslogfmt.syslog_line + config/sink wiring).
+
+Byte goldens per plugins/out_syslog/syslog.c (syslog_rfc5424:144-296,
+syslog_rfc3164:297-381, msgpack_to_sd:383-545) and a roundtrip: rendered
+lines parse back through THIS ENGINE's parsers.conf syslog-rfc5424 /
+syslog-rfc3164 parsers — the same corpus the ingest side uses."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.syslogfmt import syslog_line
+
+BOM = "﻿"
+
+
+def render(spark, rows, schema, **opts):
+    df = spark.createDataFrame(rows, schema)
+    return [r["v"] for r in df.select(syslog_line(df, **opts).alias("v")).collect()]
+
+
+class TestRfc5424:
+    def test_full_line_golden(self, spark):
+        got = render(
+            spark,
+            [(1065910455.003, "mymachine", "su", "123", "ID47",
+              "failed for lonvick", "2", "4")],
+            "es double, host string, app string, pid string, mid string, "
+            "msg string, sev string, fac string",
+            ts_col="es", hostname_key="host", appname_key="app",
+            procid_key="pid", msgid_key="mid", message_key="msg",
+            severity_key="sev", facility_key="fac",
+        )
+        # prival = 4*8 + 2 = 34; version 1; micro-precision UTC time; BOM
+        assert got[0] == (
+            "<34>1 2003-10-11T22:14:15.003000Z mymachine su 123 ID47 - "
+            + BOM + "failed for lonvick"
+        )
+
+    def test_missing_fields_render_dashes(self, spark):
+        got = render(spark, [(0.0, "hello")], "es double, msg string",
+                     ts_col="es", message_key="msg")
+        # defaults: severity 6, facility 1 → prival 14
+        assert got[0] == (
+            "<14>1 1970-01-01T00:00:00.000000Z - - - - - " + BOM + "hello")
+
+    def test_no_message_no_bom(self, spark):
+        got = render(spark, [(0.0, "h")], "es double, host string",
+                     ts_col="es", hostname_key="host")
+        assert got[0].endswith(" h - - - -")
+        assert BOM not in got[0]
+
+    def test_severity_facility_names(self, spark):
+        got = render(
+            spark, [("err", "local0", "x")],
+            "sev string, fac string, msg string",
+            severity_key="sev", facility_key="fac", message_key="msg")
+        assert got[0].startswith("<131>1 ")  # 16*8 + 3
+
+    def test_invalid_levels_fall_to_presets(self, spark):
+        got = render(
+            spark, [("weird", "99", "x")],
+            "sev string, fac string, msg string",
+            severity_key="sev", facility_key="fac", message_key="msg",
+            severity_preset=5, facility_preset=3)
+        assert got[0].startswith("<29>1 ")  # 3*8 + 5
+
+    def test_field_length_caps(self, spark):
+        got = render(
+            spark, [("H" * 300, "A" * 60, "P" * 200, "M" * 40)],
+            "host string, app string, pid string, mid string",
+            hostname_key="host", appname_key="app",
+            procid_key="pid", msgid_key="mid")
+        parts = got[0].split(" ")
+        assert len(parts[2]) == 255 and len(parts[3]) == 48
+        assert len(parts[4]) == 128 and len(parts[5]) == 32
+
+    def test_structured_data_element(self, spark):
+        got = render(
+            spark,
+            [({"ip": "1.2.3.4", 'quo"te': 'a"b\\c]d'}, "m")],
+            "meta map<string,string>, msg string",
+            sd_keys=["meta"], message_key="msg")
+        # SD-NAME chars '"' sanitized to '_'; value escapes " \ ]
+        assert got[0].count("[meta ") == 1
+        assert 'ip="1.2.3.4"' in got[0]
+        assert 'quo_te="a\\"b\\\\c\\]d"' in got[0]
+        # a present SD element replaces the '-' NILVALUE
+        assert not got[0].split(" " + BOM)[0].endswith(" -")
+
+    def test_sd_key_name_sanitized_and_capped(self, spark):
+        got = render(
+            spark, [({"k" * 40: "v"},)],
+            "weird_sd_key_name_that_is_quite_long_yes map<string,string>",
+            sd_keys=["weird_sd_key_name_that_is_quite_long_yes"])
+        sd = got[0].split("- - - - ")[1]
+        assert sd.startswith("[weird_sd_key_name_that_is_quite_")  # 32 cap
+        assert ' ' + "k" * 32 + '="v"]' in sd
+
+    def test_raw_passthrough(self, spark):
+        got = render(spark, [("<99>already a syslog line",)], "msg string",
+                     message_key="msg")
+        assert got[0] == "<99>already a syslog line"
+
+    def test_maxsize_truncates(self, spark):
+        got = render(spark, [("x" * 5000,)], "host string",
+                     hostname_key="host", maxsize=50)
+        assert len(got[0]) == 50
+
+    def test_roundtrip_through_engine_parser(self, spark):
+        from fluent_bit_spark.parsers import PARSERS
+
+        lines = render(
+            spark,
+            [(1065910455.0, "mymachine", "su", "123", "ID47", "auth ok", "2", "4")],
+            "es double, host string, app string, pid string, mid string, "
+            "msg string, sev string, fac string",
+            ts_col="es", hostname_key="host", appname_key="app",
+            procid_key="pid", msgid_key="mid", message_key="msg",
+            severity_key="sev", facility_key="fac",
+        )
+        df = spark.createDataFrame([(x,) for x in lines], "line string")
+        row = PARSERS["syslog-rfc5424"].apply(df, "line", ts_col="__ts").collect()[0]
+        assert row["pri"] == "34"
+        assert row["host"] == "mymachine"
+        assert row["ident"] == "su"
+        assert row["pid"] == "123"
+        assert row["msgid"] == "ID47"
+        assert row["message"] == BOM + "auth ok"
+        assert str(row["__ts"]).startswith("2003-10-11 22:14:15")
+
+
+class TestRfc3164:
+    def test_full_line_golden(self, spark):
+        got = render(
+            spark,
+            [(1065910455.0, "mymachine", "su", "230", "'su root' failed", "2", "4")],
+            "es double, host string, app string, pid string, msg string, "
+            "sev string, fac string",
+            fmt="rfc3164", ts_col="es", hostname_key="host",
+            appname_key="app", procid_key="pid", message_key="msg",
+            severity_key="sev", facility_key="fac",
+        )
+        assert got[0] == "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+
+    def test_day_is_space_padded(self, spark):
+        got = render(spark, [(1107624738.0, "m")],
+                     "es double, msg string",
+                     fmt="rfc3164", ts_col="es", message_key="msg")
+        # 2005-02-05 → 'Feb  5' (%2d)
+        assert got[0].startswith("<14>Feb  5 ")
+
+    def test_appname_without_procid(self, spark):
+        got = render(spark, [("prog", "hi")], "app string, msg string",
+                     fmt="rfc3164", appname_key="app", message_key="msg")
+        assert got[0].endswith(" prog: hi")
+        assert "[" not in got[0]
+
+    def test_no_hostname_skips_field(self, spark):
+        got = render(spark, [("hi",)], "msg string",
+                     fmt="rfc3164", message_key="msg")
+        assert got[0] == "<14>Jan  1 00:00:00 hi"
+
+    def test_roundtrip_through_engine_parser(self, spark):
+        from fluent_bit_spark.parsers import PARSERS
+
+        lines = render(
+            spark,
+            [(1065910455.0, "mymachine", "su", "230", "'su root' failed", "2", "4")],
+            "es double, host string, app string, pid string, msg string, "
+            "sev string, fac string",
+            fmt="rfc3164", ts_col="es", hostname_key="host",
+            appname_key="app", procid_key="pid", message_key="msg",
+            severity_key="sev", facility_key="fac",
+        )
+        df = spark.createDataFrame([(x,) for x in lines], "line string")
+        row = PARSERS["syslog-rfc3164"].apply(df, "line", ts_col="__ts").collect()[0]
+        assert row["pri"] == "34"
+        assert row["host"] == "mymachine"
+        assert row["ident"] == "su"
+        assert row["pid"] == "230"
+        assert row["message"] == "'su root' failed"
+
+    def test_numeric_value_rendering(self, spark):
+        got = render(
+            spark, [(7, 2.5, True)],
+            "pid bigint, score double, ok boolean",
+            fmt="rfc3164", appname_key="ok", procid_key="pid",
+            message_key="score")
+        # bool → 'true', int → decimal, float → '%f' six decimals
+        assert got[0].endswith(" true[7]: 2.500000")
+
+
+class TestSyslogSink:
+    def test_write_sinks_and_config(self, spark, tmp_path):
+        import textwrap
+
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag sys.a
+            Samples 2
+            Dummy {"host": "web1", "ident": "app", "msg": "started", "sev": "5"}
+
+        [OUTPUT]
+            Name syslog
+            Match sys.*
+            syslog_format rfc5424
+            syslog_hostname_key host
+            syslog_appname_key ident
+            syslog_message_key $msg
+            syslog_severity_key sev
+            syslog_facility_preset 16
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["syslog_sys.all"] == 2
+        lines = [
+            r["value"]
+            for r in spark.read.text(str(tmp_path / "out" / "syslog_sys.all")).collect()
+        ]
+        assert len(lines) == 2
+        for line in lines:
+            assert line.startswith("<133>1 ")  # 16*8 + 5
+            assert " web1 app - - - " + BOM + "started" in line
