@@ -896,6 +896,20 @@ def _build_input(
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return parser.apply(df, "line", ts_col="ts")
+    if name in ("prometheus_textfile", "prometheus_scrape"):
+        # in_prometheus_textfile reads .prom files from a glob
+        # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an
+        # endpoint — its batch analogue reads scraped payloads staged as
+        # text files. Both decode with the exposition parser
+        # (cmt_decode_prometheus) into metric-sample rows.
+        from .promparse import prom_parse_lines
+
+        path = s.get("path")
+        if not path:
+            raise ValueError(f"INPUT {name} needs path")
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        df = df.withColumn("tag", F.lit(tag))
+        return prom_parse_lines(df, keep_cols=("tag",))
     if name in ("http", "splunk", "elasticsearch", "opentelemetry"):
         # HTTP ingest family: the accept loop runs in the spool sidecar
         # (httpingest.http_spool_server — the analogue of the plugins'

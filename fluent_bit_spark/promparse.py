@@ -1,0 +1,163 @@
+"""Prometheus exposition-format PARSING (in_prometheus_textfile /
+in_prometheus_scrape → cmt_decode_prometheus).
+
+The reverse of ``metrics.prom_lines``: exposition text lines become
+metric-sample rows in this engine's metrics-table convention. Grammar
+per ``lib/cmetrics/src/cmt_decode_prometheus.[ly]`` and the exposition
+spec the reference's own test vectors pin
+(lib/cmetrics/tests/prometheus_parser.c):
+
+- ``# TYPE name type`` / ``# HELP name text`` banners (help text
+  carries ``\\\\`` and ``\\n`` escapes); other comments ignored.
+- ``name{k="v",...} value [timestamp_ms]`` samples — label values
+  escape ``\\"`` ``\\\\`` ``\\n``, a trailing comma is allowed
+  (test_sample), values accept scientific notation, ``+Inf``/``-Inf``/
+  ``NaN``.
+- Samples with no TYPE banner are ``untyped``
+  (test_metric_without_labels); ``_bucket``/``_sum``/``_count``
+  samples attach to their histogram/summary family.
+
+Everything runs JVM-side: line classification and field extraction are
+codegen regexes; the banner table (bounded by metric-family count) is
+broadcast-joined onto samples — no python, no order dependence, scales
+to any number of scraped files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["prom_parse_lines", "prom_unescape"]
+
+_NAME = r"[a-zA-Z_:][a-zA-Z0-9_:]*"
+# \x01 is the standard single-pass placeholder: exposition text is
+# line-oriented printable text and cannot carry control bytes
+_PLACEHOLDER = "\x01"
+
+
+def prom_unescape(c: Column) -> Column:
+    r"""Undo exposition escapes (\\ \n \") in one logical pass via a
+    placeholder so '\\n' (escaped backslash + n) never turns into a
+    newline."""
+    c = F.regexp_replace(c, r"\\\\", _PLACEHOLDER)
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\\"", '"')
+    return F.regexp_replace(c, _PLACEHOLDER, r"\\")
+
+
+def _parse_value(raw: Column) -> Column:
+    """Sample value: decimal/scientific, +Inf/-Inf/NaN (the lexer's
+    INFINITY/NAN tokens are case-insensitive)."""
+    low = F.lower(raw)
+    return (
+        F.when(low.isin("+inf", "inf"), F.lit(float("inf")))
+        .when(low == "-inf", F.lit(float("-inf")))
+        .when(low == "nan", F.lit(float("nan")))
+        .otherwise(raw.try_cast("double"))
+    )
+
+
+def prom_parse_lines(
+    df: DataFrame,
+    line_col: str = "line",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Exposition lines → sample rows ``(metric_name, family,
+    metric_type, help, labels map<string,string>, value double,
+    ts_ms long)``. ``keep_cols`` ride along (e.g. a tag or source-file
+    column). Unparsable non-comment lines are dropped (the bison parser
+    aborts the whole payload; a distributed scrape ingester must not —
+    documented divergence, count them upstream if needed)."""
+    line = F.col(f"`{line_col}`")
+    extra = [F.col(f"`{c}`") for c in keep_cols]
+
+    type_re = rf"^#\s*TYPE\s+({_NAME})\s+(\w+)\s*$"
+    help_re = rf"^#\s*HELP\s+({_NAME})(?:\s(.*))?$"
+    sample_re = rf"^({_NAME})(?:\{{(.*)\}})?\s+(\S+)(?:\s+(-?\d+))?\s*$"
+
+    types = (
+        df.filter(line.rlike(type_re))
+        .select(
+            F.regexp_extract(line, type_re, 1).alias("family"),
+            F.lower(F.regexp_extract(line, type_re, 2)).alias("metric_type"),
+        )
+        .dropDuplicates(["family"])
+    )
+    helps = (
+        df.filter(line.rlike(help_re))
+        .select(
+            F.regexp_extract(line, help_re, 1).alias("family"),
+            prom_unescape(F.regexp_extract(line, help_re, 2)).alias("help"),
+        )
+        .dropDuplicates(["family"])
+    )
+    banners = types.join(helps, "family", "full").select(
+        "family",
+        F.coalesce("metric_type", F.lit("untyped")).alias("metric_type"),
+        F.coalesce("help", F.lit("")).alias("help"),
+    )
+
+    pair_re = rf'({_NAME})="((?:[^"\\]|\\.)*)"'
+    block = F.regexp_extract(line, sample_re, 2)
+    keys = F.expr(
+        f"regexp_extract_all({line_col}, '{_pair_sql(pair_re)}', 1)"
+    )
+    vals = F.transform(
+        F.expr(f"regexp_extract_all({line_col}, '{_pair_sql(pair_re)}', 2)"),
+        prom_unescape,
+    )
+    samples = (
+        df.filter(~line.startswith("#") & line.rlike(sample_re))
+        .select(
+            *extra,
+            F.regexp_extract(line, sample_re, 1).alias("metric_name"),
+            F.when(F.length(block) > 0, F.map_from_arrays(keys, vals))
+            .otherwise(F.map_from_arrays(F.array(), F.array()))
+            .alias("labels"),
+            _parse_value(F.regexp_extract(line, sample_re, 3)).alias("value"),
+            F.regexp_extract(line, sample_re, 4)
+            .try_cast("long")
+            .alias("ts_ms"),
+        )
+    )
+
+    # family attachment: exact name, else histogram/summary suffix strip
+    exact = samples.join(F.broadcast(banners), samples.metric_name == banners.family, "left")
+    stripped = F.regexp_replace(
+        F.col("metric_name"), r"_(bucket|sum|count)$", ""
+    )
+    suffix_banners = banners.filter(
+        F.col("metric_type").isin("histogram", "summary")
+    ).select(
+        F.col("family").alias("sfx_family"),
+        F.col("metric_type").alias("sfx_type"),
+        F.col("help").alias("sfx_help"),
+    )
+    out = (
+        exact.withColumn("stripped", stripped)
+        .join(
+            F.broadcast(suffix_banners),
+            (F.col("family").isNull())
+            & (F.col("stripped") == F.col("sfx_family")),
+            "left",
+        )
+        .select(
+            *[F.col(c) for c in keep_cols],
+            "metric_name",
+            F.coalesce("family", "sfx_family", "metric_name").alias("family"),
+            F.coalesce("metric_type", "sfx_type", F.lit("untyped")).alias(
+                "metric_type"
+            ),
+            F.coalesce("help", "sfx_help", F.lit("")).alias("help"),
+            "labels",
+            "value",
+            "ts_ms",
+        )
+    )
+    return out
+
+
+def _pair_sql(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pattern.replace("\\", "\\\\").replace("'", "\\'")

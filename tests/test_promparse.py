@@ -1,0 +1,187 @@
+"""Prometheus exposition parsing (promparse.prom_parse_lines).
+
+Vectors from the reference's own cmetrics parser tests
+(lib/cmetrics/tests/prometheus_parser.c): test_sample (trailing
+comma), test_escape_sequences, test_metric_without_labels (untyped),
+test_prometheus_spec_example shapes, issue_fluent_bit_5541 (histogram
+family attachment) — plus a parse→render roundtrip against THIS
+engine's prom_lines encoder (the cmt_decode→cmt_encode identity the
+reference asserts)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.promparse import prom_parse_lines
+
+
+def parse(spark, text: str):
+    df = spark.createDataFrame([(ln,) for ln in text.splitlines()], "line string")
+    return {
+        (r["metric_name"], tuple(sorted((r["labels"] or {}).items()))): r
+        for r in prom_parse_lines(df).collect()
+    }
+
+
+class TestExpositionParse:
+    def test_sample_with_trailing_comma(self, spark):
+        got = parse(spark, (
+            "# HELP cmt_labels_test some docstring\n"
+            "# TYPE cmt_labels_test counter\n"
+            'cmt_labels_test{dev="Calyptia",lang="C",} 1 0\n'))
+        r = got[("cmt_labels_test", (("dev", "Calyptia"), ("lang", "C")))]
+        assert r["metric_type"] == "counter"
+        assert r["help"] == "some docstring"
+        assert r["value"] == 1.0 and r["ts_ms"] == 0
+
+    def test_escape_sequences(self, spark):
+        got = parse(spark, (
+            "# Escaping in label values:\n"
+            'msdos_file_access_time_seconds{path="C:\\\\DIR\\\\FILE.TXT",'
+            'error="Cannot find file:\\n\\"FILE.TXT\\""} 1.458255915e9\n'))
+        ((_, labels),) = [k for k in got]
+        d = dict(labels)
+        assert d["path"] == "C:\\DIR\\FILE.TXT"
+        assert d["error"] == 'Cannot find file:\n"FILE.TXT"'
+        r = got[("msdos_file_access_time_seconds", labels)]
+        assert r["value"] == 1458255915.0
+        assert r["metric_type"] == "untyped"  # no TYPE banner
+
+    def test_metric_without_labels_or_timestamp(self, spark):
+        got = parse(spark, "metric_without_timestamp_and_labels 12.47\n")
+        r = got[("metric_without_timestamp_and_labels", ())]
+        assert r["value"] == 12.47 and r["ts_ms"] is None
+        assert r["metric_type"] == "untyped" and r["labels"] == {}
+
+    def test_spec_example_counter(self, spark):
+        got = parse(spark, (
+            "# TYPE http_requests_total counter\n"
+            "# HELP http_requests_total The total number of HTTP requests.\n"
+            'http_requests_total{method="post",code="200"} 1027 1395066363000\n'
+            'http_requests_total{method="post",code="400"}    3 1395066363000\n'))
+        a = got[("http_requests_total", (("code", "200"), ("method", "post")))]
+        b = got[("http_requests_total", (("code", "400"), ("method", "post")))]
+        assert a["value"] == 1027.0 and b["value"] == 3.0
+        assert a["ts_ms"] == 1395066363000
+        assert a["help"] == "The total number of HTTP requests."
+
+    def test_histogram_family_attachment(self, spark):
+        # issue_fluent_bit_5541: _bucket/_sum/_count attach to the
+        # histogram family declared by the TYPE banner
+        got = parse(spark, (
+            "# HELP http_request_duration_seconds HTTP request latency (seconds)\n"
+            "# TYPE http_request_duration_seconds histogram\n"
+            'http_request_duration_seconds_bucket{le="0.005"} 2\n'
+            'http_request_duration_seconds_bucket{le="+Inf"} 2\n'
+            "http_request_duration_seconds_sum 0.00069131026975810528\n"
+            "http_request_duration_seconds_count 2\n"))
+        for key, r in got.items():
+            assert r["family"] == "http_request_duration_seconds"
+            assert r["metric_type"] == "histogram"
+        assert got[("http_request_duration_seconds_sum", ())]["value"] == \
+            pytest.approx(0.00069131026975810528)
+
+    def test_inf_nan_values(self, spark):
+        got = parse(spark, (
+            'a{p="x"} +Inf -3982045\n'
+            "b -Inf\n"
+            "c NaN\n"
+            "d Nan\n"))
+        assert got[("a", (("p", "x"),))]["value"] == math.inf
+        assert got[("a", (("p", "x"),))]["ts_ms"] == -3982045
+        assert got[("b", ())]["value"] == -math.inf
+        assert math.isnan(got[("c", ())]["value"])
+        assert math.isnan(got[("d", ())]["value"])
+
+    def test_non_metric_comments_ignored(self, spark):
+        got = parse(spark, (
+            "# just a comment\n"
+            "# EOF\n"
+            "x 1\n"))
+        assert list(got) == [("x", ())]
+
+    def test_help_multiple_families(self, spark):
+        # ordering independence: banners join by name, not position
+        got = parse(spark, (
+            "m_one 1\n"
+            "# TYPE m_one gauge\n"
+            "# HELP m_one first\n"
+            "# TYPE m_two counter\n"
+            "m_two 2\n"))
+        assert got[("m_one", ())]["metric_type"] == "gauge"
+        assert got[("m_one", ())]["help"] == "first"
+        assert got[("m_two", ())]["metric_type"] == "counter"
+        assert got[("m_two", ())]["help"] == ""
+
+
+class TestParseRenderRoundtrip:
+    def test_counter_roundtrip_canonical(self, spark):
+        # the identity the reference asserts: decode → encode yields the
+        # canonical exposition (cmt_encode_prometheus_create)
+        from fluent_bit_spark.metrics import prom_lines
+
+        text = (
+            "# HELP cmt_labels_test some docstring\n"
+            "# TYPE cmt_labels_test counter\n"
+            'cmt_labels_test{dev="Calyptia",lang="C",} 1 0\n')
+        expected = (
+            "# HELP cmt_labels_test some docstring\n"
+            "# TYPE cmt_labels_test counter\n"
+            'cmt_labels_test{dev="Calyptia",lang="C"} 1 0')
+        df = spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()], "line string")
+        parsed = prom_parse_lines(df).withColumn(
+            "ts", F.timestamp_millis(F.coalesce("ts_ms", F.lit(0))))
+        out = prom_lines(
+            parsed, metric_type="counter",
+            help_texts={"cmt_labels_test": "some docstring"},
+            add_timestamp=True, ts_col="ts",
+        ).orderBy("metric_name", "ord").collect()
+        assert "\n".join(r["line"] for r in out) == expected
+
+    def test_untyped_roundtrip(self, spark):
+        from fluent_bit_spark.metrics import prom_lines
+
+        df = spark.createDataFrame(
+            [("metric_without_timestamp_and_labels 12.47",)], "line string")
+        parsed = prom_parse_lines(df).withColumn(
+            "ts", F.timestamp_millis(F.coalesce("ts_ms", F.lit(0))))
+        out = prom_lines(parsed, metric_type="untyped",
+                         add_timestamp=True, ts_col="ts") \
+            .orderBy("metric_name", "ord").collect()
+        assert "\n".join(r["line"] for r in out) == (
+            "# HELP metric_without_timestamp_and_labels\n"
+            "# TYPE metric_without_timestamp_and_labels untyped\n"
+            "metric_without_timestamp_and_labels 12.470000000000001 0")
+
+
+class TestConfigPromTextfile:
+    def test_input_e2e(self, spark, tmp_path):
+        import textwrap
+
+        prom = tmp_path / "node.prom"
+        prom.write_text(
+            "# TYPE node_boots_total counter\n"
+            'node_boots_total{host="a"} 3 0\n'
+            'node_boots_total{host="b"} 5 0\n')
+        conf = textwrap.dedent(f"""
+        [INPUT]
+            Name prometheus_textfile
+            Tag node_metrics
+            path {prom}
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 2
+        rows = run.frame.collect()
+        assert all(r["tag"] == "node_metrics" for r in rows)
+        assert sorted(r["value"] for r in rows) == [3.0, 5.0]
+        assert all(r["metric_type"] == "counter" for r in rows)
