@@ -896,6 +896,19 @@ def _build_input(
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return parser.apply(df, "line", ts_col="ts")
+    if name == "statsd":
+        # in_statsd listens on UDP; the batch analogue reads datagram
+        # lines staged as text. `metrics true` (statsd.c config map)
+        # decodes into the metrics event class instead of log records.
+        from .statsdfmt import statsd_metrics, statsd_records
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT statsd needs path")
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        df = df.withColumn("tag", F.lit(tag))
+        fn = statsd_metrics if _bool(s.get("metrics", "false")) else statsd_records
+        return fn(df, keep_cols=("tag",))
     if name in ("prometheus_textfile", "prometheus_scrape"):
         # in_prometheus_textfile reads .prom files from a glob
         # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an

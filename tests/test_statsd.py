@@ -1,0 +1,133 @@
+"""in_statsd decoding (statsdfmt) — vectors from
+tests/runtime/in_statsd.c (count/sample/gauge/set payloads and the
+metrics-mode type mapping) plus statsd.c parse-edge semantics."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from fluent_bit_spark.statsdfmt import statsd_metrics, statsd_records
+
+
+def decode(spark, *lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return [r.asDict() for r in statsd_records(df).collect()]
+
+
+class TestStatsdRecords:
+    def test_counter(self, spark):
+        (r,) = decode(spark, "gorets:1|c")
+        assert r == {"type": "counter", "bucket": "gorets", "value": 1.0,
+                     "value_str": None, "sample_rate": 1.0,
+                     "incremental": None}
+
+    def test_counter_with_sample_rate(self, spark):
+        (r,) = decode(spark, "gorets:1|c|@0.1")
+        assert r["sample_rate"] == pytest.approx(0.1)
+
+    def test_zero_sample_rate_falls_to_one(self, spark):
+        # atof == 0 → 1.0 (statsd.c:194-200)
+        (r,) = decode(spark, "gorets:1|c|@0")
+        assert r["sample_rate"] == 1.0
+
+    def test_gauge_and_incremental(self, spark):
+        a, b, c = decode(spark, "gaugor:333|g", "gaugor:-10|g", "gaugor:+4|g")
+        assert a["type"] == "gauge" and a["value"] == 333.0
+        assert a["incremental"] == 0 and a["sample_rate"] is None
+        assert b["incremental"] == 1 and b["value"] == -10.0
+        assert c["incremental"] == 1 and c["value"] == 4.0
+
+    def test_set_keeps_string(self, spark):
+        (r,) = decode(spark, "uniques:765|s")
+        assert r["type"] == "set"
+        assert r["value_str"] == "765" and r["value"] is None
+
+    def test_timer(self, spark):
+        (r,) = decode(spark, "glork:320|ms|@0.5")
+        assert r["type"] == "timer" and r["value"] == 320.0
+        assert r["sample_rate"] == 0.5
+
+    def test_unknown_type_defaults_counter(self, spark):
+        # statsd_get_type: first char dispatch, default counter
+        a, b = decode(spark, "x:1|weird", "y:2|m")
+        assert a["type"] == "counter" and b["type"] == "counter"
+
+    def test_malformed_lines_dropped(self, spark):
+        assert decode(spark, "nocolon|c", "nobar:5", "ok:1|c") == [
+            {"type": "counter", "bucket": "ok", "value": 1.0,
+             "value_str": None, "sample_rate": 1.0, "incremental": None}]
+
+    def test_garbage_value_atof_zero(self, spark):
+        (r,) = decode(spark, "b:abc|c")
+        assert r["value"] == 0.0
+
+
+class TestStatsdMetrics:
+    def test_type_mapping(self, spark):
+        df = spark.createDataFrame(
+            [("gorets:1|c",), ("gaugor:5|g",), ("glork:320|ms",),
+             ("uniques:765|s",)], "line string")
+        rows = {r["metric_name"]: r for r in statsd_metrics(df).collect()}
+        # runtime in_statsd.c: metrics_counter type 0, metrics_gauge
+        # type 1, metrics_untyped (timer) type 4; sets have no sample
+        assert rows["gorets"]["metric_type"] == "counter"
+        assert rows["gaugor"]["metric_type"] == "gauge"
+        assert rows["glork"]["metric_type"] == "untyped"
+        assert "uniques" not in rows
+
+    def test_feeds_prom_exposition(self, spark):
+        # statsd → metrics table → prometheus exposition, end to end
+        from fluent_bit_spark.metrics import prom_lines
+
+        df = spark.createDataFrame([("gorets:3|c",)], "line string")
+        out = prom_lines(statsd_metrics(df), metric_type="counter") \
+            .orderBy("metric_name", "ord").collect()
+        assert [r["line"] for r in out] == [
+            "# HELP gorets\n# TYPE gorets counter", "gorets 3"]
+
+
+class TestConfigStatsd:
+    def test_input_e2e(self, spark, tmp_path):
+        spool = tmp_path / "datagrams.txt"
+        spool.write_text("gorets:1|c\ngaugor:333|g\nuniques:765|s\n")
+        conf = textwrap.dedent(f"""
+        [INPUT]
+            Name statsd
+            Tag statsd.in
+            path {spool}
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 3
+        rows = {r["bucket"]: r for r in run.frame.collect()}
+        assert rows["gorets"]["type"] == "counter"
+        assert rows["uniques"]["value_str"] == "765"
+        assert all(r["tag"] == "statsd.in" for r in run.frame.collect())
+
+    def test_input_metrics_mode(self, spark, tmp_path):
+        spool = tmp_path / "dg.txt"
+        spool.write_text("glork:320|ms\n")
+        conf = textwrap.dedent(f"""
+        [INPUT]
+            Name statsd
+            Tag statsd.m
+            path {spool}
+            metrics true
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        (row,) = run.frame.collect()
+        assert row["metric_name"] == "glork"
+        assert row["metric_type"] == "untyped"
