@@ -1753,6 +1753,24 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "influxdb":
+        # out_influxdb offline path: line-protocol rendering (option
+        # names per influxdb.c's config map: tag_keys space list,
+        # auto_tags, sequence_tag, influxdb_integer)
+        opts = {}
+        if s.get("tag_keys"):
+            opts["tag_keys"] = s.get("tag_keys").replace(",", " ").split()
+        if s.get("auto_tags") is not None:
+            opts["auto_tags"] = _bool(s.get("auto_tags"))
+        if s.get("sequence_tag") is not None:
+            opts["sequence_tag"] = s.get("sequence_tag")
+        if s.get("influxdb_integer") is not None:
+            opts["use_influxdb_integer"] = _bool(s.get("influxdb_integer"))
+        return SinkSpec(
+            s.get("sink_name", f"influxdb_{match.replace('*', 'all')}"),
+            match=match, fmt="influx", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "syslog":
         # out_syslog offline path: render RFC5424/RFC3164 lines (option
         # names per the plugin's config map, syslog.c:833-940)

@@ -1,0 +1,139 @@
+"""out_influxdb line-protocol rendering (plugins/out_influxdb/).
+
+One line per record (influxdb_format, influxdb.c:61-316 +
+influxdb_bulk.c): ``tag[,_seq=N][,tagkey=v...] field=v[,field=v...]
+<ns>``.
+
+- The measurement is the fluent-bit TAG, appended RAW
+  (influxdb_bulk_append_header:98-136 does not escape it).
+- sequence_tag (default ``_seq``, 'off' disables): a per-record counter
+  1..99999 that disambiguates duplicate timestamps. Here it is a
+  PER-PARTITION counter derived from monotonically_increasing_id's
+  per-partition row index — zero shuffle, zero python; the reference's
+  counter is per-process, so per-partition is the same isolation class.
+- tag keys (``tag_keys`` + ``auto_tags`` = every string value,
+  is_tagged_key) join the header, values escaped for space/comma/'='
+  (influxdb_escape quote=false); field values: nil skipped, bool
+  TRUE/FALSE, ints %d ('i' suffix under use_influxdb_integer), floats
+  %f, strings passed through flb_utils_write_str JSON escaping THEN
+  quote-escaped for '"'/'\\' — the double escaping is what the C does
+  (influxdb.c:215-227 → bulk_append_kv quote path), reproduced
+  faithfully.
+- Records whose fields are all tagged/absent are skipped
+  (influxdb.c:274-279).
+- Timestamp: nanoseconds (µs precision here — Spark timestamps carry
+  µs). The tsmod duplicate-increment hack (influxdb.c:44-55) is
+  inherently sequential single-writer state and is NOT reproduced; the
+  sequence tag is the dedup mechanism that matters and is on by
+  default (documented divergence).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jsonesc import fb_json_escape
+
+__all__ = ["influx_lines"]
+
+
+def _esc_unquoted(c: Column) -> Column:
+    """influxdb_escape(quote=false): backslash before isspace/','/'='."""
+    return F.regexp_replace(c, r"([\s,=])", r"\\$1")
+
+
+def _esc_quoted(c: Column) -> Column:
+    """The C's quoted-string path: flb_utils_write_str JSON escaping,
+    then influxdb_escape(quote=true) backslashing '"' and '\\'."""
+    once = fb_json_escape(c)
+    return F.regexp_replace(once, r'(["\\])', r"\\$1")
+
+
+def _esc_key(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch in " \t\n\r\f\v,=":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def influx_lines(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    tag_keys: Sequence[str] = (),
+    auto_tags: bool = False,
+    sequence_tag: Optional[str] = None,
+    use_influxdb_integer: bool = False,
+) -> Column:
+    """The rendered line-protocol Column (null for records with no
+    fields — filter those out before writing, mirroring the C's skip)."""
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    record_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+
+    seq_name = "_seq" if sequence_tag is None else sequence_tag
+    if seq_name == "off":
+        seq_name = ""
+
+    def is_tag(name: str) -> bool:
+        if name in tag_keys:
+            return True
+        return auto_tags and dtypes.get(name) == "string"
+
+    header_parts: list[Column] = [F.col(f"`{tag_col}`")]
+    if seq_name:
+        # per-partition record index; wraps inside 1..99999 like the
+        # reference's counter (influxdb.c:119-124)
+        seq = (F.monotonically_increasing_id() % (1 << 33)) % 99999 + 1
+        header_parts.append(
+            F.concat(F.lit("," + _esc_key(seq_name) + "="),
+                     seq.cast("string")))
+    field_frags: list[Column] = []
+    for name in record_cols:
+        dt = dtypes[name]
+        c = F.col(f"`{name}`")
+        if is_tag(name):
+            header_parts.append(
+                F.when(
+                    c.isNotNull(),
+                    F.concat(F.lit("," + _esc_key(name) + "="),
+                             _esc_unquoted(c.cast("string"))),
+                ).otherwise(F.lit("")))
+            continue
+        if dt == "boolean":
+            val = F.when(c, F.lit("TRUE")).otherwise(F.lit("FALSE"))
+        elif dt in ("bigint", "int", "smallint", "tinyint", "long"):
+            val = c.cast("string")
+            if use_influxdb_integer:
+                val = F.concat(val, F.lit("i"))
+        elif dt in ("double", "float"):
+            val = F.format_string("%f", c)
+        else:
+            val = F.concat(F.lit('"'), _esc_quoted(c.cast("string")),
+                           F.lit('"'))
+        field_frags.append(
+            F.when(c.isNotNull(),
+                   F.concat(F.lit(_esc_key(name) + "="), val)))
+
+    if not field_frags:
+        raise ValueError("influx_lines: every record column is a tag — "
+                         "records would have no fields (the C skips them)")
+    fields = F.concat_ws(",", *field_frags)  # null fragments vanish
+    if ts_col is not None:
+        ns = F.coalesce(
+            (F.unix_micros(F.col(f"`{ts_col}`").cast("timestamp"))
+             * 1000).cast("string"),
+            F.lit("0"),
+        )
+    else:
+        ns = F.lit("0")
+    line = F.concat(F.concat(*header_parts), F.lit(" "), fields,
+                    F.lit(" "), ns)
+    # all-null fields → empty fields string → record skipped (null line)
+    return F.when(F.length(fields) > 0, line)

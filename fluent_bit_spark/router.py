@@ -504,6 +504,25 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "influx":
+                # out_influxdb staging: line-protocol text
+                # (influxdb_format); field-less records are skipped like
+                # the C's warn-and-continue (influxdb.c:274-279)
+                from .influxfmt import influx_lines
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                line = influx_lines(
+                    part, tag_col=tag_col, ts_col=ts_col,
+                    **(s.format_options or {}),
+                )
+                part.select(line.alias("value")).filter(
+                    F.col("value").isNotNull()
+                ).write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "syslog":
                 # out_syslog staging: RFC5424/RFC3164 lines, one per
                 # record (syslog.c syslog_format), written as text files

@@ -1,0 +1,123 @@
+"""out_influxdb line-protocol rendering (influxfmt.influx_lines).
+
+Byte-level vectors per plugins/out_influxdb/influxdb.c (influxdb_format
+:61-316) and influxdb_bulk.c (escaping tables, header/kv/timestamp
+assembly)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.influxfmt import influx_lines
+
+
+def render(spark, rows, schema, **opts):
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    return [
+        r["v"]
+        for r in df.select(influx_lines(df, **opts).alias("v")).collect()
+    ]
+
+
+class TestInfluxLines:
+    def test_basic_line_with_seq(self, spark):
+        got = render(
+            spark, [("cpu.0", 1700000000, 0.5, 42)],
+            "tag string, es long, usage double, count bigint",
+            ts_col="es")
+        # measurement = tag; default sequence tag _seq; %f floats;
+        # bare ints; ns timestamp
+        assert got[0] == "cpu.0,_seq=1 usage=0.500000,count=42 1700000000000000000"
+
+    def test_seq_increments_per_record(self, spark):
+        got = render(
+            spark, [("t", 1), ("t", 2), ("t", 3)], "tag string, n bigint")
+        assert [g.split(" ")[0] for g in got] == [
+            "t,_seq=1", "t,_seq=2", "t,_seq=3"]
+
+    def test_sequence_tag_off(self, spark):
+        got = render(spark, [("t", 1)], "tag string, n bigint",
+                     sequence_tag="off")
+        assert got[0] == "t n=1 0"
+
+    def test_custom_sequence_tag(self, spark):
+        got = render(spark, [("t", 1)], "tag string, n bigint",
+                     sequence_tag="seq no")  # escaped key
+        assert got[0].startswith("t,seq\\ no=1 ")
+
+    def test_string_field_quoted_double_escaped(self, spark):
+        # the C runs flb_utils_write_str THEN escapes '"' and '\':
+        # 'a"b\c' -> json 'a\"b\\c' -> quoted 'a\\\"b\\\\c'
+        got = render(spark, [("t", 'a"b\\c')], "tag string, msg string",
+                     sequence_tag="off")
+        assert got[0] == 't msg="a\\\\\\"b\\\\\\\\c" 0'
+
+    def test_bool_and_integer_suffix(self, spark):
+        got = render(spark, [("t", True, 7)],
+                     "tag string, ok boolean, n bigint",
+                     sequence_tag="off", use_influxdb_integer=True)
+        assert got[0] == "t ok=TRUE,n=7i 0"
+
+    def test_tag_keys_join_header_unquoted(self, spark):
+        got = render(
+            spark, [("t", "us east", "web-1", 3)],
+            "tag string, region string, host string, n bigint",
+            sequence_tag="off", tag_keys=["region", "host"])
+        assert got[0] == "t,region=us\\ east,host=web-1 n=3 0"
+
+    def test_auto_tags_strings_become_tags(self, spark):
+        got = render(
+            spark, [("t", "prod", 1.5)],
+            "tag string, env string, v double",
+            sequence_tag="off", auto_tags=True)
+        assert got[0] == "t,env=prod v=1.500000 0"
+
+    def test_null_fields_omitted(self, spark):
+        got = render(spark, [("t", None, 2)],
+                     "tag string, a bigint, b bigint", sequence_tag="off")
+        assert got[0] == "t b=2 0"
+
+    def test_all_null_record_skipped(self, spark):
+        got = render(spark, [("t", None)], "tag string, a bigint",
+                     sequence_tag="off")
+        assert got == [None]  # the sink filters these (C warns + skips)
+
+    def test_all_tagged_raises(self, spark):
+        df = spark.createDataFrame([("t", "x")], "tag string, only string")
+        with pytest.raises(ValueError, match="every record column is a tag"):
+            influx_lines(df, tag_col="tag", tag_keys=["only"])
+
+
+class TestConfigInfluxSink:
+    def test_config_e2e(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag sensors
+            Samples 2
+            Dummy {"host": "a", "temp": 21.5}
+
+        [OUTPUT]
+            Name influxdb
+            Match *
+            Tag_Keys host
+            Sequence_Tag off
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["influxdb_all"] == 2
+        lines = [
+            r["value"]
+            for r in spark.read.text(str(tmp_path / "out" / "influxdb_all")).collect()
+        ]
+        assert len(lines) == 2
+        for ln in lines:
+            assert ln.startswith("sensors,host=a temp=21.500000 ")
