@@ -1753,6 +1753,21 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "datadog":
+        # out_datadog offline path (config map names, datadog.c:505-590)
+        opts = {}
+        for k in ("dd_message_key", "json_date_key", "tag_key",
+                  "dd_source", "dd_service", "dd_hostname", "dd_tags",
+                  "provider"):
+            if s.get(k) is not None:
+                opts[k] = s.get(k)
+        if s.get("include_tag_key") is not None:
+            opts["include_tag_key"] = _bool(s.get("include_tag_key"))
+        return SinkSpec(
+            s.get("sink_name", f"datadog_{match.replace('*', 'all')}"),
+            match=match, fmt="datadog", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "influxdb":
         # out_influxdb offline path: line-protocol rendering (option
         # names per influxdb.c's config map: tag_keys space list,

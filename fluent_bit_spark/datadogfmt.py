@@ -1,0 +1,194 @@
+"""out_datadog payload rendering (plugins/out_datadog/).
+
+One JSON object per record (datadog.c:82-340), POSTed as a JSON array
+per flush: ``{json_date_key: ms, [tag_key: tag], [ddsource],
+[service], [hostname], ...record (dd_message_key → "message"),
+[ddtags]}``.
+
+- Timestamp: millisecond epoch with half-up rounding of the
+  sub-millisecond part (timestamp_format, datadog.c:53-65).
+- dd_message_key (default 'log') renames IN PLACE to 'message'
+  (:280-289).
+- provider='ecs' activates attribute→tag remapping
+  (datadog_remap.c:249-257): container_id/container_image move to
+  ddtags verbatim, container_name drops a leading '/', ecs_cluster
+  keeps the part after 'cluster/', ecs_task_definition splits
+  family:version, ecs_task_arn emits task_arn + region (from an
+  arn:aws:ecs: prefix) + task_id (after 'task/'); remapped keys leave
+  the record body; static dd_tags append after remapped ones
+  (:296-322). A remap only fires for non-empty string values
+  (dd_attr_need_remapping).
+
+All rendering is JVM-side codegen; python only joins the per-(tag,
+chunk) array body — the same O(bytes) assembly as the http staging.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jsonesc import fb_json_body, fb_json_escape
+
+__all__ = ["datadog_line", "datadog_payloads"]
+
+_REMAP_KEYS = (
+    "container_id", "container_name", "container_image",
+    "ecs_cluster", "ecs_task_definition", "ecs_task_arn",
+)
+
+
+def _py_json_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _remap_fragment(name: str, c: Column) -> Column:
+    """The ddtags fragment(s) one remapped attribute contributes
+    (datadog_remap.c remap_to_tag functions); null when absent/empty."""
+    v = fb_json_escape(c)
+    if name == "container_name":
+        frag = F.concat(F.lit("container_name:"),
+                        F.regexp_replace(v, r"^/", ""))
+    elif name == "ecs_cluster":
+        # keep what follows 'cluster/' when present, else the raw value
+        frag = F.concat(
+            F.lit("cluster_name:"),
+            F.when(v.contains("cluster/"),
+                   F.substring_index(v, "cluster/", -1)).otherwise(v))
+    elif name == "ecs_task_definition":
+        frag = F.when(
+            v.contains(":"),
+            F.concat(F.lit("task_family:"), F.substring_index(v, ":", 1),
+                     F.lit(",task_version:"), F.substring_index(v, ":", -1)),
+        ).otherwise(F.concat(F.lit("ecs_task_definition:"), v))
+    elif name == "ecs_task_arn":
+        arn = F.concat(F.lit("task_arn:"), v)
+        region = F.when(
+            v.startswith("arn:aws:ecs:")
+            & F.substring(v, len("arn:aws:ecs:") + 1, 1000000).contains(":"),
+            F.concat(F.lit(",region:"), F.substring_index(
+                F.substring(v, len("arn:aws:ecs:") + 1, 1000000), ":", 1)),
+        ).otherwise(F.lit(""))
+        task_id = F.when(
+            v.contains("task/"),
+            F.concat(F.lit(",task_id:"), F.substring_index(v, "task/", -1)),
+        ).otherwise(F.concat(F.lit(",task_id:"), v))
+        frag = F.concat(arn, region, task_id)
+    else:  # container_id / container_image: move_to_tags verbatim
+        frag = F.concat(F.lit(name + ":"), v)
+    return F.when(c.isNotNull() & (F.length(c) > 0), frag)
+
+
+def datadog_line(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    dd_message_key: str = "log",
+    json_date_key: str = "timestamp",
+    include_tag_key: bool = False,
+    tag_key: str = "tagkey",
+    dd_source: Optional[str] = None,
+    dd_service: Optional[str] = None,
+    dd_hostname: Optional[str] = None,
+    dd_tags: Optional[str] = None,
+    provider: Optional[str] = None,
+) -> Column:
+    """One rendered datadog JSON object per record."""
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    remap_on = (provider or "").lower() == "ecs"
+    remap_cols = [
+        c for c in df.columns
+        if remap_on and c in _REMAP_KEYS and dtypes.get(c) == "string"
+    ]
+    rec_cols = [c for c in df.columns
+                if c not in (tag_col, ts_col) and c not in remap_cols]
+
+    if ts_col is not None:
+        us = F.unix_micros(F.col(f"`{ts_col}`").cast("timestamp"))
+        ms = F.floor((us + 500) / 1000).cast("long")
+        ms = F.coalesce(ms, F.lit(0))
+    else:
+        ms = F.lit(0)
+    head_parts: list[Column] = [
+        F.lit('{"%s":' % _py_json_escape(json_date_key)),
+        ms.cast("string"),
+    ]
+    if include_tag_key:
+        head_parts += [
+            F.lit(',"%s":"' % _py_json_escape(tag_key)),
+            fb_json_escape(F.col(f"`{tag_col}`").cast("string")),
+            F.lit('"'),
+        ]
+    for key, val in (("ddsource", dd_source), ("service", dd_service),
+                     ("hostname", dd_hostname)):
+        if val is not None:
+            head_parts.append(
+                F.lit(',"%s":"%s"' % (key, _py_json_escape(val))))
+
+    # record body with dd_message_key renamed to 'message' IN PLACE —
+    # an expression-level key rename so the returned Column resolves
+    # against the caller's frame
+    key_names = ["message" if c == dd_message_key else c for c in rec_cols]
+    body = (fb_json_body(df, rec_cols, key_names=key_names)
+            if rec_cols else F.lit("{}"))
+    # middle = ",k:v,..}" (record keys + body's closing brace), or "}"
+    middle = F.when(
+        F.length(body) > 2,
+        F.concat(F.lit(","), F.substring(body, 2, 2147483647)),
+    ).otherwise(F.lit("}"))
+
+    frags = [_remap_fragment(c, F.col(f"`{c}`")) for c in remap_cols]
+    if dd_tags:
+        frags.append(F.lit(_py_json_escape(dd_tags)))
+    if frags:
+        tags_val = F.concat_ws(",", *frags)  # null fragments vanish
+        ddtags = F.when(
+            F.length(tags_val) > 0,
+            F.concat(F.lit(',"ddtags":"'), tags_val, F.lit('"}')),
+        ).otherwise(F.lit("}"))
+        # splice ddtags in before the closing brace (it packs LAST,
+        # datadog.c:296-322)
+        middle = F.concat(F.regexp_replace(middle, r"\}$", ""), ddtags)
+    return F.concat(F.concat(*head_parts), middle)
+
+
+def datadog_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    **line_opts,
+) -> DataFrame:
+    """(tag, body string, n long): one JSON-array request body per
+    (tag, Arrow batch) — the flush unit (datadog.c cb_datadog_flush
+    posts one array per chunk)."""
+    line = datadog_line(df, tag_col=tag_col, ts_col=ts_col, **line_opts)
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags, bodies, ns = [], [], []
+            for tag, lines in groups.items():
+                tags.append(tag)
+                bodies.append("[" + ",".join(lines) + "]")
+                ns.append(len(lines))
+            yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
+
+    return rendered.mapInPandas(run, "tag string, body string, n long")

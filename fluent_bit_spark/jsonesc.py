@@ -98,19 +98,21 @@ def _jackson_fragment(col: Column) -> Column:
     return F.substring(j, F.lit(6), F.length(j) - 6)
 
 
-def fb_json_body(df, cols) -> Column:
+def fb_json_body(df, cols, key_names=None) -> Column:
     """``{"k":v,...}`` over the given top-level columns with string
     values escaped per flb_utils_write_str (keys are python-side
     constants, escaped the same way statically). Non-string scalar and
     nested values keep Jackson's rendering — numbers/bools are
     identical either way; strings nested inside struct/map/array
     columns keep Jackson escaping (documented divergence: the reference
-    re-escapes at every depth, a flat log record rarely nests)."""
+    re-escapes at every depth, a flat log record rarely nests).
+    ``key_names`` optionally renames emitted keys positionally (e.g.
+    out_datadog's dd_message_key → 'message' in-place rename)."""
     from pyspark.sql import types as T
 
     parts: list[Column] = [F.lit("{")]
     for i, name in enumerate(cols):
-        key = _py_escape(name)
+        key = _py_escape(key_names[i] if key_names else name)
         prefix = ("," if i else "") + '"' + key + '":'
         parts.append(F.lit(prefix))
         col = F.col(f"`{name}`")

@@ -504,6 +504,21 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "datadog":
+                # out_datadog staging: one JSON-array request body per
+                # (tag, chunk), parquet table like the http staging
+                from .datadogfmt import datadog_payloads
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                datadog_payloads(
+                    part, tag_col=tag_col, ts_col=ts_col,
+                    **(s.format_options or {}),
+                ).write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "influx":
                 # out_influxdb staging: line-protocol text
                 # (influxdb_format); field-less records are skipped like

@@ -1,0 +1,147 @@
+"""out_datadog payload rendering (datadogfmt) — vectors per
+plugins/out_datadog/datadog.c (timestamp_format:53-65, payload
+assembly:196-340) and datadog_remap.c (the ECS remap table)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.datadogfmt import datadog_line, datadog_payloads
+
+
+def render(spark, rows, schema, **opts):
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    return [
+        json.loads(r["v"])
+        for r in df.select(datadog_line(df, **opts).alias("v")).collect()
+    ]
+
+
+class TestDatadogLine:
+    def test_basic_object(self, spark):
+        (obj,) = render(
+            spark, [("app", 1700000000, "hello", 5)],
+            "tag string, es long, log string, n bigint",
+            ts_col="es")
+        # dd_message_key default 'log' renames to 'message'; ms epoch
+        assert obj == {"timestamp": 1700000000000, "message": "hello", "n": 5}
+
+    def test_ms_rounding_half_up(self, spark):
+        df = spark.createDataFrame([(1.0006,), (1.0004,)], "es double")
+        got = [json.loads(r["v"]) for r in df.select(
+            datadog_line(df, tag_col="tag", ts_col="es").alias("v")).collect()]
+        assert sorted(o["timestamp"] for o in got) == [1000, 1001]
+
+    def test_statics_and_tag_key(self, spark):
+        (obj,) = render(
+            spark, [("svc.a", "x")], "tag string, log string",
+            include_tag_key=True, dd_source="nginx", dd_service="web",
+            dd_hostname="h1", dd_tags="env:prod,team:core")
+        assert obj["tagkey"] == "svc.a"
+        assert obj["ddsource"] == "nginx"
+        assert obj["service"] == "web"
+        assert obj["hostname"] == "h1"
+        assert obj["ddtags"] == "env:prod,team:core"
+        assert obj["message"] == "x"
+
+    def test_custom_message_and_date_keys(self, spark):
+        (obj,) = render(
+            spark, [("t", "payload")], "tag string, body string",
+            dd_message_key="body", json_date_key="@ts")
+        assert obj == {"@ts": 0, "message": "payload"}
+
+    def test_ecs_remap_moves_to_ddtags(self, spark):
+        (obj,) = render(
+            spark,
+            [("t", "abc123", "/web-1", "nginx:1.25",
+              "arn:aws:ecs:us-east-1:111:cluster/my-cluster",
+              "fam:3",
+              "arn:aws:ecs:us-east-1:111:task/cl/abcdef", "msg")],
+            "tag string, container_id string, container_name string, "
+            "container_image string, ecs_cluster string, "
+            "ecs_task_definition string, ecs_task_arn string, log string",
+            provider="ecs")
+        # remapped keys leave the record body
+        for k in ("container_id", "container_name", "container_image",
+                  "ecs_cluster", "ecs_task_definition", "ecs_task_arn"):
+            assert k not in obj
+        tags = obj["ddtags"]
+        assert "container_id:abc123" in tags
+        assert "container_name:web-1" in tags  # leading / stripped
+        assert "container_image:nginx:1.25" in tags
+        assert "cluster_name:my-cluster" in tags  # after 'cluster/'
+        assert "task_family:fam,task_version:3" in tags
+        assert "task_arn:arn:aws:ecs:us-east-1:111:task/cl/abcdef" in tags
+        assert "region:us-east-1" in tags
+        assert "task_id:cl/abcdef" in tags
+        assert obj["message"] == "msg"
+
+    def test_remap_off_without_provider(self, spark):
+        (obj,) = render(
+            spark, [("t", "abc", "m")],
+            "tag string, container_id string, log string")
+        assert obj["container_id"] == "abc"
+        assert "ddtags" not in obj
+
+    def test_remap_plus_static_tags_order(self, spark):
+        (obj,) = render(
+            spark, [("t", "abc", "m")],
+            "tag string, container_id string, log string",
+            provider="ecs", dd_tags="env:prod")
+        # remapped first, then the static dd_tags (datadog.c:296-311)
+        assert obj["ddtags"] == "container_id:abc,env:prod"
+
+    def test_null_remap_value_skipped(self, spark):
+        (obj,) = render(
+            spark, [("t", None, "m")],
+            "tag string, container_id string, log string",
+            provider="ecs", dd_tags="env:prod")
+        assert obj["ddtags"] == "env:prod"
+
+
+class TestDatadogPayloads:
+    def test_array_per_tag(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "z")],
+            "tag string, log string").coalesce(1)
+        rows = {r["tag"]: r for r in datadog_payloads(df).collect()}
+        assert rows["a"]["n"] == 2
+        body = json.loads(rows["a"]["body"])
+        assert [o["message"] for o in body] == ["x", "y"]
+        assert json.loads(rows["b"]["body"])[0]["message"] == "z"
+
+    def test_config_e2e(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag dd.logs
+            Samples 2
+            Dummy {"log": "hello", "container_id": "c9"}
+
+        [OUTPUT]
+            Name datadog
+            Match dd.*
+            provider ecs
+            dd_source app
+            include_tag_key true
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["datadog_dd.all"] == 2
+        staged = spark.read.parquet(str(tmp_path / "out" / "datadog_dd.all")).collect()
+        assert sum(r["n"] for r in staged) == 2
+        for r in staged:
+            for obj in json.loads(r["body"]):
+                assert obj["message"] == "hello"
+                assert obj["ddsource"] == "app"
+                assert obj["ddtags"] == "container_id:c9"
+                assert obj["tagkey"] == "dd.logs"
