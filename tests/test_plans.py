@@ -229,3 +229,60 @@ def test_renderer_sinks_reuse_single_persisted_upstream(
         # relation's BUILD plan, printed by formatted explain — the
         # execution path is the InMemoryTableScan node)
         assert "InMemoryTableScan" in plan, dest
+
+
+def test_round4_renderer_sinks_reuse_persisted_upstream(
+    spark, monkeypatch, tmp_path
+):
+    """The round-4 renderer sinks (syslog / influx / http / otlp /
+    datadog) must also read the ONE persisted routed frame — same
+    cache-drop guard as the round-3 renderers."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn(
+            "tag",
+            F.concat(F.col("event_type"), F.lit(".u"),
+                     (F.col("user_id") % 10).cast("string")),
+        )
+        .withColumn("msg", F.col("props"))
+    )
+    plans: dict[str, str] = {}
+
+    class RecordingWriter:
+        def __init__(self, d):
+            self.d = d
+
+        def mode(self, m):
+            return self
+
+        def option(self, k, v):
+            return self
+
+        def text(self, dest):
+            plans[dest] = plan_of(self.d)
+            self.d.count()
+
+        csv = parquet = text
+
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: RecordingWriter(self))
+    )
+    sinks = [
+        SinkSpec("sy", match="*", fmt="syslog",
+                 format_options={"message_key": "msg"}),
+        SinkSpec("ix", match="*", fmt="influx",
+                 format_options={"sequence_tag": "off"}),
+        SinkSpec("ht", match="*", fmt="http",
+                 format_options={"format": "json_lines"}),
+        SinkSpec("ot", match="*", fmt="otlp"),
+        SinkSpec("dd", match="*", fmt="datadog",
+                 format_options={"dd_message_key": "msg"}),
+    ]
+    counts = write_sinks(df, sinks, str(tmp_path))
+    assert len(plans) == 5 and counts["sy"] == counts["dd"] > 0
+    for dest, plan in plans.items():
+        assert "InMemoryTableScan" in plan, dest
