@@ -1382,9 +1382,14 @@ def _apply_filter(
             work = work.withColumn("__lua_ts", F.lit(0.0))
         # schema for keys the script ADDS: explicit `out_schema` option,
         # else inferred by a bounded driver-side sample run (records are
-        # schemaless in the reference; Spark frames are typed)
+        # schemaless in the reference; Spark frames are typed). A
+        # STREAMING frame can't be sampled at plan time — added keys
+        # then need the explicit option (batch-only pin, the same class
+        # as the filter_stage pushdown pin)
         out_schema = s.get("out_schema")
-        if out_schema is None:
+        if out_schema is None and df.isStreaming:
+            pass  # keep the input schema; scripts editing in place work
+        elif out_schema is None:
             from .luafilter import infer_added_columns
 
             sample = [

@@ -239,3 +239,63 @@ class TestConfigLuaFilter:
             call="cb")
         out = filter_lua_columns(df, spec).orderBy("ts_epoch").collect()
         assert [r["msg"] for r in out] == [f"n={i}" for i in range(1, 6)]
+
+
+class TestStreamingLuaFilter:
+    def test_filter_lua_on_streaming_frame(self, spark, tmp_path):
+        """filter_lua_columns is a stateless mapInPandas — it must run
+        unchanged inside Structured Streaming (the reference's filters
+        run in-stream by construction). Drops and edits apply per
+        micro-batch; one Lua state per partition per batch."""
+        import textwrap
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        spark.createDataFrame(
+            [("app.a", 1.0, "keep", 1), ("app.a", 2.0, "drop", 2),
+             ("db.x", 3.0, "keep", 3)],
+            "tag string, ts_epoch double, verdict string, n bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(
+            "tag string, ts_epoch double, verdict string, n bigint"
+        ).parquet(src)
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function cb(tag, ts, record)
+                    if record.verdict == 'drop' then return -1, 0, 0 end
+                    record.n = record.n * 10
+                    return 1, ts, record
+                end
+            """),
+            call="cb")
+        filtered = filter_lua_columns(stream, spec, match="app.*")
+        q = filtered.writeStream.format("parquet") \
+            .option("path", out) \
+            .option("checkpointLocation", str(tmp_path / "ckpt")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        rows = {r["tag"]: r for r in spark.read.parquet(out).collect()}
+        assert len(rows) == 2  # app.a 'drop' dropped
+        assert rows["app.a"]["n"] == 10  # edited
+        assert rows["db.x"]["n"] == 3  # bypassed by the Match glob
+
+    def test_config_lua_streaming_inference_guard(self, spark):
+        """A streaming frame can't be sampled at config-build time: the
+        lua branch must keep the input schema instead of collecting."""
+        import textwrap
+
+        from fluent_bit_spark.config import _apply_filter, parse_classic
+
+        sections = parse_classic(textwrap.dedent("""
+        [FILTER]
+            Name lua
+            Match *
+            code function f(tag, ts, r)  r.msg = 'edited'  return 2, 0, r end
+            call f
+        """))
+        stream = spark.readStream.format("rate").load().selectExpr(
+            "'t' AS tag", "timestamp AS ts", "'orig' AS msg")
+        out = _apply_filter(stream, sections[0])
+        assert out.isStreaming
+        assert set(out.columns) == {"tag", "ts", "msg"}
