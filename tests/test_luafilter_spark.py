@@ -299,3 +299,55 @@ class TestStreamingLuaFilter:
         out = _apply_filter(stream, sections[0])
         assert out.isStreaming
         assert set(out.columns) == {"tag", "ts", "msg"}
+
+
+class TestRecipeInterpreterParity:
+    """The vectorized lua_recipes (batch ports of the stock scripts) and
+    the interpreter RUNNING THE ACTUAL SCRIPTS must produce the same
+    records — the bridge between the fast path and the faithful path."""
+
+    def test_append_tag_parity(self, spark):
+        import textwrap
+
+        from fluent_bit_spark.lua_recipes import append_tag
+
+        df = spark.createDataFrame(
+            [("app.a", 1.0, "m1"), ("db.x", 2.0, "m2")],
+            "tag string, ts_epoch double, msg string")
+        # vectorized recipe (out_key='tag_field' avoids shadowing)
+        fast = {(r["tag"], r["msg"]): r["tag_field"]
+                for r in append_tag(df, out_key="tag_field").collect()}
+        # the verbatim stock script via the interpreter, writing the
+        # same key for comparison
+        spec = LuaFilterSpec(
+            code=textwrap.dedent("""
+                function append_tag(tag, timestamp, record)
+                    new_record = record
+                    new_record["tag_field"] = tag
+                    return 1, timestamp, new_record
+                end
+            """),
+            call="append_tag")
+        faithful = filter_lua_columns(
+            df, spec,
+            out_schema="tag string, ts_epoch double, msg string, tag_field string")
+        slow = {(r["tag"], r["msg"]): r["tag_field"]
+                for r in faithful.collect()}
+        assert fast == slow
+
+    def test_drop_where_parity(self, spark):
+        from fluent_bit_spark.lua_recipes import drop_where
+
+        df = spark.createDataFrame(
+            [("t", 1.0, "info"), ("t", 2.0, "debug"), ("t", 3.0, "warn")],
+            "tag string, ts_epoch double, level string")
+        fast = sorted(r["ts_epoch"]
+                      for r in drop_where(df, "level", "debug").collect())
+        spec = LuaFilterSpec(
+            code="function cb_drop(tag, ts, r)\n"
+                 "  if r.level == 'debug' then return -1, 0, 0 end\n"
+                 "  return 0, 0, 0\nend",
+            call="cb_drop")
+        slow = sorted(r["ts_epoch"]
+                      for r in filter_lua_columns(df, spec).collect())
+        assert fast == slow == [1.0, 3.0]
