@@ -905,12 +905,18 @@ def q_sampling_modes(spark, sf_dir):
 
 
 def q_prom_exposition(spark, sf_dir):
-    """Prometheus exposition rendering (out_prometheus_exporter ->
-    cmt_encode_prometheus): log_to_metrics-style per-event_type counters
-    rendered as banner + sample rows; the DuckDB oracle replays the
-    HELP/TYPE banner, the label block, and the '%.17g' value formatting
-    (printf %g shares the dtoa semantics for these integral values)."""
+    """Three-mode RENDERED-LINES row (the byte-format sink family):
+
+    prom — out_prometheus_exporter exposition (cmt_encode_prometheus
+    banners + '%.17g' samples); syslog — out_syslog RFC5424 lines
+    (syslogfmt.syslog_line: PRI from a severity digit key, µs UTC time,
+    BOM-framed message); influx — out_influxdb line protocol
+    (influxfmt.influx_lines: %f floats, quoted strings, ns time). Each
+    leg's DuckDB oracle rebuilds the exact bytes (printf/strftime/
+    epoch_ns share C semantics)."""
     from fluent_bit_spark import metrics as M
+    from fluent_bit_spark.influxfmt import influx_lines
+    from fluent_bit_spark.syslogfmt import syslog_line
 
     ev = _t(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -919,8 +925,37 @@ def q_prom_exposition(spark, sf_dir):
         F.col("n").cast("double").alias("value"),
         F.create_map(F.lit("type"), F.col("event_type")).alias("labels"),
     )
-    out = M.prom_lines(m, metric_type="counter", static_labels=[("env", "prod")])
-    return out.select(F.col("metric_name").alias("name"), "ord", "line")
+    prom = M.prom_lines(m, metric_type="counter", static_labels=[("env", "prod")])
+    prom = prom.select(F.col("metric_name").alias("name"), "ord", "line")
+
+    sy = ev.select(
+        "event_id",
+        "ts",
+        (F.col("event_id") % 8).cast("string").alias("sev"),
+        F.concat(F.lit("h"), (F.col("user_id") % 100).cast("string")).alias("host"),
+        F.col("event_type").alias("app"),
+        F.col("props").alias("msg"),
+    )
+    sy_out = sy.select(
+        F.lit("syslog").alias("name"),
+        F.col("event_id").cast("int").alias("ord"),
+        syslog_line(
+            sy, ts_col="ts", severity_key="sev", facility_preset=16,
+            hostname_key="host", appname_key="app", message_key="msg",
+        ).alias("line"),
+    )
+
+    ix = ev.select(
+        F.lit("ev").alias("tag"), "ts", "event_id",
+        F.col("event_type").alias("etype"), "value",
+    )
+    ix_out = ix.select(
+        F.lit("influx").alias("name"),
+        F.col("event_id").cast("int").alias("ord"),
+        influx_lines(ix, tag_col="tag", ts_col="ts",
+                     sequence_tag="off").alias("line"),
+    )
+    return prom.unionByName(sy_out).unionByName(ix_out)
 
 
 def q_log_to_metrics(spark, sf_dir):
@@ -1938,6 +1973,20 @@ def oracle_sql() -> dict[str, str]:
                    name || '{env="prod",type="' || event_type || '"} ' ||
                    printf('%.17g', CAST(n AS DOUBLE)) AS line
             FROM m
+            UNION ALL
+            SELECT 'syslog' AS name, CAST(event_id AS INT) AS ord,
+                   '<' || CAST(128 + event_id % 8 AS VARCHAR) || '>1 ' ||
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || ' h' ||
+                   CAST(user_id % 100 AS VARCHAR) || ' ' || event_type ||
+                   ' - - - ' || chr(65279) || props AS line
+            FROM events
+            UNION ALL
+            SELECT 'influx' AS name, CAST(event_id AS INT) AS ord,
+                   'ev event_id=' || CAST(event_id AS VARCHAR) ||
+                   ',etype="' || event_type || '"' ||
+                   ',value=' || printf('%f', value) || ' ' ||
+                   CAST(epoch_ns(ts) AS VARCHAR) AS line
+            FROM events
         """,
         "record_mods": r"""
             SELECT 'modify' AS mode, event_id,
