@@ -697,3 +697,225 @@ def otlp_logs_payloads(
         yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
 
     return df.select(*cols).mapInPandas(run, "tag string, body string, n long")
+
+
+# ---------------------------------------------------------------------------
+# OTLP-JSON traces + metrics ENCODE — completing the out_opentelemetry
+# signal trio (the logs twin lives above). Same fixed-point contract:
+# decode(encode(decode(x))) == decode(x).
+# ---------------------------------------------------------------------------
+
+_STATUS_TO_CODE = {"UNSET": 0, "OK": 1, "ERROR": 2}
+
+
+def encode_otlp_traces(rows) -> str:
+    """Span rows (OTLP_TRACES_SCHEMA dict order, the tail-sampling
+    convention) → one ExportTraceServiceRequest JSON body. Sections
+    open per distinct (resource_id, scope_id) in first-appearance
+    order; span fields omit proto3 defaults (kind 0, zero times, UNSET
+    status) exactly the way the decoder defaults them back."""
+    resource_spans: list = []
+    sections: dict = {}
+    for row in rows:
+        key = (row.get("resource_id") or 0, row.get("scope_id") or 0)
+        if key not in sections:
+            res = json.loads(row.get("resource") or "{}")
+            scope = json.loads(row.get("scope") or "{}")
+            rl: dict = {"resource": {}}
+            if res.get("attributes"):
+                rl["resource"]["attributes"] = encode_kvlist(res["attributes"])
+            sl: dict = {"scope": {}, "spans": []}
+            for k in ("name", "version"):
+                if scope.get(k):
+                    sl["scope"][k] = scope[k]
+            rl["scopeSpans"] = [sl]
+            resource_spans.append(rl)
+            sections[key] = sl
+        span: dict = {}
+        for src, dst in (("trace_id", "traceId"), ("span_id", "spanId"),
+                         ("parent_span_id", "parentSpanId")):
+            if row.get(src):
+                span[dst] = row[src]
+        if row.get("name") is not None:
+            span["name"] = row["name"]
+        if row.get("kind"):
+            span["kind"] = int(row["kind"])
+        for src, dst in (("start_unix_nano", "startTimeUnixNano"),
+                         ("end_unix_nano", "endTimeUnixNano")):
+            v = int(row.get(src) or 0)
+            if v:
+                span[dst] = str(v)
+        attrs = row.get("attributes") or {}
+        if attrs:
+            span["attributes"] = [
+                {"key": k, "value": {"stringValue": v}}
+                for k, v in attrs.items()
+            ]
+        code = _STATUS_TO_CODE.get(row.get("status_code") or "UNSET", 0)
+        msg = row.get("status_message")
+        if code or msg:
+            status: dict = {}
+            if code:
+                status["code"] = code
+            if msg:
+                status["message"] = msg
+            span["status"] = status
+        sections[key]["spans"].append(span)
+    return json.dumps({"resourceSpans": resource_spans},
+                      separators=(",", ":"))
+
+
+def _metric_point(labels: dict, ts, drop: tuple = ()) -> dict:
+    p: dict = {}
+    attrs = [
+        {"key": k, "value": {"stringValue": v}}
+        for k, v in (labels or {}).items()
+        if k not in drop
+    ]
+    if attrs:
+        p["attributes"] = attrs
+    if ts:
+        p["timeUnixNano"] = str(int(round(float(ts) * 1e9)))
+    return p
+
+
+def encode_otlp_metrics(rows) -> str:
+    """Metric sample rows (OTLP_METRICS_SCHEMA dict order) → one
+    ExportMetricsServiceRequest JSON body. gauge/counter samples map to
+    gauge / cumulative monotonic sum points; histogram families
+    reassemble from their cumulative _bucket/_sum/_count rows (the
+    decoder expanded per-bucket counts to cumulative; this re-derives
+    the per-bucket deltas and explicitBounds from the le labels);
+    summaries reassemble from quantile + _sum/_count rows."""
+    resource_metrics: list = []
+    sections: dict = {}
+
+    def section(rid, sid) -> list:
+        key = (rid or 0, sid or 0)
+        if key not in sections:
+            rl = {"resource": {}, "scopeMetrics": [{"scope": {}, "metrics": []}]}
+            resource_metrics.append(rl)
+            sections[key] = rl["scopeMetrics"][0]["metrics"]
+        return sections[key]
+
+    # pass 1: group rows per (section, family) keeping order
+    families: dict = {}
+    order: list = []
+    for row in rows:
+        name = row.get("metric_name") or ""
+        mtype = row.get("metric_type") or "gauge"
+        family = name
+        if mtype in ("histogram", "summary") and (
+            name.endswith("_bucket") or name.endswith("_sum")
+            or name.endswith("_count")
+        ):
+            family = name.rsplit("_", 1)[0]
+        key = (row.get("resource_id") or 0, row.get("scope_id") or 0,
+               family, mtype)
+        if key not in families:
+            families[key] = []
+            order.append(key)
+        families[key].append(row)
+
+    for rid, sid, family, mtype in order:
+        frows = families[(rid, sid, family, mtype)]
+        metric: dict = {"name": family}
+        if frows[0].get("unit"):
+            metric["unit"] = frows[0]["unit"]
+        if frows[0].get("description"):
+            metric["description"] = frows[0]["description"]
+        if mtype in ("gauge", "counter", "untyped"):
+            points = []
+            for r in frows:
+                p = _metric_point(r.get("labels"), r.get("ts"))
+                v = r.get("value")
+                if v is not None:
+                    p["asDouble"] = float(v)
+                points.append(p)
+            if mtype == "counter":
+                metric["sum"] = {"dataPoints": points,
+                                 "aggregationTemporality": 2,
+                                 "isMonotonic": True}
+            else:
+                metric["gauge"] = {"dataPoints": points}
+        elif mtype == "histogram":
+            # group this family's rows per (label-set minus le, ts)
+            series: dict = {}
+            sorder: list = []
+            for r in frows:
+                labels = dict(r.get("labels") or {})
+                labels.pop("le", None)
+                skey = (tuple(sorted(labels.items())), r.get("ts"))
+                if skey not in series:
+                    series[skey] = {"buckets": [], "sum": None, "count": 0,
+                                    "labels": labels, "ts": r.get("ts")}
+                    sorder.append(skey)
+                s = series[skey]
+                nm = r.get("metric_name") or ""
+                if nm.endswith("_bucket"):
+                    s["buckets"].append(
+                        ((r.get("labels") or {}).get("le"),
+                         int(r.get("value") or 0)))
+                elif nm.endswith("_sum"):
+                    s["sum"] = float(r.get("value") or 0.0)
+                elif nm.endswith("_count"):
+                    s["count"] = int(r.get("value") or 0)
+            points = []
+            for skey in sorder:
+                s = series[skey]
+                p = _metric_point(s["labels"], s["ts"])
+                bounds = [float(le) for le, _ in s["buckets"]
+                          if le not in (None, "+Inf")]
+                cumulative = [c for _, c in s["buckets"]]
+                deltas = [
+                    c - (cumulative[i - 1] if i else 0)
+                    for i, c in enumerate(cumulative)
+                ]
+                if bounds:
+                    p["explicitBounds"] = bounds
+                if deltas:
+                    p["bucketCounts"] = [str(d) for d in deltas]
+                if s["sum"] is not None:
+                    p["sum"] = s["sum"]
+                p["count"] = str(s["count"])
+                points.append(p)
+            metric["histogram"] = {"dataPoints": points,
+                                   "aggregationTemporality": 2}
+        else:  # summary
+            series = {}
+            sorder = []
+            for r in frows:
+                labels = dict(r.get("labels") or {})
+                labels.pop("quantile", None)
+                skey = (tuple(sorted(labels.items())), r.get("ts"))
+                if skey not in series:
+                    series[skey] = {"quantiles": [], "sum": None, "count": 0,
+                                    "labels": labels, "ts": r.get("ts")}
+                    sorder.append(skey)
+                s = series[skey]
+                nm = r.get("metric_name") or ""
+                if nm.endswith("_sum"):
+                    s["sum"] = float(r.get("value") or 0.0)
+                elif nm.endswith("_count"):
+                    s["count"] = int(r.get("value") or 0)
+                else:
+                    s["quantiles"].append(
+                        (float((r.get("labels") or {}).get("quantile") or 0),
+                         float(r.get("value") or 0.0)))
+            points = []
+            for skey in sorder:
+                s = series[skey]
+                p = _metric_point(s["labels"], s["ts"])
+                if s["quantiles"]:
+                    p["quantileValues"] = [
+                        {"quantile": q, "value": v}
+                        for q, v in s["quantiles"]
+                    ]
+                if s["sum"] is not None:
+                    p["sum"] = s["sum"]
+                p["count"] = str(s["count"])
+                points.append(p)
+            metric["summary"] = {"dataPoints": points}
+        section(rid, sid).append(metric)
+    return json.dumps({"resourceMetrics": resource_metrics},
+                      separators=(",", ":"))

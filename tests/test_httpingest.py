@@ -719,3 +719,95 @@ class TestOtlpSinkSpark:
                     recs.append(json.loads(row["record"]))
         assert sorted(r["msg"] for r in recs) == ["paid", "refund"]
         assert all(set(r) == {"msg", "n"} for r in recs)
+
+
+OTLP_TRACES_ENVELOPE = json.dumps({
+    "resourceSpans": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "checkout"}}]},
+        "scopeSpans": [{
+            "scope": {"name": "tracer", "version": "2.0"},
+            "spans": [
+                {"traceId": "0af7651916cd43dd8448eb211c80319c",
+                 "spanId": "b7ad6b7169203331",
+                 "parentSpanId": "00f067aa0ba902b7",
+                 "name": "GET /cart", "kind": 2,
+                 "startTimeUnixNano": "1700000000000000000",
+                 "endTimeUnixNano": "1700000000250000000",
+                 "attributes": [
+                     {"key": "http.status_code", "value": {"intValue": "200"}}],
+                 "status": {"code": 2, "message": "timeout"}},
+                {"spanId": "cccccccccccccccc", "name": "noop"},
+            ],
+        }],
+    }],
+})
+
+OTLP_METRICS_ENVELOPE = json.dumps({
+    "resourceMetrics": [{
+        "resource": {},
+        "scopeMetrics": [{
+            "scope": {},
+            "metrics": [
+                {"name": "temp", "unit": "C", "description": "room temp",
+                 "gauge": {"dataPoints": [
+                     {"asDouble": 21.5, "timeUnixNano": "1700000000000000000",
+                      "attributes": [{"key": "room", "value": {"stringValue": "a"}}]}]}},
+                {"name": "reqs", "sum": {"dataPoints": [
+                    {"asInt": "7"}], "aggregationTemporality": 2,
+                    "isMonotonic": True}},
+                {"name": "lat", "histogram": {"dataPoints": [
+                    {"explicitBounds": [0.1, 1.0],
+                     "bucketCounts": ["2", "3", "1"],
+                     "sum": 2.5, "count": "6",
+                     "timeUnixNano": "1700000001000000000"}],
+                    "aggregationTemporality": 2}},
+                {"name": "q", "summary": {"dataPoints": [
+                    {"quantileValues": [{"quantile": 0.5, "value": 1.5},
+                                        {"quantile": 0.99, "value": 9.0}],
+                     "sum": 100.0, "count": "40"}]}},
+            ],
+        }],
+    }],
+})
+
+
+class TestOtlpTracesMetricsEncode:
+    def test_traces_roundtrip_fixed_point(self):
+        from fluent_bit_spark.otlp import decode_otlp_traces, encode_otlp_traces
+
+        rows1 = decode_otlp_traces(OTLP_TRACES_ENVELOPE, tag="t")
+        body2 = encode_otlp_traces(rows1)
+        rows2 = decode_otlp_traces(body2, tag="t")
+        assert encode_otlp_traces(rows2) == body2  # fixed point
+        assert rows1 == rows2  # and the row view is identical already
+        assert rows1[0]["status_code"] == "ERROR"
+        assert rows1[0]["attributes"]["http.status_code"] == "200"
+        assert rows1[1]["kind"] == 0 and rows1[1]["status_code"] == "UNSET"
+
+    def test_metrics_roundtrip_fixed_point(self):
+        from fluent_bit_spark.otlp import (
+            decode_otlp_metrics,
+            encode_otlp_metrics,
+        )
+
+        rows1 = decode_otlp_metrics(OTLP_METRICS_ENVELOPE, tag="m")
+        body2 = encode_otlp_metrics(rows1)
+        rows2 = decode_otlp_metrics(body2, tag="m")
+        assert rows1 == rows2  # sample view is a fixed point
+        assert encode_otlp_metrics(rows2) == body2
+        # histogram reassembly: cumulative rows -> per-bucket deltas
+        env = json.loads(body2)
+        metrics = env["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+        hist = next(m for m in metrics if m["name"] == "lat")["histogram"]
+        assert hist["dataPoints"][0]["bucketCounts"] == ["2", "3", "1"]
+        assert hist["dataPoints"][0]["explicitBounds"] == [0.1, 1.0]
+        assert hist["dataPoints"][0]["count"] == "6"
+        summ = next(m for m in metrics if m["name"] == "q")["summary"]
+        assert summ["dataPoints"][0]["quantileValues"] == [
+            {"quantile": 0.5, "value": 1.5}, {"quantile": 0.99, "value": 9.0}]
+        gauge = next(m for m in metrics if m["name"] == "temp")
+        assert gauge["unit"] == "C" and gauge["description"] == "room temp"
+        sum_m = next(m for m in metrics if m["name"] == "reqs")["sum"]
+        assert sum_m["isMonotonic"] is True
+        assert sum_m["dataPoints"][0]["asDouble"] == 7.0
