@@ -19,7 +19,8 @@ Near-duplicate operator rows are merged into multi-mode rows
 (grep_modes [legacy/and/or_exclude], throttle_modes, parser_kv
 [logfmt/ltsv/json], parser_regex_modes, rewrite_tag_modes, record_mods,
 sp_dynamic, sp_aggregate [agg/forecast], enrich_broadcast
-[seg/checklist], sampling_modes [prob/tail], sim_ann_topk) so ALL
+[seg/checklist], sampling_modes [prob/tail], sim_ann_topk, prom_exposition
+[prom/syslog/influx rendered lines]) so ALL
 registered entries — exactly 50 — fit the driver's recorded-row cap:
 every operator family gets a driver-recorded oracle row, including
 filter_lua (round 4: a real user script on the from-scratch Lua
