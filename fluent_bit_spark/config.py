@@ -1758,6 +1758,28 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "stackdriver":
+        # out_stackdriver offline path (config map names,
+        # stackdriver.c:3150-3290): export_to_project_id / resource /
+        # severity_key / text_payload_key / autoformat_stackdriver_trace
+        opts = {}
+        if s.get("export_to_project_id") or s.get("project_id"):
+            opts["project_id"] = s.get("export_to_project_id") or s.get(
+                "project_id")
+        if s.get("resource"):
+            opts["resource"] = s.get("resource")
+        if s.get("severity_key"):
+            opts["severity_key"] = s.get("severity_key")
+        if s.get("text_payload_key"):
+            opts["text_payload_key"] = s.get("text_payload_key")
+        if s.get("autoformat_stackdriver_trace") is not None:
+            opts["autoformat_stackdriver_trace"] = _bool(
+                s.get("autoformat_stackdriver_trace"))
+        return SinkSpec(
+            s.get("sink_name", f"stackdriver_{match.replace('*', 'all')}"),
+            match=match, fmt="stackdriver", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "datadog":
         # out_datadog offline path (config map names, datadog.c:505-590)
         opts = {}

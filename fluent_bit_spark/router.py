@@ -504,6 +504,21 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "stackdriver":
+                # out_stackdriver staging: entries:write bodies per
+                # (tag, chunk), parquet table like the other vendors
+                from .stackdriverfmt import stackdriver_payloads
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                stackdriver_payloads(
+                    part, tag_col=tag_col, ts_col=ts_col,
+                    **(s.format_options or {}),
+                ).write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "datadog":
                 # out_datadog staging: one JSON-array request body per
                 # (tag, chunk), parquet table like the http staging

@@ -1,0 +1,308 @@
+"""out_stackdriver LogEntry rendering (plugins/out_stackdriver/).
+
+The entries:write payload (stackdriver.c:1560-2650): one LogEntry per
+record with the plugin's special-field extraction:
+
+- severity: the ``logging.googleapis.com/severity`` key mapped through
+  the 27-alias case-insensitive table (validate_severity_level,
+  stackdriver.c:1395-1456) to the enum NUMBER the C packs (800..0).
+- timestamp precedence (stackdriver_timestamp.c extract_timestamp):
+  a ``timestamp`` map {seconds, nanos} (ints or digit-strings,
+  get_integer; seconds==0 ⇒ not present), else the
+  ``timestampSeconds``/``timestampNanos`` duo, else the event time;
+  rendered RFC3339 with 9-digit nanos (FLB_STD_TIME_FMT + nanos).
+- insertId: must be a non-empty string; an INVALID one (present but
+  wrong type/empty) drops the record (validate_insert_id,
+  stackdriver.c:1424-1455 → skip path).
+- labels key → LogEntry.labels; operation / sourceLocation maps:
+  known subfields (id/producer/first/last; file/line/function)
+  extracted, EXTRA subfields stay in jsonPayload under the same key
+  (extract_operation + pack_extra_operation_subfields).
+- trace (+ autoformat_stackdriver_trace → projects/<id>/traces/<t>),
+  spanId, traceSampled.
+- logName: ``projects/<project_id>/logs/<log_name_key value | tag>``.
+- textPayload rule (stackdriver.c:1648-1665): when the residual record
+  reduces to exactly the text_payload_key string field, the entry
+  carries textPayload instead of jsonPayload.
+
+Residual (documented): httpRequest subfield validation
+(stackdriver_http_request.c) and the k8s/GCE monitored-resource type
+derivation (resource_types + gce_metadata are environment probes);
+``resource`` stays the configured type + project_id label.
+
+All rendering is JVM-side codegen (when-chains + concat); python only
+joins the entries array per (tag, chunk).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jsonesc import fb_json_body, fb_json_escape
+
+__all__ = ["SEVERITY_ALIASES", "stackdriver_entry", "stackdriver_payloads"]
+
+# validate_severity_level's enum_mapping (stackdriver.c:1395-1456);
+# values are the LogSeverity enum numbers (stackdriver.h:243-251)
+SEVERITY_ALIASES = {
+    "EMERGENCY": 800, "EMERG": 800,
+    "A": 700, "ALERT": 700,
+    "C": 600, "F": 600, "CRIT": 600, "FATAL": 600, "CRITICAL": 600,
+    "E": 500, "ERR": 500, "ERROR": 500, "SEVERE": 500,
+    "W": 400, "WARN": 400, "WARNING": 400,
+    "N": 300, "NOTICE": 300,
+    "I": 200, "INFO": 200,
+    "D": 100, "DEBUG": 100, "TRACE": 100, "TRACE_INT": 100, "FINE": 100,
+    "FINER": 100, "FINEST": 100, "CONFIG": 100,
+    "DEFAULT": 0,
+}
+
+SEVERITY_KEY = "logging.googleapis.com/severity"
+INSERT_ID_KEY = "logging.googleapis.com/insertId"
+LABELS_KEY = "logging.googleapis.com/labels"
+TRACE_KEY = "logging.googleapis.com/trace"
+SPAN_ID_KEY = "logging.googleapis.com/spanId"
+TRACE_SAMPLED_KEY = "logging.googleapis.com/trace_sampled"
+LOG_NAME_KEY = "logging.googleapis.com/logName"
+OPERATION_KEY = "logging.googleapis.com/operation"
+SOURCE_LOCATION_KEY = "logging.googleapis.com/sourceLocation"
+
+
+def _severity_number(c: Column) -> Column:
+    t = F.upper(F.trim(c))
+    out = F.when(F.lit(False), F.lit(0))
+    for alias, num in SEVERITY_ALIASES.items():
+        out = out.when(t == alias, F.lit(num))
+    return out  # null when no alias matches (severity omitted)
+
+
+def _get_integer(v: Column) -> Column:
+    """stackdriver_timestamp.c get_integer: ints pass, digit-only
+    strings parse, anything else is 0."""
+    s = v.cast("string")
+    return F.when(s.rlike(r"^\d+$"), s.try_cast("long")).otherwise(F.lit(0))
+
+
+def _mget(col_or_none, key):
+    if col_or_none is None:
+        return F.lit(None).cast("string")
+    return F.element_at(col_or_none, key)
+
+
+def _json_kv(key: str, value: Column, quote: bool = True) -> Column:
+    frag = F.concat(
+        F.lit(',"%s":' % key),
+        F.concat(F.lit('"'), fb_json_escape(value), F.lit('"')) if quote
+        else value,
+    )
+    return F.when(value.isNotNull(), frag).otherwise(F.lit(""))
+
+
+def stackdriver_entry(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    project_id: str = "fluent-bit",
+    resource: str = "global",
+    severity_key: str = SEVERITY_KEY,
+    text_payload_key: Optional[str] = None,
+    autoformat_stackdriver_trace: bool = False,
+) -> Column:
+    """One LogEntry JSON object per record (null = record skipped, the
+    C's invalid-insertId drop)."""
+    cols = set(df.columns)
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+
+    def col(name):
+        return F.col(f"`{name}`") if name in cols else None
+
+    special = {
+        severity_key, INSERT_ID_KEY, LABELS_KEY, TRACE_KEY, SPAN_ID_KEY,
+        TRACE_SAMPLED_KEY, LOG_NAME_KEY, OPERATION_KEY, SOURCE_LOCATION_KEY,
+        "timestamp", "timestampSeconds", "timestampNanos",
+    }
+    payload_cols = [c for c in df.columns
+                    if c not in special and c not in (tag_col, ts_col)]
+
+    # ---- timestamp (three strategies) --------------------------------
+    ts_obj = col("timestamp")
+    sec = F.lit(0).cast("long")
+    nanos = F.lit(0).cast("long")
+    if ts_obj is not None and dtypes.get("timestamp", "").startswith("map"):
+        sec = _get_integer(_mget(ts_obj, F.lit("seconds")))
+        nanos = _get_integer(_mget(ts_obj, F.lit("nanos")))
+    duo_sec = _get_integer(col("timestampSeconds")) \
+        if "timestampSeconds" in cols else F.lit(0).cast("long")
+    duo_nanos = _get_integer(col("timestampNanos")) \
+        if "timestampNanos" in cols else F.lit(0).cast("long")
+    if ts_col is not None:
+        ev_us = F.coalesce(
+            F.unix_micros(F.col(f"`{ts_col}`").cast("timestamp")), F.lit(0))
+    else:
+        ev_us = F.lit(0).cast("long")
+    use_obj = sec != 0
+    use_duo = (~use_obj) & (duo_sec != 0)
+    fin_sec = F.when(use_obj, sec).when(use_duo, duo_sec) \
+        .otherwise(F.floor(ev_us / 1_000_000).cast("long"))
+    fin_nanos = F.when(use_obj, nanos).when(use_duo, duo_nanos) \
+        .otherwise((ev_us % 1_000_000) * 1000)
+    rfc3339 = F.concat(
+        F.date_format(F.timestamp_seconds(fin_sec),
+                      "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit("."), F.lpad(fin_nanos.cast("string"), 9, "0"), F.lit("Z"),
+    )
+
+    parts: list[Column] = [
+        F.lit('{"logName":"projects/%s/logs/' % project_id),
+        fb_json_escape(
+            F.coalesce(col(LOG_NAME_KEY), F.col(f"`{tag_col}`"))
+            if col(LOG_NAME_KEY) is not None else F.col(f"`{tag_col}`")),
+        F.lit('","resource":{"type":"%s","labels":{"project_id":"%s"}}'
+              % (resource, project_id)),
+        F.lit(',"timestamp":"'), rfc3339, F.lit('"'),
+    ]
+
+    sev = col(severity_key)
+    if sev is not None:
+        num = _severity_number(sev.cast("string"))
+        parts.append(F.when(
+            num.isNotNull(),
+            F.concat(F.lit(',"severity":'), num.cast("string")),
+        ).otherwise(F.lit("")))
+
+    ins = col(INSERT_ID_KEY)
+    if ins is not None:
+        parts.append(_json_kv("insertId", ins.cast("string")))
+
+    labels = col(LABELS_KEY)
+    if labels is not None:
+        parts.append(F.when(
+            labels.isNotNull(),
+            F.concat(F.lit(',"labels":'), F.to_json(labels)),
+        ).otherwise(F.lit("")))
+
+    # operation / sourceLocation: known subfields out, extras remain
+    for key, json_name, fields in (
+        (OPERATION_KEY, "operation",
+         (("id", "id", True), ("producer", "producer", True),
+          ("first", "first", False), ("last", "last", False))),
+        (SOURCE_LOCATION_KEY, "sourceLocation",
+         (("file", "file", True), ("function", "function", True),
+          ("line", "line", None))),
+    ):
+        m = col(key)
+        if m is None:
+            continue
+        frags = []
+        for src, dst, quoted in fields:
+            v = _mget(m, F.lit(src))
+            if quoted is True:
+                frag = F.concat(F.lit('"%s":"' % dst), fb_json_escape(v),
+                                F.lit('"'))
+            elif quoted is False:  # bool (map<string,string> carries text)
+                frag = F.concat(F.lit('"%s":' % dst),
+                                F.when(F.lower(v) == "true", F.lit("true"))
+                                .otherwise(F.lit("false")))
+            else:  # line: integer (get_integer semantics)
+                frag = F.concat(F.lit('"%s":' % dst),
+                                _get_integer(v).cast("string"))
+            frags.append(F.when(v.isNotNull(), frag))
+        inner = F.concat_ws(",", *frags)
+        parts.append(F.when(
+            m.isNotNull() & (F.length(inner) > 0),
+            F.concat(F.lit(',"%s":{' % json_name), inner, F.lit("}")),
+        ).otherwise(F.lit("")))
+
+    trace = col(TRACE_KEY)
+    if trace is not None:
+        tv = trace.cast("string")
+        if autoformat_stackdriver_trace:
+            tv = F.concat(F.lit(f"projects/{project_id}/traces/"), tv)
+        parts.append(_json_kv("trace", F.when(trace.isNotNull(), tv)))
+    span = col(SPAN_ID_KEY)
+    if span is not None:
+        parts.append(_json_kv("spanId", span.cast("string")))
+    sampled = col(TRACE_SAMPLED_KEY)
+    if sampled is not None:
+        parts.append(F.when(
+            sampled.isNotNull(),
+            F.concat(F.lit(',"traceSampled":'),
+                     F.when(sampled.cast("boolean"), F.lit("true"))
+                     .otherwise(F.lit("false"))),
+        ).otherwise(F.lit("")))
+
+    # payload: textPayload when the residual record is exactly the
+    # text_payload_key string field (stackdriver.c:1648-1665)
+    if (text_payload_key and payload_cols == [text_payload_key]
+            and dtypes.get(text_payload_key) == "string"):
+        parts.append(F.concat(
+            F.lit(',"textPayload":"'),
+            fb_json_escape(F.coalesce(F.col(f"`{text_payload_key}`"),
+                                      F.lit(""))),
+            F.lit('"')))
+    elif payload_cols:
+        # extras of operation/sourceLocation maps stay in the payload
+        extra_frags = []
+        for key, known in ((OPERATION_KEY, ("id", "producer", "first", "last")),
+                           (SOURCE_LOCATION_KEY, ("file", "function", "line"))):
+            m = col(key)
+            if m is None or not dtypes.get(key, "").startswith("map"):
+                continue
+            extras = F.map_filter(m, lambda k, v: ~k.isin(*known))
+            extra_frags.append(F.when(
+                m.isNotNull() & (F.size(F.map_keys(extras)) > 0),
+                F.concat(F.lit(',"%s":' % key.replace('"', '\\"')),
+                         F.to_json(extras)),
+            ).otherwise(F.lit("")))
+        body = fb_json_body(df, payload_cols)
+        parts.append(F.concat(
+            F.lit(',"jsonPayload":'),
+            F.when(
+                F.length(F.concat(*extra_frags)) > 0,
+                F.concat(F.regexp_replace(body, r"\}$", ""),
+                         *extra_frags, F.lit("}")),
+            ).otherwise(body) if extra_frags else body,
+        ))
+
+    line = F.concat(*parts, F.lit("}"))
+    if ins is not None:
+        # INSERTID_INVALID (present but empty) drops the record
+        line = F.when(
+            ins.isNull() | (F.length(ins.cast("string")) > 0), line)
+    return line
+
+
+def stackdriver_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    **entry_opts,
+) -> DataFrame:
+    """(tag, body string, n long): one entries:write body per (tag,
+    Arrow batch) — {"entries":[...]} (FLB_STD_WRITE_URI payload)."""
+    line = stackdriver_entry(df, tag_col=tag_col, ts_col=ts_col,
+                             **entry_opts)
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line")).filter(
+        F.col("line").isNotNull())
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags, bodies, ns = [], [], []
+            for tag, lines in groups.items():
+                tags.append(tag)
+                bodies.append('{"entries":[' + ",".join(lines) + "]}")
+                ns.append(len(lines))
+            yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
+
+    return rendered.mapInPandas(run, "tag string, body string, n long")

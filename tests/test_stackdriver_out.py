@@ -1,0 +1,181 @@
+"""out_stackdriver LogEntry rendering (stackdriverfmt) — vectors per
+plugins/out_stackdriver/stackdriver.c (severity table :1395-1456,
+payload assembly :1560-2650), stackdriver_timestamp.c (three
+strategies), stackdriver_operation.c / _source_location.c (subfield
+extraction + extras)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.stackdriverfmt import (
+    SEVERITY_ALIASES,
+    stackdriver_entry,
+    stackdriver_payloads,
+)
+
+
+def render(spark, rows, schema, **opts):
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    return [
+        json.loads(r["v"]) if r["v"] is not None else None
+        for r in df.select(
+            stackdriver_entry(df, **opts).alias("v")).collect()
+    ]
+
+
+class TestLogEntry:
+    def test_basic_entry(self, spark):
+        (e,) = render(
+            spark, [("app.log", 1700000000, "hello")],
+            "tag string, es long, msg string",
+            ts_col="es", project_id="proj-1")
+        assert e["logName"] == "projects/proj-1/logs/app.log"
+        assert e["resource"] == {"type": "global",
+                                 "labels": {"project_id": "proj-1"}}
+        assert e["timestamp"] == "2023-11-14T22:13:20.000000000Z"
+        assert e["jsonPayload"] == {"msg": "hello"}
+
+    @pytest.mark.parametrize("alias,num", [
+        ("EMERGENCY", 800), ("emerg", 800), ("A", 700), ("crit", 600),
+        ("FATAL", 600), ("e", 500), ("SEVERE", 500), ("warn", 400),
+        ("N", 300), ("info", 200), ("FINEST", 100), ("trace_int", 100),
+        ("DEFAULT", 0),
+    ])
+    def test_severity_alias_table(self, spark, alias, num):
+        (e,) = render(
+            spark, [("t", alias, "m")],
+            "tag string, `logging.googleapis.com/severity` string, msg string")
+        assert e["severity"] == num
+        assert "logging.googleapis.com/severity" not in e.get("jsonPayload", {})
+
+    def test_unknown_severity_omitted(self, spark):
+        (e,) = render(
+            spark, [("t", "NOT_A_LEVEL", "m")],
+            "tag string, `logging.googleapis.com/severity` string, msg string")
+        assert "severity" not in e
+
+    def test_timestamp_object_strategy(self, spark):
+        (e,) = render(
+            spark, [("t", {"seconds": "1700000000", "nanos": "123"}, "m")],
+            "tag string, timestamp map<string,string>, msg string")
+        assert e["timestamp"] == "2023-11-14T22:13:20.000000123Z"
+
+    def test_timestamp_duo_strategy(self, spark):
+        (e,) = render(
+            spark, [("t", 1700000000, 456, "m")],
+            "tag string, timestampSeconds bigint, timestampNanos bigint, "
+            "msg string")
+        assert e["timestamp"] == "2023-11-14T22:13:20.000000456Z"
+
+    def test_insert_id_valid_and_invalid(self, spark):
+        ok, dropped = render(
+            spark, [("t", "id-1", "m"), ("t", "", "m")],
+            "tag string, `logging.googleapis.com/insertId` string, msg string")
+        assert ok["insertId"] == "id-1"
+        assert dropped is None  # INSERTID_INVALID → record skipped
+
+    def test_labels_key(self, spark):
+        (e,) = render(
+            spark, [("t", {"team": "core"}, "m")],
+            "tag string, `logging.googleapis.com/labels` map<string,string>, "
+            "msg string")
+        assert e["labels"] == {"team": "core"}
+
+    def test_operation_extraction_with_extras(self, spark):
+        (e,) = render(
+            spark,
+            [("t", {"id": "op1", "producer": "svc", "first": "true",
+                    "custom": "x"}, "m")],
+            "tag string, `logging.googleapis.com/operation` "
+            "map<string,string>, msg string")
+        assert e["operation"]["id"] == "op1"
+        assert e["operation"]["producer"] == "svc"
+        assert e["operation"]["first"] is True
+        # the extra subfield stays in jsonPayload under the same key
+        assert e["jsonPayload"]["logging.googleapis.com/operation"] == {
+            "custom": "x"}
+
+    def test_source_location_line_integer(self, spark):
+        (e,) = render(
+            spark,
+            [("t", {"file": "a.c", "line": "42", "function": "main"}, "m")],
+            "tag string, `logging.googleapis.com/sourceLocation` "
+            "map<string,string>, msg string")
+        assert e["sourceLocation"] == {"file": "a.c", "function": "main",
+                                       "line": 42}
+
+    def test_trace_autoformat_and_span(self, spark):
+        (e,) = render(
+            spark, [("t", "abc123", "span9", True, "m")],
+            "tag string, `logging.googleapis.com/trace` string, "
+            "`logging.googleapis.com/spanId` string, "
+            "`logging.googleapis.com/trace_sampled` boolean, msg string",
+            project_id="p1", autoformat_stackdriver_trace=True)
+        assert e["trace"] == "projects/p1/traces/abc123"
+        assert e["spanId"] == "span9"
+        assert e["traceSampled"] is True
+
+    def test_log_name_key_overrides_tag(self, spark):
+        (e,) = render(
+            spark, [("t", "custom-log", "m")],
+            "tag string, `logging.googleapis.com/logName` string, msg string",
+            project_id="p")
+        assert e["logName"] == "projects/p/logs/custom-log"
+
+    def test_text_payload_rule(self, spark):
+        (e,) = render(
+            spark, [("t", "just text")], "tag string, log string",
+            text_payload_key="log")
+        assert e["textPayload"] == "just text"
+        assert "jsonPayload" not in e
+        # with a second residual field the rule does NOT apply
+        (e2,) = render(
+            spark, [("t", "text", 1)], "tag string, log string, n bigint",
+            text_payload_key="log")
+        assert e2["jsonPayload"] == {"log": "text", "n": 1}
+
+
+class TestPayloadsAndConfig:
+    def test_entries_envelope(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y")], "tag string, msg string").coalesce(1)
+        (row,) = stackdriver_payloads(df).collect()
+        body = json.loads(row["body"])
+        assert [e["jsonPayload"]["msg"] for e in body["entries"]] == ["x", "y"]
+        assert row["n"] == 2
+
+    def test_config_e2e(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag gcp.app
+            Samples 2
+            Dummy {"msg": "hi", "logging.googleapis.com/severity": "ERROR"}
+
+        [OUTPUT]
+            Name stackdriver
+            Match gcp.*
+            export_to_project_id my-proj
+            resource gce_instance
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["stackdriver_gcp.all"] == 2
+        staged = spark.read.parquet(
+            str(tmp_path / "out" / "stackdriver_gcp.all")).collect()
+        for r in staged:
+            for e in json.loads(r["body"])["entries"]:
+                assert e["severity"] == 500
+                assert e["jsonPayload"] == {"msg": "hi"}
+                assert e["resource"]["type"] == "gce_instance"
+                assert e["logName"] == "projects/my-proj/logs/gcp.app"
