@@ -919,3 +919,40 @@ def encode_otlp_metrics(rows) -> str:
         section(rid, sid).append(metric)
     return json.dumps({"resourceMetrics": resource_metrics},
                       separators=(",", ":"))
+
+
+def otlp_metrics_payloads(
+    df: DataFrame,
+    tag_col: str = "tag",
+) -> DataFrame:
+    """out_opentelemetry metrics staging: (tag, body string, n long) —
+    one ExportMetricsServiceRequest per (tag, partition-chunk) from
+    metric-table rows (metrics.py convention). Rows buffer per
+    partition like the logs twin so a family's samples stay in one
+    envelope."""
+    cols = [c for c in (
+        tag_col, "resource_id", "scope_id", "metric_name", "metric_type",
+        "value", "labels", "ts", "unit", "description",
+    ) if c in df.columns]
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        per_tag: dict = {}
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                labels = row.get("labels")
+                if labels is not None and not isinstance(labels, dict):
+                    row["labels"] = dict(labels)
+                ts = row.get("ts")
+                if isinstance(ts, float) and ts != ts:
+                    row["ts"] = None
+                per_tag.setdefault(str(row.get(tag_col)), []).append(row)
+        tags, bodies, ns = [], [], []
+        for tag, rows in per_tag.items():
+            tags.append(tag)
+            bodies.append(encode_otlp_metrics(rows))
+            ns.append(len(rows))
+        yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
+
+    return df.select(*cols).mapInPandas(run, "tag string, body string, n long")

@@ -578,8 +578,15 @@ def write_sinks(
                 # the event time as timeUnixNano; grouped frames (from
                 # processors.otel_envelope / otlp ingest) keep their
                 # resource/scope sections via otlp.otlp_logs_payloads.
-                from .otlp import otlp_logs_payloads
+                from .otlp import otlp_logs_payloads, otlp_metrics_payloads
 
+                if "metric_name" in part.columns:
+                    # a metrics-event-class frame renders as
+                    # ExportMetricsServiceRequest envelopes
+                    otlp_metrics_payloads(part, tag_col=tag_col) \
+                        .write.mode("overwrite").parquet(dest)
+                    counts[s.name] = obs.get["n"]
+                    continue
                 if "record_type" in part.columns:
                     shaped = part
                 else:

@@ -811,3 +811,29 @@ class TestOtlpTracesMetricsEncode:
         sum_m = next(m for m in metrics if m["name"] == "reqs")["sum"]
         assert sum_m["isMonotonic"] is True
         assert sum_m["dataPoints"][0]["asDouble"] == 7.0
+
+
+class TestOtlpMetricsSink:
+    def test_metrics_frame_through_otlp_sink(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from fluent_bit_spark.otlp import decode_otlp_metrics
+        from fluent_bit_spark.router import SinkSpec, write_sinks
+
+        df = spark.createDataFrame(
+            [("mx", "cpu_load", "gauge", 0.75, {"host": "a"}),
+             ("mx", "reqs_total", "counter", 42.0, {"host": "a"})],
+            "tag string, metric_name string, metric_type string, "
+            "value double, labels map<string,string>").coalesce(1)
+        counts = write_sinks(
+            df, [SinkSpec("om", match="*", fmt="otlp")], str(tmp_path))
+        assert counts["om"] == 2
+        staged = spark.read.parquet(str(tmp_path / "om")).collect()
+        back = []
+        for r in staged:
+            back.extend(decode_otlp_metrics(r["body"]))
+        got = {b["metric_name"]: b for b in back}
+        assert got["cpu_load"]["metric_type"] == "gauge"
+        assert got["cpu_load"]["value"] == 0.75
+        assert got["cpu_load"]["labels"] == {"host": "a"}
+        assert got["reqs_total"]["metric_type"] == "counter"
