@@ -791,3 +791,37 @@ class TestTableEdgeSemantics:
             local k2 = next(t, k)
             return k, v, k2 == nil
         """) == ["only", 7.0, True]
+
+
+class TestPatternEdgeConformance:
+    """PUC Lua 5.1 edge semantics (lstrlib.c gsub/find scan loop):
+    empty matches at every gap, including immediately after a
+    non-empty match and at end-of-string."""
+
+    CASES = [
+        ("string.find('abc', 'a*')", [1.0, 1.0]),
+        ("string.find('', '')", [1.0, 0.0]),
+        ("string.gsub('hello', '', '-')", ["-h-e-l-l-o-", 6.0]),
+        ("string.gsub('abc', '%w*', 'X')", ["XX", 2.0]),
+        # the gap right after the non-empty 'b' match ALSO matches b*
+        # empty (lstrlib's src=e then e==src copy-char step)
+        ("string.gsub('abc', 'b*', '-')", ["-a--c-", 4.0]),
+        ("string.match('abc', '()')", [1.0]),
+        ("string.find('abc', 'c*', 1)", [1.0, 0.0]),
+        ("string.match('  hi  ', '^%s*(.-)%s*$')", ["hi"]),
+        ("string.rep('ab', 0)", [""]),
+        ("string.sub('hello', -3)", ["llo"]),
+        ("string.sub('hello', 2, -2)", ["ell"]),
+        ("string.format('%5s|%-5s|', 'ab', 'cd')", ["   ab|cd   |"]),
+        ("string.gsub('x=1', '(%w+)=(%w+)', '%2=%1')", ["1=x", 1.0]),
+        ("string.match('abc', 'a(b?)c')", ["b"]),
+        ("string.match('ac', 'a(b?)c')", [""]),
+        ("string.match('[test]', '%[(.-)%]')", ["test"]),
+        ("select('#')", [0.0]),
+        ("tostring(-0.0)", ["-0"]),
+        ("('x'):rep(3)", ["xxx"]),
+    ]
+
+    @pytest.mark.parametrize("expr,want", CASES, ids=[c[0] for c in CASES])
+    def test_edge(self, expr, want):
+        assert LuaRuntime().execute(f"return {expr}") == want
