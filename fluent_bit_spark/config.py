@@ -896,6 +896,44 @@ def _build_input(
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return parser.apply(df, "line", ts_col="ts")
+    if name == "head":
+        # in_head (plugins/in_head/in_head.c): one record carrying the
+        # first buf_size bytes (default 256, config map :429) or first
+        # `lines` lines of a file under `key` (default 'head'); with
+        # split_line the lines become line0..lineN-1 keys (:217, default
+        # 10 lines when unset :288); add_path appends the file path.
+        # The read is tiny by definition — driver-side at plan time.
+        path = s.get("file") or s.get("path")
+        if not path:
+            raise ValueError("INPUT head needs file")
+        from .streaming import size_to_bytes
+
+        buf_size = size_to_bytes(s.get("buf_size", "256"))
+        if buf_size < 0:
+            raise ValueError(f"invalid buf_size {s.get('buf_size')!r}")
+        lines = int(s.get("lines", "0"))
+        split_line = _bool(s.get("split_line", "false"))
+        if split_line and lines <= 0:
+            lines = 10
+        with open(path, "rb") as fh:
+            raw = fh.read(max(buf_size, 1))
+        text = raw.decode("utf-8", errors="replace")
+        if lines > 0:
+            head_lines = text.splitlines(keepends=True)[:lines]
+        if split_line:
+            rec = {
+                f"line{i}": ln.rstrip("\n")
+                for i, ln in enumerate(head_lines)
+            }
+        else:
+            key = s.get("key", "head")
+            rec = {key: "".join(head_lines) if lines > 0 else text}
+        if _bool(s.get("add_path", "false")):
+            rec["path"] = path
+        return spark.createDataFrame(
+            [tuple([tag] + list(rec.values()))],
+            ", ".join(["tag string"] + [f"`{k}` string" for k in rec]),
+        )
     if name == "statsd":
         # in_statsd listens on UDP; the batch analogue reads datagram
         # lines staged as text. `metrics true` (statsd.c config map)

@@ -1892,3 +1892,50 @@ def test_expect_alter_size_sysinfo_filters_config(spark, tmp_path):
     )
     with _pytest.raises(AssertionError):
         run_config(spark, bad, str(tmp_path / "bad"))
+
+
+def test_in_head_modes(spark, tmp_path):
+    """in_head (plugins/in_head/in_head.c): byte-capped head record,
+    lines mode, split_line keys line0.. (:217), add_path."""
+    import textwrap
+
+    from fluent_bit_spark.config import run_classic_config
+
+    f = tmp_path / "status.txt"
+    f.write_text("alpha\nbeta\ngamma\ndelta\n")
+
+    conf = textwrap.dedent(f"""
+    [INPUT]
+        Name head
+        Tag h.bytes
+        file {f}
+        buf_size 8
+
+    [INPUT]
+        Name head
+        Tag h.lines
+        file {f}
+        lines 2
+        key top
+        add_path true
+
+    [INPUT]
+        Name head
+        Tag h.split
+        file {f}
+        split_line true
+        lines 3
+
+    [OUTPUT]
+        Name counter
+        Match *
+    """)
+    run = run_classic_config(spark, conf, str(tmp_path / "out"))
+    assert run.counts["counter_all"] == 3
+    rows = {r["tag"]: r.asDict() for r in run.frame.collect()}
+    assert rows["h.bytes"]["head"] == "alpha\nbe"  # first 8 bytes
+    assert rows["h.lines"]["top"] == "alpha\nbeta\n"
+    assert rows["h.lines"]["path"] == str(f)
+    assert rows["h.split"]["line0"] == "alpha"
+    assert rows["h.split"]["line1"] == "beta"
+    assert rows["h.split"]["line2"] == "gamma"
