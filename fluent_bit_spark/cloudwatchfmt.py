@@ -1,0 +1,162 @@
+"""out_cloudwatch_logs payload staging (plugins/out_cloudwatch_logs/).
+
+PutLogEvents bodies (cloudwatch_api.c): events are
+``{"timestamp": ms, "message": ...}`` where the message is the
+flb-escaped JSON record (or one field's raw value under ``log_key``,
+:691-733); events cap at MAX_EVENT_LEN 1,000,000 bytes (:557-561,
+truncated); one request holds ≤ MAX_EVENTS_PER_PUT 10,000 events and
+≤ PUT_LOG_EVENTS_PAYLOAD_SIZE 1 MiB (cloudwatch_api.h:29-57).
+
+Stream/group naming (get_log_stream, cloudwatch_api.c:1640-1700):
+``log_stream_name`` static, or ``log_stream_prefix`` + tag, or a
+``log_stream_template``/``log_group_template`` record-accessor string
+($key / $key['sub'] refs, flb_ra_translate_check) falling back to the
+static name when a ref is missing.
+
+Stream/group and the per-event rendering are JVM-side; python only
+packs the size/count-capped request bodies per (group, stream) group
+within each partition chunk.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .accessor import compile_path
+from .jsonesc import fb_json_body
+
+__all__ = ["cw_events", "cw_payloads", "MAX_EVENT_LEN",
+           "MAX_EVENTS_PER_PUT", "PUT_LOG_EVENTS_PAYLOAD_SIZE"]
+
+MAX_EVENT_LEN = 1_000_000
+MAX_EVENTS_PER_PUT = 10_000
+PUT_LOG_EVENTS_PAYLOAD_SIZE = 1_048_576
+
+import re as _re
+
+_REF = _re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*(?:\['[^']+'\])*")
+
+
+def _translate(df: DataFrame, template: str, fallback: Column) -> Column:
+    """flb_ra_translate_check: substitute $refs; any null ref falls the
+    WHOLE name back to the static fallback."""
+    parts: list[Column] = []
+    refs: list[Column] = []
+    last = 0
+    for m in _REF.finditer(template):
+        if m.start() > last:
+            parts.append(F.lit(template[last:m.start()]))
+        ref = compile_path(m.group(0))
+        refs.append(ref)
+        parts.append(ref.cast("string"))
+        last = m.end()
+    if last < len(template):
+        parts.append(F.lit(template[last:]))
+    if not refs:
+        return F.lit(template)
+    translated = F.concat(*parts)  # null if any ref is null
+    return F.coalesce(translated, fallback)
+
+
+def cw_events(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    log_group_name: str = "fluent-bit",
+    log_stream_name: Optional[str] = None,
+    log_stream_prefix: Optional[str] = None,
+    log_group_template: Optional[str] = None,
+    log_stream_template: Optional[str] = None,
+    log_key: Optional[str] = None,
+) -> DataFrame:
+    """(group, stream, ts_ms, message) rows. One of log_stream_name /
+    log_stream_prefix is required (cloudwatch_logs.c:135-143)."""
+    if bool(log_stream_name) == bool(log_stream_prefix):
+        raise ValueError(
+            "Either 'log_stream_name' or 'log_stream_prefix' (not both) "
+            "is required")
+    if log_stream_name:
+        stream = F.lit(log_stream_name)
+    else:
+        stream = F.concat(F.lit(log_stream_prefix),
+                          F.col(f"`{tag_col}`").cast("string"))
+    if log_stream_template:
+        stream = _translate(df, log_stream_template, stream)
+    group = F.lit(log_group_name)
+    if log_group_template:
+        group = _translate(df, log_group_template, group)
+
+    if ts_col is not None:
+        ms = F.coalesce(
+            F.unix_millis(F.col(f"`{ts_col}`").cast("timestamp")), F.lit(0))
+    else:
+        ms = F.lit(0).cast("long")
+
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if log_key:
+        if log_key not in rec_cols:
+            raise ValueError(f"log_key {log_key!r} is not a record column")
+        # the raw value, not re-escaped JSON (cloudwatch_api.c:692-733)
+        message = F.col(f"`{log_key}`").cast("string")
+    else:
+        message = fb_json_body(df, rec_cols)
+    # MAX_EVENT_LEN truncation (chars here vs bytes in C — multibyte
+    # tails only, same class as the syslog maxsize note)
+    message = F.substring(message, 1, MAX_EVENT_LEN)
+    return df.select(
+        group.alias("group"),
+        stream.alias("stream"),
+        ms.alias("ts_ms"),
+        message.alias("message"),
+    )
+
+
+def cw_payloads(df_events: DataFrame) -> DataFrame:
+    """(group, stream, body string, n long): PutLogEvents request
+    bodies from cw_events rows — one or more per (group, stream) per
+    partition chunk, split on the 10k-event / 1 MiB caps."""
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        out = {"group": [], "stream": [], "body": [], "n": []}
+
+        def flush(group, stream, events):
+            body = json.dumps(
+                {"logGroupName": group, "logStreamName": stream,
+                 "logEvents": events},
+                ensure_ascii=False, separators=(",", ":"))
+            out["group"].append(group)
+            out["stream"].append(stream)
+            out["body"].append(body)
+            out["n"].append(len(events))
+
+        for pdf in batches:
+            groups: dict = {}
+            for g, s, ts, msg in zip(pdf["group"], pdf["stream"],
+                                     pdf["ts_ms"], pdf["message"]):
+                key = (str(g), str(s))
+                cur = groups.setdefault(key, {"events": [], "bytes": 0})
+                ev = {"timestamp": int(ts), "message": msg}
+                sz = len(msg.encode("utf-8")) + 26  # the API's 26-byte/event overhead
+                if cur["events"] and (
+                    len(cur["events"]) >= MAX_EVENTS_PER_PUT
+                    or cur["bytes"] + sz > PUT_LOG_EVENTS_PAYLOAD_SIZE
+                ):
+                    flush(key[0], key[1], cur["events"])
+                    groups[key] = cur = {"events": [], "bytes": 0}
+                cur["events"].append(ev)
+                cur["bytes"] += sz
+            for (g, s), cur in groups.items():
+                if cur["events"]:
+                    flush(g, s, cur["events"])
+            yield pd.DataFrame(out)
+            out = {"group": [], "stream": [], "body": [], "n": []}
+
+    return df_events.mapInPandas(
+        run, "group string, stream string, body string, n long")

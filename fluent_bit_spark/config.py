@@ -1796,6 +1796,19 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name == "cloudwatch_logs":
+        # out_cloudwatch_logs offline path (config map names,
+        # cloudwatch_logs.c:585-640)
+        opts = {}
+        for k in ("log_group_name", "log_stream_name", "log_stream_prefix",
+                  "log_group_template", "log_stream_template", "log_key"):
+            if s.get(k) is not None:
+                opts[k] = s.get(k)
+        return SinkSpec(
+            s.get("sink_name", f"cloudwatch_{match.replace('*', 'all')}"),
+            match=match, fmt="cloudwatch", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "stackdriver":
         # out_stackdriver offline path (config map names,
         # stackdriver.c:3150-3290): export_to_project_id / resource /

@@ -504,6 +504,21 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "cloudwatch":
+                # out_cloudwatch_logs staging: PutLogEvents bodies per
+                # (group, stream) with the 10k/1MiB caps
+                from .cloudwatchfmt import cw_events, cw_payloads
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                cw_payloads(
+                    cw_events(part, tag_col=tag_col, ts_col=ts_col,
+                              **(s.format_options or {}))
+                ).write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "stackdriver":
                 # out_stackdriver staging: entries:write bodies per
                 # (tag, chunk), parquet table like the other vendors

@@ -1,0 +1,132 @@
+"""out_cloudwatch_logs staging (cloudwatchfmt) — vectors per
+plugins/out_cloudwatch_logs/cloudwatch_api.c (event shape :691-750,
+stream naming :1640-1700, caps cloudwatch_api.h:29-57)."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.cloudwatchfmt import cw_events, cw_payloads
+
+
+class TestCwEvents:
+    def test_event_shape_and_prefix_stream(self, spark):
+        df = spark.createDataFrame(
+            [("app.a", 1700000000, "hello", 5)],
+            "tag string, es long, msg string, n bigint")
+        (r,) = cw_events(df, ts_col="es", log_group_name="g1",
+                         log_stream_prefix="fb-").collect()
+        assert r["group"] == "g1"
+        assert r["stream"] == "fb-app.a"  # prefix + tag (:1670-1680)
+        assert r["ts_ms"] == 1700000000000
+        assert json.loads(r["message"]) == {"msg": "hello", "n": 5}
+
+    def test_static_stream_name(self, spark):
+        df = spark.createDataFrame([("t", "m")], "tag string, msg string")
+        (r,) = cw_events(df, log_group_name="g",
+                         log_stream_name="static").collect()
+        assert r["stream"] == "static"
+
+    def test_name_xor_prefix_required(self, spark):
+        df = spark.createDataFrame([("t", "m")], "tag string, msg string")
+        with pytest.raises(ValueError, match="not both"):
+            cw_events(df, log_stream_name="a", log_stream_prefix="b")
+        with pytest.raises(ValueError, match="required"):
+            cw_events(df)
+
+    def test_log_key_raw_value(self, spark):
+        df = spark.createDataFrame(
+            [("t", 'raw "text"', 1)], "tag string, log string, n bigint")
+        (r,) = cw_events(df, log_stream_name="s", log_key="log").collect()
+        # the raw value, NOT JSON-escaped (cloudwatch_api.c:692-733)
+        assert r["message"] == 'raw "text"'
+
+    def test_stream_template_with_fallback(self, spark):
+        df = spark.createDataFrame(
+            [("t", "podA", "m"), ("t", None, "m")],
+            "tag string, pod string, msg string")
+        rows = cw_events(df, log_stream_name="static",
+                         log_stream_template="k8s-$pod").collect()
+        streams = sorted(r["stream"] for r in rows)
+        # missing ref → whole name falls back (flb_ra_translate_check)
+        assert streams == ["k8s-podA", "static"]
+
+
+class TestCwPayloads:
+    def test_one_body_per_group_stream(self, spark):
+        df = spark.createDataFrame(
+            [("a.x", 1, "m1"), ("a.x", 2, "m2"), ("b.y", 3, "m3")],
+            "tag string, es long, msg string").coalesce(1)
+        ev = cw_events(df, ts_col="es", log_group_name="g",
+                       log_stream_prefix="p-")
+        rows = {r["stream"]: r for r in cw_payloads(ev).collect()}
+        body = json.loads(rows["p-a.x"]["body"])
+        assert body["logGroupName"] == "g"
+        assert body["logStreamName"] == "p-a.x"
+        assert [e["timestamp"] for e in body["logEvents"]] == [1000, 2000]
+        assert rows["p-a.x"]["n"] == 2 and rows["p-b.y"]["n"] == 1
+
+    def test_event_count_cap_splits_requests(self, spark, monkeypatch):
+        import fluent_bit_spark.cloudwatchfmt as cw
+
+        monkeypatch.setattr(cw, "MAX_EVENTS_PER_PUT", 3)
+        df = spark.createDataFrame(
+            [("t", i, f"m{i}") for i in range(8)],
+            "tag string, es long, msg string").coalesce(1)
+        ev = cw_events(df, ts_col="es", log_group_name="g",
+                       log_stream_name="s")
+        rows = cw.cw_payloads(ev).collect()
+        assert sorted(r["n"] for r in rows) == [2, 3, 3]
+
+    def test_payload_size_cap_splits_requests(self, spark, monkeypatch):
+        import fluent_bit_spark.cloudwatchfmt as cw
+
+        monkeypatch.setattr(cw, "PUT_LOG_EVENTS_PAYLOAD_SIZE", 300)
+        df = spark.createDataFrame(
+            [("t", i, "x" * 100) for i in range(5)],
+            "tag string, es long, msg string").coalesce(1)
+        ev = cw_events(df, ts_col="es", log_group_name="g",
+                       log_stream_name="s", log_key="msg")
+        rows = cw.cw_payloads(ev).collect()
+        assert len(rows) > 1
+        assert sum(r["n"] for r in rows) == 5
+        for r in rows:
+            assert len(r["body"].encode()) < 600
+
+
+class TestConfigCloudwatch:
+    def test_config_e2e(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag aws.app
+            Samples 3
+            Dummy {"msg": "hi"}
+
+        [OUTPUT]
+            Name cloudwatch_logs
+            Match aws.*
+            log_group_name fluent/app
+            log_stream_prefix from-
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["cloudwatch_aws.all"] == 3
+        staged = spark.read.parquet(
+            str(tmp_path / "out" / "cloudwatch_aws.all")).collect()
+        assert sum(r["n"] for r in staged) == 3
+        for r in staged:
+            body = json.loads(r["body"])
+            assert body["logGroupName"] == "fluent/app"
+            assert body["logStreamName"] == "from-aws.app"
+            for e in body["logEvents"]:
+                assert json.loads(e["message"]) == {"msg": "hi"}
