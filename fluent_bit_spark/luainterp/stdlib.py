@@ -209,12 +209,29 @@ def install(rt: LuaRuntime, time_fn=None):
             return [mt]
         return [None]
 
+    def _loadstring(runtime, args):
+        src = _arg(args, 0)
+        if not isinstance(src, str):
+            return [None, "bad argument #1 to 'loadstring'"]
+        from .lparser import parse
+        from .interp import Env, LuaFunction
+        from .lexer import LuaSyntaxError
+
+        chunkname = _arg(args, 1) or "=(loadstring)"
+        try:
+            block = parse(src, str(chunkname))
+        except LuaSyntaxError as e:
+            return [None, str(e)]
+        # the loaded chunk is a vararg function with a fresh scope
+        return [LuaFunction([], True, block, Env(), chunkname=str(chunkname))]
+
     for name, fn in [
         ("print", _print), ("type", _type), ("tostring", _tostring),
         ("tonumber", _tonumber), ("next", _next), ("pairs", _pairs),
         ("ipairs", _ipairs), ("select", _select), ("error", _error),
         ("assert", _assert), ("pcall", _pcall), ("xpcall", _xpcall),
         ("unpack", _unpack), ("rawget", _rawget), ("rawset", _rawset),
+        ("loadstring", _loadstring), ("load", _loadstring),
         ("rawequal", _rawequal), ("setmetatable", _setmetatable),
         ("getmetatable", _getmetatable),
     ]:

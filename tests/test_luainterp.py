@@ -825,3 +825,18 @@ class TestPatternEdgeConformance:
     @pytest.mark.parametrize("expr,want", CASES, ids=[c[0] for c in CASES])
     def test_edge(self, expr, want):
         assert LuaRuntime().execute(f"return {expr}") == want
+
+
+class TestLoadstring:
+    def test_loadstring_compiles_and_runs(self):
+        rt = LuaRuntime()
+        assert rt.execute("return loadstring('return 6 * 7')()") == [42.0]
+
+    def test_loadstring_syntax_error_returns_nil_msg(self):
+        rt = LuaRuntime()
+        out = rt.execute("local f, e = loadstring('syntax !') return f, e")
+        assert out[0] is None and "unexpected" in out[1]
+
+    def test_loaded_chunk_sees_globals(self):
+        rt = LuaRuntime()
+        assert rt.execute("g = 5  return load('return g + 1')()") == [6.0]
