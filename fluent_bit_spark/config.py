@@ -1796,6 +1796,27 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name in ("logdna", "nrlogs", "azure"):
+        # thin vendor staging paths (option names per each plugin's
+        # config map; auth/endpoint options are delivery, ignored here)
+        optmap = {
+            "logdna": (("app", "app"), ("file", "file")),
+            "nrlogs": (),
+            "azure": (("time_key", "time_key"),
+                      ("log_type", "log_type"),
+                      ("log_type_key", "log_type_key")),
+        }[name]
+        opts = {}
+        for src, dst in optmap:
+            if s.get(src) is not None:
+                opts[dst] = s.get(src)
+        if name == "azure" and s.get("time_generated") is not None:
+            opts["time_generated"] = _bool(s.get("time_generated"))
+        return SinkSpec(
+            s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+            match=match, fmt=name, ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name == "cloudwatch_logs":
         # out_cloudwatch_logs offline path (config map names,
         # cloudwatch_logs.c:585-640)

@@ -504,6 +504,22 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt in ("logdna", "nrlogs", "azure"):
+                # thin vendor staging: one request body per (tag, chunk)
+                from . import vendorfmt
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                fn = {"logdna": vendorfmt.logdna_payloads,
+                      "nrlogs": vendorfmt.nrlogs_payloads,
+                      "azure": vendorfmt.azure_payloads}[s.fmt]
+                fn(part, tag_col=tag_col, ts_col=ts_col,
+                   **(s.format_options or {})) \
+                    .write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "cloudwatch":
                 # out_cloudwatch_logs staging: PutLogEvents bodies per
                 # (group, stream) with the 10k/1MiB caps

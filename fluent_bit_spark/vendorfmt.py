@@ -1,0 +1,216 @@
+"""Thin vendor payload renderers: out_logdna, out_nrlogs, out_azure.
+
+Each stages the exact request body its plugin would POST, one per
+(tag, Arrow-batch chunk) like the http/datadog staging; per-record
+shaping is JVM-side codegen, python only joins arrays.
+
+- out_logdna (logdna.c logdna_compose_payload:135-215): ``{"lines":
+  [{"timestamp": int seconds, "line": <record as a JSON STRING>,
+  level/meta/file/app...}]}``; ``level|severity``, ``meta``, ``file``,
+  ``app`` record keys lift into the line object
+  (record_append_primary_keys:55-130; severity emits under 'level'),
+  with the configured ``file`` and ``app`` (default 'Fluent Bit')
+  defaults when absent.
+- out_nrlogs (newrelic.c package_record:55-145 +
+  newrelic_compose_payload): the MELT array ``[{"common":
+  {"attributes": {"plugin": {"type": "Fluent Bit", "version": v}}},
+  "logs": [{"timestamp": ms, ["message": log ?? message,]
+  "attributes": {rest}}]}]`` — a ``log`` key wins over ``message``
+  and both leave the attributes.
+- out_azure (azure.c azure_format:80-180): a JSON array of records
+  each gaining ``time_key`` (default ``@timestamp``) as a double epoch
+  or, under ``time_generated``, ISO8601 with milliseconds; the
+  Log-Type header value may derive from a ``log_type_key`` record
+  accessor (per-chunk; carried as a column here). HMAC auth is
+  delivery, out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jsonesc import fb_json_body, fb_json_escape
+
+__all__ = ["logdna_payloads", "nrlogs_payloads", "azure_payloads"]
+
+
+def _group_json_arrays(rendered: DataFrame, wrap) -> DataFrame:
+    """(tag, line) → (tag, body, n): join lines per (tag, batch) and
+    wrap with the vendor envelope callable."""
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags, bodies, ns = [], [], []
+            for tag, lines in groups.items():
+                tags.append(tag)
+                bodies.append(wrap(",".join(lines)))
+                ns.append(len(lines))
+            yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
+
+    return rendered.mapInPandas(run, "tag string, body string, n long")
+
+
+def _record_json_string(df: DataFrame, cols) -> Column:
+    """The record rendered as a JSON object, then escaped as a JSON
+    STRING value (logdna's 'line' is a string carrying JSON)."""
+    return F.concat(F.lit('"'), fb_json_escape(fb_json_body(df, cols)),
+                    F.lit('"'))
+
+
+def logdna_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    app: str = "Fluent Bit",
+    file: Optional[str] = None,
+) -> DataFrame:
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if ts_col is not None:
+        sec = F.coalesce(
+            F.unix_timestamp(F.col(f"`{ts_col}`").cast("timestamp")),
+            F.lit(0)).cast("string")
+    else:
+        sec = F.lit("0")
+    parts: list[Column] = [F.lit('{"timestamp":'), sec,
+                           F.lit(',"line":'),
+                           _record_json_string(df, rec_cols)]
+
+    def lift(json_key: str, source_keys, default: Optional[str]):
+        src = next((c for c in rec_cols if c.lower() in source_keys), None)
+        if src is not None:
+            v = F.col(f"`{src}`").cast("string")
+            frag = F.when(
+                v.isNotNull(),
+                F.concat(F.lit(',"%s":"' % json_key), fb_json_escape(v),
+                         F.lit('"')),
+            )
+            if default is not None:
+                frag = F.coalesce(
+                    frag, F.lit(',"%s":"%s"' % (json_key, default)))
+            parts.append(F.coalesce(frag, F.lit("")))
+        elif default is not None:
+            parts.append(F.lit(',"%s":"%s"' % (json_key, default)))
+
+    lift("level", ("level", "severity"), None)
+    lift("meta", ("meta",), None)
+    lift("file", ("file",), file)
+    lift("app", ("app",), app)
+    line = F.concat(*parts, F.lit("}"))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    return _group_json_arrays(rendered, lambda s: '{"lines":[' + s + "]}")
+
+
+def nrlogs_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    plugin_version: str = "5.0.0",
+) -> DataFrame:
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    msg_src = next((c for c in rec_cols if c.lower() == "log"),
+                   next((c for c in rec_cols if c.lower() == "message"),
+                        None))
+    attr_cols = [c for c in rec_cols if c != msg_src]
+    if ts_col is not None:
+        ms = F.coalesce(
+            F.unix_millis(F.col(f"`{ts_col}`").cast("timestamp")),
+            F.lit(0)).cast("string")
+    else:
+        ms = F.lit("0")
+    parts: list[Column] = [F.lit('{"timestamp":'), ms]
+    if msg_src is not None:
+        v = F.col(f"`{msg_src}`").cast("string")
+        parts.append(F.when(
+            v.isNotNull(),
+            F.concat(F.lit(',"message":"'), fb_json_escape(v), F.lit('"')),
+        ).otherwise(F.lit("")))
+    parts += [F.lit(',"attributes":'),
+              fb_json_body(df, attr_cols) if attr_cols else F.lit("{}")]
+    line = F.concat(*parts, F.lit("}"))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    common = json.dumps(
+        {"common": {"attributes": {"plugin": {
+            "type": "Fluent Bit", "version": plugin_version}}}},
+        separators=(",", ":"))[1:-1]  # inner 'common' member
+    return _group_json_arrays(
+        rendered, lambda s: "[{" + common + ',"logs":[' + s + "]}]")
+
+
+def azure_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    time_key: str = "@timestamp",
+    time_generated: bool = False,
+    log_type: str = "fluentbit",
+    log_type_key: Optional[str] = None,
+) -> DataFrame:
+    """(tag, body, n, log_type): the Log-Type header value rides along
+    (static, or the first record's log_type_key value — the C resolves
+    it per chunk, azure.c:105-126 + :310-330)."""
+    rec_cols = [c for c in df.columns
+                if c not in (tag_col, ts_col, log_type_key)]
+    if ts_col is not None:
+        c = F.col(f"`{ts_col}`").cast("timestamp")
+        if time_generated:
+            tv = F.concat(
+                F.lit('"'),
+                F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+                F.lit('"'))
+            tv = F.coalesce(tv, F.lit('"1970-01-01T00:00:00.000Z"'))
+        else:
+            # plain decimal epoch.micros (double→string would print
+            # scientific notation for epoch magnitudes)
+            tv = F.format_string(
+                "%.6f", F.coalesce(c.cast("double"), F.lit(0.0)))
+    else:
+        tv = F.lit('"1970-01-01T00:00:00.000Z"') if time_generated \
+            else F.lit("0.000000")
+    body = fb_json_body(df, rec_cols)
+    line = F.concat(
+        F.lit('{"%s":' % time_key), tv,
+        F.when(F.length(body) > 2,
+               F.concat(F.lit(","), F.substring(body, 2, 2147483647)))
+        .otherwise(F.lit("}")),
+    )
+    lt = (F.coalesce(F.col(f"`{log_type_key}`").cast("string"),
+                     F.lit(log_type))
+          if log_type_key and log_type_key in df.columns
+          else F.lit(log_type))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"), lt.alias("log_type"))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln, t in zip(pdf["tag"], pdf["line"], pdf["log_type"]):
+                cur = groups.setdefault(str(tag), {"lines": [], "lt": str(t)})
+                cur["lines"].append(ln)
+            tags, bodies, ns, lts = [], [], [], []
+            for tag, cur in groups.items():
+                tags.append(tag)
+                bodies.append("[" + ",".join(cur["lines"]) + "]")
+                ns.append(len(cur["lines"]))
+                lts.append(cur["lt"])
+            yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns,
+                                "log_type": lts})
+
+    return rendered.mapInPandas(
+        run, "tag string, body string, n long, log_type string")

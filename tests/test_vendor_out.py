@@ -1,0 +1,134 @@
+"""Thin vendor staging (vendorfmt): out_logdna / out_nrlogs /
+out_azure body vectors per their compose functions."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.vendorfmt import (
+    azure_payloads,
+    logdna_payloads,
+    nrlogs_payloads,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [("svc.a", 1700000000, "boot ok", "info")],
+        "tag string, es long, msg string, level string",
+    ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+             "msg", "level").coalesce(1)
+
+
+class TestLogdna:
+    def test_lines_envelope(self, spark, frame):
+        (r,) = logdna_payloads(frame, ts_col="ts").collect()
+        body = json.loads(r["body"])
+        (line,) = body["lines"]
+        assert line["timestamp"] == 1700000000  # int seconds
+        # 'line' is a JSON STRING of the whole record
+        assert json.loads(line["line"]) == {"msg": "boot ok", "level": "info"}
+        assert line["level"] == "info"  # lifted primary key
+        assert line["app"] == "Fluent Bit"  # default app
+        assert r["n"] == 1
+
+    def test_severity_lifts_as_level_and_defaults(self, spark):
+        df = spark.createDataFrame(
+            [("t", "warn", "m")], "tag string, severity string, msg string")
+        (r,) = logdna_payloads(df, app="my-app", file="svc.log").collect()
+        (line,) = json.loads(r["body"])["lines"]
+        assert line["level"] == "warn"
+        assert line["app"] == "my-app" and line["file"] == "svc.log"
+
+
+class TestNrlogs:
+    def test_melt_envelope(self, spark, frame):
+        (r,) = nrlogs_payloads(frame, ts_col="ts").collect()
+        (env,) = json.loads(r["body"])
+        assert env["common"]["attributes"]["plugin"]["type"] == "Fluent Bit"
+        (log,) = env["logs"]
+        assert log["timestamp"] == 1700000000000  # ms
+        assert log["attributes"] == {"msg": "boot ok", "level": "info"}
+        assert "message" not in log  # no log/message key in the record
+
+    def test_log_wins_over_message(self, spark):
+        df = spark.createDataFrame(
+            [("t", "from-log", "from-message", 1)],
+            "tag string, log string, message string, n bigint")
+        (r,) = nrlogs_payloads(df).collect()
+        (log,) = json.loads(r["body"])[0]["logs"]
+        assert log["message"] == "from-log"
+        # the chosen key leaves attributes; the loser stays
+        assert log["attributes"] == {"message": "from-message", "n": 1}
+
+
+class TestAzure:
+    def test_double_epoch_time_key(self, spark, frame):
+        (r,) = azure_payloads(frame, ts_col="ts").collect()
+        (rec,) = json.loads(r["body"])
+        assert rec["@timestamp"] == pytest.approx(1700000000.0)
+        assert rec["msg"] == "boot ok"
+        assert r["log_type"] == "fluentbit"
+
+    def test_time_generated_iso(self, spark, frame):
+        (r,) = azure_payloads(frame, ts_col="ts", time_generated=True,
+                              time_key="TimeGenerated").collect()
+        (rec,) = json.loads(r["body"])
+        assert rec["TimeGenerated"] == "2023-11-14T22:13:20.000Z"
+
+    def test_log_type_key_from_record(self, spark):
+        df = spark.createDataFrame(
+            [("t", "apache", "m")], "tag string, kind string, msg string")
+        (r,) = azure_payloads(df, log_type_key="kind").collect()
+        assert r["log_type"] == "apache"
+        # the key column does not join the record body
+        assert json.loads(r["body"])[0] == {"@timestamp": 0.0, "msg": "m"}
+
+
+class TestConfigVendors:
+    def test_config_e2e_three_sinks(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag v.app
+            Samples 2
+            Dummy {"msg": "hi", "level": "info"}
+
+        [OUTPUT]
+            Name logdna
+            Match *
+            app demo
+
+        [OUTPUT]
+            Name nrlogs
+            Match *
+
+        [OUTPUT]
+            Name azure
+            Match *
+            time_generated true
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["logdna_all"] == 2
+        assert run.counts["nrlogs_all"] == 2
+        assert run.counts["azure_all"] == 2
+        ld = spark.read.parquet(str(tmp_path / "out" / "logdna_all")).collect()
+        assert sum(r["n"] for r in ld) == 2
+        assert all(
+            line["app"] == "demo"
+            for r in ld for line in json.loads(r["body"])["lines"])
+        az = spark.read.parquet(str(tmp_path / "out" / "azure_all")).collect()
+        for r in az:
+            for rec in json.loads(r["body"]):
+                assert rec["msg"] == "hi"
