@@ -934,6 +934,48 @@ def _build_input(
             [tuple([tag] + list(rec.values()))],
             ", ".join(["tag string"] + [f"`{k}` string" for k in rec]),
         )
+    if name == "docker_events":
+        # in_docker_events (docker_events.c:240-320): each event line
+        # becomes {key: raw} (key default 'message', docker_events.h:30)
+        # or runs through the configured parser. Batch analogue: the
+        # docker-events stream staged as a JSON-lines file.
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT docker_events needs path (staged events)")
+        df = spark.read.text(path).withColumnRenamed("value", "line")
+        df = df.withColumn("tag", F.lit(tag))
+        parser_name = s.get("parser")
+        if parser_name:
+            return parsers[parser_name].apply(df, "line", ts_col="ts")
+        key = s.get("key", "message")
+        return df.select("tag", F.col("line").alias(key))
+    if name == "mqtt":
+        # in_mqtt (mqtt_prot.c mqtt_data_append:126-215): the PUBLISH
+        # payload must be a JSON map (else dropped with a warning); the
+        # record is {topic, ...payload} — or {topic, payload_key:
+        # {payload}} under payload_key. Batch analogue: messages staged
+        # as JSON-lines {"topic": t, "payload": {...}}; the payload map
+        # lands in the dynamic map<string,string> encoding.
+        from .parsers import parse_json_to_map
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT mqtt needs path (staged messages)")
+        raw = spark.read.text(path).withColumnRenamed("value", "line")
+        topic = F.get_json_object(F.col("line"), "$.topic")
+        payload = F.get_json_object(F.col("line"), "$.payload")
+        body = parse_json_to_map(payload)
+        out = raw.select(
+            F.lit(tag).alias("tag"),
+            topic.alias("topic"),
+            body.alias("body"),
+        ).filter(F.col("body").isNotNull())  # non-map payloads drop
+        payload_key = s.get("payload_key")
+        if payload_key:
+            # nest the payload under the configured key instead of
+            # flattening (mqtt_prot.c:176-199)
+            out = out.withColumnRenamed("body", payload_key)
+        return out
     if name == "statsd":
         # in_statsd listens on UDP; the batch analogue reads datagram
         # lines staged as text. `metrics true` (statsd.c config map)

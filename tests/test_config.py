@@ -1939,3 +1939,47 @@ def test_in_head_modes(spark, tmp_path):
     assert rows["h.split"]["line0"] == "alpha"
     assert rows["h.split"]["line1"] == "beta"
     assert rows["h.split"]["line2"] == "gamma"
+
+
+def test_in_docker_events_and_mqtt(spark, tmp_path):
+    """in_docker_events (raw key / parser modes) + in_mqtt (JSON map
+    payloads flattened into the dynamic map encoding, non-JSON drops,
+    payload_key nesting)."""
+    import json as _json
+    import textwrap
+
+    from fluent_bit_spark.config import run_classic_config
+
+    ev = tmp_path / "docker.jsonl"
+    ev.write_text(
+        '{"status":"start","id":"c1","Type":"container"}\n'
+        '{"status":"die","id":"c2","Type":"container"}\n')
+    mq = tmp_path / "mqtt.jsonl"
+    mq.write_text(
+        _json.dumps({"topic": "sensors/a", "payload": {"temp": 21, "ok": True}}) + "\n"
+        + _json.dumps({"topic": "sensors/b", "payload": "not-a-map"}) + "\n")
+
+    conf = textwrap.dedent(f"""
+    [INPUT]
+        Name docker_events
+        Tag docker
+        path {ev}
+
+    [INPUT]
+        Name mqtt
+        Tag mq.in
+        path {mq}
+
+    [OUTPUT]
+        Name counter
+        Match *
+    """)
+    run = run_classic_config(spark, conf, str(tmp_path / "out"))
+    # 2 docker events + 1 mqtt map payload (the non-map drops)
+    assert run.counts["counter_all"] == 3
+    rows = [r.asDict() for r in run.frame.collect()]
+    docker = [r for r in rows if r["tag"] == "docker"]
+    assert sorted(_json.loads(r["message"])["id"] for r in docker) == ["c1", "c2"]
+    (m,) = [r for r in rows if r["tag"] == "mq.in"]
+    assert m["topic"] == "sensors/a"
+    assert dict(m["body"]) == {"temp": "21", "ok": "true"}
