@@ -1838,6 +1838,21 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name in ("slack", "nats", "td"):
+        return SinkSpec(
+            s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+            match=match, fmt=name, ts_col=s.get("ts_col"),
+            processors=procs,
+        )
+    if name == "plot":
+        opts = {}
+        if s.get("key"):
+            opts["key"] = s.get("key").lstrip("$")
+        return SinkSpec(
+            s.get("sink_name", f"plot_{match.replace('*', 'all')}"),
+            match=match, fmt="plot", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name in ("logdna", "nrlogs", "azure"):
         # thin vendor staging paths (option names per each plugin's
         # config map; auth/endpoint options are delivery, ignored here)

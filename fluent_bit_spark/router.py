@@ -504,6 +504,61 @@ def write_sinks(
                 )
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt in ("slack", "nats"):
+                from . import vendorfmt
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                fn = {"slack": vendorfmt.slack_payloads,
+                      "nats": vendorfmt.nats_payloads}[s.fmt]
+                fn(part, tag_col=tag_col, ts_col=ts_col,
+                   **(s.format_options or {})) \
+                    .write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
+            if s.fmt == "plot":
+                # out_plot (plot.c): one value per line for `key` (or
+                # the record's FIRST column when unset) — gnuplot input
+                opts = s.format_options or {}
+                key = opts.get("key")
+                if key is None:
+                    key = next(c for c in part.columns
+                               if c not in (tag_col, s.ts_col))
+                part.select(
+                    F.col(f"`{key}`").cast("string").alias("value")
+                ).filter(F.col("value").isNotNull()) \
+                    .write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
+            if s.fmt == "td":
+                # out_td (td.c): the chunk's records as gzipped msgpack
+                from .msgpackfmt import to_msgpack_binary, _write_binary_values
+                import gzip as _gzip
+
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                cols = [c for c in part.columns if c not in (ts_col, tag_col)]
+                packed = to_msgpack_binary(part, ts_col, cols)
+
+                def _gz(batches):
+                    import pandas as pd
+
+                    for pdf in batches:
+                        yield pd.DataFrame({
+                            "value": [_gzip.compress(
+                                b"".join(pdf["value"]), mtime=0)],
+                            "n": [len(pdf)],
+                        })
+
+                _write_binary_values(
+                    packed.mapInPandas(_gz, "value binary, n long"),
+                    dest, "msgpack.gz", count_col="n")
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt in ("logdna", "nrlogs", "azure"):
                 # thin vendor staging: one request body per (tag, chunk)
                 from . import vendorfmt

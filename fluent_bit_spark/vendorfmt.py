@@ -214,3 +214,106 @@ def azure_payloads(
 
     return rendered.mapInPandas(
         run, "tag string, body string, n long, log_type string")
+
+
+# ---------------------------------------------------------------------------
+# misc thin sinks: out_slack, out_nats, out_plot, out_td
+# ---------------------------------------------------------------------------
+
+
+def _object_print(df: DataFrame, cols) -> Column:
+    """msgpack_object_print-style record text ``{"k"=>v, ...}`` (the
+    rendering out_slack pipes into its text blob, slack.c:190-210):
+    string values quoted, numbers bare, booleans true/false; nested
+    columns keep Jackson JSON (documented divergence, flat records
+    don't nest)."""
+    from pyspark.sql import types as T
+
+    parts: list[Column] = [F.lit("{")]
+    for i, name in enumerate(cols):
+        prefix = (", " if i else "") + '"%s"=>' % name
+        parts.append(F.lit(prefix))
+        c = F.col(f"`{name}`")
+        dtype = df.schema[name].dataType
+        if isinstance(dtype, T.StringType):
+            parts.append(F.concat(F.lit('"'), fb_json_escape(c), F.lit('"')))
+        elif isinstance(dtype, T.BooleanType):
+            parts.append(F.when(c, F.lit("true")).otherwise(F.lit("false")))
+        else:
+            parts.append(F.coalesce(c.cast("string"), F.lit("nil")))
+    parts.append(F.lit("}"))
+    return F.concat(*parts)
+
+
+def slack_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """out_slack (slack.c:149-230): ONE webhook body per (tag, chunk):
+    ``{"text": "[\"timestamp\": sec.%09lu, {record}] ..."}`` — the
+    C's exact (quirky) per-record framing reproduced verbatim."""
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if ts_col is not None:
+        tsc = F.col(f"`{ts_col}`").cast("timestamp")
+        sec = F.coalesce(F.unix_timestamp(tsc), F.lit(0)).cast("string")
+        nsec = F.lpad(
+            (F.coalesce(F.unix_micros(tsc) % 1_000_000, F.lit(0)) * 1000)
+            .cast("string"), 9, "0")
+    else:
+        sec, nsec = F.lit("0"), F.lit("000000000")
+    line = F.concat(F.lit('["timestamp": '), sec, F.lit("."), nsec,
+                    F.lit(", "), _object_print(df, rec_cols), F.lit("]"))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+
+    def wrap(s: str) -> str:
+        return json.dumps({"text": s}, ensure_ascii=False,
+                          separators=(",", ":"))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags = list(groups)
+            yield pd.DataFrame({
+                "tag": tags,
+                "body": [wrap("".join(groups[t])) for t in tags],
+                "n": [len(groups[t]) for t in tags],
+            })
+
+    return rendered.mapInPandas(run, "tag string, body string, n long")
+
+
+def nats_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """out_nats (nats.c msgpack_to_json:81-150): subject = tag, body =
+    ``[[ts_double, {"tag": tag, ...record}], ...]`` per chunk."""
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if ts_col is not None:
+        ts = F.format_string(
+            "%.6f",
+            F.coalesce(F.col(f"`{ts_col}`").cast("timestamp").cast("double"),
+                       F.lit(0.0)))
+    else:
+        ts = F.lit("0.000000")
+    body = fb_json_body(df, rec_cols)
+    rec_with_tag = F.concat(
+        F.lit('{"tag":"'), fb_json_escape(F.col(f"`{tag_col}`")),
+        F.lit('"'),
+        F.when(F.length(body) > 2,
+               F.concat(F.lit(","), F.substring(body, 2, 2147483647)))
+        .otherwise(F.lit("}")),
+    )
+    line = F.concat(F.lit("["), ts, F.lit(","), rec_with_tag, F.lit("]"))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    return _group_json_arrays(rendered, lambda s: "[" + s + "]")

@@ -132,3 +132,58 @@ class TestConfigVendors:
         for r in az:
             for rec in json.loads(r["body"]):
                 assert rec["msg"] == "hi"
+
+
+class TestMiscThinSinks:
+    def test_slack_text_blob(self, spark):
+        from fluent_bit_spark.vendorfmt import slack_payloads
+
+        df = spark.createDataFrame(
+            [("s.a", 5, "hello", 2)],
+            "tag string, es long, msg string, n bigint"
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "msg", "n").coalesce(1)
+        (r,) = slack_payloads(df, ts_col="ts").collect()
+        body = json.loads(r["body"])
+        # the C's exact framing: ["timestamp": sec.%09lu, {record}]
+        assert body["text"] == (
+            '["timestamp": 5.000000000, {"msg"=>"hello", "n"=>2}]')
+
+    def test_nats_pairs_with_tag(self, spark):
+        from fluent_bit_spark.vendorfmt import nats_payloads
+
+        df = spark.createDataFrame(
+            [("n.a", 5, "x")], "tag string, es long, msg string"
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "msg").coalesce(1)
+        (r,) = nats_payloads(df, ts_col="ts").collect()
+        ((ts, rec),) = json.loads(r["body"])
+        assert ts == pytest.approx(5.0)
+        assert rec == {"tag": "n.a", "msg": "x"}
+
+    def test_plot_and_td_sinks(self, spark, tmp_path):
+        import gzip as _gzip
+
+        from fluent_bit_spark.msgpackfmt import unpack_stream
+        from fluent_bit_spark.router import SinkSpec, write_sinks
+
+        df = spark.createDataFrame(
+            [("p.a", 5, 1.5, "x"), ("p.a", 6, 2.5, "y")],
+            "tag string, es long, v double, s string"
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "v", "s").coalesce(1)
+        counts = write_sinks(df, [
+            SinkSpec("pl", match="*", fmt="plot",
+                     format_options={"key": "v"}),
+            SinkSpec("td", match="*", fmt="td"),
+        ], str(tmp_path))
+        assert counts["pl"] == 2 and counts["td"] == 2
+        vals = sorted(
+            r["value"]
+            for r in spark.read.text(str(tmp_path / "pl")).collect())
+        assert vals == ["1.5", "2.5"]
+        import glob
+
+        (gz,) = glob.glob(str(tmp_path / "td" / "part-*.msgpack.gz"))
+        events = list(unpack_stream(_gzip.decompress(open(gz, "rb").read())))
+        assert sorted(r["s"] for _, r in events) == ["x", "y"]
