@@ -16,6 +16,7 @@ without the server.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import socketserver
@@ -26,6 +27,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ENVELOPE_SCHEMA = "path string, ct string, body string"
+# superset read by binary-body consumers (prometheus remote-write):
+# ce = Content-Encoding header, enc = 'b64' when the body did not
+# decode as UTF-8 and was base64-coded by the transport
+ENVELOPE_SCHEMA_BIN = "path string, ct string, ce string, enc string, body string"
 
 
 def http_spool_server(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
@@ -41,10 +46,20 @@ def http_spool_server(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             n_bytes = int(self.headers.get("Content-Length", "0"))
-            body = self.rfile.read(n_bytes).decode("utf-8", errors="replace")
+            raw = self.rfile.read(n_bytes)
+            try:
+                body = raw.decode("utf-8")
+                enc = ""
+            except UnicodeDecodeError:
+                # binary payload (snappy/protobuf remote-write):
+                # base64 keeps the envelope single-line JSON
+                body = base64.b64encode(raw).decode("ascii")
+                enc = "b64"
             env = {
                 "path": self.path,
                 "ct": self.headers.get("Content-Type", ""),
+                "ce": self.headers.get("Content-Encoding", ""),
+                "enc": enc,
                 "body": body,
             }
             with lock:
@@ -69,12 +84,15 @@ def http_spool_server(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
 
 
 def http_spool_source(
-    spark: SparkSession, spool_dir: str, streaming: bool = False
+    spark: SparkSession, spool_dir: str, streaming: bool = False,
+    schema: str = ENVELOPE_SCHEMA,
 ) -> DataFrame:
-    """(path, ct, body) request envelopes from the spool dir."""
+    """(path, ct, body) request envelopes from the spool dir (pass
+    ``schema=ENVELOPE_SCHEMA_BIN`` to surface the ce/enc fields for
+    binary-body consumers)."""
     reader = spark.readStream if streaming else spark.read
     return (
-        reader.schema(ENVELOPE_SCHEMA)
+        reader.schema(schema)
         .option("pathGlobFilter", "req-*.json")
         .json(spool_dir)
     )

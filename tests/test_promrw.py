@@ -1,0 +1,308 @@
+"""Prometheus remote-write wire codec (promrw.py).
+
+Covers the hand-rolled protobuf + snappy stack both directions:
+- snappy block/framed decode vectors (flb_snappy.c semantics: framed
+  payloads behind the 0xff stream identifier, raw-block fallback,
+  masked crc32c checks, skippable frames)
+- WriteRequest encode layout (cmt_encode_prometheus_remote_write.c:
+  __name__-first label order, static labels, per-family metadata)
+- decoder quirks faithful to cmt_decode_prometheus_remote_write.c:
+  positional metadata pairing, missing-__name__ skip, duplicate-label
+  overwrite, summary/native-histogram rejection
+- Spark e2e: metrics rows → remote_write_payloads → real POST with
+  Content-Encoding: snappy → spool → remote_write_records roundtrip.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import urllib.request
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluent_bit_spark import httpingest
+from fluent_bit_spark import promrw as rw
+
+
+# ---------------------------------------------------------------------------
+# snappy
+# ---------------------------------------------------------------------------
+
+class TestSnappy:
+    def test_crc32c_known_vector(self):
+        # RFC 3720 B.4 check value
+        assert rw.crc32c(b"123456789") == 0xE3069283
+        assert rw.crc32c(b"") == 0
+
+    @pytest.mark.parametrize("n", [0, 1, 59, 60, 61, 255, 256, 257,
+                                   65535, 65536, 65537, 200000])
+    def test_block_roundtrip_literal_boundaries(self, n):
+        data = bytes((i * 131 + 7) % 256 for i in range(n))
+        assert rw.snappy_uncompress(rw.snappy_compress(data)) == data
+
+    def test_copy_elements_decode(self):
+        # Hand-built block: literal "abcd" then overlapping 1-byte-offset
+        # copy (len 8, off 2) => "abcd" + "cdcdcdcd"
+        blk = rw._uvarint(12) + bytes([(3 << 2) | 0]) + b"abcd" \
+            + bytes([((8 - 4) << 2) | 1, 2])
+        assert rw.snappy_uncompress(blk) == b"abcd" + b"cd" * 4
+
+        # 2-byte-offset copy: literal 'x'*70 then copy len 5 off 70
+        lit = b"x" * 69 + b"y"
+        blk2 = (rw._uvarint(75)
+                + bytes([(60 << 2) | 0, 69]) + lit
+                + bytes([((5 - 1) << 2) | 2]) + struct.pack("<H", 70))
+        assert rw.snappy_uncompress(blk2) == lit + lit[:5]
+
+    def test_bad_offset_and_length_mismatch_raise(self):
+        with pytest.raises(ValueError):
+            rw.snappy_uncompress(rw._uvarint(4) + bytes([1, 9]))  # off>out
+        good = rw.snappy_compress(b"abc")
+        with pytest.raises(ValueError):
+            rw.snappy_uncompress(rw._uvarint(9) + good[1:])
+
+    def test_framed_decode_with_raw_fallback(self):
+        body = b"payload " * 50
+        # raw block fallback (no 0xff first byte)
+        assert rw.snappy_uncompress_framed(rw.snappy_compress(body)) == body
+
+    @staticmethod
+    def _frame(ftype: int, body: bytes) -> bytes:
+        return bytes([ftype]) + len(body).to_bytes(3, "little") + body
+
+    def test_framed_stream(self):
+        a, b = b"hello ", b"framed world"
+        crc_a = rw._masked_crc(a).to_bytes(4, "little")
+        crc_b = rw._masked_crc(b).to_bytes(4, "little")
+        stream = (
+            self._frame(0xFF, b"sNaPpY")
+            + self._frame(0x00, crc_a + rw.snappy_compress(a))  # compressed
+            + self._frame(0xFE, b"pad-bytes")                   # skippable
+            + self._frame(0x01, crc_b + b)                      # uncompressed
+        )
+        assert rw.snappy_uncompress_framed(stream) == a + b
+
+    def test_framed_checksum_and_unskippable(self):
+        bad = (self._frame(0xFF, b"sNaPpY")
+               + self._frame(0x01, b"\x00\x00\x00\x00data"))
+        with pytest.raises(ValueError, match="checksum"):
+            rw.snappy_uncompress_framed(bad)
+        fatal = self._frame(0xFF, b"sNaPpY") + self._frame(0x02, b"??")
+        with pytest.raises(ValueError, match="unskippable"):
+            rw.snappy_uncompress_framed(fatal)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=4096))
+    def test_block_roundtrip_property(self, data):
+        assert rw.snappy_uncompress(rw.snappy_compress(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# WriteRequest encode/decode
+# ---------------------------------------------------------------------------
+
+SAMPLES = [
+    ("http_requests_total", 3.0, {"method": "get", "code": "200"}, 1700000000123),
+    ("http_requests_total", 1.5, {"method": "get", "code": "200"}, 1700000001123),
+    ("http_requests_total", 1.0, {"method": "post"}, 1700000000123),
+    ("mem_used_bytes", 0.0, {}, 0),
+]
+META = [("http_requests_total", "counter", "Total requests", "")]
+
+
+class TestWriteRequest:
+    def test_label_order_and_series_grouping(self):
+        body = rw.encode_write_request(SAMPLES, META,
+                                       static_labels=[("host", "h1")])
+        req = rw.decode_write_request(body)
+        # one TimeSeries per (family, label set), first-seen order
+        assert len(req["timeseries"]) == 3
+        ts0 = req["timeseries"][0]
+        assert ts0["labels"] == [("__name__", "http_requests_total"),
+                                 ("host", "h1"),
+                                 ("method", "get"), ("code", "200")]
+        # both samples of the identical label set ride one series, in order
+        assert ts0["samples"] == [(3.0, 1700000000123), (1.5, 1700000001123)]
+        # zero value + zero ts (all fields proto3-omitted) still decodes
+        assert req["timeseries"][2]["samples"] == [(0.0, 0)]
+
+    def test_metadata_per_family_with_gauge_default(self):
+        body = rw.encode_write_request(SAMPLES, META)
+        req = rw.decode_write_request(body)
+        assert req["metadata"] == [
+            ("http_requests_total", "counter", "Total requests", ""),
+            ("mem_used_bytes", "gauge", "", ""),  # synthesized
+        ]
+
+    def test_negative_timestamp_int64(self):
+        body = rw.encode_write_request([("m", 1.0, {}, -62135596800000)])
+        ((val, ts),) = [tuple(s) for s in
+                        rw.decode_write_request(body)["timeseries"][0]["samples"]]
+        assert ts == -62135596800000 and val == 1.0
+
+    def test_samples_positional_metadata_quirk(self):
+        """cmt_decode_prometheus_remote_write.c:544-551 pairs metadata
+        with timeseries POSITIONALLY; series past the metadata list get
+        gauge/help '-'. The second get-series of the same family
+        therefore picks up metadata[1]."""
+        rows = rw.remote_write_samples(
+            rw.encode_write_request(SAMPLES, META))
+        assert rows[0]["metric_type"] == "counter"
+        assert rows[0]["help"] == "Total requests"
+        assert rows[2]["metric_type"] == "gauge" and rows[2]["help"] == "-"
+        # label set keeps __name__ (decode_labels appends every label)
+        assert rows[0]["labels"]["__name__"] == "http_requests_total"
+        # ms timestamps preserved; value order preserved within series
+        assert [r["value"] for r in rows[:2]] == [3.0, 1.5]
+
+    def test_series_without_name_skipped(self):
+        body = rw._ld(1, rw._ld(1, rw._pb_label("job", "x"))
+                      + rw._ld(2, rw._pb_sample(1.0, 5)))
+        assert rw.remote_write_samples(body) == []
+
+    def test_duplicate_label_last_value_wins(self):
+        ts_pb = (rw._ld(1, rw._pb_label("__name__", "m"))
+                 + rw._ld(1, rw._pb_label("a", "1"))
+                 + rw._ld(1, rw._pb_label("b", "2"))
+                 + rw._ld(1, rw._pb_label("a", "3"))
+                 + rw._ld(2, rw._pb_sample(1.0, 1)))
+        (row,) = rw.remote_write_samples(rw._ld(1, ts_pb))
+        assert list(row["labels"].items()) == [
+            ("__name__", "m"), ("a", "3"), ("b", "2")]
+
+    def test_summary_and_native_histogram_rejected(self):
+        body = rw.encode_write_request(
+            [("lat", 1.0, {}, 1)], [("lat", "summary", "h", "")])
+        assert rw.remote_write_samples(body) == []
+        with pytest.raises(ValueError, match="unsupported"):
+            rw.remote_write_samples(body, strict=True)
+        # native histogram: TimeSeries field 4 present
+        ts_pb = (rw._ld(1, rw._pb_label("__name__", "nh"))
+                 + rw._ld(4, b"\x08\x01"))
+        assert rw.remote_write_samples(rw._ld(1, ts_pb)) == []
+        with pytest.raises(ValueError, match="unsupported"):
+            rw.remote_write_samples(rw._ld(1, ts_pb), strict=True)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(
+        st.sampled_from(["m_a", "m_b", "m_c"]),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.dictionaries(st.sampled_from(["k1", "k2"]),
+                        st.text(max_size=8), max_size=2),
+        st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+    ), max_size=12))
+    def test_encode_decode_roundtrip_property(self, samples):
+        body = rw.encode_write_request(samples)
+        decoded = []
+        for ts in rw.decode_write_request(body)["timeseries"]:
+            d = dict(ts["labels"])
+            name = d.pop("__name__")
+            for val, ts_ms in ts["samples"]:
+                decoded.append((name, val, d, ts_ms))
+        # grouping preserves multiset of (name, value, labels, ts)
+        key = lambda s: (s[0], s[1], tuple(sorted(s[2].items())), s[3])
+        assert sorted(map(key, decoded)) == sorted(map(key, samples))
+
+
+# ---------------------------------------------------------------------------
+# Spark e2e: payloads → real POST (snappy, binary) → spool → records
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    ("fb_input_records_total", "counter", 12.0, {"plugin": "tail.0"}, 1700000000123),
+    ("fb_input_records_total", "counter", 30.0, {"plugin": "http.0"}, 1700000000123),
+    ("fb_mem_bytes", "gauge", 1024.0, {}, 1700000000456),
+]
+
+
+def test_remote_write_payload_shape(spark):
+    df = spark.createDataFrame(
+        ROWS,
+        "metric_name string, metric_type string, value double, "
+        "labels map<string,string>, ts_ms long",
+    ).coalesce(1)
+    (p,) = rw.remote_write_payloads(
+        df, ts_ms_col="ts_ms", help_texts={"fb_mem_bytes": "resident"},
+        static_labels=[("job", "fb")], tag="m1").collect()
+    assert (p["tag"], p["n_series"], p["n_samples"]) == ("m1", 3, 3)
+    body = rw.snappy_uncompress_framed(bytes(p["body"]))
+    req = rw.decode_write_request(body)
+    # metric_type column drives metadata; help_texts keyed by family
+    assert ("fb_input_records_total", "counter", "", "") in req["metadata"]
+    assert ("fb_mem_bytes", "gauge", "resident", "") in req["metadata"]
+    assert req["timeseries"][0]["labels"][:2] == [
+        ("__name__", "fb_input_records_total"), ("job", "fb")]
+
+
+def test_remote_write_e2e_snappy_post(spark, tmp_path):
+    """Full wire loop: encode on Spark, POST the binary snappy body to
+    the spool sidecar (exercising the b64 binary transport), decode on
+    Spark from the BIN envelope schema."""
+    df = spark.createDataFrame(
+        ROWS,
+        "metric_name string, metric_type string, value double, "
+        "labels map<string,string>, ts_ms long",
+    ).coalesce(1)
+    (p,) = rw.remote_write_payloads(df, ts_ms_col="ts_ms").collect()
+
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write",
+            data=bytes(p["body"]),
+            headers={"Content-Type": "application/x-protobuf",
+                     "Content-Encoding": "snappy"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 201
+        # a second POST on another URI must be ignored
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/other", data=b'{"x": 1}',
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req2, timeout=5) as r:
+            assert r.status == 201
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    env = httpingest.http_spool_source(
+        spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+    # binary body was base64-coded by the transport
+    assert {r["enc"] for r in env.select("enc").collect()} == {"b64", ""}
+    got = rw.remote_write_records(env).collect()
+    assert len(got) == 3
+    by_series = {(r["metric_name"], tuple(sorted(
+        (k, v) for k, v in r["labels"].items() if k != "__name__"))): r
+        for r in got}
+    r0 = by_series[("fb_input_records_total", (("plugin", "tail.0"),))]
+    assert r0["value"] == 12.0 and r0["ts_ms"] == 1700000000123
+    assert r0["metric_type"] == "counter"
+    r2 = by_series[("fb_mem_bytes", ())]
+    assert r2["value"] == 1024.0 and r2["ts_ms"] == 1700000000456
+
+
+def test_spool_utf8_bodies_keep_plain_transport(tmp_path):
+    """UTF-8 bodies stay readable strings (enc='') — the existing text
+    consumers (in_http/HEC/ES bulk) see unchanged envelopes."""
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/app",
+            data='{"msg": "héllo"}'.encode("utf-8"),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 201
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    import glob
+    (path,) = glob.glob(f"{spool}/req-*.json")
+    env = json.load(open(path))
+    assert env["enc"] == "" and env["body"] == '{"msg": "héllo"}'
+    assert env["ce"] == ""
