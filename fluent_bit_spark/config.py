@@ -1003,6 +1003,25 @@ def _build_input(
         df = spark.read.text(path).withColumnRenamed("value", "line")
         df = df.withColumn("tag", F.lit(tag))
         return prom_parse_lines(df, keep_cols=("tag",))
+    if name == "prometheus_remote_write":
+        # in_prometheus_remote_write: WriteRequest protobuf POSTs over
+        # the spool transport (binary bodies ride base64-coded); uri
+        # gates exact-match pre-query-strip, tag_from_uri sanitizes the
+        # query-stripped path (prom_rw.c config map :219-227)
+        from . import httpingest
+        from .promrw import remote_write_records
+
+        spool = s.get("spool_path")
+        if not spool:
+            raise ValueError("INPUT prometheus_remote_write needs spool_path")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        return remote_write_records(
+            env,
+            uri=s.get("uri"),
+            default_tag=tag,
+            tag_from_uri=_bool(s.get("tag_from_uri", "true")),
+        )
     if name in ("http", "splunk", "elasticsearch", "opentelemetry"):
         # HTTP ingest family: the accept loop runs in the spool sidecar
         # (httpingest.http_spool_server — the analogue of the plugins'
@@ -1994,6 +2013,29 @@ def _build_sink(s: Section) -> SinkSpec:
             s.get("sink_name", f"otlp_{match.replace('*', 'all')}"),
             match=match, fmt="otlp", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
+        )
+    if name == "prometheus_remote_write":
+        # out_prometheus_remote_write: WriteRequest staging; add_label
+        # entries become static labels on every series, compression
+        # snappy (default) / gzip (remote_write.c config map :392-418)
+        opts = {}
+        statics = []
+        for kv in s.get_all("add_label"):
+            parts = split_quoted(kv)
+            if len(parts) == 2:
+                statics.append((parts[0], parts[1]))
+        if statics:
+            opts["static_labels"] = statics
+        if s.get("compression"):
+            opts["compression"] = s.get("compression").lower()
+        if s.get("metric_type"):
+            opts["metric_type"] = s.get("metric_type").lower()
+        if s.get("ts_col"):
+            opts["ts_col"] = s.get("ts_col")
+        return SinkSpec(
+            s.get("sink_name", f"promrw_{match.replace('*', 'all')}"),
+            match=match, fmt="promrw", format_options=opts,
+            processors=procs,
         )
     if name == "prometheus_exporter":
         # out_prometheus_exporter: exposition text rendering

@@ -525,8 +525,8 @@ def remote_write_samples(data: bytes, strict: bool = False) -> list:
 # ---------------------------------------------------------------------------
 
 RW_SAMPLE_SCHEMA = (
-    "metric_name string, family string, metric_type string, help string, "
-    "labels map<string,string>, value double, ts_ms long"
+    "tag string, metric_name string, family string, metric_type string, "
+    "help string, labels map<string,string>, value double, ts_ms long"
 )
 
 _PAYLOAD_SCHEMA = "tag string, n_series long, n_samples long, body binary"
@@ -546,9 +546,10 @@ def remote_write_payloads(
 ) -> DataFrame:
     """out_prometheus_remote_write: metrics-table rows → one request
     body per partition batch (the chunk analogue of
-    cb_prom_remote_write_flush, remote_write.c:300-360), snappy
-    block-compressed unless ``compression='none'`` (:65-73, config
-    :416). Returns (tag, n_series, n_samples, body binary)."""
+    cb_prom_remote_write_flush, remote_write.c:300-360), compressed per
+    the ``compression`` config (remote_write.c:416 — 'snappy' default,
+    'gzip', anything else = identity; gzip deterministic with mtime=0).
+    Returns (tag, n_series, n_samples, body binary)."""
     help_texts = help_texts or {}
     cols = [name_col, value_col]
     has_labels = labels_col in df.columns
@@ -560,7 +561,14 @@ def remote_write_payloads(
     type_col = "metric_type" if "metric_type" in df.columns else None
     if type_col:
         narrowed = df.select(*cols, type_col)
-    snappy = compression == "snappy"
+    if compression == "snappy":
+        pack = snappy_compress
+    elif compression == "gzip":
+        import gzip as _gzip
+
+        pack = lambda b: _gzip.compress(b, mtime=0)  # noqa: E731
+    else:
+        pack = lambda b: b  # noqa: E731
 
     def run(batches: Iterable):
         import pandas as pd
@@ -593,9 +601,8 @@ def remote_write_payloads(
                 (fam, fam_types[fam], help_texts.get(fam, ""), "")
                 for fam in fam_types
             ]
-            body = encode_write_request(samples, metadata, static_labels)
-            if snappy:
-                body = snappy_compress(body)
+            body = pack(encode_write_request(samples, metadata,
+                                             static_labels))
             n_series = len({(n, tuple(l.items())) for n, _, l, _ in samples})
             yield pd.DataFrame({
                 "tag": [tag],
@@ -607,24 +614,45 @@ def remote_write_payloads(
     return narrowed.mapInPandas(run, schema=_PAYLOAD_SCHEMA)
 
 
+def _uri_tag(path: str) -> str:
+    """prom_rw_prot.c:283-311: strip the query string, skip the leading
+    '/', sanitize (alnum/'_'/'.', everything else → '_')."""
+    path = path.split("?", 1)[0]
+    return "".join(
+        c if (c.isalnum() or c in "_.") else "_" for c in path[1:]
+    )
+
+
 def remote_write_records(
     df: DataFrame,
-    uri: str = "/api/v1/write",
+    uri: Optional[str] = None,
+    default_tag: str = "promrw.0",
+    tag_from_uri: bool = True,
     strict: bool = False,
 ) -> DataFrame:
     """in_prometheus_remote_write: HTTP spool envelopes → sample rows.
-    Only the configured URI is consumed (prom_rw_prot.c:370-388
-    process_payload gate on ctx->uri); Content-Encoding snappy bodies
-    run the framed-with-raw-fallback decompressor (:156-171), identity
-    bodies parse directly. Envelopes carry binary bodies base64-coded
-    by the spool transport (``enc='b64'``)."""
-    path = F.split(F.col("path"), r"\?").getItem(0)
-    keep = df.filter(path == uri).select("body", "ct", "ce", "enc")
+
+    When ``uri`` is set, only exactly-matching request URIs are
+    consumed — faithful quirk: the gate compares the FULL URI before
+    the query string is stripped (prom_rw_prot.c:275 runs before the
+    ``?`` removal at :283), so ``/api/v1/write?x=1`` does NOT match a
+    configured ``/api/v1/write``. The tag derives from the sanitized,
+    query-stripped URI when ``tag_from_uri`` (the default, prom_rw.c:
+    225-227; a bare '/' sanitizes empty and falls back to
+    ``default_tag``), else ``default_tag``. Content-Encoding snappy
+    bodies run the framed-with-raw-fallback decompressor, gzip bodies
+    gunzip, any OTHER encoding value is an error
+    (prom_rw_prot.c:197-233 uncompress returns -2), absent encoding
+    parses directly. Envelopes carry binary bodies base64-coded by the
+    spool transport (``enc='b64'``)."""
+    keep = df.select("path", "body", "ct", "ce", "enc")
+    if uri is not None:
+        keep = keep.filter(F.col("path") == uri)
 
     def run(batches: Iterable):
         import pandas as pd
 
-        cols = ["metric_name", "family", "metric_type", "help",
+        cols = ["tag", "metric_name", "family", "metric_type", "help",
                 "labels", "value", "ts_ms"]
         for pdf in batches:
             out = []
@@ -633,9 +661,20 @@ def remote_write_records(
                 data = (base64.b64decode(raw) if rec.enc == "b64"
                         else raw.encode("utf-8"))
                 ce = (rec.ce or "").lower()
-                if "snappy" in ce:
+                if ce.startswith("gzip"):
+                    import gzip as _gzip
+
+                    data = _gzip.decompress(data)
+                elif ce.startswith("snappy"):
                     data = snappy_uncompress_framed(data)
-                out.extend(remote_write_samples(data, strict=strict))
+                elif ce:
+                    raise ValueError(
+                        f"unsupported Content-Encoding {rec.ce!r}")
+                tag = (_uri_tag(rec.path or "") if tag_from_uri else "") \
+                    or default_tag
+                for row in remote_write_samples(data, strict=strict):
+                    row["tag"] = tag
+                    out.append(row)
             if out:
                 yield pd.DataFrame(out, columns=cols)
 

@@ -488,6 +488,30 @@ def write_sinks(
                 page.write.mode("overwrite").text(dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "promrw":
+                # out_prometheus_remote_write payload staging: one
+                # snappy/gzip WriteRequest body per (sink, chunk),
+                # written as parquet rows (tag, n_series, n_samples,
+                # body) for the poster
+                from .promrw import remote_write_payloads
+
+                opts = dict(s.format_options or {})
+                ts_col = opts.pop("ts_col", None) or s.ts_col
+                ts_ms = None
+                if ts_col and ts_col in part.columns:
+                    if dict(part.dtypes)[ts_col] in ("bigint", "int"):
+                        ts_ms = ts_col
+                    else:
+                        part = part.withColumn(
+                            "__ts_ms",
+                            F.unix_millis(F.col(ts_col).cast("timestamp")),
+                        )
+                        ts_ms = "__ts_ms"
+                remote_write_payloads(
+                    part, ts_ms_col=ts_ms, tag=s.name, **opts
+                ).write.mode("overwrite").parquet(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "forward":
                 # out_forward payload staging: the tag frames the records
                 # (forward_format.c append_tag), so it leaves the body

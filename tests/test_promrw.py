@@ -274,8 +274,9 @@ def test_remote_write_e2e_snappy_post(spark, tmp_path):
         spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
     # binary body was base64-coded by the transport
     assert {r["enc"] for r in env.select("enc").collect()} == {"b64", ""}
-    got = rw.remote_write_records(env).collect()
+    got = rw.remote_write_records(env, uri="/api/v1/write").collect()
     assert len(got) == 3
+    assert {r["tag"] for r in got} == {"api_v1_write"}
     by_series = {(r["metric_name"], tuple(sorted(
         (k, v) for k, v in r["labels"].items() if k != "__name__"))): r
         for r in got}
@@ -284,6 +285,121 @@ def test_remote_write_e2e_snappy_post(spark, tmp_path):
     assert r0["metric_type"] == "counter"
     r2 = by_series[("fb_mem_bytes", ())]
     assert r2["value"] == 1024.0 and r2["ts_ms"] == 1700000000456
+
+
+def test_uri_gate_and_tag_quirks(spark):
+    """prom_rw_prot.c:275 gates on the FULL URI before the query string
+    is stripped; the tag strips the query string and sanitizes; bare
+    '/' falls back to the default tag; tag_from_uri=false pins it."""
+    import base64
+    body = base64.b64encode(rw.snappy_compress(
+        rw.encode_write_request([("m", 1.0, {}, 7)]))).decode()
+    env = spark.createDataFrame(
+        [("/api/v1/write?x=1", "", "snappy", "b64", body),
+         ("/api/v1/write", "", "snappy", "b64", body),
+         ("/", "", "snappy", "b64", body)],
+        httpingest.ENVELOPE_SCHEMA_BIN,
+    )
+    # configured uri: the ?x=1 request does NOT match (pre-strip compare)
+    got = rw.remote_write_records(env, uri="/api/v1/write").collect()
+    assert [r["tag"] for r in got] == ["api_v1_write"]
+    # unconfigured uri: every path consumed; '?x=1' strips from the tag,
+    # '/' sanitizes empty -> default tag
+    tags = sorted(r["tag"] for r in rw.remote_write_records(env).collect())
+    assert tags == ["api_v1_write", "api_v1_write", "promrw.0"]
+    pinned = rw.remote_write_records(
+        env, default_tag="rw.pin", tag_from_uri=False).collect()
+    assert {r["tag"] for r in pinned} == {"rw.pin"}
+
+
+def test_config_output_remote_write(spark, tmp_path):
+    """Config-driven flagship metrics loop: logs -> [FILTER]
+    log_to_metrics -> [OUTPUT] prometheus_remote_write staging; the
+    staged parquet body decodes back to the counted series with the
+    add_label static label attached."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "[INPUT]\n"
+        "    name dummy\n"
+        "    dummy {\"msg\": \"ok\", \"code\": \"200\"}\n"
+        "    samples 3\n"
+        "    tag app.a\n"
+        "[FILTER]\n"
+        "    name log_to_metrics\n"
+        "    match app.*\n"
+        "    metric_mode counter\n"
+        "    metric_name hits\n"
+        "    label_field code\n"
+        "    tag metrics.hits\n"
+        "    discard_logs on\n"
+        "[OUTPUT]\n"
+        "    name prometheus_remote_write\n"
+        "    match metrics.*\n"
+        "    metric_type counter\n"
+        "    add_label env prod\n"
+        "    sink_name rw\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"rw": 1}  # one label set
+    t = [row for pf in _glob.glob(str(tmp_path / "rw" / "part-*.parquet"))
+         for row in pq.read_table(pf).to_pylist()]
+    assert len(t) == 1  # one non-empty chunk -> one request body
+    assert t[0]["n_samples"] == 1 and t[0]["tag"] == "rw"
+    body = rw.snappy_uncompress_framed(t[0]["body"])
+    req = rw.decode_write_request(body)
+    (ts,) = req["timeseries"]
+    assert ts["labels"] == [("__name__", "log_metric_hits"),
+                            ("env", "prod"), ("code", "200")]
+    assert ts["samples"] == [(3.0, 0)]
+    assert req["metadata"] == [("log_metric_hits", "counter", "", "")]
+
+
+def test_config_input_remote_write(spark, tmp_path):
+    """[INPUT] prometheus_remote_write over the spool transport: a real
+    snappy POST lands as metric sample rows routed by the URI tag."""
+    import glob as _glob
+
+    from fluent_bit_spark.config import run_config
+
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    try:
+        body = rw.snappy_compress(rw.encode_write_request(
+            [("up", 1.0, {"job": "node"}, 1700000000001)]))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/write", data=body,
+            headers={"Content-Type": "application/x-protobuf",
+                     "Content-Encoding": "snappy"}, method="POST")
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            assert resp.status == 201
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    out = str(tmp_path / "out")
+    conf = (
+        "[INPUT]\n"
+        "    name prometheus_remote_write\n"
+        f"    spool_path {spool}\n"
+        "    uri /api/v1/write\n"
+        "[OUTPUT]\n"
+        "    name file\n"
+        "    match api_v1_write\n"
+        "    format json\n"
+        "    sink_name rwin\n"
+    )
+    r = run_config(spark, conf, out)
+    assert r.counts == {"rwin": 1}
+    (line,) = [json.loads(ln) for p in _glob.glob(f"{out}/rwin/part-*")
+               for ln in open(p) if ln.strip()]
+    assert line["metric_name"] == "up" and line["value"] == 1.0
+    assert line["ts_ms"] == 1700000000001
+    assert line["labels"]["job"] == "node"
 
 
 def test_spool_utf8_bodies_keep_plain_transport(tmp_path):
