@@ -2014,6 +2014,32 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="otlp", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name in ("kinesis_streams", "kinesis_firehose"):
+        # out_kinesis_streams / out_kinesis_firehose: PutRecords /
+        # PutRecordBatch staging (kinesis.c / firehose.c config maps;
+        # region/role_arn/endpoint are auth+transport, out of scope)
+        opts = {}
+        if name == "kinesis_streams":
+            stream = s.get("stream")
+            if not stream:
+                raise ValueError("OUTPUT kinesis_streams needs stream")
+        else:
+            stream = s.get("delivery_stream")
+            if not stream:
+                raise ValueError(
+                    "OUTPUT kinesis_firehose needs delivery_stream")
+            if s.get("compression"):
+                opts["compression"] = s.get("compression").lower()
+        opts["stream"] = stream
+        for k in ("time_key", "time_key_format", "log_key"):
+            if s.get(k):
+                opts[k] = s.get(k)
+        return SinkSpec(
+            s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+            match=match,
+            fmt="kinesis" if name == "kinesis_streams" else "firehose",
+            ts_col=s.get("ts_col"), format_options=opts, processors=procs,
+        )
     if name == "prometheus_remote_write":
         # out_prometheus_remote_write: WriteRequest staging; add_label
         # entries become static labels on every series, compression

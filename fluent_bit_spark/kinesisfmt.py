@@ -1,0 +1,373 @@
+"""out_kinesis_streams / out_kinesis_firehose payload staging.
+
+Record shaping (kinesis_api.c process_event:242-412, firehose_api.c
+:210-330, identical flow):
+
+- the record renders as flb JSON (or one field's RAW value under
+  ``log_key`` — the encaser's quotes stripped, kinesis.c:97-103
+  forbids combining it with time_key),
+- empty messages are discarded (written <= 2, i.e. ``{}`` / ``\"\"``),
+- ``time_key`` splices ``,"<key>":"<strftime>"`` over the closing
+  brace (kinesis_api.c:301-348; flb_aws_strftime_precision supports
+  the %3N ms / %9N %L ns extensions, src/aws/flb_aws_util.c:1258),
+- a newline is appended, the event is discarded when json+newline
+  reaches MAX_EVENT_SIZE (1048556 streams / 1024000 firehose),
+- Data = base64 of the bytes (firehose optionally gzips first through
+  flb_aws_compression_b64_truncate_compress, src/aws/flb_aws_compress
+  .c:112-230: iterative 90%-reduction truncation stamping a
+  ``[Truncated...]`` suffix until the b64 fits MAX_B64_EVENT_SIZE).
+
+Request packing:
+
+- streams (kinesis_api.c:82-103,517-560): ``{"StreamName":"S",
+  "Records":[{"Data":"...","PartitionKey":"..."},...]}``, capped at
+  MAX_EVENTS_PER_PUT 500 and PUT_RECORDS_PAYLOAD_SIZE 5 MiB with the
+  header/footer/per-record byte accounting of kinesis_api.h:23-32;
+  the partition key is ``uuid(10) + djb2(tag)%7919 + draw%7919``
+  (random_partition_key :104-140). The reference's second hash draws
+  from the flush wall clock — entropy, not a contract; here the draw
+  is a deterministic per-record djb2 so runs replay (same shard-
+  spreading property, pytest-assertable).
+- firehose (firehose_api.c:82-103): ``{"DeliveryStreamName":"S",
+  "Records":[{"Data":"..."},...]}``, 500 events / 4 MiB with
+  firehose_api.h:23-33 accounting.
+
+Rendering and base64 stay JVM-side codegen; python touches only the
+capped request-body join (O(bytes) string concat per chunk) and the
+optional gzip path.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .jsonesc import fb_json_body
+
+__all__ = [
+    "aws_strftime",
+    "kinesis_data",
+    "kinesis_put_records",
+    "firehose_put_record_batch",
+    "MAX_EVENT_SIZE_STREAMS",
+    "MAX_EVENT_SIZE_FIREHOSE",
+]
+
+# kinesis_api.h:23-32
+PUT_RECORDS_PAYLOAD_SIZE = 5_242_880
+MAX_EVENTS_PER_PUT = 500
+MAX_EVENT_SIZE_STREAMS = 1_048_556  # 1048576 - 20 bytes for partition key
+PUT_RECORDS_HEADER_LEN = 30
+PUT_RECORDS_PER_RECORD_LEN = 48
+PUT_RECORDS_FOOTER_LEN = 4
+
+# firehose_api.h:23-33
+PUT_RECORD_BATCH_PAYLOAD_SIZE = 4_194_304
+MAX_EVENT_SIZE_FIREHOSE = 1_024_000
+MAX_B64_EVENT_SIZE = 1_365_336  # ceil(1024000 / 3) * 4
+PUT_RECORD_BATCH_HEADER_LEN = 42
+PUT_RECORD_BATCH_PER_RECORD_LEN = 12
+PUT_RECORD_BATCH_FOOTER_LEN = 4
+
+
+# ---------------------------------------------------------------------------
+# strftime rendering (flb_aws_strftime_precision)
+# ---------------------------------------------------------------------------
+
+# strftime specifier -> Java DateTimeFormatter pattern (UTC session tz);
+# %3N/%9N/%L are the AWS precision extensions (flb_aws_util.c:1297-1323)
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss", "j": "DDD",
+    "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE", "p": "a",
+    "z": "xx", "Z": "zzz", "T": "HH:mm:ss", "F": "yyyy-MM-dd",
+}
+
+
+def _java_pattern(fmt: str) -> str:
+    """strftime → DateTimeFormatter pattern, literals single-quoted."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush_lit():
+        if lit:
+            text = "".join(lit)
+            out.append("'" + text.replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    n = len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(f"dangling %% in time format {fmt!r}")
+        spec = fmt[i + 1]
+        if spec == "%":
+            lit.append("%")
+            i += 2
+            continue
+        if spec == "3" and fmt[i + 1:i + 3] == "3N":
+            flush_lit()
+            out.append("SSS")
+            i += 3
+            continue
+        if spec == "9" and fmt[i + 1:i + 3] == "9N":
+            flush_lit()
+            out.append("SSSSSS'000'")  # micros + zero-padded ns tail
+            i += 3
+            continue
+        if spec == "L":
+            flush_lit()
+            out.append("SSSSSS'000'")
+            i += 2
+            continue
+        if spec not in _STRFTIME_JAVA:
+            raise ValueError(f"unsupported strftime specifier %{spec}")
+        flush_lit()
+        out.append(_STRFTIME_JAVA[spec])
+        i += 2
+    flush_lit()
+    return "".join(out)
+
+
+def aws_strftime(ts: Column, fmt: str) -> Column:
+    """Render a timestamp column with an AWS-extended strftime format
+    (the subset flb_aws_strftime_precision handles via strftime + the
+    %3N/%9N/%L precision rewrites); UTC session timezone assumed."""
+    return F.date_format(ts.cast("timestamp"), _java_pattern(fmt))
+
+
+# ---------------------------------------------------------------------------
+# per-record Data rendering
+# ---------------------------------------------------------------------------
+
+def kinesis_data(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    time_key: Optional[str] = None,
+    time_key_format: Optional[str] = None,
+    log_key: Optional[str] = None,
+    max_event_size: int = MAX_EVENT_SIZE_STREAMS,
+) -> DataFrame:
+    """(tag, data) rows — data is the base64 Data field value
+    (json [+ time_key splice] + newline). Empty messages and
+    over-size events are discarded (process_event returns 2)."""
+    if log_key and time_key:
+        # kinesis.c:102-103 config-time error
+        raise ValueError("'time_key' and 'log_key' can not be used together")
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if log_key:
+        if log_key not in rec_cols:
+            raise ValueError(f"log_key {log_key!r} is not a record column")
+        body = F.col(f"`{log_key}`").cast("string")
+    else:
+        body = fb_json_body(df, rec_cols)
+    out = df.select(
+        F.col(f"`{tag_col}`").cast("string").alias("tag"),
+        body.alias("__base"),
+        *([F.col(f"`{ts_col}`").alias("__ts")] if ts_col else []),
+    )
+    # empty-message discard runs BEFORE the time_key splice
+    # (process_event:276-279 checks written <= 2 on the QUOTED json —
+    # a log_key value is quote-stripped after, so its threshold is the
+    # raw length > 0) — and drops null log_key values the same way
+    min_len = 0 if log_key else 2
+    out = out.filter(
+        F.col("__base").isNotNull() & (F.octet_length("__base") > min_len)
+    )
+    raw = F.col("__base")
+    if time_key:
+        fmt = time_key_format or "%Y-%m-%dT%H:%M:%S"
+        ts = (F.col("__ts") if ts_col else F.lit(0).cast("timestamp"))
+        stamp = aws_strftime(F.coalesce(ts.cast("timestamp"),
+                                        F.lit(0).cast("timestamp")), fmt)
+        # splice over the closing brace (kinesis_api.c:341-348)
+        raw = F.concat(
+            F.substring(raw, 1, F.length(raw) - F.lit(1)),
+            F.lit(',"' + time_key + '":"'), stamp, F.lit('"}'),
+        )
+    raw = F.concat(raw, F.lit("\n"))
+    out = out.select("tag", raw.alias("__raw"))
+    # size cap counts BYTES including the appended newline
+    out = out.filter(F.octet_length("__raw") < max_event_size + 1)
+    return out.select(
+        "tag", F.base64(F.encode(F.col("__raw"), "UTF-8")).alias("data")
+    )
+
+
+def _gzip_b64_truncate(raw: bytes) -> Optional[str]:
+    """flb_aws_compression_b64_truncate_compress: gzip then b64; while
+    the b64 exceeds MAX_B64_EVENT_SIZE, truncate the input to
+    (max*in/b64)*0.9 bytes (strictly decreasing), stamping the
+    '[Truncated...]' suffix over the tail; 10-attempt bound."""
+    import base64
+    import gzip
+
+    suffix = b"[Truncated...]"
+    buf = raw
+    for _ in range(10):
+        comp = gzip.compress(buf, mtime=0)
+        b64 = base64.b64encode(comp)
+        if len(b64) <= MAX_B64_EVENT_SIZE:
+            return b64.decode("ascii")
+        new_len = (MAX_B64_EVENT_SIZE * len(buf)) // (len(b64) + 1)
+        new_len = (new_len * 90) // 100
+        if new_len >= len(buf):
+            new_len = len(buf) - 1
+        if new_len < len(suffix):
+            return None  # no room for suffix — terminal error
+        buf = buf[:new_len - len(suffix)] + suffix
+    return None
+
+
+def firehose_data(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    time_key: Optional[str] = None,
+    time_key_format: Optional[str] = None,
+    log_key: Optional[str] = None,
+    compression: Optional[str] = None,
+) -> DataFrame:
+    """Firehose variant: smaller event cap; optional gzip Data
+    (firehose.c 'compression' — gzip supported here, arrow is a
+    columnar-runtime feature delegated to parquet sinks)."""
+    out = kinesis_data(
+        df, tag_col=tag_col, ts_col=ts_col, time_key=time_key,
+        time_key_format=time_key_format, log_key=log_key,
+        max_event_size=MAX_EVENT_SIZE_FIREHOSE,
+    )
+    if not compression or compression == "none":
+        return out
+    if compression != "gzip":
+        raise ValueError(f"unknown compression: {compression}")
+
+    def run(batches: Iterable):
+        import base64
+        import pandas as pd
+
+        for pdf in batches:
+            datas = []
+            keep = []
+            for i, b64 in enumerate(pdf["data"]):
+                enc = _gzip_b64_truncate(base64.b64decode(b64))
+                if enc is not None:
+                    keep.append(i)
+                    datas.append(enc)
+            sub = pdf.iloc[keep]
+            yield pd.DataFrame({"tag": list(sub["tag"]), "data": datas})
+
+    return out.mapInPandas(run, "tag string, data string")
+
+
+# ---------------------------------------------------------------------------
+# request packing
+# ---------------------------------------------------------------------------
+
+def _djb2(s: str) -> int:
+    h = 5381
+    for ch in s.encode("utf-8"):
+        h = ((h << 5) + h + ch) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def kinesis_put_records(
+    df_data: DataFrame,
+    stream_name: str,
+    uuid: Optional[str] = None,
+) -> DataFrame:
+    """(body string, n long): PutRecords request bodies from
+    kinesis_data rows, split on the 500-event / 5 MiB caps with the
+    reference's byte accounting. ``uuid`` is the 10-char session
+    prefix (flb_sts_session_name truncation, kinesis_api.c:167) —
+    deterministic md5-of-stream default."""
+    if uuid is None:
+        import hashlib
+
+        uuid = hashlib.md5(stream_name.encode()).hexdigest()[:10]
+    header = '{"StreamName":"' + stream_name + '","Records":['
+    base_size = (PUT_RECORDS_HEADER_LEN + PUT_RECORDS_FOOTER_LEN
+                 + len(stream_name))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        out = {"body": [], "n": []}
+
+        def flush(records):
+            out["body"].append(header + ",".join(records) + "]}")
+            out["n"].append(len(records))
+
+        for pdf in batches:
+            records: list = []
+            size = base_size
+            for i, (tag, data) in enumerate(zip(pdf["tag"], pdf["data"])):
+                pk = f"{uuid}{_djb2(str(tag)) % 7919}{_djb2(str(i)) % 7919}"
+                sz = len(data) + len(pk) + PUT_RECORDS_PER_RECORD_LEN
+                if records and (
+                    len(records) >= MAX_EVENTS_PER_PUT
+                    or size + sz > PUT_RECORDS_PAYLOAD_SIZE
+                ):
+                    flush(records)
+                    records = []
+                    size = base_size
+                records.append(
+                    '{"Data":"' + data + '","PartitionKey":"' + pk + '"}')
+                size += sz
+            if records:
+                flush(records)
+            yield pd.DataFrame(out)
+            out = {"body": [], "n": []}
+
+    return df_data.mapInPandas(run, "body string, n long")
+
+
+def firehose_put_record_batch(
+    df_data: DataFrame,
+    delivery_stream: str,
+) -> DataFrame:
+    """(body string, n long): PutRecordBatch request bodies, split on
+    the 500-event / 4 MiB caps (firehose_api.h accounting)."""
+    header = '{"DeliveryStreamName":"' + delivery_stream + '","Records":['
+    base_size = (PUT_RECORD_BATCH_HEADER_LEN + PUT_RECORD_BATCH_FOOTER_LEN
+                 + len(delivery_stream))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        out = {"body": [], "n": []}
+
+        def flush(records):
+            out["body"].append(header + ",".join(records) + "]}")
+            out["n"].append(len(records))
+
+        for pdf in batches:
+            records: list = []
+            size = base_size
+            for data in pdf["data"]:
+                sz = len(data) + PUT_RECORD_BATCH_PER_RECORD_LEN
+                if records and (
+                    len(records) >= MAX_EVENTS_PER_PUT
+                    or size + sz > PUT_RECORD_BATCH_PAYLOAD_SIZE
+                ):
+                    flush(records)
+                    records = []
+                    size = base_size
+                records.append('{"Data":"' + data + '"}')
+                size += sz
+            if records:
+                flush(records)
+            yield pd.DataFrame(out)
+            out = {"body": [], "n": []}
+
+    return df_data.mapInPandas(run, "body string, n long")

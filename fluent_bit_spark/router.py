@@ -488,6 +488,43 @@ def write_sinks(
                 page.write.mode("overwrite").text(dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt in ("kinesis", "firehose"):
+                # PutRecords / PutRecordBatch request bodies, one JSON
+                # body per line (Data is base64 so bodies are
+                # single-line by construction)
+                from .kinesisfmt import (
+                    firehose_data,
+                    firehose_put_record_batch,
+                    kinesis_data,
+                    kinesis_put_records,
+                )
+
+                opts = dict(s.format_options or {})
+                stream = opts.pop("stream")
+                ts_col = s.ts_col or next(
+                    (c for c in part.columns if c in ("ts", "warc_ts", "time")),
+                    None,
+                )
+                common = dict(
+                    tag_col=tag_col, ts_col=ts_col,
+                    time_key=opts.pop("time_key", None),
+                    time_key_format=opts.pop("time_key_format", None),
+                    log_key=opts.pop("log_key", None),
+                )
+                if s.fmt == "kinesis":
+                    bodies = kinesis_put_records(
+                        kinesis_data(part, **common), stream,
+                        uuid=opts.pop("uuid", None))
+                else:
+                    bodies = firehose_put_record_batch(
+                        firehose_data(
+                            part, compression=opts.pop("compression", None),
+                            **common),
+                        stream)
+                bodies.select(F.col("body").alias("value")) \
+                    .write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "promrw":
                 # out_prometheus_remote_write payload staging: one
                 # snappy/gzip WriteRequest body per (sink, chunk),

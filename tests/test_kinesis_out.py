@@ -1,0 +1,196 @@
+"""out_kinesis_streams / out_kinesis_firehose staging (kinesisfmt.py).
+
+Vectors against kinesis_api.c / firehose_api.c record shaping (time_key
+splice, log_key raw, empty/oversize discards, newline+base64) and the
+PutRecords / PutRecordBatch request framing with the reference's caps.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+
+import pytest
+
+from fluent_bit_spark import kinesisfmt as kf
+
+
+class TestStrftime:
+    def test_java_pattern(self):
+        assert kf._java_pattern("%Y-%m-%dT%H:%M:%S") == \
+            "yyyy'-'MM'-'dd'T'HH':'mm':'ss"
+        assert kf._java_pattern("%F %T") == "yyyy-MM-dd' 'HH:mm:ss"
+        assert kf._java_pattern("100%%") == "'100%'"
+        assert kf._java_pattern("%H:%M:%S.%3N") == "HH':'mm':'ss'.'SSS"
+        assert kf._java_pattern("%S.%9N") == "ss'.'SSSSSS'000'"
+        assert kf._java_pattern("%S.%L") == "ss'.'SSSSSS'000'"
+        with pytest.raises(ValueError, match="unsupported"):
+            kf._java_pattern("%Q")
+        with pytest.raises(ValueError, match="dangling"):
+            kf._java_pattern("abc%")
+
+    def test_render(self, spark):
+        df = spark.createDataFrame(
+            [("2024-03-05 06:07:08.123456",)], "s string"
+        ).select(kf.aws_strftime(
+            __import__("pyspark.sql.functions", fromlist=["F"]).col("s"),
+            "%Y-%m-%dT%H:%M:%S.%3N").alias("t"))
+        assert df.collect()[0]["t"] == "2024-03-05T06:07:08.123"
+
+
+def _decode(data_b64: str) -> str:
+    return base64.b64decode(data_b64).decode("utf-8")
+
+
+class TestKinesisData:
+    def test_json_newline_b64(self, spark):
+        df = spark.createDataFrame(
+            [("app.a", "hello", 1)], "tag string, msg string, n long")
+        (r,) = kf.kinesis_data(df).collect()
+        assert r["tag"] == "app.a"
+        assert _decode(r["data"]) == '{"msg":"hello","n":1}\n'
+
+    def test_time_key_splice_default_format(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("t", "x", "2024-03-05 06:07:08")],
+            "tag string, msg string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        (r,) = kf.kinesis_data(df, ts_col="ts", time_key="at").collect()
+        assert _decode(r["data"]) == \
+            '{"msg":"x","at":"2024-03-05T06:07:08"}\n'
+
+    def test_log_key_raw_and_exclusivity(self, spark):
+        df = spark.createDataFrame(
+            [("t", "raw line", "z"), ("t", None, "z")],
+            "tag string, log string, other string")
+        got = kf.kinesis_data(df, log_key="log").collect()
+        # raw value (no JSON quotes); null log_key value discarded
+        assert [_decode(r["data"]) for r in got] == ["raw line\n"]
+        with pytest.raises(ValueError, match="can not be used together"):
+            kf.kinesis_data(df, log_key="log", time_key="t")
+        with pytest.raises(ValueError, match="not a record column"):
+            kf.kinesis_data(df, log_key="nope")
+
+    def test_empty_and_oversize_discards(self, spark):
+        # empty message: a log_key value rendering <= 2 bytes is
+        # discarded (written <= 2, process_event:276-279); oversize:
+        # json + newline over the cap is discarded
+        df = spark.createDataFrame(
+            [("t", ""), ("t", "ok this one stays"), ("t", "Z" * 64)],
+            "tag string, log string")
+        got = kf.kinesis_data(df, log_key="log", max_event_size=40).collect()
+        assert [_decode(r["data"]) for r in got] == ["ok this one stays\n"]
+
+
+class TestPutRecords:
+    def test_body_shape_and_partition_key(self, spark):
+        df = spark.createDataFrame(
+            [("app.a", "one"), ("app.b", "two")],
+            "tag string, msg string")
+        data = kf.kinesis_data(df).coalesce(1)
+        (p,) = kf.kinesis_put_records(data, "mystream", uuid="u" * 10).collect()
+        body = json.loads(p["body"])
+        assert p["n"] == 2 and body["StreamName"] == "mystream"
+        assert list(body["Records"][0]) == ["Data", "PartitionKey"]
+        # pk = uuid + djb2(tag)%7919 + djb2(str(i))%7919, deterministic
+        for i, (tag, rec) in enumerate(zip(["app.a", "app.b"],
+                                           body["Records"])):
+            want = f"{'u'*10}{kf._djb2(tag) % 7919}{kf._djb2(str(i)) % 7919}"
+            assert rec["PartitionKey"] == want
+        # Data field order is the C writer's: Data first in the body text
+        assert p["body"].startswith('{"StreamName":"mystream","Records":'
+                                    '[{"Data":"')
+
+    def test_event_count_cap_splits(self, spark):
+        rows = [("t", f"m{i}") for i in range(kf.MAX_EVENTS_PER_PUT + 3)]
+        df = spark.createDataFrame(rows, "tag string, msg string")
+        parts = kf.kinesis_put_records(
+            kf.kinesis_data(df).coalesce(1), "s").collect()
+        assert sorted(p["n"] for p in parts) == [3, kf.MAX_EVENTS_PER_PUT]
+
+    def test_payload_size_cap_splits(self, spark, monkeypatch):
+        monkeypatch.setattr(kf, "PUT_RECORDS_PAYLOAD_SIZE", 600)
+        df = spark.createDataFrame(
+            [("t", "x" * 100) for _ in range(4)], "tag string, msg string")
+        parts = kf.kinesis_put_records(
+            kf.kinesis_data(df).coalesce(1), "s").collect()
+        assert len(parts) > 1
+        assert sum(p["n"] for p in parts) == 4
+
+
+class TestFirehose:
+    def test_body_shape(self, spark):
+        df = spark.createDataFrame([("t", "hi")], "tag string, msg string")
+        (p,) = kf.firehose_put_record_batch(
+            kf.firehose_data(df).coalesce(1), "fh").collect()
+        body = json.loads(p["body"])
+        assert body["DeliveryStreamName"] == "fh" and p["n"] == 1
+        assert _decode(body["Records"][0]["Data"]) == '{"msg":"hi"}\n'
+
+    def test_gzip_compression(self, spark):
+        df = spark.createDataFrame([("t", "zip me")], "tag string, msg string")
+        (r,) = kf.firehose_data(df, compression="gzip").collect()
+        raw = gzip.decompress(base64.b64decode(r["data"]))
+        assert raw == b'{"msg":"zip me"}\n'
+        with pytest.raises(ValueError, match="unknown compression"):
+            kf.firehose_data(df, compression="lz4")
+
+    def test_truncate_loop_unit(self, monkeypatch):
+        # force the truncation path with a tiny b64 budget and
+        # incompressible input
+        monkeypatch.setattr(kf, "MAX_B64_EVENT_SIZE", 600)
+        import hashlib
+        raw = b"".join(hashlib.sha256(bytes([i])).digest()
+                       for i in range(64))  # 2 KiB, incompressible
+        enc = kf._gzip_b64_truncate(raw)
+        assert enc is not None and len(enc) <= 600
+        out = gzip.decompress(base64.b64decode(enc))
+        assert out.endswith(b"[Truncated...]")
+        assert raw.startswith(out[:-14])
+        # no room for the suffix -> terminal None
+        monkeypatch.setattr(kf, "MAX_B64_EVENT_SIZE", 4)
+        assert kf._gzip_b64_truncate(raw) is None
+
+
+def test_config_outputs(spark, tmp_path):
+    """[OUTPUT] kinesis_streams / kinesis_firehose stage request bodies
+    as text files; counts reflect rendered records."""
+    import glob as _glob
+
+    from fluent_bit_spark.config import run_config
+
+    conf = (
+        "[INPUT]\n"
+        "    name dummy\n"
+        "    dummy {\"msg\": \"k1\"}\n"
+        "    samples 2\n"
+        "    tag app.k\n"
+        "[OUTPUT]\n"
+        "    name kinesis_streams\n"
+        "    match app.*\n"
+        "    stream logstream\n"
+        "    time_key at\n"
+        "    sink_name ks\n"
+        "[OUTPUT]\n"
+        "    name kinesis_firehose\n"
+        "    match app.*\n"
+        "    delivery_stream fhstream\n"
+        "    sink_name fh\n"
+    )
+    r = run_config(spark, conf, str(tmp_path))
+    assert r.counts == {"ks": 2, "fh": 2}
+    bodies = [json.loads(ln)
+              for p in _glob.glob(str(tmp_path / "ks" / "part-*"))
+              for ln in open(p) if ln.strip()]
+    assert sum(len(b["Records"]) for b in bodies) == 2
+    assert all(b["StreamName"] == "logstream" for b in bodies)
+    rec = _decode(bodies[0]["Records"][0]["Data"])
+    assert rec.startswith('{"msg":"k1","at":"')
+    fh = [json.loads(ln)
+          for p in _glob.glob(str(tmp_path / "fh" / "part-*"))
+          for ln in open(p) if ln.strip()]
+    assert sum(len(b["Records"]) for b in fh) == 2
+    assert all(b["DeliveryStreamName"] == "fhstream" for b in fh)
