@@ -286,3 +286,65 @@ def test_round4_renderer_sinks_reuse_persisted_upstream(
     assert len(plans) == 5 and counts["sy"] == counts["dd"] > 0
     for dest, plan in plans.items():
         assert "InMemoryTableScan" in plan, dest
+
+
+def test_kinesis_promrw_sinks_reuse_persisted_upstream(
+    spark, monkeypatch, tmp_path
+):
+    """The kinesis/firehose body packers and the promrw WriteRequest
+    packer must read the ONE persisted routed frame (InMemoryTableScan
+    upstream of the PythonMapInPandas node) — same cache-drop guard as
+    the other renderer sinks."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.router import SinkSpec, write_sinks
+
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("tag", F.concat(F.lit("ev."), F.col("event_type")))
+        .select("tag", "event_type", "user_id")
+    )
+    plans: dict[str, str] = {}
+
+    class RecordingWriter:
+        def __init__(self, d):
+            self.d = d
+
+        def mode(self, m):
+            return self
+
+        def text(self, dest):
+            plans[dest] = plan_of(self.d)
+            self.d.count()
+
+        parquet = text
+
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: RecordingWriter(self))
+    )
+    sinks = [
+        SinkSpec("ks", match="*", fmt="kinesis",
+                 format_options={"stream": "s"}),
+        SinkSpec("fh", match="*", fmt="firehose",
+                 format_options={"stream": "d"}),
+    ]
+    counts = write_sinks(df, sinks, str(tmp_path))
+    assert len(plans) == 2 and counts["ks"] == counts["fh"] > 0
+    for dest, plan in plans.items():
+        assert "InMemoryTableScan" in plan, dest
+        assert "MapInPandas" in plan, dest
+
+    # promrw over a metrics-shaped frame
+    plans.clear()
+    m = spark.createDataFrame(
+        [("m.a", "up", 1.0), ("m.a", "dn", 0.5)],
+        "tag string, metric_name string, value double",
+    )
+    monkeypatch.setattr(
+        type(m), "write", property(lambda self: RecordingWriter(self))
+    )
+    counts = write_sinks(m, [SinkSpec("rw", match="*", fmt="promrw")],
+                         str(tmp_path))
+    assert counts["rw"] == 2
+    (plan,) = plans.values()
+    assert "InMemoryTableScan" in plan and "MapInPandas" in plan
