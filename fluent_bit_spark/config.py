@@ -1032,7 +1032,15 @@ def _build_input(
         spool = s.get("spool_path")
         if not spool:
             raise ValueError(f"INPUT {name} needs spool_path")
-        env = httpingest.http_spool_source(spark, spool)
+        # in_opentelemetry accepts binary protobuf bodies (base64-coded
+        # by the transport) — read the superset envelope schema so the
+        # ce/enc columns reach the decoders
+        env = httpingest.http_spool_source(
+            spark, spool,
+            schema=(httpingest.ENVELOPE_SCHEMA_BIN
+                    if name == "opentelemetry"
+                    else httpingest.ENVELOPE_SCHEMA),
+        )
         if name == "http":
             df = httpingest.http_records(
                 env, default_tag=tag, tag_key=s.get("tag_key")
@@ -2009,6 +2017,12 @@ def _build_sink(s: Section) -> SinkSpec:
         if s.get("logs_body_key_attributes") is not None:
             opts["logs_body_key_attributes"] = _bool(
                 s.get("logs_body_key_attributes"))
+        # staging wire encoding: the C plugin always posts binary
+        # protobuf (fluent-otel-proto requests); `protobuf on` stages
+        # that wire form (base64-coded bodies via otlppb), default stays
+        # the OTLP-JSON encoding of the same request
+        if s.get("protobuf") is not None:
+            opts["protobuf"] = _bool(s.get("protobuf"))
         return SinkSpec(
             s.get("sink_name", f"otlp_{match.replace('*', 'all')}"),
             match=match, fmt="otlp", ts_col=s.get("ts_col"),

@@ -20,6 +20,8 @@ size. The pure-Python decoder is exposed separately for golden tests.
 
 from __future__ import annotations
 
+import base64
+import gzip
 import json
 from typing import Iterable, Optional
 
@@ -203,6 +205,49 @@ def decode_otlp_logs(
     return rows
 
 
+def _keep_envelopes(df: DataFrame, uri: str) -> DataFrame:
+    """Envelope gate for one OTLP URI: JSON *or* protobuf content types
+    pass (opentelemetry.c process_payload dispatches on Content-Type:
+    application/json vs application/x-protobuf; any other type is
+    rejected). Selects a fixed (body, ct, ce, enc) shape, padding the
+    binary-transport columns when the spool was read with the plain
+    ENVELOPE_SCHEMA."""
+    path = F.split(F.col("path"), r"\?").getItem(0)
+    ctl = F.lower(F.col("ct"))
+    keep = df.filter(
+        (path == uri)
+        & (ctl.contains("json") | ctl.contains("protobuf")
+           | ctl.contains("grpc+proto"))
+    )
+    for c in ("ce", "enc"):
+        if c not in keep.columns:
+            keep = keep.withColumn(c, F.lit(""))
+    return keep.select("body", "ct", "ce", "enc")
+
+
+def _envelope_json_body(rec, signal: str) -> str:
+    """One spool envelope → the OTLP-JSON request body. Protobuf
+    content-types run the otlppb wire bridge (binary bodies arrive
+    base64-coded by the spool transport, ``enc='b64'``; a binary body
+    that happened to be valid UTF-8 round-trips losslessly through the
+    str encode). Content-Encoding gzip gunzips first, either leg."""
+    body = rec.body or ""
+    ct = (getattr(rec, "ct", "") or "").split(";")[0].strip().lower()
+    ce = (getattr(rec, "ce", "") or "").lower()
+    is_pb = "protobuf" in ct or "grpc+proto" in ct
+    if not is_pb and not ce.startswith("gzip"):
+        return body
+    raw = (base64.b64decode(body) if getattr(rec, "enc", "") == "b64"
+           else body.encode("utf-8"))
+    if ce.startswith("gzip"):
+        raw = gzip.decompress(raw)
+    if is_pb:
+        from .otlppb import otlp_pb_to_json
+
+        return otlp_pb_to_json(raw, signal)
+    return raw.decode("utf-8")
+
+
 def otlp_logs_records(
     df: DataFrame,
     default_tag: str = "opentelemetry.0",
@@ -210,16 +255,12 @@ def otlp_logs_records(
     receive_ts: Optional[float] = None,
 ) -> DataFrame:
     """in_opentelemetry: grouped (tag, markers, records) rows from HTTP
-    spool envelopes. Only /v1/logs JSON envelopes are consumed
+    spool envelopes. Only /v1/logs envelopes are consumed
     (opentelemetry_prot.c:433 rejects other URIs; :856 content-type
-    gate); protobuf payloads are out of scope (no protobuf runtime in
-    this environment — documented limit, the JSON encoding carries
-    identical information). Sort by (resource_id, scope_id, ord, seq)
-    to replay the reference's chunk order."""
-    path = F.split(F.col("path"), r"\?").getItem(0)
-    keep = df.filter(
-        (path == "/v1/logs") & F.lower(F.col("ct")).contains("json")
-    )
+    gate); both OTLP-JSON and binary protobuf bodies decode (the latter
+    through the otlppb schema bridge). Sort by (resource_id, scope_id,
+    ord, seq) to replay the reference's chunk order."""
+    keep = _keep_envelopes(df, "/v1/logs")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -230,10 +271,10 @@ def otlp_logs_records(
         ]
         for pdf in batches:
             rows = []
-            for body in pdf["body"]:
+            for rec in pdf.itertuples(index=False):
                 rows.extend(
                     decode_otlp_logs(
-                        body,
+                        _envelope_json_body(rec, "logs"),
                         tag=default_tag,
                         logs_body_key=logs_body_key,
                         receive_ts=receive_ts,
@@ -341,12 +382,10 @@ def decode_otlp_traces(body: str, tag: str = "opentelemetry.0"):
 def otlp_traces_records(
     df: DataFrame, default_tag: str = "opentelemetry.0"
 ) -> DataFrame:
-    """in_opentelemetry traces: span rows from /v1/traces JSON spool
-    envelopes, shaped for processors.tail_sample_traces."""
-    path = F.split(F.col("path"), r"\?").getItem(0)
-    keep = df.filter(
-        (path == "/v1/traces") & F.lower(F.col("ct")).contains("json")
-    )
+    """in_opentelemetry traces: span rows from /v1/traces spool
+    envelopes (OTLP-JSON or binary protobuf), shaped for
+    processors.tail_sample_traces."""
+    keep = _keep_envelopes(df, "/v1/traces")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -359,8 +398,9 @@ def otlp_traces_records(
         ]
         for pdf in batches:
             rows = []
-            for body in pdf["body"]:
-                rows.extend(decode_otlp_traces(body, tag=default_tag))
+            for rec in pdf.itertuples(index=False):
+                rows.extend(decode_otlp_traces(
+                    _envelope_json_body(rec, "traces"), tag=default_tag))
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_TRACES_SCHEMA)
@@ -482,12 +522,10 @@ def decode_otlp_metrics(body: str, tag: str = "opentelemetry.0"):
 def otlp_metrics_records(
     df: DataFrame, default_tag: str = "opentelemetry.0"
 ) -> DataFrame:
-    """in_opentelemetry metrics: sample rows from /v1/metrics JSON spool
-    envelopes, shaped for metrics.py's processors and prom_lines."""
-    path = F.split(F.col("path"), r"\?").getItem(0)
-    keep = df.filter(
-        (path == "/v1/metrics") & F.lower(F.col("ct")).contains("json")
-    )
+    """in_opentelemetry metrics: sample rows from /v1/metrics spool
+    envelopes (OTLP-JSON or binary protobuf), shaped for metrics.py's
+    processors and prom_lines."""
+    keep = _keep_envelopes(df, "/v1/metrics")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -498,8 +536,9 @@ def otlp_metrics_records(
         ]
         for pdf in batches:
             rows = []
-            for body in pdf["body"]:
-                rows.extend(decode_otlp_metrics(body, tag=default_tag))
+            for rec in pdf.itertuples(index=False):
+                rows.extend(decode_otlp_metrics(
+                    _envelope_json_body(rec, "metrics"), tag=default_tag))
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_METRICS_SCHEMA)
@@ -554,6 +593,8 @@ def _encode_log_record(
     logs_body_key_attributes, :234-304)."""
     m = otlp_meta or {}
     lr: dict = {}
+    if isinstance(ts, float) and ts != ts:
+        ts = None  # pandas renders a null ts column as NaN
     t = int(m.get("timestamp") or 0)
     if t <= 0 and ts is not None:
         # flb_time keeps (sec, nsec) ints — a single double multiply by
@@ -667,6 +708,7 @@ def otlp_logs_payloads(
     tag_col: str = "tag",
     logs_body_key: Optional[str] = None,
     logs_body_key_attributes: bool = False,
+    protobuf: bool = False,
 ) -> DataFrame:
     """out_opentelemetry staging: (tag, body string, n long) — one
     ExportLogsServiceRequest JSON body per (tag, PARTITION). Rows buffer
@@ -674,7 +716,10 @@ def otlp_logs_payloads(
     group never splits mid-envelope (the reference's flush unit is the
     chunk; this engine's chunk is the partition). Rows are assembled in
     partition order: sort upstream by (resource_id, scope_id, ord, seq)
-    when replaying spool frames."""
+    when replaying spool frames. With ``protobuf=True`` the body is the
+    binary Export request (the C plugin's wire default), base64-coded
+    for the string staging column — the poster decodes and posts with
+    Content-Type: application/x-protobuf."""
     cols = [c for c in (
         tag_col, "resource_id", "scope_id", "ord", "seq", "record_type",
         "otel_schema", "group_body", "ts", "otlp", "record",
@@ -690,9 +735,15 @@ def otlp_logs_payloads(
         tags, bodies, ns = [], [], []
         for tag, rows in per_tag.items():
             tags.append(tag)
-            bodies.append(encode_otlp_logs(
+            body = encode_otlp_logs(
                 rows, logs_body_key=logs_body_key,
-                logs_body_key_attributes=logs_body_key_attributes))
+                logs_body_key_attributes=logs_body_key_attributes)
+            if protobuf:
+                from .otlppb import otlp_json_to_pb
+
+                body = base64.b64encode(
+                    otlp_json_to_pb(body, "logs")).decode("ascii")
+            bodies.append(body)
             ns.append(sum(1 for r in rows if r.get("record_type") == "normal"))
         yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
 
@@ -924,12 +975,14 @@ def encode_otlp_metrics(rows) -> str:
 def otlp_metrics_payloads(
     df: DataFrame,
     tag_col: str = "tag",
+    protobuf: bool = False,
 ) -> DataFrame:
     """out_opentelemetry metrics staging: (tag, body string, n long) —
     one ExportMetricsServiceRequest per (tag, partition-chunk) from
     metric-table rows (metrics.py convention). Rows buffer per
     partition like the logs twin so a family's samples stay in one
-    envelope."""
+    envelope. ``protobuf=True`` stages the binary request base64-coded
+    (see otlp_logs_payloads)."""
     cols = [c for c in (
         tag_col, "resource_id", "scope_id", "metric_name", "metric_type",
         "value", "labels", "ts", "unit", "description",
@@ -951,7 +1004,13 @@ def otlp_metrics_payloads(
         tags, bodies, ns = [], [], []
         for tag, rows in per_tag.items():
             tags.append(tag)
-            bodies.append(encode_otlp_metrics(rows))
+            body = encode_otlp_metrics(rows)
+            if protobuf:
+                from .otlppb import otlp_json_to_pb
+
+                body = base64.b64encode(
+                    otlp_json_to_pb(body, "metrics")).decode("ascii")
+            bodies.append(body)
             ns.append(len(rows))
         yield pd.DataFrame({"tag": tags, "body": bodies, "n": ns})
 

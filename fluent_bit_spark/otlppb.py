@@ -1,0 +1,429 @@
+"""OTLP protobuf wire codec (binary bodies for the opentelemetry
+plugins).
+
+The reference's in/out_opentelemetry speak BOTH encodings: OTLP-JSON
+(plugins/in_opentelemetry/opentelemetry.c content-type dispatch) and
+binary protobuf via the bundled protoc-c output of the public
+opentelemetry-proto schema (lib/fluent-otel-proto/proto_c/opentelemetry/
+proto/{logs,trace,metrics,common,resource}). Rounds 3-4 covered the
+JSON leg (`otlp.py`); this module adds the protobuf leg as a
+schema-driven proto3 <-> OTLP-JSON bridge so every existing decoder/
+encoder works unchanged on `application/x-protobuf` bodies:
+
+    pb bytes --otlp_pb_to_json--> OTLP-JSON --otlp.decode_*--> records
+    records --otlp.encode_*--> OTLP-JSON --otlp_json_to_pb--> pb bytes
+
+Wire primitives (uvarint, tag keys, length-delimited walk) are shared
+with the prometheus remote-write codec (`promrw.py`) — both are plain
+proto3. Field numbers/types are transcribed from the public OTLP .proto
+schema (identical to the reference's generated descriptors, e.g.
+LogRecord in logs.pb-c.c: time_unix_nano=1 fixed64, severity_number=2
+enum, body=5 AnyValue, attributes=6 repeated KeyValue, flags=8 fixed32,
+trace_id=9/span_id=10 bytes, observed_time_unix_nano=11).
+
+JSON value conventions follow the OTLP-JSON mapping the rest of
+`otlp.py` already uses: lowerCamelCase keys, 64-bit ints as decimal
+STRINGS, enums as numbers, trace/span ids as lowercase hex (not
+base64), doubles as JSON numbers, proto3 zero-defaults omitted except
+oneof/presence fields (AnyValue variants, NumberDataPoint asDouble/
+asInt, HistogramDataPoint sum/min/max).
+"""
+from __future__ import annotations
+
+import base64
+import binascii
+import struct
+from typing import Dict, Iterable, Optional, Tuple
+
+from .promrw import _fields, _key, _ld, _read_uvarint, _uvarint
+
+# ---------------------------------------------------------------------------
+# schema tables: message name -> {field_number: (json_name, kind)}
+# kind is one of:
+#   string      LEN, utf-8                  <-> JSON string
+#   bytes       LEN                         <-> JSON base64 string
+#   hex         LEN                         <-> JSON lowercase-hex string
+#   i64         varint int64                <-> JSON decimal string
+#   u32         varint uint32               <-> JSON int
+#   enum        varint                      <-> JSON int
+#   bool        varint 0/1                  <-> JSON bool
+#   f64         64-bit LE double            <-> JSON number
+#   fixed64     fixed64 unsigned            <-> JSON decimal string
+#   sfixed64    fixed64 two's complement    <-> JSON decimal string
+#   fixed32     fixed32 unsigned            <-> JSON int
+#   ('msg', M)          nested message      <-> JSON object
+#   ('rep_msg', M)      repeated message    <-> JSON array of objects
+#   rep_fixed64_packed  packed fixed64      <-> JSON array of decimal strings
+#   rep_f64_packed      packed double       <-> JSON array of numbers
+# PRESENCE marks oneof members / proto3-optional fields: encoded whenever
+# the JSON key is present (even at the type's zero value).
+# ---------------------------------------------------------------------------
+
+MESSAGES: Dict[str, Dict[int, Tuple[str, object]]] = {
+    # --- common/v1/common.proto ---
+    "AnyValue": {
+        1: ("stringValue", "string"),
+        2: ("boolValue", "bool"),
+        3: ("intValue", "i64"),
+        4: ("doubleValue", "f64"),
+        5: ("arrayValue", ("msg", "ArrayValue")),
+        6: ("kvlistValue", ("msg", "KeyValueList")),
+        7: ("bytesValue", "bytes"),
+    },
+    "ArrayValue": {1: ("values", ("rep_msg", "AnyValue"))},
+    "KeyValueList": {1: ("values", ("rep_msg", "KeyValue"))},
+    "KeyValue": {
+        1: ("key", "string"),
+        2: ("value", ("msg", "AnyValue")),
+    },
+    "InstrumentationScope": {
+        1: ("name", "string"),
+        2: ("version", "string"),
+        3: ("attributes", ("rep_msg", "KeyValue")),
+        4: ("droppedAttributesCount", "u32"),
+    },
+    # --- resource/v1/resource.proto ---
+    "Resource": {
+        1: ("attributes", ("rep_msg", "KeyValue")),
+        2: ("droppedAttributesCount", "u32"),
+    },
+    # --- logs/v1 + collector/logs/v1 ---
+    "ExportLogsServiceRequest": {
+        1: ("resourceLogs", ("rep_msg", "ResourceLogs")),
+    },
+    "ResourceLogs": {
+        1: ("resource", ("msg", "Resource")),
+        2: ("scopeLogs", ("rep_msg", "ScopeLogs")),
+        3: ("schemaUrl", "string"),
+    },
+    "ScopeLogs": {
+        1: ("scope", ("msg", "InstrumentationScope")),
+        2: ("logRecords", ("rep_msg", "LogRecord")),
+        3: ("schemaUrl", "string"),
+    },
+    "LogRecord": {
+        1: ("timeUnixNano", "fixed64"),
+        11: ("observedTimeUnixNano", "fixed64"),
+        2: ("severityNumber", "enum"),
+        3: ("severityText", "string"),
+        5: ("body", ("msg", "AnyValue")),
+        6: ("attributes", ("rep_msg", "KeyValue")),
+        7: ("droppedAttributesCount", "u32"),
+        8: ("flags", "fixed32"),
+        9: ("traceId", "hex"),
+        10: ("spanId", "hex"),
+    },
+    # --- trace/v1 + collector/trace/v1 ---
+    "ExportTraceServiceRequest": {
+        1: ("resourceSpans", ("rep_msg", "ResourceSpans")),
+    },
+    "ResourceSpans": {
+        1: ("resource", ("msg", "Resource")),
+        2: ("scopeSpans", ("rep_msg", "ScopeSpans")),
+        3: ("schemaUrl", "string"),
+    },
+    "ScopeSpans": {
+        1: ("scope", ("msg", "InstrumentationScope")),
+        2: ("spans", ("rep_msg", "Span")),
+        3: ("schemaUrl", "string"),
+    },
+    "Span": {
+        1: ("traceId", "hex"),
+        2: ("spanId", "hex"),
+        3: ("traceState", "string"),
+        4: ("parentSpanId", "hex"),
+        5: ("name", "string"),
+        6: ("kind", "enum"),
+        7: ("startTimeUnixNano", "fixed64"),
+        8: ("endTimeUnixNano", "fixed64"),
+        9: ("attributes", ("rep_msg", "KeyValue")),
+        10: ("droppedAttributesCount", "u32"),
+        11: ("events", ("rep_msg", "SpanEvent")),
+        12: ("droppedEventsCount", "u32"),
+        13: ("links", ("rep_msg", "SpanLink")),
+        14: ("droppedLinksCount", "u32"),
+        15: ("status", ("msg", "Status")),
+    },
+    "SpanEvent": {
+        1: ("timeUnixNano", "fixed64"),
+        2: ("name", "string"),
+        3: ("attributes", ("rep_msg", "KeyValue")),
+        4: ("droppedAttributesCount", "u32"),
+    },
+    "SpanLink": {
+        1: ("traceId", "hex"),
+        2: ("spanId", "hex"),
+        3: ("traceState", "string"),
+        4: ("attributes", ("rep_msg", "KeyValue")),
+        5: ("droppedAttributesCount", "u32"),
+        6: ("flags", "fixed32"),
+    },
+    "Status": {
+        2: ("message", "string"),
+        3: ("code", "enum"),
+    },
+    # --- metrics/v1 + collector/metrics/v1 ---
+    "ExportMetricsServiceRequest": {
+        1: ("resourceMetrics", ("rep_msg", "ResourceMetrics")),
+    },
+    "ResourceMetrics": {
+        1: ("resource", ("msg", "Resource")),
+        2: ("scopeMetrics", ("rep_msg", "ScopeMetrics")),
+        3: ("schemaUrl", "string"),
+    },
+    "ScopeMetrics": {
+        1: ("scope", ("msg", "InstrumentationScope")),
+        2: ("metrics", ("rep_msg", "Metric")),
+        3: ("schemaUrl", "string"),
+    },
+    "Metric": {
+        1: ("name", "string"),
+        2: ("description", "string"),
+        3: ("unit", "string"),
+        5: ("gauge", ("msg", "Gauge")),
+        7: ("sum", ("msg", "Sum")),
+        9: ("histogram", ("msg", "Histogram")),
+        11: ("summary", ("msg", "Summary")),
+    },
+    "Gauge": {1: ("dataPoints", ("rep_msg", "NumberDataPoint"))},
+    "Sum": {
+        1: ("dataPoints", ("rep_msg", "NumberDataPoint")),
+        2: ("aggregationTemporality", "enum"),
+        3: ("isMonotonic", "bool"),
+    },
+    "Histogram": {
+        1: ("dataPoints", ("rep_msg", "HistogramDataPoint")),
+        2: ("aggregationTemporality", "enum"),
+    },
+    "Summary": {1: ("dataPoints", ("rep_msg", "SummaryDataPoint"))},
+    "NumberDataPoint": {
+        7: ("attributes", ("rep_msg", "KeyValue")),
+        2: ("startTimeUnixNano", "fixed64"),
+        3: ("timeUnixNano", "fixed64"),
+        4: ("asDouble", "f64"),
+        6: ("asInt", "sfixed64"),
+        9: ("flags", "u32"),
+    },
+    "HistogramDataPoint": {
+        9: ("attributes", ("rep_msg", "KeyValue")),
+        2: ("startTimeUnixNano", "fixed64"),
+        3: ("timeUnixNano", "fixed64"),
+        4: ("count", "fixed64"),
+        5: ("sum", "f64"),
+        6: ("bucketCounts", "rep_fixed64_packed"),
+        7: ("explicitBounds", "rep_f64_packed"),
+        10: ("flags", "u32"),
+        11: ("min", "f64"),
+        12: ("max", "f64"),
+    },
+    "SummaryDataPoint": {
+        7: ("attributes", ("rep_msg", "KeyValue")),
+        2: ("startTimeUnixNano", "fixed64"),
+        3: ("timeUnixNano", "fixed64"),
+        4: ("count", "fixed64"),
+        5: ("sum", "f64"),
+        6: ("quantileValues", ("rep_msg", "ValueAtQuantile")),
+        8: ("flags", "u32"),
+    },
+    "ValueAtQuantile": {
+        1: ("quantile", "f64"),
+        2: ("value", "f64"),
+    },
+}
+
+# oneof members + proto3-optional fields: presence-encoded (a JSON key
+# present at the zero value still hits the wire), everything else uses
+# proto3 default-omission on encode.
+PRESENCE = {
+    ("AnyValue", n) for n in (1, 2, 3, 4, 5, 6, 7)
+} | {
+    ("NumberDataPoint", 4), ("NumberDataPoint", 6),
+    ("HistogramDataPoint", 5), ("HistogramDataPoint", 11),
+    ("HistogramDataPoint", 12),
+}
+
+# wire type per scalar kind (messages/packed are always LEN=2)
+_WIRE = {
+    "string": 2, "bytes": 2, "hex": 2,
+    "i64": 0, "u32": 0, "enum": 0, "bool": 0,
+    "f64": 1, "fixed64": 1, "sfixed64": 1, "fixed32": 5,
+}
+
+SIGNAL_REQUEST = {
+    "logs": "ExportLogsServiceRequest",
+    "traces": "ExportTraceServiceRequest",
+    "metrics": "ExportMetricsServiceRequest",
+}
+
+
+def _enc_scalar(kind: str, field: int, val) -> bytes:
+    if kind == "string":
+        return _ld(field, str(val).encode("utf-8"))
+    if kind == "bytes":
+        return _ld(field, base64.b64decode(val) if isinstance(val, str)
+                   else bytes(val))
+    if kind == "hex":
+        return _ld(field, binascii.unhexlify(val) if isinstance(val, str)
+                   else bytes(val))
+    if kind in ("i64", "u32", "enum", "bool"):
+        n = int(val)
+        if n < 0:  # two's-complement 64-bit varint (negative int64)
+            n &= (1 << 64) - 1
+        return _key(field, 0) + _uvarint(n)
+    if kind == "f64":
+        return _key(field, 1) + struct.pack("<d", float(val))
+    if kind == "fixed64":
+        return _key(field, 1) + struct.pack("<Q", int(val))
+    if kind == "sfixed64":
+        return _key(field, 1) + struct.pack("<q", int(val))
+    if kind == "fixed32":
+        return _key(field, 5) + struct.pack("<I", int(val))
+    raise ValueError(f"unknown scalar kind {kind}")
+
+
+def _is_default(kind: str, val) -> bool:
+    if kind in ("string", "bytes", "hex"):
+        return val in (None, "")
+    if kind == "bool":
+        return not val
+    if kind in ("i64", "u32", "enum", "fixed64", "sfixed64", "fixed32"):
+        return int(val) == 0
+    if kind == "f64":
+        return float(val) == 0.0
+    return False
+
+
+def encode_message(name: str, obj: dict) -> bytes:
+    """OTLP-JSON dict -> proto3 bytes for message *name* (fields emitted
+    in field-number order, protoc-c style)."""
+    table = MESSAGES[name]
+    by_json = {jn: (num, kind) for num, (jn, kind) in table.items()}
+    parts = []
+    for jn, raw in (obj or {}).items():
+        if jn not in by_json:
+            continue  # unknown JSON key: drop (mirror of unknown-field skip)
+        num, kind = by_json[jn]
+        if isinstance(kind, tuple):
+            tag, sub = kind
+            if tag == "msg":
+                parts.append((num, _ld(num, encode_message(sub, raw or {}))))
+            else:  # rep_msg
+                for item in (raw or []):
+                    parts.append((num, _ld(num, encode_message(sub, item or {}))))
+        elif kind == "rep_fixed64_packed":
+            vals = [int(v) for v in (raw or [])]
+            if vals:
+                payload = b"".join(struct.pack("<Q", v) for v in vals)
+                parts.append((num, _ld(num, payload)))
+        elif kind == "rep_f64_packed":
+            vals = [float(v) for v in (raw or [])]
+            if vals:
+                payload = b"".join(struct.pack("<d", v) for v in vals)
+                parts.append((num, _ld(num, payload)))
+        else:
+            if raw is None:
+                continue
+            if (name, num) not in PRESENCE and _is_default(kind, raw):
+                continue
+            parts.append((num, _enc_scalar(kind, num, raw)))
+    parts.sort(key=lambda p: p[0])
+    return b"".join(b for _, b in parts)
+
+
+def _dec_scalar(kind: str, wire: int, val):
+    if kind == "string":
+        return val.decode("utf-8", errors="replace")
+    if kind == "bytes":
+        return base64.b64encode(val).decode("ascii")
+    if kind == "hex":
+        return val.hex()
+    if kind == "i64":
+        n = int(val)
+        if n >= 1 << 63:
+            n -= 1 << 64
+        return str(n)
+    if kind in ("u32", "enum"):
+        return int(val)
+    if kind == "bool":
+        return bool(val)
+    if kind == "f64":
+        if wire == 1:
+            return struct.unpack("<d", struct.pack("<Q", val))[0]
+        return float(val)
+    if kind == "fixed64":
+        return str(int(val))
+    if kind == "sfixed64":
+        n = int(val)
+        if n >= 1 << 63:
+            n -= 1 << 64
+        return str(n)
+    if kind == "fixed32":
+        return int(val)
+    raise ValueError(f"unknown scalar kind {kind}")
+
+
+def decode_message(name: str, data: bytes) -> dict:
+    """proto3 bytes -> OTLP-JSON dict for message *name*. Unknown fields
+    are skipped (proto3 forward compatibility); absent fields stay
+    absent (every otlp.py walker reads with ``.get(...) or default``)."""
+    table = MESSAGES[name]
+    out: dict = {}
+    for num, wire, val in _fields(bytes(data)):
+        if num not in table:
+            continue
+        jn, kind = table[num]
+        if isinstance(kind, tuple):
+            tag, sub = kind
+            if wire != 2:
+                continue
+            if tag == "msg":
+                out[jn] = decode_message(sub, val)
+            else:
+                out.setdefault(jn, []).append(decode_message(sub, val))
+        elif kind == "rep_fixed64_packed":
+            vals = out.setdefault(jn, [])
+            if wire == 2:
+                for i in range(0, len(val) - 7, 8):
+                    vals.append(str(struct.unpack_from("<Q", val, i)[0]))
+            elif wire == 1:
+                vals.append(str(int(val)))
+        elif kind == "rep_f64_packed":
+            vals = out.setdefault(jn, [])
+            if wire == 2:
+                for i in range(0, len(val) - 7, 8):
+                    vals.append(struct.unpack_from("<d", val, i)[0])
+            elif wire == 1:
+                vals.append(struct.unpack("<d", struct.pack("<Q", val))[0])
+        else:
+            out[jn] = _dec_scalar(kind, wire, val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def otlp_pb_to_json(data: bytes, signal: str) -> str:
+    """Binary Export{Logs,Trace,Metrics}ServiceRequest -> OTLP-JSON body
+    (the exact shape otlp.decode_otlp_{logs,traces,metrics} consume)."""
+    import json as _json
+    msg = SIGNAL_REQUEST[signal]
+    return _json.dumps(decode_message(msg, data), separators=(",", ":"))
+
+
+def otlp_json_to_pb(body: str, signal: str) -> bytes:
+    """OTLP-JSON body (otlp.encode_otlp_* output) -> binary
+    Export{Logs,Trace,Metrics}ServiceRequest."""
+    import json as _json
+    msg = SIGNAL_REQUEST[signal]
+    obj = _json.loads(body) if isinstance(body, str) else (body or {})
+    return encode_message(msg, obj)
+
+
+def is_protobuf_content_type(ct: Optional[str]) -> bool:
+    """in_opentelemetry dispatches on Content-Type: application/x-protobuf
+    (and application/protobuf) vs application/json
+    (plugins/in_opentelemetry/opentelemetry.c process_payload dispatch)."""
+    base = (ct or "").split(";")[0].strip().lower()
+    return base in ("application/x-protobuf", "application/protobuf",
+                    "application/grpc+proto")

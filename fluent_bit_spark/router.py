@@ -730,7 +730,11 @@ def write_sinks(
                 if "metric_name" in part.columns:
                     # a metrics-event-class frame renders as
                     # ExportMetricsServiceRequest envelopes
-                    otlp_metrics_payloads(part, tag_col=tag_col) \
+                    m_opts = {
+                        k: v for k, v in (s.format_options or {}).items()
+                        if k == "protobuf"
+                    }
+                    otlp_metrics_payloads(part, tag_col=tag_col, **m_opts) \
                         .write.mode("overwrite").parquet(dest)
                     counts[s.name] = obs.get["n"]
                     continue

@@ -1,0 +1,270 @@
+"""OTLP protobuf wire codec (otlppb.py): byte-level vectors against
+hand-computed proto3 wire bytes, JSON<->pb fixed points for all three
+signals, and the binary leg of in/out_opentelemetry end-to-end (real
+POST with Content-Type: application/x-protobuf through the spool,
+protobuf sink staging).
+
+Field numbers/types mirror the reference's bundled protoc-c
+descriptors (lib/fluent-otel-proto/proto_c/opentelemetry/proto/...),
+which are stock generated output of the public opentelemetry-proto
+schema."""
+import base64
+import gzip
+import json
+import struct
+import urllib.request
+
+import pytest
+
+from fluent_bit_spark import httpingest, otlp
+from fluent_bit_spark.otlppb import (
+    decode_message,
+    encode_message,
+    is_protobuf_content_type,
+    otlp_json_to_pb,
+    otlp_pb_to_json,
+)
+
+# fixtures shared with the JSON-leg tests (tests/ is rootdir-imported)
+from test_httpingest import (  # noqa: F401
+    OTLP_BODY,
+    OTLP_METRICS_ENVELOPE,
+    OTLP_TRACES_ENVELOPE,
+)
+
+
+# ---------------------------------------------------------------------------
+# byte-level vectors (wire bytes computed by hand from the proto3 spec)
+# ---------------------------------------------------------------------------
+
+
+class TestWireBytes:
+    def test_log_record_scalar_fields(self):
+        # timeUnixNano=1 -> field 1 fixed64: 09 + <Q 1
+        # severityNumber=9 -> field 2 varint: 10 09
+        # body=stringValue "hi" -> field 5 LEN: 2a 04 (0a 02 'h' 'i')
+        pb = encode_message("LogRecord", {
+            "timeUnixNano": "1", "severityNumber": 9,
+            "body": {"stringValue": "hi"},
+        })
+        want = (b"\x09" + struct.pack("<Q", 1)
+                + b"\x10\x09"
+                + b"\x2a\x04\x0a\x02hi")
+        assert pb == want
+
+    def test_trace_span_ids_are_raw_bytes(self):
+        # traceId field 1 LEN 16 raw bytes, spanId field 2 LEN 8
+        tid = "0102030405060708090a0b0c0d0e0f10"
+        sid = "1112131415161718"
+        pb = encode_message("Span", {"traceId": tid, "spanId": sid})
+        want = (b"\x0a\x10" + bytes.fromhex(tid)
+                + b"\x12\x08" + bytes.fromhex(sid))
+        assert pb == want
+        back = decode_message("Span", pb)
+        assert back == {"traceId": tid, "spanId": sid}
+
+    def test_negative_int64_varint_is_ten_bytes(self):
+        # proto3 int64 -1 -> 10-byte varint ff..01
+        pb = encode_message("AnyValue", {"intValue": "-1"})
+        assert pb == b"\x18" + b"\xff" * 9 + b"\x01"
+        assert decode_message("AnyValue", pb) == {"intValue": "-1"}
+
+    def test_packed_repeated_fields(self):
+        # bucketCounts field 6 packed fixed64; explicitBounds field 7
+        # packed double
+        pb = encode_message("HistogramDataPoint", {
+            "bucketCounts": ["3", "2"], "explicitBounds": [0.5],
+        })
+        want = (b"\x32\x10" + struct.pack("<QQ", 3, 2)
+                + b"\x3a\x08" + struct.pack("<d", 0.5))
+        assert pb == want
+        back = decode_message("HistogramDataPoint", pb)
+        assert back == {"bucketCounts": ["3", "2"], "explicitBounds": [0.5]}
+
+    def test_unpacked_scalars_also_decode(self):
+        # a conforming decoder accepts the unpacked spelling too
+        raw = (b"\x31" + struct.pack("<Q", 3)
+               + b"\x31" + struct.pack("<Q", 2))
+        assert decode_message("HistogramDataPoint", raw) == {
+            "bucketCounts": ["3", "2"]
+        }
+
+    def test_presence_fields_encode_at_zero(self):
+        # oneof/optional members hit the wire even at the zero value...
+        assert encode_message("AnyValue", {"intValue": "0"}) == b"\x18\x00"
+        assert encode_message("NumberDataPoint", {"asDouble": 0.0}) == (
+            b"\x21" + struct.pack("<d", 0.0))
+        # ...but plain scalars apply proto3 default omission
+        assert encode_message("Status", {"code": 0, "message": ""}) == b""
+        assert encode_message("LogRecord", {"timeUnixNano": "0"}) == b""
+
+    def test_unknown_wire_fields_are_skipped(self):
+        # field 99 varint + a known severityText after it
+        raw = b"\x98\x06\x2a" + b"\x1a\x03abc"
+        assert decode_message("LogRecord", raw) == {"severityText": "abc"}
+
+    def test_bool_and_fixed32(self):
+        pb = encode_message("Sum", {"isMonotonic": True,
+                                    "aggregationTemporality": 2})
+        assert pb == b"\x10\x02\x18\x01"
+        pb = encode_message("LogRecord", {"flags": 1})
+        assert pb == b"\x45" + struct.pack("<I", 1)
+
+    def test_content_type_dispatch(self):
+        assert is_protobuf_content_type("application/x-protobuf")
+        assert is_protobuf_content_type("application/protobuf; charset=x")
+        assert not is_protobuf_content_type("application/json")
+        assert not is_protobuf_content_type(None)
+
+
+# ---------------------------------------------------------------------------
+# JSON <-> pb fixed points on the shared OTLP fixtures
+# ---------------------------------------------------------------------------
+
+
+class TestFixedPoints:
+    def test_logs_fixture_roundtrip(self):
+        pb = otlp_json_to_pb(OTLP_BODY, "logs")
+        back = otlp_pb_to_json(pb, "logs")
+        assert otlp.decode_otlp_logs(back) == otlp.decode_otlp_logs(OTLP_BODY)
+
+    def test_traces_fixture_roundtrip(self):
+        pb = otlp_json_to_pb(OTLP_TRACES_ENVELOPE, "traces")
+        back = otlp_pb_to_json(pb, "traces")
+        assert otlp.decode_otlp_traces(back) == otlp.decode_otlp_traces(
+            OTLP_TRACES_ENVELOPE)
+
+    def test_metrics_fixture_roundtrip(self):
+        pb = otlp_json_to_pb(OTLP_METRICS_ENVELOPE, "metrics")
+        back = otlp_pb_to_json(pb, "metrics")
+        assert otlp.decode_otlp_metrics(back) == otlp.decode_otlp_metrics(
+            OTLP_METRICS_ENVELOPE)
+
+    def test_encoder_output_exact_fixed_point(self):
+        # the sink encoder's JSON is reproduced byte-identically by a
+        # pb hop: every key it emits is presence-carrying or non-default
+        rows = otlp.decode_otlp_logs(OTLP_BODY)
+        enc = otlp.encode_otlp_logs(rows)
+        hop = otlp_pb_to_json(otlp_json_to_pb(enc, "logs"), "logs")
+        assert json.loads(hop) == json.loads(enc)
+
+    def test_metrics_encoder_output_fixed_point(self):
+        rows = otlp.decode_otlp_metrics(OTLP_METRICS_ENVELOPE)
+        enc = otlp.encode_otlp_metrics(rows)
+        hop = otlp_pb_to_json(otlp_json_to_pb(enc, "metrics"), "metrics")
+        assert json.loads(hop) == json.loads(enc)
+
+    def test_traces_encoder_output_fixed_point(self):
+        rows = otlp.decode_otlp_traces(OTLP_TRACES_ENVELOPE)
+        enc = otlp.encode_otlp_traces(rows)
+        hop = otlp_pb_to_json(otlp_json_to_pb(enc, "traces"), "traces")
+        assert json.loads(hop) == json.loads(enc)
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end: binary POST -> spool -> records; protobuf sink staging
+# ---------------------------------------------------------------------------
+
+
+def _post_bytes(port, path, data: bytes, ct, ce=None):
+    headers = {"Content-Type": ct}
+    if ce:
+        headers["Content-Encoding"] = ce
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, headers=headers,
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as r:
+        assert r.status == 201
+
+
+@pytest.fixture()
+def pb_spool(tmp_path):
+    spool = str(tmp_path / "spool")
+    srv, port = httpingest.http_spool_server(spool)
+    yield spool, port
+    srv.shutdown()
+    srv.server_close()
+
+
+class TestProtobufIngestSpark:
+    def test_pb_post_equals_json_post(self, spark, tmp_path):
+        """The same envelope POSTed as protobuf and as JSON produces
+        identical grouped frames (opentelemetry.c content-type
+        dispatch)."""
+        frames = []
+        for leg, (data, ct) in enumerate([
+            (OTLP_BODY.encode(), "application/json"),
+            (otlp_json_to_pb(OTLP_BODY, "logs"), "application/x-protobuf"),
+        ]):
+            spool = str(tmp_path / f"spool{leg}")
+            srv, port = httpingest.http_spool_server(spool)
+            try:
+                _post_bytes(port, "/v1/logs", data, ct)
+            finally:
+                srv.shutdown()
+                srv.server_close()
+            env = httpingest.http_spool_source(
+                spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+            frames.append([
+                r.asDict()
+                for r in otlp.otlp_logs_records(env)
+                .orderBy("resource_id", "scope_id", "ord", "seq").collect()
+            ])
+        assert frames[0] == frames[1]
+        assert [r["record_type"] for r in frames[0]] == [
+            "group_start", "normal", "normal", "normal", "group_end",
+            "group_start", "normal", "group_end",
+        ]
+
+    def test_gzip_content_encoding(self, spark, pb_spool):
+        spool, port = pb_spool
+        _post_bytes(port, "/v1/logs",
+                    gzip.compress(otlp_json_to_pb(OTLP_BODY, "logs")),
+                    "application/x-protobuf", ce="gzip")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        n = otlp.otlp_logs_records(env) \
+            .filter("record_type = 'normal'").count()
+        assert n == len([
+            r for r in otlp.decode_otlp_logs(OTLP_BODY)
+            if r["record_type"] == "normal"
+        ])
+
+    def test_pb_traces_and_metrics_records(self, spark, pb_spool):
+        spool, port = pb_spool
+        _post_bytes(port, "/v1/traces",
+                    otlp_json_to_pb(OTLP_TRACES_ENVELOPE, "traces"),
+                    "application/x-protobuf")
+        _post_bytes(port, "/v1/metrics",
+                    otlp_json_to_pb(OTLP_METRICS_ENVELOPE, "metrics"),
+                    "application/x-protobuf")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        spans = otlp.otlp_traces_records(env).collect()
+        assert len(spans) == len(otlp.decode_otlp_traces(
+            OTLP_TRACES_ENVELOPE))
+        samples = otlp.otlp_metrics_records(env).collect()
+        assert len(samples) == len(otlp.decode_otlp_metrics(
+            OTLP_METRICS_ENVELOPE))
+
+
+class TestProtobufSinkStaging:
+    def test_logs_payloads_protobuf_stage(self, spark):
+        rows = otlp.decode_otlp_logs(OTLP_BODY)
+        df = spark.createDataFrame(rows, otlp.OTLP_LOGS_SCHEMA) \
+            .orderBy("resource_id", "scope_id", "ord", "seq").coalesce(1)
+        js = otlp.otlp_logs_payloads(df).collect()
+        pb = otlp.otlp_logs_payloads(df, protobuf=True).collect()
+        assert len(js) == len(pb) == 1
+        decoded = otlp_pb_to_json(base64.b64decode(pb[0]["body"]), "logs")
+        assert json.loads(decoded) == json.loads(js[0]["body"])
+        assert pb[0]["n"] == js[0]["n"]
+
+    def test_metrics_payloads_protobuf_stage(self, spark):
+        rows = otlp.decode_otlp_metrics(OTLP_METRICS_ENVELOPE)
+        df = spark.createDataFrame(rows, otlp.OTLP_METRICS_SCHEMA).coalesce(1)
+        js = otlp.otlp_metrics_payloads(df).collect()
+        pb = otlp.otlp_metrics_payloads(df, protobuf=True).collect()
+        decoded = otlp_pb_to_json(base64.b64decode(pb[0]["body"]), "metrics")
+        assert json.loads(decoded) == json.loads(js[0]["body"])
