@@ -1865,6 +1865,32 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="http", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
+    if name in ("tcp", "udp", "websocket"):
+        # out_tcp / out_udp / out_websocket: raw transports of already-
+        # covered body formats (tcp.c compose_payload / udp.c / ws.c:
+        # format default 'msgpack' = the raw event chunk; json/
+        # json_stream/json_lines via flb_pack_msgpack_to_json_format
+        # with json_date_format/json_date_key — identical to out_http's
+        # rendering, so the staging reuses it). tcp/udp additionally
+        # support raw_message_key: accessor value per line, misses
+        # skipped (tcp.c:70-117).
+        raw_key = s.get("raw_message_key")
+        if raw_key and name != "websocket":
+            return SinkSpec(
+                s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+                match=match, fmt="raw_lines", ts_col=s.get("ts_col"),
+                format_options={"key": raw_key}, processors=procs,
+            )
+        opts = {"format": (s.get("format") or "msgpack").lower()}
+        for k in ("json_date_format", "json_date_key"):
+            if s.get(k):
+                opts[k] = s.get(k).lower() if k == "json_date_format" \
+                    else s.get(k)
+        return SinkSpec(
+            s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
+            match=match, fmt="http", ts_col=s.get("ts_col"),
+            format_options=opts, processors=procs,
+        )
     if name in ("slack", "nats", "td"):
         return SinkSpec(
             s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),

@@ -593,6 +593,35 @@ def write_sinks(
                     .write.mode("overwrite").text(dest)
                 counts[s.name] = obs.get["n"]
                 continue
+            if s.fmt == "raw_lines":
+                # out_tcp/out_udp raw_message_key mode (tcp.c:70-117 /
+                # udp.c:88): one line per record — the record-accessor
+                # value rendered as a string + '\n'; records where the
+                # accessor finds nothing are SKIPPED (flb_ra_translate
+                # NULL -> continue)
+                from .accessor import compile_path, parse_path
+
+                key = (s.format_options or {})["key"]
+                parsed = parse_path(key)
+                if not parsed.is_tag and parsed.root not in part.columns:
+                    # key absent from every record: flb_ra_translate
+                    # returns NULL each time -> zero lines (a typed
+                    # frame resolves this at plan time). A constant-
+                    # false filter would fold the whole subtree — and
+                    # the Observation node with it — so count through
+                    # the observed plan and stage the empty dir apart.
+                    part.count()
+                    part.sparkSession.createDataFrame(
+                        [], "value string"
+                    ).write.mode("overwrite").text(dest)
+                else:
+                    part.select(
+                        compile_path(key, tag_col=tag_col)
+                        .cast("string").alias("value")
+                    ).filter(F.col("value").isNotNull()) \
+                        .write.mode("overwrite").text(dest)
+                counts[s.name] = obs.get["n"]
+                continue
             if s.fmt == "td":
                 # out_td (td.c): the chunk's records as gzipped msgpack
                 from .msgpackfmt import to_msgpack_binary, _write_binary_values

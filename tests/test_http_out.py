@@ -155,3 +155,86 @@ class TestConfigHttpSink:
             assert r["content_type"] == "application/x-ndjson"
             for line in r["body"].decode().splitlines():
                 assert json.loads(line)["m"] == "x"
+
+
+class TestRawTransportSinks:
+    """out_tcp / out_udp / out_websocket config OUTPUTs: raw transports
+    of the covered body formats (tcp.c/udp.c compose_payload,
+    websocket.c cb_ws_flush — format default msgpack = the raw event
+    chunk; json variants via the same flb_pack_msgpack_to_json_format
+    rendering out_http stages; tcp/udp raw_message_key = one accessor
+    value per line, misses skipped)."""
+
+    CONF = """
+    [INPUT]
+        Name dummy
+        Tag net.a
+        Samples 2
+        Dummy {{"m": "x", "n": 7}}
+
+    [OUTPUT]
+        Name {plugin}
+        Match net.*
+        {opts}
+    """
+
+    def _run(self, spark, tmp_path, plugin, opts=""):
+        import textwrap
+
+        from fluent_bit_spark.config import run_classic_config
+
+        conf = textwrap.dedent(self.CONF).format(plugin=plugin, opts=opts)
+        return run_classic_config(spark, conf, str(tmp_path / "out"))
+
+    def test_tcp_default_is_raw_msgpack_chunk(self, spark, tmp_path):
+        from fluent_bit_spark.msgpackfmt import unpack_stream
+
+        run = self._run(spark, tmp_path, "tcp")
+        assert run.counts["tcp_net.all"] == 2
+        staged = spark.read.parquet(str(tmp_path / "out" / "tcp_net.all"))
+        rows = staged.collect()
+        assert sum(r["n"] for r in rows) == 2
+        events = [e for r in rows for e in unpack_stream(r["body"])]
+        assert [rec for _, rec in events] == [{"m": "x", "n": 7}] * 2
+        assert rows[0]["content_type"] == "application/msgpack"
+
+    def test_udp_json_lines_format(self, spark, tmp_path):
+        run = self._run(spark, tmp_path, "udp",
+                        "Format json_lines\n        json_date_format epoch")
+        assert run.counts["udp_net.all"] == 2
+        staged = spark.read.parquet(str(tmp_path / "out" / "udp_net.all"))
+        lines = [
+            json.loads(line)
+            for r in staged.collect()
+            for line in r["body"].decode().splitlines()
+        ]
+        assert len(lines) == 2 and all(o["m"] == "x" for o in lines)
+
+    def test_websocket_json_array(self, spark, tmp_path):
+        run = self._run(spark, tmp_path, "websocket", "Format json")
+        assert run.counts["websocket_net.all"] == 2
+        staged = spark.read.parquet(
+            str(tmp_path / "out" / "websocket_net.all"))
+        arrays = [json.loads(r["body"].decode()) for r in staged.collect()]
+        assert sum(len(a) for a in arrays) == 2
+
+    def test_tcp_raw_message_key_lines(self, spark, tmp_path):
+        run = self._run(spark, tmp_path, "tcp", "raw_message_key $m")
+        assert run.counts["tcp_net.all"] == 2
+        lines = [
+            r["value"]
+            for r in spark.read.text(
+                str(tmp_path / "out" / "tcp_net.all")).collect()
+        ]
+        assert lines == ["x", "x"]
+
+    def test_raw_message_key_misses_are_skipped(self, spark, tmp_path):
+        # accessor finds nothing -> flb_ra_translate NULL -> no line
+        import glob
+
+        self._run(spark, tmp_path, "udp", "raw_message_key $absent")
+        data = b"".join(
+            open(p, "rb").read()
+            for p in glob.glob(str(tmp_path / "out" / "udp_net.all" / "part-*"))
+        )
+        assert data == b""
