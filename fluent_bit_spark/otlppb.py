@@ -242,6 +242,30 @@ PRESENCE = {
     ("HistogramDataPoint", 12),
 }
 
+# decode-side defaults (proto3: absent repeated = empty, absent string =
+# ""): applied for exactly the keys this engine's JSON encoders always
+# emit, so encode->pb->decode is a fixed point even for empty sections
+# ({"arrayValue":{"values":[]}}, a group with zero records, a KeyValue
+# whose key is the empty string).
+DEFAULTS: Dict[str, dict] = {
+    "ExportLogsServiceRequest": {"resourceLogs": []},
+    "ExportTraceServiceRequest": {"resourceSpans": []},
+    "ExportMetricsServiceRequest": {"resourceMetrics": []},
+    "ResourceLogs": {"scopeLogs": []},
+    "ResourceSpans": {"scopeSpans": []},
+    "ResourceMetrics": {"scopeMetrics": []},
+    "ScopeLogs": {"logRecords": []},
+    "ScopeSpans": {"spans": []},
+    "ScopeMetrics": {"metrics": []},
+    "ArrayValue": {"values": []},
+    "KeyValueList": {"values": []},
+    "Gauge": {"dataPoints": []},
+    "Sum": {"dataPoints": []},
+    "Histogram": {"dataPoints": []},
+    "Summary": {"dataPoints": []},
+    "KeyValue": {"key": ""},
+}
+
 # wire type per scalar kind (messages/packed are always LEN=2)
 _WIRE = {
     "string": 2, "bytes": 2, "hex": 2,
@@ -365,9 +389,13 @@ def _dec_scalar(kind: str, wire: int, val):
 def decode_message(name: str, data: bytes) -> dict:
     """proto3 bytes -> OTLP-JSON dict for message *name*. Unknown fields
     are skipped (proto3 forward compatibility); absent fields stay
-    absent (every otlp.py walker reads with ``.get(...) or default``)."""
+    absent (every otlp.py walker reads with ``.get(...) or default``)
+    except the DEFAULTS table's container keys."""
     table = MESSAGES[name]
-    out: dict = {}
+    out: dict = {
+        k: (list(v) if isinstance(v, list) else v)
+        for k, v in DEFAULTS.get(name, {}).items()
+    }
     for num, wire, val in _fields(bytes(data)):
         if num not in table:
             continue

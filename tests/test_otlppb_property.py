@@ -1,0 +1,198 @@
+"""Property tests for the OTLP protobuf codec: random OTLP-JSON trees
+(AnyValue recursion, random sections/records/points) survive a
+JSON -> pb -> JSON hop byte-identically. Strategies only generate keys
+the OTLP schema defines, with the same presence conventions the
+otlp.py encoders use (64-bit ints as decimal strings, enums as ints,
+hex ids, no zero-default scalars except presence fields)."""
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from fluent_bit_spark.otlppb import otlp_json_to_pb, otlp_pb_to_json
+
+# text that exercises escaping/UTF-8 without torturing runtime
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF,
+                           include_characters='"\\\n\t'),
+    max_size=12,
+)
+_u63 = st.integers(min_value=1, max_value=(1 << 63) - 1)
+_i64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+_f64 = st.floats(allow_nan=False, allow_infinity=False, width=64)
+_hex16 = st.binary(min_size=16, max_size=16).map(bytes.hex)
+_hex8 = st.binary(min_size=8, max_size=8).map(bytes.hex)
+
+
+def _any_value(depth: int):
+    scalar = st.one_of(
+        st.builds(lambda v: {"stringValue": v}, _text),
+        st.builds(lambda v: {"boolValue": v}, st.booleans()),
+        st.builds(lambda v: {"intValue": str(v)}, _i64),
+        st.builds(lambda v: {"doubleValue": v},
+                  _f64.filter(lambda x: x != 0.0)),
+        st.just({}),
+    )
+    if depth <= 0:
+        return scalar
+    inner = _any_value(depth - 1)
+    return st.one_of(
+        scalar,
+        st.builds(lambda vs: {"arrayValue": {"values": vs}},
+                  st.lists(inner, max_size=3)),
+        st.builds(lambda kvs: {"kvlistValue": {"values": kvs}},
+                  st.lists(_key_value(inner), max_size=3)),
+    )
+
+
+def _key_value(value_st):
+    # "" keys allowed: proto3 drops the default string on the wire and
+    # the decoder re-applies it (DEFAULTS)
+    return st.builds(lambda k, v: {"key": k, "value": v}, _text, value_st)
+
+
+_attrs = st.lists(_key_value(_any_value(1)), max_size=3)
+
+
+@st.composite
+def _log_record(draw):
+    lr = {}
+    if draw(st.booleans()):
+        lr["timeUnixNano"] = str(draw(_u63))
+    if draw(st.booleans()):
+        lr["observedTimeUnixNano"] = str(draw(_u63))
+    sev = draw(st.integers(min_value=0, max_value=24))
+    if sev:
+        lr["severityNumber"] = sev
+    txt = draw(st.one_of(st.none(), _text.filter(lambda s: s != "")))
+    if txt is not None:
+        lr["severityText"] = txt
+    if draw(st.booleans()):
+        lr["body"] = draw(_any_value(2))
+    attrs = draw(_attrs)
+    if attrs:
+        lr["attributes"] = attrs
+    if draw(st.booleans()):
+        lr["traceId"] = draw(_hex16)
+        lr["spanId"] = draw(_hex8)
+    flags = draw(st.integers(min_value=0, max_value=255))
+    if flags:
+        lr["flags"] = flags
+    return lr
+
+
+@st.composite
+def _logs_request(draw):
+    sections = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        rl = {"resource": {}}
+        attrs = draw(_attrs)
+        if attrs:
+            rl["resource"]["attributes"] = attrs
+        sl = {"scope": {}, "logRecords": draw(
+            st.lists(_log_record(), min_size=1, max_size=4))}
+        name = draw(st.one_of(st.none(), _text.filter(lambda s: s != "")))
+        if name is not None:
+            sl["scope"]["name"] = name
+        rl["scopeLogs"] = [sl]
+        sections.append(rl)
+    return {"resourceLogs": sections}
+
+
+@settings(max_examples=150, deadline=None)
+@given(_logs_request())
+def test_logs_request_roundtrip(req):
+    body = json.dumps(req, separators=(",", ":"))
+    hop = otlp_pb_to_json(otlp_json_to_pb(body, "logs"), "logs")
+    assert json.loads(hop) == req
+
+
+@st.composite
+def _metric(draw):
+    m = {"name": draw(_text.filter(lambda s: s != ""))}
+    kind = draw(st.sampled_from(["gauge", "sum", "histogram", "summary"]))
+    point = {"timeUnixNano": str(draw(_u63))}
+    if kind in ("gauge", "sum"):
+        if draw(st.booleans()):
+            point["asDouble"] = draw(_f64)
+        else:
+            point["asInt"] = str(draw(_i64))
+        attrs = draw(_attrs)
+        if attrs:
+            point["attributes"] = attrs
+        if kind == "gauge":
+            m["gauge"] = {"dataPoints": [point]}
+        else:
+            m["sum"] = {"dataPoints": [point],
+                        "aggregationTemporality": 2, "isMonotonic": True}
+    elif kind == "histogram":
+        n = draw(st.integers(min_value=1, max_value=4))
+        point["bucketCounts"] = [
+            str(draw(st.integers(min_value=0, max_value=1 << 40)))
+            for _ in range(n)
+        ]
+        bounds = sorted(draw(st.lists(
+            _f64.filter(lambda x: x == x), min_size=n - 1, max_size=n - 1,
+            unique=True)))
+        if bounds:
+            point["explicitBounds"] = bounds
+        point["count"] = str(draw(_u63))
+        if draw(st.booleans()):
+            point["sum"] = draw(_f64)
+        m["histogram"] = {"dataPoints": [point], "aggregationTemporality": 2}
+    else:
+        point["count"] = str(draw(_u63))
+        point["sum"] = draw(_f64.filter(lambda x: x != 0.0))
+        point["quantileValues"] = [
+            {"quantile": q, "value": draw(_f64.filter(lambda x: x != 0.0))}
+            for q in (0.5, 0.99)
+        ]
+        m["summary"] = {"dataPoints": [point]}
+    return m
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_metric(), min_size=1, max_size=4))
+def test_metrics_request_roundtrip(metrics):
+    req = {"resourceMetrics": [{
+        "resource": {}, "scopeMetrics": [{"scope": {}, "metrics": metrics}],
+    }]}
+    body = json.dumps(req, separators=(",", ":"))
+    hop = otlp_pb_to_json(otlp_json_to_pb(body, "metrics"), "metrics")
+    assert json.loads(hop) == req
+
+
+@st.composite
+def _span(draw):
+    sp = {
+        "traceId": draw(_hex16), "spanId": draw(_hex8),
+        "name": draw(_text.filter(lambda s: s != "")),
+        "startTimeUnixNano": str(draw(_u63)),
+        "endTimeUnixNano": str(draw(_u63)),
+    }
+    kind = draw(st.integers(min_value=0, max_value=5))
+    if kind:
+        sp["kind"] = kind
+    attrs = draw(_attrs)
+    if attrs:
+        sp["attributes"] = attrs
+    if draw(st.booleans()):
+        sp["status"] = {"code": 2, "message": draw(_text)}
+        if not sp["status"]["message"]:
+            del sp["status"]["message"]
+    if draw(st.booleans()):
+        sp["events"] = [{
+            "timeUnixNano": str(draw(_u63)),
+            "name": draw(_text.filter(lambda s: s != "")),
+        }]
+    return sp
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_span(), min_size=1, max_size=4))
+def test_traces_request_roundtrip(spans):
+    req = {"resourceSpans": [{
+        "resource": {}, "scopeSpans": [{"scope": {}, "spans": spans}],
+    }]}
+    body = json.dumps(req, separators=(",", ":"))
+    hop = otlp_pb_to_json(otlp_json_to_pb(body, "traces"), "traces")
+    assert json.loads(hop) == req
