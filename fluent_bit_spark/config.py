@@ -1063,7 +1063,23 @@ def _build_input(
                 otag = f"v1_{signal}"
             else:
                 otag = tag
-            if signal == "logs":
+            if signal == "profiles":
+                # profiles ride the gRPC service URI and are gated on
+                # profiles_support (default false, opentelemetry.c:207);
+                # encode_profiles_as_log (default true, :214-216) sends
+                # each sample down the LOGS pipeline as text
+                from . import profiles as _profiles
+
+                if not _bool(s.get("profiles_support", "false")):
+                    raise ValueError(
+                        "opentelemetry: signal profiles needs "
+                        "profiles_support on")
+                if otag == "v1_profiles":  # URI-derived tag, :1279
+                    otag = "v1development_profiles"
+                df = _profiles.otlp_profiles_records(env, default_tag=otag)
+                if _bool(s.get("encode_profiles_as_log", "true")):
+                    df = _profiles.profiles_as_log(df)
+            elif signal == "logs":
                 df = otlp.otlp_logs_records(
                     env,
                     default_tag=otag,

@@ -229,6 +229,107 @@ MESSAGES: Dict[str, Dict[int, Tuple[str, object]]] = {
         1: ("quantile", "f64"),
         2: ("value", "f64"),
     },
+    # --- profiles/v1development + collector (pprofextended) — the
+    # reference gates these behind `profiles_support` and only accepts
+    # them as gRPC frames (opentelemetry_prot.c process_payload_
+    # profiles_ng rejects json AND x-protobuf content types) ---
+    "ExportProfilesServiceRequest": {
+        1: ("resourceProfiles", ("rep_msg", "ResourceProfiles")),
+    },
+    "ResourceProfiles": {
+        1: ("resource", ("msg", "Resource")),
+        2: ("scopeProfiles", ("rep_msg", "ScopeProfiles")),
+        3: ("schemaUrl", "string"),
+    },
+    "ScopeProfiles": {
+        1: ("scope", ("msg", "InstrumentationScope")),
+        2: ("profiles", ("rep_msg", "ProfileContainer")),
+        3: ("schemaUrl", "string"),
+    },
+    "ProfileContainer": {
+        1: ("profileId", "hex"),
+        2: ("startTimeUnixNano", "fixed64"),
+        3: ("endTimeUnixNano", "fixed64"),
+        4: ("attributes", ("rep_msg", "KeyValue")),
+        5: ("droppedAttributesCount", "u32"),
+        6: ("originalPayloadFormat", "string"),
+        7: ("originalPayload", "bytes"),
+        8: ("profile", ("msg", "Profile")),
+    },
+    "Profile": {
+        1: ("sampleType", ("rep_msg", "ValueType")),
+        2: ("sample", ("rep_msg", "Sample")),
+        3: ("mapping", ("rep_msg", "Mapping")),
+        4: ("location", ("rep_msg", "Location")),
+        5: ("function", ("rep_msg", "Function")),
+        6: ("stringTable", "rep_string"),
+        7: ("dropFrames", "i64"),
+        8: ("keepFrames", "i64"),
+        9: ("timeNanos", "i64"),
+        10: ("durationNanos", "i64"),
+        11: ("periodType", ("msg", "ValueType")),
+        12: ("period", "i64"),
+        13: ("comment", "rep_i64_packed"),
+        14: ("defaultSampleType", "i64"),
+        15: ("locationIndices", "rep_i64_packed"),
+        16: ("attributeTable", ("rep_msg", "KeyValue")),
+        17: ("attributeUnits", ("rep_msg", "AttributeUnit")),
+        18: ("linkTable", ("rep_msg", "Link")),
+    },
+    "ValueType": {
+        1: ("type", "i64"),
+        2: ("unit", "i64"),
+        3: ("aggregationTemporality", "enum"),
+    },
+    "Sample": {
+        1: ("locationIndex", "rep_u64_packed"),
+        2: ("value", "rep_i64_packed"),
+        7: ("locationsStartIndex", "u64"),
+        8: ("locationsLength", "u64"),
+        10: ("attributes", "rep_u64_packed"),
+        12: ("link", "u64"),
+        13: ("timestampsUnixNano", "rep_u64_packed"),
+    },
+    "Mapping": {
+        1: ("id", "u64"),
+        2: ("memoryStart", "u64"),
+        3: ("memoryLimit", "u64"),
+        4: ("fileOffset", "u64"),
+        5: ("filename", "i64"),
+        7: ("hasFunctions", "bool"),
+        8: ("hasFilenames", "bool"),
+        9: ("hasLineNumbers", "bool"),
+        10: ("hasInlineFrames", "bool"),
+        12: ("attributes", "rep_u64_packed"),
+    },
+    "Location": {
+        1: ("id", "u64"),
+        2: ("mappingIndex", "u64"),
+        3: ("address", "u64"),
+        4: ("line", ("rep_msg", "Line")),
+        5: ("isFolded", "bool"),
+        7: ("attributes", "rep_u64_packed"),
+    },
+    "Line": {
+        1: ("functionIndex", "u64"),
+        2: ("line", "i64"),
+        3: ("column", "i64"),
+    },
+    "Function": {
+        1: ("id", "u64"),
+        2: ("name", "i64"),
+        3: ("systemName", "i64"),
+        4: ("filename", "i64"),
+        5: ("startLine", "i64"),
+    },
+    "AttributeUnit": {
+        1: ("attributeKey", "i64"),
+        2: ("unit", "i64"),
+    },
+    "Link": {
+        1: ("traceId", "hex"),
+        2: ("spanId", "hex"),
+    },
 }
 
 # oneof members + proto3-optional fields: presence-encoded (a JSON key
@@ -264,12 +365,15 @@ DEFAULTS: Dict[str, dict] = {
     "Histogram": {"dataPoints": []},
     "Summary": {"dataPoints": []},
     "KeyValue": {"key": ""},
+    "ExportProfilesServiceRequest": {"resourceProfiles": []},
+    "ResourceProfiles": {"scopeProfiles": []},
+    "ScopeProfiles": {"profiles": []},
 }
 
 # wire type per scalar kind (messages/packed are always LEN=2)
 _WIRE = {
     "string": 2, "bytes": 2, "hex": 2,
-    "i64": 0, "u32": 0, "enum": 0, "bool": 0,
+    "i64": 0, "u64": 0, "u32": 0, "enum": 0, "bool": 0,
     "f64": 1, "fixed64": 1, "sfixed64": 1, "fixed32": 5,
 }
 
@@ -277,7 +381,26 @@ SIGNAL_REQUEST = {
     "logs": "ExportLogsServiceRequest",
     "traces": "ExportTraceServiceRequest",
     "metrics": "ExportMetricsServiceRequest",
+    "profiles": "ExportProfilesServiceRequest",
 }
+
+
+def grpc_frames(body: bytes):
+    """Split a gRPC message stream: 1-byte compressed flag + 4-byte
+    big-endian length per frame, possibly several frames per request
+    (opentelemetry_prot.c next_grpc_message loop; the profiles endpoint
+    only speaks this framing). Compressed frames need the grpc-encoding
+    negotiation the offline transport doesn't carry — rejected like the
+    reference rejects an unknown encoding."""
+    pos = 0
+    while pos + 5 <= len(body):
+        flag = body[pos]
+        (n,) = struct.unpack_from(">I", body, pos + 1)
+        frame = body[pos + 5:pos + 5 + n]
+        if flag:
+            raise ValueError("compressed gRPC frame unsupported")
+        yield frame
+        pos += 5 + n
 
 
 def _enc_scalar(kind: str, field: int, val) -> bytes:
@@ -289,7 +412,7 @@ def _enc_scalar(kind: str, field: int, val) -> bytes:
     if kind == "hex":
         return _ld(field, binascii.unhexlify(val) if isinstance(val, str)
                    else bytes(val))
-    if kind in ("i64", "u32", "enum", "bool"):
+    if kind in ("i64", "u64", "u32", "enum", "bool"):
         n = int(val)
         if n < 0:  # two's-complement 64-bit varint (negative int64)
             n &= (1 << 64) - 1
@@ -310,7 +433,8 @@ def _is_default(kind: str, val) -> bool:
         return val in (None, "")
     if kind == "bool":
         return not val
-    if kind in ("i64", "u32", "enum", "fixed64", "sfixed64", "fixed32"):
+    if kind in ("i64", "u64", "u32", "enum", "fixed64", "sfixed64",
+                "fixed32"):
         return int(val) == 0
     if kind == "f64":
         return float(val) == 0.0
@@ -344,6 +468,15 @@ def encode_message(name: str, obj: dict) -> bytes:
             if vals:
                 payload = b"".join(struct.pack("<d", v) for v in vals)
                 parts.append((num, _ld(num, payload)))
+        elif kind in ("rep_i64_packed", "rep_u64_packed"):
+            vals = [int(v) for v in (raw or [])]
+            if vals:
+                payload = b"".join(
+                    _uvarint(v & ((1 << 64) - 1)) for v in vals)
+                parts.append((num, _ld(num, payload)))
+        elif kind == "rep_string":
+            for item in (raw or []):
+                parts.append((num, _ld(num, str(item).encode("utf-8"))))
         else:
             if raw is None:
                 continue
@@ -366,6 +499,8 @@ def _dec_scalar(kind: str, wire: int, val):
         if n >= 1 << 63:
             n -= 1 << 64
         return str(n)
+    if kind == "u64":
+        return str(int(val))
     if kind in ("u32", "enum"):
         return int(val)
     if kind == "bool":
@@ -422,6 +557,26 @@ def decode_message(name: str, data: bytes) -> dict:
                     vals.append(struct.unpack_from("<d", val, i)[0])
             elif wire == 1:
                 vals.append(struct.unpack("<d", struct.pack("<Q", val))[0])
+        elif kind in ("rep_i64_packed", "rep_u64_packed"):
+            vals = out.setdefault(jn, [])
+            signed = kind == "rep_i64_packed"
+
+            def _v64(n: int) -> str:
+                if signed and n >= 1 << 63:
+                    n -= 1 << 64
+                return str(n)
+
+            if wire == 2:
+                pos = 0
+                while pos < len(val):
+                    n, pos = _read_uvarint(val, pos)
+                    vals.append(_v64(n))
+            elif wire == 0:
+                vals.append(_v64(int(val)))
+        elif kind == "rep_string":
+            if wire == 2:
+                out.setdefault(jn, []).append(
+                    val.decode("utf-8", errors="replace"))
         else:
             out[jn] = _dec_scalar(kind, wire, val)
     return out

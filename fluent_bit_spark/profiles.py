@@ -75,3 +75,137 @@ def profiles_as_log(df: DataFrame) -> DataFrame:
         F.concat_ws(";", F.col("stack")),
     )
     return df.select("tag", "ts", line.alias("payload"))
+
+
+# ---------------------------------------------------------------------------
+# OTLP profiles ingest (in_opentelemetry, profiles_support on):
+# gRPC-framed ExportProfilesServiceRequest (pprofextended) -> sample
+# rows. The reference ONLY accepts application/grpc here — json and
+# x-protobuf content types are explicitly rejected
+# (opentelemetry_prot.c process_payload_profiles_ng:960-1010), the URI
+# is the gRPC service path and the tag_from_uri tag is
+# 'v1development_profiles' (:1276-1284).
+# ---------------------------------------------------------------------------
+
+PROFILES_URI = (
+    "/opentelemetry.proto.collector.profiles.v1experimental."
+    "ProfilesService/Export"
+)
+
+
+def decode_otlp_profiles(data: bytes, tag: str = "v1development_profiles"):
+    """One binary ExportProfilesServiceRequest -> PROFILE_SCHEMA rows,
+    one per (sample, sampleType entry). pprofextended resolution rules
+    (cprof_decode_opentelemetry semantics): sample_type/unit are
+    string_table indices; a sample's stack comes from its
+    location_index list, else the locations_start/length window into
+    the profile's location_indices; frame names resolve through
+    line[0].function_index -> function.name -> string_table with the
+    hex address as fallback; labels resolve attribute-table indices."""
+    from .msgpackfmt import _render_text
+    from .otlp import any_value
+    from .otlppb import decode_message
+
+    req = decode_message("ExportProfilesServiceRequest", bytes(data))
+    rows = []
+    for rp in req.get("resourceProfiles") or []:
+        for sp in rp.get("scopeProfiles") or []:
+            for pc in sp.get("profiles") or []:
+                prof = pc.get("profile") or {}
+                strings = prof.get("stringTable") or []
+
+                def s(i) -> str:
+                    i = int(i or 0)
+                    return strings[i] if 0 <= i < len(strings) else ""
+
+                functions = prof.get("function") or []
+                locations = prof.get("location") or []
+                loc_indices = [
+                    int(x) for x in (prof.get("locationIndices") or [])
+                ]
+                attr_table = prof.get("attributeTable") or []
+                sample_types = prof.get("sampleType") or []
+                pid = pc.get("profileId") or ""
+                t = int(prof.get("timeNanos") or 0) \
+                    or int(pc.get("startTimeUnixNano") or 0)
+                ts = t / 1e9 if t else None
+
+                def frame(loc) -> str:
+                    for line in loc.get("line") or []:
+                        fi = int(line.get("functionIndex") or 0)
+                        if 0 <= fi < len(functions):
+                            name = s(functions[fi].get("name"))
+                            if name:
+                                return name
+                        break
+                    return "0x%x" % int(loc.get("address") or 0)
+
+                for sample in prof.get("sample") or []:
+                    li = [int(x) for x in (sample.get("locationIndex") or [])]
+                    if not li:
+                        st = int(sample.get("locationsStartIndex") or 0)
+                        ln = int(sample.get("locationsLength") or 0)
+                        li = loc_indices[st:st + ln]
+                    stack = [
+                        frame(locations[i]) for i in li
+                        if 0 <= i < len(locations)
+                    ]
+                    labels = {}
+                    for ai in sample.get("attributes") or []:
+                        ai = int(ai)
+                        if 0 <= ai < len(attr_table):
+                            kv = attr_table[ai]
+                            labels[kv.get("key") or ""] = _render_text(
+                                any_value(kv.get("value")))
+                    values = [int(v) for v in (sample.get("value") or [])]
+                    for i, vt in enumerate(sample_types):
+                        if i >= len(values):
+                            break
+                        rows.append({
+                            "tag": tag,
+                            "ts": ts,
+                            "profile_id": pid,
+                            "sample_type": s(vt.get("type")),
+                            "sample_unit": s(vt.get("unit")),
+                            "value": values[i],
+                            "stack": stack,
+                            "labels": labels,
+                        })
+    return rows
+
+
+def otlp_profiles_records(
+    df: DataFrame, default_tag: str = "v1development_profiles"
+) -> DataFrame:
+    """in_opentelemetry profiles: PROFILE_SCHEMA rows from gRPC spool
+    envelopes. Content-type gate mirrors the reference exactly:
+    application/grpc ONLY (json/x-protobuf rejected at :960-984);
+    multi-frame gRPC bodies all decode (next_grpc_message loop)."""
+    import base64 as _b64
+
+    keep = df.filter(
+        (F.col("path") == PROFILES_URI)
+        & (F.lower(F.col("ct")).startswith("application/grpc"))
+    )
+    for c in ("ce", "enc"):
+        if c not in keep.columns:
+            keep = keep.withColumn(c, F.lit(""))
+    keep = keep.select("body", "enc")
+
+    def run(batches):
+        import pandas as pd
+
+        from .otlppb import grpc_frames
+
+        cols = ["tag", "ts", "profile_id", "sample_type", "sample_unit",
+                "value", "stack", "labels"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                raw = (_b64.b64decode(rec.body) if rec.enc == "b64"
+                       else (rec.body or "").encode("utf-8"))
+                for frame_ in grpc_frames(raw):
+                    rows.extend(decode_otlp_profiles(frame_, tag=default_tag))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return keep.mapInPandas(run, PROFILE_SCHEMA)

@@ -268,3 +268,147 @@ class TestProtobufSinkStaging:
         pb = otlp.otlp_metrics_payloads(df, protobuf=True).collect()
         decoded = otlp_pb_to_json(base64.b64decode(pb[0]["body"]), "metrics")
         assert json.loads(decoded) == json.loads(js[0]["body"])
+
+
+class TestProfilesIngest:
+    """gRPC-framed pprofextended profiles (process_payload_profiles_ng:
+    application/grpc ONLY, 5-byte frame header, profiles_support gate,
+    encode_profiles_as_log bridge)."""
+
+    REQ = {
+        "resourceProfiles": [{"resource": {}, "scopeProfiles": [{
+            "scope": {},
+            "profiles": [{
+                "profileId": "00112233445566778899aabbccddeeff",
+                "startTimeUnixNano": "1700000000000000000",
+                "profile": {
+                    "stringTable": ["", "cpu", "nanoseconds", "samples",
+                                    "count", "main", "work"],
+                    "sampleType": [{"type": "1", "unit": "2"},
+                                   {"type": "3", "unit": "4"}],
+                    "function": [{"id": "1", "name": "5"},
+                                 {"id": "2", "name": "6"}],
+                    "location": [
+                        {"id": "1", "line": [{"functionIndex": "0"}]},
+                        {"id": "2", "line": [{"functionIndex": "1"}]},
+                        {"id": "3", "address": "48879"},
+                    ],
+                    "locationIndices": ["1", "2", "0"],
+                    "attributeTable": [
+                        {"key": "thread", "value": {"stringValue": "t0"}},
+                    ],
+                    "sample": [
+                        {"locationIndex": ["1", "0"], "value": ["42", "7"],
+                         "attributes": ["0"]},
+                        {"locationsStartIndex": "0", "locationsLength": "3",
+                         "value": ["5"]},
+                    ],
+                    "timeNanos": "1700000000500000000",
+                },
+            }],
+        }]}],
+    }
+
+    def _grpc_body(self, frames=1):
+        import struct
+
+        from fluent_bit_spark.otlppb import encode_message
+
+        pb = encode_message("ExportProfilesServiceRequest", self.REQ)
+        one = b"\x00" + struct.pack(">I", len(pb)) + pb
+        return one * frames
+
+    def test_decode_rows(self):
+        from fluent_bit_spark.otlppb import grpc_frames
+        from fluent_bit_spark.profiles import decode_otlp_profiles
+
+        rows = [r for f in grpc_frames(self._grpc_body())
+                for r in decode_otlp_profiles(f)]
+        # sample 1 fans out per sampleType entry; sample 2 has one value
+        assert [(r["sample_type"], r["sample_unit"], r["value"])
+                for r in rows] == [
+            ("cpu", "nanoseconds", 42), ("samples", "count", 7),
+            ("cpu", "nanoseconds", 5),
+        ]
+        assert rows[0]["stack"] == ["work", "main"]  # locationIndex mode
+        # locations window mode + address fallback frame
+        assert rows[2]["stack"] == ["work", "0xbeef", "main"]
+        assert rows[0]["labels"] == {"thread": "t0"}
+        assert rows[1]["labels"] == {"thread": "t0"}
+        assert rows[2]["labels"] == {}
+        assert abs(rows[0]["ts"] - 1700000000.5) < 1e-9
+        assert rows[0]["profile_id"] == "00112233445566778899aabbccddeeff"
+
+    def test_multi_frame_grpc_body(self):
+        from fluent_bit_spark.otlppb import grpc_frames
+        from fluent_bit_spark.profiles import decode_otlp_profiles
+
+        rows = [r for f in grpc_frames(self._grpc_body(frames=2))
+                for r in decode_otlp_profiles(f)]
+        assert len(rows) == 6
+
+    def test_compressed_frame_rejected(self):
+        import struct
+
+        from fluent_bit_spark.otlppb import grpc_frames
+
+        body = b"\x01" + struct.pack(">I", 2) + b"xx"
+        with pytest.raises(ValueError, match="compressed gRPC"):
+            list(grpc_frames(body))
+
+    def test_spark_e2e_and_content_type_gate(self, spark, pb_spool):
+        from fluent_bit_spark.profiles import (
+            PROFILES_URI,
+            otlp_profiles_records,
+            profiles_as_log,
+        )
+
+        spool, port = pb_spool
+        _post_bytes(port, PROFILES_URI, self._grpc_body(),
+                    "application/grpc")
+        # the reference REJECTS x-protobuf and json on this endpoint
+        _post_bytes(port, PROFILES_URI, self._grpc_body(),
+                    "application/x-protobuf")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        df = otlp_profiles_records(env)
+        rows = df.orderBy("value").collect()
+        assert [r["value"] for r in rows] == [5, 7, 42]
+        assert rows[2]["stack"] == ["work", "main"]
+        logs = profiles_as_log(df).orderBy("payload").collect()
+        assert all(lr["tag"] == "v1development_profiles" for lr in logs)
+        assert any("cpu/nanoseconds=42 @ work;main" in lr["payload"]
+                   for lr in logs)
+
+    def test_config_signal_profiles(self, spark, tmp_path):
+        import textwrap
+
+        from fluent_bit_spark.config import run_classic_config
+        from fluent_bit_spark.profiles import PROFILES_URI
+
+        spool = str(tmp_path / "spool")
+        srv, port = httpingest.http_spool_server(spool)
+        try:
+            _post_bytes(port, PROFILES_URI, self._grpc_body(),
+                        "application/grpc")
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        conf = textwrap.dedent(f"""
+        [INPUT]
+            Name opentelemetry
+            signal profiles
+            profiles_support on
+            spool_path {spool}
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts == {"counter_all": 3}
+
+        # gate: signal profiles without profiles_support is refused
+        bad = conf.replace("profiles_support on", "profiles_support off")
+        with pytest.raises(ValueError, match="profiles_support"):
+            run_classic_config(spark, bad, str(tmp_path / "out2"))
