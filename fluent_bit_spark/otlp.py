@@ -205,47 +205,77 @@ def decode_otlp_logs(
     return rows
 
 
-def _keep_envelopes(df: DataFrame, uri: str) -> DataFrame:
-    """Envelope gate for one OTLP URI: JSON *or* protobuf content types
-    pass (opentelemetry.c process_payload dispatches on Content-Type:
-    application/json vs application/x-protobuf; any other type is
-    rejected). Selects a fixed (body, ct, ce, enc) shape, padding the
-    binary-transport columns when the spool was read with the plain
-    ENVELOPE_SCHEMA."""
+# gRPC service-method URIs per signal (opentelemetry_prot.c:1092-1098
+# grpc_request detection + :1227-1284 routing — both the plural and the
+# legacy singular service names route to the same processor, tagged
+# like the /v1/<signal> path)
+_GRPC_URIS = {
+    "logs": (
+        "/opentelemetry.proto.collector.logs.v1.LogsService/Export",
+        "/opentelemetry.proto.collector.log.v1.LogService/Export",
+    ),
+    "traces": (
+        "/opentelemetry.proto.collector.traces.v1.TracesService/Export",
+        "/opentelemetry.proto.collector.trace.v1.TraceService/Export",
+    ),
+    "metrics": (
+        "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export",
+        "/opentelemetry.proto.collector.metric.v1.MetricService/Export",
+    ),
+}
+
+
+def _keep_envelopes(df: DataFrame, uri: str, signal: str = None) -> DataFrame:
+    """Envelope gate for one OTLP signal: the /v1/<signal> URI (JSON or
+    protobuf content types — opentelemetry.c process_payload dispatch)
+    plus the gRPC service-method URIs (any content type; the gate there
+    is the application/grpc check at decode). Selects a fixed
+    (path, body, ct, ce, enc) shape, padding the binary-transport
+    columns when the spool was read with the plain ENVELOPE_SCHEMA."""
     path = F.split(F.col("path"), r"\?").getItem(0)
     ctl = F.lower(F.col("ct"))
-    keep = df.filter(
-        (path == uri)
-        & (ctl.contains("json") | ctl.contains("protobuf")
-           | ctl.contains("grpc+proto"))
+    cond = (path == uri) & (
+        ctl.contains("json") | ctl.contains("protobuf")
+        | ctl.contains("grpc")
     )
+    for svc in _GRPC_URIS.get(signal or "", ()):
+        cond = cond | (path == svc)
+    keep = df.filter(cond)
     for c in ("ce", "enc"):
         if c not in keep.columns:
             keep = keep.withColumn(c, F.lit(""))
-    return keep.select("body", "ct", "ce", "enc")
+    return keep.select("path", "body", "ct", "ce", "enc")
 
 
-def _envelope_json_body(rec, signal: str) -> str:
-    """One spool envelope → the OTLP-JSON request body. Protobuf
-    content-types run the otlppb wire bridge (binary bodies arrive
-    base64-coded by the spool transport, ``enc='b64'``; a binary body
-    that happened to be valid UTF-8 round-trips losslessly through the
-    str encode). Content-Encoding gzip gunzips first, either leg."""
+def _envelope_json_bodies(rec, signal: str) -> list:
+    """One spool envelope → the OTLP-JSON request bodies (plural: a
+    gRPC stream carries one request per 5-byte-prefixed frame,
+    opentelemetry_prot.c next_grpc_message). Protobuf content-types run
+    the otlppb wire bridge; on the /v1/<signal> path application/grpc
+    means a BARE protobuf body (grpc_request is false there, :1087-1091
+    — no frame stripping), while the service-method URIs carry framed
+    messages. Binary bodies arrive base64-coded by the spool transport
+    (``enc='b64'``; a binary body that happened to be valid UTF-8
+    round-trips losslessly through the str encode). Content-Encoding
+    gzip gunzips first, any leg."""
     body = rec.body or ""
     ct = (getattr(rec, "ct", "") or "").split(";")[0].strip().lower()
     ce = (getattr(rec, "ce", "") or "").lower()
-    is_pb = "protobuf" in ct or "grpc+proto" in ct
+    path = (getattr(rec, "path", "") or "").split("?")[0]
+    framed = path in _GRPC_URIS.get(signal, ()) and ct == "application/grpc"
+    is_pb = framed or "protobuf" in ct or ct == "application/grpc"
     if not is_pb and not ce.startswith("gzip"):
-        return body
+        return [body]
     raw = (base64.b64decode(body) if getattr(rec, "enc", "") == "b64"
            else body.encode("utf-8"))
     if ce.startswith("gzip"):
         raw = gzip.decompress(raw)
-    if is_pb:
-        from .otlppb import otlp_pb_to_json
+    if not is_pb:
+        return [raw.decode("utf-8")]
+    from .otlppb import grpc_frames, otlp_pb_to_json
 
-        return otlp_pb_to_json(raw, signal)
-    return raw.decode("utf-8")
+    frames = grpc_frames(raw) if framed else (raw,)
+    return [otlp_pb_to_json(f, signal) for f in frames]
 
 
 def otlp_logs_records(
@@ -260,7 +290,7 @@ def otlp_logs_records(
     gate); both OTLP-JSON and binary protobuf bodies decode (the latter
     through the otlppb schema bridge). Sort by (resource_id, scope_id,
     ord, seq) to replay the reference's chunk order."""
-    keep = _keep_envelopes(df, "/v1/logs")
+    keep = _keep_envelopes(df, "/v1/logs", signal="logs")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -272,14 +302,15 @@ def otlp_logs_records(
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                rows.extend(
-                    decode_otlp_logs(
-                        _envelope_json_body(rec, "logs"),
-                        tag=default_tag,
-                        logs_body_key=logs_body_key,
-                        receive_ts=receive_ts,
+                for body in _envelope_json_bodies(rec, "logs"):
+                    rows.extend(
+                        decode_otlp_logs(
+                            body,
+                            tag=default_tag,
+                            logs_body_key=logs_body_key,
+                            receive_ts=receive_ts,
+                        )
                     )
-                )
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_LOGS_SCHEMA)
@@ -385,7 +416,7 @@ def otlp_traces_records(
     """in_opentelemetry traces: span rows from /v1/traces spool
     envelopes (OTLP-JSON or binary protobuf), shaped for
     processors.tail_sample_traces."""
-    keep = _keep_envelopes(df, "/v1/traces")
+    keep = _keep_envelopes(df, "/v1/traces", signal="traces")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -399,8 +430,8 @@ def otlp_traces_records(
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                rows.extend(decode_otlp_traces(
-                    _envelope_json_body(rec, "traces"), tag=default_tag))
+                for body in _envelope_json_bodies(rec, "traces"):
+                    rows.extend(decode_otlp_traces(body, tag=default_tag))
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_TRACES_SCHEMA)
@@ -525,7 +556,7 @@ def otlp_metrics_records(
     """in_opentelemetry metrics: sample rows from /v1/metrics spool
     envelopes (OTLP-JSON or binary protobuf), shaped for metrics.py's
     processors and prom_lines."""
-    keep = _keep_envelopes(df, "/v1/metrics")
+    keep = _keep_envelopes(df, "/v1/metrics", signal="metrics")
 
     def run(batches: Iterable):
         import pandas as pd
@@ -537,8 +568,8 @@ def otlp_metrics_records(
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                rows.extend(decode_otlp_metrics(
-                    _envelope_json_body(rec, "metrics"), tag=default_tag))
+                for body in _envelope_json_bodies(rec, "metrics"):
+                    rows.extend(decode_otlp_metrics(body, tag=default_tag))
             yield pd.DataFrame(rows, columns=cols)
 
     return keep.mapInPandas(run, OTLP_METRICS_SCHEMA)

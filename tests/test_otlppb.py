@@ -412,3 +412,42 @@ class TestProfilesIngest:
         bad = conf.replace("profiles_support on", "profiles_support off")
         with pytest.raises(ValueError, match="profiles_support"):
             run_classic_config(spark, bad, str(tmp_path / "out2"))
+
+
+class TestGrpcServicePaths:
+    """gRPC service-method URIs for logs/traces/metrics
+    (opentelemetry_prot.c:1092-1098): framed bodies, one request per
+    5-byte-prefixed frame; on the plain /v1/<signal> path an
+    application/grpc content type means a BARE protobuf body
+    (grpc_request false at :1087-1091, no frame stripping)."""
+
+    LOGS_SVC = "/opentelemetry.proto.collector.logs.v1.LogsService/Export"
+
+    def _frame(self, pb: bytes) -> bytes:
+        return b"\x00" + struct.pack(">I", len(pb)) + pb
+
+    def test_framed_multi_message_logs(self, spark, pb_spool):
+        spool, port = pb_spool
+        pb = otlp_json_to_pb(OTLP_BODY, "logs")
+        _post_bytes(port, self.LOGS_SVC, self._frame(pb) + self._frame(pb),
+                    "application/grpc")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        n_one = len([r for r in otlp.decode_otlp_logs(OTLP_BODY)
+                     if r["record_type"] == "normal"])
+        n = otlp.otlp_logs_records(env) \
+            .filter("record_type = 'normal'").count()
+        assert n == 2 * n_one
+
+    def test_v1_path_bare_grpc_content_type(self, spark, pb_spool):
+        # /v1/logs + application/grpc: bare protobuf, NOT framed
+        spool, port = pb_spool
+        _post_bytes(port, "/v1/logs", otlp_json_to_pb(OTLP_BODY, "logs"),
+                    "application/grpc")
+        env = httpingest.http_spool_source(
+            spark, spool, schema=httpingest.ENVELOPE_SCHEMA_BIN)
+        n_one = len([r for r in otlp.decode_otlp_logs(OTLP_BODY)
+                     if r["record_type"] == "normal"])
+        n = otlp.otlp_logs_records(env) \
+            .filter("record_type = 'normal'").count()
+        assert n == n_one
