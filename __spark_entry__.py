@@ -975,7 +975,7 @@ def q_log_to_metrics(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Two-mode exact-dedup row.
+    """Three-mode exact-dedup row.
 
     mode 'doc': kept set (exact_dedup, lowest doc_id per distinct text)
     annotated with its duplicate-group size (exact_dup_groups); shuffles
@@ -987,7 +987,14 @@ def q_dedup_exact(spark, sf_dir):
     are concatenated with blank-line separators — duplicate docs in the
     corpus become duplicate paragraphs ACROSS pages). Output is the
     md5 of each page's deduplicated text + surviving paragraph count;
-    fully-deduplicated pages drop out."""
+    fully-deduplicated pages drop out.
+
+    mode 'span': exact SUBSTRING dedup (dedup.substring_dedup, the Lee
+    et al. rolling-window construction with content-defined anchors,
+    md5 checkable engine) over the same pages — duplicated docs become
+    duplicated character spans that ignore paragraph boundaries. Output
+    is the md5 of each page's span-cut text + merged-span count; every
+    page survives (clean pages pass through with n=0)."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(docs).select("doc_id", "lang")
     groups = dedup.exact_dup_groups(docs).select(
@@ -1018,7 +1025,15 @@ def q_dedup_exact(spark, sf_dir):
         F.md5("text").alias("val"),
         F.col("n_paras").cast("long").alias("n"),
     )
-    return a.unionByName(b)
+    c = dedup.substring_dedup(
+        pages, id_col="page_id", window=40, stride=10, hash_engine="md5"
+    ).select(
+        F.lit("span").alias("mode"),
+        F.col("page_id").alias("id"),
+        F.md5("text").alias("val"),
+        F.col("n_dup_spans").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -2323,8 +2338,75 @@ def oracle_sql() -> dict[str, str]:
                            AS val,
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM ranked WHERE rn = 1 GROUP BY page_id
+            ),
+            -- mode 'span': substring dedup, W=40 S=10 K=8, md5 engine.
+            -- content-defined anchors: first 8 hex chars of the
+            -- 8-gram's md5, mod stride (same draw the Spark side takes
+            -- via conv(substring(md5(kgram),1,8),16,10))
+            anch AS (
+                SELECT page_id, u.p AS pos,
+                       md5(substr(text, u.p + 1, 40)) AS h
+                FROM pages,
+                     LATERAL unnest(generate_series(
+                         0, CAST(length(text) AS BIGINT) - 40, 1)) AS u(p)
+                WHERE CAST('0x' || substr(
+                          md5(substr(text, u.p + 1, 8)), 1, 8) AS UBIGINT)
+                      % 10 = 0
+            ),
+            duph AS (SELECT h FROM anch GROUP BY h HAVING COUNT(*) >= 2),
+            mk AS (
+                SELECT anch.page_id, anch.pos, anch.pos + 40 AS e
+                FROM anch JOIN duph USING (h)
+            ),
+            brk AS (
+                SELECT page_id, pos, e,
+                       CASE WHEN max(e) OVER w IS NULL
+                                 OR pos > max(e) OVER w
+                            THEN 1 ELSE 0 END AS brk
+                FROM mk
+                WINDOW w AS (PARTITION BY page_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+            ),
+            isl AS (
+                SELECT page_id, pos, e,
+                       SUM(brk) OVER (PARTITION BY page_id ORDER BY pos)
+                           AS g
+                FROM brk
+            ),
+            spans AS (
+                SELECT page_id, g, MIN(pos) AS a, MAX(e) AS bb
+                FROM isl GROUP BY 1, 2
+            ),
+            nsp AS (SELECT page_id, COUNT(*) AS n FROM spans GROUP BY 1),
+            segs AS (
+                SELECT page_id,
+                       COALESCE(lag(bb) OVER (PARTITION BY page_id
+                                              ORDER BY a), 0) AS s,
+                       a AS t
+                FROM spans
+                UNION ALL
+                SELECT sp.page_id, MAX(sp.bb), MAX(length(p.text))
+                FROM spans sp JOIN pages p USING (page_id)
+                GROUP BY sp.page_id
+            ),
+            ctext AS (
+                SELECT s.page_id,
+                       string_agg(substr(p.text, s.s + 1, s.t - s.s), ''
+                                  ORDER BY s.s) AS txt
+                FROM segs s JOIN pages p USING (page_id)
+                GROUP BY s.page_id
+            ),
+            c AS (
+                SELECT 'span' AS mode, p.page_id AS id,
+                       md5(COALESCE(ct.txt, p.text)) AS val,
+                       CAST(COALESCE(nsp.n, 0) AS BIGINT) AS n
+                FROM pages p
+                LEFT JOIN ctext ct USING (page_id)
+                LEFT JOIN nsp USING (page_id)
             )
             SELECT * FROM a UNION ALL SELECT * FROM b
+            UNION ALL SELECT * FROM c
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_neardup_pipeline": _neardup_pipeline_oracle_sql(),

@@ -180,6 +180,155 @@ def paragraph_dedup(
     )
 
 
+def substring_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 10,
+    hash_engine: str = "xxhash64",
+    anchor_k: int = 8,
+) -> DataFrame:
+    """(id, pos, h): CONTENT-ANCHORED fixed-length windows fully inside
+    each text. A naive position grid (0, stride, 2*stride, ...) misses
+    duplicated regions whose copies sit at different offsets mod
+    stride; instead a window starts wherever the hash of its leading
+    `anchor_k`-gram ≡ 0 (mod stride) — winnowing-style content-defined
+    anchoring, so two copies of the same region anchor at the SAME
+    relative positions no matter where they sit in their documents.
+    Expected anchor density is 1/stride; a duplicated region is
+    detected once it contains any anchor (length ≳ window + stride).
+    Only the window HASH leaves the row — raw text never explodes.
+    Docs shorter than `window` contribute no windows; stride 1 anchors
+    everywhere (the exact rolling construction)."""
+    text = F.col(text_col)
+    positions = F.when(
+        F.length(text) >= window,
+        F.sequence(F.lit(0), F.length(text) - window, F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    w = df.select(
+        F.col(id_col).alias("id"), text.alias("__t"),
+        F.explode(positions).alias("pos"),
+    )
+    kgram = F.col("__t").substr(F.col("pos") + F.lit(1), F.lit(anchor_k))
+    if hash_engine == "md5":
+        # DuckDB-checkable: first 8 hex chars of md5 as the anchor draw
+        # (CAST('0x'||substr(md5(k),1,8) AS UBIGINT) replays it)
+        draw = F.conv(F.substring(F.md5(kgram), 1, 8), 16, 10).cast("long")
+    else:
+        draw = F.xxhash64(kgram)
+    anchored = w.filter(F.pmod(draw, F.lit(stride)) == 0)
+    win = F.col("__t").substr(F.col("pos") + F.lit(1), F.lit(window))
+    h = F.md5(win) if hash_engine == "md5" else \
+        F.xxhash64(win).cast("string")
+    return anchored.select("id", "pos", h.alias("h"))
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+    hash_engine: str = "xxhash64",
+    anchor_k: int = 8,
+) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): find character spans that are
+    duplicated across the corpus and cut them from every document —
+    the tier between whole-doc exact dedup and paragraph dedup, for
+    boilerplate that ignores paragraph boundaries. The suffix-array
+    construction doesn't distribute; this is the rolling-window
+    approximation with content-defined anchors (substring_windows):
+    length-`window` substrings starting at anchor positions are
+    hashed, windows whose hash occurs >= `min_count` times corpus-wide
+    are duplicated, and overlapping/adjacent marked windows merge into
+    removal spans.
+
+    Returns (id_col, text, n_dup_spans, chars_removed) for EVERY input
+    document — clean docs pass through with n_dup_spans=0.
+
+    Scale shape: the anchor scan explodes one row per character with
+    only (id, pos, k-gram hash) width — O(corpus chars) rows but no
+    raw text, filtered to ~1/stride anchors BEFORE the window hash;
+    the duplicate count is a map-side-combined groupBy on the window
+    hash; marked positions come back through a scalar equi-join on the
+    hash; span merging is one window pass partitioned by doc id;
+    reconstruction joins the small span table back to the docs keyed
+    by id and stitches segments with one interpreted aggregate fold
+    over the (few) spans. `stride` trades recall for window count
+    (detected regions need length ≳ window + stride; stride 1 = the
+    exact rolling construction). xxhash64 is the scale engine; 'md5'
+    is the DuckDB-checkable engine (hex strings both sides)."""
+    wins = substring_windows(df, text_col, id_col, window, stride,
+                             hash_engine, anchor_k)
+    dup = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count).select("h")
+    )
+    marks = wins.join(dup, "h").select("id", "pos") \
+        .withColumn("__e", F.col("pos") + window)
+    # gap-and-island: a new span starts where pos clears every prior
+    # window's end (running max handles containment under long strides)
+    word = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("__e").over(
+        word.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        marks.withColumn(
+            "__brk",
+            F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1)
+            .otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(word))
+    )
+    spans = (
+        isl.groupBy("id", "__isl")
+        .agg(F.min("pos").alias("a"), F.max("__e").alias("b"))
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("a", "b"))).alias("__spans")
+        )
+    )
+    joined = df.join(
+        spans, df[id_col] == spans["id"], "left"
+    ).drop("id")
+    text = F.col(text_col)
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<a:int,b:int>>"),
+    )
+    # fold: carry (kept-so-far, cursor); each span appends the segment
+    # before it and jumps the cursor past it; finish appends the tail
+    rebuilt = F.aggregate(
+        sp,
+        F.struct(F.lit("").alias("parts"), F.lit(0).alias("cur")),
+        lambda acc, s: F.struct(
+            F.concat(
+                acc.getField("parts"),
+                text.substr(acc.getField("cur") + F.lit(1),
+                            s.getField("a") - acc.getField("cur")),
+            ).alias("parts"),
+            s.getField("b").alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc.getField("parts"),
+            text.substr(acc.getField("cur") + F.lit(1),
+                        F.length(text) - acc.getField("cur")),
+        ),
+    )
+    removed = F.aggregate(
+        sp, F.lit(0),
+        lambda acc, s: acc + s.getField("b") - s.getField("a"),
+    )
+    return joined.select(
+        id_col,
+        rebuilt.alias("text"),
+        F.size(sp).cast("long").alias("n_dup_spans"),
+        removed.cast("long").alias("chars_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

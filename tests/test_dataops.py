@@ -985,3 +985,123 @@ def test_pack_sequences_null_tokens(spark):
     )
     rows = packing.pack_sequences(docs, max_tokens=64, partitions=2).collect()
     assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+
+
+class TestSubstringDedup:
+    """Exact substring dedup (Lee et al. 2022 rolling-window
+    approximation): duplicated fixed-length windows merge to removal
+    spans; every doc passes through with stats."""
+
+    @staticmethod
+    def _py_oracle(docs, W, S, min_count=2, K=8):
+        import hashlib
+        from collections import Counter
+
+        def anchored(t):
+            # the md5-engine anchor rule: first 8 hex chars of the
+            # k-gram md5, mod stride
+            return [
+                p for p in range(0, len(t) - W + 1)
+                if int(hashlib.md5(
+                    t[p:p + K].encode()).hexdigest()[:8], 16) % S == 0
+            ]
+
+        wins, cnt = {}, Counter()
+        for i, t in docs:
+            ps = anchored(t) if len(t) >= W else []
+            wins[i] = [(p, t[p:p + W]) for p in ps]
+            for _, w in wins[i]:
+                cnt[w] += 1
+        res = {}
+        for i, t in docs:
+            marked = sorted(p for p, w in wins[i] if cnt[w] >= min_count)
+            spans = []
+            for p in marked:
+                if spans and p <= spans[-1][1]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p + W))
+                else:
+                    spans.append((p, p + W))
+            keep, cur = "", 0
+            for a, b in spans:
+                keep += t[cur:a]
+                cur = b
+            keep += t[cur:]
+            res[i] = (keep, len(spans), sum(b - a for a, b in spans))
+        return res
+
+    def test_boilerplate_is_cut_everywhere(self, spark):
+        from fluent_bit_spark.dataops.dedup import substring_dedup
+
+        boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY!"
+        docs = [
+            (0, "unique alpha text " + boiler + " unique tail zero"),
+            (1, "different beta body " + boiler + " other ending one"),
+            (2, "clean document with no duplicated spans anywhere xyz"),
+            (3, boiler + boiler),
+            (4, "tiny"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["text"], r["n_dup_spans"], r["chars_removed"])
+            for r in substring_dedup(
+                df, window=20, stride=5, hash_engine="md5").collect()
+        }
+        exp = self._py_oracle(docs, 20, 5)
+        assert out == exp
+        assert out[2][1] == 0 and out[2][0] == docs[2][1]  # clean unchanged
+        assert boiler not in out[0][0] and boiler not in out[1][0]
+
+    def test_randomized_vs_python_oracle(self, spark):
+        import random
+
+        from fluent_bit_spark.dataops.dedup import substring_dedup
+
+        rng = random.Random(42)
+        frags = ["lorem ipsum dolor sit amet ", "THE-REPEATED-FOOTER-BLOCK ",
+                 "quick brown fox jumps ", "COOKIE-CONSENT-BANNER-TEXT "]
+        docs = []
+        for i in range(60):
+            t = "".join(rng.choice(frags) + f"u{i}x{j} "
+                        for j in range(rng.randint(0, 6)))
+            docs.append((i, t))
+        df = spark.createDataFrame(docs, "doc_id long, text string") \
+            .repartition(7)
+        out = {
+            r["doc_id"]: (r["text"], r["n_dup_spans"], r["chars_removed"])
+            for r in substring_dedup(
+                df, window=24, stride=6, hash_engine="md5").collect()
+        }
+        exp = self._py_oracle(docs, 24, 6)
+        assert out == exp
+
+    def test_xxhash_scale_engine_same_shape(self, spark):
+        # the xxhash64 engine anchors differently (different draws) but
+        # must keep the contract: every doc passes through, clean docs
+        # unchanged, shared long fragments cut from somewhere
+        from fluent_bit_spark.dataops.dedup import substring_dedup
+
+        boiler = "ALL-RIGHTS-RESERVED-TERMS-OF-SERVICE-APPLY-HERE "
+        docs = [(i, f"unique head {i} " + boiler * 3 + f" unique tail {i}")
+                for i in range(4)]
+        docs.append((99, "completely unique document body with no repeats"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in substring_dedup(
+                df, window=24, stride=6, hash_engine="xxhash64").collect()
+        }
+        assert len(out) == 5
+        assert out[99]["text"] == docs[-1][1]
+        assert out[99]["n_dup_spans"] == 0
+        assert all(out[i]["chars_removed"] > 0 for i in range(4))
+        assert all(boiler * 2 not in out[i]["text"] for i in range(4))
+
+    def test_no_raw_text_in_window_shuffle(self, spark):
+        # scale guard: the exploded window frame carries (id, pos, hash)
+        # only — the text column must not survive into substring_windows
+        from fluent_bit_spark.dataops.dedup import substring_windows
+
+        df = spark.createDataFrame(
+            [(0, "x" * 100)], "doc_id long, text string")
+        cols = substring_windows(df).columns
+        assert cols == ["id", "pos", "h"]
