@@ -20,7 +20,8 @@ Near-duplicate operator rows are merged into multi-mode rows
 [logfmt/ltsv/json], parser_regex_modes, rewrite_tag_modes, record_mods,
 sp_dynamic, sp_aggregate [agg/forecast], enrich_broadcast
 [seg/checklist], sampling_modes [prob/tail], sim_ann_topk, prom_exposition
-[prom/syslog/influx rendered lines]) so ALL
+[prom/syslog/influx rendered lines], sp_snapshot [snapshot/tag_match],
+dedup_exact [doc/para/span]) so ALL
 registered entries — exactly 50 — fit the driver's recorded-row cap:
 every operator family gets a driver-recorded oracle row, including
 filter_lua (round 4: a real user script on the from-scratch Lua
@@ -652,21 +653,24 @@ def q_sp_create_stream(spark, sf_dir):
 
 
 def q_sp_snapshot(spark, sf_dir):
-    """CREATE SNAPSHOT + FLUSH SNAPSHOT (sql.y:122-144,
+    """Two-mode SP row (merged with the former sp_tag_match entry for
+    driver row-cap economy).
+
+    mode 'snapshot': CREATE SNAPSHOT + FLUSH SNAPSHOT (sql.y:122-144,
     flb_sp_snapshot.c:30-90): LIMIT-n retention applied at flush, then
-    the flush query's WHERE."""
+    the flush query's WHERE.
+
+    mode 'tag': FROM TAG:'pattern' source selection
+    (flb_sp.c:2024-2034)."""
     eng = _sp(spark, sf_dir)
     eng.run("CREATE SNAPSHOT recent AS SELECT * FROM STREAM:events LIMIT 100;")
-    out = eng.run(
+    snap = eng.run(
         "FLUSH SNAPSHOT recent AS SELECT * FROM STREAM:events WHERE value > 10;"
+    ).select(F.lit("snapshot").alias("mode"), F.col("event_id").alias("eid"))
+    tag = eng.run("SELECT event_id AS eid FROM TAG:'click.*';").select(
+        F.lit("tag").alias("mode"), "eid"
     )
-    return out.select(F.col("event_id").alias("eid"))
-
-
-def q_sp_tag_match(spark, sf_dir):
-    """FROM TAG:'pattern' source selection (flb_sp.c:2024-2034)."""
-    eng = _sp(spark, sf_dir)
-    return eng.run("SELECT event_id AS eid FROM TAG:'click.*';")
+    return snap.unionByName(tag)
 
 
 # ---------------------------------------------------------------------------
@@ -1158,6 +1162,30 @@ def q_text_profile(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Corpus mixture sampling (dataops.mixing.mix_corpus): rebalance
+    the skewed language mix with per-key fractional-epoch rates — en
+    downsampled 0.5, fr upsampled 2.25x (two guaranteed copies + a 25%
+    Bernoulli third), zh dropped, the rest untouched. Sampling is a
+    deterministic hash draw per doc (md5 checkable engine; xxhash64 is
+    the scale engine), so the oracle replays the EXACT row selection —
+    the id_sum column proves the same docs were picked, not just as
+    many. The binary-exact rates (.5/.25) keep the draw-vs-frac
+    comparison boundary-safe across engines."""
+    from fluent_bit_spark.dataops.mixing import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mix_corpus(
+        docs, {"en": 0.5, "fr": 2.25, "zh": 0.0},
+        key_col="lang", engine="md5",
+    )
+    return mixed.groupBy("lang", F.col("epoch").cast("long").alias("epoch")) \
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: docs sharing >= 2 distinct word 8-grams
     with the probe corpus (every 50th doc standing in for a benchmark
@@ -1512,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_window_hopping": q_sp_window_hopping,
         "sp_create_stream": q_sp_create_stream,
         "sp_snapshot": q_sp_snapshot,
-        "sp_tag_match": q_sp_tag_match,
+        "corpus_mix": q_corpus_mix,
         "sp_dynamic": q_sp_dynamic,
         "enrich_broadcast": q_enrich_broadcast,
         "kube_enrich": q_kube_enrich,
@@ -2173,15 +2201,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
             WHERE n > 70
         """,
-        "sp_snapshot": """
-            SELECT event_id AS eid FROM (
+        "sp_snapshot": f"""
+            SELECT 'snapshot' AS mode, event_id AS eid FROM (
               SELECT * FROM events
               QUALIFY row_number() OVER (ORDER BY ts DESC) <= 100)
             WHERE value > 10
-        """,
-        "sp_tag_match": f"""
-            SELECT event_id AS eid FROM events
+            UNION ALL
+            SELECT 'tag' AS mode, event_id AS eid FROM events
             WHERE regexp_matches({tag}, '^click\\..*$')
+        """,
+        "corpus_mix": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.25
+                                 WHEN 'zh' THEN 0.0 ELSE 1.0 END AS rate,
+                       CAST('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || chr(1) || '0'), 1, 8)
+                           AS UBIGINT) / 4294967296.0 AS d
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, lang,
+                       CAST(floor(rate) AS INT)
+                       + CASE WHEN d < rate - floor(rate) THEN 1 ELSE 0 END
+                           AS n
+                FROM r
+            ),
+            e AS (
+                SELECT doc_id, lang, u.e AS epoch
+                FROM k, LATERAL unnest(
+                    generate_series(0, CAST(n AS BIGINT) - 1, 1)) AS u(e)
+                WHERE n > 0
+            )
+            SELECT lang, epoch, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM e GROUP BY lang, epoch
         """,
         "enrich_broadcast": """
             SELECT 'seg' AS mode, c.c_mktsegment AS key, COUNT(*) AS n,

@@ -1,0 +1,106 @@
+"""Corpus mixture sampling — the data-mixing step of an LLM training
+pipeline (beyond the reference, SURVEY §2.9 dataops): rebalance a
+crawled corpus to a target source/language mixture with per-key
+sampling rates, where a rate may be fractional AND greater than one
+(fractional epochs: rate 2.25 means every doc twice plus a 25%
+chance of a third copy — the standard Pile/DoReMi-style upsampling).
+
+Everything is a deterministic pure function of (id, seed): no rand(),
+no state, so a restarted job, a re-run at another parallelism, and the
+DuckDB oracle all select the exact same rows — the same restart-stable
+property the packing/shuffle exports rely on.
+
+Scale shape: one narrow projection per row (a hash draw + a map
+lookup), zero shuffles; upsampled copies materialize through a
+sequence-explode (rows expand in place, no repartition) carrying an
+`epoch` index so a downstream deterministic shuffle (packing.
+shuffle_corpus seeded by (id, epoch)) decorrelates the copies.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def hash_draw(col: Column, seed: int = 0, engine: str = "xxhash64") -> Column:
+    """Deterministic uniform draw in [0, 1) from a column value: the
+    Bernoulli source for every sampling decision here. Engines:
+    'xxhash64' (scale default, one JVM hash) and 'md5' (DuckDB-checkable:
+    first 8 hex chars as a 32-bit uniform —
+    CAST('0x'||substr(md5(v || chr(1) || seed),1,8) AS UBIGINT)/2^32
+    replays it exactly)."""
+    if engine == "md5":
+        v = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x01", col.cast("string"),
+                                  F.lit(str(seed)))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return v / F.lit(_U32)
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(1 << 32)) / F.lit(_U32)
+
+
+def copies_for_rate(draw: Column, rate: Column) -> Column:
+    """rate -> integer copy count under one uniform draw:
+    floor(rate) guaranteed copies + one more iff draw < frac(rate).
+    rate <= 1 degenerates to plain Bernoulli keep/drop; rate 0 drops."""
+    frac = rate - F.floor(rate)
+    return (
+        F.floor(rate) + F.when(draw < frac, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+
+
+def mix_corpus(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 0,
+    engine: str = "xxhash64",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Weighted mixture sampling: each key's rate r means 'this slice
+    contributes r fractional epochs'. Docs expand to `copies_for_rate`
+    rows (possibly zero) with `epoch_col` = 0..n-1 marking the copy.
+
+    The rate map builds with F.create_map from the dict's items —
+    order-preserving (a python-dict literal through createDataFrame is
+    NOT; CLAUDE.md gotcha) — and unknown keys take `default_rate`."""
+    pairs = []
+    for k, v in rates.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    rate = F.coalesce(
+        F.try_element_at(F.create_map(*pairs), F.col(key_col))
+        if pairs else F.lit(None).cast("double"),
+        F.lit(float(default_rate)),
+    )
+    d = hash_draw(F.col(id_col), seed=seed, engine=engine)
+    out = df.withColumn("__n_copies", copies_for_rate(d, rate)) \
+        .filter(F.col("__n_copies") > 0)
+    return out.withColumn(
+        epoch_col,
+        F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+    ).drop("__n_copies")
+
+
+def mixture_report(
+    df: DataFrame,
+    key_col: str = "source",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """(key, n_rows, share) of a (mixed) corpus — the check a mixing
+    run ends with. Optionally weight by a column (e.g. n_chars /
+    token counts) instead of row counts."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(w).cast("long").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return agg.select("key", "n", (F.col("n") / total).alias("share"))

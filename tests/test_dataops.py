@@ -1105,3 +1105,93 @@ class TestSubstringDedup:
             [(0, "x" * 100)], "doc_id long, text string")
         cols = substring_windows(df).columns
         assert cols == ["id", "pos", "h"]
+
+
+class TestCorpusMixing:
+    """Weighted mixture sampling with fractional epochs
+    (dataops.mixing): deterministic hash-draw selection, restart- and
+    parallelism-stable, DuckDB-replayable (corpus_mix driver row)."""
+
+    def _docs(self, spark):
+        rows = [(i, ["en", "fr", "zh", "de"][i % 4]) for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_rates_shape_the_mixture(self, spark):
+        from fluent_bit_spark.dataops.mixing import mix_corpus
+
+        df = self._docs(spark)
+        mixed = mix_corpus(
+            df, {"en": 0.5, "fr": 3.0, "zh": 0.0}, key_col="lang",
+            engine="md5")
+        by = {
+            (r["lang"], r["epoch"]): r["count"]
+            for r in mixed.groupBy("lang", "epoch").count().collect()
+        }
+        assert ("zh", 0) not in by                      # dropped
+        assert by[("de", 0)] == 100                     # default rate 1.0
+        assert by[("fr", 0)] == by[("fr", 1)] == by[("fr", 2)] == 100
+        assert ("fr", 3) not in by                      # 3.0 is exact
+        assert 20 < by[("en", 0)] < 80                  # ~half kept
+
+    def test_deterministic_and_partition_stable(self, spark):
+        from fluent_bit_spark.dataops.mixing import mix_corpus
+
+        df = self._docs(spark)
+        rates = {"en": 0.25, "fr": 1.75}
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in mix_corpus(df, rates, key_col="lang").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in mix_corpus(
+                df.repartition(13), rates, key_col="lang").collect()
+        )
+        assert a == b and a
+
+    def test_fractional_upsample_copy_counts(self, spark):
+        from fluent_bit_spark.dataops.mixing import mix_corpus
+
+        df = self._docs(spark)
+        mixed = mix_corpus(df, {"fr": 2.25}, key_col="lang", engine="md5")
+        per_doc = {
+            r["doc_id"]: r["count"]
+            for r in mixed.filter("lang = 'fr'")
+            .groupBy("doc_id").count().collect()
+        }
+        assert set(per_doc.values()) <= {2, 3}
+        assert len(per_doc) == 100            # every fr doc survives
+        n3 = sum(1 for v in per_doc.values() if v == 3)
+        assert 10 < n3 < 40                   # ~25% get the third copy
+
+    def test_md5_draw_matches_duckdb(self, spark):
+        import duckdb
+
+        from fluent_bit_spark.dataops.mixing import hash_draw
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(50)], "doc_id long")
+        from pyspark.sql import functions as F
+
+        got = {
+            r["doc_id"]: r["d"]
+            for r in df.select(
+                "doc_id",
+                hash_draw(F.col("doc_id"), seed=7, engine="md5").alias("d"),
+            ).collect()
+        }
+        exp = dict(duckdb.sql("""
+            SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR)
+                       || chr(1) || '7'), 1, 8) AS UBIGINT) / 4294967296.0
+            FROM range(50) t(i)
+        """).fetchall())
+        assert got == exp
+
+    def test_mixture_report_shares(self, spark):
+        from fluent_bit_spark.dataops.mixing import mixture_report
+
+        df = self._docs(spark)
+        rep = {r["key"]: (r["n"], r["share"])
+               for r in mixture_report(df, key_col="lang").collect()}
+        assert rep["en"] == (100, 0.25)
+        assert abs(sum(s for _, s in rep.values()) - 1.0) < 1e-12
