@@ -1,0 +1,193 @@
+"""Two-parallelism scaling evidence for EXACT SUBSTRING DEDUP
+(dedup.substring_dedup, Lee et al. 2022 rolling-window approximation)
+— the round-4 span-level dedup tier. Same interleaved L/H, min-of-N,
+fresh-JVM-per-level methodology as tools/scaling_bench.py /
+scaling_dedup.py (BENCH.md notes). JVM-only job (explode + hash-agg +
+window + fold, no python workers), so the 4->16 pairing is clean on
+32 hw threads.
+
+The corpus is synthesized deterministically and STAGED to parquet:
+every doc carries ~275 chars of per-doc-unique md5 filler; members 0-4
+of each 10-doc stripe additionally embed one FIXED 100-char
+boilerplate span at a member-dependent OFFSET (20 + member*17 chars
+in), so detection requires the content-defined anchors, not a position
+grid. Members 5-9 are clean. The job must (a) remove the boilerplate
+from every infected doc and (b) produce byte-identical aggregate
+results at both parallelism levels.
+
+Usage: python tools/scaling_substring.py [--docs 300000] [--runs 2]
+                                         [--low 4] [--high 16]
+                                         [--rounds 2]
+Prints one JSON line with docs/sec + chars/sec at both levels +
+efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "16").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n_docs = {docs}
+BOILER = ("Subscribe to our newsletter for updates. "
+          "All rights reserved worldwide 2024. "
+          "Cookie consent required to proceed!")[:100]
+assert len(BOILER) == 100
+df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+member = (F.col("doc_id") % 10).cast("int")
+filler = F.concat(*[
+    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_" + str(k))))
+    for k in range(9)
+])  # 288 per-doc-unique chars
+infected = F.concat(
+    F.expr("substring(f, 1, 20 + m*17)"),
+    F.lit(BOILER),
+    F.expr("substring(f, 20 + m*17 + 1, 288)"),
+)
+(df.withColumn("f", F.substring(filler, 1, 288))
+   .withColumn("m", member)
+   .withColumn("text",
+               F.when(F.col("m") <= 4, infected).otherwise(F.col("f")))
+   .select("doc_id", "text")
+   .repartition(32).write.mode("overwrite").parquet({staged!r}))
+tot = spark.read.parquet({staged!r}).agg(
+    F.sum(F.length("text"))).first()[0]
+print("STAGED", n_docs, tot)
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark.dataops import dedup
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def job():
+    docs = spark.read.parquet({staged!r})
+    out = dedup.substring_dedup(docs, window=40, stride=10,
+                                min_count=2, hash_engine="xxhash64")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0)).alias("hit"),
+        F.sum("chars_removed").alias("removed"),
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("sig"),
+    ).first()
+
+row = job(); spark.catalog.clearCache()  # warm-up (codegen compile)
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times),
+      "docs": row["n"], "hit": row["hit"], "removed": row["removed"],
+      "sig": row["sig"]}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=300_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"substr_scale_{args.docs}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, docs=args.docs, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    chars = None
+    for line in stage.stdout.splitlines():
+        if line.startswith("STAGED"):
+            chars = int(line.split()[2])
+    if chars is None:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+
+    lo_times: list = []
+    hi_times: list = []
+    shape = None
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs)
+        hi = run_level(staged, args.high, args.runs)
+        key = ("docs", "hit", "removed", "sig")
+        assert all(lo[k] == hi[k] for k in key), (
+            "results must be identical across parallelism levels",
+            {k: (lo[k], hi[k]) for k in key},
+        )
+        shape = {k: lo[k] for k in key}
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = lo_best / hi_best
+    eff = ratio / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "job": "substring_dedup",
+                "docs": args.docs,
+                "corpus_chars": chars,
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_best_sec": round(lo_best, 2),
+                "high_best_sec": round(hi_best, 2),
+                "low_docs_per_sec": round(args.docs / lo_best, 1),
+                "high_docs_per_sec": round(args.docs / hi_best, 1),
+                "high_chars_per_sec": round(chars / hi_best, 1),
+                "low_times": [round(t, 2) for t in lo_times],
+                "high_times": [round(t, 2) for t in hi_times],
+                "speedup": round(ratio, 3),
+                "scaling_efficiency": round(eff, 3),
+                "docs_with_spans": shape["hit"],
+                "chars_removed": shape["removed"],
+                "results_equal_across_levels": True,
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
