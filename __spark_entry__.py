@@ -21,7 +21,7 @@ Near-duplicate operator rows are merged into multi-mode rows
 sp_dynamic, sp_aggregate [agg/forecast], enrich_broadcast
 [seg/checklist], sampling_modes [prob/tail], sim_ann_topk, prom_exposition
 [prom/syslog/influx rendered lines], sp_snapshot [snapshot/tag_match],
-dedup_exact [doc/para/span]) so ALL
+sp_windows [tumble/hop], dedup_exact [doc/para/span]) so ALL
 registered entries — exactly 50 — fit the driver's recorded-row cap:
 every operator family gets a driver-recorded oracle row, including
 filter_lua (round 4: a real user script on the from-scratch Lua
@@ -610,32 +610,38 @@ def q_sp_groupby(spark, sf_dir):
     return out.select("event_type", "n", _r4("sv").alias("sv"), "mn", "mx")
 
 
-def q_sp_window_tumbling(spark, sf_dir):
-    """WINDOW TUMBLING re-expressed on event time (SURVEY §2.5: the
-    reference fires on processing-time timers, flb_sp.c:519-527; we assign
-    by warc_ts/ts — deterministic, testable)."""
+def q_sp_windows(spark, sf_dir):
+    """Two-mode SP window row (tumbling + hopping merged for driver
+    row-cap economy; both were standalone green rows through r03).
+
+    mode 'tumble': WINDOW TUMBLING re-expressed on event time (SURVEY
+    §2.5: the reference fires on processing-time timers,
+    flb_sp.c:519-527; we assign by warc_ts/ts — deterministic,
+    testable), grouped by event_type.
+
+    mode 'hop': WINDOW HOPPING (600, ADVANCE BY 300): Spark recomputes
+    each hop, so MIN/MAX are correct (the reference's non-retractable
+    MIN/MAX over hopping windows keep stale extremes —
+    flb_sp_aggregate_func.c:348-355; we match correct semantics per
+    SURVEY §2.5). Hopping rows carry key='' (no GROUP BY)."""
     eng = _sp(spark, sf_dir)
-    out = eng.run(
+    tumble = eng.run(
         "SELECT event_type, COUNT(*) AS n, SUM(value) AS sv FROM STREAM:events "
         "WINDOW TUMBLING (300 SECOND) GROUP BY event_type;"
-    )
-    return out.select(
+    ).select(
+        F.lit("tumble").alias("mode"),
         _epoch(F.col("window_start")).alias("ws"),
-        "event_type", "n", _r4("sv").alias("sv"),
+        F.col("event_type").alias("key"), "n", _r4("sv").alias("sv"),
     )
-
-
-def q_sp_window_hopping(spark, sf_dir):
-    """WINDOW HOPPING (600, ADVANCE BY 300): Spark recomputes each hop, so
-    MIN/MAX are correct (the reference's non-retractable MIN/MAX over
-    hopping windows keep stale extremes — flb_sp_aggregate_func.c:348-355;
-    we match correct semantics per SURVEY §2.5)."""
-    eng = _sp(spark, sf_dir)
-    out = eng.run(
+    hop = eng.run(
         "SELECT COUNT(*) AS n, SUM(value) AS sv FROM STREAM:events "
         "WINDOW HOPPING (600 SECOND, ADVANCE BY 300 SECOND);"
+    ).select(
+        F.lit("hop").alias("mode"),
+        _epoch(F.col("window_start")).alias("ws"),
+        F.lit("").alias("key"), "n", _r4("sv").alias("sv"),
     )
-    return out.select(_epoch(F.col("window_start")).alias("ws"), "n", _r4("sv").alias("sv"))
+    return tumble.unionByName(hop)
 
 
 
@@ -1186,6 +1192,37 @@ def q_corpus_mix(spark, sf_dir):
         )
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Distributed BPE tokenizer (dataops.bpe): merge-table TRAINING as
+    K=6 rounds of vocab-bounded pair-count aggregation (one 1-row
+    driver collect per round — bounded by construction), then corpus
+    ENCODING via broadcast-join of the encoded word table back to
+    (id, pos, word) rows — all JVM array ops, zero python, raw text
+    never shuffles. Greedy left-to-right fold semantics per merge
+    ([a,a,a,a]+(a,a) → [aa,aa]). The oracle replays BOTH training
+    (iterative argmax with the same count-DESC/left-ASC/right-ASC
+    tie-break) and encoding with chained recursive-CTE folds, so the
+    learned merges AND every document's exact token stream are
+    value-checked: 'merge' rows carry (rank, 'left right', corpus
+    count); 'doc' rows carry (doc_id, md5 of the \\x01-joined token
+    stream, token count)."""
+    from fluent_bit_spark.dataops import bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, words = bpe.bpe_train(docs, num_merges=6)
+    m = spark.createDataFrame(
+        [("merge", k, f"{l} {r}", c) for k, (l, r, c) in enumerate(merges)],
+        "mode string, id long, val string, n long",
+    )
+    d = bpe.bpe_encode(docs, words).select(
+        F.lit("doc").alias("mode"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.md5(F.concat_ws("\x01", "tokens")).alias("val"),
+        F.col("n_tokens").cast("long").alias("n"),
+    )
+    return m.unionByName(d)
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: docs sharing >= 2 distinct word 8-grams
     with the probe corpus (every 50th doc standing in for a benchmark
@@ -1536,8 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_coercion": q_sp_coercion,
         "sp_aggregate": q_sp_aggregate,
         "sp_groupby": q_sp_groupby,
-        "sp_window_tumbling": q_sp_window_tumbling,
-        "sp_window_hopping": q_sp_window_hopping,
+        "sp_windows": q_sp_windows,
+        "bpe_tokenize": q_bpe_tokenize,
         "sp_create_stream": q_sp_create_stream,
         "sp_snapshot": q_sp_snapshot,
         "corpus_mix": q_corpus_mix,
@@ -1931,6 +1968,82 @@ def _geo_cidr_values() -> str:
     return ", ".join(rows)
 
 
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """DuckDB replay of q_bpe_tokenize: training (per rank, pair counts
+    over the current word table → argmax with the count-DESC/left-ASC/
+    right-ASC tie-break) AND encoding, with each rank's greedy
+    left-to-right merge fold expressed as a recursive CTE stepping one
+    symbol at a time per word (the fold, not a replace pass — replace
+    misses alternate pairs in runs). MATERIALIZED word tables keep the
+    chained ranks from re-evaluating upstream recursions."""
+    parts = [
+        r"""
+docs AS (SELECT doc_id, text FROM documents),
+wtab AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM docs, UNNEST(string_split_regex(text, '\s+')) AS u(w)
+  WHERE w <> '' GROUP BY 1
+),
+words_0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1), j -> word[j])
+           || ['</w>'] AS syms
+  FROM wtab
+)"""
+    ]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f"""
+pairs_{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
+  FROM words_{k - 1}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+merge_{k} AS MATERIALIZED (
+  SELECT l, r, c FROM pairs_{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+fold_{k} AS (
+  SELECT word, cnt, syms, 1 AS i, [syms[1]] AS acc, m.l AS ml, m.r AS mr
+  FROM words_{k - 1}, merge_{k} m
+  UNION ALL
+  SELECT word, cnt, syms, i + 1,
+    CASE WHEN acc[-1] = ml AND syms[i + 1] = mr
+         THEN acc[:-2] || [acc[-1] || syms[i + 1]]
+         ELSE acc || [syms[i + 1]] END, ml, mr
+  FROM fold_{k} WHERE i < len(syms)
+),
+words_{k} AS MATERIALIZED (
+  SELECT word, cnt, acc AS syms FROM fold_{k} WHERE i = len(syms)
+)"""
+        )
+    merge_rows = " UNION ALL ".join(
+        f"SELECT {k - 1} AS k, l, r, c FROM merge_{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"""
+SELECT 'merge' AS mode, CAST(k AS BIGINT) AS id, l || ' ' || r AS val, c AS n
+FROM ({merge_rows})
+UNION ALL
+SELECT 'doc' AS mode, d.doc_id AS id,
+       md5(list_aggregate(flatten(list(w.syms ORDER BY u.i)),
+                          'string_agg', chr(1))) AS val,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, ws[i] AS wd, i
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM docs),
+       UNNEST(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[i] <> ''
+) u
+JOIN docs d ON d.doc_id = u.doc_id
+JOIN words_{num_merges} w ON u.wd = w.word
+GROUP BY d.doc_id
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tag = _TAG_SQL
     ep = _EPOCH_SQL
@@ -2182,20 +2295,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS mn, MAX(value) AS mx
             FROM events GROUP BY event_type
         """,
-        "sp_window_tumbling": f"""
-            SELECT CAST(floor({ep} / 300) * 300 AS BIGINT) AS ws, event_type,
-                   COUNT(*) AS n, round(SUM(value), 4) AS sv
-            FROM events GROUP BY 1, 2
-        """,
-        "sp_window_hopping": f"""
-            WITH h AS (
+        "sp_windows": f"""
+            SELECT 'tumble' AS mode, CAST(floor({ep} / 300) * 300 AS BIGINT) AS ws,
+                   event_type AS key, COUNT(*) AS n, round(SUM(value), 4) AS sv
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'hop' AS mode, ws, '' AS key, COUNT(*) AS n,
+                   round(SUM(value), 4) AS sv
+            FROM (
               SELECT unnest([CAST(floor({ep} / 300) * 300 AS BIGINT),
                              CAST(floor({ep} / 300) * 300 - 300 AS BIGINT)]) AS ws,
                      value
               FROM events)
-            SELECT ws, COUNT(*) AS n, round(SUM(value), 4) AS sv
-            FROM h GROUP BY ws
+            GROUP BY ws
         """,
+        "bpe_tokenize": _bpe_oracle_sql(6),
         "sp_create_stream": """
             SELECT user_id, n FROM (
               SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)

@@ -1,0 +1,202 @@
+"""Distributed BPE tokenizer — the tokenization step of an LLM
+training-data pipeline (beyond the reference, SURVEY §2.9 dataops):
+byte-pair-encoding merge-table TRAINING as iterative pair-count
+aggregation over the corpus, and corpus ENCODING entirely with JVM
+codegen array ops (zero python in either path).
+
+Algorithm (Sennrich et al. 2016, the word-table formulation): all
+per-token work happens on the DISTINCT-WORD table — (word, count,
+symbol-sequence) — which is vocabulary-bounded, not corpus-bounded:
+at 100 TB the corpus has ~10^12 documents but only ~10^7-10^8 distinct
+words, so each training round aggregates a vocab-sized frame and the
+full corpus is touched exactly twice (once to build the word table,
+once to encode by broadcast-joining words back to their positions).
+
+Training round = explode adjacent symbol pairs weighted by word count
+→ map-side-combined SUM → argmax with a deterministic tie-break
+(count DESC, left ASC, right ASC — binary string order, identical in
+Spark/DuckDB/python for the ASCII fixtures) → ONE driver-collected
+row per round (bounded by construction, like the IVF codebook sample).
+The merge then applies to every word's symbol sequence as a greedy
+left-to-right fold (`F.aggregate`): [a,a,a,a] + merge(a,a) → [aa,aa],
+never the [aa,a,a] a regex/replace pass would give — a just-merged
+token can never re-match as `left` within the same round because
+merged = left||right ≠ left (right is non-empty). Expression depth is
+bounded by localCheckpoint every `checkpoint_every` merges (the
+connected_components lineage pattern).
+
+Scale notes: K merges = K vocab-sized Spark jobs; real vocabularies
+(30-50k merges) train on a frequency-thresholded or sampled word
+table (pass `min_count`) exactly as published BPE vocabs do, then
+encode the full corpus with the fixed table. Encoding never shuffles
+raw text: the word table (with final symbol sequences) broadcasts to
+the exploded (id, pos, word) frame and re-aggregates token arrays
+per document.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word marker, its own final symbol (Sennrich '16)
+
+
+def word_table(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(word, cnt) over whitespace-split words; the vocab-bounded frame
+    every training round runs on. `min_count` is the standard
+    frequency threshold that keeps the table small at corpus scale."""
+    w = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    out = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
+def init_symbols(word: Column) -> Column:
+    """word → its initial symbol sequence: characters + the EOW marker
+    (so 'low'-at-end-of-word and 'low'-inside-'lowest' learn apart)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge over a symbol array as a greedy left-to-right
+    fold: append each symbol, except when the accumulator's last
+    element is `left` and the incoming symbol is `right` — then the
+    pair collapses to left||right. try_element_at returns null on the
+    empty accumulator (ANSI-safe), nulling the condition to false."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (zip of the array
+    with itself shifted by one)."""
+    n = F.size(syms) - 1
+    return F.zip_with(
+        F.slice(syms, 1, n),
+        F.slice(syms, 2, n),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, c): corpus-weighted adjacent-pair counts of the current
+    word table — one explode + map-side-combined SUM per round."""
+    return (
+        words.select("cnt", F.explode(adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_count: int = 1,
+    checkpoint_every: int = 8,
+) -> Tuple[List[Tuple[str, str, int]], DataFrame]:
+    """Learn `num_merges` BPE merges from the corpus. Returns
+    (merges, words): merges = [(left, right, count)] in rank order —
+    exactly one 1-row driver collect per round; words = the final
+    word table (word, cnt, syms) ready for encoding. The returned
+    frame is localCheckpoint-materialized (bounded lineage)."""
+    words = (
+        word_table(df, text_col, min_count=min_count)
+        .withColumn("syms", init_symbols(F.col("word")))
+        .localCheckpoint(eager=False)
+    )
+    merges: List[Tuple[str, str, int]] = []
+    for k in range(num_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+        words = words.withColumn(
+            "syms", apply_merge(F.col("syms"), left, right)
+        )
+        if (k + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges, words.localCheckpoint(eager=False)
+
+
+def encode_word_table(
+    words: DataFrame, merges: Sequence[Tuple[str, str, int]] | None = None
+) -> DataFrame:
+    """(word, syms) with all merges applied. Pass the word table from
+    bpe_train (already merged) or a fresh (word, cnt) frame plus the
+    learned merge list to re-encode an unseen corpus's vocabulary."""
+    if "syms" not in words.columns:
+        words = words.withColumn("syms", init_symbols(F.col("word")))
+    if merges:
+        col = F.col("syms")
+        for i, (l, r, _c) in enumerate(merges):
+            col = apply_merge(col, l, r)
+            if (i + 1) % 8 == 0:
+                words = words.withColumn("syms", col)
+                words = words.localCheckpoint(eager=False)
+                col = F.col("syms")
+        words = words.withColumn("syms", col)
+    return words.select("word", "syms")
+
+
+def bpe_encode(
+    df: DataFrame,
+    words: DataFrame,
+    merges: Sequence[Tuple[str, str, int]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Encode the corpus with a learned merge table: explode (id, pos,
+    word), join the (broadcast) encoded word table, re-aggregate the
+    per-document token stream in position order. Output: (id_col,
+    tokens array<string>, n_tokens). Raw text never crosses a shuffle
+    — only (id, pos, word) rows and the vocab-sized symbol table."""
+    enc = encode_word_table(words, merges)
+    if broadcast_words:
+        enc = F.broadcast(enc)
+    pos = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        pos.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s.getField("syms"),
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

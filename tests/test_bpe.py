@@ -1,0 +1,147 @@
+"""BPE tokenizer tests: python-reference equality (training merges,
+per-doc token streams), greedy-fold semantics on runs, determinism
+across repartitioning, and the unseen-corpus re-encode path."""
+import sys
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from fluent_bit_spark.dataops import bpe
+
+
+# ---------------------------------------------------------------------------
+# pure-python reference (Sennrich '16 word-table BPE)
+# ---------------------------------------------------------------------------
+def _py_train(texts, k):
+    wc = Counter(w for t in texts for w in t.split() if w)
+    seqs = {w: list(w) + [bpe.EOW] for w in wc}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def _py_encode(text, seqs):
+    toks = []
+    for w in text.split():
+        if w and w in seqs:
+            toks.extend(seqs[w])
+    return toks
+
+
+def _docs(spark, n=120):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(n)
+    )
+
+
+def test_train_matches_python_reference(spark):
+    df = _docs(spark).cache()
+    texts = [r["text"] for r in df.collect()]
+    py_merges, _ = _py_train(texts, 10)
+    merges, _words = bpe.bpe_train(df, num_merges=10)
+    assert merges == py_merges
+
+
+def test_encode_matches_python_reference(spark):
+    df = _docs(spark, 80).cache()
+    rows = df.collect()
+    texts = [r["text"] for r in rows]
+    py_merges, seqs = _py_train(texts, 8)
+    merges, words = bpe.bpe_train(df, num_merges=8)
+    enc = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe.bpe_encode(df, words).collect()
+    }
+    for r in rows:
+        want = _py_encode(r["text"], seqs)
+        got, n = enc[r["doc_id"]]
+        assert got == want and n == len(want)
+
+
+def test_greedy_fold_on_runs(spark):
+    # [a,a,a,a,a,a] + merge(a,a) must give [aa,aa,aa] (leftmost greedy),
+    # not the [aa,a,aa,a] a replace-all pass would produce.
+    df = spark.createDataFrame([(["a"] * 6,)], "syms array<string>")
+    out = df.select(bpe.apply_merge(F.col("syms"), "a", "a").alias("m"))
+    assert out.first()["m"] == ["aa", "aa", "aa"]
+    df5 = spark.createDataFrame([(["a"] * 5,)], "syms array<string>")
+    out5 = df5.select(bpe.apply_merge(F.col("syms"), "a", "a").alias("m"))
+    assert out5.first()["m"] == ["aa", "aa", "a"]
+
+
+def test_merged_token_never_rematches_as_left(spark):
+    # merge (a, ab): [a, ab, ab] -> [aab, ab]; the fresh 'aab' must not
+    # immediately consume the following 'ab' again within the round.
+    df = spark.createDataFrame([(["a", "ab", "ab"],)], "syms array<string>")
+    out = df.select(bpe.apply_merge(F.col("syms"), "a", "ab").alias("m"))
+    assert out.first()["m"] == ["aab", "ab"]
+
+
+def test_deterministic_across_repartition(spark):
+    df = _docs(spark)
+    m1, w1 = bpe.bpe_train(df, num_merges=6)
+    m2, w2 = bpe.bpe_train(df.repartition(7), num_merges=6)
+    assert m1 == m2
+    e1 = bpe.bpe_encode(df, w1).orderBy("doc_id").collect()
+    e2 = bpe.bpe_encode(df.repartition(5), w2).orderBy("doc_id").collect()
+    assert [(r["doc_id"], list(r["tokens"])) for r in e1] == [
+        (r["doc_id"], list(r["tokens"])) for r in e2
+    ]
+
+
+def test_reencode_unseen_corpus_with_merge_list(spark):
+    train = _docs(spark, 60)
+    merges, _ = bpe.bpe_train(train, num_merges=6)
+    unseen = _docs(spark, 100)
+    fresh_words = bpe.word_table(unseen)
+    out = bpe.bpe_encode(unseen, fresh_words, merges=merges)
+    texts = [r["text"] for r in unseen.collect()]
+    # python replay: apply the learned merges to the unseen vocab
+    seqs = {w: list(w) + [bpe.EOW] for t in texts for w in t.split() if w}
+    for l, r, _c in merges:
+        for w, s in seqs.items():
+            o, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    o.append(l + r)
+                    i += 2
+                else:
+                    o.append(s[i])
+                    i += 1
+            seqs[w] = o
+    got = {r["doc_id"]: list(r["tokens"]) for r in out.collect()}
+    rows = unseen.collect()
+    for r in rows:
+        assert got[r["doc_id"]] == _py_encode(r["text"], seqs)
+
+
+def test_min_count_thresholds_vocab(spark):
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb rare")], "doc_id long, text string"
+    )
+    full = bpe.word_table(df).count()
+    thresh = bpe.word_table(df, min_count=2).count()
+    assert full == 3 and thresh == 2
