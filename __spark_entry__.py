@@ -1169,27 +1169,58 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_corpus_mix(spark, sf_dir):
-    """Corpus mixture sampling (dataops.mixing.mix_corpus): rebalance
-    the skewed language mix with per-key fractional-epoch rates — en
-    downsampled 0.5, fr upsampled 2.25x (two guaranteed copies + a 25%
-    Bernoulli third), zh dropped, the rest untouched. Sampling is a
+    """Data mixing + selection, two modes. mode 'mix': corpus mixture
+    sampling (dataops.mixing.mix_corpus) — rebalance the skewed
+    language mix with per-key fractional-epoch rates: en downsampled
+    0.5, fr upsampled 2.25x (two guaranteed copies + a 25% Bernoulli
+    third), zh dropped, the rest untouched. Sampling is a
     deterministic hash draw per doc (md5 checkable engine; xxhash64 is
     the scale engine), so the oracle replays the EXACT row selection —
-    the id_sum column proves the same docs were picked, not just as
-    many. The binary-exact rates (.5/.25) keep the draw-vs-frac
-    comparison boundary-safe across engines."""
-    from fluent_bit_spark.dataops.mixing import mix_corpus
+    the id-sum value proves the same docs were picked, not just as
+    many; the binary-exact rates (.5/.25) keep the draw-vs-frac
+    comparison boundary-safe across engines. mode 'dsir': DSIR
+    importance resampling (mixing.dsir_select, Xie et al. 2023) —
+    every 37th doc stands in for the target corpus, hashed unigram+
+    bigram bucket models (B=512, add-1 smoothing) score every raw doc
+    with the log importance ratio, and a deterministic Gumbel top-120
+    selects without replacement proportional to importance. The oracle
+    replays features, both bucket models, weights, noise, and the
+    exact selected document set (one row per selected doc with its
+    4-decimal logw)."""
+    from fluent_bit_spark.dataops import mixing
 
     docs = _t(spark, sf_dir, "documents")
-    mixed = mix_corpus(
+    mixed = mixing.mix_corpus(
         docs, {"en": 0.5, "fr": 2.25, "zh": 0.0},
         key_col="lang", engine="md5",
     )
-    return mixed.groupBy("lang", F.col("epoch").cast("long").alias("epoch")) \
+    m = (
+        mixed.groupBy("lang", F.col("epoch").cast("long").alias("epoch"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").alias("id_sum"),
         )
+        .select(
+            F.lit("mix").alias("mode"),
+            F.col("lang").alias("key"),
+            F.col("epoch").alias("k"),
+            F.col("n_docs").alias("n"),
+            F.col("id_sum").cast("double").alias("v"),
+        )
+    )
+    raw = docs.select("doc_id", "text")
+    sel = mixing.dsir_select(
+        raw, raw.filter(F.col("doc_id") % 37 == 0), k=120,
+        buckets=512, seed=3, engine="md5",
+    )
+    d = sel.select(
+        F.lit("dsir").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("doc_id").alias("k"),
+        F.lit(1).cast("long").alias("n"),
+        F.round("logw", 4).alias("v"),
+    )
+    return m.unionByName(d)
 
 
 def q_bpe_tokenize(spark, sf_dir):
@@ -1205,8 +1236,15 @@ def q_bpe_tokenize(spark, sf_dir):
     learned merges AND every document's exact token stream are
     value-checked: 'merge' rows carry (rank, 'left right', corpus
     count); 'doc' rows carry (doc_id, md5 of the \\x01-joined token
-    stream, token count)."""
-    from fluent_bit_spark.dataops import bpe
+    stream, token count). mode 'pack': GPT-style sequence packing
+    (packing.pack_token_windows) chops the doc_id-ordered concatenated
+    token stream into exact 128-token context windows via the
+    two-level block prefix sum — each window's id, md5 of its
+    \\x01-joined tokens + \\x02 + its comma-joined doc_id:start:len
+    span list, and token count are value-checked against a DuckDB
+    window-function replay, so global offsets, boundary splits, and
+    span metadata are all exact."""
+    from fluent_bit_spark.dataops import bpe, packing
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges, words = bpe.bpe_train(docs, num_merges=6)
@@ -1214,13 +1252,36 @@ def q_bpe_tokenize(spark, sf_dir):
         [("merge", k, f"{l} {r}", c) for k, (l, r, c) in enumerate(merges)],
         "mode string, id long, val string, n long",
     )
-    d = bpe.bpe_encode(docs, words).select(
+    enc = bpe.bpe_encode(docs, words).persist()
+    d = enc.select(
         F.lit("doc").alias("mode"),
         F.col("doc_id").cast("long").alias("id"),
         F.md5(F.concat_ws("\x01", "tokens")).alias("val"),
         F.col("n_tokens").cast("long").alias("n"),
     )
-    return m.unionByName(d)
+    spans = F.array_join(
+        F.transform(
+            F.col("doc_spans"),
+            lambda s: F.concat_ws(
+                ":",
+                s.getField("doc_id").cast("string"),
+                s.getField("start").cast("string"),
+                s.getField("len").cast("string"),
+            ),
+        ),
+        ",",
+    )
+    p = packing.pack_token_windows(enc, 128, block=1 << 10).select(
+        F.lit("pack").alias("mode"),
+        F.col("seq_id").alias("id"),
+        F.md5(
+            F.concat(
+                F.concat_ws("\x01", "tokens"), F.lit("\x02"), spans
+            )
+        ).alias("val"),
+        F.col("n_tokens").cast("long").alias("n"),
+    )
+    return m.unionByName(d).unionByName(p)
 
 
 def q_decontaminate(spark, sf_dir):
@@ -2020,26 +2081,63 @@ words_{k} AS MATERIALIZED (
         f"SELECT {k - 1} AS k, l, r, c FROM merge_{k}"
         for k in range(1, num_merges + 1)
     )
+    L = 128  # pack-mode context window (q_bpe_tokenize seq_len)
     return (
         "WITH RECURSIVE "
         + ",".join(parts)
-        + f"""
+        + f""",
+doc_tok AS MATERIALIZED (
+  SELECT d.doc_id AS doc_id,
+         flatten(list(w.syms ORDER BY u.i)) AS toks
+  FROM (
+    SELECT doc_id, ws[i] AS wd, i
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM docs),
+         UNNEST(range(1, len(ws) + 1)) AS t(i)
+    WHERE ws[i] <> ''
+  ) u
+  JOIN docs d ON d.doc_id = u.doc_id
+  JOIN words_{num_merges} w ON u.wd = w.word
+  GROUP BY d.doc_id
+),
+-- pack-mode replay: exclusive prefix-sum offsets in doc_id order,
+-- per-doc window slices, regroup by window (pack_token_windows)
+doc_off AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM doc_tok WHERE len(toks) > 0
+),
+slc AS (
+  SELECT t.s AS seq,
+         GREATEST(off, t.s * {L}) - t.s * {L} AS pos,
+         doc_id,
+         toks[CAST(GREATEST(off, t.s * {L}) - off + 1 AS BIGINT)
+              :CAST(LEAST(off + n, (t.s + 1) * {L}) - off AS BIGINT)]
+           AS piece
+  FROM doc_off,
+       UNNEST(range(off // {L}, (off + n - 1) // {L} + 1)) AS t(s)
+)
 SELECT 'merge' AS mode, CAST(k AS BIGINT) AS id, l || ' ' || r AS val, c AS n
 FROM ({merge_rows})
 UNION ALL
-SELECT 'doc' AS mode, d.doc_id AS id,
-       md5(list_aggregate(flatten(list(w.syms ORDER BY u.i)),
-                          'string_agg', chr(1))) AS val,
-       CAST(SUM(len(w.syms)) AS BIGINT) AS n
-FROM (
-  SELECT doc_id, ws[i] AS wd, i
-  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM docs),
-       UNNEST(range(1, len(ws) + 1)) AS t(i)
-  WHERE ws[i] <> ''
-) u
-JOIN docs d ON d.doc_id = u.doc_id
-JOIN words_{num_merges} w ON u.wd = w.word
-GROUP BY d.doc_id
+SELECT 'doc' AS mode, doc_id AS id,
+       md5(list_aggregate(toks, 'string_agg', chr(1))) AS val,
+       CAST(len(toks) AS BIGINT) AS n
+FROM doc_tok
+UNION ALL
+SELECT 'pack' AS mode, CAST(seq AS BIGINT) AS id,
+       md5(list_aggregate(flatten(list(piece ORDER BY pos)),
+                          'string_agg', chr(1))
+           || chr(2)
+           || list_aggregate(
+                list(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(pos AS VARCHAR) || ':'
+                     || CAST(len(piece) AS VARCHAR) ORDER BY pos),
+                'string_agg', ',')) AS val,
+       CAST(SUM(len(piece)) AS BIGINT) AS n
+FROM slc
+GROUP BY seq
 """
     )
 
@@ -2346,10 +2444,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM k, LATERAL unnest(
                     generate_series(0, CAST(n AS BIGINT) - 1, 1)) AS u(e)
                 WHERE n > 0
+            ),
+            -- mode 'dsir': hashed-ngram bucket models + Gumbel top-k
+            toksrc AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x != '') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, g FROM toksrc, UNNEST(toks) AS t(g)
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+                FROM toksrc, UNNEST(range(1, len(toks))) AS t(i)
+            ),
+            feat_r AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                           % 512 AS b,
+                       COUNT(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            ct AS (SELECT b, SUM(cnt) AS c FROM feat_r
+                   WHERE doc_id % 37 = 0 GROUP BY b),
+            cr AS (SELECT b, SUM(cnt) AS c FROM feat_r GROUP BY b),
+            lp AS (
+                SELECT gs.b,
+                       ln((COALESCE(ct.c, 0) + 1.0)
+                          / ((SELECT SUM(c) FROM ct) + 512.0))
+                       - ln((COALESCE(cr.c, 0) + 1.0)
+                            / ((SELECT SUM(c) FROM cr) + 512.0)) AS ratio
+                FROM (SELECT UNNEST(range(0, 512)) AS b) gs
+                LEFT JOIN ct ON gs.b = ct.b
+                LEFT JOIN cr ON gs.b = cr.b
+            ),
+            w AS (
+                SELECT f.doc_id, SUM(f.cnt * lp.ratio) AS logw
+                FROM feat_r f JOIN lp ON f.b = lp.b GROUP BY 1
+            ),
+            scored AS (
+                SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw,
+                       COALESCE(w.logw, 0.0) - ln(-ln(GREATEST(
+                           CAST('0x' || substr(md5(
+                               CAST(d.doc_id AS VARCHAR) || chr(1) || '3'
+                           ), 1, 8) AS UBIGINT) / 4294967296.0,
+                           1e-12))) AS score
+                FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+            ),
+            sel AS (
+                SELECT doc_id, logw FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 120
             )
-            SELECT lang, epoch, COUNT(*) AS n_docs,
-                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            SELECT 'mix' AS mode, lang AS key, epoch AS k,
+                   COUNT(*) AS n, CAST(SUM(doc_id) AS DOUBLE) AS v
             FROM e GROUP BY lang, epoch
+            UNION ALL
+            SELECT 'dsir' AS mode, CAST(doc_id AS VARCHAR) AS key,
+                   doc_id AS k, 1 AS n, round(logw, 4) AS v
+            FROM sel
         """,
         "enrich_broadcast": """
             SELECT 'seg' AS mode, c.c_mktsegment AS key, COUNT(*) AS n,

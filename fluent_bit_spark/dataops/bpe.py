@@ -160,6 +160,40 @@ def encode_word_table(
     return words.select("word", "syms")
 
 
+def vocab_table(enc: DataFrame) -> DataFrame:
+    """(sym, tid): dense integer token ids over an encoded word
+    table's distinct final symbols, in symbol sort order — the
+    tokenizer's emitted vocabulary. Vocab-bounded by construction, so
+    the single ordered row_number window is over a small frame."""
+    from pyspark.sql import Window
+
+    syms = enc.select(F.explode("syms").alias("sym")).distinct()
+    w = Window.orderBy("sym")
+    return syms.select(
+        "sym", (F.row_number().over(w) - 1).cast("int").alias("tid")
+    )
+
+
+def _ids_word_table(enc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Rewrite an encoded word table's symbol arrays to integer token
+    ids (word, syms array<int>) via the vocab. All frames here are
+    vocab-bounded; the regrouping shuffle carries (word, pos, tid)."""
+    ex = enc.select("word", F.posexplode("syms").alias("p", "sym"))
+    return (
+        ex.join(F.broadcast(vocab), "sym")
+        .groupBy("word")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("p", "tid"))).alias("z")
+        )
+        .select(
+            "word",
+            F.transform(F.col("z"), lambda s: s.getField("tid")).alias(
+                "syms"
+            ),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     words: DataFrame,
@@ -167,13 +201,21 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_words: bool = True,
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Encode the corpus with a learned merge table: explode (id, pos,
     word), join the (broadcast) encoded word table, re-aggregate the
     per-document token stream in position order. Output: (id_col,
     tokens array<string>, n_tokens). Raw text never crosses a shuffle
-    — only (id, pos, word) rows and the vocab-sized symbol table."""
+    — only (id, pos, word) rows and the vocab-sized symbol table.
+
+    emit_ids=True emits array<int> token ids (vocab_table rank order)
+    instead of symbol strings — what a real tokenizer hands the
+    training pipeline, and 4-8x less data through the per-document
+    regroup shuffle (the operator's dominant cost at corpus scale)."""
     enc = encode_word_table(words, merges)
+    if emit_ids:
+        enc = _ids_word_table(enc, vocab_table(enc))
     if broadcast_words:
         enc = F.broadcast(enc)
     pos = (

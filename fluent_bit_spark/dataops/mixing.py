@@ -104,3 +104,144 @@ def mixture_report(
     )
     total = F.sum("n").over(Window.partitionBy())
     return agg.select("key", "n", (F.col("n") / total).alias("share"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents that look like a TARGET corpus: fit
+# bag-of-hashed-ngram models on both, score every raw doc with the
+# log importance ratio sum_grams(log p_target(b) - log p_raw(b)), and
+# take a Gumbel top-k (= sampling without replacement proportional to
+# the importance weights). Everything stays deterministic: the Gumbel
+# noise comes from hash_draw, so reruns, other parallelism levels, and
+# the DuckDB oracle select the identical document set.
+#
+# Scale shape: the two bucket tables are `buckets` rows each (fixed,
+# e.g. 8-64k) — broadcast; per-doc scoring is one explode + broadcast
+# join + map-side-combined SUM (the only keyed shuffle carries
+# (doc_id, partial double)); top-k is Spark's distributed
+# TakeOrdered (each partition keeps k candidates — no global sort).
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    ngrams=(1, 2),
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """(id, bucket, cnt): per-document hashed n-gram feature counts —
+    the DSIR feature space. Grams are dedup.shingles word n-grams
+    (lower-cased, space-joined); engine 'md5' (dedup.md5_hash60 mod
+    buckets) is the DuckDB-replayable variant, 'xxhash64' the scale
+    default (pmod keeps the negative half usable)."""
+    from . import dedup
+
+    arrs = [
+        F.filter(
+            dedup.shingles(F.col(text_col), n), lambda g: g != F.lit("")
+        )
+        for n in ngrams
+    ]
+    grams = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    if engine == "md5":
+        h = dedup.md5_hash60(F.col("gram"))
+    elif engine == "xxhash64":
+        h = F.xxhash64(F.col("gram"))
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .select("id", F.pmod(h, F.lit(buckets)).cast("long").alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_logprobs(
+    feats: DataFrame, buckets: int, alpha: float = 1.0
+) -> DataFrame:
+    """(bucket, lp): add-alpha smoothed log bucket probabilities of a
+    feature frame — a dense `buckets`-row table (absent buckets get
+    the smoothing floor), built by right-joining spark.range(buckets).
+    All frames here are bucket-sized: broadcast-class."""
+    spark = feats.sparkSession
+    counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    full = (
+        spark.range(buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    total = F.sum("c").over(Window.partitionBy())
+    return full.select(
+        "bucket",
+        F.log(
+            (F.col("c") + F.lit(float(alpha)))
+            / (total + F.lit(float(alpha) * buckets))
+        ).alias("lp"),
+    )
+
+
+def dsir_logweights(
+    raw_feats: DataFrame, lp_target: DataFrame, lp_raw: DataFrame
+) -> DataFrame:
+    """(id, logw): per-document log importance weight — the feature
+    counts dotted with (lp_target - lp_raw). The ratio table is
+    bucket-sized and broadcast; the SUM is map-side combined."""
+    ratio = lp_target.select(
+        "bucket", F.col("lp").alias("lpt")
+    ).join(lp_raw.select("bucket", F.col("lp").alias("lpr")), "bucket")
+    return (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("cnt") * (F.col("lpt") - F.col("lpr"))
+            ).alias("logw")
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    ngrams=(1, 2),
+    alpha: float = 1.0,
+    seed: int = 0,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end DSIR: return the raw frame's top-k documents under
+    Gumbel-perturbed importance scores (sampling-without-replacement
+    proportional to importance), with `logw` and `score` columns
+    attached. Deterministic: noise = -ln(-ln(hash_draw(id, seed)))
+    (the draw is clamped away from 0 — identically in the oracle).
+    Docs with no grams score logw = 0 (still eligible)."""
+    rf = hashed_ngram_buckets(
+        raw, text_col, id_col, buckets=buckets, ngrams=ngrams, engine=engine
+    )
+    tf = hashed_ngram_buckets(
+        target, text_col, id_col, buckets=buckets, ngrams=ngrams,
+        engine=engine,
+    )
+    w = dsir_logweights(
+        rf,
+        bucket_logprobs(tf, buckets, alpha),
+        bucket_logprobs(rf, buckets, alpha),
+    )
+    u = F.greatest(
+        hash_draw(F.col(id_col), seed=seed, engine=engine), F.lit(1e-12)
+    )
+    scored = (
+        raw.join(w, raw[id_col] == w["id"], "left")
+        .drop("id")
+        .withColumn("logw", F.coalesce(F.col("logw"), F.lit(0.0)))
+        .withColumn("score", F.col("logw") - F.log(-F.log(u)))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))

@@ -22,6 +22,30 @@ Scale notes:
 * pack ids are (partition << 32 | local index): globally unique,
   deterministic for a fixed partition count, no monotonically_
   increasing_id (whose values change with scheduling).
+
+Two packing disciplines ship:
+* ``pack_sequences`` — whole-document first-fit into token budgets
+  (documents never split; minor padding waste at the budget tail).
+* ``pack_token_windows`` — GPT-style: the corpus's token streams are
+  concatenated in a deterministic global order and chopped into exact
+  fixed-length context windows, documents splitting across window
+  boundaries, with per-window doc-span metadata for attention/loss
+  masking. The distributed problem is the GLOBAL token offset of every
+  document (an exclusive prefix sum over a corpus-sized frame). A
+  single ordered window is a single-partition scan — a non-starter at
+  10^12 docs — so ``global_offsets`` computes a two-level block prefix
+  sum, fully deterministic (no spark_partition_id, no driver collect,
+  no sampled range partitioner — restart- and parallelism-stable by
+  construction): block id is a pure function of the order key;
+  within-block exclusive prefix sums shuffle only (key, n) scalars;
+  block bases come from ONE ordered window over the tiny block table
+  (corpus/block rows — size `block` so this stays ~10^6 at 10^12
+  docs) broadcast-joined back. Packing then emits, per document, the
+  slice it contributes to each window it spans and regroups by window
+  id: token pieces cross exactly ONE shuffle, keyed by window — the
+  regrouping that IS the operator's output. Documents that fit inside
+  one window (the overwhelming majority when L >> mean doc length)
+  emit a single unsplit slice.
 """
 
 from __future__ import annotations
@@ -175,3 +199,128 @@ def pack_sequences(
         yield pd.DataFrame(done, columns=out_cols)
 
     return src.mapInPandas(run, out_schema)
+
+
+def global_offsets(
+    df: DataFrame,
+    n_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    block: int = 1 << 20,
+) -> DataFrame:
+    """Add `off`: the exclusive prefix sum of `n_col` in `order_col`
+    order — the document's global token offset in the concatenated
+    corpus stream. `order_col` must be numeric and unique (doc_id).
+    `block` bounds the single-partition block window at
+    corpus_rows/block entries — keep it >= rows/10^7. See the module
+    docstring for the two-level construction."""
+    from pyspark.sql import Window
+
+    blk = df.withColumn("_blk", (F.col(order_col) / block).cast("long"))
+    win = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blk.withColumn(
+        "_loc", F.coalesce(F.sum(n_col).over(win), F.lit(0).cast("long"))
+    )
+    bwin = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        blk.groupBy("_blk")
+        .agg(F.sum(n_col).alias("_bs"))
+        .withColumn(
+            "_base", F.coalesce(F.sum("_bs").over(bwin), F.lit(0).cast("long"))
+        )
+        .select("_blk", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_blk")
+        .withColumn("off", (F.col("_loc") + F.col("_base")).cast("long"))
+        .drop("_blk", "_loc", "_base")
+    )
+
+
+def pack_token_windows(
+    enc: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    n_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    drop_last: bool = False,
+    pad: Optional[str] = None,
+    block: int = 1 << 20,
+) -> DataFrame:
+    """GPT-style packing: chop the globally concatenated token stream
+    into exact `seq_len` context windows. Output: (seq_id, tokens,
+    doc_spans, n_tokens, n_docs) where doc_spans =
+    array<struct<doc_id, start, len>> in window order — the boundary
+    metadata an attention mask / loss mask needs. Empty documents
+    contribute nothing. The tail window is short; `drop_last` drops it
+    (GPT convention), `pad` right-fills its tokens to seq_len instead
+    (n_tokens keeps the REAL count — the loss mask wants it). All JVM
+    array ops; token pieces cross exactly one shuffle, keyed by
+    seq_id."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    L = F.lit(int(seq_len)).cast("long")
+    offs = global_offsets(
+        enc.filter(F.col(n_col) > 0), n_col=n_col, order_col=id_col,
+        block=block,
+    )
+    first = (F.col("off") / seq_len).cast("long")
+    last = ((F.col("off") + F.col(n_col) - 1) / seq_len).cast("long")
+    sl = offs.select(
+        F.col(id_col).alias("_id"),
+        F.col("off"),
+        F.col(tokens_col).alias("_toks"),
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("off"), F.col("seq_id") * L)
+    hi = F.least(
+        F.col("off") + F.size("_toks").cast("long"),
+        (F.col("seq_id") + 1) * L,
+    )
+    pieces = sl.select(
+        "seq_id",
+        F.struct(
+            (lo - F.col("seq_id") * L).alias("start"),
+            F.col("_id").alias("doc_id"),
+            F.slice(
+                "_toks", (lo - F.col("off") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ).alias("piece"),
+        ).alias("p"),
+    )
+    out = (
+        pieces.groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            "seq_id",
+            F.flatten(
+                F.transform(F.col("ps"), lambda s: s.getField("piece"))
+            ).alias("tokens"),
+            F.transform(
+                F.col("ps"),
+                lambda s: F.struct(
+                    s.getField("doc_id").alias("doc_id"),
+                    s.getField("start").alias("start"),
+                    F.size(s.getField("piece")).alias("len"),
+                ),
+            ).alias("doc_spans"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_docs", F.size("doc_spans"))
+    )
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == seq_len)
+    elif pad is not None:
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(
+                    F.lit(pad), (L - F.col("n_tokens")).cast("int")
+                ),
+            ),
+        )
+    return out

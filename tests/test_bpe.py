@@ -145,3 +145,29 @@ def test_min_count_thresholds_vocab(spark):
     full = bpe.word_table(df).count()
     thresh = bpe.word_table(df, min_count=2).count()
     assert full == 3 and thresh == 2
+
+
+def test_emit_ids_roundtrips_to_symbol_stream(spark):
+    """emit_ids=True must be the same token stream as symbol output,
+    under the vocab_table bijection (ids are dense sym-sort ranks)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "low new low"] * 4
+        )],
+        "doc_id long, text string",
+    )
+    merges, words = bpe.bpe_train(df, num_merges=8)
+    enc_tab = bpe.encode_word_table(words)
+    vocab = {r["tid"]: r["sym"] for r in bpe.vocab_table(enc_tab).collect()}
+    assert sorted(vocab) == list(range(len(vocab)))  # dense ids
+    syms = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(df, words).collect()
+    }
+    ids = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(df, words, emit_ids=True).collect()
+    }
+    assert set(syms) == set(ids)
+    for d in syms:
+        assert [vocab[t] for t in ids[d]] == syms[d]

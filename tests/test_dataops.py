@@ -1195,3 +1195,234 @@ class TestCorpusMixing:
                for r in mixture_report(df, key_col="lang").collect()}
         assert rep["en"] == (100, 0.25)
         assert abs(sum(s for _, s in rep.values()) - 1.0) < 1e-12
+
+
+class TestPackTokenWindows:
+    """GPT-style token-window packing (packing.pack_token_windows):
+    exact global offsets via the two-level block prefix sum, boundary
+    splitting, span metadata, tail handling — checked against a
+    straight python replay of concatenate-then-chop."""
+
+    @staticmethod
+    def _docs(spark, n=37):
+        # deterministic ragged corpus: doc i has (i*7 % 23) + (i % 3)
+        # tokens "t<i>_<j>"; every 11th doc is empty
+        rows = []
+        for i in range(n):
+            k = 0 if i % 11 == 10 else (i * 7) % 23 + i % 3
+            rows.append((i, [f"t{i}_{j}" for j in range(k)], k))
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<string>, n_tokens int"
+        ), rows
+
+    @staticmethod
+    def _py_pack(rows, L):
+        stream, owner = [], []
+        for i, toks, k in sorted(rows):
+            stream += toks
+            owner += [i] * len(toks)
+        seqs = {}
+        for pos, (tok, who) in enumerate(zip(stream, owner)):
+            s = pos // L
+            seqs.setdefault(s, {"toks": [], "spans": []})
+            entry = seqs[s]
+            if entry["spans"] and entry["spans"][-1][0] == who:
+                d, st, ln = entry["spans"][-1]
+                entry["spans"][-1] = (d, st, ln + 1)
+            else:
+                entry["spans"].append((who, pos % L, 1))
+            entry["toks"].append(tok)
+        return seqs
+
+    def test_matches_python_replay(self, spark):
+        from fluent_bit_spark.dataops import packing
+
+        df, rows = self._docs(spark)
+        L = 16
+        got = {
+            r["seq_id"]: r
+            for r in packing.pack_token_windows(df, L, block=8).collect()
+        }
+        exp = self._py_pack(rows, L)
+        assert set(got) == set(exp)
+        for s, e in exp.items():
+            g = got[s]
+            assert g["tokens"] == e["toks"]
+            assert [
+                (d["doc_id"], d["start"], d["len"]) for d in g["doc_spans"]
+            ] == e["spans"]
+            assert g["n_tokens"] == len(e["toks"])
+            assert g["n_docs"] == len(e["spans"])
+
+    def test_partition_invariance(self, spark):
+        from fluent_bit_spark.dataops import packing
+
+        df, _ = self._docs(spark, n=53)
+        a = sorted(
+            (r["seq_id"], tuple(r["tokens"]))
+            for r in packing.pack_token_windows(df, 32, block=4).collect()
+        )
+        b = sorted(
+            (r["seq_id"], tuple(r["tokens"]))
+            for r in packing.pack_token_windows(
+                df.repartition(7), 32, block=1 << 20
+            ).collect()
+        )
+        assert a == b
+
+    def test_drop_last_and_pad(self, spark):
+        from fluent_bit_spark.dataops import packing
+
+        df, rows = self._docs(spark)
+        total = sum(k for _, _, k in rows)
+        L = 16
+        dropped = packing.pack_token_windows(df, L, drop_last=True).collect()
+        assert all(r["n_tokens"] == L for r in dropped)
+        assert len(dropped) == total // L
+        padded = {
+            r["seq_id"]: r
+            for r in packing.pack_token_windows(df, L, pad="<pad>").collect()
+        }
+        tail = max(padded)
+        assert len(padded[tail]["tokens"]) == L
+        assert padded[tail]["n_tokens"] == total - (total // L) * L or (
+            total % L == 0 and padded[tail]["n_tokens"] == L
+        )
+        if total % L:
+            assert padded[tail]["tokens"][-1] == "<pad>"
+
+    def test_global_offsets_exclusive_prefix(self, spark):
+        from fluent_bit_spark.dataops import packing
+
+        df, rows = self._docs(spark, n=29)
+        offs = {
+            r["doc_id"]: r["off"]
+            for r in packing.global_offsets(df, block=4).collect()
+        }
+        run = 0
+        for i, _toks, k in sorted(rows):
+            assert offs[i] == run
+            run += k
+
+
+class TestDSIR:
+    """DSIR importance resampling (mixing.dsir_select, Xie et al.
+    2023): hashed n-gram bucket models, log importance weights, Gumbel
+    top-k — checked against a straight python replay of the md5
+    engine, and for target-likeness on a two-dialect corpus."""
+
+    N_RAW, N_TGT, B, ALPHA, SEED = 40, 12, 64, 1.0, 3
+
+    @staticmethod
+    def _corpora():
+        # two dialects: even raw docs speak 'ham' words, odd 'spam';
+        # the target speaks ham — DSIR must prefer even ids
+        ham = ["alpha beta gamma delta", "beta gamma epsilon zeta",
+               "gamma delta alpha eta"]
+        spam = ["buy now cheap pills", "cheap pills now buy",
+                "now buy buy cheap"]
+        raw = [(i, (ham if i % 2 == 0 else spam)[i % 3])
+               for i in range(TestDSIR.N_RAW)]
+        tgt = [(1000 + i, ham[i % 3]) for i in range(TestDSIR.N_TGT)]
+        return raw, tgt
+
+    @staticmethod
+    def _py_buckets(rows, B):
+        import hashlib
+        from collections import Counter
+
+        out = {}
+        for i, text in rows:
+            toks = [t for t in text.strip().lower().split() if t]
+            grams = toks + [" ".join(toks[j:j + 2])
+                            for j in range(len(toks) - 1)]
+            c = Counter(
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+                for g in grams
+            )
+            out[i] = c
+        return out
+
+    @classmethod
+    def _py_select(cls, raw, tgt, k):
+        import math
+        import hashlib
+        from collections import Counter
+
+        rb, tb = cls._py_buckets(raw, cls.B), cls._py_buckets(tgt, cls.B)
+        rc, tc = Counter(), Counter()
+        for c in rb.values():
+            rc.update(c)
+        for c in tb.values():
+            tc.update(c)
+        rt, tt = sum(rc.values()), sum(tc.values())
+        lp_r = {b: math.log((rc.get(b, 0) + cls.ALPHA)
+                            / (rt + cls.ALPHA * cls.B))
+                for b in range(cls.B)}
+        lp_t = {b: math.log((tc.get(b, 0) + cls.ALPHA)
+                            / (tt + cls.ALPHA * cls.B))
+                for b in range(cls.B)}
+        scored = []
+        for i, _text in raw:
+            logw = sum(n * (lp_t[b] - lp_r[b]) for b, n in rb[i].items())
+            u = int(hashlib.md5(
+                (str(i) + "\x01" + str(cls.SEED)).encode()
+            ).hexdigest()[:8], 16) / float(1 << 32)
+            u = max(u, 1e-12)
+            scored.append((i, logw, logw - math.log(-math.log(u))))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        return scored[:k]
+
+    def test_matches_python_replay(self, spark):
+        from fluent_bit_spark.dataops import mixing
+
+        raw_rows, tgt_rows = self._corpora()
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        got = mixing.dsir_select(
+            raw, tgt, k=15, buckets=self.B, alpha=self.ALPHA,
+            seed=self.SEED, engine="md5",
+        ).collect()
+        exp = self._py_select(raw_rows, tgt_rows, 15)
+        assert [r["doc_id"] for r in got] == [i for i, _, _ in exp]
+        for r, (_, logw, score) in zip(got, exp):
+            assert abs(r["logw"] - logw) < 1e-9
+            assert abs(r["score"] - score) < 1e-9
+
+    def test_prefers_target_dialect(self, spark):
+        from fluent_bit_spark.dataops import mixing
+
+        raw_rows, tgt_rows = self._corpora()
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        top = mixing.dsir_select(
+            raw, tgt, k=10, buckets=self.B, seed=self.SEED, engine="md5"
+        ).collect()
+        ham_share = sum(1 for r in top if r["doc_id"] % 2 == 0) / len(top)
+        assert ham_share >= 0.9
+
+    def test_partition_invariance_xxhash(self, spark):
+        from fluent_bit_spark.dataops import mixing
+
+        raw_rows, tgt_rows = self._corpora()
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        a = [r["doc_id"] for r in mixing.dsir_select(
+            raw, tgt, k=12, buckets=self.B, seed=1).collect()]
+        b = [r["doc_id"] for r in mixing.dsir_select(
+            raw.repartition(7), tgt.repartition(3), k=12,
+            buckets=self.B, seed=1).collect()]
+        assert a == b
+
+    def test_empty_doc_scores_zero_logw(self, spark):
+        from fluent_bit_spark.dataops import mixing
+
+        raw = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "   ")], "doc_id long, text string"
+        )
+        tgt = spark.createDataFrame(
+            [(9, "alpha beta")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in mixing.dsir_select(
+            raw, tgt, k=2, buckets=16, engine="md5").collect()}
+        assert rows[1]["logw"] == 0.0

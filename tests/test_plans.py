@@ -348,3 +348,34 @@ def test_kinesis_promrw_sinks_reuse_persisted_upstream(
     assert counts["rw"] == 2
     (plan,) = plans.values()
     assert "InMemoryTableScan" in plan and "MapInPandas" in plan
+
+
+def test_pack_token_windows_broadcasts_block_bases(spark):
+    """pack_token_windows' block-base join must stay a broadcast (the
+    base table is corpus_rows/block entries — tiny by construction);
+    a SortMergeJoin here would shuffle the full token frame a second
+    time. Tokens may cross exactly ONE keyed exchange (the regroup by
+    seq_id); the remaining exchanges carry (key, count) scalars or the
+    tiny base table."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.dataops import packing
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 9).cast("int")),
+            lambda j: F.concat(F.lit("w"), j.cast("string")),
+        ).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+    plan = plan_of(packing.pack_token_windows(docs, 32, block=16))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # the token-piece regroup: hashpartitioning on seq_id exactly once
+    import re
+
+    keyed = [
+        k for k in re.findall(r"hashpartitioning\(([^,]+)", plan)
+        if k.startswith("seq_id")
+    ]
+    assert len(keyed) == 1, keyed

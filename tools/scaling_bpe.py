@@ -1,0 +1,199 @@
+"""Two-parallelism scaling evidence for the BPE tokenizer
+(dataops.bpe) — round-4's tokenization stage. Same interleaved L/H,
+min-of-N, fresh-JVM-per-level methodology as the other scaling tools
+(BENCH.md notes).
+
+The measured job is the corpus-bounded half: ENCODE (explode (id, pos,
+word) → broadcast-join the encoded word table → per-doc token-ID
+re-aggregation, emit_ids=True — the realistic production output, and
+4-8x less data through the regroup shuffle than symbol strings) over
+a staged synthetic corpus; training runs ONCE in
+the staging step (it is vocab-bounded — its cost does not scale with
+the corpus — so per-level timing would only measure fixed driver
+cost) and its merge list is replayed identically in every child via
+encode_word_table(merges). Results must be byte-identical across
+parallelism levels (bit_xor(xxhash64) over every doc's joined token
+stream + total token count).
+
+Corpus: docs of 60 words drawn from a 400-word zipf-ish vocabulary,
+deterministically by (doc_id, position) hash — no RNG, restart- and
+level-stable.
+
+Shuffle partitions are FIXED (32) at both levels — sized by DATA, the
+way a real cluster sizes them, so the low level isn't additionally
+penalized by 4 giant spilling partitions and the comparison isolates
+core count (the one variable the north rule scales).
+
+Usage: python tools/scaling_bpe.py [--docs 400000] [--runs 2]
+                                   [--low 4] [--high 16] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark.dataops import bpe
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "16").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n_docs = {docs}
+
+# deterministic word soup: 400-word vocab, 60 words/doc, zipf-ish via
+# squaring a uniform hash draw (favors low vocab ids)
+base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+widx = F.sequence(F.lit(0), F.lit(59))
+draw = lambda i: F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(7)), F.lit(160000))
+word = lambda i: F.concat(
+    F.lit("w"),
+    (F.floor(F.sqrt(draw(i).cast("double"))) % 400).cast("int").cast("string"),
+)
+docs = base.withColumn(
+    "text", F.concat_ws(" ", F.transform(widx, lambda i: word(i)))
+).select("doc_id", "text")
+docs.repartition(32).write.mode("overwrite").parquet({staged!r})
+
+staged = spark.read.parquet({staged!r})
+merges, _w = bpe.bpe_train(staged.sample(0.05, seed=7) if n_docs > 100000
+                           else staged, num_merges=32)
+tot = staged.agg(F.sum(F.length("text"))).first()[0]
+print("STAGED " + json.dumps({{"docs": n_docs, "chars": tot,
+                               "merges": [[l, r] for l, r, c in merges]}}))
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark.dataops import bpe
+
+cpus = {cpus}
+merges = [(l, r, 0) for l, r in {merges}]
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def job():
+    docs = spark.read.parquet({staged!r})
+    words = bpe.word_table(docs)
+    enc = bpe.bpe_encode(docs, words, merges=merges, emit_ids=True)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("toks"),
+        F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("sig"),
+    ).first()
+
+row = job(); spark.catalog.clearCache()  # codegen warm-up
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times),
+      "docs": row["n"], "toks": row["toks"], "sig": row["sig"]}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int, merges) -> dict:
+    code = _CHILD.format(
+        repo=_REPO, staged=staged, cpus=cpus, runs=runs, merges=merges
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"bpe_scale_{args.docs}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, docs=args.docs, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    meta = None
+    for line in stage.stdout.splitlines():
+        if line.startswith("STAGED "):
+            meta = json.loads(line[len("STAGED "):])
+    if meta is None:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+    merges = [(l, r) for l, r in meta["merges"]]
+
+    lo_times: list = []
+    hi_times: list = []
+    shape = None
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs, merges)
+        hi = run_level(staged, args.high, args.runs, merges)
+        key = ("docs", "toks", "sig")
+        assert all(lo[k] == hi[k] for k in key), (
+            "results must be identical across parallelism levels",
+            {k: (lo[k], hi[k]) for k in key},
+        )
+        shape = {k: lo[k] for k in key}
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = lo_best / hi_best
+    eff = ratio / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "job": "bpe_encode",
+                "docs": args.docs,
+                "corpus_chars": meta["chars"],
+                "num_merges": len(merges),
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_best_sec": round(lo_best, 2),
+                "high_best_sec": round(hi_best, 2),
+                "low_docs_per_sec": round(args.docs / lo_best, 1),
+                "high_docs_per_sec": round(args.docs / hi_best, 1),
+                "high_tokens_per_sec": round(shape["toks"] / hi_best, 1),
+                "low_times": [round(t, 2) for t in lo_times],
+                "high_times": [round(t, 2) for t in hi_times],
+                "speedup": round(ratio, 3),
+                "scaling_efficiency": round(eff, 3),
+                "total_tokens": shape["toks"],
+                "results_equal_across_levels": True,
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
