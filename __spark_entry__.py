@@ -1350,13 +1350,37 @@ def q_sim_ann_topk(spark, sf_dir):
 
 
 def q_sim_near_dup(spark, sf_dir):
-    """embedding-cosine near-dup pairs via LSH buckets + exact verify;
-    md5-derived checkable planes (oracle replays bucket + cosine)."""
+    """Embedding near-dup, two modes. mode 'pairs': cosine near-dup
+    pairs via LSH buckets + exact verify (md5-derived checkable planes;
+    oracle replays bucket + cosine). mode 'semdedup': SemDeDup (Abbas
+    et al. 2023, similarity.semdedup) — unit-normalize, cluster the
+    WHOLE corpus with a fully distributed Lloyd's k-means (k=8, 4
+    rounds; init = k lowest-id vectors; centroids rounded to 6 decimals
+    per round so summation-order ulps can't flip an assignment), then
+    drop every vector whose cosine to a lower-id cluster-mate is >=
+    1-eps (eps=0.7 — tuned to the synthetic fixture's cosine spread).
+    The oracle replays all 4 k-means rounds as chained CTEs (argmax
+    assignment with the same exact-tie lowest-cell break, per-dimension
+    AVG means, empty-cell carry-forward), the cell cap, and the exact
+    keep/remove decision per vector."""
     emb = _emb_double(spark, sf_dir)
     out = similarity.embedding_near_dup(
         emb, dim=64, threshold=0.3, n_bits=8, planes=similarity.md5_planes(64, 8)
     )
-    return out.select("id_a", "id_b", _r4("cos").alias("c"))
+    p = out.select(
+        F.lit("pairs").alias("mode"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        _r4("cos").alias("v"),
+    )
+    sd = similarity.semdedup(emb, dim=64, k=8, iters=4, eps=0.7)
+    s = sd.select(
+        F.lit("semdedup").alias("mode"),
+        F.col("id").alias("a"),
+        F.col("cell").cast("long").alias("b"),
+        F.col("keep").cast("double").alias("v"),
+    )
+    return p.unionByName(s)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1552,7 +1576,14 @@ def q_lm_quality(spark, sf_dir):
     under a unigram model trained on the corpus in the same job
     (textstats.unigram_logprob_quality) — fully distributed, no
     driver-side vocab; the shuffle-join scale path is exercised (the
-    broadcast_vocab variant is plan-equivalent, pytest-checked)."""
+    broadcast_vocab variant is plan-equivalent, pytest-checked).
+
+    (The fastText-style hashed-feature quality classifier —
+    dataops.classifier — is pytest-covered on a separable constructed
+    corpus instead of a driver row: this synthetic documents table is
+    a shared word soup in which every doc has near-identical
+    bag-of-words features, so no linear text classifier can separate
+    anything in it — a degenerate fixture would check nothing.)"""
     docs = _t_spread(spark, sf_dir, "documents")
     out = textstats.unigram_logprob_quality(docs)
     return out.select(
@@ -1965,9 +1996,16 @@ def _ann_oracle_sql() -> str:
     """
 
 
-def _sim_near_dup_oracle_sql() -> str:
-    """DuckDB replica of q_sim_near_dup: md5-plane sign buckets, 1024
-    bucket cap, self-join, exact cosine >= 0.3."""
+def _sim_near_dup_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of q_sim_near_dup. mode 'pairs': md5-plane sign
+    buckets, 1024 bucket cap, self-join, exact cosine >= 0.3. mode
+    'semdedup': full Lloyd's k-means replay — `iters` chained CTE
+    rounds of (argmax-dot assignment with the lowest-cell exact-tie
+    break == Spark's array_position-first-max, per-dimension AVG means
+    rounded to 6 decimals, empty-cell carry-forward), then the capped
+    within-cell pair scan and keep-lowest-id removal at cosine >=
+    1.0 - 0.7 (the threshold is written as the same subtraction both
+    engines evaluate, so the IEEE constant is identical)."""
     from fluent_bit_spark.dataops.similarity import md5_planes
 
     planes = md5_planes(64, 8)
@@ -1976,6 +2014,39 @@ def _sim_near_dup_oracle_sql() -> str:
         f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b, p in enumerate(planes)
     )
+
+    def assign(src_cent: str, out: str) -> str:
+        return f"""
+        {out} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT n.vec_id, n.v, c.cell,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, c.c)
+                                  - list_dot_product(c.c, c.c) / 2 DESC,
+                                  c.cell ASC) AS rn
+                FROM nv n, {src_cent} c
+            ) WHERE rn = 1
+        )"""
+
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(assign(f"cent_{i - 1}", f"asg_{i}"))
+        rounds.append(f"""
+        cent_{i} AS MATERIALIZED (
+            SELECT g.cell, COALESCE(m.c, p.c) AS c
+            FROM (SELECT UNNEST(range(0, {k})) AS cell) g
+            JOIN cent_{i - 1} p ON p.cell = g.cell
+            LEFT JOIN (
+                SELECT cell, list(round(m, 6) ORDER BY pos) AS c
+                FROM (SELECT cell, t.pos, AVG(v[t.pos]) AS m
+                      FROM asg_{i},
+                           UNNEST(range(1, {dim + 1})) AS t(pos)
+                      GROUP BY cell, t.pos)
+                GROUP BY cell
+            ) m ON m.cell = g.cell
+        )""")
+    rounds.append(assign(f"cent_{iters}", "asg_f"))
+
     return f"""
         WITH cv AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1989,8 +2060,36 @@ def _sim_near_dup_oracle_sql() -> str:
                    list_cosine_similarity(a.v, b.v) AS cos
             FROM capped a JOIN capped b
               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        nv AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN nrm > 0
+                        THEN list_transform(v, x -> x / nrm)
+                        ELSE v END AS v
+            FROM (SELECT vec_id, v,
+                         sqrt(list_dot_product(v, v)) AS nrm FROM cv)
+        ),
+        cent_0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(v, x -> round(x, 6)) AS c
+            FROM nv ORDER BY vec_id LIMIT {k}
+        ),{",".join(rounds)},
+        sd_capped AS (
+            SELECT * FROM asg_f
+            QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= 1024
+        ),
+        removed AS (
+            SELECT DISTINCT b.vec_id AS rid
+            FROM sd_capped a JOIN sd_capped b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 1.0 - 0.7
         )
-        SELECT id_a, id_b, round(cos, 4) AS c FROM pairs WHERE cos >= 0.3
+        SELECT 'pairs' AS mode, id_a AS a, id_b AS b, round(cos, 4) AS v
+        FROM pairs WHERE cos >= 0.3
+        UNION ALL
+        SELECT 'semdedup' AS mode, f.vec_id AS a, f.cell AS b,
+               CASE WHEN r.rid IS NULL THEN 1.0 ELSE 0.0 END AS v
+        FROM asg_f f LEFT JOIN removed r ON f.vec_id = r.rid
     """
 
 

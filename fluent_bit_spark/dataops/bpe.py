@@ -28,10 +28,21 @@ connected_components lineage pattern).
 Scale notes: K merges = K vocab-sized Spark jobs; real vocabularies
 (30-50k merges) train on a frequency-thresholded or sampled word
 table (pass `min_count`) exactly as published BPE vocabs do, then
-encode the full corpus with the fixed table. Encoding never shuffles
-raw text: the word table (with final symbol sequences) broadcasts to
-the exploded (id, pos, word) frame and re-aggregates token arrays
-per document.
+encode the full corpus with the fixed table.
+
+Two encode paths:
+* bpe_encode — the JVM reference (oracle-checkable): broadcast-join
+  the encoded word table to the exploded (id, pos, word) frame and
+  re-aggregate per document. Raw text never shuffles, but the
+  per-document regroup DOES shuffle every token once (measured: that
+  shuffle caps single-box scaling at ~0.53-0.57 efficiency 4→16 on
+  217M tokens even with emit_ids int arrays).
+* bpe_encode_arrow — the 100-TB path: ZERO shuffles. The vocab-bounded
+  word→token-ids dictionary (encode_map) broadcasts to every worker
+  and one mapInPandas pass emits (id, tokens, n_tokens) in place —
+  the same fused single-Python-boundary shape as
+  webtext.extract_parse_arrow (0.9+ scaling). Property-tested equal
+  to the JVM path.
 """
 from __future__ import annotations
 
@@ -242,3 +253,72 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("tokens"))
     )
+
+
+def encode_map(
+    words: DataFrame,
+    merges: Sequence[Tuple[str, str, int]] | None = None,
+    ids: bool = True,
+):
+    """Driver-side word -> token list dictionary from the encoded word
+    table — VOCAB-BOUNDED by construction (the same boundedness
+    argument as the IVF codebook and bpe_train's per-round argmax):
+    ~10^7-10^8 distinct words at 100 TB, tens of MB as int lists.
+    Feed it to bpe_encode_arrow via a broadcast variable."""
+    enc = encode_word_table(words, merges)
+    if ids:
+        enc = _ids_word_table(enc, vocab_table(enc))
+    return {r["word"]: list(r["syms"]) for r in enc.collect()}
+
+
+def bpe_encode_arrow(
+    df: DataFrame,
+    enc_map,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov: str = "skip",
+) -> DataFrame:
+    """ZERO-SHUFFLE corpus encode — the 100-TB path: one
+    mapInPandas pass per input split with the vocab-bounded
+    word->tokens dictionary broadcast to every worker (the same fused
+    single-Python-boundary shape as webtext.extract_parse_arrow, which
+    scales at 0.9+ efficiency). The JVM bpe_encode is the
+    oracle-checkable reference; this path is property-tested equal.
+
+    Unlike the join formulation, nothing crosses the wire at all: each
+    task reads its split, splits words, concatenates the looked-up
+    token lists, and emits (id, tokens, n_tokens) in place. oov:
+    'skip' drops unknown words (a corpus-trained map has none),
+    'error' raises."""
+    spark = df.sparkSession
+    bmap = spark.sparkContext.broadcast(dict(enc_map))
+    ids_out = not enc_map or isinstance(
+        next(iter(enc_map.values()))[0], int
+    )
+    tok_t = "array<int>" if ids_out else "array<string>"
+    schema = f"{id_col} long, tokens {tok_t}, n_tokens int"
+    cols = [id_col, text_col]
+
+    def run(batches):
+        import pandas as pd
+
+        m = bmap.value
+        for pdf in batches:
+            ids_col, toks_col, n_col = [], [], []
+            for did, text in zip(pdf[cols[0]], pdf[cols[1]]):
+                out = []
+                for w in (text or "").split():
+                    t = m.get(w)
+                    if t is None:
+                        if oov == "error":
+                            raise KeyError(w)
+                        continue
+                    out.extend(t)
+                ids_col.append(did)
+                toks_col.append(out)
+                n_col.append(len(out))
+            yield pd.DataFrame(
+                {cols[0]: ids_col, "tokens": toks_col, "n_tokens": n_col}
+            )
+
+    return df.select(*cols).mapInPandas(run, schema)

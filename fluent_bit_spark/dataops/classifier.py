@@ -1,0 +1,162 @@
+"""Distributed quality classifier — the fastText-style hashed-feature
+logistic regression every published LLM data pipeline trains to score
+"looks like the curated corpus" vs "raw crawl" (GPT-3 data card's
+WebText-vs-CommonCrawl classifier, CCNet, RedPajama-v2 quality
+signals). Beyond the reference, SURVEY §2.9 dataops.
+
+Features are L1-NORMALIZED binary presence over hashed unigram+bigram
+buckets (mixing.hashed_ngram_buckets' bucket space): doc d with n_d
+distinct active buckets contributes x_b = 1/n_d to each — the fastText
+mean-of-embeddings convention, which keeps margins O(weight scale)
+regardless of document length (unnormalized presence sums hundreds of
+weights per doc and full-batch GD diverges — measured). Training is
+full-batch gradient descent on log-loss:
+
+    w <- w - lr * (X^T (sigmoid(Xw + b) - y) / N + l2 * w)
+
+Each round is two Spark aggregations, both map-side combined:
+  1. per-doc margin: feature rows join the BROADCAST weight table
+     (`buckets` rows — fixed size) and SUM x*w per doc;
+  2. per-bucket gradient: residuals join back to the feature rows and
+     SUM x*r per bucket — exactly `buckets` rows reach the driver.
+Nothing corpus-sized is ever collected; the weight vector is rounded
+to `round_to` decimals each round so summation-order ulps never leak
+into the model (the kmeans_train determinism recipe), making training
+restart-, parallelism-, and replay-reproducible (pytest checks the
+exact numpy replay of the same recipe).
+
+Scale notes: K rounds = 2K passes over the feature frame — persist it
+once up front (the loop invariant). Real pipelines train on a bounded
+labeled sample (pass a sampled frame) and score the full corpus with
+the fixed weights — scoring is one broadcast join + map-side SUM,
+embarrassingly parallel, zero python.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .mixing import hashed_ngram_buckets
+
+
+def presence_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ngrams=(1, 2),
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """(id, bucket, x): L1-normalized binary-presence hashed n-gram
+    features — x = 1/n_active_buckets(doc). One narrow pass + one
+    keyed aggregation; the window runs per doc id (materialized
+    column), carrying only (id, bucket) scalars."""
+    from pyspark.sql import Window
+
+    pres = hashed_ngram_buckets(
+        df, text_col, id_col, buckets=buckets, ngrams=ngrams, engine=engine
+    ).select("id", "bucket")
+    nd = Window.partitionBy("id")
+    return pres.withColumn(
+        "x", F.lit(1.0) / F.count(F.lit(1)).over(nd)
+    )
+
+
+def _margins(feats: DataFrame, weights: DataFrame, bias: float):
+    """(id, margin): sum of x*w over the doc's buckets + bias. The
+    weight table is buckets-sized — broadcast; SUM map-side combines."""
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg((F.sum(F.col("x") * F.col("w")) + F.lit(bias)).alias("margin"))
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ngrams=(1, 2),
+    engine: str = "xxhash64",
+    rounds: int = 5,
+    lr: float = 10.0,
+    l2: float = 0.0,
+    round_to: int = 6,
+):
+    """Full-batch logistic regression on L1-normalized hashed
+    features. Returns (weights DataFrame (bucket, w), bias float).
+    label_col is 0/1 (1 = high quality / target-like). Deterministic:
+    w starts at 0, fixed round count, weights rounded per round."""
+    spark = df.sparkSession
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+    )
+    n = labels.count()
+    feats = presence_features(
+        df, text_col, id_col, buckets=buckets, ngrams=ngrams, engine=engine
+    ).persist()
+    feats.count()  # materialize the loop invariant once
+    w = {b: 0.0 for b in range(buckets)}
+    bias = 0.0
+    for _ in range(rounds):
+        wdf = spark.createDataFrame(
+            [(b, v) for b, v in w.items()], "bucket long, w double"
+        )
+        margins = _margins(feats, wdf, bias)
+        resid = labels.join(margins, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce("margin", F.lit(bias))))
+                - F.col("y")
+            ).alias("r"),
+        )
+        grad_rows = (
+            feats.join(resid, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        )
+        bias_g = resid.agg(F.sum("r")).first()[0] or 0.0
+        g = {r["bucket"]: r["g"] for r in grad_rows}
+        w = {
+            b: round(v - lr * (g.get(b, 0.0) / n + l2 * v), round_to)
+            for b, v in w.items()
+        }
+        bias = round(bias - lr * (bias_g / n + l2 * bias), round_to)
+    feats.unpersist()
+    wdf = spark.createDataFrame(
+        [(b, v) for b, v in w.items() if v != 0.0], "bucket long, w double"
+    )
+    return wdf, bias
+
+
+def quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    ngrams=(1, 2),
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """Score a corpus with trained weights: (id, margin, prob). One
+    broadcast join + map-side SUM — embarrassingly parallel; docs with
+    no features score the bare bias. Zero-weight buckets may be pruned
+    from `weights` (train_quality_classifier does) — a 0-weight term
+    contributes nothing to the sum either way."""
+    feats = presence_features(
+        df, text_col, id_col, buckets=buckets, ngrams=ngrams, engine=engine
+    )
+    m = _margins(feats, weights, bias)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(m, "id", "left")
+        .withColumn("margin", F.coalesce("margin", F.lit(float(bias))))
+        .withColumn(
+            "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+        )
+    )

@@ -443,3 +443,146 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+# Cluster the embedding space with a FULLY DISTRIBUTED Lloyd's k-means
+# (the corpus never leaves the cluster — unlike ivf_train_anchors'
+# bounded codebook sample), then remove near-duplicates WITHIN each
+# cluster only: the k-means partition bounds the pairwise work the way
+# LSH bands bound dedup.minhash — never all-pairs.
+
+
+def normalize_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-norm the vector column (spherical/cosine geometry). The
+    norm materializes as a real column first — a HOF lambda body
+    re-evaluates captured outer EXPRESSIONS per element, but a column
+    reference is a cheap read (CLAUDE.md gotcha). Zero vectors pass
+    through unscaled."""
+    out = df.withColumn(
+        "_nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
+    return out.withColumn(
+        vec_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.when(
+                F.col("_nrm") > 0, x / F.col("_nrm")
+            ).otherwise(x),
+        ),
+    ).drop("_nrm")
+
+
+def kmeans_train(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+):
+    """Distributed Lloyd's k-means over the FULL corpus. Init = the k
+    lowest-id vectors (deterministic, oracle-replayable). Each round:
+    nearest-centroid assignment as a narrow broadcast-literal pass
+    (argmax of dot(v,c) - |c|^2/2 — the ivf_assign contract), then
+    per-dimension means via posexplode + map-side-combined AVG — only
+    k*dim scalar rows cross the shuffle and exactly k*dim rows reach
+    the driver per round (bounded by construction, like bpe_train's
+    1-row argmax). Centroids round to `round_to` decimals each round,
+    so last-ulp summation-order noise can never flip an assignment
+    across engines, partitionings, or restarts. Empty cells keep their
+    previous centroid."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).persist()
+    init = base.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    centers = [
+        [round(float(x), round_to) for x in r["v"]] for r in init
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(base, dim, k, vec_col="v", anchors=centers)
+        rows = (
+            assigned.select(
+                "ivf_cell", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        means: dict = {}
+        for r in rows:
+            means.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
+        centers = [
+            [round(float(means[c][p]), round_to) for p in range(dim)]
+            if c in means else centers[c]
+            for c in range(k)
+        ]
+    base.unpersist()
+    return centers
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 4,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 1024,
+    persist_membership: bool = True,
+    anchors=None,
+) -> DataFrame:
+    """SemDeDup: unit-normalize, k-means-cluster the whole corpus, and
+    drop every vector whose cosine to a LOWER-ID cluster-mate is
+    >= 1 - eps (keep-lowest-id — the paper keeps one representative per
+    semantic duplicate group; which one is a free choice and lowest-id
+    is the deterministic one). Output: (id, cell, keep). The pairwise
+    stage is cluster-bounded and capped (max_cell_size, lowest ids
+    kept — dedup._cap_buckets), so the self-join is never all-pairs;
+    capped-out members pass through keep=true. Pass `anchors` to reuse
+    trained centroids."""
+    from .dedup import _cap_buckets, self_join_ready
+
+    nv = normalize_vectors(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+    )
+    if anchors is None:
+        anchors = kmeans_train(
+            nv, dim, k=k, iters=iters, vec_col="v", id_col="id"
+        )
+    assigned = ivf_assign(nv, dim, k, vec_col="v", anchors=anchors) \
+        .withColumnRenamed("ivf_cell", "cell")
+    base = _cap_buckets(
+        assigned.select("id", "v", "cell"), ["cell"], max_cell_size
+    )
+    base = self_join_ready(base, persist_membership)
+    a, b = base.alias("a"), base.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("rid"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 1.0 - eps)
+        .select("rid")
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(removed, assigned["id"] == removed["rid"], "left")
+        .withColumn("keep", F.col("rid").isNull())
+        .drop("rid")
+    )

@@ -171,3 +171,33 @@ def test_emit_ids_roundtrips_to_symbol_stream(spark):
     assert set(syms) == set(ids)
     for d in syms:
         assert [vocab[t] for t in ids[d]] == syms[d]
+
+
+def test_arrow_encode_equals_jvm_ids_path(spark):
+    """bpe_encode_arrow (zero-shuffle broadcast-dict scale path) must
+    produce the identical per-doc token-id streams as the JVM
+    explode-join-regroup reference with emit_ids=True."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "low new low",
+             "", "   ", "newest lowest"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    merges, words = bpe.bpe_train(df, num_merges=8)
+    jvm = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(df, words, emit_ids=True).collect()
+    }
+    emap = bpe.encode_map(words)
+    arw = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode_arrow(df, emap).collect()
+    }
+    # JVM path drops no-word docs at the explode; arrow emits them
+    # with empty token lists — same information, check the overlap
+    # exactly and the extras empty
+    for d, toks in jvm.items():
+        assert arw[d] == toks
+    for d in set(arw) - set(jvm):
+        assert arw[d] == []

