@@ -161,7 +161,7 @@ def run_webgen_e2e(spark: SparkSession, n_rows: int) -> dict:
 HEADLINE = [
     "pipeline_e2e",
     "sp_groupby",
-    "sp_window_tumbling",
+    "sp_windows",  # tumbling+hopping merged row (round-4 cap merge)
     "enrich_broadcast",
     "route_counts",
     "text_profile",
