@@ -111,3 +111,105 @@ def clean_corpus(
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
     return kept, stats
+
+
+def export_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probes: Optional[DataFrame] = None,
+    decontam_n: int = 8,
+    decontam_min_overlap: int = 2,
+    rates=None,
+    rate_key_col: str = "lang",
+    num_merges: int = 16,
+    min_count: int = 1,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    seed: int = 0,
+    hash_engine: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The EXPORT half of the pipeline — cleaned documents in, packed
+    training batches out, each stage this package's scale-audited
+    operator:
+
+        1. decontaminate — drop docs sharing >= min_overlap word
+           n-grams with the probe/benchmark corpus (broadcast gram
+           set; skipped when probes is None)
+        2. mix          — per-key fractional-epoch rates
+           (mixing.mix_corpus; skipped when rates is None); copies
+           carry an epoch index
+        3. tokenize     — BPE: train on the mixed corpus
+           (vocab-bounded rounds), then the ZERO-SHUFFLE
+           bpe_encode_arrow pass emits token-id arrays
+        4. pack         — GPT-style fixed seq_len windows
+           (packing.pack_token_windows, drop_last) over a
+           deterministic hash-shuffled document order, so upsampled
+           epochs of the same doc land far apart and reruns produce
+           byte-identical windows
+        5. shard        — uniform deterministic shard ids per window
+           (packing.assign_shards); write with partitionBy('shard')
+
+    Returns (packed, manifest, key_map): packed = (seq_id, tokens,
+    doc_spans, n_tokens, n_docs, shard) — doc_spans reference the
+    shuffled order key; key_map = (doc_id, epoch, __ord) recovers the
+    original document behind every span (join on __ord); manifest =
+    per-shard window/token counts. The pack order key is pmod(xxhash64(doc_id, epoch, seed),
+    2^43)*2^20 + pmod(doc_id, 2^16)*16 + epoch — hash-shuffled,
+    restart-stable, and unique up to a ~2^-43 birthday corner
+    (colliding docs would also need equal doc_id mod 2^16 and epoch).
+    """
+    from . import bpe, decontam, mixing, packing
+
+    out = df
+    if probes is not None:
+        grams = decontam.probe_ngrams(
+            probes, text_col=text_col, n=decontam_n, hash_engine=hash_engine
+        )
+        flagged = decontam.flag_contaminated(
+            out, grams, n=decontam_n, min_overlap=decontam_min_overlap,
+            text_col=text_col, id_col=id_col, hash_engine=hash_engine,
+        )
+        out = out.join(
+            flagged.filter(F.col("contaminated"))
+            .select(F.col(id_col)), id_col, "left_anti",
+        )
+    if rates is not None:
+        out = mixing.mix_corpus(
+            out, rates, key_col=rate_key_col, id_col=id_col, seed=seed,
+            engine=hash_engine if hash_engine == "md5" else "xxhash64",
+        )
+    else:
+        out = out.withColumn("epoch", F.lit(0))
+
+    merges, words = bpe.bpe_train(
+        out, text_col=text_col, num_merges=num_merges, min_count=min_count
+    )
+    emap = bpe.encode_map(words)
+    key = (
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.col("epoch"), F.lit(seed)),
+            F.lit(1 << 43),
+        ) * F.lit(1 << 20)
+        + F.pmod(F.col(id_col), F.lit(1 << 16)) * F.lit(16)
+        + F.col("epoch")
+    ).alias("__ord")
+    keyed = out.select(
+        key, F.col(id_col), F.col("epoch"), F.col(text_col)
+    )
+    key_map = keyed.select(id_col, "epoch", "__ord")
+    enc = bpe.bpe_encode_arrow(
+        keyed.select("__ord", text_col), emap,
+        text_col=text_col, id_col="__ord",
+    )
+    packed = packing.pack_token_windows(
+        enc, seq_len, id_col="__ord", drop_last=True
+    )
+    packed = packing.assign_shards(
+        packed, n_shards, id_col="seq_id", seed=seed
+    )
+    manifest = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return packed, manifest, key_map

@@ -1633,3 +1633,90 @@ class TestQualityClassifier:
         assert sorted(map(tuple, w1.collect())) == sorted(
             map(tuple, w2.collect())
         )
+
+
+class TestExportCorpus:
+    """End-to-end export composition (corpus.export_corpus):
+    decontaminate -> mix -> BPE tokenize (arrow) -> hash-ordered
+    window packing -> shards, with conservation/exclusion/epoch
+    invariants and rerun determinism."""
+
+    @staticmethod
+    def _docs(spark):
+        import random
+        # deterministic word-soup docs over two languages
+        vocab_en = ["the", "quick", "brown", "fox", "jumps", "over"]
+        vocab_fr = ["le", "renard", "brun", "saute", "pardessus", "chien"]
+        rows = []
+        for i in range(120):
+            vocab = vocab_en if i % 2 == 0 else vocab_fr
+            words = [vocab[(i * 7 + j) % len(vocab)]
+                     for j in range((i % 9) + 6)]
+            rows.append((i, " ".join(words), "en" if i % 2 == 0 else "fr"))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_invariants(self, spark):
+        from fluent_bit_spark.dataops import bpe, corpus
+
+        docs = self._docs(spark)
+        probes = docs.filter(F.col("doc_id") % 40 == 0)  # benchmark slice
+        packed, manifest, key_map = corpus.export_corpus(
+            docs, probes=probes, decontam_n=3, decontam_min_overlap=1,
+            rates={"en": 1.0, "fr": 2.0}, rate_key_col="lang",
+            num_merges=4, seq_len=32, n_shards=4, seed=1,
+        )
+        packed = packed.persist()
+        rows = packed.collect()
+        km = {r["__ord"]: (r["doc_id"], r["epoch"])
+              for r in key_map.collect()}
+
+        # every window exactly seq_len (drop_last) and spans consistent
+        for r in rows:
+            assert r["n_tokens"] == 32 and len(r["tokens"]) == 32
+            assert sum(s["len"] for s in r["doc_spans"]) == 32
+            for s in r["doc_spans"]:
+                assert s["doc_id"] in km  # span key resolves
+
+        # decontamination: no doc sharing a 3-gram with the probe slice
+        # survives into any span (probe docs share their own grams ->
+        # they drop themselves too)
+        contaminated_ids = {
+            d for d, _e in km.values() if d % 40 == 0
+        }
+        assert not contaminated_ids
+
+        # epoch law: fr docs appear exactly twice in the key map,
+        # en docs at most once (rate 1.0 = exactly once)
+        from collections import Counter
+        by_doc = Counter(d for d, _e in km.values())
+        for d, c in by_doc.items():
+            assert c == (2 if d % 2 == 1 else 1), (d, c)
+
+        # token conservation: packed tokens + dropped tail == encoded
+        merges, words = bpe.bpe_train(docs, num_merges=4)
+        # (re-deriving the total from the packed side only: all spans'
+        # lens sum to n_windows * 32; the tail loss is < 32)
+        manifest_rows = manifest.collect()
+        total_packed = sum(r["n_tokens"] for r in manifest_rows)
+        assert total_packed == len(rows) * 32
+        assert sum(r["n_windows"] for r in manifest_rows) == len(rows)
+        # shards balanced-ish (hash uniformity over >= 4 windows/shard)
+        if len(rows) >= 16:
+            counts = [r["n_windows"] for r in manifest_rows]
+            assert max(counts) <= 3 * max(min(counts), 1)
+
+        # rerun determinism (fresh lineage, different partitioning)
+        packed2, _m2, _k2 = corpus.export_corpus(
+            docs.repartition(7), probes=probes, decontam_n=3,
+            decontam_min_overlap=1, rates={"en": 1.0, "fr": 2.0},
+            rate_key_col="lang", num_merges=4, seq_len=32, n_shards=4,
+            seed=1,
+        )
+        a = sorted((r["seq_id"], tuple(r["tokens"])) for r in rows)
+        b = sorted(
+            (r["seq_id"], tuple(r["tokens"])) for r in packed2.collect()
+        )
+        assert a == b
+        packed.unpersist()
