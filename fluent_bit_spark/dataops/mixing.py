@@ -238,9 +238,10 @@ def dsir_select(
     u = F.greatest(
         hash_draw(F.col(id_col), seed=seed, engine=engine), F.lit(1e-12)
     )
+    w = w.withColumnRenamed("id", "__dsir_id")
     scored = (
-        raw.join(w, raw[id_col] == w["id"], "left")
-        .drop("id")
+        raw.join(w, raw[id_col] == w["__dsir_id"], "left")
+        .drop("__dsir_id")
         .withColumn("logw", F.coalesce(F.col("logw"), F.lit(0.0)))
         .withColumn("score", F.col("logw") - F.log(-F.log(u)))
     )

@@ -215,7 +215,7 @@ def global_offsets(
     docstring for the two-level construction."""
     from pyspark.sql import Window
 
-    blk = df.withColumn("_blk", (F.col(order_col) / block).cast("long"))
+    blk = df.withColumn("_blk", F.floor(F.col(order_col) / block).cast("long"))
     win = (
         Window.partitionBy("_blk")
         .orderBy(order_col)
