@@ -1355,7 +1355,7 @@ def q_sim_near_dup(spark, sf_dir):
     oracle replays bucket + cosine). mode 'semdedup': SemDeDup (Abbas
     et al. 2023, similarity.semdedup) — unit-normalize, cluster the
     WHOLE corpus with a fully distributed Lloyd's k-means (k=8, 4
-    rounds; init = k lowest-id vectors; centroids rounded to 6 decimals
+    rounds; init = k lowest-id distinct vectors; centroids rounded to 6 decimals
     per round so summation-order ulps can't flip an assignment), then
     drop every vector whose cosine to a lower-id cluster-mate is >=
     1-eps (eps=0.7 — tuned to the synthetic fixture's cosine spread).
@@ -2072,7 +2072,8 @@ def _sim_near_dup_oracle_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
         cent_0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    list_transform(v, x -> round(x, 6)) AS c
-            FROM nv ORDER BY vec_id LIMIT {k}
+            FROM (SELECT v, MIN(vec_id) AS vec_id FROM nv GROUP BY v)
+            ORDER BY vec_id LIMIT {k}
         ),{",".join(rounds)},
         sd_capped AS (
             SELECT * FROM asg_f

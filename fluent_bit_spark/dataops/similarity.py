@@ -487,7 +487,11 @@ def kmeans_train(
     round_to: int = 6,
 ):
     """Distributed Lloyd's k-means over the FULL corpus. Init = the k
-    lowest-id vectors (deterministic, oracle-replayable). Each round:
+    lowest-id DISTINCT vectors (min id per distinct vector, then the k
+    lowest — deterministic, oracle-replayable; duplicate init
+    centroids would never separate and collapse the effective cell
+    count, the classic k-means degeneracy — a web corpus guarantees
+    exact-duplicate embeddings). Each round:
     nearest-centroid assignment as a narrow broadcast-literal pass
     (argmax of dot(v,c) - |c|^2/2 — the ivf_assign contract), then
     per-dimension means via posexplode + map-side-combined AVG — only
@@ -500,7 +504,10 @@ def kmeans_train(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).persist()
-    init = base.orderBy("id").limit(k).collect()
+    init = (
+        base.groupBy("v").agg(F.min("id").alias("id"))
+        .orderBy("id").limit(k).collect()
+    )
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, got {len(init)}")
     centers = [

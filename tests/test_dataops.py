@@ -1516,14 +1516,19 @@ class TestSemDeDup:
             eps=self.EPS).collect()))
         assert a == b
 
-    def test_kmeans_empty_cell_carries_forward(self, spark):
-        # two identical far points + k=3: at most 2 cells ever own
-        # members; the third keeps its init centroid and trains fine
+    def test_kmeans_distinct_init_contract(self, spark):
+        # duplicate-heavy corpus: init takes the k lowest-id DISTINCT
+        # vectors (duplicate init centroids would never separate).
+        # Fewer distinct vectors than k is an error; k=2 trains fine.
+        import pytest
+
         rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0]),
                 (3, [0.0, 1.0])]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-        cents = similarity.kmeans_train(df, dim=2, k=3, iters=2)
-        assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+        with pytest.raises(ValueError):
+            similarity.kmeans_train(df, dim=2, k=3, iters=2)
+        cents = similarity.kmeans_train(df, dim=2, k=2, iters=2)
+        assert len(cents) == 2 and all(len(c) == 2 for c in cents)
 
 
 class TestQualityClassifier:

@@ -1,0 +1,218 @@
+"""Off-fixture scale check for the round-4 session-2 operators (the
+round-3 verdict's task-#6 evidence style): run each new operator on a
+synthetic corpus ~100x the sf0.01 fixture (500 docs -> 50k default)
+with the SCALE engines (xxhash64), and verify results against exact
+in-process oracles / planted structure:
+
+* pack_token_windows — the full (id, off, n) offset frame is collected
+  (scalar rows) and the exclusive-prefix law checked exactly on every
+  doc; window sizes, span sums, and token conservation checked on the
+  packed output; rerun at a different partitioning must be identical.
+* bpe_encode_arrow — aggregate signature (bit_xor of xxhash64 per-doc
+  token streams) must equal the JVM join+regroup reference path.
+* dsir_select — planted two-dialect corpus with a ham-speaking target:
+  the top-k must be >= 95% ham docs and identical across reruns at a
+  different partitioning.
+* semdedup — planted cluster structure (one dominant anchor dim per
+  family plus exact near-copies; anchor magnitude sized so non-copy
+  cosine tops out ~0.86, far from the 0.999 removal threshold; k=64
+  over-clusters, the SemDeDup norm): every planted copy group loses
+  all but its lowest id AND nothing else is removed; assignment/keep
+  identical across partitionings.
+* quality classifier — planted two-dialect labels: 100% separation at
+  50k docs; weights identical across partitionings.
+
+Usage: python tools/offfixture_session2.py [--docs 50000] [--cpus 16]
+Prints one JSON line (rows, timings, checks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from fluent_bit_spark.dataops import bpe, mixing, packing, similarity
+    from fluent_bit_spark.dataops import classifier as clf
+
+    n = args.docs
+    out: dict = {"docs": n, "checks": {}}
+
+    # ---- two-dialect text corpus (ham = even ids, spam = odd) ----
+    ham = ["alpha beta gamma delta epsilon", "beta gamma zeta eta theta",
+           "gamma delta alpha iota kappa"]
+    spam = ["buy now cheap pills fast", "cheap pills now buy win",
+            "now buy buy cheap free"]
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    pick = (F.col("doc_id") % 3).cast("int")
+    texts = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.element_at(F.array(*[F.lit(t) for t in ham]), pick + 1),
+    ).otherwise(F.element_at(F.array(*[F.lit(t) for t in spam]), pick + 1))
+    # per-doc suffix words so texts aren't literally identical
+    suffix = F.concat(
+        F.lit(" w"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(" w"), (F.col("doc_id") % 89).cast("string"),
+    )
+    docs = base.withColumn("text", F.concat(texts, suffix)).persist()
+    docs.count()
+
+    # ---- 1. BPE arrow vs JVM signature equality + packing ----
+    t0 = time.time()
+    merges, words = bpe.bpe_train(
+        docs.sample(0.02, seed=3) if n > 20_000 else docs, num_merges=12
+    )
+    emap = bpe.encode_map(bpe.word_table(docs), merges=merges)
+    enc_arrow = bpe.bpe_encode_arrow(docs, emap).persist()
+    sig_a = enc_arrow.agg(
+        F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("s"),
+        F.sum("n_tokens").alias("t"),
+    ).first()
+    enc_jvm = bpe.bpe_encode(
+        docs, bpe.word_table(docs), merges=merges, emit_ids=True
+    )
+    sig_j = enc_jvm.agg(
+        F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("s"),
+        F.sum("n_tokens").alias("t"),
+    ).first()
+    out["checks"]["bpe_arrow_equals_jvm"] = (
+        sig_a["s"] == sig_j["s"] and sig_a["t"] == sig_j["t"]
+    )
+    out["bpe_total_tokens"] = int(sig_a["t"])
+    out["t_bpe_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    L = 128
+    offs = packing.global_offsets(
+        enc_arrow.filter(F.col("n_tokens") > 0), block=1 << 12
+    )
+    rows = offs.select("doc_id", "off", "n_tokens").collect()
+    run = 0
+    ok_prefix = True
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        if r["off"] != run:
+            ok_prefix = False
+            break
+        run += r["n_tokens"]
+    out["checks"]["pack_prefix_law_all_docs"] = ok_prefix
+    packed = packing.pack_token_windows(
+        enc_arrow, L, block=1 << 12, drop_last=False
+    ).persist()
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum("n_tokens").alias("t"),
+        F.sum(
+            (F.col("n_tokens") != L).cast("int")
+        ).alias("short"),
+        F.expr("bit_xor(xxhash64(seq_id, tokens))").alias("sig"),
+    ).first()
+    out["checks"]["pack_token_conservation"] = agg["t"] == sig_a["t"]
+    out["checks"]["pack_single_short_tail"] = agg["short"] <= 1
+    packed2 = packing.pack_token_windows(
+        enc_arrow.repartition(7), L, block=1 << 20, drop_last=False
+    ).agg(F.expr("bit_xor(xxhash64(seq_id, tokens))").alias("sig")).first()
+    out["checks"]["pack_partition_invariant"] = agg["sig"] == packed2["sig"]
+    out["pack_windows"] = int(agg["w"])
+    out["t_pack_sec"] = round(time.time() - t0, 2)
+
+    # ---- 2. DSIR (xxhash64 scale engine) ----
+    t0 = time.time()
+    k = max(n // 20, 100)
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 11 == 0))
+    sel = mixing.dsir_select(docs, target, k=k, buckets=8192, seed=5)
+    ids = [r["doc_id"] for r in sel.select("doc_id").collect()]
+    ham_share = sum(1 for i in ids if i % 2 == 0) / len(ids)
+    out["dsir_ham_share"] = round(ham_share, 4)
+    out["checks"]["dsir_prefers_target_dialect"] = ham_share >= 0.95
+    sel2 = mixing.dsir_select(
+        docs.repartition(13), target, k=k, buckets=8192, seed=5
+    )
+    ids2 = [r["doc_id"] for r in sel2.select("doc_id").collect()]
+    out["checks"]["dsir_partition_invariant"] = ids == ids2
+    out["t_dsir_sec"] = round(time.time() - t0, 2)
+
+    # ---- 3. SemDeDup on planted vector clusters ----
+    t0 = time.time()
+    dim, kcells = 16, 64
+    vid = F.col("id").alias("vec_id")
+    # ids with id % 10 < 3 are EXACT copies of their family base —
+    # the anchor AND the jitter must both derive from the family base
+    fam = (F.col("id") / 10).cast("long")
+    jit_src = F.when(F.col("id") % 10 < 3, fam * 10).otherwise(F.col("id"))
+    anchor = F.pmod(jit_src, F.lit(dim)).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(j == anchor, F.lit(2.0)).otherwise(
+            (F.pmod(F.xxhash64(jit_src, j), F.lit(1000)) / 1000.0)
+        ),
+    )
+    emb = spark.range(min(n, 20_000)).select(vid, vec.alias("embedding"))
+    sd = similarity.semdedup(
+        emb, dim=dim, k=kcells, iters=3, eps=0.001, max_cell_size=4096
+    ).persist()
+    # every exact-copy family (ids f*10..f*10+2) keeps only f*10
+    fams = sd.filter(F.col("id") % 10 < 3).select(
+        (F.col("id") / 10).cast("long").alias("f"),
+        F.col("id"), F.col("keep"),
+    ).collect()
+    ok_fam = all(
+        r["keep"] == (r["id"] % 10 == 0) for r in fams
+    )
+    out["checks"]["semdedup_drops_planted_copies"] = ok_fam
+    sd2 = similarity.semdedup(
+        emb.repartition(9), dim=dim, k=kcells, iters=3, eps=0.001,
+        max_cell_size=4096,
+    )
+    out["checks"]["semdedup_partition_invariant"] = sorted(
+        map(tuple, sd.collect())
+    ) == sorted(map(tuple, sd2.collect()))
+    out["t_semdedup_sec"] = round(time.time() - t0, 2)
+
+    # ---- 4. quality classifier ----
+    t0 = time.time()
+    lab = docs.withColumn("good", (F.col("doc_id") % 2 == 0))
+    wdf, bias = clf.train_quality_classifier(
+        lab, "good", buckets=4096, rounds=5, lr=10.0
+    )
+    sc = clf.quality_score(docs, wdf, bias, buckets=4096)
+    acc = (
+        sc.join(lab.select(F.col("doc_id").alias("id"), "good"), "id")
+        .agg(
+            F.avg(
+                ((F.col("prob") > 0.5) == F.col("good")).cast("double")
+            )
+        ).first()[0]
+    )
+    out["clf_accuracy"] = round(acc, 4)
+    out["checks"]["clf_separates_at_scale"] = acc >= 0.999
+    out["t_clf_sec"] = round(time.time() - t0, 2)
+
+    out["all_green"] = all(out["checks"].values())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
