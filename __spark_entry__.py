@@ -1252,7 +1252,10 @@ def q_bpe_tokenize(spark, sf_dir):
         [("merge", k, f"{l} {r}", c) for k, (l, r, c) in enumerate(merges)],
         "mode string, id long, val string, n long",
     )
-    enc = bpe.bpe_encode(docs, words).persist()
+    # no persist: it would leak an InMemoryRelation into the shared
+    # oracle-gate/bench session (CLAUDE.md CacheManager gotcha); the
+    # doc and pack branches recompute the bounded-fixture encode
+    enc = bpe.bpe_encode(docs, words)
     d = enc.select(
         F.lit("doc").alias("mode"),
         F.col("doc_id").cast("long").alias("id"),

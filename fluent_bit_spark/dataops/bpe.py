@@ -300,14 +300,23 @@ def bpe_encode_arrow(
     cols = [id_col, text_col]
 
     def run(batches):
+        import re
+
         import pandas as pd
 
+        # Java regex \s is ASCII-only: the JVM reference path splits
+        # on [ \t\n\x0b\f\r]+ while python str.split() splits on
+        # Unicode whitespace (NBSP, U+2028, ...) — a web corpus WILL
+        # contain those, and the two paths must tokenize identically.
+        ws = re.compile("[ \t\n\x0b\f\r]+")
         m = bmap.value
         for pdf in batches:
             ids_col, toks_col, n_col = [], [], []
             for did, text in zip(pdf[cols[0]], pdf[cols[1]]):
                 out = []
-                for w in (text or "").split():
+                for w in ws.split(text or ""):
+                    if not w:
+                        continue
                     t = m.get(w)
                     if t is None:
                         if oov == "error":

@@ -113,6 +113,7 @@ def train_quality_classifier(
                 - F.col("y")
             ).alias("r"),
         )
+        resid = resid.persist()  # two actions read it: grad + bias
         grad_rows = (
             feats.join(resid, "id")
             .groupBy("bucket")
@@ -120,6 +121,7 @@ def train_quality_classifier(
             .collect()
         )
         bias_g = resid.agg(F.sum("r")).first()[0] or 0.0
+        resid.unpersist()
         g = {r["bucket"]: r["g"] for r in grad_rows}
         w = {
             b: round(v - lr * (g.get(b, 0.0) / n + l2 * v), round_to)

@@ -128,7 +128,7 @@ def export_corpus(
     n_shards: int = 8,
     seed: int = 0,
     hash_engine: str = "xxhash64",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The EXPORT half of the pipeline — cleaned documents in, packed
     training batches out, each stage this package's scale-audited
     operator:
@@ -186,24 +186,22 @@ def export_corpus(
         out, text_col=text_col, num_merges=num_merges, min_count=min_count
     )
     emap = bpe.encode_map(words)
-    key = (
-        F.pmod(
-            F.xxhash64(F.col(id_col), F.col("epoch"), F.lit(seed)),
-            F.lit(1 << 43),
-        ) * F.lit(1 << 20)
-        + F.pmod(F.col(id_col), F.lit(1 << 16)) * F.lit(16)
-        + F.col("epoch")
-    ).alias("__ord")
+    uid = (F.col(id_col) * F.lit(16) + F.col("epoch")).alias("__uid")
     keyed = out.select(
-        key, F.col(id_col), F.col("epoch"), F.col(text_col)
+        uid, F.col(id_col), F.col("epoch"), F.col(text_col)
     )
-    key_map = keyed.select(id_col, "epoch", "__ord")
+    key_map = keyed.select(id_col, "epoch", "__uid")
     enc = bpe.bpe_encode_arrow(
-        keyed.select("__ord", text_col), emap,
-        text_col=text_col, id_col="__ord",
+        keyed.select("__uid", text_col), emap,
+        text_col=text_col, id_col="__uid",
+    ).withColumn(
+        "__ord",
+        F.xxhash64(F.floor(F.col("__uid") / 16), F.pmod("__uid", F.lit(16)),
+                   F.lit(seed)),
     )
     packed = packing.pack_token_windows(
-        enc, seq_len, id_col="__ord", drop_last=True
+        enc, seq_len, id_col="__uid", order_col="__ord",
+        block=1 << 45, drop_last=True,
     )
     packed = packing.assign_shards(
         packed, n_shards, id_col="seq_id", seed=seed

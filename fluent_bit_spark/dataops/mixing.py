@@ -223,9 +223,12 @@ def dsir_select(
     attached. Deterministic: noise = -ln(-ln(hash_draw(id, seed)))
     (the draw is clamped away from 0 — identically in the oracle).
     Docs with no grams score logw = 0 (still eligible)."""
+    # rf feeds BOTH the raw bucket model and per-doc scoring — persist
+    # the corpus-sized feature frame so its explode+hash+groupBy runs
+    # once, not twice (the classifier's loop-invariant recipe)
     rf = hashed_ngram_buckets(
         raw, text_col, id_col, buckets=buckets, ngrams=ngrams, engine=engine
-    )
+    ).persist()
     tf = hashed_ngram_buckets(
         target, text_col, id_col, buckets=buckets, ngrams=ngrams,
         engine=engine,

@@ -206,19 +206,26 @@ def global_offsets(
     n_col: str = "n_tokens",
     order_col: str = "doc_id",
     block: int = 1 << 20,
+    tie_col: Optional[str] = None,
 ) -> DataFrame:
-    """Add `off`: the exclusive prefix sum of `n_col` in `order_col`
-    order — the document's global token offset in the concatenated
-    corpus stream. `order_col` must be numeric and unique (doc_id).
+    """Add `off`: the exclusive prefix sum of `n_col` in
+    (`order_col`, `tie_col`) order — the document's global token
+    offset in the concatenated corpus stream. `order_col` must be
+    numeric; it must be unique unless `tie_col` (numeric, unique
+    within equal order values) breaks ties — the composite order must
+    be total, or equal-key rows would each miss the other's count.
     `block` bounds the single-partition block window at
-    corpus_rows/block entries — keep it >= rows/10^7. See the module
-    docstring for the two-level construction."""
+    key_range/block entries — size it to the order key's RANGE (e.g.
+    2^63-wide hash keys want block ~ 2^45 for ~10^6 base-table rows),
+    not just the row count. See the module docstring for the
+    two-level construction."""
     from pyspark.sql import Window
 
+    order = [order_col] + ([tie_col] if tie_col else [])
     blk = df.withColumn("_blk", F.floor(F.col(order_col) / block).cast("long"))
     win = (
         Window.partitionBy("_blk")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = blk.withColumn(
@@ -249,6 +256,7 @@ def pack_token_windows(
     drop_last: bool = False,
     pad: Optional[str] = None,
     block: int = 1 << 20,
+    order_col: Optional[str] = None,
 ) -> DataFrame:
     """GPT-style packing: chop the globally concatenated token stream
     into exact `seq_len` context windows. Output: (seq_id, tokens,
@@ -259,12 +267,22 @@ def pack_token_windows(
     (GPT convention), `pad` right-fills its tokens to seq_len instead
     (n_tokens keeps the REAL count — the loss mask wants it). All JVM
     array ops; token pieces cross exactly one shuffle, keyed by
-    seq_id."""
+    seq_id.
+
+    Stream order is `id_col` (numeric, unique) by default. Pass
+    `order_col` (e.g. a deterministic shuffle hash) to pack in that
+    order instead, with `id_col` breaking ties — collisions in the
+    hash then cost nothing, because the composite (order, id) stays
+    total. With a hash-valued order_col, size `block` to the HASH
+    RANGE (2^63-wide keys: block ~ 2^45 keeps the base table ~10^6
+    rows), not the row count."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     L = F.lit(int(seq_len)).cast("long")
     offs = global_offsets(
-        enc.filter(F.col(n_col) > 0), n_col=n_col, order_col=id_col,
+        enc.filter(F.col(n_col) > 0), n_col=n_col,
+        order_col=order_col or id_col,
+        tie_col=id_col if order_col else None,
         block=block,
     )
     first = (F.col("off") / seq_len).cast("long")
@@ -314,12 +332,14 @@ def pack_token_windows(
     if drop_last:
         out = out.filter(F.col("n_tokens") == seq_len)
     elif pad is not None:
+        elem_t = out.schema["tokens"].dataType.elementType
         out = out.withColumn(
             "tokens",
             F.concat(
                 "tokens",
                 F.array_repeat(
-                    F.lit(pad), (L - F.col("n_tokens")).cast("int")
+                    F.lit(pad).cast(elem_t),
+                    (L - F.col("n_tokens")).cast("int"),
                 ),
             ),
         )

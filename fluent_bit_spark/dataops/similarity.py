@@ -477,6 +477,19 @@ def normalize_vectors(
     ).drop("_nrm")
 
 
+def _round_half_away(x: float, nd: int) -> float:
+    """Round half away from zero — DuckDB's round() semantics. Python
+    round() is half-EVEN: an exactly-representable half-boundary mean
+    (e.g. 1/128 at 6 decimals) would round differently in the two
+    engines and flip a downstream assignment; centroids must round the
+    same way everywhere."""
+    import math
+
+    scale = 10.0 ** nd
+    v = x * scale
+    return (math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)) / scale
+
+
 def kmeans_train(
     df: DataFrame,
     dim: int,
@@ -511,7 +524,8 @@ def kmeans_train(
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, got {len(init)}")
     centers = [
-        [round(float(x), round_to) for x in r["v"]] for r in init
+        [_round_half_away(float(x), round_to) for x in r["v"]]
+        for r in init
     ]
     for _ in range(iters):
         assigned = ivf_assign(base, dim, k, vec_col="v", anchors=centers)
@@ -527,7 +541,8 @@ def kmeans_train(
         for r in rows:
             means.setdefault(r["ivf_cell"], {})[r["pos"]] = r["m"]
         centers = [
-            [round(float(means[c][p]), round_to) for p in range(dim)]
+            [_round_half_away(float(means[c][p]), round_to)
+             for p in range(dim)]
             if c in means else centers[c]
             for c in range(k)
         ]

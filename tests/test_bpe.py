@@ -201,3 +201,26 @@ def test_arrow_encode_equals_jvm_ids_path(spark):
         assert arw[d] == toks
     for d in set(arw) - set(jvm):
         assert arw[d] == []
+
+
+def test_arrow_encode_java_whitespace_semantics(spark):
+    """Java regex \\s is ASCII-only: NBSP/U+2028/U+3000 are NOT word
+    separators in the JVM reference path, so the arrow worker must not
+    split on them either (python str.split() would — a web corpus WILL
+    contain them)."""
+    df = spark.createDataFrame(
+        [(0, "foo bar baz"), (1, "a b\tc"), (2, "x　y")],
+        "doc_id long, text string",
+    )
+    merges, words = bpe.bpe_train(df, num_merges=2)
+    jvm = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(df, words, emit_ids=True).collect()
+    }
+    arw = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode_arrow(df, bpe.encode_map(words)).collect()
+    }
+    assert jvm == arw
+    # the NBSP-joined word is ONE token stream unit, not two words
+    assert len(jvm[0]) > 0

@@ -1460,8 +1460,13 @@ class TestSemDeDup:
         ids = [i for i, _ in rows]
         n = np.sqrt((x * x).sum(axis=1))
         nv = np.where(n[:, None] > 0, x / n[:, None], x)
+
+        def r6(a):  # half away from zero, DuckDB/kmeans_train semantics
+            v = a * 1e6
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / 1e6
+
         order = np.argsort(ids)
-        centers = np.round(nv[order[: cls.K]], 6)
+        centers = r6(nv[order[: cls.K]])
 
         def assign(c):
             scores = nv @ c.T - (c * c).sum(axis=1) / 2
@@ -1473,7 +1478,7 @@ class TestSemDeDup:
             for cell in range(cls.K):
                 m = nv[a == cell]
                 if len(m):
-                    nc[cell] = np.round(m.mean(axis=0), 6)
+                    nc[cell] = r6(m.mean(axis=0))
             centers = nc
         a = assign(centers)
         removed = set()
@@ -1674,7 +1679,7 @@ class TestExportCorpus:
         )
         packed = packed.persist()
         rows = packed.collect()
-        km = {r["__ord"]: (r["doc_id"], r["epoch"])
+        km = {r["__uid"]: (r["doc_id"], r["epoch"])
               for r in key_map.collect()}
 
         # every window exactly seq_len (drop_last) and spans consistent
