@@ -2221,7 +2221,7 @@ slc AS (
   FROM doc_off,
        UNNEST(range(off // {L}, (off + n - 1) // {L} + 1)) AS t(s)
 )
-SELECT 'merge' AS mode, CAST(k AS BIGINT) AS id, l || ' ' || r AS val, c AS n
+SELECT 'merge' AS mode, CAST(k AS BIGINT) AS id, l || ' ' || r AS val, CAST(c AS BIGINT) AS n
 FROM ({merge_rows})
 UNION ALL
 SELECT 'doc' AS mode, doc_id AS id,

@@ -89,6 +89,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             dcols = list(res.columns)
+            dtypes = [str(t).upper() for t in res.types]
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -96,6 +97,18 @@ def main():
             continue
         ok = True
         msgs = []
+        # Type-width gate: a driver that hashes typed/Arrow values sees
+        # HUGEINT(int128)/DECIMAL as different encodings than Spark's
+        # int64/double even when values are equal (round-4 bpe_tokenize
+        # lesson). Oracle SQL must CAST such columns explicitly.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if "HUGEINT" in t or t.startswith("DECIMAL") or t in ("UBIGINT",)
+        ]
+        if bad_types:
+            ok = False
+            msgs.append(f"oracle type-width (int128/decimal): {bad_types}")
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
