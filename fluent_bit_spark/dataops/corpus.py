@@ -24,6 +24,7 @@ quality-filtered, exactly-deduped survivors.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -152,12 +153,22 @@ def export_corpus(
 
     Returns (packed, manifest, key_map): packed = (seq_id, tokens,
     doc_spans, n_tokens, n_docs, shard) — doc_spans reference the
-    shuffled order key; key_map = (doc_id, epoch, __ord) recovers the
-    original document behind every span (join on __ord); manifest =
-    per-shard window/token counts. The pack order key is pmod(xxhash64(doc_id, epoch, seed),
-    2^43)*2^20 + pmod(doc_id, 2^16)*16 + epoch — hash-shuffled,
-    restart-stable, and unique up to a ~2^-43 birthday corner
-    (colliding docs would also need equal doc_id mod 2^16 and epoch).
+    per-copy key __uid; key_map = (doc_id, epoch, __uid) recovers the
+    original document behind every span (join on __uid); manifest =
+    per-shard window/token counts. Pack order: __ord =
+    xxhash64(doc_id, epoch, seed) — hash-shuffled and restart-stable —
+    with __uid = (doc_id << 4) | epoch as pack_token_windows' tie
+    column, so the composite (__ord, __uid) stays total even across
+    xxhash64 collisions. __uid packs epoch into 4 bits; mix rates are
+    validated so ceil(rate) <= 16 (epoch < 16), otherwise (id, 16)
+    would alias (id+1, 0) and window spans would silently corrupt.
+
+    min_count > 1 thresholds the BPE word table, and encode then DROPS
+    every sub-threshold word from the packed stream (oov='skip') —
+    deliberate rare-word pruning, surfaced as a dropped_words count in
+    the manifest (one extra row: shard = -1). With min_count == 1 the
+    corpus-trained map is total, and encode runs with oov='error' so
+    any drop is a bug, not silence.
     """
     from . import bpe, decontam, mixing, packing
 
@@ -175,6 +186,18 @@ def export_corpus(
             .select(F.col(id_col)), id_col, "left_anti",
         )
     if rates is not None:
+        # epoch packs into the low 4 bits of __uid: a copy index >= 16
+        # would alias (id, 16) with (id+1, 0) and silently corrupt the
+        # pack order's tie column. max epoch = ceil(rate) - 1.
+        bad = {
+            k: v for k, v in dict(rates).items()
+            if math.ceil(float(v)) > 16
+        }
+        if bad:
+            raise ValueError(
+                "export_corpus: mix rates must satisfy ceil(rate) <= 16 "
+                f"(epoch occupies 4 bits of __uid); offending rates: {bad}"
+            )
         out = mixing.mix_corpus(
             out, rates, key_col=rate_key_col, id_col=id_col, seed=seed,
             engine=hash_engine if hash_engine == "md5" else "xxhash64",
@@ -186,7 +209,14 @@ def export_corpus(
         out, text_col=text_col, num_merges=num_merges, min_count=min_count
     )
     emap = bpe.encode_map(words)
-    uid = (F.col(id_col) * F.lit(16) + F.col("epoch")).alias("__uid")
+    # shift, don't multiply: under ANSI mode `doc_id * 16` THROWS past
+    # 2^59 while shiftleft wraps (CLAUDE.md overflow gotcha); recovery
+    # below is shiftright/bitwiseAND — exact integer ops, never a
+    # double quotient (floor(x/16) loses precision past 2^53).
+    uid = (
+        F.shiftleft(F.col(id_col).cast("long"), 4)
+        + F.col("epoch").cast("long")
+    ).alias("__uid")
     keyed = out.select(
         uid, F.col(id_col), F.col("epoch"), F.col(text_col)
     )
@@ -194,9 +224,11 @@ def export_corpus(
     enc = bpe.bpe_encode_arrow(
         keyed.select("__uid", text_col), emap,
         text_col=text_col, id_col="__uid",
+        oov="skip" if min_count > 1 else "error",
     ).withColumn(
         "__ord",
-        F.xxhash64(F.floor(F.col("__uid") / 16), F.pmod("__uid", F.lit(16)),
+        F.xxhash64(F.shiftright(F.col("__uid"), 4),
+                   F.col("__uid").bitwiseAND(F.lit(15)).cast("long"),
                    F.lit(seed)),
     )
     packed = packing.pack_token_windows(
@@ -210,4 +242,22 @@ def export_corpus(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+    if min_count > 1:
+        # surface the rare-word pruning loudly: occurrences of
+        # sub-threshold words never reach the packed stream (oov='skip'
+        # above). One vocab-bounded word-table aggregate — no second
+        # pass over token arrays — reported as a shard = -1 row whose
+        # n_tokens is the dropped WORD-occurrence count.
+        dropped = (
+            bpe.word_table(out, text_col=text_col, min_count=1)
+            .filter(F.col("cnt") < min_count)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0))
+                 .cast("long").alias("n_tokens"))
+            .select(
+                F.lit(-1).alias("shard"),
+                F.lit(0).cast("long").alias("n_windows"),
+                "n_tokens",
+            )
+        )
+        manifest = manifest.unionByName(dropped)
     return packed, manifest, key_map

@@ -1730,3 +1730,71 @@ class TestExportCorpus:
         )
         assert a == b
         packed.unpersist()
+
+    def test_rate_over_16_rejected(self, spark):
+        """epoch packs into 4 bits of __uid: ceil(rate) > 16 would alias
+        (id, 16) with (id+1, 0) — must raise, not corrupt windows."""
+        import pytest
+
+        from fluent_bit_spark.dataops import corpus
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="ceil\\(rate\\) <= 16"):
+            corpus.export_corpus(
+                docs, rates={"en": 16.5, "fr": 1.0}, rate_key_col="lang",
+                num_merges=2, seq_len=16, n_shards=2,
+            )
+        # rate exactly 16.0 (epochs 0..15) is the legal maximum
+        packed, _m, km = corpus.export_corpus(
+            docs.filter(F.col("doc_id") < 8),
+            rates={"en": 16.0, "fr": 16.0}, rate_key_col="lang",
+            num_merges=2, seq_len=16, n_shards=2,
+        )
+        from collections import Counter
+        by_doc = Counter(r["doc_id"] for r in km.collect())
+        assert set(by_doc.values()) == {16}
+
+    def test_min_count_drop_accounting(self, spark):
+        """min_count > 1 prunes sub-threshold words from the packed
+        stream; the manifest must surface the loss as a shard=-1 row
+        counting dropped word occurrences."""
+        from fluent_bit_spark.dataops import corpus
+
+        rows = [(0, "alpha alpha alpha beta"), (1, "alpha alpha gamma"),
+                (2, "alpha beta delta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        _p, manifest, _k = corpus.export_corpus(
+            docs, num_merges=2, min_count=2, seq_len=4, n_shards=2,
+        )
+        m = {r["shard"]: r for r in manifest.collect()}
+        # beta appears 2x (kept), gamma 1x + delta 1x dropped
+        assert m[-1]["n_windows"] == 0 and m[-1]["n_tokens"] == 2
+        # min_count == 1: total map, no drop row (oov='error' inside)
+        _p1, manifest1, _k1 = corpus.export_corpus(
+            docs, num_merges=2, min_count=1, seq_len=4, n_shards=2,
+        )
+        assert -1 not in {r["shard"] for r in manifest1.collect()}
+
+    def test_uid_pack_is_shift_exact(self, spark):
+        """__uid = (doc_id << 4) | epoch and its shiftright/bitwiseAND
+        recovery are exact at ids past 2^53 (where the old double
+        quotient floor(__uid/16) loses precision)."""
+        from fluent_bit_spark.dataops import corpus
+
+        big = (1 << 55) + 3  # > 2^53: double round-trip would corrupt
+        docs = spark.createDataFrame(
+            [(big, "a b c d e f g h"), (big + 1, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        packed, _m, km = corpus.export_corpus(
+            docs, num_merges=1, seq_len=4, n_shards=2,
+        )
+        uids = {r["doc_id"]: r["__uid"] for r in km.collect()}
+        assert uids == {big: big << 4, big + 1: (big + 1) << 4}
+        # spans resolve through the key map: every packed span's key is
+        # one of the two legal __uids (the recovery fed xxhash64 the
+        # true doc_id, or the two docs would collide into one stream key)
+        span_ids = {
+            s["doc_id"] for r in packed.collect() for s in r["doc_spans"]
+        }
+        assert span_ids <= set(uids.values())
