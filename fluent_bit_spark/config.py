@@ -989,6 +989,36 @@ def _build_input(
         df = df.withColumn("tag", F.lit(tag))
         fn = statsd_metrics if _bool(s.get("metrics", "false")) else statsd_records
         return fn(df, keep_cols=("tag",))
+    if name == "systemd":
+        # in_systemd (plugins/in_systemd/systemd.c): the sd_journal API
+        # is the transport; the batch analogue reads journal-export
+        # spools (`journalctl -o export` framing) with the plugin's
+        # decode semantics — dup-key arrays, strip/lowercase, filters,
+        # '*'-tags (systemdfmt module docstring has the line map).
+        # read_from_tail / db / max_entries are cursor & flow control:
+        # Spark's file-source checkpointing owns that job (no-ops here).
+        from .systemdfmt import MAX_FIELDS_DEFAULT, journal_export_source
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT systemd needs path (staged journal export)")
+        ftype = (s.get("systemd_filter_type") or "or").lower()
+        if ftype not in ("and", "or"):
+            raise ValueError(
+                f"systemd_filter_type must be 'and' or 'or'. Got {ftype}"
+            )
+        # classic configs repeat the key; YAML can't (CLAUDE.md gotcha),
+        # so a single comma-separated value is also accepted
+        filters: list[str] = []
+        for v in s.get_all("systemd_filter"):
+            filters.extend(x.strip() for x in v.split(",") if x.strip())
+        return journal_export_source(
+            spark, path, tag=tag, filters=filters,
+            filter_is_and=(ftype == "and"),
+            lowercase=_bool(s.get("lowercase", "false")),
+            strip_underscores=_bool(s.get("strip_underscores", "false")),
+            max_fields=int(s.get("max_fields", str(MAX_FIELDS_DEFAULT))),
+        )
     if name in ("prometheus_textfile", "prometheus_scrape"):
         # in_prometheus_textfile reads .prom files from a glob
         # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an

@@ -1,0 +1,237 @@
+"""in_systemd — journal reader over staged journal-export spools.
+
+The reference plugin (plugins/in_systemd/systemd.c) reads the binary
+journal through libsystemd's sd_journal API; that API is the TRANSPORT.
+The decode/record SEMANTICS it implements on top are what this module
+re-expresses:
+
+* per-entry timestamp from the realtime clock in microseconds
+  (systemd.c:346-358 sd_journal_get_realtime_usec -> sec/nsec)
+* field enumeration with an optional single leading-underscore strip
+  (systemd.c:409-413) and key lowercasing (systemd_config map
+  'lowercase', applied in systemd_enumerate_data_store:164-169)
+* duplicate keys collapse into ONE key whose value is the order-of-
+  arrival array of all values (systemd_enumerate_data_store:183-236;
+  golden vector: tests/runtime/in_systemd.c flb_test_duplicated_keys)
+* max_fields caps stored fields per entry (systemd.c:406 loop bound,
+  default 8000, systemd_config.h:41)
+* systemd_filter 'KEY=value' entries with systemd_filter_type and/or —
+  the reference adds a conjunction after every match for 'and' and a
+  disjunction for 'or' (systemd_config.c:170-215), i.e. plain
+  all-must-match / any-must-match over raw field data
+* dynamic tags: a '*' in the tag expands to the entry's _SYSTEMD_UNIT
+  (minus the key prefix) or 'unknown' (systemd.c:35-70 tag_compose,
+  :325-333, FLB_SYSTEMD_UNKNOWN systemd_config.h:40)
+
+The staged transport is the *journal export format* (the public
+serialization `journalctl -o export` emits): entries separated by an
+empty line; text fields as ``KEY=value\\n``; fields whose value contains
+a newline (or is binary) as ``KEY\\n`` + 64-bit little-endian length +
+raw bytes + ``\\n``. A deployment runs ``journalctl -o export`` (or any
+forwarder speaking the format) into a spool directory next to the
+cluster — the same sidecar pattern as in_forward/in_syslog here — and
+the Spark job reads the spool with the binaryFile source, one
+Arrow-batched decode pass, no per-row Python beyond the entry loop
+inside the batch.
+
+max_entries and the 1 MB encoder pause (systemd.c:445-476) are FLOW
+CONTROL: they bound one collect cycle and the journal resumes at the
+cursor, so over a run every entry is still emitted. The batch analogue
+reads the whole spool; the knobs are accepted and ignored (documented
+no-ops), while the cursor checkpoint's job (systemd_db.c) falls to
+Spark's own file-source checkpointing / snapshot resume.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .msgpackfmt import _render_text
+
+#: fields the export format carries that the sd_journal *data* API never
+#: enumerates — entry-address metadata, reserved '__' prefix. The
+#: realtime address field is the plugin's timestamp source.
+ADDRESS_PREFIX = "__"
+REALTIME_FIELD = "__REALTIME_TIMESTAMP"
+UNIT_FIELD = "_SYSTEMD_UNIT"
+UNKNOWN_UNIT = "unknown"  # FLB_SYSTEMD_UNKNOWN, systemd_config.h:40
+MAX_FIELDS_DEFAULT = 8000  # FLB_SYSTEMD_MAX_FIELDS, systemd_config.h:41
+
+
+def iter_journal_export(data: bytes) -> Iterator[list]:
+    """Parse journal-export bytes into entries: lists of (name:str,
+    value:bytes) in arrival order. Handles both the ``KEY=value`` line
+    form and the binary ``KEY\\n<u64le len><bytes>\\n`` form; a stray
+    final entry without its trailing blank line still yields."""
+    i, n = 0, len(data)
+    fields: list = []
+    while i < n:
+        j = data.find(b"\n", i)
+        if j < 0:
+            j = n
+        line = data[i:j]
+        if not line:
+            if fields:
+                yield fields
+                fields = []
+            i = j + 1
+            continue
+        eq = line.find(b"=")
+        if eq >= 0:
+            fields.append(
+                (line[:eq].decode("utf-8", errors="replace"), bytes(line[eq + 1:]))
+            )
+            i = j + 1
+        else:
+            # binary field framing
+            name = line.decode("utf-8", errors="replace")
+            off = j + 1
+            if off + 8 > n:
+                break  # truncated frame: drop the partial field
+            size = int.from_bytes(data[off:off + 8], "little")
+            if off + 8 + size > n:
+                break
+            fields.append((name, bytes(data[off + 8:off + 8 + size])))
+            i = off + 8 + size + 1  # trailing newline
+    if fields:
+        yield fields
+
+
+def compose_tag(tag: str, unit: Optional[str]) -> str:
+    """tag_compose (systemd.c:35-70): '*' -> unit name (or 'unknown'),
+    keeping any prefix/suffix around the star. No '*' -> tag as-is."""
+    if "*" not in tag:
+        return tag
+    head, _star, tail = tag.partition("*")
+    return head + (unit if unit is not None else UNKNOWN_UNIT) + tail
+
+
+def entry_matches(
+    fields: Sequence, filters: Sequence[str], filter_is_and: bool
+) -> bool:
+    """systemd_filter semantics: each filter is a raw 'KEY=value' datum;
+    an entry satisfies a filter when ANY of its fields equals it
+    byte-for-byte. 'and' chains a conjunction after every match, 'or' a
+    disjunction (systemd_config.c:170-215)."""
+    if not filters:
+        return True
+    data = {f"{k}={v.decode('utf-8', errors='replace')}" for k, v in fields}
+    hits = (f in data for f in filters)
+    return all(hits) if filter_is_and else any(hits)
+
+
+def entry_to_record(
+    fields: Sequence,
+    lowercase: bool = False,
+    strip_underscores: bool = False,
+    max_fields: int = MAX_FIELDS_DEFAULT,
+) -> tuple:
+    """One export entry -> (usec timestamp or None, unit or None, body).
+
+    body maps transformed keys to str values, or to list[str] for
+    duplicated keys (order of arrival — the reference's string->array
+    promotion in systemd_enumerate_data_store). Dup detection runs on
+    the TRANSFORMED key, exactly like the C (strip happens before the
+    store call, lowercase inside it, fetch on the result)."""
+    usec = None
+    unit = None
+    body: dict = {}
+    stored = 0
+    for name, value in fields:
+        if name.startswith(ADDRESS_PREFIX):
+            if name == REALTIME_FIELD and usec is None:
+                try:
+                    usec = int(value.decode("ascii"))
+                except ValueError:
+                    pass
+            continue  # address fields never reach enumerate_data
+        if name == UNIT_FIELD and unit is None:
+            unit = value.decode("utf-8", errors="replace")
+        if stored >= max_fields:
+            continue
+        key = name
+        if strip_underscores and key.startswith("_"):
+            key = key[1:]  # exactly one (systemd.c:409-413)
+        if lowercase:
+            key = key.lower()
+        text = _render_text(value)
+        if key not in body:
+            body[key] = text
+        elif isinstance(body[key], list):
+            body[key].append(text)
+        else:
+            body[key] = [body[key], text]
+        stored += 1
+    return usec, unit, body
+
+
+def decode_journal_export(
+    data: bytes,
+    tag: str = "journal",
+    filters: Optional[Sequence[str]] = None,
+    filter_is_and: bool = False,
+    lowercase: bool = False,
+    strip_underscores: bool = False,
+    max_fields: int = MAX_FIELDS_DEFAULT,
+) -> list:
+    """Export bytes -> [(tag, ts_seconds_float|None, body dict)] with
+    the full plugin option surface applied. Filters run on RAW fields
+    (the sd_journal match layer sits below key transforms)."""
+    filters = list(filters or [])
+    out = []
+    for fields in iter_journal_export(data):
+        if not entry_matches(fields, filters, filter_is_and):
+            continue
+        usec, unit, body = entry_to_record(
+            fields, lowercase=lowercase,
+            strip_underscores=strip_underscores, max_fields=max_fields,
+        )
+        ts = (usec / 1e6) if usec is not None else None
+        out.append((compose_tag(tag, unit), ts, body))
+    return out
+
+
+def journal_export_source(
+    spark: SparkSession,
+    path: str,
+    tag: str = "journal",
+    filters: Optional[Sequence[str]] = None,
+    filter_is_and: bool = False,
+    lowercase: bool = False,
+    strip_underscores: bool = False,
+    max_fields: int = MAX_FIELDS_DEFAULT,
+) -> DataFrame:
+    """Spool dir/glob of journal-export files -> (tag, ts, body) rows.
+
+    binaryFile scan (splits parallelize across FILES — export framing
+    is stateful within a file, the same per-file batching in_forward's
+    spool uses) + ONE Arrow-batched decode pass. Duplicate-key arrays
+    render as JSON text in the map<string,string> body, the same
+    convention forward_frames_to_records uses for nested values."""
+    flt = list(filters or [])
+    opts = (tag, flt, filter_is_and, lowercase, strip_underscores, max_fields)
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        (tg, fl, fa, lc, su, mf) = opts
+        for pdf in batches:
+            tags, tss, bodies = [], [], []
+            for blob in pdf["content"]:
+                for t, ts, body in decode_journal_export(
+                    bytes(blob), tag=tg, filters=fl, filter_is_and=fa,
+                    lowercase=lc, strip_underscores=su, max_fields=mf,
+                ):
+                    tags.append(t)
+                    tss.append(ts)
+                    bodies.append({
+                        k: (_render_text(v) if isinstance(v, list) else v)
+                        for k, v in body.items()
+                    })
+            yield pd.DataFrame({"tag": tags, "ts": tss, "body": bodies})
+
+    df = spark.read.format("binaryFile").load(path).select("content")
+    return df.mapInPandas(run, "tag string, ts double, body map<string,string>")

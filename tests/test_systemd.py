@@ -1,0 +1,187 @@
+"""in_systemd — journal-export decode semantics
+(plugins/in_systemd/systemd.c; golden dup-key vector from
+tests/runtime/in_systemd.c flb_test_duplicated_keys)."""
+
+import json
+import textwrap
+
+from fluent_bit_spark.systemdfmt import (
+    compose_tag,
+    decode_journal_export,
+    entry_to_record,
+    iter_journal_export,
+    journal_export_source,
+)
+
+
+def _export_entry(fields, usec=1723900000123456, cursor="s=abc;i=1"):
+    """Build one export-format entry (text fields only)."""
+    lines = [f"__CURSOR={cursor}", f"__REALTIME_TIMESTAMP={usec}",
+             "__MONOTONIC_TIMESTAMP=99"]
+    lines += [f"{k}={v}" for k, v in fields]
+    return ("\n".join(lines) + "\n\n").encode()
+
+
+class TestExportFormat:
+    def test_text_and_binary_fields(self):
+        # binary framing: KEY\n + u64le size + raw + \n (value contains
+        # a newline so the text form is illegal for it)
+        val = b"line1\nline2"
+        data = (
+            b"__CURSOR=c1\n__REALTIME_TIMESTAMP=1000000\n"
+            b"MESSAGE\n" + len(val).to_bytes(8, "little") + val + b"\n"
+            b"UNIT=a.service\n\n"
+        )
+        (entry,) = list(iter_journal_export(data))
+        d = dict(entry)
+        assert d["MESSAGE"] == val
+        assert d["UNIT"] == b"a.service"
+
+    def test_multiple_entries_and_missing_trailer(self):
+        data = _export_entry([("A", "1")]) + b"B=2\nC=3\n"  # no blank line
+        entries = list(iter_journal_export(data))
+        assert len(entries) == 2
+        assert dict(entries[1]) == {"B": b"2", "C": b"3"}
+
+    def test_truncated_binary_field_drops_partial(self):
+        data = b"KEY\n" + (100).to_bytes(8, "little") + b"short"
+        assert list(iter_journal_export(data)) == []
+
+
+class TestEntrySemantics:
+    # the reference runtime test's exact field sequence
+    # (tests/runtime/in_systemd.c:69-72)
+    DUP_FIELDS = [
+        ("MESSAGE", "test native message with multiple values"),
+        ("KEY", "value1"), ("KEY", "value4"), ("KEY2", "value2"),
+        ("KEY", "another"), ("KEY2", "value3"), ("KEY2", "value5"),
+        ("KEY3", "howdy"), ("KEY3", "prettygood"), ("KEY2", "value10"),
+        ("KEY3", "wow"), ("KEY2", "final_field"),
+    ]
+
+    def test_duplicated_keys_golden(self):
+        (rec,) = decode_journal_export(_export_entry(self.DUP_FIELDS))
+        _tag, _ts, body = rec
+        assert body["MESSAGE"] == "test native message with multiple values"
+        assert body["KEY"] == ["value1", "value4", "another"]
+        assert body["KEY2"] == ["value2", "value3", "value5", "value10",
+                                "final_field"]
+        assert body["KEY3"] == ["howdy", "prettygood", "wow"]
+
+    def test_timestamp_and_address_fields_skipped(self):
+        usec = 1723900000123456
+        (rec,) = decode_journal_export(
+            _export_entry([("MESSAGE", "hi")], usec=usec))
+        _tag, ts, body = rec
+        assert abs(ts - usec / 1e6) < 1e-6
+        assert set(body) == {"MESSAGE"}  # no __CURSOR etc.
+
+    def test_strip_and_lowercase_dedup_on_transformed_key(self):
+        # strip removes exactly ONE underscore (systemd.c:409-413);
+        # lowercase runs in the store (config map 'lowercase'); dup
+        # detection sees the transformed key, so _PID and PID collide
+        fields = [("_PID", b"10"), ("PID", b"20"),
+                  ("_SYSTEMD_UNIT", b"x.service")]
+        _u, _unit, body = entry_to_record(
+            fields, lowercase=True, strip_underscores=True)
+        assert body["pid"] == ["10", "20"]
+        assert body["systemd_unit"] == "x.service"
+
+    def test_max_fields_cap(self):
+        fields = [(f"K{i}", str(i).encode()) for i in range(10)]
+        _u, _unit, body = entry_to_record(fields, max_fields=3)
+        assert set(body) == {"K0", "K1", "K2"}
+
+    def test_filters_and_or_on_raw_fields(self):
+        e1 = _export_entry([("_SYSTEMD_UNIT", "a.service"), ("PRIORITY", "3")])
+        e2 = _export_entry([("_SYSTEMD_UNIT", "b.service"), ("PRIORITY", "3")])
+        data = e1 + e2
+        # or (default): either filter admits the entry
+        recs = decode_journal_export(
+            data, filters=["_SYSTEMD_UNIT=a.service", "PRIORITY=9"])
+        assert len(recs) == 1
+        # and: every filter must match
+        recs = decode_journal_export(
+            data, filters=["_SYSTEMD_UNIT=b.service", "PRIORITY=3"],
+            filter_is_and=True)
+        assert len(recs) == 1 and recs[0][2]["_SYSTEMD_UNIT"] == "b.service"
+        # filters see RAW keys even under strip/lowercase
+        recs = decode_journal_export(
+            data, filters=["_SYSTEMD_UNIT=a.service"],
+            strip_underscores=True, lowercase=True)
+        assert len(recs) == 1 and recs[0][2]["systemd_unit"] == "a.service"
+
+    def test_dynamic_tag_compose(self):
+        assert compose_tag("journal.*", "cron.service") == "journal.cron.service"
+        assert compose_tag("pre.*.post", None) == "pre.unknown.post"
+        assert compose_tag("static", "x") == "static"
+        (rec,) = decode_journal_export(
+            _export_entry([("_SYSTEMD_UNIT", "sshd.service"), ("M", "x")]),
+            tag="host.*")
+        assert rec[0] == "host.sshd.service"
+
+
+def test_systemd_config_e2e(spark, tmp_path):
+    """[INPUT] systemd over a staged export spool: filters, dup-key
+    arrays as JSON text in the map body, dynamic tag, usec timestamp."""
+    from fluent_bit_spark.config import run_classic_config
+
+    spool = tmp_path / "journal"
+    spool.mkdir()
+    e1 = _export_entry(
+        [("_SYSTEMD_UNIT", "nginx.service"), ("PRIORITY", "6"),
+         ("MESSAGE", "GET /"), ("KEY", "a"), ("KEY", "b")],
+        usec=1700000000250000)
+    e2 = _export_entry(
+        [("_SYSTEMD_UNIT", "cron.service"), ("PRIORITY", "3"),
+         ("MESSAGE", "job ran")], usec=1700000001000000)
+    e3 = _export_entry(
+        [("PRIORITY", "6"), ("MESSAGE", "unitless")],
+        usec=1700000002000000)
+    (spool / "chunk-0.export").write_bytes(e1 + e2)
+    (spool / "chunk-1.export").write_bytes(e3)
+
+    conf = textwrap.dedent(f"""
+    [INPUT]
+        Name systemd
+        Tag journal.*
+        path {spool}/*.export
+        systemd_filter PRIORITY=6
+        systemd_filter PRIORITY=3
+
+    [OUTPUT]
+        Name counter
+        Match *
+    """)
+    run = run_classic_config(spark, conf, str(tmp_path / "out"))
+    assert run.counts["counter_all"] == 3
+    rows = {r["tag"]: r.asDict() for r in run.frame.collect()}
+    assert set(rows) == {
+        "journal.nginx.service", "journal.cron.service", "journal.unknown"}
+    ng = rows["journal.nginx.service"]
+    assert ng["body"]["MESSAGE"] == "GET /"
+    assert json.loads(ng["body"]["KEY"]) == ["a", "b"]
+    assert abs(ng["ts"] - 1700000000.25) < 1e-6
+    assert rows["journal.unknown"]["body"]["MESSAGE"] == "unitless"
+
+
+def test_systemd_source_filter_type_and(spark, tmp_path):
+    """filter_type 'and' conjunction + strip/lowercase through the
+    library API (journal_export_source)."""
+    spool = tmp_path / "j2"
+    spool.mkdir()
+    data = (
+        _export_entry([("_SYSTEMD_UNIT", "a.service"), ("PRIORITY", "3"),
+                       ("MESSAGE", "keep")])
+        + _export_entry([("_SYSTEMD_UNIT", "a.service"), ("PRIORITY", "6"),
+                         ("MESSAGE", "drop")])
+    )
+    (spool / "j.export").write_bytes(data)
+    df = journal_export_source(
+        spark, str(spool / "*.export"), tag="t",
+        filters=["_SYSTEMD_UNIT=a.service", "PRIORITY=3"],
+        filter_is_and=True, strip_underscores=True, lowercase=True)
+    rows = [r.asDict() for r in df.collect()]
+    assert len(rows) == 1
+    assert rows[0]["body"]["message"] == "keep"
+    assert rows[0]["body"]["systemd_unit"] == "a.service"
