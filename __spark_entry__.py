@@ -1575,23 +1575,83 @@ def q_url_canonical(spark, sf_dir):
 
 
 def q_lm_quality(spark, sf_dir):
-    """CCNet-style unigram-LM quality score: mean token log-probability
-    under a unigram model trained on the corpus in the same job
-    (textstats.unigram_logprob_quality) — fully distributed, no
-    driver-side vocab; the shuffle-join scale path is exercised (the
-    broadcast_vocab variant is plan-equivalent, pytest-checked).
+    """Corpus quality scoring, two operator families in one row.
 
-    (The fastText-style hashed-feature quality classifier —
-    dataops.classifier — is pytest-covered on a separable constructed
-    corpus instead of a driver row: this synthetic documents table is
-    a shared word soup in which every doc has near-identical
-    bag-of-words features, so no linear text classifier can separate
-    anything in it — a degenerate fixture would check nothing.)"""
+    mode 'lm': CCNet-style unigram-LM quality score — mean token
+    log-probability under a unigram model trained on the corpus in the
+    same job (textstats.unigram_logprob_quality) — fully distributed,
+    no driver-side vocab; the shuffle-join scale path is exercised
+    (the broadcast_vocab variant is plan-equivalent, pytest-checked).
+
+    modes 'w'/'bias'/'clf': the fastText-style hashed-feature quality
+    CLASSIFIER (dataops.classifier, GPT-3/CCNet data-card recipe),
+    trained and scored inside the query. The raw documents fixture is
+    a shared word soup no linear classifier can separate, so the query
+    first builds a separable two-dialect corpus deterministically from
+    it: odd doc_ids get translate(text,'aeiou','01234') — a vocabulary
+    remap, no new fixture — and y = doc_id % 2. Training is 2 rounds
+    of full-batch GD on L1-normalized md5-hashed unigram+bigram
+    presence features (B=128, lr=10), weights rounded half-away to 6
+    decimals per round (similarity._round_half_away == DuckDB round();
+    python round is half-even — the kmeans_train parity recipe). The
+    oracle replays BOTH unrolled GD rounds as chained CTEs, so every
+    learned weight ('w' rows: bucket, 6-dec weight), the bias ('bias'
+    row, +0.0 normalizes a -0.0), and every document's scored
+    probability ('clf' rows, 4-dec) are value-checked, not just
+    counted. Scale shape (classifier.py docstring): per round, one
+    broadcast join + two map-side-combined SUMs; exactly `buckets`
+    rows reach the driver; nothing corpus-sized collects."""
+    from fluent_bit_spark.dataops import classifier
+    from fluent_bit_spark.dataops.similarity import _round_half_away
+
     docs = _t_spread(spark, sf_dir, "documents")
     out = textstats.unigram_logprob_quality(docs)
-    return out.select(
-        "doc_id", "n_scored_tokens", _r4(F.col("lm_logprob")).alias("lm_lp")
+    lm = out.select(
+        F.lit("lm").alias("mode"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("n_scored_tokens").cast("long").alias("n"),
+        _r4(F.col("lm_logprob")).alias("v"),
     )
+    two = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 1,
+            F.translate(F.col("text"), "aeiou", "01234"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("y"),
+    )
+    wdf, bias = classifier.train_quality_classifier(
+        two,
+        "y",
+        buckets=128,
+        ngrams=(1, 2),
+        engine="md5",
+        rounds=2,
+        lr=10.0,
+        round_to=6,
+        rounder=_round_half_away,
+    )
+    w_rows = wdf.select(
+        F.lit("w").alias("mode"),
+        F.col("bucket").alias("id"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("w").alias("v"),
+    )
+    b_row = spark.createDataFrame(
+        [("bias", -1, 0, bias + 0.0)], "mode string, id long, n long, v double"
+    )
+    scored = classifier.quality_score(
+        two, wdf, bias, buckets=128, ngrams=(1, 2), engine="md5"
+    )
+    clf = scored.select(
+        F.lit("clf").alias("mode"),
+        F.col("id").cast("long").alias("id"),
+        F.lit(0).cast("long").alias("n"),
+        _r4(F.col("prob")).alias("v"),
+    )
+    return lm.unionByName(w_rows).unionByName(b_row).unionByName(clf)
 
 
 def q_pipeline_e2e(spark, sf_dir):
@@ -3053,6 +3113,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM s5 GROUP BY 1
         """,
+        # lm branch: unigram-LM logprob replay (unchanged). Classifier
+        # branch: the full 2-round GD loop unrolled as chained CTEs —
+        # the same two-dialect translate() remap, md5-bucket presence
+        # features (DISTINCT == Spark's groupBy(id,bucket)), x = 1/n_d,
+        # round 1 margins are exactly 0 (w=0, bias=0) so r1 = 0.5 - y;
+        # each weight update rounds with DuckDB round() == the Spark
+        # side's _round_half_away (python round is half-even — would
+        # diverge on exact half boundaries). Zero-weight buckets are
+        # pruned on both sides; bias + 0.0 normalizes a -0.0.
         "lm_quality": f"""
             WITH toklists AS (
               SELECT doc_id, {toks} AS toks FROM documents),
@@ -3061,12 +3130,91 @@ def oracle_sql() -> dict[str, str]:
             freq AS (
               SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
             tot AS (
-              SELECT SUM(c) AS N FROM freq)
-            SELECT tok.doc_id,
-                   COUNT(*) AS n_scored_tokens,
-                   round(CAST(AVG(ln(CAST(freq.c AS DOUBLE) / tot.N)) AS DOUBLE), 4)
-                     AS lm_lp
+              SELECT SUM(c) AS N FROM freq),
+            cdocs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 1
+                          THEN translate(text, 'aeiou', '01234')
+                          ELSE text END AS ctext
+              FROM documents),
+            ctok AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(trim(lower(ctext)), '\\s+'),
+                       x -> x != '') AS toks
+              FROM cdocs),
+            cgrams AS (
+              SELECT doc_id, g FROM ctok, UNNEST(toks) AS u(g)
+              UNION ALL
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+              FROM ctok, UNNEST(range(1, len(toks))) AS u(i)),
+            fb AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 128 AS b
+              FROM cgrams),
+            feats AS MATERIALIZED (
+              SELECT doc_id, b,
+                     1.0 / COUNT(*) OVER (PARTITION BY doc_id) AS x
+              FROM fb),
+            lab AS (
+              SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            r1 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+            g1 AS (
+              SELECT f.b, SUM(f.x * r.r) AS g
+              FROM feats f JOIN r1 r USING (doc_id) GROUP BY f.b),
+            w1 AS MATERIALIZED (
+              SELECT gs.b,
+                     round(0.0 - 10.0 * (COALESCE(g1.g, 0.0)
+                           / (SELECT n FROM nn)), 6) AS w
+              FROM (SELECT UNNEST(range(0, 128)) AS b) gs
+              LEFT JOIN g1 USING (b)),
+            b1 AS (
+              SELECT round(0.0 - 10.0 * (SUM(r) / (SELECT n FROM nn)), 6)
+                AS bias FROM r1),
+            m2 AS (
+              SELECT f.doc_id, SUM(f.x * w1.w) + (SELECT bias FROM b1) AS m
+              FROM feats f JOIN w1 USING (b) GROUP BY f.doc_id),
+            r2 AS (
+              SELECT l.doc_id,
+                     1.0 / (1.0 + exp(-(COALESCE(m2.m,
+                         (SELECT bias FROM b1))))) - l.y AS r
+              FROM lab l LEFT JOIN m2 USING (doc_id)),
+            g2 AS (
+              SELECT f.b, SUM(f.x * r.r) AS g
+              FROM feats f JOIN r2 r USING (doc_id) GROUP BY f.b),
+            w2 AS MATERIALIZED (
+              SELECT w1.b,
+                     round(w1.w - 10.0 * (COALESCE(g2.g, 0.0)
+                           / (SELECT n FROM nn)), 6) AS w
+              FROM w1 LEFT JOIN g2 USING (b)),
+            b2 AS (
+              SELECT round((SELECT bias FROM b1)
+                           - 10.0 * (SUM(r) / (SELECT n FROM nn)), 6)
+                AS bias FROM r2),
+            wnz AS (SELECT b, w FROM w2 WHERE w != 0.0),
+            ms AS (
+              SELECT f.doc_id, SUM(f.x * wnz.w) + (SELECT bias FROM b2) AS m
+              FROM feats f JOIN wnz USING (b) GROUP BY f.doc_id),
+            cscore AS (
+              SELECT l.doc_id,
+                     1.0 / (1.0 + exp(-(COALESCE(ms.m,
+                         (SELECT bias FROM b2))))) AS prob
+              FROM lab l LEFT JOIN ms USING (doc_id))
+            SELECT 'lm' AS mode, tok.doc_id AS id, COUNT(*) AS n,
+                   round(CAST(AVG(ln(CAST(freq.c AS DOUBLE) / tot.N))
+                         AS DOUBLE), 4) AS v
             FROM tok JOIN freq USING (t) CROSS JOIN tot
             GROUP BY tok.doc_id
+            UNION ALL
+            SELECT 'w' AS mode, b AS id, CAST(0 AS BIGINT) AS n, w AS v
+            FROM wnz
+            UNION ALL
+            SELECT 'bias' AS mode, CAST(-1 AS BIGINT) AS id,
+                   CAST(0 AS BIGINT) AS n, bias + 0.0 AS v
+            FROM b2
+            UNION ALL
+            SELECT 'clf' AS mode, doc_id AS id, CAST(0 AS BIGINT) AS n,
+                   round(prob, 4) AS v
+            FROM cscore
         """,
     }

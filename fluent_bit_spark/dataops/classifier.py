@@ -84,11 +84,17 @@ def train_quality_classifier(
     lr: float = 10.0,
     l2: float = 0.0,
     round_to: int = 6,
+    rounder=round,
 ):
     """Full-batch logistic regression on L1-normalized hashed
     features. Returns (weights DataFrame (bucket, w), bias float).
     label_col is 0/1 (1 = high quality / target-like). Deterministic:
-    w starts at 0, fixed round count, weights rounded per round."""
+    w starts at 0, fixed round count, weights rounded per round.
+
+    `rounder(x, nd)` is the per-round rounding function. The default is
+    python round (half-EVEN — what the numpy-replay pytest encodes);
+    pass similarity._round_half_away for DuckDB-round() parity when an
+    SQL oracle replays the training loop (the kmeans_train recipe)."""
     spark = df.sparkSession
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
@@ -124,10 +130,10 @@ def train_quality_classifier(
         resid.unpersist()
         g = {r["bucket"]: r["g"] for r in grad_rows}
         w = {
-            b: round(v - lr * (g.get(b, 0.0) / n + l2 * v), round_to)
+            b: rounder(v - lr * (g.get(b, 0.0) / n + l2 * v), round_to)
             for b, v in w.items()
         }
-        bias = round(bias - lr * (bias_g / n + l2 * bias), round_to)
+        bias = rounder(bias - lr * (bias_g / n + l2 * bias), round_to)
     feats.unpersist()
     wdf = spark.createDataFrame(
         [(b, v) for b, v in w.items() if v != 0.0], "bucket long, w double"

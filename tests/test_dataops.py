@@ -1625,6 +1625,52 @@ class TestQualityClassifier:
         ) / len(rows)
         assert acc == 1.0
 
+    def test_half_away_rounder_matches_replay(self, spark):
+        """The driver-row variant rounds weights half-away (DuckDB
+        round() semantics, similarity._round_half_away) instead of
+        python's half-even; the same numpy recipe with that rounder
+        must replay every weight exactly."""
+        import numpy as np
+
+        from fluent_bit_spark.dataops import classifier
+        from fluent_bit_spark.dataops.similarity import _round_half_away
+
+        rows = self._corpus()
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, good boolean"
+        )
+        wdf, bias = classifier.train_quality_classifier(
+            df, "good", buckets=self.B, rounds=2, lr=self.LR,
+            engine="md5", rounder=_round_half_away,
+        )
+        # numpy replay with the half-away rounder
+        import hashlib
+
+        y = np.array([1.0 if lab else 0.0 for _, _, lab in rows])
+        X = np.zeros((len(rows), self.B))
+        for r, (_, text, _) in enumerate(rows):
+            toks = text.split()
+            grams = toks + [" ".join(toks[j:j + 2])
+                            for j in range(len(toks) - 1)]
+            for g in set(grams):
+                X[r, int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    % self.B] = 1.0
+        X = X / np.maximum(X.sum(axis=1, keepdims=True), 1)
+        w = np.zeros(self.B)
+        b = 0.0
+        for _ in range(2):
+            m = X @ w + b
+            res = 1 / (1 + np.exp(-m)) - y
+            w = np.array([
+                _round_half_away(v, 6)
+                for v in w - self.LR * (X.T @ res) / len(y)
+            ])
+            b = _round_half_away(b - self.LR * float(res.mean()), 6)
+        got_w = {r["bucket"]: r["w"] for r in wdf.collect()}
+        for bk in range(self.B):
+            assert abs(got_w.get(bk, 0.0) - w[bk]) < 1e-12, bk
+        assert abs(bias - b) < 1e-12
+
     def test_partition_invariance(self, spark):
         from fluent_bit_spark.dataops import classifier
 
