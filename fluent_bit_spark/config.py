@@ -1580,6 +1580,49 @@ def _apply_filter(
         ]
         return out.select(*df.columns, *added_cols)
 
+    if name == "wasm":
+        # filter_wasm (plugins/filter_wasm/filter_wasm.c config map:
+        # wasm_path, function_name, event_format, accessible_paths,
+        # wasm_heap_size, wasm_stack_size). No WASM runtime exists in
+        # this environment (the reference embeds WAMR), so
+        # function_name resolves against wasm_recipes' migration
+        # registry — a vectorized recipe or an ABI python callback;
+        # unknown names fail at plan time with the migration pointer,
+        # like the plugin's init abort on a missing module. wasm_path
+        # is recorded for the error message only; the WAMR memory
+        # knobs are runtime-only no-ops here.
+        from . import wasm_recipes
+
+        fname = s.get("function_name")
+        if not fname:
+            raise ValueError("[FILTER] wasm requires function_name")
+        fmt = (s.get("event_format", "json")).lower()
+        if fmt not in ("json", "msgpack"):
+            raise ValueError(
+                f"[FILTER] wasm: unknown event_format {fmt!r}")
+        fn, out_schema = wasm_recipes.lookup(fname)
+        df = df.persist()  # both legs (gated/passthrough) read df
+        gated = df.filter(gate)
+        rest = df.filter(~gate)
+        if out_schema is None:
+            out = fn(gated)
+            return rest.unionByName(out, allowMissingColumns=True)
+        # ABI callback: the ts column crosses as an epoch double and
+        # comes back in its original flavor (the filter_lua recipe)
+        work, ts_type = gated, None
+        if "ts" in gated.columns:
+            ts_type = dict(
+                (f.name, f.dataType.simpleString())
+                for f in gated.schema.fields
+            )["ts"]
+            work = gated.withColumn(
+                "ts", F.col("ts").cast("timestamp").cast("double"))
+        out = wasm_recipes.wasm_filter_json(work, fn, out_schema)
+        if ts_type is not None:
+            out = out.withColumn(
+                "ts", F.timestamp_seconds(F.col("ts")).cast(ts_type))
+        return rest.unionByName(out, allowMissingColumns=True)
+
     if name == "expect":
         # filter_expect (flb_filter_expect config map): rule options ->
         # ExpectRule list; action 'exit' raises on the first violating

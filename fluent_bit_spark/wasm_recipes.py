@@ -1,0 +1,314 @@
+"""filter_wasm migration tier — the reference's WASM filters as
+Spark-first recipes, plus a faithful ABI harness for scripts that can't
+be vectorized.
+
+The reference executes user .wasm modules per record
+(plugins/filter_wasm/filter_wasm.c:41-230 cb_wasm_filter,
+src/wasm/flb_wasm.c): the module exports
+``fn(tag, tag_len, time_sec, time_nsec, record, record_len) -> ptr``
+where the record crosses as JSON (event_format json, the default) or
+msgpack (event_format msgpack), NULL / empty-string returns DROP the
+record, a returned JSON object REPLACES the record body, and the
+timestamp + metadata are preserved (filter_wasm.c:172-195). Group
+marker records (OTLP GROUP_START/GROUP_END) pass through untouched
+(filter_wasm.c:117-127).
+
+No WASM runtime exists in this environment (the reference embeds WAMR),
+so this module is the documented migration boundary — the same playbook
+the Lua tier uses (lua_recipes.py), one size smaller:
+
+1. **Vectorized recipes** port every filter the reference's own test
+   suite runs (tests/runtime/filter_wasm.c TEST_LIST, the .go/.rs
+   sources under tests/runtime/wasm/ and examples/filter_wasm_*) onto
+   built-in DataFrame ops — zero python in the hot path, golden-tested
+   against the C tests' own assertions (test_wasm_recipes.py).
+2. **wasm_filter_json** is the quarantined per-record escape hatch for
+   arbitrary logic: the exact cb_wasm_filter JSON-mode loop over Arrow
+   batches, taking the ABI callback as a python function. Like
+   filter_lua's interpreter path, it is the slow lane; anything hot
+   migrates to a recipe.
+3. **register / lookup** wire ``[FILTER] wasm`` configs: function_name
+   resolves against a registry of python callbacks (the migrated form
+   of the .wasm export). An unregistered name fails loudly with the
+   migration table instead of silently passing records through.
+
+Migration table (reference filter -> recipe):
+
+| reference source                              | exported fn            | recipe                |
+|-----------------------------------------------|------------------------|-----------------------|
+| tests/runtime/wasm/go/say_hello.go            | filter_say_hello       | say_hello (identity)  |
+| tests/runtime/wasm/go/append_tag.go           | filter_append_tag      | append_tag            |
+| tests/runtime/wasm/go/drop_record.go          | filter_drop_record     | drop_all              |
+| tests/runtime/wasm/go/modify_record.go        | filter_modify_record   | modify_record         |
+| tests/runtime/wasm/go/numeric_records.go      | filter_numeric_records | numeric_records       |
+| tests/runtime/wasm/rust/filter_rust_mp        | rust_filter_mp         | stringify_and_stamp   |
+| examples/filter_wasm_c/c_filter.c             | c_filter               | envelope_record       |
+| examples/filter_wasm_go/filter.go             | go_filter              | envelope_record       |
+| (group-metadata passthrough, filter_wasm.c)   | —                      | preserve_group_markers|
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# vectorized recipes — the migration targets (all JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def say_hello(df: DataFrame) -> DataFrame:
+    """tests/runtime/wasm/go/say_hello.go filter_say_hello: prints to
+    stdout and returns the record pointer unchanged — record semantics
+    are the identity (the runtime test only checks the record count
+    survives). The stdout side effect has no columnar meaning."""
+    return df
+
+
+def append_tag(
+    df: DataFrame, tag_col: str = "tag", out_key: str = "tag"
+) -> DataFrame:
+    """tests/runtime/wasm/go/append_tag.go filter_append_tag:
+    ``obj.Set("tag", arena.NewString(string(btag)))`` — the record
+    gains a key carrying its stream tag. One JVM projection."""
+    return df.withColumn(out_key, F.col(tag_col))
+
+
+def drop_all(df: DataFrame) -> DataFrame:
+    """tests/runtime/wasm/go/drop_record.go filter_drop_record:
+    ``return nil`` for every record — NULL return drops
+    (filter_wasm.c:172-175; runtime test expects 0 output events).
+    Catalyst folds the constant-false filter to an empty relation."""
+    return df.where(F.lit(False))
+
+
+def modify_record(df: DataFrame, key: str = "modify", value: str = "yes") -> DataFrame:
+    """tests/runtime/wasm/go/modify_record.go filter_modify_record:
+    parse the record JSON, ``obj.Set("modify", "yes")``, re-serialize.
+    Columnar: one added literal; existing columns — including arrays
+    containing nulls, the array_contains_null runtime test's subject —
+    are never touched, so they trivially survive."""
+    return df.withColumn(key, F.lit(value))
+
+
+def numeric_records(df: DataFrame) -> DataFrame:
+    """tests/runtime/wasm/go/numeric_records.go filter_numeric_records:
+    appends two ints, three floats and an exponent-form float. The C
+    test (flb_test_numerics_records) asserts the NUMERIC TYPES that
+    survive the WASM JSON boundary: 10/100 stay integers (no trailing
+    '.'), 10.5/100.5 stay decimals, 3.54789e-3 renders in decimal
+    notation, and 120.0 comes out as the INTEGER 120 — Go fastjson
+    prints a whole float64 with minimal digits ('120') and
+    flb_pack_json re-types it on re-parse (filter_wasm.c:201-204).
+    The recipe encodes that boundary retype explicitly: the truncating
+    column is a long."""
+    return (
+        df.withColumn("wasm_int1", F.lit(10).cast("long"))
+        .withColumn("wasm_int2", F.lit(100).cast("long"))
+        .withColumn("wasm_float1", F.lit(10.5))
+        .withColumn("wasm_float2", F.lit(100.5))
+        # 120.0 crossed the JSON boundary as '120' -> packed as int
+        .withColumn("wasm_truncate_float", F.lit(120).cast("long"))
+        .withColumn("wasm_exp_float", F.lit(3.54789e-3))
+    )
+
+
+def stringify_and_stamp(
+    df: DataFrame, cols: Optional[Sequence[str]] = None, platform: str = "wasm"
+) -> DataFrame:
+    """tests/runtime/wasm/rust/filter_rust_mp/src/lib.rs rust_filter_mp
+    (event_format msgpack): every value is stringified into a BTreeMap
+    and ``platform: "wasm"`` is inserted — the msgpack-mode runtime
+    test checks '"platform":"wasm"'. Columnar: CAST-to-string
+    projections + one literal."""
+    cols = list(cols) if cols is not None else df.columns
+    return df.select(
+        *[F.col(f"`{c}`").cast("string").alias(c) for c in cols]
+    ).withColumn("platform", F.lit(platform))
+
+
+def envelope_record(
+    df: DataFrame,
+    body_cols: Sequence[str],
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    message: str = "Hello, from C!",
+) -> DataFrame:
+    """examples/filter_wasm_c/c_filter.c (and the go_filter example):
+    the filter REPLACES the record with an envelope object
+    ``{"tag": tag, "time": "sec.nsec", "message": ..., "original":
+    <old record>}`` (c_filter.c sprintf, '%lld.%9ld' — nsec printed
+    space-padded to width 9, reproduced via format_string). The old
+    body renders through fb_json_body (flb_utils_write_str escaping)."""
+    from .jsonesc import fb_json_body
+
+    sec = F.floor(F.col(ts_col)).cast("long")
+    nsec = ((F.col(ts_col) - sec) * 1e9).cast("long")
+    return df.select(
+        F.col(tag_col).alias("tag"),
+        F.format_string("%d.%9d", sec, nsec).alias("time"),
+        F.lit(message).alias("message"),
+        fb_json_body(df, list(body_cols)).alias("original"),
+    )
+
+
+def preserve_group_markers(
+    df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    marker_col: str = "__otlp_group",
+) -> DataFrame:
+    """filter_wasm.c:117-127 + the wasm_preserve_otlp_group_metadata
+    runtime test: GROUP_START/GROUP_END records bypass the WASM call
+    and are re-emitted raw; only NORMAL records run the filter. Here a
+    marker row is one with `marker_col` non-null (the otel_envelope
+    convention); transform runs on the rest and the two legs union
+    (allowMissingColumns: filter-added keys are null on markers)."""
+    is_marker = F.col(marker_col).isNotNull()
+    kept = df.filter(is_marker)
+    filtered = transform(df.filter(~is_marker))
+    return kept.unionByName(filtered, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# the ABI escape hatch — arbitrary migrated callbacks, per record
+# ---------------------------------------------------------------------------
+
+
+def wasm_filter_json(
+    df: DataFrame,
+    fn: Callable[[str, int, int, str], Optional[str]],
+    out_schema: str,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The cb_wasm_filter JSON-mode loop (filter_wasm.c:109-230) with
+    the .wasm export replaced by a python callback of the same ABI:
+    ``fn(tag, time_sec, time_nsec, record_json) -> json_str | None``.
+
+    Faithful semantics per record: the body (every column except
+    tag/ts) crosses as a JSON object; ``None`` or ``""`` returns drop
+    the record (filter_wasm.c:172-182); a non-object or unparseable
+    return drops it with the plugin's 'invalid JSON' contract
+    (filter_wasm.c:218-223 skips the commit); otherwise the returned
+    object REPLACES the body while tag and timestamp are preserved
+    (filter_wasm.c:184-195). ``out_schema`` declares the replacement
+    body columns (string 'name type, ...'), exactly like filter_lua's
+    streaming out_schema — keys the callback never sets come out null.
+
+    This is the quarantined slow lane (one python call per record —
+    the reference pays the same per-record WASM invocation); recipes
+    above are the hot path. Runs on Arrow batches via mapInPandas, so
+    the per-batch loop at least amortizes the JVM crossing."""
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_struct = _parse_datatype_string(f"struct<{out_schema}>")
+    out_names = [f.name for f in out_struct.fields]
+    full_schema = (
+        f"{tag_col} string, {ts_col} double, {out_schema}"
+    )
+
+    def _jsonable(v):
+        # Arrow->pandas cells: numpy scalars/arrays and NaN aren't
+        # json.dumps-able; None/NaN cross as JSON null like the
+        # reference's msgpack nil -> JSON null
+        if v is None:
+            return None
+        if isinstance(v, float) and v != v:
+            return None
+        if hasattr(v, "tolist"):
+            return v.tolist()
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                tag = rec.get(tag_col)
+                tsv = rec.get(ts_col)
+                if hasattr(tsv, "timestamp"):
+                    ts = tsv.timestamp()
+                elif tsv is None or tsv != tsv:
+                    ts = 0.0
+                else:
+                    ts = float(tsv)
+                # epoch -> (sec, nsec) without the *1e9 double trap
+                sec = int(ts)
+                nsec = int(round((ts - sec) * 1e9))
+                body = {
+                    k: _jsonable(v)
+                    for k, v in rec.items()
+                    if k not in (tag_col, ts_col)
+                }
+                ret = fn(tag, sec, nsec, json.dumps(body))
+                if ret is None or ret == "":
+                    continue  # NULL / empty: skip record
+                try:
+                    new_body = json.loads(ret)
+                except ValueError:
+                    continue  # invalid JSON: plugin skips the commit
+                if not isinstance(new_body, dict):
+                    continue  # root_type must be an object
+                row = {tag_col: tag, ts_col: ts}
+                for name in out_names:
+                    row[name] = new_body.get(name)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[tag_col, ts_col, *out_names]
+            )
+
+    return df.mapInPandas(run, full_schema)
+
+
+# ---------------------------------------------------------------------------
+# config wiring: [FILTER] wasm function_name registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict = {}
+
+
+def register(function_name: str, fn, out_schema: Optional[str] = None) -> None:
+    """Register the migrated form of a .wasm export under its
+    function_name, so existing ``[FILTER] wasm`` configs resolve. Two
+    shapes: a DataFrame recipe ``fn(df) -> df`` (out_schema None), or
+    an ABI callback ``fn(tag, sec, nsec, json) -> json|None`` with the
+    replacement-body out_schema (runs through wasm_filter_json)."""
+    _REGISTRY[function_name] = (fn, out_schema)
+
+
+def lookup(function_name: str):
+    """Resolve a registered function_name; unknown names fail loudly
+    with the migration pointer (a missing .wasm would abort the
+    reference at init too — flb_filter_wasm init error path)."""
+    if function_name not in _REGISTRY:
+        raise NotImplementedError(
+            f"[FILTER] wasm: no WASM runtime in this environment and "
+            f"function_name={function_name!r} is not registered. "
+            f"Migrate the module: see fluent_bit_spark.wasm_recipes "
+            f"(vectorized recipes for every reference test filter) or "
+            f"wasm_recipes.register() for arbitrary callbacks."
+        )
+    return _REGISTRY[function_name]
+
+
+def apply_wasm_filter(
+    df: DataFrame,
+    function_name: str,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Config-side entry: run the registered migration of a .wasm
+    export over the frame (recipe directly; ABI callback through the
+    wasm_filter_json harness)."""
+    fn, out_schema = lookup(function_name)
+    if out_schema is None:
+        return fn(df)
+    return wasm_filter_json(
+        df, fn, out_schema, tag_col=tag_col, ts_col=ts_col
+    )

@@ -1,0 +1,278 @@
+"""filter_wasm migration tier (wasm_recipes.py): the reference's own
+WASM runtime-test filters (tests/runtime/filter_wasm.c TEST_LIST and the
+.go/.rs sources under tests/runtime/wasm/) ported as vectorized recipes
+and as ABI callbacks through the wasm_filter_json harness, golden-tested
+against the C tests' own assertions. No WASM runtime exists in this
+environment — these tests pin the documented migration boundary."""
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import wasm_recipes
+from fluent_bit_spark.jsonesc import fb_json_body
+
+
+@pytest.fixture()
+def kv_frame(spark):
+    # the runtime tests' input: flb_lib_push '[0, {"key":"val"}]' with
+    # tag test.wasm
+    return spark.createDataFrame(
+        [("test.wasm", 0.0, "val")], "tag string, ts double, key string"
+    )
+
+
+def _render(df, cols):
+    return [r["j"] for r in df.select(fb_json_body(df, cols).alias("j")).collect()]
+
+
+class TestVectorizedRecipes:
+    def test_say_hello_identity(self, kv_frame):
+        # flb_test_helloworld: the record survives unchanged
+        out = wasm_recipes.say_hello(kv_frame)
+        assert out.collect() == kv_frame.collect()
+
+    def test_append_tag(self, kv_frame):
+        # flb_test_append_tag asserts strstr '"tag":"test.wasm"'
+        out = wasm_recipes.append_tag(kv_frame)
+        [j] = _render(out, ["key", "tag"])
+        assert '"tag":"test.wasm"' in j
+
+    def test_drop_all(self, kv_frame):
+        # flb_test_drop_all_records: NULL return for every record -> 0
+        # output events
+        assert wasm_recipes.drop_all(kv_frame).count() == 0
+
+    def test_modify_record_adds_key(self, kv_frame):
+        out = wasm_recipes.modify_record(kv_frame)
+        [j] = _render(out, ["key", "modify"])
+        assert '"modify":"yes"' in j and '"key":"val"' in j
+
+    def test_numeric_records_json_golden(self, kv_frame):
+        # flb_test_numerics_records' exact positive/negative substring
+        # checks on the rendered JSON: ints must NOT grow a '.', floats
+        # must keep their decimals, the exp-form float renders decimal,
+        # and 120.0 comes back as the integer 120 (the JSON-boundary
+        # retype the Go fastjson minimal rendering causes)
+        out = wasm_recipes.numeric_records(kv_frame)
+        cols = ["key", "wasm_int1", "wasm_int2", "wasm_float1",
+                "wasm_float2", "wasm_truncate_float", "wasm_exp_float"]
+        [j] = _render(out, cols)
+        assert '"wasm_int1":10' in j and '"wasm_int1":10.' not in j
+        assert '"wasm_int2":100' in j and '"wasm_int2":100.' not in j
+        assert '"wasm_float1":10.5' in j
+        assert '"wasm_float2":100.5' in j
+        assert '"wasm_exp_float":0.00354' in j
+        assert '"wasm_truncate_float":120' in j
+        assert '"wasm_truncate_float":120.' not in j
+
+    def test_stringify_and_stamp(self, spark):
+        # rust_filter_mp (event_format msgpack): every value
+        # stringified, platform:"wasm" inserted
+        df = spark.createDataFrame(
+            [("t", 1.5, 7, "x")], "tag string, ts double, n long, s string"
+        )
+        out = wasm_recipes.stringify_and_stamp(df)
+        row = out.collect()[0].asDict()
+        assert row["platform"] == "wasm"
+        assert row["n"] == "7" and row["ts"] == "1.5"
+        [j] = _render(out, ["platform"])
+        assert '"platform":"wasm"' in j
+
+    def test_envelope_record(self, spark):
+        # examples/filter_wasm_c/c_filter.c: replace the record with
+        # {tag, "sec.nsec" (%lld.%9ld - width-9 space-padded nsec),
+        # message, original-as-JSON}
+        df = spark.createDataFrame(
+            [("test.wasm", 12.5, "val")], "tag string, ts double, key string"
+        )
+        out = wasm_recipes.envelope_record(df, ["key"]).collect()[0]
+        assert out["tag"] == "test.wasm"
+        assert out["time"] == "12.%9d" % 500000000
+        assert out["message"] == "Hello, from C!"
+        assert out["original"] == '{"key":"val"}'
+
+    def test_preserve_group_markers(self, spark):
+        # filter_wasm.c:117-127 / flb_test_wasm_preserve_otlp_group_
+        # metadata: GROUP_START/END records bypass the filter raw
+        df = spark.createDataFrame(
+            [("start", "m1", None), (None, None, "val"), ("end", "m2", None)],
+            "__otlp_group string, meta string, key string",
+        )
+        out = wasm_recipes.preserve_group_markers(
+            df, lambda d: wasm_recipes.modify_record(d)
+        ).collect()
+        markers = [r for r in out if r["__otlp_group"] is not None]
+        normal = [r for r in out if r["__otlp_group"] is None]
+        assert {r["meta"] for r in markers} == {"m1", "m2"}
+        assert all(r["modify"] is None for r in markers)
+        assert len(normal) == 1 and normal[0]["modify"] == "yes"
+
+
+class TestAbiHarness:
+    """wasm_filter_json: the cb_wasm_filter JSON-mode loop with python
+    callbacks of the exact WASM export ABI."""
+
+    def test_drop_record_abi(self, kv_frame):
+        # drop_record.go: return nil
+        out = wasm_recipes.wasm_filter_json(
+            kv_frame, lambda tag, sec, nsec, rec: None, "key string"
+        )
+        assert out.count() == 0
+
+    def test_append_tag_abi(self, kv_frame):
+        # append_tag.go: obj.Set("tag", btag)
+        def cb(tag, sec, nsec, rec):
+            obj = json.loads(rec)
+            obj["tag_field"] = tag
+            return json.dumps(obj)
+
+        out = wasm_recipes.wasm_filter_json(
+            kv_frame, cb, "key string, tag_field string"
+        ).collect()[0]
+        assert out["tag_field"] == "test.wasm" and out["key"] == "val"
+        assert out["ts"] == 0.0  # timestamp preserved
+
+    def test_null_in_array_survives_roundtrip(self, spark):
+        # modify_record.go / flb_test_array_contains_null: the body
+        # {"hello": [1, null, "world"]} crosses the JSON boundary, the
+        # callback sets modify:yes, and the heterogeneous array with
+        # its null survives byte-identically
+        df = spark.createDataFrame(
+            [("test.wasm", 0.0, json.dumps([1, None, "world"]))],
+            "tag string, ts double, hello string",
+        )
+
+        # the payload is schemaless on the wire: the callback re-renders
+        # the array compactly so the assertion is byte-level
+        def cb2(tag, sec, nsec, rec):
+            obj = json.loads(rec)
+            arr = json.loads(obj["hello"])
+            obj["rendered"] = json.dumps(arr, separators=(",", ":"))
+            obj["modify"] = "yes"
+            return json.dumps(obj)
+
+        out = wasm_recipes.wasm_filter_json(
+            df, cb2, "hello string, rendered string, modify string"
+        ).collect()[0]
+        assert out["rendered"] == '[1,null,"world"]'
+        assert out["modify"] == "yes"
+
+    def test_empty_and_invalid_returns_drop(self, kv_frame):
+        # filter_wasm.c:177-182 (empty string) and 218-223 (invalid
+        # JSON / non-object root): record skipped
+        for ret in ("", "not json", '["array", "root"]', "42"):
+            out = wasm_recipes.wasm_filter_json(
+                kv_frame, lambda *a, _r=ret: _r, "key string"
+            )
+            assert out.count() == 0, ret
+
+    def test_abi_receives_time_split(self, spark):
+        # time_sec/time_nsec split exactly (no *1e9 double loss)
+        df = spark.createDataFrame(
+            [("t", 1700000000.123456789, "v")],
+            "tag string, ts double, key string",
+        )
+        def cb(tag, sec, nsec, rec):
+            return json.dumps({"key": f"{sec}:{nsec}"})
+
+        out = wasm_recipes.wasm_filter_json(df, cb, "key string").collect()[0]
+        sec, nsec = out["key"].split(":")
+        assert sec == "1700000000"
+        assert abs(int(nsec) - 123456789) < 200  # double carries ~ns here
+
+
+class TestConfigWasm:
+    def test_registered_recipe_e2e(self, spark, tmp_path):
+        wasm_recipes.register("filter_append_tag", wasm_recipes.append_tag)
+        conf = textwrap.dedent("""
+        [SERVICE]
+            Flush 1
+
+        [INPUT]
+            Name dummy
+            Tag test.wasm
+            Samples 2
+            Dummy {"key": "val"}
+
+        [FILTER]
+            Name wasm
+            Match test.*
+            wasm_path /ignored/append_tag.wasm
+            function_name filter_append_tag
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 2
+
+    def test_registered_abi_callback_e2e(self, spark, tmp_path):
+        def cb(tag, sec, nsec, rec):
+            obj = json.loads(rec)
+            if obj.get("key") == "drop-me":
+                return None
+            obj["stamped"] = tag
+            return json.dumps(obj)
+
+        wasm_recipes.register("my_filter", cb, out_schema="key string, stamped string")
+        conf = textwrap.dedent("""
+        [SERVICE]
+            Flush 1
+
+        [INPUT]
+            Name dummy
+            Tag test.wasm
+            Samples 2
+            Dummy {"key": "val"}
+
+        [INPUT]
+            Name dummy
+            Tag test.wasm
+            Samples 1
+            Dummy {"key": "drop-me"}
+
+        [FILTER]
+            Name wasm
+            Match test.*
+            function_name my_filter
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["counter_all"] == 2
+        rows = [r.asDict() for r in run.frame.collect()]
+        assert all(r["stamped"] == "test.wasm" for r in rows)
+
+    def test_unknown_function_name_fails_loudly(self, spark, tmp_path):
+        conf = textwrap.dedent("""
+        [SERVICE]
+            Flush 1
+
+        [INPUT]
+            Name dummy
+            Tag test.wasm
+            Samples 1
+            Dummy {"key": "val"}
+
+        [FILTER]
+            Name wasm
+            Match *
+            function_name never_registered_fn
+
+        [OUTPUT]
+            Name counter
+            Match *
+        """)
+        from fluent_bit_spark.config import run_classic_config
+
+        with pytest.raises(NotImplementedError, match="never_registered_fn"):
+            run_classic_config(spark, conf, str(tmp_path / "out"))
