@@ -1,0 +1,172 @@
+"""Stateful-streaming scale check: run `streaming_exact_dedup` over a
+spool 10-50x the test-fixture volume and PROVE the watermark keeps the
+state store bounded (the "~16 bytes/distinct doc within the horizon"
+claim in dataops/dedup.py:99-109), instead of growing with corpus size.
+
+Shape: N docs arrive in event-time order at `rate` docs per event-time
+second, staged as one parquet file per slice (the file source batches
+PER FILE — CLAUDE.md — so mod-times are forced monotone to make slices
+arrive as time-ordered micro-batches). Every consecutive id pair shares
+a text (50% duplicate rate, duplicates ~0s apart in event time), so
+with any sane watermark every re-delivery lands inside the horizon and
+the output is exactly N/2 rows == the batch exact_dedup answer on the
+same spool.
+
+Evidence collected from StreamingQueryProgress.stateOperators:
+  * peak/final numRowsTotal  — must be << distinct keys (horizon-bound)
+  * numRowsRemoved summed    — watermark evictions actually happening
+  * memoryUsedBytes at peak  — measured bytes/state-row (store overhead
+    included; the 16-byte figure is the key+ts payload itself)
+
+Usage: python tools/streaming_state_bench.py [--docs 2000000]
+         [--slices 40] [--rate 10000] [--watermark-sec 10] [--cpus 16]
+Results land in BENCH.md's streaming section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--slices", type=int, default=40)
+    ap.add_argument("--rate", type=int, default=10_000,
+                    help="docs per event-time second")
+    ap.add_argument("--watermark-sec", type=int, default=10)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    os.environ.setdefault("PYTHONPATH", _REPO)
+    from pyspark.sql import SparkSession, functions as F
+
+    from fluent_bit_spark.dataops.dedup import exact_dedup, streaming_exact_dedup
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = f"/tmp/fbs_state_bench_{args.docs}"
+    shutil.rmtree(work, ignore_errors=True)
+    spool = os.path.join(work, "spool")
+    os.makedirs(spool)
+
+    # -- stage: one file per slice, event time monotone across slices --
+    per_slice = args.docs // args.slices
+    assert per_slice % 2 == 0, "pairs must not straddle a slice boundary"
+    base = (
+        spark.range(args.docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # consecutive-id pairs share a text -> 50% duplicates, ~0s apart
+            F.concat(
+                F.lit("crawl body segment "),
+                ((F.col("id") / 2).cast("long") * 2).cast("string"),
+                F.lit(" "),
+                F.sha2(((F.col("id") / 2).cast("long") * 2).cast("string"), 256),
+            ).alias("text"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") / args.rate).cast("long")
+            ).alias("warc_ts"),
+        )
+    )
+    tmp = os.path.join(work, "_stage")
+    for i in range(args.slices):
+        sl = base.filter(
+            (F.col("doc_id") >= i * per_slice)
+            & (F.col("doc_id") < (i + 1) * per_slice)
+        )
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(spool, f"slice_{i:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))  # force arrival order
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    distinct = args.docs // 2
+
+    # -- batch comparator on the identical spool --
+    batch_df = spark.read.parquet(spool)
+    t0 = time.time()
+    batch_rows = exact_dedup(batch_df).count()
+    batch_sec = time.time() - t0
+    assert batch_rows == distinct, (batch_rows, distinct)
+
+    # -- streaming run: one slice per trigger, watermark-bounded state --
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    deduped = streaming_exact_dedup(
+        stream, watermark=f"{args.watermark_sec} seconds"
+    )
+    out = os.path.join(work, "out")
+    t0 = time.time()
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointPath", os.path.join(work, "_ckpt"))
+        .option("checkpointLocation", os.path.join(work, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_sec = time.time() - t0
+
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    states = [p["stateOperators"][0] for p in progress]
+    rows_total = [s["numRowsTotal"] for s in states]
+    peak_rows = max(rows_total)
+    peak_i = rows_total.index(peak_rows)
+    removed = sum(s["numRowsRemoved"] for s in states)
+    out_rows = spark.read.parquet(out).count()
+    assert out_rows == batch_rows, (out_rows, batch_rows)
+
+    print(
+        json.dumps(
+            {
+                "job": "streaming_exact_dedup_state_bound",
+                "docs": args.docs,
+                "distinct_keys": distinct,
+                "slices": args.slices,
+                "event_rate_docs_per_sec": args.rate,
+                "watermark_sec": args.watermark_sec,
+                "batches": len(states),
+                "output_rows": out_rows,
+                "batch_comparator_rows": batch_rows,
+                "counts_equal_batch_vs_stream": True,
+                "peak_state_rows": peak_rows,
+                "final_state_rows": rows_total[-1],
+                "peak_state_frac_of_distinct": round(peak_rows / distinct, 4),
+                "rows_evicted_by_watermark": removed,
+                "peak_state_bytes": states[peak_i]["memoryUsedBytes"],
+                "bytes_per_state_row": round(
+                    states[peak_i]["memoryUsedBytes"] / max(peak_rows, 1), 1
+                ),
+                "stream_sec": round(stream_sec, 2),
+                "stream_docs_per_sec": round(args.docs / stream_sec, 1),
+                "batch_sec": round(batch_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
