@@ -205,6 +205,44 @@ def _ids_word_table(enc: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _byte_fallback_syms(word: Column, byte_base: Optional[int]) -> Column:
+    """Byte-fallback symbol sequence for an out-of-vocab word: its
+    UTF-8 bytes as '<0xNN>' pseudo-symbols (the SentencePiece
+    byte-fallback convention), or as dense ids byte_base+NN when
+    byte_base is given — the standard published-tokenizer answer to
+    frequency-thresholded vocabularies (every string stays encodable;
+    nothing is silently dropped). All codegen: hex() of the UTF-8
+    encoding split into pairs. The pair array sits in transform's
+    ARGUMENT position so hex(encode(word)) evaluates once per word,
+    not once per byte (the lambda-capture re-evaluation rule)."""
+    pairs = F.filter(
+        F.split(
+            F.regexp_replace(
+                F.hex(F.encode(word, "UTF-8")), "(..)", r"$1,"
+            ),
+            ",",
+        ),
+        lambda p: p != F.lit(""),
+    )
+    if byte_base is None:
+        return F.transform(
+            pairs, lambda p: F.concat(F.lit("<0x"), p, F.lit(">"))
+        )
+    return F.transform(
+        pairs, lambda p: F.conv(p, 16, 10).cast("int") + F.lit(byte_base)
+    )
+
+
+def byte_vocab_table(spark, byte_base: int) -> DataFrame:
+    """The 256 byte-fallback vocab rows (sym '<0xNN>', tid
+    byte_base+n) that make a published vocab TOTAL under oov='bytes';
+    union with vocab_table(enc) (whose size is the byte_base)."""
+    return spark.range(256).select(
+        F.format_string("<0x%02X>", F.col("id").cast("int")).alias("sym"),
+        (F.col("id") + byte_base).cast("int").alias("tid"),
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     words: DataFrame,
@@ -213,6 +251,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     broadcast_words: bool = True,
     emit_ids: bool = False,
+    oov: str = "skip",
 ) -> DataFrame:
     """Encode the corpus with a learned merge table: explode (id, pos,
     word), join the (broadcast) encoded word table, re-aggregate the
@@ -223,10 +262,20 @@ def bpe_encode(
     emit_ids=True emits array<int> token ids (vocab_table rank order)
     instead of symbol strings — what a real tokenizer hands the
     training pipeline, and 4-8x less data through the per-document
-    regroup shuffle (the operator's dominant cost at corpus scale)."""
+    regroup shuffle (the operator's dominant cost at corpus scale).
+
+    oov: 'skip' (inner join — a corpus-trained table has no misses)
+    drops words absent from the table; 'bytes' encodes them as their
+    UTF-8 bytes ('<0xNN>' symbols / ids byte_base+NN with byte_base =
+    vocab size, ids 0..V-1 being the learned symbols) — the standard
+    byte-fallback for frequency-thresholded vocabularies."""
     enc = encode_word_table(words, merges)
+    byte_base: Optional[int] = None
     if emit_ids:
-        enc = _ids_word_table(enc, vocab_table(enc))
+        vocab = vocab_table(enc)
+        if oov == "bytes":
+            byte_base = vocab.count()  # vocab-bounded 1-row job
+        enc = _ids_word_table(enc, vocab)
     if broadcast_words:
         enc = F.broadcast(enc)
     pos = (
@@ -238,8 +287,18 @@ def bpe_encode(
         )
         .filter(F.col("word") != "")
     )
+    if oov == "bytes":
+        joined = pos.join(enc, "word", "left").withColumn(
+            "syms",
+            F.coalesce(
+                F.col("syms"),
+                _byte_fallback_syms(F.col("word"), byte_base),
+            ),
+        )
+    else:
+        joined = pos.join(enc, "word")
     return (
-        pos.join(enc, "word")
+        joined
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -298,11 +357,20 @@ def bpe_encode_arrow(
     everything is ~7x slower; JVM-side F.split shipping word ARRAYS
     across Arrow halves throughput and drops 4->16 scaling 0.93->0.69
     - per-word object materialization dominates.) oov: 'skip' drops
-    unknown words (a corpus-trained map has none), 'error' raises."""
+    unknown words (a corpus-trained map has none), 'error' raises,
+    'bytes' emits the word's UTF-8 bytes as '<0xNN>' symbols / dense
+    ids byte_base+NN (byte_base = max map id + 1 == vocab size, the
+    encode_map ids being dense 0..V-1) — identical to
+    bpe_encode(oov='bytes'), property-tested so."""
     spark = df.sparkSession
     bmap = spark.sparkContext.broadcast(dict(enc_map))
     ids_out = not enc_map or isinstance(
         next(iter(enc_map.values()))[0], int
+    )
+    byte_base = (
+        max((max(v) for v in enc_map.values() if v), default=-1) + 1
+        if (oov == "bytes" and ids_out)
+        else None
     )
     tok_t = "array<int>" if ids_out else "array<string>"
     schema = f"{id_col} long, tokens {tok_t}, n_tokens int"
@@ -337,6 +405,12 @@ def bpe_encode_arrow(
                     if t is None:
                         if oov == "error":
                             raise KeyError(w)
+                        if oov == "bytes":
+                            wb = w.encode("utf-8")
+                            if byte_base is not None:
+                                out.extend(byte_base + b for b in wb)
+                            else:
+                                out.extend("<0x%02X>" % b for b in wb)
                         continue
                     out.extend(t)
                 ids_col.append(did)

@@ -129,6 +129,7 @@ def export_corpus(
     n_shards: int = 8,
     seed: int = 0,
     hash_engine: str = "xxhash64",
+    rare_words: str = "drop",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The EXPORT half of the pipeline — cleaned documents in, packed
     training batches out, each stage this package's scale-audited
@@ -163,15 +164,22 @@ def export_corpus(
     validated so ceil(rate) <= 16 (epoch < 16), otherwise (id, 16)
     would alias (id+1, 0) and window spans would silently corrupt.
 
-    min_count > 1 thresholds the BPE word table, and encode then DROPS
-    every sub-threshold word from the packed stream (oov='skip') —
-    deliberate rare-word pruning, surfaced as a dropped_words count in
-    the manifest (one extra row: shard = -1). With min_count == 1 the
+    min_count > 1 thresholds the BPE word table; what happens to
+    sub-threshold words is `rare_words`: 'drop' (default) prunes them
+    from the packed stream (oov='skip'), surfaced as a dropped-count
+    manifest row (shard = -1); 'bytes' keeps them as UTF-8
+    byte-fallback token ids (bpe.bpe_encode_arrow oov='bytes', ids
+    vocab_size..vocab_size+255 — the published-tokenizer convention;
+    nothing is dropped, no -1 row). With min_count == 1 the
     corpus-trained map is total, and encode runs with oov='error' so
     any drop is a bug, not silence.
     """
     from . import bpe, decontam, mixing, packing
 
+    if rare_words not in ("drop", "bytes"):
+        raise ValueError(
+            f"rare_words must be 'drop' or 'bytes'. Got {rare_words!r}"
+        )
     out = df
     if probes is not None:
         grams = decontam.probe_ngrams(
@@ -221,10 +229,14 @@ def export_corpus(
         uid, F.col(id_col), F.col("epoch"), F.col(text_col)
     )
     key_map = keyed.select(id_col, "epoch", "__uid")
+    if min_count <= 1:
+        oov = "error"
+    else:
+        oov = "bytes" if rare_words == "bytes" else "skip"
     enc = bpe.bpe_encode_arrow(
         keyed.select("__uid", text_col), emap,
         text_col=text_col, id_col="__uid",
-        oov="skip" if min_count > 1 else "error",
+        oov=oov,
     ).withColumn(
         "__ord",
         F.xxhash64(F.shiftright(F.col("__uid"), 4),
@@ -242,7 +254,7 @@ def export_corpus(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("n_tokens").alias("n_tokens"),
     )
-    if min_count > 1:
+    if min_count > 1 and rare_words == "drop":
         # surface the rare-word pruning loudly: occurrences of
         # sub-threshold words never reach the packed stream (oov='skip'
         # above). One vocab-bounded word-table aggregate — no second

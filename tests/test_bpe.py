@@ -224,3 +224,67 @@ def test_arrow_encode_java_whitespace_semantics(spark):
     assert jvm == arw
     # the NBSP-joined word is ONE token stream unit, not two words
     assert len(jvm[0]) > 0
+
+
+def test_byte_fallback_paths_agree_and_match_python(spark):
+    """oov='bytes': out-of-vocab words encode as their UTF-8 bytes —
+    ids byte_base+NN with byte_base = vocab size — identically on the
+    JVM left-join path and the arrow broadcast-dict path, including
+    multibyte UTF-8, and equal to the python replay."""
+    train = spark.createDataFrame(
+        [(0, "low lower low"), (1, "new newer new")],
+        "doc_id long, text string",
+    )
+    merges, words = bpe.bpe_train(train, num_merges=4)
+    corpus = spark.createDataFrame(
+        [(0, "low unseen new"), (1, "naïve low"), (2, "低 new")],
+        "doc_id long, text string",
+    )
+    jvm = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.bpe_encode(
+            corpus, words, emit_ids=True, oov="bytes"
+        ).collect()
+    }
+    emap = bpe.encode_map(words)
+    arw = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.bpe_encode_arrow(corpus, emap, oov="bytes").collect()
+    }
+    assert jvm == arw
+    V = max(max(v) for v in emap.values()) + 1
+
+    def py_enc(text):
+        out = []
+        for w in text.split():
+            if w in emap:
+                out.extend(emap[w])
+            else:
+                out.extend(V + b for b in w.encode("utf-8"))
+        return out
+
+    for r in corpus.collect():
+        assert jvm[r["doc_id"]] == py_enc(r["text"])
+    # fallback ids live strictly above the learned vocab
+    flat = [t for toks in jvm.values() for t in toks]
+    assert any(t >= V for t in flat) and all(t < V + 256 for t in flat)
+
+
+def test_byte_fallback_string_symbols(spark):
+    """emit_ids=False + oov='bytes' emits '<0xNN>' pseudo-symbols
+    (uppercase hex, SentencePiece convention); byte_vocab_table
+    enumerates exactly those 256 rows above the given base."""
+    _m, words = bpe.bpe_train(
+        spark.createDataFrame([(0, "aa aa")], "doc_id long, text string"),
+        num_merges=2,
+    )
+    corpus = spark.createDataFrame(
+        [(0, "aa é")], "doc_id long, text string"
+    )
+    out = bpe.bpe_encode(corpus, words, oov="bytes").first()["tokens"]
+    assert list(out[-2:]) == ["<0xC3>", "<0xA9>"]  # é = C3 A9
+    bv = {r["sym"]: r["tid"]
+          for r in bpe.byte_vocab_table(spark, 7).collect()}
+    assert len(bv) == 256
+    assert bv["<0x00>"] == 7 and bv["<0xFF>"] == 262
+    assert bv["<0xC3>"] == 7 + 0xC3

@@ -1821,6 +1821,42 @@ class TestExportCorpus:
         )
         assert -1 not in {r["shard"] for r in manifest1.collect()}
 
+    def test_rare_words_bytes_fallback(self, spark):
+        """rare_words='bytes' keeps sub-threshold words as byte-fallback
+        token ids (above the learned vocab): no shard=-1 drop row, a
+        longer packed stream than drop mode, and every token id inside
+        [0, V+256)."""
+        from fluent_bit_spark.dataops import bpe, corpus
+
+        rows = [(0, "alpha alpha alpha beta"), (1, "alpha alpha gamma"),
+                (2, "alpha beta delta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        p_b, man_b, _k = corpus.export_corpus(
+            docs, num_merges=2, min_count=2, seq_len=4, n_shards=2,
+            rare_words="bytes",
+        )
+        mb = man_b.collect()
+        assert -1 not in {r["shard"] for r in mb}
+        _p_d, man_d, _k2 = corpus.export_corpus(
+            docs, num_merges=2, min_count=2, seq_len=4, n_shards=2,
+        )
+        tok_bytes = sum(r["n_tokens"] for r in mb)
+        tok_drop = sum(
+            r["n_tokens"] for r in man_d.collect() if r["shard"] >= 0
+        )
+        # gamma+delta = 10 fallback bytes -> at least 2 extra windows
+        assert tok_bytes > tok_drop
+        _m, words = bpe.bpe_train(docs, num_merges=2, min_count=2)
+        emap = bpe.encode_map(words)
+        V = max(max(v) for v in emap.values()) + 1
+        flat = [t for r in p_b.collect() for t in r["tokens"]]
+        assert any(t >= V for t in flat) and all(t < V + 256 for t in flat)
+
+        with pytest.raises(ValueError, match="rare_words"):
+            corpus.export_corpus(
+                docs, num_merges=2, seq_len=4, rare_words="keep"
+            )
+
     def test_uid_pack_is_shift_exact(self, spark):
         """__uid = (doc_id << 4) | epoch and its shiftright/bitwiseAND
         recovery are exact at ids past 2^53 (where the old double
