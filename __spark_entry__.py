@@ -1333,13 +1333,18 @@ def _emb_double(spark, sf_dir):
 
 
 def q_sim_ann_topk(spark, sf_dir):
-    """Both ANN paths in one two-mode row: LSH-bucketed top-k (hyperplane
-    sign buckets + exact cosine within bucket) and IVF-cell-restricted
-    top-k (nearest-anchor cells, nprobe probing). Uses md5-derived
-    checkable planes/anchors (similarity.md5_planes/md5_anchors) so the
-    DuckDB oracle replays signatures, cell assignment, probing, and ranks
-    value-for-value; the xxhash64-derived planes and trained k-means
-    anchors are the scale defaults (pytest recall checks)."""
+    """All three ANN paths in one row: LSH-bucketed top-k (hyperplane
+    sign buckets + exact cosine within bucket), IVF-cell-restricted
+    top-k (nearest-anchor cells, nprobe probing), and (round 5) PQ/ADC
+    top-k (similarity.pq_encode/pq_topk — per-subspace nearest-centroid
+    codes, asymmetric-distance scoring through the query's m x ksub
+    lookup table; the original vectors are never read at search time).
+    Uses md5-derived checkable planes/anchors/codebooks
+    (similarity.md5_planes/md5_anchors/md5_codebooks) so the DuckDB
+    oracle replays signatures, cell assignment, probing, sub-code
+    assignment, ADC sums, and ranks value-for-value; xxhash64 planes
+    and trained k-means anchors/codebooks are the scale defaults
+    (pytest recall checks)."""
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     lsh = similarity.lsh_topk(
@@ -1349,7 +1354,11 @@ def q_sim_ann_topk(spark, sf_dir):
         emb, queries, dim=64, k=5, n_cells=8, nprobe=2,
         anchors=similarity.md5_anchors(64, 8),
     ).select(F.lit("ivf").alias("mode"), "query_id", "cand_id", "rank")
-    return lsh.unionByName(ivf)
+    books = similarity.md5_codebooks(64, 8, 8)
+    pq = similarity.pq_topk(
+        similarity.pq_encode(emb, books), queries, books, k=5
+    ).select(F.lit("pq").alias("mode"), "query_id", "cand_id", "rank")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 def q_sim_near_dup(spark, sf_dir):
@@ -1996,14 +2005,23 @@ def _sql_vec(vals) -> str:
 
 
 def _ann_oracle_sql() -> str:
-    """DuckDB replica of q_sim_ann_topk: both modes share the double-cast
-    corpus; the md5-derived plane/anchor components are inlined as
-    literals (similarity.md5_planes/md5_anchors — parameters of the
-    algorithm, regenerable from md5 alone)."""
-    from fluent_bit_spark.dataops.similarity import md5_anchors, md5_planes
+    """DuckDB replica of q_sim_ann_topk: all three modes share the
+    double-cast corpus; the md5-derived plane/anchor/codebook components
+    are inlined as literals (similarity.md5_planes/md5_anchors/
+    md5_codebooks — parameters of the algorithm, regenerable from md5
+    alone). The pq mode replays sub-code assignment (first-max
+    tie-break == Spark's array_position), the per-query LUT arrays, and
+    the ADC score as the same left-to-right + chain over subspace
+    terms, so the float ordering is engine-identical."""
+    from fluent_bit_spark.dataops.similarity import (
+        md5_anchors,
+        md5_codebooks,
+        md5_planes,
+    )
 
     planes = md5_planes(64, 8)
     anchors = md5_anchors(64, 8)
+    books = md5_codebooks(64, 8, 8)
     sig_terms = " + ".join(
         f"(CASE WHEN list_dot_product(v, {_sql_vec(p)}) >= 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -2012,6 +2030,34 @@ def _ann_oracle_sql() -> str:
     score_list = ", ".join(
         f"list_dot_product(v, {_sql_vec(a)}) - {repr(sum(x * x for x in a) / 2.0)}"
         for a in anchors
+    )
+    dsub = 8
+    sc_cols = ", ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}], "
+            f"{_sql_vec(c)}) - {repr(sum(x * x for x in c) / 2.0)}"
+            for c in book
+        )
+        + f"] AS sc{j}"
+        for j, book in enumerate(books)
+    )
+    code_cols = ", ".join(
+        f"list_position(sc{j}, list_max(sc{j})) - 1 AS c{j}"
+        for j in range(len(books))
+    )
+    lut_cols = ", ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}], "
+            f"{_sql_vec(c)})"
+            for c in book
+        )
+        + f"] AS lut{j}"
+        for j, book in enumerate(books)
+    )
+    adc_sum = " + ".join(
+        f"q.lut{j}[c.c{j} + 1]" for j in range(len(books))
     )
     return f"""
         WITH cv AS (
@@ -2054,8 +2100,25 @@ def _ann_oracle_sql() -> str:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos DESC, cand_id ASC) AS rank
               FROM iscored) WHERE rank <= 5
+        ), pquant AS (
+            SELECT vec_id, v, {sc_cols} FROM cv
+        ), pcodes AS (
+            SELECT vec_id AS cand_id, {code_cols} FROM pquant
+        ), plut AS (
+            SELECT vec_id AS query_id, {lut_cols} FROM cv
+            WHERE vec_id < 5
+        ), pscored AS (
+            SELECT q.query_id, c.cand_id, {adc_sum} AS score
+            FROM plut q, pcodes c WHERE c.cand_id != q.query_id
+        ), pq AS (
+            SELECT 'pq' AS mode, query_id, cand_id, rank FROM (
+              SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, cand_id ASC) AS rank
+              FROM pscored) WHERE rank <= 5
         )
         SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+        UNION ALL SELECT * FROM pq
     """
 
 

@@ -1880,3 +1880,128 @@ class TestExportCorpus:
             s["doc_id"] for r in packed.collect() for s in r["doc_spans"]
         }
         assert span_ids <= set(uids.values())
+
+
+class TestProductQuantization:
+    """PQ / IVF-PQ (Jégou et al. 2011): compressed ANN — exact python
+    replay of encode + ADC scoring on md5 codebooks, trained-codebook
+    recall on planted clusters, and the IVF-PQ composition."""
+
+    DIM, M, KSUB = 64, 8, 8
+
+    @staticmethod
+    def _emb_double(emb):
+        return emb.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        )
+
+    def _py_codes(self, v, books):
+        codes = []
+        for j, book in enumerate(books):
+            dsub = len(book[0])
+            sub = v[j * dsub:(j + 1) * dsub]
+            best, bs = 0, None
+            for ci, c in enumerate(book):
+                acc = 0.0
+                for x, y in zip(sub, c):
+                    acc = acc + x * y
+                s = acc - sum(w * w for w in c) / 2.0
+                if bs is None or s > bs:  # first max wins ties
+                    best, bs = ci, s
+            codes.append(best)
+        return codes
+
+    def test_pq_encode_python_oracle(self, emb):
+        books = similarity.md5_codebooks(self.DIM, self.M, self.KSUB)
+        df = self._emb_double(emb).limit(60)
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+        got = {
+            r["vec_id"]: list(r["pq_codes"])
+            for r in similarity.pq_encode(df, books).collect()
+        }
+        for vid, v in vecs.items():
+            assert got[vid] == self._py_codes(v, books), vid
+
+    def test_pq_topk_python_oracle(self, emb):
+        books = similarity.md5_codebooks(self.DIM, self.M, self.KSUB)
+        df = self._emb_double(emb).limit(60)
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+        queries = df.filter(F.col("vec_id") < 3)
+        got = similarity.pq_topk(
+            similarity.pq_encode(df, books), queries, books, k=5
+        ).collect()
+
+        def adc(qv, codes):
+            score = None
+            for j, book in enumerate(books):
+                dsub = len(book[0])
+                sub = qv[j * dsub:(j + 1) * dsub]
+                acc = 0.0
+                for x, y in zip(sub, book[codes[j]]):
+                    acc = acc + x * y
+                score = acc if score is None else score + acc
+            return score
+
+        codes = {vid: self._py_codes(v, books) for vid, v in vecs.items()}
+        import math
+        for q in (0, 1, 2):
+            scored = sorted(
+                ((adc(vecs[q], codes[c]), -c) for c in vecs if c != q),
+                reverse=True,
+            )
+            want = [(-c, s) for s, c in scored[:5]]
+            rows = sorted(
+                (r["rank"], r["cand_id"], r["score"])
+                for r in got if r["query_id"] == q
+            )
+            assert [r[1] for r in rows] == [w[0] for w in want]
+            for (rk, cid, s), (wc, ws) in zip(rows, want):
+                assert math.isclose(s, ws, rel_tol=0, abs_tol=0), (q, cid)
+
+    def test_pq_trained_recall_on_planted_clusters(self, spark):
+        import random
+
+        rng = random.Random(11)
+        centers = [
+            [4.0 if d % 4 == c else 0.0 for d in range(8)] for c in range(4)
+        ]
+        rows = [
+            (i, [v + rng.uniform(-0.2, 0.2) for v in centers[i % 4]])
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = similarity.pq_train(df, dim=8, m=4, ksub=4, iters=6)
+        assert len(books) == 4 and all(len(b) == 4 for b in books)
+        q = df.filter(F.col("vec_id") < 4)
+        top = similarity.pq_topk(
+            similarity.pq_encode(df, books), q, books, k=5
+        ).collect()
+        # quantized scoring still ranks in-cluster mates first
+        hits = sum(1 for r in top if r["cand_id"] % 4 == r["query_id"] % 4)
+        assert hits >= 0.8 * len(top), hits
+
+    def test_ivfpq_cluster_bound_and_composition(self, spark):
+        import random
+
+        rng = random.Random(13)
+        centers = [
+            [5.0 if d % 4 == c else 0.0 for d in range(8)] for c in range(4)
+        ]
+        rows = [
+            (i, [v + rng.uniform(-0.25, 0.25) for v in centers[i % 4]])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 4)
+        top = similarity.ivfpq_topk(
+            df, q, dim=8, k=5, n_cells=4, nprobe=1, m=4, ksub=4
+        ).collect()
+        assert len(top) == 20
+        # nprobe=1 with trained cells: every neighbor is a cluster mate
+        for r in top:
+            assert r["cand_id"] % 4 == r["query_id"] % 4
+        per_q = {}
+        for r in top:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
