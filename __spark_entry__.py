@@ -1220,7 +1220,58 @@ def q_corpus_mix(spark, sf_dir):
         F.lit(1).cast("long").alias("n"),
         F.round("logw", 4).alias("v"),
     )
-    return m.unionByName(d)
+    # mode 'export' (round 5): the FULL export composition
+    # (corpus.export_corpus) driver-checked end-to-end — the same mix
+    # (identical rates/seed/md5 draws as mode 'mix'), BPE trained on
+    # the MIXED corpus (4 vocab-bounded rounds), the zero-shuffle arrow
+    # encode emitting token IDS (vocab_table's dense sym-rank
+    # bijection), md5-60 hash-shuffled pack order (hash_engine='md5' —
+    # the xxhash64 order is the scale default), and 128-token
+    # drop_last windows. One row per packed window: md5 of the
+    # \x01-joined token-id stream + \x02 + the comma-joined
+    # uid:start:len span list, the window's token count, and its span
+    # count — so the mix selection, the learned merges, the id
+    # bijection, global offsets, boundary splits, and span metadata
+    # are all value-checked in one composed replay.
+    from fluent_bit_spark.dataops import corpus as corpus_ops
+
+    packed, _manifest, _km = corpus_ops.export_corpus(
+        docs.select("doc_id", "text", "lang"),
+        rates={"en": 0.5, "fr": 2.25, "zh": 0.0}, rate_key_col="lang",
+        num_merges=4, seq_len=128, n_shards=4, seed=0,
+        hash_engine="md5",
+    )
+    spans = F.array_join(
+        F.transform(
+            F.col("doc_spans"),
+            lambda s: F.concat_ws(
+                ":",
+                s.getField("doc_id").cast("string"),
+                s.getField("start").cast("string"),
+                s.getField("len").cast("string"),
+            ),
+        ),
+        ",",
+    )
+    x = packed.select(
+        F.lit("export").alias("mode"),
+        F.md5(
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.col("tokens"), lambda t: t.cast("string")
+                    ),
+                    "\x01",
+                ),
+                F.lit("\x02"),
+                spans,
+            )
+        ).alias("key"),
+        F.col("seq_id").alias("k"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.col("n_docs").cast("double").alias("v"),
+    )
+    return m.unionByName(d).unionByName(x)
 
 
 def q_bpe_tokenize(spark, sf_dir):
@@ -2368,6 +2419,208 @@ GROUP BY seq
     )
 
 
+def _corpus_mix_oracle_sql(num_merges: int = 4, L: int = 128) -> str:
+    """DuckDB replica of q_corpus_mix, all three modes. 'mix'/'dsir'
+    are the original replays (md5 draws / bucket models + Gumbel).
+    'export' (round 5) composes the full export_corpus pipeline on top
+    of the SAME mix CTEs: BPE trained on the mixed corpus (word counts
+    weighted by copy count; the _bpe_oracle_sql argmax + recursive-CTE
+    fold machinery), the vocab_table dense sym-rank id bijection,
+    per-copy streams keyed uid = doc_id*16 + epoch, md5-60 pack order,
+    exclusive prefix-sum offsets, and 128-token drop_last window
+    reassembly with uid:start:len span lists."""
+    base = r"""
+r AS (
+    SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.25
+                     WHEN 'zh' THEN 0.0 ELSE 1.0 END AS rate,
+           CAST('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(1) || '0'), 1, 8)
+               AS UBIGINT) / 4294967296.0 AS d
+    FROM documents
+),
+k AS (
+    SELECT doc_id, lang,
+           CAST(floor(rate) AS INT)
+           + CASE WHEN d < rate - floor(rate) THEN 1 ELSE 0 END
+               AS n
+    FROM r
+),
+e AS (
+    SELECT doc_id, lang, u.e AS epoch
+    FROM k, LATERAL unnest(
+        generate_series(0, CAST(n AS BIGINT) - 1, 1)) AS u(e)
+    WHERE n > 0
+),
+-- mode 'dsir': hashed-ngram bucket models + Gumbel top-k
+toksrc AS (
+    SELECT doc_id, list_filter(
+        string_split_regex(trim(lower(text)), '\s+'),
+        x -> x != '') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, g FROM toksrc, UNNEST(toks) AS t(g)
+    UNION ALL
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+    FROM toksrc, UNNEST(range(1, len(toks))) AS t(i)
+),
+feat_r AS MATERIALIZED (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+               % 512 AS b,
+           COUNT(*) AS cnt
+    FROM grams GROUP BY 1, 2
+),
+ct AS (SELECT b, SUM(cnt) AS c FROM feat_r
+       WHERE doc_id % 37 = 0 GROUP BY b),
+cr AS (SELECT b, SUM(cnt) AS c FROM feat_r GROUP BY b),
+lp AS (
+    SELECT gs.b,
+           ln((COALESCE(ct.c, 0) + 1.0)
+              / ((SELECT SUM(c) FROM ct) + 512.0))
+           - ln((COALESCE(cr.c, 0) + 1.0)
+                / ((SELECT SUM(c) FROM cr) + 512.0)) AS ratio
+    FROM (SELECT UNNEST(range(0, 512)) AS b) gs
+    LEFT JOIN ct ON gs.b = ct.b
+    LEFT JOIN cr ON gs.b = cr.b
+),
+w AS (
+    SELECT f.doc_id, SUM(f.cnt * lp.ratio) AS logw
+    FROM feat_r f JOIN lp ON f.b = lp.b GROUP BY 1
+),
+scored AS (
+    SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw,
+           COALESCE(w.logw, 0.0) - ln(-ln(GREATEST(
+               CAST('0x' || substr(md5(
+                   CAST(d.doc_id AS VARCHAR) || chr(1) || '3'
+               ), 1, 8) AS UBIGINT) / 4294967296.0,
+               1e-12))) AS score
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+),
+sel AS (
+    SELECT doc_id, logw FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 120
+),
+-- mode 'export': BPE on the MIXED corpus (counts weighted by copies)
+mwt AS (
+  SELECT w2 AS word, SUM(cp) AS cnt FROM (
+    SELECT d.text, k2.n AS cp
+    FROM documents d JOIN k k2 ON d.doc_id = k2.doc_id WHERE k2.n > 0
+  ) s, UNNEST(string_split_regex(s.text, '\s+')) AS u(w2)
+  WHERE w2 <> '' GROUP BY 1
+),
+xwords_0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1), j -> word[j])
+           || ['</w>'] AS syms
+  FROM mwt
+)"""
+    parts = [base]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"""
+xpairs_{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS c
+  FROM xwords_{i - 1}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+xmerge_{i} AS MATERIALIZED (
+  SELECT l, r, c FROM xpairs_{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+xfold_{i} AS (
+  SELECT word, cnt, syms, 1 AS i, [syms[1]] AS acc, m.l AS ml, m.r AS mr
+  FROM xwords_{i - 1}, xmerge_{i} m
+  UNION ALL
+  SELECT word, cnt, syms, i + 1,
+    CASE WHEN acc[-1] = ml AND syms[i + 1] = mr
+         THEN acc[:-2] || [acc[-1] || syms[i + 1]]
+         ELSE acc || [syms[i + 1]] END, ml, mr
+  FROM xfold_{i} WHERE i < len(syms)
+),
+xwords_{i} AS MATERIALIZED (
+  SELECT word, cnt, acc AS syms FROM xfold_{i} WHERE i = len(syms)
+)"""
+        )
+    tail = f"""
+xvocab AS (
+  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS tid
+  FROM (SELECT DISTINCT UNNEST(syms) AS sym FROM xwords_{num_merges})
+),
+xwid AS MATERIALIZED (
+  SELECT word, list(tid ORDER BY pos) AS ids FROM (
+    SELECT p.word, p.pos, v.tid
+    FROM (SELECT word, t.i AS pos, syms[t.i] AS sym
+          FROM xwords_{num_merges},
+               UNNEST(range(1, len(syms) + 1)) AS t(i)) p
+    JOIN xvocab v USING (sym)
+  ) GROUP BY word
+),
+xdoc AS MATERIALIZED (
+  SELECT u.doc_id, flatten(list(w2.ids ORDER BY u.i)) AS toks
+  FROM (
+    SELECT doc_id, ws[i] AS word, i
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+          FROM documents),
+         UNNEST(range(1, len(ws) + 1)) AS t(i)
+    WHERE ws[i] <> ''
+  ) u JOIN xwid w2 USING (word)
+  GROUP BY u.doc_id
+),
+xuid AS (
+  SELECT e.doc_id * 16 + e.epoch AS uid,
+         CAST('0x' || substr(md5(CAST(e.doc_id AS VARCHAR) || chr(1)
+              || CAST(e.epoch AS VARCHAR) || chr(1) || '0'), 1, 15)
+              AS BIGINT) AS ord,
+         d.toks
+  FROM e JOIN xdoc d ON d.doc_id = e.doc_id
+  WHERE len(d.toks) > 0
+),
+xoff AS (
+  SELECT uid, toks, len(toks) AS n,
+         CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY ord, uid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM xuid
+),
+xslc AS (
+  SELECT t.s AS seq,
+         GREATEST(off, t.s * {L}) - t.s * {L} AS pos,
+         uid,
+         toks[CAST(GREATEST(off, t.s * {L}) - off + 1 AS BIGINT)
+              :CAST(LEAST(off + n, (t.s + 1) * {L}) - off AS BIGINT)]
+           AS piece
+  FROM xoff,
+       UNNEST(range(off // {L}, (off + n - 1) // {L} + 1)) AS t(s)
+)
+SELECT 'mix' AS mode, lang AS key, epoch AS k,
+       COUNT(*) AS n, CAST(SUM(doc_id) AS DOUBLE) AS v
+FROM e GROUP BY lang, epoch
+UNION ALL
+SELECT 'dsir' AS mode, CAST(doc_id AS VARCHAR) AS key,
+       doc_id AS k, 1 AS n, round(logw, 4) AS v
+FROM sel
+UNION ALL
+SELECT 'export' AS mode,
+       md5(list_aggregate(
+             list_transform(flatten(list(piece ORDER BY pos)),
+                            x -> CAST(x AS VARCHAR)),
+             'string_agg', chr(1))
+           || chr(2)
+           || list_aggregate(
+                list(CAST(uid AS VARCHAR) || ':'
+                     || CAST(pos AS VARCHAR) || ':'
+                     || CAST(len(piece) AS VARCHAR) ORDER BY pos),
+                'string_agg', ',')) AS key,
+       CAST(seq AS BIGINT) AS k,
+       CAST(SUM(len(piece)) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) AS v
+FROM xslc GROUP BY seq
+HAVING SUM(len(piece)) = {L}
+"""
+    return "WITH RECURSIVE " + ",".join(parts) + "," + tail
+
+
 def oracle_sql() -> dict[str, str]:
     tag = _TAG_SQL
     ep = _EPOCH_SQL
@@ -2648,87 +2901,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'tag' AS mode, event_id AS eid FROM events
             WHERE regexp_matches({tag}, '^click\\..*$')
         """,
-        "corpus_mix": """
-            WITH r AS (
-                SELECT doc_id, lang,
-                       CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.25
-                                 WHEN 'zh' THEN 0.0 ELSE 1.0 END AS rate,
-                       CAST('0x' || substr(md5(
-                           CAST(doc_id AS VARCHAR) || chr(1) || '0'), 1, 8)
-                           AS UBIGINT) / 4294967296.0 AS d
-                FROM documents
-            ),
-            k AS (
-                SELECT doc_id, lang,
-                       CAST(floor(rate) AS INT)
-                       + CASE WHEN d < rate - floor(rate) THEN 1 ELSE 0 END
-                           AS n
-                FROM r
-            ),
-            e AS (
-                SELECT doc_id, lang, u.e AS epoch
-                FROM k, LATERAL unnest(
-                    generate_series(0, CAST(n AS BIGINT) - 1, 1)) AS u(e)
-                WHERE n > 0
-            ),
-            -- mode 'dsir': hashed-ngram bucket models + Gumbel top-k
-            toksrc AS (
-                SELECT doc_id, list_filter(
-                    string_split_regex(trim(lower(text)), '\\s+'),
-                    x -> x != '') AS toks
-                FROM documents
-            ),
-            grams AS (
-                SELECT doc_id, g FROM toksrc, UNNEST(toks) AS t(g)
-                UNION ALL
-                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
-                FROM toksrc, UNNEST(range(1, len(toks))) AS t(i)
-            ),
-            feat_r AS MATERIALIZED (
-                SELECT doc_id,
-                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
-                           % 512 AS b,
-                       COUNT(*) AS cnt
-                FROM grams GROUP BY 1, 2
-            ),
-            ct AS (SELECT b, SUM(cnt) AS c FROM feat_r
-                   WHERE doc_id % 37 = 0 GROUP BY b),
-            cr AS (SELECT b, SUM(cnt) AS c FROM feat_r GROUP BY b),
-            lp AS (
-                SELECT gs.b,
-                       ln((COALESCE(ct.c, 0) + 1.0)
-                          / ((SELECT SUM(c) FROM ct) + 512.0))
-                       - ln((COALESCE(cr.c, 0) + 1.0)
-                            / ((SELECT SUM(c) FROM cr) + 512.0)) AS ratio
-                FROM (SELECT UNNEST(range(0, 512)) AS b) gs
-                LEFT JOIN ct ON gs.b = ct.b
-                LEFT JOIN cr ON gs.b = cr.b
-            ),
-            w AS (
-                SELECT f.doc_id, SUM(f.cnt * lp.ratio) AS logw
-                FROM feat_r f JOIN lp ON f.b = lp.b GROUP BY 1
-            ),
-            scored AS (
-                SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw,
-                       COALESCE(w.logw, 0.0) - ln(-ln(GREATEST(
-                           CAST('0x' || substr(md5(
-                               CAST(d.doc_id AS VARCHAR) || chr(1) || '3'
-                           ), 1, 8) AS UBIGINT) / 4294967296.0,
-                           1e-12))) AS score
-                FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
-            ),
-            sel AS (
-                SELECT doc_id, logw FROM scored
-                ORDER BY score DESC, doc_id ASC LIMIT 120
-            )
-            SELECT 'mix' AS mode, lang AS key, epoch AS k,
-                   COUNT(*) AS n, CAST(SUM(doc_id) AS DOUBLE) AS v
-            FROM e GROUP BY lang, epoch
-            UNION ALL
-            SELECT 'dsir' AS mode, CAST(doc_id AS VARCHAR) AS key,
-                   doc_id AS k, 1 AS n, round(logw, 4) AS v
-            FROM sel
-        """,
+        "corpus_mix": _corpus_mix_oracle_sql(),
         "enrich_broadcast": """
             SELECT 'seg' AS mode, c.c_mktsegment AS key, COUNT(*) AS n,
                    round(SUM(e.value), 4) AS sv

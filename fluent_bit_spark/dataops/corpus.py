@@ -158,7 +158,9 @@ def export_corpus(
     original document behind every span (join on __uid); manifest =
     per-shard window/token counts. Pack order: __ord =
     xxhash64(doc_id, epoch, seed) — hash-shuffled and restart-stable —
-    with __uid = (doc_id << 4) | epoch as pack_token_windows' tie
+    (hash_engine='md5' swaps in the md5-60 DuckDB-checkable hash, the
+    corpus_mix driver row's 'export' mode) with __uid =
+    (doc_id << 4) | epoch as pack_token_windows' tie
     column, so the composite (__ord, __uid) stays total even across
     xxhash64 collisions. __uid packs epoch into 4 bits; mix rates are
     validated so ceil(rate) <= 16 (epoch < 16), otherwise (id, 16)
@@ -233,16 +235,34 @@ def export_corpus(
         oov = "error"
     else:
         oov = "bytes" if rare_words == "bytes" else "skip"
+    if hash_engine == "md5":
+        # DuckDB-checkable order: first 15 hex chars of
+        # md5('doc_id\x01epoch\x01seed') as a 60-bit BIGINT — the
+        # dedup.md5_hash60 convention, replayable as
+        # CAST('0x' || substr(md5(...), 1, 15) AS BIGINT).
+        ordc = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "\x01",
+                    F.shiftright(F.col("__uid"), 4).cast("string"),
+                    F.col("__uid").bitwiseAND(F.lit(15)).cast("string"),
+                    F.lit(str(seed)),
+                )),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    else:
+        ordc = F.xxhash64(
+            F.shiftright(F.col("__uid"), 4),
+            F.col("__uid").bitwiseAND(F.lit(15)).cast("long"),
+            F.lit(seed),
+        )
     enc = bpe.bpe_encode_arrow(
         keyed.select("__uid", text_col), emap,
         text_col=text_col, id_col="__uid",
         oov=oov,
-    ).withColumn(
-        "__ord",
-        F.xxhash64(F.shiftright(F.col("__uid"), 4),
-                   F.col("__uid").bitwiseAND(F.lit(15)).cast("long"),
-                   F.lit(seed)),
-    )
+    ).withColumn("__ord", ordc)
     packed = packing.pack_token_windows(
         enc, seq_len, id_col="__uid", order_col="__ord",
         block=1 << 45, drop_last=True,

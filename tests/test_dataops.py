@@ -1821,6 +1821,37 @@ class TestExportCorpus:
         )
         assert -1 not in {r["shard"] for r in manifest1.collect()}
 
+    def test_md5_order_engine(self, spark):
+        """hash_engine='md5' (the corpus_mix 'export' driver mode's
+        checkable order) is deterministic across partitionings and
+        packs the same token multiset as the xxhash64 default — only
+        the shuffle order differs."""
+        from fluent_bit_spark.dataops import corpus
+
+        docs = self._docs(spark)
+        a, _m, _k = corpus.export_corpus(
+            docs, num_merges=3, seq_len=32, n_shards=2, seed=1,
+            hash_engine="md5",
+        )
+        b, _m2, _k2 = corpus.export_corpus(
+            docs.repartition(7), num_merges=3, seq_len=32, n_shards=2,
+            seed=1, hash_engine="md5",
+        )
+        ra = sorted((r["seq_id"], tuple(r["tokens"])) for r in a.collect())
+        rb = sorted((r["seq_id"], tuple(r["tokens"])) for r in b.collect())
+        assert ra == rb and len(ra) > 0
+        # vs the xxhash64 default: same window count and token total
+        # (floor(T/seq_len) is order-invariant; the dropped tail's
+        # CONTENTS legitimately differ between shuffle orders)
+        x, _m3, _k3 = corpus.export_corpus(
+            docs, num_merges=3, seq_len=32, n_shards=2, seed=1,
+        )
+        rx = x.collect()
+        assert len(rx) == len(ra)
+        assert sum(r["n_tokens"] for r in rx) == sum(
+            len(toks) for _s, toks in ra
+        )
+
     def test_rare_words_bytes_fallback(self, spark):
         """rare_words='bytes' keeps sub-threshold words as byte-fallback
         token ids (above the learned vocab): no shard=-1 drop row, a
