@@ -268,7 +268,11 @@ def bpe_encode(
     drops words absent from the table; 'bytes' encodes them as their
     UTF-8 bytes ('<0xNN>' symbols / ids byte_base+NN with byte_base =
     vocab size, ids 0..V-1 being the learned symbols) — the standard
-    byte-fallback for frequency-thresholded vocabularies."""
+    byte-fallback for frequency-thresholded vocabularies; 'error'
+    raises at execution on the first unknown word (raise_error on the
+    left-join miss branch — the bpe_encode_arrow contract)."""
+    if oov not in ("skip", "bytes", "error"):
+        raise ValueError(f"oov must be skip|bytes|error. Got {oov!r}")
     enc = encode_word_table(words, merges)
     byte_base: Optional[int] = None
     if emit_ids:
@@ -294,6 +298,18 @@ def bpe_encode(
                 F.col("syms"),
                 _byte_fallback_syms(F.col("word"), byte_base),
             ),
+        )
+    elif oov == "error":
+        joined = pos.join(enc, "word", "left").withColumn(
+            "syms",
+            F.when(
+                F.col("syms").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("bpe_encode: unknown word "), F.col("word")
+                    )
+                ),
+            ).otherwise(F.col("syms")),
         )
     else:
         joined = pos.join(enc, "word")
@@ -362,6 +378,8 @@ def bpe_encode_arrow(
     ids byte_base+NN (byte_base = max map id + 1 == vocab size, the
     encode_map ids being dense 0..V-1) — identical to
     bpe_encode(oov='bytes'), property-tested so."""
+    if oov not in ("skip", "bytes", "error"):
+        raise ValueError(f"oov must be skip|bytes|error. Got {oov!r}")
     spark = df.sparkSession
     bmap = spark.sparkContext.broadcast(dict(enc_map))
     ids_out = not enc_map or isinstance(

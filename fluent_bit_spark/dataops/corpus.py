@@ -236,22 +236,19 @@ def export_corpus(
     else:
         oov = "bytes" if rare_words == "bytes" else "skip"
     if hash_engine == "md5":
-        # DuckDB-checkable order: first 15 hex chars of
-        # md5('doc_id\x01epoch\x01seed') as a 60-bit BIGINT — the
-        # dedup.md5_hash60 convention, replayable as
-        # CAST('0x' || substr(md5(...), 1, 15) AS BIGINT).
-        ordc = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(
-                    "\x01",
-                    F.shiftright(F.col("__uid"), 4).cast("string"),
-                    F.col("__uid").bitwiseAND(F.lit(15)).cast("string"),
-                    F.lit(str(seed)),
-                )),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long")
+        # DuckDB-checkable order: dedup.md5_hash60 over
+        # 'doc_id\x01epoch\x01seed' (60-bit BIGINT, replayable as
+        # CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)).
+        from .dedup import md5_hash60
+
+        ordc = md5_hash60(
+            F.concat_ws(
+                "\x01",
+                F.shiftright(F.col("__uid"), 4).cast("string"),
+                F.col("__uid").bitwiseAND(F.lit(15)).cast("string"),
+                F.lit(str(seed)),
+            )
+        )
     else:
         ordc = F.xxhash64(
             F.shiftright(F.col("__uid"), 4),

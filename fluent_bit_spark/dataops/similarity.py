@@ -238,20 +238,32 @@ def ivf_train_anchors(
     x = np.asarray([r[0] for r in rows], dtype="float64")
     if len(x) < n_cells:
         raise ValueError(f"need >= {n_cells} vectors to train, got {len(x)}")
-    # first-k distinct rows as init (deterministic)
+    centers = _kmeans_fit(x, n_cells, iters)
+    return [[float(v) for v in c] for c in centers]
+
+
+def _kmeans_fit(x, k: int, iters: int):
+    """Driver-side deterministic Lloyd's k-means over a bounded numpy
+    sample — the shared body of ivf_train_anchors and pq_train:
+    first-k DISTINCT rows as init (first occurrence order), fixed
+    iteration count, empty clusters keep their centroid, no RNG."""
+    import numpy as np
+
+    if x.ndim != 2 or len(x) < k:
+        raise ValueError(f"need >= {k} sample vectors, got {len(x)}")
     _, first_idx = np.unique(x, axis=0, return_index=True)
-    init_idx = np.sort(first_idx)[:n_cells]
-    if len(init_idx) < n_cells:
-        raise ValueError("fewer distinct vectors than cells")
+    init_idx = np.sort(first_idx)[:k]
+    if len(init_idx) < k:
+        raise ValueError("fewer distinct vectors than clusters")
     centers = x[init_idx].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(n_cells):
+        for c in range(k):
             members = x[assign == c]
             if len(members):
                 centers[c] = members.mean(axis=0)
-    return [[float(v) for v in c] for c in centers]
+    return centers
 
 
 def _anchor_scores(vec: Column, dim: int, n_cells: int, anchors) -> list[Column]:
@@ -629,6 +641,8 @@ def md5_codebooks(
     md5-derived components each (the md5_anchors analogue — a DuckDB
     oracle regenerates them from md5 alone); pq_train is the trained
     scale default."""
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     dsub = dim // m
     return [
         [[_md5_unit(f"{tag}{j}", c, t) for t in range(dsub)]
@@ -648,10 +662,13 @@ def pq_train(
     round_to: int = 6,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: per-subspace k-means over a BOUNDED sample
-    (driver numpy — the codebooks are tiny, m*ksub*(dim/m) floats, the
-    ivf_train_anchors boundedness argument; encoding of the full corpus
-    stays distributed via pq_encode). Deterministic: first-ksub distinct
-    init per subspace, fixed iterations, half-away centroid rounding."""
+    (driver numpy — the codebooks are tiny, m*ksub*(dim/m) floats; the
+    ivf_train_anchors bounded-sample convention, including its
+    limit(sample_n) draw, whose composition is partition-layout
+    dependent when the corpus exceeds sample_n — pin the sample
+    upstream if bit-identical codebooks across layouts matter).
+    Given the sample: deterministic — first-ksub distinct init per
+    subspace (_kmeans_fit), fixed iterations, half-away rounding."""
     import numpy as np
 
     if dim % m:
@@ -659,23 +676,11 @@ def pq_train(
     dsub = dim // m
     rows = df.select(F.col(vec_col)).limit(sample_n).collect()
     x = np.asarray([r[0] for r in rows], dtype="float64")
+    if x.ndim != 2 or len(x) < ksub:
+        raise ValueError(f"need >= {ksub} sample vectors, got {len(x)}")
     books = []
     for j in range(m):
-        xs = x[:, j * dsub:(j + 1) * dsub]
-        _, first_idx = np.unique(xs, axis=0, return_index=True)
-        init_idx = np.sort(first_idx)[:ksub]
-        if len(init_idx) < ksub:
-            raise ValueError(
-                f"subspace {j}: fewer than ksub={ksub} distinct subvectors"
-            )
-        centers = xs[init_idx].copy()
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                members = xs[assign == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
+        centers = _kmeans_fit(x[:, j * dsub:(j + 1) * dsub], ksub, iters)
         books.append(
             [[_round_half_away(float(v), round_to) for v in cc]
              for cc in centers]
@@ -683,11 +688,54 @@ def pq_train(
     return books
 
 
+def _pq_luts(codebooks, vec: Column) -> list[Column]:
+    """Per-subspace ADC lookup tables for one query vector:
+    lut_j[c] = dot(vec_sub_j, centroid c) as literal-array columns
+    (aliased lut0..lut{m-1}) — shared by pq_topk and ivfpq_topk so the
+    determinism contract can never diverge between them."""
+    luts = []
+    for j, book in enumerate(codebooks):
+        dsub = len(book[0])
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        luts.append(
+            F.array(*[
+                _dot(sub, F.array(*[F.lit(float(v)) for v in c]))
+                for c in book
+            ]).alias(f"lut{j}")
+        )
+    return luts
+
+
+def _adc_score(m: int, codes_col: str) -> Column:
+    """ADC score = lut_j[code_j] summed j = 0..m-1 as an explicit
+    left-to-right + chain (NOT an aggregate — fixed float order, so
+    rankings are deterministic and oracle-replayable)."""
+    score = None
+    for j in range(m):
+        term = F.try_element_at(
+            F.col(f"lut{j}"),
+            F.try_element_at(F.col(codes_col), F.lit(j + 1)) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return score
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """row_number top-k per query over (score DESC, cand_id ASC)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     out_col: str = "pq_codes",
 ) -> DataFrame:
     """Encode every vector to its m sub-codes — ONE narrow JVM
@@ -733,43 +781,22 @@ def pq_topk(
     terms sum in fixed subspace order (an explicit left-to-right +
     chain, not an aggregate), so the float result is deterministic and
     oracle-replayable. Ties break on cand_id."""
-    m = len(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    luts = []
-    for j, book in enumerate(codebooks):
-        dsub = len(book[0])
-        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        luts.append(
-            F.array(*[
-                _dot(qsub, F.array(*[F.lit(float(v)) for v in c]))
-                for c in book
-            ]).alias(f"lut{j}")
-        )
-    q = q.select("query_id", *luts)
+    ).select("query_id", *_pq_luts(codebooks, F.col("qv")))
     c = corpus_codes.select(
         F.col(id_col).alias("cand_id"), F.col(codes_col).alias("codes")
     )
-    scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col("cand_id") != F.col("query_id")
-    )
-    score = None
-    for j in range(m):
-        term = F.try_element_at(
-            F.col(f"lut{j}"),
-            F.try_element_at(F.col("codes"), F.lit(j + 1)) + F.lit(1),
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _adc_score(len(codebooks), "codes").alias("score"),
         )
-        score = term if score is None else score + term
-    scored = scored.select("query_id", "cand_id", score.alias("score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("cand_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivfpq_topk(
@@ -801,7 +828,7 @@ def ivfpq_topk(
         codebooks = pq_train(corpus, dim, m=m, ksub=ksub, vec_col=vec_col)
     c = pq_encode(
         ivf_assign(corpus, dim, n_cells, vec_col=vec_col, anchors=anchors),
-        codebooks, vec_col=vec_col, id_col=id_col,
+        codebooks, vec_col=vec_col,
     ).select(
         F.col(id_col).alias("cand_id"), "ivf_cell", "pq_codes"
     )
@@ -815,38 +842,18 @@ def ivfpq_topk(
         F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
         lambda e: e.getField("cell"),
     )
-    mlen = len(codebooks)
-    luts = []
-    for j, book in enumerate(codebooks):
-        dsub = len(book[0])
-        qsub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        luts.append(
-            F.array(*[
-                _dot(qsub, F.array(*[F.lit(float(v)) for v in c2]))
-                for c2 in book
-            ]).alias(f"lut{j}")
-        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells).alias("ivf_cell"),
-        *luts,
+        *_pq_luts(codebooks, F.col(vec_col)),
     )
-    scored = c.join(F.broadcast(q), "ivf_cell").filter(
-        F.col("cand_id") != F.col("query_id")
-    )
-    score = None
-    for j in range(mlen):
-        term = F.try_element_at(
-            F.col(f"lut{j}"),
-            F.try_element_at(F.col("pq_codes"), F.lit(j + 1)) + F.lit(1),
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _adc_score(len(codebooks), "pq_codes").alias("score"),
         )
-        score = term if score is None else score + term
-    scored = scored.select("query_id", "cand_id", score.alias("score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("cand_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "score", "rank")
-    )
+    return _rank_topk(scored, k)

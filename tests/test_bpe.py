@@ -288,3 +288,28 @@ def test_byte_fallback_string_symbols(spark):
     assert len(bv) == 256
     assert bv["<0x00>"] == 7 and bv["<0xFF>"] == 262
     assert bv["<0xC3>"] == 7 + 0xC3
+
+
+def test_jvm_oov_error_raises(spark):
+    """bpe_encode(oov='error') must raise at execution on an unknown
+    word (the bpe_encode_arrow contract), not silently inner-join it
+    away; unknown oov values are rejected up front."""
+    _m, words = bpe.bpe_train(
+        spark.createDataFrame([(0, "aa aa")], "doc_id long, text string"),
+        num_merges=1,
+    )
+    corpus = spark.createDataFrame(
+        [(0, "aa mystery")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="unknown word mystery"):
+        bpe.bpe_encode(corpus, words, oov="error").collect()
+    with pytest.raises(ValueError, match="skip\\|bytes\\|error"):
+        bpe.bpe_encode(corpus, words, oov="byte")
+    with pytest.raises(ValueError, match="skip\\|bytes\\|error"):
+        bpe.bpe_encode_arrow(corpus, {"aa": [0]}, oov="drop")
+    # known-only corpus passes through under 'error'
+    ok = bpe.bpe_encode(
+        spark.createDataFrame([(1, "aa aa")], "doc_id long, text string"),
+        words, oov="error",
+    ).collect()
+    assert len(ok) == 1

@@ -68,6 +68,11 @@ def main() -> None:
     os.makedirs(spool)
 
     # -- stage: one file per slice, event time monotone across slices --
+    if args.docs % args.slices:
+        raise SystemExit(
+            f"--docs {args.docs} must be divisible by --slices "
+            f"{args.slices} (staging would silently drop the remainder)"
+        )
     per_slice = args.docs // args.slices
     assert per_slice % 2 == 0, "pairs must not straddle a slice boundary"
     base = (
@@ -122,7 +127,6 @@ def main() -> None:
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointPath", os.path.join(work, "_ckpt"))
         .option("checkpointLocation", os.path.join(work, "_ckpt"))
         .trigger(availableNow=True)
         .start()
