@@ -857,3 +857,94 @@ def ivfpq_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def ivfpq_partition_at_rest(
+    df: DataFrame,
+    dest: str,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    anchors=None,
+    codebooks=None,
+    m: int = 8,
+    ksub: int = 16,
+    keep_vectors: bool = False,
+) -> tuple:
+    """Materialize the IVF-PQ index at rest: `dest/ivf_cell=K/...`
+    parquet holding (id, pq_codes[, vector]) — the compressed layout a
+    10^12-vector corpus actually stores. A probe then reads
+    nprobe/n_cells of the FILES via partition pruning AND only m
+    small-int codes per candidate (keep_vectors=False, the default,
+    drops the float vectors entirely — the full PQ footprint win;
+    True keeps them alongside for exact re-ranking pipelines).
+    Trains missing anchors/codebooks on the corpus; returns
+    (anchors, codebooks) so the probe side reuses the exact index
+    parameters."""
+    if anchors is None:
+        anchors = ivf_train_anchors(df, dim, n_cells=n_cells, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_train(df, dim, m=m, ksub=ksub, vec_col=vec_col)
+    enc = pq_encode(
+        ivf_assign(df, dim, n_cells, vec_col=vec_col, anchors=anchors),
+        codebooks, vec_col=vec_col,
+    )
+    cols = [id_col, "pq_codes", "ivf_cell"] + (
+        [vec_col] if keep_vectors else []
+    )
+    enc.select(*cols).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(dest)
+    return anchors, codebooks
+
+
+def ivfpq_topk_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    anchors,
+    codebooks,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over an ivfpq_partition_at_rest layout: the
+    probe-cell join key doubles as the partition column, so Catalyst
+    prunes the scan to the probed cells (PartitionFilters — the
+    ivf_topk_at_rest contract), and the data read per surviving
+    candidate is the m-int codes column, never a float vector
+    (ReadSchema must not contain the vector column). Same results as
+    ivfpq_topk on the in-memory corpus given the same
+    anchors/codebooks."""
+    c = spark.read.parquet(path).select(
+        F.col(id_col).alias("cand_id"), "pq_codes", "ivf_cell"
+    )
+    cell_scores = F.array(*[
+        F.struct(s.alias("s"), F.lit(cell).alias("cell"))
+        for cell, s in enumerate(
+            _anchor_scores(F.col(vec_col), dim, n_cells, anchors)
+        )
+    ])
+    probe_cells = F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
+        lambda e: e.getField("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells).alias("ivf_cell"),
+        *_pq_luts(codebooks, F.col(vec_col)),
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _adc_score(len(codebooks), "pq_codes").alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)

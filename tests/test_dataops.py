@@ -2012,6 +2012,46 @@ class TestProductQuantization:
         hits = sum(1 for r in top if r["cand_id"] % 4 == r["query_id"] % 4)
         assert hits >= 0.8 * len(top), hits
 
+    def test_ivfpq_at_rest_matches_inmemory_prunes_and_sheds_vectors(
+        self, emb, spark, tmp_path
+    ):
+        """ivfpq_partition_at_rest + ivfpq_topk_at_rest: identical
+        results to the in-memory ivfpq_topk, the scan prunes to probed
+        cells (dynamic partition pruning), and the at-rest layout reads
+        only the m-int codes column — the vector column is neither
+        stored (keep_vectors=False) nor in the probe's ReadSchema."""
+        e = self._emb_double(emb)
+        anchors = similarity.md5_anchors(64, 4)
+        books = similarity.md5_codebooks(64, self.M, self.KSUB)
+        dest = str(tmp_path / "ivfpq")
+        similarity.ivfpq_partition_at_rest(
+            e, dest, dim=64, n_cells=4, anchors=anchors, codebooks=books
+        )
+        queries = e.filter(F.col("vec_id") < 3)
+        at_rest = similarity.ivfpq_topk_at_rest(
+            spark, dest, queries, dim=64, anchors=anchors,
+            codebooks=books, k=5, n_cells=4, nprobe=2,
+        )
+        in_mem = similarity.ivfpq_topk(
+            e, queries, dim=64, k=5, n_cells=4, nprobe=2,
+            anchors=anchors, codebooks=books, m=self.M, ksub=self.KSUB,
+        )
+        a = sorted(
+            (r["query_id"], r["cand_id"], r["rank"])
+            for r in at_rest.collect()
+        )
+        b = sorted(
+            (r["query_id"], r["cand_id"], r["rank"])
+            for r in in_mem.collect()
+        )
+        assert a == b and len(a) > 0
+        plan = at_rest._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan and "ivf_cell" in plan
+        # compressed at rest: no embedding column stored or read
+        stored = spark.read.parquet(dest).columns
+        assert "embedding" not in stored
+        assert "embedding" not in plan.split("ReadSchema")[1][:200]
+
     def test_ivfpq_cluster_bound_and_composition(self, spark):
         import random
 
