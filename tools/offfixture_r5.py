@@ -1,0 +1,167 @@
+"""Off-fixture scale check for the round-5 operators (the verdict's
+task-#6 evidence style, same protocol as offfixture_session2.py): run
+each on synthetic inputs ~100x the sf0.01 fixture and verify against
+planted structure / path-equality, plus partition invariance.
+
+* PQ / IVF-PQ — planted family clusters (one dominant anchor dim per
+  family, exact copies inside a family): trained codebooks must rank
+  family mates first (recall vs the planted truth), pq_encode codes
+  must be identical across partitionings (given fixed codebooks), and
+  the at-rest probe must equal the in-memory search at scale.
+* BPE byte fallback — a frequency-thresholded vocab over 50k docs with
+  per-doc rare words: the JVM left-join path and the arrow
+  broadcast-dict path must produce identical per-doc streams
+  (bit_xor(xxhash64) signature), every doc must keep content
+  (n_tokens > 0 — nothing silently dropped), and every fallback id
+  must sit in [V, V+256).
+
+Usage: python tools/offfixture_r5.py [--docs 50000] [--cpus 16]
+Prints one JSON line (rows, timings, checks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    import shutil
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from fluent_bit_spark.dataops import bpe, similarity
+
+    n = args.docs
+    out: dict = {"docs": n, "checks": {}}
+
+    # ---- 1. PQ / IVF-PQ on planted family clusters ----
+    t0 = time.time()
+    dim, m, ksub, nvec = 16, 4, 16, min(n, 20_000)
+    fam = (F.col("id") / 10).cast("long")
+    anchor = F.pmod(fam, F.lit(dim)).cast("int")
+    # family members share the anchor dim; small per-member jitter
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(j == anchor, F.lit(8.0)).otherwise(
+            F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 1000.0
+        ),
+    )
+    emb = (
+        spark.range(nvec)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .persist()
+    )
+    emb.count()
+    books = similarity.pq_train(emb, dim, m=m, ksub=ksub, sample_n=4096)
+    codes = similarity.pq_encode(emb, books)
+    sig1 = codes.agg(
+        F.expr("bit_xor(xxhash64(vec_id, pq_codes))").alias("s")
+    ).first()["s"]
+    sig2 = (
+        similarity.pq_encode(emb.repartition(9), books)
+        .agg(F.expr("bit_xor(xxhash64(vec_id, pq_codes))").alias("s"))
+        .first()["s"]
+    )
+    out["checks"]["pq_codes_partition_invariant"] = sig1 == sig2
+
+    anchors = similarity.ivf_train_anchors(emb, dim, n_cells=dim)
+    queries = emb.filter(F.col("vec_id") % 4000 == 0)
+    top = similarity.ivfpq_topk(
+        emb, queries, dim=dim, k=5, n_cells=dim, nprobe=2,
+        anchors=anchors, codebooks=books,
+    ).collect()
+    # planted truth: a neighbor is "right" when it shares the query's
+    # anchor dim (fam % dim) — the dominant-coordinate family
+    hits = sum(
+        1 for r in top
+        if (r["cand_id"] // 10) % dim == (r["query_id"] // 10) % dim
+    )
+    out["pq_recall_anchor_dim"] = round(hits / max(len(top), 1), 4)
+    out["checks"]["ivfpq_finds_planted_families"] = (
+        len(top) > 0 and hits >= 0.9 * len(top)
+    )
+
+    dest = "/tmp/fbs_offfx_ivfpq"
+    shutil.rmtree(dest, ignore_errors=True)
+    similarity.ivfpq_partition_at_rest(
+        emb, dest, dim=dim, n_cells=dim, anchors=anchors, codebooks=books
+    )
+    at_rest = similarity.ivfpq_topk_at_rest(
+        spark, dest, queries, dim=dim, anchors=anchors, codebooks=books,
+        k=5, n_cells=dim, nprobe=2,
+    ).collect()
+    out["checks"]["ivfpq_at_rest_equals_inmemory"] = sorted(
+        (r["query_id"], r["cand_id"], r["rank"]) for r in at_rest
+    ) == sorted((r["query_id"], r["cand_id"], r["rank"]) for r in top)
+    out["pq_vectors"] = nvec
+    out["t_pq_sec"] = round(time.time() - t0, 2)
+
+    # ---- 2. BPE byte fallback at corpus scale ----
+    t0 = time.time()
+    common = ["alpha beta gamma delta", "beta gamma epsilon zeta",
+              "gamma delta alpha eta"]
+    pick = (F.col("id") % 3).cast("int")
+    # every doc carries one doc-unique rare word -> always sub-threshold
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.element_at(F.array(*[F.lit(t) for t in common]), pick + 1),
+            F.lit(" rare"), F.col("id").cast("string"),
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    merges, words = bpe.bpe_train(docs.limit(2000), num_merges=8,
+                                  min_count=50)
+    emap = bpe.encode_map(words, merges=None)
+    V = max(max(v) for v in emap.values()) + 1
+    arrow = bpe.bpe_encode_arrow(docs, emap, oov="bytes").persist()
+    a = arrow.agg(
+        F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("s"),
+        F.sum("n_tokens").alias("t"),
+        F.min("n_tokens").alias("mn"),
+    ).first()
+    jvm = bpe.bpe_encode(docs, words, emit_ids=True, oov="bytes").agg(
+        F.expr("bit_xor(xxhash64(doc_id, tokens))").alias("s"),
+        F.sum("n_tokens").alias("t"),
+    ).first()
+    out["checks"]["byte_fallback_arrow_equals_jvm"] = (
+        a["s"] == jvm["s"] and a["t"] == jvm["t"]
+    )
+    out["checks"]["byte_fallback_no_content_loss"] = a["mn"] > 0
+    rng = arrow.select(
+        F.explode("tokens").alias("t")
+    ).agg(F.max("t").alias("mx"), F.min("t").alias("mn")).first()
+    out["checks"]["byte_fallback_id_range"] = (
+        rng["mn"] >= 0 and V <= rng["mx"] < V + 256
+    )
+    out["bpe_vocab"] = V
+    out["bpe_total_tokens"] = int(a["t"])
+    out["t_bpe_sec"] = round(time.time() - t0, 2)
+
+    out["all_green"] = all(out["checks"].values())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
