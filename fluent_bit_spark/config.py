@@ -1583,14 +1583,19 @@ def _apply_filter(
     if name == "wasm":
         # filter_wasm (plugins/filter_wasm/filter_wasm.c config map:
         # wasm_path, function_name, event_format, accessible_paths,
-        # wasm_heap_size, wasm_stack_size). No WASM runtime exists in
-        # this environment (the reference embeds WAMR), so
-        # function_name resolves against wasm_recipes' migration
-        # registry — a vectorized recipe or an ABI python callback;
-        # unknown names fail at plan time with the migration pointer,
-        # like the plugin's init abort on a missing module. wasm_path
-        # is recorded for the error message only; the WAMR memory
-        # knobs are runtime-only no-ops here.
+        # wasm_heap_size, wasm_stack_size). Two execution tiers:
+        #  1. wasm_path names a real .wasm file -> the module EXECUTES
+        #     on the from-scratch interpreter (wasminterp/), one
+        #     instance per python worker, faithful cb_wasm_filter
+        #     semantics. Module-added keys are inferred from a
+        #     driver-side limit(8) sample (batch only — streaming
+        #     needs the out_schema extension key), the filter_lua
+        #     playbook.
+        #  2. otherwise function_name resolves against wasm_recipes'
+        #     migration registry — a vectorized recipe (the hot path)
+        #     or an ABI python callback; unknown names fail at plan
+        #     time with the migration pointer, like the plugin's init
+        #     abort on a missing module.
         from . import wasm_recipes
 
         fname = s.get("function_name")
@@ -1600,6 +1605,34 @@ def _apply_filter(
         if fmt not in ("json", "msgpack"):
             raise ValueError(
                 f"[FILTER] wasm: unknown event_format {fmt!r}")
+        wasm_path = s.get("wasm_path")
+        if wasm_path and os.path.exists(wasm_path):
+            from . import wasmfilter
+
+            with open(wasm_path, "rb") as fh:
+                wasm_bytes = fh.read()
+            heap = int(s.get("wasm_heap_size", "8192") or 8192)
+            out_schema = s.get("out_schema")
+            df = df.persist()
+            gated = df.filter(gate)
+            rest = df.filter(~gate)
+            if out_schema is None:
+                out_schema = wasmfilter.infer_out_schema(
+                    gated, wasm_bytes, fname, fmt, heap)
+            work, ts_type = gated, None
+            if "ts" in gated.columns:
+                ts_type = dict(
+                    (f.name, f.dataType.simpleString())
+                    for f in gated.schema.fields
+                )["ts"]
+                work = gated.withColumn(
+                    "ts", F.col("ts").cast("timestamp").cast("double"))
+            out = wasmfilter.apply_wasm_module(
+                work, wasm_bytes, fname, out_schema, fmt, heap)
+            if ts_type is not None:
+                out = out.withColumn(
+                    "ts", F.timestamp_seconds(F.col("ts")).cast(ts_type))
+            return rest.unionByName(out, allowMissingColumns=True)
         fn, out_schema = wasm_recipes.lookup(fname)
         df = df.persist()  # both legs (gated/passthrough) read df
         gated = df.filter(gate)

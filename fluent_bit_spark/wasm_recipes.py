@@ -288,11 +288,13 @@ def lookup(function_name: str):
     reference at init too — flb_filter_wasm init error path)."""
     if function_name not in _REGISTRY:
         raise NotImplementedError(
-            f"[FILTER] wasm: no WASM runtime in this environment and "
-            f"function_name={function_name!r} is not registered. "
-            f"Migrate the module: see fluent_bit_spark.wasm_recipes "
-            f"(vectorized recipes for every reference test filter) or "
-            f"wasm_recipes.register() for arbitrary callbacks."
+            f"[FILTER] wasm: wasm_path does not name a readable .wasm "
+            f"module and function_name={function_name!r} is not "
+            f"registered. Point wasm_path at the module (it executes "
+            f"on fluent_bit_spark.wasminterp), or migrate it: see "
+            f"fluent_bit_spark.wasm_recipes (vectorized recipes for "
+            f"every reference test filter) or wasm_recipes.register() "
+            f"for arbitrary callbacks."
         )
     return _REGISTRY[function_name]
 

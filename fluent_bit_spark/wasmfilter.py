@@ -1,0 +1,195 @@
+"""filter_wasm: arbitrary user .wasm modules over Arrow batches.
+
+The reference embeds WAMR and calls one export per record
+(plugins/filter_wasm/filter_wasm.c:41-230 cb_wasm_filter,
+src/wasm/flb_wasm.c): the record body crosses as JSON (event_format
+json, the default) or raw msgpack (event_format msgpack), and the
+export ``fn(tag, tag_len, tv_sec, tv_nsec, record, record_len)``
+returns a pointer to the replacement payload — NULL/empty drops the
+record, an unparseable reply skips the commit, otherwise the reply
+REPLACES the body while the timestamp and metadata are preserved.
+
+Here the module bytes run on the from-scratch interpreter in
+``fluent_bit_spark.wasminterp`` (no WAMR in this container), one
+instantiated module per Spark python worker — the per-worker analogue
+of the reference's one wasm_module_inst_t per filter instance, so
+module-internal state (its allocator, its globals) accumulates per
+worker exactly like it accumulates per fluent-bit process. Like
+filter_lua, this is the designated row-at-a-time escape hatch: the
+reference pays the same per-record WASM invocation, and anything hot
+migrates to the vectorized recipes in wasm_recipes.py.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from .msgpackfmt import pack_value, _unpack_one
+
+# one instantiated module per (worker process, module bytes, heap);
+# keyed by content hash so identical broadcast bytes share an instance
+_INSTANCE_CACHE: dict = {}
+
+
+def _instance(wasm_bytes: bytes, heap_size: int, clock_ns: Optional[int]):
+    import hashlib
+
+    key = (hashlib.sha256(wasm_bytes).hexdigest(), heap_size, clock_ns)
+    fw = _INSTANCE_CACHE.get(key)
+    if fw is None:
+        from .wasminterp import FlbWasm
+
+        fw = FlbWasm(wasm_bytes, heap_size=heap_size, clock_ns=clock_ns)
+        _INSTANCE_CACHE[key] = fw
+    return fw
+
+
+def module_abi_callback(
+    wasm_bytes: bytes,
+    function_name: str,
+    event_format: str = "json",
+    heap_size: int = 8192,
+    clock_ns: Optional[int] = None,
+):
+    """Build the ``fn(tag, sec, nsec, record_json) -> json|None`` ABI
+    callback wasm_recipes.wasm_filter_json expects, executing the real
+    module. For event_format msgpack the JSON body is transcoded to
+    msgpack before the call and the reply back to JSON after — the
+    Spark-side record is columnar either way; the format option only
+    controls what the MODULE sees, exactly like the plugin's
+    event_format switch (filter_wasm.c:139-168).
+
+    The callback is self-contained and picklable: the module is
+    instantiated lazily inside the worker from the captured bytes.
+    """
+    if event_format == "json":
+
+        def cb(tag, sec, nsec, record_json):
+            fw = _instance(wasm_bytes, heap_size, clock_ns)
+            ret = fw.call_function_format_json(
+                function_name, (tag or "").encode("utf-8", "replace"),
+                sec, nsec, record_json.encode("utf-8"),
+            )
+            if ret is None:
+                return None
+            return ret.decode("utf-8", "replace")
+
+        return cb
+
+    def cb_mp(tag, sec, nsec, record_json):
+        fw = _instance(wasm_bytes, heap_size, clock_ns)
+        body = json.loads(record_json)
+        ret = fw.call_function_format_msgpack(
+            function_name, (tag or "").encode("utf-8", "replace"),
+            sec, nsec, pack_value(body),
+        )
+        if ret is None:
+            return None
+        try:
+            # the reference reads the reply via strlen even in msgpack
+            # mode (filter_wasm.c:230) — call_function_format_msgpack
+            # already applied that truncation; a reply the decoder
+            # can't parse is the plugin's encoder-rollback drop
+            val, _pos = _unpack_one(ret, 0)
+        except Exception:
+            return None
+        if not isinstance(val, dict):
+            return None
+        return json.dumps(val)
+
+    return cb_mp
+
+
+def _spark_type_of(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, list):
+        return "array<string>"
+    if isinstance(v, dict):
+        return "map<string,string>"
+    return "string"
+
+
+def infer_out_schema(
+    df: DataFrame,
+    wasm_bytes: bytes,
+    function_name: str,
+    event_format: str = "json",
+    heap_size: int = 8192,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    sample_n: int = 8,
+) -> str:
+    """Driver-side out_schema inference for config pipelines (the
+    filter_lua playbook: a limit(N) sample runs the module on the
+    driver to discover module-ADDED keys; BATCH ONLY — streaming
+    configs must pass out_schema explicitly)."""
+    if df.isStreaming:
+        raise ValueError(
+            "[FILTER] wasm over a stream needs an explicit out_schema "
+            "(driver-side sampling needs a batch plan)"
+        )
+    cb = module_abi_callback(
+        wasm_bytes, function_name, event_format, heap_size
+    )
+    base_cols = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.name not in (tag_col, ts_col)
+    ]
+    parts = dict(base_cols)
+    order = [n for n, _ in base_cols]
+    for row in df.limit(sample_n).collect():
+        rec = row.asDict(recursive=True)
+        tag = rec.pop(tag_col, None)
+        tsv = rec.pop(ts_col, None)
+        ts = tsv.timestamp() if hasattr(tsv, "timestamp") else (
+            float(tsv) if tsv is not None else 0.0
+        )
+        sec = int(ts)
+        nsec = int(round((ts - sec) * 1e9))
+        ret = cb(tag, sec, nsec, json.dumps(rec, default=str))
+        if not ret:
+            continue
+        try:
+            new_body = json.loads(ret)
+        except ValueError:
+            continue
+        if not isinstance(new_body, dict):
+            continue
+        for k, v in new_body.items():
+            if k not in parts:
+                parts[k] = _spark_type_of(v)
+                order.append(k)
+    return ", ".join(f"`{n}` {parts[n]}" for n in order)
+
+
+def apply_wasm_module(
+    df: DataFrame,
+    wasm_bytes: bytes,
+    function_name: str,
+    out_schema: str,
+    event_format: str = "json",
+    heap_size: int = 8192,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """cb_wasm_filter over a DataFrame with a REAL .wasm module: the
+    JSON-mode Arrow-batch loop from wasm_recipes.wasm_filter_json with
+    the export executed by wasminterp. ``out_schema`` declares the
+    replacement-body columns (module-added keys included)."""
+    from . import wasm_recipes
+
+    cb = module_abi_callback(
+        wasm_bytes, function_name, event_format, heap_size
+    )
+    return wasm_recipes.wasm_filter_json(
+        df, cb, out_schema, tag_col=tag_col, ts_col=ts_col
+    )

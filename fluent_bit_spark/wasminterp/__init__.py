@@ -1,0 +1,33 @@
+"""wasminterp — a from-scratch WebAssembly (MVP + sign-extension +
+saturating-truncation + bulk-memory) interpreter in pure Python, plus a
+WASI snapshot-preview1 stub layer and a host API mirroring the
+reference runtime glue (src/wasm/flb_wasm.c).
+
+This closes filter_wasm's "arbitrary user module" gap the same way the
+Lua interpreter (luainterp/) closed filter_lua's: the reference embeds
+a native runtime (WAMR, lib/wasm-micro-runtime-WAMR-2.4.1); this
+container has none, so we execute the module bytes ourselves. The
+implementation is written from the public WebAssembly core
+specification (binary format + execution semantics) — not a port of
+WAMR — and is validated by running the reference's own test binaries
+(tests/runtime/data/wasm/*.wasm) against the expectations encoded in
+tests/runtime/filter_wasm.c.
+
+Like filter_lua, this is the quarantined per-record escape hatch: the
+vectorized recipes in wasm_recipes.py remain the hot path; the
+interpreter exists so that an arbitrary user artifact RUNS, byte-level
+faithful, when no recipe has been written for it yet.
+"""
+
+from .module import Module, WasmError
+from .runtime import Instance, Trap, ProcExit
+from .flb import FlbWasm
+
+__all__ = [
+    "Module",
+    "Instance",
+    "FlbWasm",
+    "Trap",
+    "ProcExit",
+    "WasmError",
+]

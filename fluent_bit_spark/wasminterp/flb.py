@@ -1,0 +1,210 @@
+"""Host glue mirroring the reference runtime wrapper (src/wasm/flb_wasm.c).
+
+FlbWasm reproduces flb_wasm_instantiate + the two call paths:
+
+  * call_function_format_json  — flb_wasm.c:249 flb_wasm_call_function_
+    format_json: tag and record are duplicated into module memory WITH
+    a trailing NUL (tag_len/record_len passed WITHOUT it), the export is
+    invoked as fn(tag, tag_len, tv_sec, tv_nsec, record, record_len),
+    and the i32 result is read back as a NUL-terminated app string
+    (wasm_runtime_validate_app_str_addr); NULL / invalid / trap → None
+    (the plugin skips the record, filter_wasm.c:174-178).
+  * call_function_format_msgpack — flb_wasm.c:359: identical except the
+    record buffer is raw msgpack duplicated WITHOUT the +1
+    (flb_wasm.c:375-380), and the result is still read via strlen —
+    the reference's own quirk (filter_wasm.c:230 strlen(ret_val)),
+    kept faithfully: a msgpack reply containing a NUL byte truncates
+    there, exactly as it does under WAMR.
+
+Guest-memory allocation follows WAMR's wasm_runtime_module_malloc
+contract: if the module exports malloc/free (TinyGo filters do), those
+run inside the instance; otherwise a host-managed heap is placed at the
+module's __heap_base and the exported global is bumped past it — the
+aux-heap relocation WAMR performs for wasi-ld modules that don't export
+an allocator (the Rust msgpack filter).
+
+Post-instantiate init matches WAMR's execute_post_instantiate_functions
+(lib/.../wasm_runtime.c:1638): start section, then `_initialize` when
+the module imports WASI APIs, then `__post_instantiate`, then
+`__wasm_call_ctors` only for non-WASI modules. The reference's test
+filters export none of these and have no start section — they are
+called cold, and so are we.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .module import Module, K_FUNC, K_GLOBAL, PAGE, WasmError
+from .runtime import Instance, Trap, ProcExit
+from .wasi import Wasi
+
+# flb_wasm.h:30 FLB_WASM_DEFAULT_HEAP_SIZE (bytes)
+DEFAULT_HEAP_SIZE = 8192
+
+
+class FlbWasm:
+    """One instantiated filter module + its call ABI."""
+
+    def __init__(
+        self,
+        wasm_bytes: bytes,
+        heap_size: int = DEFAULT_HEAP_SIZE,
+        clock_ns: Optional[int] = None,
+    ):
+        if heap_size < DEFAULT_HEAP_SIZE:
+            heap_size = DEFAULT_HEAP_SIZE  # flb_wasm.c:129 floor
+        self.wasi = Wasi(clock_ns=clock_ns)
+        self.module = Module(wasm_bytes)
+        self.instance = Instance(self.module, imports=self.wasi.imports())
+        exp = self.module.exports
+        self._malloc = "malloc" in exp and exp["malloc"][0] == K_FUNC
+        self._free = "free" in exp and exp["free"][0] == K_FUNC
+        self._heap_base = 0
+        self._heap_top = 0
+        self._heap_end = 0
+        self._live = 0
+        if not (self._malloc and self._free):
+            self._place_host_heap(heap_size)
+        self._run_init_functions()
+
+    # -- WAMR-faithful init ------------------------------------------------
+
+    def _run_init_functions(self):
+        exp = self.module.exports
+        has_wasi = any(
+            m == "wasi_snapshot_preview1"
+            for (m, _, k, _a) in self.module.imports
+            if k == K_FUNC
+        )
+        if has_wasi and "_initialize" in exp and exp["_initialize"][0] == K_FUNC:
+            self.instance.invoke("_initialize", [])
+        if "__post_instantiate" in exp and exp["__post_instantiate"][0] == K_FUNC:
+            self.instance.invoke("__post_instantiate", [])
+        if (
+            not has_wasi
+            and "__wasm_call_ctors" in exp
+            and exp["__wasm_call_ctors"][0] == K_FUNC
+        ):
+            self.instance.invoke("__wasm_call_ctors", [])
+
+    def _place_host_heap(self, heap_size: int):
+        """WAMR's aux-heap relocation for modules without exported malloc."""
+        inst = self.instance
+        exp = self.module.exports
+        base = None
+        gidx = None
+        if "__heap_base" in exp and exp["__heap_base"][0] == K_GLOBAL:
+            gidx = exp["__heap_base"][1]
+            base = inst.globals[gidx]
+        if base is None:
+            base = len(inst.mem)  # append after declared memory
+        end = base + heap_size
+        if end > len(inst.mem):
+            pages = (end - len(inst.mem) + PAGE - 1) // PAGE
+            if inst.grow_memory(pages) == 0xFFFFFFFF:
+                raise WasmError("cannot grow memory for host app heap")
+        if gidx is not None:
+            inst.globals[gidx] = end  # module allocator starts above us
+        self._heap_base = self._heap_top = base
+        self._heap_end = end
+
+    # -- module_malloc / module_free ----------------------------------------
+
+    def module_malloc(self, size: int) -> int:
+        if self._malloc:
+            (ptr,) = self.instance.invoke("malloc", [size])
+            if not ptr:
+                raise Trap("module malloc failed")
+            return ptr
+        size = (size + 7) & ~7
+        if self._heap_top + size > self._heap_end:
+            raise Trap("host app heap exhausted")
+        ptr = self._heap_top
+        self._heap_top += size
+        self._live += 1
+        return ptr
+
+    def module_free(self, ptr: int):
+        if self._free:
+            self.instance.invoke("free", [ptr])
+            return
+        self._live -= 1
+        if self._live <= 0:  # bump heap: recycle once all buffers returned
+            self._live = 0
+            self._heap_top = self._heap_base
+
+    def module_dup_data(self, data: bytes) -> int:
+        ptr = self.module_malloc(len(data))
+        self.instance.mem_write(ptr, data)
+        return ptr
+
+    # -- the two call formats ------------------------------------------------
+
+    def _call(
+        self,
+        function_name: str,
+        tag: bytes,
+        t_sec: int,
+        t_nsec: int,
+        record: bytes,
+        record_nul: bool,
+    ) -> Optional[bytes]:
+        inst = self.instance
+        exp = self.module.exports.get(function_name)
+        if exp is None or exp[0] != K_FUNC:
+            raise WasmError(
+                f"the {function_name} wasm function is not found"
+            )
+        tag_ptr = self.module_dup_data(tag + b"\x00")
+        rec_ptr = self.module_dup_data(
+            record + b"\x00" if record_nul else record
+        )
+        try:
+            results = inst.invoke(
+                function_name,
+                [
+                    tag_ptr,
+                    len(tag),
+                    t_sec & 0xFFFFFFFF,
+                    t_nsec & 0xFFFFFFFF,
+                    rec_ptr,
+                    len(record),
+                ],
+            )
+            ptr = results[0] if results else 0
+            if not ptr:
+                return None
+            try:
+                return inst.mem_cstr(ptr)
+            except Trap:
+                return None  # validate_app_str_addr failure → warn+skip
+        except (Trap, ProcExit):
+            return None  # wasm exception → flb_error + skip record
+        finally:
+            self.module_free(tag_ptr)
+            self.module_free(rec_ptr)
+
+    def call_function_format_json(
+        self,
+        function_name: str,
+        tag: bytes,
+        t_sec: int,
+        t_nsec: int,
+        record_json: bytes,
+    ) -> Optional[bytes]:
+        return self._call(
+            function_name, tag, t_sec, t_nsec, record_json, True
+        )
+
+    def call_function_format_msgpack(
+        self,
+        function_name: str,
+        tag: bytes,
+        t_sec: int,
+        t_nsec: int,
+        record_msgpack: bytes,
+    ) -> Optional[bytes]:
+        return self._call(
+            function_name, tag, t_sec, t_nsec, record_msgpack, False
+        )

@@ -1,0 +1,606 @@
+"""WebAssembly binary-format decoder.
+
+Written from the public WebAssembly core specification (binary format,
+https://webassembly.github.io/spec/core/binary/). Decodes the feature
+set the reference's own filter modules need — MVP plus the three
+post-MVP proposals TinyGo and Rust toolchains enable by default:
+
+  * sign-extension operators        (0xC0..0xC4)
+  * non-trapping float→int          (0xFC 0..7)
+  * bulk memory operations          (0xFC 8..17) + DataCount section
+
+Anything outside that set raises WasmError at decode time (loudly, not
+at some later trap), mirroring wasm_runtime_load's up-front rejection
+in the reference (src/wasm/flb_wasm.c flb_wasm_instantiate).
+
+Function bodies are pre-decoded into flat ``(opcode, operand)`` lists
+once per module; structured control (block/loop/if/else/end) keeps its
+nesting at runtime via a label stack, but each IF carries the decoded
+index of its ELSE/END so fall-through never scans.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, List, Optional, Tuple
+
+
+class WasmError(Exception):
+    """Malformed or unsupported module (decode-time)."""
+
+
+# value types
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
+FUNCREF, EXTERNREF = 0x70, 0x6F
+VALUE_TYPES = {I32, I64, F32, F64, FUNCREF, EXTERNREF}
+
+# import/export kinds
+K_FUNC, K_TABLE, K_MEM, K_GLOBAL = 0, 1, 2, 3
+
+PAGE = 65536
+
+# --- opcode name table (debugging / loud failures) ---------------------
+# Only opcodes we execute are listed; decode of anything else fails.
+
+MVP_OPS = set(range(0x00, 0xC5)) - {0x06, 0x07, 0x08, 0x09, 0x0A, 0x12,
+                                    0x13, 0x14, 0x15, 0x16, 0x17, 0x18,
+                                    0x19, 0x1C, 0x1D, 0x1E, 0x1F, 0x27}
+# 0xD0..0xD2 reference ops (ref.null / ref.is_null / ref.func) appear in
+# modules built with reference-types enabled (rustc does by default).
+REF_OPS = {0xD0, 0xD1, 0xD2}
+# table.get/set (reference types)
+TABLE_OPS = {0x25, 0x26}
+FC_MAX = 17  # 0..7 sat-trunc, 8..17 bulk memory + table ops
+
+
+class FuncType:
+    __slots__ = ("params", "results")
+
+    def __init__(self, params: Tuple[int, ...], results: Tuple[int, ...]):
+        self.params = params
+        self.results = results
+
+    def __eq__(self, other):  # call_indirect type check
+        return (
+            isinstance(other, FuncType)
+            and self.params == other.params
+            and self.results == other.results
+        )
+
+    def __hash__(self):
+        return hash((self.params, self.results))
+
+    def __repr__(self):
+        return f"FuncType({self.params}->{self.results})"
+
+
+class Function:
+    """A module-defined function: pre-decoded body."""
+
+    __slots__ = ("type", "local_types", "code", "nlocals", "idx", "name")
+
+    def __init__(self, ftype: FuncType, local_types, code, idx):
+        self.type = ftype
+        self.local_types = local_types
+        self.code = code  # list[(op, arg)]
+        self.nlocals = len(ftype.params) + len(local_types)
+        self.idx = idx
+        self.name = None  # filled from export table when available
+
+
+class ImportedFunction:
+    __slots__ = ("type", "module", "name", "idx")
+
+    def __init__(self, ftype: FuncType, module: str, name: str, idx: int):
+        self.type = ftype
+        self.module = module
+        self.name = name
+        self.idx = idx
+
+
+class Global:
+    __slots__ = ("type", "mutable", "init")
+
+    def __init__(self, vtype: int, mutable: bool, init):
+        self.type = vtype
+        self.mutable = mutable
+        self.init = init  # (op, arg) const-expr pair
+
+
+class _Reader:
+    __slots__ = ("b", "i", "n")
+
+    def __init__(self, b: bytes, i: int = 0, n: Optional[int] = None):
+        self.b = b
+        self.i = i
+        self.n = len(b) if n is None else n
+
+    def byte(self) -> int:
+        i = self.i
+        if i >= self.n:
+            raise WasmError("unexpected end of section")
+        self.i = i + 1
+        return self.b[i]
+
+    def bytes(self, k: int) -> bytes:
+        i = self.i
+        if i + k > self.n:
+            raise WasmError("unexpected end of section")
+        self.i = i + k
+        return self.b[i : i + k]
+
+    def u32(self) -> int:
+        r = 0
+        s = 0
+        while True:
+            x = self.byte()
+            r |= (x & 0x7F) << s
+            if not x & 0x80:
+                return r
+            s += 7
+            if s > 35:
+                raise WasmError("u32 LEB overflow")
+
+    def s_leb(self, bits: int) -> int:
+        r = 0
+        s = 0
+        while True:
+            x = self.byte()
+            r |= (x & 0x7F) << s
+            s += 7
+            if not x & 0x80:
+                if s < bits and (x & 0x40):
+                    r -= 1 << s
+                return r
+            if s > bits + 7:
+                raise WasmError("sLEB overflow")
+
+    def s32(self) -> int:
+        return self.s_leb(32)
+
+    def s33(self) -> int:
+        return self.s_leb(33)
+
+    def s64(self) -> int:
+        return self.s_leb(64)
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.bytes(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.bytes(8))[0]
+
+    def name(self) -> str:
+        return self.bytes(self.u32()).decode("utf-8")
+
+    def vec_u32(self) -> List[int]:
+        return [self.u32() for _ in range(self.u32())]
+
+
+def _block_type(r: _Reader) -> Tuple[int, int]:
+    """Return (n_params, n_results) arity for a block type immediate.
+
+    Encoded as s33: 0x40 empty, negative = one value type, non-negative
+    = index into the type section (multi-value proposal — TinyGo emits
+    these). The decoder only needs arities; type-index resolution is
+    deferred to the caller which owns the type table.
+    """
+    v = r.s33()
+    if v == -0x40:
+        return (0, 0)
+    if v < 0:
+        return (0, 1)
+    return (-1, v)  # sentinel: params from type table index v
+
+
+class Memory:
+    __slots__ = ("min", "max")
+
+    def __init__(self, mn: int, mx: Optional[int]):
+        self.min = mn
+        self.max = mx
+
+
+class Table:
+    __slots__ = ("elem_type", "min", "max")
+
+    def __init__(self, et: int, mn: int, mx: Optional[int]):
+        self.elem_type = et
+        self.min = mn
+        self.max = mx
+
+
+def _limits(r: _Reader) -> Tuple[int, Optional[int]]:
+    fl = r.byte()
+    mn = r.u32()
+    mx = r.u32() if fl & 1 else None
+    return mn, mx
+
+
+def _const_expr(r: _Reader) -> Tuple[int, Any]:
+    """Decode a constant initializer expression (single instr + end)."""
+    op = r.byte()
+    if op == 0x41:
+        arg = r.s32() & 0xFFFFFFFF
+    elif op == 0x42:
+        arg = r.s64() & 0xFFFFFFFFFFFFFFFF
+    elif op == 0x43:
+        arg = r.f32()
+    elif op == 0x44:
+        arg = r.f64()
+    elif op == 0x23:  # global.get (imported global)
+        arg = r.u32()
+    elif op == 0xD0:  # ref.null
+        r.byte()
+        arg = None
+    elif op == 0xD2:  # ref.func
+        arg = r.u32()
+    else:
+        raise WasmError(f"unsupported const expr opcode 0x{op:02X}")
+    if r.byte() != 0x0B:
+        raise WasmError("const expr not terminated")
+    return op, arg
+
+
+class Module:
+    """Decoded module: sections resolved, bodies pre-decoded."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != b"\x00asm" or data[4:8] != b"\x01\x00\x00\x00":
+            raise WasmError("bad magic/version")
+        self.types: List[FuncType] = []
+        self.imports: List[Tuple[str, str, int, Any]] = []
+        self.imported_funcs: List[ImportedFunction] = []
+        self.func_type_idx: List[int] = []
+        self.tables: List[Table] = []
+        self.memories: List[Memory] = []
+        self.globals: List[Global] = []
+        self.exports: dict = {}
+        self.start: Optional[int] = None
+        self.elements: List[tuple] = []
+        self.data_segments: List[tuple] = []
+        self.functions: List[Function] = []
+        self.n_imported_globals = 0
+        self.n_imported_tables = 0
+        self.n_imported_mems = 0
+
+        r = _Reader(data, 8)
+        code_body: Optional[bytes] = None
+        while r.i < r.n:
+            sid = r.byte()
+            size = r.u32()
+            body = r.bytes(size)
+            if sid == 0:
+                continue  # custom section (names etc.) — skipped
+            elif sid == 1:
+                self._sec_types(_Reader(body))
+            elif sid == 2:
+                self._sec_imports(_Reader(body))
+            elif sid == 3:
+                self.func_type_idx = _Reader(body).vec_u32()
+            elif sid == 4:
+                self._sec_tables(_Reader(body))
+            elif sid == 5:
+                self._sec_memories(_Reader(body))
+            elif sid == 6:
+                self._sec_globals(_Reader(body))
+            elif sid == 7:
+                self._sec_exports(_Reader(body))
+            elif sid == 8:
+                self.start = _Reader(body).u32()
+            elif sid == 9:
+                self._sec_elements(_Reader(body))
+            elif sid == 10:
+                code_body = body  # decode after all sections (needs types)
+            elif sid == 11:
+                self._sec_data(_Reader(body))
+            elif sid == 12:
+                pass  # DataCount — informational for single-pass validators
+            else:
+                raise WasmError(f"unknown section id {sid}")
+        if code_body is not None:
+            self._sec_code(_Reader(code_body))
+        if len(self.functions) != len(self.func_type_idx):
+            raise WasmError("function/code section count mismatch")
+        for name, (kind, idx) in self.exports.items():
+            if kind == K_FUNC and idx >= len(self.imported_funcs):
+                self.functions[idx - len(self.imported_funcs)].name = name
+
+    # -- sections --------------------------------------------------------
+
+    def _sec_types(self, r: _Reader):
+        for _ in range(r.u32()):
+            if r.byte() != 0x60:
+                raise WasmError("non-func type")
+            params = tuple(r.byte() for _ in range(r.u32()))
+            results = tuple(r.byte() for _ in range(r.u32()))
+            self.types.append(FuncType(params, results))
+
+    def _sec_imports(self, r: _Reader):
+        for _ in range(r.u32()):
+            mod = r.name()
+            nm = r.name()
+            kind = r.byte()
+            if kind == K_FUNC:
+                ti = r.u32()
+                self.imported_funcs.append(
+                    ImportedFunction(self.types[ti], mod, nm,
+                                     len(self.imported_funcs))
+                )
+                self.imports.append((mod, nm, kind, ti))
+            elif kind == K_TABLE:
+                et = r.byte()
+                mn, mx = _limits(r)
+                self.tables.append(Table(et, mn, mx))
+                self.n_imported_tables += 1
+                self.imports.append((mod, nm, kind, None))
+            elif kind == K_MEM:
+                mn, mx = _limits(r)
+                self.memories.append(Memory(mn, mx))
+                self.n_imported_mems += 1
+                self.imports.append((mod, nm, kind, None))
+            elif kind == K_GLOBAL:
+                vt = r.byte()
+                mut = r.byte()
+                self.globals.append(Global(vt, bool(mut), None))
+                self.n_imported_globals += 1
+                self.imports.append((mod, nm, kind, None))
+            else:
+                raise WasmError(f"bad import kind {kind}")
+
+    def _sec_tables(self, r: _Reader):
+        for _ in range(r.u32()):
+            et = r.byte()
+            mn, mx = _limits(r)
+            self.tables.append(Table(et, mn, mx))
+
+    def _sec_memories(self, r: _Reader):
+        for _ in range(r.u32()):
+            mn, mx = _limits(r)
+            self.memories.append(Memory(mn, mx))
+
+    def _sec_globals(self, r: _Reader):
+        for _ in range(r.u32()):
+            vt = r.byte()
+            mut = r.byte()
+            init = _const_expr(r)
+            self.globals.append(Global(vt, bool(mut), init))
+
+    def _sec_exports(self, r: _Reader):
+        for _ in range(r.u32()):
+            nm = r.name()
+            kind = r.byte()
+            idx = r.u32()
+            self.exports[nm] = (kind, idx)
+
+    def _sec_elements(self, r: _Reader):
+        for _ in range(r.u32()):
+            flags = r.u32()
+            if flags == 0:
+                off = _const_expr(r)
+                idxs = r.vec_u32()
+                self.elements.append(("active", 0, off, idxs))
+            elif flags == 1:  # passive, elemkind + func idx vec
+                r.byte()
+                self.elements.append(("passive", None, None, r.vec_u32()))
+            elif flags == 2:
+                ti = r.u32()
+                off = _const_expr(r)
+                r.byte()
+                self.elements.append(("active", ti, off, r.vec_u32()))
+            elif flags == 3:
+                r.byte()
+                self.elements.append(("declared", None, None, r.vec_u32()))
+            elif flags in (4, 5, 6, 7):
+                # expr-encoded element segments (reference types)
+                ti = 0
+                off = None
+                if flags in (4, 6):
+                    if flags == 6:
+                        ti = r.u32()
+                    off = _const_expr(r)
+                if flags in (5, 7):
+                    r.byte()
+                idxs = []
+                for _ in range(r.u32()):
+                    op, arg = _const_expr(r)
+                    idxs.append(None if op == 0xD0 else arg)
+                mode = "active" if flags in (4, 6) else (
+                    "declared" if flags == 7 else "passive")
+                self.elements.append((mode, ti, off, idxs))
+            else:
+                raise WasmError(f"bad element flags {flags}")
+
+    def _sec_data(self, r: _Reader):
+        for _ in range(r.u32()):
+            flags = r.u32()
+            if flags == 0:
+                off = _const_expr(r)
+                self.data_segments.append(("active", 0, off,
+                                           r.bytes(r.u32())))
+            elif flags == 1:
+                self.data_segments.append(("passive", None, None,
+                                           r.bytes(r.u32())))
+            elif flags == 2:
+                mi = r.u32()
+                off = _const_expr(r)
+                self.data_segments.append(("active", mi, off,
+                                           r.bytes(r.u32())))
+            else:
+                raise WasmError(f"bad data flags {flags}")
+
+    # -- code ------------------------------------------------------------
+
+    def _sec_code(self, r: _Reader):
+        n = r.u32()
+        base = len(self.imported_funcs)
+        for fi in range(n):
+            size = r.u32()
+            body = _Reader(r.bytes(size))
+            local_types: List[int] = []
+            for _ in range(body.u32()):
+                cnt = body.u32()
+                vt = body.byte()
+                local_types.extend([vt] * cnt)
+            code = self._decode_body(body)
+            self.functions.append(
+                Function(self.types[self.func_type_idx[fi]],
+                         local_types, code, base + fi)
+            )
+
+    def _decode_body(self, r: _Reader) -> List[Tuple[int, Any]]:
+        """Flatten one body to (op, arg) pairs with IF→ELSE/END links.
+
+        Control structure stays on a runtime label stack; the only
+        decode-time resolution needed is the IF's jump-on-false target
+        (and ELSE's jump-to-END), plus each block's END index so BR can
+        land without scanning.
+        """
+        types = self.types
+        out: List[Tuple[int, Any]] = []
+        # stack of (kind, out_index) for patching; kind in {'b','l','i','e'}
+        ctl: List[Tuple[str, int]] = []
+        while r.i < r.n:
+            op = r.byte()
+            if op in (0x02, 0x03):  # block / loop
+                p, q = _block_type(r)
+                if p == -1:
+                    ft = types[q]
+                    arity = (len(ft.params), len(ft.results))
+                else:
+                    arity = (p, q)
+                ctl.append(("b" if op == 0x02 else "l", len(out)))
+                # arg = [n_params, n_results, end_index(patched)]
+                out.append((op, [arity[0], arity[1], -1]))
+            elif op == 0x04:  # if
+                p, q = _block_type(r)
+                if p == -1:
+                    ft = types[q]
+                    arity = (len(ft.params), len(ft.results))
+                else:
+                    arity = (p, q)
+                ctl.append(("i", len(out)))
+                # arg = [n_params, n_results, else_or_end, end_index]
+                out.append((op, [arity[0], arity[1], -1, -1]))
+            elif op == 0x05:  # else
+                entry = ctl.pop()
+                if entry[0] != "i":
+                    raise WasmError("else without if")
+                at = entry[1]
+                out[at][1][2] = len(out) + 1  # false → instr after else
+                ctl.append(("e", at, len(out)))
+                out.append((op, -1))  # patched to end index below
+            elif op == 0x0B:  # end
+                if not ctl:
+                    out.append((op, None))
+                    break  # function end
+                entry = ctl.pop()
+                kind, at = entry[0], entry[1]
+                arg = out[at][1]
+                # br targets skip PAST the end instruction (the end's own
+                # label pop serves fall-through only); false-jumps and the
+                # else marker land ON the end so it pops the if's label.
+                if kind == "i":
+                    arg[2] = len(out)  # no else: false → end (pops label)
+                    arg[3] = len(out) + 1  # br target: past end
+                elif kind == "e":
+                    arg[3] = len(out) + 1
+                    # true branch jumps over the else arm onto this end
+                    out[entry[2]] = (0x05, len(out))
+                else:
+                    arg[2] = len(out) + 1  # block br target: past end
+                out.append((op, None))
+            elif op in (0x0C, 0x0D):  # br / br_if
+                out.append((op, r.u32()))
+            elif op == 0x0E:  # br_table
+                tgts = r.vec_u32()
+                out.append((op, (tgts, r.u32())))
+            elif op in (0x00, 0x01, 0x0F):  # unreachable / nop / return
+                out.append((op, None))
+            elif op == 0x10:  # call
+                out.append((op, r.u32()))
+            elif op == 0x11:  # call_indirect
+                ti = r.u32()
+                tbl = r.u32()
+                out.append((op, (ti, tbl)))
+            elif op == 0x1A:  # drop
+                out.append((op, None))
+            elif op == 0x1B:  # select
+                out.append((op, None))
+            elif op == 0x1C:  # select t (typed)
+                for _ in range(r.u32()):
+                    r.byte()
+                out.append((0x1B, None))
+            elif op in (0x20, 0x21, 0x22, 0x23, 0x24):  # local/global
+                out.append((op, r.u32()))
+            elif op in (0x25, 0x26):  # table.get/set
+                out.append((op, r.u32()))
+            elif 0x28 <= op <= 0x3E:  # loads/stores: align+offset
+                r.u32()
+                out.append((op, r.u32()))
+            elif op in (0x3F, 0x40):  # memory.size / grow
+                r.byte()
+                out.append((op, None))
+            elif op == 0x41:
+                out.append((op, r.s32() & 0xFFFFFFFF))
+            elif op == 0x42:
+                out.append((op, r.s64() & 0xFFFFFFFFFFFFFFFF))
+            elif op == 0x43:
+                out.append((op, r.f32()))
+            elif op == 0x44:
+                out.append((op, r.f64()))
+            elif 0x45 <= op <= 0xC4:  # numeric ops + sign extension
+                out.append((op, None))
+            elif op == 0xD0:  # ref.null
+                r.byte()
+                out.append((op, None))
+            elif op == 0xD1:  # ref.is_null
+                out.append((op, None))
+            elif op == 0xD2:  # ref.func
+                out.append((op, r.u32()))
+            elif op == 0xFC:
+                sub = r.u32()
+                if sub <= 7:  # saturating truncation
+                    out.append((0xFC00 | sub, None))
+                elif sub == 8:  # memory.init
+                    seg = r.u32()
+                    r.byte()
+                    out.append((0xFC08, seg))
+                elif sub == 9:  # data.drop
+                    out.append((0xFC09, r.u32()))
+                elif sub == 10:  # memory.copy
+                    r.byte()
+                    r.byte()
+                    out.append((0xFC0A, None))
+                elif sub == 11:  # memory.fill
+                    r.byte()
+                    out.append((0xFC0B, None))
+                elif sub == 12:  # table.init
+                    seg = r.u32()
+                    tbl = r.u32()
+                    out.append((0xFC0C, (seg, tbl)))
+                elif sub == 13:  # elem.drop
+                    out.append((0xFC0D, r.u32()))
+                elif sub == 14:  # table.copy
+                    d = r.u32()
+                    s = r.u32()
+                    out.append((0xFC0E, (d, s)))
+                elif sub == 15:  # table.grow
+                    out.append((0xFC0F, r.u32()))
+                elif sub == 16:  # table.size
+                    out.append((0xFC10, r.u32()))
+                elif sub == 17:  # table.fill
+                    out.append((0xFC11, r.u32()))
+                else:
+                    raise WasmError(f"unsupported 0xFC sub-op {sub}")
+            else:
+                raise WasmError(f"unsupported opcode 0x{op:02X}")
+        return out
+
+    # -- helpers ---------------------------------------------------------
+
+    def func_type(self, func_idx: int) -> FuncType:
+        ni = len(self.imported_funcs)
+        if func_idx < ni:
+            return self.imported_funcs[func_idx].type
+        return self.functions[func_idx - ni].type

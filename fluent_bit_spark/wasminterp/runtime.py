@@ -1,0 +1,1168 @@
+"""WebAssembly execution engine (tree-flattened, label-stack based).
+
+Written from the public core-spec execution semantics
+(https://webassembly.github.io/spec/core/exec/). One explicit frame
+stack (no host recursion), one value stack per frame, and a runtime
+label stack for structured control — `br` pops labels and truncates the
+value stack to the label's recorded height plus its arity, exactly the
+spec's "exit l levels" rule.
+
+Numeric representation:
+  * i32/i64 — Python ints in UNSIGNED canonical form (masked); signed
+    views are materialized only where an operator is signed.
+  * f32/f64 — Python floats; every f32-producing op re-rounds through
+    struct pack('<f') so single-precision semantics hold bit-for-bit
+    for the test modules' arithmetic.
+  * funcref — function index int or None (ref.null).
+
+Traps raise Trap (div-by-zero, OOB access, unreachable, indirect-call
+mismatches, stack exhaustion), mirroring wasm_runtime_call_wasm's
+exception surface that src/wasm/flb_wasm.c checks after each call.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .module import (
+    Module, Function, ImportedFunction, FuncType, WasmError,
+    K_FUNC, K_TABLE, K_MEM, K_GLOBAL, PAGE, I32, I64, F32, F64,
+)
+
+M32 = 0xFFFFFFFF
+M64 = 0xFFFFFFFFFFFFFFFF
+S32 = 0x80000000
+S64 = 0x8000000000000000
+
+_pack_f32 = struct.Struct("<f").pack
+_unpack_f32 = struct.Struct("<f").unpack
+_pack_into = struct.pack_into
+_unpack_from = struct.unpack_from
+
+
+class Trap(Exception):
+    """Runtime trap — the wasm_runtime_get_exception analogue."""
+
+
+class ProcExit(Exception):
+    """WASI proc_exit — carries the exit code."""
+
+    def __init__(self, code: int):
+        super().__init__(f"proc_exit({code})")
+        self.code = code
+
+
+def _s32(v: int) -> int:
+    return v - 0x100000000 if v & S32 else v
+
+
+def _s64(v: int) -> int:
+    return v - 0x10000000000000000 if v & S64 else v
+
+
+def _f32(x: float) -> float:
+    try:
+        return _unpack_f32(_pack_f32(x))[0]
+    except OverflowError:
+        return float("inf") if x > 0 else float("-inf")
+
+
+def _rotl32(v: int, n: int) -> int:
+    n &= 31
+    return ((v << n) | (v >> (32 - n))) & M32 if n else v
+
+
+def _rotr32(v: int, n: int) -> int:
+    n &= 31
+    return ((v >> n) | (v << (32 - n))) & M32 if n else v
+
+
+def _rotl64(v: int, n: int) -> int:
+    n &= 63
+    return ((v << n) | (v >> (64 - n))) & M64 if n else v
+
+
+def _rotr64(v: int, n: int) -> int:
+    n &= 63
+    return ((v >> n) | (v << (64 - n))) & M64 if n else v
+
+
+def _clz(v: int, bits: int) -> int:
+    return bits - v.bit_length() if v else bits
+
+
+def _ctz(v: int, bits: int) -> int:
+    return (v & -v).bit_length() - 1 if v else bits
+
+
+def _trunc(x: float, lo: int, hi: int, what: str) -> int:
+    if x != x:
+        raise Trap(f"invalid conversion to integer ({what} of NaN)")
+    i = int(x)  # trunc toward zero
+    if i < lo or i > hi:
+        raise Trap(f"integer overflow ({what})")
+    return i
+
+
+def _trunc_sat(x: float, lo: int, hi: int) -> int:
+    if x != x:
+        return 0
+    if x == float("inf"):
+        return hi
+    if x == float("-inf"):
+        return lo
+    i = int(x)
+    return lo if i < lo else (hi if i > hi else i)
+
+
+def _fmin(a: float, b: float) -> float:
+    # wasm min: NaN-propagating, -0 < +0
+    if a != a or b != b:
+        return float("nan")
+    if a == 0 and b == 0:
+        return a if str(a)[0] == "-" else b
+    return a if a < b else b
+
+
+def _fmax(a: float, b: float) -> float:
+    if a != a or b != b:
+        return float("nan")
+    if a == 0 and b == 0:
+        return b if str(a)[0] == "-" else a
+    return a if a > b else b
+
+
+def _fnearest(x: float) -> float:
+    # round-to-nearest, ties-to-even
+    import math
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    r = math.floor(x + 0.5)
+    if r - x == 0.5 and r % 2 != 0:
+        r -= 1
+    if r == 0 and (x < 0 or (x == 0 and math.copysign(1, x) < 0)):
+        return -0.0
+    return float(r)
+
+
+class Frame:
+    __slots__ = ("code", "locals", "stack", "labels", "pc", "n_results")
+
+    def __init__(self, code, locs, n_results):
+        self.code = code
+        self.locals = locs
+        self.stack: List[Any] = []
+        # label: (resume_pc, arity, stack_height)
+        self.labels: List[Tuple[int, int, int]] = []
+        self.pc = 0
+        self.n_results = n_results
+
+
+HostFunc = Callable[["Instance", List[Any]], List[Any]]
+
+MAX_FRAMES = 2000
+DEFAULT_MAX_PAGES = 4096  # 256 MiB — generous vs WAMR's default heap
+
+
+class Instance:
+    """An instantiated module: memory, tables, globals, callable exports."""
+
+    def __init__(
+        self,
+        module: Module,
+        imports: Optional[Dict[Tuple[str, str], HostFunc]] = None,
+        max_pages: int = DEFAULT_MAX_PAGES,
+    ):
+        self.module = module
+        self.max_pages = max_pages
+        self.host_funcs: List[HostFunc] = []
+        imports = imports or {}
+        for imp in module.imported_funcs:
+            fn = imports.get((imp.module, imp.name))
+            if fn is None:
+                raise WasmError(
+                    f"unresolved import {imp.module}.{imp.name}"
+                )
+            self.host_funcs.append(fn)
+        self.n_imported = len(module.imported_funcs)
+
+        # globals
+        self.globals: List[Any] = []
+        for g in module.globals:
+            if g.init is None:
+                self.globals.append(0)  # imported-global value, none needed
+                continue
+            op, arg = g.init
+            if op == 0x23:
+                self.globals.append(self.globals[arg])
+            elif op == 0xD2:
+                self.globals.append(arg)
+            elif op == 0xD0:
+                self.globals.append(None)
+            else:
+                self.globals.append(arg)
+
+        # memory
+        self.mem = bytearray()
+        self.pages = 0
+        if module.memories:
+            self.pages = module.memories[0].min
+            self.mem = bytearray(self.pages * PAGE)
+        self.datas: List[Optional[bytes]] = []
+        for mode, mi, off, seg in module.data_segments:
+            if mode == "active":
+                base = self._const_val(off)
+                if base + len(seg) > len(self.mem):
+                    raise Trap("out of bounds memory access (data segment)")
+                self.mem[base : base + len(seg)] = seg
+                self.datas.append(None)
+            else:
+                self.datas.append(seg)
+
+        # tables
+        self.tables: List[List[Optional[int]]] = [
+            [None] * t.min for t in module.tables
+        ]
+        self.elems: List[Optional[List[Optional[int]]]] = []
+        for mode, ti, off, idxs in module.elements:
+            if mode == "active":
+                base = self._const_val(off)
+                tbl = self.tables[ti or 0]
+                if base + len(idxs) > len(tbl):
+                    raise Trap("out of bounds table access (elem segment)")
+                tbl[base : base + len(idxs)] = idxs
+                self.elems.append(None)
+            elif mode == "passive":
+                self.elems.append(list(idxs))
+            else:
+                self.elems.append(None)
+
+        if module.start is not None:
+            self.invoke_index(module.start, [])
+
+    def _const_val(self, expr) -> Any:
+        op, arg = expr
+        if op == 0x23:
+            return self.globals[arg]
+        return arg
+
+    # -- public call surface ----------------------------------------------
+
+    def exports(self) -> Dict[str, Tuple[int, int]]:
+        return self.module.exports
+
+    def invoke(self, name: str, args: List[Any]) -> List[Any]:
+        exp = self.module.exports.get(name)
+        if exp is None or exp[0] != K_FUNC:
+            raise WasmError(f"export {name!r} is not a function")
+        return self.invoke_index(exp[1], args)
+
+    def invoke_index(self, func_idx: int, args: List[Any]) -> List[Any]:
+        if func_idx < self.n_imported:
+            return self.host_funcs[func_idx](self, list(args))
+        f = self.module.functions[func_idx - self.n_imported]
+        locs = list(args) + [
+            0.0 if t in (F32, F64) else (None if t in (0x70, 0x6F) else 0)
+            for t in f.local_types
+        ]
+        fr = Frame(f.code, locs, len(f.type.results))
+        return self._run(fr)
+
+    # -- memory helpers -----------------------------------------------------
+
+    def mem_read(self, addr: int, n: int) -> bytes:
+        if addr < 0 or addr + n > len(self.mem):
+            raise Trap("out of bounds memory access")
+        return bytes(self.mem[addr : addr + n])
+
+    def mem_write(self, addr: int, data: bytes):
+        if addr < 0 or addr + len(data) > len(self.mem):
+            raise Trap("out of bounds memory access")
+        self.mem[addr : addr + len(data)] = data
+
+    def mem_cstr(self, addr: int, max_len: int = 1 << 24) -> bytes:
+        """Read a NUL-terminated string (validate_app_str_addr analogue)."""
+        end = self.mem.find(b"\x00", addr, addr + max_len)
+        if addr < 0 or addr >= len(self.mem) or end < 0:
+            raise Trap("invalid app string address")
+        return bytes(self.mem[addr:end])
+
+    def grow_memory(self, delta: int) -> int:
+        old = self.pages
+        new = old + delta
+        mod_max = (
+            self.module.memories[0].max
+            if self.module.memories and self.module.memories[0].max
+            else self.max_pages
+        )
+        if new > min(mod_max, self.max_pages):
+            return M32  # -1: grow failed
+        self.mem.extend(bytes(delta * PAGE))
+        self.pages = new
+        return old
+
+    # -- the interpreter loop ----------------------------------------------
+
+    def _run(self, entry: Frame) -> List[Any]:
+        mod = self.module
+        funcs = mod.functions
+        types = mod.types
+        n_imported = self.n_imported
+        host_funcs = self.host_funcs
+        glob = self.globals
+        frames: List[Frame] = [entry]
+
+        while True:
+            fr = frames[-1]
+            code = fr.code
+            stack = fr.stack
+            labels = fr.labels
+            pc = fr.pc
+            mem = self.mem
+            call: Optional[Tuple[Function, List[Any]]] = None
+            ret = False
+
+            while True:
+                op, arg = code[pc]
+
+                # ---- hot scalar ops -------------------------------------
+                if op == 0x20:  # local.get
+                    stack.append(fr.locals[arg])
+                elif 0x41 <= op <= 0x44:  # i32/i64/f32/f64.const
+                    stack.append(arg)
+                elif op == 0x21:  # local.set
+                    fr.locals[arg] = stack.pop()
+                elif op == 0x22:  # local.tee
+                    fr.locals[arg] = stack[-1]
+                elif op == 0x6A:  # i32.add
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] + v) & M32
+                elif op == 0x28:  # i32.load
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(
+                        mem[a] | mem[a + 1] << 8 | mem[a + 2] << 16
+                        | mem[a + 3] << 24
+                    )
+                elif op == 0x36:  # i32.store
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a] = v & 0xFF
+                    mem[a + 1] = (v >> 8) & 0xFF
+                    mem[a + 2] = (v >> 16) & 0xFF
+                    mem[a + 3] = (v >> 24) & 0xFF
+
+                # ---- control --------------------------------------------
+                elif op == 0x02:  # block
+                    labels.append((arg[2], arg[1], len(stack) - arg[0]))
+                elif op == 0x03:  # loop — br target is the loop itself
+                    labels.append((pc, arg[0], len(stack) - arg[0]))
+                elif op == 0x04:  # if
+                    c = stack.pop()
+                    labels.append((arg[3], arg[1], len(stack) - arg[0]))
+                    if not c:
+                        pc = arg[2]
+                        continue
+                elif op == 0x05:  # else marker: true branch jumps to end
+                    pc = arg
+                    continue
+                elif op == 0x0B:  # end
+                    if labels:
+                        labels.pop()
+                        pc += 1
+                        continue
+                    ret = True
+                    break
+                elif op == 0x0C:  # br
+                    if arg >= len(labels):  # function-level label: return
+                        ret = True
+                        break
+                    tgt, arity, h = labels[-1 - arg]
+                    del labels[len(labels) - 1 - arg :]
+                    if arity:
+                        stack[h:] = stack[-arity:]
+                    else:
+                        del stack[h:]
+                    pc = tgt
+                    continue
+                elif op == 0x0D:  # br_if
+                    if stack.pop():
+                        if arg >= len(labels):
+                            ret = True
+                            break
+                        tgt, arity, h = labels[-1 - arg]
+                        del labels[len(labels) - 1 - arg :]
+                        if arity:
+                            stack[h:] = stack[-arity:]
+                        else:
+                            del stack[h:]
+                        pc = tgt
+                        continue
+                elif op == 0x0E:  # br_table
+                    i = stack.pop()
+                    tgts, dflt = arg
+                    d = tgts[i] if i < len(tgts) else dflt
+                    if d >= len(labels):
+                        ret = True
+                        break
+                    tgt, arity, h = labels[-1 - d]
+                    del labels[len(labels) - 1 - d :]
+                    if arity:
+                        stack[h:] = stack[-arity:]
+                    else:
+                        del stack[h:]
+                    pc = tgt
+                    continue
+                elif op == 0x0F:  # return
+                    ret = True
+                    break
+                elif op == 0x10:  # call
+                    if arg < n_imported:
+                        ft = mod.imported_funcs[arg].type
+                        np = len(ft.params)
+                        args = stack[len(stack) - np :] if np else []
+                        if np:
+                            del stack[len(stack) - np :]
+                        stack.extend(host_funcs[arg](self, args))
+                        mem = self.mem  # host call may grow memory
+                    else:
+                        f = funcs[arg - n_imported]
+                        call = f
+                        break
+                elif op == 0x11:  # call_indirect
+                    ti, tbl_i = arg
+                    i = stack.pop()
+                    tbl = self.tables[tbl_i]
+                    if i >= len(tbl):
+                        raise Trap("undefined element")
+                    fi = tbl[i]
+                    if fi is None:
+                        raise Trap("uninitialized element")
+                    ft = mod.func_type(fi)
+                    if ft != types[ti]:
+                        raise Trap("indirect call type mismatch")
+                    if fi < n_imported:
+                        np = len(ft.params)
+                        args = stack[len(stack) - np :] if np else []
+                        if np:
+                            del stack[len(stack) - np :]
+                        stack.extend(host_funcs[fi](self, args))
+                        mem = self.mem
+                    else:
+                        call = funcs[fi - n_imported]
+                        break
+                elif op == 0x00:
+                    raise Trap("unreachable")
+                elif op == 0x01:
+                    pass  # nop
+                elif op == 0x1A:  # drop
+                    stack.pop()
+                elif op == 0x1B:  # select
+                    c = stack.pop()
+                    b = stack.pop()
+                    if not c:
+                        stack[-1] = b
+
+                # ---- globals --------------------------------------------
+                elif op == 0x23:
+                    stack.append(glob[arg])
+                elif op == 0x24:
+                    glob[arg] = stack.pop()
+
+                # ---- loads ----------------------------------------------
+                elif op == 0x29:  # i64.load
+                    a = stack.pop() + arg
+                    if a + 8 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(int.from_bytes(mem[a : a + 8], "little"))
+                elif op == 0x2A:  # f32.load
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(_unpack_from("<f", mem, a)[0])
+                elif op == 0x2B:  # f64.load
+                    a = stack.pop() + arg
+                    if a + 8 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(_unpack_from("<d", mem, a)[0])
+                elif op == 0x2C:  # i32.load8_s
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    v = mem[a]
+                    stack.append((v - 0x100 if v & 0x80 else v) & M32)
+                elif op == 0x2D:  # i32.load8_u
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(mem[a])
+                elif op == 0x2E:  # i32.load16_s
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    v = mem[a] | mem[a + 1] << 8
+                    stack.append((v - 0x10000 if v & 0x8000 else v) & M32)
+                elif op == 0x2F:  # i32.load16_u
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(mem[a] | mem[a + 1] << 8)
+                elif op == 0x30:  # i64.load8_s
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    v = mem[a]
+                    stack.append((v - 0x100 if v & 0x80 else v) & M64)
+                elif op == 0x31:  # i64.load8_u
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(mem[a])
+                elif op == 0x32:  # i64.load16_s
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    v = mem[a] | mem[a + 1] << 8
+                    stack.append((v - 0x10000 if v & 0x8000 else v) & M64)
+                elif op == 0x33:  # i64.load16_u
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(mem[a] | mem[a + 1] << 8)
+                elif op == 0x34:  # i64.load32_s
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    v = (
+                        mem[a] | mem[a + 1] << 8 | mem[a + 2] << 16
+                        | mem[a + 3] << 24
+                    )
+                    stack.append((v - 0x100000000 if v & S32 else v) & M64)
+                elif op == 0x35:  # i64.load32_u
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    stack.append(
+                        mem[a] | mem[a + 1] << 8 | mem[a + 2] << 16
+                        | mem[a + 3] << 24
+                    )
+
+                # ---- stores ---------------------------------------------
+                elif op == 0x37:  # i64.store
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 8 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a : a + 8] = v.to_bytes(8, "little")
+                elif op == 0x38:  # f32.store
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    _pack_into("<f", mem, a, v)
+                elif op == 0x39:  # f64.store
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 8 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    _pack_into("<d", mem, a, v)
+                elif op == 0x3A:  # i32.store8
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a] = v & 0xFF
+                elif op == 0x3B:  # i32.store16
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a] = v & 0xFF
+                    mem[a + 1] = (v >> 8) & 0xFF
+                elif op == 0x3C:  # i64.store8
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a >= len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a] = v & 0xFF
+                elif op == 0x3D:  # i64.store16
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 2 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a] = v & 0xFF
+                    mem[a + 1] = (v >> 8) & 0xFF
+                elif op == 0x3E:  # i64.store32
+                    v = stack.pop()
+                    a = stack.pop() + arg
+                    if a + 4 > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[a : a + 4] = (v & M32).to_bytes(4, "little")
+
+                # ---- memory admin ---------------------------------------
+                elif op == 0x3F:  # memory.size
+                    stack.append(self.pages)
+                elif op == 0x40:  # memory.grow
+                    stack.append(self.grow_memory(stack.pop()))
+                    mem = self.mem
+
+                # ---- i32 compare/arith ----------------------------------
+                elif op == 0x45:  # i32.eqz
+                    stack[-1] = 1 if stack[-1] == 0 else 0
+                elif op == 0x46:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] == v else 0
+                elif op == 0x47:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] != v else 0
+                elif op == 0x48:  # lt_s
+                    v = stack.pop()
+                    stack[-1] = 1 if _s32(stack[-1]) < _s32(v) else 0
+                elif op == 0x49:  # lt_u
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] < v else 0
+                elif op == 0x4A:  # gt_s
+                    v = stack.pop()
+                    stack[-1] = 1 if _s32(stack[-1]) > _s32(v) else 0
+                elif op == 0x4B:  # gt_u
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] > v else 0
+                elif op == 0x4C:  # le_s
+                    v = stack.pop()
+                    stack[-1] = 1 if _s32(stack[-1]) <= _s32(v) else 0
+                elif op == 0x4D:  # le_u
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] <= v else 0
+                elif op == 0x4E:  # ge_s
+                    v = stack.pop()
+                    stack[-1] = 1 if _s32(stack[-1]) >= _s32(v) else 0
+                elif op == 0x4F:  # ge_u
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] >= v else 0
+                elif op == 0x67:  # i32.clz
+                    stack[-1] = _clz(stack[-1], 32)
+                elif op == 0x68:  # i32.ctz
+                    stack[-1] = _ctz(stack[-1], 32)
+                elif op == 0x69:  # i32.popcnt
+                    stack[-1] = bin(stack[-1]).count("1")
+                elif op == 0x6B:  # i32.sub
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] - v) & M32
+                elif op == 0x6C:  # i32.mul
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] * v) & M32
+                elif op == 0x6D:  # i32.div_s
+                    v = _s32(stack.pop())
+                    a = _s32(stack[-1])
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    q = abs(a) // abs(v)
+                    if (a < 0) != (v < 0):
+                        q = -q
+                    if q == 0x80000000:
+                        raise Trap("integer overflow")
+                    stack[-1] = q & M32
+                elif op == 0x6E:  # i32.div_u
+                    v = stack.pop()
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    stack[-1] = stack[-1] // v
+                elif op == 0x6F:  # i32.rem_s
+                    v = _s32(stack.pop())
+                    a = _s32(stack[-1])
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    r = abs(a) % abs(v)
+                    if a < 0:
+                        r = -r
+                    stack[-1] = r & M32
+                elif op == 0x70:  # i32.rem_u
+                    v = stack.pop()
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    stack[-1] = stack[-1] % v
+                elif op == 0x71:  # i32.and
+                    v = stack.pop()
+                    stack[-1] &= v
+                elif op == 0x72:  # i32.or
+                    v = stack.pop()
+                    stack[-1] |= v
+                elif op == 0x73:  # i32.xor
+                    v = stack.pop()
+                    stack[-1] ^= v
+                elif op == 0x74:  # i32.shl
+                    v = stack.pop() & 31
+                    stack[-1] = (stack[-1] << v) & M32
+                elif op == 0x75:  # i32.shr_s
+                    v = stack.pop() & 31
+                    stack[-1] = (_s32(stack[-1]) >> v) & M32
+                elif op == 0x76:  # i32.shr_u
+                    v = stack.pop() & 31
+                    stack[-1] >>= v
+                elif op == 0x77:  # i32.rotl
+                    v = stack.pop()
+                    stack[-1] = _rotl32(stack[-1], v)
+                elif op == 0x78:  # i32.rotr
+                    v = stack.pop()
+                    stack[-1] = _rotr32(stack[-1], v)
+
+                # ---- i64 compare/arith ----------------------------------
+                elif op == 0x50:  # i64.eqz
+                    stack[-1] = 1 if stack[-1] == 0 else 0
+                elif op == 0x51:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] == v else 0
+                elif op == 0x52:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] != v else 0
+                elif op == 0x53:
+                    v = stack.pop()
+                    stack[-1] = 1 if _s64(stack[-1]) < _s64(v) else 0
+                elif op == 0x54:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] < v else 0
+                elif op == 0x55:
+                    v = stack.pop()
+                    stack[-1] = 1 if _s64(stack[-1]) > _s64(v) else 0
+                elif op == 0x56:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] > v else 0
+                elif op == 0x57:
+                    v = stack.pop()
+                    stack[-1] = 1 if _s64(stack[-1]) <= _s64(v) else 0
+                elif op == 0x58:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] <= v else 0
+                elif op == 0x59:
+                    v = stack.pop()
+                    stack[-1] = 1 if _s64(stack[-1]) >= _s64(v) else 0
+                elif op == 0x5A:
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] >= v else 0
+                elif op == 0x79:  # i64.clz
+                    stack[-1] = _clz(stack[-1], 64)
+                elif op == 0x7A:  # i64.ctz
+                    stack[-1] = _ctz(stack[-1], 64)
+                elif op == 0x7B:  # i64.popcnt
+                    stack[-1] = bin(stack[-1]).count("1")
+                elif op == 0x7C:  # i64.add
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] + v) & M64
+                elif op == 0x7D:  # i64.sub
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] - v) & M64
+                elif op == 0x7E:  # i64.mul
+                    v = stack.pop()
+                    stack[-1] = (stack[-1] * v) & M64
+                elif op == 0x7F:  # i64.div_s
+                    v = _s64(stack.pop())
+                    a = _s64(stack[-1])
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    q = abs(a) // abs(v)
+                    if (a < 0) != (v < 0):
+                        q = -q
+                    if q == S64:
+                        raise Trap("integer overflow")
+                    stack[-1] = q & M64
+                elif op == 0x80:  # i64.div_u
+                    v = stack.pop()
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    stack[-1] = stack[-1] // v
+                elif op == 0x81:  # i64.rem_s
+                    v = _s64(stack.pop())
+                    a = _s64(stack[-1])
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    r = abs(a) % abs(v)
+                    if a < 0:
+                        r = -r
+                    stack[-1] = r & M64
+                elif op == 0x82:  # i64.rem_u
+                    v = stack.pop()
+                    if v == 0:
+                        raise Trap("integer divide by zero")
+                    stack[-1] = stack[-1] % v
+                elif op == 0x83:
+                    v = stack.pop()
+                    stack[-1] &= v
+                elif op == 0x84:
+                    v = stack.pop()
+                    stack[-1] |= v
+                elif op == 0x85:
+                    v = stack.pop()
+                    stack[-1] ^= v
+                elif op == 0x86:  # i64.shl
+                    v = stack.pop() & 63
+                    stack[-1] = (stack[-1] << v) & M64
+                elif op == 0x87:  # i64.shr_s
+                    v = stack.pop() & 63
+                    stack[-1] = (_s64(stack[-1]) >> v) & M64
+                elif op == 0x88:  # i64.shr_u
+                    v = stack.pop() & 63
+                    stack[-1] >>= v
+                elif op == 0x89:
+                    v = stack.pop()
+                    stack[-1] = _rotl64(stack[-1], v)
+                elif op == 0x8A:
+                    v = stack.pop()
+                    stack[-1] = _rotr64(stack[-1], v)
+
+                # ---- float compare --------------------------------------
+                elif op in (0x5B, 0x61):  # f32.eq / f64.eq
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] == v else 0
+                elif op in (0x5C, 0x62):
+                    v = stack.pop()
+                    a = stack[-1]
+                    stack[-1] = 1 if (a == a and v == v and a != v) else 0
+                elif op in (0x5D, 0x63):
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] < v else 0
+                elif op in (0x5E, 0x64):
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] > v else 0
+                elif op in (0x5F, 0x65):
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] <= v else 0
+                elif op in (0x60, 0x66):
+                    v = stack.pop()
+                    stack[-1] = 1 if stack[-1] >= v else 0
+
+                # ---- f32 arith ------------------------------------------
+                elif op == 0x8B:
+                    stack[-1] = _f32(abs(stack[-1]))
+                elif op == 0x8C:
+                    stack[-1] = _f32(-stack[-1])
+                elif op == 0x8D:
+                    import math
+
+                    stack[-1] = _f32(math.ceil(stack[-1])) if stack[-1] == stack[-1] else stack[-1]
+                elif op == 0x8E:
+                    import math
+
+                    stack[-1] = _f32(math.floor(stack[-1])) if stack[-1] == stack[-1] else stack[-1]
+                elif op == 0x8F:
+                    v = stack[-1]
+                    stack[-1] = _f32(float(int(v))) if v == v and abs(v) != float("inf") else v
+                elif op == 0x90:
+                    stack[-1] = _f32(_fnearest(stack[-1]))
+                elif op == 0x91:
+                    import math
+
+                    v = stack[-1]
+                    stack[-1] = _f32(math.sqrt(v)) if v >= 0 else float("nan")
+                elif op == 0x92:
+                    v = stack.pop()
+                    stack[-1] = _f32(stack[-1] + v)
+                elif op == 0x93:
+                    v = stack.pop()
+                    stack[-1] = _f32(stack[-1] - v)
+                elif op == 0x94:
+                    v = stack.pop()
+                    stack[-1] = _f32(stack[-1] * v)
+                elif op == 0x95:
+                    v = stack.pop()
+                    a = stack[-1]
+                    if v == 0:
+                        stack[-1] = (
+                            float("nan") if a == 0 or a != a
+                            else float("inf") * (1 if (a > 0) == (str(v)[0] != "-") else -1)
+                        )
+                    else:
+                        stack[-1] = _f32(a / v)
+                elif op == 0x96:
+                    v = stack.pop()
+                    stack[-1] = _f32(_fmin(stack[-1], v))
+                elif op == 0x97:
+                    v = stack.pop()
+                    stack[-1] = _f32(_fmax(stack[-1], v))
+                elif op == 0x98:  # f32.copysign
+                    import math
+
+                    v = stack.pop()
+                    stack[-1] = _f32(math.copysign(stack[-1], v))
+
+                # ---- f64 arith ------------------------------------------
+                elif op == 0x99:
+                    stack[-1] = abs(stack[-1])
+                elif op == 0x9A:
+                    stack[-1] = -stack[-1]
+                elif op == 0x9B:
+                    import math
+
+                    v = stack[-1]
+                    stack[-1] = float(math.ceil(v)) if v == v and abs(v) != float("inf") else v
+                elif op == 0x9C:
+                    import math
+
+                    v = stack[-1]
+                    stack[-1] = float(math.floor(v)) if v == v and abs(v) != float("inf") else v
+                elif op == 0x9D:
+                    v = stack[-1]
+                    stack[-1] = float(int(v)) if v == v and abs(v) != float("inf") else v
+                elif op == 0x9E:
+                    stack[-1] = _fnearest(stack[-1])
+                elif op == 0x9F:
+                    import math
+
+                    v = stack[-1]
+                    stack[-1] = math.sqrt(v) if v >= 0 else float("nan")
+                elif op == 0xA0:
+                    v = stack.pop()
+                    stack[-1] = stack[-1] + v
+                elif op == 0xA1:
+                    v = stack.pop()
+                    stack[-1] = stack[-1] - v
+                elif op == 0xA2:
+                    v = stack.pop()
+                    stack[-1] = stack[-1] * v
+                elif op == 0xA3:
+                    v = stack.pop()
+                    a = stack[-1]
+                    if v == 0:
+                        stack[-1] = (
+                            float("nan") if a == 0 or a != a
+                            else float("inf") * (1 if (a > 0) == (str(v)[0] != "-") else -1)
+                        )
+                    else:
+                        stack[-1] = a / v
+                elif op == 0xA4:
+                    v = stack.pop()
+                    stack[-1] = _fmin(stack[-1], v)
+                elif op == 0xA5:
+                    v = stack.pop()
+                    stack[-1] = _fmax(stack[-1], v)
+                elif op == 0xA6:
+                    import math
+
+                    v = stack.pop()
+                    stack[-1] = math.copysign(stack[-1], v)
+
+                # ---- conversions ----------------------------------------
+                elif op == 0xA7:  # i32.wrap_i64
+                    stack[-1] &= M32
+                elif op == 0xA8:  # i32.trunc_f32_s
+                    stack[-1] = _trunc(stack[-1], -(1 << 31), (1 << 31) - 1,
+                                       "i32.trunc_f32_s") & M32
+                elif op == 0xA9:
+                    stack[-1] = _trunc(stack[-1], 0, M32, "i32.trunc_f32_u")
+                elif op == 0xAA:
+                    stack[-1] = _trunc(stack[-1], -(1 << 31), (1 << 31) - 1,
+                                       "i32.trunc_f64_s") & M32
+                elif op == 0xAB:
+                    stack[-1] = _trunc(stack[-1], 0, M32, "i32.trunc_f64_u")
+                elif op == 0xAC:  # i64.extend_i32_s
+                    v = stack[-1]
+                    stack[-1] = (v - 0x100000000 if v & S32 else v) & M64
+                elif op == 0xAD:  # i64.extend_i32_u
+                    pass
+                elif op == 0xAE:
+                    stack[-1] = _trunc(stack[-1], -(1 << 63), (1 << 63) - 1,
+                                       "i64.trunc_f32_s") & M64
+                elif op == 0xAF:
+                    stack[-1] = _trunc(stack[-1], 0, M64, "i64.trunc_f32_u")
+                elif op == 0xB0:
+                    stack[-1] = _trunc(stack[-1], -(1 << 63), (1 << 63) - 1,
+                                       "i64.trunc_f64_s") & M64
+                elif op == 0xB1:
+                    stack[-1] = _trunc(stack[-1], 0, M64, "i64.trunc_f64_u")
+                elif op == 0xB2:  # f32.convert_i32_s
+                    stack[-1] = _f32(float(_s32(stack[-1])))
+                elif op == 0xB3:
+                    stack[-1] = _f32(float(stack[-1]))
+                elif op == 0xB4:
+                    stack[-1] = _f32(float(_s64(stack[-1])))
+                elif op == 0xB5:
+                    stack[-1] = _f32(float(stack[-1]))
+                elif op == 0xB6:  # f32.demote_f64
+                    stack[-1] = _f32(stack[-1])
+                elif op == 0xB7:  # f64.convert_i32_s
+                    stack[-1] = float(_s32(stack[-1]))
+                elif op == 0xB8:
+                    stack[-1] = float(stack[-1])
+                elif op == 0xB9:
+                    stack[-1] = float(_s64(stack[-1]))
+                elif op == 0xBA:
+                    stack[-1] = float(stack[-1])
+                elif op == 0xBB:  # f64.promote_f32
+                    pass
+                elif op == 0xBC:  # i32.reinterpret_f32
+                    stack[-1] = struct.unpack("<I", _pack_f32(stack[-1]))[0]
+                elif op == 0xBD:  # f32.reinterpret_i32 ... wait, 0xBD is i64.reinterpret_f64
+                    stack[-1] = struct.unpack(
+                        "<Q", struct.pack("<d", stack[-1])
+                    )[0]
+                elif op == 0xBE:  # f32.reinterpret_i32
+                    stack[-1] = _unpack_f32(
+                        struct.pack("<I", stack[-1])
+                    )[0]
+                elif op == 0xBF:  # f64.reinterpret_i64
+                    stack[-1] = struct.unpack(
+                        "<d", struct.pack("<Q", stack[-1])
+                    )[0]
+
+                # ---- sign extension -------------------------------------
+                elif op == 0xC0:  # i32.extend8_s
+                    v = stack[-1] & 0xFF
+                    stack[-1] = (v - 0x100 if v & 0x80 else v) & M32
+                elif op == 0xC1:  # i32.extend16_s
+                    v = stack[-1] & 0xFFFF
+                    stack[-1] = (v - 0x10000 if v & 0x8000 else v) & M32
+                elif op == 0xC2:  # i64.extend8_s
+                    v = stack[-1] & 0xFF
+                    stack[-1] = (v - 0x100 if v & 0x80 else v) & M64
+                elif op == 0xC3:  # i64.extend16_s
+                    v = stack[-1] & 0xFFFF
+                    stack[-1] = (v - 0x10000 if v & 0x8000 else v) & M64
+                elif op == 0xC4:  # i64.extend32_s
+                    v = stack[-1] & M32
+                    stack[-1] = (v - 0x100000000 if v & S32 else v) & M64
+
+                # ---- refs -----------------------------------------------
+                elif op == 0xD0:
+                    stack.append(None)
+                elif op == 0xD1:
+                    stack[-1] = 1 if stack[-1] is None else 0
+                elif op == 0xD2:
+                    stack.append(arg)
+                elif op == 0x25:  # table.get
+                    i = stack.pop()
+                    tbl = self.tables[arg]
+                    if i >= len(tbl):
+                        raise Trap("out of bounds table access")
+                    stack.append(tbl[i])
+                elif op == 0x26:  # table.set
+                    v = stack.pop()
+                    i = stack.pop()
+                    tbl = self.tables[arg]
+                    if i >= len(tbl):
+                        raise Trap("out of bounds table access")
+                    tbl[i] = v
+
+                # ---- saturating truncation ------------------------------
+                elif op == 0xFC00:
+                    stack[-1] = _trunc_sat(stack[-1], -(1 << 31),
+                                           (1 << 31) - 1) & M32
+                elif op == 0xFC01:
+                    stack[-1] = _trunc_sat(stack[-1], 0, M32)
+                elif op == 0xFC02:
+                    stack[-1] = _trunc_sat(stack[-1], -(1 << 31),
+                                           (1 << 31) - 1) & M32
+                elif op == 0xFC03:
+                    stack[-1] = _trunc_sat(stack[-1], 0, M32)
+                elif op == 0xFC04:
+                    stack[-1] = _trunc_sat(stack[-1], -(1 << 63),
+                                           (1 << 63) - 1) & M64
+                elif op == 0xFC05:
+                    stack[-1] = _trunc_sat(stack[-1], 0, M64)
+                elif op == 0xFC06:
+                    stack[-1] = _trunc_sat(stack[-1], -(1 << 63),
+                                           (1 << 63) - 1) & M64
+                elif op == 0xFC07:
+                    stack[-1] = _trunc_sat(stack[-1], 0, M64)
+
+                # ---- bulk memory ----------------------------------------
+                elif op == 0xFC0A:  # memory.copy
+                    n = stack.pop()
+                    s = stack.pop()
+                    d = stack.pop()
+                    if s + n > len(mem) or d + n > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[d : d + n] = mem[s : s + n]
+                elif op == 0xFC0B:  # memory.fill
+                    n = stack.pop()
+                    v = stack.pop() & 0xFF
+                    d = stack.pop()
+                    if d + n > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[d : d + n] = bytes([v]) * n
+                elif op == 0xFC08:  # memory.init
+                    n = stack.pop()
+                    s = stack.pop()
+                    d = stack.pop()
+                    seg = self.datas[arg]
+                    if seg is None:
+                        seg = b""
+                    if s + n > len(seg) or d + n > len(mem):
+                        raise Trap("out of bounds memory access")
+                    mem[d : d + n] = seg[s : s + n]
+                elif op == 0xFC09:  # data.drop
+                    self.datas[arg] = None
+                elif op == 0xFC0C:  # table.init
+                    seg_i, tbl_i = arg
+                    n = stack.pop()
+                    s = stack.pop()
+                    d = stack.pop()
+                    seg = self.elems[seg_i] or []
+                    tbl = self.tables[tbl_i]
+                    if s + n > len(seg) or d + n > len(tbl):
+                        raise Trap("out of bounds table access")
+                    tbl[d : d + n] = seg[s : s + n]
+                elif op == 0xFC0D:  # elem.drop
+                    self.elems[arg] = None
+                elif op == 0xFC0E:  # table.copy
+                    dt, st = arg
+                    n = stack.pop()
+                    s = stack.pop()
+                    d = stack.pop()
+                    td = self.tables[dt]
+                    ts = self.tables[st]
+                    if s + n > len(ts) or d + n > len(td):
+                        raise Trap("out of bounds table access")
+                    td[d : d + n] = ts[s : s + n]
+                elif op == 0xFC0F:  # table.grow
+                    n = stack.pop()
+                    v = stack.pop()
+                    tbl = self.tables[arg]
+                    old = len(tbl)
+                    tbl.extend([v] * n)
+                    stack.append(old)
+                elif op == 0xFC10:  # table.size
+                    stack.append(len(self.tables[arg]))
+                elif op == 0xFC11:  # table.fill
+                    n = stack.pop()
+                    v = stack.pop()
+                    d = stack.pop()
+                    tbl = self.tables[arg]
+                    if d + n > len(tbl):
+                        raise Trap("out of bounds table access")
+                    tbl[d : d + n] = [v] * n
+                else:
+                    raise Trap(f"unimplemented opcode 0x{op:04X}")
+
+                pc += 1
+
+            # ---- frame transitions --------------------------------------
+            if call is not None:
+                f = call
+                if len(frames) >= MAX_FRAMES:
+                    raise Trap("call stack exhausted")
+                np = len(f.type.params)
+                if np:
+                    args = stack[len(stack) - np :]
+                    del stack[len(stack) - np :]
+                else:
+                    args = []
+                args.extend(
+                    0.0 if t in (F32, F64) else (None if t in (0x70, 0x6F) else 0)
+                    for t in f.local_types
+                )
+                fr.pc = pc + 1
+                nf = Frame(f.code, args, len(f.type.results))
+                frames.append(nf)
+                continue
+
+            # return path
+            nr = fr.n_results
+            results = fr.stack[len(fr.stack) - nr :] if nr else []
+            frames.pop()
+            if not frames:
+                return results
+            frames[-1].stack.extend(results)

@@ -1,0 +1,136 @@
+"""WASI snapshot-preview1 stubs — the subset the reference's filter
+modules import.
+
+The reference gives filter modules a real WASI environment via WAMR
+(src/wasm/flb_wasm.c wasm_runtime_set_wasi_args_ex: no args, no env,
+stdio fds). Filters only ever *print* (fmt.Println in the TinyGo test
+filters) and query the clock; the file-system surface exists solely so
+wasi-libc initializes. We mirror that: fd_write captures bytes per fd,
+clocks are real (or pinned for deterministic tests), everything
+file-shaped returns WASI_EBADF so libc's preopen discovery terminates
+cleanly — exactly what a WAMR instance with an empty accessible-dir
+list yields.
+
+All functions use the documented preview1 ABI
+(https://github.com/WebAssembly/WASI/blob/main/legacy/preview1/docs.md):
+i32 params, i32 errno result, out-params written into linear memory.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+from .runtime import Instance, ProcExit
+
+ESUCCESS = 0
+EBADF = 8
+EINVAL = 28
+ENOSYS = 52
+
+
+class Wasi:
+    """One WASI namespace instance; captures stdout/stderr writes."""
+
+    def __init__(self, clock_ns: int = None):
+        self.written: Dict[int, bytearray] = {}
+        self.clock_ns = clock_ns  # pin for determinism; None = real time
+
+    @property
+    def stdout(self) -> bytes:
+        return bytes(self.written.get(1, b""))
+
+    @property
+    def stderr(self) -> bytes:
+        return bytes(self.written.get(2, b""))
+
+    # each handler: (instance, args) -> [errno]
+
+    def fd_write(self, inst: Instance, a: List[int]) -> List[int]:
+        fd, iovs, niovs, nwritten = a
+        total = 0
+        buf = self.written.setdefault(fd, bytearray())
+        for i in range(niovs):
+            base = int.from_bytes(inst.mem_read(iovs + 8 * i, 4), "little")
+            ln = int.from_bytes(inst.mem_read(iovs + 8 * i + 4, 4), "little")
+            buf.extend(inst.mem_read(base, ln))
+            total += ln
+        inst.mem_write(nwritten, total.to_bytes(4, "little"))
+        return [ESUCCESS]
+
+    def fd_read(self, inst: Instance, a: List[int]) -> List[int]:
+        # no stdin: report 0 bytes read (EOF)
+        inst.mem_write(a[3], (0).to_bytes(4, "little"))
+        return [ESUCCESS]
+
+    def fd_close(self, inst: Instance, a: List[int]) -> List[int]:
+        return [ESUCCESS]
+
+    def fd_seek(self, inst: Instance, a: List[int]) -> List[int]:
+        return [EBADF]
+
+    def fd_fdstat_get(self, inst: Instance, a: List[int]) -> List[int]:
+        fd, out = a
+        if fd in (0, 1, 2):
+            # filetype=character_device(2), flags=0, rights=all
+            stat = bytes([2, 0, 0, 0, 0, 0, 0, 0]) + b"\xff" * 8 + b"\xff" * 8
+            inst.mem_write(out, stat)
+            return [ESUCCESS]
+        return [EBADF]
+
+    def fd_prestat_get(self, inst: Instance, a: List[int]) -> List[int]:
+        return [EBADF]  # no preopened dirs — ends libc's discovery loop
+
+    def fd_prestat_dir_name(self, inst: Instance, a: List[int]) -> List[int]:
+        return [EBADF]
+
+    def path_open(self, inst: Instance, a: List[int]) -> List[int]:
+        return [EBADF]
+
+    def args_sizes_get(self, inst: Instance, a: List[int]) -> List[int]:
+        inst.mem_write(a[0], (0).to_bytes(4, "little"))
+        inst.mem_write(a[1], (0).to_bytes(4, "little"))
+        return [ESUCCESS]
+
+    def args_get(self, inst: Instance, a: List[int]) -> List[int]:
+        return [ESUCCESS]
+
+    def environ_sizes_get(self, inst: Instance, a: List[int]) -> List[int]:
+        inst.mem_write(a[0], (0).to_bytes(4, "little"))
+        inst.mem_write(a[1], (0).to_bytes(4, "little"))
+        return [ESUCCESS]
+
+    def environ_get(self, inst: Instance, a: List[int]) -> List[int]:
+        return [ESUCCESS]
+
+    def clock_time_get(self, inst: Instance, a: List[int]) -> List[int]:
+        ns = self.clock_ns if self.clock_ns is not None else time.time_ns()
+        inst.mem_write(a[2], (ns & (2**64 - 1)).to_bytes(8, "little"))
+        return [ESUCCESS]
+
+    def clock_res_get(self, inst: Instance, a: List[int]) -> List[int]:
+        inst.mem_write(a[1], (1).to_bytes(8, "little"))
+        return [ESUCCESS]
+
+    def random_get(self, inst: Instance, a: List[int]) -> List[int]:
+        # deterministic: zero-fill (filters have no entropy semantics)
+        inst.mem_write(a[0], bytes(a[1]))
+        return [ESUCCESS]
+
+    def proc_exit(self, inst: Instance, a: List[int]) -> List[int]:
+        raise ProcExit(a[0])
+
+    def sched_yield(self, inst: Instance, a: List[int]) -> List[int]:
+        return [ESUCCESS]
+
+    def imports(self) -> dict:
+        names = [
+            "fd_write", "fd_read", "fd_close", "fd_seek", "fd_fdstat_get",
+            "fd_prestat_get", "fd_prestat_dir_name", "path_open",
+            "args_sizes_get", "args_get", "environ_sizes_get",
+            "environ_get", "clock_time_get", "clock_res_get",
+            "random_get", "proc_exit", "sched_yield",
+        ]
+        return {
+            ("wasi_snapshot_preview1", n): getattr(self, n) for n in names
+        }

@@ -1,0 +1,510 @@
+"""wasminterp: the from-scratch WebAssembly interpreter.
+
+Three evidence tiers:
+  1. core-spec conformance on hand-assembled modules (arithmetic edge
+     semantics, control flow, traps, memory, call_indirect) — vectors
+     transcribed from the public core-spec test-suite semantics;
+  2. the reference's OWN test binaries (tests/runtime/data/wasm/*.wasm,
+     TinyGo + Rust toolchains) executed against the expectations its
+     runtime tests assert (tests/runtime/filter_wasm.c:364-682);
+  3. the Spark surface: [FILTER] wasm with a real wasm_path runs the
+     module per record through mapInPandas (config.py wasm branch).
+"""
+
+import json
+import os
+import struct
+
+import pytest
+
+from fluent_bit_spark.wasminterp import (
+    FlbWasm, Instance, Module, ProcExit, Trap, WasmError,
+)
+from fluent_bit_spark.wasminterp.wasi import Wasi
+
+WASM_DIR = "/root/reference/tests/runtime/data/wasm"
+HAVE_REF = os.path.isdir(WASM_DIR)
+
+
+# ---------------------------------------------------------------------------
+# a tiny assembler for conformance vectors
+# ---------------------------------------------------------------------------
+
+
+def leb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+        out.append(b if done else b | 0x80)
+        if done:
+            return bytes(out)
+
+
+def sec(sid: int, body: bytes) -> bytes:
+    return bytes([sid]) + leb(len(body)) + body
+
+
+def vec(items) -> bytes:
+    return leb(len(items)) + b"".join(items)
+
+
+def mod(types=(), funcs=(), bodies=(), mem=None, exports=(),
+        tables=None, elems=(), globs=(), data=()):
+    """Assemble a module: funcs[i] is a type index, bodies[i] raw code
+    bytes (locals-vector + instrs + end), exports (name, kind, idx)."""
+    out = b"\x00asm\x01\x00\x00\x00"
+    if types:
+        out += sec(1, vec([b"\x60" + vec([bytes([t]) for t in p])
+                           + vec([bytes([t]) for t in r])
+                           for p, r in types]))
+    if funcs:
+        out += sec(3, vec([leb(t) for t in funcs]))
+    if tables is not None:
+        out += sec(4, vec([b"\x70\x00" + leb(tables)]))
+    if mem is not None:
+        out += sec(5, vec([b"\x00" + leb(mem)]))
+    if globs:
+        out += sec(6, vec([bytes([vt, mut]) + init + b"\x0b"
+                           for vt, mut, init in globs]))
+    if exports:
+        out += sec(7, vec([leb(len(n.encode())) + n.encode()
+                           + bytes([k]) + leb(i) for n, k, i in exports]))
+    if elems:
+        out += sec(9, vec([b"\x00\x41" + sleb(off) + b"\x0b"
+                           + vec([leb(f) for f in fs])
+                           for off, fs in elems]))
+    if bodies:
+        out += sec(10, vec([leb(len(b)) + b for b in bodies]))
+    if data:
+        out += sec(11, vec([b"\x00\x41" + sleb(off) + b"\x0b"
+                            + leb(len(d)) + d for off, d in data]))
+    return out
+
+
+def body(code: bytes, locals_=()) -> bytes:
+    return vec([leb(n) + bytes([t]) for n, t in locals_]) + code + b"\x0b"
+
+
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
+
+
+def run1(types, code, args=(), locals_=(), mem=None, extra=None):
+    """One exported function 'f' with the given signature and body."""
+    m = mod(
+        types=[types],
+        funcs=[0],
+        bodies=[body(code, locals_)],
+        mem=mem,
+        exports=[("f", 0, 0)],
+    )
+    inst = Instance(Module(m))
+    return inst.invoke("f", list(args))
+
+
+class TestCoreArithmetic:
+    def test_i32_add_wraps(self):
+        r = run1(((I32, I32), (I32,)),
+                 b"\x20\x00\x20\x01\x6a", [0xFFFFFFFF, 2])
+        assert r == [1]
+
+    def test_i32_div_s_rounds_toward_zero(self):
+        code = b"\x20\x00\x20\x01\x6d"
+        assert run1(((I32, I32), (I32,)), code,
+                    [(-7) & 0xFFFFFFFF, 2]) == [(-3) & 0xFFFFFFFF]
+
+    def test_i32_div_by_zero_traps(self):
+        with pytest.raises(Trap, match="divide by zero"):
+            run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x6d", [1, 0])
+
+    def test_i32_div_overflow_traps(self):
+        with pytest.raises(Trap, match="overflow"):
+            run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x6d",
+                 [0x80000000, 0xFFFFFFFF])
+
+    def test_i32_rem_s_sign_follows_dividend(self):
+        assert run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x6f",
+                    [(-7) & 0xFFFFFFFF, 3]) == [(-1) & 0xFFFFFFFF]
+
+    def test_i32_shr_s_vs_u(self):
+        a = 0x80000000
+        assert run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x75",
+                    [a, 4]) == [0xF8000000]
+        assert run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x76",
+                    [a, 4]) == [0x08000000]
+
+    def test_i32_rotl(self):
+        assert run1(((I32, I32), (I32,)), b"\x20\x00\x20\x01\x77",
+                    [0x80000001, 1]) == [3]
+
+    def test_i32_clz_ctz(self):
+        assert run1(((I32,), (I32,)), b"\x20\x00\x67", [16]) == [27]
+        assert run1(((I32,), (I32,)), b"\x20\x00\x68", [16]) == [4]
+        assert run1(((I32,), (I32,)), b"\x20\x00\x67", [0]) == [32]
+
+    def test_i64_mul_wraps(self):
+        r = run1(((I64, I64), (I64,)), b"\x20\x00\x20\x01\x7e",
+                 [0x8000000000000000, 3])
+        assert r == [0x8000000000000000]
+
+    def test_sign_extension_ops(self):
+        assert run1(((I32,), (I32,)), b"\x20\x00\xc0",
+                    [0x80]) == [0xFFFFFF80]
+        assert run1(((I64,), (I64,)), b"\x20\x00\xc4",
+                    [0x80000000]) == [0xFFFFFFFF80000000]
+
+    def test_f32_rounding(self):
+        # f32.add rounds to single precision: 1 + 2^-25 == 1 in f32
+        code = b"\x20\x00\x20\x01\x92"
+        assert run1(((F32, F32), (F32,)), code, [1.0, 2.0**-25]) == [1.0]
+
+    def test_trunc_traps_and_sat(self):
+        with pytest.raises(Trap, match="overflow"):
+            run1(((F64,), (I32,)), b"\x20\x00\xaa", [3e9])
+        with pytest.raises(Trap, match="NaN"):
+            run1(((F64,), (I32,)), b"\x20\x00\xaa", [float("nan")])
+        # i32.trunc_sat_f64_s clamps
+        assert run1(((F64,), (I32,)), b"\x20\x00\xfc\x02",
+                    [3e9]) == [0x7FFFFFFF]
+        assert run1(((F64,), (I32,)), b"\x20\x00\xfc\x02",
+                    [float("nan")]) == [0]
+
+    def test_reinterpret_roundtrip(self):
+        bits = struct.unpack("<I", struct.pack("<f", -1.5))[0]
+        assert run1(((F32,), (I32,)), b"\x20\x00\xbc", [-1.5]) == [bits]
+        assert run1(((I32,), (F32,)), b"\x20\x00\xbe", [bits]) == [-1.5]
+
+
+class TestCoreControl:
+    def test_if_else(self):
+        # f(c) = c ? 10 : 20
+        code = (b"\x20\x00\x04\x7f\x41\x0a\x05\x41\x14\x0b")
+        assert run1(((I32,), (I32,)), code, [1]) == [10]
+        assert run1(((I32,), (I32,)), code, [0]) == [20]
+
+    def test_loop_with_br_if(self):
+        # sum 1..n via loop
+        code = (
+            b"\x03\x40"              # loop
+            b"\x20\x01\x20\x00\x6a\x21\x01"  # acc += n
+            b"\x20\x00\x41\x01\x6b\x22\x00"  # n -= 1 (tee)
+            b"\x0d\x00"              # br_if 0
+            b"\x0b"                  # end
+            b"\x20\x01"              # acc
+        )
+        assert run1(((I32,), (I32,)), code, [5],
+                    locals_=[(1, I32)]) == [15]
+
+    def test_br_table(self):
+        # switch(x): 0->100, 1->200, default->300
+        code = (
+            b"\x02\x7f"                       # block $out (result i32)
+            b"\x02\x40\x02\x40\x02\x40"       # block $b2 $b1 $b0
+            b"\x20\x00\x0e\x02\x00\x01\x02"   # br_table $b0 $b1 def=$b2
+            b"\x0b\x41\xe4\x00\x0c\x02"       # end b0; 100; br $out
+            b"\x0b\x41\xc8\x01\x0c\x01"       # end b1; 200; br $out
+            b"\x0b\x41\xac\x02"               # end b2; 300
+            b"\x0b"                           # end $out
+        )
+        assert run1(((I32,), (I32,)), code, [0]) == [100]
+        assert run1(((I32,), (I32,)), code, [1]) == [200]
+        assert run1(((I32,), (I32,)), code, [9]) == [300]
+
+    def test_br_to_function_level_returns(self):
+        code = b"\x41\x2a\x0c\x00"  # i32.const 42; br 0 (function label)
+        assert run1(((), (I32,)), code, []) == [42]
+
+    def test_block_result_via_br(self):
+        # block (result i32): const 7; br 0; end
+        code = b"\x02\x7f\x41\x07\x0c\x00\x0b"
+        assert run1(((), (I32,)), code, []) == [7]
+
+    def test_unreachable_traps(self):
+        with pytest.raises(Trap, match="unreachable"):
+            run1(((), ()), b"\x00", [])
+
+    def test_call_and_call_indirect(self):
+        dbl = body(b"\x20\x00\x41\x02\x6c")  # f(x) = 2x
+        inc = body(b"\x20\x00\x41\x01\x6a")  # f(x) = x+1
+        # main(i, x) = table[i](x)
+        main = body(b"\x20\x01\x20\x00\x11\x00\x00")
+        m = mod(
+            types=[((I32,), (I32,)), ((I32, I32), (I32,))],
+            funcs=[0, 0, 1],
+            bodies=[dbl, inc, main],
+            tables=4,
+            elems=[(0, [0, 1])],
+            exports=[("main", 0, 2)],
+        )
+        inst = Instance(Module(m))
+        assert inst.invoke("main", [0, 21]) == [42]
+        assert inst.invoke("main", [1, 21]) == [22]
+        with pytest.raises(Trap, match="uninitialized"):
+            inst.invoke("main", [3, 1])
+        with pytest.raises(Trap, match="undefined"):
+            inst.invoke("main", [9, 1])
+
+    def test_call_indirect_type_mismatch(self):
+        two = body(b"\x20\x00\x20\x01\x6a")  # (i32,i32)->i32
+        main = body(b"\x20\x00\x41\x00\x11\x00\x00")  # expects (i32)->i32
+        m = mod(
+            types=[((I32,), (I32,)), ((I32, I32), (I32,))],
+            funcs=[1, 0],
+            bodies=[two, main],
+            tables=1,
+            elems=[(0, [0])],
+            exports=[("main", 0, 1)],
+        )
+        inst = Instance(Module(m))
+        with pytest.raises(Trap, match="type mismatch"):
+            inst.invoke("main", [5])
+
+
+class TestCoreMemory:
+    def test_load_store_and_oob(self):
+        # f(a, v): store v at a; return load a
+        code = b"\x20\x00\x20\x01\x36\x02\x00\x20\x00\x28\x02\x00"
+        assert run1(((I32, I32), (I32,)), code, [8, 0xDEADBEEF],
+                    mem=1) == [0xDEADBEEF]
+        with pytest.raises(Trap, match="out of bounds"):
+            run1(((I32, I32), (I32,)), code, [65534, 1], mem=1)
+
+    def test_memory_grow_and_size(self):
+        code = b"\x41\x02\x40\x00\x1a\x3f\x00"  # grow 2; drop; size
+        assert run1(((), (I32,)), code, [], mem=1) == [3]
+
+    def test_memory_fill_copy(self):
+        # fill [0,8) with 0xAB; copy 4 bytes to 16; load16_u at 16
+        code = (
+            b"\x41\x00\x41\xab\x01\x41\x08\xfc\x0b\x00"  # memory.fill
+            b"\x41\x10\x41\x00\x41\x04\xfc\x0a\x00\x00"  # memory.copy
+            b"\x41\x10\x2f\x00\x00"                       # i32.load16_u
+        )
+        assert run1(((), (I32,)), code, [], mem=1) == [0xABAB]
+
+    def test_active_data_segment(self):
+        m = mod(
+            types=[((), (I32,))],
+            funcs=[0],
+            bodies=[body(b"\x41\x05\x2d\x00\x00")],  # load8_u @5
+            mem=1,
+            exports=[("f", 0, 0)],
+            data=[(5, b"\x2a")],
+        )
+        assert Instance(Module(m)).invoke("f", []) == [42]
+
+    def test_globals(self):
+        m = mod(
+            types=[((), (I32,))],
+            funcs=[0],
+            bodies=[body(
+                b"\x23\x00\x41\x01\x6a\x24\x00\x23\x00"
+            )],  # g += 1; return g
+            globs=[(I32, 1, b"\x41\x29")],  # mutable, init 41
+            exports=[("f", 0, 0)],
+        )
+        inst = Instance(Module(m))
+        assert inst.invoke("f", []) == [42]
+        assert inst.invoke("f", []) == [43]
+
+
+# ---------------------------------------------------------------------------
+# the reference's own binaries (tests/runtime/filter_wasm.c expectations)
+# ---------------------------------------------------------------------------
+
+
+def _load(name: str) -> FlbWasm:
+    with open(f"{WASM_DIR}/{name}", "rb") as fh:
+        return FlbWasm(fh.read())
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference .wasm fixtures absent")
+class TestReferenceBinaries:
+    def test_say_hello(self):
+        # flb_test_helloworld: record passes through; module prints
+        fw = _load("say_hello.wasm")
+        r = fw.call_function_format_json(
+            "filter_say_hello", b"test.wasm", 1666354000, 0,
+            b'{"key":"val"}')
+        assert r == b'{"key":"val"}'
+        assert fw.wasi.stdout == b"Hello from WASM!\n"
+
+    def test_append_tag(self):
+        # filter_wasm.c:364 strstr '"tag":"test.wasm"'
+        fw = _load("append_tag.wasm")
+        r = fw.call_function_format_json(
+            "filter_append_tag", b"test.wasm", 1666354000, 0,
+            b'{"key":"val"}')
+        assert json.loads(r) == {"key": "val", "tag": "test.wasm"}
+
+    def test_numeric_records(self):
+        # filter_wasm.c:465-495: ints, floats, truncation, exp form
+        fw = _load("numeric_records.wasm")
+        r = fw.call_function_format_json(
+            "filter_numeric_records", b"test.wasm", 1666354000, 0,
+            b'{"key":"val"}')
+        assert b'"wasm_int1":10' in r
+        assert b'"wasm_int2":100' in r
+        assert b'"wasm_float1":10.5' in r
+        assert b'"wasm_float2":100.5' in r
+        assert b'"wasm_truncate_float":120' in r
+        assert b'"wasm_exp_float":0.00354' in r
+
+    def test_array_contains_null(self):
+        # filter_wasm.c:558 strstr '[1,null,"world"]' after modify
+        fw = _load("modify_record.wasm")
+        r = fw.call_function_format_json(
+            "filter_modify_record", b"test.wasm", 1666354000, 0,
+            b'{"key":[1,null,"world"]}')
+        assert b'[1,null,"world"]' in r
+        assert b'"modify":"yes"' in r
+
+    def test_modify_record(self):
+        fw = _load("modify_record.wasm")
+        r = fw.call_function_format_json(
+            "filter_modify_record", b"test.wasm", 1666354000, 0,
+            b'{"key":"val"}')
+        assert json.loads(r) == {"key": "val", "modify": "yes"}
+
+    def test_drop_all_records(self):
+        # flb_test_drop_all_records: NULL return drops every record
+        fw = _load("drop_record.wasm")
+        r = fw.call_function_format_json(
+            "filter_drop_record", b"test.wasm", 1666354000, 0,
+            b'{"key":"val"}')
+        assert r is None
+
+    def test_rust_msgpack_append_kv(self):
+        # filter_wasm.c:682 strstr '"platform":"wasm"' — msgpack mode,
+        # Rust module (no imports, no exported malloc: host app heap)
+        from fluent_bit_spark.msgpackfmt import pack_value, _unpack_one
+
+        fw = _load("msgpack/filter_rust_mp.wasm")
+        r = fw.call_function_format_msgpack(
+            "rust_filter_mp", b"test.wasm", 1666354000, 0,
+            pack_value({"key": "value", "n": 7}))
+        val, _ = _unpack_one(r, 0)
+        # value_to_string stringifies non-strings (lib.rs:14-27)
+        assert val == {"key": "value", "n": "7", "platform": "wasm"}
+
+    def test_instance_reuse_is_stable(self):
+        # the reference keeps ONE wasm instance per filter for its
+        # lifetime (ctx->wasm) — repeated calls must stay correct
+        fw = _load("modify_record.wasm")
+        for i in range(20):
+            r = fw.call_function_format_json(
+                "filter_modify_record", b"t", 1666354000, i,
+                json.dumps({"i": i}).encode())
+            assert json.loads(r) == {"i": i, "modify": "yes"}
+
+    def test_unknown_export_fails_loudly(self):
+        fw = _load("drop_record.wasm")
+        with pytest.raises(WasmError, match="not found"):
+            fw.call_function_format_json(
+                "no_such_function", b"t", 0, 0, b"{}")
+
+
+# ---------------------------------------------------------------------------
+# the Spark surface: [FILTER] wasm with a real wasm_path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference .wasm fixtures absent")
+class TestSparkIntegration:
+    @pytest.fixture()
+    def frame(self, spark):
+        return spark.createDataFrame(
+            [("test.wasm", 0.0, "val")],
+            "tag string, ts double, key string",
+        )
+
+    def _run_filter(self, spark, frame, path, fname, fmt="json"):
+        from fluent_bit_spark.config import _apply_filter, parse_classic
+
+        conf = (
+            "[FILTER]\n    Name wasm\n    Match *\n"
+            f"    WASM_Path {path}\n    Function_Name {fname}\n"
+            f"    Event_Format {fmt}\n"
+        )
+        [section] = parse_classic(conf)
+        return _apply_filter(frame, section)
+
+    def test_modify_record_pipeline(self, spark, frame):
+        out = self._run_filter(
+            spark, frame, f"{WASM_DIR}/modify_record.wasm",
+            "filter_modify_record")
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["key"] == "val"
+        assert rows[0]["modify"] == "yes"
+        assert rows[0]["tag"] == "test.wasm"
+
+    def test_drop_record_pipeline(self, spark, frame):
+        out = self._run_filter(
+            spark, frame, f"{WASM_DIR}/drop_record.wasm",
+            "filter_drop_record")
+        assert out.count() == 0
+
+    def test_rust_msgpack_pipeline(self, spark, frame):
+        out = self._run_filter(
+            spark, frame, f"{WASM_DIR}/msgpack/filter_rust_mp.wasm",
+            "rust_filter_mp", fmt="msgpack")
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["key"] == "val"
+        assert rows[0]["platform"] == "wasm"
+
+    def test_missing_path_falls_back_to_registry(self, spark, frame):
+        # a nonexistent wasm_path resolves via the migration registry,
+        # which fails loudly for unknown names
+        with pytest.raises(NotImplementedError, match="not.*registered"):
+            self._run_filter(
+                spark, frame, "/nonexistent/mod.wasm", "no_such_fn")
+
+
+# ---------------------------------------------------------------------------
+# WASI layer specifics
+# ---------------------------------------------------------------------------
+
+
+class TestWasi:
+    def test_fd_write_gathers_iovecs(self):
+        m = mod(types=[((), ())], funcs=[0], bodies=[body(b"")],
+                mem=1, exports=[("f", 0, 0)])
+        inst = Instance(Module(m))
+        w = Wasi()
+        inst.mem_write(100, b"hello ")
+        inst.mem_write(200, b"world")
+        inst.mem_write(0, (100).to_bytes(4, "little")
+                       + (6).to_bytes(4, "little")
+                       + (200).to_bytes(4, "little")
+                       + (5).to_bytes(4, "little"))
+        assert w.fd_write(inst, [1, 0, 2, 300]) == [0]
+        assert w.stdout == b"hello world"
+        assert inst.mem_read(300, 4) == (11).to_bytes(4, "little")
+
+    def test_proc_exit_raises(self):
+        w = Wasi()
+        with pytest.raises(ProcExit):
+            w.proc_exit(None, [3])
+
+    def test_clock_pinned(self):
+        m = mod(types=[((), ())], funcs=[0], bodies=[body(b"")],
+                mem=1, exports=[("f", 0, 0)])
+        inst = Instance(Module(m))
+        w = Wasi(clock_ns=123456789)
+        w.clock_time_get(inst, [0, 1, 64])
+        assert int.from_bytes(inst.mem_read(64, 8), "little") == 123456789
