@@ -924,7 +924,18 @@ def q_prom_exposition(spark, sf_dir):
     BOM-framed message); influx — out_influxdb line protocol
     (influxfmt.influx_lines: %f floats, quoted strings, ns time). Each
     leg's DuckDB oracle rebuilds the exact bytes (printf/strftime/
-    epoch_ns share C semantics)."""
+    epoch_ns share C semantics).
+
+    wasm — filter_wasm EXECUTING a real WebAssembly module
+    (plugins/filter_wasm/filter_wasm.c cb_wasm_filter ABI on the
+    from-scratch interpreter, fluent_bit_spark.wasminterp): the module
+    binary is hand-assembled in-repo (wasm_demo.stamp_module_bytes —
+    no toolchain, no binary artifact) and appends wl = the record
+    JSON's byte length as passed by the host and ws = tv_sec, both
+    rendered by the module's own div/rem digit loop. The oracle
+    reconstructs the json.dumps framing arithmetic exactly, so
+    decoder + execution + host-heap ABI + strlen reply all sit on the
+    value-hash path."""
     from fluent_bit_spark import metrics as M
     from fluent_bit_spark.influxfmt import influx_lines
     from fluent_bit_spark.syslogfmt import syslog_line
@@ -966,7 +977,25 @@ def q_prom_exposition(spark, sf_dir):
         influx_lines(ix, tag_col="tag", ts_col="ts",
                      sequence_tag="off").alias("line"),
     )
-    return prom.unionByName(sy_out).unionByName(ix_out)
+    from fluent_bit_spark.wasm_demo import stamp_module_bytes
+    from fluent_bit_spark.wasmfilter import apply_wasm_module
+
+    wdf = ev.filter(F.col("event_id") < 400).select(
+        F.lit("ev").alias("tag"),
+        _epoch(F.col("ts")).cast("double").alias("ts"),
+        "event_id",
+        F.col("event_type").alias("etype"),
+    )
+    wout = apply_wasm_module(
+        wdf, stamp_module_bytes(), "flb_stamp",
+        "event_id bigint, etype string, wl bigint, ws bigint",
+    )
+    wasm_out = wout.select(
+        F.lit("wasm").alias("name"),
+        F.col("event_id").cast("int").alias("ord"),
+        F.format_string("wl=%d;ws=%d;etype=%s", "wl", "ws", "etype").alias("line"),
+    )
+    return prom.unionByName(sy_out).unionByName(ix_out).unionByName(wasm_out)
 
 
 def q_log_to_metrics(spark, sf_dir):
@@ -2721,6 +2750,16 @@ def oracle_sql() -> dict[str, str]:
                    ',value=' || printf('%f', value) || ' ' ||
                    CAST(epoch_ns(ts) AS VARCHAR) AS line
             FROM events
+            UNION ALL
+            -- the wasm module's reply: wl = len(json.dumps(body)) where
+            -- body = {"event_id": <id>, "etype": "<t>"} -> 13 + digits
+            -- + 12 + len(etype) + 2 bytes; ws = truncating epoch secs
+            SELECT 'wasm' AS name, CAST(event_id AS INT) AS ord,
+                   'wl=' || CAST(27 + len(CAST(event_id AS VARCHAR))
+                                 + len(event_type) AS VARCHAR) ||
+                   ';ws=' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) ||
+                   ';etype=' || event_type AS line
+            FROM events WHERE event_id < 400
         """,
         "record_mods": r"""
             SELECT 'modify' AS mode, event_id,

@@ -1,0 +1,163 @@
+"""A self-contained .wasm filter module, assembled byte-by-byte in-repo.
+
+The reference ships its WASM runtime-test filters as TinyGo/Rust
+binaries (tests/runtime/wasm/); this module plays the same role for the
+driver's correctness gate without depending on any toolchain or binary
+artifact: :func:`stamp_module_bytes` emits a complete WebAssembly
+binary (type/function/memory/export/code/data sections, hand-encoded)
+whose single export implements the cb_wasm_filter ABI
+(plugins/filter_wasm/filter_wasm.c:41-230 —
+``fn(tag, tag_len, tv_sec, tv_nsec, record, record_len) -> ptr``).
+
+Behavior (exactly SQL-replicable, so a DuckDB oracle can check the
+whole interpreter + ABI path end-to-end):
+
+    {"k": v, ...}  ->  {"k": v, ...,"wl":<record_len>,"ws":<tv_sec>}
+
+i.e. the module copies the incoming record JSON minus its closing
+brace (``memory.copy``, bulk-memory), appends two keys — ``wl`` = the
+record length in bytes as passed by the host, ``ws`` = the event
+timestamp's integer seconds — rendering both decimals with its own
+div/rem digit loop, NUL-terminates, and returns the buffer pointer.
+Exercised per record by wasmfilter.apply_wasm_module on the
+from-scratch interpreter (fluent_bit_spark.wasminterp): decoder,
+label-stack execution, bulk memory, host heap relocation (the module
+exports no malloc), and the strlen reply read all sit on the checked
+path.
+"""
+
+from __future__ import annotations
+
+
+def _leb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if (n == 0 and not (b & 0x40)) or (n == -1 and (b & 0x40)):
+            out.append(b)
+            return bytes(out)
+        out.append(b | 0x80)
+
+
+def _i32c(n: int) -> bytes:
+    return bytes([_I32]) + _sleb(n)
+
+
+def _sec(sid: int, body: bytes) -> bytes:
+    return bytes([sid]) + _leb(len(body)) + body
+
+
+def _vec(items) -> bytes:
+    return _leb(len(items)) + b"".join(items)
+
+
+def _body(code: bytes, n_i32_locals: int) -> bytes:
+    locals_ = _leb(1) + _leb(n_i32_locals) + b"\x7f" if n_i32_locals else _leb(0)
+    b = locals_ + code + b"\x0b"
+    return _leb(len(b)) + b
+
+# opcode shorthands
+_GET = 0x20
+_SET = 0x21
+_TEE = 0x22
+_I32 = 0x41
+_ADD = 0x6A
+_SUB = 0x6B
+_DIVU = 0x6E
+_REMU = 0x70
+_ST8 = 0x3A
+_LOOP = 0x03
+_END = 0x0B
+_BRIF = 0x0D
+_CALL = 0x10
+_MEMCOPY = bytes([0xFC, 0x0A, 0x00, 0x00])
+
+_OUT_BASE = 64  # output buffer; literals live at 32/40, all < host heap
+
+
+def _render_fn() -> bytes:
+    """func 0: render_u32(v, dst) -> end_ptr — decimal digits of v
+    written forward at dst. Two div-10 loops: count digits, then fill
+    backward from dst+len."""
+    c = bytearray()
+    # locals: v=0 dst=1 | n=2 len=3 p=4
+    c += bytes([_GET, 0, _SET, 2])                    # n = v
+    c += _i32c(0) + bytes([_SET, 3])                  # len = 0
+    c += bytes([_LOOP, 0x40])
+    c += bytes([_GET, 3]) + _i32c(1) + bytes([_ADD, _SET, 3])   # len += 1
+    c += bytes([_GET, 2]) + _i32c(10) + bytes([_DIVU, _TEE, 2]) # n //= 10
+    c += bytes([_BRIF, 0, _END])                      # while n != 0
+    c += bytes([_GET, 1, _GET, 3, _ADD, _SET, 4])     # p = dst + len
+    c += bytes([_GET, 0, _SET, 2])                    # n = v
+    c += bytes([_LOOP, 0x40])
+    c += bytes([_GET, 4]) + _i32c(1) + bytes([_SUB, _TEE, 4])   # --p (addr)
+    c += bytes([_GET, 2]) + _i32c(10) + bytes([_REMU]) + _i32c(48) + bytes([_ADD])
+    c += bytes([_ST8, 0x00, 0x00])                    # *p = '0' + n%10
+    c += bytes([_GET, 2]) + _i32c(10) + bytes([_DIVU, _TEE, 2])
+    c += bytes([_BRIF, 0, _END])
+    c += bytes([_GET, 1, _GET, 3, _ADD])              # return dst+len
+    return bytes(c)
+
+
+def _stamp_fn() -> bytes:
+    """func 1 (export flb_stamp): the cb_wasm_filter body — see module
+    docstring. params tag=0 tag_len=1 sec=2 nsec=3 rec=4 rec_len=5,
+    local o=6 (output cursor)."""
+    c = bytearray()
+    # memory.copy(OUT, rec, rec_len - 1): record minus closing '}'
+    c += _i32c(_OUT_BASE) + bytes([_GET, 4])
+    c += bytes([_GET, 5]) + _i32c(1) + bytes([_SUB]) + _MEMCOPY
+    # o = OUT + rec_len - 1
+    c += _i32c(_OUT_BASE - 1) + bytes([_GET, 5, _ADD, _SET, 6])
+    # append ',"wl":' (literal at 32)
+    c += bytes([_GET, 6]) + _i32c(32) + _i32c(6) + _MEMCOPY
+    c += bytes([_GET, 6]) + _i32c(6) + bytes([_ADD, _SET, 6])
+    # o = render(rec_len, o)
+    c += bytes([_GET, 5, _GET, 6, _CALL, 0, _SET, 6])
+    # append ',"ws":' (literal at 40)
+    c += bytes([_GET, 6]) + _i32c(40) + _i32c(6) + _MEMCOPY
+    c += bytes([_GET, 6]) + _i32c(6) + bytes([_ADD, _SET, 6])
+    # o = render(sec, o)
+    c += bytes([_GET, 2, _GET, 6, _CALL, 0, _SET, 6])
+    # '}' + NUL terminator
+    c += bytes([_GET, 6]) + _i32c(125) + bytes([_ST8, 0x00, 0x00])
+    c += bytes([_GET, 6]) + _i32c(1) + bytes([_ADD]) + _i32c(0) + bytes([_ST8, 0x00, 0x00])
+    c += _i32c(_OUT_BASE)                             # return buffer ptr
+    return bytes(c)
+
+
+def stamp_module_bytes() -> bytes:
+    """Assemble the complete module binary."""
+    i32 = b"\x7f"
+    types = _vec([
+        b"\x60" + _vec([i32] * 6) + _vec([i32]),   # t0: filter ABI
+        b"\x60" + _vec([i32] * 2) + _vec([i32]),   # t1: render
+    ])
+    funcs = _vec([_leb(1), _leb(0)])               # f0: t1, f1: t0
+    mems = _vec([b"\x00" + _leb(1)])               # 1 page, no max
+    name = b"flb_stamp"
+    exports = _vec([_leb(len(name)) + name + b"\x00" + _leb(1)])
+    code = _vec([_body(_render_fn(), 3), _body(_stamp_fn(), 1)])
+    seg = lambda off, data: (
+        b"\x00" + bytes([_I32]) + _leb(off) + b"\x0b"
+        + _leb(len(data)) + data
+    )
+    data = _vec([seg(32, b',"wl":'), seg(40, b',"ws":')])
+    return (
+        b"\x00asm\x01\x00\x00\x00"
+        + _sec(1, types) + _sec(3, funcs) + _sec(5, mems)
+        + _sec(7, exports) + _sec(10, code) + _sec(11, data)
+    )

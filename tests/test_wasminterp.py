@@ -417,6 +417,35 @@ class TestReferenceBinaries:
                 "no_such_function", b"t", 0, 0, b"{}")
 
 
+class TestStampDemoModule:
+    """wasm_demo.stamp_module_bytes: the in-repo hand-assembled filter
+    module backing the prom_exposition driver row's wasm leg."""
+
+    def test_reply_bytes(self):
+        from fluent_bit_spark.wasm_demo import stamp_module_bytes
+
+        fw = FlbWasm(stamp_module_bytes())
+        rec = b'{"event_id": 5, "etype": "view"}'
+        out = fw.call_function_format_json(
+            "flb_stamp", b"ev", 1704067207, 0, rec)
+        assert out == rec[:-1] + b',"wl":32,"ws":1704067207}'
+        assert json.loads(out) == {
+            "event_id": 5, "etype": "view", "wl": len(rec),
+            "ws": 1704067207,
+        }
+
+    def test_digit_loop_edges(self):
+        from fluent_bit_spark.wasm_demo import stamp_module_bytes
+
+        fw = FlbWasm(stamp_module_bytes())
+        # sec=0 renders as the single digit '0'; reuse across lengths
+        for sec, rid in ((0, 0), (9, 1), (10, 22), (1999999999, 333)):
+            rec = json.dumps({"event_id": rid, "etype": "x" * (rid % 7 + 1)}).encode()
+            d = json.loads(fw.call_function_format_json(
+                "flb_stamp", b"ev", sec, 0, rec))
+            assert d["wl"] == len(rec) and d["ws"] == sec
+
+
 # ---------------------------------------------------------------------------
 # the Spark surface: [FILTER] wasm with a real wasm_path
 # ---------------------------------------------------------------------------
