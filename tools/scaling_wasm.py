@@ -1,0 +1,177 @@
+"""Two-parallelism scaling evidence for the filter_wasm execution path
+(wasminterp + wasmfilter.apply_wasm_module) — the WASM sibling of
+scaling_lua.py: a measured number behind the "embarrassingly parallel"
+claim (one instantiated module per python worker, zero coordination).
+Same interleaved L/H, min-of-N, fresh-JVM-per-level methodology as the
+other scaling tools (BENCH.md notes).
+
+The measured job is the driver row's own module
+(wasm_demo.stamp_module_bytes, the hand-assembled cb_wasm_filter
+binary): every record crosses the ABI — JSON serialize, module_dup_data
+into guest memory, interpreted execution (memory.copy + two digit
+loops), strlen reply read, JSON re-parse — i.e. the interpreter's
+per-record cost, NOT the vectorized wasm_recipes fast path. Results
+must be identical across parallelism levels (row count +
+bit_xor(xxhash64) over every output record), which a stateless module
+guarantees by construction.
+
+Split count is pinned by staging to 32 files so both levels read
+identical input; the job is one narrow mapInPandas pass + a 1-row agg.
+
+Usage: python tools/scaling_wasm.py [--docs 3000000] [--runs 2]
+                                    [--low 4] [--high 16] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "16").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n = {docs}
+
+types = F.array(*[F.lit(t) for t in
+                  ("click", "view", "purchase", "signup", "error")])
+base = spark.range(n).select(
+    F.lit("ev").alias("tag"),
+    (F.lit(1700000000.0)
+     + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(86400))).alias("ts"),
+    F.col("id").alias("event_id"),
+    F.try_element_at(
+        types, (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int")
+    ).alias("etype"),
+)
+base.repartition(32).write.mode("overwrite").parquet({staged!r})
+print("STAGED " + json.dumps({{"docs": n}}))
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["PYTHONPATH"] = {repo!r}  # python workers need the package
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark.wasm_demo import stamp_module_bytes
+from fluent_bit_spark.wasmfilter import apply_wasm_module
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+WASM = stamp_module_bytes()
+OUT = "event_id bigint, etype string, wl bigint, ws bigint"
+
+def job():
+    df = spark.read.parquet({staged!r})
+    out = apply_wasm_module(df, WASM, "flb_stamp", OUT)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(event_id, etype, wl, ws))").alias("sig"),
+    ).first()
+
+row = job(); spark.catalog.clearCache()  # worker + codegen warm-up
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times),
+      "rows": row["n"], "sig": row["sig"]}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=3_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"wasm_scale_{args.docs}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, docs=args.docs, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if "STAGED " not in stage.stdout:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+
+    lo_times: list = []
+    hi_times: list = []
+    shape = None
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs)
+        hi = run_level(staged, args.high, args.runs)
+        key = ("rows", "sig")
+        assert all(lo[k] == hi[k] for k in key), (
+            "results must be identical across parallelism levels",
+            {k: (lo[k], hi[k]) for k in key},
+        )
+        shape = {k: lo[k] for k in key}
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = lo_best / hi_best
+    eff = ratio / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "job": "filter_wasm_interpreter",
+                "docs": args.docs,
+                "rows_out": shape["rows"],
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "low_best_sec": round(lo_best, 2),
+                "high_best_sec": round(hi_best, 2),
+                "low_recs_per_sec": round(args.docs / lo_best, 1),
+                "high_recs_per_sec": round(args.docs / hi_best, 1),
+                "low_times": [round(t, 2) for t in lo_times],
+                "high_times": [round(t, 2) for t in hi_times],
+                "speedup": round(ratio, 3),
+                "scaling_efficiency": round(eff, 3),
+                "results_equal_across_levels": True,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
