@@ -1689,7 +1689,14 @@ def q_lm_quality(spark, sf_dir):
     probability ('clf' rows, 4-dec) are value-checked, not just
     counted. Scale shape (classifier.py docstring): per round, one
     broadcast join + two map-side-combined SUMs; exactly `buckets`
-    rows reach the driver; nothing corpus-sized collects."""
+    rows reach the driver; nothing corpus-sized collects.
+
+    mode 'c4': C4 page cleaning (Raffel et al. 2020 §2.2,
+    dataops.c4.c4_clean — line punct/min-words/badword rules + page
+    phrase/brace/sentence gates) over pages synthesized
+    deterministically from the docs (see inline comment); every rule
+    is replayed line-by-line by the oracle's c4 CTE chain. Scale
+    shape: one map-only codegen projection, zero shuffles."""
     from fluent_bit_spark.dataops import classifier
     from fluent_bit_spark.dataops.similarity import _round_half_away
 
@@ -1740,7 +1747,65 @@ def q_lm_quality(spark, sf_dir):
         F.lit(0).cast("long").alias("n"),
         _r4(F.col("prob")).alias("v"),
     )
-    return lm.unionByName(w_rows).unionByName(b_row).unionByName(clf)
+
+    # mode 'c4': C4 page cleaning (Raffel et al. 2020 §2.2,
+    # dataops.c4.c4_clean) over pages synthesized deterministically
+    # from the flat word-soup docs: words chunked into lines of
+    # k = 3 + doc_id%5, line (doc_id+i)%7==0 gains ' javascript
+    # stuff.' (badword drop), (doc_id+i)%3==0 gets no terminal punct
+    # (punct drop), the rest end '.'; doc_id%41==0 pages gain a
+    # 'lorem ipsum' line (phrase page-gate), doc_id%43==0 a '{' line
+    # (brace page-gate). n = kept lines, v = cleaned/original char
+    # ratio (4-dec). The oracle replays every rule line-by-line.
+    from fluent_bit_spark.dataops.c4 import c4_clean
+
+    pg = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int").alias("k"),
+    ).withColumn(
+        "nl", F.ceil(F.size("w") / F.col("k").cast("double")).cast("int")
+    )
+
+    def _line(i):
+        base = F.array_join(
+            F.slice(F.col("w"), i * F.col("k") + 1, F.col("k")), " "
+        )
+        return (
+            F.when(
+                F.pmod(F.col("doc_id") + i, F.lit(7)) == 0,
+                F.concat(base, F.lit(" javascript stuff.")),
+            )
+            .when(F.pmod(F.col("doc_id") + i, F.lit(3)) == 0, base)
+            .otherwise(F.concat(base, F.lit(".")))
+        )
+
+    lines_col = F.transform(F.sequence(F.lit(0), F.col("nl") - 1), _line)
+    lines_col = F.when(
+        F.pmod(F.col("doc_id"), F.lit(41)) == 0,
+        F.concat(lines_col, F.array(F.lit("lorem ipsum dolor sit amet."))),
+    ).otherwise(lines_col)
+    lines_col = F.when(
+        F.pmod(F.col("doc_id"), F.lit(43)) == 0,
+        F.concat(lines_col, F.array(F.lit("function() { code."))),
+    ).otherwise(lines_col)
+    pages = pg.select(
+        "doc_id", F.array_join(lines_col, "\n").alias("text")
+    ).withColumn("plen", F.length("text"))
+    c4o = c4_clean(pages)
+    c4m = c4o.select(
+        F.lit("c4").alias("mode"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("c4_lines_kept").cast("long").alias("n"),
+        _r4(F.length("text") / F.col("plen")).alias("v"),
+    )
+
+    return (
+        lm.unionByName(w_rows)
+        .unionByName(b_row)
+        .unionByName(clf)
+        .unionByName(c4m)
+    )
 
 
 def q_pipeline_e2e(spark, sf_dir):
@@ -3474,7 +3539,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT l.doc_id,
                      1.0 / (1.0 + exp(-(COALESCE(ms.m,
                          (SELECT bias FROM b2))))) AS prob
-              FROM lab l LEFT JOIN ms USING (doc_id))
+              FROM lab l LEFT JOIN ms USING (doc_id)),
+            -- mode c4: replay the synthesized pages and every C4 rule
+            cw AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                     3 + doc_id % 5 AS k
+              FROM documents),
+            cl AS (
+              SELECT doc_id, k, u.i AS i,
+                     array_to_string(
+                       w[(u.i * k + 1):least((u.i + 1) * k, len(w))],
+                       ' ') AS base
+              FROM cw, UNNEST(generate_series(0,
+                     CAST(ceil(len(w) / CAST(k AS DOUBLE)) AS BIGINT) - 1))
+                   AS u(i)),
+            cbuilt AS (
+              SELECT doc_id, i,
+                CASE WHEN (doc_id + i) % 7 = 0
+                       THEN base || ' javascript stuff.'
+                     WHEN (doc_id + i) % 3 = 0 THEN base
+                     ELSE base || '.' END AS line
+              FROM cl
+              UNION ALL
+              SELECT doc_id, 1000000 AS i, 'lorem ipsum dolor sit amet.'
+              FROM documents WHERE doc_id % 41 = 0
+              UNION ALL
+              SELECT doc_id, 1000001 AS i, 'function() {{ code.'
+              FROM documents WHERE doc_id % 43 = 0),
+            cpage AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ptext
+              FROM cbuilt GROUP BY doc_id),
+            ckept AS (
+              SELECT doc_id, i, line FROM cbuilt
+              WHERE regexp_matches(line, '[.!?"]$')
+                AND len(string_split(line, ' ')) >= 5
+                AND NOT contains(lower(line), 'javascript')),
+            cclean AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ctext,
+                     COUNT(*) AS nkept
+              FROM ckept GROUP BY doc_id),
+            c4out AS (
+              SELECT p.doc_id, c.nkept, c.ctext, p.ptext
+              FROM cpage p JOIN cclean c USING (doc_id)
+              WHERE NOT contains(lower(p.ptext), 'lorem ipsum')
+                AND NOT contains(p.ptext, '{{')
+                AND length(c.ctext)
+                    - length(regexp_replace(c.ctext, '[.!?]', '', 'g')) >= 3)
             SELECT 'lm' AS mode, tok.doc_id AS id, COUNT(*) AS n,
                    round(CAST(AVG(ln(CAST(freq.c AS DOUBLE) / tot.N))
                          AS DOUBLE), 4) AS v
@@ -3491,5 +3601,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'clf' AS mode, doc_id AS id, CAST(0 AS BIGINT) AS n,
                    round(prob, 4) AS v
             FROM cscore
+            UNION ALL
+            SELECT 'c4' AS mode, doc_id AS id, CAST(nkept AS BIGINT) AS n,
+                   round(length(ctext)
+                         / CAST(length(ptext) AS DOUBLE), 4) AS v
+            FROM c4out
         """,
     }

@@ -2076,3 +2076,58 @@ class TestProductQuantization:
         for r in top:
             per_q.setdefault(r["query_id"], []).append(r["rank"])
         assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+class TestC4Clean:
+    """dataops.c4: the C4 cleaning recipe (Raffel et al. 2020 §2.2) —
+    every line rule and page gate pinned on hand-built pages."""
+
+    def _run(self, spark, pages, **kw):
+        from fluent_bit_spark.dataops.c4 import c4_clean
+
+        df = spark.createDataFrame(pages, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict() for r in c4_clean(df, **kw).collect()
+        }
+
+    def test_line_rules(self, spark):
+        page = "\n".join([
+            "one two three four five six.",      # kept
+            "one two three four five",           # no terminal punct
+            "short words end.",                  # < 5 words
+            "enable javascript to view this page.",  # badword
+            'he said "the quote ends here"',     # kept: quote terminal
+            "is this five whole words?",         # kept: '?'
+        ])
+        out = self._run(spark, [(1, page)], min_sentences=1)
+        assert out[1]["c4_lines_total"] == 6
+        assert out[1]["c4_lines_kept"] == 3
+        assert out[1]["text"].split("\n") == [
+            "one two three four five six.",
+            'he said "the quote ends here"',
+            "is this five whole words?",
+        ]
+        # quote-terminal line has no [.!?] — sentences counts the rest
+        assert out[1]["c4_sentences"] == 2
+
+    def test_page_gates(self, spark):
+        good = "\n".join(["a b c d e f." ] * 3)
+        pages = [
+            (1, good),
+            (2, good + "\nthis has Lorem Ipsum filler inside."),
+            (3, good + "\nfunction() { return 1; }"),
+            (4, "a b c d e f.\na b c d e g."),  # only 2 sentences
+        ]
+        out = self._run(spark, pages)
+        assert set(out) == {1}
+        # the gates are case-insensitive / pre-clean (gate sees the
+        # original page even though the brace line itself is dropped)
+        assert out[1]["c4_sentences"] == 3
+
+    def test_plan_is_map_only(self, spark):
+        from fluent_bit_spark.dataops.c4 import c4_clean
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f.")], "doc_id long, text string")
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffles: scan->filter->project
