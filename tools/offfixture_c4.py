@@ -1,0 +1,134 @@
+"""Off-fixture scale check for dataops.c4 (same protocol as the other
+offfixture tools): 50k synthetic pages (~100x the sf0.01 documents
+fixture) with every rule exercised — terminal-punct variants
+(. ! ? " none), word counts straddling the min-words floor, badword
+injections, page-level lorem/brace/sentence-floor plants — verified
+three ways:
+
+  1. exact equality against a pure-python replay of the C4 recipe
+     (per page: kept text, kept/total counts, sentences);
+  2. partition invariance (4 vs 64 input partitions, same output);
+  3. planted structure: every lorem/brace page absent, no surviving
+     line violates any line rule.
+
+Usage: python tools/offfixture_c4.py [--pages 50000] [--cpus 16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+    "theta", "iota", "kappa", "data", "table", "scan", "merge",
+]
+_PUNCT = [".", "!", "?", '"', ""]
+
+
+def build_page(i: int) -> str:
+    lines = []
+    for j in range(5 + i % 10):
+        nw = 3 + (i + j) % 6
+        words = [_VOCAB[(i * 7 + j * 3 + w) % len(_VOCAB)] for w in range(nw)]
+        if (i + j) % 11 == 0:
+            words.append("JavaScript")
+        lines.append(" ".join(words) + _PUNCT[(i + j) % 5])
+    if i % 37 == 0:
+        lines.append("some Lorem Ipsum filler text here.")
+    if i % 41 == 0:
+        lines.append("var f = function() { return; }")
+    return "\n".join(lines)
+
+
+def py_c4(text: str):
+    """Pure-python replay of c4_clean's semantics (the oracle)."""
+    low = text.lower()
+    if "lorem ipsum" in low or "{" in text:
+        return None
+    lines = text.split("\n")
+    kept = [
+        l for l in lines
+        if re.search(r'[.!?"]$', l)
+        and len(l.split(" ")) >= 5
+        and "javascript" not in l.lower()
+    ]
+    ctext = "\n".join(kept)
+    sentences = len(re.findall(r"[.!?]", ctext))
+    if sentences < 3:
+        return None
+    return (ctext, len(lines), len(kept), sentences)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=50_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from fluent_bit_spark.dataops.c4 import c4_clean
+
+    n = args.pages
+    rows = [(i, build_page(i)) for i in range(n)]
+    truth = {i: py_c4(t) for i, t in rows}
+    expected = {i: v for i, v in truth.items() if v is not None}
+
+    out: dict = {"pages": n, "checks": {}}
+    t0 = time.time()
+    got = {}
+    for parts in (4, 64):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(parts)
+        res = c4_clean(df).collect()
+        got[parts] = {
+            r["doc_id"]: (
+                r["text"], r["c4_lines_total"], r["c4_lines_kept"],
+                r["c4_sentences"],
+            )
+            for r in res
+        }
+    out["sec"] = round(time.time() - t0, 2)
+
+    out["checks"]["partition_invariant"] = got[4] == got[64]
+    out["checks"]["python_replay_equal"] = got[4] == expected
+    out["checks"]["lorem_brace_pages_absent"] = not any(
+        (i % 37 == 0 or i % 41 == 0) and i in got[4] for i in range(n)
+    )
+    bad = 0
+    for ctext, _tot, _kept, _s in got[4].values():
+        for l in ctext.split("\n"):
+            if (
+                not re.search(r'[.!?"]$', l)
+                or len(l.split(" ")) < 5
+                or "javascript" in l.lower()
+            ):
+                bad += 1
+    out["checks"]["no_surviving_line_violates_rules"] = bad == 0
+    out["kept_pages"] = len(got[4])
+    out["ok"] = all(out["checks"].values())
+    print(json.dumps(out))
+    sys.exit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
