@@ -1033,7 +1033,17 @@ def q_dedup_exact(spark, sf_dir):
     md5 checkable engine) over the same pages — duplicated docs become
     duplicated character spans that ignore paragraph boundaries. Output
     is the md5 of each page's span-cut text + merged-span count; every
-    page survives (clean pages pass through with n=0)."""
+    page survives (clean pages pass through with n=0).
+
+    mode 'bloom': Bloom-filter INCREMENTAL dedup
+    (dedup.bloom_dedup_incremental) — docs with doc_id%3==0 play the
+    prior crawl snapshot, the rest the new one; the prior reduces to a
+    4096-bit / k=3 bitmap (one-row broadcast, the snapshots never
+    join) and every new doc reports its probe-hit count (n, 0..3) and
+    verdict (val: 'dup' = all probes set, maybe-member; 'new'
+    otherwise — false negatives impossible by construction). The
+    oracle rebuilds the identical bitmap (md5-60 positions, 32-bit
+    words) and replays every probe."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(docs).select("doc_id", "lang")
     groups = dedup.exact_dup_groups(docs).select(
@@ -1072,7 +1082,21 @@ def q_dedup_exact(spark, sf_dir):
         F.md5("text").alias("val"),
         F.col("n_dup_spans").alias("n"),
     )
-    return a.unionByName(b).unionByName(c)
+    memb = dedup.bloom_dedup_incremental(
+        docs.filter(F.pmod("doc_id", F.lit(3)) != 0),
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 0),
+        key_col="text",
+        m_bits=4096,
+        k=3,
+        hash_engine="md5",
+    )
+    d = memb.select(
+        F.lit("bloom").alias("mode"),
+        F.col("doc_id").alias("id"),
+        F.when(F.col("bloom_maybe_dup"), "dup").otherwise("new").alias("val"),
+        F.col("bloom_hits").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -3227,9 +3251,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM pages p
                 LEFT JOIN ctext ct USING (page_id)
                 LEFT JOIN nsp USING (page_id)
+            ),
+            -- mode 'bloom': the incremental-crawl Bloom filter rebuilt
+            -- bit-for-bit (md5-60 probe positions, 32-bit words, k=3,
+            -- m=4096) and every new-snapshot probe replayed
+            bl_pos AS (
+                SELECT (CAST('0x' || substring(
+                            md5(CAST(i.i AS VARCHAR) || ':' || text),
+                            1, 15) AS BIGINT) % 4096) AS pos
+                FROM documents, (VALUES (0), (1), (2)) i(i)
+                WHERE doc_id % 3 = 0
+            ),
+            bl_words AS (
+                SELECT pos // 32 AS w,
+                       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                           AS word
+                FROM bl_pos GROUP BY 1
+            ),
+            bl_probe AS (
+                SELECT doc_id,
+                       (CAST('0x' || substring(
+                            md5(CAST(i.i AS VARCHAR) || ':' || text),
+                            1, 15) AS BIGINT) % 4096) AS pos
+                FROM documents, (VALUES (0), (1), (2)) i(i)
+                WHERE doc_id % 3 != 0
+            ),
+            bl_hits AS (
+                SELECT p.doc_id,
+                       CAST(SUM(CASE WHEN (w.word
+                                & (CAST(1 AS BIGINT)
+                                   << CAST(p.pos % 32 AS INT))) != 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n
+                FROM bl_probe p
+                LEFT JOIN bl_words w ON w.w = p.pos // 32
+                GROUP BY p.doc_id
+            ),
+            d AS (
+                SELECT 'bloom' AS mode, doc_id AS id,
+                       CASE WHEN n = 3 THEN 'dup' ELSE 'new' END AS val, n
+                FROM bl_hits
             )
             SELECT * FROM a UNION ALL SELECT * FROM b
-            UNION ALL SELECT * FROM c
+            UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
         """,
         "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
         "dedup_neardup_pipeline": _neardup_pipeline_oracle_sql(),

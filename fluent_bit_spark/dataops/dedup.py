@@ -1019,3 +1019,144 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup: filter a NEW crawl snapshot against a
+# prior corpus without joining (or even shipping) the prior keys.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32
+
+
+def _pow2_32() -> Column:
+    """Literal powers-of-two table for dynamic shifts (F.shiftleft's
+    shift amount must be a python int); 32-bit words keep every mask
+    positive so Spark longs and DuckDB BIGINTs agree bit-for-bit.
+    Built lazily — Column literals need an active SparkContext."""
+    return F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+
+
+def _bloom_pos(key: Column, i: int, m_bits: int, hash_engine: str) -> Column:
+    """Probe position i for a key: xxhash64(key, i) at scale, or the
+    md5-60 of '<i>:<key>' for the DuckDB-checkable engine."""
+    if hash_engine == "md5":
+        return F.pmod(
+            md5_hash60(F.concat(F.lit(f"{i}:"), key)), F.lit(m_bits)
+        )
+    return F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 4096,
+    k: int = 3,
+    hash_engine: str = "xxhash64",
+) -> DataFrame:
+    """Build a Bloom filter over ``key`` as a ONE-ROW DataFrame with a
+    dense ``words`` array<long> of length m_bits/32 (bit_or-folded,
+    zero-filled) — the broadcastable at-rest form of a prior corpus's
+    membership set. m_bits/32 longs total regardless of corpus size:
+    the prior snapshot never ships its keys, only this bitmap.
+
+    Plan shape: ONE scan of the prior corpus (the k probe positions
+    explode from a single projected array — narrow, no shuffle), one
+    m/32-group aggregate, one 1-row map fold. At 100 TB the shuffle
+    carries at most m/32 scalar rows."""
+    if m_bits % _BLOOM_WORD_BITS:
+        raise ValueError("m_bits must be a multiple of 32")
+    n_words = m_bits // _BLOOM_WORD_BITS
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                _bloom_pos(key, i, m_bits, hash_engine) for i in range(k)
+            ])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("pos div 32").cast("long").alias("w"),
+            F.try_element_at(
+                _pow2_32(), (F.pmod(F.col("pos"), F.lit(32)) + 1).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.try_element_at(F.col("mp"), i), F.lit(0).cast("long")),
+        ).alias("words")
+    )
+
+
+def bloom_membership(
+    df: DataFrame,
+    key: Column,
+    bloom: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+    hash_engine: str = "xxhash64",
+    hits_col: str = "bloom_hits",
+    flag_col: str = "bloom_maybe_dup",
+) -> DataFrame:
+    """Probe every row of ``df`` against a :func:`bloom_build` bitmap:
+    adds ``hits_col`` (how many of the k probe positions are set,
+    0..k) and ``flag_col`` (all k set — Bloom 'maybe member'; false
+    positives possible by construction, false negatives never).
+
+    Plan shape: ZERO shuffles and zero python — the 1-row bitmap
+    crossJoins in as a broadcast, the k probes are codegen projections
+    (positions materialized as real columns so the md5/xxhash runs
+    once per probe, not once per bit-op)."""
+    out = df.crossJoin(F.broadcast(bloom))
+    pos_cols = {
+        f"__bpos{i}": _bloom_pos(key, i, m_bits, hash_engine)
+        for i in range(k)
+    }
+    out = out.withColumns(pos_cols)
+    hits = []
+    for i in range(k):
+        p = F.col(f"__bpos{i}")
+        word = F.try_element_at(
+            F.col("words"), (F.expr(f"__bpos{i} div 32") + 1).cast("int")
+        )
+        mask = F.try_element_at(
+            _pow2_32(), (F.pmod(p, F.lit(32)) + 1).cast("int")
+        )
+        hits.append((word.bitwiseAND(mask) != 0).cast("long"))
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    out = out.withColumn(hits_col, total).withColumn(
+        flag_col, F.col(hits_col) == F.lit(k)
+    )
+    return out.drop("words", *pos_cols)
+
+
+def bloom_dedup_incremental(
+    new_df: DataFrame,
+    prior_df: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 3,
+    hash_engine: str = "xxhash64",
+) -> DataFrame:
+    """Incremental-crawl dedup: annotate ``new_df`` with whether its
+    ``key_col`` probably already exists in ``prior_df`` (the previous
+    snapshot). The prior corpus is reduced to an m_bits-bit Bloom
+    bitmap — at 100 TB the two snapshots never join and the prior's
+    keys never move; callers drop flagged rows (accepting the Bloom
+    false-positive rate, sized by m_bits/k) or route them to an exact
+    digest-join confirm pass."""
+    bloom = bloom_build(
+        prior_df, F.col(key_col), m_bits=m_bits, k=k, hash_engine=hash_engine
+    )
+    return bloom_membership(
+        new_df, F.col(key_col), bloom, m_bits=m_bits, k=k,
+        hash_engine=hash_engine,
+    )

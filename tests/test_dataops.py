@@ -2131,3 +2131,52 @@ class TestC4Clean:
             [(1, "a b c d e f.")], "doc_id long, text string")
         plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # zero shuffles: scan->filter->project
+
+
+class TestBloomIncrementalDedup:
+    """dedup.bloom_build / bloom_membership / bloom_dedup_incremental:
+    incremental-crawl dedup against a prior snapshot reduced to a
+    broadcastable bitmap."""
+
+    def test_no_false_negatives_and_fp_rate(self, spark):
+        from fluent_bit_spark.dataops import dedup
+
+        prior = spark.createDataFrame(
+            [(i, f"prior doc {i}") for i in range(200)],
+            "id long, text string")
+        # 100 exact re-crawls + 400 genuinely new docs
+        new = spark.createDataFrame(
+            [(i, f"prior doc {i}") for i in range(100)]
+            + [(1000 + i, f"new doc {i}") for i in range(400)],
+            "id long, text string")
+        for engine in ("md5", "xxhash64"):
+            out = dedup.bloom_dedup_incremental(
+                new, prior, m_bits=8192, k=3, hash_engine=engine
+            ).collect()
+            flagged = {r.id for r in out if r.bloom_maybe_dup}
+            # Bloom guarantee: every true member flagged
+            assert set(range(100)) <= flagged, engine
+            # false positives bounded (8192 bits / 600 keys: fp << 10%)
+            fps = [i for i in flagged if i >= 1000]
+            assert len(fps) < 40, (engine, len(fps))
+            # hits column consistent with the flag
+            for r in out:
+                assert (r.bloom_hits == 3) == r.bloom_maybe_dup
+
+    def test_bitmap_shape_and_probe_plan(self, spark):
+        from fluent_bit_spark.dataops import dedup
+        from pyspark.sql import functions as F
+
+        prior = spark.createDataFrame(
+            [(i, f"p{i}") for i in range(50)], "id long, text string")
+        bloom = dedup.bloom_build(prior, F.col("text"), m_bits=4096, k=3)
+        [row] = bloom.collect()
+        assert len(row.words) == 4096 // 32
+        assert any(w != 0 for w in row.words)
+        new = spark.createDataFrame(
+            [(1, "p1"), (2, "q2")], "id long, text string")
+        memb = dedup.bloom_membership(new, F.col("text"), bloom)
+        plan = memb._jdf.queryExecution().executedPlan().toString()
+        # the probe side never shuffles: the bitmap arrives broadcast
+        assert "Exchange hashpartitioning" not in plan.split(
+            "BroadcastNestedLoopJoin")[0]
