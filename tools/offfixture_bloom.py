@@ -1,0 +1,118 @@
+"""Off-fixture scale check for dedup.bloom_* (same protocol as the
+other offfixture tools): a 100k-key prior snapshot and a 120k-key new
+snapshot (40k true re-crawls + 80k fresh keys), verified four ways:
+
+  1. zero false negatives (every true member flagged) — the Bloom
+     contract;
+  2. measured false-positive rate within 3x of the theoretical
+     (1 - e^(-kn/m))^k for the chosen m/k/n;
+  3. partition invariance: bitmap words identical at 4 vs 64 input
+     partitions (bit_or is order-free), membership verdicts identical;
+  4. python replay: the md5-engine bitmap equals a pure-python rebuild
+     bit-for-bit.
+
+Usage: python tools/offfixture_bloom.py [--keys 100000] [--cpus 16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+M_BITS = 1 << 20  # 1M bits = 32k words: the bitmap stays a trivial broadcast
+K = 3
+
+
+def py_pos(key: str, i: int) -> int:
+    return int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % M_BITS
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", type=int, default=100_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from fluent_bit_spark.dataops import dedup
+
+    n = args.keys
+    out: dict = {"keys": n, "m_bits": M_BITS, "k": K, "checks": {}}
+    prior_rows = [(i, f"crawl page body number {i}") for i in range(n)]
+    new_rows = [(i, f"crawl page body number {i}") for i in range(0, n, 5)] + [
+        (n + i, f"fresh page body number {i}") for i in range(4 * n // 5)
+    ]
+    t0 = time.time()
+
+    verdicts = {}
+    words_by_parts = {}
+    for parts in (4, 64):
+        prior = spark.createDataFrame(
+            prior_rows, "id long, text string"
+        ).repartition(parts)
+        new = spark.createDataFrame(
+            new_rows, "id long, text string"
+        ).repartition(parts)
+        bloom = dedup.bloom_build(
+            prior, F.col("text"), m_bits=M_BITS, k=K, hash_engine="md5"
+        )
+        [row] = bloom.collect()
+        words_by_parts[parts] = list(row.words)
+        memb = dedup.bloom_membership(
+            new, F.col("text"), bloom, m_bits=M_BITS, k=K, hash_engine="md5"
+        )
+        verdicts[parts] = {
+            r["id"]: bool(r["bloom_maybe_dup"]) for r in memb.collect()
+        }
+    out["sec"] = round(time.time() - t0, 2)
+
+    out["checks"]["partition_invariant_bitmap"] = (
+        words_by_parts[4] == words_by_parts[64]
+    )
+    out["checks"]["partition_invariant_verdicts"] = verdicts[4] == verdicts[64]
+
+    v = verdicts[4]
+    true_members = [i for i, _ in new_rows if i < n]
+    out["checks"]["no_false_negatives"] = all(v[i] for i in true_members)
+    fresh = [i for i, _ in new_rows if i >= n]
+    fp = sum(1 for i in fresh if v[i])
+    fp_rate = fp / len(fresh)
+    theory = (1.0 - math.exp(-K * (n * K) / M_BITS / K)) ** K
+    out["fp_rate"] = round(fp_rate, 6)
+    out["fp_rate_theory"] = round(theory, 6)
+    out["checks"]["fp_rate_sane"] = fp_rate <= max(3 * theory, 1e-4)
+
+    # python bitmap replay (bit-for-bit)
+    words = [0] * (M_BITS // 32)
+    for _i, text in prior_rows:
+        for j in range(K):
+            p = py_pos(text, j)
+            words[p // 32] |= 1 << (p % 32)
+    out["checks"]["python_bitmap_equal"] = words == words_by_parts[4]
+
+    out["ok"] = all(out["checks"].values())
+    print(json.dumps(out))
+    sys.exit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
