@@ -1421,7 +1421,9 @@ def q_repetition_profile(spark, sf_dir):
 
 
 def q_sim_topk(spark, sf_dir):
-    """brute-force cosine top-k (correctness baseline for ANN)."""
+    """brute-force cosine top-k (correctness baseline for ANN). (This
+    row is a bench headline — the BM25 retrieval mode lives in
+    sim_ann_topk to keep this row's timing comparable across rounds.)"""
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.brute_force_topk(emb, queries, k=5)
@@ -1448,21 +1450,48 @@ def q_sim_ann_topk(spark, sf_dir):
     oracle replays signatures, cell assignment, probing, sub-code
     assignment, ADC sums, and ranks value-for-value; xxhash64 planes
     and trained k-means anchors/codebooks are the scale defaults
-    (pytest recall checks)."""
+    (pytest recall checks).
+
+    Fourth mode 'bm25' (round 5): BM25 keyword retrieval
+    (dataops.bm25.bm25_topk, Lucene-style idf, inverted postings +
+    broadcast query terms) over documents — queries = the first 4
+    words of docs 3/17/29. The per-(query, doc) score folds term
+    contributions in sorted-term order (F.aggregate left fold), which
+    the DuckDB oracle replays bit-for-bit via
+    list_reduce(list(... ORDER BY term)) — ranks AND 4-dec scores
+    value-checked (v; null for the rank-only ANN modes)."""
+    from fluent_bit_spark.dataops import bm25
+
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
+    nullv = F.lit(None).cast("double").alias("v")
     lsh = similarity.lsh_topk(
         emb, queries, k=5, dim=64, n_bits=8, planes=similarity.md5_planes(64, 8)
-    ).select(F.lit("lsh").alias("mode"), "query_id", "cand_id", "rank")
+    ).select(F.lit("lsh").alias("mode"), "query_id", "cand_id", "rank", nullv)
     ivf = similarity.ivf_topk(
         emb, queries, dim=64, k=5, n_cells=8, nprobe=2,
         anchors=similarity.md5_anchors(64, 8),
-    ).select(F.lit("ivf").alias("mode"), "query_id", "cand_id", "rank")
+    ).select(F.lit("ivf").alias("mode"), "query_id", "cand_id", "rank", nullv)
     books = similarity.md5_codebooks(64, 8, 8)
     pq = similarity.pq_topk(
         similarity.pq_encode(emb, books), queries, books, k=5
-    ).select(F.lit("pq").alias("mode"), "query_id", "cand_id", "rank")
-    return lsh.unionByName(ivf).unionByName(pq)
+    ).select(F.lit("pq").alias("mode"), "query_id", "cand_id", "rank", nullv)
+
+    docs = _t_spread(spark, sf_dir, "documents")
+    qdf = docs.filter(F.col("doc_id").isin(3, 17, 29)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 4), " "
+        ).alias("qtext"),
+    )
+    bm = bm25.bm25_topk(docs, qdf, k=5, qtext_col="qtext").select(
+        F.lit("bm25").alias("mode"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+        "rank",
+        _r4(F.col("score")).alias("v"),
+    )
+    return lsh.unionByName(ivf).unionByName(pq).unionByName(bm)
 
 
 def q_sim_near_dup(spark, sf_dir):
@@ -2285,9 +2314,65 @@ def _ann_oracle_sql() -> str:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY score DESC, cand_id ASC) AS rank
               FROM pscored) WHERE rank <= 5
+        ), dterms AS (
+            -- mode bm25: postings, Lucene idf, fixed-order score fold
+            SELECT doc_id, list_filter(
+                     string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+            FROM documents
+        ), post AS (
+            SELECT t.term, d.doc_id, COUNT(*) AS tf
+            FROM dterms d, UNNEST(d.toks) AS t(term)
+            GROUP BY t.term, d.doc_id
+        ), dl AS (SELECT doc_id, len(toks) AS dl FROM dterms
+        ), bst AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   AVG(CAST(dl AS DOUBLE)) AS avgdl
+            FROM dl
+        ), bqt AS (
+            SELECT DISTINCT doc_id AS query_id, t.term
+            FROM dterms, UNNEST(toks[1:4]) AS t(term)
+            WHERE doc_id IN (3, 17, 29)
+        ), bdf AS (
+            SELECT p.term, COUNT(*) AS df FROM post p
+            WHERE p.term IN (SELECT term FROM bqt) GROUP BY p.term
+        ), bcontrib AS (
+            SELECT q.query_id, p.doc_id AS cand_id, p.term,
+                   ln(1.0 + (bst.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+                   * ((CAST(p.tf AS DOUBLE) * 2.2)
+                      / (CAST(p.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                 / bst.avgdl)))) AS contrib
+            FROM post p
+            JOIN bqt q USING (term)
+            JOIN bdf USING (term)
+            JOIN dl ON dl.doc_id = p.doc_id
+            CROSS JOIN bst
+        ), bscore AS (
+            SELECT query_id, cand_id,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(CAST(contrib AS DOUBLE)
+                                         ORDER BY term)),
+                       (a, b) -> a + b) AS DOUBLE) AS score
+            FROM bcontrib GROUP BY query_id, cand_id
+        ), bm AS (
+            SELECT 'bm25' AS mode, query_id, cand_id, rank,
+                   round(score, 4) AS v
+            FROM (
+              SELECT query_id, cand_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, cand_id ASC)
+                         AS rank
+              FROM bscore) WHERE rank <= 5
         )
-        SELECT * FROM lsh UNION ALL SELECT * FROM ivf
-        UNION ALL SELECT * FROM pq
+        SELECT mode, query_id, cand_id, rank, CAST(NULL AS DOUBLE) AS v
+        FROM lsh
+        UNION ALL SELECT mode, query_id, cand_id, rank,
+                         CAST(NULL AS DOUBLE) AS v FROM ivf
+        UNION ALL SELECT mode, query_id, cand_id, rank,
+                         CAST(NULL AS DOUBLE) AS v FROM pq
+        UNION ALL SELECT * FROM bm
     """
 
 

@@ -1,0 +1,137 @@
+"""BM25 keyword retrieval over a document corpus: inverted postings +
+broadcast-query top-k (Robertson/Sparck Jones; the Lucene-style
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant). The retrieval
+sibling of the embedding ANN family — used by training-data pipelines
+for targeted selection, decontamination support, and eval-set mining.
+
+Scale shape:
+* ``build_postings`` is the ONLY corpus-wide shuffle (term, doc_id, tf
+  triples — the inverted index; at rest this is the table you persist
+  bucketed by term so repeated query batches never re-shuffle the
+  corpus).
+* ``bm25_topk`` never moves the corpus again: the query term set
+  broadcasts into a semi-filter over the postings, document-frequency
+  and corpus stats are query-term-bounded aggregates, and scoring
+  shuffles only the MATCHED (query, doc, term) triples.
+* Per-(query, doc) scores fold contributions in a FIXED order (terms
+  sorted, left-to-right aggregate) so ranks are deterministic across
+  engines and partitionings — the ADC-sum lesson; a DuckDB oracle
+  replays scores bit-for-bit via list_reduce(list(... ORDER BY term)).
+
+Query term frequency is ignored (each distinct query term contributes
+once) — the common BM25 simplification for short queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _terms(text: Column) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, tf) inverted postings — one explode + one
+    count shuffle keyed by (term, doc)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(_terms(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) token counts — one narrow projection."""
+    return df.select(
+        F.col(id_col), F.size(_terms(F.col(text_col))).alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Top-k BM25 matches per query: (query_id, cand_id, rank, score).
+    ``queries`` is small (it broadcasts); ``docs`` is the corpus."""
+    post = build_postings(docs, text_col, id_col)
+    dl = doc_lengths(docs, text_col, id_col)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(
+        dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    )
+
+    qterms = (
+        queries.select(
+            F.col(qid_col), F.explode(_terms(F.col(qtext_col))).alias("term")
+        )
+        .distinct()
+    )
+    # df(term) over query terms only: semi-filter postings first
+    qpost = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_t = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        qpost.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    contrib = idf * (
+        (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.col("avgdl"))))
+    )
+    scored = scored.select(
+        qid_col, id_col, "term", contrib.alias("contrib")
+    )
+    # fixed-order fold: terms sorted, left-to-right — deterministic
+    # doubles across engines/partitionings (struct sort on unique term)
+    agg = (
+        scored.groupBy(qid_col, id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("term", "contrib"))
+            ).alias("cs")
+        )
+        .select(
+            qid_col,
+            F.col(id_col).alias("cand_id"),
+            F.aggregate(
+                "cs",
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("contrib"),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "cand_id", "rank", "score")
+    )

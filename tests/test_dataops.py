@@ -2180,3 +2180,66 @@ class TestBloomIncrementalDedup:
         # the probe side never shuffles: the bitmap arrives broadcast
         assert "Exchange hashpartitioning" not in plan.split(
             "BroadcastNestedLoopJoin")[0]
+
+
+class TestBM25:
+    """dataops.bm25: inverted postings + broadcast-query BM25 top-k,
+    fixed-order score fold (deterministic across partitionings)."""
+
+    def test_python_replay_and_relevance(self, spark):
+        import math
+
+        from fluent_bit_spark.dataops import bm25
+
+        corpus = [
+            (0, "spark shuffle join merge sort"),
+            (1, "spark spark spark streaming watermark"),
+            (2, "bloom filter bitmap membership probe"),
+            (3, "join strategy broadcast hash join spark"),
+            (4, "totally unrelated words here now"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        qs = spark.createDataFrame(
+            [(100, "spark join")], "query_id long, qtext string")
+        out = bm25.bm25_topk(docs, qs, k=3).collect()
+
+        # python replay (same formula, same sorted-term fold)
+        k1, b = 1.2, 0.75
+        toks = {i: t.split() for i, t in corpus}
+        n = float(len(corpus))
+        avgdl = sum(len(v) for v in toks.values()) / n
+        def score(doc, terms):
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = float(toks[doc].count(t))
+                if not tf:
+                    continue
+                df = sum(1 for d in toks.values() if t in d)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * ((tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (len(toks[doc]) / avgdl))))
+            return s
+        expect = sorted(
+            ((d, score(d, ["spark", "join"])) for d in toks
+             if score(d, ["spark", "join"]) > 0),
+            key=lambda x: (-x[1], x[0]))[:3]
+        got = [(r.cand_id, r.score) for r in sorted(out, key=lambda r: r.rank)]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for (gc, gs), (ec, es) in zip(got, expect):
+            assert abs(gs - es) < 1e-12, (gc, gs, es)
+        # doc 3 carries BOTH query terms (join twice) -> rank 1
+        assert got[0][0] == 3
+
+    def test_partition_invariance(self, spark):
+        from fluent_bit_spark.dataops import bm25
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 13} w{i % 7} w{i % 5} common word") for i in range(400)],
+            "doc_id long, text string")
+        qs = spark.createDataFrame(
+            [(1, "w3 common"), (2, "w5 word w1")],
+            "query_id long, qtext string")
+        a = bm25.bm25_topk(docs.repartition(2), qs, k=10).collect()
+        bres = bm25.bm25_topk(docs.repartition(37), qs, k=10).collect()
+        key = lambda rows: sorted((r.query_id, r.cand_id, r.rank, r.score) for r in rows)
+        assert key(a) == key(bres)
