@@ -1685,8 +1685,18 @@ def q_url_canonical(spark, sf_dir):
     fbclid + fragment, and the clean form) and canonicalized; the count
     per canonical URL proves the variants collapse. The oracle replays
     the normalization pipeline step by step in RE2 SQL, not the
-    fixture's shortcut."""
+    fixture's shortcut.
+
+    mode 'rank' (round 5): distributed PageRank
+    (dataops.graph.pagerank, power iteration, 4 rounds, d=0.85) over a
+    deterministic link graph on the same logical pages (node u links
+    to (3u+1), (5u+2), (7u+3) mod the page count; self-loops dropped)
+    — the Common-Crawl-style host-centrality signal. Per-node inflow
+    folds in-contributions in sorted-source order (fixed left fold),
+    so the oracle's 4 unrolled CTE rounds replay every double
+    bit-for-bit; v = rank rounded to 8 decimals, n = out-degree."""
     from fluent_bit_spark import webtext
+    from fluent_bit_spark.dataops.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
     logical = (F.col("doc_id") % 97).cast("string")
@@ -1713,7 +1723,32 @@ def q_url_canonical(spark, sf_dir):
         )
     )
     out = docs.select(webtext.normalize_url(raw).alias("url"))
-    return out.groupBy("url").agg(F.count(F.lit(1)).alias("n_docs"))
+    canon = out.groupBy("url").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("canon").alias("mode"),
+        F.col("url").alias("key"),
+        F.col("n_docs").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+
+    logical_nodes = docs.select(
+        (F.col("doc_id") % 97).cast("long").alias("u")
+    ).distinct()
+    m = logical_nodes.agg(F.max("u").alias("m")).first()["m"] + 1
+    edges = None
+    for a, b in ((3, 1), (5, 2), (7, 3)):
+        part = logical_nodes.select(
+            F.col("u").alias("src"),
+            ((F.col("u") * a + b) % m).alias("dst"),
+        ).filter(F.col("dst") != F.col("src"))
+        edges = part if edges is None else edges.unionAll(part)
+    pr = pagerank(edges, iters=4, damping=0.85)
+    rank = pr.select(
+        F.lit("rank").alias("mode"),
+        F.col("node").cast("string").alias("key"),
+        F.col("out_deg").alias("n"),
+        F.round(F.col("rank"), 8).alias("v"),
+    )
+    return canon.unionByName(rank)
 
 
 def q_lm_quality(spark, sf_dir):
@@ -2200,6 +2235,58 @@ def _dedup_clusters_oracle_sql() -> str:
 def _sql_vec(vals) -> str:
     """Python float list -> DuckDB DOUBLE[] literal (repr round-trips)."""
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _pagerank_oracle_ctes(iters: int = 4, damping: float = 0.85) -> str:
+    """CTE chain replaying q_url_canonical's 'rank' mode: the
+    deterministic link graph, then `iters` unrolled PageRank rounds
+    with the engine's exact arithmetic — contributions folded via
+    list_reduce in sorted-source order (== the Spark side's array_sort
+    + F.aggregate left fold), (1-d) inlined as the python-repr double
+    so DuckDB's decimal 1.0-0.85 can't diverge, and the dangling term
+    kept as the same literal 0.0/n no-op (this graph has none)."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [f"""
+            prlog AS (
+              SELECT DISTINCT CAST(doc_id % 97 AS BIGINT) AS u
+              FROM documents),
+            prm AS (SELECT MAX(u) + 1 AS m FROM prlog),
+            predges AS (
+              SELECT DISTINCT u AS src, (u * a.a + a.b) % prm.m AS dst
+              FROM prlog, (VALUES (3, 1), (5, 2), (7, 3)) a(a, b), prm
+              WHERE (u * a.a + a.b) % prm.m != u),
+            prnodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM predges
+                UNION ALL SELECT dst FROM predges)),
+            prn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM prnodes),
+            prdeg AS (
+              SELECT src, COUNT(*) AS deg FROM predges GROUP BY src),
+            pr0 AS (SELECT node, 1.0 / prn.n AS r FROM prnodes, prn)"""]
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+            c{t} AS (
+              SELECT e.dst AS node, e.src AS fromn,
+                     r.r / CAST(d.deg AS DOUBLE) AS c
+              FROM predges e
+              JOIN {prev} r ON r.node = e.src
+              JOIN prdeg d ON d.src = e.src),
+            f{t} AS (
+              SELECT node, CAST(list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE),
+                               list(CAST(c AS DOUBLE) ORDER BY fromn)),
+                  (a, b) -> a + b) AS DOUBLE) AS inflow
+              FROM c{t} GROUP BY node),
+            pr{t} AS (
+              SELECT n.node,
+                     CAST({one_minus_d} AS DOUBLE) / prn.n
+                     + {d} * (0.0 / prn.n + COALESCE(f{t}.inflow, 0.0))
+                         AS r
+              FROM prnodes n LEFT JOIN f{t} USING (node) CROSS JOIN prn)""")
+        prev = f"pr{t}"
+    return ",".join(parts)
 
 
 def _ann_oracle_sql() -> str:
@@ -3567,8 +3654,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'kmax', COUNT(*) FROM p WHERE kval >= 90) s, sv
         """,
-        "url_canonical": r"""
-            WITH raw AS (
+        "url_canonical": rf"""
+            WITH {_pagerank_oracle_ctes(4, 0.85)},
+            raw AS (
               SELECT CASE doc_id % 3
                 WHEN 0 THEN 'http://news.example.com/item/' || (doc_id % 97)
                 WHEN 1 THEN 'HTTP://News.Example.COM:80/item/' || (doc_id % 97)
@@ -3595,11 +3683,18 @@ def oracle_sql() -> dict[str, str]:
                        p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))
                        AS kept
                    FROM s4)
-            SELECT CASE WHEN q IS NOT NULL AND len(kept) > 0
+            SELECT 'canon' AS mode,
+                   CASE WHEN q IS NOT NULL AND len(kept) > 0
                         THEN base || '?' || array_to_string(kept, '&')
-                        ELSE base END AS url,
-                   COUNT(*) AS n_docs
-            FROM s5 GROUP BY 1
+                        ELSE base END AS key,
+                   COUNT(*) AS n,
+                   CAST(NULL AS DOUBLE) AS v
+            FROM s5 GROUP BY 1, 2
+            UNION ALL
+            SELECT 'rank' AS mode, CAST(pr4.node AS VARCHAR) AS key,
+                   CAST(COALESCE(d.deg, 0) AS BIGINT) AS n,
+                   round(pr4.r, 8) AS v
+            FROM pr4 LEFT JOIN prdeg d ON d.src = pr4.node
         """,
         # lm branch: unigram-LM logprob replay (unchanged). Classifier
         # branch: the full 2-round GD loop unrolled as chained CTEs —

@@ -1,0 +1,104 @@
+"""Link-graph centrality: distributed PageRank by power iteration —
+the web-corpus curation signal (Common Crawl publishes harmonic /
+PageRank-style host rankings; crawl frontier and quality weighting
+pipelines consume them).
+
+Scale shape per iteration: ONE shuffle (contributions grouped by
+destination); degrees and the dangling-mass scalar ride broadcast
+joins. Ranks per node fold in-contributions in a FIXED order
+(sorted by source, left fold) so the resulting doubles — and
+therefore convergence and rank order — are identical across engines
+and partitionings: the ADC-sum / BM25 lesson. A DuckDB oracle replays
+every iteration as a chained CTE bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicate edges are
+    collapsed). Returns (node, out_deg, rank). Dangling nodes (no
+    out-edges) redistribute their mass uniformly each round, the
+    standard correction.
+
+    r0 = 1/N;  r'(v) = (1-d)/N + d * (dangling_mass/N
+                 + sum_{u->v} r(u)/deg(u))   [sum folded in src order]
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nrow = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nrow)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r"), "n"
+    )
+    d = float(damping)
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(deg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.col("src").alias("from_node"),
+                (F.col("r") / F.col("out_deg").cast("double")).alias("c"),
+            )
+        )
+        folded = (
+            contribs.groupBy("node")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("from_node", "c"))
+                ).alias("cs")
+            )
+            .select(
+                "node",
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, s: acc + s.getField("c")
+                ).alias("inflow"),
+            )
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            ranks.select("node", "n")
+            .join(folded, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) / F.col("n")
+                    + F.lit(d)
+                    * (
+                        F.col("dm") / F.col("n")
+                        + F.coalesce(F.col("inflow"), F.lit(0.0))
+                    )
+                ).alias("r"),
+                "n",
+            )
+        )
+        # cut the per-round plan lineage (the connected-components
+        # pattern): without this the nested join tree grows
+        # exponentially with iters and the optimizer OOMs
+        ranks = ranks.localCheckpoint()
+    return (
+        ranks.join(F.broadcast(deg), ranks["node"] == deg["src"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            F.col("r").alias("rank"),
+        )
+    )

@@ -2243,3 +2243,42 @@ class TestBM25:
         bres = bm25.bm25_topk(docs.repartition(37), qs, k=10).collect()
         key = lambda rows: sorted((r.query_id, r.cand_id, r.rank, r.score) for r in rows)
         assert key(a) == key(bres)
+
+
+class TestPageRank:
+    """dataops.graph.pagerank: power iteration with fixed-order inflow
+    folds and the dangling-mass correction."""
+
+    def test_python_replay_with_dangling(self, spark):
+        from fluent_bit_spark.dataops.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)], "src long, dst long")
+        out = {r.node: (r.out_deg, r.rank)
+               for r in pagerank(edges, iters=20).collect()}
+        adj = {0: [1, 2], 1: [2, 3], 2: [0]}
+        nodes, n, d = [0, 1, 2, 3], 4.0, 0.85
+        r = {v: 1 / n for v in nodes}
+        for _ in range(20):
+            dm = sum(r[v] for v in nodes if v not in adj)
+            r = {v: (1 - d) / n + d * (dm / n + sum(
+                    r[u] / len(adj[u]) for u in sorted(adj) if v in adj[u]))
+                 for v in nodes}
+        for v in nodes:
+            assert abs(out[v][1] - r[v]) < 1e-12, (v, out[v], r[v])
+        assert out[3][0] == 0  # the dangling node reports out_deg 0
+        assert abs(sum(x[1] for x in out.values()) - 1.0) < 1e-9
+
+    def test_partition_invariance(self, spark):
+        from fluent_bit_spark.dataops.graph import pagerank
+
+        rows = [(u, (u * 3 + 1) % 50) for u in range(50)] + [
+            (u, (u * 7 + 3) % 50) for u in range(50)]
+        edges = spark.createDataFrame(
+            [e for e in rows if e[0] != e[1]], "src long, dst long")
+        a = pagerank(edges.repartition(2), iters=4).collect()
+        b = pagerank(edges.repartition(31), iters=4).collect()
+        key = lambda res: sorted((r.node, r.out_deg, r.rank) for r in res)
+        # bit-identical ranks: the sorted-source fold makes double
+        # summation order a construction property, not luck
+        assert key(a) == key(b)
