@@ -451,3 +451,51 @@ def test_size_to_bytes_digitless_rejected():
     # digit-bearing forms still parse
     assert size_to_bytes("1M") == 10**6
     assert size_to_bytes(".5M") == 500_000
+
+
+def test_bloom_membership_and_c4_on_streams(spark, tmp_path):
+    """The session-3 operators are stream-ready: bloom_membership is a
+    stream-static broadcast probe (the bitmap is a batch frame) and
+    c4_clean is a stateless projection — both run unmodified inside a
+    file-source stream."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.dataops import dedup
+    from fluent_bit_spark.dataops.c4 import c4_clean
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    prior = spark.createDataFrame(
+        [(i, f"prior doc body {i}") for i in range(50)], "id long, text string"
+    )
+    bloom = dedup.bloom_build(prior, F.col("text"), m_bits=4096, k=3)
+
+    page = (
+        "keep this full sentence with enough words.\n"
+        "short line.\n"
+        "another complete sentence that stays here too.\n"
+        "third full sentence to clear the floor fine."
+    )
+    rows = [(i, f"prior doc body {i}" if i < 20 else page) for i in range(40)]
+    spark.createDataFrame(rows, "id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("id long, text string").parquet(src)
+    flagged = dedup.bloom_membership(stream, F.col("text"), bloom)
+    cleaned = c4_clean(flagged.filter(~F.col("bloom_maybe_dup")))
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    # the 20 re-crawled docs were bloom-dropped; the 20 fresh pages
+    # survived C4 with the short line removed
+    assert len(got) == 20
+    for r in got:
+        assert r.id >= 20 and r.c4_lines_kept == 3 and "short line" not in r.text
