@@ -9,10 +9,12 @@ Scale shape:
   triples — the inverted index; at rest this is the table you persist
   bucketed by term so repeated query batches never re-shuffle the
   corpus).
-* ``bm25_topk`` never moves the corpus again: the query term set
-  broadcasts into a semi-filter over the postings, document-frequency
-  and corpus stats are query-term-bounded aggregates, and scoring
-  shuffles only the MATCHED (query, doc, term) triples.
+* ``bm25_topk`` never shuffles the corpus again: the query term set
+  broadcasts into a semi-filter over the postings, avgdl rides the
+  postings as an integer-exact 1-row aggregate, per-doc lengths are a
+  narrow re-scan semi-filtered to MATCHED docs and broadcast, and the
+  only remaining shuffle groups the matched (query, doc, term)
+  triples.
 * Per-(query, doc) scores fold contributions in a FIXED order (terms
   sorted, left-to-right aggregate) so ranks are deterministic across
   engines and partitionings — the ADC-sum lesson; a DuckDB oracle
@@ -71,11 +73,13 @@ def bm25_topk(
     """Top-k BM25 matches per query: (query_id, cand_id, rank, score).
     ``queries`` is small (it broadcasts); ``docs`` is the corpus."""
     post = build_postings(docs, text_col, id_col)
-    dl = doc_lengths(docs, text_col, id_col)
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    ).crossJoin(
-        dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    # avgdl rides the postings (sum of tf = total tokens; integer-exact,
+    # so it equals AVG over per-doc lengths bit-for-bit) — no second
+    # corpus tokenization and no doc-level shuffle for the global stat
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .crossJoin(post.agg(F.sum("tf").cast("double").alias("__tot")))
+        .select("n_docs", (F.col("__tot") / F.col("n_docs")).alias("avgdl"))
     )
 
     qterms = (
@@ -88,10 +92,17 @@ def bm25_topk(
     qpost = post.join(F.broadcast(qterms.select("term").distinct()), "term")
     df_t = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
+    # per-doc lengths only for MATCHED docs: narrow re-scan of the
+    # corpus, broadcast-semi-filtered, then broadcast into scoring —
+    # the corpus never shuffles again after the postings build
+    matched = qpost.select(id_col).distinct()
+    dl = doc_lengths(docs, text_col, id_col).join(
+        F.broadcast(matched), id_col
+    )
     scored = (
         qpost.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_t), "term")
-        .join(dl, id_col)
+        .join(F.broadcast(dl), id_col)
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(

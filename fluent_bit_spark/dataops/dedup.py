@@ -1090,7 +1090,13 @@ def bloom_build(
         F.transform(
             F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
             lambda i: F.coalesce(F.try_element_at(F.col("mp"), i), F.lit(0).cast("long")),
-        ).alias("words")
+        ).alias("words"),
+        # the bitmap carries its own geometry so a probe can never
+        # silently use a mismatched modulus (a build/probe m_bits
+        # mismatch would produce false negatives with no error)
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k).alias("k"),
+        F.lit(hash_engine).alias("hash_engine"),
     )
 
 
@@ -1098,9 +1104,9 @@ def bloom_membership(
     df: DataFrame,
     key: Column,
     bloom: DataFrame,
-    m_bits: int = 4096,
-    k: int = 3,
-    hash_engine: str = "xxhash64",
+    m_bits: int | None = None,
+    k: int | None = None,
+    hash_engine: str | None = None,
     hits_col: str = "bloom_hits",
     flag_col: str = "bloom_maybe_dup",
 ) -> DataFrame:
@@ -1109,11 +1115,25 @@ def bloom_membership(
     0..k) and ``flag_col`` (all k set — Bloom 'maybe member'; false
     positives possible by construction, false negatives never).
 
+    The probe geometry (m_bits/k/hash_engine) defaults to the values
+    the bitmap itself carries — a mismatched modulus or probe count
+    would silently produce false negatives, so deriving it is the safe
+    path (one 1-row job to read the header). Callers that already know
+    the geometry (bloom_dedup_incremental) pass it explicitly and skip
+    that job.
+
     Plan shape: ZERO shuffles and zero python — the 1-row bitmap
     crossJoins in as a broadcast, the k probes are codegen projections
     (positions materialized as real columns so the md5/xxhash runs
     once per probe, not once per bit-op)."""
-    out = df.crossJoin(F.broadcast(bloom))
+    if m_bits is None or k is None or hash_engine is None:
+        hdr = bloom.select("m_bits", "k", "hash_engine").first()
+        m_bits = m_bits if m_bits is not None else hdr["m_bits"]
+        k = k if k is not None else hdr["k"]
+        hash_engine = (
+            hash_engine if hash_engine is not None else hdr["hash_engine"]
+        )
+    out = df.crossJoin(F.broadcast(bloom.select("words")))
     pos_cols = {
         f"__bpos{i}": _bloom_pos(key, i, m_bits, hash_engine)
         for i in range(k)

@@ -33,13 +33,19 @@ def pagerank(
     r0 = 1/N;  r'(v) = (1-d)/N + d * (dangling_mass/N
                  + sum_{u->v} r(u)/deg(u))   [sum folded in src order]
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e and deg are read every round: persist once, or each
+    # localCheckpoint job re-runs the dedup and degree shuffles
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     nrow = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nrow)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r"), "n"
@@ -69,9 +75,19 @@ def pagerank(
                 ).alias("inflow"),
             )
         )
+        # dangling mass folds in sorted-node order too — an unordered
+        # F.sum over doubles would break the bit-identical guarantee
+        # once >= 3 dangling nodes exist
         dangling = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("node", "r"))).alias("ds")
+            )
+            .select(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, s: acc + s.getField("r")
+                ).alias("dm")
+            )
         )
         ranks = (
             ranks.select("node", "n")
@@ -94,11 +110,15 @@ def pagerank(
         # pattern): without this the nested join tree grows
         # exponentially with iters and the optimizer OOMs
         ranks = ranks.localCheckpoint()
-    return (
+    out = (
         ranks.join(F.broadcast(deg), ranks["node"] == deg["src"], "left")
         .select(
             "node",
             F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
             F.col("r").alias("rank"),
         )
+        .localCheckpoint()
     )
+    e.unpersist()
+    deg.unpersist()
+    return out

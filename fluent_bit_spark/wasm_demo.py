@@ -151,9 +151,10 @@ def stamp_module_bytes() -> bytes:
     name = b"flb_stamp"
     exports = _vec([_leb(len(name)) + name + b"\x00" + _leb(1)])
     code = _vec([_body(_render_fn(), 3), _body(_stamp_fn(), 1)])
+    # offsets are i32.const immediates -> SIGNED leb (raw bytes >= 0x40
+    # would decode negative); _i32c keeps any future offset safe
     seg = lambda off, data: (
-        b"\x00" + bytes([_I32]) + _leb(off) + b"\x0b"
-        + _leb(len(data)) + data
+        b"\x00" + _i32c(off) + b"\x0b" + _leb(len(data)) + data
     )
     data = _vec([seg(32, b',"wl":'), seg(40, b',"ws":')])
     return (

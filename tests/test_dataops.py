@@ -2282,3 +2282,37 @@ class TestPageRank:
         # bit-identical ranks: the sorted-source fold makes double
         # summation order a construction property, not luck
         assert key(a) == key(b)
+
+
+class TestReviewRegressionFixes:
+    """Pins for the session-3 review findings."""
+
+    def test_pagerank_dangling_fold_is_partition_invariant(self, spark):
+        # >= 3 dangling nodes: the dangling mass itself must fold in a
+        # fixed order or ranks drift in ulps across partitionings
+        from fluent_bit_spark.dataops.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 40)] + [(1, 0), (2, 0)],
+            "src long, dst long")  # nodes 3..39 all dangling
+        a = pagerank(edges.repartition(2), iters=6).collect()
+        b = pagerank(edges.repartition(23), iters=6).collect()
+        key = lambda res: sorted((r.node, r.rank) for r in res)
+        assert key(a) == key(b)
+        assert abs(sum(r.rank for r in a) - 1.0) < 1e-9
+
+    def test_bloom_membership_derives_geometry(self, spark):
+        # a build/probe m_bits mismatch used to silently produce false
+        # negatives; the bitmap now carries its geometry and the probe
+        # derives it by default
+        from pyspark.sql import functions as F
+
+        from fluent_bit_spark.dataops import dedup
+
+        prior = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(100)], "id long, text string")
+        bloom = dedup.bloom_build(prior, F.col("text"), m_bits=1 << 16, k=4)
+        new = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(100)], "id long, text string")
+        out = dedup.bloom_membership(new, F.col("text"), bloom).collect()
+        assert all(r.bloom_maybe_dup for r in out)  # no false negatives
