@@ -1019,6 +1019,45 @@ def _build_input(
             strip_underscores=_bool(s.get("strip_underscores", "false")),
             max_fields=int(s.get("max_fields", str(MAX_FIELDS_DEFAULT))),
         )
+    if name in ("cpu", "mem", "disk", "netif", "thermal"):
+        # host poller family (plugins/in_cpu/cpu.c, in_mem/mem.c,
+        # in_disk/in_disk.c, in_netif/in_netif.c, in_thermal/): the OS
+        # read is the transport — each node's agent stages timestamped
+        # /proc snapshots (parquet: host, ts, text; thermal: name,
+        # type, temp_millis) and the decoders in hoststats.py apply
+        # the plugins' parse + delta semantics over the spool.
+        from . import hoststats
+
+        path = s.get("path")
+        if not path:
+            raise ValueError(f"INPUT {name} needs path (staged snapshots)")
+        snaps = spark.read.parquet(path)
+        if name == "cpu":
+            iv = s.get("interval_sec")
+            out = hoststats.cpu_records(
+                snaps,
+                cpu_ticks=int(s.get("cpu_ticks", "100")),
+                interval_sec=float(iv) if iv else None,
+            )
+        elif name == "mem":
+            out = hoststats.mem_records(snaps)
+        elif name == "disk":
+            out = hoststats.disk_records(snaps, dev_name=s.get("dev_name"))
+        elif name == "netif":
+            iface = s.get("interface")
+            if not iface:
+                raise ValueError("INPUT netif needs interface")
+            out = hoststats.netif_records(
+                snaps, interface=iface,
+                verbose=_bool(s.get("verbose", "false")),
+            )
+        else:
+            out = hoststats.thermal_records(
+                snaps,
+                name_regex=s.get("name_regex"),
+                type_regex=s.get("type_regex"),
+            )
+        return out.withColumn("tag", F.lit(tag))
     if name in ("prometheus_textfile", "prometheus_scrape"):
         # in_prometheus_textfile reads .prom files from a glob
         # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an

@@ -1,0 +1,384 @@
+"""Host poller family (in_cpu / in_mem / in_disk / in_netif /
+in_thermal) as staged-snapshot DECODERS — the systemd playbook: the OS
+read is the transport (each node's agent dumps /proc files on its
+tick), the parse + delta math here is the semantics, computed over
+frames of timestamped snapshot texts (host, ts, text) so a fleet's
+staged dumps process at corpus scale. Deltas are window-lag per host
+(one narrow shuffle keyed by host); everything else is codegen
+split/filter arithmetic.
+
+Reference semantics ported (file:line):
+* in_cpu (plugins/in_cpu/cpu.c:95-127, 190-310): /proc/stat jiffy
+  snapshots; aggregate percentages use CPU_METRIC_SYS_AVERAGE
+  ``((|Δ|/ticks)*100/n_procs)/interval`` and per-core ones
+  CPU_METRIC_USAGE ``((|Δ|*100)/ticks)/interval``; p_cpu over
+  user+nice+system, p_user over user+nice, p_system over system;
+  equal pre/now → 0.0; record keys cpu_p/user_p/system_p +
+  "cpu%i.p_cpu|p_user|p_system" (cpu.h:83 CPU_KEY_FORMAT).
+* in_mem (plugins/in_mem/mem.c:31-57, 212-227): total/free/used KB for
+  RAM and swap; free is MemAvailable when present else MemFree (the
+  sysinfo() behavior mem.c documents); keys Mem.total/Mem.used/
+  Mem.free/Swap.total/Swap.used/Swap.free.
+* in_disk (plugins/in_disk/in_disk.c:74-170): /proc/diskstats fields
+  3 (device), 6 (sectors read), 10 (sectors written); optional
+  dev_name SUBSTRING filter; per-device deltas with unsigned wrap
+  (ULONG_MAX), summed across devices, ×512 bytes; first snapshot
+  emits nothing; keys read_size/write_size.
+* in_netif (plugins/in_netif/in_netif.c:29-44, 139-280): /proc/net/dev
+  16-counter lines; interface PREFIX match (strncmp, in_netif.c:129);
+  default entries rx.bytes/packets/errors + tx.bytes/packets/errors,
+  verbose → all 16; per-entry wrap deltas (UINT64_MAX), keys
+  "<interface>.<entry>"; first snapshot emits nothing.
+* in_thermal (plugins/in_thermal/in_thermal.c:45-270): zone name/type
+  regex filters, temp = raw millidegrees / 1000.0; keys
+  name/type/temp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# unsigned counter wrap bounds (the C's ULONG_MAX / UINT64_MAX on
+# 64-bit linux); arithmetic runs in DECIMAL(38,0) so the wrap branch
+# is exact without signed-long overflow under ANSI mode
+_U64_MAX = (1 << 64) - 1
+
+
+def _wrap_diff(now: Column, prev: Column, maxval: int = _U64_MAX) -> Column:
+    """now-prev with the reference's unsigned wrap branch
+    (now + (MAX - prev) when the counter wrapped)."""
+    from decimal import Decimal
+
+    nd = now.cast("decimal(38,0)")
+    pd_ = prev.cast("decimal(38,0)")
+    # the max doesn't fit a JVM long literal — it must enter as DECIMAL
+    mx = F.lit(Decimal(maxval))
+    return (
+        F.when(now >= prev, nd - pd_)
+        .otherwise(nd + (mx - pd_))
+        .cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_cpu
+# ---------------------------------------------------------------------------
+
+
+def cpu_records(
+    snaps: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    cpu_ticks: int = 100,
+    interval_sec: Optional[float] = None,
+) -> DataFrame:
+    """in_cpu over /proc/stat snapshot texts: per (host, tick) after
+    the first, the aggregate cpu_p/user_p/system_p plus a ``cores``
+    map carrying the per-core "cpu%i.p_*" keys. ``interval_sec`` pins
+    the C's configured interval; default derives it from the observed
+    snapshot spacing (equal when the agent keeps its cadence)."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: l.rlike(r"^cpu")
+    )
+    rows = (
+        snaps.select(
+            F.col(host_col).alias("host"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.posexplode(lines).alias("idx", "line"),
+        )
+        .select(
+            "host",
+            "ts",
+            "idx",
+            F.split(F.trim(F.regexp_replace("line", r"\s+", " ")), " ").alias("f"),
+        )
+        .select(
+            "host",
+            "ts",
+            "idx",
+            F.try_element_at("f", F.lit(2)).cast("long").alias("user"),
+            F.try_element_at("f", F.lit(3)).cast("long").alias("nice"),
+            F.try_element_at("f", F.lit(4)).cast("long").alias("system"),
+        )
+    )
+    nproc = rows.groupBy("host", "ts").agg(
+        (F.count(F.lit(1)) - 1).cast("double").alias("n_procs")
+    )
+    w = Window.partitionBy("host", "idx").orderBy("ts")
+    d = (
+        rows.withColumn("p_user", F.lag("user").over(w))
+        .withColumn("p_nice", F.lag("nice").over(w))
+        .withColumn("p_system", F.lag("system").over(w))
+        .withColumn("p_ts", F.lag("ts").over(w))
+        .filter(F.col("p_ts").isNotNull())
+        .join(nproc, ["host", "ts"])
+    )
+    if interval_sec is not None:
+        iv = F.lit(float(interval_sec))
+    else:
+        iv = F.col("ts") - F.col("p_ts")
+
+    def pct(pre: Column, now: Column, aggregate: bool) -> Column:
+        diff = F.abs(now - pre).cast("double")
+        if aggregate:
+            core = ((diff / F.lit(float(cpu_ticks))) * 100.0) / F.col("n_procs")
+        else:
+            core = (diff * 100.0) / F.lit(float(cpu_ticks))
+        return F.when(pre == now, F.lit(0.0)).otherwise(core / iv)
+
+    cpu_sum_pre = F.col("p_user") + F.col("p_nice") + F.col("p_system")
+    cpu_sum_now = F.col("user") + F.col("nice") + F.col("system")
+    usr_pre, usr_now = F.col("p_user") + F.col("p_nice"), F.col("user") + F.col("nice")
+    scored = d.select(
+        "host",
+        "ts",
+        "idx",
+        pct(cpu_sum_pre, cpu_sum_now, True).alias("a_cpu"),
+        pct(usr_pre, usr_now, True).alias("a_user"),
+        pct(F.col("p_system"), F.col("system"), True).alias("a_system"),
+        pct(cpu_sum_pre, cpu_sum_now, False).alias("c_cpu"),
+        pct(usr_pre, usr_now, False).alias("c_user"),
+        pct(F.col("p_system"), F.col("system"), False).alias("c_system"),
+    )
+    agg_row = scored.filter(F.col("idx") == 0).select(
+        "host",
+        "ts",
+        F.col("a_cpu").alias("cpu_p"),
+        F.col("a_user").alias("user_p"),
+        F.col("a_system").alias("system_p"),
+    )
+    core_rows = scored.filter(F.col("idx") > 0).select(
+        "host",
+        "ts",
+        (F.col("idx") - 1).cast("string").alias("i"),
+        "c_cpu",
+        "c_user",
+        "c_system",
+    )
+    cores = core_rows.groupBy("host", "ts").agg(
+        F.map_from_entries(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(
+                        F.array(
+                            F.struct(
+                                F.concat(F.lit("cpu"), "i", F.lit(".p_cpu")).alias("key"),
+                                F.col("c_cpu").alias("value"),
+                            ),
+                            F.struct(
+                                F.concat(F.lit("cpu"), "i", F.lit(".p_user")).alias("key"),
+                                F.col("c_user").alias("value"),
+                            ),
+                            F.struct(
+                                F.concat(F.lit("cpu"), "i", F.lit(".p_system")).alias("key"),
+                                F.col("c_system").alias("value"),
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("cores")
+    )
+    return agg_row.join(cores, ["host", "ts"], "left")
+
+
+# ---------------------------------------------------------------------------
+# in_mem
+# ---------------------------------------------------------------------------
+
+
+def mem_records(
+    snaps: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """in_mem over /proc/meminfo snapshot texts (KB gauges, no delta):
+    Mem.total/used/free + Swap.total/used/free, free preferring
+    MemAvailable (mem.c:46-49)."""
+
+    def grab(key: str) -> Column:
+        return F.regexp_extract(
+            F.col(text_col), rf"(?m)^{key}:\s+(\d+)", 1
+        ).try_cast("long")
+
+    avail = grab("MemAvailable")
+    free = F.coalesce(avail, grab("MemFree"))
+    total = grab("MemTotal")
+    st, sf = grab("SwapTotal"), grab("SwapFree")
+    return snaps.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).alias("ts"),
+        total.alias("Mem.total"),
+        (total - free).alias("Mem.used"),
+        free.alias("Mem.free"),
+        st.alias("Swap.total"),
+        (st - sf).alias("Swap.used"),
+        sf.alias("Swap.free"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_disk
+# ---------------------------------------------------------------------------
+
+
+def disk_records(
+    snaps: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    dev_name: Optional[str] = None,
+) -> DataFrame:
+    """in_disk over /proc/diskstats snapshots: per (host, tick) after
+    the first, read_size/write_size = Σ per-device sector deltas ×512
+    (wrap per in_disk.c:147-166; dev_name is the C's substring
+    filter)."""
+    lines = F.split(F.col(text_col), "\n")
+    rows = (
+        snaps.select(
+            F.col(host_col).alias("host"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.explode(lines).alias("line"),
+        )
+        .select(
+            "host",
+            "ts",
+            F.split(F.trim(F.regexp_replace("line", r"\s+", " ")), " ").alias("f"),
+        )
+        .filter(F.size("f") >= 10)
+        .select(
+            "host",
+            "ts",
+            F.try_element_at("f", F.lit(3)).alias("dev"),
+            # /proc counters are UNSIGNED 64-bit: parse as decimal so
+            # values past 2^63 survive (try_cast long would null them)
+            F.try_element_at("f", F.lit(6)).try_cast("decimal(20,0)").alias("rd"),
+            F.try_element_at("f", F.lit(10)).try_cast("decimal(20,0)").alias("wr"),
+        )
+    )
+    if dev_name:
+        rows = rows.filter(F.col("dev").contains(dev_name))
+    w = Window.partitionBy("host", "dev").orderBy("ts")
+    d = (
+        rows.withColumn("p_rd", F.lag("rd").over(w))
+        .withColumn("p_wr", F.lag("wr").over(w))
+        .filter(F.col("p_rd").isNotNull())
+        .select(
+            "host",
+            "ts",
+            _wrap_diff(F.col("rd"), F.col("p_rd")).alias("d_rd"),
+            _wrap_diff(F.col("wr"), F.col("p_wr")).alias("d_wr"),
+        )
+    )
+    return d.groupBy("host", "ts").agg(
+        (F.sum("d_rd") * 512).cast("long").alias("read_size"),
+        (F.sum("d_wr") * 512).cast("long").alias("write_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_netif
+# ---------------------------------------------------------------------------
+
+_NETIF_ENTRIES = [
+    ("rx.bytes", True), ("rx.packets", True), ("rx.errors", True),
+    ("rx.drop", False), ("rx.fifo", False), ("rx.frame", False),
+    ("rx.compressed", False), ("rx.multicast", False),
+    ("tx.bytes", True), ("tx.packets", True), ("tx.errors", True),
+    ("tx.drop", False), ("tx.fifo", False), ("tx.collisions", False),
+    ("tx.carrier", False), ("tx.compressepd", False),  # sic, in_netif.c:44
+]
+
+
+def netif_records(
+    snaps: DataFrame,
+    interface: str,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    verbose: bool = False,
+) -> DataFrame:
+    """in_netif over /proc/net/dev snapshots: per (host, tick) after
+    the first, "<interface>.<entry>" wrap deltas for the checked
+    counters (all 16 when verbose). Interface matching is the C's
+    prefix strncmp; the emitted key uses the CONFIGURED name."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.trim(l).startswith(interface),
+    )
+    rows = (
+        snaps.select(
+            F.col(host_col).alias("host"),
+            F.col(ts_col).cast("double").alias("ts"),
+            F.explode(lines).alias("line"),
+        )
+        .select(
+            "host",
+            "ts",
+            F.split(
+                F.trim(F.regexp_replace("line", r"[:\s]+", " ")), " "
+            ).alias("f"),
+        )
+        .filter(F.size("f") == 17)
+    )
+    kept: Sequence[tuple[int, str]] = [
+        (i, name)
+        for i, (name, checked) in enumerate(_NETIF_ENTRIES)
+        if verbose or checked
+    ]
+    vals = rows.select(
+        "host",
+        "ts",
+        *[
+            F.try_element_at("f", F.lit(i + 2))
+            .try_cast("decimal(20,0)")
+            .alias(f"v{i}")
+            for i, _ in kept
+        ],
+    )
+    w = Window.partitionBy("host").orderBy("ts")
+    for i, _ in kept:
+        vals = vals.withColumn(f"p{i}", F.lag(f"v{i}").over(w))
+    first_kept = kept[0][0]
+    return vals.filter(F.col(f"p{first_kept}").isNotNull()).select(
+        "host",
+        "ts",
+        *[
+            _wrap_diff(F.col(f"v{i}"), F.col(f"p{i}")).alias(
+                f"{interface}.{name}"
+            )
+            for i, name in kept
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_thermal
+# ---------------------------------------------------------------------------
+
+
+def thermal_records(
+    zones: DataFrame,
+    name_col: str = "name",
+    type_col: str = "type",
+    millis_col: str = "temp_millis",
+    name_regex: Optional[str] = None,
+    type_regex: Optional[str] = None,
+) -> DataFrame:
+    """in_thermal over staged zone rows (name, type, raw millidegree
+    reading): regex filters + temp = raw/1000.0."""
+    out = zones
+    if name_regex:
+        out = out.filter(F.col(name_col).rlike(name_regex))
+    if type_regex:
+        out = out.filter(F.col(type_col).rlike(type_regex))
+    return out.select(
+        F.col(name_col).alias("name"),
+        F.col(type_col).alias("type"),
+        (F.col(millis_col).cast("double") / 1000.0).alias("temp"),
+    )

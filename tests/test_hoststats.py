@@ -1,0 +1,220 @@
+"""Host poller decoders (hoststats.py) vs the reference semantics
+(plugins/in_cpu/cpu.c, in_mem/mem.c, in_disk/in_disk.c,
+in_netif/in_netif.c, in_thermal/in_thermal.c): golden snapshot pairs
+with hand-computed expectations, plus a live /proc smoke (this
+container is Linux)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import hoststats
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(rows, "host string, ts double, text string")
+
+
+STAT_T0 = (
+    "cpu  100 10 50 1000 5\n"
+    "cpu0 60 6 30 500 3\n"
+    "cpu1 40 4 20 500 2\n"
+    "intr 12345\nctxt 999\n"
+)
+# +1s: aggregate user+100, nice+20, system+40 jiffies; core0 +80/+10/+30
+STAT_T1 = (
+    "cpu  200 30 90 1800 9\n"
+    "cpu0 140 16 60 900 5\n"
+    "cpu1 60 14 30 900 4\n"
+    "intr 22345\nctxt 1999\n"
+)
+
+
+class TestCpu:
+    def test_percent_formulas(self, spark):
+        out = hoststats.cpu_records(
+            _snaps(spark, [("h", 100.0, STAT_T0), ("h", 101.0, STAT_T1)]),
+            cpu_ticks=100,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # aggregate: SYS_AVERAGE = ((diff/ticks)*100/n_procs)/interval
+        # diff(user+nice+system) = (200+30+90)-(100+10+50) = 160
+        assert r.cpu_p == pytest.approx(((160 / 100) * 100 / 2) / 1.0)
+        # user+nice diff = 120; system diff = 40
+        assert r.user_p == pytest.approx(((120 / 100) * 100 / 2) / 1.0)
+        assert r.system_p == pytest.approx(((40 / 100) * 100 / 2) / 1.0)
+        # per-core: USAGE = ((diff*100)/ticks)/interval
+        # core0 diff(u+n+s) = (140+16+60)-(60+6+30) = 120
+        assert r.cores["cpu0.p_cpu"] == pytest.approx((120 * 100 / 100) / 1.0)
+        assert r.cores["cpu0.p_user"] == pytest.approx((90 * 100 / 100) / 1.0)
+        assert r.cores["cpu0.p_system"] == pytest.approx((30 * 100 / 100) / 1.0)
+        # core1 system diff = 10
+        assert r.cores["cpu1.p_system"] == pytest.approx((10 * 100 / 100) / 1.0)
+        assert len(r.cores) == 6
+
+    def test_equal_snapshots_are_zero(self, spark):
+        out = hoststats.cpu_records(
+            _snaps(spark, [("h", 1.0, STAT_T0), ("h", 2.0, STAT_T0)])
+        ).collect()
+        r = out[0]
+        assert r.cpu_p == 0.0 and r.cores["cpu1.p_cpu"] == 0.0
+
+    def test_live_proc_stat(self, spark):
+        t0 = open("/proc/stat").read()
+        time.sleep(0.3)
+        t1 = open("/proc/stat").read()
+        out = hoststats.cpu_records(
+            _snaps(spark, [("h", 0.0, t0), ("h", 0.3, t1)])
+        ).collect()
+        assert len(out) == 1 and out[0].cpu_p >= 0.0
+        assert len(out[0].cores) % 3 == 0 and len(out[0].cores) > 0
+
+
+MEMINFO = (
+    "MemTotal:       16000000 kB\n"
+    "MemFree:         2000000 kB\n"
+    "MemAvailable:    9000000 kB\n"
+    "Buffers:          400000 kB\n"
+    "SwapTotal:       8000000 kB\n"
+    "SwapFree:        7500000 kB\n"
+)
+
+
+class TestMem:
+    def test_fields(self, spark):
+        [r] = hoststats.mem_records(
+            _snaps(spark, [("h", 1.0, MEMINFO)])
+        ).collect()
+        d = r.asDict()
+        # free prefers MemAvailable (mem.c:46-49)
+        assert d["Mem.total"] == 16000000 and d["Mem.free"] == 9000000
+        assert d["Mem.used"] == 7000000
+        assert d["Swap.total"] == 8000000 and d["Swap.used"] == 500000
+
+    def test_live_meminfo(self, spark):
+        [r] = hoststats.mem_records(
+            _snaps(spark, [("h", 1.0, open("/proc/meminfo").read())])
+        ).collect()
+        d = r.asDict()
+        assert d["Mem.total"] > 0 and 0 <= d["Mem.used"] <= d["Mem.total"]
+
+
+DISK_T0 = (
+    " 259 0 sda 100 0 5000 0 200 0 9000 0 0 0 0\n"
+    " 259 1 sdb 10 0 1000 0 20 0 600 0 0 0 0\n"
+)
+DISK_T1 = (
+    " 259 0 sda 110 0 5600 0 210 0 9800 0 0 0 0\n"
+    " 259 1 sdb 12 0 1100 0 22 0 700 0 0 0 0\n"
+)
+
+
+class TestDisk:
+    def test_sector_deltas(self, spark):
+        [r] = hoststats.disk_records(
+            _snaps(spark, [("h", 1.0, DISK_T0), ("h", 2.0, DISK_T1)])
+        ).collect()
+        # read sectors (field 6): (5600-5000)+(1100-1000)=700; write
+        # (field 10): (9800-9000)+(700-600)=900; x512 bytes
+        assert r.read_size == 700 * 512 and r.write_size == 900 * 512
+
+    def test_dev_name_filter_and_wrap(self, spark):
+        big = (1 << 64) - 5
+        t0 = f" 1 0 sda 0 0 {big} 0 0 0 100 0 0 0 0\n"
+        t1 = " 1 0 sda 0 0 5 0 0 0 150 0 0 0 0\n"
+        [r] = hoststats.disk_records(
+            _snaps(spark, [("h", 1.0, t0), ("h", 2.0, t1)]), dev_name="sda"
+        ).collect()
+        # wrap: now + (ULONG_MAX - prev) = 5 + (2^64-1 - (2^64-5)) = 9
+        assert r.read_size == 9 * 512 and r.write_size == 50 * 512
+
+
+NETDEV_T0 = (
+    "Inter-|   Receive\n"
+    " face |bytes    packets errs drop fifo frame compressed multicast|"
+    "bytes    packets errs drop fifo colls carrier compressed\n"
+    "  eth0: 1000 10 1 0 0 0 0 0 2000 20 2 0 0 0 0 0\n"
+    "    lo: 50 5 0 0 0 0 0 0 50 5 0 0 0 0 0 0\n"
+)
+NETDEV_T1 = (
+    "Inter-|   Receive\n"
+    " face |bytes    packets errs drop fifo frame compressed multicast|"
+    "bytes    packets errs drop fifo colls carrier compressed\n"
+    "  eth0: 1500 18 1 0 0 0 0 0 2600 25 4 0 0 0 0 0\n"
+    "    lo: 60 6 0 0 0 0 0 0 60 6 0 0 0 0 0 0\n"
+)
+
+
+class TestNetif:
+    def test_default_entries(self, spark):
+        [r] = hoststats.netif_records(
+            _snaps(spark, [("h", 1.0, NETDEV_T0), ("h", 2.0, NETDEV_T1)]),
+            interface="eth0",
+        ).collect()
+        d = r.asDict()
+        assert d["eth0.rx.bytes"] == 500 and d["eth0.rx.packets"] == 8
+        assert d["eth0.tx.bytes"] == 600 and d["eth0.tx.errors"] == 2
+        assert "eth0.rx.drop" not in d  # unchecked by default
+
+    def test_verbose_all_16(self, spark):
+        [r] = hoststats.netif_records(
+            _snaps(spark, [("h", 1.0, NETDEV_T0), ("h", 2.0, NETDEV_T1)]),
+            interface="eth0",
+            verbose=True,
+        ).collect()
+        assert len([k for k in r.asDict() if k.startswith("eth0.")]) == 16
+
+    def test_live_proc_net_dev(self, spark):
+        t0 = open("/proc/net/dev").read()
+        t1 = open("/proc/net/dev").read()
+        [r] = hoststats.netif_records(
+            _snaps(spark, [("h", 1.0, t0), ("h", 2.0, t1)]), interface="lo"
+        ).collect()
+        assert r.asDict()["lo.rx.bytes"] >= 0
+
+
+class TestThermal:
+    def test_filters_and_scale(self, spark):
+        zones = spark.createDataFrame(
+            [
+                ("thermal_zone0", "x86_pkg_temp", 42500),
+                ("thermal_zone1", "acpitz", 30000),
+            ],
+            "name string, type string, temp_millis long",
+        )
+        out = hoststats.thermal_records(
+            zones, type_regex="pkg"
+        ).collect()
+        assert len(out) == 1 and out[0].temp == 42.5
+
+
+class TestConfigInputs:
+    def test_cpu_and_mem_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "cpu_snaps")
+        spark.createDataFrame(
+            [("node1", 100.0, STAT_T0), ("node1", 101.0, STAT_T1)],
+            "host string, ts double, text string",
+        ).write.parquet(spool)
+        conf = f"""
+[INPUT]
+    Name cpu
+    Tag  host.cpu
+    Path {spool}
+    Interval_Sec 1
+"""
+        [section] = parse_classic(conf)
+        out = _build_input(spark, section).collect()
+        assert len(out) == 1 and out[0].tag == "host.cpu"
+        assert out[0].cpu_p == pytest.approx(((160 / 100) * 100 / 2) / 1.0)
+
+        mspool = str(tmp_path / "mem_snaps")
+        spark.createDataFrame(
+            [("node1", 100.0, MEMINFO)], "host string, ts double, text string"
+        ).write.parquet(mspool)
+        [msec] = parse_classic(f"[INPUT]\n    Name mem\n    Tag m\n    Path {mspool}\n")
+        [mrow] = _build_input(spark, msec).collect()
+        assert mrow.asDict()["Mem.used"] == 7000000
