@@ -1,0 +1,252 @@
+"""in_collectd — the collectd binary network protocol, decoded over
+staged UDP-payload spools.
+
+The reference plugin (plugins/in_collectd/) binds a UDP socket
+(in_collectd.c:113 flb_net_server_udp) — that socket is the TRANSPORT.
+The decode SEMANTICS re-expressed here:
+
+* TypesDB (plugins/in_collectd/typesdb_parser.c state machine +
+  typesdb.c:176-206 typesdb_add_field): ``#`` comment lines; a line is
+  ``<type-name> <field>[, <field>]...``; each field spec is
+  ``name:DSTYPE:min:max`` and only the part before the first ``:`` is
+  kept as the record key; a field without ``:`` invalidates the line.
+  Multiple db paths load in order, later entries appended
+  (typesdb.c typesdb_load_all over comma-separated 'typesdb' paths,
+  default /usr/share/collectd/types.db).
+* Packet walk (netprot.c:236-320 netprot_to_msgpack): parts are
+  ``be16 type | be16 len | payload``; string parts 0x0000 host /
+  0x0002 plugin / 0x0003 plugin_instance / 0x0004 type /
+  0x0005 type_instance (NUL-terminated text; the C checks the byte
+  AFTER the part — which is the next part's high type byte, 0x00 for
+  all known parts — we require the in-part terminator, the value real
+  collectd sends); numeric parts 0x0001 time (plain seconds) /
+  0x0008 time_hr (2^-30 s units) / 0x0007 interval / 0x0009
+  interval_hr; unknown parts skipped.
+* A 0x0006 VALUE part closes one record: ``be16 count`` + count
+  ds-type bytes + count 8-byte values; the part size must equal
+  2 + count*9 and count must equal the TypesDB field count for the
+  current ``type`` (netprot.c:102-122) or the whole packet is
+  rejected (the C returns -1 mid-packet: records before the bad part
+  are kept, the rest dropped — matched here).
+* DS types (netprot.c:67-70 + value switch :196-218):
+  COUNTER(0)/ABSOLUTE(3) big-endian uint64, DERIVE(2) big-endian
+  int64, GAUGE(1) native little-endian double (x86 memcpy — the
+  protocol ships gauges little-endian).
+* Record keys in emit order (netprot_pack_value :126-218): type,
+  type_instance, time, interval, plugin, plugin_instance, host —
+  each only when set (strings non-NULL, numerics > 0) — then the
+  TypesDB field names with the decoded values. Header state PERSISTS
+  across value parts within a packet (one header struct per packet).
+
+Batch shape: ``(value: binary)`` rows, one staged datagram payload per
+row (the same spool-sidecar pattern as in_forward/in_syslog here — a
+tiny UDP receiver writes each datagram to a spool file). Decode is one
+Arrow-batched mapInPandas pass; body values render with the dynamic-
+record text convention (msgpackfmt._render_text) like the forward
+decoder, keeping every downstream filter/SP/sink JVM-side.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_HOST = 0x0000
+PART_TIME = 0x0001
+PART_PLUGIN = 0x0002
+PART_PLUGIN_INSTANCE = 0x0003
+PART_TYPE = 0x0004
+PART_TYPE_INSTANCE = 0x0005
+PART_VALUE = 0x0006
+PART_INTERVAL = 0x0007
+PART_TIME_HR = 0x0008
+PART_INTERVAL_HR = 0x0009
+
+DS_COUNTER = 0
+DS_GAUGE = 1
+DS_DERIVE = 2
+DS_ABSOLUTE = 3
+
+# hr2time (netprot.c:46): collectd high-resolution time unit = 2^-30 s
+_HR_DIV = 1073741824.0
+
+
+def parse_types_db(text: str) -> dict:
+    """types.db text -> {type_name: [field_name, ...]}.
+
+    Faithful to the typesdb_parser.c state machine: '#' starts a
+    comment line; the name ends at the first space; field specs
+    separate on spaces/commas; each keeps only the part before ':'
+    (typesdb.c:182); a spec with no ':' poisons the line (the C flags
+    TDB_INVALID and skips to the next newline)."""
+    out: dict = {}
+    for raw in text.splitlines():
+        line = raw.strip("\r")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1)
+        if len(parts) != 2:
+            continue
+        name, rest = parts
+        fields = []
+        ok = True
+        for spec in rest.replace(",", " ").split():
+            if ":" not in spec:
+                ok = False
+                break
+            fields.append(spec.split(":", 1)[0])
+        if ok and fields:
+            out[name] = fields
+    return out
+
+
+def load_types_db(paths: str) -> dict:
+    """Comma-separated file paths -> merged TypesDB (typesdb.c
+    typesdb_load_all; later files append/override)."""
+    merged: dict = {}
+    for p in paths.split(","):
+        p = p.strip()
+        if not p:
+            continue
+        with open(p, "r", encoding="utf-8", errors="replace") as f:
+            merged.update(parse_types_db(f.read()))
+    return merged
+
+
+def decode_packet(buf: bytes, tdb: dict) -> list:
+    """One datagram -> list of record dicts (typed Python values:
+    counter/absolute/derive int, gauge float). Mirrors
+    netprot_to_msgpack's walk: header state persists across VALUE
+    parts; a malformed part aborts the rest of the packet but keeps
+    the records already decoded."""
+    records: list = []
+    hdr = {"host": None, "plugin": None, "plugin_instance": None,
+           "type": None, "type_instance": None,
+           "time": 0.0, "interval": 0.0}
+    pos, n = 0, len(buf)
+    while n - pos >= 4:
+        ptype, plen = struct.unpack_from(">HH", buf, pos)
+        if plen < 4 or n - pos < plen:
+            break  # data truncated (netprot.c:250-253)
+        data = buf[pos + 4 : pos + plen]
+        if ptype in (PART_HOST, PART_PLUGIN, PART_PLUGIN_INSTANCE,
+                     PART_TYPE, PART_TYPE_INSTANCE):
+            if data.endswith(b"\x00"):
+                key = {PART_HOST: "host", PART_PLUGIN: "plugin",
+                       PART_PLUGIN_INSTANCE: "plugin_instance",
+                       PART_TYPE: "type",
+                       PART_TYPE_INSTANCE: "type_instance"}[ptype]
+                hdr[key] = data[:-1].decode("utf-8", errors="replace")
+        elif ptype in (PART_TIME, PART_TIME_HR, PART_INTERVAL,
+                       PART_INTERVAL_HR):
+            if len(data) < 8:
+                break
+            val = struct.unpack_from(">Q", data)[0]
+            if ptype == PART_TIME:
+                hdr["time"] = float(val)
+            elif ptype == PART_TIME_HR:
+                hdr["time"] = val / _HR_DIV
+            elif ptype == PART_INTERVAL:
+                hdr["interval"] = float(val)
+            else:
+                hdr["interval"] = val / _HR_DIV
+        elif ptype == PART_VALUE:
+            rec = _decode_value_part(data, hdr, tdb)
+            if rec is None:
+                break  # the C returns -1: rest of packet dropped
+            records.append(rec)
+        # unknown part types: skip (netprot.c:313 flb_debug)
+        pos += plen
+    return records
+
+
+def _decode_value_part(data: bytes, hdr: dict, tdb: dict) -> Optional[dict]:
+    if hdr["type"] is None or len(data) < 2:
+        return None
+    count = struct.unpack_from(">H", data)[0]
+    if len(data) != 2 + count * 9:
+        return None  # size corrupted (netprot.c:103-107)
+    fields = tdb.get(hdr["type"])
+    if fields is None or len(fields) != count:
+        return None  # unknown type / count mismatch (:113-122)
+    rec: dict = {}
+    if hdr["type"] is not None:
+        rec["type"] = hdr["type"]
+    if hdr["type_instance"] is not None:
+        rec["type_instance"] = hdr["type_instance"]
+    if hdr["time"] > 0:
+        rec["time"] = hdr["time"]
+    if hdr["interval"] > 0:
+        rec["interval"] = hdr["interval"]
+    if hdr["plugin"] is not None:
+        rec["plugin"] = hdr["plugin"]
+    if hdr["plugin_instance"] is not None:
+        rec["plugin_instance"] = hdr["plugin_instance"]
+    if hdr["host"] is not None:
+        rec["host"] = hdr["host"]
+    for i in range(count):
+        ds = data[2 + i]
+        off = 2 + count + 8 * i
+        raw = data[off : off + 8]
+        if ds == DS_GAUGE:
+            val = struct.unpack("<d", raw)[0]  # native LE double
+        elif ds == DS_DERIVE:
+            val = struct.unpack(">q", raw)[0]
+        elif ds in (DS_COUNTER, DS_ABSOLUTE):
+            val = struct.unpack(">Q", raw)[0]
+        else:
+            return None  # unknown data type (netprot.c:213-216)
+        rec[fields[i]] = val
+    return rec
+
+
+def collectd_records(
+    df: DataFrame, tdb: dict, value_col: str = "value", tag: str = "collectd"
+) -> DataFrame:
+    """(value: binary) datagram rows -> (tag, ts, body) record rows,
+    Arrow-batched; ts = the part-carried collectd time (the staged
+    analogue of the C's arrival wall clock), body values in the
+    dynamic-record text convention."""
+    from .msgpackfmt import _render_text
+
+    tdb_local = dict(tdb)
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            tags, tss, bodies = [], [], []
+            for blob in pdf[value_col]:
+                for rec in decode_packet(bytes(blob), tdb_local):
+                    tags.append(tag)
+                    tss.append(float(rec.get("time", 0.0)))
+                    bodies.append(
+                        {str(k): _render_text(v) for k, v in rec.items()}
+                    )
+            yield pd.DataFrame({"tag": tags, "ts": tss, "body": bodies})
+
+    return df.mapInPandas(run, "tag string, ts double, body map<string,string>")
+
+
+def collectd_spool_source(
+    spark: SparkSession,
+    spool_dir: str,
+    typesdb_paths: str,
+    tag: str = "collectd",
+    streaming: bool = False,
+) -> DataFrame:
+    """in_collectd over a spool dir of raw datagram payloads (one
+    ``*.bin`` file per datagram, the UDP sidecar pattern)."""
+    tdb = load_types_db(typesdb_paths)
+    reader = spark.readStream if streaming else spark.read
+    df = (
+        reader.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(spool_dir)
+    )
+    return collectd_records(
+        df.select(F.col("content").alias("value")), tdb, tag=tag
+    )

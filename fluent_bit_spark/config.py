@@ -1058,6 +1058,37 @@ def _build_input(
                 type_regex=s.get("type_regex"),
             )
         return out.withColumn("tag", F.lit(tag))
+    if name == "kmsg":
+        # in_kmsg (plugins/in_kmsg/in_kmsg.c): /dev/kmsg is the
+        # transport; agents stage ring dumps + their boot epoch
+        # (parquet: host, boot_sec, text) and kmsgfmt applies the
+        # line decode + prio gate.
+        from .kmsgfmt import kmsg_records
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT kmsg needs path (staged kmsg dumps)")
+        out = kmsg_records(
+            spark.read.parquet(path),
+            prio_level=int(s.get("prio_level", "8")),
+        )
+        return out.withColumn("tag", F.lit(tag))
+    if name == "collectd":
+        # in_collectd (plugins/in_collectd/): the UDP socket is the
+        # transport (a sidecar spools each datagram to a *.bin file);
+        # collectdfmt decodes the binary protocol against TypesDB.
+        # 'typesdb' matches the plugin's comma-separated option
+        # (in_collectd.c:42 DEFAULT_TYPESDB).
+        from .collectdfmt import collectd_spool_source
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT collectd needs path (datagram spool)")
+        return collectd_spool_source(
+            spark, path,
+            s.get("typesdb", "/usr/share/collectd/types.db"),
+            tag=tag,
+        )
     if name in ("prometheus_textfile", "prometheus_scrape"):
         # in_prometheus_textfile reads .prom files from a glob
         # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an

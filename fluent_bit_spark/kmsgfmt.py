@@ -1,0 +1,89 @@
+"""in_kmsg — kernel log buffer decode over staged /dev/kmsg dumps.
+
+The reference plugin (plugins/in_kmsg/in_kmsg.c) reads ``/dev/kmsg``
+line-wise; that device read is the TRANSPORT. The per-line decode
+SEMANTICS re-expressed here (in_kmsg.c:108-240 process_line):
+
+* line grammar ``<prival>,<seq>,<usec_ts>[,<flags...>];<msg>``;
+  lines that don't carry the ``,`` / ``;`` structure (continuation
+  lines start with a space and hit the strchr fail path) are dropped
+* priority = prival & 0x07 (FLB_KLOG_PRI, in_kmsg.h:44); the line is
+  dropped when priority > prio_level (config default 8 keeps all,
+  in_kmsg.c:374-377)
+* the monotonic usec timestamp splits into tv_sec = ts/1e6 and
+  tv_usec = ts - sec*1e6 (in_kmsg.c:164-166)
+* the EVENT timestamp is boot_time.tv_sec + tv_sec with nanoseconds
+  tv_usec*1000 — the boot time's own sub-second part is DISCARDED in
+  the sum (in_kmsg.c:168 flb_time_set), a quirk kept here; boot time
+  itself comes from wall clock minus /proc/uptime at plugin init
+  (in_kmsg.c:53-105 boot_time())
+* record body: priority (small int), sequence (uint64), sec, usec,
+  msg = text after the first ``;`` with the trailing newline dropped
+  (in_kmsg.c:171-205, the ``line_len - 1`` encode)
+
+Batch shape: a frame of staged dump texts ``(host, boot_sec, text)``
+— each node's agent snapshots the ring (e.g. ``cat /dev/kmsg`` with
+O_NONBLOCK, or dmesg -r plumbing) plus its boot epoch (wall clock −
+/proc/uptime, what the C computes in-process). Decode is one
+posexplode + regexp pass, fully JVM-side; no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# <prival>,<seq>,<usec_ts>[,flags];<msg>  — strtol/strtoull walk of
+# process_line; [^;]* covers the flags field(s) the C skips with
+# strchr(p, ';')
+_KMSG_RE = r"^(\d+),(\d+),(\d+)(?:,[^;]*)?;"
+
+
+def kmsg_records(
+    snaps: DataFrame,
+    prio_level: int = 8,
+    host_col: str = "host",
+    boot_col: str = "boot_sec",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decode staged /dev/kmsg dump texts into kernel-log records.
+
+    Output: (host, ts double epoch, priority int, sequence long,
+    sec long, usec long, msg string) — the C's record keys plus the
+    event timestamp. ``prio_level`` is the config_map default-8 gate
+    (drop when priority > prio_level, in_kmsg.c:137-139)."""
+    lines = snaps.select(
+        F.col(host_col).alias("host"),
+        F.col(boot_col).cast("long").alias("boot_sec"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.col("line").rlike(_KMSG_RE))
+    parsed = lines.select(
+        "host",
+        "boot_sec",
+        # prival can exceed int range only on garbage; try_cast drops it
+        F.regexp_extract("line", _KMSG_RE, 1).try_cast("long").alias("prival"),
+        F.regexp_extract("line", _KMSG_RE, 2).try_cast("long").alias("sequence"),
+        F.regexp_extract("line", _KMSG_RE, 3).try_cast("long").alias("usec_ts"),
+        # msg = everything after the FIRST ';' (strchr), trailing \n
+        # already consumed by the split above; the C's line_len-1 strips
+        # the newline its read loop kept
+        F.regexp_replace("line", r"^[^;]*;", "").alias("msg"),
+    ).filter(
+        F.col("prival").isNotNull()
+        & F.col("sequence").isNotNull()
+        & F.col("usec_ts").isNotNull()
+    )
+    sec = (F.col("usec_ts") / 1000000).cast("long")
+    usec = F.col("usec_ts") - sec * 1000000
+    out = parsed.select(
+        "host",
+        (F.col("boot_sec") + sec + usec / 1e6).alias("ts"),
+        (F.col("prival") % 8).cast("int").alias("priority"),
+        "sequence",
+        sec.alias("sec"),
+        usec.alias("usec"),
+        "msg",
+    )
+    if prio_level < 8:
+        out = out.filter(F.col("priority") <= prio_level)
+    return out

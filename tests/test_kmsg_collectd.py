@@ -1,0 +1,245 @@
+"""in_kmsg (kmsgfmt.py vs plugins/in_kmsg/in_kmsg.c) and in_collectd
+(collectdfmt.py vs plugins/in_collectd/netprot.c + typesdb_parser.c):
+hand-packed wire vectors with byte-level expectations, plus a live
+/dev/kmsg-format smoke via dmesg-style fixtures."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import collectdfmt, kmsgfmt
+
+
+# ---------------------------------------------------------------------------
+# in_kmsg
+# ---------------------------------------------------------------------------
+
+KMSG_DUMP = (
+    "6,1001,123456789,-;usb 1-1: new high-speed USB device\n"
+    " SUBSYSTEM=usb\n"                    # continuation: dropped
+    " DEVICE=c189:1\n"
+    "3,1002,123500000,-;EXT4-fs error (device sda1): bad block\n"
+    "30,1003,124000000,c;systemd[1]: Started session\n"  # pri 30&7=6
+    "garbage line without structure\n"
+)
+
+
+class TestKmsg:
+    def _snaps(self, spark, text=KMSG_DUMP, boot=1700000000):
+        return spark.createDataFrame(
+            [("h1", boot, text)], "host string, boot_sec long, text string"
+        )
+
+    def test_decode_fields(self, spark):
+        out = kmsgfmt.kmsg_records(self._snaps(spark)).orderBy("sequence").collect()
+        assert len(out) == 3  # continuations + garbage dropped
+        r = out[0]
+        assert r.priority == 6 and r.sequence == 1001
+        # usec ts 123456789 -> sec=123, usec=456789 (in_kmsg.c:164-166)
+        assert r.sec == 123 and r.usec == 456789
+        assert r.msg == "usb 1-1: new high-speed USB device"
+        # event ts = boot_sec + sec + usec/1e6 (boot sub-second dropped)
+        assert r.ts == pytest.approx(1700000000 + 123 + 0.456789)
+        # prival 30 -> priority 30 & 0x07 = 6 (FLB_KLOG_PRI)
+        assert out[2].priority == 6 and out[2].msg == "systemd[1]: Started session"
+
+    def test_prio_level_gate(self, spark):
+        out = kmsgfmt.kmsg_records(self._snaps(spark), prio_level=3).collect()
+        # only the pri-3 EXT4 line survives (drop when priority > level)
+        assert len(out) == 1 and out[0].sequence == 1002
+
+    def test_msg_keeps_later_semicolons(self, spark):
+        snaps = self._snaps(spark, "4,7,1000000,-;a;b;c\n", boot=0)
+        [r] = kmsgfmt.kmsg_records(snaps).collect()
+        # strchr finds the FIRST ';' — the rest stays in msg
+        assert r.msg == "a;b;c" and r.sec == 1 and r.usec == 0
+
+
+# ---------------------------------------------------------------------------
+# in_collectd: TypesDB grammar
+# ---------------------------------------------------------------------------
+
+TYPES_DB = """\
+# comment line
+absolute\t\tvalue:ABSOLUTE:0:U
+cpu\t\t\tvalue:DERIVE:0:U
+df_complex\t\tvalue:GAUGE:0:U
+if_octets\t\trx:DERIVE:0:U, tx:DERIVE:0:U
+load\t\t\tshortterm:GAUGE:0:5000, midterm:GAUGE:0:5000, longterm:GAUGE:0:5000
+broken_line\t\tnofield
+"""
+
+
+class TestTypesDb:
+    def test_grammar(self):
+        tdb = collectdfmt.parse_types_db(TYPES_DB)
+        assert tdb["cpu"] == ["value"]
+        assert tdb["if_octets"] == ["rx", "tx"]
+        assert tdb["load"] == ["shortterm", "midterm", "longterm"]
+        # a field spec without ':' poisons the line (TDB_INVALID)
+        assert "broken_line" not in tdb
+        assert "# comment line" not in tdb and "" not in tdb
+
+
+# ---------------------------------------------------------------------------
+# in_collectd: binary protocol
+# ---------------------------------------------------------------------------
+
+
+def _part_str(ptype, s):
+    data = s.encode() + b"\x00"
+    return struct.pack(">HH", ptype, 4 + len(data)) + data
+
+
+def _part_u64(ptype, v):
+    return struct.pack(">HHQ", ptype, 12, v)
+
+
+def _part_values(specs):
+    """specs: list of (ds_type, value)."""
+    body = struct.pack(">H", len(specs))
+    body += bytes(ds for ds, _ in specs)
+    for ds, v in specs:
+        if ds == collectdfmt.DS_GAUGE:
+            body += struct.pack("<d", v)
+        elif ds == collectdfmt.DS_DERIVE:
+            body += struct.pack(">q", v)
+        else:
+            body += struct.pack(">Q", v)
+    return struct.pack(">HH", collectdfmt.PART_VALUE, 4 + len(body)) + body
+
+
+TDB = collectdfmt.parse_types_db(TYPES_DB)
+
+
+class TestNetprot:
+    def test_single_record(self):
+        pkt = (
+            _part_str(collectdfmt.PART_HOST, "web01")
+            + _part_u64(collectdfmt.PART_TIME_HR, int(1700000000.5 * 1073741824))
+            + _part_u64(collectdfmt.PART_INTERVAL_HR, 10 * 1073741824)
+            + _part_str(collectdfmt.PART_PLUGIN, "cpu")
+            + _part_str(collectdfmt.PART_PLUGIN_INSTANCE, "0")
+            + _part_str(collectdfmt.PART_TYPE, "cpu")
+            + _part_str(collectdfmt.PART_TYPE_INSTANCE, "user")
+            + _part_values([(collectdfmt.DS_DERIVE, 123456)])
+        )
+        [rec] = collectdfmt.decode_packet(pkt, TDB)
+        assert rec["host"] == "web01" and rec["plugin"] == "cpu"
+        assert rec["plugin_instance"] == "0" and rec["type_instance"] == "user"
+        assert rec["time"] == pytest.approx(1700000000.5)
+        assert rec["interval"] == pytest.approx(10.0)
+        assert rec["value"] == 123456 and isinstance(rec["value"], int)
+
+    def test_header_persists_across_value_parts(self):
+        pkt = (
+            _part_str(collectdfmt.PART_HOST, "db01")
+            + _part_u64(collectdfmt.PART_TIME, 1700000001)
+            + _part_str(collectdfmt.PART_PLUGIN, "interface")
+            + _part_str(collectdfmt.PART_TYPE, "if_octets")
+            + _part_values([(collectdfmt.DS_DERIVE, 100),
+                            (collectdfmt.DS_DERIVE, 200)])
+            + _part_str(collectdfmt.PART_TYPE, "load")
+            + _part_values([(collectdfmt.DS_GAUGE, 0.5),
+                            (collectdfmt.DS_GAUGE, 0.25),
+                            (collectdfmt.DS_GAUGE, 0.125)])
+        )
+        recs = collectdfmt.decode_packet(pkt, TDB)
+        assert len(recs) == 2
+        assert recs[0]["rx"] == 100 and recs[0]["tx"] == 200
+        # host/plugin persist into the second record (one hdr per packet)
+        assert recs[1]["host"] == "db01" and recs[1]["plugin"] == "interface"
+        assert recs[1]["shortterm"] == 0.5 and recs[1]["longterm"] == 0.125
+        assert recs[1]["time"] == 1700000000 + 1.0
+
+    def test_gauge_is_little_endian(self):
+        pkt = (_part_str(collectdfmt.PART_TYPE, "df_complex")
+               + _part_values([(collectdfmt.DS_GAUGE, 3.25)]))
+        [rec] = collectdfmt.decode_packet(pkt, TDB)
+        assert rec["value"] == 3.25
+        # optional header fields absent when never set / zero
+        assert "host" not in rec and "time" not in rec and "interval" not in rec
+
+    def test_counter_and_absolute_unsigned(self):
+        big = (1 << 63) + 5
+        pkt = (_part_str(collectdfmt.PART_TYPE, "absolute")
+               + _part_values([(collectdfmt.DS_ABSOLUTE, big)]))
+        [rec] = collectdfmt.decode_packet(pkt, TDB)
+        assert rec["value"] == big
+
+    def test_bad_value_part_drops_rest_keeps_prior(self):
+        good = (_part_str(collectdfmt.PART_TYPE, "cpu")
+                + _part_values([(collectdfmt.DS_DERIVE, 1)]))
+        # count says 2 but only 1 field in TypesDB for 'cpu'
+        bad = (_part_str(collectdfmt.PART_TYPE, "cpu")
+               + _part_values([(collectdfmt.DS_DERIVE, 1),
+                               (collectdfmt.DS_DERIVE, 2)]))
+        tail = (_part_str(collectdfmt.PART_TYPE, "cpu")
+                + _part_values([(collectdfmt.DS_DERIVE, 3)]))
+        recs = collectdfmt.decode_packet(good + bad + tail, TDB)
+        assert len(recs) == 1 and recs[0]["value"] == 1
+
+    def test_unknown_part_skipped(self):
+        unk = struct.pack(">HH", 0x0200, 8) + b"\xde\xad\xbe\xef"
+        pkt = (unk + _part_str(collectdfmt.PART_TYPE, "cpu")
+               + _part_values([(collectdfmt.DS_DERIVE, 9)]))
+        [rec] = collectdfmt.decode_packet(pkt, TDB)
+        assert rec["value"] == 9
+
+    def test_spool_source_e2e(self, spark, tmp_path):
+        tdb_file = tmp_path / "types.db"
+        tdb_file.write_text(TYPES_DB)
+        spool = tmp_path / "spool"
+        spool.mkdir()
+        pkt = (
+            _part_str(collectdfmt.PART_HOST, "web01")
+            + _part_u64(collectdfmt.PART_TIME, 1700000000)
+            + _part_str(collectdfmt.PART_PLUGIN, "load")
+            + _part_str(collectdfmt.PART_TYPE, "load")
+            + _part_values([(collectdfmt.DS_GAUGE, 1.5),
+                            (collectdfmt.DS_GAUGE, 1.0),
+                            (collectdfmt.DS_GAUGE, 0.5)])
+        )
+        (spool / "d-000001.bin").write_bytes(pkt)
+        out = collectdfmt.collectd_spool_source(
+            spark, str(spool), str(tdb_file)
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.tag == "collectd" and r.ts == 1700000000.0
+        assert r.body["host"] == "web01" and r.body["shortterm"] == "1.5"
+        assert r.body["type"] == "load" and r.body["midterm"] == "1.0"
+
+
+class TestConfigInputs:
+    def test_kmsg_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "kmsg")
+        spark.createDataFrame(
+            [("n1", 1700000000, KMSG_DUMP)],
+            "host string, boot_sec long, text string",
+        ).write.parquet(spool)
+        conf = f"[INPUT]\n    Name kmsg\n    Tag kernel\n    Path {spool}\n    Prio_Level 3\n"
+        [sec] = parse_classic(conf)
+        out = _build_input(spark, sec).collect()
+        assert len(out) == 1 and out[0].tag == "kernel"
+        assert out[0].priority == 3 and "EXT4" in out[0].msg
+
+    def test_collectd_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        tdb_file = tmp_path / "types.db"
+        tdb_file.write_text(TYPES_DB)
+        spool = tmp_path / "cspool"
+        spool.mkdir()
+        pkt = (_part_str(collectdfmt.PART_HOST, "h")
+               + _part_str(collectdfmt.PART_TYPE, "cpu")
+               + _part_values([(collectdfmt.DS_DERIVE, 42)]))
+        (spool / "d.bin").write_bytes(pkt)
+        conf = (f"[INPUT]\n    Name collectd\n    Tag cd\n"
+                f"    Path {spool}\n    TypesDB {tdb_file}\n")
+        [sec] = parse_classic(conf)
+        [r] = _build_input(spark, sec).collect()
+        assert r.tag == "cd" and r.body["value"] == "42"
