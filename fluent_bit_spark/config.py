@@ -1058,6 +1058,41 @@ def _build_input(
                 type_regex=s.get("type_regex"),
             )
         return out.withColumn("tag", F.lit(tag))
+    if name == "docker":
+        # in_docker (plugins/in_docker/): agents stage cgroup-tree file
+        # dumps (parquet: host, ts, path, text); hoststats.docker_records
+        # applies discovery + parse + the UINT32-emit quirk.
+        from . import hoststats
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT docker needs path (staged cgroup dumps)")
+        out = hoststats.docker_records(
+            spark.read.parquet(path),
+            include=s.get("include"),
+            exclude=s.get("exclude"),
+        )
+        return out.withColumn("tag", F.lit(tag))
+    if name == "proc":
+        # in_proc (plugins/in_proc/): agents stage per-tick probes of
+        # the watched process (parquet: host, ts, pid, status, fd_count;
+        # status NULL when down).
+        from . import hoststats
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT proc needs path (staged probes)")
+        pname = s.get("proc_name")
+        if not pname:
+            raise ValueError("INPUT proc needs proc_name")
+        out = hoststats.proc_records(
+            spark.read.parquet(path),
+            proc_name=pname,
+            alert=_bool(s.get("alert", "false")),
+            mem=_bool(s.get("mem", "true")),
+            fd=_bool(s.get("fd", "true")),
+        )
+        return out.withColumn("tag", F.lit(tag))
     if name == "kmsg":
         # in_kmsg (plugins/in_kmsg/in_kmsg.c): /dev/kmsg is the
         # transport; agents stage ring dumps + their boot epoch
@@ -1089,6 +1124,27 @@ def _build_input(
             s.get("typesdb", "/usr/share/collectd/types.db"),
             tag=tag,
         )
+    if name == "nginx_metrics":
+        # in_nginx_exporter_metrics (plugins/in_nginx_exporter_metrics/
+        # nginx.c): the HTTP poll is the transport; agents stage scrape
+        # pages (parquet: text [, label cols]; plus mode: endpoint,
+        # text). nginx_plus matches the plugin's mode switch.
+        from . import nginxfmt
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT nginx_metrics needs path (staged pages)")
+        pages = spark.read.parquet(path)
+        labels = [
+            c.strip()
+            for c in (s.get("label_cols") or "").split(",")
+            if c.strip()
+        ]
+        if _bool(s.get("nginx_plus", "false")):
+            out = nginxfmt.plus_api_metrics(pages, label_cols=labels)
+        else:
+            out = nginxfmt.stub_status_metrics(pages, label_cols=labels)
+        return out.withColumn("tag", F.lit(tag))
     if name in ("prometheus_textfile", "prometheus_scrape"):
         # in_prometheus_textfile reads .prom files from a glob
         # (prometheus_textfile.c 'path'); in_prometheus_scrape polls an

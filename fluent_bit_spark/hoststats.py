@@ -32,6 +32,26 @@ Reference semantics ported (file:line):
 * in_thermal (plugins/in_thermal/in_thermal.c:45-270): zone name/type
   regex filters, temp = raw millidegrees / 1000.0; keys
   name/type/temp.
+* in_docker (plugins/in_docker/docker.c, cgroup_v1.c, cgroup_v2.c):
+  container discovery from the cgroup tree (v1: 64-char dirs under
+  cpu/docker/, v2: docker-<id>.scope under system.slice/ with
+  cgroup.controllers presence as the version probe, docker.c:332-337);
+  cpu from cpuacct.usage (ns, v1) / cpu.stat "usage_usec" (µs, v2 —
+  the C emits both under cpu_used without converting); memory from
+  memory.usage_in_bytes+limit_in_bytes (v1) / memory.current+max (v2,
+  literal "max" → UINT64_MAX, cgroup_v2.c:384-392); container name
+  from config.v2.json's quoted "Name" arg (docker.c:36-85); include/
+  exclude space-separated id lists, 64- or 12-char tokens only
+  (docker.c:225-252, 279-327); record = id[:12], name, cpu_used and
+  mem_used each TRUNCATED TO UINT32 by the emit macro
+  (docker.c:437-443 FLB_LOG_EVENT_UINT32_VALUE — quirk kept),
+  mem_limit uint64.
+* in_proc (plugins/in_proc/in_proc.c:183-456): one watched process;
+  record = alive bool, proc_name, pid, mem.Vm{Peak,Size,Lck,HWM,RSS,
+  Data,Stk,Exe,Lib,PTE,Swap} from /proc/<pid>/status — each the
+  line's digit-run MULTIPLIED BY 1000 (in_proc.c:346 "* 1000", not
+  1024 — quirk kept), fd = /proc/<pid>/fd entry count; mem/fd gates;
+  alert mode emits only when the process is down (in_proc.c:198-200).
 """
 
 from __future__ import annotations
@@ -355,6 +375,178 @@ def netif_records(
             for i, name in kept
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# in_docker
+# ---------------------------------------------------------------------------
+
+_U32_MOD = 1 << 32
+
+
+def _u64_max_lit() -> Column:
+    # 2^64-1 exceeds a JVM long literal — enter as DECIMAL (same as
+    # _wrap_diff's bound)
+    from decimal import Decimal
+
+    return F.lit(Decimal(_U64_MAX)).cast("decimal(20,0)")
+
+
+def docker_records(
+    files: DataFrame,
+    include: Optional[str] = None,
+    exclude: Optional[str] = None,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    path_col: str = "path",
+    text_col: str = "text",
+) -> DataFrame:
+    """in_docker over staged cgroup-tree file dumps: rows of
+    (host, ts, path, text) where path is relative to the sysfs root
+    (plus ``containers/<id>/config.v2.json`` rows for names). Emits
+    one record per (host, ts, container): id (12 chars), name,
+    cpu_used, mem_used (both mod 2^32 — the C's UINT32 emit),
+    mem_limit. include/exclude are the plugin's space-separated id
+    lists (64- or 12-char tokens only). Pure codegen regexp + one
+    pivot groupBy keyed (host, ts, id)."""
+    p = F.col(path_col)
+
+    # the C probes cgroup.controllers to pick ONE api (docker.c:332-337);
+    # here the v1/v2 path grammars are disjoint so both decode — a
+    # staged dump only carries one family per host anyway
+    def _ext(pat: str) -> Column:
+        # regexp_extract gives "" on no-match — nullify so coalesce
+        # advances to the next pattern
+        e = F.regexp_extract(p, pat, 1)
+        return F.when(e != "", e)
+
+    cid = F.coalesce(
+        _ext(r"(?:^|/)cpu/docker/([0-9a-f]{64})/cpuacct\.usage$"),
+        _ext(r"(?:^|/)memory/docker/([0-9a-f]{64})/memory\.(?:usage_in_bytes|limit_in_bytes)$"),
+        _ext(r"(?:^|/)system\.slice/docker-([0-9a-f]{64})\.scope/(?:cpu\.stat|memory\.current|memory\.max)$"),
+        _ext(r"(?:^|/)containers/([0-9a-f]{64})/config\.v2\.json$"),
+    )
+    rows = (
+        files.select(
+            F.col(host_col).alias("host"),
+            F.col(ts_col).alias("ts"),
+            p.alias("path"),
+            F.col(text_col).alias("text"),
+            cid.alias("cid"),
+        )
+        .filter(F.col("cid") != "")
+    )
+    if include:
+        ids = [t for t in include.split() if len(t) in (64, 12)]
+        if ids:
+            conds = [F.col("cid").startswith(t) for t in ids]
+            keep = conds[0]
+            for c in conds[1:]:
+                keep = keep | c
+            rows = rows.filter(keep)
+    if exclude:
+        ids = [t for t in exclude.split() if len(t) in (64, 12)]
+        for t in ids:
+            rows = rows.filter(~F.col("cid").startswith(t))
+    txt = F.col("text")
+    kind = (
+        F.when(F.col("path").rlike(r"cpuacct\.usage$"), F.lit("cpu"))
+        .when(F.col("path").rlike(r"cpu\.stat$"), F.lit("cpu2"))
+        .when(F.col("path").rlike(r"memory\.usage_in_bytes$"), F.lit("used"))
+        .when(F.col("path").rlike(r"memory\.current$"), F.lit("used"))
+        .when(F.col("path").rlike(r"memory\.limit_in_bytes$"), F.lit("limit"))
+        .when(F.col("path").rlike(r"memory\.max$"), F.lit("limit"))
+        .otherwise(F.lit("name"))
+    )
+    val = (
+        F.when(kind == "cpu", F.regexp_extract(txt, r"(\d+)", 1).try_cast("decimal(20,0)"))
+        # cpu.stat: the usage_usec line (DOCKER_CGROUP_V2_CPU_USAGE_TEMPLATE)
+        .when(kind == "cpu2", F.regexp_extract(txt, r"usage_usec (\d+)", 1).try_cast("decimal(20,0)"))
+        .when(kind == "used", F.regexp_extract(txt, r"(\d+)", 1).try_cast("decimal(20,0)"))
+        .when(
+            kind == "limit",
+            F.when(F.trim(txt).startswith("max"), _u64_max_lit())
+            .otherwise(F.regexp_extract(txt, r"(\d+)", 1).try_cast("decimal(20,0)")),
+        )
+    )
+    # docker_extract_name: after "Name" an optional run to ':', skip
+    # spaces, then the quoted value
+    name = F.regexp_extract(txt, r'"Name"[^:]*:\s*"([^"]*)"', 1)
+    tagged = rows.select(
+        "host", "ts", F.col("cid"), kind.alias("kind"), val.alias("val"), name.alias("nm")
+    )
+    agg = tagged.groupBy("host", "ts", "cid").agg(
+        F.first(F.when((F.col("kind") == "cpu") | (F.col("kind") == "cpu2"), F.col("val")), ignorenulls=True).alias("cpu_raw"),
+        F.first(F.when(F.col("kind") == "used", F.col("val")), ignorenulls=True).alias("used_raw"),
+        F.first(F.when(F.col("kind") == "limit", F.col("val")), ignorenulls=True).alias("limit_raw"),
+        F.first(F.when(F.col("kind") == "name", F.col("nm")), ignorenulls=True).alias("name"),
+    )
+    u32 = F.lit(_U32_MOD).cast("decimal(20,0)")
+    return agg.select(
+        "host",
+        "ts",
+        F.substring("cid", 1, 12).alias("id"),
+        "name",
+        # the emit macro packs these as UINT32 (docker.c:437-443)
+        F.pmod(F.col("cpu_raw"), u32).cast("long").alias("cpu_used"),
+        F.pmod(F.col("used_raw"), u32).cast("long").alias("mem_used"),
+        # mem_limit stays uint64 in the C; DECIMAL(20,0) carries the
+        # v2 "max" sentinel 2^64-1 exactly (a long would wrap it)
+        F.col("limit_raw").alias("mem_limit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_proc
+# ---------------------------------------------------------------------------
+
+_PROC_MEM_KEYS = [
+    "Peak", "Size", "Lck", "HWM", "RSS", "Data", "Stk", "Exe", "Lib",
+    "PTE", "Swap",
+]
+
+
+def proc_records(
+    snaps: DataFrame,
+    proc_name: str,
+    alert: bool = False,
+    mem: bool = True,
+    fd: bool = True,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    pid_col: str = "pid",
+    status_col: str = "status",
+    fd_col: str = "fd_count",
+) -> DataFrame:
+    """in_proc over staged process probes: rows of (host, ts, pid,
+    status text or NULL when the process is down, fd_count). alive =
+    status present; alert=True emits only down ticks (in_proc.c:
+    198-200). mem keys are the /proc/<pid>/status Vm* digit runs
+    ×1000 (the C's kB quirk); missing keys emit 0 (mem_linux_clear)."""
+    alive = F.col(status_col).isNotNull()
+    cols = [
+        F.col(host_col).alias("host"),
+        F.col(ts_col).alias("ts"),
+        alive.alias("alive"),
+        F.lit(proc_name).alias("proc_name"),
+        F.col(pid_col).cast("long").alias("pid"),
+    ]
+    if mem:
+        for key in _PROC_MEM_KEYS:
+            digits = F.regexp_extract(
+                F.col(status_col), rf"(?m)^Vm{key}:\D*(\d+)", 1
+            )
+            cols.append(
+                # in_proc.c:346 — kB scaled by 1000, not 1024
+                (F.coalesce(digits.try_cast("long"), F.lit(0)) * 1000)
+                .alias(f"mem.Vm{key}")
+            )
+    if fd:
+        cols.append(F.coalesce(F.col(fd_col).cast("long"), F.lit(0)).alias("fd"))
+    out = snaps.select(*cols)
+    if alert:
+        out = out.filter(~F.col("alive"))
+    return out
 
 
 # ---------------------------------------------------------------------------

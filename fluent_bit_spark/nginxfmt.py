@@ -1,0 +1,167 @@
+"""in_nginx_exporter_metrics — nginx status decode over staged scrape
+pages.
+
+The reference plugin (plugins/in_nginx_exporter_metrics/nginx.c) polls
+nginx over HTTP — that client is the TRANSPORT. The decode SEMANTICS
+re-expressed here, emitting the repo's metrics-table convention
+(metric_name, value double, labels map<string,string>):
+
+* stub_status grammar (nginx.c:49-110 nginx_parse_stub_status): a page
+  must split into >= 4 lines; line 1 ``Active connections: N``, line 3
+  `` accepts handled requests``, line 4 ``Reading: R Writing: W
+  Waiting: T`` — any miss fails the whole scrape.
+* OSS metric names (nginx.c:1606-1668, the nginx-prometheus-exporter
+  layout): nginx_connections_{accepted,handled} + nginx_http_requests_
+  total counters; nginx_connections_{active,reading,writing,waiting}
+  gauges; all label-less.
+* ``nginx_up`` gauge = 1 on a successful parse, 0 on a failed one
+  (nginx.c:183-193; the C sets it on TRANSITIONS of is_up — the staged
+  analogue emits the per-scrape value, the level the edge encodes).
+* nginx-plus API mode (is_nginx_plus; nginx.c:202-310): top-level
+  endpoint JSON maps to nginxplus_connections_{accepted,dropped,
+  active,idle}, nginxplus_ssl_{handshakes,handshakes_failed,
+  session_reuses}, nginxplus_http_requests_{total,current} (exact-key
+  msgpack walks process_connections / process_ssl /
+  process_http_requests) and ``nginxplus_up``. The deeper per-zone /
+  per-upstream families (server zones, location zones, upstreams,
+  streams — nginx.c:430-1580) are label-heavy transcriptions of the
+  same pattern; not ported.
+
+Labels: the plugin registers every metric with zero labels (one nginx
+per plugin instance). The fleet analogue here optionally lifts frame
+columns (e.g. host) into labels via ``label_cols`` — default off for
+byte-parity with the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (metric fq name, 1-based line index semantics handled below)
+_STUB_METRICS = [
+    ("nginx_connections_accepted", "accepts"),
+    ("nginx_connections_active", "active"),
+    ("nginx_connections_handled", "handled"),
+    ("nginx_connections_reading", "reading"),
+    ("nginx_connections_writing", "writing"),
+    ("nginx_connections_waiting", "waiting"),
+    ("nginx_http_requests_total", "requests"),
+]
+
+
+def _labels(df_cols: Sequence[str]) -> Column:
+    if not df_cols:
+        return F.create_map().cast("map<string,string>")
+    pairs = []
+    for c in df_cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    return F.create_map(*pairs)
+
+
+def stub_status_metrics(
+    pages: DataFrame,
+    text_col: str = "text",
+    label_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Staged stub_status pages -> metric rows. A malformed page emits
+    only nginx_up=0 (the C's error path skips the sample sets)."""
+    lines = F.split(F.col(text_col), "\n")
+    l0 = F.try_element_at(lines, F.lit(1))
+    l2 = F.try_element_at(lines, F.lit(3))
+    l3 = F.try_element_at(lines, F.lit(4))
+
+    def num(line: Column, pat: str, grp: int) -> Column:
+        e = F.regexp_extract(line, pat, grp)
+        return F.when(e != "", e).try_cast("double")
+
+    active = num(l0, r"^Active connections:\s+(\d+)\s*$", 1)
+    acc = num(l2, r"^\s*(\d+)\s+(\d+)\s+(\d+)\s*$", 1)
+    han = num(l2, r"^\s*(\d+)\s+(\d+)\s+(\d+)\s*$", 2)
+    req = num(l2, r"^\s*(\d+)\s+(\d+)\s+(\d+)\s*$", 3)
+    rd = num(l3, r"^Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)\s*$", 1)
+    wr = num(l3, r"^Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)\s*$", 2)
+    wt = num(l3, r"^Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)\s*$", 3)
+    vals = {"active": active, "accepts": acc, "handled": han,
+            "requests": req, "reading": rd, "writing": wr, "waiting": wt}
+    # all-or-nothing: any sscanf miss fails the scrape (nginx.c:76-89)
+    ok = (F.size(lines) >= 4)
+    for v in vals.values():
+        ok = ok & v.isNotNull()
+
+    entries = [
+        F.struct(F.lit(name).alias("metric_name"),
+                 F.when(ok, vals[src]).alias("value"))
+        for name, src in _STUB_METRICS
+    ]
+    entries.append(
+        F.struct(F.lit("nginx_up").alias("metric_name"),
+                 F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"))
+    )
+    exploded = pages.select(
+        *label_cols, F.explode(F.array(*entries)).alias("m")
+    )
+    return exploded.select(
+        F.col("m.metric_name").alias("metric_name"),
+        F.col("m.value").alias("value"),
+        _labels(label_cols).alias("labels"),
+    ).filter(F.col("value").isNotNull())
+
+
+# nginx-plus endpoint -> {json key: metric fq name}
+_PLUS_MAP = {
+    "connections": {
+        "accepted": "nginxplus_connections_accepted",
+        "dropped": "nginxplus_connections_dropped",
+        "active": "nginxplus_connections_active",
+        "idle": "nginxplus_connections_idle",
+    },
+    "ssl": {
+        "handshakes": "nginxplus_ssl_handshakes",
+        "handshakes_failed": "nginxplus_ssl_handshakes_failed",
+        "session_reuses": "nginxplus_ssl_session_reuses",
+    },
+    "http_requests": {
+        "total": "nginxplus_http_requests_total",
+        "current": "nginxplus_http_requests_current",
+    },
+}
+
+
+def plus_api_metrics(
+    pages: DataFrame,
+    endpoint_col: str = "endpoint",
+    json_col: str = "text",
+    label_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Staged nginx-plus API responses: rows of (endpoint in
+    connections|ssl|http_requests, json body) -> metric rows + a
+    per-row nginxplus_up (1 on any parsable object, 0 otherwise)."""
+    ep = F.col(endpoint_col)
+    entries = []
+    for endpoint, keymap in _PLUS_MAP.items():
+        for key, name in keymap.items():
+            v = F.when(
+                ep == endpoint,
+                F.get_json_object(F.col(json_col), f"$.{key}").try_cast("double"),
+            )
+            entries.append(
+                F.struct(F.lit(name).alias("metric_name"), v.alias("value"))
+            )
+    up = F.when(
+        F.get_json_object(F.col(json_col), "$").isNotNull(), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    entries.append(
+        F.struct(F.lit("nginxplus_up").alias("metric_name"), up.alias("value"))
+    )
+    exploded = pages.select(
+        *label_cols, F.explode(F.array(*entries)).alias("m")
+    )
+    return exploded.select(
+        F.col("m.metric_name").alias("metric_name"),
+        F.col("m.value").alias("value"),
+        _labels(label_cols).alias("labels"),
+    ).filter(F.col("value").isNotNull())

@@ -190,7 +190,137 @@ class TestThermal:
         assert len(out) == 1 and out[0].temp == 42.5
 
 
+CID_A = "a" * 64
+CID_B = "b" * 64
+
+
+def _cgroup_files_v1(host="h", ts=1.0):
+    return [
+        (host, ts, f"cpu/docker/{CID_A}/cpuacct.usage", "123456789012\n"),
+        (host, ts, f"memory/docker/{CID_A}/memory.usage_in_bytes", "104857600\n"),
+        (host, ts, f"memory/docker/{CID_A}/memory.limit_in_bytes", "536870912\n"),
+        (host, ts, f"containers/{CID_A}/config.v2.json",
+         '{"ID":"%s","Name":"/web-frontend","Image":"x"}' % CID_A),
+        (host, ts, f"cpu/docker/{CID_B}/cpuacct.usage", "5000\n"),
+        (host, ts, f"memory/docker/{CID_B}/memory.usage_in_bytes", "2048\n"),
+        (host, ts, f"memory/docker/{CID_B}/memory.limit_in_bytes", "4096\n"),
+        (host, ts, f"containers/{CID_B}/config.v2.json", '{"Name": "/db"}'),
+    ]
+
+
+class TestDocker:
+    SCHEMA = "host string, ts double, path string, text string"
+
+    def test_v1_records(self, spark):
+        out = hoststats.docker_records(
+            spark.createDataFrame(_cgroup_files_v1(), self.SCHEMA)
+        ).orderBy("id").collect()
+        assert len(out) == 2
+        a, b = out
+        assert a.id == "a" * 12 and a.name == "/web-frontend"
+        # cpu_used truncates to uint32: 123456789012 % 2^32
+        assert a.cpu_used == 123456789012 % (1 << 32)
+        assert a.mem_used == 104857600 and int(a.mem_limit) == 536870912
+        assert b.name == "/db" and b.cpu_used == 5000
+
+    def test_v2_records_and_max_limit(self, spark):
+        rows = [
+            ("h", 1.0, "cgroup.controllers", "cpuset cpu io memory\n"),
+            ("h", 1.0, f"system.slice/docker-{CID_A}.scope/cpu.stat",
+             "usage_usec 987654\nuser_usec 900000\nsystem_usec 87654\n"),
+            ("h", 1.0, f"system.slice/docker-{CID_A}.scope/memory.current", "333\n"),
+            ("h", 1.0, f"system.slice/docker-{CID_A}.scope/memory.max", "max\n"),
+            ("h", 1.0, f"containers/{CID_A}/config.v2.json", '{"Name":"/v2c"}'),
+        ]
+        [r] = hoststats.docker_records(
+            spark.createDataFrame(rows, self.SCHEMA)
+        ).collect()
+        assert r.cpu_used == 987654  # usage_usec line, not user_usec
+        assert r.mem_used == 333
+        assert int(r.mem_limit) == (1 << 64) - 1  # "max" -> UINT64_MAX
+        assert r.name == "/v2c"
+
+    def test_include_exclude(self, spark):
+        df = spark.createDataFrame(_cgroup_files_v1(), self.SCHEMA)
+        inc = hoststats.docker_records(df, include="a" * 12).collect()
+        assert len(inc) == 1 and inc[0].id == "a" * 12
+        exc = hoststats.docker_records(df, exclude=CID_B).collect()
+        assert len(exc) == 1 and exc[0].id == "a" * 12
+        # non-64/12-char tokens are ignored (the C's length check)
+        both = hoststats.docker_records(df, include="abc").collect()
+        assert len(both) == 2
+
+
+STATUS = (
+    "Name:\tnginx\n"
+    "Pid:\t1234\n"
+    "VmPeak:\t   14860 kB\n"
+    "VmSize:\t   14000 kB\n"
+    "VmRSS:\t     912 kB\n"
+    "VmSwap:\t       0 kB\n"
+)
+
+
+class TestProc:
+    SCHEMA = "host string, ts double, pid long, status string, fd_count long"
+
+    def test_record_fields(self, spark):
+        [r] = hoststats.proc_records(
+            spark.createDataFrame([("h", 1.0, 1234, STATUS, 37)], self.SCHEMA),
+            proc_name="nginx",
+        ).collect()
+        d = r.asDict()
+        assert d["alive"] is True and d["proc_name"] == "nginx" and d["pid"] == 1234
+        # digit-run x 1000 (in_proc.c:346 quirk: 1000, not 1024)
+        assert d["mem.VmPeak"] == 14860 * 1000 and d["mem.VmRSS"] == 912 * 1000
+        assert d["mem.VmSwap"] == 0
+        # keys absent from status emit 0 (mem_linux_clear)
+        assert d["mem.VmLck"] == 0 and d["mem.VmPTE"] == 0
+        assert d["fd"] == 37
+
+    def test_alert_mode_emits_only_down(self, spark):
+        df = spark.createDataFrame(
+            [("h", 1.0, 1234, STATUS, 5), ("h", 2.0, -1, None, None)],
+            self.SCHEMA,
+        )
+        out = hoststats.proc_records(df, proc_name="nginx", alert=True).collect()
+        assert len(out) == 1 and out[0].alive is False and out[0].ts == 2.0
+        # and without alert both ticks emit
+        assert hoststats.proc_records(df, proc_name="nginx").count() == 2
+
+    def test_gates(self, spark):
+        df = spark.createDataFrame([("h", 1.0, 1, STATUS, 5)], self.SCHEMA)
+        cols = hoststats.proc_records(df, "x", mem=False, fd=False).columns
+        assert cols == ["host", "ts", "alive", "proc_name", "pid"]
+
+
 class TestConfigInputs:
+    def test_docker_and_proc_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        dspool = str(tmp_path / "cg")
+        spark.createDataFrame(
+            _cgroup_files_v1(), TestDocker.SCHEMA
+        ).write.parquet(dspool)
+        [sec] = parse_classic(
+            f"[INPUT]\n    Name docker\n    Tag dk\n    Path {dspool}\n"
+            f"    Include {'a' * 12}\n"
+        )
+        [r] = _build_input(spark, sec).collect()
+        assert r.tag == "dk" and r.name == "/web-frontend"
+
+        pspool = str(tmp_path / "proc")
+        spark.createDataFrame(
+            [("h", 1.0, 99, STATUS, 3)], TestProc.SCHEMA
+        ).write.parquet(pspool)
+        [sec] = parse_classic(
+            f"[INPUT]\n    Name proc\n    Tag pr\n    Path {pspool}\n"
+            f"    Proc_Name nginx\n    Fd false\n"
+        )
+        [r] = _build_input(spark, sec).collect()
+        assert r.tag == "pr" and r.asDict()["mem.VmSize"] == 14000000
+        assert "fd" not in r.asDict()
+
     def test_cpu_and_mem_config_e2e(self, spark, tmp_path):
         from fluent_bit_spark.config import parse_classic, _build_input
 

@@ -1,0 +1,110 @@
+"""in_nginx_exporter_metrics (nginxfmt.py vs plugins/
+in_nginx_exporter_metrics/nginx.c): the stub_status page grammar, the
+all-or-nothing scrape failure, the up gauge, and the plus-API
+top-level endpoint mappings — plus a render leg through the existing
+prometheus exposition pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import nginxfmt
+
+# the exact sample page nginx.c:36-47 documents
+STUB_PAGE = (
+    "Active connections: 1\n"
+    "server accepts handled requests\n"
+    " 16 18 29\n"
+    "Reading: 0 Writing: 1 Waiting: 1\n"
+)
+
+
+def _m(rows):
+    return {r.metric_name: r.value for r in rows}
+
+
+class TestStubStatus:
+    def test_sample_page(self, spark):
+        df = spark.createDataFrame([(STUB_PAGE,)], "text string")
+        m = _m(nginxfmt.stub_status_metrics(df).collect())
+        assert m == {
+            "nginx_connections_accepted": 16.0,
+            "nginx_connections_active": 1.0,
+            "nginx_connections_handled": 18.0,
+            "nginx_connections_reading": 0.0,
+            "nginx_connections_writing": 1.0,
+            "nginx_connections_waiting": 1.0,
+            "nginx_http_requests_total": 29.0,
+            "nginx_up": 1.0,
+        }
+
+    def test_malformed_page_only_up_zero(self, spark):
+        # line 3 misses a number -> whole scrape fails (nginx.c:80-83)
+        bad = STUB_PAGE.replace(" 16 18 29", " 16 18")
+        df = spark.createDataFrame([(bad,), ("garbage",)], "text string")
+        rows = nginxfmt.stub_status_metrics(df).collect()
+        assert [(r.metric_name, r.value) for r in rows] == [
+            ("nginx_up", 0.0),
+            ("nginx_up", 0.0),
+        ]
+
+    def test_label_cols(self, spark):
+        df = spark.createDataFrame(
+            [("web01", STUB_PAGE)], "host string, text string"
+        )
+        rows = nginxfmt.stub_status_metrics(df, label_cols=["host"]).collect()
+        assert all(r.labels == {"host": "web01"} for r in rows)
+        assert len(rows) == 8
+
+    def test_exposition_render_leg(self, spark):
+        from fluent_bit_spark.metrics import prom_lines
+
+        df = spark.createDataFrame([(STUB_PAGE,)], "text string")
+        mx = nginxfmt.stub_status_metrics(df).filter(
+            F.col("metric_name") == "nginx_connections_active"
+        )
+        lines = prom_lines(mx, "gauge").collect()
+        body = "\n".join(r.line for r in lines)
+        assert "nginx_connections_active 1" in body
+
+
+class TestPlusApi:
+    def test_endpoint_maps(self, spark):
+        rows = [
+            ("connections", '{"accepted": 100, "dropped": 2, "active": 7, "idle": 3}'),
+            ("ssl", '{"handshakes": 50, "handshakes_failed": 1, "session_reuses": 20}'),
+            ("http_requests", '{"total": 999, "current": 4}'),
+        ]
+        df = spark.createDataFrame(rows, "endpoint string, text string")
+        m = _m(nginxfmt.plus_api_metrics(df).collect())
+        assert m["nginxplus_connections_accepted"] == 100.0
+        assert m["nginxplus_connections_idle"] == 3.0
+        assert m["nginxplus_ssl_handshakes_failed"] == 1.0
+        assert m["nginxplus_http_requests_total"] == 999.0
+        assert m["nginxplus_up"] == 1.0
+        # 9 samples + one up per row
+        assert len(nginxfmt.plus_api_metrics(df).collect()) == 9 + 3
+
+    def test_bad_json_up_zero(self, spark):
+        df = spark.createDataFrame(
+            [("connections", "{not json")], "endpoint string, text string"
+        )
+        rows = nginxfmt.plus_api_metrics(df).collect()
+        assert [(r.metric_name, r.value) for r in rows] == [("nginxplus_up", 0.0)]
+
+
+class TestConfig:
+    def test_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "pages")
+        spark.createDataFrame(
+            [("web01", STUB_PAGE)], "host string, text string"
+        ).write.parquet(spool)
+        conf = (
+            f"[INPUT]\n    Name nginx_metrics\n    Tag nx\n"
+            f"    Path {spool}\n    Label_Cols host\n"
+        )
+        [sec] = parse_classic(conf)
+        rows = _build_input(spark, sec).collect()
+        assert len(rows) == 8 and all(r.tag == "nx" for r in rows)
+        assert all(r.labels == {"host": "web01"} for r in rows)
