@@ -1124,6 +1124,27 @@ def _build_input(
             s.get("typesdb", "/usr/share/collectd/types.db"),
             tag=tag,
         )
+    if name == "kubernetes_events":
+        # in_kubernetes_events (plugins/in_kubernetes_events/): the API
+        # poll + token auth + sqlite state are transport; agents stage
+        # response payloads (parquet: text = EventList JSON, or watch
+        # lines with kube_request_stream on).
+        from . import k8sevents
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT kubernetes_events needs path (staged responses)")
+        pages = spark.read.parquet(path)
+        ret_sec = k8sevents.parse_retention(
+            s.get("kube_retention_time", "1h")
+        )
+        # the C runs list THEN watch on one connection; staged spools
+        # carry one payload kind — 'mode' selects the decoder
+        if (s.get("mode") or "list").lower() == "watch":
+            out = k8sevents.watch_records(pages, retention_sec=ret_sec)
+        else:
+            out = k8sevents.event_list_records(pages, retention_sec=ret_sec)
+        return out.withColumn("tag", F.lit(tag))
     if name == "nginx_metrics":
         # in_nginx_exporter_metrics (plugins/in_nginx_exporter_metrics/
         # nginx.c): the HTTP poll is the transport; agents stage scrape
@@ -2154,7 +2175,7 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="plot", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
-    if name in ("logdna", "nrlogs", "azure"):
+    if name in ("logdna", "nrlogs", "azure", "skywalking"):
         # thin vendor staging paths (option names per each plugin's
         # config map; auth/endpoint options are delivery, ignored here)
         optmap = {
@@ -2163,6 +2184,9 @@ def _build_sink(s: Section) -> SinkSpec:
             "azure": (("time_key", "time_key"),
                       ("log_type", "log_type"),
                       ("log_type_key", "log_type_key")),
+            # skywalking.c config_map (auth_token = delivery)
+            "skywalking": (("svc_name", "svc_name"),
+                           ("svc_inst_name", "svc_inst_name")),
         }[name]
         opts = {}
         for src, dst in optmap:

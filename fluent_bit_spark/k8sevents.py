@@ -1,0 +1,163 @@
+"""in_kubernetes_events — Kubernetes EventList / watch-stream decode
+over staged API responses.
+
+The reference plugin (plugins/in_kubernetes_events/kubernetes_events.c)
+polls the k8s API with token auth and tracks state in sqlite — both
+TRANSPORT. The decode SEMANTICS re-expressed here:
+
+* list mode (process_event_list :485-600): the response map must carry
+  ``items`` (array) and ``metadata`` (map, for resourceVersion + the
+  continue token); every list item is treated as action "ADDED"
+  (:501); per item, ``metadata`` and an integer-parsable
+  ``metadata.resourceVersion`` are required (:385-393) or the item is
+  skipped.
+* watch mode (process_watched_event :443-483): each streamed JSON line
+  is ``{"type": ..., "object": {...}}``; only ADDED and MODIFIED
+  process — DELETED/BOOKMARK are dropped (:380-383).
+* event timestamp (item_get_timestamp :265-294 +
+  record_get_field_time :213-235): lastTimestamp, else firstTimestamp,
+  else metadata.creationTimestamp — each strptime
+  ``%Y-%m-%dT%H:%M:%SZ`` (UTC, nsec=0); no parsable field skips the
+  item (:405-409).
+* retention filter (check_event_is_filtered :296-310): drop items
+  older than now − kube_retention_time (config default "1h"); the
+  sqlite uid-exists check (:330-366) is incremental no-duplicate
+  state — the batch analogue dedups on metadata.uid keeping the
+  highest resourceVersion.
+* record body = the full item object (:426
+  set_body_from_msgpack_object) — kept here as the lossless raw item
+  JSON text (``item`` column) next to the extracted envelope fields,
+  the same envelope-plus-payload shape as the OTLP sources.
+
+Everything runs JVM-side: from_json with array<string> items keeps
+each item's raw JSON, get_json_object pulls the envelope fields, and
+the only shuffle is the optional uid dedup window.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def _item_ts(item: Column) -> Column:
+    """lastTimestamp > firstTimestamp > metadata.creationTimestamp,
+    each %Y-%m-%dT%H:%M:%SZ (item_get_timestamp)."""
+    def parse(path: str) -> Column:
+        return F.try_to_timestamp(
+            F.get_json_object(item, path), F.lit(_TS_FMT)
+        )
+
+    return F.coalesce(
+        parse("$.lastTimestamp"),
+        parse("$.firstTimestamp"),
+        parse("$.metadata.creationTimestamp"),
+    )
+
+
+def _item_rows(items: DataFrame, action: Column) -> DataFrame:
+    item = F.col("item")
+    rows = items.select(
+        action.alias("type"),
+        item.alias("item"),
+        _item_ts(item).cast("timestamp").cast("double").alias("ts"),
+        F.get_json_object(item, "$.metadata.uid").alias("uid"),
+        F.get_json_object(item, "$.metadata.resourceVersion")
+        .try_cast("long")
+        .alias("resource_version"),
+        F.get_json_object(item, "$.metadata").alias("_meta"),
+    )
+    # metadata + uint64 resourceVersion + a parsable timestamp are all
+    # required (kubernetes_events.c:385-393, 405-409)
+    return rows.filter(
+        F.col("_meta").isNotNull()
+        & F.col("resource_version").isNotNull()
+        & F.col("ts").isNotNull()
+    ).drop("_meta")
+
+
+def _retention(
+    rows: DataFrame, retention_sec: int, now: Optional[float]
+) -> DataFrame:
+    now_col = (
+        F.lit(float(now))
+        if now is not None
+        else F.unix_timestamp(F.current_timestamp()).cast("double")
+    )
+    return rows.filter(F.col("ts") >= now_col - F.lit(float(retention_sec)))
+
+
+def _dedup_uid(rows: DataFrame) -> DataFrame:
+    # the sqlite exists-by-uid gate, batch form: one row per uid,
+    # highest resourceVersion wins (deterministic)
+    w = Window.partitionBy("uid").orderBy(
+        F.col("resource_version").desc(), F.col("ts").desc()
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def event_list_records(
+    pages: DataFrame,
+    json_col: str = "text",
+    retention_sec: int = 3600,
+    now: Optional[float] = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """EventList responses -> event rows (type='ADDED', ts double,
+    uid, resource_version, item raw-JSON). Responses without items or
+    metadata are dropped whole (process_event_list's error path)."""
+    parsed = pages.select(
+        F.from_json(
+            F.col(json_col),
+            "struct<items: array<string>, "
+            "metadata: struct<resourceVersion: string>>",
+        ).alias("p")
+    ).filter(
+        F.col("p.items").isNotNull() & F.col("p.metadata").isNotNull()
+    )
+    items = parsed.select(F.explode("p.items").alias("item"))
+    rows = _item_rows(items, F.lit("ADDED"))
+    rows = _retention(rows, retention_sec, now)
+    if dedup:
+        rows = _dedup_uid(rows)
+    return rows.select("type", "ts", "uid", "resource_version", "item")
+
+
+def watch_records(
+    lines: DataFrame,
+    json_col: str = "text",
+    retention_sec: int = 3600,
+    now: Optional[float] = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Watch-stream lines -> event rows; only ADDED / MODIFIED process
+    (process_watched_event)."""
+    parsed = lines.select(
+        F.get_json_object(F.col(json_col), "$.type").alias("action"),
+        F.get_json_object(F.col(json_col), "$.object").alias("item"),
+    ).filter(
+        F.col("action").isin("ADDED", "MODIFIED") & F.col("item").isNotNull()
+    )
+    rows = _item_rows(parsed.select("item", "action"), F.col("action"))
+    rows = _retention(rows, retention_sec, now)
+    if dedup:
+        rows = _dedup_uid(rows)
+    return rows.select("type", "ts", "uid", "resource_version", "item")
+
+
+def parse_retention(spec: str) -> int:
+    """FLB_CONFIG_MAP_TIME strings: plain seconds or s/m/h/d suffix
+    (flb_utils_time_to_seconds)."""
+    spec = spec.strip().lower()
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    if spec and spec[-1] in mult:
+        return int(float(spec[:-1]) * mult[spec[-1]])
+    return int(float(spec))

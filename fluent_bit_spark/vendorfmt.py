@@ -1,4 +1,5 @@
-"""Thin vendor payload renderers: out_logdna, out_nrlogs, out_azure.
+"""Thin vendor payload renderers: out_logdna, out_nrlogs, out_azure,
+out_skywalking.
 
 Each stages the exact request body its plugin would POST, one per
 (tag, Arrow-batch chunk) like the http/datadog staging; per-record
@@ -17,6 +18,16 @@ shaping is JVM-side codegen, python only joins arrays.
   "logs": [{"timestamp": ms, ["message": log ?? message,]
   "attributes": {rest}}]}]`` — a ``log`` key wins over ``message``
   and both leave the attributes.
+- out_skywalking (skywalking.c sw_format:229-296 +
+  sw_msgpack_pack_log_body:154-226): one JSON array per chunk of
+  ``{"timestamp": ms (half-up on the sub-ms part,
+  timestamp_format:121-133), "service": svc_name,
+  "serviceInstance": svc_inst_name, "body": {"json": {"json":
+  "<record JSON text>"}}}`` where the inner record JSON keeps ONLY
+  the entries whose key AND value are msgpack strings
+  (:177-189) — non-string columns are dropped statically, null
+  strings dynamically — and rides inside the outer JSON as an
+  escaped STRING.
 - out_azure (azure.c azure_format:80-180): a JSON array of records
   each gaining ``time_key`` (default ``@timestamp``) as a double epoch
   or, under ``time_generated``, ISO8601 with milliseconds; the
@@ -35,7 +46,10 @@ from pyspark.sql import functions as F
 
 from .jsonesc import fb_json_body, fb_json_escape
 
-__all__ = ["logdna_payloads", "nrlogs_payloads", "azure_payloads"]
+__all__ = [
+    "logdna_payloads", "nrlogs_payloads", "azure_payloads",
+    "skywalking_payloads",
+]
 
 
 def _group_json_arrays(rendered: DataFrame, wrap) -> DataFrame:
@@ -317,3 +331,58 @@ def nats_payloads(
     rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
                          line.alias("line"))
     return _group_json_arrays(rendered, lambda s: "[" + s + "]")
+
+
+def skywalking_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    svc_name: str = "sw-service",
+    svc_inst_name: str = "fluent-bit",
+) -> DataFrame:
+    """out_skywalking: one ``/v3/logs`` JSON array per (tag, chunk);
+    record objects per sw_format (module docstring has the C line
+    map). The inner body JSON keeps only string-typed, non-null
+    entries and ships as an escaped JSON string."""
+    dtypes = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    # key AND value must be msgpack strings (sw_msgpack_pack_log_body)
+    str_cols = [c for c in df.columns
+                if c not in (tag_col, ts_col) and dtypes.get(c) == "string"]
+    if ts_col is not None:
+        us = F.unix_micros(F.col(f"`{ts_col}`").cast("timestamp"))
+        # ms with half-up rounding of the sub-ms part
+        # (timestamp_format:129-132)
+        ms = F.coalesce(F.floor((us + 500) / 1000).cast("long"), F.lit(0))
+    else:
+        ms = F.lit(0)
+    frags = [
+        F.when(
+            F.col(f"`{c}`").isNotNull(),
+            F.concat(F.lit('"%s":"' % _py_json_key(c)),
+                     fb_json_escape(F.col(f"`{c}`")), F.lit('"')),
+        )
+        for c in str_cols
+    ]
+    inner = (F.concat(F.lit("{"), F.concat_ws(",", *frags), F.lit("}"))
+             if frags else F.lit("{}"))
+    line = F.concat(
+        F.lit('{"timestamp":'), ms.cast("string"),
+        F.lit(',"service":"%s"' % _py_json_key(svc_name)),
+        F.lit(',"serviceInstance":"%s"' % _py_json_key(svc_inst_name)),
+        F.lit(',"body":{"json":{"json":"'),
+        fb_json_escape(inner),
+        F.lit('"}}}'),
+    )
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    return _group_json_arrays(rendered, lambda s: "[" + s + "]")
+
+
+def _py_json_key(s: str) -> str:
+    """Driver-side JSON string escaping for literal keys/config values
+    (matches fb_json_escape's short forms for the common cases)."""
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        .replace("\r", "\\r").replace("\t", "\\t")
+    )

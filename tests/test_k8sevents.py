@@ -1,0 +1,140 @@
+"""in_kubernetes_events (k8sevents.py vs plugins/in_kubernetes_events/
+kubernetes_events.c): EventList item walk, timestamp precedence chain,
+required-field skips, watch-action gate, retention filter, uid dedup."""
+
+import json
+
+import pytest
+
+from fluent_bit_spark import k8sevents
+
+NOW = 1700002800.0  # 2023-11-14T23:00:00Z — fixed clock for retention
+T22 = 1699999200.0  # 2023-11-14T22:00:00Z
+BIG = 10**9  # retention wide open (tests that aren't about retention)
+
+
+def _event(uid, rv, last=None, first=None, creation=None, reason="Started"):
+    meta = {"uid": uid, "resourceVersion": str(rv), "namespace": "default",
+            "name": f"ev-{uid}"}
+    if creation:
+        meta["creationTimestamp"] = creation
+    ev = {"metadata": meta, "reason": reason, "message": "m",
+          "involvedObject": {"kind": "Pod", "name": "p1"}}
+    if last:
+        ev["lastTimestamp"] = last
+    if first:
+        ev["firstTimestamp"] = first
+    return ev
+
+
+def _list_page(*events, rv="100"):
+    return json.dumps({"metadata": {"resourceVersion": rv},
+                       "items": list(events)})
+
+
+class TestEventList:
+    def test_timestamp_precedence(self, spark):
+        page = _list_page(
+            _event("u1", 1, last="2023-11-14T22:00:00Z",
+                   first="2023-11-14T21:00:00Z",
+                   creation="2023-11-14T20:00:00Z"),
+            _event("u2", 2, first="2023-11-14T21:30:00Z",
+                   creation="2023-11-14T20:00:00Z"),
+            _event("u3", 3, creation="2023-11-14T22:30:00Z"),
+        )
+        df = spark.createDataFrame([(page,)], "text string")
+        out = {r.uid: r for r in k8sevents.event_list_records(
+            df, now=NOW, retention_sec=BIG).collect()}
+        assert out["u1"].ts == T22           # lastTimestamp wins
+        assert out["u2"].ts == T22 - 1800    # firstTimestamp
+        assert out["u3"].ts == T22 + 1800    # creationTimestamp
+        assert all(r.type == "ADDED" for r in out.values())
+        assert out["u1"].resource_version == 1
+        # item column is the raw lossless JSON
+        assert json.loads(out["u1"].item)["reason"] == "Started"
+
+    def test_required_fields_skip_item(self, spark):
+        ok = _event("u1", 1, last="2023-11-14T22:00:00Z")
+        no_meta = {"reason": "X", "lastTimestamp": "2023-11-14T22:00:00Z"}
+        bad_rv = _event("u2", 1, last="2023-11-14T22:00:00Z")
+        bad_rv["metadata"]["resourceVersion"] = "not-a-number"
+        no_ts = _event("u3", 3)
+        df = spark.createDataFrame(
+            [(_list_page(ok, no_meta, bad_rv, no_ts),)], "text string"
+        )
+        out = k8sevents.event_list_records(
+            df, now=NOW, retention_sec=BIG).collect()
+        assert [r.uid for r in out] == ["u1"]
+
+    def test_page_without_items_or_metadata_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(json.dumps({"metadata": {"resourceVersion": "1"}}),),
+             (json.dumps({"items": []}),),
+             ("not json at all",)],
+            "text string",
+        )
+        assert k8sevents.event_list_records(df, now=NOW).count() == 0
+
+    def test_retention_filter(self, spark):
+        # NOW is 23:00:00Z: fresh = 1 min old, stale = 61 min old
+        fresh = _event("u1", 1, last="2023-11-14T22:59:00Z")
+        stale = _event("u2", 2, last="2023-11-14T21:59:00Z")
+        df = spark.createDataFrame([(_list_page(fresh, stale),)], "text string")
+        out = k8sevents.event_list_records(
+            df, retention_sec=3600, now=NOW).collect()
+        assert [r.uid for r in out] == ["u1"]
+
+    def test_uid_dedup_keeps_highest_rv(self, spark):
+        a = _event("u1", 5, last="2023-11-14T22:00:00Z")
+        b = _event("u1", 9, last="2023-11-14T22:10:00Z")
+        df = spark.createDataFrame(
+            [(_list_page(a),), (_list_page(b),)], "text string"
+        )
+        out = k8sevents.event_list_records(
+            df, now=NOW, retention_sec=BIG).collect()
+        assert len(out) == 1 and out[0].resource_version == 9
+        both = k8sevents.event_list_records(
+            df, now=NOW, retention_sec=BIG, dedup=False).collect()
+        assert len(both) == 2
+
+
+class TestWatch:
+    def test_action_gate(self, spark):
+        def line(action, uid, rv):
+            return json.dumps({"type": action,
+                               "object": _event(uid, rv,
+                                                last="2023-11-14T22:00:00Z")})
+        df = spark.createDataFrame(
+            [(line("ADDED", "u1", 1),), (line("MODIFIED", "u2", 2),),
+             (line("DELETED", "u3", 3),), (line("BOOKMARK", "u4", 4),)],
+            "text string",
+        )
+        out = k8sevents.watch_records(df, now=NOW, retention_sec=BIG).collect()
+        assert sorted((r.uid, r.type) for r in out) == [
+            ("u1", "ADDED"), ("u2", "MODIFIED")]
+
+
+class TestRetentionSpec:
+    def test_time_grammar(self):
+        assert k8sevents.parse_retention("1h") == 3600
+        assert k8sevents.parse_retention("90s") == 90
+        assert k8sevents.parse_retention("2m") == 120
+        assert k8sevents.parse_retention("1d") == 86400
+        assert k8sevents.parse_retention("45") == 45
+
+
+class TestConfig:
+    def test_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "events")
+        recent = _event("u1", 1, last="2030-01-01T00:00:00Z")
+        spark.createDataFrame(
+            [(_list_page(recent),)], "text string"
+        ).write.parquet(spool)
+        conf = (f"[INPUT]\n    Name kubernetes_events\n    Tag k8s\n"
+                f"    Path {spool}\n    Kube_Retention_Time 100d\n")
+        # retention vs wall clock: a far-future event always survives
+        [sec] = parse_classic(conf)
+        out = _build_input(spark, sec).collect()
+        assert len(out) == 1 and out[0].tag == "k8s" and out[0].uid == "u1"

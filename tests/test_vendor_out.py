@@ -13,6 +13,7 @@ from fluent_bit_spark.vendorfmt import (
     azure_payloads,
     logdna_payloads,
     nrlogs_payloads,
+    skywalking_payloads,
 )
 
 
@@ -88,6 +89,66 @@ class TestAzure:
         assert r["log_type"] == "apache"
         # the key column does not join the record body
         assert json.loads(r["body"])[0] == {"@timestamp": 0.0, "msg": "m"}
+
+
+class TestSkywalking:
+    def test_v3_logs_envelope(self, spark, frame):
+        (r,) = skywalking_payloads(frame, ts_col="ts").collect()
+        body = json.loads(r["body"])
+        assert isinstance(body, list) and len(body) == 1
+        rec = body[0]
+        assert rec["timestamp"] == 1700000000000  # ms epoch
+        assert rec["service"] == "sw-service"  # DEFAULT_SW_SVC_NAME
+        assert rec["serviceInstance"] == "fluent-bit"
+        # body.json.json is a JSON STRING of the record's str entries
+        inner = json.loads(rec["body"]["json"]["json"])
+        assert inner == {"msg": "boot ok", "level": "info"}
+
+    def test_only_string_entries_survive(self, spark):
+        df = spark.createDataFrame(
+            [("t", 1700000000, "hello", 42, None)],
+            "tag string, es long, msg string, count long, gone string",
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "msg", "count", "gone").coalesce(1)
+        (r,) = skywalking_payloads(df, ts_col="ts").collect()
+        inner = json.loads(json.loads(r["body"])[0]["body"]["json"]["json"])
+        # non-string column dropped statically, null string dynamically
+        # (sw_msgpack_pack_log_body's STR/STR gate)
+        assert inner == {"msg": "hello"}
+
+    def test_ms_half_up_rounding(self, spark):
+        # 1700000000.4996s -> 1700000000500 ms (>=500us rounds up)
+        df = spark.createDataFrame(
+            [("t", 1700000000.4996, "x")], "tag string, es double, msg string"
+        ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+                 "msg").coalesce(1)
+        (r,) = skywalking_payloads(df, ts_col="ts").collect()
+        assert json.loads(r["body"])[0]["timestamp"] == 1700000000500
+
+    def test_config_sink(self, spark, tmp_path):
+        from fluent_bit_spark.config import run_classic_config
+
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag sw.app
+            Samples 1
+            Dummy {"msg": "hello sw"}
+
+        [OUTPUT]
+            Name skywalking
+            Match *
+            Svc_Name my-svc
+            Svc_Inst_Name node-7
+        """)
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["skywalking_all"] == 1
+        out = spark.read.parquet(str(tmp_path / "out" / "skywalking_all"))
+        (r,) = out.collect()
+        rec = json.loads(r["body"])[0]
+        assert rec["service"] == "my-svc"
+        assert rec["serviceInstance"] == "node-7"
+        assert json.loads(rec["body"]["json"]["json"]) == {"msg": "hello sw"}
 
 
 class TestConfigVendors:
