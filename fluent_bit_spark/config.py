@@ -1124,6 +1124,25 @@ def _build_input(
             s.get("typesdb", "/usr/share/collectd/types.db"),
             tag=tag,
         )
+    if name == "node_exporter_metrics":
+        # in_node_exporter_metrics (plugins/in_node_exporter_metrics/):
+        # agents stage /proc dumps (parquet: host, ts, file, text);
+        # 'metrics' is the plugin's collector comma list (ne.c:448).
+        from . import nodeexp
+
+        path = s.get("path")
+        if not path:
+            raise ValueError(
+                "INPUT node_exporter_metrics needs path (staged /proc dumps)"
+            )
+        out = nodeexp.node_metrics(
+            spark.read.parquet(path),
+            metrics=s.get("metrics"),
+            ignore_device_regex=s.get(
+                "diskstats.ignore_device_regex", nodeexp.IGNORED_DEVICES
+            ),
+        )
+        return out.withColumn("tag", F.lit(tag))
     if name == "kubernetes_events":
         # in_kubernetes_events (plugins/in_kubernetes_events/): the API
         # poll + token auth + sqlite state are transport; agents stage

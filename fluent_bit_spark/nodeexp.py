@@ -1,0 +1,391 @@
+"""in_node_exporter_metrics — the node-exporter collector family over
+staged /proc snapshots, emitting the repo's metrics-table convention
+(metric_name, value double, labels map<string,string>).
+
+The reference plugin (plugins/in_node_exporter_metrics/) reads /proc
+and /sys in-process on a scrape_interval — the OS read is the
+TRANSPORT (agents stage timestamped file dumps: host, ts, file, text).
+The per-collector decode SEMANTICS re-expressed here, each citing its
+ne_*_linux.c:
+
+* cpu (ne_cpu_linux.c:180-345): per-core ``cpu<N>`` lines of
+  /proc/stat; >= 9 numeric fields required, missing guest_nice -> 0;
+  jiffies / USER_HZ seconds; node_cpu_seconds_total{cpu,mode} for
+  idle/iowait/irq/nice/softirq/steal/system/user and
+  node_cpu_guest_seconds_total{cpu,mode user|nice} for
+  guest/guest_nice; the aggregate ``cpu `` line is skipped.
+* meminfo (ne_meminfo_linux.c:60-280): 2-part lines ->
+  node_memory_<Key>; 3-part (kB) -> node_memory_<Key>_bytes with the
+  value x1024; "(anon)"/"(file)" fold to _anon/_file.
+* diskstats (ne_diskstats_linux.c:36-120, 160-345): 17 known fields
+  after (major, minor, device) in fixed order with unit factors
+  (sectors x512 -> bytes, ms x.001 -> seconds); devices matching
+  diskstats.ignore_device_regex (default ne.h:47 IGNORED_DEVICES)
+  skip whole.
+* netdev (ne_netdev_linux.c:60-260): metric names derive from the
+  /proc/net/dev HEADER fields — node_network_receive_<field>_total /
+  node_network_transmit_<field>_total with the device label.
+* loadavg (ne_loadavg_linux.c): node_load1/load5/load15 = the first
+  three /proc/loadavg fields.
+* stat (ne_stat_linux.c:34-140): node_intr_total,
+  node_context_switches_total, node_forks_total (processes),
+  node_boot_time_seconds (btime), node_procs_running,
+  node_procs_blocked.
+* vmstat (ne_vmstat_linux.c:28 VMSTAT_ENTRIES): node_vmstat_<key>
+  for keys matching ``^(oom_kill|pgpg|pswp|pg.*fault).*``.
+* filefd (ne_filefd_linux.c): /proc/sys/fs/file-nr fields 1 and 3 ->
+  node_filefd_allocated / node_filefd_maximum.
+* time (ne_time.c:26-47): node_time_seconds — wall clock at scrape;
+  the staged analogue is the snapshot's own ts column.
+* uname (ne_uname_linux.c:31-72): node_uname_info = 1 with labels
+  sysname/release/version/machine/nodename/domainname; staged as six
+  newline-separated fields under file='uname'.
+
+Default collector set = the plugin's linux NE_DEFAULT_ENABLED_METRICS
+(ne.h:36) intersected with the implemented set above. The cpufreq /
+filesystem / netstat / sockstat / systemd / nvme / thermal_zone /
+hwmon / textfile / processes collectors follow the exact same
+pattern over other /sys//proc files and are not ported (documented
+boundary).
+
+Everything is JVM-side codegen (explode + regexp + literal stacks);
+the optional ``host`` label lifts the frame's host column per sample.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ne.h:47 — the default diskstats.ignore_device_regex
+IGNORED_DEVICES = r"^(ram|loop|fd|(h|s|v|xv)d[a-z]|nvme\d+n\d+p)\d+$"
+
+# ne.h:36 linux default, filtered to the implemented collectors
+DEFAULT_METRICS = "cpu,meminfo,diskstats,uname,stat,time,loadavg,vmstat,netdev,filefd"
+
+# diskstats fields in /proc order after (major, minor, device):
+# (metric suffix, factor, ...) — ne_diskstats_linux.c metric_cache_set
+_DISK_FIELDS = [
+    ("reads_completed_total", 1.0),
+    ("reads_merged_total", 1.0),
+    ("read_bytes_total", 512.0),
+    ("read_time_seconds_total", 0.001),
+    ("writes_completed_total", 1.0),
+    ("writes_merged_total", 1.0),
+    ("written_bytes_total", 512.0),
+    ("write_time_seconds_total", 0.001),
+    ("io_now", 1.0),
+    ("io_time_seconds_total", 0.001),
+    ("io_time_weighted_seconds_total", 0.001),
+    ("discards_completed_total", 1.0),
+    ("discards_merged_total", 1.0),
+    ("discarded_sectors_total", 1.0),
+    ("discard_time_seconds_total", 0.001),
+    ("flush_requests_total", 1.0),
+    ("flush_requests_time_seconds_total", 0.001),
+]
+
+_CPU_MODES = ["user", "nice", "system", "idle", "iowait", "irq",
+              "softirq", "steal", "guest", "guest_nice"]
+
+_VMSTAT_RE = r"^(oom_kill|pgpg|pswp|pg.*fault).*"
+
+_UNAME_LABELS = ["sysname", "release", "version", "machine",
+                 "nodename", "domainname"]
+
+_OUT_SCHEMA = "metric_name string, value double, labels map<string,string>"
+
+
+def _base(snaps: DataFrame, host_col, ts_col, file_col, text_col) -> DataFrame:
+    return snaps.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(file_col).alias("file"),
+        F.col(text_col).alias("text"),
+    )
+
+
+def _sample(name: Column, value: Column, labels: Column) -> Column:
+    return F.struct(name.alias("metric_name"), value.alias("value"),
+                    labels.alias("labels"))
+
+
+def _emit(df: DataFrame, samples: Column, host_label: bool) -> DataFrame:
+    out = df.select("host", F.explode(samples).alias("s")).select(
+        F.col("s.metric_name").alias("metric_name"),
+        F.col("s.value").alias("value"),
+        (
+            F.map_concat(F.create_map(F.lit("host"), F.col("host")),
+                         F.col("s.labels"))
+            if host_label else F.col("s.labels")
+        ).alias("labels"),
+    )
+    return out.filter(F.col("value").isNotNull())
+
+
+def _no_labels() -> Column:
+    # built lazily — a module-level Column literal would demand an
+    # active SparkContext at import time (CLAUDE.md round-5 gotcha)
+    return F.create_map().cast("map<string,string>")
+
+
+def _lines(df: DataFrame, fname: str) -> DataFrame:
+    return df.filter(F.col("file") == fname).select(
+        "host", "ts", F.explode(F.split("text", "\n")).alias("line")
+    )
+
+
+def _num(c: Column) -> Column:
+    return c.try_cast("double")
+
+
+def _cpu(df: DataFrame, host_label: bool, cpu_ticks: int) -> DataFrame:
+    lines = _lines(df, "stat").filter(F.col("line").rlike(r"^cpu\d+ "))
+    f = F.split(F.trim(F.regexp_replace("line", r"\s+", " ")), " ")
+    rows = lines.select(
+        "host",
+        F.regexp_extract("line", r"^cpu(\d+)", 1).alias("cpu"),
+        *[
+            _num(F.try_element_at(f, F.lit(i + 2))).alias(m)
+            for i, m in enumerate(_CPU_MODES)
+        ],
+    ).filter(
+        # >= 9 numeric fields (user..guest) required (stat_line:226-232)
+        F.col("guest").isNotNull()
+    ).withColumn(
+        # missing guest_nice zero-initialises (stat_line:233-235)
+        "guest_nice", F.coalesce(F.col("guest_nice"), F.lit(0.0))
+    )
+    hz = float(cpu_ticks)
+
+    def lab(mode: str) -> Column:
+        return F.create_map(F.lit("cpu"), F.col("cpu"),
+                            F.lit("mode"), F.lit(mode))
+
+    samples = F.array(
+        *[
+            _sample(F.lit("node_cpu_seconds_total"), F.col(m) / hz, lab(m))
+            for m in ["idle", "iowait", "irq", "nice", "softirq", "steal",
+                      "system", "user"]
+        ],
+        # guest seconds carry mode user/nice (cpu_stat_set_metrics:287-295)
+        _sample(F.lit("node_cpu_guest_seconds_total"),
+                F.col("guest") / hz, lab("user")),
+        _sample(F.lit("node_cpu_guest_seconds_total"),
+                F.col("guest_nice") / hz, lab("nice")),
+    )
+    return _emit(rows, samples, host_label)
+
+
+def _meminfo(df: DataFrame, host_label: bool) -> DataFrame:
+    lines = _lines(df, "meminfo")
+    key = F.regexp_extract("line", r"^(\S+):", 1)
+    key = F.regexp_replace(F.regexp_replace(key, r"\(anon\)", "_anon"),
+                           r"\(file\)", "_file")
+    val = _num(F.regexp_extract("line", r":\s+(\d+)", 1))
+    has_kb = F.col("line").rlike(r"\bkB\s*$")
+    rows = lines.select(
+        "host",
+        key.alias("key"),
+        F.when(has_kb, val * 1024.0).otherwise(val).alias("value"),
+        F.when(has_kb, F.lit("_bytes")).otherwise(F.lit("")).alias("suffix"),
+    ).filter(F.col("key") != "")
+    samples = F.array(_sample(
+        F.concat(F.lit("node_memory_"), F.col("key"), F.col("suffix")),
+        F.col("value"), _no_labels()))
+    return _emit(rows, samples, host_label)
+
+
+def _diskstats(df: DataFrame, host_label: bool, ignore_regex: str) -> DataFrame:
+    lines = _lines(df, "diskstats")
+    f = F.split(F.trim(F.regexp_replace("line", r"\s+", " ")), " ")
+    rows = lines.select(
+        "host",
+        F.try_element_at(f, F.lit(3)).alias("device"),
+        *[
+            _num(F.try_element_at(f, F.lit(i + 4))).alias(f"v{i}")
+            for i in range(len(_DISK_FIELDS))
+        ],
+    ).filter(
+        F.col("device").isNotNull() & ~F.col("device").rlike(ignore_regex)
+    )
+    dev = F.create_map(F.lit("device"), F.col("device"))
+    samples = F.array(*[
+        _sample(F.lit(f"node_disk_{name}"),
+                F.col(f"v{i}") * (factor if factor != 1.0 else 1.0), dev)
+        for i, (name, factor) in enumerate(_DISK_FIELDS)
+    ])
+    return _emit(rows, samples, host_label)
+
+
+def _netdev(df: DataFrame, host_label: bool) -> DataFrame:
+    pages = df.filter(F.col("file") == "net/dev").select("host", "text")
+    all_lines = F.split("text", "\n")
+    header = F.try_element_at(all_lines, F.lit(2))
+    # header: " face |bytes packets ...|bytes packets ..." — names
+    # per direction (netdev_update:243-260)
+    rx_names = F.split(F.trim(F.regexp_extract(header, r"\|([^|]*)\|", 1)), r"\s+")
+    tx_names = F.split(F.trim(F.regexp_extract(header, r"\|[^|]*\|(.*)$", 1)), r"\s+")
+    dev_lines = F.filter(
+        all_lines, lambda l: l.rlike(r"^\s*\S+:") & ~l.contains("|")
+    )
+    rows = pages.select(
+        "host", rx_names.alias("rx"), tx_names.alias("tx"),
+        F.explode(dev_lines).alias("line"),
+    )
+    fields = F.split(F.trim(F.regexp_replace("line", r"[:\s]+", " ")), " ")
+    rows = rows.select(
+        "host",
+        F.try_element_at(fields, F.lit(1)).alias("device"),
+        F.slice(fields, 2, 2147483647).alias("vals"),
+        "rx", "tx",
+    )
+    # zip direction-prefixed names with values positionally
+    names = F.concat(
+        F.transform(F.col("rx"), lambda n: F.concat(F.lit("node_network_receive_"), n, F.lit("_total"))),
+        F.transform(F.col("tx"), lambda n: F.concat(F.lit("node_network_transmit_"), n, F.lit("_total"))),
+    )
+    zipped = F.arrays_zip(names.alias("name"), F.col("vals").alias("val"))
+    dev = F.create_map(F.lit("device"), F.col("device"))
+    samples = F.transform(
+        zipped,
+        lambda e: _sample(e["name"], _num(e["val"]), dev),
+    )
+    return _emit(rows, samples, host_label)
+
+
+def _loadavg(df: DataFrame, host_label: bool) -> DataFrame:
+    lines = _lines(df, "loadavg")
+    f = F.split(F.trim("line"), r"\s+")
+    rows = lines.select(
+        "host",
+        _num(F.try_element_at(f, F.lit(1))).alias("l1"),
+        _num(F.try_element_at(f, F.lit(2))).alias("l5"),
+        _num(F.try_element_at(f, F.lit(3))).alias("l15"),
+    ).filter(F.col("l1").isNotNull())
+    samples = F.array(
+        _sample(F.lit("node_load1"), F.col("l1"), _no_labels()),
+        _sample(F.lit("node_load5"), F.col("l5"), _no_labels()),
+        _sample(F.lit("node_load15"), F.col("l15"), _no_labels()),
+    )
+    return _emit(rows, samples, host_label)
+
+
+_STAT_KEYS = [
+    ("intr", "node_intr_total"),
+    ("ctxt", "node_context_switches_total"),
+    ("btime", "node_boot_time_seconds"),
+    ("processes", "node_forks_total"),
+    ("procs_running", "node_procs_running"),
+    ("procs_blocked", "node_procs_blocked"),
+]
+
+
+def _stat(df: DataFrame, host_label: bool) -> DataFrame:
+    lines = _lines(df, "stat")
+    key = F.regexp_extract("line", r"^(\w+)\s", 1)
+    val = _num(F.regexp_extract("line", r"^\w+\s+(\d+)", 1))
+    rows = lines.select("host", key.alias("key"), val.alias("value"))
+    name = F.lit(None).cast("string")
+    for k, metric in reversed(_STAT_KEYS):
+        name = F.when(F.col("key") == k, F.lit(metric)).otherwise(name)
+    rows = rows.filter(name.isNotNull()).select(
+        "host", name.alias("metric"), "value"
+    )
+    samples = F.array(_sample(F.col("metric"), F.col("value"), _no_labels()))
+    return _emit(rows, samples, host_label)
+
+
+def _vmstat(df: DataFrame, host_label: bool) -> DataFrame:
+    lines = _lines(df, "vmstat")
+    key = F.regexp_extract("line", r"^(\w+)\s", 1)
+    val = _num(F.regexp_extract("line", r"^\w+\s+(\d+)", 1))
+    rows = lines.select("host", key.alias("key"), val.alias("value")).filter(
+        F.col("key").rlike(_VMSTAT_RE)
+    )
+    samples = F.array(_sample(
+        F.concat(F.lit("node_vmstat_"), F.col("key")),
+        F.col("value"), _no_labels()))
+    return _emit(rows, samples, host_label)
+
+
+def _filefd(df: DataFrame, host_label: bool) -> DataFrame:
+    lines = _lines(df, "sys/fs/file-nr")
+    f = F.split(F.trim("line"), r"\s+")
+    rows = lines.select(
+        "host",
+        _num(F.try_element_at(f, F.lit(1))).alias("alloc"),
+        _num(F.try_element_at(f, F.lit(3))).alias("maxi"),
+    ).filter(F.col("alloc").isNotNull())
+    samples = F.array(
+        _sample(F.lit("node_filefd_allocated"), F.col("alloc"), _no_labels()),
+        _sample(F.lit("node_filefd_maximum"), F.col("maxi"), _no_labels()),
+    )
+    return _emit(rows, samples, host_label)
+
+
+def _time(df: DataFrame, host_label: bool) -> DataFrame:
+    # one sample per (host, ts) snapshot tick — the staged analogue of
+    # cfl_time_now()/1e9 (ne_time.c:40-44)
+    rows = df.select("host", "ts").distinct()
+    samples = F.array(_sample(F.lit("node_time_seconds"), F.col("ts"),
+                              _no_labels()))
+    return _emit(rows, samples, host_label)
+
+
+def _uname(df: DataFrame, host_label: bool) -> DataFrame:
+    pages = df.filter(F.col("file") == "uname").select("host", "text")
+    f = F.split("text", "\n")
+    pairs = []
+    for i, name in enumerate(_UNAME_LABELS):
+        pairs.append(F.lit(name))
+        pairs.append(F.coalesce(F.try_element_at(f, F.lit(i + 1)), F.lit("")))
+    rows = pages.select("host", F.create_map(*pairs).alias("lab"))
+    samples = F.array(_sample(F.lit("node_uname_info"), F.lit(1.0),
+                              F.col("lab")))
+    return _emit(rows, samples, host_label)
+
+
+def node_metrics(
+    snaps: DataFrame,
+    metrics: Optional[str] = None,
+    host_label: bool = True,
+    cpu_ticks: int = 100,
+    ignore_device_regex: str = IGNORED_DEVICES,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    file_col: str = "file",
+    text_col: str = "text",
+) -> DataFrame:
+    """Staged /proc dumps (host, ts, file, text) -> the node-exporter
+    metrics table. ``metrics`` is the plugin's comma list (default the
+    linux default set ∩ implemented); ``file`` values: stat, meminfo,
+    diskstats, net/dev, loadavg, vmstat, sys/fs/file-nr, uname."""
+    df = _base(snaps, host_col, ts_col, file_col, text_col)
+    wanted = [m.strip() for m in (metrics or DEFAULT_METRICS).split(",")
+              if m.strip()]
+    builders = {
+        "cpu": lambda: _cpu(df, host_label, cpu_ticks),
+        "meminfo": lambda: _meminfo(df, host_label),
+        "diskstats": lambda: _diskstats(df, host_label, ignore_device_regex),
+        "netdev": lambda: _netdev(df, host_label),
+        "loadavg": lambda: _loadavg(df, host_label),
+        "stat": lambda: _stat(df, host_label),
+        "vmstat": lambda: _vmstat(df, host_label),
+        "filefd": lambda: _filefd(df, host_label),
+        "time": lambda: _time(df, host_label),
+        "uname": lambda: _uname(df, host_label),
+    }
+    unknown = [m for m in wanted if m not in builders]
+    if unknown:
+        raise ValueError(
+            f"node_exporter: unsupported collectors {unknown} "
+            f"(implemented: {sorted(builders)})"
+        )
+    parts = [builders[m]() for m in wanted]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

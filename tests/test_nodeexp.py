@@ -1,0 +1,237 @@
+"""in_node_exporter_metrics (nodeexp.py vs plugins/
+in_node_exporter_metrics/ne_*_linux.c): per-collector golden vectors
+with hand-computed expectations, live-/proc smoke, and the
+config + exposition-render legs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import nodeexp
+
+SCHEMA = "host string, ts double, file string, text string"
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _m(rows):
+    out = {}
+    for r in rows:
+        out[(r.metric_name, tuple(sorted(r.labels.items())))] = r.value
+    return out
+
+
+STAT = (
+    "cpu  700 70 350 7000 35 10 20 6 4 2\n"
+    "cpu0 100 10 50 1000 5 1 2 3 4 0\n"
+    "cpu1 600 60 300 6000 30 9 18 3 0 2\n"
+    "intr 8411386 44 9\n"
+    "ctxt 19232379\n"
+    "btime 1699990000\n"
+    "processes 86031\n"
+    "procs_running 2\n"
+    "procs_blocked 1\n"
+)
+
+
+class TestCpuStat:
+    def test_cpu_seconds_per_mode(self, spark):
+        out = nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "stat", STAT)]), metrics="cpu",
+            host_label=False,
+        ).collect()
+        m = _m(out)
+        # jiffies / USER_HZ(100); aggregate 'cpu ' line skipped
+        assert m[("node_cpu_seconds_total",
+                  (("cpu", "0"), ("mode", "user")))] == 1.0
+        assert m[("node_cpu_seconds_total",
+                  (("cpu", "0"), ("mode", "idle")))] == 10.0
+        assert m[("node_cpu_seconds_total",
+                  (("cpu", "1"), ("mode", "system")))] == 3.0
+        assert m[("node_cpu_seconds_total",
+                  (("cpu", "1"), ("mode", "steal")))] == 0.03
+        # guest seconds emit under mode user/nice
+        assert m[("node_cpu_guest_seconds_total",
+                  (("cpu", "0"), ("mode", "user")))] == 0.04
+        assert m[("node_cpu_guest_seconds_total",
+                  (("cpu", "1"), ("mode", "nice")))] == 0.02
+        assert len(out) == 2 * 10
+
+    def test_missing_guest_nice_zeroes(self, spark):
+        stat = "cpu0 100 0 0 0 0 0 0 0 7\n"  # 9 fields, no guest_nice
+        m = _m(nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "stat", stat)]), metrics="cpu",
+            host_label=False).collect())
+        assert m[("node_cpu_guest_seconds_total",
+                  (("cpu", "0"), ("mode", "user")))] == 0.07
+        assert m[("node_cpu_guest_seconds_total",
+                  (("cpu", "0"), ("mode", "nice")))] == 0.0
+
+    def test_short_line_skipped(self, spark):
+        stat = "cpu0 1 2 3 4\n"  # < 9 fields -> skipped
+        assert nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "stat", stat)]), metrics="cpu"
+        ).count() == 0
+
+    def test_stat_scalars(self, spark):
+        m = _m(nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "stat", STAT)]), metrics="stat",
+            host_label=False).collect())
+        assert m[("node_intr_total", ())] == 8411386.0
+        assert m[("node_context_switches_total", ())] == 19232379.0
+        assert m[("node_boot_time_seconds", ())] == 1699990000.0
+        assert m[("node_forks_total", ())] == 86031.0
+        assert m[("node_procs_running", ())] == 2.0
+        assert m[("node_procs_blocked", ())] == 1.0
+
+
+MEMINFO = (
+    "MemTotal:       16000 kB\n"
+    "MemFree:         2000 kB\n"
+    "Active(anon):    1234 kB\n"
+    "HugePages_Total:       5\n"
+    "DirectMap4k:   233840 kB\n"
+)
+
+
+class TestMeminfo:
+    def test_bytes_suffix_and_anon_fold(self, spark):
+        m = _m(nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "meminfo", MEMINFO)]),
+            metrics="meminfo", host_label=False).collect())
+        assert m[("node_memory_MemTotal_bytes", ())] == 16000 * 1024.0
+        assert m[("node_memory_Active_anon_bytes", ())] == 1234 * 1024.0
+        # unit-less 2-part line: no suffix, no x1024
+        assert m[("node_memory_HugePages_Total", ())] == 5.0
+
+
+DISKSTATS = (
+    " 259 0 nvme0n1 100 2 5000 40 200 4 9000 80 3 120 240 10 1 512 20 7 90\n"
+    " 259 1 nvme0n1p1 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9\n"  # ignored
+    "   7 0 loop0 5 5 5 5 5 5 5 5 5 5 5 5 5 5 5 5 5\n"
+)
+
+
+class TestDiskstats:
+    def test_fields_factors_and_ignore(self, spark):
+        out = nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "diskstats", DISKSTATS)]),
+            metrics="diskstats", host_label=False).collect()
+        m = _m(out)
+        dev = (("device", "nvme0n1"),)
+        assert m[("node_disk_reads_completed_total", dev)] == 100.0
+        assert m[("node_disk_read_bytes_total", dev)] == 5000 * 512.0
+        assert m[("node_disk_read_time_seconds_total", dev)] == 0.04
+        assert m[("node_disk_written_bytes_total", dev)] == 9000 * 512.0
+        assert m[("node_disk_io_now", dev)] == 3.0
+        assert m[("node_disk_flush_requests_time_seconds_total", dev)] == 0.09
+        # nvme0n1p1 (partition) and loop0 both match IGNORED_DEVICES
+        # (ne.h:47); the whole-disk nvme0n1 does not
+        devices = {dict(k[1]).get("device") for k in m}
+        assert devices == {"nvme0n1"}
+        assert len(out) == 17
+
+
+NETDEV = (
+    "Inter-|   Receive                                                |  Transmit\n"
+    " face |bytes    packets errs drop fifo frame compressed multicast|"
+    "bytes    packets errs drop fifo colls carrier compressed\n"
+    "  eth0: 1000 10 1 0 0 0 0 0 2000 20 2 0 0 0 0 0\n"
+    "    lo: 50 5 0 0 0 0 0 0 50 5 0 0 0 0 0 0\n"
+)
+
+
+class TestNetdev:
+    def test_header_driven_names(self, spark):
+        out = nodeexp.node_metrics(
+            _snaps(spark, [("h", 1.0, "net/dev", NETDEV)]),
+            metrics="netdev", host_label=False).collect()
+        m = _m(out)
+        eth = (("device", "eth0"),)
+        assert m[("node_network_receive_bytes_total", eth)] == 1000.0
+        assert m[("node_network_transmit_packets_total", eth)] == 20.0
+        assert m[("node_network_receive_multicast_total", eth)] == 0.0
+        assert m[("node_network_transmit_colls_total",
+                  (("device", "lo"),))] == 0.0
+        assert len(out) == 2 * 16
+
+
+class TestSmallCollectors:
+    def test_loadavg_vmstat_filefd_time_uname(self, spark):
+        rows = [
+            ("h", 1234.5, "loadavg", "0.91 0.58 0.62 2/2613 9949\n"),
+            ("h", 1234.5, "vmstat",
+             "nr_free_pages 100\noom_kill 3\npgpgin 500\npswpout 7\n"
+             "pgfault 999\npgmajfault 11\n"),
+            ("h", 1234.5, "sys/fs/file-nr", "4608\t0\t9223372036854775807\n"),
+            ("h", 1234.5, "uname",
+             "Linux\n6.1.0\n#1 SMP x\nx86_64\nnode7\n(none)"),
+        ]
+        m = _m(nodeexp.node_metrics(
+            _snaps(spark, rows), metrics="loadavg,vmstat,filefd,time,uname",
+            host_label=False).collect())
+        assert m[("node_load1", ())] == 0.91
+        assert m[("node_load15", ())] == 0.62
+        # vmstat keys filter on ^(oom_kill|pgpg|pswp|pg.*fault).*
+        assert m[("node_vmstat_oom_kill", ())] == 3.0
+        assert m[("node_vmstat_pgpgin", ())] == 500.0
+        assert m[("node_vmstat_pswpout", ())] == 7.0
+        assert m[("node_vmstat_pgmajfault", ())] == 11.0
+        assert ("node_vmstat_nr_free_pages", ()) not in m
+        assert m[("node_filefd_allocated", ())] == 4608.0
+        assert m[("node_time_seconds", ())] == 1234.5
+        assert m[("node_uname_info",
+                  (("domainname", "(none)"), ("machine", "x86_64"),
+                   ("nodename", "node7"), ("release", "6.1.0"),
+                   ("sysname", "Linux"), ("version", "#1 SMP x")))] == 1.0
+
+    def test_unknown_collector_raises(self, spark):
+        with pytest.raises(ValueError, match="unsupported"):
+            nodeexp.node_metrics(
+                _snaps(spark, []), metrics="cpu,hwmon")
+
+
+class TestLiveProc:
+    def test_live_snapshot_default_set(self, spark):
+        import os
+        import time as _time
+
+        rows = []
+        ts = _time.time()
+        for f in ["stat", "meminfo", "diskstats", "loadavg", "vmstat"]:
+            rows.append(("me", ts, f, open(f"/proc/{f}").read()))
+        rows.append(("me", ts, "net/dev", open("/proc/net/dev").read()))
+        rows.append(("me", ts, "sys/fs/file-nr",
+                     open("/proc/sys/fs/file-nr").read()))
+        u = os.uname()
+        rows.append(("me", ts, "uname", "\n".join(
+            [u.sysname, u.release, u.version, u.machine, u.nodename, ""])))
+        out = nodeexp.node_metrics(_snaps(spark, rows)).collect()
+        names = {r.metric_name for r in out}
+        for expected in ["node_cpu_seconds_total", "node_memory_MemTotal_bytes",
+                        "node_load1", "node_intr_total", "node_time_seconds",
+                        "node_uname_info", "node_filefd_allocated"]:
+            assert expected in names, expected
+        assert all(r.labels.get("host") == "me" for r in out)
+        assert len(out) > 100
+
+
+class TestConfigAndRender:
+    def test_config_and_exposition(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+        from fluent_bit_spark.metrics import prom_lines
+
+        spool = str(tmp_path / "ne")
+        _snaps(spark, [("web01", 7.0, "loadavg", "1.5 1.0 0.5 1/2 3\n")]
+               ).write.parquet(spool)
+        conf = (f"[INPUT]\n    Name node_exporter_metrics\n    Tag ne\n"
+                f"    Path {spool}\n    Metrics loadavg\n")
+        [sec] = parse_classic(conf)
+        mdf = _build_input(spark, sec)
+        rows = mdf.collect()
+        assert len(rows) == 3 and all(r.tag == "ne" for r in rows)
+        body = "\n".join(
+            r.line for r in prom_lines(mdf.drop("tag"), "gauge")
+            .orderBy("metric_name", "ord").collect())
+        assert 'node_load1{host="web01"} 1.5' in body
