@@ -1143,6 +1143,24 @@ def _build_input(
             ),
         )
         return out.withColumn("tag", F.lit(tag))
+    if name == "process_exporter_metrics":
+        # in_process_exporter_metrics (plugins/
+        # in_process_exporter_metrics/): agents stage per-process
+        # probes (parquet: host, ts, pid, stat, status, io, limits,
+        # fd_count[, boot_sec]).
+        from . import nodeexp
+
+        path = s.get("path")
+        if not path:
+            raise ValueError(
+                "INPUT process_exporter_metrics needs path (staged probes)"
+            )
+        out = nodeexp.process_metrics(
+            spark.read.parquet(path),
+            include_pattern=s.get("process_include_pattern", ".+"),
+            exclude_pattern=s.get("process_exclude_pattern"),
+        )
+        return out.withColumn("tag", F.lit(tag))
     if name == "kubernetes_events":
         # in_kubernetes_events (plugins/in_kubernetes_events/): the API
         # poll + token auth + sqlite state are transport; agents stage

@@ -389,3 +389,138 @@ def node_metrics(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# in_process_exporter_metrics — plugins/in_process_exporter_metrics/
+# pe_process.c. Process-level family (the thread_* family and wchan
+# iterate /proc/<pid>/task with the same field grammar; documented
+# boundary). Sources and field indices (split AFTER the first ")",
+# pe_process.c:1022-1125):
+#   idx 0 state -> process_states{state} one-hot over R/S/D/Z/T/I
+#   idx 1 ppid (label), idx 7 minflt, idx 9 majflt,
+#   idx 11 utime /USER_HZ {mode=user}, idx 12 stime {mode=system},
+#   idx 17 num_threads, idx 19 starttime -> btime + val/USER_HZ,
+#   idx 20 vsize {type=virtual_memory}, idx 21 rss {type=rss} — the
+#   RAW rss field (pages), no page-size scaling, kept as the C does
+# /proc/<pid>/status: Name -> name label; voluntary_ctxt_switches /
+#   nonvoluntary_ctxt_switches -> process_context_switches_total
+#   {context_switch_type} (pe_process.c:845-875)
+# /proc/<pid>/io: read_bytes/write_bytes -> process_{read,write}_
+#   bytes_total (:645-700)
+# /proc/<pid>/limits "Max open files" token 4 + the fd count ->
+#   process_open_filedesc and process_fd_ratio = fds/max (:720-780)
+# process_include_pattern (default ".+") / process_exclude_pattern
+#   filter on the status Name (pe.c config map).
+# ---------------------------------------------------------------------------
+
+_PROC_STATES = ["R", "S", "D", "Z", "T", "I"]
+
+
+def process_metrics(
+    snaps: DataFrame,
+    include_pattern: str = ".+",
+    exclude_pattern: Optional[str] = None,
+    host_label: bool = True,
+    cpu_ticks: int = 100,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    pid_col: str = "pid",
+    stat_col: str = "stat",
+    status_col: str = "status",
+    io_col: str = "io",
+    limits_col: str = "limits",
+    fd_col: str = "fd_count",
+    boot_col: Optional[str] = "boot_sec",
+) -> DataFrame:
+    """Staged per-process probes (host, ts, pid, stat, status, io,
+    limits, fd_count[, boot_sec]) -> the process-exporter metrics
+    table."""
+    hz = float(cpu_ticks)
+    stat = F.col(stat_col)
+    after = F.regexp_replace(stat, r"^[^)]*\)\s*", "")
+    f = F.split(F.trim(F.regexp_replace(after, r"\s+", " ")), " ")
+
+    def fld(i: int) -> Column:
+        # pe_process.c indexes the post-")" split 0-based
+        return _num(F.try_element_at(f, F.lit(i + 1)))
+
+    name = F.regexp_extract(F.col(status_col), r"(?m)^Name:\s*(\S+)", 1)
+    boot = (
+        F.coalesce(F.col(boot_col).cast("double"), F.lit(0.0))
+        if boot_col and boot_col in snaps.columns
+        else F.lit(0.0)
+    )
+    rows = snaps.select(
+        F.col(host_col).alias("host"),
+        name.alias("name"),
+        F.col(pid_col).cast("string").alias("pid"),
+        fld(1).cast("long").cast("string").alias("ppid"),
+        F.try_element_at(f, F.lit(1)).alias("state"),
+        (fld(11) / hz).alias("cpu_user"),
+        (fld(12) / hz).alias("cpu_system"),
+        fld(7).alias("minflt"),
+        fld(9).alias("majflt"),
+        fld(17).alias("num_threads"),
+        (boot + fld(19) / hz).alias("start_time"),
+        fld(20).alias("vsize"),
+        fld(21).alias("rss"),
+        _num(F.regexp_extract(F.col(io_col), r"(?m)^read_bytes:\s*(\d+)", 1)).alias("rd"),
+        _num(F.regexp_extract(F.col(io_col), r"(?m)^write_bytes:\s*(\d+)", 1)).alias("wr"),
+        _num(F.regexp_extract(F.col(status_col), r"(?m)^voluntary_ctxt_switches:\s*(\d+)", 1)).alias("vcs"),
+        _num(F.regexp_extract(F.col(status_col), r"(?m)^nonvoluntary_ctxt_switches:\s*(\d+)", 1)).alias("nvcs"),
+        _num(F.regexp_extract(F.col(limits_col), r"(?m)^Max open files\s+(\d+)", 1)).alias("max_fd"),
+        F.col(fd_col).cast("double").alias("fds"),
+    ).filter(F.col("name").rlike(include_pattern))
+    if exclude_pattern:
+        rows = rows.filter(~F.col("name").rlike(exclude_pattern))
+
+    npp = F.create_map(F.lit("name"), F.col("name"),
+                       F.lit("pid"), F.col("pid"),
+                       F.lit("ppid"), F.coalesce(F.col("ppid"), F.lit("")))
+
+    def with_k(key: str, value: str) -> Column:
+        return F.map_concat(npp, F.create_map(F.lit(key), F.lit(value)))
+
+    samples = F.array(
+        _sample(F.lit("process_cpu_seconds_total"), F.col("cpu_user"),
+                with_k("mode", "user")),
+        _sample(F.lit("process_cpu_seconds_total"), F.col("cpu_system"),
+                with_k("mode", "system")),
+        _sample(F.lit("process_minor_page_faults_total"), F.col("minflt"), npp),
+        _sample(F.lit("process_major_page_faults_total"), F.col("majflt"), npp),
+        _sample(F.lit("process_num_threads"), F.col("num_threads"), npp),
+        _sample(F.lit("process_start_time_seconds"), F.col("start_time"), npp),
+        _sample(F.lit("process_memory_bytes"), F.col("vsize"),
+                with_k("type", "virtual_memory")),
+        _sample(F.lit("process_memory_bytes"), F.col("rss"),
+                with_k("type", "rss")),
+        _sample(F.lit("process_read_bytes_total"), F.col("rd"), npp),
+        _sample(F.lit("process_write_bytes_total"), F.col("wr"), npp),
+        # context switches label (name, pid, type) — no ppid
+        # (pe_process.c:845-875's 3-label set)
+        _sample(F.lit("process_context_switches_total"), F.col("vcs"),
+                F.create_map(F.lit("name"), F.col("name"),
+                             F.lit("pid"), F.col("pid"),
+                             F.lit("context_switch_type"),
+                             F.lit("voluntary_ctxt_switches"))),
+        _sample(F.lit("process_context_switches_total"), F.col("nvcs"),
+                F.create_map(F.lit("name"), F.col("name"),
+                             F.lit("pid"), F.col("pid"),
+                             F.lit("context_switch_type"),
+                             F.lit("nonvoluntary_ctxt_switches"))),
+        _sample(F.lit("process_open_filedesc"), F.col("fds"), npp),
+        _sample(F.lit("process_fd_ratio"),
+                F.when(F.col("max_fd") > 0, F.col("fds") / F.col("max_fd")),
+                npp),
+        # one-hot state gauges, all six always emitted
+        # (pe_process.c:1050-1056)
+        *[
+            _sample(F.lit("process_states"),
+                    F.when(F.col("state") == st, F.lit(1.0))
+                    .otherwise(F.lit(0.0)),
+                    with_k("state", st))
+            for st in _PROC_STATES
+        ],
+    )
+    return _emit(rows, samples, host_label)

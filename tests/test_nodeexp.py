@@ -217,6 +217,90 @@ class TestLiveProc:
         assert len(out) > 100
 
 
+PROC_STAT = (
+    "1234 (my proc) S 1 1234 1234 0 -1 4194304 "
+    # minflt cminflt majflt cmajflt utime stime cutime cstime prio nice
+    "700 0 9 0 250 150 0 0 20 0 "
+    # num_threads itrealvalue starttime vsize rss ...
+    "8 0 5000 123456789 2048 99 99 99\n"
+)
+PROC_STATUS = (
+    "Name:\tmyproc\nState:\tS (sleeping)\nPid:\t1234\n"
+    "voluntary_ctxt_switches:\t42\nnonvoluntary_ctxt_switches:\t7\n"
+)
+PROC_IO = "rchar: 999\nread_bytes: 4096\nwrite_bytes: 8192\n"
+PROC_LIMITS = (
+    "Limit                     Soft Limit           Hard Limit           Units\n"
+    "Max open files            1024                 524288               files\n"
+)
+PE_SCHEMA = ("host string, ts double, pid long, stat string, status string, "
+             "io string, limits string, fd_count long, boot_sec long")
+
+
+class TestProcessExporter:
+    def _rows(self, spark):
+        return spark.createDataFrame(
+            [("h", 1.0, 1234, PROC_STAT, PROC_STATUS, PROC_IO,
+              PROC_LIMITS, 16, 1699990000)], PE_SCHEMA)
+
+    def test_process_family(self, spark):
+        m = _m(nodeexp.process_metrics(
+            self._rows(spark), host_label=False).collect())
+        npp = (("name", "myproc"), ("pid", "1234"), ("ppid", "1"))
+
+        def k(*extra):
+            return tuple(sorted(npp + extra))
+
+        assert m[("process_cpu_seconds_total",
+                  k(("mode", "user")))] == 2.5   # 250/100
+        assert m[("process_cpu_seconds_total",
+                  k(("mode", "system")))] == 1.5
+        assert m[("process_minor_page_faults_total", npp)] == 700.0
+        assert m[("process_major_page_faults_total", npp)] == 9.0
+        assert m[("process_num_threads", npp)] == 8.0
+        # starttime 5000 jiffies -> btime + 50s
+        assert m[("process_start_time_seconds", npp)] == 1699990050.0
+        assert m[("process_memory_bytes",
+                  k(("type", "virtual_memory")))] == 123456789.0
+        # raw rss field, NO page-size scaling (the C's behavior)
+        assert m[("process_memory_bytes", k(("type", "rss")))] == 2048.0
+        assert m[("process_read_bytes_total", npp)] == 4096.0
+        assert m[("process_write_bytes_total", npp)] == 8192.0
+        np = (("context_switch_type", "voluntary_ctxt_switches"),
+              ("name", "myproc"), ("pid", "1234"))
+        assert m[("process_context_switches_total", tuple(sorted(np)))] == 42.0
+        assert m[("process_open_filedesc", npp)] == 16.0
+        assert m[("process_fd_ratio", npp)] == 16.0 / 1024.0
+        # one-hot states: S=1, others 0 (comm contains a space+parens)
+        assert m[("process_states", k(("state", "S")))] == 1.0
+        assert m[("process_states", k(("state", "R")))] == 0.0
+        assert m[("process_states", k(("state", "Z")))] == 0.0
+
+    def test_include_exclude(self, spark):
+        df = self._rows(spark)
+        assert nodeexp.process_metrics(df, include_pattern="^other$").count() == 0
+        assert nodeexp.process_metrics(df, exclude_pattern="myp.*").count() == 0
+        assert nodeexp.process_metrics(df).count() > 0
+
+    def test_live_self(self, spark):
+        import os
+        pid = os.getpid()
+        rows = [(
+            "me", 1.0, pid,
+            open(f"/proc/{pid}/stat").read(),
+            open(f"/proc/{pid}/status").read(),
+            open(f"/proc/{pid}/io").read(),
+            open(f"/proc/{pid}/limits").read(),
+            len(os.listdir(f"/proc/{pid}/fd")), 0,
+        )]
+        m = _m(nodeexp.process_metrics(
+            spark.createDataFrame(rows, PE_SCHEMA), host_label=False).collect())
+        cpu = [v for (n, lab), v in m.items()
+               if n == "process_cpu_seconds_total"]
+        assert len(cpu) == 2 and all(v >= 0 for v in cpu)
+        assert any(n == "process_states" and v == 1.0 for (n, _), v in m.items())
+
+
 class TestConfigAndRender:
     def test_config_and_exposition(self, spark, tmp_path):
         from fluent_bit_spark.config import parse_classic, _build_input
