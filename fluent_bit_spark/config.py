@@ -1093,6 +1093,17 @@ def _build_input(
             fd=_bool(s.get("fd", "true")),
         )
         return out.withColumn("tag", F.lit(tag))
+    if name == "podman_metrics":
+        # in_podman_metrics (plugins/in_podman_metrics/): agents stage
+        # containers.json + libpod cgroup files + proc net/dev pages
+        # (parquet: host, ts, path, text).
+        from . import hoststats
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT podman_metrics needs path (staged dumps)")
+        out = hoststats.podman_metrics(spark.read.parquet(path))
+        return out.withColumn("tag", F.lit(tag))
     if name == "kmsg":
         # in_kmsg (plugins/in_kmsg/in_kmsg.c): /dev/kmsg is the
         # transport; agents stage ring dumps + their boot epoch

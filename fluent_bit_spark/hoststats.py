@@ -574,3 +574,224 @@ def thermal_records(
         F.col(type_col).alias("type"),
         (F.col(millis_col).cast("double") / 1000.0).alias("temp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# in_podman_metrics — plugins/in_podman_metrics/. Container discovery
+# from podman's containers.json (podman_metrics.c:39-135: id; the LAST
+# entry of names wins — the loop overwrites; image from the metadata
+# STRING's image-name\":\" substring scan, "unknown" when absent),
+# values from the cgroup tree's libpod-<id> dirs
+# (podman_metrics_config.h:94-109: v1 memory.usage_in_bytes/
+# max_usage_in_bytes/limit_in_bytes/cpuacct.usage[_user], v2
+# memory.current/peak/max + cpu.stat usage_usec/user_usec; memory.stat
+# key 'rss' both), first cgroup.procs pid -> /proc/<pid>/net/dev
+# (skip 2 header lines; fields 1/3/9/11 = rx_bytes/rx_errors/
+# tx_bytes/tx_errors, podman_metrics_config.h:77-82; veth* ignored).
+# Metric names container_{memory_usage_bytes,memory_max_usage_bytes,
+# memory_rss,spec_memory_limit_bytes,cpu_user_seconds_total,
+# cpu_usage_seconds_total,network_*} with labels {id,name,image}
+# (+interface); a missing read (UINT64_MAX sentinel) skips the sample
+# (create_counter:218-226), and BOTH cpu counters integer-divide by
+# 1e9 (create_counter:228-232) — v1 ns correctly, v2 µs too, the
+# reference's own quirk, kept.
+# ---------------------------------------------------------------------------
+
+_PODMAN_FILES = {
+    "memory.usage_in_bytes": "mem_usage",
+    "memory.current": "mem_usage",
+    "memory.max_usage_in_bytes": "mem_max",
+    "memory.peak": "mem_max",
+    "memory.limit_in_bytes": "mem_limit",
+    "memory.max": "mem_limit",
+    "memory.stat": "mem_stat",
+    "cpuacct.usage_user": "cpu_user",
+    "cpuacct.usage": "cpu",
+    "cpu.stat": "cpu_stat",
+    "cgroup.procs": "procs",
+}
+
+
+def podman_metrics(
+    files: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    path_col: str = "path",
+    text_col: str = "text",
+    host_label: bool = True,
+) -> DataFrame:
+    """in_podman_metrics over staged dumps: (host, ts, path, text)
+    rows carrying the containers.json, the libpod-<id> cgroup files,
+    and proc/<pid>/net/dev pages. Emits the metrics-table convention
+    rows; two broadcastable joins (containers, pids) — everything
+    else is codegen regexp."""
+    base = files.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.col(text_col).alias("text"),
+    )
+    # --- containers.json -> (host, id, name, image) -----------------
+    cj = base.filter(F.col("path").rlike(r"(^|/)containers\.json$"))
+    items = cj.select(
+        "host",
+        F.explode(
+            F.from_json(
+                "text",
+                "array<struct<id:string, names:array<string>, metadata:string>>",
+            )
+        ).alias("c"),
+    )
+    containers = items.select(
+        "host",
+        F.col("c.id").alias("cid"),
+        # the parse loop overwrites 'name' per names element: last wins
+        F.try_element_at(F.col("c.names"), F.lit(-1)).alias("name"),
+        F.coalesce(
+            F.when(
+                F.regexp_extract(
+                    F.col("c.metadata"), r'"image-name":"([^"]*)"', 1
+                ) != "",
+                F.regexp_extract(
+                    F.col("c.metadata"), r'"image-name":"([^"]*)"', 1
+                ),
+            ),
+            F.lit("unknown"),
+        ).alias("image"),
+    ).filter(F.col("cid").isNotNull())
+
+    # --- cgroup value rows ------------------------------------------
+    cg = base.withColumn(
+        "cid", F.regexp_extract("path", r"libpod-([0-9a-f]+)", 1)
+    ).filter(F.col("cid") != "")
+    fname = F.element_at(F.split("path", "/"), -1)
+    kind = F.lit(None).cast("string")
+    for fn, k in _PODMAN_FILES.items():
+        kind = F.when(fname == fn, F.lit(k)).otherwise(kind)
+    cg = cg.withColumn("kind", kind).filter(F.col("kind").isNotNull())
+
+    def keyval(key: str) -> Column:
+        # read_key_value_from_file: token after the key, ' :' seps
+        e = F.regexp_extract("text", rf"(?m)^{key}[ :]+(\d+)", 1)
+        return F.when(e != "", e).try_cast("decimal(20,0)")
+
+    first_num = F.regexp_extract("text", r"(\d+)", 1)
+    first_num = F.when(first_num != "", first_num).try_cast("decimal(20,0)")
+    val = (
+        F.when(F.col("kind") == "mem_stat", keyval("rss"))
+        .when(F.col("kind") == "cpu_stat", keyval("usage_usec"))
+        .when(
+            (F.col("kind") == "mem_limit")
+            & F.trim(F.col("text")).startswith("max"),
+            # v2 'max' -> UINT64_MAX == the C's invalid sentinel:
+            # the sample is SKIPPED (create_counter:218-226)
+            F.lit(None).cast("decimal(20,0)"),
+        )
+        .otherwise(first_num)
+    )
+    user_val = F.when(F.col("kind") == "cpu_stat", keyval("user_usec"))
+    vals = cg.select("host", "cid", "kind", val.alias("val"),
+                     user_val.alias("user_val"))
+    piv = vals.groupBy("host", "cid").agg(
+        F.first(F.when(F.col("kind") == "mem_usage", F.col("val")), True).alias("mem_usage"),
+        F.first(F.when(F.col("kind") == "mem_max", F.col("val")), True).alias("mem_max"),
+        F.first(F.when(F.col("kind") == "mem_limit", F.col("val")), True).alias("mem_limit"),
+        F.first(F.when(F.col("kind") == "mem_stat", F.col("val")), True).alias("rss"),
+        F.first(
+            F.coalesce(
+                F.when(F.col("kind") == "cpu_user", F.col("val")),
+                F.col("user_val"),
+            ),
+            True,
+        ).alias("cpu_user"),
+        F.first(
+            F.when(F.col("kind").isin("cpu", "cpu_stat"), F.col("val")), True
+        ).alias("cpu"),
+        F.first(F.when(F.col("kind") == "procs", F.col("val")), True).alias("pid"),
+    )
+    joined = containers.join(F.broadcast(piv), ["host", "cid"], "left")
+
+    lab = F.create_map(
+        F.lit("id"), F.col("cid"),
+        F.lit("name"), F.coalesce(F.col("name"), F.lit("")),
+        F.lit("image"), F.col("image"),
+    )
+    ns2sec = F.lit(1000000000).cast("decimal(20,0)")
+    per_container = F.array(
+        _mk_sample("container_memory_usage_bytes", F.col("mem_usage"), lab),
+        _mk_sample("container_memory_max_usage_bytes", F.col("mem_max"), lab),
+        _mk_sample("container_spec_memory_limit_bytes", F.col("mem_limit"), lab),
+        _mk_sample("container_memory_rss", F.col("rss"), lab),
+        # integer ns->s division on BOTH cpu counters (v2 µs too — the
+        # reference's own quirk)
+        _mk_sample("container_cpu_user_seconds_total",
+                   F.floor(F.col("cpu_user") / ns2sec).cast("decimal(20,0)"), lab),
+        _mk_sample("container_cpu_usage_seconds_total",
+                   F.floor(F.col("cpu") / ns2sec).cast("decimal(20,0)"), lab),
+    )
+    out = joined.select("host", F.explode(per_container).alias("s")).select(
+        F.col("s.metric_name").alias("metric_name"),
+        F.col("s.value").alias("value"),
+        (
+            F.map_concat(F.create_map(F.lit("host"), F.col("host")),
+                         F.col("s.labels"))
+            if host_label else F.col("s.labels")
+        ).alias("labels"),
+    ).filter(F.col("value").isNotNull())
+
+    # --- network: pid -> proc/<pid>/net/dev -------------------------
+    netpages = base.withColumn(
+        "pid",
+        F.regexp_extract("path", r"(?:^|/)(\d+)/net/dev$", 1).try_cast(
+            "decimal(20,0)"
+        ),
+    ).filter(F.col("pid").isNotNull())
+    owners = joined.filter(F.col("pid").isNotNull()).select(
+        "host", "pid", "cid", "name", "image"
+    )
+    net = netpages.join(F.broadcast(owners), ["host", "pid"])
+    lines = net.select(
+        "host", "cid", "name", "image",
+        F.posexplode(F.split("text", "\n")).alias("ln", "line"),
+    ).filter(
+        # skip 2 header lines (DEV_NET_IGNORE_LINES), non-empty rows
+        (F.col("ln") >= 2) & (F.trim("line") != "")
+    )
+    nf = F.split(F.trim(F.regexp_replace("line", r"[:\s]+", " ")), " ")
+    devrows = lines.select(
+        "host", "cid", "name", "image",
+        F.try_element_at(nf, F.lit(1)).alias("iface"),
+        F.try_element_at(nf, F.lit(2)).try_cast("decimal(20,0)").alias("rxb"),
+        F.try_element_at(nf, F.lit(4)).try_cast("decimal(20,0)").alias("rxe"),
+        F.try_element_at(nf, F.lit(10)).try_cast("decimal(20,0)").alias("txb"),
+        F.try_element_at(nf, F.lit(12)).try_cast("decimal(20,0)").alias("txe"),
+    ).filter(~F.col("iface").startswith("veth"))
+    nlab = F.create_map(
+        F.lit("id"), F.col("cid"),
+        F.lit("name"), F.coalesce(F.col("name"), F.lit("")),
+        F.lit("image"), F.col("image"),
+        F.lit("interface"), F.col("iface"),
+    )
+    net_samples = F.array(
+        _mk_sample("container_network_receive_bytes_total", F.col("rxb"), nlab),
+        _mk_sample("container_network_receive_errors_total", F.col("rxe"), nlab),
+        _mk_sample("container_network_transmit_bytes_total", F.col("txb"), nlab),
+        _mk_sample("container_network_transmit_errors_total", F.col("txe"), nlab),
+    )
+    net_out = devrows.select("host", F.explode(net_samples).alias("s")).select(
+        F.col("s.metric_name").alias("metric_name"),
+        F.col("s.value").alias("value"),
+        (
+            F.map_concat(F.create_map(F.lit("host"), F.col("host")),
+                         F.col("s.labels"))
+            if host_label else F.col("s.labels")
+        ).alias("labels"),
+    ).filter(F.col("value").isNotNull())
+    return out.unionByName(net_out)
+
+
+def _mk_sample(name: str, value: Column, labels: Column) -> Column:
+    return F.struct(
+        F.lit(name).alias("metric_name"),
+        value.cast("double").alias("value"),
+        labels.alias("labels"),
+    )

@@ -294,6 +294,91 @@ class TestProc:
         assert cols == ["host", "ts", "alive", "proc_name", "pid"]
 
 
+PODMAN_ID = "c" * 64
+CONTAINERS_JSON = (
+    '[{"id": "%s", "names": ["old-name", "web"], '
+    '"metadata": "{\\"image-name\\":\\"docker.io/nginx:latest\\",\\"x\\":1}"},'
+    '{"id": "%s", "names": ["db"], "metadata": "{}"}]'
+    % (PODMAN_ID, "d" * 64)
+)
+
+
+def _podman_files(host="h", ts=1.0):
+    lp = f"machine.slice/libpod-{PODMAN_ID}.scope"
+    return [
+        (host, ts, "containers.json", CONTAINERS_JSON),
+        (host, ts, f"{lp}/memory.current", "1048576\n"),
+        (host, ts, f"{lp}/memory.peak", "2097152\n"),
+        (host, ts, f"{lp}/memory.max", "max\n"),
+        (host, ts, f"{lp}/memory.stat", "anon 500\nrss 4096\nfile 100\n"),
+        (host, ts, f"{lp}/cpu.stat",
+         "usage_usec 3000000000\nuser_usec 2000000000\nsystem_usec 1\n"),
+        (host, ts, f"{lp}/cgroup.procs", "4242\n5555\n"),
+        (host, ts, "proc/4242/net/dev",
+         "Inter-|Receive|Transmit\n"
+         " face |bytes packets errs drop fifo frame compressed multicast|"
+         "bytes packets errs drop fifo colls carrier compressed\n"
+         "  eth0: 111 10 2 0 0 0 0 0 333 20 4 0 0 0 0 0\n"
+         "  veth12: 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9 9\n"),
+    ]
+
+
+class TestPodman:
+    SCHEMA = "host string, ts double, path string, text string"
+
+    def _m(self, rows):
+        return {(r.metric_name, tuple(sorted(r.labels.items()))): r.value
+                for r in rows}
+
+    def test_container_metrics(self, spark):
+        out = hoststats.podman_metrics(
+            spark.createDataFrame(_podman_files(), self.SCHEMA),
+            host_label=False,
+        ).collect()
+        m = self._m(out)
+        lab = (("id", PODMAN_ID), ("image", "docker.io/nginx:latest"),
+               ("name", "web"))  # LAST names entry wins
+        assert m[("container_memory_usage_bytes", lab)] == 1048576.0
+        assert m[("container_memory_max_usage_bytes", lab)] == 2097152.0
+        assert m[("container_memory_rss", lab)] == 4096.0
+        # v2 'max' limit = the UINT64_MAX invalid sentinel -> skipped
+        assert ("container_spec_memory_limit_bytes", lab) not in m
+        # integer division by 1e9 on BOTH cpu counters (the C's quirk:
+        # v2 µs treated as ns)
+        assert m[("container_cpu_usage_seconds_total", lab)] == 3.0
+        assert m[("container_cpu_user_seconds_total", lab)] == 2.0
+        # network from first cgroup.procs pid; veth* ignored
+        nlab = lab + (("interface", "eth0"),)
+        assert m[("container_network_receive_bytes_total",
+                  tuple(sorted(nlab)))] == 111.0
+        assert m[("container_network_transmit_errors_total",
+                  tuple(sorted(nlab)))] == 4.0
+        assert not any("veth" in str(k) for k in m)
+        # the second container has no cgroup rows -> no samples
+        assert not any(dict(k[1]).get("name") == "db" for k in m)
+
+    def test_missing_image_is_unknown(self, spark):
+        files = [("h", 1.0, "containers.json", CONTAINERS_JSON),
+                 ("h", 1.0, f"x/libpod-{'d'*64}.scope/memory.current", "7\n")]
+        m = self._m(hoststats.podman_metrics(
+            spark.createDataFrame(files, self.SCHEMA), host_label=False
+        ).collect())
+        lab = (("id", "d" * 64), ("image", "unknown"), ("name", "db"))
+        assert m[("container_memory_usage_bytes", lab)] == 7.0
+
+    def test_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "pod")
+        spark.createDataFrame(
+            _podman_files(), self.SCHEMA).write.parquet(spool)
+        [sec] = parse_classic(
+            f"[INPUT]\n    Name podman_metrics\n    Tag pod\n    Path {spool}\n")
+        rows = _build_input(spark, sec).collect()
+        assert len(rows) > 5 and all(r.tag == "pod" for r in rows)
+        assert all(r.labels["host"] == "h" for r in rows)
+
+
 class TestConfigInputs:
     def test_docker_and_proc_config_e2e(self, spark, tmp_path):
         from fluent_bit_spark.config import parse_classic, _build_input
