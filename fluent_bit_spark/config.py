@@ -1093,6 +1093,50 @@ def _build_input(
             fd=_bool(s.get("fd", "true")),
         )
         return out.withColumn("tag", F.lit(tag))
+    if name == "random":
+        # in_random (plugins/in_random/random.c:52-90): one
+        # {"rand_value": uint64} record per tick, 'samples' ticks
+        # (-1 = the C's unbounded loop; batch analogue requires a
+        # bound). The C draws from the OS entropy pool — the
+        # deterministic batch analogue derives each value from
+        # xxhash64(seed, i) so reruns reproduce.
+        samples = int(s.get("samples", "10"))
+        if samples < 0:
+            raise ValueError("INPUT random needs samples >= 0 (batch bound)")
+        seed = int(s.get("seed", "0"))
+        out = (
+            spark.range(samples)
+            .select(
+                F.xxhash64(F.lit(seed), F.col("id")).alias("rand_value")
+            )
+        )
+        return out.withColumn("tag", F.lit(tag))
+    if name == "health":
+        # in_health (plugins/in_health/health.c:60-130): one TCP
+        # connect probe per tick -> {"alive": bool} (+hostname/port
+        # under add_host/add_port); alert mode emits only failures.
+        # The probe runs here, driver-side — the same single socket
+        # attempt the C makes per interval.
+        import socket
+
+        host = s.get("host", "127.0.0.1")
+        port = int(s.get("port", "80"))
+        try:
+            sock = socket.create_connection((host, port), timeout=3)
+            sock.close()
+            alive = True
+        except OSError:
+            alive = False
+        if alive and _bool(s.get("alert", "false")):
+            rows: list = []
+        else:
+            rows = [(alive,)]
+        out = spark.createDataFrame(rows, "alive boolean")
+        if _bool(s.get("add_host", "false")):
+            out = out.withColumn("hostname", F.lit(host))
+        if _bool(s.get("add_port", "false")):
+            out = out.withColumn("port", F.lit(port))
+        return out.withColumn("tag", F.lit(tag))
     if name == "podman_metrics":
         # in_podman_metrics (plugins/in_podman_metrics/): agents stage
         # containers.json + libpod cgroup files + proc net/dev pages
@@ -2223,7 +2267,8 @@ def _build_sink(s: Section) -> SinkSpec:
             match=match, fmt="plot", ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
-    if name in ("logdna", "nrlogs", "azure", "skywalking"):
+    if name in ("logdna", "nrlogs", "azure", "skywalking", "kafka_rest",
+                "vivo_exporter"):
         # thin vendor staging paths (option names per each plugin's
         # config map; auth/endpoint options are delivery, ignored here)
         optmap = {
@@ -2235,6 +2280,12 @@ def _build_sink(s: Section) -> SinkSpec:
             # skywalking.c config_map (auth_token = delivery)
             "skywalking": (("svc_name", "svc_name"),
                            ("svc_inst_name", "svc_inst_name")),
+            # kafka_conf.c option walk (avro header = transport)
+            "kafka_rest": (("time_key", "time_key"),
+                           ("time_key_format", "time_key_format"),
+                           ("message_key", "message_key"),
+                           ("tag_key", "tag_key")),
+            "vivo_exporter": (),
         }[name]
         opts = {}
         for src, dst in optmap:
@@ -2242,9 +2293,17 @@ def _build_sink(s: Section) -> SinkSpec:
                 opts[dst] = s.get(src)
         if name == "azure" and s.get("time_generated") is not None:
             opts["time_generated"] = _bool(s.get("time_generated"))
+        if name == "kafka_rest":
+            if s.get("partition") is not None:
+                opts["partition"] = int(s.get("partition"))
+            if s.get("include_tag_key") is not None:
+                opts["include_tag_key"] = _bool(s.get("include_tag_key"))
+        # the vivo plugin registers as vivo_exporter; the staging fmt
+        # key is 'vivo'
+        fmt = "vivo" if name == "vivo_exporter" else name
         return SinkSpec(
             s.get("sink_name", f"{name}_{match.replace('*', 'all')}"),
-            match=match, fmt=name, ts_col=s.get("ts_col"),
+            match=match, fmt=fmt, ts_col=s.get("ts_col"),
             format_options=opts, processors=procs,
         )
     if name == "cloudwatch_logs":

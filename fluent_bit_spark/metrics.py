@@ -462,3 +462,44 @@ def histogram_samples(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fluentbit_self_metrics(
+    spark,
+    counts: Optional[dict] = None,
+    input_records: Optional[dict] = None,
+    uptime_sec: Optional[float] = None,
+    scrapes: int = 1,
+) -> DataFrame:
+    """in_fluentbit_metrics analogue (plugins/in_fluentbit_metrics/
+    metrics.c:33-60 + the engine registry src/flb_metrics.c): the
+    plugin forwards the process's own cmetrics registry and bumps
+    fluentbit_input_metrics_scrapes_total{name}. The pipeline-run
+    analogue renders the run's observable state as the engine's
+    metric names:
+
+    * fluentbit_output_proc_records_total{name=<sink>} — per-sink
+      counts returned by write_sinks / run_classic_config
+    * fluentbit_input_records_total{name=<input>} — optional per-input
+      record counts
+    * fluentbit_uptime{hostname?} — optional run wall seconds
+    * fluentbit_input_metrics_scrapes_total{name="fluentbit_metrics.0"}
+
+    Returns the metrics-table convention frame, renderable with
+    prom_lines — closing the in_fluentbit_metrics →
+    out_prometheus_exporter self-observability loop.
+    """
+    rows = []
+    for sink, n in (counts or {}).items():
+        rows.append(("fluentbit_output_proc_records_total",
+                     float(n), {"name": str(sink)}))
+    for src, n in (input_records or {}).items():
+        rows.append(("fluentbit_input_records_total",
+                     float(n), {"name": str(src)}))
+    if uptime_sec is not None:
+        rows.append(("fluentbit_uptime", float(uptime_sec), {}))
+    rows.append(("fluentbit_input_metrics_scrapes_total",
+                 float(scrapes), {"name": "fluentbit_metrics.0"}))
+    return spark.createDataFrame(
+        rows, "metric_name string, value double, labels map<string,string>"
+    )

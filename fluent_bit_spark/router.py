@@ -649,7 +649,8 @@ def write_sinks(
                     dest, "msgpack.gz", count_col="n")
                 counts[s.name] = obs.get["n"]
                 continue
-            if s.fmt in ("logdna", "nrlogs", "azure", "skywalking"):
+            if s.fmt in ("logdna", "nrlogs", "azure", "skywalking",
+                         "kafka_rest", "vivo"):
                 # thin vendor staging: one request body per (tag, chunk)
                 from . import vendorfmt
 
@@ -660,7 +661,9 @@ def write_sinks(
                 fn = {"logdna": vendorfmt.logdna_payloads,
                       "nrlogs": vendorfmt.nrlogs_payloads,
                       "azure": vendorfmt.azure_payloads,
-                      "skywalking": vendorfmt.skywalking_payloads}[s.fmt]
+                      "skywalking": vendorfmt.skywalking_payloads,
+                      "kafka_rest": vendorfmt.kafka_rest_payloads,
+                      "vivo": vendorfmt.vivo_payloads}[s.fmt]
                 fn(part, tag_col=tag_col, ts_col=ts_col,
                    **(s.format_options or {})) \
                     .write.mode("overwrite").parquet(dest)

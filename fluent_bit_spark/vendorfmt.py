@@ -386,3 +386,160 @@ def _py_json_key(s: str) -> str:
         s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
         .replace("\r", "\\r").replace("\t", "\\t")
     )
+
+
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+    "T": "HH:mm:ss", "y": "yy", "j": "DDD", "e": "d", "p": "a",
+    "z": "xx", "Z": "zz",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            out.append(_STRFTIME_JAVA.get(tok, tok))
+            i += 2
+        elif ch.isalpha():
+            out.append("'" + ch + "'")  # literal letters need quoting
+            i += 1
+        elif ch == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def kafka_rest_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    partition: Optional[int] = None,
+    message_key: Optional[str] = None,
+    time_key: str = "@timestamp",
+    time_key_format: str = "%Y-%m-%dT%H:%M:%S",
+    include_tag_key: bool = False,
+    tag_key: str = "_flb-key",
+) -> DataFrame:
+    """out_kafka_rest (kafka.c:110-220): one ``{"records": [...]}``
+    body per (tag, chunk); each record = {("partition")?, ("key")?,
+    "value": {time_key: strftime(time_key_format) + ".%09dZ" nanos,
+    (tag_key: tag)?, ...record}}. Defaults per kafka.h:23-24 and
+    kafka_conf.c."""
+    rec_cols = [c for c in df.columns if c not in (tag_col, ts_col)]
+    if ts_col is not None:
+        tsc = F.col(f"`{ts_col}`").cast("timestamp")
+        # strftime %Y-%m-%dT%H:%M:%S -> Spark pattern (literal letters
+        # must be single-quoted in Java patterns); nanos appended as
+        # the C's snprintf ".%09luZ"
+        java_fmt = _strftime_to_java(time_key_format)
+        nanos = F.lpad(
+            ((F.coalesce(F.unix_micros(tsc), F.lit(0)) % 1_000_000) * 1000)
+            .cast("string"), 9, "0")
+        tval = F.concat(
+            F.coalesce(F.date_format(tsc, java_fmt),
+                       F.lit("1970-01-01T00:00:00")),
+            F.lit("."), nanos, F.lit("Z"))
+    else:
+        tval = F.lit("1970-01-01T00:00:00.000000000Z")
+    head = [F.lit('{"%s":"' % _py_json_key(time_key)), tval, F.lit('"')]
+    if include_tag_key:
+        head += [F.lit(',"%s":"' % _py_json_key(tag_key)),
+                 fb_json_escape(F.col(f"`{tag_col}`").cast("string")),
+                 F.lit('"')]
+    body = fb_json_body(df, rec_cols) if rec_cols else F.lit("{}")
+    value = F.concat(
+        *head,
+        F.when(F.length(body) > 2,
+               F.concat(F.lit(","), F.substring(body, 2, 2147483647)))
+        .otherwise(F.lit("}")),
+    )
+    outer = []
+    if partition is not None and partition >= 0:
+        outer.append(F.lit('"partition":%d,' % partition))
+    if message_key is not None:
+        outer.append(F.lit('"key":"%s",' % _py_json_key(message_key)))
+    line = F.concat(F.lit("{"), *outer, F.lit('"value":'), value, F.lit("}"))
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    return _group_json_arrays(rendered, lambda s: '{"records":[' + s + "]}")
+
+
+def vivo_payloads(
+    df: DataFrame,
+    *,
+    tag_col: str = "tag",
+    ts_col: Optional[str] = None,
+    source_type: str = "lib",
+    source_name: str = "lib.0",
+) -> DataFrame:
+    """out_vivo_exporter (vivo.c:55-300 format_logs): per (tag, chunk)
+    ``{"source_type": ..., "source_name": ..., "tag": tag, "records":
+    [{"timestamp": ns_epoch, "metadata": {...}, ...record}]}`` — the
+    stream buffer the plugin serves over its /logs endpoint. A
+    ``metadata`` map column rides through as the record's metadata
+    member; otherwise an empty map is emitted (the shape the C packs
+    for metadata-less events)."""
+    has_meta = "metadata" in df.columns
+    rec_cols = [c for c in df.columns
+                if c not in (tag_col, ts_col, "metadata")]
+    if ts_col is not None:
+        tsc = F.col(f"`{ts_col}`").cast("timestamp")
+        # ns epoch without double rounding: micros * 1000
+        ns = (F.coalesce(F.unix_micros(tsc), F.lit(0)) * 1000).cast("string")
+    else:
+        ns = F.lit("0")
+    if has_meta:
+        m = F.col("`metadata`")
+        meta = F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.map_entries(m),
+                    lambda e: F.concat(F.lit('"'), fb_json_escape(e["key"]),
+                                       F.lit('":"'),
+                                       fb_json_escape(e["value"].cast("string")),
+                                       F.lit('"')),
+                ),
+            ),
+            F.lit("}"),
+        )
+    else:
+        meta = F.lit("{}")
+    body = fb_json_body(df, rec_cols) if rec_cols else F.lit("{}")
+    line = F.concat(
+        F.lit('{"timestamp":'), ns, F.lit(',"metadata":'), meta,
+        F.when(F.length(body) > 2,
+               F.concat(F.lit(","), F.substring(body, 2, 2147483647)))
+        .otherwise(F.lit("}")),
+    )
+    rendered = df.select(F.col(f"`{tag_col}`").alias("tag"),
+                         line.alias("line"))
+    head = ('{"source_type":"%s","source_name":"%s"'
+            % (_py_json_key(source_type), _py_json_key(source_name)))
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            groups: dict = {}
+            for tag, ln in zip(pdf["tag"], pdf["line"]):
+                groups.setdefault(str(tag), []).append(ln)
+            tags = list(groups)
+            yield pd.DataFrame({
+                "tag": tags,
+                "body": [head + ',"tag":"' + _py_json_key(t)
+                         + '","records":[' + ",".join(groups[t]) + "]}"
+                         for t in tags],
+                "n": [len(groups[t]) for t in tags],
+            })
+
+    return rendered.mapInPandas(run, "tag string, body string, n long")

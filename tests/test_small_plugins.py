@@ -1,0 +1,191 @@
+"""Small-plugin closures: out_kafka_rest / out_vivo_exporter body
+staging, in_random / in_health inputs, and the in_fluentbit_metrics
+self-observability loop."""
+
+import json
+import socketserver
+import textwrap
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.vendorfmt import kafka_rest_payloads, vivo_payloads
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [("k.app", 1700000000.5, "boot ok", "info")],
+        "tag string, es double, msg string, level string",
+    ).select("tag", F.timestamp_seconds(F.col("es")).alias("ts"),
+             "msg", "level").coalesce(1)
+
+
+class TestKafkaRest:
+    def test_records_envelope(self, spark, frame):
+        (r,) = kafka_rest_payloads(frame, ts_col="ts").collect()
+        body = json.loads(r["body"])
+        (rec,) = body["records"]
+        assert set(rec) == {"value"}  # no partition/key by default
+        v = rec["value"]
+        # @timestamp = strftime + .%09dZ nanos (kafka.c:184-195)
+        assert v["@timestamp"] == "2023-11-14T22:13:20.500000000Z"
+        assert v["msg"] == "boot ok" and v["level"] == "info"
+
+    def test_partition_key_and_tag(self, spark, frame):
+        (r,) = kafka_rest_payloads(
+            frame, ts_col="ts", partition=3, message_key="mk",
+            include_tag_key=True, tag_key="tk").collect()
+        (rec,) = json.loads(r["body"])["records"]
+        assert rec["partition"] == 3 and rec["key"] == "mk"
+        assert rec["value"]["tk"] == "k.app"
+
+    def test_config_sink(self, spark, tmp_path):
+        from fluent_bit_spark.config import run_classic_config
+
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag kr
+            Samples 2
+            Dummy {"m": "x"}
+
+        [OUTPUT]
+            Name kafka_rest
+            Match *
+            Partition 1
+            Include_Tag_Key true
+        """)
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["kafka_rest_all"] == 2
+        out = spark.read.parquet(str(tmp_path / "out" / "kafka_rest_all"))
+        recs = [rec for r in out.collect()
+                for rec in json.loads(r["body"])["records"]]
+        assert all(rec["partition"] == 1 and rec["value"]["_flb-key"] == "kr"
+                   for rec in recs)
+
+
+class TestVivo:
+    def test_stream_shape(self, spark, frame):
+        (r,) = vivo_payloads(
+            frame, ts_col="ts", source_type="forward",
+            source_name="forward.0").collect()
+        body = json.loads(r["body"])
+        assert body["source_type"] == "forward"
+        assert body["source_name"] == "forward.0"
+        assert body["tag"] == "k.app"
+        (rec,) = body["records"]
+        # ns epoch via micros*1000 (no double rounding)
+        assert rec["timestamp"] == 1700000000500000000
+        assert rec["metadata"] == {} and rec["msg"] == "boot ok"
+
+    def test_metadata_column_rides(self, spark):
+        df = spark.createDataFrame(
+            [("t", "m1", {"level": "info"})],
+            "tag string, msg string, metadata map<string,string>",
+        ).coalesce(1)
+        (r,) = vivo_payloads(df).collect()
+        (rec,) = json.loads(r["body"])["records"]
+        assert rec["metadata"] == {"level": "info"}
+        assert "metadata" not in [k for k in rec if k == "msg"] or True
+        assert rec["msg"] == "m1"
+
+    def test_config_sink(self, spark, tmp_path):
+        from fluent_bit_spark.config import run_classic_config
+
+        conf = textwrap.dedent("""
+        [INPUT]
+            Name dummy
+            Tag v
+            Samples 1
+            Dummy {"m": "x"}
+
+        [OUTPUT]
+            Name vivo_exporter
+            Match *
+        """)
+        run = run_classic_config(spark, conf, str(tmp_path / "out"))
+        assert run.counts["vivo_exporter_all"] == 1
+        out = spark.read.parquet(str(tmp_path / "out" / "vivo_exporter_all"))
+        body = json.loads(out.collect()[0]["body"])
+        assert body["tag"] == "v" and body["records"][0]["m"] == "x"
+
+
+class TestRandomInput:
+    def test_deterministic_samples(self, spark):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        [sec] = parse_classic(
+            "[INPUT]\n    Name random\n    Tag r\n    Samples 5\n")
+        a = _build_input(spark, sec).collect()
+        b = _build_input(spark, sec).collect()
+        assert len(a) == 5 and a == b  # deterministic rerun
+        assert len({r.rand_value for r in a}) == 5
+        [sec2] = parse_classic(
+            "[INPUT]\n    Name random\n    Tag r\n    Samples 5\n    Seed 9\n")
+        c = _build_input(spark, sec2).collect()
+        assert {r.rand_value for r in c} != {r.rand_value for r in a}
+
+
+class TestHealthInput:
+    def _server(self):
+        srv = socketserver.TCPServer(("127.0.0.1", 0),
+                                     socketserver.BaseRequestHandler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, srv.server_address[1]
+
+    def test_alive_and_fields(self, spark):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        srv, port = self._server()
+        try:
+            [sec] = parse_classic(
+                f"[INPUT]\n    Name health\n    Tag h\n    Host 127.0.0.1\n"
+                f"    Port {port}\n    Add_Host true\n    Add_Port true\n")
+            [r] = _build_input(spark, sec).collect()
+            assert r.alive is True and r.hostname == "127.0.0.1"
+            assert r.port == port
+        finally:
+            srv.shutdown()
+
+    def test_dead_and_alert(self, spark):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        # a port nothing listens on
+        srv, port = self._server()
+        srv.shutdown(); srv.server_close()
+        [sec] = parse_classic(
+            f"[INPUT]\n    Name health\n    Tag h\n    Host 127.0.0.1\n"
+            f"    Port {port}\n")
+        [r] = _build_input(spark, sec).collect()
+        assert r.alive is False
+        # alert mode: only down ticks emit -> 1 row here, 0 when alive
+        [sec2] = parse_classic(
+            f"[INPUT]\n    Name health\n    Tag h\n    Host 127.0.0.1\n"
+            f"    Port {port}\n    Alert true\n")
+        assert _build_input(spark, sec2).count() == 1
+
+
+class TestFluentbitSelfMetrics:
+    def test_loop_to_exposition(self, spark):
+        from fluent_bit_spark.metrics import fluentbit_self_metrics, prom_lines
+
+        mdf = fluentbit_self_metrics(
+            spark,
+            counts={"es_all": 120, "counter_all": 120},
+            input_records={"dummy.0": 120},
+            uptime_sec=4.5,
+        )
+        m = {(r.metric_name, tuple(sorted(r.labels.items()))): r.value
+             for r in mdf.collect()}
+        assert m[("fluentbit_output_proc_records_total",
+                  (("name", "es_all"),))] == 120.0
+        assert m[("fluentbit_input_records_total",
+                  (("name", "dummy.0"),))] == 120.0
+        assert m[("fluentbit_uptime", ())] == 4.5
+        assert m[("fluentbit_input_metrics_scrapes_total",
+                  (("name", "fluentbit_metrics.0"),))] == 1.0
+        body = "\n".join(r.line for r in prom_lines(mdf, "counter")
+                         .orderBy("metric_name", "ord").collect())
+        assert 'fluentbit_output_proc_records_total{name="es_all"} 120' in body
