@@ -1198,6 +1198,21 @@ def _build_input(
             ),
         )
         return out.withColumn("tag", F.lit(tag))
+    if name == "gpu_metrics":
+        # in_gpu_metrics (plugins/in_gpu_metrics/): agents stage GPU
+        # sysfs dumps (parquet: host, ts, path, text) under
+        # class/drm/card<N>/.
+        from . import nodeexp
+
+        path = s.get("path")
+        if not path:
+            raise ValueError("INPUT gpu_metrics needs path (staged sysfs dumps)")
+        out = nodeexp.gpu_metrics(
+            spark.read.parquet(path),
+            cards_include=s.get("cards_include"),
+            cards_exclude=s.get("cards_exclude"),
+        )
+        return out.withColumn("tag", F.lit(tag))
     if name == "process_exporter_metrics":
         # in_process_exporter_metrics (plugins/
         # in_process_exporter_metrics/): agents stage per-process

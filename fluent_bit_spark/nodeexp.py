@@ -524,3 +524,114 @@ def process_metrics(
         ],
     )
     return _emit(rows, samples, host_label)
+
+
+# ---------------------------------------------------------------------------
+# in_gpu_metrics — plugins/in_gpu_metrics/ (amd_gpu.c + gpu_metrics.c).
+# AMD sysfs decode over staged card-file dumps:
+#   gpu_utilization_percent{card,vendor} <- device/gpu_busy_percent
+#   gpu_memory_used_bytes / gpu_memory_total_bytes <-
+#       mem_info_vram_used / mem_info_vram_total
+#   gpu_clock_mhz{card,vendor,type graphics|memory|soc} <- the
+#       '*'-marked line of pp_dpm_sclk/mclk/socclk, "%d: %lfMhz"
+#       (read_clock_file:344-380)
+#   gpu_power_watts <- hwmon power1_average / 1e6 (µW, :391-400)
+#   gpu_temperature_celsius <- hwmon temp1_input / 1000 (:417-426)
+#   gpu_fan_speed_rpm <- hwmon fan1_input raw
+#   gpu_fan_pwm_percent <- hwmon pwm1 * 100 / 255 (:470-485)
+# vendor label fixed 'amd'; cards include/exclude = comma lists with
+# N-M ranges (match_card_pattern:50-85); a missing/unreadable file
+# just skips that sample.
+# ---------------------------------------------------------------------------
+
+_GPU_FILES = {
+    "gpu_busy_percent": ("gpu_utilization_percent", None, 1.0),
+    "mem_info_vram_used": ("gpu_memory_used_bytes", None, 1.0),
+    "mem_info_vram_total": ("gpu_memory_total_bytes", None, 1.0),
+    "pp_dpm_sclk": ("gpu_clock_mhz", "graphics", 1.0),
+    "pp_dpm_mclk": ("gpu_clock_mhz", "memory", 1.0),
+    "pp_dpm_socclk": ("gpu_clock_mhz", "soc", 1.0),
+    "power1_average": ("gpu_power_watts", None, 1e-6),
+    "temp1_input": ("gpu_temperature_celsius", None, 1e-3),
+    "fan1_input": ("gpu_fan_speed_rpm", None, 1.0),
+    "pwm1": ("gpu_fan_pwm_percent", None, 100.0 / 255.0),
+}
+
+
+def _card_pattern_ids(pattern: str) -> set:
+    out: set = set()
+    for tok in pattern.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "-" in tok:
+            a, b = tok.split("-", 1)
+            out.update(range(int(a), int(b) + 1))
+        else:
+            out.add(int(tok))
+    return out
+
+
+def gpu_metrics(
+    snaps: DataFrame,
+    cards_include: Optional[str] = None,
+    cards_exclude: Optional[str] = None,
+    host_label: bool = True,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    path_col: str = "path",
+    text_col: str = "text",
+) -> DataFrame:
+    """Staged GPU sysfs dumps (host, ts, path, text) with paths under
+    class/drm/card<N>/... -> the gpu_* metrics table."""
+    base = snaps.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.col(text_col).alias("text"),
+    ).withColumn(
+        "card", F.regexp_extract("path", r"(?:^|/)card(\d+)/", 1)
+    ).filter(F.col("card") != "")
+    if cards_exclude:
+        ids = _card_pattern_ids(cards_exclude)
+        if ids:
+            base = base.filter(
+                ~F.col("card").cast("int").isin(*sorted(ids)))
+    if cards_include:
+        ids = _card_pattern_ids(cards_include)
+        if ids:
+            base = base.filter(
+                F.col("card").cast("int").isin(*sorted(ids)))
+    fname = F.element_at(F.split("path", "/"), -1)
+    metric = F.lit(None).cast("string")
+    ctype = F.lit(None).cast("string")
+    scale = F.lit(None).cast("double")
+    for fn, (mname, typ, sc) in _GPU_FILES.items():
+        metric = F.when(fname == fn, F.lit(mname)).otherwise(metric)
+        ctype = F.when(
+            fname == fn,
+            F.lit(typ) if typ else F.lit(None).cast("string"),
+        ).otherwise(ctype)
+        scale = F.when(fname == fn, F.lit(sc)).otherwise(scale)
+    rows = base.withColumn("metric", metric).filter(
+        F.col("metric").isNotNull()
+    )
+    is_clock = F.col("metric") == "gpu_clock_mhz"
+    # clock files: the '*'-marked line's "%d: %lfMhz"; others: first
+    # number in the file
+    clock_val = F.regexp_extract(
+        "text", r"(?m)^\d+:\s*([0-9.]+)\s*Mhz.*\*", 1
+    )
+    plain_val = F.regexp_extract("text", r"([0-9.]+)", 1)
+    raw = F.when(is_clock, clock_val).otherwise(plain_val)
+    val = F.when(raw != "", raw).try_cast("double") * scale
+    lab = F.when(
+        ctype.isNotNull(),
+        F.create_map(F.lit("card"), F.col("card"),
+                     F.lit("vendor"), F.lit("amd"),
+                     F.lit("type"), ctype),
+    ).otherwise(
+        F.create_map(F.lit("card"), F.col("card"),
+                     F.lit("vendor"), F.lit("amd"))
+    )
+    samples = F.array(_sample(F.col("metric"), val, lab))
+    return _emit(rows, samples, host_label)

@@ -301,6 +301,63 @@ class TestProcessExporter:
         assert any(n == "process_states" and v == 1.0 for (n, _), v in m.items())
 
 
+def _gpu_files(host="h", ts=1.0, card=0):
+    d = f"class/drm/card{card}/device"
+    h = f"{d}/hwmon/hwmon3"
+    return [
+        (host, ts, f"{d}/gpu_busy_percent", "37\n"),
+        (host, ts, f"{d}/mem_info_vram_used", "1073741824\n"),
+        (host, ts, f"{d}/mem_info_vram_total", "8589934592\n"),
+        (host, ts, f"{d}/pp_dpm_sclk",
+         "0: 500Mhz\n1: 1200Mhz *\n2: 2100Mhz\n"),
+        (host, ts, f"{d}/pp_dpm_mclk", "0: 96Mhz *\n1: 456Mhz\n"),
+        (host, ts, f"{h}/power1_average", "135000000\n"),
+        (host, ts, f"{h}/temp1_input", "64000\n"),
+        (host, ts, f"{h}/fan1_input", "1530\n"),
+        (host, ts, f"{h}/pwm1", "51\n"),
+    ]
+
+
+class TestGpuMetrics:
+    SCHEMA = "host string, ts double, path string, text string"
+
+    def test_amd_family(self, spark):
+        m = _m(nodeexp.gpu_metrics(
+            spark.createDataFrame(_gpu_files(), self.SCHEMA),
+            host_label=False).collect())
+        lab = (("card", "0"), ("vendor", "amd"))
+        assert m[("gpu_utilization_percent", lab)] == 37.0
+        assert m[("gpu_memory_used_bytes", lab)] == 1073741824.0
+        assert m[("gpu_memory_total_bytes", lab)] == 8589934592.0
+        # the '*'-marked line wins, not the first
+        assert m[("gpu_clock_mhz",
+                  tuple(sorted(lab + (("type", "graphics"),))))] == 1200.0
+        assert m[("gpu_clock_mhz",
+                  tuple(sorted(lab + (("type", "memory"),))))] == 96.0
+        assert m[("gpu_power_watts", lab)] == 135.0        # µW / 1e6
+        assert m[("gpu_temperature_celsius", lab)] == 64.0  # m°C / 1e3
+        assert m[("gpu_fan_speed_rpm", lab)] == 1530.0
+        assert m[("gpu_fan_pwm_percent", lab)] == 51 * 100.0 / 255.0
+
+    def test_card_include_exclude_ranges(self, spark):
+        files = _gpu_files(card=0) + _gpu_files(card=2) + _gpu_files(card=5)
+        df = spark.createDataFrame(files, self.SCHEMA)
+        inc = nodeexp.gpu_metrics(df, cards_include="0-2").collect()
+        assert {r.labels["card"] for r in inc} == {"0", "2"}
+        exc = nodeexp.gpu_metrics(df, cards_exclude="2,5").collect()
+        assert {r.labels["card"] for r in exc} == {"0"}
+
+    def test_config_e2e(self, spark, tmp_path):
+        from fluent_bit_spark.config import parse_classic, _build_input
+
+        spool = str(tmp_path / "gpu")
+        spark.createDataFrame(_gpu_files(), self.SCHEMA).write.parquet(spool)
+        [sec] = parse_classic(
+            f"[INPUT]\n    Name gpu_metrics\n    Tag g\n    Path {spool}\n")
+        rows = _build_input(spark, sec).collect()
+        assert len(rows) == 9 and all(r.tag == "g" for r in rows)
+
+
 class TestConfigAndRender:
     def test_config_and_exposition(self, spark, tmp_path):
         from fluent_bit_spark.config import parse_classic, _build_input
