@@ -366,6 +366,46 @@ class TestPodman:
         lab = (("id", "d" * 64), ("image", "unknown"), ("name", "db"))
         assert m[("container_memory_usage_bytes", lab)] == 7.0
 
+    def test_reference_fixture_golden(self, spark):
+        """The reference's own runtime fixture (tests/runtime/data/
+        podman/regular + cgroupv2, transcribed): one container
+        'determined_mcnulty', every staged value 42, pid 42's net/dev
+        carrying lo/enp6s0/wlp5s0/virbr0 (no veth)."""
+        rid = "8a19d6058bfbe88cd0548eba9047d94c70161f5d74b545c7504b2f27491686d9"
+        cfg = (
+            '[{"id":"%s","names":["determined_mcnulty"],'
+            '"image":"27941809078cc9b2802deb2b0bb6feed6c236cde01e487f2'
+            '00e24653533701ee",'
+            '"metadata":"{\\"image-name\\":\\"docker.io/library/ubuntu:latest\\",'
+            '\\"name\\":\\"determined_mcnulty\\",\\"created-at\\":1657980361}",'
+            '"created":"2022-07-16T14:06:01.521179687Z"}]' % rid
+        )
+        netdev = (
+            "Inter-|   Receive                                                |  Transmit\n"
+            " face |bytes    packets errs drop fifo frame compressed multicast|"
+            "bytes    packets errs drop fifo colls carrier compressed\n"
+            "    lo: 34275905    6362    0    0    0     0          0         0 "
+            "34275905    6362    0    0    0     0       0          0\n"
+            "enp6s0: 9089298401 6228223    0    0    0     0          0      5669 "
+            "173774157 2534993    0    0    0     0       0          0\n"
+        )
+        files = [
+            ("h", 1.0, "containers.json", cfg),
+            ("h", 1.0, f"memory/libpod-{rid}/memory.usage_in_bytes", "42\n"),
+            ("h", 1.0, f"systemd/libpod-{rid}/cgroup.procs", "42\n73\n12\n"),
+            ("h", 1.0, "proc/42/net/dev", netdev),
+        ]
+        m = self._m(hoststats.podman_metrics(
+            spark.createDataFrame(files, self.SCHEMA), host_label=False
+        ).collect())
+        lab = (("id", rid), ("image", "docker.io/library/ubuntu:latest"),
+               ("name", "determined_mcnulty"))
+        assert m[("container_memory_usage_bytes", lab)] == 42.0
+        lo = tuple(sorted(lab + (("interface", "lo"),)))
+        assert m[("container_network_receive_bytes_total", lo)] == 34275905.0
+        en = tuple(sorted(lab + (("interface", "enp6s0"),)))
+        assert m[("container_network_transmit_bytes_total", en)] == 173774157.0
+
     def test_config_e2e(self, spark, tmp_path):
         from fluent_bit_spark.config import parse_classic, _build_input
 

@@ -114,6 +114,71 @@ class TestWatch:
             ("u1", "ADDED"), ("u2", "MODIFIED")]
 
 
+class TestReferenceGoldens:
+    """The reference's own runtime fixtures (tests/runtime/data/
+    in_kubernetes_events/*.json + .out pairs, transcribed): each .out
+    records [epoch_ts, <the full item>]."""
+
+    def test_eventlist_lastTimestamp_golden(self, spark):
+        item = {
+            "metadata": {"name": ".17a3ba8b4aa36c81", "namespace": "default",
+                         "uid": "ec5546b7-f1b9-4e61-a90c-a1f3b611edbc",
+                         "resourceVersion": "174688",
+                         "creationTimestamp": "2023-12-24T09:30:07Z"},
+            "involvedObject": {"kind": "Endpoints", "apiVersion": "v1"},
+            "reason": "LeaderElection",
+            "message": "minikube stopped leading",
+            "firstTimestamp": "2023-12-24T09:29:51Z",
+            "lastTimestamp": "2023-12-24T09:29:51Z",
+            "count": 1, "type": "Normal", "eventTime": None,
+        }
+        page = json.dumps({"kind": "EventList", "apiVersion": "v1",
+                           "metadata": {"resourceVersion": "177157"},
+                           "items": [item]})
+        df = spark.createDataFrame([(page,)], "text string")
+        [r] = k8sevents.event_list_records(df, retention_sec=BIG,
+                                           now=NOW).collect()
+        # the fixture's .out: [1703410191.000000, {...}]
+        assert r.ts == 1703410191.0
+        assert json.loads(r.item) == item  # body = the full item
+
+    def test_eventlist_creationTimestamp_golden(self, spark):
+        item = {
+            "metadata": {"name": "fluent-bit-78945dccd8-2g7qg.17a3c80ba0453aee",
+                         "namespace": "default",
+                         "uid": "6e3013d5-a79b-4dc4-b6c0-6b652302672e",
+                         "resourceVersion": "176761",
+                         "creationTimestamp": "2023-12-24T13:37:16Z"},
+            "reason": "Scheduled",
+        }
+        page = json.dumps({"metadata": {"resourceVersion": "176761"},
+                           "items": [item]})
+        df = spark.createDataFrame([(page,)], "text string")
+        [r] = k8sevents.event_list_records(df, retention_sec=BIG,
+                                           now=NOW).collect()
+        assert r.ts == 1703425036.0  # the fixture's .out epoch
+
+    def test_watch_modified_golden(self, spark):
+        obj = {
+            "kind": "Event", "apiVersion": "v1",
+            "metadata": {"name": "fluent-bit-78945dccd8-hvr55.17e75f85e7d9e678",
+                         "namespace": "default",
+                         "uid": "b7cb03e8-0e0b-4e02-971d-24807f563d43",
+                         "resourceVersion": "177158",
+                         "creationTimestamp": "2024-07-31T18:26:51Z"},
+            "reason": "FailedMount",
+            "firstTimestamp": "2024-07-31T18:26:51Z",
+            "lastTimestamp": "2024-07-31T18:47:15Z",
+            "count": 16, "type": "Warning",
+        }
+        line = json.dumps({"type": "MODIFIED", "object": obj})
+        df = spark.createDataFrame([(line,)], "text string")
+        [r] = k8sevents.watch_records(df, retention_sec=BIG,
+                                      now=1722451635.0 + 10).collect()
+        assert r.ts == 1722451635.0 and r.type == "MODIFIED"
+        assert json.loads(r.item)["reason"] == "FailedMount"
+
+
 class TestRetentionSpec:
     def test_time_grammar(self):
         assert k8sevents.parse_retention("1h") == 3600
