@@ -242,11 +242,14 @@ def collectd_spool_source(
     ``*.bin`` file per datagram, the UDP sidecar pattern)."""
     tdb = load_types_db(typesdb_paths)
     reader = spark.readStream if streaming else spark.read
-    df = (
-        reader.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(spool_dir)
-    )
+    reader = reader.format("binaryFile").option("pathGlobFilter", "*.bin")
+    if streaming:
+        # streaming file sources demand an explicit schema
+        reader = reader.schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+    df = reader.load(spool_dir)
     return collectd_records(
         df.select(F.col("content").alias("value")), tdb, tag=tag
     )

@@ -243,3 +243,44 @@ class TestConfigInputs:
         [sec] = parse_classic(conf)
         [r] = _build_input(spark, sec).collect()
         assert r.tag == "cd" and r.body["value"] == "42"
+
+
+class TestStreaming:
+    def test_collectd_spool_readstream(self, spark, tmp_path):
+        """The collectd spool source runs unmodified as a stream:
+        binaryFile readStream + the same Arrow decode, checkpointed
+        (no reprocessing on resume)."""
+        tdb_file = tmp_path / "types.db"
+        tdb_file.write_text(TYPES_DB)
+        spool = tmp_path / "spool"
+        spool.mkdir()
+        pkt1 = (_part_str(collectdfmt.PART_HOST, "s1")
+                + _part_u64(collectdfmt.PART_TIME, 100)
+                + _part_str(collectdfmt.PART_TYPE, "cpu")
+                + _part_values([(collectdfmt.DS_DERIVE, 1)]))
+        (spool / "a.bin").write_bytes(pkt1)
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            sdf = collectdfmt.collectd_spool_source(
+                spark, str(spool), str(tdb_file), streaming=True)
+            assert sdf.isStreaming
+            (sdf.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start().awaitTermination(60))
+
+        run_once()
+        rows = spark.read.parquet(out_dir).collect()
+        assert len(rows) == 1 and rows[0].body["host"] == "s1"
+        # a second file arrives; resume processes ONLY it
+        pkt2 = (_part_str(collectdfmt.PART_HOST, "s2")
+                + _part_u64(collectdfmt.PART_TIME, 200)
+                + _part_str(collectdfmt.PART_TYPE, "cpu")
+                + _part_values([(collectdfmt.DS_DERIVE, 2)]))
+        (spool / "b.bin").write_bytes(pkt2)
+        run_once()
+        rows = sorted(spark.read.parquet(out_dir).collect(),
+                      key=lambda r: r.ts)
+        assert [r.body["host"] for r in rows] == ["s1", "s2"]
+        assert [r.body["value"] for r in rows] == ["1", "2"]

@@ -1,0 +1,217 @@
+"""Two-parallelism scaling evidence for the session-4 host-decode
+family (nodeexp.node_metrics over staged /proc dumps) — the fleet
+claim behind every staged-snapshot input: decode is narrow codegen
+(explode + regexp) with zero coordination, so a 1000-node fleet's
+dumps process at cluster rate. Same interleaved L/H, min-of-N,
+fresh-JVM-per-level methodology as the other scaling tools (BENCH.md
+notes).
+
+The measured job is the full default collector set (cpu, meminfo,
+diskstats, netdev, loadavg, stat, vmstat, filefd, time, uname) over
+synthetic per-host snapshot texts whose numbers vary by host (so
+regexp work is real, not constant-folded). Results must be identical
+across parallelism levels: row count + bit_xor(xxhash64) over every
+sample's (metric_name, value, labels-json).
+
+Usage: python tools/scaling_hoststats.py [--hosts 250000] [--runs 2]
+                                         [--low 4] [--high 16]
+                                         [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "16").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n = {hosts}
+
+base = spark.range(n).select(
+    F.concat(F.lit("node-"), F.col("id").cast("string")).alias("host"),
+    F.lit(1700000000.0).alias("ts"),
+    F.col("id").alias("i"),
+)
+
+def h(k, mod):
+    return F.pmod(F.xxhash64("i", F.lit(k)), F.lit(mod))
+
+stat = F.format_string(
+    "cpu  %s 0 %s %s 0 0 0 0 0 0\n"
+    "cpu0 %s 1 %s %s 2 3 1 4 0\n"
+    "cpu1 %s 2 %s %s 5 6 2 0 1\n"
+    "intr %s\nctxt %s\nbtime 1699990000\nprocesses %s\n"
+    "procs_running 2\nprocs_blocked 1\n",
+    h(1, 10**7), h(2, 10**6), h(3, 10**8),
+    h(4, 10**6), h(5, 10**5), h(6, 10**7),
+    h(7, 10**6), h(8, 10**5), h(9, 10**7),
+    h(10, 10**9), h(11, 10**9), h(12, 10**6),
+)
+meminfo = F.format_string(
+    "MemTotal:       %s kB\nMemFree:        %s kB\n"
+    "MemAvailable:   %s kB\nBuffers:        %s kB\n"
+    "Active(anon):   %s kB\nHugePages_Total:      %s\n"
+    "SwapTotal:      %s kB\nSwapFree:       %s kB\n",
+    h(13, 10**8), h(14, 10**7), h(15, 10**7), h(16, 10**6),
+    h(17, 10**6), h(18, 100), h(19, 10**7), h(20, 10**7),
+)
+diskstats = F.format_string(
+    " 259 0 nvme0n1 %s 2 %s 40 %s 4 %s 80 3 %s 240 10 1 512 20 7 90\n"
+    " 252 0 vda %s 0 %s 10 %s 0 %s 20 1 %s 60 0 0 0 0 0 0\n",
+    h(21, 10**7), h(22, 10**9), h(23, 10**6), h(24, 10**9), h(25, 10**6),
+    h(26, 10**6), h(27, 10**8), h(28, 10**5), h(29, 10**8), h(30, 10**5),
+)
+netdev = F.format_string(
+    "Inter-|   Receive                                                |  Transmit\n"
+    " face |bytes    packets errs drop fifo frame compressed multicast|"
+    "bytes    packets errs drop fifo colls carrier compressed\n"
+    "  eth0: %s %s 1 0 0 0 0 0 %s %s 2 0 0 0 0 0\n"
+    "    lo: %s %s 0 0 0 0 0 0 %s %s 0 0 0 0 0 0\n",
+    h(31, 10**11), h(32, 10**8), h(33, 10**11), h(34, 10**8),
+    h(35, 10**9), h(36, 10**7), h(37, 10**9), h(38, 10**7),
+)
+loadavg = F.format_string(
+    "%s.%s %s.%s %s.%s 2/2613 9949\n",
+    h(39, 32), h(40, 100), h(41, 32), h(42, 100), h(43, 32), h(44, 100),
+)
+vmstat = F.format_string(
+    "nr_free_pages %s\noom_kill %s\npgpgin %s\npswpout %s\n"
+    "pgfault %s\npgmajfault %s\n",
+    h(45, 10**7), h(46, 100), h(47, 10**8), h(48, 10**5),
+    h(49, 10**9), h(50, 10**5),
+)
+filefd = F.format_string("%s\t0\t%s\n", h(51, 10**5), h(52, 10**7))
+uname = F.concat(
+    F.lit("Linux\n6.1.0-node\n#1 SMP\nx86_64\n"),
+    F.col("host"), F.lit("\n(none)"))
+
+rows = None
+for fname, text in [("stat", stat), ("meminfo", meminfo),
+                    ("diskstats", diskstats), ("net/dev", netdev),
+                    ("loadavg", loadavg), ("vmstat", vmstat),
+                    ("sys/fs/file-nr", filefd), ("uname", uname)]:
+    part = base.select("host", "ts", F.lit(fname).alias("file"),
+                       text.alias("text"))
+    rows = part if rows is None else rows.unionByName(part)
+rows.repartition(32).write.mode("overwrite").parquet({staged!r})
+print("STAGED " + json.dumps({{"hosts": n}}))
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["PYTHONPATH"] = {repo!r}
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark import nodeexp
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def job():
+    snaps = spark.read.parquet({staged!r})
+    out = nodeexp.node_metrics(snaps)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(metric_name, value, "
+               "to_json(labels)))").alias("sig"),
+    ).first()
+
+row = job(); spark.catalog.clearCache()  # codegen warm-up
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times),
+      "rows": row["n"], "sig": row["sig"]}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=250_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"hoststats_scale_{args.hosts}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, hosts=args.hosts, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if "STAGED " not in stage.stdout:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+
+    lo_times: list = []
+    hi_times: list = []
+    shape = None
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs)
+        hi = run_level(staged, args.high, args.runs)
+        key = ("rows", "sig")
+        assert all(lo[k] == hi[k] for k in key), (
+            "results must be identical across parallelism levels",
+            {k: (lo[k], hi[k]) for k in key},
+        )
+        shape = {k: lo[k] for k in key}
+        lo_times += lo["times"]
+        hi_times += hi["times"]
+
+    lo_best, hi_best = min(lo_times), min(hi_times)
+    ratio = lo_best / hi_best
+    eff = ratio / (args.high / args.low)
+    print(json.dumps({
+        "job": "node_exporter_decode",
+        "hosts": args.hosts,
+        "samples_out": shape["rows"],
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "low_best_sec": round(lo_best, 3),
+        "high_best_sec": round(hi_best, 3),
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "identical_outputs": True,
+    }))
+
+
+if __name__ == "__main__":
+    main()
