@@ -379,3 +379,55 @@ def test_pack_token_windows_broadcasts_block_bases(spark):
         if k.startswith("seq_id")
     ]
     assert len(keyed) == 1, keyed
+
+
+# ---------------------------------------------------------------------------
+# session-4 decoder plan shapes (the fleet claim: narrow codegen
+# decode, broadcast-only joins)
+# ---------------------------------------------------------------------------
+
+
+def test_kmsg_and_nginx_decode_are_shuffle_free(spark):
+    from fluent_bit_spark import kmsgfmt, nginxfmt
+
+    snaps = spark.createDataFrame(
+        [("h", 0, "6,1,1000000,-;m\n")],
+        "host string, boot_sec long, text string")
+    plan = plan_of(kmsgfmt.kmsg_records(snaps))
+    assert "hashpartitioning" not in plan and "Exchange" not in plan
+
+    pages = spark.createDataFrame([("x",)], "text string")
+    plan = plan_of(nginxfmt.stub_status_metrics(pages))
+    assert "hashpartitioning" not in plan and "Exchange" not in plan
+
+
+def test_podman_and_process_join_broadcast_only(spark):
+    from fluent_bit_spark import hoststats, nodeexp
+
+    files = spark.createDataFrame(
+        [("h", 1.0, "containers.json", "[]")],
+        "host string, ts double, path string, text string")
+    plan = plan_of(hoststats.podman_metrics(files))
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert bad not in plan
+
+    probes = spark.createDataFrame(
+        [("h", 1.0, 1, "1 (x) S 1 0 0 0 0 0 0", "Name:\tx\n", "", "", 1, 0)],
+        "host string, ts double, pid long, stat string, status string, "
+        "io string, limits string, fd_count long, boot_sec long")
+    plan = plan_of(nodeexp.process_metrics(probes))
+    # pure per-row decode: no join, no exchange
+    assert "Join" not in plan and "hashpartitioning" not in plan
+
+
+def test_node_metrics_branches_have_no_shuffle(spark):
+    from fluent_bit_spark import nodeexp
+
+    snaps = spark.createDataFrame(
+        [("h", 1.0, "stat", "cpu0 1 2 3 4 5 6 7 8 9 0\n")],
+        "host string, ts double, file string, text string")
+    # every collector except 'time' (distinct) is exchange-free
+    no_shuffle = "cpu,meminfo,diskstats,netdev,loadavg,stat,vmstat,filefd,uname"
+    plan = plan_of(nodeexp.node_metrics(snaps, metrics=no_shuffle))
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
