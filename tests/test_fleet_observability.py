@@ -1,0 +1,80 @@
+"""Fleet observability integration: the session-3/4 host-poller tier
+composed with the existing metrics pipeline — staged /proc dumps from
+a node fleet flow through node_metrics into (a) prometheus exposition
+pages and (b) remote-write protobuf bodies that decode back to the
+exact sample set. This is the in_node_exporter_metrics →
+out_prometheus_exporter / out_prometheus_remote_write deployment the
+reference runs daily, end to end on real bytes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import nodeexp
+from fluent_bit_spark.metrics import prom_lines
+from fluent_bit_spark.promrw import (
+    decode_write_request,
+    remote_write_payloads,
+    snappy_uncompress,
+)
+
+STAT = "cpu0 100 0 50 1000 0 0 0 0 0 0\n"
+LOADAVG = "1.50 1.00 0.50 1/2 3\n"
+
+
+def _fleet(spark, n_hosts=3):
+    rows = []
+    for i in range(n_hosts):
+        rows.append((f"node-{i}", 1700000000.0, "loadavg",
+                     f"{i}.25 1.00 0.50 1/2 3\n"))
+        rows.append((f"node-{i}", 1700000000.0, "stat", STAT))
+    return spark.createDataFrame(
+        rows, "host string, ts double, file string, text string")
+
+
+class TestFleetLoop:
+    def test_exposition_page_per_fleet(self, spark):
+        mdf = nodeexp.node_metrics(_fleet(spark), metrics="loadavg,cpu")
+        page = "\n".join(
+            r.line for r in prom_lines(mdf, "gauge")
+            .orderBy("metric_name", "ord", "line").collect())
+        # every host appears as a label on every family
+        for i in range(3):
+            assert 'node_load1{host="node-%d"} %d.25' % (i, i) in page
+            assert ('node_cpu_seconds_total{host="node-%d",cpu="0",'
+                    'mode="idle"} 10' % i) in page
+        assert page.count("# TYPE node_load1 gauge") == 1
+
+    def test_remote_write_roundtrip(self, spark):
+        mdf = nodeexp.node_metrics(_fleet(spark), metrics="loadavg")
+        bodies = remote_write_payloads(
+            mdf.coalesce(1), compression="snappy").collect()
+        assert len(bodies) == 1 and bodies[0].n_samples == 9
+        decoded = decode_write_request(snappy_uncompress(bytes(bodies[0].body)))
+        # rebuild the (name, labels, value) multiset from the wire
+        got = set()
+        for ts_ in decoded["timeseries"]:
+            labels = dict(ts_["labels"])
+            name = labels.pop("__name__")
+            for value, _ts_ms in ts_["samples"]:
+                got.add((name, tuple(sorted(labels.items())), value))
+        want = {
+            (r.metric_name, tuple(sorted(r.labels.items())), r.value)
+            for r in mdf.collect()
+        }
+        assert got == want  # bytes → samples, lossless
+
+    def test_hoststats_delta_records_join_the_same_page(self, spark):
+        # the in_cpu record family (hoststats) renders alongside the
+        # node_exporter gauges through the same metric-table shape
+        from fluent_bit_spark import hoststats
+
+        snaps = spark.createDataFrame(
+            [("n1", 100.0, "cpu  10 0 5 100 0\ncpu0 10 0 5 100 0\n"),
+             ("n1", 101.0, "cpu  110 0 55 200 0\ncpu0 110 0 55 200 0\n")],
+            "host string, ts double, text string")
+        rec = hoststats.cpu_records(snaps).collect()[0]
+        mdf = spark.createDataFrame(
+            [("fluentbit_cpu_p", float(rec.cpu_p), {"host": rec.host})],
+            "metric_name string, value double, labels map<string,string>")
+        [banner, sample] = prom_lines(mdf, "gauge").orderBy("ord").collect()[:2]
+        assert sample.line.startswith('fluentbit_cpu_p{host="n1"}')
