@@ -365,18 +365,48 @@ def q_expect(spark, sf_dir):
 
 def q_throttle_modes(spark, sf_dir):
     """filter_throttle (event-time rate pane) + filter_throttle_size
-    (per-pane byte budget) as one two-mode row — merged for driver
-    row-cap economy, same operators as the former throttle /
-    throttle_size entries."""
+    (per-pane byte budget) as one row — merged for driver row-cap
+    economy, same operators as the former throttle / throttle_size
+    entries.
+
+    mode 'sess' (round-5 session-5): gap-based sessionization
+    (sessions.sessionize, 6h gap over the events stream) — the
+    time-silence rollup the reference's fixed panes can't express;
+    exact integer-microsecond gap logic, so the DuckDB window replay
+    is value-identical. event_id = the session's first event, n =
+    events in session, v = duration seconds (rounded 6, from exact
+    micros). The streaming twin (sessions.sessionize_stream,
+    applyInPandasWithState with idle timeout) is pytest-checked
+    against this batch operator."""
+    from fluent_bit_spark.sessions import sessionize
+
     ev = _t(spark, sf_dir, "events")
     rate = apply_throttle(
         ev, rate=20, interval_sec=3600, ts_col="ts", order_col="event_id"
-    ).select(F.lit("rate").alias("mode"), "event_id")
+    ).select(
+        F.lit("rate").alias("mode"),
+        "event_id",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
     size = apply_throttle_size(
         ev, max_bytes=120, interval_sec=3600, size_field="props",
         ts_col="ts", order_col="event_id",
-    ).select(F.lit("size").alias("mode"), "event_id")
-    return rate.unionByName(size)
+    ).select(
+        F.lit("size").alias("mode"),
+        "event_id",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    sess = sessionize(
+        ev, key="user_id", ts_col="ts", gap_sec=21600, order_col="event_id"
+    ).select(
+        F.lit("sess").alias("mode"),
+        F.col("first_event_id").alias("event_id"),
+        F.col("n_events").alias("n"),
+        F.col("duration_sec").alias("v"),
+    )
+    return rate.unionByName(size).unionByName(sess)
 
 
 # ---------------------------------------------------------------------------
@@ -1669,12 +1699,49 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_skew_distinct(spark, sf_dir):
-    """two-stage exact per-key COUNT(DISTINCT) — the de-skew shape for
-    non-decomposable per-key state (skew.two_stage_distinct)."""
+    """Per-key distinct counting, exact AND sketched (round-5 session-5
+    merge; formerly the exact row alone):
+
+    mode 'exact' — two-stage exact COUNT(DISTINCT) — the de-skew shape
+    for non-decomposable per-key state (skew.two_stage_distinct);
+    shuffle volume = the distinct count itself.
+
+    mode 'hll' / 'kmv' — deterministic mergeable cardinality sketches
+    (dataops.sketches, HyperLogLog p=10 / k-minimum-values k=64): the
+    constant-state-per-key alternative a 10^12-doc table needs (<=1024
+    register rows or 64 hash rows per key cross the shuffle, with
+    Spark's map-side partial aggregate acting as the sketch merge).
+    The md5 checkable engine makes every register, rank and both
+    estimates bit-replayable in DuckDB (the xxhash64 scale engine is
+    the same plan, different hash — pytest asserts its accuracy and
+    merge law). n = occupied registers / k_used; v = estimate
+    rounded 4 (exact-integer harmonic sums, so the one double
+    division matches cross-engine)."""
+    from fluent_bit_spark.dataops import sketches
     from fluent_bit_spark.skew import two_stage_distinct
 
     ev = _t(spark, sf_dir, "events")
-    return two_stage_distinct(ev, "event_type", "user_id")
+    exact = two_stage_distinct(ev, "event_type", "user_id").select(
+        F.lit("exact").alias("mode"),
+        F.col("event_type").alias("key"),
+        F.col("n_distinct").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    hll = sketches.hll_distinct(ev, "event_type", "user_id", p=10, engine="md5")
+    hll = hll.select(
+        F.lit("hll").alias("mode"),
+        "key",
+        F.col("n_regs").alias("n"),
+        F.round("estimate", 4).alias("v"),
+    )
+    kmv = sketches.kmv_distinct(ev, "event_type", "user_id", k=64, engine="md5")
+    kmv = kmv.select(
+        F.lit("kmv").alias("mode"),
+        "key",
+        F.col("k_used").alias("n"),
+        F.round("estimate", 4).alias("v"),
+    )
+    return exact.unionByName(hll).unionByName(kmv)
 
 
 def q_url_canonical(spark, sf_dir):
@@ -2912,8 +2979,15 @@ HAVING SUM(len(piece)) = {L}
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_bit_spark.dataops import sketches as _sk
+    from fluent_bit_spark.sessions import sessionize_sql
+
     tag = _TAG_SQL
     ep = _EPOCH_SQL
+    _sessionize_oracle = sessionize_sql(
+        "events", key="user_id", ts_col="ts", gap_sec=21600,
+        order_col="event_id",
+    )
     kv = r"""regexp_extract(props, '"k": (\d+)', 1)"""
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
     toks_l = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
@@ -3064,13 +3138,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "throttle_modes": f"""
-            SELECT 'rate' AS mode, event_id FROM events
+            SELECT 'rate' AS mode, event_id, CAST(NULL AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS v
+            FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 20
             UNION ALL
-            SELECT 'size' AS mode, event_id FROM events
+            SELECT 'size' AS mode, event_id, CAST(NULL AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS v
+            FROM events
             QUALIFY sum(length(props)) OVER (
                 PARTITION BY floor({ep} / 3600) ORDER BY ts, event_id) <= 120
+            UNION ALL
+            SELECT 'sess' AS mode, first_event_id AS event_id,
+                   n_events AS n, duration_sec AS v
+            FROM ({_sessionize_oracle})
         """,
         "parser_regex_modes": rf"""
             SELECT 'plain' AS mode, event_id,
@@ -3629,9 +3711,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(user_id % 7 AS VARCHAR) AS code
             FROM events WHERE event_type = 'error' AND user_id % 7 = 4
         """,
-        "skew_distinct": """
-            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        "skew_distinct": f"""
+            SELECT 'exact' AS mode, event_type AS key,
+                   COUNT(DISTINCT user_id) AS n,
+                   CAST(NULL AS DOUBLE) AS v
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'hll' AS mode, key, CAST(n_regs AS BIGINT) AS n,
+                   round(estimate, 4) AS v
+            FROM ({_sk.hll_estimate_sql("event_type", "user_id", "events", p=10)})
+            UNION ALL
+            SELECT 'kmv' AS mode, key, CAST(k_used AS BIGINT) AS n,
+                   round(estimate, 4) AS v
+            FROM ({_sk.kmv_estimate_sql("event_type", "user_id", "events", k=64)})
         """,
         "pipeline_e2e": f"""
             WITH p AS (

@@ -1,0 +1,264 @@
+"""Deterministic mergeable cardinality sketches: HyperLogLog and KMV.
+
+At 100 TB an exact per-key COUNT(DISTINCT) (skew.two_stage_distinct)
+shuffles one row per distinct (key, value) pair — correct, but the
+shuffle volume is the distinct count itself. These sketches bound the
+shuffled state per key to a constant:
+
+* **HLL** (Flajolet et al. 2007, the HyperLogLog paper): <= 2^p
+  register rows per key survive the map-side partial aggregation
+  (groupBy(key, register).agg(MAX(rho)) — Spark's partial hash
+  aggregate IS the sketch merge operator, so every partition ships at
+  most 2^p rows per key regardless of input size). Standard error
+  ~1.04/sqrt(2^p) (~3.25% at p=10).
+* **KMV** (k minimum values, Bar-Yossef et al. 2002): the k smallest
+  distinct hash values per key; estimate (k-1) * H / h_(k). Standard
+  error ~1/sqrt(k-2).
+
+Spark's own approx_count_distinct is HLL++ and the right production
+default; these exist because (a) the register table is exposed as a
+first-class mergeable artifact (persist it, union snapshots, re-merge
+with MAX — the incremental-corpus pattern Bloom dedup uses for
+membership, here for cardinality), and (b) they are DETERMINISTIC and
+engine-replayable: every register value and both estimates reproduce
+bit-for-bit in DuckDB SQL, so the driver's oracle gate can check them
+value-for-value (approx_count_distinct's internal sketch cannot be
+replayed cross-engine).
+
+Hash engines (same two-engine pattern as dataops.dedup): 'xxhash64'
+is the scale default; 'md5' is the checkable engine whose 60-bit hash
+(first 15 hex chars of md5 — always positive in a signed 64-bit long,
+so shifts/masks need no unsigned gymnastics) reproduces exactly in
+DuckDB as CAST('0x' || substr(md5(v), 1, 15) AS UBIGINT).
+
+Reference parity note: the reference has no sketch operator (its
+out_counter / flowcounter count rows, src/flb_metrics.c counters are
+exact); this is part of the beyond-reference scale tier, same class
+as dataops.dedup/mixing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_BITS = 60  # md5-15-hex and xxhash64>>4 both land in [0, 2^60)
+
+
+def hash60(col: Column, engine: str = "xxhash64") -> Column:
+    """A 60-bit non-negative hash of ``col`` rendered as a string.
+
+    60 bits keeps every intermediate (shift, mask, bin()) inside a
+    positive signed 64-bit long on both engines. Both engines hash the
+    STRING form so numeric keys replay identically.
+    """
+    s = col.cast("string")
+    if engine == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(s), 64 - HASH_BITS)
+    if engine == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash engine: {engine}")
+
+
+def hash60_sql(expr: str, engine: str = "md5") -> str:
+    """The DuckDB expression equal to :func:`hash60` (md5 engine only —
+    DuckDB has no xxhash64)."""
+    if engine != "md5":
+        raise ValueError("only the md5 engine is DuckDB-replayable")
+    return (
+        "CAST(CAST('0x' || substr(md5(CAST(" + expr + " AS VARCHAR)), 1, 15)"
+        " AS UBIGINT) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(p: int) -> float:
+    """The alpha_m bias constant from the HLL paper (m >= 128 branch)."""
+    m = 1 << p
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    p: int = 10,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """Per-key HLL register table: (key, reg in [0, 2^p), m = max rho).
+
+    reg = top p bits of the 60-bit hash; rho = position of the first
+    1-bit in the remaining (60-p) bits, 1-based, = (60-p)+1 when all
+    are zero. bit-length is read off ``length(bin(x))`` — exact
+    integer arithmetic, no float log2.
+
+    This frame IS the sketch: it is mergeable by
+    ``groupBy(key, reg).agg(max(m))`` across any partitioning, any
+    snapshot union, any re-run — which is also exactly what Spark's
+    map-side partial aggregate does here, so the shuffle carries at
+    most 2^p rows per key per input partition.
+    """
+    rest_bits = HASH_BITS - p
+    h = hash60(F.col(value), engine)
+    reg = F.shiftrightunsigned(h, rest_bits)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    # materialize rest: the rho branch reads it twice and higher-order /
+    # conditional re-evaluation of the hash would double the work
+    staged = df.select(F.col(key).alias("key"), reg.alias("reg"), rest.alias("__rest"))
+    rest_c = F.col("__rest")
+    rho = F.when(rest_c == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest_c)) + 1
+    )
+    return (
+        staged.groupBy("key", "reg")
+        .agg(F.max(rho).alias("m"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 10) -> DataFrame:
+    """Estimate per key from a register table: (key, n_regs, estimate).
+
+    The harmonic sum is computed EXACTLY in integers: sum over
+    registers of 2^(B - M) with B = (60-p)+1 the max rho, plus
+    2^B per empty register — every term <= 2^B <= 2^51, the total
+    <= 2^(B+p) <= 2^61, inside a signed long. The only float ops are
+    one division (correctly rounded from exact integers) and the
+    linear-counting ln() — both bit-reproducible in DuckDB.
+    """
+    m = 1 << p
+    b = HASH_BITS - p + 1
+    alpha = hll_alpha(p)
+    # exact-double numerator, inlined as one literal so both engines
+    # see the identical constant (no cross-engine multiply-order drift)
+    numer = alpha * m * m * float(1 << b)
+    # 2^(B-M) via pow(2.0, k): exact for k <= 51, and F.shiftleft would
+    # need a python-int shift amount (CLAUDE.md dynamic-shift gotcha)
+    term = F.pow(F.lit(2.0), F.lit(b) - F.col("m")).cast("long")
+    agg = regs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(term).alias("__s_occ"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    s = F.col("__s_occ") + zeros * F.lit(1 << b)
+    raw = F.lit(numer) / s.cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select("key", "n_regs", est.alias("estimate"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    p: int = 10,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """groupBy(key) -> (key, n_regs, estimate) in one pass."""
+    return hll_estimate(hll_registers(df, key, value, p, engine), p)
+
+
+def hll_estimate_sql(key_expr: str, value_expr: str, table: str, p: int = 10) -> str:
+    """DuckDB SQL replaying hll_distinct(engine='md5') value-for-value.
+
+    SUM(BIGINT) is HUGEINT in DuckDB (CLAUDE.md) — cast back before
+    the double division so both engines divide from the same int64.
+    """
+    m = 1 << p
+    rest_bits = HASH_BITS - p
+    b = rest_bits + 1
+    numer = hll_alpha(p) * m * m * float(1 << b)
+    h = hash60_sql(value_expr)
+    return f"""
+        WITH hh AS (
+          SELECT {key_expr} AS key, {h} AS h FROM {table}
+        ), rr AS (
+          SELECT key, h >> {rest_bits} AS reg,
+                 h & {(1 << rest_bits) - 1} AS rest
+          FROM hh
+        ), regs AS (
+          SELECT key, reg,
+                 MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                     ELSE {rest_bits} - length(bin(rest)) + 1 END) AS M
+          FROM rr GROUP BY key, reg
+        ), est AS (
+          SELECT key, COUNT(*) AS n_regs,
+                 CAST(SUM(CAST(power(2.0, {b} - M) AS BIGINT)) AS BIGINT)
+                   + ({m} - COUNT(*)) * {1 << b} AS s
+          FROM regs GROUP BY key
+        )
+        SELECT key, n_regs,
+               CASE WHEN CAST({numer!r} AS DOUBLE) / CAST(s AS DOUBLE)
+                         <= {2.5 * m!r} AND n_regs < {m}
+                    THEN CAST({float(m)!r} AS DOUBLE)
+                         * ln(CAST({float(m)!r} AS DOUBLE)
+                              / CAST({m} - n_regs AS DOUBLE))
+                    ELSE CAST({numer!r} AS DOUBLE) / CAST(s AS DOUBLE)
+               END AS estimate
+        FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values)
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    k: int = 64,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """Per-key KMV estimate: (key, k_used, estimate).
+
+    Plan shape: DISTINCT (key, hash) — the hot key spreads over its
+    distinct hashes, same de-skew as two_stage_distinct's stage 1 —
+    then ONE ranked window per key keeps the k smallest. With fewer
+    than k distinct values the sketch has seen everything and the
+    estimate is exact (k_used); otherwise (k-1) * 2^60 / h_(k), all
+    factors exactly representable in doubles (63 * 2^60 has a 6-bit
+    mantissa) so the single division is correctly rounded from exact
+    integers on both engines.
+    """
+    h = hash60(F.col(value), engine)
+    d = df.select(F.col(key).alias("key"), h.alias("h")).distinct()
+    w = Window.partitionBy("key").orderBy("h")
+    ranked = d.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    agg = ranked.groupBy("key").agg(
+        F.max("r").alias("k_used"), F.max("h").alias("hk")
+    )
+    full = F.lit(float((k - 1) * (1 << HASH_BITS))) / F.col("hk").cast("double")
+    est = F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(full)
+    return agg.select("key", "k_used", est.alias("estimate"))
+
+
+def kmv_estimate_sql(key_expr: str, value_expr: str, table: str, k: int = 64) -> str:
+    """DuckDB SQL replaying kmv_distinct(engine='md5') value-for-value."""
+    h = hash60_sql(value_expr)
+    full = float((k - 1) * (1 << HASH_BITS))
+    return f"""
+        WITH d AS (
+          SELECT DISTINCT {key_expr} AS key, {h} AS h FROM {table}
+        ), r AS (
+          SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS r
+          FROM d
+        ), agg AS (
+          SELECT key, MAX(r) AS k_used, MAX(h) AS hk FROM r WHERE r <= {k}
+          GROUP BY key
+        )
+        SELECT key, k_used,
+               CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                    ELSE CAST({full!r} AS DOUBLE) / CAST(hk AS DOUBLE)
+               END AS estimate
+        FROM agg
+    """

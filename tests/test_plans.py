@@ -431,3 +431,38 @@ def test_node_metrics_branches_have_no_shuffle(spark):
     no_shuffle = "cpu,meminfo,diskstats,netdev,loadavg,stat,vmstat,filefd,uname"
     plan = plan_of(nodeexp.node_metrics(snaps, metrics=no_shuffle))
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """sessions.sessionize (PLANS.md round-5 session-5): the lag window,
+    the running-sum window, and the per-session rollup must all ride ONE
+    hash exchange on the session key — a second exchange would double
+    the shuffle volume of every per-entity timeline rollup at fleet
+    scale."""
+    import re
+
+    from fluent_bit_spark import sessions
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessions.sessionize(
+        ev, key="user_id", ts_col="ts", gap_sec=21600, order_col="event_id"
+    )
+    plan = plan_of(out)
+    assert len(re.findall(r"hashpartitioning\(key", plan)) == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_hll_registers_partial_aggregate_merge(spark):
+    """dataops.sketches HLL: the register build must keep map-side
+    partial aggregation (the partial agg IS the sketch merge — it bounds
+    the shuffle at 2^p rows per key per partition) and shuffle only the
+    (key, reg) register rows, never raw values."""
+    import re
+
+    from fluent_bit_spark.dataops import sketches
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    regs = sketches.hll_registers(ev, "event_type", "user_id", p=10)
+    plan = plan_of(regs)
+    assert "partial_max" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan

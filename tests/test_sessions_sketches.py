@@ -1,0 +1,244 @@
+"""Tests for dataops.sketches (HLL / KMV) and sessions (batch + stream).
+
+Correctness model: the md5 checkable engine is replayed value-for-value
+by the driver's DuckDB oracle (skew_distinct / throttle_modes rows);
+here we pin the properties the oracle can't see — accuracy of the
+xxhash64 scale engine, the sketch merge law, partition invariance, and
+stream==batch session equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import sessions
+from fluent_bit_spark.dataops import sketches
+
+
+def _cards(spark, n_keys=3, per_key=(40, 400, 4000)):
+    rows = []
+    uid = 0
+    for k in range(n_keys):
+        for _ in range(per_key[k]):
+            rows.append(Row(k=f"key{k}", v=f"val-{uid}"))
+            uid += 1
+        # duplicates must not move the estimate: re-add every 3rd value
+        for j in range(0, per_key[k], 3):
+            rows.append(Row(k=f"key{k}", v=f"val-{uid - per_key[k] + j}"))
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("engine", ["xxhash64", "md5"])
+def test_hll_accuracy_both_engines(spark, engine):
+    df = _cards(spark)
+    est = {
+        r["key"]: r["estimate"]
+        for r in sketches.hll_distinct(df, "k", "v", p=10, engine=engine).collect()
+    }
+    truth = {"key0": 40, "key1": 400, "key2": 4000}
+    for k, t in truth.items():
+        # 1.04/sqrt(1024) ~ 3.25% standard error; allow 4 sigma
+        assert abs(est[k] - t) / t < 0.13, (engine, k, est[k], t)
+
+
+@pytest.mark.parametrize("engine", ["xxhash64", "md5"])
+def test_kmv_accuracy_and_exact_small(spark, engine):
+    df = _cards(spark)
+    out = {
+        r["key"]: r
+        for r in sketches.kmv_distinct(df, "k", "v", k=64, engine=engine).collect()
+    }
+    # below k distinct -> exact
+    assert out["key0"]["k_used"] == 40
+    assert out["key0"]["estimate"] == 40.0
+    # above k -> within 4/sqrt(k-2) ~ 50%... use 4 sigma of 1/sqrt(62)
+    for k, t in (("key1", 400), ("key2", 4000)):
+        assert out[k]["k_used"] == 64
+        assert abs(out[k]["estimate"] - t) / t < 0.51, (k, out[k], t)
+
+
+def test_hll_merge_law(spark):
+    """Registers of (A union B) == max-merge of registers(A), registers(B):
+    the property that makes the sketch a mergeable snapshot artifact."""
+    df = _cards(spark)
+    a = df.filter(F.xxhash64("v") % 2 == 0)
+    b = df.filter(F.xxhash64("v") % 2 != 0)
+    whole = sketches.hll_registers(df, "k", "v", p=8)
+    merged = (
+        sketches.hll_registers(a, "k", "v", p=8)
+        .unionByName(sketches.hll_registers(b, "k", "v", p=8))
+        .groupBy("key", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_partition_invariance(spark):
+    df = _cards(spark)
+    one = sketches.hll_distinct(df.coalesce(1), "k", "v", p=10)
+    many = sketches.hll_distinct(df.repartition(32), "k", "v", p=10)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_hll_kmv_match_duckdb(spark, tmp_path):
+    """The md5 engine is bit-replayable in DuckDB — the same check the
+    driver gate runs on the skew_distinct row, pinned here on an
+    independent corpus (so a fixture change can't mask a drift)."""
+    import duckdb
+
+    df = _cards(spark)
+    pq = str(tmp_path / "cards.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    d_hll = con.sql(sketches.hll_estimate_sql("k", "v", "t", p=10)).fetchall()
+    s_hll = [
+        (r["key"], r["n_regs"], r["estimate"])
+        for r in sketches.hll_distinct(df, "k", "v", p=10, engine="md5").collect()
+    ]
+    assert sorted(d_hll) == sorted(s_hll)
+    d_kmv = con.sql(sketches.kmv_estimate_sql("k", "v", "t", k=64)).fetchall()
+    s_kmv = [
+        (r["key"], r["k_used"], r["estimate"])
+        for r in sketches.kmv_distinct(df, "k", "v", k=64, engine="md5").collect()
+    ]
+    assert sorted(d_kmv) == sorted(s_kmv)
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+def _sess_events(spark):
+    # user 1: two sessions (gap 100s, then >600s silence, then one more)
+    # user 2: one session of one event; ties on ts broken by event_id
+    rows = [
+        Row(user_id=1, ts="2024-01-01 00:00:00", event_id=10),
+        Row(user_id=1, ts="2024-01-01 00:01:40", event_id=11),
+        Row(user_id=1, ts="2024-01-01 00:20:00", event_id=13),
+        Row(user_id=1, ts="2024-01-01 00:20:00", event_id=12),
+        Row(user_id=2, ts="2024-01-01 05:00:00", event_id=20),
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_sessionize_batch(spark):
+    out = sessions.sessionize(
+        _sess_events(spark), key="user_id", ts_col="ts", gap_sec=600,
+        order_col="event_id",
+    )
+    got = {(r["key"], r["session"]): r for r in out.collect()}
+    assert len(got) == 3
+    s11 = got[(1, 1)]
+    assert (s11["first_event_id"], s11["n_events"], s11["duration_sec"]) == (10, 2, 100.0)
+    s12 = got[(1, 2)]
+    # tie on ts: event_id 12 is first
+    assert (s12["first_event_id"], s12["n_events"], s12["duration_sec"]) == (12, 2, 0.0)
+    s21 = got[(2, 1)]
+    assert (s21["first_event_id"], s21["n_events"], s21["duration_sec"]) == (20, 1, 0.0)
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """An event exactly gap_sec after the last STARTS a new session
+    (>= in both engines — pinned so nobody 'fixes' it to > later)."""
+    rows = [
+        Row(user_id=1, ts="2024-01-01 00:00:00", event_id=1),
+        Row(user_id=1, ts="2024-01-01 00:10:00", event_id=2),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessions.sessionize(df, gap_sec=600, order_col="event_id").collect()
+    assert len(out) == 2
+
+
+def test_sessionize_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _sess_events(spark)
+    pq = str(tmp_path / "ev.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    d = con.sql(
+        sessions.sessionize_sql("events", gap_sec=600, order_col="event_id")
+    ).fetchall()
+    s = [
+        (r["key"], r["session"], r["first_event_id"], r["n_events"], r["duration_sec"])
+        for r in sessions.sessionize(df, gap_sec=600, order_col="event_id").collect()
+    ]
+    assert sorted(d) == sorted(s)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """File-source stream through sessionize_stream: closed sessions ==
+    batch sessionize on the same rows (the single-writer fixture rule:
+    coalesce(1) so arrival order is deterministic; the final open
+    session per key closes via the idle ProcessingTimeTimeout)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    ev = _sess_events(spark).coalesce(1)
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessions.sessionize_stream(
+            stream, key="user_id", ts_col="ts", gap_sec=600,
+            idle_timeout_ms=2_000,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # first batch processes the file; later empty batches fire the
+        # idle timeout that flushes the open sessions
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 3:
+                break
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    batch = sessions.sessionize(
+        spark.read.parquet(src), key="user_id", ts_col="ts", gap_sec=600
+    )
+    s = sorted(
+        (r["user_id"], r["n_events"], r["duration_sec"]) for r in got.collect()
+    )
+    b = sorted(
+        (r["key"], r["n_events"], r["duration_sec"]) for r in batch.collect()
+    )
+    assert s == b
+
+
+def test_entry_rows_contract(spark):
+    """The reshaped driver rows keep mode-disjoint schemas aligned."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    th = entry.queries()["throttle_modes"](spark, sf)
+    assert [f.name for f in th.schema.fields] == ["mode", "event_id", "n", "v"]
+    modes = {r["mode"] for r in th.select("mode").distinct().collect()}
+    assert modes == {"rate", "size", "sess"}
+    sk = entry.queries()["skew_distinct"](spark, sf)
+    assert [f.name for f in sk.schema.fields] == ["mode", "key", "n", "v"]
+    smodes = {r["mode"] for r in sk.select("mode").distinct().collect()}
+    assert smodes == {"exact", "hll", "kmv"}
