@@ -1,0 +1,188 @@
+"""Two-parallelism scaling evidence for the round-5 session-5
+operators: sessions.sessionize (gap sessionization — ONE hash exchange
+feeding two windows + the rollup) and dataops.sketches.hll_distinct
+(HyperLogLog — partial-agg-merged register table, constant shuffle
+state per key). Same interleaved L/H, min-of-N, fresh-JVM-per-level
+methodology as the other scaling tools (BENCH.md notes).
+
+Input: synthetic events (event_id, user_id, ts) with xxhash64-derived
+inter-arrival jitter (sessions of realistic mixed lengths) and a hot
+user holding ~1% of all events (the Zipf head: its per-key window sort
+is the documented per-entity bound). Outputs must be identical across
+parallelism levels: row count + bit_xor(xxhash64) over every session's
+(key, session, first_event_id, n_events, duration_sec) and every HLL
+key's (key, n_regs, estimate).
+
+Usage: python tools/scaling_sessions.py [--events 16000000] [--runs 2]
+                                        [--low 2] [--high 8]
+                                        [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_STAGE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n = {events}
+users = max(1000, n // 200)
+
+base = spark.range(n)
+# ~1% of events land on user 0 (the hot key); the rest spread uniformly
+hot = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) == 0
+user = F.when(hot, F.lit(0)).otherwise(
+    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(users)))
+# per-user event clock: sequence index within the user's stream scaled
+# by a jittered step (0..3599s) so gap=1800 splits streams into real
+# mixed-length sessions
+step = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3600 * 1000000))
+ev = base.select(
+    F.col("id").alias("event_id"),
+    user.alias("user_id"),
+    step.alias("__step"),
+)
+from pyspark.sql.window import Window
+w = (Window.partitionBy("user_id").orderBy("event_id")
+     .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+us = F.lit(1700000000000000) + F.sum("__step").over(w)
+ev = ev.select(
+    "event_id", "user_id",
+    F.timestamp_micros(us).alias("ts"),
+)
+ev.repartition(32).write.mode("overwrite").parquet({staged!r})
+print("STAGED " + json.dumps({{"events": n, "users": users}}))
+"""
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["PYTHONPATH"] = {repo!r}
+from pyspark.sql import SparkSession, functions as F
+from fluent_bit_spark import sessions
+from fluent_bit_spark.dataops import sketches
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "64")
+         .config("spark.driver.memory", "16g")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+ev = spark.read.parquet({staged!r})
+sess = sessions.sessionize(
+    ev, key="user_id", ts_col="ts", gap_sec=1800, order_col="event_id")
+sess_agg = sess.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.expr("bit_xor(xxhash64(key, session, first_event_id, n_events, "
+           "duration_sec))").alias("sig"),
+)
+# HLL keyed by a 64-way shard of the id space (fleet-rollup shape);
+# estimates per shard replayable, registers bounded
+hll = sketches.hll_distinct(
+    ev.withColumn("shard", F.pmod(F.col("event_id"), F.lit(64))),
+    "shard", "user_id", p=10)
+hll_agg = hll.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.expr("bit_xor(xxhash64(key, n_regs, estimate))").alias("sig"),
+)
+
+def job():
+    s = sess_agg.first()
+    h = hll_agg.first()
+    return {{"sess_rows": s["n"], "sess_sig": s["sig"],
+             "hll_rows": h["n"], "hll_sig": h["sig"]}}
+
+row = job(); spark.catalog.clearCache()  # codegen warm-up
+times = []
+for _ in range({runs}):
+    t0 = time.time(); row = job(); times.append(time.time() - t0)
+    spark.catalog.clearCache()
+print("CHILD_RESULT " + json.dumps(
+    {{"cpus": cpus, "times": times, "best_sec": min(times), **row}}))
+"""
+
+
+def run_level(staged: str, cpus: int, runs: int) -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=16_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--staged", default=None)
+    args = ap.parse_args()
+
+    staged = args.staged or os.path.join(
+        tempfile.gettempdir(), f"sessions_scale_{args.events}"
+    )
+    stage = subprocess.run(
+        [sys.executable, "-c",
+         _STAGE.format(repo=_REPO, events=args.events, staged=staged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if "STAGED " not in stage.stdout:
+        raise RuntimeError(f"staging failed:\n{stage.stderr[-2000:]}")
+
+    lo_times: list = []
+    hi_times: list = []
+    for _ in range(args.rounds):
+        lo = run_level(staged, args.low, args.runs)
+        hi = run_level(staged, args.high, args.runs)
+        keys = ("sess_rows", "sess_sig", "hll_rows", "hll_sig")
+        assert all(lo[k] == hi[k] for k in keys), (
+            "results must be identical across parallelism levels",
+            {k: (lo[k], hi[k]) for k in keys},
+        )
+        lo_times.extend(lo["times"])
+        hi_times.extend(hi["times"])
+
+    t_lo, t_hi = min(lo_times), min(hi_times)
+    ratio = args.high / args.low
+    eff = (t_lo / t_hi) / ratio
+    result = {
+        "events": args.events,
+        "low_cpus": args.low, "high_cpus": args.high,
+        "low_best_sec": round(t_lo, 3), "high_best_sec": round(t_hi, 3),
+        "low_events_per_sec": round(args.events / t_lo, 1),
+        "high_events_per_sec": round(args.events / t_hi, 1),
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sess_rows": lo["sess_rows"], "hll_rows": lo["hll_rows"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
