@@ -123,7 +123,8 @@ cpus = {cpus}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.shuffle.partitions", "32")
-         .config("spark.driver.memory", "16g")
+         .config("spark.driver.memory", {driver_mem!r})
+         .config("spark.driver.extraJavaOptions", {java_opts!r})
          .config("spark.sql.adaptive.enabled", "true")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
@@ -134,10 +135,14 @@ spark.sparkContext.setLogLevel("ERROR")
 # distributed decode, i.e. repeated actions on the same frame
 # (each action re-runs physical planning + the full scan+decode).
 snaps = spark.read.parquet({staged!r})
+sig_exprs = {{
+    "labels": "bit_xor(xxhash64(metric_name, value, to_json(labels)))",
+    "nv": "bit_xor(xxhash64(metric_name, value))",
+    "count": "cast(0 as bigint)",
+}}
 agg = nodeexp.node_metrics(snaps).agg(
     F.count(F.lit(1)).alias("n"),
-    F.expr("bit_xor(xxhash64(metric_name, value, "
-           "to_json(labels)))").alias("sig"),
+    F.expr(sig_exprs[{sig!r}]).alias("sig"),
 )
 
 def job():
@@ -154,8 +159,11 @@ print("CHILD_RESULT " + json.dumps(
 """
 
 
-def run_level(staged: str, cpus: int, runs: int) -> dict:
-    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+def run_level(staged: str, cpus: int, runs: int,
+              driver_mem: str = "16g", java_opts: str = "",
+              sig: str = "labels") -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs,
+                         driver_mem=driver_mem, java_opts=java_opts, sig=sig)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600,
@@ -174,6 +182,15 @@ def main():
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--staged", default=None)
+    ap.add_argument("--driver-mem", default="16g",
+                    help="child JVM heap (the GC-ceiling experiment lever)")
+    ap.add_argument("--java-opts", default="",
+                    help="e.g. -XX:+UseParallelGC")
+    ap.add_argument("--sig", default="labels",
+                    choices=["labels", "nv", "count"],
+                    help="measured consumption: full label maps (the "
+                         "output payload), name+value only, or bare "
+                         "decode (count)")
     args = ap.parse_args()
 
     staged = args.staged or os.path.join(
@@ -191,8 +208,10 @@ def main():
     hi_times: list = []
     shape = None
     for _ in range(args.rounds):
-        lo = run_level(staged, args.low, args.runs)
-        hi = run_level(staged, args.high, args.runs)
+        lo = run_level(staged, args.low, args.runs,
+                       args.driver_mem, args.java_opts, args.sig)
+        hi = run_level(staged, args.high, args.runs,
+                       args.driver_mem, args.java_opts, args.sig)
         key = ("rows", "sig")
         assert all(lo[k] == hi[k] for k in key), (
             "results must be identical across parallelism levels",
