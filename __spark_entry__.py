@@ -1716,7 +1716,12 @@ def q_skew_distinct(spark, sf_dir):
     the same plan, different hash — pytest asserts its accuracy and
     merge law). n = occupied registers / k_used; v = estimate
     rounded 4 (exact-integer harmonic sums, so the one double
-    division matches cross-engine)."""
+    division matches cross-engine).
+
+    mode 'cms' — Count-Min frequency sketch (w=256, d=4) probed for
+    every user: key = user_id, n = the sketch estimate (min over d
+    cells, replayed exactly), v = the exact count as a double — the
+    row itself exhibits the one-sided error bound (n >= v always)."""
     from fluent_bit_spark.dataops import sketches
     from fluent_bit_spark.skew import two_stage_distinct
 
@@ -1741,7 +1746,20 @@ def q_skew_distinct(spark, sf_dir):
         F.col("k_used").alias("n"),
         F.round("estimate", 4).alias("v"),
     )
-    return exact.unionByName(hll).unionByName(kmv)
+    cms_cells = sketches.cms_table(ev, "user_id", w=256, d=4, engine="md5")
+    cms_est = sketches.cms_estimate(
+        cms_cells, ev.select("user_id"), "user_id", w=256, d=4, engine="md5"
+    )
+    exact_users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+    cms = cms_est.join(
+        exact_users, cms_est["item"] == exact_users["user_id"]
+    ).select(
+        F.lit("cms").alias("mode"),
+        F.col("item").cast("string").alias("key"),
+        F.col("est").alias("n"),
+        F.col("__n").cast("double").alias("v"),
+    )
+    return exact.unionByName(hll).unionByName(kmv).unionByName(cms)
 
 
 def q_url_canonical(spark, sf_dir):
@@ -3724,6 +3742,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'kmv' AS mode, key, CAST(k_used AS BIGINT) AS n,
                    round(estimate, 4) AS v
             FROM ({_sk.kmv_estimate_sql("event_type", "user_id", "events", k=64)})
+            UNION ALL
+            SELECT 'cms' AS mode, CAST(c.item AS VARCHAR) AS key,
+                   CAST(c.est AS BIGINT) AS n, CAST(e.cnt AS DOUBLE) AS v
+            FROM ({_sk.cms_estimate_sql("user_id", "events", w=256, d=4)}) c
+            JOIN (SELECT user_id, COUNT(*) AS cnt FROM events
+                  GROUP BY user_id) e ON c.item = e.user_id
         """,
         "pipeline_e2e": f"""
             WITH p AS (

@@ -1,4 +1,4 @@
-"""Deterministic mergeable cardinality sketches: HyperLogLog and KMV.
+"""Deterministic mergeable sketches: HyperLogLog, KMV, Count-Min.
 
 At 100 TB an exact per-key COUNT(DISTINCT) (skew.two_stage_distinct)
 shuffles one row per distinct (key, value) pair — correct, but the
@@ -14,6 +14,10 @@ shuffled state per key to a constant:
 * **KMV** (k minimum values, Bar-Yossef et al. 2002): the k smallest
   distinct hash values per key; estimate (k-1) * H / h_(k). Standard
   error ~1/sqrt(k-2).
+* **Count-Min** (Cormode & Muthukrishnan 2005): d x w counter cells
+  for frequency estimates / heavy hitters; the shuffle carries at most
+  d*w counter rows per partition, and cell tables merge across
+  snapshots by summing.
 
 Spark's own approx_count_distinct is HLL++ and the right production
 default; these exist because (a) the register table is exposed as a
@@ -261,4 +265,102 @@ def kmv_estimate_sql(key_expr: str, value_expr: str, table: str, k: int = 64) ->
                     ELSE CAST({full!r} AS DOUBLE) / CAST(hk AS DOUBLE)
                END AS estimate
         FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (heavy hitters / frequency estimates)
+# ---------------------------------------------------------------------------
+
+
+def cms_table(
+    df: DataFrame,
+    value: str,
+    w: int = 1024,
+    d: int = 4,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min Sketch cell table: (j in [0,d), cell in [0,w), cnt).
+
+    Cormode & Muthukrishnan 2005: d independent hash rows of w
+    counters; estimate(item) = min_j cnt[j][hash_j(item) % w],
+    an overestimate bounded by eps = e/w of the stream length with
+    probability 1 - e^-d.
+
+    Plan shape: explode the d row indices (narrow ×d), ONE
+    groupBy(j, cell) — map-side partial aggregation caps the shuffle
+    at d·w counter rows per partition regardless of input size, and
+    the cell table MERGES across snapshots by summing cnt (the same
+    artifact contract as the HLL register table: union + re-group).
+    """
+    j = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("j")
+    rows = df.select(F.col(value).alias("__v"), j)
+    # seed varies per j: hash the (item, j) string
+    cell = F.pmod(
+        hash60(F.concat(F.col("__v").cast("string"),
+                        F.lit("\x01"), F.col("j").cast("string")), engine),
+        F.lit(w),
+    )
+    return (
+        rows.groupBy("j", cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    w: int = 1024,
+    d: int = 4,
+    engine: str = "xxhash64",
+) -> DataFrame:
+    """Frequency estimate per item: (item, est = min_j cnt[j][h_j]).
+
+    `items` is the (small) query set — broadcast against the (<= d·w
+    row) cell table; absent cells count 0 (cannot happen for items
+    actually present, kept for totality)."""
+    q = items.select(F.col(item_col).alias("item")).distinct()
+    j = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("j")
+    probes = q.select("item", j)
+    cell = F.pmod(
+        hash60(F.concat(F.col("item").cast("string"),
+                        F.lit("\x01"), F.col("j").cast("string")), engine),
+        F.lit(w),
+    )
+    probes = probes.select("item", "j", cell.alias("cell"))
+    joined = probes.join(F.broadcast(cms), ["j", "cell"], "left").select(
+        "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy("item").agg(F.min("c").alias("est"))
+
+
+def cms_estimate_sql(
+    value_expr: str,
+    table: str,
+    item_expr: str | None = None,
+    item_table: str | None = None,
+    w: int = 1024,
+    d: int = 4,
+) -> str:
+    """DuckDB SQL replaying cms_table + cms_estimate (md5 engine)
+    value-for-value. Default query set = the distinct values
+    themselves."""
+    item_expr = item_expr or value_expr
+    item_table = item_table or table
+    h = hash60_sql(f"CAST({value_expr} AS VARCHAR) || chr(1) || CAST(j AS VARCHAR)")
+    hq = hash60_sql("CAST(item AS VARCHAR) || chr(1) || CAST(j AS VARCHAR)")
+    return f"""
+        WITH js AS (SELECT unnest(range({d})) AS j),
+        cms AS (
+          SELECT j, {h} % {w} AS cell, COUNT(*) AS cnt
+          FROM {table}, js GROUP BY j, cell
+        ), q AS (
+          SELECT DISTINCT {item_expr} AS item FROM {item_table}
+        ), probes AS (
+          SELECT item, j, {hq} % {w} AS cell FROM q, js
+        )
+        SELECT item, MIN(COALESCE(cnt, 0)) AS est
+        FROM probes LEFT JOIN cms USING (j, cell)
+        GROUP BY item
     """

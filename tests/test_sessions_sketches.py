@@ -241,4 +241,73 @@ def test_entry_rows_contract(spark):
     sk = entry.queries()["skew_distinct"](spark, sf)
     assert [f.name for f in sk.schema.fields] == ["mode", "key", "n", "v"]
     smodes = {r["mode"] for r in sk.select("mode").distinct().collect()}
-    assert smodes == {"exact", "hll", "kmv"}
+    assert smodes == {"exact", "hll", "kmv", "cms"}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def _freqs(spark):
+    # item i appears i+1 times, 40 items -> 820 rows; w=16 forces
+    # collisions so the overestimate path is really exercised
+    rows = []
+    for i in range(40):
+        rows.extend(Row(v=f"item-{i}") for _ in range(i + 1))
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("engine", ["xxhash64", "md5"])
+def test_cms_one_sided_error(spark, engine):
+    df = _freqs(spark)
+    cms = sketches.cms_table(df, "v", w=16, d=4, engine=engine)
+    est = {
+        r["item"]: r["est"]
+        for r in sketches.cms_estimate(
+            cms, df.select("v"), "v", w=16, d=4, engine=engine
+        ).collect()
+    }
+    exact = {f"item-{i}": i + 1 for i in range(40)}
+    assert all(est[k] >= exact[k] for k in exact), est
+    # eps = e/w of stream length bounds the overshoot (coarse check)
+    n = sum(exact.values())
+    assert all(est[k] - exact[k] <= 2.72 / 16 * n * 2 for k in exact)
+    # with w=16 and 40 items, collisions must actually happen
+    assert any(est[k] > exact[k] for k in exact)
+
+
+def test_cms_merge_by_sum(spark):
+    """cells(A union B) == sum-merge of cells(A), cells(B) — the
+    snapshot-union artifact contract."""
+    df = _freqs(spark)
+    a = df.filter(F.xxhash64("v") % 2 == 0)
+    b = df.filter(F.xxhash64("v") % 2 != 0)
+    whole = sketches.cms_table(df, "v", w=64, d=4)
+    merged = (
+        sketches.cms_table(a, "v", w=64, d=4)
+        .unionByName(sketches.cms_table(b, "v", w=64, d=4))
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _freqs(spark)
+    pq = str(tmp_path / "freqs.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    d = sorted(map(tuple, con.sql(
+        sketches.cms_estimate_sql("v", "t", w=16, d=4)).fetchall()))
+    cms = sketches.cms_table(df, "v", w=16, d=4, engine="md5")
+    s = sorted(
+        (r["item"], r["est"])
+        for r in sketches.cms_estimate(
+            cms, df.select("v"), "v", w=16, d=4, engine="md5"
+        ).collect()
+    )
+    assert d == s
