@@ -1721,7 +1721,13 @@ def q_skew_distinct(spark, sf_dir):
     mode 'cms' — Count-Min frequency sketch (w=256, d=4) probed for
     every user: key = user_id, n = the sketch estimate (min over d
     cells, replayed exactly), v = the exact count as a double — the
-    row itself exhibits the one-sided error bound (n >= v always)."""
+    row itself exhibits the one-sided error bound (n >= v always).
+
+    mode 'hdr' — HDR-style log-linear quantile sketch (5 mantissa
+    bits, ~3% relative error, sum-mergeable bucket table): p50/p95/p99
+    of `value` per event_type, PURE integer bucketing (no hash engine
+    at all) so the DuckDB replay is exact. key = event_type/pNN,
+    n = population, v = the quantile estimate."""
     from fluent_bit_spark.dataops import sketches
     from fluent_bit_spark.skew import two_stage_distinct
 
@@ -1759,7 +1765,18 @@ def q_skew_distinct(spark, sf_dir):
         F.col("est").alias("n"),
         F.col("__n").cast("double").alias("v"),
     )
-    return exact.unionByName(hll).unionByName(kmv).unionByName(cms)
+    hist = sketches.hdr_histogram(ev, "event_type", "value")
+    hdr = sketches.hdr_quantiles(hist, (0.5, 0.95, 0.99)).select(
+        F.lit("hdr").alias("mode"),
+        F.concat(F.col("key"), F.lit("/p"),
+                 (F.col("q") * 100).cast("int").cast("string")).alias("key"),
+        F.col("n"),
+        F.col("est").alias("v"),
+    )
+    return (
+        exact.unionByName(hll).unionByName(kmv)
+        .unionByName(cms).unionByName(hdr)
+    )
 
 
 def q_url_canonical(spark, sf_dir):
@@ -3748,6 +3765,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_sk.cms_estimate_sql("user_id", "events", w=256, d=4)}) c
             JOIN (SELECT user_id, COUNT(*) AS cnt FROM events
                   GROUP BY user_id) e ON c.item = e.user_id
+            UNION ALL
+            SELECT 'hdr' AS mode,
+                   key || '/p' || CAST(CAST(q * 100 AS INTEGER) AS VARCHAR)
+                     AS key,
+                   n, est AS v
+            FROM ({_sk.hdr_quantiles_sql("event_type", "value", "events")})
         """,
         "pipeline_e2e": f"""
             WITH p AS (

@@ -44,6 +44,7 @@ as dataops.dedup/mixing.
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -363,4 +364,178 @@ def cms_estimate_sql(
         SELECT item, MIN(COALESCE(cnt, 0)) AS est
         FROM probes LEFT JOIN cms USING (j, cell)
         GROUP BY item
+    """
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-linear histogram (quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+def _pow2_arr(n: int = 63) -> Column:
+    # built lazily — module-level Column literals need a SparkContext —
+    # and capped at 2^62: F.lit(1 << 63) overflows the JVM long
+    # (CLAUDE.md round-5 gotchas); indexed 1-based via element_at
+    return F.array(*[F.lit(1 << i) for i in range(n)])
+
+
+def hdr_histogram(
+    df: DataFrame,
+    key: str,
+    value: str,
+    scale: int = 1_000_000,
+    mantissa_bits: int = 5,
+) -> DataFrame:
+    """Per-key bucket table: (key, bucket, lo, cnt) over
+    floor(value * scale) — the mergeable quantile artifact (sum cnt
+    across snapshots / partitions; Spark's partial agg caps the
+    shuffle at the bucket count per key per partition, ~64 octaves *
+    2^mantissa_bits rows max).
+
+    `lo` is the bucket's lower bound in SCALED integer units — the
+    value every quantile estimate reports (deterministic, replayable;
+    worst-case relative error 2^-mantissa_bits).
+
+    HdrHistogram bucketing in pure integer arithmetic: bit length via
+    length(bin(x)); the mantissa via integer `div` against a
+    power-of-two literal table (dynamic shift amounts aren't allowed
+    in F.shiftright — CLAUDE.md). Bucket ids are strictly monotone in
+    v, so bucket order == value order and quantile extraction sorts by
+    id alone.
+    """
+    mb = mantissa_bits
+    # domain is non-negative (latencies/sizes); clamp so bin() never
+    # sees a negative long (two's-complement rendering differs across
+    # engines)
+    v = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.col(value).cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    staged = df.select(F.col(key).alias("key"), v.alias("v"))
+    bl = F.when(F.col("v") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("v")))
+    )
+    staged = staged.withColumn("bl", bl)
+    # coarse branch: top (mb+1) bits of v = v div 2^(bl-1-mb); the
+    # 1-based element_at index (bl-1-mb)+1 = bl-mb. fine branch
+    # (v < 2^(mb+1)): v itself, exact
+    divisor = F.try_element_at(
+        _pow2_arr(), (F.col("bl") - F.lit(mb)).cast("int")
+    )
+    staged = staged.withColumn("__p2", divisor).withColumn(
+        "top",
+        F.when(F.col("bl") <= mb + 1, F.col("v")).otherwise(
+            F.expr("v div __p2")
+        ),
+    )
+    # bucket id: fine ids are the value itself (< 2^(mb+1)); coarse ids
+    # start above them and stay monotone: (bl - mb - 1) * 2^mb + top
+    bucket = F.when(F.col("bl") <= mb + 1, F.col("top")).otherwise(
+        (F.col("bl") - mb - 1).cast("long") * (1 << mb) + F.col("top")
+    )
+    # lower bound of the bucket in scaled units (= smallest v mapping in)
+    lo = F.when(F.col("bl") <= mb + 1, F.col("top")).otherwise(
+        F.col("top") * F.col("__p2")
+    )
+    return (
+        staged.select("key", bucket.alias("bucket"), lo.alias("lo"))
+        .groupBy("key", "bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantile estimates from a bucket table: (key, q, n, est).
+
+    est = lower bound (unscaled) of the first bucket whose cumulative
+    count reaches ceil(q * n) — the exact nearest-rank definition over
+    the bucketed distribution, pure integer compare, so the DuckDB
+    window replay is value-identical. One window per key over the
+    (tiny, <= ~2^mb * 64 rows) bucket table.
+    """
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("key")
+    cum = hist.select(
+        "key", "bucket", "lo", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    outs = []
+    for q in quantiles:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        hit = cum.filter(F.col("cum") >= rank).groupBy("key").agg(
+            F.min(F.struct("bucket", "lo", "n")).alias("__b")
+        )
+        outs.append(
+            hit.select(
+                "key",
+                F.lit(q).alias("q"),
+                F.col("__b").getField("n").alias("n"),
+                (
+                    F.col("__b").getField("lo").cast("double")
+                    / F.lit(float(scale))
+                ).alias("est"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def hdr_quantiles_sql(
+    key_expr: str,
+    value_expr: str,
+    table: str,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    scale: int = 1_000_000,
+    mantissa_bits: int = 5,
+) -> str:
+    """DuckDB SQL replaying hdr_histogram + hdr_quantiles
+    value-for-value (no hash engine involved — the sketch is exact
+    integer arithmetic end to end)."""
+    mb = mantissa_bits
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+        WITH vals AS (
+          SELECT {key_expr} AS key,
+                 greatest(0::BIGINT,
+                   CAST(floor(CAST({value_expr} AS DOUBLE) * {float(scale)!r})
+                        AS BIGINT)) AS v
+          FROM {table}
+        ), staged AS (
+          SELECT key, v,
+                 CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bl
+          FROM vals
+        ), topped AS (
+          SELECT key, v, bl,
+                 CASE WHEN bl <= {mb + 1} THEN v
+                      ELSE v // (1::BIGINT << (bl - 1 - {mb})) END AS top
+          FROM staged
+        ), hist AS (
+          SELECT key,
+                 CASE WHEN bl <= {mb + 1} THEN top
+                      ELSE (bl - {mb + 1}) * {1 << mb} + top END AS bucket,
+                 CASE WHEN bl <= {mb + 1} THEN top
+                      ELSE top * (1::BIGINT << (bl - 1 - {mb})) END AS lo,
+                 COUNT(*) AS cnt
+          FROM topped GROUP BY 1, 2, 3
+        ), cum AS (
+          SELECT key, bucket, lo, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(SUM(cnt) OVER (PARTITION BY key) AS BIGINT) AS n
+          FROM hist
+        ), qs AS (SELECT CAST(unnest([{qs}]) AS DOUBLE) AS q)
+        SELECT key, q, CAST(MIN(n) AS BIGINT) AS n,
+               CAST(min_by(lo, bucket) AS DOUBLE) / {float(scale)!r} AS est
+        FROM cum, qs
+        WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        GROUP BY key, q
     """

@@ -241,7 +241,7 @@ def test_entry_rows_contract(spark):
     sk = entry.queries()["skew_distinct"](spark, sf)
     assert [f.name for f in sk.schema.fields] == ["mode", "key", "n", "v"]
     smodes = {r["mode"] for r in sk.select("mode").distinct().collect()}
-    assert smodes == {"exact", "hll", "kmv", "cms"}
+    assert smodes == {"exact", "hll", "kmv", "cms", "hdr"}
 
 
 # ---------------------------------------------------------------------------
@@ -311,3 +311,85 @@ def test_cms_matches_duckdb(spark, tmp_path):
         ).collect()
     )
     assert d == s
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _latencies(spark):
+    # deterministic long-tailed values: i^1.7 / 100 over two keys
+    rows = [
+        Row(k=f"svc{i % 2}", v=(i ** 1.7) / 100.0) for i in range(1, 2001)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hdr_quantiles_error_bound(spark):
+    import numpy as np
+
+    df = _latencies(spark)
+    hist = sketches.hdr_histogram(df, "k", "v")
+    got = {
+        (r["key"], r["q"]): r["est"]
+        for r in sketches.hdr_quantiles(hist, (0.5, 0.95, 0.99)).collect()
+    }
+    rows = df.collect()
+    for key in ("svc0", "svc1"):
+        vals = np.array(sorted(r["v"] for r in rows if r["k"] == key))
+        for q in (0.5, 0.95, 0.99):
+            true = np.quantile(vals, q, method="inverted_cdf")
+            est = got[(key, q)]
+            # bucket lower bound: est <= value, within 2^-5 relative
+            assert est <= true + 1e-9
+            assert (true - est) / true <= 2 ** -5 + 1e-9, (key, q, true, est)
+
+
+def test_hdr_merge_by_sum(spark):
+    df = _latencies(spark)
+    a = df.filter(F.xxhash64("v") % 2 == 0)
+    b = df.filter(F.xxhash64("v") % 2 != 0)
+    whole = sketches.hdr_histogram(df, "k", "v")
+    merged = (
+        sketches.hdr_histogram(a, "k", "v")
+        .unionByName(sketches.hdr_histogram(b, "k", "v"))
+        .groupBy("key", "bucket", "lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hdr_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _latencies(spark)
+    pq = str(tmp_path / "lat.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    d = sorted(map(tuple, con.sql(
+        sketches.hdr_quantiles_sql("k", "v", "t", (0.5, 0.9, 0.95, 0.99))
+    ).fetchall()))
+    hist = sketches.hdr_histogram(df, "k", "v")
+    s = sorted(
+        (r["key"], r["q"], r["n"], r["est"])
+        for r in sketches.hdr_quantiles(hist, (0.5, 0.9, 0.95, 0.99)).collect()
+    )
+    assert d == s
+
+
+def test_hdr_bucket_monotone_and_zero(spark):
+    """bucket ids strictly increase with value (the property quantile
+    extraction relies on); zero and small ints are exact."""
+    rows = [Row(k="a", v=float(x)) for x in
+            [0, 1e-6, 2e-6, 63e-6, 64e-6, 65e-6, 1e-3, 1.0, 2.5, 1e6]]
+    df = spark.createDataFrame(rows)
+    hist = sketches.hdr_histogram(df, "k", "v")
+    got = sorted((r["bucket"], r["lo"]) for r in hist.collect())
+    buckets = [b for b, _ in got]
+    assert buckets == sorted(set(buckets)), got
+    los = dict(got)
+    # scaled 0,1,2,63 are fine-branch exact lower bounds
+    for exact in (0, 1, 2, 63):
+        assert los.get(exact, None) == exact or exact in (b for b, _ in got)
