@@ -466,3 +466,20 @@ def test_hll_registers_partial_aggregate_merge(spark):
     plan = plan_of(regs)
     assert "partial_max" in plan, plan
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+
+
+def test_cms_hdr_single_exchange_partial_agg(spark):
+    """CMS cell build and HDR histogram build: one hash exchange each,
+    with map-side partial aggregation (the cap on shuffled sketch rows
+    per partition — the whole point of the sketch at fleet scale)."""
+    import re
+
+    from fluent_bit_spark.dataops import sketches
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cms_plan = plan_of(sketches.cms_table(ev, "user_id", w=256, d=4))
+    assert "partial_count" in cms_plan, cms_plan
+    assert len(re.findall(r"hashpartitioning\(", cms_plan)) == 1, cms_plan
+    hdr_plan = plan_of(sketches.hdr_histogram(ev, "event_type", "value"))
+    assert "partial_count" in hdr_plan, hdr_plan
+    assert len(re.findall(r"hashpartitioning\(", hdr_plan)) == 1, hdr_plan
