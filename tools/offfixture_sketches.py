@@ -1,0 +1,157 @@
+"""Off-fixture scale check for the session-5 sketch family (HLL, KMV,
+CMS, HDR) — the session-2 harness protocol: planted structure at
+~100x the sf0.01 fixture, verified against closed forms / exact
+replays, xxhash64 scale engines (the md5 checkable engine is the
+driver gate's job; here we prove the SCALE path behaves).
+
+Checks:
+  1. hll_error_within_bound   — 1M distinct values, estimate within
+                                4 sigma of 1.04/sqrt(2^p)
+  2. hll_partition_invariant  — bit-identical registers 4 vs 64 parts
+  3. kmv_error_within_bound   — same corpus, 4 sigma of 1/sqrt(k-2)
+  4. cms_finds_heavy_hitter   — planted hot key (5% of 5M rows) is
+                                the argmax estimate and every estimate
+                                is >= its exact count (one-sided)
+  5. cms_error_within_eps     — overshoot <= 2eN/w for all probed items
+  6. hdr_quantiles_within_rel — planted long-tail latencies at 5M
+                                rows: p50/p95/p99 within 2^-5 relative
+                                of the exact percentile (numpy replay)
+
+Usage: python tools/offfixture_sketches.py [--rows 5000000] [--cpus 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=5_000_000)
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    import numpy as np
+    from pyspark.sql import SparkSession, functions as F
+
+    from fluent_bit_spark.dataops import sketches
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n = args.rows
+    passed = []
+
+    # -- corpus A: ~1M distinct values under one key (cardinality) ----
+    distinct_target = max(1_000_000, n // 5)
+    card = spark.range(n).select(
+        F.lit("k").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(distinct_target))
+        .cast("string").alias("v"),
+    )
+    card.persist()
+    exact = card.select("v").distinct().count()
+
+    p = 12  # tighter sigma at this cardinality
+    est = sketches.hll_distinct(card, "k", "v", p=p).collect()[0]["estimate"]
+    sigma = 1.04 / math.sqrt(1 << p)
+    ok = abs(est - exact) / exact <= 4 * sigma
+    passed.append(("hll_error_within_bound", ok,
+                   f"exact={exact} est={est:.0f} rel={abs(est-exact)/exact:.4f}"
+                   f" bound={4*sigma:.4f}"))
+
+    r4 = sketches.hll_registers(card.coalesce(4), "k", "v", p=p)
+    r64 = sketches.hll_registers(card.repartition(64), "k", "v", p=p)
+    same = sorted(map(tuple, r4.collect())) == sorted(map(tuple, r64.collect()))
+    passed.append(("hll_partition_invariant", same, "4 vs 64 partitions"))
+
+    k = 1024
+    kest = sketches.kmv_distinct(card, "k", "v", k=k).collect()[0]["estimate"]
+    ksigma = 1.0 / math.sqrt(k - 2)
+    ok = abs(kest - exact) / exact <= 4 * ksigma
+    passed.append(("kmv_error_within_bound", ok,
+                   f"est={kest:.0f} rel={abs(kest-exact)/exact:.4f}"
+                   f" bound={4*ksigma:.4f}"))
+    card.unpersist()
+
+    # -- corpus B: Zipf-ish items with one planted heavy hitter -------
+    hot_share = 20  # 1-in-20 rows = 5%
+    items = spark.range(n).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(hot_share)) == 0,
+               F.lit("HOT"))
+        .otherwise(F.concat(F.lit("item-"),
+                            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(20_000))
+                            .cast("string")))
+        .alias("v")
+    )
+    items.persist()
+    w, d = 8192, 4
+    cms = sketches.cms_table(items, "v", w=w, d=d)
+    probe_items = items.select("v").distinct()
+    ests = sketches.cms_estimate(cms, probe_items, "v", w=w, d=d)
+    exact_counts = items.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    joined = ests.join(exact_counts, ests["item"] == exact_counts["v"]).select(
+        "item", "est", "c"
+    ).collect()
+    items.unpersist()
+    by_est = max(joined, key=lambda r: r["est"])
+    one_sided = all(r["est"] >= r["c"] for r in joined)
+    passed.append(("cms_finds_heavy_hitter",
+                   by_est["item"] == "HOT" and one_sided,
+                   f"argmax={by_est['item']} est={by_est['est']}"
+                   f" exact={by_est['c']} one_sided={one_sided}"))
+    eps_bound = 2 * math.e / w * n
+    worst_over = max(r["est"] - r["c"] for r in joined)
+    passed.append(("cms_error_within_eps", worst_over <= eps_bound,
+                   f"worst_overshoot={worst_over} bound={eps_bound:.0f}"))
+
+    # -- corpus C: long-tail latencies (quantiles) --------------------
+    lat = spark.range(n).select(
+        F.lit("svc").alias("k"),
+        # xxhash64-derived u in (0,1]; latency = 2ms / u^0.6 (Pareto-ish
+        # tail), all deterministic
+        (F.lit(0.002) * F.pow(
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000_000)) + 1)
+            / 1_000_000.0, F.lit(-0.6))).alias("v"),
+    )
+    lat.persist()
+    hist = sketches.hdr_histogram(lat, "k", "v")
+    got = {r["q"]: r["est"]
+           for r in sketches.hdr_quantiles(hist, (0.5, 0.95, 0.99)).collect()}
+    # exact replay of the generator in numpy
+    ids = np.arange(n, dtype=np.int64)
+    # xxhash64 isn't replayable in numpy — pull the exact scaled values
+    # from Spark instead (floor(v*1e6), the sketch's own domain)
+    vals = np.array(
+        lat.select(F.floor(F.col("v") * 1e6).cast("long").alias("s"))
+        .toPandas()["s"], dtype=np.int64
+    )
+    lat.unpersist()
+    ok = True
+    detail = []
+    for q in (0.5, 0.95, 0.99):
+        true = np.quantile(vals, q, method="inverted_cdf") / 1e6
+        est = got[q]
+        rel = abs(est - true) / true
+        detail.append(f"p{int(q*100)}: true={true:.6f} est={est:.6f} rel={rel:.4f}")
+        ok = ok and est <= true + 1e-12 and rel <= 2 ** -5 + 1e-9
+    passed.append(("hdr_quantiles_within_rel", ok, "; ".join(detail)))
+
+    n_ok = sum(1 for _, ok, _ in passed if ok)
+    for name, ok, msg in passed:
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {msg}")
+    print(f"{n_ok}/{len(passed)} checks green")
+    sys.exit(0 if n_ok == len(passed) else 1)
+
+
+if __name__ == "__main__":
+    main()
