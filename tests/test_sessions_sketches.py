@@ -393,3 +393,35 @@ def test_hdr_bucket_monotone_and_zero(spark):
     # scaled 0,1,2,63 are fine-branch exact lower bounds
     for exact in (0, 1, 2, 63):
         assert los.get(exact, None) == exact or exact in (b for b, _ in got)
+
+
+def test_hll_registers_streamable(spark, tmp_path):
+    """The HLL register build runs UNMODIFIED as a streaming query
+    (groupBy + max in update mode): after draining the source, the
+    state-store register table equals the batch registers — the
+    mergeable-state property carrying over to Structured Streaming
+    (same run-unmodified contract as the bloom/C4 streaming e2e)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    df = _cards(spark).coalesce(1)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    regs_stream = sketches.hll_registers(stream, "k", "v", p=8, engine="md5")
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName("hll_regs")
+        .option("checkpointLocation", chk)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM hll_regs").collect())
+    )
+    want = sorted(
+        map(tuple, sketches.hll_registers(df, "k", "v", p=8, engine="md5").collect())
+    )
+    assert got == want
