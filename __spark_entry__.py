@@ -377,7 +377,18 @@ def q_throttle_modes(spark, sf_dir):
     events in session, v = duration seconds (rounded 6, from exact
     micros). The streaming twin (sessions.sessionize_stream,
     applyInPandasWithState with idle timeout) is pytest-checked
-    against this batch operator."""
+    against this batch operator.
+
+    mode 'zscore' (round-5 session-5): per-pane anomaly scoring
+    (anomaly.pane_zscores, 6h panes over events.value per event_type)
+    — every sample's z against its pane's population mean/std, sums
+    folded in fixed order so the doubles are bit-deterministic and
+    emitted UNROUNDED (equal doubles hash equal; rounding is where
+    cross-engine half-up/half-even bites — CLAUDE.md). n = pane,
+    v = z. Flag exercise (|z|>3 impossible on the bounded fixture
+    distribution: uniform caps |z| at sqrt(3)) lives in pytest on a
+    spiked corpus, with the cross-pane EWMA drift detector."""
+    from fluent_bit_spark.anomaly import pane_zscores
     from fluent_bit_spark.sessions import sessionize
 
     ev = _t(spark, sf_dir, "events")
@@ -406,7 +417,15 @@ def q_throttle_modes(spark, sf_dir):
         F.col("n_events").alias("n"),
         F.col("duration_sec").alias("v"),
     )
-    return rate.unionByName(size).unionByName(sess)
+    zs = pane_zscores(
+        ev, "event_type", "ts", "value", "event_id", interval_sec=21600
+    ).select(
+        F.lit("zscore").alias("mode"),
+        "event_id",
+        F.col("pane").alias("n"),
+        F.col("z").alias("v"),
+    )
+    return rate.unionByName(size).unionByName(sess).unionByName(zs)
 
 
 # ---------------------------------------------------------------------------
@@ -3023,6 +3042,12 @@ def oracle_sql() -> dict[str, str]:
         "events", key="user_id", ts_col="ts", gap_sec=21600,
         order_col="event_id",
     )
+    from fluent_bit_spark.anomaly import pane_zscores_sql
+
+    _zscore_oracle = pane_zscores_sql(
+        "events", "event_type", "ts", "value", "event_id",
+        interval_sec=21600,
+    )
     kv = r"""regexp_extract(props, '"k": (\d+)', 1)"""
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
     toks_l = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
@@ -3188,6 +3213,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sess' AS mode, first_event_id AS event_id,
                    n_events AS n, duration_sec AS v
             FROM ({_sessionize_oracle})
+            UNION ALL
+            SELECT 'zscore' AS mode, event_id, pane AS n, z AS v
+            FROM ({_zscore_oracle})
         """,
         "parser_regex_modes": rf"""
             SELECT 'plain' AS mode, event_id,

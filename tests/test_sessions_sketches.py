@@ -237,7 +237,7 @@ def test_entry_rows_contract(spark):
     th = entry.queries()["throttle_modes"](spark, sf)
     assert [f.name for f in th.schema.fields] == ["mode", "event_id", "n", "v"]
     modes = {r["mode"] for r in th.select("mode").distinct().collect()}
-    assert modes == {"rate", "size", "sess"}
+    assert modes == {"rate", "size", "sess", "zscore"}
     sk = entry.queries()["skew_distinct"](spark, sf)
     assert [f.name for f in sk.schema.fields] == ["mode", "key", "n", "v"]
     smodes = {r["mode"] for r in sk.select("mode").distinct().collect()}
@@ -425,3 +425,114 @@ def test_hll_registers_streamable(spark, tmp_path):
         map(tuple, sketches.hll_registers(df, "k", "v", p=8, engine="md5").collect())
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# anomaly: pane z-scores + EWMA drift
+# ---------------------------------------------------------------------------
+
+
+def _spiky(spark):
+    """A flat series (value 10 +- 1 alternating) with one planted 100x
+    spike per key — |z| within the pane must exceed any sane threshold
+    for the spike and stay small for the rest."""
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for k in range(2):
+        for i in range(40):
+            v = 10.0 + (1.0 if i % 2 == 0 else -1.0)
+            if i == 25:
+                v = 1000.0
+            rows.append(Row(k=f"svc{k}",
+                            ts=base + datetime.timedelta(seconds=30 * i),
+                            event_id=k * 1000 + i, v=v))
+    return spark.createDataFrame(rows)
+
+
+def test_pane_zscore_flags_planted_spike(spark):
+    from fluent_bit_spark import anomaly
+
+    out = anomaly.pane_zscores(
+        _spiky(spark), "k", "ts", "v", "event_id",
+        interval_sec=3600, z_threshold=3.0,
+    ).collect()
+    flagged = {(r["key"], r["event_id"]) for r in out if r["flagged"]}
+    assert flagged == {("svc0", 25), ("svc1", 1025)}, flagged
+    # everything else scores small
+    assert all(abs(r["z"]) < 1.0 for r in out
+               if (r["key"], r["event_id"]) not in flagged)
+
+
+def test_pane_zscore_partition_invariant(spark):
+    from fluent_bit_spark import anomaly
+
+    df = _spiky(spark)
+    a = anomaly.pane_zscores(df.coalesce(1), "k", "ts", "v", "event_id")
+    b = anomaly.pane_zscores(df.repartition(16), "k", "ts", "v", "event_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pane_zscore_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from fluent_bit_spark import anomaly
+
+    df = _spiky(spark)
+    pq = str(tmp_path / "spiky.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    d = sorted(map(tuple, con.sql(anomaly.pane_zscores_sql(
+        "t", "k", "ts", "v", "event_id")).fetchall()))
+    s = sorted(
+        (r["key"], r["pane"], r["event_id"], r["v"], r["z"], r["flagged"])
+        for r in anomaly.pane_zscores(df, "k", "ts", "v", "event_id").collect()
+    )
+    assert d == s
+
+
+def test_pane_zscore_degenerate_panes(spark):
+    """Sparse panes (< min_n) and zero-variance panes score 0, never
+    NaN/inf, never flagged."""
+    import datetime
+
+    from fluent_bit_spark import anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [Row(k="a", ts=base, event_id=1, v=5.0),
+            Row(k="a", ts=base + datetime.timedelta(seconds=10), event_id=2, v=500.0)]
+    rows += [Row(k="b", ts=base + datetime.timedelta(seconds=i), event_id=10 + i,
+                 v=7.0) for i in range(10)]
+    out = anomaly.pane_zscores(
+        spark.createDataFrame(rows), "k", "ts", "v", "event_id"
+    ).collect()
+    assert all(r["z"] == 0.0 and not r["flagged"] for r in out), out
+
+
+def test_ewma_drift_flags_level_shift(spark):
+    """20 calm hourly panes at level ~10, then the level jumps to 30:
+    the first post-shift pane must drift-flag against the EWMA
+    baseline; calm panes must not."""
+    import datetime
+
+    from fluent_bit_spark import anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for p in range(30):
+        lvl = 10.0 if p < 20 else 30.0
+        wiggle = 0.5 if p % 2 == 0 else -0.5
+        for i in range(6):
+            rows.append(Row(k="svc",
+                            ts=base + datetime.timedelta(hours=p, minutes=10 * i),
+                            v=lvl + wiggle))
+    out = anomaly.ewma_drift(
+        spark.createDataFrame(rows), "k", "ts", "v",
+        interval_sec=3600, alpha=0.3, z_threshold=3.0,
+    ).collect()
+    drifted = sorted(r["pane"] for r in out if r["drifted"])
+    first_shift_pane = min(r["pane"] for r in out) + 20
+    assert first_shift_pane in drifted, (drifted, first_shift_pane)
+    assert all(p >= first_shift_pane for p in drifted), drifted
