@@ -1735,7 +1735,8 @@ def q_skew_distinct(spark, sf_dir):
     the same plan, different hash — pytest asserts its accuracy and
     merge law). n = occupied registers / k_used; v = estimate
     rounded 4 (exact-integer harmonic sums, so the one double
-    division matches cross-engine).
+    division matches cross-engine; estimates emitted UNROUNDED — same
+    route ⇒ bit-equal doubles, and round() is where engines diverge).
 
     mode 'cms' — Count-Min frequency sketch (w=256, d=4) probed for
     every user: key = user_id, n = the sketch estimate (min over d
@@ -1762,14 +1763,16 @@ def q_skew_distinct(spark, sf_dir):
         F.lit("hll").alias("mode"),
         "key",
         F.col("n_regs").alias("n"),
-        F.round("estimate", 4).alias("v"),
+        # unrounded: both engines compute the identical double by the
+        # same route, and round() is where they disagree (CLAUDE.md)
+        F.col("estimate").alias("v"),
     )
     kmv = sketches.kmv_distinct(ev, "event_type", "user_id", k=64, engine="md5")
     kmv = kmv.select(
         F.lit("kmv").alias("mode"),
         "key",
         F.col("k_used").alias("n"),
-        F.round("estimate", 4).alias("v"),
+        F.col("estimate").alias("v"),
     )
     cms_cells = sketches.cms_table(ev, "user_id", w=256, d=4, engine="md5")
     cms_est = sketches.cms_estimate(
@@ -3781,11 +3784,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             UNION ALL
             SELECT 'hll' AS mode, key, CAST(n_regs AS BIGINT) AS n,
-                   round(estimate, 4) AS v
+                   estimate AS v
             FROM ({_sk.hll_estimate_sql("event_type", "user_id", "events", p=10)})
             UNION ALL
             SELECT 'kmv' AS mode, key, CAST(k_used AS BIGINT) AS n,
-                   round(estimate, 4) AS v
+                   estimate AS v
             FROM ({_sk.kmv_estimate_sql("event_type", "user_id", "events", k=64)})
             UNION ALL
             SELECT 'cms' AS mode, CAST(c.item AS VARCHAR) AS key,

@@ -60,11 +60,15 @@ def hash60(col: Column, engine: str = "xxhash64") -> Column:
     positive signed 64-bit long on both engines. Both engines hash the
     STRING form so numeric keys replay identically.
     """
+    from fluent_bit_spark.dataops.dedup import md5_hash60
+
     s = col.cast("string")
     if engine == "xxhash64":
         return F.shiftrightunsigned(F.xxhash64(s), 64 - HASH_BITS)
     if engine == "md5":
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        # the shared cross-engine hash contract lives in dedup (one
+        # definition to keep Spark and the DuckDB replays in lockstep)
+        return md5_hash60(s)
     raise ValueError(f"unknown hash engine: {engine}")
 
 
@@ -418,9 +422,14 @@ def hdr_histogram(
     staged = staged.withColumn("bl", bl)
     # coarse branch: top (mb+1) bits of v = v div 2^(bl-1-mb); the
     # 1-based element_at index (bl-1-mb)+1 = bl-mb. fine branch
-    # (v < 2^(mb+1)): v itself, exact
+    # (v < 2^(mb+1)): v itself, exact. The index is clamped to >= 1:
+    # __p2 is materialized for EVERY row (the when() branch does not
+    # guard evaluation) and try_element_at(arr, 0) THROWS
+    # INVALID_INDEX_OF_ZERO for bl == mb exactly — the fine branch
+    # never reads the clamped value
     divisor = F.try_element_at(
-        _pow2_arr(), (F.col("bl") - F.lit(mb)).cast("int")
+        _pow2_arr(),
+        F.greatest(F.lit(1), (F.col("bl") - F.lit(mb)).cast("int")),
     )
     staged = staged.withColumn("__p2", divisor).withColumn(
         "top",

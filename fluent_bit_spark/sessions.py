@@ -167,6 +167,17 @@ def sessionize_stream(
     state_schema = "start_us long, last_us long, n long"
     gap_us = gap_sec * 1_000_000
 
+    # epoch micros are taken JVM-side (unix_micros == the batch
+    # operator's clock): Spark delivers TIMESTAMP columns to pandas
+    # workers as naive datetimes in the SESSION time zone, so reading
+    # int64 off the pandas column would shift by the UTC offset (and
+    # double-count a DST fall-back hour) whenever the session tz isn't
+    # UTC — the worker only ever sees the tz-independent integer
+    events = events.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+    )
+
     def track(key_tuple, pdfs, state: GroupState):
         if state.hasTimedOut:
             start_us, last_us, n = state.get
@@ -188,9 +199,7 @@ def sessionize_stream(
             n = 0
         closed = []
         for pdf in pdfs:
-            us_sorted = (
-                pdf[ts_col].astype("datetime64[us]").astype("int64").sort_values()
-            )
+            us_sorted = pdf["__us"].astype("int64").sort_values()
             for us in us_sorted:
                 us = int(us)
                 if start_us is None:

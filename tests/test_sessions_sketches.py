@@ -390,9 +390,9 @@ def test_hdr_bucket_monotone_and_zero(spark):
     buckets = [b for b, _ in got]
     assert buckets == sorted(set(buckets)), got
     los = dict(got)
-    # scaled 0,1,2,63 are fine-branch exact lower bounds
+    # scaled 0,1,2,63 are fine-branch buckets: bucket id == lo == value
     for exact in (0, 1, 2, 63):
-        assert los.get(exact, None) == exact or exact in (b for b, _ in got)
+        assert los[exact] == exact, (exact, got)
 
 
 def test_hll_registers_streamable(spark, tmp_path):
@@ -536,3 +536,15 @@ def test_ewma_drift_flags_level_shift(spark):
     first_shift_pane = min(r["pane"] for r in out) + 20
     assert first_shift_pane in drifted, (drifted, first_shift_pane)
     assert all(p >= first_shift_pane for p in drifted), drifted
+
+
+def test_hdr_bl_equals_mb_no_crash(spark):
+    """Regression (session-5 review): scaled values with bit length
+    exactly mantissa_bits (v in [16e-6, 32e-6) at scale 1e6, bl == 5)
+    made the eagerly-materialized divisor evaluate
+    try_element_at(arr, 0), which THROWS under Spark — the fine branch
+    masks the value but not the evaluation. Must bucket exactly."""
+    rows = [Row(k="a", v=20e-6), Row(k="a", v=16e-6), Row(k="a", v=31e-6)]
+    hist = sketches.hdr_histogram(spark.createDataFrame(rows), "k", "v")
+    got = sorted((r["bucket"], r["lo"], r["cnt"]) for r in hist.collect())
+    assert got == [(16, 16, 1), (20, 20, 1), (31, 31, 1)], got

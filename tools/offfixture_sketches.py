@@ -127,8 +127,6 @@ def main():
     hist = sketches.hdr_histogram(lat, "k", "v")
     got = {r["q"]: r["est"]
            for r in sketches.hdr_quantiles(hist, (0.5, 0.95, 0.99)).collect()}
-    # exact replay of the generator in numpy
-    ids = np.arange(n, dtype=np.int64)
     # xxhash64 isn't replayable in numpy — pull the exact scaled values
     # from Spark instead (floor(v*1e6), the sketch's own domain)
     vals = np.array(
