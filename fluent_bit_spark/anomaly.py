@@ -247,3 +247,102 @@ def ewma_drift(
         F.col("o").getField("sigma").alias("sigma"),
         F.col("o").getField("drifted").alias("drifted"),
     )
+
+
+def ewma_drift_stream(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    interval_sec: int = 3600,
+    alpha: float = 0.3,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+):
+    """Streaming drift alerts: the :func:`ewma_drift` recursion with the
+    (m, s, i) baseline carried ACROSS micro-batches per key via
+    applyInPandasWithState — emit one row per completed pane, flagged
+    against the baseline as it stood BEFORE the pane (identical to the
+    batch fold, so stream == batch on the same data).
+
+    Pane close-out: a pane emits when a later pane's first sample
+    arrives for the key (panes are processed in order within the
+    accumulated state; the still-open newest pane stays buffered as
+    (pane, sum, count) until the stream moves past it — flush the tail
+    by sending any later-pane record, the same sentinel contract as the
+    streaming SP / dedup flush). Micros are taken JVM-side
+    (tz-independent, sessionize_stream lesson).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    out_schema = (
+        f"{key} long, pane long, pane_mean double, baseline double, "
+        "sigma double, drifted boolean"
+    )
+    # m/s/i = the cross-pane EWMA state; csum/cn = the open pane's
+    # running sum/count
+    state_schema = (
+        "m double, s double, i long, open_pane long, csum double, cn long"
+    )
+    pane_us = interval_sec * 1_000_000
+
+    def track(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            m, s, i, open_pane, csum, cn = state.get
+        else:
+            m, s, i, open_pane, csum, cn = 0.0, 0.0, 0, None, 0.0, 0
+        rows = []
+
+        def close_pane():
+            nonlocal m, s, i
+            pane_mean = csum / cn
+            var = s - m * m
+            sigma = max(var, 0.0) ** 0.5
+            drifted = bool(
+                i >= min_history and sigma > 0.0
+                and abs(pane_mean - m) > z_threshold * sigma
+            )
+            rows.append((key_tuple[0], open_pane, pane_mean, m, sigma,
+                         drifted))
+            if i == 0:
+                m, s = pane_mean, pane_mean * pane_mean
+            else:
+                m = (1.0 - a) * m + a * pane_mean
+                s = (1.0 - a) * s + a * pane_mean * pane_mean
+            i += 1
+
+        for pdf in pdfs:
+            us = pdf["__us"].astype("int64")
+            for u, v in sorted(zip(us, pdf["__v"].astype("float64"))):
+                pane = int(u) // pane_us
+                if open_pane is None:
+                    open_pane, csum, cn = pane, 0.0, 0
+                elif pane != open_pane:
+                    close_pane()
+                    open_pane, csum, cn = pane, 0.0, 0
+                csum += float(v)
+                cn += 1
+        state.update((float(m), float(s), int(i),
+                      int(open_pane) if open_pane is not None else -1,
+                      float(csum), int(cn)))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key, "pane", "pane_mean", "baseline", "sigma",
+                         "drifted"],
+            )
+
+    staged = events.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return staged.groupBy(F.col(key)).applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

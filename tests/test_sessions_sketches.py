@@ -548,3 +548,58 @@ def test_hdr_bl_equals_mb_no_crash(spark):
     hist = sketches.hdr_histogram(spark.createDataFrame(rows), "k", "v")
     got = sorted((r["bucket"], r["lo"], r["cnt"]) for r in hist.collect())
     assert got == [(16, 16, 1), (20, 20, 1), (31, 31, 1)], got
+
+
+def test_ewma_drift_stream_matches_batch(spark, tmp_path):
+    """ewma_drift_stream over a file source == batch ewma_drift on the
+    same rows, minus the final still-open pane per key (it has no
+    later-pane sample to close it). Values are dyadic so the stream's
+    arrival-order pane sums and the batch's sorted fold are bit-equal
+    (documented ulp caveat for arbitrary doubles)."""
+    import datetime
+
+    from fluent_bit_spark import anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for p in range(12):
+        lvl = 10.0 if p < 8 else 30.0
+        wiggle = 0.5 if p % 2 == 0 else -0.5  # per-PANE: sigma > 0
+        for i in range(4):
+            rows.append(Row(k=7, ts=base + datetime.timedelta(hours=p, minutes=15 * i),
+                            v=lvl + wiggle))
+    df = spark.createDataFrame(rows).coalesce(1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        anomaly.ewma_drift_stream(
+            stream, "k", "ts", "v", interval_sec=3600,
+            alpha=0.3, z_threshold=3.0, min_history=5,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["pane"], r["pane_mean"], r["baseline"], r["sigma"], r["drifted"])
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = anomaly.ewma_drift(
+        spark.read.parquet(src), "k", "ts", "v", interval_sec=3600,
+        alpha=0.3, z_threshold=3.0, min_history=5,
+    ).collect()
+    last_pane = max(r["pane"] for r in batch)
+    want = sorted(
+        (r["key"], r["pane"], r["pane_mean"], r["baseline"], r["sigma"], r["drifted"])
+        for r in batch if r["pane"] != last_pane
+    )
+    assert got == want
+    assert any(r[5] for r in got)  # the level shift fired on the stream
