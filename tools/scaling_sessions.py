@@ -75,7 +75,7 @@ sys.path.insert(0, {repo!r})
 import os
 os.environ["PYTHONPATH"] = {repo!r}
 from pyspark.sql import SparkSession, functions as F
-from fluent_bit_spark import sessions
+from fluent_bit_spark import sessions, anomaly
 from fluent_bit_spark.dataops import sketches
 
 cpus = {cpus}
@@ -106,7 +106,23 @@ hll_agg = hll.agg(
     F.expr("bit_xor(xxhash64(key, n_regs, estimate))").alias("sig"),
 )
 
+evz = ev.withColumn(
+    "value",
+    (F.pmod(F.xxhash64("event_id", F.lit(9)), F.lit(10_000)) / 100.0),
+)
+z_agg = anomaly.pane_zscores(
+    evz, "user_id", "ts", "value", "event_id", interval_sec=3600
+).agg(
+    F.count(F.lit(1)).alias("n"),
+    F.expr("bit_xor(xxhash64(key, pane, event_id, v, z, flagged))")
+    .alias("sig"),
+) if {job!r} == "zscore" else None
+
 def job():
+    if z_agg is not None:
+        z = z_agg.first()
+        return {{"sess_rows": z["n"], "sess_sig": z["sig"],
+                 "hll_rows": 0, "hll_sig": 0}}
     s = sess_agg.first()
     h = hll_agg.first()
     return {{"sess_rows": s["n"], "sess_sig": s["sig"],
@@ -122,8 +138,9 @@ print("CHILD_RESULT " + json.dumps(
 """
 
 
-def run_level(staged: str, cpus: int, runs: int) -> dict:
-    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs)
+def run_level(staged: str, cpus: int, runs: int, job: str = "sessions") -> dict:
+    code = _CHILD.format(repo=_REPO, staged=staged, cpus=cpus, runs=runs,
+                         job=job)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600,
@@ -142,6 +159,10 @@ def main():
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--staged", default=None)
+    ap.add_argument("--job", default="sessions",
+                    choices=["sessions", "zscore"],
+                    help="sessions = sessionize+HLL; zscore = "
+                         "anomaly.pane_zscores over the same events")
     args = ap.parse_args()
 
     staged = args.staged or os.path.join(
@@ -158,8 +179,8 @@ def main():
     lo_times: list = []
     hi_times: list = []
     for _ in range(args.rounds):
-        lo = run_level(staged, args.low, args.runs)
-        hi = run_level(staged, args.high, args.runs)
+        lo = run_level(staged, args.low, args.runs, args.job)
+        hi = run_level(staged, args.high, args.runs, args.job)
         keys = ("sess_rows", "sess_sig", "hll_rows", "hll_sig")
         assert all(lo[k] == hi[k] for k in keys), (
             "results must be identical across parallelism levels",
@@ -172,6 +193,7 @@ def main():
     ratio = args.high / args.low
     eff = (t_lo / t_hi) / ratio
     result = {
+        "job": args.job,
         "events": args.events,
         "low_cpus": args.low, "high_cpus": args.high,
         "low_best_sec": round(t_lo, 3), "high_best_sec": round(t_hi, 3),
