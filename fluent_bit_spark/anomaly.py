@@ -262,27 +262,40 @@ def ewma_drift_stream(
     """Streaming drift alerts: the :func:`ewma_drift` recursion with the
     (m, s, i) baseline carried ACROSS micro-batches per key via
     applyInPandasWithState — emit one row per completed pane, flagged
-    against the baseline as it stood BEFORE the pane (identical to the
-    batch fold, so stream == batch on the same data).
+    against the baseline as it stood BEFORE the pane.
 
-    Pane close-out: a pane emits when a later pane's first sample
-    arrives for the key (panes are processed in order within the
-    accumulated state; the still-open newest pane stays buffered as
-    (pane, sum, count) until the stream moves past it — flush the tail
-    by sending any later-pane record, the same sentinel contract as the
-    streaming SP / dedup flush). Micros are taken JVM-side
-    (tz-independent, sessionize_stream lesson).
+    Equality with the batch fold on closed panes holds up to summation
+    ORDER: the stream accumulates a pane's sum in (ts, value) arrival
+    order while batch folds value-sorted, so arbitrary doubles can
+    differ in the last ulp (bit-equal for exactly-summable values —
+    the e2e test uses dyadic values; treat cross-checks accordingly).
+
+    Ordering/closing contract: each invocation sorts its batch's rows
+    globally (across Arrow chunks) before folding; a pane closes when a
+    LATER pane's first sample arrives for the key, so the still-open
+    newest pane stays buffered as (pane, sum, count) until the stream
+    moves past it — flush the tail by sending any later-pane record
+    (the streaming SP / dedup flush contract). Records for panes
+    EARLIER than the open pane (late cross-batch arrivals) are DROPPED
+    — their pane already closed and the EWMA absorbed it; the
+    no-watermark tradeoff, stated here rather than hidden. Null
+    timestamps and null values are dropped (batch's collect_list skips
+    nulls the same way). Micros are taken JVM-side (tz-independent,
+    sessionize_stream lesson).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     a = float(alpha)
+    key_ddl = events.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, pane long, pane_mean double, baseline double, "
+        f"{key} {key_ddl}, pane long, pane_mean double, baseline double, "
         "sigma double, drifted boolean"
     )
     # m/s/i = the cross-pane EWMA state; csum/cn = the open pane's
-    # running sum/count
+    # running sum/count. cn == 0 means "no open pane" (close_pane is
+    # only reachable with cn >= 1, so the encoding is unambiguous and
+    # no sentinel pane id can collide with a real pre-epoch pane)
     state_schema = (
         "m double, s double, i long, open_pane long, csum double, cn long"
     )
@@ -292,7 +305,7 @@ def ewma_drift_stream(
         if state.exists:
             m, s, i, open_pane, csum, cn = state.get
         else:
-            m, s, i, open_pane, csum, cn = 0.0, 0.0, 0, None, 0.0, 0
+            m, s, i, open_pane, csum, cn = 0.0, 0.0, 0, 0, 0.0, 0
         rows = []
 
         def close_pane():
@@ -313,19 +326,30 @@ def ewma_drift_stream(
                 s = (1.0 - a) * s + a * pane_mean * pane_mean
             i += 1
 
+        # one global sort across every Arrow chunk of this batch:
+        # applyInPandasWithState delivers a group as ~10k-row chunks in
+        # arbitrary shuffle order, and a per-chunk sort would close
+        # panes prematurely
+        pairs = []
         for pdf in pdfs:
-            us = pdf["__us"].astype("int64")
-            for u, v in sorted(zip(us, pdf["__v"].astype("float64"))):
-                pane = int(u) // pane_us
-                if open_pane is None:
-                    open_pane, csum, cn = pane, 0.0, 0
-                elif pane != open_pane:
-                    close_pane()
-                    open_pane, csum, cn = pane, 0.0, 0
-                csum += float(v)
-                cn += 1
-        state.update((float(m), float(s), int(i),
-                      int(open_pane) if open_pane is not None else -1,
+            sub = pdf[["__us", "__v"]].dropna()
+            pairs.extend(
+                zip(sub["__us"].astype("int64"), sub["__v"].astype("float64"))
+            )
+        for u, v in sorted(pairs):
+            pane = int(u) // pane_us
+            if cn == 0:
+                open_pane = pane
+            elif pane > open_pane:
+                close_pane()
+                open_pane, csum, cn = pane, 0.0, 0
+            elif pane < open_pane:
+                # late arrival for an already-closed pane: dropped
+                # (docstring contract)
+                continue
+            csum += float(v)
+            cn += 1
+        state.update((float(m), float(s), int(i), int(open_pane),
                       float(csum), int(cn)))
         if rows:
             yield pd.DataFrame(

@@ -161,8 +161,9 @@ def sessionize_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_ddl = events.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, first_us long, n_events long, duration_sec double"
+        f"{key} {key_ddl}, first_us long, n_events long, duration_sec double"
     )
     state_schema = "start_us long, last_us long, n long"
     gap_us = gap_sec * 1_000_000

@@ -596,10 +596,12 @@ def test_ewma_drift_stream_matches_batch(spark, tmp_path):
         spark.read.parquet(src), "k", "ts", "v", interval_sec=3600,
         alpha=0.3, z_threshold=3.0, min_history=5,
     ).collect()
-    last_pane = max(r["pane"] for r in batch)
+    last_pane = {}
+    for r in batch:
+        last_pane[r["key"]] = max(last_pane.get(r["key"], r["pane"]), r["pane"])
     want = sorted(
         (r["key"], r["pane"], r["pane_mean"], r["baseline"], r["sigma"], r["drifted"])
-        for r in batch if r["pane"] != last_pane
+        for r in batch if r["pane"] != last_pane[r["key"]]
     )
     assert got == want
     assert any(r[5] for r in got)  # the level shift fired on the stream

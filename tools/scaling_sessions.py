@@ -121,8 +121,7 @@ z_agg = anomaly.pane_zscores(
 def job():
     if z_agg is not None:
         z = z_agg.first()
-        return {{"sess_rows": z["n"], "sess_sig": z["sig"],
-                 "hll_rows": 0, "hll_sig": 0}}
+        return {{"zscore_rows": z["n"], "zscore_sig": z["sig"]}}
     s = sess_agg.first()
     h = hll_agg.first()
     return {{"sess_rows": s["n"], "sess_sig": s["sig"],
@@ -181,8 +180,8 @@ def main():
     for _ in range(args.rounds):
         lo = run_level(staged, args.low, args.runs, args.job)
         hi = run_level(staged, args.high, args.runs, args.job)
-        keys = ("sess_rows", "sess_sig", "hll_rows", "hll_sig")
-        assert all(lo[k] == hi[k] for k in keys), (
+        keys = [k for k in lo if k.endswith(("_rows", "_sig"))]
+        assert keys and all(lo[k] == hi[k] for k in keys), (
             "results must be identical across parallelism levels",
             {k: (lo[k], hi[k]) for k in keys},
         )
@@ -201,7 +200,7 @@ def main():
         "high_events_per_sec": round(args.events / t_hi, 1),
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
-        "sess_rows": lo["sess_rows"], "hll_rows": lo["hll_rows"],
+        **{k: lo[k] for k in lo if k.endswith("_rows")},
     }
     print(json.dumps(result))
 
